@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2 Part B — relational core (B.1-B.4).
+  *
+  * Query surface the reference provisions via Trino/Spark-SQL/dbt
+  * (/root/reference/README.md:66-98, config/iceberg-template.properties:1-13),
+  * declared here as concrete Spark plans over the fixture tables.
+  * Determinism rules per SURVEY §7.5: total ORDER BY, ROUND on float
+  * aggregates, explicit casts so Spark and DuckDB output types line up.
+  */
+object RelationalPack extends Pack {
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+  private def cust(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
+
+  val decls: Seq[Decl] = Seq(
+
+    // ---------------------------------------------------------- B.1 scans
+    Decl("b01_parquet_scan",
+      (s, dir) => Tables.load(s, dir, "part")
+        .select($"p_partkey", $"p_name", $"p_retailprice")
+        .orderBy($"p_partkey"),
+      Some("SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey")),
+
+    Decl("b02_scan_limit",
+      (s, dir) => ord(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey").limit(10),
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10")),
+
+    // -------------------------------------------- B.2 projections/filters
+    Decl("b05_project_rename",
+      // no ROUND on per-row arithmetic: IEEE ops are bitwise identical
+      // across engines, while round() semantics differ at .xx5 (NOTES.md)
+      (s, dir) => li(s, dir).select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"l_orderkey", $"l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (1.0 - l_discount) AS revenue
+             FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Decl("b06_filter_comparison",
+      (s, dir) => li(s, dir)
+        .filter($"l_quantity" > 25.0 && $"l_discount" <= 0.05 && $"l_returnflag" =!= "N")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             FROM lineitem
+             WHERE l_quantity > 25.0 AND l_discount <= 0.05 AND l_returnflag <> 'N'
+             ORDER BY l_orderkey, l_linenumber""")),
+
+    Decl("b07_filter_in_between_like",
+      (s, dir) => ord(s, dir)
+        .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH")
+          && $"o_totalprice".between(50000.0, 300000.0)
+          && $"o_orderpriority".like("%-%"))
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .orderBy($"o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+             FROM orders
+             WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+               AND o_totalprice BETWEEN 50000.0 AND 300000.0
+               AND o_orderpriority LIKE '%-%'
+             ORDER BY o_orderkey""")),
+
+    Decl("b08_filter_null_handling",
+      // fixture has no nulls: manufacture them with NULLIF, then test
+      // IS NULL / null-safe equality (<=>, DuckDB IS NOT DISTINCT FROM)
+      (s, dir) => li(s, dir)
+        .withColumn("rf", nullif($"l_returnflag", lit("N")))
+        .filter($"rf".isNull || $"rf" <=> "R")
+        .groupBy($"rf")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy($"rf".asc_nulls_first),
+      Some("""SELECT rf, CAST(COUNT(*) AS BIGINT) AS n FROM (
+               SELECT NULLIF(l_returnflag, 'N') AS rf FROM lineitem)
+             WHERE rf IS NULL OR rf IS NOT DISTINCT FROM 'R'
+             GROUP BY rf ORDER BY rf ASC NULLS FIRST""")),
+
+    Decl("b09_distinct",
+      (s, dir) => li(s, dir)
+        .select($"l_returnflag", $"l_linestatus").distinct()
+        .orderBy($"l_returnflag", $"l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---------------------------------------------------------- B.4 aggs
+    Decl("b23_agg_global",
+      (s, dir) => li(s, dir).agg(
+        count(lit(1)).cast("long").as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(avg($"l_extendedprice"), 2).as("avg_price"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(AVG(l_extendedprice), 2) AS avg_price,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+             FROM lineitem""")),
+
+    // Flagship (SURVEY §7.2): TPC-H Q1-shaped pricing summary.
+    Decl("b24_agg_groupby",
+      (s, dir) => li(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          // round scale >= exact decimal scale of the summed terms
+          // (2dp*2dp product = 4dp; *2dp again = 6dp) — see NOTES.md
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 6).as("sum_charge"),
+          round(avg($"l_quantity"), 2).as("avg_qty"),
+          round(avg($"l_extendedprice"), 2).as("avg_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).cast("long").as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+             ROUND(AVG(l_quantity), 2) AS avg_qty,
+             ROUND(AVG(l_extendedprice), 2) AS avg_price,
+             ROUND(AVG(l_discount), 4) AS avg_disc,
+             CAST(COUNT(*) AS BIGINT) AS count_order
+             FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus"""))
+  )
+
+  // Spark's implicit $ interpolation without a live session:
+  private implicit class Str(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}
