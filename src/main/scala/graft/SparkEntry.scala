@@ -12,15 +12,19 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[Pack] = Seq(
-    RelationalPack)
+    RelationalPack, JoinPack, AggPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("b24_agg_groupby")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val ids = packs.flatMap(_.queries.keys)
+    require(ids.distinct.size == ids.size,
+      s"duplicate query ids across packs: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
     packs.flatMap(_.queries).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -19,7 +19,18 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+      // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert
+      // to a micro-precision timestamp — integral `div` (not `/`) since
+      // epoch-nanos exceed double's 2^53 exact-integer range. DuckDB
+      // reads the same file as TIMESTAMP_NS natively (NOTES.md rule 7).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(sfDir, name))
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(path(sfDir, name))
 
   /** Register every fixture table as a temp view named after the table.
     * Idempotent; cheap (no data read until an action). */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** One declared operator (SURVEY.md §2): a stable id, a Spark-first
   * query over the fixture tables in `sfDir`, and (where
@@ -17,4 +17,26 @@ trait Pack {
     decls.map(d => d.id -> d.fn).toMap
   final def oracleSql: Map[String, String] =
     decls.collect { case Decl(id, _, Some(sql)) => id -> sql }.toMap
+}
+
+/** Shared pack helpers: `$"col"` without a live session, and the
+  * exact-decimal aggregation pattern (NOTES.md rules 1-3).
+  */
+object syntax {
+  implicit class ColStr(private val sc: StringContext) extends AnyVal {
+    def $(args: Any*): Column =
+      org.apache.spark.sql.functions.col(sc.s(args: _*))
+  }
+
+  /** Deterministic money sum: the fixture's money columns are exact
+    * low-scale decimals (NOTES.md "decimal-exact accumulation"), so
+    * summing after a cast to DECIMAL(18,s) is order-independent; the
+    * final cast back to double is then bitwise identical in Spark and
+    * DuckDB. Mirror with
+    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)` in the oracle.
+    */
+  def dsum(c: Column, scale: Int): Column = {
+    import org.apache.spark.sql.functions.sum
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+  }
 }

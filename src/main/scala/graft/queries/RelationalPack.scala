@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import syntax._
 
 /** SURVEY.md §2 Part B — relational core (B.1-B.4).
   *
@@ -21,11 +22,16 @@ object RelationalPack extends Pack {
   val decls: Seq[Decl] = Seq(
 
     // ---------------------------------------------------------- B.1 scans
+    // keyed slice (p_partkey is dense from 0) so the declared query is
+    // a bounded ordered export at any scale factor — never a full-table
+    // global sort (round-1 verdict perf note)
     Decl("b01_parquet_scan",
       (s, dir) => Tables.load(s, dir, "part")
+        .filter($"p_partkey" < 1000)
         .select($"p_partkey", $"p_name", $"p_retailprice")
         .orderBy($"p_partkey"),
-      Some("SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+             WHERE p_partkey < 1000 ORDER BY p_partkey""")),
 
     Decl("b02_scan_limit",
       (s, dir) => ord(s, dir)
@@ -36,14 +42,18 @@ object RelationalPack extends Pack {
     // -------------------------------------------- B.2 projections/filters
     Decl("b05_project_rename",
       // no ROUND on per-row arithmetic: IEEE ops are bitwise identical
-      // across engines, while round() semantics differ at .xx5 (NOTES.md)
-      (s, dir) => li(s, dir).select(
-        $"l_orderkey", $"l_linenumber",
-        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      // across engines, while round() semantics differ at .xx5 (NOTES.md).
+      // Keyed slice bounds the ordered export at any scale factor.
+      (s, dir) => li(s, dir)
+        .filter($"l_orderkey" < 2500)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
         .orderBy($"l_orderkey", $"l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber,
              l_extendedprice * (1.0 - l_discount) AS revenue
-             FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+             FROM lineitem WHERE l_orderkey < 2500
+             ORDER BY l_orderkey, l_linenumber""")),
 
     Decl("b06_filter_comparison",
       (s, dir) => li(s, dir)
@@ -136,9 +146,4 @@ object RelationalPack extends Pack {
              GROUP BY l_returnflag, l_linestatus
              ORDER BY l_returnflag, l_linestatus"""))
   )
-
-  // Spark's implicit $ interpolation without a live session:
-  private implicit class Str(val sc: StringContext) {
-    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
-  }
 }

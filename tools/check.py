@@ -56,8 +56,9 @@ def main():
                 g, e = got[c], exp[c]
                 try:
                     if g.dtype != e.dtype:
-                        # tolerate pandas dtype promotion differences; compare values
-                        pass
+                        # the driver gate hash-compares typed values; a dtype
+                        # drift here can pass locally yet fail there
+                        print(f"  WARN {name}: col {c} dtype {g.dtype} vs {e.dtype}")
                     geq = (g.values == e.values) | (pd.isna(g.values) & pd.isna(e.values))
                     if not np.all(geq):
                         bad = np.where(~geq)[0][:5]
@@ -69,6 +70,7 @@ def main():
                     print(f"FAIL {name}: col {c} compare error {ex}"); ok = False
         if ok:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            if len(got) == 0: print(f"  WARN {name}: 0 rows on both sides")
         else:
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
