@@ -47,13 +47,13 @@ object RelationalPack extends Pack {
       (s, dir) => li(s, dir)
         .filter($"l_orderkey" < 2500)
         .select(
-          $"l_orderkey", $"l_linenumber",
+          $"l_orderkey", $"l_linenumber", $"l_partkey",
           ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
-        .orderBy($"l_orderkey", $"l_linenumber"),
-      Some("""SELECT l_orderkey, l_linenumber,
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
              l_extendedprice * (1.0 - l_discount) AS revenue
              FROM lineitem WHERE l_orderkey < 2500
-             ORDER BY l_orderkey, l_linenumber""")),
+             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
 
     Decl("b06_filter_comparison",
       (s, dir) => li(s, dir)

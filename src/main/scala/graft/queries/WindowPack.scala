@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import syntax._
+
+/** SURVEY.md §2 B.5/B.6 — window functions b34-b40 and sort/top-k
+  * b41-b43.
+  *
+  * The reference's named production workload is Binance spot-order
+  * time-series (/root/reference/README.md:111) — lag/lead, moving
+  * averages and per-key ranking are exactly this surface; it reaches
+  * users via Trino/dbt SQL (README.md:66-98).
+  *
+  * Scale notes (100 TB): every window here partitions by a key
+  * (user_id / l_orderkey / l_returnflag) — one hash shuffle, then
+  * partition-local sort; no global sort anywhere except the bounded
+  * exports. b42 compiles to TakeOrderedAndProject (partition-local
+  * top-k + driver merge of k rows). Window ORDER BY always ends with a
+  * unique tie-break column so results are deterministic on both
+  * engines (NOTES.md).
+  */
+object WindowPack extends Pack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val decls: Seq[Decl] = Seq(
+
+    Decl("b34_win_row_number",
+      (s, dir) => {
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        t(s, dir, "events").filter($"user_id" < 20)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select($"event_id", $"user_id", $"rn")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+             FROM events WHERE user_id < 20 ORDER BY event_id""")),
+
+    // rank family; ntile needs the unique (qty, orderkey, linenumber)
+    // ordering or tie rows land in arbitrary tiles
+    Decl("b35_win_rank_dense",
+      (s, dir) => {
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_quantity".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+            $"l_partkey".asc)
+        t(s, dir, "lineitem").filter($"l_orderkey" < 1000)
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("prnk", round(percent_rank().over(w), 6))
+          .withColumn("tile", ntile(4).over(w).cast("long"))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+            $"rnk", $"drnk", $"prnk", $"tile")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(RANK() OVER w AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+             ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+             CAST(NTILE(4) OVER w AS BIGINT) AS tile
+             FROM lineitem WHERE l_orderkey < 1000
+             WINDOW w AS (PARTITION BY l_returnflag
+                          ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey)
+             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+
+    // per-user tick deltas (raw IEEE subtraction — bitwise identical
+    // across engines, no rounding per NOTES.md rule 1)
+    Decl("b36_win_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        t(s, dir, "events").filter($"user_id" < 30)
+          .withColumn("prev_val", lag($"value", 1).over(w))
+          .withColumn("next_val", lead($"value", 1).over(w))
+          .withColumn("delta", $"value" - lag($"value", 1).over(w))
+          .select($"event_id", $"user_id", $"prev_val", $"next_val", $"delta")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             LAG(value, 1) OVER w AS prev_val,
+             LEAD(value, 1) OVER w AS next_val,
+             value - LAG(value, 1) OVER w AS delta
+             FROM events WHERE user_id < 30
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             ORDER BY event_id""")),
+
+    // cumulative sum; l_quantity is integral-valued so the running
+    // double sum is exact at every prefix
+    Decl("b37_win_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy($"l_orderkey")
+          .orderBy($"l_linenumber".asc, $"l_partkey".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "lineitem").filter($"l_orderkey" < 2000)
+          .withColumn("run_qty", sum($"l_quantity").over(w))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"run_qty")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+             SUM(l_quantity) OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+             FROM lineitem WHERE l_orderkey < 2000
+             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+
+    Decl("b38_win_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+          .rowsBetween(-3, 0)
+        t(s, dir, "events").filter($"user_id" < 30)
+          .withColumn("mov_avg", round(avg($"value").over(w), 4))
+          .select($"event_id", $"user_id", $"mov_avg")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+             FROM events WHERE user_id < 30 ORDER BY event_id""")),
+
+    // value-range frame: the included row set depends only on the
+    // ordering VALUE, so the sum is order-independent even with ties
+    Decl("b39_win_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity".asc)
+          .rangeBetween(-5, 0)
+        t(s, dir, "lineitem").filter($"l_orderkey" < 500)
+          .withColumn("range_qty", sum($"l_quantity").over(w))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+            $"l_quantity", $"range_qty")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS range_qty
+             FROM lineitem WHERE l_orderkey < 500
+             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+
+    // generalizes the reference's latest-file pick (extract_load.py:147):
+    // first/last value over the full partition frame
+    Decl("b40_win_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events").filter($"user_id" < 30)
+          .withColumn("first_val", first($"value").over(w))
+          .withColumn("last_val", last($"value").over(w))
+          .select($"event_id", $"user_id", $"first_val", $"last_val")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             FIRST_VALUE(value) OVER w AS first_val,
+             LAST_VALUE(value) OVER w AS last_val
+             FROM events WHERE user_id < 30
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             ORDER BY event_id""")),
+
+    // ------------------------------------------------- B.6 sorts/top-k
+    // explicit NULLS FIRST both sides (defaults differ, NOTES.md rule 6)
+    Decl("b41_sort_multi_key",
+      (s, dir) => t(s, dir, "orders").filter($"o_orderkey" < 2000)
+        .withColumn("prio", nullif($"o_orderpriority", lit("4-NOT SPECIFIED")))
+        .select($"o_orderkey", $"prio", $"o_totalprice")
+        .orderBy($"prio".asc_nulls_first, $"o_totalprice".desc, $"o_orderkey".asc),
+      Some("""SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+             o_totalprice
+             FROM orders WHERE o_orderkey < 2000
+             ORDER BY prio ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC""")),
+
+    // full-scan top-k: TakeOrderedAndProject = partition-local top-k,
+    // driver merges k rows — the plan that survives 100 TB
+    Decl("b42_topk_global",
+      (s, dir) => t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc,
+          $"l_partkey".asc)
+        .limit(15),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice FROM lineitem
+             ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC, l_partkey ASC
+             LIMIT 15""")),
+
+    Decl("b43_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 3)
+          .select($"c_mktsegment", $"rn", $"o_orderkey", $"o_totalprice")
+          .orderBy($"c_mktsegment", $"rn")
+      },
+      Some("""SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+               SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+               FROM orders JOIN customer ON o_custkey = c_custkey)
+             WHERE rn <= 3
+             ORDER BY c_mktsegment, rn"""))
+  )
+}
