@@ -172,7 +172,7 @@ object FuncPack extends Pack {
     Decl("b52_math",
       (s, dir) => t(s, dir, "lineitem").filter($"l_orderkey" < 500)
         .select(
-          $"l_orderkey", $"l_linenumber", $"l_partkey",
+          $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
           abs($"l_discount" - lit(0.05)).as("abs_gap"),
           ceil($"l_extendedprice").as("ceil_price"),
           floor($"l_extendedprice").as("floor_price"),
@@ -181,8 +181,8 @@ object FuncPack extends Pack {
           round(exp($"l_discount"), 6).as("exp_disc"),
           pow($"l_quantity", 2.0).as("qty_sq"),
           ($"l_partkey" % 7).as("key_mod"))
-        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey"),
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              ABS(l_discount - 0.05) AS abs_gap,
              CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
              CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
@@ -192,7 +192,7 @@ object FuncPack extends Pack {
              POW(l_quantity, 2.0) AS qty_sq,
              l_partkey % 7 AS key_mod
              FROM lineitem WHERE l_orderkey < 500
-             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
 
     Decl("b53_conditional",
       (s, dir) => t(s, dir, "orders").filter($"o_orderkey" < 2000)
@@ -256,17 +256,17 @@ object FuncPack extends Pack {
           array(lit("qty"), lit("price")),
           array($"l_quantity", $"l_extendedprice")))
         .select(
-          $"l_orderkey", $"l_linenumber", $"l_partkey",
+          $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
           element_at($"m", "qty").as("qty_val"),
           element_at($"m", "price").as("price_val"),
           size(map_keys($"m")).cast("long").as("n_keys"),
           array_contains(map_keys($"m"), "qty").as("has_qty"))
-        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey"),
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              l_quantity AS qty_val, l_extendedprice AS price_val,
              CAST(2 AS BIGINT) AS n_keys, TRUE AS has_qty
              FROM lineitem WHERE l_orderkey < 500
-             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
 
     // Airbyte payloads are JSON strings (extract_load.py:138 prefix);
     // both the untyped (get_json_object) and schema'd (from_json) paths

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import syntax._
+
+/** SURVEY.md §2 Part C — LLM-data-pipeline operators c01-c09 over the
+  * `documents` / `embeddings` fixtures (the BASELINE north star; not
+  * present in the reference, which stops at lakehouse plumbing).
+  *
+  * Every operator is built from codegen'd built-ins (higher-order
+  * functions, xxhash64, windows) — no UDFs in any hot path.
+  *
+  * Scale design (100 TB):
+  * - c01 dedups with ONE hash shuffle (window over the normalized-text
+  *   key), no join-back.
+  * - c02 is minhash+LSH banding: candidate pairs come from equi-joins
+  *   on (band, band_hash) — never the quadratic all-pairs product; the
+  *   residual exact-Jaccard check runs only on candidates.
+  * - c04 is broadcast-query brute force compiling to
+  *   TakeOrderedAndProject: each partition keeps k rows, the driver
+  *   merges k·p rows — the distributed top-k pattern (PAPERS.md).
+  * - c05 bounds the kNN join by label blocking: pair count is
+  *   Σ block² not N².
+  * - c07's document-frequency side is vocabulary-sized → broadcast
+  *   join against the tf side, which shuffles once on (doc, term).
+  */
+object LlmPack extends Pack {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Cosine similarity in double precision, expression-only (SURVEY
+    * §2 c03): sequential left-fold matches DuckDB's list_aggregate
+    * summation order, so the unrounded doubles agree bitwise. */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x))
+    dot / (na * nb)
+  }
+
+  val decls: Seq[Decl] = Seq(
+
+    // keep the lowest doc_id per normalized text: one shuffle, no
+    // join-back; at 100 TB the shuffle key is the (tiny) text hash,
+    // not the document body
+    Decl("c01_dedup_exact",
+      (s, dir) => {
+        val w = Window.partitionBy(xxhash64(lower(trim($"text"))), lower(trim($"text")))
+          .orderBy($"doc_id".asc)
+        docs(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY lower(trim(text))
+                                        ORDER BY doc_id) = 1
+             ORDER BY doc_id""")),
+
+    // minhash signatures (16 hashes) over word 3-shingles, LSH banded
+    // 4×4; candidates from band equi-join, then exact-Jaccard residual.
+    // Hash-dependent values → no oracle (SURVEY §7.5); the LlmPackSpec
+    // unit test pins the semantics instead.
+    Decl("c02_dedup_near_minhash",
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 3)
+          .withColumn("shingles", expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
+          .withColumn("sig", expr(
+            "transform(sequence(0, 15), h -> array_min(transform(shingles, s -> xxhash64(s, h))))"))
+          .select($"doc_id", $"shingles", $"sig")
+        val bands = sh.select($"doc_id", $"shingles",
+            explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))")).as("e"))
+          .select($"doc_id", $"shingles", $"e.band", $"e.bh")
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .withColumn("jaccard",
+            size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+              size(array_union($"sh_a", $"sh_b")))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      None),
+
+    // cosine between consecutive vec_ids — pure expression, no UDF
+    Decl("c03_sim_cosine_pair",
+      (s, dir) => {
+        val e = emb(s, dir)
+        e.as("a").filter($"vec_id" < 250)
+          .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+          .select(col("a.vec_id").as("vec_id"),
+            round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT a.vec_id AS vec_id,
+             ROUND((list_aggregate(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum')))), 6) AS cos
+             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+             WHERE a.vec_id < 250
+             ORDER BY vec_id""")),
+
+    // top-k neighbors of one query vector: broadcast the query row,
+    // TakeOrderedAndProject does partition-local top-k + driver merge
+    Decl("c04_sim_topk_search",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+        e.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id", round(cosine($"embedding", $"q_emb"), 6).as("cos"))
+          .orderBy($"cos".desc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+             SELECT vec_id, ROUND((list_aggregate(list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') / (sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) * sqrt(list_aggregate(list_transform(q_emb, x -> CAST(x AS DOUBLE) * x), 'sum')))), 6) AS cos
+             FROM embeddings, q WHERE vec_id <> 0
+             ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
+
+    // kNN self-join blocked on label: pair count is Σ block², and the
+    // per-vector top-3 is a window, not a global sort
+    Decl("c05_sim_topk_join",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor".asc)
+        e.as("a").filter($"vec_id" < 100)
+          .join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
+            round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 3)
+          .select($"vec_id", $"rn", $"neighbor", $"cos")
+          .orderBy($"vec_id", $"rn")
+      },
+      Some("""SELECT vec_id, rn, neighbor, cos FROM (
+               SELECT vec_id, neighbor, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, neighbor ASC) AS BIGINT) AS rn
+               FROM (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+                       ROUND((list_aggregate(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum')))), 6) AS cos
+                     FROM embeddings a JOIN embeddings b
+                       ON a.label = b.label AND a.vec_id <> b.vec_id
+                     WHERE a.vec_id < 100))
+             WHERE rn <= 3
+             ORDER BY vec_id, rn""")),
+
+    // corpus term frequencies, top 100 — generator + hash agg + top-k
+    Decl("c06_text_tokenize_counts",
+      (s, dir) => docs(s, dir)
+        .select(explode(split($"text", " ")).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy($"n".desc, $"tok".asc)
+        .limit(100),
+      Some("""SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+               SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""")),
+
+    // tf-idf top-3 terms per document; df side is vocabulary-sized →
+    // broadcast; tf side shuffles once on (doc, term)
+    Decl("c07_text_tfidf",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val toks = d.select($"doc_id", explode(split($"text", " ")).as("tok"))
+        val tf = toks.filter($"doc_id" < 100)
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val df = toks.select($"doc_id", $"tok").distinct()
+          .groupBy($"tok").agg(count(lit(1)).as("df"))
+        val total = d.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok".asc)
+        tf.join(broadcast(df), "tok")
+          .crossJoin(broadcast(total))
+          .withColumn("score", round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 3)
+          .select($"doc_id", $"rn", $"tok", $"score")
+          .orderBy($"doc_id", $"rn")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                            FROM documents),
+                  tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+                         WHERE doc_id < 100 GROUP BY doc_id, tok),
+                  df AS (SELECT tok, COUNT(*) AS df
+                         FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+                  total AS (SELECT COUNT(*) AS n_docs FROM documents)
+             SELECT doc_id, rn, tok, score FROM (
+               SELECT doc_id, tok,
+                 ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) DESC,
+                            tok ASC) AS BIGINT) AS rn
+               FROM tf JOIN df USING (tok) CROSS JOIN total)
+             WHERE rn <= 3
+             ORDER BY doc_id, rn""")),
+
+    // per-language corpus profile — the multimodal-metadata slice
+    Decl("c08_text_lang_profile",
+      (s, dir) => docs(s, dir)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum($"n_chars").cast("long").as("total_chars"),
+          round(avg(length($"text")), 2).as("avg_len"),
+          countDistinct($"source").cast("long").as("n_sources"))
+        .orderBy($"lang"),
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             ROUND(AVG(LENGTH(text)), 2) AS avg_len,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+             FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // element-wise centroid per label — pure relational (posexplode +
+    // re-key by position), no UDAF, shuffle bounded by labels × dims
+    Decl("c09_vector_stats",
+      (s, dir) => emb(s, dir)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "e")))
+        .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
+        .agg(round(avg($"e".cast("double")), 6).as("centroid"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy($"label", $"pos"),
+      Some("""SELECT label, pos, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS centroid,
+             CAST(COUNT(*) AS BIGINT) AS n
+             FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                          unnest(embedding) AS e
+                   FROM embeddings)
+             GROUP BY label, pos ORDER BY label, pos"""))
+  )
+}

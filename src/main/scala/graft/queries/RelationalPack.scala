@@ -33,6 +33,25 @@ object RelationalPack extends Pack {
       Some("""SELECT p_partkey, p_name, p_retailprice FROM part
              WHERE p_partkey < 1000 ORDER BY p_partkey""")),
 
+    // sink: write the query result as parquet, read it back (the
+    // reference's write path, extract_load.py:96); oracle = the source
+    Decl("b03_parquet_sink",
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_b03").toString
+        Tables.load(s, dir, "nation").write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy($"n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // catalog op (extract_load.py:87): list registered tables; no
+    // oracle (driver records rows-only)
+    Decl("b04_catalog_tables",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("SHOW TABLES").select($"tableName").orderBy($"tableName")
+      },
+      None),
+
     Decl("b02_scan_limit",
       (s, dir) => ord(s, dir)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
@@ -47,23 +66,24 @@ object RelationalPack extends Pack {
       (s, dir) => li(s, dir)
         .filter($"l_orderkey" < 2500)
         .select(
-          $"l_orderkey", $"l_linenumber", $"l_partkey",
+          $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
           ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
-        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey"),
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              l_extendedprice * (1.0 - l_discount) AS revenue
              FROM lineitem WHERE l_orderkey < 2500
-             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
 
     Decl("b06_filter_comparison",
       (s, dir) => li(s, dir)
         .filter($"l_quantity" > 25.0 && $"l_discount" <= 0.05 && $"l_returnflag" =!= "N")
-        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
-        .orderBy($"l_orderkey", $"l_linenumber"),
-      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_discount
              FROM lineitem
              WHERE l_quantity > 25.0 AND l_discount <= 0.05 AND l_returnflag <> 'N'
-             ORDER BY l_orderkey, l_linenumber""")),
+             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
 
     Decl("b07_filter_in_between_like",
       (s, dir) => ord(s, dir)

@@ -46,25 +46,25 @@ object WindowPack extends Pack {
       (s, dir) => {
         val w = Window.partitionBy($"l_returnflag")
           .orderBy($"l_quantity".asc, $"l_orderkey".asc, $"l_linenumber".asc,
-            $"l_partkey".asc)
+            $"l_partkey".asc, $"l_suppkey".asc)
         t(s, dir, "lineitem").filter($"l_orderkey" < 1000)
           .withColumn("rnk", rank().over(w).cast("long"))
           .withColumn("drnk", dense_rank().over(w).cast("long"))
           .withColumn("prnk", round(percent_rank().over(w), 6))
           .withColumn("tile", ntile(4).over(w).cast("long"))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
             $"rnk", $"drnk", $"prnk", $"tile")
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              CAST(RANK() OVER w AS BIGINT) AS rnk,
              CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
              ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
              CAST(NTILE(4) OVER w AS BIGINT) AS tile
              FROM lineitem WHERE l_orderkey < 1000
              WINDOW w AS (PARTITION BY l_returnflag
-                          ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey)
-             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+                          ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey, l_suppkey)
+             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
 
     // per-user tick deltas (raw IEEE subtraction — bitwise identical
     // across engines, no rounding per NOTES.md rule 1)
@@ -91,19 +91,19 @@ object WindowPack extends Pack {
     Decl("b37_win_running_sum",
       (s, dir) => {
         val w = Window.partitionBy($"l_orderkey")
-          .orderBy($"l_linenumber".asc, $"l_partkey".asc)
+          .orderBy($"l_linenumber".asc, $"l_partkey".asc, $"l_suppkey".asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem").filter($"l_orderkey" < 2000)
           .withColumn("run_qty", sum($"l_quantity").over(w))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"run_qty")
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"run_qty")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              SUM(l_quantity) OVER (PARTITION BY l_orderkey
-               ORDER BY l_linenumber, l_partkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
              FROM lineitem WHERE l_orderkey < 2000
-             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
 
     Decl("b38_win_moving_avg",
       (s, dir) => {
@@ -127,15 +127,15 @@ object WindowPack extends Pack {
           .rangeBetween(-5, 0)
         t(s, dir, "lineitem").filter($"l_orderkey" < 500)
           .withColumn("range_qty", sum($"l_quantity").over(w))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
             $"l_quantity", $"range_qty")
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
              SUM(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS range_qty
              FROM lineitem WHERE l_orderkey < 500
-             ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
 
     // generalizes the reference's latest-file pick (extract_load.py:147):
     // first/last value over the full partition frame
@@ -173,12 +173,12 @@ object WindowPack extends Pack {
     // driver merges k rows — the plan that survives 100 TB
     Decl("b42_topk_global",
       (s, dir) => t(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_extendedprice")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"l_extendedprice")
         .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc,
-          $"l_partkey".asc)
+          $"l_partkey".asc, $"l_suppkey".asc)
         .limit(15),
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice FROM lineitem
-             ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC, l_partkey ASC
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM lineitem
+             ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC
              LIMIT 15""")),
 
     Decl("b43_topk_per_group",
