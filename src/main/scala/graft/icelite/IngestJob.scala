@@ -1,0 +1,150 @@
+package graft.icelite
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scala re-expression of the reference's one real program —
+  * `extract_load.py <table> full|incremental`
+  * (/root/reference/scripts/extract_load.py:120-174) — over the
+  * IceLite table layer.
+  *
+  * full        = a01 list → a03 latest → a02 scan → a07 count →
+  *               a08/a09 ns/table → a10 createOrReplace → a12 expire
+  * incremental = a01 list → a05 state read → a04 new-file diff →
+  *               a02 scan → a11 append/create → a06 state append →
+  *               a12 expire
+  *
+  * The loaded-files state is itself an IceLite table with a single
+  * `file_path` string column (extract_load.py:55-66), so ingest
+  * bookkeeping rides the same snapshot/commit path as data. File
+  * paths are stored relative to the source dir, which keeps the state
+  * portable. Exactly-once holds for a single writer, the same
+  * guarantee the reference's one-driver job has; the
+  * incremental≡full invariant is property-tested (IngestJobSpec).
+  */
+object IngestJob {
+
+  final case class Result(
+      table: String,
+      loadType: String,
+      filesLoaded: Seq[String],
+      rowsLoaded: Long,
+      snapshotId: Long)
+
+  val dataNamespace = "src"
+  val metaNamespace = "metadata"
+
+  /** a01: enumerate raw source files under a prefix
+    * (extract_load.py:136-139, MinIO listing → local dir walk). */
+  def listSourceFiles(sourceDir: String): Seq[String] = {
+    val d = Paths.get(sourceDir)
+    if (!Files.exists(d)) Seq.empty
+    else Files.walk(d).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => d.relativize(p).toString)
+      .toSeq.sorted
+  }
+
+  def tableRef(warehouse: String, table: String): TableRef =
+    TableRef(warehouse, dataNamespace, table)
+
+  def stateRef(warehouse: String, table: String): TableRef =
+    TableRef(warehouse, metaNamespace, s"${table}_loaded_files")
+
+  /** a05: read the tracking table; missing table ⇒ empty set
+    * (extract_load.py:55-61). */
+  def loadedFiles(spark: SparkSession, warehouse: String, table: String): Set[String] = {
+    val ref = stateRef(warehouse, table)
+    if (!IceLite.tableExists(ref)) Set.empty
+    else IceLite.read(spark, ref).select("file_path")
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** a06: append newly loaded paths to the tracking table
+    * (extract_load.py:63-66). */
+  def saveLoadedFiles(spark: SparkSession, warehouse: String, table: String,
+      paths: Seq[String]): Unit = {
+    import spark.implicits._
+    IceLite.createNamespace(warehouse, metaNamespace)
+    IceLite.append(stateRef(warehouse, table), paths.toDF("file_path"))
+  }
+
+  /** Run one load. `retentionMs` mirrors the reference's 3-day
+    * expire-after-every-load (extract_load.py:167-171); pass a
+    * negative value to disable expiry, 0 to expire everything but the
+    * current snapshot. */
+  def run(spark: SparkSession, warehouse: String, table: String,
+      sourceDir: String, loadType: String,
+      retentionMs: Long = 3L * 24 * 3600 * 1000): Result = {
+    require(loadType == "full" || loadType == "incremental",
+      s"load_type must be full|incremental, got $loadType")
+
+    IceLite.createNamespace(warehouse, dataNamespace)              // a08
+    val ref = tableRef(warehouse, table)
+    val listed = listSourceFiles(sourceDir)                        // a01
+
+    val toLoad: Seq[String] = loadType match {
+      case "full" =>
+        // a03: lexicographic-max file name ("lexicographical order
+        // corresponds to timestamps", extract_load.py:145-148)
+        if (listed.isEmpty) Seq.empty else Seq(listed.max)
+      case "incremental" =>
+        // a04: listed − already-loaded diff (extract_load.py:154-157)
+        val loaded = loadedFiles(spark, warehouse, table)          // a05
+        listed.filterNot(loaded)
+    }
+
+    if (toLoad.isEmpty)
+      return Result(table, loadType,
+        Seq.empty, 0L,
+        if (IceLite.tableExists(ref)) IceLite.readManifest(ref).currentSnapshotId else 0L)
+
+    // a02: one multi-file scan over the batch (extract_load.py:68-73)
+    val df = spark.read.parquet(toLoad.map(f => s"$sourceDir/$f"): _*)
+    val rows = df.count()                                          // a07
+
+    val snap = loadType match {
+      case "full" => IceLite.createOrReplace(ref, df)              // a10
+      case "incremental" =>
+        val s = IceLite.append(ref, df)                            // a11
+        saveLoadedFiles(spark, warehouse, table, toLoad)           // a06
+        s
+    }
+
+    if (retentionMs >= 0)                                          // a12
+      IceLite.expireSnapshots(ref, System.currentTimeMillis() - retentionMs)
+
+    Result(table, loadType, toLoad, rows, snap.id)
+  }
+}
+
+/** a15: the dbt role — a registry of named SQL transformations
+  * materialized as IceLite tables in dependency order
+  * (/root/reference/README.md:79-98; SURVEY §3.3). */
+object TransformRegistry {
+
+  /** name → (dependencies, SQL over temp views / upstream transforms). */
+  val transforms: Seq[(String, String)] = Seq(
+    "monthly_revenue" ->
+      """SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem GROUP BY 1""",
+    "top_segments" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""")
+
+  /** CTAS materialization: run the model SQL, write it as an IceLite
+    * table (atomic replace), register the result as a view so
+    * downstream models can reference it. */
+  def runAll(spark: SparkSession, warehouse: String): Seq[TableRef] =
+    transforms.map { case (name, sql) =>
+      val ref = TableRef(warehouse, "marts", name)
+      IceLite.createNamespace(warehouse, "marts")
+      IceLite.createOrReplace(ref, spark.sql(sql))
+      IceLite.read(spark, ref).createOrReplaceTempView(name)
+      ref
+    }
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.icelite.{IceLite, IngestJob, TableRef, TransformRegistry}
+import syntax._
+
+/** SURVEY.md §2 Part A — the operators the reference actually codes
+  * (/root/reference/scripts/extract_load.py:55-171), declared as
+  * oracle-checkable queries over the IceLite layer (graft.icelite).
+  *
+  * Pipeline-shaped ids run a real ingest into a throwaway warehouse
+  * inside the query and return the resulting table state; the oracle
+  * is direct SQL over the same source parquet — so the gate checks the
+  * end-to-end load semantics (incremental ≡ full is also
+  * property-tested in IngestJobSpec). Source batches are staged with
+  * deterministic names (batch_000.parquet…) so state-table contents
+  * are stable.
+  */
+object PipelinePack extends Pack {
+
+  /** Stage `orders` as n deterministic source files split by key hash
+    * (the Airbyte-drop role, extract_load.py:138). */
+  private def makeBatches(s: SparkSession, dir: String, n: Int): String = {
+    val src = Files.createTempDirectory("graft_src").toString
+    val orders = Tables.load(s, dir, "orders")
+    (0 until n).foreach { b =>
+      val staging = Files.createTempDirectory("graft_stage")
+      orders.filter(pmod(col("o_orderkey"), lit(n)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .getOrElse(throw new IllegalStateException("no part file staged"))
+      Files.move(part, Paths.get(src, f"batch_$b%03d.parquet"))
+    }
+    src
+  }
+
+  private def tmpWarehouse(): String =
+    Files.createTempDirectory("graft_wh").toString
+
+  val decls: Seq[Decl] = Seq(
+
+    // a01: prefix listing (extract_load.py:136-139) — emit the file
+    // names of the fixture dir itself; static, sfDir-independent oracle
+    Decl("a01_list_source_files",
+      (s, dir) => {
+        import s.implicits._
+        IngestJob.listSourceFiles(dir)
+          .filter(f => Tables.all.contains(f.stripSuffix(".parquet")))
+          .toDF("file_name").orderBy(col("file_name"))
+      },
+      Some(Tables.all.map(t => s"SELECT '$t.parquet' AS file_name").sorted
+        .mkString("", " UNION ALL ", " ORDER BY file_name"))),
+
+    // a02: N files, one scan (extract_load.py:68-73): split lineitem
+    // into 4 parquet files, re-read them as one multi-file relation
+    Decl("a02_multi_file_parquet_scan",
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_a02").toString
+        Tables.load(s, dir, "lineitem").repartition(4)
+          .write.mode("overwrite").parquet(out)
+        val files = Files.list(Paths.get(out)).iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+        s.read.parquet(files: _*)
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem""")),
+
+    // a03: full-load policy — lexicographic max file name
+    // (extract_load.py:145-148)
+    Decl("a03_latest_file_select",
+      (s, dir) => {
+        import s.implicits._
+        IngestJob.listSourceFiles(dir)
+          .filter(f => Tables.all.contains(f.stripSuffix(".parquet")))
+          .toDF("file_name")
+          .orderBy(col("file_name").desc).limit(1)
+      },
+      Some(s"SELECT '${Tables.all.max}.parquet' AS file_name")),
+
+    // a04: listed − loaded diff as a real anti-join on Dataset[String]
+    // (extract_load.py:154-157)
+    Decl("a04_new_file_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        val listed = Tables.all.map(t => s"$t.parquet").toDF("file_name")
+        val loaded = Seq("region.parquet", "nation.parquet", "customer.parquet")
+          .toDF("file_name")
+        listed.join(loaded, Seq("file_name"), "left_anti").orderBy(col("file_name"))
+      },
+      Some(Tables.all.filterNot(Set("region", "nation", "customer"))
+        .map(t => s"SELECT '$t.parquet' AS file_name").sorted
+        .mkString("", " UNION ALL ", " ORDER BY file_name"))),
+
+    // a05: tracking-table read after an incremental run over 3 batches
+    // (extract_load.py:55-61)
+    Decl("a05_state_read",
+      (s, dir) => {
+        import s.implicits._
+        val (wh, src) = (tmpWarehouse(), makeBatches(s, dir, 3))
+        IngestJob.run(s, wh, "orders", src, "incremental")
+        IceLite.read(s, IngestJob.stateRef(wh, "orders")).orderBy(col("file_path"))
+      },
+      Some("""SELECT 'batch_000.parquet' AS file_path
+             UNION ALL SELECT 'batch_001.parquet'
+             UNION ALL SELECT 'batch_002.parquet' ORDER BY file_path""")),
+
+    // a06: state append is incremental — a second run loads only the
+    // not-yet-tracked files (exactly-once bookkeeping)
+    Decl("a06_state_append",
+      (s, dir) => {
+        import s.implicits._
+        val wh = tmpWarehouse()
+        val src1 = Files.createTempDirectory("graft_src1").toString
+        val srcAll = makeBatches(s, dir, 3)
+        // phase 1: only batch_000 visible
+        Files.copy(Paths.get(srcAll, "batch_000.parquet"),
+          Paths.get(src1, "batch_000.parquet"))
+        IngestJob.run(s, wh, "orders", src1, "incremental")
+        val n1 = IngestJob.loadedFiles(s, wh, "orders").size.toLong
+        // phase 2: all three visible; diff loads exactly the other two
+        val r2 = IngestJob.run(s, wh, "orders", srcAll, "incremental")
+        val n2 = IngestJob.loadedFiles(s, wh, "orders").size.toLong
+        Seq((1L, n1, -1L), (2L, n2, r2.filesLoaded.size.toLong))
+          .toDF("phase", "n_tracked", "n_newly_loaded").orderBy(col("phase"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS phase, CAST(1 AS BIGINT) AS n_tracked,
+                     CAST(-1 AS BIGINT) AS n_newly_loaded
+             UNION ALL SELECT 2, 3, 2 ORDER BY phase""")),
+
+    // a07: the count action (extract_load.py:150) — a real .count(),
+    // result re-lifted into a DataFrame
+    Decl("a07_row_count",
+      (s, dir) => {
+        import s.implicits._
+        Seq(Tables.load(s, dir, "lineitem").count()).toDF("n_rows")
+      },
+      Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem")),
+
+    // a08: CREATE NAMESPACE IF NOT EXISTS, idempotent
+    // (extract_load.py:79)
+    Decl("a08_create_namespace",
+      (s, dir) => {
+        import s.implicits._
+        val wh = tmpWarehouse()
+        IceLite.createNamespace(wh, "src")
+        IceLite.createNamespace(wh, "src") // idempotent
+        IceLite.createNamespace(wh, "metadata")
+        IceLite.listNamespaces(wh).toDF("namespace").orderBy(col("namespace"))
+      },
+      Some("""SELECT 'metadata' AS namespace UNION ALL SELECT 'src'
+             ORDER BY namespace""")),
+
+    // a09: table-exists check before/after create (extract_load.py:84-91)
+    Decl("a09_table_exists",
+      (s, dir) => {
+        import s.implicits._
+        val wh = tmpWarehouse()
+        val ref = IngestJob.tableRef(wh, "orders")
+        val before = IceLite.tableExists(ref)
+        IceLite.createNamespace(wh, "src")
+        IceLite.createOrReplace(ref, Tables.load(s, dir, "orders").limit(5))
+        val after = IceLite.tableExists(ref)
+        Seq((1L, before), (2L, after)).toDF("phase", "table_exists")
+          .orderBy(col("phase"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS phase, FALSE AS table_exists
+             UNION ALL SELECT 2, TRUE ORDER BY phase""")),
+
+    // a10: atomic full refresh — second createOrReplace fully replaces
+    // the first load's content (extract_load.py:94-98)
+    Decl("a10_full_refresh_write",
+      (s, dir) => {
+        val wh = tmpWarehouse()
+        val ref = IngestJob.tableRef(wh, "orders")
+        IceLite.createNamespace(wh, "src")
+        IceLite.createOrReplace(ref, Tables.load(s, dir, "orders"))
+        IceLite.createOrReplace(ref,
+          Tables.load(s, dir, "orders").filter(col("o_totalprice") > 200000.0))
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum(col("o_totalprice"), 3).as("sum_price"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM orders WHERE o_totalprice > 200000.0""")),
+
+    // a11: incremental loads over all batches ≡ one full scan of the
+    // source — THE correctness claim of extract_load.py:154-165
+    Decl("a11_incremental_append_write",
+      (s, dir) => {
+        val wh = tmpWarehouse()
+        val src = makeBatches(s, dir, 3)
+        // three separate runs, each picking up whatever is new
+        IngestJob.run(s, wh, "orders", src, "incremental")
+        IngestJob.run(s, wh, "orders", src, "incremental") // no-op: nothing new
+        IceLite.read(s, IngestJob.tableRef(wh, "orders"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum(col("o_totalprice"), 3).as("sum_price"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM orders""")),
+
+    // a12: snapshot expiry keeps the current snapshot and its files
+    // (extract_load.py:167-171; cutoff in the future = expire history)
+    Decl("a12_expire_snapshots",
+      (s, dir) => {
+        import s.implicits._
+        val wh = tmpWarehouse()
+        val ref = IngestJob.tableRef(wh, "orders")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+        IceLite.createOrReplace(ref, o.filter(col("o_orderkey") < 100))
+        IceLite.append(ref, o.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200))
+        IceLite.append(ref, o.filter(col("o_orderkey") >= 200 && col("o_orderkey") < 300))
+        val before = IceLite.readManifest(ref).snapshots.size.toLong
+        IceLite.expireSnapshots(ref, System.currentTimeMillis() + 3600000L)
+        val after = IceLite.readManifest(ref).snapshots.size.toLong
+        val rows = IceLite.read(s, ref).count()
+        Seq((before, after, rows)).toDF("n_before", "n_after", "n_rows")
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS n_before, CAST(1 AS BIGINT) AS n_after,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey < 300) AS n_rows""")),
+
+    // a13: the Trino-path variant — retention_threshold => '7d'
+    // (README.md:111): fresh snapshots survive a 7-day cutoff
+    Decl("a13_trino_gc",
+      (s, dir) => {
+        import s.implicits._
+        val wh = tmpWarehouse()
+        val ref = IngestJob.tableRef(wh, "orders")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+        IceLite.createOrReplace(ref, o.filter(col("o_orderkey") < 100))
+        IceLite.append(ref, o.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200))
+        val before = IceLite.readManifest(ref).snapshots.size.toLong
+        val expired = IceLite.expireSnapshots(ref,
+          System.currentTimeMillis() - 7L * 24 * 3600 * 1000)
+        val after = IceLite.readManifest(ref).snapshots.size.toLong
+        Seq((before, expired.size.toLong, after))
+          .toDF("n_before", "n_expired", "n_after")
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS n_before, CAST(0 AS BIGINT) AS n_expired,
+             CAST(2 AS BIGINT) AS n_after""")),
+
+    // a14: the interactive Trino session (README.md:72-75), via the
+    // SQL surface (ORDER BY added for determinism)
+    Decl("a14_interactive_scan_limit",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                 ORDER BY o_orderkey LIMIT 10""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             ORDER BY o_orderkey LIMIT 10""")),
+
+    // a15: dbt-style CTAS transforms materialized through the table
+    // layer in dependency order (README.md:79-98)
+    Decl("a15_dbt_transform",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val wh = tmpWarehouse()
+        TransformRegistry.runAll(s, wh)
+        IceLite.read(s, TableRef(wh, "marts", "monthly_revenue"))
+          .orderBy(col("ship_month"))
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+             FROM lineitem GROUP BY 1 ORDER BY ship_month"""))
+  )
+}
