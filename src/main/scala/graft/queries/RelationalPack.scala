@@ -48,7 +48,9 @@ object RelationalPack extends Pack {
     Decl("b04_catalog_tables",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql("SHOW TABLES").select($"tableName").orderBy($"tableName")
+        s.sql("SHOW TABLES").select($"tableName")
+          .filter($"tableName".isin(Tables.all: _*)) // session may hold other views
+          .orderBy($"tableName")
       },
       None),
 

@@ -1,0 +1,232 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.icelite.{IceLite, TableRef}
+import graft.queries.{Decl, Pack}
+
+/** SURVEY.md §2 B.9 — Structured Streaming operators s01-s07 over the
+  * `events` fixture.
+  *
+  * The reference's "streaming" is incremental file ingestion with
+  * exactly-once bookkeeping (/root/reference/scripts/extract_load.py:136-165)
+  * — precisely the Spark file-source + checkpoint model. Each id here
+  * runs a real StreamingQuery (file source → transform → sink),
+  * drains it with processAllAvailable, and returns the sink contents,
+  * so the driver's rows-check exercises actual streaming execution.
+  * Where the drained end-state is deterministic (counts, complete-mode
+  * windows, dedup) we attach a DuckDB oracle; watermark-dependent
+  * append output (s06) is asserted in StreamPackSpec instead
+  * (SURVEY §7.5).
+  *
+  * Scale notes: all stateful ops key their state by (window) or
+  * (user, session) or event_id — state is hash-partitioned across
+  * executors by key, and watermarks (s02/s05/s06) bound state size at
+  * 100 TB; complete-mode is used only where output cardinality is
+  * bounded (window count, not row count).
+  */
+object StreamPack extends Pack {
+
+  /** Stage the (nanos-converted) events table as `n` parquet files so
+    * maxFilesPerTrigger=1 yields n micro-batches. */
+  private def stageEvents(s: SparkSession, dir: String, n: Int): String = {
+    val out = Files.createTempDirectory("graft_stream_src").toString
+    Tables.load(s, dir, "events").repartition(n)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Run a file-source stream to a memory sink, drain, return sink. */
+  private def runStream(s: SparkSession, staged: String, sinkName: String,
+      outputMode: String)(build: DataFrame => DataFrame): DataFrame = {
+    val sch = s.read.parquet(staged).schema
+    val src = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = build(src).writeStream
+      .format("memory").queryName(sinkName).outputMode(outputMode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft_ckpt_$sinkName").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+  }
+
+  val decls: Seq[Decl] = Seq(
+
+    // s01: incremental file discovery → micro-batches
+    // (extract_load.py:138+154); the drained row count equals one full
+    // batch scan, proving no file is lost or double-read
+    Decl("s01_stream_file_source",
+      (s, dir) => {
+        val staged = stageEvents(s, dir, 3)
+        runStream(s, staged, "s01_sink", "append")(identity)
+          .agg(count(lit(1)).cast("long").as("n"),
+            countDistinct(col("event_id")).cast("long").as("n_ids"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids FROM events""")),
+
+    // s02: tumbling 1h counts with a 10-minute watermark; complete
+    // mode emits every window → deterministic end state
+    Decl("s02_stream_tumbling_count",
+      (s, dir) => {
+        val staged = stageEvents(s, dir, 3)
+        runStream(s, staged, "s02_sink", "complete") { src =>
+          src.withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "1 hour").as("w"))
+            .agg(count(lit(1)).cast("long").as("n"))
+        }
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+            col("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+             FROM events GROUP BY 1 ORDER BY bucket""")),
+
+    // s03: sliding 1h window every 30 min — each event lands in
+    // exactly size/slide = 2 windows
+    Decl("s03_stream_sliding_agg",
+      (s, dir) => {
+        val staged = stageEvents(s, dir, 3)
+        runStream(s, staged, "s03_sink", "complete") { src =>
+          src.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              round(sum(col("value")), 2).as("sum_val"))
+        }
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+            col("n"), col("sum_val"))
+          .orderBy(col("wstart"))
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                              - k * INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS wstart,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sum_val
+             FROM events, (SELECT 0 AS k UNION ALL SELECT 1) ks
+             GROUP BY 1 ORDER BY wstart""")),
+
+    // s04: session windows per user, 30-minute gap; oracle rebuilds
+    // sessions with gaps-and-islands SQL
+    Decl("s04_stream_session_window",
+      (s, dir) => {
+        val staged = stageEvents(s, dir, 3)
+        runStream(s, staged, "s04_sink", "complete") { src =>
+          src.groupBy(col("user_id"),
+              session_window(col("ts"), "30 minutes").as("w"))
+            .agg(count(lit(1)).cast("long").as("n"))
+        }
+          .select(col("user_id"),
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("n"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH flagged AS (
+               SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 CASE WHEN CAST(ts AS TIMESTAMP)
+                        - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+               FROM events),
+             sessions AS (
+               SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM flagged)
+             SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM sessions GROUP BY user_id, sid
+             ORDER BY user_id, session_start""")),
+
+    // s05: exactly-once by key — the streaming form of the reference's
+    // loaded-files tracking (extract_load.py:55-66): input duplicated
+    // 2×, state dedup restores each event exactly once
+    Decl("s05_stream_dedup",
+      (s, dir) => {
+        val staged = Files.createTempDirectory("graft_s05_src").toString
+        val ev = Tables.load(s, dir, "events")
+        ev.unionByName(ev).repartition(4)
+          .write.mode("overwrite").parquet(staged)
+        runStream(s, staged, "s05_sink", "append")(
+          _.dropDuplicates("event_id"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            countDistinct(col("event_id")).cast("long").as("n_ids"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids FROM events""")),
+
+    // s06: late-data handling — batch 2 replays 100 old rows far
+    // behind the watermark; they are dropped from the windowed counts.
+    // Append output depends on watermark progression → no oracle
+    // (asserted in StreamPackSpec); driver records rows-only.
+    Decl("s06_stream_late_data",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val srcDir = Files.createTempDirectory("graft_s06_src").toString
+        def writeBatch(df: DataFrame, name: String): Unit = {
+          val staging = Files.createTempDirectory("graft_s06_stage")
+          df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+          import scala.jdk.CollectionConverters._
+          val part = Files.list(staging).iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          Files.move(part, Paths.get(srcDir, name))
+        }
+        writeBatch(ev.filter(col("event_id") < 8000), "batch_000.parquet")
+        val sch = ev.schema
+        val q = s.readStream.schema(sch).parquet(srcDir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .writeStream.format("memory").queryName("s06_sink")
+          .outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s06").toString)
+          .start()
+        q.processAllAvailable()
+        // batch 2: the rest + a replay of 100 old (late) rows
+        writeBatch(ev.filter(col("event_id") >= 8000)
+          .unionByName(ev.filter(col("event_id").between(1000, 1099))),
+          "batch_001.parquet")
+        q.processAllAvailable()
+        q.stop()
+        s.table("s06_sink")
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+            col("n"))
+          .orderBy(col("bucket"))
+      },
+      None),
+
+    // s07: foreachBatch into the IceLite table layer — the streaming
+    // form of a11 append-with-snapshot (extract_load.py:100-110)
+    Decl("s07_stream_foreachbatch_sink",
+      (s, dir) => {
+        val staged = stageEvents(s, dir, 3)
+        val wh = Files.createTempDirectory("graft_s07_wh").toString
+        val ref = TableRef(wh, "src", "events_stream")
+        IceLite.createNamespace(wh, "src")
+        val sch = s.read.parquet(staged).schema
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            IceLite.append(ref, batch); ()
+          }
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s07").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import s.implicits._
+        val snaps = IceLite.readManifest(ref).snapshots.size.toLong
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("has_snapshots", lit(snaps >= 1L))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS has_snapshots
+             FROM events"""))
+  )
+}
