@@ -1,0 +1,97 @@
+package graft.icelite
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class IceLiteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRef(): TableRef = {
+    val wh = Files.createTempDirectory("icelite_spec").toString
+    IceLite.createNamespace(wh, "src")
+    TableRef(wh, "src", "t")
+  }
+
+  test("createOrReplace then read round-trips the data") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val got = IceLite.read(spark, ref).as[(Int, String)].collect().sorted
+    assert(got.toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("replace is atomic-by-swap: second write fully supersedes the first") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq((1, "old")).toDF("k", "v"))
+    IceLite.createOrReplace(ref, Seq((2, "new"), (3, "new")).toDF("k", "v"))
+    assert(IceLite.read(spark, ref).as[(Int, String)].collect().map(_._1).sorted
+      .toSeq == Seq(2, 3))
+    // both snapshots retained until expiry
+    assert(IceLite.readManifest(ref).snapshots.map(_.operation) ==
+      Seq("create", "replace"))
+  }
+
+  test("append accumulates files and rowCount") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
+    IceLite.append(ref, Seq(3).toDF("k"))
+    val snap = IceLite.append(ref, Seq(4, 5).toDF("k"))
+    assert(snap.rowCount == 5)
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("time travel reads any retained snapshot") {
+    val ref = freshRef()
+    val s1 = IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    val s2 = IceLite.append(ref, Seq(2).toDF("k"))
+    val s3 = IceLite.createOrReplace(ref, Seq(9).toDF("k"))
+    assert(IceLite.readAt(spark, ref, s1.id).as[Int].collect().toSeq == Seq(1))
+    assert(IceLite.readAt(spark, ref, s2.id).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(IceLite.readAt(spark, ref, s3.id).as[Int].collect().toSeq == Seq(9))
+  }
+
+  test("tableExists flips on first write") {
+    val ref = freshRef()
+    assert(!IceLite.tableExists(ref))
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    assert(IceLite.tableExists(ref))
+  }
+
+  test("expiry drops old snapshots but never the current one") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    IceLite.append(ref, Seq(2).toDF("k"))
+    val expired = IceLite.expireSnapshots(ref, System.currentTimeMillis() + 60000)
+    assert(expired.size == 1)
+    val m = IceLite.readManifest(ref)
+    assert(m.snapshots.size == 1 && m.snapshots.head.id == m.currentSnapshotId)
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("expiry safety: never deletes files referenced by a surviving snapshot") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    // append snapshots share the create snapshot's files
+    IceLite.append(ref, Seq(2).toDF("k"))
+    IceLite.append(ref, Seq(3).toDF("k"))
+    IceLite.expireSnapshots(ref, System.currentTimeMillis() + 60000)
+    val current = IceLite.readManifest(ref).current
+    // every file of the surviving snapshot must still exist on disk —
+    // including those first staged by now-expired snapshots
+    current.files.foreach { f =>
+      assert(Files.exists(ref.dir.resolve(f)), s"expiry deleted live file $f")
+    }
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("expiry with a past cutoff (7d retention) is a no-op on fresh snapshots") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    IceLite.append(ref, Seq(2).toDF("k"))
+    val expired = IceLite.expireSnapshots(ref,
+      System.currentTimeMillis() - 7L * 24 * 3600 * 1000)
+    assert(expired.isEmpty)
+    assert(IceLite.readManifest(ref).snapshots.size == 2)
+  }
+}

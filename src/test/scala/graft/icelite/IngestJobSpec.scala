@@ -1,0 +1,100 @@
+package graft.icelite
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.TestSpark
+
+/** Property tests for the ELT pipeline (SURVEY §5.2.4) — the core
+  * correctness claim of the reference's incremental loader
+  * (/root/reference/scripts/extract_load.py:154-165): loading in any
+  * batching order must equal one full load of all files. */
+class IngestJobSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Write rows [0, n) as parquet source files named f_<i>.parquet,
+    * partitioned per `split` (sizes summing to file count). */
+  private def makeSource(groups: Seq[Seq[Int]]): String = {
+    val src = Files.createTempDirectory("ingest_spec_src").toString
+    groups.zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory("ingest_spec_stage")
+      rows.toDF("k").coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(staging).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(src, f"f_$i%03d.parquet"))
+    }
+    src
+  }
+
+  test("incremental loading in random batch visibility orders ≡ one full load") {
+    // files hold disjoint row groups; reveal them to the loader in
+    // random prefixes and run incremental after each reveal
+    val gen = for {
+      nFiles <- Gen.choose(2, 5)
+      rowsPerFile <- Gen.choose(1, 4)
+      revealSteps <- Gen.choose(1, nFiles)
+    } yield (nFiles, rowsPerFile, revealSteps)
+
+    (0 until 5).foreach { trial =>
+      val (nFiles, rowsPerFile, revealSteps) =
+        gen.pureApply(Gen.Parameters.default, Seed(42L + trial))
+      val groups = (0 until nFiles).map(i =>
+        (i * rowsPerFile until (i + 1) * rowsPerFile).toSeq)
+      val fullSrc = makeSource(groups)
+      val wh = Files.createTempDirectory("ingest_spec_wh").toString
+
+      // visible source grows over time, like an object-store prefix
+      val visible = Files.createTempDirectory("ingest_spec_vis").toString
+      val names = IngestJob.listSourceFiles(fullSrc)
+      val cut = names.grouped(math.max(1, names.size / revealSteps)).toSeq
+      cut.foreach { batch =>
+        batch.foreach(n =>
+          Files.copy(Paths.get(fullSrc, n), Paths.get(visible, n)))
+        IngestJob.run(spark, wh, "t", visible, "incremental", retentionMs = -1)
+      }
+      // one extra run: nothing new, must be a no-op
+      val last = IngestJob.run(spark, wh, "t", visible, "incremental", retentionMs = -1)
+      assert(last.filesLoaded.isEmpty)
+
+      val got = IceLite.read(spark, IngestJob.tableRef(wh, "t"))
+        .as[Int].collect().sorted.toSeq
+      assert(got == (0 until nFiles * rowsPerFile).toSeq,
+        s"incremental(${cut.map(_.size).mkString("+")}) ≠ full")
+      assert(IngestJob.loadedFiles(spark, wh, "t") == names.toSet)
+    }
+  }
+
+  test("full load picks exactly the lexicographically-latest file") {
+    val src = makeSource(Seq(Seq(1, 2), Seq(3, 4), Seq(5, 6)))
+    val wh = Files.createTempDirectory("ingest_spec_wh").toString
+    val r = IngestJob.run(spark, wh, "t", src, "full", retentionMs = -1)
+    assert(r.filesLoaded == Seq("f_002.parquet"))
+    val got = IceLite.read(spark, IngestJob.tableRef(wh, "t"))
+      .as[Int].collect().sorted.toSeq
+    assert(got == Seq(5, 6))
+  }
+
+  test("full load replaces previous content (refresh semantics)") {
+    val src1 = makeSource(Seq(Seq(1)))
+    val wh = Files.createTempDirectory("ingest_spec_wh").toString
+    IngestJob.run(spark, wh, "t", src1, "full", retentionMs = -1)
+    val src2 = makeSource(Seq(Seq(7, 8)))
+    IngestJob.run(spark, wh, "t", src2, "full", retentionMs = -1)
+    val got = IceLite.read(spark, IngestJob.tableRef(wh, "t"))
+      .as[Int].collect().sorted.toSeq
+    assert(got == Seq(7, 8))
+  }
+
+  test("post-load expiry (retention 0) keeps table content intact") {
+    val src = makeSource(Seq(Seq(1), Seq(2), Seq(3)))
+    val wh = Files.createTempDirectory("ingest_spec_wh").toString
+    IngestJob.run(spark, wh, "t", src, "incremental", retentionMs = 0)
+    val got = IceLite.read(spark, IngestJob.tableRef(wh, "t"))
+      .as[Int].collect().sorted.toSeq
+    assert(got == Seq(1, 2, 3))
+    assert(IceLite.readManifest(IngestJob.tableRef(wh, "t")).snapshots.size == 1)
+  }
+}

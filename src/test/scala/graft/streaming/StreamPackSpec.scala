@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Hand-computed expectations for the watermark semantics the DuckDB
+  * oracle cannot express (SURVEY §5.2 #5, §7.4.4). */
+class StreamPackSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def writeBatch(dir: String, name: String, df: DataFrame): Unit = {
+    val staging = Files.createTempDirectory("stream_spec_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(staging).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(dir, name))
+  }
+
+  test("late rows behind the watermark are dropped from windowed counts") {
+    val src = Files.createTempDirectory("stream_spec_src").toString
+    val sink = "stream_spec_late_sink"
+
+    // batch 1: 3 events in hour 0, 2 events in hour 2
+    // → watermark after batch 1 = 02:30 - 1h = 01:30; hour-0 window
+    //   [00:00,01:00) closes and is emitted
+    val b1 = Seq((1L, ts(0)), (2L, ts(10)), (3L, ts(20)),
+      (4L, ts(125)), (5L, ts(150))).toDF("event_id", "ts")
+    writeBatch(src, "b_000.parquet", b1)
+
+    val q = spark.readStream.schema(b1.schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream_spec_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+
+    // batch 2: one LATE row for hour 0 (behind watermark 01:30 → must
+    // be dropped) and one on-time row in hour 3
+    val b2 = Seq((6L, ts(30)), (7L, ts(190))).toDF("event_id", "ts")
+    writeBatch(src, "b_001.parquet", b2)
+    q.processAllAvailable()
+
+    // batch 3: one row at 05:10 → watermark 04:10 closes hours 2 and 3
+    writeBatch(src, "b_002.parquet", Seq((8L, ts(310))).toDF("event_id", "ts"))
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.table(sink)
+      .select(date_format($"w.start", "HH:mm").as("h"), $"n".cast("long"))
+      .as[(String, Long)].collect().toMap
+
+    // hour-0 window emitted with the 3 ON-TIME rows only — the late
+    // event_id=6 did not reopen or grow it
+    assert(emitted.get("00:00").contains(3L),
+      s"hour-0 window should hold 3 on-time rows, got $emitted")
+    // hours 2 and 3 closed once batch 3 advanced the watermark past 04:00
+    assert(emitted.get("02:00").contains(2L), s"hour-2 missing: $emitted")
+    assert(emitted.get("03:00").contains(1L), s"hour-3 missing: $emitted")
+    // hour-5 window still open at shutdown → not emitted in append mode
+    assert(!emitted.contains("05:00"), s"open window must not emit: $emitted")
+  }
+
+  test("streaming dedup emits each key once across micro-batches") {
+    val src = Files.createTempDirectory("stream_spec_dedup").toString
+    val sink = "stream_spec_dedup_sink"
+    val b1 = Seq((1L, ts(0)), (2L, ts(1))).toDF("event_id", "ts")
+    writeBatch(src, "b_000.parquet", b1)
+    // batch 2 replays id=2 and adds id=3
+    writeBatch(src, "b_001.parquet",
+      Seq((2L, ts(2)), (3L, ts(3))).toDF("event_id", "ts"))
+
+    val q = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream_spec_ckpt2").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table(sink).select($"event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+}
