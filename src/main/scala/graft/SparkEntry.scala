@@ -13,7 +13,7 @@ object SparkEntry {
 
   private val packs: Seq[Pack] = Seq(
     RelationalPack, JoinPack, AggPack, WindowPack, FuncPack, UdfPack, LlmPack,
-    PipelinePack, graft.streaming.StreamPack)
+    PipelinePack, graft.streaming.StreamPack, MultimodalPack, TextPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import syntax._
+
+/** Part D (builder extension, SURVEY §2 addendum) — text-analysis
+  * operators a training-data pipeline needs beyond c06-c08: n-gram
+  * language identification, quality scoring, BPE-ish token statistics
+  * and order-sensitive document fingerprints.
+  *
+  * Scale notes: t01 builds per-language profiles (vocabulary-sized →
+  * broadcast) then scores documents in one shuffle-free map +
+  * broadcast join; t02/t03 are pure expression maps; t04's rolling
+  * hash is a sequential fold per document (HOF), embarrassingly
+  * parallel across documents.
+  */
+object TextPack extends Pack {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  val decls: Seq[Decl] = Seq(
+
+    // t01: character-trigram language ID. Train: top-15 trigrams per
+    // lang (from docs with doc_id >= 100); classify docs < 100 by
+    // profile-overlap argmax. The synthetic corpus shares one
+    // vocabulary, so accuracy is meaningless — but the operator
+    // (profile build → broadcast → overlap argmax) is the real shape,
+    // and the result is deterministic on both engines.
+    Decl("t01_lang_id_ngram",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val grams = d.select($"doc_id", $"lang",
+            posexplode(expr(
+              "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+              .as(Seq("p", "gram")))
+          .select($"doc_id", $"lang", $"gram")
+        val wTop = Window.partitionBy($"lang").orderBy($"n".desc, $"gram".asc)
+        val profile = grams.filter($"doc_id" >= 100)
+          .groupBy($"lang", $"gram").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter($"rk" <= 15)
+          .select($"lang".as("cand_lang"), $"gram")
+        val wBest = Window.partitionBy($"doc_id")
+          .orderBy($"hits".desc, $"cand_lang".asc)
+        grams.filter($"doc_id" < 100).dropDuplicates("doc_id", "gram")
+          .join(broadcast(profile), "gram")
+          .groupBy($"doc_id", $"cand_lang")
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .withColumn("rk", row_number().over(wBest))
+          .filter($"rk" === 1)
+          .select($"doc_id", $"cand_lang".as("predicted_lang"), $"hits")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH grams AS (
+               SELECT doc_id, lang, substring(text, i, 3) AS gram
+               FROM documents,
+                    LATERAL (SELECT unnest(range(1, GREATEST(length(text) - 2, 0) + 1)) AS i)),
+             profile AS (
+               SELECT lang AS cand_lang, gram FROM (
+                 SELECT lang, gram, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, gram ASC) AS rk
+                 FROM grams WHERE doc_id >= 100 GROUP BY lang, gram)
+               WHERE rk <= 15),
+             hits AS (
+               SELECT doc_id, cand_lang, CAST(COUNT(*) AS BIGINT) AS hits FROM (
+                 SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id < 100) g
+               JOIN profile USING (gram) GROUP BY doc_id, cand_lang)
+             SELECT doc_id, cand_lang AS predicted_lang, hits FROM (
+               SELECT doc_id, cand_lang, hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY hits DESC, cand_lang ASC) AS rk
+               FROM hits)
+             WHERE rk = 1 ORDER BY doc_id""")),
+
+    // t02: quality heuristics — token count, mean token length,
+    // stopword ratio (domain's most frequent tokens), alpha ratio
+    Decl("t02_quality_score",
+      (s, dir) => {
+        val stop = Seq("a", "the", "value", "table", "row", "key", "part")
+        docs(s, dir).filter($"doc_id" < 200)
+          .withColumn("toks", split($"text", " "))
+          .select(
+            $"doc_id",
+            size($"toks").cast("long").as("n_tokens"),
+            round(length(regexp_replace($"text", " ", "")).cast("double")
+              / size($"toks"), 4).as("mean_tok_len"),
+            round(expr(s"size(filter(toks, t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))")
+              .cast("double") / size($"toks"), 4).as("stopword_ratio"),
+            round(length(regexp_replace($"text", "[^a-z]", "")).cast("double")
+              / length($"text"), 4).as("alpha_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS mean_tok_len,
+             ROUND(CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('a','the','value','table','row','key','part'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS stopword_ratio,
+             ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+               / length(text), 4) AS alpha_ratio
+             FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
+    // t03: token counting two ways — whitespace tokens and a BPE-ish
+    // deterministic segmentation (consonant/vowel runs)
+    Decl("t03_token_count_bpe",
+      (s, dir) => docs(s, dir).filter($"doc_id" < 200)
+        .select(
+          $"doc_id",
+          size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)"))
+            .cast("long").as("n_subtokens"))
+        .orderBy($"doc_id"),
+      Some("""SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)) AS BIGINT) AS n_subtokens
+             FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
+    // t04: order-sensitive rolling-hash fingerprint — polynomial fold
+    // over per-token values (ascii of head char, length), modulo a
+    // prime to stay overflow-safe under ANSI arithmetic. Token
+    // reordering changes the fingerprint; bag-identical docs collide
+    // only if token ORDER matches too.
+    Decl("t04_doc_fingerprint",
+      (s, dir) => docs(s, dir).filter($"doc_id" < 200)
+        .select(
+          $"doc_id",
+          expr("""aggregate(split(text, ' '),
+                 CAST(7 AS BIGINT),
+                 (acc, t) -> (acc * 31 + ascii(t) * 37 + length(t)) % 1000000007)""")
+            .as("fingerprint"))
+        .orderBy($"doc_id"),
+      Some("""SELECT doc_id,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> CAST(ascii(t) * 37 + length(t) AS BIGINT))),
+               (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+             FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+  )
+}

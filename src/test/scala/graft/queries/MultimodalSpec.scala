@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Pins the decode-stub semantics the DuckDB oracle cannot express
+  * (byte-level folds over BLOBs): known payload → known features, and
+  * the mapPartitions pipeline reproduces the local computation. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decodeStub: known payload yields hand-computed chunk means") {
+    // 16 bytes, 8 chunks of 2: chunk c = bytes (10c, 10c+5) → mean 10c+2.5
+    val payload = (0 until 8).flatMap(c => Seq(10 * c, 10 * c + 5))
+      .map(_.toByte).toArray
+    val feats = MultimodalPack.decodeStub(payload)
+    assert(feats.toSeq == (0 until 8).map(c => 10 * c + 2.5))
+  }
+
+  test("decodeStub: empty and sub-chunk payloads are total") {
+    assert(MultimodalPack.decodeStub(Array.emptyByteArray).toSeq ==
+      Seq.fill(8)(0.0))
+    // 3 bytes over 8 chunks: chunk size 1, chunks 3..7 empty → 0.0
+    val f = MultimodalPack.decodeStub(Array[Byte](10, 20, 30))
+    assert(f.take(3).toSeq == Seq(10.0, 20.0, 30.0) &&
+      f.drop(3).forall(_ == 0.0))
+  }
+
+  test("m02 pipeline equals a local recomputation of the stub") {
+    val got = MultimodalPack.queries("m02_feature_extract_stub")(
+        spark, TestSpark.sfDir)
+      .select($"media_id", $"chunk", $"mean_byte")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    val expected = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .filter($"doc_id" < 100)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        id -> MultimodalPack.decodeStub(text.getBytes("UTF-8"))
+          .map(v => math.rint(v * 1e6) / 1e6).toSeq
+      }.toMap
+
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, feats) =>
+      assert(feats == expected(id), s"media $id features diverge")
+    }
+  }
+
+  test("m03 frame sampling keeps every 3rd frame and full frame lengths") {
+    val rows = MultimodalPack.queries("m03_frame_sample")(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, frames) =>
+      val idx = frames.map(_._3).sorted.toSeq
+      assert(idx == idx.indices.map(_ * 3L), "sampled indices are 0,3,6,…")
+      // all but possibly the last sampled frame are full 64 bytes
+      frames.sortBy(_._3).dropRight(1).foreach(f => assert(f._4 == 64L))
+    }
+  }
+}
