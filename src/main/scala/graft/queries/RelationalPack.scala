@@ -139,8 +139,10 @@ object RelationalPack extends Pack {
 
     // Flagship (SURVEY §7.2): TPC-H Q1-shaped pricing summary.
     Decl("b24_agg_groupby",
+      // timestamp_ntz literal: comparison is timezone-independent, so
+      // entry() gives the same rows in any driver session TZ (ADVICE r1)
       (s, dir) => li(s, dir)
-        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .filter($"l_shipdate" <= to_timestamp_ntz(lit("1998-09-02")))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
