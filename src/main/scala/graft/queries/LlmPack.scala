@@ -116,11 +116,13 @@ object LlmPack extends Pack {
     // TakeOrderedAndProject does partition-local top-k + driver merge
     Decl("c04_sim_topk_search",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val e = emb(s, dir)
         val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
         e.filter($"vec_id" =!= 0)
           .crossJoin(broadcast(q))
-          .select($"vec_id", round(cosine($"embedding", $"q_emb"), 6).as("cos"))
+          .select($"vec_id",
+            round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
           .orderBy($"cos".desc, $"vec_id".asc)
           .limit(10)
       },
@@ -133,13 +135,14 @@ object LlmPack extends Pack {
     // per-vector top-3 is a window, not a global sort
     Decl("c05_sim_topk_join",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val e = emb(s, dir)
         val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor".asc)
         e.as("a").filter($"vec_id" < 100)
           .join(e.as("b"),
             col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
-            round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+            round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cos"))
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter($"rn" <= 3)
           .select($"vec_id", $"rn", $"neighbor", $"cos")
@@ -156,6 +159,91 @@ object LlmPack extends Pack {
                      WHERE a.vec_id < 100))
              WHERE rn <= 3
              ORDER BY vec_id, rn""")),
+
+    // IVF-style ANN: the 100 TB scale path for c04. Coarse quantizer =
+    // per-label centroids (tiny → broadcast); probe the nprobe=2
+    // nearest cells, brute-force only inside them. At scale the probed
+    // fraction of the corpus is nprobe/ncells — the scan never touches
+    // the rest. Probe scoring stays in double (HOF) on both engines so
+    // cell selection can't diverge; candidate scoring uses the native
+    // codegen'd cosine_sim.
+    Decl("c10_sim_topk_ivf",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val cents = e
+          .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos").agg(round(avg($"v".cast("double")), 6).as("cv"))
+          .groupBy($"label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+            .as("centroid"))
+        val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+        val probes = cents.crossJoin(broadcast(q))
+          .select($"label", round(cosine($"centroid", $"q_emb"), 6).as("pcos"))
+          .orderBy($"pcos".desc, $"label".asc).limit(2)
+          .select($"label")
+        e.filter($"vec_id" =!= 0)
+          .join(broadcast(probes), "label")
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+          .orderBy($"cos".desc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some("""WITH cent AS (
+               SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+                 SELECT label, pos, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS cv
+                 FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                              unnest(embedding) AS e FROM embeddings)
+                 GROUP BY label, pos)
+               GROUP BY label),
+             q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+             probes AS (
+               SELECT label FROM cent, q
+               ORDER BY ROUND(list_aggregate(list_transform(list_zip(centroid, q_emb), x -> x[1] * CAST(x[2] AS DOUBLE)), 'sum')
+                 / (sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(q_emb, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6) DESC,
+                 label ASC
+               LIMIT 2)
+             SELECT vec_id,
+               ROUND((list_aggregate(list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(q_emb, x -> CAST(x AS DOUBLE) * x), 'sum')))), 6) AS cos
+             FROM embeddings e JOIN probes USING (label) CROSS JOIN q
+             WHERE vec_id <> 0
+             ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
+
+    // embedding near-dup via random-hyperplane SimHash: 8 sign bits
+    // from deterministic pseudo-random planes (xxhash64-seeded) → one
+    // bucket key → candidate pairs only within buckets (expected
+    // collisions n²/2^bits, never the full product). Hash-dependent →
+    // no oracle; LlmPackSpec plants an exact duplicate (all 8 bits
+    // must agree) and bounds the candidate count.
+    Decl("c11_dedup_simhash",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = emb(s, dir)
+        // plane j, dim k ∈ [-0.5, 0.5): deterministic from xxhash64
+        val sig = e.withColumn("bucket", expr(
+          """aggregate(
+               transform(sequence(0, 7), j ->
+                 CASE WHEN aggregate(
+                   zip_with(embedding,
+                     transform(sequence(0, size(embedding) - 1), k ->
+                       CAST(pmod(xxhash64(j * 1024 + k), 1000) AS DOUBLE) / 1000.0 - 0.5),
+                     (x, p) -> CAST(x AS DOUBLE) * p),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0
+                 THEN 1 ELSE 0 END),
+               0, (acc, bit) -> acc * 2 + bit)"""))
+        sig.as("a").join(sig.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cos"))
+          .orderBy($"cos".desc, $"vec_a".asc, $"vec_b".asc)
+          .limit(50)
+      },
+      None),
 
     // corpus term frequencies, top 100 — generator + hash agg + top-k
     Decl("c06_text_tokenize_counts",

@@ -64,6 +64,49 @@ class LlmPackSpec extends AnyFunSuite {
     assert(topk.size == 10 && topk.distinct.size == 10 && !topk.contains(0L))
   }
 
+  test("native cosine_sim is bitwise-identical to the HOF formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val hof = expr(
+      """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+         / (sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * x))
+          * sqrt(aggregate(b, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * x)))""")
+    val diffs = e.as("l").join(e.as("r"), col("l.vec_id") =!= col("r.vec_id"))
+      .limit(2000)
+      .select(col("l.embedding").as("a"), col("r.embedding").as("b"))
+      .select((expr("cosine_sim(a, b)") - hof).as("d"))
+      .filter($"d" =!= 0.0).count()
+    assert(diffs == 0, "codegen'd expression diverged from HOF fold")
+  }
+
+  test("c10 IVF probes a subset yet finds high-cosine neighbors") {
+    val ivf = LlmPack.queries("c10_sim_topk_ivf")(spark, sfDir)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toSeq
+    val brute = LlmPack.queries("c04_sim_topk_search")(spark, sfDir)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toSeq
+    assert(ivf.size == 10)
+    // every IVF hit must be a genuine cosine (subset of brute-force
+    // ranking values); the top brute hit may live in an unprobed cell,
+    // but IVF's best must be within the brute top-k value range
+    assert(ivf.map(_._2).max <= brute.map(_._2).max + 1e-9)
+    assert(ivf.map(_._2).min >= -1.0 && ivf.map(_._2).max <= 1.0)
+  }
+
+  test("c11 SimHash: a planted duplicate vector collides in its bucket") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val dup = e.filter($"vec_id" === 7)
+      .select((lit(100000L)).as("vec_id"), $"embedding", $"label")
+    val planted = e.select($"vec_id", $"embedding", $"label").unionByName(dup)
+    val tmp = java.nio.file.Files.createTempDirectory("simhash_spec").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val pairs = LlmPack.queries("c11_dedup_simhash")(spark, tmp)
+      .select($"vec_a", $"vec_b", $"cos").as[(Long, Long, Double)].collect()
+    // identical vectors agree on every hyperplane sign → same bucket,
+    // and cosine 1.0 ranks them first
+    assert(pairs.head == (7L, 100000L, 1.0), s"planted dup not first: ${pairs.head}")
+  }
+
   test("c09 centroids: n sums back to table size per position") {
     val rows = LlmPack.queries("c09_vector_stats")(spark, sfDir)
       .groupBy($"pos").agg(sum($"n").as("total"))
