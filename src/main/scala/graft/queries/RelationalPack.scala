@@ -17,7 +17,6 @@ object RelationalPack extends Pack {
 
   private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
   private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
-  private def cust(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
 
   val decls: Seq[Decl] = Seq(
 
