@@ -26,12 +26,17 @@ import org.json4s.jackson.Serialization
   * one Iceberg's REST catalog provides transactionally; file listings
   * here are O(snapshot count + file count), driver-side metadata only.
   */
+/** Per-file numeric column range, the manifest-level pruning stat
+  * (Iceberg's min/max file-skipping role, SURVEY §4.2). */
+final case class ColStats(col: String, min: Double, max: Double)
+
 final case class Snapshot(
     id: Long,
     timestampMs: Long,
     operation: String,            // "create" | "replace" | "append"
     files: Seq[String],           // data files, relative to table dir
-    rowCount: Long)
+    rowCount: Long,
+    fileStats: Map[String, Seq[ColStats]] = Map.empty)
 
 final case class Manifest(
     table: String,
@@ -99,15 +104,33 @@ object IceLite {
   private def nextSnapshotId(ref: TableRef): Long =
     if (tableExists(ref)) readManifest(ref).snapshots.map(_.id).max + 1 else 1L
 
+  /** Collect per-file min/max for the requested numeric columns (one
+    * tiny aggregate job per staged file — metadata-sized results). */
+  private def collectStats(spark: SparkSession, ref: TableRef,
+      files: Seq[String], statsCols: Seq[String]): Map[String, Seq[ColStats]] =
+    if (statsCols.isEmpty) Map.empty
+    else files.map { f =>
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin, col}
+      val aggs = statsCols.flatMap(c =>
+        Seq(fmin(col(c)).cast("double"), fmax(col(c)).cast("double")))
+      val row = spark.read.parquet(ref.dir.resolve(f).toString)
+        .agg(aggs.head, aggs.tail: _*).collect().head
+      f -> statsCols.zipWithIndex.map { case (c, i) =>
+        ColStats(c, row.getDouble(2 * i), row.getDouble(2 * i + 1)) }
+    }.toMap
+
   /** a10: atomic full refresh — new snapshot referencing only the new
-    * files (extract_load.py:94-98 createOrReplace). */
-  def createOrReplace(ref: TableRef, df: DataFrame): Snapshot = {
+    * files (extract_load.py:94-98 createOrReplace). `statsCols`
+    * captures per-file min/max for manifest-level pruning. */
+  def createOrReplace(ref: TableRef, df: DataFrame,
+      statsCols: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val id = nextSnapshotId(ref)
     val files = stage(ref, df, id)
     val rows = readFiles(df.sparkSession, ref, files).count()
+    val stats = collectStats(df.sparkSession, ref, files, statsCols)
     val op = if (tableExists(ref)) "replace" else "create"
-    val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows)
+    val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows, stats)
     val prior = if (tableExists(ref)) readManifest(ref).snapshots else Seq.empty
     commit(ref, Manifest(ref.name, id, prior :+ snap))
     snap
@@ -115,16 +138,49 @@ object IceLite {
 
   /** a11: append — new snapshot = previous files + new files; create
     * on first load (extract_load.py:100-110). */
-  def append(ref: TableRef, df: DataFrame): Snapshot = {
-    if (!tableExists(ref)) return createOrReplace(ref, df)
+  def append(ref: TableRef, df: DataFrame,
+      statsCols: Seq[String] = Nil): Snapshot = {
+    if (!tableExists(ref)) return createOrReplace(ref, df, statsCols)
     val m = readManifest(ref)
     val id = nextSnapshotId(ref)
     val newFiles = stage(ref, df, id)
     val rows = readFiles(df.sparkSession, ref, newFiles).count()
+    val stats = collectStats(df.sparkSession, ref, newFiles, statsCols)
     val snap = Snapshot(id, System.currentTimeMillis(), "append",
-      m.current.files ++ newFiles, m.current.rowCount + rows)
+      m.current.files ++ newFiles, m.current.rowCount + rows,
+      m.current.fileStats ++ stats)
     commit(ref, Manifest(ref.name, id, m.snapshots :+ snap))
     snap
+  }
+
+  /** Manifest-level file pruning: resolve only the files whose
+    * [min,max] range for `col` intersects [lo,hi]; files without
+    * stats are conservatively kept. Pruning happens BEFORE plan
+    * construction — Catalyst then adds row-group/page-level skipping
+    * on what remains. At 100 TB this is the difference between
+    * listing every file and touching only the matching partitions. */
+  def prunedFiles(ref: TableRef, col: String, lo: Double, hi: Double): Seq[String] = {
+    val snap = readManifest(ref).current
+    snap.files.filter { f =>
+      snap.fileStats.get(f) match {
+        case Some(stats) => stats.find(_.col == col) match {
+          case Some(cs) => cs.max >= lo && cs.min <= hi
+          case None => true
+        }
+        case None => true
+      }
+    }
+  }
+
+  /** Read with manifest pruning + the residual filter applied. */
+  def readPruned(spark: SparkSession, ref: TableRef,
+      col: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val files = prunedFiles(ref, col, lo, hi)
+    if (files.isEmpty) {
+      // preserve schema: read current snapshot's empty slice
+      read(spark, ref).where(c(col) >= lo && c(col) <= hi).limit(0)
+    } else readFiles(spark, ref, files).where(c(col) >= lo && c(col) <= hi)
   }
 
   private def readFiles(spark: SparkSession, ref: TableRef, files: Seq[String]): DataFrame =

@@ -85,6 +85,39 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("manifest min/max stats prune files; pruned read ≡ full read + filter") {
+    val ref = freshRef()
+    // three appends with disjoint key ranges → three prunable files
+    IceLite.createOrReplace(ref, Seq(1, 5).toDF("k"), statsCols = Seq("k"))
+    IceLite.append(ref, Seq(10, 15).toDF("k"), statsCols = Seq("k"))
+    IceLite.append(ref, Seq(20, 25).toDF("k"), statsCols = Seq("k"))
+    val all = IceLite.readManifest(ref).current.files
+    assert(all.size >= 3)
+
+    // range [8,16] intersects only the middle append's range
+    val pruned = IceLite.prunedFiles(ref, "k", 8, 16)
+    assert(pruned.size < all.size, s"no pruning happened: $pruned")
+
+    val got = IceLite.readPruned(spark, ref, "k", 8, 16)
+      .as[Int].collect().sorted.toSeq
+    val full = IceLite.read(spark, ref).filter($"k" >= 8 && $"k" <= 16)
+      .as[Int].collect().sorted.toSeq
+    assert(got == full && got == Seq(10, 15))
+
+    // disjoint range prunes everything yet keeps the schema
+    assert(IceLite.readPruned(spark, ref, "k", 100, 200).count() == 0)
+  }
+
+  test("files without stats are conservatively kept by pruning") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq(1).toDF("k")) // no statsCols
+    IceLite.append(ref, Seq(50).toDF("k"), statsCols = Seq("k"))
+    // range matches neither recorded range, but the stat-less file stays
+    val kept = IceLite.prunedFiles(ref, "k", 0, 2)
+    val got = IceLite.readPruned(spark, ref, "k", 0, 2).as[Int].collect().toSeq
+    assert(got == Seq(1), s"stat-less file was wrongly pruned (kept=$kept)")
+  }
+
   test("expiry with a past cutoff (7d retention) is a no-op on fresh snapshots") {
     val ref = freshRef()
     IceLite.createOrReplace(ref, Seq(1).toDF("k"))
