@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val packs: Seq[Pack] = Seq(
     RelationalPack, JoinPack, AggPack, WindowPack, FuncPack, UdfPack, LlmPack,
-    PipelinePack, graft.streaming.StreamPack, MultimodalPack, TextPack)
+    PipelinePack, graft.streaming.StreamPack, MultimodalPack, TextPack,
+    ScalePack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,74 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.icelite.{IceLite, IngestJob}
+import syntax._
+
+/** Part D (builder addendum) — scale techniques declared through the
+  * correctness gate, so the 100 TB designs are verified, not just
+  * described.
+  *
+  * d01 proves manifest min/max pruning end-to-end: files whose key
+  * range cannot match are never handed to Spark (the Iceberg
+  * file-skipping role, SURVEY §4.2), and the surviving scan still
+  * returns exactly the oracle's rows.
+  *
+  * d02 is the salting pattern for skewed aggregation keys: a salted
+  * partial aggregate fans one hot key across 16 reducers, then a tiny
+  * second aggregate merges the 16 partials. Same result as the plain
+  * aggregation (the oracle), but no single reducer ever sees a hot
+  * key's full row stream — the shape that survives power-law keys at
+  * 100 TB. (For joins, AQE's skew-join split is on by default.)
+  */
+object ScalePack extends Pack {
+
+  val decls: Seq[Decl] = Seq(
+
+    Decl("d01_manifest_pruned_scan",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d01").toString
+        val ref = IngestJob.tableRef(wh, "orders")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+        // three disjoint key-range files, each with recorded stats
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 500),
+          statsCols = Seq("o_orderkey"))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 500 && $"o_orderkey" < 1000),
+          statsCols = Seq("o_orderkey"))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 1500),
+          statsCols = Seq("o_orderkey"))
+        val pruned = IceLite.prunedFiles(ref, "o_orderkey", 600, 900).size.toLong
+        val total = IceLite.readManifest(ref).current.files.size.toLong
+        IceLite.readPruned(s, ref, "o_orderkey", 600, 900)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("files_pruned_away", lit(total - pruned))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             CAST(2 AS BIGINT) AS files_pruned_away
+             FROM orders WHERE o_orderkey BETWEEN 600 AND 900""")),
+
+    Decl("d02_salted_agg",
+      (s, dir) => {
+        // stage 1: aggregate by (salt, key) — a hot key splits across
+        // 16 reducers; stage 2: merge the ≤16 partials per key
+        val salted = Tables.load(s, dir, "lineitem")
+          .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber",
+            $"l_partkey", $"l_suppkey"), lit(16)))
+          .groupBy($"l_returnflag", $"salt")
+          .agg(sum($"l_quantity").as("part_qty"),
+            count(lit(1)).as("part_n"))
+        salted.groupBy($"l_returnflag")
+          .agg(round(sum($"part_qty"), 2).as("sum_qty"),
+            sum($"part_n").cast("long").as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}
