@@ -49,6 +49,26 @@ object MultimodalPack extends Pack {
     }
   }
 
+  /** STUB resize: nearest-neighbor 2× downsample of the payload viewed
+    * as a width×height byte grid — the shape a real image resize would
+    * have (gather strided pixels); deterministic and total. */
+  def resizeStub(payload: Array[Byte], width: Int, factor: Int): Array[Byte] = {
+    if (payload.isEmpty || width <= 0 || factor <= 0) return Array.emptyByteArray
+    val height = math.ceil(payload.length.toDouble / width).toInt
+    val out = collection.mutable.ArrayBuffer[Byte]()
+    var r = 0
+    while (r < height) {
+      var c = 0
+      while (c < width) {
+        val idx = r * width + c
+        if (idx < payload.length) out += payload(idx)
+        c += factor
+      }
+      r += factor
+    }
+    out.toArray
+  }
+
   /** Media table derived deterministically from `documents`: payload =
     * UTF-8 bytes of text (an opaque blob as far as the pipeline is
     * concerned), kind alternates image/audio, metadata from n_chars. */
@@ -100,6 +120,42 @@ object MultimodalPack extends Pack {
       // byte-level folds over BLOBs are not expressible in DuckDB SQL —
       // semantics pinned in MultimodalSpec instead (driver: rows-only)
       None),
+
+    // resize: payload as a 64-wide byte grid, nearest-neighbor 2×
+    // downsample in the typed pipeline; oracle checks the dimension
+    // arithmetic (kept-rows × kept-cols accounting) relationally
+    Decl("m04_resize_stub",
+      (s, dir) => {
+        implicit val enc = org.apache.spark.sql.Encoders
+          .product[(Long, Long, Long, Long)]
+        media(s, dir).filter($"media_id" < 100)
+          .as(org.apache.spark.sql.Encoders.product[MediaRow])
+          .mapPartitions { it =>
+            it.map { m =>
+              val resized = resizeStub(m.payload, width = 64, factor = 2)
+              (m.media_id, m.payload.length.toLong,
+                resized.length.toLong,
+                resized.map(b => (b & 0xffL)).sum)
+            }
+          }
+          .toDF("media_id", "n_bytes", "n_bytes_resized", "byte_sum")
+          .select($"media_id", $"n_bytes", $"n_bytes_resized")
+          .orderBy($"media_id")
+      },
+      // kept rows r ∈ {0,2,4,…}: full rows keep 32 of 64 cols; a
+      // partial last row keeps ceil(rem/2)
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                    FROM documents WHERE doc_id < 100),
+             g AS (SELECT media_id, n_bytes,
+                    CAST(CEIL(n_bytes / 64.0) AS BIGINT) AS height FROM m)
+             SELECT media_id, n_bytes,
+               CAST((SELECT COALESCE(SUM(CASE
+                   WHEN (r + 1) * 64 <= n_bytes THEN 32
+                   ELSE CAST(CEIL((n_bytes - r * 64) / 2.0) AS BIGINT) END), 0)
+                FROM (SELECT unnest(range(0, CAST(height AS INT), 2)) AS r)
+                WHERE r * 64 < n_bytes) AS BIGINT) AS n_bytes_resized
+             FROM g ORDER BY media_id""")),
 
     // frame sampling: payload as fixed-size frames, keep every 3rd;
     // expression-only (no UDF), oracle checks frame accounting

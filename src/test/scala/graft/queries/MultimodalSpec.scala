@@ -49,6 +49,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeStub: 2x downsample of a known grid keeps strided bytes") {
+    // 4x4 grid of bytes 0..15, width 4, factor 2 → rows 0,2 cols 0,2
+    val grid = (0 until 16).map(_.toByte).toArray
+    val out = MultimodalPack.resizeStub(grid, width = 4, factor = 2)
+    assert(out.toSeq == Seq[Byte](0, 2, 8, 10))
+    // ragged tail: 10 bytes, width 4 → rows 0,2; row 2 has cols 8,(10 absent)
+    val ragged = (0 until 10).map(_.toByte).toArray
+    assert(MultimodalPack.resizeStub(ragged, 4, 2).toSeq == Seq[Byte](0, 2, 8))
+    assert(MultimodalPack.resizeStub(Array.emptyByteArray, 4, 2).isEmpty)
+  }
+
   test("m03 frame sampling keeps every 3rd frame and full frame lengths") {
     val rows = MultimodalPack.queries("m03_frame_sample")(spark, TestSpark.sfDir)
       .as[(Long, Long, Long, Long)].collect()
