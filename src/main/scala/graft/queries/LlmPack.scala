@@ -75,7 +75,11 @@ object LlmPack extends Pack {
     // unit test pins the semantics instead.
     Decl("c02_dedup_near_minhash",
       (s, dir) => {
-        val sh = docs(s, dir)
+        // signatures are the expensive stage — persist so the band
+        // self-join and both shingle join-backs read it once, not 4×
+        // (at 100 TB this is a materialized signatures table; Spark's
+        // ContextCleaner drops the blocks once the plan is GC'd)
+        val sig = docs(s, dir)
           .withColumn("toks", split($"text", " "))
           .filter(size($"toks") >= 3)
           .withColumn("shingles", expr(
@@ -83,16 +87,20 @@ object LlmPack extends Pack {
           .withColumn("sig", expr(
             "transform(sequence(0, 15), h -> array_min(transform(shingles, s -> xxhash64(s, h))))"))
           .select($"doc_id", $"shingles", $"sig")
-        val bands = sh.select($"doc_id", $"shingles",
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // bands carry only (doc_id, band, bh) through the shuffle —
+        // never the shingle arrays
+        val bands = sig.select($"doc_id",
             explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))")).as("e"))
-          .select($"doc_id", $"shingles", $"e.band", $"e.bh")
+          .select($"doc_id", $"e.band", $"e.bh")
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
         cand
+          .join(sig.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
+          .join(sig.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
           .withColumn("jaccard",
             size(array_intersect($"sh_a", $"sh_b")).cast("double") /
               size(array_union($"sh_a", $"sh_b")))
