@@ -183,8 +183,12 @@ object IceLite {
     } else readFiles(spark, ref, files).where(c(col) >= lo && c(col) <= hi)
   }
 
+  // mergeSchema: appends may evolve the schema (Iceberg v2 semantics,
+  // extract_load.py inherits this through format-version=2); older
+  // files surface null for later-added columns
   private def readFiles(spark: SparkSession, ref: TableRef, files: Seq[String]): DataFrame =
-    spark.read.parquet(files.map(f => ref.dir.resolve(f).toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => ref.dir.resolve(f).toString): _*)
 
   /** Read the current snapshot (schema-on-read from Parquet footers,
     * like extract_load.py:73). */

@@ -200,6 +200,50 @@ object StreamPack extends Pack {
       },
       None),
 
+    // s08 (builder extension): arbitrary stateful processing via
+    // flatMapGroupsWithState — per-user running totals persist in the
+    // state store across micro-batches, each batch emits the updated
+    // total, and the final max per user equals the batch-independent
+    // grand total (which is what the oracle checks, so the result is
+    // deterministic under any batch split)
+    Decl("s08_stream_custom_state",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        import s.implicits._
+        val staged = stageEvents(s, dir, 3)
+        val sch = s.read.parquet(staged).schema
+        val updates = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+          .selectExpr("user_id", "value")
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            case (user, rows, state: GroupState[(Long, Double)]) =>
+              val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+              var n = n0; var sum = sum0
+              rows.foreach { r => n += 1; sum += r._2 }
+              state.update((n, sum))
+              Iterator.single((user, n, sum))
+          }
+          .toDF("user_id", "n", "sum_val")
+        val q = updates.writeStream
+          .format("memory").queryName("s08_sink").outputMode("update")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s08").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // last update per user = the grand total, independent of how
+        // the input was micro-batched
+        s.table("s08_sink")
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).cast("long").as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // s07: foreachBatch into the IceLite table layer — the streaming
     // form of a11 append-with-snapshot (extract_load.py:100-110)
     Decl("s07_stream_foreachbatch_sink",

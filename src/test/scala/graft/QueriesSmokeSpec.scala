@@ -15,7 +15,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     "s01_stream_file_source", "s02_stream_tumbling_count",
     "s03_stream_sliding_agg", "s04_stream_session_window",
     "s05_stream_dedup", "s06_stream_late_data",
-    "s07_stream_foreachbatch_sink")
+    "s07_stream_foreachbatch_sink", "s08_stream_custom_state")
 
   test("every declared id has an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
