@@ -52,6 +52,40 @@ object ScalePack extends Pack {
              CAST(2 AS BIGINT) AS files_pruned_away
              FROM orders WHERE o_orderkey BETWEEN 600 AND 900""")),
 
+    // bucketed co-located join: both sides written bucketed by the
+    // join key → SortMergeJoin with NO Exchange on either side (the
+    // ScalePackSpec asserts the plan). At 100 TB this turns the
+    // biggest fact⋈fact shuffle into a local merge per bucket.
+    Decl("d03_bucketed_join",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d03").toString
+        val db = "graft_d03_" + java.lang.Long.toHexString(
+          java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+        try {
+          Tables.load(s, dir, "orders").filter($"o_orderkey" < 3000)
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable(s"$db.orders_b")
+          Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 3000)
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+          // merge hint: at fixture scale Catalyst would broadcast the
+          // small side and ignore the buckets; the point here is the
+          // fact⋈fact shape where SMJ-over-buckets is the 100 TB plan
+          s.table(s"$db.orders_b").hint("merge")
+            .join(s.table(s"$db.lineitem_b"), $"o_orderkey" === $"l_orderkey")
+            .groupBy($"o_orderkey")
+            .agg(count(lit(1)).cast("long").as("n_lines"),
+              round(sum($"l_quantity"), 2).as("sum_qty"))
+            .orderBy($"o_orderkey")
+        } finally ()
+      },
+      Some("""SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE o_orderkey < 3000
+             GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across
