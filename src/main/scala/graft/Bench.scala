@@ -31,7 +31,14 @@ object Bench {
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    // apples-to-apples vs BENCH_r01 (which covered only these 9 ids —
+    // the full total now spans 100+ operators incl. streaming/ELT)
+    val r01Ids = Set("b01_parquet_scan", "b02_scan_limit", "b05_project_rename",
+      "b06_filter_comparison", "b07_filter_in_between_like",
+      "b08_filter_null_handling", "b09_distinct", "b23_agg_global",
+      "b24_agg_groupby")
+    val r01Subset = results.collect { case (k, v) if r01Ids(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_queries":${results.size},"r01_subset_total":$r01Subset}""")
     spark.stop()
   }
 }
