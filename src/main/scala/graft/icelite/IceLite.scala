@@ -55,6 +55,11 @@ final case class TableRef(warehouse: String, namespace: String, name: String) {
 object IceLite {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
+  /** Drain a java.nio directory stream and CLOSE it — Files.list/walk
+    * hold an open directory handle until closed (FD leak otherwise). */
+  def listDir[A](stream: java.util.stream.Stream[Path])(f: Iterator[Path] => A): A =
+    try f(stream.iterator().asScala) finally stream.close()
+
   /** a08: CREATE NAMESPACE IF NOT EXISTS (extract_load.py:79). */
   def createNamespace(warehouse: String, namespace: String): Unit =
     Files.createDirectories(Paths.get(warehouse, namespace))
@@ -62,8 +67,8 @@ object IceLite {
   def listNamespaces(warehouse: String): Seq[String] = {
     val w = Paths.get(warehouse)
     if (!Files.exists(w)) Seq.empty
-    else Files.list(w).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else listDir(Files.list(w))(_.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted)
   }
 
   /** a09: table-exists check (extract_load.py:84-91). */
@@ -72,9 +77,9 @@ object IceLite {
   def listTables(warehouse: String, namespace: String): Seq[String] = {
     val ns = Paths.get(warehouse, namespace)
     if (!Files.exists(ns)) Seq.empty
-    else Files.list(ns).iterator().asScala
+    else listDir(Files.list(ns))(_
       .filter(d => Files.exists(d.resolve("manifest.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).toSeq.sorted)
   }
 
   def readManifest(ref: TableRef): Manifest =
@@ -94,10 +99,10 @@ object IceLite {
   private def stage(ref: TableRef, df: DataFrame, snapshotId: Long): Seq[String] = {
     val outDir = ref.dataDir.resolve(snapshotId.toString)
     df.write.mode("overwrite").parquet(outDir.toString)
-    Files.list(outDir).iterator().asScala
+    listDir(Files.list(outDir))(_
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .toSeq.sorted
+      .toSeq.sorted)
       .map(n => s"data/$snapshotId/$n")
   }
 

@@ -40,10 +40,10 @@ object IngestJob {
   def listSourceFiles(sourceDir: String): Seq[String] = {
     val d = Paths.get(sourceDir)
     if (!Files.exists(d)) Seq.empty
-    else Files.walk(d).iterator().asScala
+    else IceLite.listDir(Files.walk(d))(_
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(p => d.relativize(p).toString)
-      .toSeq.sorted
+      .toSeq.sorted)
   }
 
   def tableRef(warehouse: String, table: String): TableRef =

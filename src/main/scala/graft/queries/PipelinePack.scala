@@ -31,9 +31,9 @@ object PipelinePack extends Pack {
       val staging = Files.createTempDirectory("graft_stage")
       orders.filter(pmod(col("o_orderkey"), lit(n)) === b)
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).iterator().asScala
+      val part = IceLite.listDir(Files.list(staging))(_
         .find(p => p.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("."))
+          !p.getFileName.toString.startsWith(".")))
         .getOrElse(throw new IllegalStateException("no part file staged"))
       Files.move(part, Paths.get(src, f"batch_$b%03d.parquet"))
     }
@@ -64,8 +64,8 @@ object PipelinePack extends Pack {
         val out = Files.createTempDirectory("graft_a02").toString
         Tables.load(s, dir, "lineitem").repartition(4)
           .write.mode("overwrite").parquet(out)
-        val files = Files.list(Paths.get(out)).iterator().asScala
-          .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+        val files = IceLite.listDir(Files.list(Paths.get(out)))(_
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
         s.read.parquet(files: _*)
           .agg(count(lit(1)).cast("long").as("n"),
             round(sum(col("l_quantity")), 2).as("sum_qty"))

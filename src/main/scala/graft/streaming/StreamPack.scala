@@ -170,9 +170,8 @@ object StreamPack extends Pack {
         def writeBatch(df: DataFrame, name: String): Unit = {
           val staging = Files.createTempDirectory("graft_s06_stage")
           df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-          import scala.jdk.CollectionConverters._
-          val part = Files.list(staging).iterator().asScala
-            .find(_.toString.endsWith(".parquet")).get
+          val part = IceLite.listDir(Files.list(staging))(_
+            .find(_.toString.endsWith(".parquet"))).get
           Files.move(part, Paths.get(srcDir, name))
         }
         writeBatch(ev.filter(col("event_id") < 8000), "batch_000.parquet")
