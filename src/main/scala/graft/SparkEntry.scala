@@ -21,7 +21,7 @@ object SparkEntry {
     queries("b24_agg_groupby")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val ids = packs.flatMap(_.queries.keys)
     require(ids.distinct.size == ids.size,
       s"duplicate query ids across packs: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
@@ -30,6 +30,6 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     packs.flatMap(_.oracleSql).toMap
 }

@@ -120,8 +120,11 @@ object IceLite {
         Seq(fmin(col(c)).cast("double"), fmax(col(c)).cast("double")))
       val row = spark.read.parquet(ref.dir.resolve(f).toString)
         .agg(aggs.head, aggs.tail: _*).collect().head
-      f -> statsCols.zipWithIndex.map { case (c, i) =>
-        ColStats(c, row.getDouble(2 * i), row.getDouble(2 * i + 1)) }
+      // empty files / all-null columns have null min/max: record no
+      // stat (the file is then conservatively kept by pruning)
+      f -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+        else Some(ColStats(c, row.getDouble(2 * i), row.getDouble(2 * i + 1))) }
     }.toMap
 
   /** a10: atomic full refresh — new snapshot referencing only the new

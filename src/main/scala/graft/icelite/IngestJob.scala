@@ -128,7 +128,7 @@ object TransformRegistry {
   val transforms: Seq[(String, String)] = Seq(
     "monthly_revenue" ->
       """SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
-         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
          CAST(COUNT(*) AS BIGINT) AS n_lines
          FROM lineitem GROUP BY 1""",
     "top_segments" ->

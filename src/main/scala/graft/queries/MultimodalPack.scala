@@ -165,8 +165,11 @@ object MultimodalPack extends Pack {
         .withColumn("frame_size", lit(64))
         .withColumn("n_frames", ceil($"n_bytes" / $"frame_size").cast("long"))
         .select($"media_id", $"n_frames",
-          posexplode(expr("transform(sequence(0, CAST(n_frames - 1 AS INT), 3), " +
-            "i -> length(substring(payload, i * 64 + 1, 64)))"))
+          // empty payload → n_frames = 0 → sequence(0, -1, 3) throws;
+          // emit zero frames instead
+          posexplode(expr("CASE WHEN n_frames <= 0 THEN array() " +
+            "ELSE transform(sequence(0, CAST(n_frames - 1 AS INT), 3), " +
+            "i -> length(substring(payload, i * 64 + 1, 64))) END"))
             .as(Seq("k", "frame_len")))
         // posexplode's pos is the ordinal; the sampled frame index is
         // ordinal × stride

@@ -273,7 +273,7 @@ object PipelinePack extends Pack {
           .orderBy(col("ship_month"))
       },
       Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              CAST(COUNT(*) AS BIGINT) AS n_lines
              FROM lineitem GROUP BY 1 ORDER BY ship_month"""))
   )

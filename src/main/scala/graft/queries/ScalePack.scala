@@ -25,6 +25,10 @@ import syntax._
   */
 object ScalePack extends Pack {
 
+  /** d03's most recent temp database — dropped by the next invocation
+    * (the current one is still referenced by the returned lazy plan). */
+  @volatile private var lastDb: Option[String] = None
+
   val decls: Seq[Decl] = Seq(
 
     Decl("d01_manifest_pruned_scan",
@@ -78,7 +82,15 @@ object ScalePack extends Pack {
             .agg(count(lit(1)).cast("long").as("n_lines"),
               round(sum($"l_quantity"), 2).as("sum_qty"))
             .orderBy($"o_orderkey")
-        } finally ()
+        } finally {
+          // the returned plan reads these tables lazily, so this
+          // invocation's db can't be dropped here — drop the PREVIOUS
+          // invocation's instead (its plan has been consumed), so at
+          // most one temp database lingers per session
+          lastDb.foreach(d =>
+            scala.util.Try(s.sql(s"DROP DATABASE IF EXISTS $d CASCADE")))
+          lastDb = Some(db)
+        }
       },
       Some("""SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
              ROUND(SUM(l_quantity), 2) AS sum_qty

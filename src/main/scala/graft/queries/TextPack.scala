@@ -34,7 +34,10 @@ object TextPack extends Pack {
         val d = docs(s, dir)
         val grams = d.select($"doc_id", $"lang",
             posexplode(expr(
-              "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+              // sequence(1, 0) would default to step -1 and fabricate
+              // grams for <3-char texts — guard with an empty array
+              "CASE WHEN length(text) < 3 THEN array() " +
+                "ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) END"))
               .as(Seq("p", "gram")))
           .select($"doc_id", $"lang", $"gram")
         val wTop = Window.partitionBy($"lang").orderBy($"n".desc, $"gram".asc)

@@ -80,6 +80,25 @@ class LlmPackSpec extends AnyFunSuite {
     assert(diffs == 0, "codegen'd expression diverged from HOF fold")
   }
 
+  test("cosine_sim NULL semantics match the HOF path: length mismatch and null elements") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),        // ok
+      (2L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))   // length mismatch
+    ).toDF("id", "a", "b")
+    val got = df.selectExpr("id", "cosine_sim(a, b) AS c")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(got(2L).isEmpty, "length mismatch must yield NULL, not a prefix cosine")
+
+    // null element propagates NULL (like zip_with + aggregate would)
+    val withNull = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c")
+      .as[Option[Double]].collect().head
+    assert(withNull.isEmpty, "null element must yield NULL")
+  }
+
   test("c10 IVF probes a subset yet finds high-cosine neighbors") {
     val ivf = LlmPack.queries("c10_sim_topk_ivf")(spark, sfDir)
       .select($"vec_id", $"cos").as[(Long, Double)].collect().toSeq
