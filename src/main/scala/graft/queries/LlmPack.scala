@@ -29,6 +29,10 @@ import syntax._
   */
 object LlmPack extends Pack {
 
+  /** c02's most recent persisted signature stage — unpersisted by the
+    * next invocation (the current one backs the returned lazy plan). */
+  @volatile private var lastSig: Option[DataFrame] = None
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
@@ -88,6 +92,8 @@ object LlmPack extends Pack {
             "transform(sequence(0, 15), h -> array_min(transform(shingles, s -> xxhash64(s, h))))"))
           .select($"doc_id", $"shingles", $"sig")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lastSig.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
+        lastSig = Some(sig)
         // bands carry only (doc_id, band, bh) through the shuffle —
         // never the shingle arrays
         val bands = sig.select($"doc_id",
