@@ -146,10 +146,12 @@ object RelationalPack extends Pack {
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
           round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          // round scale >= exact decimal scale of the summed terms
-          // (2dp*2dp product = 4dp; *2dp again = 6dp) — see NOTES.md
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 6).as("sum_charge"),
+          // decimal-exact accumulation for the product sums: at sf0.1
+          // the totals reach ~1e10 where double ULP (~2e-6) exceeds
+          // the 6dp resolution ROUND needs — round-after-double-sum
+          // flipped sum_charge's last digit between engines (NOTES.md)
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("sum_charge"),
           round(avg($"l_quantity"), 2).as("avg_qty"),
           round(avg($"l_extendedprice"), 2).as("avg_price"),
           round(avg($"l_discount"), 4).as("avg_disc"),
@@ -158,8 +160,8 @@ object RelationalPack extends Pack {
       Some("""SELECT l_returnflag, l_linestatus,
              ROUND(SUM(l_quantity), 2) AS sum_qty,
              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-             ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
              ROUND(AVG(l_quantity), 2) AS avg_qty,
              ROUND(AVG(l_extendedprice), 2) AS avg_price,
              ROUND(AVG(l_discount), 4) AS avg_disc,
