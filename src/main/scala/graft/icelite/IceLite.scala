@@ -1,6 +1,6 @@
 package graft.icelite
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s.{Formats, NoTypeHints}
@@ -12,19 +12,23 @@ import org.json4s.jackson.Serialization
   * /root/reference/scripts/extract_load.py:42-51, 94-110, 167-171).
   * See SURVEY.md §7.3.
   *
-  * Layout: `warehouse/<namespace>/<table>/manifest.json` + staged
-  * Parquet files under `data/`. Every write creates a new snapshot;
-  * commit is an atomic rename of `manifest.json.tmp` onto
-  * `manifest.json` (single-writer, the same guarantee level the
-  * reference's one-driver job relies on). Reads resolve the current
-  * (or a time-travelled) snapshot to a concrete file list *before*
-  * plan construction, so Catalyst sees ordinary Parquet relations and
-  * all pushdown/pruning machinery applies unchanged.
+  * Layout: `warehouse/<namespace>/<table>/manifest.vNNNNNNNN.json`
+  * (monotonically versioned) + staged Parquet under `data/<token>/`.
+  * Commits are optimistic compare-and-swap: a writer serializes the
+  * next manifest to a private tmp file and claims version V+1 with an
+  * atomic hard-link (`Files.createLink` fails with EEXIST if another
+  * writer got there first), then rebases on the new latest manifest
+  * and retries. Data files are staged before the CAS loop, so retries
+  * re-commit metadata only. This is the same optimistic-concurrency
+  * protocol Iceberg runs through its catalog — multi-writer appends
+  * never lose snapshots (raced in IceLiteConcurrencySpec). Readers
+  * always see a complete manifest (tmp is fully written before link).
   *
-  * At cluster scale the manifest would live on shared storage (S3/
-  * HDFS) — the commit protocol (write-new, rename-swap) is the same
-  * one Iceberg's REST catalog provides transactionally; file listings
-  * here are O(snapshot count + file count), driver-side metadata only.
+  * Reads resolve the current (or a time-travelled) snapshot to a
+  * concrete file list *before* plan construction, so Catalyst sees
+  * ordinary Parquet relations and all pushdown/pruning machinery
+  * applies unchanged. Manifest listings are O(versions) driver-side
+  * metadata only.
   */
 /** Per-file numeric column range, the manifest-level pruning stat
   * (Iceberg's min/max file-skipping role, SURVEY §4.2). */
@@ -49,7 +53,6 @@ final case class TableRef(warehouse: String, namespace: String, name: String) {
   def nsDir: Path = Paths.get(warehouse, namespace)
   def dir: Path = nsDir.resolve(name)
   def dataDir: Path = dir.resolve("data")
-  def manifestPath: Path = dir.resolve("manifest.json")
 }
 
 object IceLite {
@@ -71,43 +74,79 @@ object IceLite {
       .map(_.getFileName.toString).toSeq.sorted)
   }
 
+  private val ManifestRe = "manifest\\.v(\\d{8})\\.json".r
+
+  /** Highest-version manifest file, if any. */
+  private def latestManifestFile(ref: TableRef): Option[(Long, Path)] =
+    if (!Files.exists(ref.dir)) None
+    else listDir(Files.list(ref.dir))(_.flatMap { p =>
+      p.getFileName.toString match {
+        case ManifestRe(v) => Some((v.toLong, p))
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1).lastOption)
+
+  private def manifestPathFor(ref: TableRef, version: Long): Path =
+    ref.dir.resolve(f"manifest.v$version%08d.json")
+
   /** a09: table-exists check (extract_load.py:84-91). */
-  def tableExists(ref: TableRef): Boolean = Files.exists(ref.manifestPath)
+  def tableExists(ref: TableRef): Boolean = latestManifestFile(ref).isDefined
 
   def listTables(warehouse: String, namespace: String): Seq[String] = {
     val ns = Paths.get(warehouse, namespace)
     if (!Files.exists(ns)) Seq.empty
     else listDir(Files.list(ns))(_
-      .filter(d => Files.exists(d.resolve("manifest.json")))
+      .filter(d => latestManifestFile(TableRef(warehouse, namespace,
+        d.getFileName.toString)).isDefined)
       .map(_.getFileName.toString).toSeq.sorted)
   }
 
-  def readManifest(ref: TableRef): Manifest =
-    Serialization.read[Manifest](Files.readString(ref.manifestPath))
-
-  /** Atomic commit: serialize to manifest.json.tmp, rename over
-    * manifest.json (same-directory rename is atomic on POSIX). */
-  private def commit(ref: TableRef, m: Manifest): Unit = {
-    val tmp = ref.dir.resolve("manifest.json.tmp")
-    Files.writeString(tmp, Serialization.writePretty(m))
-    Files.move(tmp, ref.manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  def readManifest(ref: TableRef): Manifest = {
+    val (_, path) = latestManifestFile(ref).getOrElse(
+      throw new IllegalStateException(s"no manifest for ${ref.name}"))
+    Serialization.read[Manifest](Files.readString(path))
   }
 
-  /** Stage the DataFrame as Parquet files under data/<snapshotId>/ and
-    * return their table-relative paths. */
-  private def stage(ref: TableRef, df: DataFrame, snapshotId: Long): Seq[String] = {
-    val outDir = ref.dataDir.resolve(snapshotId.toString)
+  /** Optimistic CAS commit: `build` maps the latest manifest (None if
+    * the table doesn't exist yet) to the next one; the claim on
+    * version V+1 is an atomic hard-link, and a lost race re-reads and
+    * rebuilds. Returns the manifest that actually committed. */
+  private def commitCAS(ref: TableRef)(build: Option[Manifest] => Manifest): Manifest = {
+    Files.createDirectories(ref.dir)
+    while (true) {
+      val latest = latestManifestFile(ref)
+      val cur = latest.map { case (_, p) =>
+        Serialization.read[Manifest](Files.readString(p)) }
+      val next = build(cur)
+      val nextVersion = latest.map(_._1).getOrElse(0L) + 1
+      val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
+      Files.writeString(tmp, Serialization.writePretty(next))
+      try {
+        Files.createLink(manifestPathFor(ref, nextVersion), tmp)
+        Files.deleteIfExists(tmp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race — rebase and retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Stage the DataFrame as Parquet files under data/<token>/ and
+    * return their table-relative paths. The token is commit-agnostic
+    * (a UUID, not a snapshot id) because CAS retries may rebase the
+    * snapshot id without restaging data. */
+  private def stage(ref: TableRef, df: DataFrame): Seq[String] = {
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val outDir = ref.dataDir.resolve(token)
     df.write.mode("overwrite").parquet(outDir.toString)
     listDir(Files.list(outDir))(_
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .toSeq.sorted)
-      .map(n => s"data/$snapshotId/$n")
+      .map(n => s"data/$token/$n")
   }
-
-  private def nextSnapshotId(ref: TableRef): Long =
-    if (tableExists(ref)) readManifest(ref).snapshots.map(_.id).max + 1 else 1L
 
   /** Collect per-file min/max for the requested numeric columns (one
     * tiny aggregate job per staged file — metadata-sized results). */
@@ -133,32 +172,62 @@ object IceLite {
   def createOrReplace(ref: TableRef, df: DataFrame,
       statsCols: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(ref.dataDir)
-    val id = nextSnapshotId(ref)
-    val files = stage(ref, df, id)
+    val files = stage(ref, df)
     val rows = readFiles(df.sparkSession, ref, files).count()
     val stats = collectStats(df.sparkSession, ref, files, statsCols)
-    val op = if (tableExists(ref)) "replace" else "create"
-    val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows, stats)
-    val prior = if (tableExists(ref)) readManifest(ref).snapshots else Seq.empty
-    commit(ref, Manifest(ref.name, id, prior :+ snap))
-    snap
+    commitCAS(ref) { cur =>
+      val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
+      val op = if (cur.isDefined) "replace" else "create"
+      val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows, stats)
+      Manifest(ref.name, id, cur.map(_.snapshots).getOrElse(Seq.empty) :+ snap)
+    }.current
   }
 
   /** a11: append — new snapshot = previous files + new files; create
-    * on first load (extract_load.py:100-110). */
+    * on first load (extract_load.py:100-110). Concurrent appends both
+    * land: a lost CAS race rebases onto the winner's file list. */
   def append(ref: TableRef, df: DataFrame,
       statsCols: Seq[String] = Nil): Snapshot = {
-    if (!tableExists(ref)) return createOrReplace(ref, df, statsCols)
-    val m = readManifest(ref)
-    val id = nextSnapshotId(ref)
-    val newFiles = stage(ref, df, id)
+    Files.createDirectories(ref.dataDir)
+    val newFiles = stage(ref, df)
     val rows = readFiles(df.sparkSession, ref, newFiles).count()
     val stats = collectStats(df.sparkSession, ref, newFiles, statsCols)
-    val snap = Snapshot(id, System.currentTimeMillis(), "append",
-      m.current.files ++ newFiles, m.current.rowCount + rows,
-      m.current.fileStats ++ stats)
-    commit(ref, Manifest(ref.name, id, m.snapshots :+ snap))
-    snap
+    commitCAS(ref) { cur =>
+      val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
+      cur match {
+        case None =>
+          val snap = Snapshot(id, System.currentTimeMillis(), "create",
+            newFiles, rows, stats)
+          Manifest(ref.name, id, Seq(snap))
+        case Some(m) =>
+          val snap = Snapshot(id, System.currentTimeMillis(), "append",
+            m.current.files ++ newFiles, m.current.rowCount + rows,
+            m.current.fileStats ++ stats)
+          Manifest(ref.name, id, m.snapshots :+ snap)
+      }
+    }.current
+  }
+
+  /** MERGE/upsert (the Iceberg `MERGE INTO` shape the reference's
+    * users reach through Spark SQL): rows in `updates` replace
+    * current rows with the same key, unmatched update rows are
+    * inserted, all other current rows are preserved; the result
+    * commits as one new replace snapshot (atomic, time-travelable).
+    * At scale this is one anti-join (shuffle on the key) + a rewrite
+    * of the table — the copy-on-write MERGE strategy. The
+    * read-compute-write is optimistic but not conflict-validated:
+    * a concurrent writer between read and commit wins or loses whole
+    * snapshots atomically, but merge does not re-apply its logic onto
+    * the winner (Iceberg adds validation here; see ROADMAP). */
+  def merge(spark: SparkSession, ref: TableRef, updates: DataFrame,
+      keyCols: Seq[String]): Snapshot = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    if (!tableExists(ref)) return createOrReplace(ref, updates)
+    val current = read(spark, ref)
+    val survivors = current.join(
+      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+      keyCols, "left_anti")
+    createOrReplace(ref, updates.unionByName(survivors))
   }
 
   /** Manifest-level file pruning: resolve only the files whose
@@ -217,14 +286,19 @@ object IceLite {
     * the current one; delete data files referenced by no surviving
     * snapshot (extract_load.py:167-171; README.md:111 7d variant). */
   def expireSnapshots(ref: TableRef, cutoffMs: Long): Seq[Long] = {
-    val m = readManifest(ref)
-    val (dead, alive) = m.snapshots.partition(s =>
-      s.timestampMs < cutoffMs && s.id != m.currentSnapshotId)
-    if (dead.isEmpty) return Seq.empty
-    val keepFiles = alive.flatMap(_.files).toSet
-    val orphans = dead.flatMap(_.files).toSet -- keepFiles
-    commit(ref, m.copy(snapshots = alive))
+    if (readManifest(ref).snapshots.forall(s => s.timestampMs >= cutoffMs))
+      return Seq.empty
+    var expired: Seq[Snapshot] = Seq.empty
+    val committed = commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
+      val (dead, alive) = m.snapshots.partition(s =>
+        s.timestampMs < cutoffMs && s.id != m.currentSnapshotId)
+      expired = dead
+      m.copy(snapshots = alive)
+    }
+    val keepFiles = committed.snapshots.flatMap(_.files).toSet
+    val orphans = expired.flatMap(_.files).toSet -- keepFiles
     orphans.foreach(f => Files.deleteIfExists(ref.dir.resolve(f)))
-    dead.map(_.id).sorted
+    expired.map(_.id).sorted
   }
 }

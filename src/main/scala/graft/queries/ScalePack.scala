@@ -98,6 +98,33 @@ object ScalePack extends Pack {
              WHERE o_orderkey < 3000
              GROUP BY o_orderkey ORDER BY o_orderkey""")),
 
+    // MERGE upsert through the table layer: load a base slice, merge
+    // a batch that updates half of it and inserts new keys, read back.
+    // Oracle simulates the same upsert relationally over the source.
+    Decl("d04_merge_upsert",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d04").toString
+        val ref = IngestJob.tableRef(wh, "orders")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice"))
+        // updates: re-price keys [500,1000) to 1.0, insert [1000,1200)
+        val updates = o.filter($"o_orderkey" >= 500 && $"o_orderkey" < 1200)
+          .select($"o_orderkey", $"o_custkey", lit(1.0).as("o_totalprice"))
+        IceLite.merge(s, ref, updates, Seq("o_orderkey"))
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM (
+               SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 500
+               UNION ALL
+               SELECT o_orderkey, 1.0 AS o_totalprice FROM orders
+               WHERE o_orderkey >= 500 AND o_orderkey < 1200)""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -36,7 +36,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val s = (1 to 8).map(i => f"s$i%02d")
     val m = (1 to 4).map(i => f"m$i%02d")
     val t = (1 to 4).map(i => f"t$i%02d")
-    val d = (1 to 3).map(i => f"d$i%02d")
+    val d = (1 to 4).map(i => f"d$i%02d")
     val expectedPrefixes = a ++ b ++ c ++ s ++ m ++ t ++ d
     val declaredPrefixes = ids.map(_.take(3))
     val missing = expectedPrefixes.toSet -- declaredPrefixes

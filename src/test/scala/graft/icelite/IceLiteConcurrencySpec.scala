@@ -1,0 +1,66 @@
+package graft.icelite
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Races the optimistic CAS commit protocol: concurrent appenders must
+  * never lose a snapshot (the failure mode of the old rename-swap
+  * commit, where the last writer silently overwrote the other's
+  * manifest). */
+class IceLiteConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("concurrent appends all land: no lost updates under CAS races") {
+    val wh = Files.createTempDirectory("cas_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+
+    val writers = 4
+    val appendsEach = 3
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until appendsEach).foreach { i =>
+            IceLite.append(ref, Seq(w * 100 + i).toDF("k"))
+          } catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+
+    val m = IceLite.readManifest(ref)
+    // every one of the 12 appends produced a snapshot; none were lost
+    assert(m.snapshots.size == writers * appendsEach,
+      s"lost snapshots: ${m.snapshots.size} of ${writers * appendsEach}")
+    val rows = IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
+    val expected = (for (w <- 0 until writers; i <- 0 until appendsEach)
+      yield w * 100 + i).sorted
+    assert(rows == expected, "rows lost or duplicated under concurrency")
+    assert(m.current.rowCount == writers * appendsEach)
+  }
+
+  test("manifest versions are dense and monotonic after races") {
+    val wh = Files.createTempDirectory("cas_spec2").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    IceLite.append(ref, Seq(2).toDF("k"))
+    IceLite.append(ref, Seq(3).toDF("k"))
+    import scala.jdk.CollectionConverters._
+    val versions = IceLite.listDir(Files.list(ref.dir))(_
+      .map(_.getFileName.toString)
+      .filter(_.matches("manifest\\.v\\d{8}\\.json")).toSeq.sorted)
+    assert(versions == Seq("manifest.v00000001.json",
+      "manifest.v00000002.json", "manifest.v00000003.json"))
+  }
+}

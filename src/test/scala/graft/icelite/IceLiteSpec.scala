@@ -118,6 +118,26 @@ class IceLiteSpec extends AnyFunSuite {
     assert(got == Seq(1), s"stat-less file was wrongly pruned (kept=$kept)")
   }
 
+  test("merge upserts: update wins, inserts added, untouched rows preserved") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    val pre = IceLite.readManifest(ref).currentSnapshotId
+    IceLite.merge(spark, ref,
+      Seq((2, "B"), (4, "d")).toDF("k", "v"), Seq("k"))
+    val got = IceLite.read(spark, ref).as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "a"), (2, "B"), (3, "c"), (4, "d")))
+    // pre-merge state still time-travelable
+    val old = IceLite.readAt(spark, ref, pre).as[(Int, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(old == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("merge on a missing table creates it") {
+    val ref = freshRef()
+    IceLite.merge(spark, ref, Seq((1, "a")).toDF("k", "v"), Seq("k"))
+    assert(IceLite.read(spark, ref).as[(Int, String)].collect().toSeq == Seq((1, "a")))
+  }
+
   test("expiry with a past cutoff (7d retention) is a no-op on fresh snapshots") {
     val ref = freshRef()
     IceLite.createOrReplace(ref, Seq(1).toDF("k"))
