@@ -214,20 +214,56 @@ object IceLite {
     * inserted, all other current rows are preserved; the result
     * commits as one new replace snapshot (atomic, time-travelable).
     * At scale this is one anti-join (shuffle on the key) + a rewrite
-    * of the table — the copy-on-write MERGE strategy. The
-    * read-compute-write is optimistic but not conflict-validated:
-    * a concurrent writer between read and commit wins or loses whole
-    * snapshots atomically, but merge does not re-apply its logic onto
-    * the winner (Iceberg adds validation here; see ROADMAP). */
+    * of the table — the copy-on-write MERGE strategy. Conflict
+    * validation: the commit claims the exact version the merge was
+    * computed against; if a concurrent writer won, the merge is
+    * RECOMPUTED against the new table state and retried (Iceberg's
+    * serializable-merge behavior), so no concurrent append is lost. */
   def merge(spark: SparkSession, ref: TableRef, updates: DataFrame,
       keyCols: Seq[String]): Snapshot = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
-    if (!tableExists(ref)) return createOrReplace(ref, updates)
-    val current = read(spark, ref)
-    val survivors = current.join(
-      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
-      keyCols, "left_anti")
-    createOrReplace(ref, updates.unionByName(survivors))
+    Files.createDirectories(ref.dataDir)
+    while (true) {
+      latestManifestFile(ref) match {
+        case None =>
+          // racing creates are arbitrated by createOrReplace's own CAS
+          return createOrReplace(ref, updates)
+        case Some((baseVersion, basePath)) =>
+          val base = Serialization.read[Manifest](Files.readString(basePath))
+          val current = readFiles(spark, ref, base.current.files)
+          val survivors = current.join(
+            updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+            keyCols, "left_anti")
+          val files = stage(ref, updates.unionByName(survivors))
+          val rows = readFiles(spark, ref, files).count()
+          val id = base.snapshots.map(_.id).max + 1
+          val snap = Snapshot(id, System.currentTimeMillis(), "replace",
+            files, rows)
+          val next = Manifest(ref.name, id, base.snapshots :+ snap)
+          val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
+          Files.writeString(tmp, Serialization.writePretty(next))
+          try {
+            // claim exactly baseVersion+1: succeeds only if no other
+            // writer committed since we computed the merge
+            Files.createLink(manifestPathFor(ref, baseVersion + 1), tmp)
+            Files.deleteIfExists(tmp)
+            return snap
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp)
+              // stale base: drop the staged result, recompute on the
+              // winner's state
+              files.map(_.split('/')(1)).distinct.foreach { token =>
+                scala.util.Try {
+                  val d = ref.dataDir.resolve(token)
+                  listDir(Files.list(d))(_.foreach(Files.deleteIfExists(_)))
+                  Files.deleteIfExists(d)
+                }
+              }
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Manifest-level file pruning: resolve only the files whose

@@ -49,6 +49,41 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     assert(m.current.rowCount == writers * appendsEach)
   }
 
+  test("concurrent merges on disjoint keys both apply (conflict-validated)") {
+    val wh = Files.createTempDirectory("cas_merge_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v"))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // writer A updates keys 1,2; writer B updates 3 and inserts 5 —
+    // with stale-base commits one merge would silently erase the other
+    val batches = Seq(
+      Seq((1, "A"), (2, "B")),
+      Seq((3, "C"), (5, "e")))
+    batches.foreach { b =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try IceLite.merge(spark, ref, b.toDF("k", "v"), Seq("k"))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "merges timed out")
+    assert(failures.isEmpty, s"merge failed: ${failures.peek()}")
+
+    val got = IceLite.read(spark, ref).as[(Int, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, "A"), (2, "B"), (3, "C"), (4, "d"), (5, "e")),
+      s"a concurrent merge was lost: $got")
+  }
+
   test("manifest versions are dense and monotonic after races") {
     val wh = Files.createTempDirectory("cas_spec2").toString
     IceLite.createNamespace(wh, "src")
