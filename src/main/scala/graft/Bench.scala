@@ -38,7 +38,10 @@ object Bench {
       "b08_filter_null_handling", "b09_distinct", "b23_agg_global",
       "b24_agg_groupby")
     val r01Subset = results.collect { case (k, v) if r01Ids(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_queries":${results.size},"r01_subset_total":$r01Subset}""")
+    // b01/b05/b06 were re-scoped to bounded keyed slices in round 2, so
+    // the subset measures less work than BENCH_r01 did — flag that in
+    // the emitted JSON rather than implying a like-for-like speedup
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_queries":${results.size},"r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
     spark.stop()
   }
 }

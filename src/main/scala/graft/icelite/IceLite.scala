@@ -148,23 +148,38 @@ object IceLite {
       .map(n => s"data/$token/$n")
   }
 
-  /** Collect per-file min/max for the requested numeric columns (one
-    * tiny aggregate job per staged file — metadata-sized results). */
+  /** Collect per-file min/max for the requested numeric columns in ONE
+    * Spark job: scan all staged files together, group by
+    * input_file_name(). The result is metadata-sized (files × cols
+    * rows); with thousands of staged files this is one scan instead of
+    * thousands of job launches. */
   private def collectStats(spark: SparkSession, ref: TableRef,
       files: Seq[String], statsCols: Seq[String]): Map[String, Seq[ColStats]] =
-    if (statsCols.isEmpty) Map.empty
-    else files.map { f =>
-      import org.apache.spark.sql.functions.{max => fmax, min => fmin, col}
+    if (statsCols.isEmpty || files.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
       val aggs = statsCols.flatMap(c =>
         Seq(fmin(col(c)).cast("double"), fmax(col(c)).cast("double")))
-      val row = spark.read.parquet(ref.dir.resolve(f).toString)
-        .agg(aggs.head, aggs.tail: _*).collect().head
-      // empty files / all-null columns have null min/max: record no
-      // stat (the file is then conservatively kept by pruning)
-      f -> statsCols.zipWithIndex.flatMap { case (c, i) =>
-        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-        else Some(ColStats(c, row.getDouble(2 * i), row.getDouble(2 * i + 1))) }
-    }.toMap
+      val rows = spark.read.parquet(files.map(f => ref.dir.resolve(f).toString): _*)
+        .groupBy(input_file_name().as("_file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      // input_file_name is a URI; staged paths are data/<token>/<name>
+      // with no URI-special characters, so suffix-match the relative
+      // path (token is a UUID slice — unique within the table)
+      val bySuffix: Map[String, String] =
+        files.map(f => f.split('/').takeRight(2).mkString("/") -> f).toMap
+      rows.flatMap { row =>
+        val uri = row.getString(0)
+        bySuffix.get(uri.split('/').takeRight(2).mkString("/")).map { f =>
+          // empty files / all-null columns have null min/max: record no
+          // stat (the file is then conservatively kept by pruning)
+          f -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+            if (row.isNullAt(1 + 2 * i) || row.isNullAt(2 + 2 * i)) None
+            else Some(ColStats(c, row.getDouble(1 + 2 * i), row.getDouble(2 + 2 * i))) }
+        }
+      }.toMap
+    }
 
   /** a10: atomic full refresh — new snapshot referencing only the new
     * files (extract_load.py:94-98 createOrReplace). `statsCols`
@@ -220,47 +235,70 @@ object IceLite {
     * RECOMPUTED against the new table state and retried (Iceberg's
     * serializable-merge behavior), so no concurrent append is lost. */
   def merge(spark: SparkSession, ref: TableRef, updates: DataFrame,
-      keyCols: Seq[String]): Snapshot = {
+      keyCols: Seq[String], statsCols: Seq[String] = Nil): Snapshot = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     Files.createDirectories(ref.dataDir)
+    // Drop a staged-but-uncommitted result after a lost CAS race.
+    def unstage(files: Seq[String]): Unit =
+      files.map(_.split('/')(1)).distinct.foreach { token =>
+        scala.util.Try {
+          val d = ref.dataDir.resolve(token)
+          listDir(Files.list(d))(_.foreach(Files.deleteIfExists(_)))
+          Files.deleteIfExists(d)
+        }
+      }
+    // One conditional commit claiming exactly `version`: succeeds only
+    // if no other writer committed since the merge was computed.
+    def tryCommit(version: Long, next: Manifest, files: Seq[String]): Boolean = {
+      val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
+      Files.writeString(tmp, Serialization.writePretty(next))
+      try {
+        Files.createLink(manifestPathFor(ref, version), tmp)
+        Files.deleteIfExists(tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          unstage(files) // stale base: recompute on the winner's state
+          false
+      }
+    }
     while (true) {
       latestManifestFile(ref) match {
         case None =>
-          // racing creates are arbitrated by createOrReplace's own CAS
-          return createOrReplace(ref, updates)
+          // Create-only commit claiming version 1. Delegating to
+          // createOrReplace here would be unsafe: its build closure
+          // commits op="replace" with only the update rows even if a
+          // concurrent writer created the table after our None check —
+          // silently discarding that writer's data. A failed claim on
+          // v1 instead loops back into the normal merge path against
+          // the now-existing table.
+          val files = stage(ref, updates)
+          val rows = readFiles(spark, ref, files).count()
+          val stats = collectStats(spark, ref, files, statsCols)
+          val snap = Snapshot(1L, System.currentTimeMillis(), "create",
+            files, rows, stats)
+          if (tryCommit(1L, Manifest(ref.name, 1L, Seq(snap)), files))
+            return snap
         case Some((baseVersion, basePath)) =>
           val base = Serialization.read[Manifest](Files.readString(basePath))
           val current = readFiles(spark, ref, base.current.files)
           val survivors = current.join(
             updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
             keyCols, "left_anti")
-          val files = stage(ref, updates.unionByName(survivors))
+          // allowMissingColumns: after a schema-evolving append the
+          // table may carry columns the updates lack (or vice versa) —
+          // missing sides surface null, matching mergeSchema reads
+          val files = stage(ref,
+            updates.unionByName(survivors, allowMissingColumns = true))
           val rows = readFiles(spark, ref, files).count()
+          val stats = collectStats(spark, ref, files, statsCols)
           val id = base.snapshots.map(_.id).max + 1
           val snap = Snapshot(id, System.currentTimeMillis(), "replace",
-            files, rows)
-          val next = Manifest(ref.name, id, base.snapshots :+ snap)
-          val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
-          Files.writeString(tmp, Serialization.writePretty(next))
-          try {
-            // claim exactly baseVersion+1: succeeds only if no other
-            // writer committed since we computed the merge
-            Files.createLink(manifestPathFor(ref, baseVersion + 1), tmp)
-            Files.deleteIfExists(tmp)
+            files, rows, stats)
+          if (tryCommit(baseVersion + 1,
+              Manifest(ref.name, id, base.snapshots :+ snap), files))
             return snap
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              Files.deleteIfExists(tmp)
-              // stale base: drop the staged result, recompute on the
-              // winner's state
-              files.map(_.split('/')(1)).distinct.foreach { token =>
-                scala.util.Try {
-                  val d = ref.dataDir.resolve(token)
-                  listDir(Files.list(d))(_.foreach(Files.deleteIfExists(_)))
-                  Files.deleteIfExists(d)
-                }
-              }
-          }
       }
     }
     throw new IllegalStateException("unreachable")

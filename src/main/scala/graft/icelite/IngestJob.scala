@@ -95,10 +95,17 @@ object IngestJob {
         listed.filterNot(loaded)
     }
 
-    if (toLoad.isEmpty)
+    if (toLoad.isEmpty) {
+      // The reference exits early only when NO source file is listed;
+      // a run with zero NEW files still expires old snapshots
+      // (extract_load.py:154-171), so steady-state no-new-data
+      // schedules keep reclaiming data files.
+      if (retentionMs >= 0 && IceLite.tableExists(ref))              // a12
+        IceLite.expireSnapshots(ref, System.currentTimeMillis() - retentionMs)
       return Result(table, loadType,
         Seq.empty, 0L,
         if (IceLite.tableExists(ref)) IceLite.readManifest(ref).currentSnapshotId else 0L)
+    }
 
     // a02: one multi-file scan over the batch (extract_load.py:68-73)
     val df = spark.read.parquet(toLoad.map(f => s"$sourceDir/$f"): _*)

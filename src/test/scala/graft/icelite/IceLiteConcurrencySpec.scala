@@ -84,6 +84,39 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
       s"a concurrent merge was lost: $got")
   }
 
+  test("concurrent merges into a MISSING table both apply (create race)") {
+    // The old fallback delegated to createOrReplace, whose build
+    // closure commits "replace" with only its own rows if another
+    // writer created the table after the None check — losing that
+    // writer's data. The fix claims v1 create-only and falls back to
+    // the normal merge path on a lost race.
+    val wh = Files.createTempDirectory("cas_merge_create_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val batches = Seq(Seq((1, "a"), (2, "b")), Seq((3, "c"), (4, "d")))
+    batches.foreach { b =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try IceLite.merge(spark, ref, b.toDF("k", "v"), Seq("k"))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "merges timed out")
+    assert(failures.isEmpty, s"merge failed: ${failures.peek()}")
+    val got = IceLite.read(spark, ref).as[(Int, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")),
+      s"a concurrent create-merge was lost: $got")
+  }
+
   test("manifest versions are dense and monotonic after races") {
     val wh = Files.createTempDirectory("cas_spec2").toString
     IceLite.createNamespace(wh, "src")

@@ -88,6 +88,23 @@ class IngestJobSpec extends AnyFunSuite {
     assert(got == Seq(7, 8))
   }
 
+  test("expiry runs even when a run loads zero new files") {
+    // The reference expires snapshots on every invocation that lists
+    // source files, including steady-state no-new-data runs
+    // (extract_load.py:154-171).
+    val src = makeSource(Seq(Seq(1), Seq(2), Seq(3)))
+    val wh = Files.createTempDirectory("ingest_spec_wh").toString
+    IngestJob.run(spark, wh, "t", src, "incremental", retentionMs = -1)
+    val ref = IngestJob.tableRef(wh, "t")
+    assert(IceLite.readManifest(ref).snapshots.size == 1)
+    IceLite.append(ref, Seq(9).toDF("k")) // second snapshot to expire...
+    assert(IceLite.readManifest(ref).snapshots.size == 2)
+    // no new source files: still expires everything but current
+    val r = IngestJob.run(spark, wh, "t", src, "incremental", retentionMs = 0)
+    assert(r.filesLoaded.isEmpty)
+    assert(IceLite.readManifest(ref).snapshots.size == 1)
+  }
+
   test("post-load expiry (retention 0) keeps table content intact") {
     val src = makeSource(Seq(Seq(1), Seq(2), Seq(3)))
     val wh = Files.createTempDirectory("ingest_spec_wh").toString
