@@ -79,17 +79,22 @@ object LlmPack extends Pack {
     // unit test pins the semantics instead.
     Decl("c02_dedup_near_minhash",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         // signatures are the expensive stage — persist so the band
         // self-join and both shingle join-backs read it once, not 4×
         // (at 100 TB this is a materialized signatures table; Spark's
-        // ContextCleaner drops the blocks once the plan is GC'd)
+        // ContextCleaner drops the blocks once the plan is GC'd).
+        // minhash_sig is the native one-pass codegen'd signature
+        // (2 string hashes + k mult-adds per shingle) — the HOF
+        // formulation re-walked and re-hashed the shingle array k
+        // times in interpreted lambdas. No array_distinct: min() and
+        // array_intersect/union are duplicate-insensitive.
         val sig = docs(s, dir)
           .withColumn("toks", split($"text", " "))
           .filter(size($"toks") >= 3)
           .withColumn("shingles", expr(
-            "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
-          .withColumn("sig", expr(
-            "transform(sequence(0, 15), h -> array_min(transform(shingles, s -> xxhash64(s, h))))"))
+            "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .withColumn("sig", expr("minhash_sig(shingles, 16)"))
           .select($"doc_id", $"shingles", $"sig")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         lastSig.foreach(d => scala.util.Try(d.unpersist(blocking = false)))

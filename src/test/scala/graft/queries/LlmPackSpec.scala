@@ -99,6 +99,49 @@ class LlmPackSpec extends AnyFunSuite {
     assert(withNull.isEmpty, "null element must yield NULL")
   }
 
+  test("minhash_sig matches a scala reference one-pass minhash; NULL semantics pinned") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(shingles: Seq[String], k: Int): Seq[Long] = {
+      val mins = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        val u = UTF8String.fromString(s)
+        val h1 = XXH64.hashUTF8String(u, 42L)
+        val h2 = XXH64.hashUTF8String(u, h1)
+        var g = h1
+        (0 until k).foreach { j => if (g < mins(j)) mins(j) = g; g += h2 }
+      }
+      mins.toSeq
+    }
+    val data = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("x y z"),
+      Seq("a b c", "a b c", "b c d")) // dups must not change the minima
+    val got = data.toDF("sh")
+      .selectExpr("minhash_sig(sh, 16) AS sig").as[Seq[Long]].collect().toSeq
+    assert(got == data.map(reference(_, 16)))
+    assert(got(0) == reference(data(0).distinct, 16), "duplicate-insensitive")
+
+    // empty array and null element → NULL; null array → NULL
+    val nulls = spark.sql(
+      """SELECT minhash_sig(CAST(array() AS ARRAY<STRING>), 4) AS a,
+                minhash_sig(array('x', CAST(NULL AS STRING)), 4) AS b,
+                minhash_sig(CAST(NULL AS ARRAY<STRING>), 4) AS c""")
+      .selectExpr("a IS NULL", "b IS NULL", "c IS NULL")
+      .as[(Boolean, Boolean, Boolean)].collect().head
+    assert(nulls == ((true, true, true)))
+
+    // interpreted eval agrees with the codegen path
+    val e = graft.functions.MinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        data(0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)), 16)
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    assert(interp == reference(data(0), 16), "interpreted ≠ codegen")
+  }
+
   test("c10 IVF probes a subset yet finds high-cosine neighbors") {
     val ivf = LlmPack.queries("c10_sim_topk_ivf")(spark, sfDir)
       .select($"vec_id", $"cos").as[(Long, Double)].collect().toSeq
