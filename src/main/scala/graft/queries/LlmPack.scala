@@ -270,6 +270,84 @@ object LlmPack extends Pack {
       },
       None),
 
+    // c12: exact n-gram Jaccard near-dup via the inverted-index join —
+    // the relational formulation of set similarity: postings(gram →
+    // docs) self-join counts |A∩B| per pair in one shuffle on gram,
+    // never materializing the doc×doc product; |A∪B| = |A|+|B|−|A∩B|.
+    // Pair work is Σ_g df(g)² (2.8M at sf0.1, max df 25). At 100 TB
+    // the guard is a df cap / prefix filter on hot grams (or fall back
+    // to c02's LSH, which is this operator's approximate scale path).
+    Decl("c12_dedup_ngram_jaccard",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 3)
+        val grams = toks.select($"doc_id", explode(expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
+          .as("gram"))
+        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = grams.as("a").join(grams.as("b"),
+            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        // sizes is one row per doc — corpus-sized, so no explicit
+        // broadcast (AQE promotes it when it fits; at 100 TB these are
+        // shuffle joins on the pair keys)
+        inter
+          .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
+          .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
+          .withColumn("jaccard",
+            $"inter".cast("double") / (col("sa.n") + col("sb.n") - $"inter"))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                            FROM documents WHERE len(string_split(text, ' ')) >= 3),
+                  grams AS (SELECT DISTINCT doc_id,
+                              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)),
+                  sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                            FROM grams a JOIN grams b
+                              ON a.gram = b.gram AND a.doc_id < b.doc_id
+                            GROUP BY a.doc_id, b.doc_id)
+             SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+             FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                        JOIN sizes sb ON doc_b = sb.doc_id
+             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+             ORDER BY doc_a, doc_b""")),
+
+    // c13: embedding-cosine near-dup — threshold pairs, label-blocked
+    // like c05 (pair count Σ block², never N²); the native codegen'd
+    // cosine_sim scores candidates. At 100 TB blocking comes from
+    // c11's SimHash buckets instead of labels; the verification join
+    // is unchanged. Threshold 0.4 sits in the fixture's top tail
+    // (max intra-label cosine ≈ 0.475).
+    Decl("c13_dedup_embed_cosine",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = emb(s, dir)
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", expr("cosine_sim(a.embedding, b.embedding)"))
+          .filter($"cos" >= 0.4)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round($"cos", 6).as("cos"))
+          .orderBy($"vec_a", $"vec_b")
+      },
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND((list_aggregate(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum')))), 6) AS cos
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id < b.vec_id
+             WHERE (list_aggregate(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum')))) >= 0.4
+             ORDER BY vec_a, vec_b""")),
+
     // corpus term frequencies, top 100 — generator + hash agg + top-k
     Decl("c06_text_tokenize_counts",
       (s, dir) => docs(s, dir)

@@ -170,6 +170,49 @@ class LlmPackSpec extends AnyFunSuite {
     assert(pairs.head == (7L, 100000L, 1.0), s"planted dup not first: ${pairs.head}")
   }
 
+  test("c12 inverted-index Jaccard equals direct set Jaccard on planted docs") {
+    // planted: doc 100 = doc 0's text with the last token changed
+    // (high overlap), doc 101 = disjoint vocabulary (zero overlap)
+    val texts = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "k l m n o p q r s t"),
+      (100L, "a b c d e f g h i X"),
+      (101L, "u v w x y z u2 v2 w2 x2"))
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("jac_spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val got = LlmPack.queries("c12_dedup_ngram_jaccard")(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSeq
+    def shingle(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: String, b: String) = {
+      val (sa, sb) = (shingle(a), shingle(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val expect = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      j = jac(ta, tb) if j >= 0.5
+    } yield (ia, ib, math.rint(j * 1e4) / 1e4)).sortBy(p => (p._1, p._2))
+    assert(got == expect, s"got $got, expected $expect")
+    assert(got.exists(p => p._1 == 0L && p._2 == 100L), "missed planted near-dup")
+  }
+
+  test("c13 finds a planted duplicate embedding with cosine 1.0") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val dup = e.filter($"vec_id" === 3)
+      .select(lit(200000L).as("vec_id"), $"embedding", $"label")
+    val planted = e.select($"vec_id", $"embedding", $"label").unionByName(dup)
+    val tmp = java.nio.file.Files.createTempDirectory("embdup_spec").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val pairs = LlmPack.queries("c13_dedup_embed_cosine")(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.contains((3L, 200000L, 1.0)), s"planted dup missing: $pairs")
+    assert(pairs.forall(p => p._3 >= 0.4 && p._3 <= 1.0))
+  }
+
   test("c09 centroids: n sums back to table size per position") {
     val rows = LlmPack.queries("c09_vector_stats")(spark, sfDir)
       .groupBy($"pos").agg(sum($"n").as("total"))
