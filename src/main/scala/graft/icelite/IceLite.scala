@@ -40,7 +40,8 @@ final case class Snapshot(
     operation: String,            // "create" | "replace" | "append"
     files: Seq[String],           // data files, relative to table dir
     rowCount: Long,
-    fileStats: Map[String, Seq[ColStats]] = Map.empty)
+    fileStats: Map[String, Seq[ColStats]] = Map.empty,
+    partitionCol: Option[String] = None) // Hive-style layout when set
 
 final case class Manifest(
     table: String,
@@ -303,6 +304,130 @@ object IceLite {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Stage with Hive-style partition layout. Files land in SHARED
+    * per-value dirs `data/part/<col>=<value>/<token>-part-*.parquet`
+    * (token-prefixed names keep concurrent commits collision-free) —
+    * the same multi-commit-per-partition-dir layout Hive/Iceberg use.
+    * A single shared root matters: Spark's partition discovery rejects
+    * `<col>=<v>` dirs scattered under per-commit token dirs as
+    * CONFLICTING_DIRECTORY_STRUCTURES. Returns table-relative paths
+    * including the partition segment. */
+  private def stagePartitioned(ref: TableRef, df: DataFrame,
+      partitionCol: String): Seq[String] = {
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmpDir = ref.dataDir.resolve(s".stage-$token")
+    // one task per partition value (repartition on the column) → one
+    // file per value instead of files × tasks small-file spray; this
+    // is also the write shape that scales (each partition dir is
+    // written sequentially by its owning task)
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(tmpDir.toString)
+    val staged = listDir(Files.walk(tmpDir))(_
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .toSeq)
+      .map { p =>
+        val valueDir = p.getParent.getFileName.toString // <col>=<value>
+        val dest = ref.dataDir.resolve("part").resolve(valueDir)
+          .resolve(s"$token-${p.getFileName}")
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest)
+        ref.dir.relativize(dest).toString
+      }.sorted
+    // drop the now-empty staging skeleton
+    listDir(Files.walk(tmpDir))(_.toSeq).sortBy(-_.getNameCount)
+      .foreach(Files.deleteIfExists(_))
+    staged
+  }
+
+  /** a10 variant: atomic full refresh written with a Hive-style
+    * partition layout; the snapshot records the partition column so
+    * reads can prune at the manifest level (Iceberg identity-partition
+    * semantics). `statsCols` must be data columns (the partition
+    * column lives in the path, not the files). */
+  def createOrReplacePartitioned(ref: TableRef, df: DataFrame,
+      partitionCol: String, statsCols: Seq[String] = Nil): Snapshot = {
+    Files.createDirectories(ref.dataDir)
+    val files = stagePartitioned(ref, df, partitionCol)
+    val rows = readFiles(df.sparkSession, ref, files).count()
+    val stats = collectStats(df.sparkSession, ref, files, statsCols)
+    commitCAS(ref) { cur =>
+      val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
+      val op = if (cur.isDefined) "replace" else "create"
+      val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows,
+        stats, Some(partitionCol))
+      Manifest(ref.name, id, cur.map(_.snapshots).getOrElse(Seq.empty) :+ snap)
+    }.current
+  }
+
+  /** a11 variant: partitioned append. The partition column must match
+    * the current snapshot's (Iceberg would call this a partition-spec
+    * mismatch). */
+  def appendPartitioned(ref: TableRef, df: DataFrame,
+      partitionCol: String, statsCols: Seq[String] = Nil): Snapshot = {
+    Files.createDirectories(ref.dataDir)
+    val newFiles = stagePartitioned(ref, df, partitionCol)
+    val rows = readFiles(df.sparkSession, ref, newFiles).count()
+    val stats = collectStats(df.sparkSession, ref, newFiles, statsCols)
+    commitCAS(ref) { cur =>
+      val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
+      cur match {
+        case None =>
+          val snap = Snapshot(id, System.currentTimeMillis(), "create",
+            newFiles, rows, stats, Some(partitionCol))
+          Manifest(ref.name, id, Seq(snap))
+        case Some(m) =>
+          require(m.current.partitionCol.contains(partitionCol),
+            s"partition-spec mismatch: table is partitioned by " +
+              s"${m.current.partitionCol}, append by $partitionCol")
+          val snap = Snapshot(id, System.currentTimeMillis(), "append",
+            m.current.files ++ newFiles, m.current.rowCount + rows,
+            m.current.fileStats ++ stats, Some(partitionCol))
+          Manifest(ref.name, id, m.snapshots :+ snap)
+      }
+    }.current
+  }
+
+  private def escapePartitionValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  /** Partition pruning at the manifest level: keep only files whose
+    * `<col>=<value>` path segment matches one of `values`. Like
+    * prunedFiles, this happens BEFORE plan construction — at 100 TB
+    * unmatched partitions are never even listed to Spark. */
+  def partitionPrunedFiles(ref: TableRef, values: Set[String]): Seq[String] = {
+    val snap = readManifest(ref).current
+    val pcol = snap.partitionCol.getOrElse(throw new IllegalStateException(
+      s"${ref.name} is not partitioned"))
+    val dirs = values.map(v => s"$pcol=${escapePartitionValue(v)}")
+    snap.files.filter(_.split('/').exists(dirs.contains))
+  }
+
+  /** Read the current snapshot of a partitioned table; the partition
+    * column is reconstructed from the directory layout (basePath-
+    * anchored discovery). */
+  def readPartitioned(spark: SparkSession, ref: TableRef): DataFrame =
+    readPartitionedFiles(spark, ref, readManifest(ref).current.files)
+
+  /** Read only the partitions in `values` (manifest-pruned). Dir-name
+    * equality on the escaped value is exact, so no residual filter is
+    * needed. */
+  def readPartitionPruned(spark: SparkSession, ref: TableRef,
+      values: Set[String]): DataFrame = {
+    val files = partitionPrunedFiles(ref, values)
+    if (files.isEmpty) readPartitioned(spark, ref).limit(0)
+    else readPartitionedFiles(spark, ref, files)
+  }
+
+  private def readPartitionedFiles(spark: SparkSession, ref: TableRef,
+      files: Seq[String]): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", ref.dataDir.resolve("part").toString)
+      .parquet(files.map(f => ref.dir.resolve(f).toString): _*)
 
   /** Manifest-level file pruning: resolve only the files whose
     * [min,max] range for `col` intersects [lo,hi]; files without

@@ -125,6 +125,39 @@ object ScalePack extends Pack {
                SELECT o_orderkey, 1.0 AS o_totalprice FROM orders
                WHERE o_orderkey >= 500 AND o_orderkey < 1200)""")),
 
+    // d05 proves PARTITION pruning end-to-end (the companion to d01's
+    // min/max stats pruning): a Hive-layout write partitioned by
+    // l_returnflag, then a read that resolves only partition A's files
+    // from the manifest — the other partitions are never listed to
+    // Spark. At 100 TB identity partitioning on a low-cardinality
+    // column is the first-line scan killer; min/max stats (d01) cover
+    // the high-cardinality keys within each partition.
+    Decl("d05_partition_pruned_scan",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d05").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_p")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 2000)
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity")
+        IceLite.createOrReplacePartitioned(ref, l, "l_returnflag")
+        val total = IceLite.readManifest(ref).current.files.size.toLong
+        val kept = IceLite.partitionPrunedFiles(ref, Set("A")).size.toLong
+        IceLite.readPartitionPruned(s, ref, Set("A"))
+          .groupBy($"l_returnflag".cast("string").as("l_returnflag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum($"l_quantity"), 2).as("sum_qty"))
+          .withColumn("files_pruned_away", lit(total - kept))
+          .orderBy($"l_returnflag")
+      },
+      // one file per returnflag value (repartition-by-column write),
+      // 3 values in lineitem → pruning to A skips exactly 2 files
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(2 AS BIGINT) AS files_pruned_away
+             FROM lineitem
+             WHERE l_orderkey < 2000 AND l_returnflag = 'A'
+             GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

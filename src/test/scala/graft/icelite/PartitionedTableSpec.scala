@@ -1,0 +1,87 @@
+package graft.icelite
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Partitioned writes + manifest-level partition pruning (the Iceberg
+  * identity-partition role; ROADMAP round-3 item). */
+class PartitionedTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mk(): (String, TableRef) = {
+    val wh = Files.createTempDirectory("part_spec").toString
+    IceLite.createNamespace(wh, "src")
+    (wh, TableRef(wh, "src", "t"))
+  }
+
+  test("partitioned write lays out col=value dirs; read reconstructs the column") {
+    val (_, ref) = mk()
+    val df = Seq((1, "A", 10.0), (2, "B", 20.0), (3, "A", 30.0), (4, "C", 5.0))
+      .toDF("k", "flag", "x")
+    IceLite.createOrReplacePartitioned(ref, df, "flag")
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionCol.contains("flag"))
+    assert(snap.files.size == 3, s"expected one file per value: ${snap.files}")
+    assert(snap.files.forall(_.matches("data/part/flag=[ABC]/[0-9a-f]{8}-.+\\.parquet")),
+      s"unexpected layout: ${snap.files}")
+    val got = IceLite.readPartitioned(spark, ref)
+      .select($"k", $"flag", $"x").as[(Int, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "A", 10.0), (2, "B", 20.0), (3, "A", 30.0), (4, "C", 5.0)))
+  }
+
+  test("partition pruning selects only matching files; pruned read ≡ full read + filter") {
+    val (_, ref) = mk()
+    val df = (1 to 100).map(i => (i, if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else "C", i * 1.5))
+      .toDF("k", "flag", "x")
+    IceLite.createOrReplacePartitioned(ref, df, "flag")
+    val kept = IceLite.partitionPrunedFiles(ref, Set("A"))
+    assert(kept.size == 1 && kept.head.contains("flag=A"))
+    val pruned = IceLite.readPartitionPruned(spark, ref, Set("A"))
+      .select($"k").as[Int].collect().sorted.toSeq
+    val full = IceLite.readPartitioned(spark, ref)
+      .filter($"flag" === "A").select($"k").as[Int].collect().sorted.toSeq
+    assert(pruned == full && pruned == (3 to 99 by 3).toSeq)
+  }
+
+  test("partitioned append accumulates partitions across tokens; spec mismatch rejected") {
+    val (_, ref) = mk()
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1, "A"), (2, "B")).toDF("k", "flag"), "flag")
+    IceLite.appendPartitioned(ref,
+      Seq((3, "A"), (4, "C")).toDF("k", "flag"), "flag")
+    val got = IceLite.readPartitioned(spark, ref)
+      .select($"k", $"flag").as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "A"), (2, "B"), (3, "A"), (4, "C")))
+    // pruning spans both tokens
+    val a = IceLite.readPartitionPruned(spark, ref, Set("A"))
+      .select($"k").as[Int].collect().sorted.toSeq
+    assert(a == Seq(1, 3))
+    intercept[IllegalArgumentException] {
+      IceLite.appendPartitioned(ref, Seq((5, "A")).toDF("k", "other"), "other")
+    }
+  }
+
+  test("special characters in partition values round-trip through escaping") {
+    val (_, ref) = mk()
+    val df = Seq((1, "a/b"), (2, "c:d"), (3, "plain")).toDF("k", "flag")
+    IceLite.createOrReplacePartitioned(ref, df, "flag")
+    val got = IceLite.readPartitionPruned(spark, ref, Set("a/b"))
+      .select($"k", $"flag".cast("string")).as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a/b")))
+  }
+
+  test("time travel works on partitioned snapshots") {
+    val (_, ref) = mk()
+    val s1 = IceLite.createOrReplacePartitioned(ref,
+      Seq((1, "A")).toDF("k", "flag"), "flag")
+    IceLite.appendPartitioned(ref, Seq((2, "B")).toDF("k", "flag"), "flag")
+    // readAt uses the plain file reader (no partition col); count is
+    // still snapshot-accurate
+    assert(IceLite.readAt(spark, ref, s1.id).count() == 1)
+    assert(IceLite.readPartitioned(spark, ref).count() == 2)
+  }
+}
