@@ -33,6 +33,9 @@ object LlmPack extends Pack {
     * next invocation (the current one backs the returned lazy plan). */
   @volatile private var lastSig: Option[DataFrame] = None
 
+  /** c12's most recent persisted postings stage (same lifecycle). */
+  @volatile private var lastGrams: Option[DataFrame] = None
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
@@ -282,9 +285,15 @@ object LlmPack extends Pack {
         val toks = docs(s, dir)
           .withColumn("toks", split($"text", " "))
           .filter(size($"toks") >= 3)
+        // postings are consumed 4× (join a/b sides, sizes for both
+        // pair ends) — persist so the corpus is shingled once, not 4×
+        // (at 100 TB this is a materialized postings table)
         val grams = toks.select($"doc_id", explode(expr(
             "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
           .as("gram"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lastGrams.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
+        lastGrams = Some(grams)
         val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val inter = grams.as("a").join(grams.as("b"),
             col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))

@@ -243,6 +243,53 @@ object StreamPack extends Pack {
       Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
              FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // s09 (builder extension): generator-source streaming — the
+    // rate-micro-batch source is the offline stand-in for a
+    // Kafka-style unbounded feed (no broker exists in this env). The
+    // source is DETERMINISTIC: batch b carries values
+    // [b·rowsPerBatch, (b+1)·rowsPerBatch) at timestamp
+    // startTimestamp + b·advanceMillisPerBatch, so the whole stream is
+    // pure arithmetic and the oracle regenerates it with range().
+    // The in-stream filter (value < 5000) makes overshoot batches
+    // contribute nothing — the drained complete-mode aggregate is
+    // exact no matter when the query is stopped past batch 4.
+    Decl("s09_stream_rate_source",
+      (s, dir) => {
+        val src = s.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", 1000)
+          .option("numPartitions", 4)
+          .option("startTimestamp", 0L)
+          .option("advanceMillisPerBatch", 60000)
+          .load()
+        val q = src.filter(col("value") < 5000)
+          .groupBy(window(col("timestamp"), "2 minutes").as("w"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("value")).cast("long").as("sum_v"))
+          .writeStream.format("memory").queryName("s09_sink")
+          .outputMode("complete")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s09").toString)
+          .start()
+        // drain exactly the first 5 batches (values 0..4999); later
+        // batches are filtered out in-stream, so overshoot is harmless
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while ((q.lastProgress == null || q.lastProgress.batchId < 4) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        q.stop()
+        require(q.lastProgress != null && q.lastProgress.batchId >= 4,
+          "rate stream never reached batch 4")
+        s.table("s09_sink")
+          .select(col("w.start").cast("long").as("wstart"), col("n"), col("sum_v"))
+          .orderBy(col("wstart"))
+      },
+      // regenerate the source arithmetically: value v is in batch
+      // v/1000 at epoch-second (v/1000)*60, window = 120s buckets
+      Some("""SELECT CAST(((v // 1000) * 60 // 120) * 120 AS BIGINT) AS wstart,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sum_v
+             FROM (SELECT unnest(range(5000)) AS v)
+             GROUP BY 1 ORDER BY wstart""")),
+
     // s07: foreachBatch into the IceLite table layer — the streaming
     // form of a11 append-with-snapshot (extract_load.py:100-110)
     Decl("s07_stream_foreachbatch_sink",
