@@ -76,7 +76,8 @@ object IngestJob {
     * current snapshot. */
   def run(spark: SparkSession, warehouse: String, table: String,
       sourceDir: String, loadType: String,
-      retentionMs: Long = 3L * 24 * 3600 * 1000): Result = {
+      retentionMs: Long = 3L * 24 * 3600 * 1000,
+      partitionCol: Option[String] = None): Result = {
     require(loadType == "full" || loadType == "incremental",
       s"load_type must be full|incremental, got $loadType")
 
@@ -111,12 +112,20 @@ object IngestJob {
     val df = spark.read.parquet(toLoad.map(f => s"$sourceDir/$f"): _*)
     val rows = df.count()                                          // a07
 
-    val snap = loadType match {
-      case "full" => IceLite.createOrReplace(ref, df)              // a10
-      case "incremental" =>
-        val s = IceLite.append(ref, df)                            // a11
+    // partitionCol opts the target table into the Hive-style layout
+    // (Iceberg identity partitioning) — same snapshot/commit semantics,
+    // plus manifest-level partition pruning on reads
+    val snap = (loadType, partitionCol) match {
+      case ("full", None)    => IceLite.createOrReplace(ref, df)   // a10
+      case ("full", Some(p)) => IceLite.createOrReplacePartitioned(ref, df, p)
+      case ("incremental", pc) =>
+        val s = pc match {
+          case None    => IceLite.append(ref, df)                  // a11
+          case Some(p) => IceLite.appendPartitioned(ref, df, p)
+        }
         saveLoadedFiles(spark, warehouse, table, toLoad)           // a06
         s
+      case _ => throw new IllegalStateException("unreachable")
     }
 
     if (retentionMs >= 0)                                          // a12

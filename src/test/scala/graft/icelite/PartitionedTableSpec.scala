@@ -74,6 +74,33 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(got == Seq((1, "a/b")))
   }
 
+  test("partitioned incremental ingest ≡ full content; pruning works on ingested table") {
+    val spark2 = spark
+    import java.nio.file.Paths
+    // two source files with mixed flags
+    val src = Files.createTempDirectory("part_ingest_src").toString
+    Seq(Seq((1, "A"), (2, "B")), Seq((3, "A"), (4, "C"))).zipWithIndex.foreach {
+      case (rows, i) =>
+        val staging = Files.createTempDirectory("part_ingest_stage")
+        rows.toDF("k", "flag").coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(staging).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        Files.move(part, Paths.get(src, f"f_$i%03d.parquet"))
+    }
+    val wh = Files.createTempDirectory("part_ingest_wh").toString
+    IngestJob.run(spark2, wh, "t", src, "incremental", retentionMs = -1,
+      partitionCol = Some("flag"))
+    val ref = IngestJob.tableRef(wh, "t")
+    assert(IceLite.readManifest(ref).current.partitionCol.contains("flag"))
+    val all = IceLite.readPartitioned(spark2, ref)
+      .select($"k", $"flag").as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(all == Seq((1, "A"), (2, "B"), (3, "A"), (4, "C")))
+    val a = IceLite.readPartitionPruned(spark2, ref, Set("A"))
+      .select($"k").as[Int].collect().sorted.toSeq
+    assert(a == Seq(1, 3))
+  }
+
   test("time travel works on partitioned snapshots") {
     val (_, ref) = mk()
     val s1 = IceLite.createOrReplacePartitioned(ref,
