@@ -158,6 +158,55 @@ object ScalePack extends Pack {
              WHERE l_orderkey < 2000 AND l_returnflag = 'A'
              GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // d06: dim-driven partition pruning — the dynamic-partition-
+    // pruning pattern over the manifest layer. The dim side
+    // (nation⋈region, filtered) is evaluated FIRST and its keys —
+    // dim results are tiny, this is the same driver-side value set
+    // Spark's own DPP pipes through a subquery broadcast — prune the
+    // partitioned fact's file list before the fact scan is even
+    // planned. At 100 TB the fact partitions outside the dim filter
+    // are never listed, the remaining join broadcasts the dim.
+    Decl("d06_dim_pruned_join",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d06").toString
+        val ref = IngestJob.tableRef(wh, "customer_p")
+        IceLite.createNamespace(wh, "src")
+        val c = Tables.load(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+        IceLite.createOrReplacePartitioned(ref, c, "c_nationkey")
+        val dim = Tables.load(s, dir, "nation")
+          .join(Tables.load(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "ASIA")
+          .select($"n_nationkey", $"n_name")
+        val keys = dim.select($"n_nationkey").collect()
+          .map(_.get(0).toString).toSet
+        val total = IceLite.readManifest(ref).current.files.size.toLong
+        val files = IceLite.partitionPrunedFiles(ref, keys)
+        IceLite.readPartitionPruned(s, ref, keys)
+          .withColumn("c_nationkey", $"c_nationkey".cast("long"))
+          .join(broadcast(dim), $"c_nationkey" === $"n_nationkey".cast("long"))
+          .groupBy($"n_name")
+          .agg(count(lit(1)).cast("long").as("n_cust"),
+            dsum($"c_acctbal", 2).as("sum_bal"))
+          .withColumn("files_pruned_away", lit(total - files.size.toLong))
+          .orderBy($"n_name")
+      },
+      // one file per nationkey present in customer → pruned-away =
+      // distinct nationkeys minus the ASIA ones that appear
+      Some("""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+             (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer)
+               - (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer
+                  WHERE c_nationkey IN (
+                    SELECT n_nationkey FROM nation JOIN region
+                    ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'))
+               AS files_pruned_away
+             FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'
+             GROUP BY n_name ORDER BY n_name""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across
