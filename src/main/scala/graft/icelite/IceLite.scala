@@ -149,6 +149,20 @@ object IceLite {
       .map(n => s"data/$token/$n")
   }
 
+  /** Exact row count from parquet footers, driver-side — no Spark job.
+    * This is how Iceberg itself records manifest row counts: the file
+    * metadata is authoritative, and for a freshly staged commit it
+    * replaces a full scan-and-count job per commit. */
+  private def countRowsFromFooters(ref: TableRef, files: Seq[String]): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Collect per-file min/max for the requested numeric columns in ONE
     * Spark job: scan all staged files together, group by
     * input_file_name(). The result is metadata-sized (files × cols
@@ -189,7 +203,7 @@ object IceLite {
       statsCols: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val files = stage(ref, df)
-    val rows = readFiles(df.sparkSession, ref, files).count()
+    val rows = countRowsFromFooters(ref, files)
     val stats = collectStats(df.sparkSession, ref, files, statsCols)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
@@ -206,7 +220,7 @@ object IceLite {
       statsCols: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val newFiles = stage(ref, df)
-    val rows = readFiles(df.sparkSession, ref, newFiles).count()
+    val rows = countRowsFromFooters(ref, newFiles)
     val stats = collectStats(df.sparkSession, ref, newFiles, statsCols)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
@@ -275,7 +289,7 @@ object IceLite {
           // v1 instead loops back into the normal merge path against
           // the now-existing table.
           val files = stage(ref, updates)
-          val rows = readFiles(spark, ref, files).count()
+          val rows = countRowsFromFooters(ref, files)
           val stats = collectStats(spark, ref, files, statsCols)
           val snap = Snapshot(1L, System.currentTimeMillis(), "create",
             files, rows, stats)
@@ -292,7 +306,7 @@ object IceLite {
           // missing sides surface null, matching mergeSchema reads
           val files = stage(ref,
             updates.unionByName(survivors, allowMissingColumns = true))
-          val rows = readFiles(spark, ref, files).count()
+          val rows = countRowsFromFooters(ref, files)
           val stats = collectStats(spark, ref, files, statsCols)
           val id = base.snapshots.map(_.id).max + 1
           val snap = Snapshot(id, System.currentTimeMillis(), "replace",
@@ -352,7 +366,7 @@ object IceLite {
       partitionCol: String, statsCols: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val files = stagePartitioned(ref, df, partitionCol)
-    val rows = readFiles(df.sparkSession, ref, files).count()
+    val rows = countRowsFromFooters(ref, files)
     val stats = collectStats(df.sparkSession, ref, files, statsCols)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
@@ -370,7 +384,7 @@ object IceLite {
       partitionCol: String, statsCols: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val newFiles = stagePartitioned(ref, df, partitionCol)
-    val rows = readFiles(df.sparkSession, ref, newFiles).count()
+    val rows = countRowsFromFooters(ref, newFiles)
     val stats = collectStats(df.sparkSession, ref, newFiles, statsCols)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
