@@ -319,6 +319,64 @@ object IceLite {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Compaction — Iceberg's `rewrite_data_files` role. Rewrites the
+    * current snapshot's many small files into `targetFiles` large ones
+    * as a new "replace" snapshot: content-identical, time-travelable,
+    * and conflict-validated like merge (the commit claims exactly the
+    * version it compacted against; a lost race recomputes on the
+    * winner's file list, so no concurrent append's rows are dropped).
+    * Stats columns are re-derived from the current snapshot's
+    * fileStats, so min/max pruning survives compaction. Partitioned
+    * tables re-stage through the partition layout (one file per value
+    * per compaction). Old files stay on disk until snapshot expiry
+    * reclaims them — steady-state ELT is append-small-files +
+    * periodic compact + expire, the standard lakehouse maintenance
+    * loop for the small-file problem at scale. */
+  def compact(spark: SparkSession, ref: TableRef, targetFiles: Int = 1): Snapshot = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    // exact-path unstage (safe for both layouts — merge's token-dir
+    // unstage would delete the SHARED data/part dir on partitioned
+    // tables)
+    def unstageExact(files: Seq[String]): Unit =
+      files.foreach(f => scala.util.Try(Files.deleteIfExists(ref.dir.resolve(f))))
+    def tryCommit(version: Long, next: Manifest, files: Seq[String]): Boolean = {
+      val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
+      Files.writeString(tmp, Serialization.writePretty(next))
+      try {
+        Files.createLink(manifestPathFor(ref, version), tmp)
+        Files.deleteIfExists(tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          unstageExact(files) // stale base: recompute on winner's state
+          false
+      }
+    }
+    while (true) {
+      val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val cur = base.current
+      val statsCols = cur.fileStats.values.flatten.map(_.col).toSeq.distinct.sorted
+      val files = cur.partitionCol match {
+        case Some(p) =>
+          stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files), p)
+        case None =>
+          stage(ref, readFiles(spark, ref, cur.files).repartition(targetFiles))
+      }
+      val rows = countRowsFromFooters(ref, files)
+      val stats = collectStats(spark, ref, files, statsCols)
+      val id = base.snapshots.map(_.id).max + 1
+      val snap = Snapshot(id, System.currentTimeMillis(), "replace",
+        files, rows, stats, cur.partitionCol)
+      if (tryCommit(baseVersion + 1,
+          Manifest(ref.name, id, base.snapshots :+ snap), files))
+        return snap
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Stage with Hive-style partition layout. Files land in SHARED
     * per-value dirs `data/part/<col>=<value>/<token>-part-*.parquet`
     * (token-prefixed names keep concurrent commits collision-free) —

@@ -207,6 +207,39 @@ object ScalePack extends Pack {
              WHERE r_name = 'ASIA'
              GROUP BY n_name ORDER BY n_name""")),
 
+    // d07: compaction — the steady-state lakehouse maintenance loop.
+    // Four appends leave the table as many small files (the
+    // small-file problem every per-batch ingest accumulates); compact
+    // rewrites them into one as a conflict-validated replace snapshot,
+    // with content and min/max pruning stats preserved. At 100 TB this
+    // runs per-partition on a schedule, and expiry reclaims the
+    // superseded files.
+    Decl("d07_compaction",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d07").toString
+        val ref = IngestJob.tableRef(wh, "orders_c")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        (0 until 4).foreach { i =>
+          val slice = o.filter($"o_orderkey" % 4 === i).repartition(3)
+          if (i == 0) IceLite.createOrReplace(ref, slice, statsCols = Seq("o_orderkey"))
+          else IceLite.append(ref, slice, statsCols = Seq("o_orderkey"))
+        }
+        val filesBefore = IceLite.readManifest(ref).current.files.size.toLong
+        val snap = IceLite.compact(s, ref)
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("files_before_gt_after", lit(filesBefore > snap.files.size))
+          .withColumn("files_after", lit(snap.files.size.toLong))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS files_before_gt_after,
+             CAST(1 AS BIGINT) AS files_after
+             FROM orders""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -101,6 +101,45 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(a == Seq(1, 3))
   }
 
+  test("compact rewrites many small files into one; content and stats survive") {
+    val (_, ref) = mk()
+    val spark2 = spark
+    (0 until 4).foreach { i =>
+      val df = ((i * 25) until ((i + 1) * 25)).map(k => (k, k * 1.5)).toDF("k", "x")
+      if (i == 0) IceLite.createOrReplace(ref, df.repartition(3), statsCols = Seq("k"))
+      else IceLite.append(ref, df.repartition(3), statsCols = Seq("k"))
+    }
+    val before = IceLite.readManifest(ref).current
+    assert(before.files.size >= 8, s"setup should create many files: ${before.files.size}")
+    val snap = IceLite.compact(spark2, ref)
+    assert(snap.files.size == 1, s"expected 1 compacted file: ${snap.files}")
+    assert(snap.rowCount == 100 && snap.operation == "replace")
+    val got = IceLite.read(spark2, ref).select($"k").as[Int].collect().sorted.toSeq
+    assert(got == (0 until 100).toSeq, "compaction changed table content")
+    // stats re-derived: pruning still skips nothing incorrectly
+    assert(snap.fileStats.nonEmpty, "compaction dropped pruning stats")
+    val pruned = IceLite.readPruned(spark2, ref, "k", 10, 20)
+      .select($"k").as[Int].collect().sorted.toSeq
+    assert(pruned == (10 to 20).toSeq)
+    // previous snapshots still time-travelable until expiry
+    assert(IceLite.readAt(spark2, ref, before.id).count() == 100)
+  }
+
+  test("compact on a partitioned table keeps layout and pruning") {
+    val (_, ref) = mk()
+    val spark2 = spark
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1, "A"), (2, "B")).toDF("k", "flag"), "flag")
+    IceLite.appendPartitioned(ref, Seq((3, "A"), (4, "B")).toDF("k", "flag"), "flag")
+    assert(IceLite.readManifest(ref).current.files.size == 4)
+    val snap = IceLite.compact(spark2, ref)
+    assert(snap.files.size == 2, s"one file per value expected: ${snap.files}")
+    assert(snap.partitionCol.contains("flag"))
+    val a = IceLite.readPartitionPruned(spark2, ref, Set("A"))
+      .select($"k").as[Int].collect().sorted.toSeq
+    assert(a == Seq(1, 3))
+  }
+
   test("time travel works on partitioned snapshots") {
     val (_, ref) = mk()
     val s1 = IceLite.createOrReplacePartitioned(ref,
