@@ -42,6 +42,50 @@ object RelationalPack extends Pack {
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+    // b62: CSV source/sink round-trip — schema-explicit read-back (no
+    // inference job at scale), doubles survive via Spark's
+    // shortest-representation rendering. Aggregation uses the
+    // decimal-exact pattern so the oracle (computed from the parquet
+    // source) matches bit-for-bit.
+    Decl("b62_csv_roundtrip",
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_b62").toString
+        val slice = li(s, dir).filter($"l_orderkey" < 1000)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        slice.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(slice.schema).option("header", "true").csv(out)
+          .groupBy($"l_linenumber".cast("long").as("l_linenumber"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            dsum($"l_extendedprice", 2).as("sum_price"))
+          .orderBy($"l_linenumber")
+      },
+      Some("""SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM lineitem WHERE l_orderkey < 1000
+             GROUP BY 1 ORDER BY l_linenumber""")),
+
+    // b63: JSON-lines source/sink round-trip (the Airbyte payload
+    // format the reference ingests) — schema-explicit read-back
+    Decl("b63_json_roundtrip",
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_b63").toString
+        val slice = ord(s, dir).filter($"o_orderkey" < 2000)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        slice.write.mode("overwrite").json(out)
+        s.read.schema(slice.schema).json(out)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 2).as("sum_price"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM orders WHERE o_orderkey < 2000
+             GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // catalog op (extract_load.py:87): list registered tables; no
     // oracle (driver records rows-only)
     Decl("b04_catalog_tables",
