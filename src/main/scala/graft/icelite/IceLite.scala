@@ -553,6 +553,45 @@ object IceLite {
     else readFiles(spark, ref, snap.files)
   }
 
+  /** Orphan-file GC (Iceberg's remove_orphan_files role): delete data
+    * files referenced by NO snapshot in the manifest — the residue of
+    * writers that crashed between staging and their CAS claim, which
+    * expiry can never reclaim (it only deletes files referenced by
+    * expired snapshots). `graceMs` protects in-flight commits: files
+    * younger than the grace window are kept even if unreferenced,
+    * because a concurrent writer stages BEFORE it claims a version.
+    * Returns the deleted table-relative paths. */
+  def gcOrphans(ref: TableRef, graceMs: Long = 3600L * 1000): Seq[String] = {
+    val referenced = readManifest(ref).snapshots.flatMap(_.files).toSet
+    if (!Files.exists(ref.dataDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
+    // only DATA files (same rule as stage()'s listing): Spark's
+    // _SUCCESS / .crc markers beside committed files are not orphans
+    val orphans = listDir(Files.walk(ref.dataDir))(_
+      .filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
+      .map(p => (p, ref.dir.relativize(p).toString))
+      .filter { case (p, rel) =>
+        !referenced(rel) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      }
+      .toSeq)
+    orphans.foreach { case (p, _) => Files.deleteIfExists(p) }
+    // sweep now-empty dirs (staging skeletons, emptied token dirs)
+    listDir(Files.walk(ref.dataDir))(_
+      .filter(p => Files.isDirectory(p) && p != ref.dataDir)
+      .toSeq).sortBy(-_.getNameCount)
+      .foreach { d =>
+        scala.util.Try {
+          if (listDir(Files.list(d))(_.isEmpty)) Files.deleteIfExists(d)
+        }
+      }
+    orphans.map(_._2).sorted
+  }
+
   /** a12/a13: expire snapshots older than `cutoffMs`, always keeping
     * the current one; delete data files referenced by no surviving
     * snapshot (extract_load.py:167-171; README.md:111 7d variant). */

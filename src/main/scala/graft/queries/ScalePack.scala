@@ -240,6 +240,37 @@ object ScalePack extends Pack {
              CAST(1 AS BIGINT) AS files_after
              FROM orders""")),
 
+    // d08: orphan-file GC — the crash-recovery companion to d07.
+    // Writers stage data BEFORE their CAS claim, so a crash leaves
+    // files no manifest references; expiry can never reclaim them.
+    // gcOrphans deletes exactly the unreferenced data files (outside
+    // the in-flight grace window) and leaves every referenced file —
+    // committed content and time travel are untouched.
+    Decl("d08_orphan_gc",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d08").toString
+        val ref = IngestJob.tableRef(wh, "orders_g")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
+        // simulate a crashed writer's residue
+        val dead = ref.dataDir.resolve("deadbeef")
+        Files.createDirectories(dead)
+        java.nio.file.Files.write(dead.resolve("part-00000-crashed.parquet"),
+          Array[Byte](0x50, 0x41, 0x52, 0x31))
+        val deleted = IceLite.gcOrphans(ref, graceMs = 0L).size.toLong
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("orphans_deleted", lit(deleted))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             CAST(1 AS BIGINT) AS orphans_deleted
+             FROM orders WHERE o_orderkey < 2000""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -1,0 +1,65 @@
+package graft.icelite
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Orphan-file GC: reclaims staged-but-never-committed residue without
+  * touching any referenced file (Iceberg remove_orphan_files role). */
+class IceLiteGcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mk(): TableRef = {
+    val wh = Files.createTempDirectory("gc_spec").toString
+    IceLite.createNamespace(wh, "src")
+    TableRef(wh, "src", "t")
+  }
+
+  test("gcOrphans deletes unreferenced files, keeps every referenced one") {
+    val ref = mk()
+    IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
+    IceLite.append(ref, Seq(3).toDF("k"))
+    // simulate a crashed writer: a staged token dir no manifest knows
+    val orphanDir = ref.dataDir.resolve("deadbeef")
+    Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-00000-crashed.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+
+    val deleted = IceLite.gcOrphans(ref, graceMs = 0L)
+    assert(deleted == Seq("data/deadbeef/part-00000-crashed.parquet"))
+    assert(!Files.exists(orphan) && !Files.exists(orphanDir),
+      "orphan and its emptied dir should be gone")
+    // table intact, including time travel to the first snapshot
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    val m = IceLite.readManifest(ref)
+    assert(IceLite.readAt(spark, ref, m.snapshots.head.id).count() == 2)
+  }
+
+  test("grace window protects in-flight staged files") {
+    val ref = mk()
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    val freshDir = ref.dataDir.resolve("inflight1")
+    Files.createDirectories(freshDir)
+    Files.write(freshDir.resolve("part-00000-x.parquet"), Array[Byte](1))
+    // default-like grace: the just-written file must survive
+    val deleted = IceLite.gcOrphans(ref, graceMs = 60000L)
+    assert(deleted.isEmpty, s"in-flight file was reclaimed: $deleted")
+    assert(Files.exists(freshDir.resolve("part-00000-x.parquet")))
+  }
+
+  test("gcOrphans handles partitioned layout (shared value dirs)") {
+    val ref = mk()
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1, "A"), (2, "B")).toDF("k", "flag"), "flag")
+    // orphan inside a SHARED partition dir — the dir must survive
+    val aDir = ref.dataDir.resolve("part").resolve("flag=A")
+    Files.write(aDir.resolve("00000000-part-crashed.parquet"), Array[Byte](1))
+    val deleted = IceLite.gcOrphans(ref, graceMs = 0L)
+    assert(deleted == Seq("data/part/flag=A/00000000-part-crashed.parquet"))
+    assert(Files.exists(aDir), "shared partition dir must not be swept")
+    val got = IceLite.readPartitioned(spark, ref)
+      .select($"k").as[Int].collect().sorted.toSeq
+    assert(got == Seq(1, 2))
+  }
+}

@@ -1,3 +1,4 @@
+// (gcOrphans coverage lives in IceLiteGcSpec)
 package graft.icelite
 
 import java.nio.file.{Files, Paths}
