@@ -41,7 +41,7 @@ final case class Snapshot(
     files: Seq[String],           // data files, relative to table dir
     rowCount: Long,
     fileStats: Map[String, Seq[ColStats]] = Map.empty,
-    partitionCol: Option[String] = None) // Hive-style layout when set
+    partitionCols: Seq[String] = Nil) // Hive-style layout when non-empty
 
 final case class Manifest(
     table: String,
@@ -359,17 +359,17 @@ object IceLite {
       val base = Serialization.read[Manifest](Files.readString(basePath))
       val cur = base.current
       val statsCols = cur.fileStats.values.flatten.map(_.col).toSeq.distinct.sorted
-      val files = cur.partitionCol match {
-        case Some(p) =>
-          stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files), p)
-        case None =>
+      val files =
+        if (cur.partitionCols.nonEmpty)
+          stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files),
+            cur.partitionCols)
+        else
           stage(ref, readFiles(spark, ref, cur.files).repartition(targetFiles))
-      }
       val rows = countRowsFromFooters(ref, files)
       val stats = collectStats(spark, ref, files, statsCols)
       val id = base.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
-        files, rows, stats, cur.partitionCol)
+        files, rows, stats, cur.partitionCols)
       if (tryCommit(baseVersion + 1,
           Manifest(ref.name, id, base.snapshots :+ snap), files))
         return snap
@@ -386,15 +386,16 @@ object IceLite {
     * CONFLICTING_DIRECTORY_STRUCTURES. Returns table-relative paths
     * including the partition segment. */
   private def stagePartitioned(ref: TableRef, df: DataFrame,
-      partitionCol: String): Seq[String] = {
+      partitionCols: Seq[String]): Seq[String] = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmpDir = ref.dataDir.resolve(s".stage-$token")
-    // one task per partition value (repartition on the column) → one
-    // file per value instead of files × tasks small-file spray; this
-    // is also the write shape that scales (each partition dir is
-    // written sequentially by its owning task)
-    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol)
+    // one task per partition tuple (repartition on the columns) → one
+    // file per value combination instead of files × tasks small-file
+    // spray; this is also the write shape that scales (each partition
+    // dir is written sequentially by its owning task)
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(tmpDir.toString)
     val staged = listDir(Files.walk(tmpDir))(_
       .filter(p => Files.isRegularFile(p) &&
@@ -402,8 +403,9 @@ object IceLite {
         !p.getFileName.toString.startsWith("."))
       .toSeq)
       .map { p =>
-        val valueDir = p.getParent.getFileName.toString // <col>=<value>
-        val dest = ref.dataDir.resolve("part").resolve(valueDir)
+        // nested <a>=<v1>/<b>=<v2>/... path below the staging root
+        val valuePath = tmpDir.relativize(p.getParent)
+        val dest = ref.dataDir.resolve("part").resolve(valuePath)
           .resolve(s"$token-${p.getFileName}")
         Files.createDirectories(dest.getParent)
         Files.move(p, dest)
@@ -416,32 +418,37 @@ object IceLite {
   }
 
   /** a10 variant: atomic full refresh written with a Hive-style
-    * partition layout; the snapshot records the partition column so
-    * reads can prune at the manifest level (Iceberg identity-partition
-    * semantics). `statsCols` must be data columns (the partition
-    * column lives in the path, not the files). */
+    * (possibly multi-level) partition layout; the snapshot records the
+    * partition columns so reads can prune at the manifest level
+    * (Iceberg identity-partition semantics). `statsCols` must be data
+    * columns (partition columns live in the path, not the files). */
   def createOrReplacePartitioned(ref: TableRef, df: DataFrame,
-      partitionCol: String, statsCols: Seq[String] = Nil): Snapshot = {
+      partitionCols: Seq[String], statsCols: Seq[String]): Snapshot = {
     Files.createDirectories(ref.dataDir)
-    val files = stagePartitioned(ref, df, partitionCol)
+    val files = stagePartitioned(ref, df, partitionCols)
     val rows = countRowsFromFooters(ref, files)
     val stats = collectStats(df.sparkSession, ref, files, statsCols)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       val op = if (cur.isDefined) "replace" else "create"
       val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows,
-        stats, Some(partitionCol))
+        stats, partitionCols)
       Manifest(ref.name, id, cur.map(_.snapshots).getOrElse(Seq.empty) :+ snap)
     }.current
   }
 
-  /** a11 variant: partitioned append. The partition column must match
+  /** Single-column sugar (the common case). */
+  def createOrReplacePartitioned(ref: TableRef, df: DataFrame,
+      partitionCol: String, statsCols: Seq[String] = Nil): Snapshot =
+    createOrReplacePartitioned(ref, df, Seq(partitionCol), statsCols)
+
+  /** a11 variant: partitioned append. The partition spec must match
     * the current snapshot's (Iceberg would call this a partition-spec
     * mismatch). */
   def appendPartitioned(ref: TableRef, df: DataFrame,
-      partitionCol: String, statsCols: Seq[String] = Nil): Snapshot = {
+      partitionCols: Seq[String], statsCols: Seq[String]): Snapshot = {
     Files.createDirectories(ref.dataDir)
-    val newFiles = stagePartitioned(ref, df, partitionCol)
+    val newFiles = stagePartitioned(ref, df, partitionCols)
     val rows = countRowsFromFooters(ref, newFiles)
     val stats = collectStats(df.sparkSession, ref, newFiles, statsCols)
     commitCAS(ref) { cur =>
@@ -449,49 +456,77 @@ object IceLite {
       cur match {
         case None =>
           val snap = Snapshot(id, System.currentTimeMillis(), "create",
-            newFiles, rows, stats, Some(partitionCol))
+            newFiles, rows, stats, partitionCols)
           Manifest(ref.name, id, Seq(snap))
         case Some(m) =>
-          require(m.current.partitionCol.contains(partitionCol),
+          require(m.current.partitionCols == partitionCols,
             s"partition-spec mismatch: table is partitioned by " +
-              s"${m.current.partitionCol}, append by $partitionCol")
+              s"${m.current.partitionCols}, append by $partitionCols")
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
-            m.current.fileStats ++ stats, Some(partitionCol))
+            m.current.fileStats ++ stats, partitionCols)
           Manifest(ref.name, id, m.snapshots :+ snap)
       }
     }.current
   }
 
+  /** Single-column sugar (the common case). */
+  def appendPartitioned(ref: TableRef, df: DataFrame,
+      partitionCol: String, statsCols: Seq[String] = Nil): Snapshot =
+    appendPartitioned(ref, df, Seq(partitionCol), statsCols)
+
   private def escapePartitionValue(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
 
   /** Partition pruning at the manifest level: keep only files whose
-    * `<col>=<value>` path segment matches one of `values`. Like
-    * prunedFiles, this happens BEFORE plan construction — at 100 TB
-    * unmatched partitions are never even listed to Spark. */
-  def partitionPrunedFiles(ref: TableRef, values: Set[String]): Seq[String] = {
+    * path matches EVERY per-column filter (a conjunction; columns
+    * without a filter entry are unconstrained). Like prunedFiles, this
+    * happens BEFORE plan construction — at 100 TB unmatched partitions
+    * are never even listed to Spark. */
+  def partitionPrunedFiles(ref: TableRef,
+      filters: Map[String, Set[String]]): Seq[String] = {
     val snap = readManifest(ref).current
-    val pcol = snap.partitionCol.getOrElse(throw new IllegalStateException(
-      s"${ref.name} is not partitioned"))
-    val dirs = values.map(v => s"$pcol=${escapePartitionValue(v)}")
-    snap.files.filter(_.split('/').exists(dirs.contains))
+    require(snap.partitionCols.nonEmpty, s"${ref.name} is not partitioned")
+    val unknown = filters.keySet -- snap.partitionCols.toSet
+    require(unknown.isEmpty, s"not partition columns: $unknown")
+    val dirSets = filters.map { case (c, vs) =>
+      vs.map(v => s"$c=${escapePartitionValue(v)}")
+    }
+    snap.files.filter { f =>
+      val segs = f.split('/').toSet
+      dirSets.forall(ds => ds.exists(segs.contains))
+    }
   }
 
-  /** Read the current snapshot of a partitioned table; the partition
-    * column is reconstructed from the directory layout (basePath-
+  /** Single-column sugar: prune the FIRST partition column to `values`. */
+  def partitionPrunedFiles(ref: TableRef, values: Set[String]): Seq[String] = {
+    val pcols = readManifest(ref).current.partitionCols
+    require(pcols.nonEmpty, s"${ref.name} is not partitioned")
+    partitionPrunedFiles(ref, Map(pcols.head -> values))
+  }
+
+  /** Read the current snapshot of a partitioned table; partition
+    * columns are reconstructed from the directory layout (basePath-
     * anchored discovery). */
   def readPartitioned(spark: SparkSession, ref: TableRef): DataFrame =
     readPartitionedFiles(spark, ref, readManifest(ref).current.files)
 
-  /** Read only the partitions in `values` (manifest-pruned). Dir-name
-    * equality on the escaped value is exact, so no residual filter is
-    * needed. */
+  /** Read only the partitions matching the per-column filters
+    * (manifest-pruned). Dir-name equality on the escaped values is
+    * exact, so no residual filter is needed. */
   def readPartitionPruned(spark: SparkSession, ref: TableRef,
-      values: Set[String]): DataFrame = {
-    val files = partitionPrunedFiles(ref, values)
+      filters: Map[String, Set[String]]): DataFrame = {
+    val files = partitionPrunedFiles(ref, filters)
     if (files.isEmpty) readPartitioned(spark, ref).limit(0)
     else readPartitionedFiles(spark, ref, files)
+  }
+
+  /** Single-column sugar over the first partition column. */
+  def readPartitionPruned(spark: SparkSession, ref: TableRef,
+      values: Set[String]): DataFrame = {
+    val pcols = readManifest(ref).current.partitionCols
+    require(pcols.nonEmpty, s"${ref.name} is not partitioned")
+    readPartitionPruned(spark, ref, Map(pcols.head -> values))
   }
 
   private def readPartitionedFiles(spark: SparkSession, ref: TableRef,

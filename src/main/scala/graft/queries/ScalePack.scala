@@ -271,6 +271,43 @@ object ScalePack extends Pack {
              CAST(1 AS BIGINT) AS orphans_deleted
              FROM orders WHERE o_orderkey < 2000""")),
 
+    // d09: multi-column (nested) partition pruning — identity
+    // partitioning on (status, priority) with a conjunctive filter.
+    // 15 value combinations → 15 files; status=F ∧ priority∈{1,2}
+    // resolves exactly 2 of them from the manifest. At 100 TB this is
+    // the (date, region)-style layout every warehouse fact table uses.
+    Decl("d09_multicol_partition_prune",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d09").toString
+        val ref = IngestJob.tableRef(wh, "orders_mp")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+        IceLite.createOrReplacePartitioned(ref, o,
+          Seq("o_orderstatus", "o_orderpriority"), Nil)
+        val total = IceLite.readManifest(ref).current.files.size.toLong
+        val filters = Map(
+          "o_orderstatus" -> Set("F"),
+          "o_orderpriority" -> Set("1-URGENT", "2-HIGH"))
+        val kept = IceLite.partitionPrunedFiles(ref, filters).size.toLong
+        IceLite.readPartitionPruned(s, ref, filters)
+          .groupBy($"o_orderstatus".cast("string").as("o_orderstatus"),
+            $"o_orderpriority".cast("string").as("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 2).as("sum_price"))
+          .withColumn("files_pruned_away", lit(total - kept))
+          .orderBy($"o_orderstatus", $"o_orderpriority")
+      },
+      // all 3×5 combos exist at every fixture scale → 15 files, 2 kept
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(13 AS BIGINT) AS files_pruned_away
+             FROM orders
+             WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+             GROUP BY o_orderstatus, o_orderpriority
+             ORDER BY o_orderstatus, o_orderpriority""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -23,7 +23,7 @@ class PartitionedTableSpec extends AnyFunSuite {
       .toDF("k", "flag", "x")
     IceLite.createOrReplacePartitioned(ref, df, "flag")
     val snap = IceLite.readManifest(ref).current
-    assert(snap.partitionCol.contains("flag"))
+    assert(snap.partitionCols == Seq("flag"))
     assert(snap.files.size == 3, s"expected one file per value: ${snap.files}")
     assert(snap.files.forall(_.matches("data/part/flag=[ABC]/[0-9a-f]{8}-.+\\.parquet")),
       s"unexpected layout: ${snap.files}")
@@ -92,7 +92,7 @@ class PartitionedTableSpec extends AnyFunSuite {
     IngestJob.run(spark2, wh, "t", src, "incremental", retentionMs = -1,
       partitionCol = Some("flag"))
     val ref = IngestJob.tableRef(wh, "t")
-    assert(IceLite.readManifest(ref).current.partitionCol.contains("flag"))
+    assert(IceLite.readManifest(ref).current.partitionCols == Seq("flag"))
     val all = IceLite.readPartitioned(spark2, ref)
       .select($"k", $"flag").as[(Int, String)].collect().sortBy(_._1).toSeq
     assert(all == Seq((1, "A"), (2, "B"), (3, "A"), (4, "C")))
@@ -134,10 +134,40 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(IceLite.readManifest(ref).current.files.size == 4)
     val snap = IceLite.compact(spark2, ref)
     assert(snap.files.size == 2, s"one file per value expected: ${snap.files}")
-    assert(snap.partitionCol.contains("flag"))
+    assert(snap.partitionCols == Seq("flag"))
     val a = IceLite.readPartitionPruned(spark2, ref, Set("A"))
       .select($"k").as[Int].collect().sorted.toSeq
     assert(a == Seq(1, 3))
+  }
+
+  test("multi-column partitioning: nested layout, conjunctive pruning") {
+    val (_, ref) = mk()
+    val df = (for {
+      st <- Seq("F", "O"); pr <- Seq("HI", "LO"); i <- 1 to 3
+    } yield (s"$st-$pr-$i", st, pr)).toDF("id", "status", "prio")
+    IceLite.createOrReplacePartitioned(ref, df, Seq("status", "prio"), Nil)
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionCols == Seq("status", "prio"))
+    assert(snap.files.size == 4, s"one file per (status,prio): ${snap.files}")
+    assert(snap.files.forall(
+      _.matches("data/part/status=[FO]/prio=(HI|LO)/[0-9a-f]{8}-.+\\.parquet")),
+      s"unexpected layout: ${snap.files}")
+    // conjunctive pruning: status=F AND prio IN (HI) → exactly 1 file
+    val kept = IceLite.partitionPrunedFiles(ref,
+      Map("status" -> Set("F"), "prio" -> Set("HI")))
+    assert(kept.size == 1 && kept.head.contains("status=F/prio=HI"))
+    val got = IceLite.readPartitionPruned(spark, ref,
+        Map("status" -> Set("F"), "prio" -> Set("HI")))
+      .select($"id").as[String].collect().sorted.toSeq
+    assert(got == Seq("F-HI-1", "F-HI-2", "F-HI-3"))
+    // partial filter (only second column) leaves the first unconstrained
+    val hi = IceLite.readPartitionPruned(spark, ref, Map("prio" -> Set("HI")))
+      .select($"id").as[String].collect().sorted.toSeq
+    assert(hi == Seq("F-HI-1", "F-HI-2", "F-HI-3", "O-HI-1", "O-HI-2", "O-HI-3"))
+    // unknown filter column rejected
+    intercept[IllegalArgumentException] {
+      IceLite.partitionPrunedFiles(ref, Map("nope" -> Set("x")))
+    }
   }
 
   test("time travel works on partitioned snapshots") {
