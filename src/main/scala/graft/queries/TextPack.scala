@@ -122,6 +122,36 @@ object TextPack extends Pack {
              CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)) AS BIGINT) AS n_subtokens
              FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
 
+    // t05: PII detection + redaction — the scrub step every
+    // pre-training pipeline runs. Counts and redacts email/phone
+    // patterns (regex chosen to parse identically under Java regex and
+    // DuckDB's RE2). Map-only, embarrassingly parallel; the fixture
+    // corpus is synthetic so fixture counts are 0 — TextPackSpec
+    // plants PII docs and pins the counts and redacted lengths.
+    Decl("t05_pii_redact",
+      (s, dir) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+        docs(s, dir).filter($"doc_id" < 200)
+          // typed regexp_extract_all, NOT expr(): Spark SQL string
+          // literals process backslash escapes ('\b' → backspace), so
+          // an embedded pattern would silently corrupt
+          .select(
+            $"doc_id",
+            size(regexp_extract_all($"text", lit(email), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all($"text", lit(phone), lit(0)))
+              .cast("long").as("n_phones"),
+            length(regexp_replace(regexp_replace($"text", email, "<EMAIL>"),
+              phone, "<PHONE>")).cast("long").as("redacted_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+             CAST(length(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+             FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
     // t04: order-sensitive rolling-hash fingerprint — polynomial fold
     // over per-token values (ascii of head char, length), modulo a
     // prime to stay overflow-safe under ANSI arithmetic. Token

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics the fixture corpus can't exercise: t05's PII patterns on
+  * planted documents (the synthetic corpus contains no PII, so the
+  * declared query's fixture counts are all zero). */
+class TextPackSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("t05 counts and redacts planted emails and phone numbers") {
+    val texts = Seq(
+      (0L, "contact alice@example.com or bob.smith+x@mail.co today"),
+      (1L, "call 555-123-4567 or 555 987 6543 now"),
+      (2L, "mixed carol@test.org and 111-222-3333 here"),
+      (3L, "clean text with no pii at all"))
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("pii_spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val got = TextPack.queries("t05_pii_redact")(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 == 2 && byId(0L)._3 == 0, s"doc 0: ${byId(0L)}")
+    assert(byId(1L)._2 == 0 && byId(1L)._3 == 2, s"doc 1: ${byId(1L)}")
+    assert(byId(2L)._2 == 1 && byId(2L)._3 == 1, s"doc 2: ${byId(2L)}")
+    assert(byId(3L)._2 == 0 && byId(3L)._3 == 0, s"doc 3: ${byId(3L)}")
+    // redaction shortens/changes length exactly to the token forms
+    val clean0 = "contact <EMAIL> or <EMAIL> today"
+    assert(byId(0L)._4 == clean0.length, s"doc 0 redacted_len: ${byId(0L)._4}")
+    // no-PII doc length unchanged
+    assert(byId(3L)._4 == texts(3)._2.length)
+  }
+}
