@@ -39,21 +39,36 @@ object StreamPack extends Pack {
     out
   }
 
+  /** Stateful-stream shuffle width: each micro-batch instantiates one
+    * state store per shuffle partition, so a 32-wide session default
+    * pays 32× store open/commit per batch for fixture-sized state.
+    * The value is locked into the checkpoint at query start; 4 keeps
+    * the distributed shape (multiple stores) without the fan-out tax.
+    * At 100 TB this is sized to the key cardinality, not the default.
+    * Restored after the stream finishes (batch queries keep the
+    * session default). */
+  private def withStreamShufflePartitions[A](s: SparkSession)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a file-source stream to a memory sink, drain, return sink. */
   private def runStream(s: SparkSession, staged: String, sinkName: String,
-      outputMode: String)(build: DataFrame => DataFrame): DataFrame = {
-    val sch = s.read.parquet(staged).schema
-    val src = s.readStream.schema(sch)
-      .option("maxFilesPerTrigger", 1).parquet(staged)
-    val q = build(src).writeStream
-      .format("memory").queryName(sinkName).outputMode(outputMode)
-      .option("checkpointLocation",
-        Files.createTempDirectory(s"graft_ckpt_$sinkName").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sinkName)
-  }
+      outputMode: String)(build: DataFrame => DataFrame): DataFrame =
+    withStreamShufflePartitions(s) {
+      val sch = s.read.parquet(staged).schema
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val q = build(src).writeStream
+        .format("memory").queryName(sinkName).outputMode(outputMode)
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft_ckpt_$sinkName").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    }
 
   val decls: Seq[Decl] = Seq(
 
@@ -165,6 +180,7 @@ object StreamPack extends Pack {
     // (asserted in StreamPackSpec); driver records rows-only.
     Decl("s06_stream_late_data",
       (s, dir) => {
+        withStreamShufflePartitions(s) {
         val ev = Tables.load(s, dir, "events")
         val srcDir = Files.createTempDirectory("graft_s06_src").toString
         def writeBatch(df: DataFrame, name: String): Unit = {
@@ -196,6 +212,7 @@ object StreamPack extends Pack {
           .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
             col("n"))
           .orderBy(col("bucket"))
+        }
       },
       None),
 
@@ -207,6 +224,7 @@ object StreamPack extends Pack {
     // deterministic under any batch split)
     Decl("s08_stream_custom_state",
       (s, dir) => {
+        withStreamShufflePartitions(s) {
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         import s.implicits._
         val staged = stageEvents(s, dir, 3)
@@ -239,6 +257,7 @@ object StreamPack extends Pack {
           .groupBy(col("user_id"))
           .agg(max(col("n")).cast("long").as("n_events"))
           .orderBy(col("user_id"))
+        }
       },
       Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
              FROM events GROUP BY user_id ORDER BY user_id""")),
@@ -255,6 +274,7 @@ object StreamPack extends Pack {
     // exact no matter when the query is stopped past batch 4.
     Decl("s09_stream_rate_source",
       (s, dir) => {
+        withStreamShufflePartitions(s) {
         val src = s.readStream.format("rate-micro-batch")
           .option("rowsPerBatch", 1000)
           .option("numPartitions", 4)
@@ -281,6 +301,7 @@ object StreamPack extends Pack {
         s.table("s09_sink")
           .select(col("w.start").cast("long").as("wstart"), col("n"), col("sum_v"))
           .orderBy(col("wstart"))
+        }
       },
       // regenerate the source arithmetically: value v is in batch
       // v/1000 at epoch-second (v/1000)*60, window = 120s buckets
