@@ -117,5 +117,24 @@ object GraftFunctions {
         }
         MinHashSignature(children.head, k)
       })
+    def intLit(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn n must be an integer literal, got $other")
+    }
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "char_ngrams takes (string, n)")
+        CharNGrams(children.head, intLit(children(1), "char_ngrams"))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_ngrams takes (array<string>, n)")
+        WordNGrams(children.head, intLit(children(1), "word_ngrams"))
+      })
   }
 }

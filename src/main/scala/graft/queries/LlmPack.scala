@@ -95,8 +95,7 @@ object LlmPack extends Pack {
         val sig = docs(s, dir)
           .withColumn("toks", split($"text", " "))
           .filter(size($"toks") >= 3)
-          .withColumn("shingles", expr(
-            "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .withColumn("shingles", expr("word_ngrams(toks, 3)"))
           .withColumn("sig", expr("minhash_sig(shingles, 16)"))
           .select($"doc_id", $"shingles", $"sig")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -282,15 +281,15 @@ object LlmPack extends Pack {
     // to c02's LSH, which is this operator's approximate scale path).
     Decl("c12_dedup_ngram_jaccard",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val toks = docs(s, dir)
           .withColumn("toks", split($"text", " "))
           .filter(size($"toks") >= 3)
         // postings are consumed 4× (join a/b sides, sizes for both
         // pair ends) — persist so the corpus is shingled once, not 4×
         // (at 100 TB this is a materialized postings table)
-        val grams = toks.select($"doc_id", explode(expr(
-            "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
-          .as("gram"))
+        val grams = toks.select($"doc_id",
+            explode(array_distinct(expr("word_ngrams(toks, 3)"))).as("gram"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         lastGrams.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
         lastGrams = Some(grams)

@@ -31,14 +31,12 @@ object TextPack extends Pack {
     // and the result is deterministic on both engines.
     Decl("t01_lang_id_ngram",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val d = docs(s, dir)
+        // native one-pass generator (returns empty below 3 chars — no
+        // sequence(1,0) step -1 trap, no per-position lambda dispatch)
         val grams = d.select($"doc_id", $"lang",
-            posexplode(expr(
-              // sequence(1, 0) would default to step -1 and fabricate
-              // grams for <3-char texts — guard with an empty array
-              "CASE WHEN length(text) < 3 THEN array() " +
-                "ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) END"))
-              .as(Seq("p", "gram")))
+            posexplode(expr("char_ngrams(text, 3)")).as(Seq("p", "gram")))
           .select($"doc_id", $"lang", $"gram")
         val wTop = Window.partitionBy($"lang").orderBy($"n".desc, $"gram".asc)
         val profile = grams.filter($"doc_id" >= 100)

@@ -11,6 +11,35 @@ class TextPackSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("char_ngrams/word_ngrams match their HOF formulations; edge semantics pinned") {
+    graft.functions.GraftFunctions.register(spark)
+    // char_ngrams ≡ transform(sequence(...), substring) incl. the <n guard
+    val texts = Seq("hello world", "ab", "abc", "", "日本語のテキスト")
+    val rows = texts.toDF("t").selectExpr(
+      "char_ngrams(t, 3) AS native",
+      """CASE WHEN length(t) < 3 THEN CAST(array() AS ARRAY<STRING>)
+         ELSE transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) END AS hof""")
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (native, hof) => assert(native == hof) }
+
+    // word_ngrams ≡ transform(sequence, slice+concat_ws); empty below n
+    val toks = Seq(Seq("a", "b", "c", "d"), Seq("x", "y"), Seq.empty[String])
+    val wrows = toks.toDF("w").selectExpr(
+      "word_ngrams(w, 3) AS native",
+      """CASE WHEN size(w) < 3 THEN CAST(array() AS ARRAY<STRING>)
+         ELSE transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3))) END AS hof""")
+      .as[(Seq[String], Seq[String])].collect()
+    wrows.foreach { case (native, hof) => assert(native == hof) }
+
+    // null input → NULL; null token → NULL (HOF parity)
+    val nulls = spark.sql(
+      """SELECT char_ngrams(CAST(NULL AS STRING), 3) IS NULL,
+                word_ngrams(CAST(NULL AS ARRAY<STRING>), 3) IS NULL,
+                word_ngrams(array('a', CAST(NULL AS STRING), 'c'), 2) IS NULL""")
+      .as[(Boolean, Boolean, Boolean)].collect().head
+    assert(nulls == ((true, true, true)))
+  }
+
   test("t05 counts and redacts planted emails and phone numbers") {
     val texts = Seq(
       (0L, "contact alice@example.com or bob.smith+x@mail.co today"),
