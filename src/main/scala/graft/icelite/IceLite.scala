@@ -41,7 +41,8 @@ final case class Snapshot(
     files: Seq[String],           // data files, relative to table dir
     rowCount: Long,
     fileStats: Map[String, Seq[ColStats]] = Map.empty,
-    partitionCols: Seq[String] = Nil) // Hive-style layout when non-empty
+    partitionCols: Seq[String] = Nil, // Hive-style layout when non-empty
+    sortedBy: Option[String] = None)  // range-partitioned + sorted files
 
 final case class Manifest(
     table: String,
@@ -319,6 +320,34 @@ object IceLite {
     throw new IllegalStateException("unreachable")
   }
 
+  /** a10 variant with a SORT ORDER (Iceberg sort orders): the data is
+    * range-partitioned on `sortCol` into `numFiles` files and sorted
+    * within each, so per-file [min,max] ranges are non-overlapping and
+    * `prunedFiles`/`readPruned` resolve a point or range lookup to the
+    * minimal file set — the layout that makes stats pruning precise
+    * instead of best-effort. The snapshot records the order for engine
+    * introspection. At 100 TB this is the write amplification you pay
+    * once at ingest to make every subsequent range scan touch ~1/N of
+    * the table. */
+  def createOrReplaceSorted(ref: TableRef, df: DataFrame, sortCol: String,
+      numFiles: Int, statsCols: Seq[String] = Nil): Snapshot = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    Files.createDirectories(ref.dataDir)
+    val c = org.apache.spark.sql.functions.col(sortCol)
+    val shaped = df.repartitionByRange(numFiles, c).sortWithinPartitions(c)
+    val files = stage(ref, shaped)
+    val rows = countRowsFromFooters(ref, files)
+    val stats = collectStats(df.sparkSession, ref, files,
+      (statsCols :+ sortCol).distinct)
+    commitCAS(ref) { cur =>
+      val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
+      val op = if (cur.isDefined) "replace" else "create"
+      val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows,
+        stats, Nil, Some(sortCol))
+      Manifest(ref.name, id, cur.map(_.snapshots).getOrElse(Seq.empty) :+ snap)
+    }.current
+  }
+
   /** Compaction — Iceberg's `rewrite_data_files` role. Rewrites the
     * current snapshot's many small files into `targetFiles` large ones
     * as a new "replace" snapshot: content-identical, time-travelable,
@@ -363,13 +392,21 @@ object IceLite {
         if (cur.partitionCols.nonEmpty)
           stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files),
             cur.partitionCols)
-        else
-          stage(ref, readFiles(spark, ref, cur.files).repartition(targetFiles))
+        else cur.sortedBy match {
+          // preserve the table's sort order: a hash repartition would
+          // destroy the non-overlapping file ranges sorted writes buy
+          case Some(sc) =>
+            val c = org.apache.spark.sql.functions.col(sc)
+            stage(ref, readFiles(spark, ref, cur.files)
+              .repartitionByRange(targetFiles, c).sortWithinPartitions(c))
+          case None =>
+            stage(ref, readFiles(spark, ref, cur.files).repartition(targetFiles))
+        }
       val rows = countRowsFromFooters(ref, files)
       val stats = collectStats(spark, ref, files, statsCols)
       val id = base.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
-        files, rows, stats, cur.partitionCols)
+        files, rows, stats, cur.partitionCols, cur.sortedBy)
       if (tryCommit(baseVersion + 1,
           Manifest(ref.name, id, base.snapshots :+ snap), files))
         return snap

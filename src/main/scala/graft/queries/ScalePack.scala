@@ -308,6 +308,35 @@ object ScalePack extends Pack {
              GROUP BY o_orderstatus, o_orderpriority
              ORDER BY o_orderstatus, o_orderpriority""")),
 
+    // d10: sorted write + precise stats pruning (Iceberg sort orders).
+    // Range-partitioning on the key gives files NON-overlapping
+    // [min,max] ranges, so the manifest resolves a range lookup to the
+    // minimal file set — d01's best-effort pruning made exact by
+    // layout. files_kept_lt_total is a boolean (range boundaries come
+    // from sampling, so the exact kept-count is layout-dependent; the
+    // content is not).
+    Decl("d10_sorted_write_pruned_scan",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d10").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_s")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        IceLite.createOrReplaceSorted(ref, l, "l_orderkey", numFiles = 4)
+        val total = IceLite.readManifest(ref).current.files.size.toLong
+        val kept = IceLite.prunedFiles(ref, "l_orderkey", 100, 500).size.toLong
+        IceLite.readPruned(s, ref, "l_orderkey", 100, 500)
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            dsum($"l_extendedprice", 2).as("sum_price"))
+          .withColumn("files_kept_lt_total", lit(kept < total))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             TRUE AS files_kept_lt_total
+             FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -117,6 +117,45 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
       s"a concurrent create-merge was lost: $got")
   }
 
+  test("compact racing concurrent appends loses nothing") {
+    // compact claims the version it compacted against; when an append
+    // wins the race, compact must recompute on the winner's file list
+    // so the appended rows survive into the compacted snapshot
+    val wh = Files.createTempDirectory("cas_compact_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, (0 until 20).toDF("k").repartition(4))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(3)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // two appenders race one compactor
+    Seq(20 until 30, 30 until 40).foreach { range =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try IceLite.append(ref, range.toDF("k"))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try IceLite.compact(spark, ref)
+        catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+
+    val rows = IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
+    assert(rows == (0 until 40).toSeq,
+      s"rows lost under compact/append race: ${rows.size} of 40")
+  }
+
   test("manifest versions are dense and monotonic after races") {
     val wh = Files.createTempDirectory("cas_spec2").toString
     IceLite.createNamespace(wh, "src")

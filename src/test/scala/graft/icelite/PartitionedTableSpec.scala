@@ -170,6 +170,32 @@ class PartitionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted writes: non-overlapping file ranges, precise pruning, compact preserves order") {
+    val (_, ref) = mk()
+    val spark2 = spark
+    val df = (0 until 1000).map(k => (k, k * 2.0)).toDF("k", "x")
+    IceLite.createOrReplaceSorted(ref, df, "k", numFiles = 4)
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.sortedBy.contains("k") && snap.files.size == 4)
+    // ranges must not overlap (that's what range partitioning buys)
+    val ranges = snap.files.map(f =>
+      snap.fileStats(f).find(_.col == "k").get).sortBy(_.min)
+    ranges.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.max < b.min, s"overlapping file ranges: $a vs $b")
+    }
+    // a point lookup resolves to exactly one file
+    assert(IceLite.prunedFiles(ref, "k", 500, 500).size == 1)
+    val got = IceLite.readPruned(spark2, ref, "k", 100, 200)
+      .select($"k").as[Int].collect().sorted.toSeq
+    assert(got == (100 to 200).toSeq)
+    // compaction down to 2 files keeps the order and the metadata
+    val c = IceLite.compact(spark2, ref, targetFiles = 2)
+    assert(c.sortedBy.contains("k") && c.files.size == 2)
+    val cr = c.files.map(f => c.fileStats(f).find(_.col == "k").get).sortBy(_.min)
+    assert(cr(0).max < cr(1).min, "compaction destroyed the sort layout")
+    assert(IceLite.read(spark2, ref).count() == 1000)
+  }
+
   test("time travel works on partitioned snapshots") {
     val (_, ref) = mk()
     val s1 = IceLite.createOrReplacePartitioned(ref,
