@@ -25,6 +25,10 @@ class IceLiteGcSpec extends AnyFunSuite {
     Files.createDirectories(orphanDir)
     val orphan = orphanDir.resolve("part-00000-crashed.parquet")
     Files.write(orphan, Array[Byte](1, 2, 3))
+    // backdate: with grace 0 a same-millisecond mtime ties the cutoff
+    // and survives — the real-world orphan is always old
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
 
     val deleted = IceLite.gcOrphans(ref, graceMs = 0L)
     assert(deleted == Seq("data/deadbeef/part-00000-crashed.parquet"))
@@ -54,7 +58,10 @@ class IceLiteGcSpec extends AnyFunSuite {
       Seq((1, "A"), (2, "B")).toDF("k", "flag"), "flag")
     // orphan inside a SHARED partition dir — the dir must survive
     val aDir = ref.dataDir.resolve("part").resolve("flag=A")
-    Files.write(aDir.resolve("00000000-part-crashed.parquet"), Array[Byte](1))
+    val crashed = aDir.resolve("00000000-part-crashed.parquet")
+    Files.write(crashed, Array[Byte](1))
+    Files.setLastModifiedTime(crashed,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
     val deleted = IceLite.gcOrphans(ref, graceMs = 0L)
     assert(deleted == Seq("data/part/flag=A/00000000-part-crashed.parquet"))
     assert(Files.exists(aDir), "shared partition dir must not be swept")
