@@ -70,6 +70,29 @@ object StreamPack extends Pack {
       s.table(sinkName)
     }
 
+  /** Exactly-once foreachBatch append: Spark's foreachBatch contract
+    * is at-least-once — a failed/restarted trigger REPLAYS a batchId,
+    * and a naive append would double-load it. Mirror the reference's
+    * loaded-files bookkeeping (extract_load.py:55-66) at batch
+    * granularity: a metadata table records committed batch ids, and a
+    * replayed id is skipped. The id is recorded AFTER the data append
+    * commits, so a crash between the two re-appends on replay —
+    * at-least-once data + idempotence check = exactly-once, the same
+    * ordering the reference uses for its file tracking. */
+  private[streaming] def appendBatchOnce(ref: TableRef, batchRef: TableRef,
+      batchId: Long, batch: DataFrame): Boolean = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val seen = IceLite.tableExists(batchRef) &&
+      IceLite.read(s, batchRef).filter(col("batch_id") === batchId).count() > 0
+    if (seen) false
+    else {
+      IceLite.append(ref, batch)
+      IceLite.append(batchRef, Seq(batchId).toDF("batch_id"))
+      true
+    }
+  }
+
   val decls: Seq[Decl] = Seq(
 
     // s01: incremental file discovery → micro-batches
@@ -318,13 +341,15 @@ object StreamPack extends Pack {
         val staged = stageEvents(s, dir, 3)
         val wh = Files.createTempDirectory("graft_s07_wh").toString
         val ref = TableRef(wh, "src", "events_stream")
+        val batchRef = TableRef(wh, "metadata", "events_stream_batches")
         IceLite.createNamespace(wh, "src")
+        IceLite.createNamespace(wh, "metadata")
         val sch = s.read.parquet(staged).schema
         val q = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", 1).parquet(staged)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            IceLite.append(ref, batch); ()
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            appendBatchOnce(ref, batchRef, batchId, batch); ()
           }
           .option("checkpointLocation",
             Files.createTempDirectory("graft_ckpt_s07").toString)
