@@ -42,7 +42,11 @@ final case class Snapshot(
     rowCount: Long,
     fileStats: Map[String, Seq[ColStats]] = Map.empty,
     partitionCols: Seq[String] = Nil, // Hive-style layout when non-empty
-    sortedBy: Option[String] = None)  // range-partitioned + sorted files
+    sortedBy: Option[String] = None,  // range-partitioned + sorted files
+    // writer-supplied key/values committed ATOMICALLY with the snapshot
+    // (Iceberg's snapshot summary role) — e.g. a streaming sink's
+    // batch id, so data + marker can never diverge under a crash
+    summary: Map[String, String] = Map.empty)
 
 final case class Manifest(
     table: String,
@@ -180,20 +184,30 @@ object IceLite {
         .groupBy(input_file_name().as("_file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-      // input_file_name is a URI; staged paths are data/<token>/<name>
-      // with no URI-special characters, so suffix-match the relative
-      // path (token is a UUID slice — unique within the table)
-      val bySuffix: Map[String, String] =
-        files.map(f => f.split('/').takeRight(2).mkString("/") -> f).toMap
+      // input_file_name is a (percent-encoded) URI; match on the FULL
+      // table-relative path, not a fixed segment suffix — with
+      // multi-level partitioning, files written by the same task into
+      // different partition dirs share identical filenames, so a
+      // 2-segment suffix would collide (one file steals the other's
+      // stats and pruning then skips live rows). URI-decoding also
+      // keeps stats for escaped partition values (a=2024%3A01 on disk
+      // arrives double-encoded in the URI).
+      val byRelPath: Map[String, String] = files.map(f => f -> f).toMap
+      val depths = files.map(_.count(_ == '/') + 1).distinct
       rows.flatMap { row =>
-        val uri = row.getString(0)
-        bySuffix.get(uri.split('/').takeRight(2).mkString("/")).map { f =>
-          // empty files / all-null columns have null min/max: record no
-          // stat (the file is then conservatively kept by pruning)
-          f -> statsCols.zipWithIndex.flatMap { case (c, i) =>
-            if (row.isNullAt(1 + 2 * i) || row.isNullAt(2 + 2 * i)) None
-            else Some(ColStats(c, row.getDouble(1 + 2 * i), row.getDouble(2 + 2 * i))) }
-        }
+        val decoded = scala.util.Try(new java.net.URI(row.getString(0)).getPath)
+          .getOrElse(row.getString(0))
+        val segs = decoded.split('/')
+        depths.iterator
+          .map(d => segs.takeRight(d).mkString("/"))
+          .collectFirst { case rel if byRelPath.contains(rel) => rel }
+          .map { f =>
+            // empty files / all-null columns have null min/max: record no
+            // stat (the file is then conservatively kept by pruning)
+            f -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+              if (row.isNullAt(1 + 2 * i) || row.isNullAt(2 + 2 * i)) None
+              else Some(ColStats(c, row.getDouble(1 + 2 * i), row.getDouble(2 + 2 * i))) }
+          }
       }.toMap
     }
 
@@ -216,9 +230,15 @@ object IceLite {
 
   /** a11: append — new snapshot = previous files + new files; create
     * on first load (extract_load.py:100-110). Concurrent appends both
-    * land: a lost CAS race rebases onto the winner's file list. */
+    * land: a lost CAS race rebases onto the winner's file list.
+    * `summary` key/values commit atomically with the snapshot (the
+    * Iceberg snapshot-summary role) — a streaming sink records its
+    * batch id here so the data and its exactly-once marker can never
+    * diverge (there is no window between two commits for a crash to
+    * split). */
   def append(ref: TableRef, df: DataFrame,
-      statsCols: Seq[String] = Nil): Snapshot = {
+      statsCols: Seq[String] = Nil,
+      summary: Map[String, String] = Map.empty): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val newFiles = stage(ref, df)
     val rows = countRowsFromFooters(ref, newFiles)
@@ -228,12 +248,12 @@ object IceLite {
       cur match {
         case None =>
           val snap = Snapshot(id, System.currentTimeMillis(), "create",
-            newFiles, rows, stats)
+            newFiles, rows, stats, summary = summary)
           Manifest(ref.name, id, Seq(snap))
         case Some(m) =>
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
-            m.current.fileStats ++ stats)
+            m.current.fileStats ++ stats, summary = summary)
           Manifest(ref.name, id, m.snapshots :+ snap)
       }
     }.current
@@ -244,6 +264,16 @@ object IceLite {
     * current rows with the same key, unmatched update rows are
     * inserted, all other current rows are preserved; the result
     * commits as one new replace snapshot (atomic, time-travelable).
+    *
+    * `deleteWhere` adds the `WHEN MATCHED AND cond THEN DELETE`
+    * branch: update rows satisfying the predicate are tombstones —
+    * matching current rows are REMOVED and the tombstone itself is
+    * never inserted (the GDPR-erasure shape an LLM training pipeline
+    * needs: feed the keys to erase with the predicate true). Full
+    * clause mapping: MATCHED ∧ cond → DELETE; MATCHED ∧ ¬cond →
+    * UPDATE; NOT MATCHED ∧ ¬cond → INSERT; NOT MATCHED ∧ cond →
+    * no-op (erasing an absent key is idempotent).
+    *
     * At scale this is one anti-join (shuffle on the key) + a rewrite
     * of the table — the copy-on-write MERGE strategy. Conflict
     * validation: the commit claims the exact version the merge was
@@ -251,9 +281,15 @@ object IceLite {
     * RECOMPUTED against the new table state and retried (Iceberg's
     * serializable-merge behavior), so no concurrent append is lost. */
   def merge(spark: SparkSession, ref: TableRef, updates: DataFrame,
-      keyCols: Seq[String], statsCols: Seq[String] = Nil): Snapshot = {
+      keyCols: Seq[String], statsCols: Seq[String] = Nil,
+      deleteWhere: Option[String] = None): Snapshot = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     Files.createDirectories(ref.dataDir)
+    // rows that survive the predicate upsert; tombstones only delete
+    val upserts = deleteWhere match {
+      case Some(cond) => updates.filter(!org.apache.spark.sql.functions.expr(cond))
+      case None => updates
+    }
     // Drop a staged-but-uncommitted result after a lost CAS race.
     def unstage(files: Seq[String]): Unit =
       files.map(_.split('/')(1)).distinct.foreach { token =>
@@ -289,7 +325,7 @@ object IceLite {
           // silently discarding that writer's data. A failed claim on
           // v1 instead loops back into the normal merge path against
           // the now-existing table.
-          val files = stage(ref, updates)
+          val files = stage(ref, upserts)
           val rows = countRowsFromFooters(ref, files)
           val stats = collectStats(spark, ref, files, statsCols)
           val snap = Snapshot(1L, System.currentTimeMillis(), "create",
@@ -299,6 +335,8 @@ object IceLite {
         case Some((baseVersion, basePath)) =>
           val base = Serialization.read[Manifest](Files.readString(basePath))
           val current = readFiles(spark, ref, base.current.files)
+          // anti-join on ALL update keys (upserts AND tombstones):
+          // a tombstoned key's current row must not survive
           val survivors = current.join(
             updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
             keyCols, "left_anti")
@@ -306,7 +344,7 @@ object IceLite {
           // table may carry columns the updates lack (or vice versa) —
           // missing sides surface null, matching mergeSchema reads
           val files = stage(ref,
-            updates.unionByName(survivors, allowMissingColumns = true))
+            upserts.unionByName(survivors, allowMissingColumns = true))
           val rows = countRowsFromFooters(ref, files)
           val stats = collectStats(spark, ref, files, statsCols)
           val id = base.snapshots.map(_.id).max + 1
@@ -652,13 +690,17 @@ object IceLite {
       }
       .toSeq)
     orphans.foreach { case (p, _) => Files.deleteIfExists(p) }
-    // sweep now-empty dirs (staging skeletons, emptied token dirs)
+    // sweep now-empty dirs (staging skeletons, emptied token dirs) —
+    // but the grace window applies to DIRS too: a concurrent writer
+    // creates its staging/token dir before any file lands in it, so an
+    // empty dir younger than the cutoff is in-flight, not garbage
     listDir(Files.walk(ref.dataDir))(_
       .filter(p => Files.isDirectory(p) && p != ref.dataDir)
       .toSeq).sortBy(-_.getNameCount)
       .foreach { d =>
         scala.util.Try {
-          if (listDir(Files.list(d))(_.isEmpty)) Files.deleteIfExists(d)
+          if (Files.getLastModifiedTime(d).toMillis < cutoff &&
+              listDir(Files.list(d))(_.isEmpty)) Files.deleteIfExists(d)
         }
       }
     orphans.map(_._2).sorted

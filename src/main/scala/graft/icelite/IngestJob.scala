@@ -53,12 +53,30 @@ object IngestJob {
     TableRef(warehouse, metaNamespace, s"${table}_loaded_files")
 
   /** a05: read the tracking table; missing table ⇒ empty set
-    * (extract_load.py:55-61). */
+    * (extract_load.py:55-61). Inspection/test helper ONLY — it
+    * collects the full tracked-file history to the driver, which at
+    * 100 TB is millions of rows. `run` computes its new-file diff with
+    * the a04 anti-join instead (newFiles below), never materializing
+    * the history driver-side. */
   def loadedFiles(spark: SparkSession, warehouse: String, table: String): Set[String] = {
     val ref = stateRef(warehouse, table)
     if (!IceLite.tableExists(ref)) Set.empty
     else IceLite.read(spark, ref).select("file_path")
       .collect().map(_.getString(0)).toSet
+  }
+
+  /** a04 as `run` uses it: listed − tracked as a DataFrame anti-join —
+    * the tracking table stays distributed; only the NEW files (bounded
+    * by the batch, not by history) ever reach the driver. */
+  private def newFiles(spark: SparkSession, warehouse: String, table: String,
+      listed: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    val ref = stateRef(warehouse, table)
+    if (!IceLite.tableExists(ref)) listed
+    else listed.toDF("file_path")
+      .join(IceLite.read(spark, ref).select("file_path"),
+        Seq("file_path"), "left_anti")
+      .as[String].collect().toSeq.sorted
   }
 
   /** a06: append newly loaded paths to the tracking table
@@ -91,9 +109,11 @@ object IngestJob {
         // corresponds to timestamps", extract_load.py:145-148)
         if (listed.isEmpty) Seq.empty else Seq(listed.max)
       case "incremental" =>
-        // a04: listed − already-loaded diff (extract_load.py:154-157)
-        val loaded = loadedFiles(spark, warehouse, table)          // a05
-        listed.filterNot(loaded)
+        // a04: listed − already-loaded diff (extract_load.py:154-157),
+        // as a distributed anti-join — the tracked-file history never
+        // lands on the driver
+        newFiles(spark, warehouse, table, listed)                  // a05
+
     }
 
     if (toLoad.isEmpty) {
@@ -135,32 +155,66 @@ object IngestJob {
   }
 }
 
-/** a15: the dbt role — a registry of named SQL transformations
-  * materialized as IceLite tables in dependency order
-  * (/root/reference/README.md:79-98; SURVEY §3.3). */
+/** a15: the dbt role — a DAG of named SQL models with explicit
+  * dependencies, materialized as IceLite tables in topological order
+  * (/root/reference/README.md:79-98; SURVEY §3.3). `yearly_revenue`
+  * reads `monthly_revenue`'s materialized table, the model-reads-model
+  * edge dbt's `ref()` provides. */
 object TransformRegistry {
 
-  /** name → (dependencies, SQL over temp views / upstream transforms). */
-  val transforms: Seq[(String, String)] = Seq(
-    "monthly_revenue" ->
+  /** One dbt-style model: SQL over source temp views and/or upstream
+    * models (referenced by name, like dbt `ref()`). */
+  final case class Model(name: String, deps: Seq[String], sql: String)
+
+  val models: Seq[Model] = Seq(
+    // declared intentionally OUT of topological order — runAll must
+    // sort by deps, not by position (the dbt contract)
+    Model("yearly_revenue", Seq("monthly_revenue"),
+      """SELECT substr(ship_month, 1, 4) AS ship_year,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) AS BIGINT) AS n_months
+         FROM monthly_revenue GROUP BY 1"""),
+    Model("monthly_revenue", Nil,
       """SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
          CAST(COUNT(*) AS BIGINT) AS n_lines
-         FROM lineitem GROUP BY 1""",
-    "top_segments" ->
+         FROM lineitem GROUP BY 1"""),
+    Model("top_segments", Nil,
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment""")
+         GROUP BY c_mktsegment"""))
 
-  /** CTAS materialization: run the model SQL, write it as an IceLite
-    * table (atomic replace), register the result as a view so
-    * downstream models can reference it. */
+  /** Kahn topological order over the declared deps; rejects unknown
+    * deps and cycles (what dbt validates at parse time). */
+  def topoOrder(ms: Seq[Model] = models): Seq[Model] = {
+    val byName = ms.map(m => m.name -> m).toMap
+    ms.foreach(m => m.deps.foreach(d => require(byName.contains(d),
+      s"model ${m.name} depends on unknown model $d")))
+    val ordered = scala.collection.mutable.ArrayBuffer.empty[Model]
+    val done = scala.collection.mutable.Set.empty[String]
+    var remaining = ms
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.deps.forall(done))
+      require(ready.nonEmpty,
+        s"dependency cycle among models: ${blocked.map(_.name).mkString(", ")}")
+      ordered ++= ready
+      done ++= ready.map(_.name)
+      remaining = blocked
+    }
+    ordered.toSeq
+  }
+
+  /** CTAS materialization in topological order: run each model's SQL,
+    * write it as an IceLite table (atomic replace), register the
+    * result as a view so downstream models read the MATERIALIZED
+    * table — a two-level lineage, not a view expansion. */
   def runAll(spark: SparkSession, warehouse: String): Seq[TableRef] =
-    transforms.map { case (name, sql) =>
-      val ref = TableRef(warehouse, "marts", name)
+    topoOrder().map { m =>
+      val ref = TableRef(warehouse, "marts", m.name)
       IceLite.createNamespace(warehouse, "marts")
-      IceLite.createOrReplace(ref, spark.sql(sql))
-      IceLite.read(spark, ref).createOrReplaceTempView(name)
+      IceLite.createOrReplace(ref, spark.sql(m.sql))
+      IceLite.read(spark, ref).createOrReplaceTempView(m.name)
       ref
     }
 }

@@ -33,8 +33,68 @@ object LlmPack extends Pack {
     * next invocation (the current one backs the returned lazy plan). */
   @volatile private var lastSig: Option[DataFrame] = None
 
-  /** c12's most recent persisted postings stage (same lifecycle). */
-  @volatile private var lastGrams: Option[DataFrame] = None
+  /** c12's most recent persisted postings stages (same lifecycle). */
+  @volatile private var lastGrams: Seq[DataFrame] = Nil
+
+  /** c12's hot-gram guard: df per gram over the declared cap. */
+  private[queries] val HotGramCap = 1000L
+
+  /** Distinct word-3-gram postings with hot grams (df > cap) REMOVED,
+    * plus the dropped-gram count. The postings self-join's pair work
+    * is Σ_g df(g)² — one stop-phrase gram with df=10⁶ in a 100 TB
+    * corpus alone yields 10¹² candidate pairs on a single reducer, so
+    * the cap is what keeps the exact operator alive at scale (c02's
+    * LSH is the approximate fallback). Dropping a gram from BOTH the
+    * postings and the size counts keeps Jaccard self-consistent: it
+    * becomes exact Jaccard over the df≤cap gram universe, and hot
+    * grams (stop phrases) carry no similarity signal anyway. The
+    * dropped count is returned so truncation is visible in the
+    * result, never silent. */
+  private[queries] def cappedGramPostings(docsDf: DataFrame,
+      cap: Long): (DataFrame, Long) = {
+    val raw = docsDf
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id",
+        explode(array_distinct(expr("word_ngrams(toks, 3)"))).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot list is tiny by construction (only grams with df > cap), so
+    // the anti-join broadcasts; df is ONE extra shuffle on gram over
+    // the persisted postings — the price of a bounded self-join
+    val hot = raw.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" > cap)
+    val nHot = hot.count()
+    val grams = raw.join(hot.select($"gram"), Seq("gram"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastGrams.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
+    lastGrams = Seq(raw, grams)
+    (grams, nHot)
+  }
+
+  /** c12 body, cap-parameterized so the unit test can exercise the
+    * guard with a small cap (the declared query uses [[HotGramCap]]). */
+  private[queries] def ngramJaccard(s: SparkSession, dir: String,
+      cap: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (grams, nHot) = cappedGramPostings(docs(s, dir), cap)
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    // sizes is one row per doc — corpus-sized, so no explicit
+    // broadcast (AQE promotes it when it fits; at 100 TB these are
+    // shuffle joins on the pair keys)
+    inter
+      .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / (col("sa.n") + col("sb.n") - $"inter"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      .withColumn("hot_grams_dropped", lit(nHot))
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
@@ -276,40 +336,13 @@ object LlmPack extends Pack {
     // the relational formulation of set similarity: postings(gram →
     // docs) self-join counts |A∩B| per pair in one shuffle on gram,
     // never materializing the doc×doc product; |A∪B| = |A|+|B|−|A∩B|.
-    // Pair work is Σ_g df(g)² (2.8M at sf0.1, max df 25). At 100 TB
-    // the guard is a df cap / prefix filter on hot grams (or fall back
-    // to c02's LSH, which is this operator's approximate scale path).
+    // Pair work is Σ_g df(g)² (2.8M at sf0.1, max df 25) — bounded by
+    // the CODED hot-gram cap in cappedGramPostings (df ≤ 1000; the
+    // dropped-gram count is a result column, so truncation is visible
+    // through the gate — 0 at every fixture scale, hence the oracle's
+    // constant). c02's LSH remains the approximate fallback.
     Decl("c12_dedup_ngram_jaccard",
-      (s, dir) => {
-        graft.functions.GraftFunctions.register(s)
-        val toks = docs(s, dir)
-          .withColumn("toks", split($"text", " "))
-          .filter(size($"toks") >= 3)
-        // postings are consumed 4× (join a/b sides, sizes for both
-        // pair ends) — persist so the corpus is shingled once, not 4×
-        // (at 100 TB this is a materialized postings table)
-        val grams = toks.select($"doc_id",
-            explode(array_distinct(expr("word_ngrams(toks, 3)"))).as("gram"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        lastGrams.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
-        lastGrams = Some(grams)
-        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val inter = grams.as("a").join(grams.as("b"),
-            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        // sizes is one row per doc — corpus-sized, so no explicit
-        // broadcast (AQE promotes it when it fits; at 100 TB these are
-        // shuffle joins on the pair keys)
-        inter
-          .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
-          .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
-          .withColumn("jaccard",
-            $"inter".cast("double") / (col("sa.n") + col("sb.n") - $"inter"))
-          .filter($"jaccard" >= 0.5)
-          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-          .orderBy($"doc_a", $"doc_b")
-      },
+      (s, dir) => ngramJaccard(s, dir, HotGramCap),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                             FROM documents WHERE len(string_split(text, ' ')) >= 3),
                   grams AS (SELECT DISTINCT doc_id,
@@ -321,7 +354,8 @@ object LlmPack extends Pack {
                               ON a.gram = b.gram AND a.doc_id < b.doc_id
                             GROUP BY a.doc_id, b.doc_id)
              SELECT doc_a, doc_b,
-               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard,
+               CAST(0 AS BIGINT) AS hot_grams_dropped
              FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                         JOIN sizes sb ON doc_b = sb.doc_id
              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5

@@ -262,19 +262,28 @@ object PipelinePack extends Pack {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              ORDER BY o_orderkey LIMIT 10""")),
 
-    // a15: dbt-style CTAS transforms materialized through the table
-    // layer in dependency order (README.md:79-98)
+    // a15: dbt-style CTAS model DAG materialized through the table
+    // layer in topological order (README.md:79-98). The verified
+    // output is the SECOND-level model (yearly_revenue reads the
+    // materialized monthly_revenue — dbt's ref() edge); the oracle
+    // recomputes the full two-level lineage from source.
     Decl("a15_dbt_transform",
       (s, dir) => {
         Tables.registerAll(s, dir)
         val wh = tmpWarehouse()
         TransformRegistry.runAll(s, wh)
-        IceLite.read(s, TableRef(wh, "marts", "monthly_revenue"))
-          .orderBy(col("ship_month"))
+        IceLite.read(s, TableRef(wh, "marts", "yearly_revenue"))
+          .orderBy(col("ship_year"))
       },
-      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-             CAST(COUNT(*) AS BIGINT) AS n_lines
-             FROM lineitem GROUP BY 1 ORDER BY ship_month"""))
+      Some("""WITH monthly AS (
+               SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines
+               FROM lineitem GROUP BY 1)
+             SELECT substr(ship_month, 1, 4) AS ship_year,
+               CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) AS BIGINT) AS n_months
+             FROM monthly GROUP BY 1 ORDER BY ship_year"""))
   )
 }

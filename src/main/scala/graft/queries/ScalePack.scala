@@ -255,11 +255,20 @@ object ScalePack extends Pack {
           .select($"o_orderkey", $"o_totalprice")
         IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
         IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
-        // simulate a crashed writer's residue
+        // simulate a crashed writer's residue — backdated past the
+        // grace window: gcOrphans keeps files unless mtime is STRICTLY
+        // older than the cutoff, and a same-millisecond tie between
+        // the write and the cutoff would leave the orphan alive
+        // (the mtime-granularity flake IceLiteGcSpec pins)
         val dead = ref.dataDir.resolve("deadbeef")
         Files.createDirectories(dead)
-        java.nio.file.Files.write(dead.resolve("part-00000-crashed.parquet"),
+        val crashed = dead.resolve("part-00000-crashed.parquet")
+        java.nio.file.Files.write(crashed,
           Array[Byte](0x50, 0x41, 0x52, 0x31))
+        val past = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000L)
+        Files.setLastModifiedTime(crashed, past)
+        Files.setLastModifiedTime(dead, past)
         val deleted = IceLite.gcOrphans(ref, graceMs = 0L).size.toLong
         IceLite.read(s, ref)
           .agg(count(lit(1)).cast("long").as("n"),
@@ -336,6 +345,102 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              TRUE AS files_kept_lt_total
              FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500""")),
+
+    // d11: time travel — the Iceberg headline feature the reference's
+    // snapshot retention exists FOR (extract_load.py:95-110: old
+    // snapshots only matter because they are readable). A load lands
+    // (snapshot 1), an append lands (snapshot 2); readAt resolves
+    // snapshot 1's exact file list, untouched by the later commit —
+    // the fat-fingered-load recovery path. n_current pins that the
+    // CURRENT read still sees both loads.
+    Decl("d11_time_travel_read",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d11").toString
+        val ref = IngestJob.tableRef(wh, "orders_tt")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val first = IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
+        val nCurrent = IceLite.read(s, ref).count()
+        IceLite.readAt(s, ref, first.id)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("n_current", lit(nCurrent))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey < 2000) AS n_current
+             FROM orders WHERE o_orderkey < 1000""")),
+
+    // d12: schema evolution on read — Iceberg v2's schema-on-read
+    // (extract_load.py:73 infers schema per load; format-version=2
+    // makes later columns additive). An append carries a NEW column;
+    // mergeSchema surfaces it across the whole table with NULL for
+    // pre-evolution files — no rewrite of old data, the only evolution
+    // cost model that works at 100 TB.
+    Decl("d12_schema_evolution_read",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d12").toString
+        val ref = IngestJob.tableRef(wh, "orders_ev")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000)
+          .select($"o_orderkey", $"o_totalprice"))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+          .select($"o_orderkey", $"o_totalprice",
+            $"o_orderpriority".cast("string").as("o_orderpriority")))
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            count($"o_orderpriority").cast("long").as("n_evolved"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+      },
+      // oracle simulates evolution with UNION + NULL cast: old rows
+      // carry NULL in the added column, so COUNT(col) counts only the
+      // post-evolution load
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(o_orderpriority) AS BIGINT) AS n_evolved,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM (
+               SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+               FROM orders WHERE o_orderkey < 1000
+               UNION ALL
+               SELECT o_orderkey, o_totalprice, o_orderpriority
+               FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000)""")),
+
+    // d13: MERGE with a delete branch (WHEN MATCHED AND cond THEN
+    // DELETE) — the GDPR-erasure shape: tombstoned keys vanish from
+    // the table (matched rows removed, tombstones never inserted),
+    // everything else upserts as in d04. One anti-join + rewrite,
+    // copy-on-write, conflict-validated.
+    Decl("d13_merge_delete",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d13").toString
+        val ref = IngestJob.tableRef(wh, "orders_md")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice"))
+        // updates touch [500,1500): keys ≡0 (mod 7) are tombstones —
+        // matched ones ([500,1000)) must vanish, unmatched ones
+        // ([1000,1500)) must NOT be inserted; the rest re-price to 1.0
+        val updates = o.filter($"o_orderkey" >= 500 && $"o_orderkey" < 1500)
+          .select($"o_orderkey", $"o_custkey", lit(1.0).as("o_totalprice"))
+        IceLite.merge(s, ref, updates, Seq("o_orderkey"),
+          deleteWhere = Some("o_orderkey % 7 = 0"))
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM (
+               SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 500
+               UNION ALL
+               SELECT o_orderkey, 1.0 AS o_totalprice FROM orders
+               WHERE o_orderkey >= 500 AND o_orderkey < 1500
+                 AND o_orderkey % 7 <> 0)""")),
 
     Decl("d02_salted_agg",
       (s, dir) => {

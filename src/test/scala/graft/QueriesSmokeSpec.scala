@@ -31,12 +31,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("declared ids cover the full SURVEY §2 inventory") {
     val ids = SparkEntry.queries.keySet
     val a = (1 to 15).map(i => f"a$i%02d")
-    val b = (1 to 61).map(i => f"b$i%02d")
-    val c = (1 to 11).map(i => f"c$i%02d")
-    val s = (1 to 8).map(i => f"s$i%02d")
+    val b = (1 to 63).map(i => f"b$i%02d")
+    val c = (1 to 13).map(i => f"c$i%02d")
+    val s = (1 to 9).map(i => f"s$i%02d")
     val m = (1 to 4).map(i => f"m$i%02d")
-    val t = (1 to 4).map(i => f"t$i%02d")
-    val d = (1 to 4).map(i => f"d$i%02d")
+    val t = (1 to 5).map(i => f"t$i%02d")
+    val d = (1 to 13).map(i => f"d$i%02d")
     val expectedPrefixes = a ++ b ++ c ++ s ++ m ++ t ++ d
     val declaredPrefixes = ids.map(_.take(3))
     val missing = expectedPrefixes.toSet -- declaredPrefixes

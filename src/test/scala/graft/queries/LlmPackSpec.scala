@@ -184,7 +184,8 @@ class LlmPackSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("jac_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
 
-    val got = LlmPack.queries("c12_dedup_ngram_jaccard")(spark, tmp)
+    val res = LlmPack.queries("c12_dedup_ngram_jaccard")(spark, tmp)
+    val got = res.select($"doc_a", $"doc_b", $"jaccard")
       .as[(Long, Long, Double)].collect().toSeq
     def shingle(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
     def jac(a: String, b: String) = {
@@ -197,6 +198,47 @@ class LlmPackSpec extends AnyFunSuite {
     } yield (ia, ib, math.rint(j * 1e4) / 1e4)).sortBy(p => (p._1, p._2))
     assert(got == expect, s"got $got, expected $expect")
     assert(got.exists(p => p._1 == 0L && p._2 == 100L), "missed planted near-dup")
+    // no gram comes close to the declared cap here → no truncation
+    assert(res.select($"hot_grams_dropped").as[Long].collect().forall(_ == 0L))
+  }
+
+  test("c12 hot-gram cap bounds the candidate self-join and stays visible") {
+    // 10 docs share ONE stop-phrase gram ("H1 H2 H3") and are otherwise
+    // pairwise disjoint; docs 100/101 are true near-dups sharing only
+    // low-df grams. With cap=5 the hot gram (df=10 > 5) is dropped.
+    val hotDocs = (0 until 10).map(i =>
+      (i.toLong, s"H1 H2 H3 u${i}a u${i}b u${i}c u${i}d"))
+    val nearDup = Seq((100L, "p q r s t v w"), (101L, "p q r s t v X"))
+    val df = (hotDocs ++ nearDup).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("hotgram_spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val docsDf = graft.Tables.load(spark, tmp, "documents")
+
+    def coOccurrences(cap: Long): (Long, Long) = {
+      val (grams, nHot) = LlmPack.cappedGramPostings(docsDf, cap)
+      val pairs = grams.as("a").join(grams.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .count()
+      (pairs, nHot)
+    }
+    // uncapped (cap above every df): the hot gram alone contributes
+    // C(10,2)=45 co-occurrences; near-dups add 4 shared grams
+    val (uncapped, nHot0) = coOccurrences(1000L)
+    assert(uncapped == 49L, s"uncapped co-occurrences: $uncapped")
+    assert(nHot0 == 0L)
+    // cap=5: the df=10 gram is dropped → pair work collapses to the
+    // 4 genuine shared grams, ≤ Σ_{df≤cap} C(df,2) by construction
+    val (capped, nHot) = coOccurrences(5L)
+    assert(nHot == 1L, s"expected exactly the planted hot gram dropped, got $nHot")
+    assert(capped == 4L, s"capped co-occurrences: $capped")
+
+    // the full operator still finds the true near-dup pair (its grams
+    // are all under the cap) and SURFACES the truncation in the result
+    val res = LlmPack.ngramJaccard(spark, tmp, 5L)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(res == Seq((100L, 101L, 0.6667, 1L)), s"got $res")
   }
 
   test("c13 finds a planted duplicate embedding with cosine 1.0") {

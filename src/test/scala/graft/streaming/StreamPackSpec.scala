@@ -72,24 +72,27 @@ class StreamPackSpec extends AnyFunSuite {
     assert(!emitted.contains("05:00"), s"open window must not emit: $emitted")
   }
 
-  test("foreachBatch sink is idempotent: a replayed batchId appends once") {
+  test("foreachBatch sink is exactly-once: a replayed batchId appends once") {
     import graft.icelite.{IceLite, TableRef}
     val wh = Files.createTempDirectory("s07_idem_wh").toString
     IceLite.createNamespace(wh, "src")
-    IceLite.createNamespace(wh, "metadata")
     val ref = TableRef(wh, "src", "t")
-    val batchRef = TableRef(wh, "metadata", "t_batches")
 
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val b1 = Seq((3L, "c")).toDF("k", "v")
-    assert(StreamPack.appendBatchOnce(ref, batchRef, 0L, b0))
-    assert(StreamPack.appendBatchOnce(ref, batchRef, 1L, b1))
+    assert(StreamPack.appendBatchOnce(ref, 0L, b0))
+    assert(StreamPack.appendBatchOnce(ref, 1L, b1))
     // replay of batch 0 (Spark's at-least-once foreachBatch contract)
-    assert(!StreamPack.appendBatchOnce(ref, batchRef, 0L, b0),
+    assert(!StreamPack.appendBatchOnce(ref, 0L, b0),
       "replayed batchId must be skipped")
     val ks = IceLite.read(spark, ref).select($"k").as[Long].collect().sorted
     assert(ks.toSeq == Seq(1L, 2L, 3L), s"double-append on replay: ${ks.toSeq}")
-    assert(IceLite.read(spark, batchRef).count() == 2)
+    // the marker commits WITH the data: each snapshot carries its
+    // batch id in the summary — no separate marker table, no crash
+    // window between data commit and marker commit
+    val ids = IceLite.readManifest(ref).snapshots
+      .flatMap(_.summary.get(StreamPack.BatchIdKey))
+    assert(ids == Seq("0", "1"), s"summary batch ids: $ids")
   }
 
   test("streaming dedup emits each key once across micro-batches") {
