@@ -24,9 +24,13 @@ import graft.queries.{Decl, Pack}
   *
   * Scale notes: all stateful ops key their state by (window) or
   * (user, session) or event_id — state is hash-partitioned across
-  * executors by key, and watermarks (s02/s05/s06) bound state size at
-  * 100 TB; complete-mode is used only where output cardinality is
-  * bounded (window count, not row count).
+  * executors by key, and watermarks bound state size at 100 TB:
+  * s02/s06 via windowed-agg eviction, s05 via
+  * `dropDuplicatesWithinWatermark` (dedup state for a key is dropped
+  * once the watermark passes its event time + delay; duplicates
+  * arriving beyond that horizon are re-emitted by declared contract —
+  * StreamPackSpec pins both sides). Complete-mode is used only where
+  * output cardinality is bounded (window count, not row count).
   */
 object StreamPack extends Pack {
 
@@ -206,12 +210,23 @@ object StreamPack extends Pack {
 
     // s05: exactly-once by key — the streaming form of the reference's
     // loaded-files tracking (extract_load.py:55-66): input duplicated
-    // 2×, state dedup restores each event exactly once
+    // 2×, state dedup restores each event exactly once. The watermark
+    // BOUNDS the dedup state (plain dropDuplicates retains every key
+    // forever — a state-store OOM on an unbounded feed): a key's entry
+    // is evicted once the watermark passes its event time + delay, so
+    // live state ≈ keys within one delay horizon, not the stream's
+    // lifetime. The 35-day delay exceeds the fixture's 30-day ts span,
+    // so every duplicate here lands within the horizon and the drained
+    // result is an exact dedup (oracle unchanged); at 100 TB the delay
+    // is sized to the real replay horizon (hours, not weeks).
+    // Beyond-horizon duplicates are re-emitted by contract —
+    // StreamPackSpec pins the eviction semantics.
     Decl("s05_stream_dedup",
       (s, dir) => {
         val staged = stageEventsDoubled(s, dir)
         runStream(s, staged, "s05_sink", "append")(
-          _.dropDuplicates("event_id"))
+          _.withWatermark("ts", "35 days")
+            .dropDuplicatesWithinWatermark("event_id"))
           .agg(count(lit(1)).cast("long").as("n"),
             countDistinct(col("event_id")).cast("long").as("n_ids"))
       },

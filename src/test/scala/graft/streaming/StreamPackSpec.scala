@@ -96,6 +96,8 @@ class StreamPackSpec extends AnyFunSuite {
   }
 
   test("streaming dedup emits each key once across micro-batches") {
+    // mirrors s05: watermarked dedup — duplicates within the delay
+    // horizon are removed exactly
     val src = Files.createTempDirectory("stream_spec_dedup").toString
     val sink = "stream_spec_dedup_sink"
     val b1 = Seq((1L, ts(0)), (2L, ts(1))).toDF("event_id", "ts")
@@ -106,7 +108,8 @@ class StreamPackSpec extends AnyFunSuite {
 
     val q = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
-      .dropDuplicates("event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("stream_spec_ckpt2").toString)
@@ -116,5 +119,53 @@ class StreamPackSpec extends AnyFunSuite {
 
     val ids = spark.table(sink).select($"event_id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("dedup state is watermark-bounded: evicted key re-emits, live key dedups") {
+    // the s05 contract: state for a key lives until the watermark
+    // passes (event time + delay); a duplicate inside that horizon is
+    // dropped, a duplicate after eviction is re-emitted. This is what
+    // makes the state store BOUNDED on an unbounded feed — plain
+    // dropDuplicates would hold every key forever.
+    val src = Files.createTempDirectory("stream_spec_evict").toString
+    val sink = "stream_spec_evict_sink"
+    val delay = "10 minutes"
+
+    // batch 0: k1 @ 10:00 → state expiry 10:10
+    val b0 = Seq((1L, ts(600))).toDF("event_id", "ts")
+    writeBatch(src, "b_000.parquet", b0)
+    val q = spark.readStream.schema(b0.schema).parquet(src)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream_spec_ckpt3").toString)
+      .start()
+    q.processAllAvailable()
+
+    // batch 1: k2 @ 10:25 → after this batch the watermark is 10:15
+    writeBatch(src, "b_001.parquet", Seq((2L, ts(625))).toDF("event_id", "ts"))
+    q.processAllAvailable()
+
+    // batch 2: k3 @ 10:26 — processed with watermark 10:15 > k1's
+    // expiry 10:10 → k1's state is evicted; k2 (expiry 10:35) lives
+    writeBatch(src, "b_002.parquet", Seq((3L, ts(626))).toDF("event_id", "ts"))
+    q.processAllAvailable()
+
+    // batch 3: k1 again @ 10:20 (above watermark 10:16, but its state
+    // is gone → RE-EMITTED) and k2 again @ 10:25 (state live → deduped)
+    writeBatch(src, "b_003.parquet",
+      Seq((1L, ts(620)), (2L, ts(625))).toDF("event_id", "ts"))
+    q.processAllAvailable()
+    q.stop()
+
+    val counts = spark.table(sink).groupBy($"event_id")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts.get(1L).contains(2L),
+      s"evicted key must re-emit after the watermark horizon: $counts")
+    assert(counts.get(2L).contains(1L),
+      s"key within the horizon must stay deduped: $counts")
+    assert(counts.get(3L).contains(1L), s"control key: $counts")
   }
 }
