@@ -117,6 +117,126 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
       s"a concurrent create-merge was lost: $got")
   }
 
+  test("concurrent delete-merges on disjoint keys: both tombstone sets apply") {
+    // the d13 branch under race: each merge carries WHEN MATCHED AND
+    // cond THEN DELETE tombstones. With stale-base commits, the loser's
+    // rebase could resurrect the winner's deleted keys (they are
+    // "unmatched" in the loser's recomputation only if the rebase reads
+    // the winner's state) or drop rows neither writer touched.
+    val wh = Files.createTempDirectory("cas_delete_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1 to 8).map(k => (k, s"v$k")).toDF("k", "v"))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // A tombstones {1,2}; B tombstones {3,4} and upserts 5
+    val batches = Seq(
+      Seq((1, "DEL"), (2, "DEL")),
+      Seq((3, "DEL"), (4, "DEL"), (5, "V5")))
+    batches.foreach { b =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try IceLite.merge(spark, ref, b.toDF("k", "v"), Seq("k"),
+            deleteWhere = Some("v = 'DEL'"))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "merges timed out")
+    assert(failures.isEmpty, s"delete-merge failed: ${failures.peek()}")
+
+    val got = IceLite.read(spark, ref).as[(Int, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq((5, "V5"), (6, "v6"), (7, "v7"), (8, "v8")),
+      s"tombstone resurrected or unrelated row vanished: $got")
+  }
+
+  test("concurrent delete-merges with OVERLAPPING tombstones stay idempotent") {
+    // both writers erase key 3 (the GDPR double-submit shape); the
+    // loser's recomputed merge finds 3 already gone — deleting an
+    // absent key is a no-op, not an error, and nothing else is touched
+    val wh = Files.createTempDirectory("cas_delete_overlap_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1 to 6).map(k => (k, s"v$k")).toDF("k", "v"))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val batches = Seq(
+      Seq((1, "DEL"), (2, "DEL"), (3, "DEL")),
+      Seq((3, "DEL"), (4, "DEL")))
+    batches.foreach { b =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try IceLite.merge(spark, ref, b.toDF("k", "v"), Seq("k"),
+            deleteWhere = Some("v = 'DEL'"))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "merges timed out")
+    assert(failures.isEmpty, s"overlapping delete-merge failed: ${failures.peek()}")
+
+    val got = IceLite.read(spark, ref).as[(Int, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq((5, "v5"), (6, "v6")),
+      s"overlapping tombstones mishandled: $got")
+  }
+
+  test("delete-merge racing an upsert-merge: deletes land, upserts survive") {
+    // mixed race: A erases {1,2}; B re-prices 5 and inserts 9. A lost
+    // CAS on either side must rebase onto the other's state — B's
+    // upsert must not resurrect A's deleted keys, A's delete must not
+    // drop B's insert.
+    val wh = Files.createTempDirectory("cas_delete_upsert_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1 to 8).map(k => (k, s"v$k")).toDF("k", "v"))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try IceLite.merge(spark, ref,
+          Seq((1, "DEL"), (2, "DEL")).toDF("k", "v"), Seq("k"),
+          deleteWhere = Some("v = 'DEL'"))
+        catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try IceLite.merge(spark, ref,
+          Seq((5, "V5"), (9, "v9")).toDF("k", "v"), Seq("k"))
+        catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "merges timed out")
+    assert(failures.isEmpty, s"mixed merge race failed: ${failures.peek()}")
+
+    val got = IceLite.read(spark, ref).as[(Int, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq((3, "v3"), (4, "v4"), (5, "V5"), (6, "v6"),
+      (7, "v7"), (8, "v8"), (9, "v9")),
+      s"delete/upsert race lost a change: $got")
+  }
+
   test("compact racing concurrent appends loses nothing") {
     // compact claims the version it compacted against; when an append
     // wins the race, compact must recompute on the winner's file list
