@@ -653,6 +653,26 @@ object IceLite {
   def read(spark: SparkSession, ref: TableRef): DataFrame =
     readAt(spark, ref, readManifest(ref).currentSnapshotId)
 
+  /** Time travel by wall-clock: read the table as of `asOfMs` — the
+    * newest snapshot whose commit timestamp is <= the cutoff
+    * (Iceberg's `FOR TIMESTAMP AS OF`; the reference's retention
+    * semantics are time-based for the same reason —
+    * extract_load.py:169-170's TIMESTAMP cutoff, README.md:111's
+    * `retention_threshold => '7d'`). Snapshot ids are monotonic, so
+    * the max-id snapshot at-or-before the cutoff is the commit a
+    * reader at that instant would have seen, even when two commits
+    * share a millisecond. Throws if `asOfMs` predates the first
+    * snapshot — there was no table to read then. */
+  def readAsOf(spark: SparkSession, ref: TableRef, asOfMs: Long): DataFrame = {
+    val m = readManifest(ref)
+    val snap = m.snapshots.filter(_.timestampMs <= asOfMs)
+      .sortBy(_.id).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot in ${ref.name} at or before $asOfMs " +
+          s"(first commit is ${m.snapshots.map(_.timestampMs).min})"))
+    readAt(spark, ref, snap.id)
+  }
+
   /** Time travel: read the table as of a specific snapshot id. */
   def readAt(spark: SparkSession, ref: TableRef, snapshotId: Long): DataFrame = {
     val m = readManifest(ref)

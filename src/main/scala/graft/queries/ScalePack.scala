@@ -374,6 +374,38 @@ object ScalePack extends Pack {
               WHERE o_orderkey < 2000) AS n_current
              FROM orders WHERE o_orderkey < 1000""")),
 
+    // d14: time travel by TIMESTAMP — the form a user actually reaches
+    // for first ("what did this table look like yesterday"), and the
+    // axis the reference's retention runs on (extract_load.py:169-170
+    // expires by TIMESTAMP cutoff; README.md:111 retention '7d').
+    // Capture a wall-clock instant between two commits; readAsOf at
+    // that instant resolves the FIRST snapshot even though a newer one
+    // exists. The 15ms sleeps guarantee the commits' millisecond
+    // timestamps straddle the cutoff (ids break exact-ms ties).
+    Decl("d14_time_travel_ts",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d14").toString
+        val ref = IngestJob.tableRef(wh, "orders_ttts")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        Thread.sleep(15)
+        val betweenMs = System.currentTimeMillis()
+        Thread.sleep(15)
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
+        val nCurrent = IceLite.read(s, ref).count()
+        IceLite.readAsOf(s, ref, betweenMs)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("n_current", lit(nCurrent))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey < 2000) AS n_current
+             FROM orders WHERE o_orderkey < 1000""")),
+
     // d12: schema evolution on read — Iceberg v2's schema-on-read
     // (extract_load.py:73 infers schema per load; format-version=2
     // makes later columns additive). An append carries a NEW column;

@@ -52,6 +52,33 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.readAt(spark, ref, s3.id).as[Int].collect().toSeq == Seq(9))
   }
 
+  test("timestamp time travel resolves the newest snapshot at-or-before the cutoff") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    IceLite.append(ref, Seq(2).toDF("k"))
+    // between the two commits → only the first snapshot is visible
+    assert(IceLite.readAsOf(spark, ref, between).as[Int].collect().toSeq == Seq(1))
+    // at/after the last commit → current state
+    assert(IceLite.readAsOf(spark, ref, System.currentTimeMillis())
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // exactly ON a commit's timestamp, that commit is included (<=)
+    val firstTs = IceLite.readManifest(ref).snapshots.head.timestampMs
+    assert(IceLite.readAsOf(spark, ref, firstTs).as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("timestamp time travel before the first snapshot throws") {
+    val ref = freshRef()
+    val before = System.currentTimeMillis() - 60000
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    val e = intercept[IllegalArgumentException] {
+      IceLite.readAsOf(spark, ref, before)
+    }
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
   test("tableExists flips on first write") {
     val ref = freshRef()
     assert(!IceLite.tableExists(ref))
