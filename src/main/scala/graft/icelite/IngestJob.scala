@@ -163,8 +163,25 @@ object IngestJob {
 object TransformRegistry {
 
   /** One dbt-style model: SQL over source temp views and/or upstream
-    * models (referenced by name, like dbt `ref()`). */
-  final case class Model(name: String, deps: Seq[String], sql: String)
+    * models (referenced by name, like dbt `ref()`).
+    *
+    * `materialization` mirrors dbt's config: `table` rebuilds via CTAS
+    * every run; `incremental` appends only rows whose `watermarkCol`
+    * is past the materialized table's high-water mark — the only
+    * materialization cost model a 100 TB mart can afford (a full
+    * rebuild re-reads the whole source; incremental reads the delta
+    * and commits one append snapshot). The dbt contract carries over:
+    * the watermark column must advance append-only in the source, and
+    * a run must only ever see COMPLETE watermark units (here: the
+    * boundary is a month, and loads land on month boundaries). */
+  final case class Model(name: String, deps: Seq[String], sql: String,
+      materialization: String = "table",
+      watermarkCol: Option[String] = None) {
+    require(materialization == "table" || materialization == "incremental",
+      s"model $name: unknown materialization '$materialization'")
+    require(materialization != "incremental" || watermarkCol.nonEmpty,
+      s"incremental model $name needs a watermarkCol")
+  }
 
   val models: Seq[Model] = Seq(
     // declared intentionally OUT of topological order — runAll must
@@ -205,16 +222,47 @@ object TransformRegistry {
     ordered.toSeq
   }
 
-  /** CTAS materialization in topological order: run each model's SQL,
-    * write it as an IceLite table (atomic replace), register the
-    * result as a view so downstream models read the MATERIALIZED
-    * table — a two-level lineage, not a view expansion. */
-  def runAll(spark: SparkSession, warehouse: String): Seq[TableRef] =
-    topoOrder().map { m =>
+  /** Materialization in topological order: run each model's SQL,
+    * write it as an IceLite table, register the result as a view so
+    * downstream models read the MATERIALIZED table — a two-level
+    * lineage, not a view expansion.
+    *
+    * `table` models rebuild atomically (CTAS replace). `incremental`
+    * models do dbt's incremental dance: first run = full build;
+    * later runs compute the model over the current sources, keep only
+    * rows with watermarkCol > max(watermarkCol) already materialized,
+    * and APPEND them as one snapshot. The high-water mark is a 1-row
+    * aggregate over the mart (not the source), so the incremental run
+    * reads source-delta + mart-max — never the full history twice. */
+  def runAll(spark: SparkSession, warehouse: String,
+      ms: Seq[Model] = models): Seq[TableRef] =
+    topoOrder(ms).map { m =>
       val ref = TableRef(warehouse, "marts", m.name)
       IceLite.createNamespace(warehouse, "marts")
-      IceLite.createOrReplace(ref, spark.sql(m.sql))
+      m.materialization match {
+        case "incremental" if IceLite.tableExists(ref) =>
+          import org.apache.spark.sql.functions.{col, lit, max => fmax}
+          val wcol = m.watermarkCol.get
+          val hwm = IceLite.read(spark, ref).agg(fmax(col(wcol))).head.get(0)
+          val fresh =
+            if (hwm == null) spark.sql(m.sql)
+            else spark.sql(m.sql).filter(col(wcol) > lit(hwm))
+          IceLite.append(ref, fresh)
+        case _ =>
+          IceLite.createOrReplace(ref, spark.sql(m.sql))
+      }
       IceLite.read(spark, ref).createOrReplaceTempView(m.name)
       ref
     }
+
+  /** The incremental-mode demo DAG (a16): the monthly_revenue model in
+    * incremental materialization, watermarked on its month key. */
+  val incrementalModels: Seq[Model] = Seq(
+    Model("monthly_revenue_inc", Nil,
+      """SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem GROUP BY 1""",
+      materialization = "incremental",
+      watermarkCol = Some("ship_month")))
 }

@@ -284,6 +284,37 @@ object PipelinePack extends Pack {
                CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                CAST(SUM(n_lines) AS BIGINT) AS n_lines,
                CAST(COUNT(*) AS BIGINT) AS n_months
-             FROM monthly GROUP BY 1 ORDER BY ship_year"""))
+             FROM monthly GROUP BY 1 ORDER BY ship_year""")),
+
+    // a16: dbt INCREMENTAL materialization (README.md:79-98 is the
+    // reference's transform layer; incremental is the mode a 100 TB
+    // mart actually runs). Run 1 sees only history before 1996 (a
+    // month-boundary load); run 2 sees the full source and appends
+    // ONLY months past the mart's high-water mark — the final table
+    // must equal a from-scratch rebuild (the oracle), and the
+    // manifest must show create+append, not two rebuilds.
+    // incremental ≡ full is also property-tested in IngestJobSpec.
+    Decl("a16_dbt_incremental",
+      (s, dir) => {
+        val wh = tmpWarehouse()
+        val li = Tables.load(s, dir, "lineitem")
+        li.filter(col("l_shipdate") < lit("1996-01-01"))
+          .createOrReplaceTempView("lineitem")
+        TransformRegistry.runAll(s, wh, TransformRegistry.incrementalModels)
+        // new months arrive; the second run appends the delta only
+        li.createOrReplaceTempView("lineitem")
+        TransformRegistry.runAll(s, wh, TransformRegistry.incrementalModels)
+        val ref = TableRef(wh, "marts", "monthly_revenue_inc")
+        val ops = IceLite.readManifest(ref).snapshots.map(_.operation)
+        IceLite.read(s, ref)
+          .withColumn("second_run_appended",
+            lit(ops == Seq("create", "append")))
+          .orderBy(col("ship_month"))
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             TRUE AS second_run_appended
+             FROM lineitem GROUP BY 1 ORDER BY ship_month"""))
   )
 }

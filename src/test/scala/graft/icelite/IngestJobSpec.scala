@@ -67,6 +67,47 @@ class IngestJobSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental model materialization in any month-split ≡ full rebuild") {
+    // the a16 invariant, property-tested: reveal an append-only source
+    // month by month in random split points, run the incremental model
+    // after each reveal — the mart must equal a single full build over
+    // everything, and the manifest must be one create + appends (no
+    // rebuild ever ran)
+    val model = TransformRegistry.Model("inc_mart", Nil,
+      """SELECT m AS month, CAST(SUM(v) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM inc_src GROUP BY m""",
+      materialization = "incremental", watermarkCol = Some("month"))
+    val months = (1 to 8).map(m => f"2024-$m%02d")
+    val rows = months.zipWithIndex.flatMap { case (m, i) =>
+      (0 to i).map(j => (m, i * 10 + j)) }
+
+    (0 until 4).foreach { trial =>
+      val splits = Gen.someOf(1 until months.size)
+        .pureApply(Gen.Parameters.default, Seed(7L + trial))
+        .toSeq.sorted :+ months.size
+      val wh = Files.createTempDirectory("inc_model_wh").toString
+      var from = 0
+      splits.foreach { to =>
+        val visible = months.take(to).toSet
+        rows.filter(r => visible(r._1)).toDF("m", "v")
+          .createOrReplaceTempView("inc_src")
+        TransformRegistry.runAll(spark, wh, Seq(model))
+        from = to
+      }
+      val ref = TableRef(wh, "marts", "inc_mart")
+      val got = IceLite.read(spark, ref)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      val expected = months.zipWithIndex.map { case (m, i) =>
+        (m, (0 to i).map(i * 10 + _).sum.toLong, (i + 1).toLong) }
+      assert(got == expected,
+        s"incremental(splits=$splits) ≠ full rebuild: $got")
+      val ops = IceLite.readManifest(ref).snapshots.map(_.operation)
+      assert(ops.head == "create" && ops.tail.forall(_ == "append"),
+        s"incremental runs must append, got $ops")
+    }
+  }
+
   test("full load picks exactly the lexicographically-latest file") {
     val src = makeSource(Seq(Seq(1, 2), Seq(3, 4), Seq(5, 6)))
     val wh = Files.createTempDirectory("ingest_spec_wh").toString
