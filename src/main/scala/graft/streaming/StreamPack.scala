@@ -62,6 +62,75 @@ object StreamPack extends Pack {
       out
     })
 
+  /** s04's variant: 3 event files plus a far-future 1-row SENTINEL
+    * file, mtime-ordered to arrive last (FileStreamSource processes
+    * oldest-first under maxFilesPerTrigger=1). The sentinel plays the
+    * "stream keeps flowing" role an unbounded feed has naturally: its
+    * event time pushes the watermark past every real session so append
+    * mode can emit them all — without it a drained append-mode stream
+    * would hold the final sessions open forever. */
+  private val SentinelUser = -1L
+
+  private def stageEventsWithSentinel(s: SparkSession, dir: String): String =
+    stagedCache.computeIfAbsent(s"$dir#events#sentinel", { _ =>
+      val out = Files.createTempDirectory("graft_s04_src").toString
+      val ev = Tables.load(s, dir, "events")
+      ev.repartition(3).write.mode("overwrite").parquet(out)
+      val staging = Files.createTempDirectory("graft_s04_sent")
+      ev.limit(1)
+        .withColumn("user_id", lit(SentinelUser).cast(ev.schema("user_id").dataType))
+        .withColumn("ts", lit("2100-01-01 00:00:00").cast("timestamp"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = IceLite.listDir(Files.list(staging))(_
+        .find(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith(".")))
+        .getOrElse(throw new IllegalStateException("no sentinel part"))
+      Files.move(part, Paths.get(out, "zz_sentinel.parquet"))
+      // real files first, sentinel last (distinct mtimes; name-tiebreak
+      // keeps the real batch order deterministic)
+      val now = System.currentTimeMillis()
+      IceLite.listDir(Files.list(Paths.get(out)))(_
+        .filter(_.toString.endsWith(".parquet")).toSeq)
+        .foreach { p =>
+          val t = if (p.getFileName.toString == "zz_sentinel.parquet") now
+                  else now - 60000
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t))
+        }
+      out
+    })
+
+  /** s06's variant: two mtime-ordered batch files — batch_000 is the
+    * on-time bulk, batch_001 the remainder PLUS a replay of 100 old
+    * rows that will arrive behind the watermark. Staged once per JVM;
+    * maxFilesPerTrigger=1 + oldest-first file ordering reproduces the
+    * same two-micro-batch schedule (and so the same watermark
+    * progression) as writing the files between triggers would. */
+  private def stageLateBatches(s: SparkSession, dir: String): String =
+    stagedCache.computeIfAbsent(s"$dir#events#late", { _ =>
+      val out = Files.createTempDirectory("graft_s06_src").toString
+      val ev = Tables.load(s, dir, "events")
+      def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val staging = Files.createTempDirectory("graft_s06_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = IceLite.listDir(Files.list(staging))(_
+          .find(p => p.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith(".")))
+          .getOrElse(throw new IllegalStateException("no part staged"))
+        val dest = Paths.get(out, name)
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val now = System.currentTimeMillis()
+      writeBatch(ev.filter(col("event_id") < 8000), "batch_000.parquet",
+        now - 60000)
+      writeBatch(ev.filter(col("event_id") >= 8000)
+        .unionByName(ev.filter(col("event_id").between(1000, 1099))),
+        "batch_001.parquet", now)
+      out
+    })
+
   /** Stateful-stream shuffle width: each micro-batch instantiates one
     * state store per shuffle partition, so a 32-wide session default
     * pays 32× store open/commit per batch for fixture-sized state.
@@ -125,11 +194,14 @@ object StreamPack extends Pack {
 
     // s01: incremental file discovery → micro-batches
     // (extract_load.py:138+154); the drained row count equals one full
-    // batch scan, proving no file is lost or double-read
+    // batch scan, proving no file is lost or double-read. The stream
+    // projects to event_id before the sink — both checks derive from
+    // that one column, and carrying only it is exactly the scan-side
+    // column pruning a 100 TB file stream relies on.
     Decl("s01_stream_file_source",
       (s, dir) => {
         val staged = stageEvents(s, dir, 3)
-        runStream(s, staged, "s01_sink", "append")(identity)
+        runStream(s, staged, "s01_sink", "append")(_.select(col("event_id")))
           .agg(count(lit(1)).cast("long").as("n"),
             countDistinct(col("event_id")).cast("long").as("n_ids"))
       },
@@ -176,15 +248,26 @@ object StreamPack extends Pack {
              GROUP BY 1 ORDER BY wstart""")),
 
     // s04: session windows per user, 30-minute gap; oracle rebuilds
-    // sessions with gaps-and-islands SQL
+    // sessions with gaps-and-islands SQL. APPEND mode, not complete:
+    // sessions are ~per-event cardinality (95k at sf0.1), and complete
+    // mode re-emits the whole result every micro-batch (3× the rows to
+    // the sink) while pinning all session state forever. With a
+    // watermark, each closed session emits exactly once and its state
+    // is evictable — the only shape that works on an unbounded feed.
+    // The 35-day delay covers the staged files' full disorder (random
+    // repartition), and the sentinel batch closes the final sessions;
+    // the sentinel's own session stays open and never emits (filtered
+    // defensively anyway).
     Decl("s04_stream_session_window",
       (s, dir) => {
-        val staged = stageEvents(s, dir, 3)
-        runStream(s, staged, "s04_sink", "complete") { src =>
-          src.groupBy(col("user_id"),
+        val staged = stageEventsWithSentinel(s, dir)
+        runStream(s, staged, "s04_sink", "append") { src =>
+          src.withWatermark("ts", "35 days")
+            .groupBy(col("user_id"),
               session_window(col("ts"), "30 minutes").as("w"))
             .agg(count(lit(1)).cast("long").as("n"))
         }
+          .filter(col("user_id") =!= SentinelUser)
           .select(col("user_id"),
             date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
             col("n"))
@@ -239,39 +322,15 @@ object StreamPack extends Pack {
     // (asserted in StreamPackSpec); driver records rows-only.
     Decl("s06_stream_late_data",
       (s, dir) => {
-        withStreamShufflePartitions(s) {
-        val ev = Tables.load(s, dir, "events")
-        val srcDir = Files.createTempDirectory("graft_s06_src").toString
-        def writeBatch(df: DataFrame, name: String): Unit = {
-          val staging = Files.createTempDirectory("graft_s06_stage")
-          df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-          val part = IceLite.listDir(Files.list(staging))(_
-            .find(_.toString.endsWith(".parquet"))).get
-          Files.move(part, Paths.get(srcDir, name))
+        val staged = stageLateBatches(s, dir)
+        runStream(s, staged, "s06_sink", "append") { src =>
+          src.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour").as("w"))
+            .agg(count(lit(1)).cast("long").as("n"))
         }
-        writeBatch(ev.filter(col("event_id") < 8000), "batch_000.parquet")
-        val sch = ev.schema
-        val q = s.readStream.schema(sch).parquet(srcDir)
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour").as("w"))
-          .agg(count(lit(1)).cast("long").as("n"))
-          .writeStream.format("memory").queryName("s06_sink")
-          .outputMode("append")
-          .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s06").toString)
-          .start()
-        q.processAllAvailable()
-        // batch 2: the rest + a replay of 100 old (late) rows
-        writeBatch(ev.filter(col("event_id") >= 8000)
-          .unionByName(ev.filter(col("event_id").between(1000, 1099))),
-          "batch_001.parquet")
-        q.processAllAvailable()
-        q.stop()
-        s.table("s06_sink")
           .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
             col("n"))
           .orderBy(col("bucket"))
-        }
       },
       None),
 
