@@ -108,6 +108,38 @@ class IngestJobSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental model evolution: a delta with a new column surfaces NULLs for old months") {
+    // the a16+d12 composition: the model gains a column between runs;
+    // the incremental append carries it, old files stay untouched, and
+    // the mergeSchema read surfaces NULL for pre-evolution months —
+    // no rewrite of already-materialized history
+    val v1 = TransformRegistry.Model("ev_mart", Nil,
+      """SELECT m AS month, CAST(SUM(v) AS BIGINT) AS total
+         FROM ev_src GROUP BY m""",
+      materialization = "incremental", watermarkCol = Some("month"))
+    val v2 = v1.copy(sql =
+      """SELECT m AS month, CAST(SUM(v) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n FROM ev_src GROUP BY m""")
+    val wh = Files.createTempDirectory("ev_model_wh").toString
+
+    Seq(("2024-01", 1), ("2024-01", 2), ("2024-02", 3)).toDF("m", "v")
+      .createOrReplaceTempView("ev_src")
+    TransformRegistry.runAll(spark, wh, Seq(v1))
+    Seq(("2024-01", 1), ("2024-01", 2), ("2024-02", 3),
+      ("2024-03", 4), ("2024-03", 5)).toDF("m", "v")
+      .createOrReplaceTempView("ev_src")
+    TransformRegistry.runAll(spark, wh, Seq(v2))
+
+    val got = IceLite.read(spark, TableRef(wh, "marts", "ev_mart"))
+      .selectExpr("month", "total", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("2024-01", 3L, -1L), ("2024-02", 3L, -1L),
+      ("2024-03", 9L, 2L)),
+      s"evolved incremental mart wrong: $got")
+  }
+
   test("full load picks exactly the lexicographically-latest file") {
     val src = makeSource(Seq(Seq(1, 2), Seq(3, 4), Seq(5, 6)))
     val wh = Files.createTempDirectory("ingest_spec_wh").toString

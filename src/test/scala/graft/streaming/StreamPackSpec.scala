@@ -121,6 +121,46 @@ class StreamPackSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("append-mode session windows flush via a sentinel watermark advance") {
+    // the s04 shape at tiny scale: sessions emit in append mode only
+    // when the watermark passes their end+gap; a far-future sentinel
+    // row closes every real session, and the sentinel's own
+    // still-open session is never emitted. Pins the AvailableNow
+    // extra-flush-batch behavior s04 relies on.
+    val src = Files.createTempDirectory("stream_spec_sess").toString
+    val sink = "stream_spec_sess_sink"
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    val b0 = Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(120)),
+      (2L, ts(5))).toDF("user_id", "ts")
+    writeBatch(src, "b_000.parquet", b0)
+    val q = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream_spec_ckpt4").toString)
+      .start()
+    q.processAllAvailable()
+    // nothing can have closed yet (watermark = 02:00 - 10min < any end)
+    // sentinel: far-future row for user -1 closes all real sessions
+    writeBatch(src, "b_001.parquet",
+      Seq((-1L, Timestamp.valueOf("2100-01-01 00:00:00")))
+        .toDF("user_id", "ts"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table(sink)
+      .select($"user_id", date_format($"w.start", "HH:mm").as("start"),
+        $"n".cast("long"))
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, "00:00", 2L), (1L, "02:00", 1L), (2L, "00:05", 1L)),
+      s"sessions mis-flushed: $got")
+    // the sentinel's own session stays open → never emitted
+    assert(!got.exists(_._1 == -1L), s"open sentinel session emitted: $got")
+  }
+
   test("dedup state is watermark-bounded: evicted key re-emits, live key dedups") {
     // the s05 contract: state for a key lives until the watermark
     // passes (event time + delay); a duplicate inside that horizon is
