@@ -711,15 +711,23 @@ object IceLite {
       .toSeq)
     orphans.foreach { case (p, _) => Files.deleteIfExists(p) }
     // sweep now-empty dirs (staging skeletons, emptied token dirs) —
-    // but the grace window applies to DIRS too: a concurrent writer
+    // the grace window applies to DIRS too: a concurrent writer
     // creates its staging/token dir before any file lands in it, so an
-    // empty dir younger than the cutoff is in-flight, not garbage
+    // empty dir younger than the cutoff is in-flight, not garbage.
+    // EXCEPT dirs this very sweep emptied: deleting their orphans just
+    // bumped their mtime to now, but they are OUR reclaimed residue,
+    // not a writer's fresh dir — skipping them would leak each token
+    // dir for one extra gc cycle (and deleteIfExists still refuses a
+    // dir a racing writer re-populated: DirectoryNotEmptyException is
+    // swallowed, the dir survives)
+    val emptiedByUs = orphans.map(_._1.getParent).toSet
     listDir(Files.walk(ref.dataDir))(_
       .filter(p => Files.isDirectory(p) && p != ref.dataDir)
       .toSeq).sortBy(-_.getNameCount)
       .foreach { d =>
         scala.util.Try {
-          if (Files.getLastModifiedTime(d).toMillis < cutoff &&
+          if ((emptiedByUs(d) ||
+               Files.getLastModifiedTime(d).toMillis < cutoff) &&
               listDir(Files.list(d))(_.isEmpty)) Files.deleteIfExists(d)
         }
       }
