@@ -131,6 +131,51 @@ object StreamPack extends Pack {
       out
     })
 
+  /** s10's variant: the events table split into two streams (even /
+    * odd event_id), 2 files each, staged once per JVM. */
+  private def stageEventsHalf(s: SparkSession, dir: String, parity: Int): String =
+    stagedCache.computeIfAbsent(s"$dir#events#half$parity", { _ =>
+      val out = Files.createTempDirectory(s"graft_s10_src$parity").toString
+      Tables.load(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(2)) === parity)
+        .repartition(2)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** s11's variant: a 3-file CDC change feed over `orders`, mtime-
+    * ordered so later files merge later — b0 seeds keys < 2000 at
+    * their source price, b1 re-prices keys < 1000 to 1.0, b2
+    * re-prices keys < 500 to 2.0. Last writer per key wins. */
+  private def stageCdcBatches(s: SparkSession, dir: String): String =
+    stagedCache.computeIfAbsent(s"$dir#orders#cdc", { _ =>
+      val out = Files.createTempDirectory("graft_s11_src").toString
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val staging = Files.createTempDirectory("graft_s11_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = IceLite.listDir(Files.list(staging))(_
+          .find(p => p.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith(".")))
+          .getOrElse(throw new IllegalStateException("no part staged"))
+        val dest = Paths.get(out, name)
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val now = System.currentTimeMillis()
+      writeBatch(o.filter(col("o_orderkey") < 2000),
+        "cdc_000.parquet", now - 120000)
+      writeBatch(o.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", lit(1.0)),
+        "cdc_001.parquet", now - 60000)
+      writeBatch(o.filter(col("o_orderkey") < 500)
+        .withColumn("o_totalprice", lit(2.0)),
+        "cdc_002.parquet", now)
+      out
+    })
+
   /** Stateful-stream shuffle width: each micro-batch instantiates one
     * state store per shuffle partition, so a 32-wide session default
     * pays 32× store open/commit per batch for fixture-sized state.
@@ -458,6 +503,103 @@ object StreamPack extends Pack {
           .withColumn("has_snapshots", lit(snaps >= 1L))
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS has_snapshots
-             FROM events"""))
+             FROM events""")),
+
+    // s10 (builder extension): STREAM-STREAM interval join — the
+    // enrichment shape (clicks ⋈ impressions) Structured Streaming
+    // exists for. Both sides are watermarked and the join condition
+    // carries the time-range bound, so each side's buffered state is
+    // evictable once the other side's watermark passes the range — at
+    // 100 TB the delay is the real disorder horizon (minutes) and
+    // state is minutes-of-feed-sized, not stream-lifetime-sized. The
+    // fixture delay (35 days) exceeds the staged disorder so no pair
+    // is missed and the drained inner-join output is exact (inner
+    // joins emit eagerly on match — no watermark wait, deterministic
+    // under any batch interleaving).
+    Decl("s10_stream_stream_join",
+      (s, dir) => {
+        withStreamShufflePartitions(s) {
+        val aDir = stageEventsHalf(s, dir, 0)
+        val bDir = stageEventsHalf(s, dir, 1)
+        val schA = s.read.parquet(aDir).schema
+        val schB = s.read.parquet(bDir).schema
+        val left = s.readStream.schema(schA)
+          .option("maxFilesPerTrigger", 1).parquet(aDir)
+          .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+            col("event_id").as("a_id"))
+          .withWatermark("a_ts", "35 days")
+        val right = s.readStream.schema(schB)
+          .option("maxFilesPerTrigger", 1).parquet(bDir)
+          .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+            col("event_id").as("b_id"))
+          .withWatermark("b_ts", "35 days")
+        val q = left.join(right, expr(
+            """a_user = b_user AND
+               b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 10 MINUTES"""))
+          .writeStream.format("memory").queryName("s10_sink")
+          .outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s10").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("s10_sink")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            countDistinct(col("a_id")).cast("long").as("n_a"),
+            countDistinct(col("b_id")).cast("long").as("n_b"))
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT a.event_id) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT b.event_id) AS BIGINT) AS n_b
+             FROM events a JOIN events b
+               ON a.user_id = b.user_id
+              AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""")),
+
+    // s11 (builder extension): streaming CDC UPSERT sink — foreachBatch
+    // merging each micro-batch into the table layer by key (the
+    // Iceberg/Delta MERGE streaming-ingest pattern; the apply-changes
+    // half of the reference's ELT the append-only s07 doesn't cover).
+    // Later batches override earlier ones per key (last-writer-wins);
+    // unlike appends, upserts are naturally IDEMPOTENT under
+    // foreachBatch's at-least-once replay — re-merging a batch
+    // re-asserts the same rows, so no batch-id bookkeeping is needed.
+    // maxFilesPerTrigger=1 + mtime order serializes the change feed.
+    Decl("s11_stream_cdc_upsert",
+      (s, dir) => {
+        withStreamShufflePartitions(s) {
+        val staged = stageCdcBatches(s, dir)
+        val wh = Files.createTempDirectory("graft_s11_wh").toString
+        val ref = TableRef(wh, "src", "orders_cdc")
+        IceLite.createNamespace(wh, "src")
+        val sch = s.read.parquet(staged).schema
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            IceLite.merge(s, ref, batch, Seq("o_orderkey")); ()
+          }
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s11").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import graft.queries.syntax.dsum
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum(col("o_totalprice"), 3).as("sum_price"),
+            count(when(col("o_totalprice") === 2.0, 1)).cast("long")
+              .as("n_repriced_twice"))
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderkey < 500 THEN 2.0
+                                WHEN o_orderkey < 1000 THEN 1.0
+                                ELSE o_totalprice END AS DECIMAL(18,3)))
+                  AS DOUBLE) AS sum_price,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey < 500) AS n_repriced_twice
+             FROM orders WHERE o_orderkey < 2000"""))
   )
 }
