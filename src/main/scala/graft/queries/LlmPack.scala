@@ -469,6 +469,35 @@ object LlmPack extends Pack {
              FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
                           unnest(embedding) AS e
                    FROM embeddings)
-             GROUP BY label, pos ORDER BY label, pos"""))
+             GROUP BY label, pos ORDER BY label, pos""")),
+
+    // c14: deterministic train/val/test split — the assignment step
+    // every training-data pipeline runs last. Knuth multiplicative
+    // hashing on the doc key ((id·2654435761) mod 2^32 mod 100 →
+    // 80/10/10 buckets) instead of rand() or xxhash64: portable
+    // across engines (the oracle computes the identical split),
+    // reproducible across runs, and append-stable — new docs never
+    // reassign existing ones, unlike fraction-based randomSplit.
+    // Map-only at any scale; the verified output is the per-
+    // (split, lang) histogram, which also demonstrates stratification
+    // monitoring. All arithmetic stays < 2^63 (doc_id < 3.5e9).
+    Decl("c14_train_test_split",
+      (s, dir) => {
+        val bucket = ($"doc_id" * lit(2654435761L)) % lit(4294967296L) % lit(100)
+        docs(s, dir)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("sum_chars"))
+          .orderBy($"split", $"lang")
+      },
+      Some("""SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                          WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                          ELSE 'test' END AS split, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             FROM documents GROUP BY 1, 2 ORDER BY split, lang"""))
   )
 }

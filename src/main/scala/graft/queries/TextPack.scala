@@ -169,6 +169,32 @@ object TextPack extends Pack {
                list_transform(string_split(text, ' '),
                  t -> CAST(ascii(t) * 37 + length(t) AS BIGINT))),
                (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
-             FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+             FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
+    // t06: corpus profile — the "dataset card" numbers a training-data
+    // curation run reports: volume, exact-dup ratio (distinct
+    // normalized texts vs docs), token mass, short-doc fraction,
+    // language/source spread. One map-side pass + a global agg;
+    // every input is a portable expression (no engine-specific hash),
+    // so the same numbers come out of any engine. At 100 TB this is
+    // the cheap pre-flight profile run before any dedup decision.
+    Decl("t06_corpus_profile",
+      (s, dir) => docs(s, dir)
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(lower(trim($"text"))).cast("long").as("n_unique_texts"),
+          sum(size(split($"text", " "))).cast("long").as("n_tokens"),
+          round(avg(size(split($"text", " "))), 4).as("avg_tokens"),
+          count(when($"n_chars" < 100, 1)).cast("long").as("n_short"),
+          countDistinct($"lang").cast("long").as("n_langs"),
+          countDistinct($"source").cast("long").as("n_sources")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lower(trim(text))) AS BIGINT) AS n_unique_texts,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+             CAST(COUNT(CASE WHEN n_chars < 100 THEN 1 END) AS BIGINT) AS n_short,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+             FROM documents"""))
   )
 }
