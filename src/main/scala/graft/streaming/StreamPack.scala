@@ -353,7 +353,12 @@ object StreamPack extends Pack {
       (s, dir) => {
         val staged = stageEventsDoubled(s, dir)
         runStream(s, staged, "s05_sink", "append")(
-          _.withWatermark("ts", "35 days")
+          // project to the dedup key + watermark column before the
+          // stateful op: the shuffle and the state store carry only
+          // what the operator needs (s01's scan-side pruning, applied
+          // to the stateful hot path)
+          _.select(col("event_id"), col("ts"))
+            .withWatermark("ts", "35 days")
             .dropDuplicatesWithinWatermark("event_id"))
           .agg(count(lit(1)).cast("long").as("n"),
             countDistinct(col("event_id")).cast("long").as("n_ids"))
@@ -432,9 +437,9 @@ object StreamPack extends Pack {
     // [b·rowsPerBatch, (b+1)·rowsPerBatch) at timestamp
     // startTimestamp + b·advanceMillisPerBatch, so the whole stream is
     // pure arithmetic and the oracle regenerates it with range().
-    // The in-stream filter (value < 5000) makes overshoot batches
+    // The in-stream filter (value < 3000) makes overshoot batches
     // contribute nothing — the drained complete-mode aggregate is
-    // exact no matter when the query is stopped past batch 4.
+    // exact no matter when the query is stopped past batch 2.
     Decl("s09_stream_rate_source",
       (s, dir) => {
         withStreamShufflePartitions(s) {
@@ -444,7 +449,7 @@ object StreamPack extends Pack {
           .option("startTimestamp", 0L)
           .option("advanceMillisPerBatch", 60000)
           .load()
-        val q = src.filter(col("value") < 5000)
+        val q = src.filter(col("value") < 3000)
           .groupBy(window(col("timestamp"), "2 minutes").as("w"))
           .agg(count(lit(1)).cast("long").as("n"),
             sum(col("value")).cast("long").as("sum_v"))
@@ -453,14 +458,14 @@ object StreamPack extends Pack {
           .option("checkpointLocation",
             Files.createTempDirectory("graft_ckpt_s09").toString)
           .start()
-        // drain exactly the first 5 batches (values 0..4999); later
+        // drain exactly the first 3 batches (values 0..2999); later
         // batches are filtered out in-stream, so overshoot is harmless
         val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-        while ((q.lastProgress == null || q.lastProgress.batchId < 4) &&
-            System.nanoTime() < deadline) Thread.sleep(50)
+        while ((q.lastProgress == null || q.lastProgress.batchId < 2) &&
+            System.nanoTime() < deadline) Thread.sleep(20)
         q.stop()
-        require(q.lastProgress != null && q.lastProgress.batchId >= 4,
-          "rate stream never reached batch 4")
+        require(q.lastProgress != null && q.lastProgress.batchId >= 2,
+          "rate stream never reached batch 2")
         s.table("s09_sink")
           .select(col("w.start").cast("long").as("wstart"), col("n"), col("sum_v"))
           .orderBy(col("wstart"))
@@ -471,7 +476,7 @@ object StreamPack extends Pack {
       Some("""SELECT CAST(((v // 1000) * 60 // 120) * 120 AS BIGINT) AS wstart,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(v) AS BIGINT) AS sum_v
-             FROM (SELECT unnest(range(5000)) AS v)
+             FROM (SELECT unnest(range(3000)) AS v)
              GROUP BY 1 ORDER BY wstart""")),
 
     // s07: foreachBatch into the IceLite table layer — the streaming
