@@ -498,6 +498,36 @@ object LlmPack extends Pack {
                           ELSE 'test' END AS split, lang,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-             FROM documents GROUP BY 1, 2 ORDER BY split, lang"""))
+             FROM documents GROUP BY 1, 2 ORDER BY split, lang""")),
+
+    // c15: document chunking — fixed 32-token windows with stride 24
+    // (overlap 8), the sequence-packing prep step between curation and
+    // tokenization. Expression-only (sequence → transform → slice →
+    // array_join): a pure flatMap, no shuffle, no UDF — chunking 100 TB
+    // is map-parallel by construction. sequence's upper bound is
+    // clamped at 0 (NOTES #14: a negative bound would step -1, not
+    // return empty); slice clamps the tail chunk, so n_tokens < 32 on
+    // the last chunk and every token lands in ≥1 chunk. Verified over
+    // a keyed slice with a deterministic sort.
+    Decl("c15_doc_chunking",
+      (s, dir) => docs(s, dir).filter($"doc_id" < 50)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .select($"doc_id",
+          posexplode(expr(
+            """transform(
+                 sequence(0, greatest(0, cast(ceil((size(toks) - 32) / 24.0) as int))),
+                 i -> array_join(slice(toks, i * 24 + 1, 32), ' '))"""))
+            .as(Seq("p", "chunk")))
+        .select($"doc_id", $"p".cast("long").as("chunk_idx"), $"chunk",
+          size(split($"chunk", " ")).cast("long").as("n_tokens"))
+        .orderBy($"doc_id", $"chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents WHERE doc_id < 50)
+             SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk,
+               CAST(len(string_split(array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' '), ' ')) AS BIGINT) AS n_tokens
+             FROM t, LATERAL unnest(range(0,
+               GREATEST(0, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT)) + 1)) AS u(i)
+             ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -223,14 +223,31 @@ object StreamPack extends Pack {
     * which any sane retention does. */
   private[streaming] val BatchIdKey = "streaming.batch_id"
 
+  /** Committed batch ids per table, cached on the driver: seeded from
+    * the manifest on first touch per JVM and maintained on append.
+    * The manifest summary stays the DURABLE record (a restarted
+    * driver reseeds from it), the cache just takes the per-trigger
+    * manifest parse — O(snapshots) JSON, quadratic over a stream's
+    * lifetime — off the hot path. Sound under the documented
+    * single-writer contract: only this driver appends batch ids. */
+  private val committedBatchIds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Long]]()
+
+  private[streaming] def resetBatchIdCache(): Unit = committedBatchIds.clear()
+
   private[streaming] def appendBatchOnce(ref: TableRef,
       batchId: Long, batch: DataFrame): Boolean = {
-    val seen = IceLite.tableExists(ref) &&
-      IceLite.readManifest(ref).snapshots
-        .exists(_.summary.get(BatchIdKey).contains(batchId.toString))
-    if (seen) false
+    val ids = committedBatchIds.computeIfAbsent(ref.dir.toString, { _ =>
+      val s = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      if (IceLite.tableExists(ref))
+        IceLite.readManifest(ref).snapshots
+          .flatMap(_.summary.get(BatchIdKey)).foreach(b => s.add(b.toLong))
+      s
+    })
+    if (ids.contains(batchId)) false
     else {
       IceLite.append(ref, batch, summary = Map(BatchIdKey -> batchId.toString))
+      ids.add(batchId)
       true
     }
   }

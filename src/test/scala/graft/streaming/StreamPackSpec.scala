@@ -93,6 +93,12 @@ class StreamPackSpec extends AnyFunSuite {
     val ids = IceLite.readManifest(ref).snapshots
       .flatMap(_.summary.get(StreamPack.BatchIdKey))
     assert(ids == Seq("0", "1"), s"summary batch ids: $ids")
+    // driver restart: the in-memory cache is gone, the manifest is
+    // the durable record — a reseeded driver still skips the replay
+    StreamPack.resetBatchIdCache()
+    assert(!StreamPack.appendBatchOnce(ref, 1L, b1),
+      "replay after restart must reseed from the manifest and skip")
+    assert(IceLite.read(spark, ref).count() == 3)
   }
 
   test("streaming dedup emits each key once across micro-batches") {
