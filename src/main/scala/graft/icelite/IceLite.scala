@@ -519,9 +519,31 @@ object IceLite {
 
   /** a11 variant: partitioned append. The partition spec must match
     * the current snapshot's (Iceberg would call this a partition-spec
-    * mismatch). */
+    * mismatch); use appendPartitionedEvolving to CHANGE the spec. */
   def appendPartitioned(ref: TableRef, df: DataFrame,
-      partitionCols: Seq[String], statsCols: Seq[String]): Snapshot = {
+      partitionCols: Seq[String], statsCols: Seq[String]): Snapshot =
+    appendPartitionedImpl(ref, df, partitionCols, statsCols,
+      allowSpecChange = false)
+
+  /** Partition-spec EVOLUTION (Iceberg's headline layout feature):
+    * append under a NEW spec without rewriting history. Old files
+    * keep their old `col=value` layout — each file's path is
+    * self-describing — and the manifest's current spec becomes the
+    * new one. Reads union the layout groups (the partition column is
+    * path-borne in new files, data-borne in old ones, so no NULLs
+    * appear); pruning on an evolved column skips new-layout files by
+    * path and keeps pre-evolution files conservatively, with a
+    * residual filter making the result exact. This is the only
+    * evolution cost model that works at 100 TB: changing the
+    * partitioning of a petabyte table must not rewrite a byte of it. */
+  def appendPartitionedEvolving(ref: TableRef, df: DataFrame,
+      partitionCols: Seq[String], statsCols: Seq[String] = Nil): Snapshot =
+    appendPartitionedImpl(ref, df, partitionCols, statsCols,
+      allowSpecChange = true)
+
+  private def appendPartitionedImpl(ref: TableRef, df: DataFrame,
+      partitionCols: Seq[String], statsCols: Seq[String],
+      allowSpecChange: Boolean): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val newFiles = stagePartitioned(ref, df, partitionCols)
     val rows = countRowsFromFooters(ref, newFiles)
@@ -534,9 +556,10 @@ object IceLite {
             newFiles, rows, stats, partitionCols)
           Manifest(ref.name, id, Seq(snap))
         case Some(m) =>
-          require(m.current.partitionCols == partitionCols,
+          require(allowSpecChange || m.current.partitionCols == partitionCols,
             s"partition-spec mismatch: table is partitioned by " +
-              s"${m.current.partitionCols}, append by $partitionCols")
+              s"${m.current.partitionCols}, append by $partitionCols " +
+              "(use appendPartitionedEvolving to evolve the spec)")
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
             m.current.fileStats ++ stats, partitionCols)
@@ -553,11 +576,21 @@ object IceLite {
   private def escapePartitionValue(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
 
+  /** The partition columns a file's own path carries (its layout at
+    * write time — under spec evolution, older files carry older
+    * layouts). */
+  private def fileLayout(f: String): Seq[String] =
+    f.split('/').dropRight(1).filter(_.contains('='))
+      .map(_.takeWhile(_ != '=')).toSeq
+
   /** Partition pruning at the manifest level: keep only files whose
     * path matches EVERY per-column filter (a conjunction; columns
     * without a filter entry are unconstrained). Like prunedFiles, this
     * happens BEFORE plan construction — at 100 TB unmatched partitions
-    * are never even listed to Spark. */
+    * are never even listed to Spark. Under spec evolution a file whose
+    * own layout LACKS a filtered column cannot be path-pruned and is
+    * conservatively kept (readPartitionPruned's residual filter makes
+    * the row result exact). */
   def partitionPrunedFiles(ref: TableRef,
       filters: Map[String, Set[String]]): Seq[String] = {
     val snap = readManifest(ref).current
@@ -565,11 +598,14 @@ object IceLite {
     val unknown = filters.keySet -- snap.partitionCols.toSet
     require(unknown.isEmpty, s"not partition columns: $unknown")
     val dirSets = filters.map { case (c, vs) =>
-      vs.map(v => s"$c=${escapePartitionValue(v)}")
+      c -> vs.map(v => s"$c=${escapePartitionValue(v)}")
     }
     snap.files.filter { f =>
       val segs = f.split('/').toSet
-      dirSets.forall(ds => ds.exists(segs.contains))
+      val layout = fileLayout(f).toSet
+      dirSets.forall { case (c, ds) =>
+        !layout.contains(c) || ds.exists(segs.contains)
+      }
     }
   }
 
@@ -587,13 +623,20 @@ object IceLite {
     readPartitionedFiles(spark, ref, readManifest(ref).current.files)
 
   /** Read only the partitions matching the per-column filters
-    * (manifest-pruned). Dir-name equality on the escaped values is
-    * exact, so no residual filter is needed. */
+    * (manifest-pruned). For files whose layout carries every filtered
+    * column, dir-name equality on the escaped values is already
+    * exact; the residual filter exists for pre-evolution files kept
+    * conservatively (and folds into the scan as a no-op otherwise). */
   def readPartitionPruned(spark: SparkSession, ref: TableRef,
       filters: Map[String, Set[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val files = partitionPrunedFiles(ref, filters)
-    if (files.isEmpty) readPartitioned(spark, ref).limit(0)
-    else readPartitionedFiles(spark, ref, files)
+    val base =
+      if (files.isEmpty) readPartitioned(spark, ref).limit(0)
+      else readPartitionedFiles(spark, ref, files)
+    filters.foldLeft(base) { case (df, (c, vs)) =>
+      df.filter(col(c).cast("string").isin(vs.toSeq: _*))
+    }
   }
 
   /** Single-column sugar over the first partition column. */
@@ -604,12 +647,24 @@ object IceLite {
     readPartitionPruned(spark, ref, Map(pcols.head -> values))
   }
 
+  /** One discovery read per LAYOUT group, unioned by name: under spec
+    * evolution the file list mixes path depths, which a single
+    * partition-discovery pass would reject
+    * (CONFLICTING_DIRECTORY_STRUCTURES). An evolved partition column
+    * is path-borne in new files and data-borne in old ones, so the
+    * union is column-complete with no synthetic NULLs. Single-layout
+    * tables take the one-group fast path unchanged. */
   private def readPartitionedFiles(spark: SparkSession, ref: TableRef,
-      files: Seq[String]): DataFrame =
-    spark.read
+      files: Seq[String]): DataFrame = {
+    def readGroup(fs: Seq[String]): DataFrame = spark.read
       .option("mergeSchema", "true")
       .option("basePath", ref.dataDir.resolve("part").toString)
-      .parquet(files.map(f => ref.dir.resolve(f).toString): _*)
+      .parquet(fs.map(f => ref.dir.resolve(f).toString): _*)
+    files.groupBy(fileLayout).values.toSeq
+      .sortBy(_.head) // deterministic union order
+      .map(readGroup)
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
 
   /** Manifest-level file pruning: resolve only the files whose
     * [min,max] range for `col` intersects [lo,hi]; files without

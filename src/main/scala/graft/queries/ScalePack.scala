@@ -406,6 +406,42 @@ object ScalePack extends Pack {
               WHERE o_orderkey < 2000) AS n_current
              FROM orders WHERE o_orderkey < 1000""")),
 
+    // d15: partition-spec EVOLUTION — the layout half of evolution
+    // (d12 is the schema half). Era 1 partitions orders by priority;
+    // era 2 appends under (priority, status) WITHOUT rewriting a byte
+    // of era-1 data — each file's path stays self-describing. A read
+    // filtered on both columns path-prunes era-2 files on both,
+    // path-prunes era-1 files on priority only (status is data-borne
+    // there → conservatively kept + residual-filtered). At 100 TB
+    // this is the only affordable way to change a table's layout.
+    Decl("d15_partition_evolution",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d15").toString
+        val ref = IngestJob.tableRef(wh, "orders_pe")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority".as("prio"),
+            $"o_orderstatus".as("status"), $"o_totalprice")
+        IceLite.createOrReplacePartitioned(ref,
+          o.filter($"o_orderkey" < 3000), "prio")
+        IceLite.appendPartitionedEvolving(ref,
+          o.filter($"o_orderkey" >= 3000 && $"o_orderkey" < 6000),
+          Seq("prio", "status"))
+        val total = IceLite.readManifest(ref).current.files.size
+        val filters = Map("prio" -> Set("1-URGENT"), "status" -> Set("F"))
+        val kept = IceLite.partitionPrunedFiles(ref, filters).size
+        IceLite.readPartitionPruned(s, ref, filters)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("files_kept_lt_total", lit(kept < total))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS files_kept_lt_total
+             FROM orders
+             WHERE o_orderkey < 6000
+               AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'""")),
+
     // d12: schema evolution on read — Iceberg v2's schema-on-read
     // (extract_load.py:73 infers schema per load; format-version=2
     // makes later columns additive). An append carries a NEW column;

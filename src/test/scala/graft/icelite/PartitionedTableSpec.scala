@@ -47,6 +47,58 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(pruned == full && pruned == (3 to 99 by 3).toSeq)
   }
 
+  test("partition-spec evolution: new-spec appends coexist with old-layout files") {
+    val (_, ref) = mk()
+    // era 1: partitioned by p only; q rides inside the data files
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1, "A", "X", 10.0), (2, "B", "Y", 20.0)).toDF("k", "p", "q", "v"), "p")
+    // era 2: spec evolves to (p, q) — no rewrite of era-1 files
+    IceLite.appendPartitionedEvolving(ref,
+      Seq((3, "A", "X", 30.0), (4, "A", "Y", 40.0)).toDF("k", "p", "q", "v"),
+      Seq("p", "q"))
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionCols == Seq("p", "q"), "current spec must be the new one")
+    assert(snap.files.exists(_.matches("data/part/p=[AB]/[0-9a-f]{8}-.+")),
+      s"era-1 layout must survive: ${snap.files}")
+    assert(snap.files.exists(_.contains("/q=")), s"era-2 layout: ${snap.files}")
+
+    // read unions both eras, q populated everywhere (path- or data-borne)
+    val got = IceLite.readPartitioned(spark, ref)
+      .select($"k", $"p", $"q", $"v").as[(Int, String, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "A", "X", 10.0), (2, "B", "Y", 20.0),
+      (3, "A", "X", 30.0), (4, "A", "Y", 40.0)))
+  }
+
+  test("pruning on an evolved column keeps old-layout files conservatively, rows exact") {
+    val (_, ref) = mk()
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1, "A", "X", 10.0), (2, "A", "Y", 20.0)).toDF("k", "p", "q", "v"), "p")
+    IceLite.appendPartitionedEvolving(ref,
+      Seq((3, "A", "X", 30.0), (4, "A", "Y", 40.0)).toDF("k", "p", "q", "v"),
+      Seq("p", "q"))
+    val kept = IceLite.partitionPrunedFiles(ref, Map("q" -> Set("X")))
+    // the era-1 file cannot be path-pruned on q (kept), the era-2 q=Y
+    // file is pruned away
+    assert(kept.exists(f => !f.contains("/q=")), s"era-1 file must be kept: $kept")
+    assert(!kept.exists(_.contains("q=Y")), s"q=Y must be pruned: $kept")
+    // ...but the ROWS are exact thanks to the residual filter
+    val rows = IceLite.readPartitionPruned(spark, ref, Map("q" -> Set("X")))
+      .select($"k").as[Int].collect().sorted.toSeq
+    assert(rows == Seq(1, 3), s"residual filter must make rows exact: $rows")
+  }
+
+  test("non-evolving append still rejects a spec change") {
+    val (_, ref) = mk()
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1, "A", "X")).toDF("k", "p", "q"), "p")
+    val e = intercept[IllegalArgumentException] {
+      IceLite.appendPartitioned(ref,
+        Seq((2, "A", "Y")).toDF("k", "p", "q"), Seq("p", "q"), Nil)
+    }
+    assert(e.getMessage.contains("partition-spec mismatch"))
+  }
+
   test("partitioned append accumulates partitions across tokens; spec mismatch rejected") {
     val (_, ref) = mk()
     IceLite.createOrReplacePartitioned(ref,
