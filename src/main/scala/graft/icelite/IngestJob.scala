@@ -265,4 +265,30 @@ object TransformRegistry {
          FROM lineitem GROUP BY 1""",
       materialization = "incremental",
       watermarkCol = Some("ship_month")))
+
+  /** a17: the a16 × d12 composition — the same incremental model in
+    * two VERSIONS. Run 1 materializes v1; run 2 runs the evolved v2
+    * (one added column), whose past-the-high-water-mark delta appends
+    * with the wider schema. IceLite's evolution-on-append (d12) gives
+    * the already-materialized months NULL in the new column on read —
+    * the only way a 100 TB mart picks up a model change without a
+    * full-refresh rebuild (dbt `on_schema_change: append_new_columns`). */
+  val evolveV1: Seq[Model] = Seq(
+    Model("monthly_revenue_ev", Nil,
+      """SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem GROUP BY 1""",
+      materialization = "incremental",
+      watermarkCol = Some("ship_month")))
+
+  val evolveV2: Seq[Model] = Seq(
+    Model("monthly_revenue_ev", Nil,
+      """SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+         FROM lineitem GROUP BY 1""",
+      materialization = "incremental",
+      watermarkCol = Some("ship_month")))
 }

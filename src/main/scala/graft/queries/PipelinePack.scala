@@ -315,6 +315,49 @@ object PipelinePack extends Pack {
              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
              TRUE AS second_run_appended
-             FROM lineitem GROUP BY 1 ORDER BY ship_month"""))
+             FROM lineitem GROUP BY 1 ORDER BY ship_month""")),
+
+    // a17: incremental materialization × additive schema evolution
+    // (a16 + d12 composed; the ROADMAP round-5 candidate). Run 2's
+    // model VERSION adds a qty_sum column; its month-boundary delta
+    // appends with the wider schema and the pre-evolution months read
+    // NULL in the new column — zero rewrite of already-materialized
+    // history, dbt's `on_schema_change: append_new_columns` over
+    // Iceberg v2 evolution. The manifest must still show
+    // create+append (an evolution that forced a rebuild would show
+    // two creates).
+    Decl("a17_dbt_incremental_evolve",
+      (s, dir) => {
+        val wh = tmpWarehouse()
+        val li = Tables.load(s, dir, "lineitem")
+        li.filter(col("l_shipdate") < lit("1996-01-01"))
+          .createOrReplaceTempView("lineitem")
+        TransformRegistry.runAll(s, wh, TransformRegistry.evolveV1)
+        li.createOrReplaceTempView("lineitem")
+        TransformRegistry.runAll(s, wh, TransformRegistry.evolveV2)
+        val ref = TableRef(wh, "marts", "monthly_revenue_ev")
+        val ops = IceLite.readManifest(ref).snapshots.map(_.operation)
+        IceLite.read(s, ref)
+          .withColumn("evolved_on_append",
+            lit(ops == Seq("create", "append")))
+          .orderBy(col("ship_month"))
+      },
+      // oracle simulates the evolution with UNION + NULL cast (d12's
+      // pattern): v1-built months carry NULL qty_sum, delta months the
+      // decimal-exact quantity sum
+      Some("""SELECT ship_month, revenue, n_lines, qty_sum,
+             TRUE AS evolved_on_append FROM (
+               SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(NULL AS DOUBLE) AS qty_sum
+               FROM lineitem WHERE l_shipdate < DATE '1996-01-01' GROUP BY 1
+               UNION ALL
+               SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+               FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' GROUP BY 1)
+             ORDER BY ship_month"""))
   )
 }
