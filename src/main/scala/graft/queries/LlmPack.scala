@@ -96,6 +96,49 @@ object LlmPack extends Pack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** c16's persisted edge/label stages (same lifecycle as lastSig). */
+  @volatile private var lastCC: Seq[DataFrame] = Nil
+
+  /** c16: hash-to-min connected components over an undirected pair
+    * set (columns doc_a, doc_b). Labels start as each node's own id;
+    * every iteration each node takes the min label across itself and
+    * its neighbors — ONE shuffle per iteration (union + groupBy id),
+    * converging in ≤ diameter steps. Near-dup components are mutation
+    * fans of a base document (diameter 2-3), so the loop is shallow.
+    * Labels can only decrease, so `next.comp < old.comp` is an exact
+    * convergence test. At 100 TB the identical loop runs with the
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") plus a checkpoint every few
+    * rounds to truncate lineage; the fixture graph is shallow enough
+    * that plain hash-to-min is already the right plan. */
+  private[queries] def connectedComponents(pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist(lvl)
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("comp", $"id").persist(lvl)
+    val kept = scala.collection.mutable.ArrayBuffer[DataFrame](edges, labels)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
+        .select(col("e.src").as("id"), col("l.comp").as("comp"))
+      val next = labels.select($"id", $"comp").union(nbr)
+        .groupBy($"id").agg(min($"comp").as("comp")).persist(lvl)
+      kept += next
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") < col("o.comp")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents: no fixpoint in $maxIter iters")
+    lastCC.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
+    lastCC = kept.toSeq
+    labels
+  }
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
@@ -360,6 +403,58 @@ object LlmPack extends Pack {
                         JOIN sizes sb ON doc_b = sb.doc_id
              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
              ORDER BY doc_a, doc_b""")),
+
+    // c16: the dedup suite's missing final step — near-dup PAIRS
+    // (c12's exact n-gram Jaccard graph) → connected COMPONENTS →
+    // one canonical doc per cluster (min doc_id). Pair-level dedup
+    // alone under-deletes: a↔b and b↔c similar means {a,b,c} is one
+    // cluster even when a↔c misses the threshold. Output is the
+    // cluster assignment for every doc that appears in ≥1 pair
+    // (singletons are trivially canonical and stay out of the join).
+    Decl("c16_dedup_components",
+      (s, dir) => {
+        val pairs = ngramJaccard(s, dir, HotGramCap)
+          .select($"doc_a", $"doc_b")
+        val comps = connectedComponents(pairs)
+        val sizes = comps.groupBy($"comp")
+          .agg(count(lit(1)).cast("long").as("comp_size"))
+        comps.join(sizes, "comp")
+          .select($"id".cast("long").as("doc_id"),
+            $"comp".cast("long").as("canonical_id"),
+            $"comp_size",
+            ($"id" === $"comp").as("is_canonical"))
+          .orderBy($"doc_id")
+      },
+      // oracle: same pair CTE as c12, then reachability closure via
+      // recursive CTE — component id = min reachable doc_id
+      Some("""WITH RECURSIVE
+                  toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+                  grams AS (SELECT DISTINCT doc_id,
+                              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)),
+                  sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                            FROM grams a JOIN grams b
+                              ON a.gram = b.gram AND a.doc_id < b.doc_id
+                            GROUP BY a.doc_id, b.doc_id),
+                  pairs AS (SELECT doc_a, doc_b FROM inter
+                            JOIN sizes sa ON doc_a = sa.doc_id
+                            JOIN sizes sb ON doc_b = sb.doc_id
+                            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+                  edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                            UNION ALL SELECT doc_b, doc_a FROM pairs),
+                  reach(id, r) AS (
+                    SELECT src, src FROM edges
+                    UNION
+                    SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+                  comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+                  csize AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS comp_size
+                            FROM comp GROUP BY 1)
+             SELECT comp.id AS doc_id, comp.canonical_id, csize.comp_size,
+               comp.id = comp.canonical_id AS is_canonical
+             FROM comp JOIN csize USING (canonical_id)
+             ORDER BY doc_id""")),
 
     // c13: embedding-cosine near-dup — threshold pairs, label-blocked
     // like c05 (pair count Σ block², never N²); the native codegen'd

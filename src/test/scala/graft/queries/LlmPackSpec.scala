@@ -262,4 +262,37 @@ class LlmPackSpec extends AnyFunSuite {
     val nVecs = graft.Tables.load(spark, sfDir, "embeddings").count()
     assert(rows == Seq(nVecs), "every embedding contributes to every position")
   }
+
+  test("c16 components: a 4-chain collapses to its min even though the ends never pair") {
+    // path 10-20-30-40 (diameter 3 forces >1 propagation round) plus a
+    // disjoint pair {5,50} — transitive closure, not pairwise grouping
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (5L, 50L))
+      .toDF("doc_a", "doc_b")
+    val got = LlmPack.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      5L -> 5L, 50L -> 5L), s"wrong labels: $got")
+  }
+
+  test("c16 components: edge direction doesn't matter (min on either side)") {
+    // the canonical id may arrive via doc_b, not just doc_a
+    val pairs = Seq((7L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = LlmPack.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 7L -> 3L, 9L -> 3L), s"wrong labels: $got")
+  }
+
+  test("c16 on the fixture: clusters partition the paired docs; canonical is the min") {
+    val rows = LlmPack.queries("c16_dedup_components")(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty, "fixture has near-dup pairs, so components exist")
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (canon, members) =>
+      assert(members.map(_._1).min == canon, s"canonical $canon is not the min")
+      assert(members.forall(_._3 == members.size), "comp_size mismatch")
+      assert(members.count(_._4) == 1, "exactly one canonical per cluster")
+    }
+    // every cluster is non-trivial: a doc only enters via some pair
+    assert(byComp.forall(_._2.size >= 2), "no singleton clusters in output")
+  }
 }
