@@ -696,6 +696,40 @@ object IceLite {
     } else readFiles(spark, ref, files).where(c(col) >= lo && c(col) <= hi)
   }
 
+  /** Conjunctive multi-column pruning: keep a file only if EVERY
+    * predicate's [lo,hi] intersects that column's stats range. The
+    * payoff axis for Z-ordered layouts (d16): interleaved clustering
+    * bounds every file in every clustered dimension, so each extra
+    * predicate multiplies the skip rate — a single-column sort only
+    * ever prunes on its leading key. */
+  def prunedFilesMulti(ref: TableRef,
+      preds: Seq[(String, Double, Double)]): Seq[String] = {
+    require(preds.nonEmpty, "prunedFilesMulti needs at least one predicate")
+    val snap = readManifest(ref).current
+    snap.files.filter { f =>
+      preds.forall { case (col, lo, hi) =>
+        snap.fileStats.get(f) match {
+          case Some(stats) => stats.find(_.col == col) match {
+            case Some(cs) => cs.max >= lo && cs.min <= hi
+            case None => true
+          }
+          case None => true
+        }
+      }
+    }
+  }
+
+  /** Multi-predicate read: manifest pruning + residual conjunction. */
+  def readPrunedMulti(spark: SparkSession, ref: TableRef,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val residual = preds.map { case (col, lo, hi) => c(col) >= lo && c(col) <= hi }
+      .reduce(_ && _)
+    val files = prunedFilesMulti(ref, preds)
+    if (files.isEmpty) read(spark, ref).where(residual).limit(0)
+    else readFiles(spark, ref, files).where(residual)
+  }
+
   // mergeSchema: appends may evolve the schema (Iceberg v2 semantics,
   // extract_load.py inherits this through format-version=2); older
   // files surface null for later-added columns

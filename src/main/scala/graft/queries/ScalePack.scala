@@ -29,6 +29,17 @@ object ScalePack extends Pack {
     * (the current one is still referenced by the returned lazy plan). */
   @volatile private var lastDb: Option[String] = None
 
+  /** d16's 2-column Morton (Z-order) key over 16-bit non-negative
+    * keys: bit i of x lands at 2i, bit i of y at 2i+1. The loop
+    * unrolls at plan-build time into a static tree of 32 shift/mask
+    * terms — pure built-ins, whole-stage codegen, no UDF. */
+  private[queries] def zorder2(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).foldLeft(lit(0L)) { (z, i) =>
+      z.bitwiseOR(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
   val decls: Seq[Decl] = Seq(
 
     Decl("d01_manifest_pruned_scan",
@@ -509,6 +520,43 @@ object ScalePack extends Pack {
                SELECT o_orderkey, 1.0 AS o_totalprice FROM orders
                WHERE o_orderkey >= 500 AND o_orderkey < 1500
                  AND o_orderkey % 7 <> 0)""")),
+
+    // d16: Z-order clustering — the multi-dimensional generalization
+    // of d10's sorted write (Iceberg rewrite_data_files with a
+    // zorder() sort order). Bit-interleaving l_partkey and l_suppkey
+    // into one cluster key bounds every file in BOTH dimensions, so a
+    // conjunctive (part AND supp) predicate prunes on each axis — a
+    // single-column sort only ever prunes its leading key. The z value
+    // is expression-only (a sequence fold of shifts → whole-stage
+    // codegen), exists only to drive repartitionByRange + sort, and is
+    // never read back.
+    Decl("d16_zorder_clustered_scan",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d16").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_z")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+            $"l_quantity", $"l_extendedprice")
+          .withColumn("zval", zorder2($"l_partkey", $"l_suppkey"))
+        IceLite.createOrReplaceSorted(ref, l, "zval", numFiles = 16,
+          statsCols = Seq("l_partkey", "l_suppkey"))
+        val preds = Seq(("l_partkey", 100.0, 300.0), ("l_suppkey", 10.0, 40.0))
+        val total = IceLite.readManifest(ref).current.files.size.toLong
+        val kept = IceLite.prunedFilesMulti(ref, preds).size.toLong
+        IceLite.readPrunedMulti(s, ref, preds)
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            dsum($"l_extendedprice", 2).as("sum_price"))
+          .withColumn("files_kept_lt_total", lit(kept < total))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             TRUE AS files_kept_lt_total
+             FROM lineitem
+             WHERE l_partkey BETWEEN 100 AND 300
+               AND l_suppkey BETWEEN 10 AND 40""")),
 
     Decl("d02_salted_agg",
       (s, dir) => {

@@ -25,4 +25,49 @@ class ScalePackSpec extends AnyFunSuite {
       .collect().head
     assert(row.getAs[Long]("files_pruned_away") == 2L)
   }
+
+  test("d16 zorder2 matches a bit-interleave reference; locality holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)) }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L),
+      (5L, 9L), (65535L, 65535L), (12345L, 678L))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), ScalePack.zorder2(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == ref(x, y), s"zorder2($x,$y)=$z, want ${ref(x, y)}") }
+    // spot-pin the interleave itself, not just self-consistency:
+    // x=3 (bits at 0,1) → z bits at 0,2 = 5; y=3 → z bits at 1,3 = 10
+    assert(ref(3, 0) == 5L && ref(0, 3) == 10L && ref(65535, 65535) == 0xFFFFFFFFL)
+  }
+
+  test("d16 multi-column pruning skips files on the SECOND dimension too") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.icelite.{IceLite, IngestJob}
+    // 64×64 grid z-ordered into 16 files: each file is a 2-D tile, so
+    // a box predicate prunes on both axes; with a single-column sort
+    // the y predicate alone could prune (almost) nothing
+    val wh = java.nio.file.Files.createTempDirectory("zspec_wh").toString
+    val ref = IngestJob.tableRef(wh, "grid_z")
+    IceLite.createNamespace(wh, "src")
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y").withColumn("zval", ScalePack.zorder2(col("x"), col("y")))
+    IceLite.createOrReplaceSorted(ref, grid, "zval", numFiles = 16,
+      statsCols = Seq("x", "y"))
+    val total = IceLite.readManifest(ref).current.files.size
+    val both = IceLite.prunedFilesMulti(ref,
+      Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0))).size
+    val xOnly = IceLite.prunedFilesMulti(ref, Seq(("x", 0.0, 15.0))).size
+    assert(total == 16)
+    // a 16×16 corner box hits exactly one 2-D tile of the z-curve
+    assert(both == 1, s"corner box should hit 1 of $total files, hit $both")
+    assert(both < xOnly, "the y predicate must prune beyond x alone")
+    val rows = IceLite.readPrunedMulti(spark, ref,
+      Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0))).count()
+    assert(rows == 256L, s"residual filter must return the exact box, got $rows")
+  }
 }
