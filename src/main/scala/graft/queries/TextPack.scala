@@ -21,6 +21,10 @@ object TextPack extends Pack {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** t07's persisted bigram stage — unpersisted by the next
+    * invocation (the current one backs the returned lazy plan). */
+  @volatile private var lastBi: Option[DataFrame] = None
+
   val decls: Seq[Decl] = Seq(
 
     // t01: character-trigram language ID. Train: top-15 trigrams per
@@ -195,6 +199,52 @@ object TextPack extends Pack {
              CAST(COUNT(CASE WHEN n_chars < 100 THEN 1 END) AS BIGINT) AS n_short,
              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-             FROM documents"""))
+             FROM documents""")),
+
+    // t07: bigram language-model scoring — the KenLM/CCNet quality-
+    // filter role: train add-one-smoothed bigram probabilities on the
+    // corpus itself, score each doc by its mean token log-likelihood
+    // (low scores = boilerplate/garbled text a perplexity filter
+    // drops). Contexts c(w1) are bigram-first occurrences; V is the
+    // corpus vocabulary, a 1-row broadcast. Scale: the counts tables
+    // are vocabulary²-bounded — broadcast when they fit, otherwise
+    // ONE shuffle of the bigram stream on (w1,w2); scoring then
+    // re-aggregates per doc_id. ln() values are irrational, so
+    // round-4 is engine-safe (NOTES.md rule 3).
+    Decl("t07_bigram_lm_score",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select($"doc_id", split($"text", " ").as("t"))
+          .filter(size($"t") >= 2)
+        val bi = toks.select($"doc_id", explode(expr(
+            "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+          .select($"doc_id", $"b.w1", $"b.w2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lastBi.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
+        lastBi = Some(bi)
+        val bc = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+        val uc = bi.groupBy($"w1").agg(count(lit(1)).as("cu"))
+        val vocab = bi.select($"w1").union(bi.select($"w2"))
+          .agg(countDistinct($"w1").as("v"))
+        bi.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp", log(($"cb" + lit(1)).cast("double") / ($"cu" + $"v")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            round(avg($"lp"), 4).as("avg_logprob"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                            FROM documents WHERE len(string_split(text, ' ')) >= 2),
+                  bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                         FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+                  bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+                  uc AS (SELECT w1, COUNT(*) AS cu FROM bi GROUP BY 1),
+                  vocab AS (SELECT COUNT(DISTINCT w) AS v FROM
+                    (SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi))
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(ln((cb + 1.0) / (cu + v))), 4) AS avg_logprob
+             FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+             GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -65,4 +65,28 @@ class TextPackSpec extends AnyFunSuite {
     // no-PII doc length unchanged
     assert(byId(3L)._4 == texts(3)._2.length)
   }
+
+  test("t07 bigram LM scores match a hand computation; repetition scores higher") {
+    // corpus: doc 0 = "a b a b" (bigrams ab, ba, ab), doc 1 = "a c"
+    // (bigram ac), doc 2 = "z" (no bigram → excluded, and z is not in
+    // the bigram vocabulary). contexts: c(a)=3 [a->b ×2, a->c],
+    // c(b)=1; vocab {a,b,c} → V=3.
+    // P(b|a)=(2+1)/(3+3), P(a|b)=(1+1)/(1+3), P(c|a)=(1+1)/(3+3)
+    val df = Seq((0L, "a b a b"), (1L, "a c"), (2L, "z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("lm_spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val got = TextPack.queries("t07_bigram_lm_score")(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSeq
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp = (cb: Int, cu: Int) => math.log((cb + 1.0) / (cu + 3.0))
+    val exp0 = r4((2 * lp(2, 3) + lp(1, 1)) / 3) // ab, ba, ab
+    val exp1 = r4(lp(1, 3))                      // ac
+    assert(got == Seq((0L, 3L, exp0), (1L, 1L, exp1)), s"got $got")
+    // the repeated pattern is more probable than the one-off bigram
+    assert(exp0 > exp1, "repetition must raise mean log-likelihood")
+  }
 }
