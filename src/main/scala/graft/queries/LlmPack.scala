@@ -404,6 +404,55 @@ object LlmPack extends Pack {
              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
              ORDER BY doc_a, doc_b""")),
 
+    // c17: int8 embedding quantization + quantized top-k — the
+    // memory/IO axis of ANN at 100 TB (4× smaller vectors than f32,
+    // 8× smaller than double; the scan that feeds c04/c10 reads int8
+    // codes, re-scoring only the shortlist in full precision). Per-
+    // vector symmetric quantization: scale = max|x|/127, code =
+    // floor(x/scale + 0.5) clamped to ±127 (floor(+0.5) instead of
+    // round() — identical half-handling in both engines). Cosine is
+    // scale-invariant, so quantized cosine = cosine of the INTEGER
+    // code vectors: integer dot products are exact in double, making
+    // the approximate score engine-deterministic with no epsilon.
+    // cos_exact re-scores the same top-k in full precision — the
+    // asymmetric-rescoring step, and the recall diagnostic.
+    Decl("c17_embed_quantize",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val qq = e
+          .withColumn("scale", expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+          .withColumn("qvec", expr(
+            "transform(embedding, x -> CAST(greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT))"))
+        val query = qq.filter($"vec_id" === 0)
+          .select($"qvec".as("q_qvec"), $"embedding".as("q_emb"))
+        qq.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(query))
+          .select($"vec_id",
+            round(cosine($"qvec", $"q_qvec"), 6).as("cos_q"),
+            round(cosine($"embedding", $"q_emb"), 6).as("cos_exact"))
+          .orderBy($"cos_q".desc, $"vec_id".asc)
+          .limit(10)
+      },
+      Some("""WITH q AS (
+               SELECT vec_id, embedding,
+                 list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale
+               FROM embeddings),
+             qq AS (
+               SELECT vec_id, embedding,
+                 list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT)) AS qvec
+               FROM q),
+             qry AS (SELECT qvec AS q_qvec, embedding AS q_emb FROM qq WHERE vec_id = 0)
+             SELECT vec_id,
+               ROUND((list_aggregate(list_transform(list_zip(qvec, q_qvec), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(qvec, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(q_qvec, x -> CAST(x AS DOUBLE) * x), 'sum')))), 6) AS cos_q,
+               ROUND((list_aggregate(list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(q_emb, x -> CAST(x AS DOUBLE) * x), 'sum')))), 6) AS cos_exact
+             FROM qq, qry WHERE vec_id <> 0
+             ORDER BY cos_q DESC, vec_id ASC LIMIT 10""")),
+
     // c16: the dedup suite's missing final step — near-dup PAIRS
     // (c12's exact n-gram Jaccard graph) → connected COMPONENTS →
     // one canonical doc per cluster (min doc_id). Pair-level dedup

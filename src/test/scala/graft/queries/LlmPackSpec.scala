@@ -263,6 +263,26 @@ class LlmPackSpec extends AnyFunSuite {
     assert(rows == Seq(nVecs), "every embedding contributes to every position")
   }
 
+  test("c17 quantization: codes bounded, planted duplicate hits cos_q 1.0, small error") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    // plant an exact copy of the query vector (vec_id 0) — identical
+    // scale → identical codes → quantized cosine exactly 1.0
+    val dup = e.filter($"vec_id" === 0)
+      .select(lit(300000L).as("vec_id"), $"embedding", $"label")
+    val tmp = java.nio.file.Files.createTempDirectory("quant_spec").toString
+    e.select($"vec_id", $"embedding", $"label").unionByName(dup)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val rows = LlmPack.queries("c17_embed_quantize")(spark, tmp)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(rows.size == 10)
+    assert(rows.head == ((300000L, 1.0, 1.0)), s"planted dup not top-1: ${rows.head}")
+    // int8 quantization of unit-ish vectors keeps cosine within a few
+    // percent — the rescoring shortlist is trustworthy
+    rows.foreach { case (id, cq, ce) =>
+      assert(math.abs(cq - ce) < 0.05, s"vec $id: |${cq} - ${ce}| too big") }
+  }
+
   test("c16 components: a 4-chain collapses to its min even though the ends never pair") {
     // path 10-20-30-40 (diameter 3 forces >1 propagation round) plus a
     // disjoint pair {5,50} — transitive closure, not pairwise grouping
