@@ -672,6 +672,77 @@ object LlmPack extends Pack {
                CAST(len(string_split(array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' '), ' ')) AS BIGINT) AS n_tokens
              FROM t, LATERAL unnest(range(0,
                GREATEST(0, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT)) + 1)) AS u(i)
-             ORDER BY doc_id, chunk_idx"""))
+             ORDER BY doc_id, chunk_idx""")),
+
+    // c18: greedy contiguous sequence packing — the step after c15's
+    // chunking: fill fixed token-budget training sequences (budget
+    // 512) in doc order; a doc joins the pack its PRECEDING cumulative
+    // token count falls in. Packing is a sequential fold, so the
+    // parallel unit is a SHARD (pmod(doc_id, 8)): each shard packs
+    // independently under its own running-sum window — at 100 TB
+    // shards scale with executors and no global single-partition
+    // window ever forms. Verified output is the per-pack summary
+    // (docs, token fill).
+    Decl("c18_sequence_packing",
+      (s, dir) => {
+        val t = docs(s, dir)
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
+          .withColumn("shard", pmod($"doc_id", lit(8)).cast("long"))
+        val w = Window.partitionBy($"shard").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.withColumn("cum", sum($"toks").over(w))
+          .withColumn("pack_id",
+            floor(($"cum" - $"toks") / lit(512.0)).cast("long"))
+          .groupBy($"shard", $"pack_id")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"toks").cast("long").as("tok_total"))
+          .orderBy($"shard", $"pack_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                    doc_id % 8 AS shard FROM documents),
+                  c AS (SELECT shard, doc_id, toks,
+                    SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+             SELECT shard, CAST(FLOOR((cum - toks) / 512.0) AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS tok_total
+             FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""")),
+
+    // c19: benchmark decontamination — flag training docs sharing any
+    // word-5-gram with the eval set (the GPT-3 13-gram rule; n scaled
+    // to the fixture's short docs; eval set = doc_id ≡ 0 mod 17 as
+    // the benchmark stand-in). The eval side is benchmark-sized —
+    // tiny at ANY corpus scale — so its distinct gram set broadcasts
+    // and the 100 TB train side streams map-only through the join:
+    // the corpus is never shuffled. Output keeps the collision count
+    // per flagged doc — the audit trail a removal decision needs.
+    Decl("c19_decontaminate",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val d = docs(s, dir)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .filter(size($"toks") >= 5)
+        val isEval = $"doc_id" % 17 === 0
+        val evalGrams = d.filter(isEval)
+          .select(explode(array_distinct(expr("word_ngrams(toks, 5)"))).as("gram"))
+          .distinct()
+        d.filter(!isEval)
+          .select($"doc_id",
+            explode(array_distinct(expr("word_ngrams(toks, 5)"))).as("gram"))
+          .join(broadcast(evalGrams), "gram")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                         FROM documents WHERE len(string_split(text, ' ')) >= 5),
+                  g AS (SELECT DISTINCT doc_id,
+                          t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS gram
+                        FROM t, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)),
+                  eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+             FROM g JOIN eg USING (gram) WHERE doc_id % 17 <> 0
+             GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

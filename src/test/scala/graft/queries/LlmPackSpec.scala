@@ -283,6 +283,48 @@ class LlmPackSpec extends AnyFunSuite {
       assert(math.abs(cq - ce) < 0.05, s"vec $id: |${cq} - ${ce}| too big") }
   }
 
+  test("c18 packing: conserves token mass and equals a scala re-computation") {
+    val packs = LlmPack.queries("c18_sequence_packing")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(packs.map(_._4).sum == docs.map(_._2).sum, "token mass conserved")
+    // mirror the definition: per shard, fold doc order into
+    // (pack -> n_docs, tok_total) and compare exactly
+    val expected = docs.groupBy(_._1 % 8).flatMap { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (_, toks) =>
+        val pack = cum / 512
+        cum += toks
+        (shard, pack, toks)
+      }.groupBy(_._2).map { case (pack, xs) =>
+        (shard, pack, xs.size.toLong, xs.map(_._3).sum) }
+    }.toSet
+    assert(packs.toSet == expected, "pack assignment must match the fold")
+  }
+
+  test("c19 decontamination: a planted eval overlap is flagged, clean docs are not") {
+    // doc 17 is eval (17 % 17 == 0); doc 1 copies a 5-token span from
+    // it, doc 2 shares nothing
+    val eval5 = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      (17L, s"$eval5 zeta eta"),
+      (1L, s"intro words then $eval5 and more"),
+      (2L, "completely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("decon_spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LlmPack.queries("c19_decontaminate")(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(got.contains(1L) && got(1L) >= 1L, s"contaminated doc not flagged: $got")
+    assert(!got.contains(2L), s"clean doc flagged: $got")
+    assert(!got.contains(17L), "eval docs are not scored against themselves")
+  }
+
   test("c16 components: a 4-chain collapses to its min even though the ends never pair") {
     // path 10-20-30-40 (diameter 3 forces >1 propagation round) plus a
     // disjoint pair {5,50} — transitive closure, not pairwise grouping
