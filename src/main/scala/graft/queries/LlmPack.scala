@@ -71,10 +71,12 @@ object LlmPack extends Pack {
     (grams, nHot)
   }
 
-  /** c12 body, cap-parameterized so the unit test can exercise the
-    * guard with a small cap (the declared query uses [[HotGramCap]]). */
-  private[queries] def ngramJaccard(s: SparkSession, dir: String,
-      cap: Long): DataFrame = {
+  /** The c12 pair engine, cap-parameterized: threshold-filtered
+    * near-dup pairs (unrounded, unsorted) + the hot-gram drop count.
+    * c12 adds presentation (rounding, ordering); c16 feeds the raw
+    * pairs straight into component clustering. */
+  private[queries] def jaccardPairsRaw(s: SparkSession, dir: String,
+      cap: Long): (DataFrame, Long) = {
     graft.functions.GraftFunctions.register(s)
     val (grams, nHot) = cappedGramPostings(docs(s, dir), cap)
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -85,12 +87,21 @@ object LlmPack extends Pack {
     // sizes is one row per doc — corpus-sized, so no explicit
     // broadcast (AQE promotes it when it fits; at 100 TB these are
     // shuffle joins on the pair keys)
-    inter
+    val pairs = inter
       .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
       .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
       .withColumn("jaccard",
         $"inter".cast("double") / (col("sa.n") + col("sb.n") - $"inter"))
       .filter($"jaccard" >= 0.5)
+    (pairs, nHot)
+  }
+
+  /** c12 body, cap-parameterized so the unit test can exercise the
+    * guard with a small cap (the declared query uses [[HotGramCap]]). */
+  private[queries] def ngramJaccard(s: SparkSession, dir: String,
+      cap: Long): DataFrame = {
+    val (pairs, nHot) = jaccardPairsRaw(s, dir, cap)
+    pairs
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
       .withColumn("hot_grams_dropped", lit(nHot))
       .orderBy($"doc_a", $"doc_b")
@@ -114,26 +125,42 @@ object LlmPack extends Pack {
   private[queries] def connectedComponents(pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    // symmetrize in ONE pass over the pair plan (explode of the two
+    // directions) — a union of two selects would execute the upstream
+    // pair join twice before the persist materializes
+    val edges = pairs
+      .select(explode(array(
+        struct($"doc_a".as("src"), $"doc_b".as("dst")),
+        struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
       .persist(lvl)
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("comp", $"id").persist(lvl)
     val kept = scala.collection.mutable.ArrayBuffer[DataFrame](edges, labels)
-    var changed = 1L
+    // convergence probe: labels are monotonically non-increasing and
+    // at least one strictly decreases per changing round, so
+    // sum(comp) is a strictly decreasing fixpoint witness — ONE agg
+    // action per iteration (which doubles as the persist
+    // materializer), no join-and-count job. Ids are < 2^40 and node
+    // counts corpus-bounded, so the sum stays far from overflow.
+    def sumComp(df: DataFrame): Long =
+      df.agg(sum($"comp")).head.getLong(0)
+    var prevSum = sumComp(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbr = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
+    var done = false
+    while (!done && iter < maxIter) {
+      val next = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.comp").as("comp"))
-      val next = labels.select($"id", $"comp").union(nbr)
+        .union(labels.select($"id", $"comp"))
         .groupBy($"id").agg(min($"comp").as("comp")).persist(lvl)
       kept += next
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") < col("o.comp")).count()
+      val s = sumComp(next)
+      done = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
-    require(changed == 0, s"connectedComponents: no fixpoint in $maxIter iters")
+    require(done, s"connectedComponents: no fixpoint in $maxIter iters")
     lastCC.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
     lastCC = kept.toSeq
     labels
@@ -462,7 +489,7 @@ object LlmPack extends Pack {
     // (singletons are trivially canonical and stay out of the join).
     Decl("c16_dedup_components",
       (s, dir) => {
-        val pairs = ngramJaccard(s, dir, HotGramCap)
+        val pairs = jaccardPairsRaw(s, dir, HotGramCap)._1
           .select($"doc_a", $"doc_b")
         val comps = connectedComponents(pairs)
         val sizes = comps.groupBy($"comp")
