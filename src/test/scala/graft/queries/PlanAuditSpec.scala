@@ -51,6 +51,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"banding degenerated:\n$p")
   }
 
+  test("c17 quantized top-k: broadcast query, distributed top-k, no cartesian") {
+    val p = plan("c17_embed_quantize")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not distributed:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      s"query row not broadcast:\n$p")
+  }
+
+  test("c19 decontamination: the eval gram set broadcasts; corpus side not shuffled") {
+    val p = plan("c19_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"gram match degenerated:\n$p")
+  }
+
+  test("c18 packing: window partitions by shard (no single-partition global window)") {
+    val p = plan("c18_sequence_packing")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"running-sum window must partition by shard:\n$p")
+  }
+
   test("minhash_sig and cosine_sim stay inside whole-stage codegen") {
     // AQE defers codegen subtrees to execution time (the explainer
     // sees only the un-finalized adaptive root) — plan without AQE for
