@@ -168,6 +168,25 @@ object IceLite {
     }.sum
   }
 
+  /** Resolve an input_file_name() URI back to its table-relative
+    * staged path. Matches on the FULL table-relative path, not a
+    * fixed segment suffix — with multi-level partitioning, files
+    * written by the same task into different partition dirs share
+    * identical filenames, so a short suffix would collide (one file
+    * steals the other's stats and pruning then skips live rows).
+    * URI-decoding also resolves escaped partition values (a=2024%3A01
+    * on disk arrives double-encoded in the URI). */
+  private[icelite] def matchStagedPath(files: Seq[String],
+      uri: String): Option[String] = {
+    val byRelPath = files.toSet
+    val depths = files.map(_.count(_ == '/') + 1).distinct
+    val decoded = scala.util.Try(new java.net.URI(uri).getPath).getOrElse(uri)
+    val segs = decoded.split('/')
+    depths.iterator
+      .map(d => segs.takeRight(d).mkString("/"))
+      .collectFirst { case rel if byRelPath.contains(rel) => rel }
+  }
+
   /** Collect per-file min/max for the requested numeric columns in ONE
     * Spark job: scan all staged files together, group by
     * input_file_name(). The result is metadata-sized (files × cols
@@ -184,23 +203,8 @@ object IceLite {
         .groupBy(input_file_name().as("_file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-      // input_file_name is a (percent-encoded) URI; match on the FULL
-      // table-relative path, not a fixed segment suffix — with
-      // multi-level partitioning, files written by the same task into
-      // different partition dirs share identical filenames, so a
-      // 2-segment suffix would collide (one file steals the other's
-      // stats and pruning then skips live rows). URI-decoding also
-      // keeps stats for escaped partition values (a=2024%3A01 on disk
-      // arrives double-encoded in the URI).
-      val byRelPath: Map[String, String] = files.map(f => f -> f).toMap
-      val depths = files.map(_.count(_ == '/') + 1).distinct
       rows.flatMap { row =>
-        val decoded = scala.util.Try(new java.net.URI(row.getString(0)).getPath)
-          .getOrElse(row.getString(0))
-        val segs = decoded.split('/')
-        depths.iterator
-          .map(d => segs.takeRight(d).mkString("/"))
-          .collectFirst { case rel if byRelPath.contains(rel) => rel }
+        matchStagedPath(files, row.getString(0))
           .map { f =>
             // empty files / all-null columns have null min/max: record no
             // stat (the file is then conservatively kept by pruning)
@@ -733,7 +737,7 @@ object IceLite {
   // mergeSchema: appends may evolve the schema (Iceberg v2 semantics,
   // extract_load.py inherits this through format-version=2); older
   // files surface null for later-added columns
-  private def readFiles(spark: SparkSession, ref: TableRef, files: Seq[String]): DataFrame =
+  private[icelite] def readFiles(spark: SparkSession, ref: TableRef, files: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => ref.dir.resolve(f).toString): _*)
 

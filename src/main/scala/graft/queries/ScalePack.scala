@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.icelite.{IceLite, IngestJob}
+import graft.icelite.{BloomIndex, IceLite, IngestJob}
 import syntax._
 
 /** Part D (builder addendum) — scale techniques declared through the
@@ -557,6 +557,41 @@ object ScalePack extends Pack {
              FROM lineitem
              WHERE l_partkey BETWEEN 100 AND 300
                AND l_suppkey BETWEEN 10 AND 40""")),
+
+    // d17: Bloom-filter file skipping (Iceberg's puffin-blob role) —
+    // the axis min/max stats can't cover: a point lookup on a high-
+    // cardinality key in an UNSORTED table matches every file's
+    // [min,max] range, but per-file Bloom membership prunes to the
+    // file(s) actually holding the key (false positives cost a wasted
+    // read, never correctness). The sidecar is a derived index built
+    // in one Spark job; files without an entry are conservatively
+    // kept. The looked-up key is the table's min orderkey (exists at
+    // every SF); hash-scattered 8-file layout makes range pruning
+    // useless by construction.
+    Decl("d17_bloom_point_lookup",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d17").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_b")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+        IceLite.createOrReplace(ref, l.repartition(8, $"l_orderkey"))
+        BloomIndex.build(s, ref, "l_orderkey")
+        val key = l.agg(min($"l_orderkey")).head.getLong(0)
+        val total = IceLite.readManifest(ref).current.files.size.toLong
+        val kept = BloomIndex.prunedFiles(ref, "l_orderkey", key).size.toLong
+        BloomIndex.readPointLookup(s, ref, "l_orderkey", key)
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            dsum($"l_extendedprice", 2).as("sum_price"))
+          .withColumn("files_kept_lt_total", lit(kept < total))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             TRUE AS files_kept_lt_total
+             FROM lineitem
+             WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)""")),
 
     Decl("d02_salted_agg",
       (s, dir) => {

@@ -44,6 +44,44 @@ class ScalePackSpec extends AnyFunSuite {
     assert(ref(3, 0) == 5L && ref(0, 3) == 10L && ref(65535, 65535) == 0xFFFFFFFFL)
   }
 
+  test("d17 bloom index: prunes to the key's file, misses nothing, stale index stays safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.icelite.{BloomIndex, IceLite, IngestJob}
+    val wh = java.nio.file.Files.createTempDirectory("bloom_wh").toString
+    val ref = IngestJob.tableRef(wh, "kv")
+    IceLite.createNamespace(wh, "src")
+    // 4 files of disjoint key ranges via hash-scatter on k
+    val df = (0L until 4000L).map(k => (k, k * 10)).toDF("k", "v")
+    IceLite.createOrReplace(ref, df.repartition(4, col("k")))
+    BloomIndex.build(spark, ref, "k")
+    val total = IceLite.readManifest(ref).current.files.size
+    assert(total == 4)
+
+    // present key: found, and ≥1 file was skipped (fp rate ≪ 3/4)
+    val hit = BloomIndex.readPointLookup(spark, ref, "k", 1234L)
+      .as[(Long, Long)].collect().toSeq
+    assert(hit == Seq((1234L, 12340L)))
+    assert(BloomIndex.prunedFiles(ref, "k", 1234L).size < total)
+
+    // absent key: no rows, whatever files survive the probe
+    assert(BloomIndex.readPointLookup(spark, ref, "k", 999999L).count() == 0)
+
+    // stale sidecar: an append after build has no bloom entries —
+    // its file must be conservatively KEPT and the lookup still works
+    IceLite.append(ref, Seq((777777L, 42L)).toDF("k", "v"))
+    val lateHit = BloomIndex.readPointLookup(spark, ref, "k", 777777L)
+      .as[(Long, Long)].collect().toSeq
+    assert(lateHit == Seq((777777L, 42L)), "stale index must not hide new files")
+
+    // rebuilding restores pruning over all 5 files, and probe/build
+    // hash parity still finds the appended key through the pruned list
+    BloomIndex.build(spark, ref, "k")
+    assert(BloomIndex.prunedFiles(ref, "k", 777777L).size < 5)
+    assert(BloomIndex.readPointLookup(spark, ref, "k", 777777L)
+      .as[(Long, Long)].collect().toSeq == Seq((777777L, 42L)))
+  }
+
   test("d16 multi-column pruning skips files on the SECOND dimension too") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
