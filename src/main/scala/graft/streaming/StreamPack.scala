@@ -176,6 +176,18 @@ object StreamPack extends Pack {
       out
     })
 
+  /** s12's variant: the documents table as a 3-file stream, staged
+    * once per JVM. */
+  private def stageDocBatches(s: SparkSession, dir: String): String =
+    stagedCache.computeIfAbsent(s"$dir#documents#router", { _ =>
+      val out = Files.createTempDirectory("graft_s12_src").toString
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** Stateful-stream shuffle width: each micro-batch instantiates one
     * state store per shuffle partition, so a 32-wide session default
     * pays 32× store open/commit per batch for fixture-sized state.
@@ -622,6 +634,60 @@ object StreamPack extends Pack {
                   AS DOUBLE) AS sum_price,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
               WHERE o_orderkey < 500) AS n_repriced_twice
-             FROM orders WHERE o_orderkey < 2000"""))
+             FROM orders WHERE o_orderkey < 2000""")),
+
+    // s12 (builder extension): streaming QUALITY ROUTER — the t02
+    // curation filter as a stream with a two-way sink split: accepted
+    // docs and rejects land in separate tables (the quarantine
+    // pattern of a streaming curation pipeline; the batch/streaming
+    // unification the Part C north star implies). Both sinks are
+    // idempotent MERGE-by-doc_id writes, so at-least-once foreachBatch
+    // replay re-asserts rows instead of duplicating them — no batch-id
+    // bookkeeping needed (contrast s07's append path). The routing
+    // predicate is evaluated in-stream (map-only); at scale the
+    // router is one pass over the feed with two metadata commits per
+    // micro-batch.
+    Decl("s12_stream_quality_router",
+      (s, dir) => {
+        withStreamShufflePartitions(s) {
+        val staged = stageDocBatches(s, dir)
+        val wh = Files.createTempDirectory("graft_s12_wh").toString
+        val accept = TableRef(wh, "src", "docs_accept")
+        val reject = TableRef(wh, "src", "docs_reject")
+        IceLite.createNamespace(wh, "src")
+        val sch = s.read.parquet(staged).schema
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            IceLite.merge(s, accept,
+              batch.filter(col("n_tokens") >= 40), Seq("doc_id"))
+            IceLite.merge(s, reject,
+              batch.filter(col("n_tokens") < 40), Seq("doc_id"))
+            ()
+          }
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s12").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val a = IceLite.read(s, accept)
+          .agg(count(lit(1)).cast("long").as("n_accept"),
+            sum(col("n_tokens")).cast("long").as("accept_tokens"))
+        val r = IceLite.read(s, reject)
+          .agg(count(lit(1)).cast("long").as("n_reject"))
+        a.crossJoin(r)
+        }
+      },
+      Some("""SELECT
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+              WHERE len(string_split(text, ' ')) >= 40) AS n_accept,
+             (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 40) AS accept_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+              WHERE len(string_split(text, ' ')) < 40) AS n_reject"""))
   )
 }

@@ -214,4 +214,14 @@ class StreamPackSpec extends AnyFunSuite {
       s"key within the horizon must stay deduped: $counts")
     assert(counts.get(3L).contains(1L), s"control key: $counts")
   }
+
+  test("s12 router: accept and reject exactly partition the corpus") {
+    val row = StreamPack.queries("s12_stream_quality_router")(
+      spark, TestSpark.sfDir).collect().head
+    val total = graft.Tables.load(spark, TestSpark.sfDir, "documents").count()
+    assert(row.getAs[Long]("n_accept") + row.getAs[Long]("n_reject") == total,
+      s"router dropped or duplicated docs: $row vs $total docs")
+    assert(row.getAs[Long]("n_accept") > 0 && row.getAs[Long]("n_reject") > 0,
+      s"routing predicate must split the fixture non-trivially: $row")
+  }
 }
