@@ -827,6 +827,27 @@ object IceLite {
     orphans.map(_._2).sorted
   }
 
+  /** Roll the table back to an earlier snapshot (Iceberg
+    * `rollback_to_snapshot`) — the fat-fingered-load UNDO that time
+    * travel (d11/d14) only inspects. The rollback is itself a NEW
+    * snapshot referencing the target's exact file list: nothing is
+    * deleted, later snapshots stay time-travelable, and expiry
+    * reclaims the rolled-back files on its normal schedule. CAS-
+    * committed like every other metadata change; data files are
+    * immutable so the target's files and stats are still valid. */
+  def rollback(ref: TableRef, toSnapshotId: Long): Snapshot =
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      val target = m.snapshots.find(_.id == toSnapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $toSnapshotId not found (expired?)"))
+      val id = m.snapshots.map(_.id).max + 1
+      val snap = target.copy(id = id,
+        timestampMs = System.currentTimeMillis(), operation = "rollback")
+      Manifest(ref.name, id, m.snapshots :+ snap)
+    }.current
+
   /** a12/a13: expire snapshots older than `cutoffMs`, always keeping
     * the current one; delete data files referenced by no surviving
     * snapshot (extract_load.py:167-171; README.md:111 7d variant). */

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import syntax._
 
@@ -184,6 +185,30 @@ object MultimodalPack extends Pack {
              SELECT media_id, n_frames, CAST(k AS BIGINT) AS sample_idx,
                CAST(length(substring(text, CAST(k AS INT) * 64 + 1, 64)) AS BIGINT) AS frame_len
              FROM f, LATERAL (SELECT unnest(range(0, CAST(n_frames AS INT), 3)) AS k)
-             ORDER BY media_id, sample_idx"""))
+             ORDER BY media_id, sample_idx""")),
+
+    // m05: media dedup by content — c01's exact-dedup shape over
+    // opaque BINARY payloads: keep the min media_id per payload, with
+    // the copy count as the audit column. One window shuffle keyed by
+    // (xxhash64, payload); at 100 TB the shuffle key becomes
+    // (hash64, fingerprint128) so payload bytes never move — the
+    // equality verify then touches only colliding candidates. The
+    // oracle groups by text, which equals payload-grouping because
+    // UTF-8 encoding is injective.
+    Decl("m05_media_dedup",
+      (s, dir) => {
+        val w = Window.partitionBy(xxhash64($"payload"), $"payload")
+        media(s, dir)
+          .withColumn("keeper", min($"media_id").over(w))
+          .withColumn("n_copies", count(lit(1)).over(w).cast("long"))
+          .filter($"media_id" === $"keeper")
+          .select($"media_id", $"n_copies",
+            length($"payload").cast("long").as("n_bytes"))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS media_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             FROM documents GROUP BY text ORDER BY media_id"""))
   )
 }

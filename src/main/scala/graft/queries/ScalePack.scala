@@ -593,6 +593,35 @@ object ScalePack extends Pack {
              FROM lineitem
              WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)""")),
 
+    // d18: snapshot ROLLBACK — the undo d11/d14's time travel only
+    // inspects (Iceberg rollback_to_snapshot): a bad append lands,
+    // rollback commits a NEW snapshot referencing the first load's
+    // exact files. Nothing is rewritten or deleted — the bad snapshot
+    // stays time-travelable until expiry reclaims it on the normal
+    // schedule. The ops column pins create→append→rollback.
+    Decl("d18_snapshot_rollback",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d18").toString
+        val ref = IngestJob.tableRef(wh, "orders_rb")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val first = IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+          .withColumn("o_totalprice", lit(-1.0))) // the bad load
+        IceLite.rollback(ref, first.id)
+        val ops = IceLite.readManifest(ref).snapshots.map(_.operation)
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("ops_ok",
+            lit(ops == Seq("create", "append", "rollback")))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS ops_ok
+             FROM orders WHERE o_orderkey < 1000""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

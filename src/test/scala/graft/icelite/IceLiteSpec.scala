@@ -175,4 +175,24 @@ class IceLiteSpec extends AnyFunSuite {
     assert(expired.isEmpty)
     assert(IceLite.readManifest(ref).snapshots.size == 2)
   }
+
+  test("rollback reverts content as a new snapshot; the bad load stays travelable") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_rb").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    val first = IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
+    val bad = IceLite.append(ref, Seq(99).toDF("k"))
+    val rb = IceLite.rollback(ref, first.id)
+    // current content is the first load again
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // the rollback is a NEW snapshot — history is append-only
+    val m = IceLite.readManifest(ref)
+    assert(m.snapshots.map(_.operation) == Seq("create", "append", "rollback"))
+    assert(m.currentSnapshotId == rb.id && rb.id > bad.id)
+    // the bad snapshot is still time-travelable until expiry
+    assert(IceLite.readAt(spark, ref, bad.id).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 99))
+    // rolling back to an unknown id fails loudly
+    intercept[IllegalArgumentException](IceLite.rollback(ref, 12345L))
+  }
 }

@@ -70,4 +70,21 @@ class MultimodalSpec extends AnyFunSuite {
       frames.sortBy(_._3).dropRight(1).foreach(f => assert(f._4 == 64L))
     }
   }
+
+  test("m05 collapses planted byte-identical payloads to the min id") {
+    import org.apache.spark.sql.functions._
+    // the fixture corpus has no byte-identical texts, so plant them:
+    // docs 1000/1001/1002 share one payload, 1003 is unique
+    val df = Seq((1000L, "same bytes"), (1001L, "same bytes"),
+      (1002L, "same bytes"), (1003L, "other"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("mediadup_spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = MultimodalPack.queries("m05_media_dedup")(spark, tmp)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1000L, 3L, 10L), (1003L, 1L, 5L)),
+      s"dedup must keep min id with copy count: $got")
+  }
 }
