@@ -51,7 +51,10 @@ final case class Snapshot(
 final case class Manifest(
     table: String,
     currentSnapshotId: Long,
-    snapshots: Seq[Snapshot]) {
+    snapshots: Seq[Snapshot],
+    // named branch → snapshot id (Iceberg refs): staged candidates
+    // readers of main never see until publish fast-forwards (d19)
+    branches: Map[String, Long] = Map.empty) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
 }
 
@@ -848,17 +851,76 @@ object IceLite {
       Manifest(ref.name, id, m.snapshots :+ snap)
     }.current
 
+  /** d19: WRITE-AUDIT-PUBLISH staging (Iceberg's wap.branch
+    * workflow). Commit the candidate snapshot — current files + the
+    * staged batch — into the manifest under a named BRANCH without
+    * moving the main pointer: readers of main cannot see it, the
+    * audit query reads the branch, and publish() fast-forwards main
+    * to the already-committed snapshot (metadata-only, no rewrite).
+    * A failed audit drops the branch and the staged snapshot expires
+    * on the normal schedule. */
+  def stageBranchAppend(ref: TableRef, branch: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Snapshot = {
+    val files = stage(ref, df)
+    val rows = countRowsFromFooters(ref, files)
+    val stats = collectStats(df.sparkSession, ref, files, statsCols)
+    val man = commitCAS(ref) { cur =>
+      val m = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      val base = m.current
+      val id = m.snapshots.map(_.id).max + 1
+      val snap = Snapshot(id, System.currentTimeMillis(), "stage-append",
+        base.files ++ files, base.rowCount + rows,
+        base.fileStats ++ stats, base.partitionCols, base.sortedBy)
+      m.copy(snapshots = m.snapshots :+ snap,
+        branches = m.branches + (branch -> id))
+    }
+    man.snapshots.find(_.id == man.branches(branch)).get
+  }
+
+  /** Read a staged branch (the audit query's view). */
+  def readBranch(spark: SparkSession, ref: TableRef, branch: String): DataFrame = {
+    val m = readManifest(ref)
+    val id = m.branches.getOrElse(branch,
+      throw new IllegalArgumentException(s"no branch '$branch' on ${ref.name}"))
+    readAt(spark, ref, id)
+  }
+
+  /** Fast-forward main to the branch's snapshot (audit passed). */
+  def publish(ref: TableRef, branch: String): Snapshot =
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      val id = m.branches.getOrElse(branch,
+        throw new IllegalArgumentException(s"no branch '$branch' on ${ref.name}"))
+      m.copy(currentSnapshotId = id, branches = m.branches - branch)
+    }.current
+
+  /** Abandon a staged branch (audit failed); main is untouched and
+    * the staged snapshot expires on the normal schedule. */
+  def dropBranch(ref: TableRef, branch: String): Unit = {
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      m.copy(branches = m.branches - branch)
+    }
+    ()
+  }
+
   /** a12/a13: expire snapshots older than `cutoffMs`, always keeping
-    * the current one; delete data files referenced by no surviving
-    * snapshot (extract_load.py:167-171; README.md:111 7d variant). */
+    * the current one AND any branch-referenced snapshot (a staged
+    * audit candidate must survive retention until published or
+    * dropped); delete data files referenced by no surviving snapshot
+    * (extract_load.py:167-171; README.md:111 7d variant). */
   def expireSnapshots(ref: TableRef, cutoffMs: Long): Seq[Long] = {
     if (readManifest(ref).snapshots.forall(s => s.timestampMs >= cutoffMs))
       return Seq.empty
     var expired: Seq[Snapshot] = Seq.empty
     val committed = commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
+      val pinned = m.branches.values.toSet + m.currentSnapshotId
       val (dead, alive) = m.snapshots.partition(s =>
-        s.timestampMs < cutoffMs && s.id != m.currentSnapshotId)
+        s.timestampMs < cutoffMs && !pinned(s.id))
       expired = dead
       m.copy(snapshots = alive)
     }

@@ -622,6 +622,52 @@ object ScalePack extends Pack {
              TRUE AS ops_ok
              FROM orders WHERE o_orderkey < 1000""")),
 
+    // d19: WRITE-AUDIT-PUBLISH — Iceberg's wap.branch workflow, the
+    // production data-quality gate: a candidate batch is committed on
+    // a BRANCH (invisible to main), the audit query reads the branch,
+    // and only a passing audit fast-forwards main (metadata-only).
+    // Here batch 1 is corrupted (negative prices) → audit rejects,
+    // branch dropped, main untouched; batch 2 is clean → audit
+    // passes, publish. The booleans pin each gate decision.
+    Decl("d19_wap_publish",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d19").toString
+        val ref = IngestJob.tableRef(wh, "orders_wap")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val first = IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        val batch = o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+        // candidate 1: corrupted — stage, audit, REJECT
+        IceLite.stageBranchAppend(ref, "audit",
+          batch.withColumn("o_totalprice", -$"o_totalprice"))
+        val invisible =
+          IceLite.read(s, ref).count() == first.rowCount
+        val bad = IceLite.readBranch(s, ref, "audit")
+          .filter($"o_totalprice" < 0).count()
+        if (bad > 0) IceLite.dropBranch(ref, "audit")
+        val rejectedSafely =
+          bad > 0 && IceLite.read(s, ref).count() == first.rowCount
+        // candidate 2: clean — stage, audit, PUBLISH
+        IceLite.stageBranchAppend(ref, "audit", batch)
+        val bad2 = IceLite.readBranch(s, ref, "audit")
+          .filter($"o_totalprice" < 0).count()
+        if (bad2 == 0) IceLite.publish(ref, "audit")
+        val published = IceLite.readManifest(ref).branches.isEmpty
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("staged_invisible", lit(invisible))
+          .withColumn("audit_rejected_bad_batch", lit(rejectedSafely))
+          .withColumn("published", lit(published))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS staged_invisible,
+             TRUE AS audit_rejected_bad_batch,
+             TRUE AS published
+             FROM orders WHERE o_orderkey < 2000""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

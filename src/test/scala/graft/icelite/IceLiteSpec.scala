@@ -195,4 +195,31 @@ class IceLiteSpec extends AnyFunSuite {
     // rolling back to an unknown id fails loudly
     intercept[IllegalArgumentException](IceLite.rollback(ref, 12345L))
   }
+
+  test("WAP branches: staged invisible on main, publish fast-forwards, drop abandons") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_wap").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
+    val staged = IceLite.stageBranchAppend(ref, "audit", Seq(3, 4).toDF("k"))
+    // main readers cannot see the candidate
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // the audit query reads base + batch on the branch
+    assert(IceLite.readBranch(spark, ref, "audit")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    // retention cannot reap a branch-referenced candidate
+    val expired = IceLite.expireSnapshots(ref, System.currentTimeMillis() + 3600000)
+    assert(!expired.contains(staged.id), "staged snapshot must survive expiry")
+    // publish: metadata-only fast-forward, branch consumed
+    IceLite.publish(ref, "audit")
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(IceLite.readManifest(ref).branches.isEmpty)
+
+    // a second candidate fails its audit: drop leaves main untouched
+    IceLite.stageBranchAppend(ref, "audit", Seq(-1).toDF("k"))
+    IceLite.dropBranch(ref, "audit")
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    intercept[IllegalArgumentException](IceLite.readBranch(spark, ref, "audit"))
+    intercept[IllegalArgumentException](IceLite.publish(ref, "audit"))
+  }
 }
