@@ -215,6 +215,68 @@ class StreamPackSpec extends AnyFunSuite {
     assert(counts.get(3L).contains(1L), s"control key: $counts")
   }
 
+  test("router restart from checkpoint: old batches not reprocessed, late files routed") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    import graft.icelite.{IceLite, TableRef}
+    // uncached staging: file set GROWS between two runs sharing one
+    // checkpoint — the restart must process only the new file, and
+    // the merge sinks must keep the union exact (no dupes, no loss)
+    val src = java.nio.file.Files.createTempDirectory("router_restart_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("router_restart_ckpt").toString
+    val wh = java.nio.file.Files.createTempDirectory("router_restart_wh").toString
+    val accept = TableRef(wh, "ns", "acc")
+    val reject = TableRef(wh, "ns", "rej")
+    IceLite.createNamespace(wh, "ns")
+    def writeFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("router_restart_stage")
+      rows.toDF("doc_id", "n_tokens").coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = IceLite.listDir(java.nio.file.Files.list(staging))(_
+        .find(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith(".")).get)
+      java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val sch = spark.read.parquet(src.toString).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IceLite.merge(spark, accept,
+            batch.filter(col("n_tokens") >= 40), Seq("doc_id"))
+          IceLite.merge(spark, reject,
+            batch.filter(col("n_tokens") < 40), Seq("doc_id"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeFile("f0", Seq((1L, 100L), (2L, 10L)))
+    runOnce()
+    val accV1 = IceLite.readManifest(accept).currentSnapshotId
+    writeFile("f1", Seq((3L, 50L), (4L, 5L)))
+    runOnce()
+    // restart processed ONLY f1: accept gained exactly one commit
+    val accOps = IceLite.readManifest(accept)
+    assert(accOps.currentSnapshotId == accV1 + 1,
+      s"restart must merge exactly one new batch into accept, " +
+        s"got ${accOps.snapshots.map(_.operation)}")
+    assert(IceLite.read(spark, accept).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(IceLite.read(spark, reject).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // a third run with nothing new is a no-op on both sinks
+    val (a3, r3) = (IceLite.readManifest(accept).currentSnapshotId,
+      IceLite.readManifest(reject).currentSnapshotId)
+    runOnce()
+    assert(IceLite.readManifest(accept).currentSnapshotId == a3 &&
+      IceLite.readManifest(reject).currentSnapshotId == r3,
+      "an empty restart must not commit")
+  }
+
   test("s12 router: accept and reject exactly partition the corpus") {
     val row = StreamPack.queries("s12_stream_quality_router")(
       spark, TestSpark.sfDir).collect().head
