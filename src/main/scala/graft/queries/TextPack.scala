@@ -245,6 +245,42 @@ object TextPack extends Pack {
              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                ROUND(AVG(ln((cb + 1.0) / (cu + v))), 4) AS avg_logprob
              FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
-             GROUP BY doc_id ORDER BY doc_id"""))
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // t08: character-entropy quality signal — Shannon entropy of the
+    // per-doc character distribution, the cheap garbled-text /
+    // binary-junk detector (low entropy = repeated filler, high =
+    // random bytes; natural text sits in a band). Chars come from a
+    // substr generator, not split-on-empty (whose edge behavior
+    // differs between engines). Two aggs: (doc, char) counts, then
+    // the entropy fold per doc — both map-side-combining shuffles on
+    // small keys; the text itself is never shuffled. ln() values are
+    // irrational → round-4 is engine-safe (NOTES rule 3).
+    Decl("t08_char_entropy",
+      (s, dir) => {
+        val chars = docs(s, dir).filter(length($"text") > 0)
+          .select($"doc_id", length($"text").cast("double").as("len"),
+            explode(expr(
+              "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+              .as("ch"))
+        chars.groupBy($"doc_id", $"len", $"ch")
+          .agg(count(lit(1)).cast("double").as("cnt"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_distinct_chars"),
+            round(-sum(($"cnt" / $"len") * log($"cnt" / $"len")), 4)
+              .as("entropy"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH chars AS (
+               SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+                 substr(text, CAST(i AS INT), 1) AS ch
+               FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
+               WHERE length(text) > 0),
+                  cc AS (SELECT doc_id, len, ch, CAST(COUNT(*) AS DOUBLE) AS cnt
+                         FROM chars GROUP BY 1, 2, 3)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               ROUND(-SUM((cnt / len) * ln(cnt / len)), 4) AS entropy
+             FROM cc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

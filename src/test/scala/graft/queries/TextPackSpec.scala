@@ -89,4 +89,21 @@ class TextPackSpec extends AnyFunSuite {
     // the repeated pattern is more probable than the one-off bigram
     assert(exp0 > exp1, "repetition must raise mean log-likelihood")
   }
+
+  test("t08 entropy: hand-checked values; constant text scores zero") {
+    val df = Seq((0L, "aabb"), (1L, "aaaa"), (2L, "abcd"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("entropy_spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextPack.queries("t08_char_entropy")(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (0L, 2L, r4(math.log(2))),       // two chars at p=1/2 → ln 2
+      (1L, 1L, -0.0),                  // constant text → zero entropy
+      (2L, 4L, r4(math.log(4)))),      // uniform over 4 → ln 4
+      s"got $got")
+  }
 }
