@@ -779,6 +779,21 @@ object IceLite {
     else readFiles(spark, ref, snap.files)
   }
 
+  /** d20: the snapshot METADATA TABLE (Iceberg's `table$snapshots`) —
+    * history as a queryable DataFrame. Manifests are driver-side
+    * metadata (O(snapshots), not O(data)), so this is a
+    * createDataFrame over the parsed manifest; at 100 TB the manifest
+    * listing is still metadata-sized and the table's data files are
+    * never touched. Timestamps excluded from the default projection
+    * so results stay run-deterministic. */
+  def snapshotsDf(spark: SparkSession, ref: TableRef): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(ref)
+    m.snapshots.map(s => (s.id, s.operation, s.rowCount,
+        s.files.size.toLong, s.id == m.currentSnapshotId))
+      .toDF("snapshot_id", "operation", "n_rows", "n_files", "is_current")
+  }
+
   /** Orphan-file GC (Iceberg's remove_orphan_files role): delete data
     * files referenced by NO snapshot in the manifest — the residue of
     * writers that crashed between staging and their CAS claim, which

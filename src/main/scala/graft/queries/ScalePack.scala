@@ -668,6 +668,39 @@ object ScalePack extends Pack {
              TRUE AS published
              FROM orders WHERE o_orderkey < 2000""")),
 
+    // d20: the snapshot metadata table (Iceberg `table$snapshots`) —
+    // a create→append→rollback history queried as a DataFrame. The
+    // ops/row-counts are fully derivable from the source, so the
+    // oracle recomputes the expected history relationally. n_files is
+    // projected out (file splits depend on parallelism, not
+    // semantics); is_current pins the rollback as head.
+    Decl("d20_snapshots_metadata",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d20").toString
+        val ref = IngestJob.tableRef(wh, "orders_meta")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val first = IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
+        IceLite.rollback(ref, first.id)
+        IceLite.snapshotsDf(s, ref)
+          .select($"snapshot_id", $"operation", $"n_rows", $"is_current")
+          .orderBy($"snapshot_id")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS snapshot_id, 'create' AS operation,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey < 1000) AS n_rows,
+               FALSE AS is_current
+             UNION ALL
+             SELECT 2, 'append',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey < 2000),
+               FALSE
+             UNION ALL
+             SELECT 3, 'rollback',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey < 1000),
+               TRUE
+             ORDER BY snapshot_id""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across
