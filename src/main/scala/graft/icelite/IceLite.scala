@@ -231,7 +231,12 @@ object IceLite {
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       val op = if (cur.isDefined) "replace" else "create"
       val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows, stats)
-      Manifest(ref.name, id, cur.map(_.snapshots).getOrElse(Seq.empty) :+ snap)
+      // copy from cur, never rebuild positionally — a rebuilt Manifest
+      // would silently drop fields like `branches` (bitten: WAP)
+      cur match {
+        case Some(m) => m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
+        case None    => Manifest(ref.name, id, Seq(snap))
+      }
     }.current
   }
 
@@ -261,7 +266,7 @@ object IceLite {
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
             m.current.fileStats ++ stats, summary = summary)
-          Manifest(ref.name, id, m.snapshots :+ snap)
+          m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
       }
     }.current
   }
@@ -358,7 +363,7 @@ object IceLite {
           val snap = Snapshot(id, System.currentTimeMillis(), "replace",
             files, rows, stats)
           if (tryCommit(baseVersion + 1,
-              Manifest(ref.name, id, base.snapshots :+ snap), files))
+              base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files))
             return snap
       }
     }
@@ -389,7 +394,12 @@ object IceLite {
       val op = if (cur.isDefined) "replace" else "create"
       val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows,
         stats, Nil, Some(sortCol))
-      Manifest(ref.name, id, cur.map(_.snapshots).getOrElse(Seq.empty) :+ snap)
+      // copy from cur, never rebuild positionally — a rebuilt Manifest
+      // would silently drop fields like `branches` (bitten: WAP)
+      cur match {
+        case Some(m) => m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
+        case None    => Manifest(ref.name, id, Seq(snap))
+      }
     }.current
   }
 
@@ -453,7 +463,7 @@ object IceLite {
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
         files, rows, stats, cur.partitionCols, cur.sortedBy)
       if (tryCommit(baseVersion + 1,
-          Manifest(ref.name, id, base.snapshots :+ snap), files))
+          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files))
         return snap
     }
     throw new IllegalStateException("unreachable")
@@ -515,7 +525,12 @@ object IceLite {
       val op = if (cur.isDefined) "replace" else "create"
       val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows,
         stats, partitionCols)
-      Manifest(ref.name, id, cur.map(_.snapshots).getOrElse(Seq.empty) :+ snap)
+      // copy from cur, never rebuild positionally — a rebuilt Manifest
+      // would silently drop fields like `branches` (bitten: WAP)
+      cur match {
+        case Some(m) => m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
+        case None    => Manifest(ref.name, id, Seq(snap))
+      }
     }.current
   }
 
@@ -570,7 +585,7 @@ object IceLite {
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
             m.current.fileStats ++ stats, partitionCols)
-          Manifest(ref.name, id, m.snapshots :+ snap)
+          m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
       }
     }.current
   }
@@ -863,7 +878,7 @@ object IceLite {
       val id = m.snapshots.map(_.id).max + 1
       val snap = target.copy(id = id,
         timestampMs = System.currentTimeMillis(), operation = "rollback")
-      Manifest(ref.name, id, m.snapshots :+ snap)
+      m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
     }.current
 
   /** d19: WRITE-AUDIT-PUBLISH staging (Iceberg's wap.branch
@@ -886,7 +901,10 @@ object IceLite {
       val id = m.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "stage-append",
         base.files ++ files, base.rowCount + rows,
-        base.fileStats ++ stats, base.partitionCols, base.sortedBy)
+        base.fileStats ++ stats, base.partitionCols, base.sortedBy,
+        // the base main snapshot this candidate was built on — publish
+        // refuses to fast-forward if main has advanced past it
+        summary = Map("wap.base" -> base.id.toString))
       m.copy(snapshots = m.snapshots :+ snap,
         branches = m.branches + (branch -> id))
     }
@@ -901,13 +919,25 @@ object IceLite {
     readAt(spark, ref, id)
   }
 
-  /** Fast-forward main to the branch's snapshot (audit passed). */
+  /** Fast-forward main to the branch's snapshot (audit passed).
+    * Fast-forward only: if main advanced past the candidate's staging
+    * base, publishing would silently DROP the concurrent commit(s) —
+    * refuse instead, like Iceberg's fast_forward (re-stage on the new
+    * base; cherry-pick is not supported). */
   def publish(ref: TableRef, branch: String): Snapshot =
     commitCAS(ref) { cur =>
       val m = cur.getOrElse(
         throw new IllegalStateException(s"no manifest for ${ref.name}"))
       val id = m.branches.getOrElse(branch,
         throw new IllegalArgumentException(s"no branch '$branch' on ${ref.name}"))
+      val staged = m.snapshots.find(_.id == id).getOrElse(
+        throw new IllegalStateException(s"branch '$branch' snapshot $id expired"))
+      staged.summary.get("wap.base").foreach { base =>
+        if (base.toLong != m.currentSnapshotId)
+          throw new IllegalStateException(
+            s"cannot fast-forward '$branch': staged on base $base but main " +
+              s"is at ${m.currentSnapshotId} — re-stage on the current base")
+      }
       m.copy(currentSnapshotId = id, branches = m.branches - branch)
     }.current
 

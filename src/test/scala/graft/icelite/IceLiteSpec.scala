@@ -221,5 +221,19 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
     intercept[IllegalArgumentException](IceLite.readBranch(spark, ref, "audit"))
     intercept[IllegalArgumentException](IceLite.publish(ref, "audit"))
+
+    // publish is fast-forward ONLY: main advancing after staging must
+    // fail the publish (fast-forwarding would drop the appended 5)
+    IceLite.stageBranchAppend(ref, "audit", Seq(6).toDF("k"))
+    IceLite.append(ref, Seq(5).toDF("k"))
+    intercept[IllegalStateException](IceLite.publish(ref, "audit"))
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3, 4, 5), "failed publish must leave main intact")
+    // re-staging on the new base publishes cleanly with nothing lost
+    IceLite.dropBranch(ref, "audit")
+    IceLite.stageBranchAppend(ref, "audit", Seq(6).toDF("k"))
+    IceLite.publish(ref, "audit")
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3, 4, 5, 6))
   }
 }
