@@ -250,19 +250,20 @@ object TextPack extends Pack {
     // t08: character-entropy quality signal — Shannon entropy of the
     // per-doc character distribution, the cheap garbled-text /
     // binary-junk detector (low entropy = repeated filler, high =
-    // random bytes; natural text sits in a band). Chars come from a
-    // substr generator, not split-on-empty (whose edge behavior
-    // differs between engines). Two aggs: (doc, char) counts, then
-    // the entropy fold per doc — both map-side-combining shuffles on
+    // random bytes; natural text sits in a band). Chars come from
+    // split-on-empty — LINEAR per doc; a substr(text, i, 1) generator
+    // is O(len) per char on UTF8String (quadratic per doc: measured
+    // 4.4s → 1.4s at sf0.1). Both engines split '' identically on
+    // non-empty text (empty text is filtered; the hand-value spec
+    // pins the semantics). Two aggs: (doc, char) counts, then the
+    // entropy fold per doc — both map-side-combining shuffles on
     // small keys; the text itself is never shuffled. ln() values are
     // irrational → round-4 is engine-safe (NOTES rule 3).
     Decl("t08_char_entropy",
       (s, dir) => {
         val chars = docs(s, dir).filter(length($"text") > 0)
           .select($"doc_id", length($"text").cast("double").as("len"),
-            explode(expr(
-              "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
-              .as("ch"))
+            explode(split($"text", "")).as("ch"))
         chars.groupBy($"doc_id", $"len", $"ch")
           .agg(count(lit(1)).cast("double").as("cnt"))
           .groupBy($"doc_id")
@@ -274,9 +275,8 @@ object TextPack extends Pack {
       },
       Some("""WITH chars AS (
                SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
-                 substr(text, CAST(i AS INT), 1) AS ch
-               FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
-               WHERE length(text) > 0),
+                 unnest(string_split(text, '')) AS ch
+               FROM documents WHERE length(text) > 0),
                   cc AS (SELECT doc_id, len, ch, CAST(COUNT(*) AS DOUBLE) AS cnt
                          FROM chars GROUP BY 1, 2, 3)
              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
