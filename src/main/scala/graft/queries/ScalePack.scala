@@ -701,6 +701,36 @@ object ScalePack extends Pack {
                TRUE
              ORDER BY snapshot_id""")),
 
+    // d21: salted JOIN for skewed keys — d02's companion for the join
+    // side. l_returnflag has 3 values, so a plain shuffle join lands
+    // each value's entire row stream on ONE reducer; salting the fact
+    // side 16 ways and EXPLODING the dim side over the same 16 salts
+    // spreads every hot key across 16 reducers. The dim replication
+    // factor is (tiny dim) × 16 — the standard trade. A plan-local
+    // MERGE hint forces the shuffle topology (a session conf toggle
+    // would be restored before the lazy plan executes); at 100 TB the
+    // dim that needs salting is too big to broadcast by hypothesis.
+    // AQE's skew split handles moderate skew; salting survives
+    // pathological single-key skew.
+    Decl("d21_salted_skew_join",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val fact = l.select($"l_returnflag", $"l_extendedprice")
+          .withColumn("salt", pmod(xxhash64($"l_extendedprice"), lit(16)))
+        val dim = l.select($"l_returnflag").distinct()
+          .withColumn("label", concat(lit("flag_"), $"l_returnflag"))
+          .withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+        fact.join(dim.hint("merge"), Seq("l_returnflag", "salt"))
+          .groupBy($"label")
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"l_extendedprice", 2).as("sum_price"))
+          .orderBy($"label")
+      },
+      Some("""SELECT concat('flag_', l_returnflag) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM lineitem GROUP BY 1 ORDER BY label""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -70,6 +70,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"running-sum window must partition by shard:\n$p")
   }
 
+  test("d21 salted join: shuffles on (key, salt), no broadcast, no cartesian") {
+    val p = plan("d21_salted_skew_join")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"salting demo must run the shuffle topology:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerated:\n$p")
+    assert(p.contains("salt"), s"salt missing from the executed plan:\n$p")
+  }
+
   test("minhash_sig and cosine_sim stay inside whole-stage codegen") {
     // AQE defers codegen subtrees to execution time (the explainer
     // sees only the un-finalized adaptive root) — plan without AQE for
