@@ -794,6 +794,37 @@ object IceLite {
     else readFiles(spark, ref, snap.files)
   }
 
+  /** d22: zero-copy SHALLOW CLONE (Delta CLONE / Iceberg
+    * snapshot-ref): create a new table whose first snapshot references
+    * the source's CURRENT data files by absolute path — no bytes
+    * move, at any source size. Clone and source then evolve
+    * independently (both copy-on-write; data files are immutable, so
+    * shared files are safe). The clone's expiry/GC never deletes
+    * shared files: orphan scans walk only the clone's own data/ dir,
+    * and absolute out-of-tree references are left alone by
+    * construction. Source expiry CAN reclaim files the clone still
+    * references — same caveat as Delta shallow clones; deep-copy on
+    * the clone's first compact() severs the dependency. */
+  def shallowClone(src: TableRef, dst: TableRef): Snapshot = {
+    val srcSnap = readManifest(src).current
+    require(srcSnap.partitionCols.isEmpty,
+      "shallowClone supports unpartitioned sources (partition discovery " +
+        "reads need the files under the clone's own basePath)")
+    val absFiles = srcSnap.files.map(f => src.dir.resolve(f).toString)
+    Files.createDirectories(dst.dataDir)
+    commitCAS(dst) { cur =>
+      require(cur.isEmpty, s"clone target ${dst.name} already exists")
+      val snap = Snapshot(1L, System.currentTimeMillis(), "clone",
+        absFiles, srcSnap.rowCount,
+        absFiles.zip(srcSnap.files).flatMap { case (abs, rel) =>
+          srcSnap.fileStats.get(rel).map(abs -> _) }.toMap,
+        srcSnap.partitionCols, srcSnap.sortedBy,
+        summary = Map("clone.source" -> src.dir.toString,
+          "clone.sourceSnapshot" -> srcSnap.id.toString))
+      Manifest(dst.name, 1L, Seq(snap))
+    }.current
+  }
+
   /** d20: the snapshot METADATA TABLE (Iceberg's `table$snapshots`) —
     * history as a queryable DataFrame. Manifests are driver-side
     * metadata (O(snapshots), not O(data)), so this is a

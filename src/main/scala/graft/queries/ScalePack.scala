@@ -731,6 +731,39 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              FROM lineitem GROUP BY 1 ORDER BY label""")),
 
+    // d22: zero-copy shallow clone (Delta CLONE / Iceberg
+    // snapshot-ref) — the dev/test-sandbox workflow: clone a
+    // petabyte table in O(metadata), append experiments to the clone,
+    // source untouched. The booleans pin zero-copy (the clone's data
+    // dir holds only its OWN append) and source isolation.
+    Decl("d22_shallow_clone",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d22").toString
+        val src = IngestJob.tableRef(wh, "orders_src")
+        val dst = IngestJob.tableRef(wh, "orders_dev")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val created = IceLite.createOrReplace(src, o.filter($"o_orderkey" < 2000))
+        IceLite.shallowClone(src, dst)
+        // count files physically under the clone BEFORE its own append
+        def ownFiles(r: graft.icelite.TableRef): Long =
+          IceLite.listDir(java.nio.file.Files.walk(r.dataDir))(_
+            .count(p => p.toString.endsWith(".parquet")))
+        val copied = ownFiles(dst)
+        IceLite.append(dst, o.filter($"o_orderkey" >= 2000 && $"o_orderkey" < 3000))
+        val srcRows = IceLite.read(s, src).count()
+        IceLite.read(s, dst)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("zero_copied", lit(copied == 0L))
+          .withColumn("source_isolated", lit(srcRows == created.rowCount))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS zero_copied, TRUE AS source_isolated
+             FROM orders WHERE o_orderkey < 3000""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

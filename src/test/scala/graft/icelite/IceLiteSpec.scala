@@ -236,4 +236,45 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
       == Seq(1, 2, 3, 4, 5, 6))
   }
+
+  test("concurrent branch staging: racing writers never lose a branch pointer") {
+    // the bug class behind NOTES rule 21: a commit path that rebuilds
+    // the manifest positionally erases other writers' branches
+    val wh = java.nio.file.Files.createTempDirectory("icelite_race").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq(0).toDF("k"))
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        IceLite.stageBranchAppend(ref, s"b$i", Seq(i * 100).toDF("k")); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val m = IceLite.readManifest(ref)
+    assert(m.branches.keySet == Set("b1", "b2", "b3", "b4"),
+      s"lost branch pointers under concurrency: ${m.branches.keySet}")
+    // every staged candidate is readable and holds base + its batch
+    (1 to 4).foreach { i =>
+      assert(IceLite.readBranch(spark, ref, s"b$i")
+        .as[Int].collect().sorted.toSeq == Seq(0, i * 100)) }
+  }
+
+  test("shallow clone: zero-copy, reads equal, clone append leaves source untouched") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_clone").toString
+    val src = TableRef(wh, "ns", "src")
+    val dst = TableRef(wh, "ns", "dev")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(src, Seq(1, 2, 3).toDF("k"))
+    IceLite.shallowClone(src, dst)
+    assert(IceLite.read(spark, dst).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // zero bytes under the clone's own data dir
+    assert(IceLite.listDir(java.nio.file.Files.walk(dst.dataDir))(_
+      .count(_.toString.endsWith(".parquet"))) == 0)
+    IceLite.append(dst, Seq(4).toDF("k"))
+    assert(IceLite.read(spark, dst).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(IceLite.read(spark, src).as[Int].collect().sorted.toSeq == Seq(1, 2, 3),
+      "clone append must not leak into the source")
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException](IceLite.shallowClone(src, dst))
+  }
 }
