@@ -794,6 +794,31 @@ object IceLite {
     else readFiles(spark, ref, snap.files)
   }
 
+  /** d23: INCREMENTAL SCAN (Iceberg's incremental read) — only the
+    * files ADDED after `fromSnapshotId`, up to the current snapshot.
+    * The downstream-consumer pattern: a job that ran at snapshot A
+    * reads just the delta on its next run instead of the whole table
+    * — O(delta), not O(table), at any scale. Append-only deltas only:
+    * a replace/rollback/clone in the range means file additions no
+    * longer equal row additions, and the caller must fall back to a
+    * full diff (we throw rather than silently double-read). */
+  def incrementalScan(spark: SparkSession, ref: TableRef,
+      fromSnapshotId: Long): DataFrame = {
+    val m = readManifest(ref)
+    val from = m.snapshots.find(_.id == fromSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId not found in ${ref.name} (expired?)"))
+    val between = m.snapshots
+      .filter(s => s.id > fromSnapshotId && s.id <= m.currentSnapshotId)
+    require(between.forall(s => s.operation == "append" ||
+        s.operation == "stage-append"),
+      s"incremental scan needs an append-only range, found " +
+        s"${between.map(_.operation).distinct.filterNot(_.contains("append"))}")
+    val newFiles = m.current.files.filterNot(from.files.toSet)
+    if (newFiles.isEmpty) read(spark, ref).limit(0)
+    else readFiles(spark, ref, newFiles)
+  }
+
   /** d22: zero-copy SHALLOW CLONE (Delta CLONE / Iceberg
     * snapshot-ref): create a new table whose first snapshot references
     * the source's CURRENT data files by absolute path — no bytes

@@ -764,6 +764,29 @@ object ScalePack extends Pack {
              TRUE AS zero_copied, TRUE AS source_isolated
              FROM orders WHERE o_orderkey < 3000""")),
 
+    // d23: incremental scan (Iceberg incremental read) — the
+    // downstream-consumer pattern: a job that last ran at snapshot A
+    // reads ONLY the files appended since, O(delta) not O(table).
+    // Two appends land after the checkpoint; the scan returns exactly
+    // their rows, never re-reading the base load.
+    Decl("d23_incremental_scan",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d23").toString
+        val ref = IngestJob.tableRef(wh, "orders_inc")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val checkpoint = IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 2000 && $"o_orderkey" < 3000))
+        IceLite.incrementalScan(s, ref, checkpoint.id)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -277,4 +277,21 @@ class IceLiteSpec extends AnyFunSuite {
     // cloning onto an existing table refuses
     intercept[IllegalArgumentException](IceLite.shallowClone(src, dst))
   }
+
+  test("incremental scan reads only the appended delta; refuses non-append ranges") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_inc").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    val cp = IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
+    IceLite.append(ref, Seq(3).toDF("k"))
+    IceLite.append(ref, Seq(4).toDF("k"))
+    assert(IceLite.incrementalScan(spark, ref, cp.id)
+      .as[Int].collect().sorted.toSeq == Seq(3, 4))
+    // from == current → empty delta, schema preserved
+    val cur = IceLite.readManifest(ref).currentSnapshotId
+    assert(IceLite.incrementalScan(spark, ref, cur).count() == 0)
+    // a replace inside the range breaks append-only: refuse loudly
+    IceLite.createOrReplace(ref, Seq(9).toDF("k"))
+    intercept[IllegalArgumentException](IceLite.incrementalScan(spark, ref, cp.id))
+  }
 }
