@@ -787,6 +787,32 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
              FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000""")),
 
+    // d24: AS-OF JOIN as a CUSTOM CATALYST OPERATOR — the full
+    // extension ladder rung (c): logical node → planner strategy →
+    // physical merge exec (graft.plans.AsOfJoin), same semantics and
+    // oracle as b19's union+window formulation. EnsureRequirements
+    // plans the user_id co-clustering and (user, ts, event_id) sorts
+    // from the exec's declared requirements; the join itself is one
+    // streaming merge pass with O(1) state (the last source seen) —
+    // no window frame materialization.
+    Decl("d24_asof_custom_plan",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val tgt = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val src = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts", $"event_id",
+            $"value".cast("double").as("src_val"))
+        graft.plans.AsOfJoin(s, tgt, src)
+          .select($"event_id", $"user_id", $"asof_val")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT t.event_id, t.user_id, s.value AS asof_val
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') s
+               ON t.user_id = s.user_id AND t.ts >= s.ts
+             ORDER BY t.event_id""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across
