@@ -813,6 +813,31 @@ object ScalePack extends Pack {
                ON t.user_id = s.user_id AND t.ts >= s.ts
              ORDER BY t.event_id""")),
 
+    // d25: the DataSource V2 CONNECTOR (graft.sources.IceLiteSource)
+    // — IceLite tables readable through Spark's own source protocol:
+    // manifest resolution + min/max file pruning happen at the
+    // connector boundary (SupportsPushDownFilters), column pruning
+    // reaches the parquet read schema, and a plain `.filter` on the
+    // DataFrame is all a user writes. Pushed filters stay residual,
+    // so pruning can only skip whole files, never rows.
+    Decl("d25_dsv2_connector",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d25").toString
+        val ref = IngestJob.tableRef(wh, "orders_v2")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        s.read.format("graft.sources.IceLiteSource").load(ref.dir.toString)
+          .filter($"o_orderkey" >= 1000 && $"o_orderkey" < 3000)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

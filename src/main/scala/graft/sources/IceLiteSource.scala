@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.icelite.{IceLite, TableRef}
+
+/** DataSource V2 connector for IceLite tables — the `sources/` rung
+  * of the architecture: `spark.read.format("graft.sources.
+  * IceLiteSource").load(<warehouse>/<ns>/<table>)`. The connector
+  * resolves the CURRENT snapshot's file list from the manifest and
+  * applies min/max stats pruning AT THE CONNECTOR BOUNDARY
+  * (SupportsPushDownFilters): files whose range cannot match the
+  * pushed predicates are never planned as input partitions — the
+  * same skipping `IceLite.readPruned` does imperatively, surfaced
+  * through Spark's own pushdown protocol so `.filter(...)` on the
+  * DataFrame is all a user writes. Pushed filters stay residual
+  * (Spark re-evaluates them row-level), so pruning is never a
+  * correctness risk. Column pruning (SupportsPushDownRequiredColumns)
+  * reaches the parquet read schema.
+  *
+  * The row-level reader is a simple record-materializing
+  * Group-to-InternalRow decoder over the projected columns — primitive
+  * types only (long/int/double/boolean/string/timestamp-micros),
+  * which covers every IceLite fixture table. At 100 TB the read path
+  * would swap in the vectorized parquet reader behind the same Scan;
+  * the connector surface (manifest resolution, pruning, projection)
+  * is the part this source demonstrates for real.
+  */
+class IceLiteSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def refOf(path: String): TableRef = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    require(p.getNameCount >= 3, s"expected <warehouse>/<ns>/<table>, got $path")
+    TableRef(p.getParent.getParent.toString,
+      p.getParent.getFileName.toString, p.getFileName.toString)
+  }
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "icelite source needs a path (the table directory)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ref = refOf(pathOf(options))
+    val snap = IceLite.readManifest(ref).current
+    require(snap.files.nonEmpty, s"${ref.name} has no data files")
+    val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
+    try {
+      val msg = r.getFooter.getFileMetaData.getSchema
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter().convert(msg)
+    } finally r.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new IceLiteTable(refOf(properties.get("path")), schema)
+}
+
+object IceLiteSource {
+  /** Spec observability: the file list the most recent scan planned. */
+  @volatile var lastPlannedFiles: Seq[String] = Nil
+}
+
+class IceLiteTable(ref: TableRef, schema: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"icelite.${ref.namespace}.${ref.name}"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IceLiteScanBuilder(ref, schema)
+}
+
+class IceLiteScanBuilder(ref: TableRef, schema: StructType)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var accepted: Array[Filter] = Array.empty
+  private var bounds: Map[String, (Double, Double)] = Map.empty
+
+  private def num(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  /** Accept numeric range predicates for manifest pruning; EVERYTHING
+    * stays residual (we return the full array), so accepted filters
+    * only ever skip whole files, never rows. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def tighten(col: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = bounds.getOrElse(col,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      bounds += col -> (math.max(l0, lo), math.min(h0, hi))
+    }
+    accepted = filters.filter {
+      case GreaterThan(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
+      case GreaterThanOrEqual(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
+      case LessThan(c, v) => num(v).exists { d => tighten(c, Double.NegativeInfinity, d); true }
+      case LessThanOrEqual(c, v) => num(v).exists { d => tighten(c, Double.NegativeInfinity, d); true }
+      case EqualTo(c, v) => num(v).exists { d => tighten(c, d, d); true }
+      case _ => false
+    }
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new IceLiteScan(ref, required, bounds)
+}
+
+class IceLiteScan(ref: TableRef, required: StructType,
+    bounds: Map[String, (Double, Double)]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files =
+      if (bounds.isEmpty) IceLite.readManifest(ref).current.files
+      else IceLite.prunedFilesMulti(ref,
+        bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
+    IceLiteSource.lastPlannedFiles = files
+    files.map(f => IceLiteInputPartition(
+      ref.dir.resolve(f).toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IceLiteReaderFactory(required.fields.map(f => (f.name, f.dataType)))
+}
+
+case class IceLiteInputPartition(file: String) extends InputPartition
+
+class IceLiteReaderFactory(fields: Array[(String, DataType)])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[IceLiteInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val conf = new Configuration()
+      // project the read schema down to the required columns so the
+      // parquet reader materializes only those pages
+      locally {
+        val fr = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(file), conf))
+        val full = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+        val want = fields.map(_._1).toSet
+        val projected = new org.apache.parquet.schema.MessageType(full.getName,
+          full.getFields.asScala.filter(f => want(f.getName)).asJava)
+        conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+      }
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder(new GroupReadSupport(), new HPath(file))
+          .withConf(conf).build()
+      private var cur: Group = _
+      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(fields.length)
+        var i = 0
+        while (i < fields.length) {
+          val (name, dt) = fields(i)
+          if (cur.getFieldRepetitionCount(name) == 0) row.setNullAt(i)
+          else dt match {
+            case LongType => row.update(i, cur.getLong(name, 0))
+            case IntegerType => row.update(i, cur.getInteger(name, 0))
+            case DoubleType => row.update(i, cur.getDouble(name, 0))
+            case BooleanType => row.update(i, cur.getBoolean(name, 0))
+            case StringType =>
+              row.update(i, UTF8String.fromString(cur.getString(name, 0)))
+            case TimestampType => // parquet INT64 micros
+              row.update(i, cur.getLong(name, 0))
+            case other => throw new UnsupportedOperationException(
+              s"icelite source reads primitive columns only, got $other for $name")
+          }
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}

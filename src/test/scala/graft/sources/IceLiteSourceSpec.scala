@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.icelite.{IceLite, TableRef}
+
+class IceLiteSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.IceLiteSource"
+
+  test("round-trips longs, doubles, strings and nulls through the connector") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_wh").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq(
+      (1L, 1.5, "a"), (2L, -2.0, null.asInstanceOf[String]), (3L, 0.0, "c"))
+      .toDF("k", "v", "s"))
+    val got = spark.read.format(Fmt).load(ref.dir.toString)
+      .as[(Long, Double, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 1.5, Some("a")), (2L, -2.0, None), (3L, 0.0, Some("c"))))
+  }
+
+  test("filter pushdown prunes files at the connector; residual keeps rows exact") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_pr").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    // 8 sorted files with tight ranges over k — a range filter must
+    // plan only the overlapping subset
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 8000L).map(k => (k, k * 2)).toDF("k", "v"),
+      "k", numFiles = 8, statsCols = Seq("k"))
+    val df = spark.read.format(Fmt).load(ref.dir.toString)
+      .filter($"k" >= 1000L && $"k" < 2000L)
+    val rows = df.as[(Long, Long)].collect()
+    assert(rows.length == 1000 && rows.forall(r => r._1 >= 1000 && r._1 < 2000))
+    val planned = IceLiteSource.lastPlannedFiles.size
+    val total = IceLite.readManifest(ref).current.files.size
+    assert(total == 8 && planned < total,
+      s"pushdown must prune files: planned $planned of $total")
+  }
+
+  test("column pruning reaches the parquet read schema (projection works)") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_cp").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq((1L, 10.0, "x"), (2L, 20.0, "y"))
+      .toDF("k", "v", "s"))
+    val got = spark.read.format(Fmt).load(ref.dir.toString)
+      .select($"s", $"k").as[(String, Long)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq(("x", 1L), ("y", 2L)))
+  }
+
+  test("connector read equals IceLite.read on a fixture-backed table") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_fx").toString
+    val ref = TableRef(wh, "ns", "orders")
+    IceLite.createNamespace(wh, "ns")
+    val o = graft.Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    IceLite.createOrReplace(ref, o)
+    val a = spark.read.format(Fmt).load(ref.dir.toString)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val b = IceLite.read(spark, ref)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(a == b && a.nonEmpty)
+  }
+}
