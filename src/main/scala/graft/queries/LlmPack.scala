@@ -770,6 +770,42 @@ object LlmPack extends Pack {
                   eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
              FROM g JOIN eg USING (gram) WHERE doc_id % 17 <> 0
-             GROUP BY doc_id ORDER BY doc_id"""))
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // c20: domain mixture weights — the training-mixture planning step
+    // (DoReMi/temperature-sampling role): per source, token mass and
+    // the temperature-reweighted sampling weight p_i ∝ tokens_i^alpha
+    // (alpha=0.7 flattens the head domains, upweights the tail), plus
+    // the implied epochs-over-source at a one-epoch total token
+    // budget: epochs_i = p_i · total_tokens / tokens_i. One global
+    // aggregation over source — the per-source stats are
+    // corpus-size-independent (sources are few at ANY scale), so the
+    // normalizing sum is a 1-row broadcast, never a shuffle of data.
+    // pow() values are irrational → round-4 is engine-safe (NOTES 3).
+    Decl("c20_mixture_weights",
+      (s, dir) => {
+        val bySource = docs(s, dir)
+          .groupBy($"source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(size(split($"text", " "))).cast("long").as("n_tokens"))
+        val norm = bySource.agg(
+          sum(pow($"n_tokens", lit(0.7))).as("z"),
+          sum($"n_tokens").cast("double").as("total_tokens"))
+        bySource.crossJoin(broadcast(norm))
+          .select($"source", $"n_docs", $"n_tokens",
+            round(pow($"n_tokens", lit(0.7)) / $"z", 4).as("weight"),
+            round(pow($"n_tokens", lit(0.7)) / $"z" * $"total_tokens"
+              / $"n_tokens", 4).as("epochs"))
+          .orderBy($"source")
+      },
+      Some("""WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                  FROM documents GROUP BY source),
+                  n AS (SELECT SUM(pow(n_tokens, 0.7)) AS z,
+                    CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens FROM s)
+             SELECT source, n_docs, n_tokens,
+               ROUND(pow(n_tokens, 0.7) / z, 4) AS weight,
+               ROUND(pow(n_tokens, 0.7) / z * total_tokens / n_tokens, 4) AS epochs
+             FROM s CROSS JOIN n ORDER BY source"""))
   )
 }

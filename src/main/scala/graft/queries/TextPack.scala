@@ -259,6 +259,44 @@ object TextPack extends Pack {
     // entropy fold per doc — both map-side-combining shuffles on
     // small keys; the text itself is never shuffled. ln() values are
     // irrational → round-4 is engine-safe (NOTES rule 3).
+    // t09: repetition-ratio quality signal — the Gopher repetition
+    // rules (duplicate n-gram mass): per doc, the fraction of token
+    // bigrams that are repeats of an earlier bigram and the mass of
+    // the single most frequent bigram; high values = boilerplate /
+    // looped generation a repetition filter drops. Two aggregations on
+    // (doc, bigram) keys — both map-side-combining, the text itself
+    // never shuffles; linear per doc. Ratios of exact integers stay
+    // engine-identical at round 4.
+    Decl("t09_repetition_ratio",
+      (s, dir) => {
+        val bi = docs(s, dir).filter($"doc_id" < 200)
+          .select($"doc_id", split($"text", " ").as("t"))
+          .filter(size($"t") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+          .select($"doc_id", $"b.w1", $"b.w2")
+        bi.groupBy($"doc_id", $"w1", $"w2")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy($"doc_id")
+          .agg(
+            sum($"cnt").cast("long").as("n_bigrams"),
+            round(lit(1.0) - count(lit(1)) / sum($"cnt"), 4)
+              .as("dup_bigram_frac"),
+            round(max($"cnt") / sum($"cnt"), 4).as("top_bigram_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                         FROM documents
+                         WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 2),
+                  bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                         FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+                  bc AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt
+                         FROM bi GROUP BY 1, 2, 3)
+             SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               ROUND(1.0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS dup_bigram_frac,
+               ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_bigram_frac
+             FROM bc GROUP BY doc_id ORDER BY doc_id""")),
+
     Decl("t08_char_entropy",
       (s, dir) => {
         val chars = docs(s, dir).filter(length($"text") > 0)
