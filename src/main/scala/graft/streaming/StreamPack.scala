@@ -688,6 +688,49 @@ object StreamPack extends Pack {
               FROM documents
               WHERE len(string_split(text, ' ')) >= 40) AS accept_tokens,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
-              WHERE len(string_split(text, ' ')) < 40) AS n_reject"""))
+              WHERE len(string_split(text, ' ')) < 40) AS n_reject""")),
+
+    // s13 (builder extension): streaming READ of an IceLite table —
+    // the table itself as a stream source (Delta/Iceberg streaming-
+    // read role; the `readStream` face of d25's DSv2 connector).
+    // Offsets are snapshot ids held in the checkpoint; each trigger
+    // consumes ONE snapshot's file delta (snapshotsPerTrigger=1), so
+    // the 3-snapshot feed drains as 3 micro-batches of O(delta) reads
+    // — never a rescan of the table. Non-append changes inside a
+    // consumed range fail loudly (IceLiteStreamSourceSpec pins
+    // restart-resume, new-snapshot discovery, and the compaction
+    // guard). The drained content equals the batch read — that
+    // batch/stream equivalence is what the oracle checks.
+    Decl("s13_stream_icelite_source",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_s13_wh").toString
+        val ref = TableRef(wh, "src", "lineitem_feed")
+        IceLite.createNamespace(wh, "src")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        IceLite.createOrReplace(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 0))
+        IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 1))
+        IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 2))
+        val q = s.readStream.format("graft.sources.IceLiteSource")
+          .option("snapshotsPerTrigger", 1)
+          .load(ref.dir.toString)
+          .writeStream.format("memory").queryName("s13_sink")
+          .outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s13").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import graft.queries.syntax.dsum
+        s.table("s13_sink")
+          .agg(count(lit(1)).cast("long").as("n"),
+            countDistinct(col("l_orderkey")).cast("long").as("n_orders"),
+            dsum(col("l_extendedprice"), 2).as("sum_price"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM lineitem"""))
   )
 }
