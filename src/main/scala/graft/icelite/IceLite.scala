@@ -218,6 +218,64 @@ object IceLite {
       }.toMap
     }
 
+  /** Per-file min/max for numeric columns read from the parquet
+    * FOOTERS, driver-side — no Spark job. This is how Iceberg derives
+    * manifest stats on write: the row-group statistics are
+    * authoritative for freshly written files. Used by the DSv2 write
+    * path (d26), whose files are produced by external writers, so a
+    * collectStats scan would be a second pass over just-written data.
+    * Columns without usable stats record nothing (pruning then keeps
+    * the file conservatively). */
+  private def footerStats(ref: TableRef, files: Seq[String]): Map[String, Seq[ColStats]] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val perCol: Map[String, Seq[(Double, Double)]] =
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala).flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (lo: java.lang.Number, hi: java.lang.Number) =>
+                Some(c.getPath.toDotString -> (lo.doubleValue(), hi.doubleValue()))
+              case _ => None
+            }
+          }.toSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        } finally r.close()
+      f -> perCol.map { case (col, ranges) =>
+        ColStats(col, ranges.map(_._1).min, ranges.map(_._2).max)
+      }.toSeq.sortBy(_.col)
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** d26: commit files an EXTERNAL writer (the DSv2 BatchWrite) has
+    * already staged under data/<token>/ — one CAS snapshot, append or
+    * (`truncate`) replace; create on first commit. Stats come from
+    * the parquet footers (no second read pass). */
+  private[graft] def commitStaged(ref: TableRef, files: Seq[String],
+      truncate: Boolean): Snapshot = {
+    val rows = countRowsFromFooters(ref, files)
+    val stats = footerStats(ref, files)
+    commitCAS(ref) { cur =>
+      val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
+      val now = System.currentTimeMillis()
+      cur match {
+        case None =>
+          Manifest(ref.name, id, Seq(Snapshot(id, now, "create", files, rows, stats)))
+        case Some(m) if truncate =>
+          m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
+            Snapshot(id, now, "replace", files, rows, stats))
+        case Some(m) =>
+          m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
+            Snapshot(id, now, "append", m.current.files ++ files,
+              m.current.rowCount + rows, m.current.fileStats ++ stats))
+      }
+    }.current
+  }
+
   /** a10: atomic full refresh — new snapshot referencing only the new
     * files (extract_load.py:94-98 createOrReplace). `statsCols`
     * captures per-file min/max for manifest-level pruning. */

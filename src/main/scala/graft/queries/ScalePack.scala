@@ -838,6 +838,44 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
              FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000""")),
 
+    // d26: the WRITE side of the connector — `df.write.format(...)
+    // .mode("append"|"overwrite").save(tableDir)` plans Spark's own
+    // AppendData / OverwriteByExpression(true) against the table:
+    // executors stage one parquet file per non-empty partition, the
+    // driver commit turns the staged set into ONE CAS snapshot
+    // (append, or truncate+replace), with per-file min/max pruning
+    // stats derived from the parquet FOOTERS — no second scan of
+    // just-written data. Table creation stays with the table layer
+    // (the catalog's role, as with Iceberg's path-based writes).
+    // Verified end-to-end: connector-append + connector-overwrite,
+    // read back through the connector, snapshot history asserted.
+    Decl("d26_dsv2_write",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d26").toString
+        val ref = IngestJob.tableRef(wh, "orders_sink")
+        IceLite.createNamespace(wh, "src")
+        val fmt = "graft.sources.IceLiteSource"
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        o.filter($"o_orderkey" >= 1000)
+          .write.format(fmt).mode("append").save(ref.dir.toString)
+        o.filter($"o_custkey" < 50)
+          .repartitionByRange(4, $"o_orderkey")
+          .sortWithinPartitions($"o_orderkey")
+          .write.format(fmt).mode("overwrite").save(ref.dir.toString)
+        val ops = IceLite.readManifest(ref).snapshots.map(_.operation)
+          .mkString(",")
+        s.read.format(fmt).load(ref.dir.toString)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("ops", lit(ops))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             'create,append,replace' AS ops
+             FROM orders WHERE o_custkey < 50""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -11,10 +11,11 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.example.data.Group
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,14 +84,148 @@ object IceLiteSource {
 }
 
 class IceLiteTable(ref: TableRef, schema: StructType)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"icelite.${ref.namespace}.${ref.name}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(ref, schema,
       options.getInt("snapshotsPerTrigger", Int.MaxValue))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new IceLiteWriteBuilder(ref, info)
+}
+
+/** Write side of the connector (d26): `df.write.format(...)
+  * .mode("append"|"overwrite").save(<table dir>)`. Append plans
+  * `AppendData`; overwrite requires TRUNCATE and replaces the table
+  * in the same snapshot that adds the new files. The target table
+  * must exist (path-based V2 providers have no catalog to register a
+  * creation in — IceLite.createOrReplace is the create path, as the
+  * REST catalog is for Iceberg). */
+class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new IceLiteBatchWrite(ref, info.schema(), replace)
+    override def description(): String =
+      s"IceLiteWrite ${ref.name} ${if (replace) "replace" else "append"}"
+  }
+}
+
+case class IceLiteCommitMessage(fileName: String) extends WriterCommitMessage
+
+/** Executors stage one parquet file per non-empty input partition
+  * under data/<token>/ (the same staging layout IceLite's own writers
+  * use — pre-commit files are invisible to readers and reclaimable by
+  * orphan GC if the job dies); the driver's commit() turns the staged
+  * set into ONE CAS manifest snapshot, so concurrent appends rebase
+  * rather than clobber and a reader never sees a partial write. File
+  * stats come from the parquet footers at commit (no second scan). */
+class IceLiteBatchWrite(ref: TableRef, schema: StructType, replace: Boolean)
+  extends BatchWrite {
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
+    new IceLiteWriterFactory(ref.dataDir.resolve(token).toString,
+      schema.fields.map(f => (f.name, f.dataType)))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case IceLiteCommitMessage(name) if name != null => s"data/$token/$name"
+    }.toSeq.sorted
+    if (files.nonEmpty || replace) IceLite.commitStaged(ref, files, replace)
+    else ()  // empty append: no snapshot (nothing changed)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = ref.dataDir.resolve(token)
+    if (java.nio.file.Files.exists(dir)) {
+      IceLite.listDir(java.nio.file.Files.list(dir))(_.toSeq)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+}
+
+class IceLiteWriterFactory(dir: String, fields: Array[(String, DataType)])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new IceLiteDataWriter(dir, f"part-$partitionId%05d-$taskId.parquet", fields)
+}
+
+/** Group-materializing parquet writer over the projected primitive
+  * types — the mirror of the read path's decoder. Empty partitions
+  * commit no file (their would-be part file is deleted), so small
+  * upstream fan-out never litters the table with 0-row files. */
+class IceLiteDataWriter(dir: String, name: String,
+    fields: Array[(String, DataType)]) extends DataWriter[InternalRow] {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private val msgType: org.apache.parquet.schema.MessageType = {
+    val b = Types.buildMessage()
+    fields.foreach { case (n, dt) =>
+      dt match {
+        case LongType    => b.optional(INT64).named(n)
+        case IntegerType => b.optional(INT32).named(n)
+        case DoubleType  => b.optional(DOUBLE).named(n)
+        case BooleanType => b.optional(BOOLEAN).named(n)
+        case StringType  =>
+          b.optional(BINARY).as(LogicalTypeAnnotation.stringType()).named(n)
+        case TimestampType => // micros, matching Spark's internal repr
+          b.optional(INT64).as(LogicalTypeAnnotation.timestampType(
+            true, LogicalTypeAnnotation.TimeUnit.MICROS)).named(n)
+        case other => throw new UnsupportedOperationException(
+          s"icelite sink writes primitive columns only, got $other for $n")
+      }
+    }
+    b.named("spark_schema")
+  }
+
+  private val file = new java.io.File(dir, name)
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+  private val writer =
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new HPath(file.toString)).withType(msgType).build()
+  private var rows = 0L
+  private var closed = false
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < fields.length) {
+      val (n, dt) = fields(i)
+      if (!row.isNullAt(i)) dt match {
+        case LongType      => g.append(n, row.getLong(i))
+        case IntegerType   => g.append(n, row.getInt(i))
+        case DoubleType    => g.append(n, row.getDouble(i))
+        case BooleanType   => g.append(n, row.getBoolean(i))
+        case StringType    => g.append(n, row.getUTF8String(i).toString)
+        case TimestampType => g.append(n, row.getLong(i))
+        case other => throw new UnsupportedOperationException(s"$other")
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  private def closeOnce(): Unit = if (!closed) { closed = true; writer.close() }
+
+  override def commit(): WriterCommitMessage = {
+    closeOnce()
+    if (rows == 0L) { file.delete(); IceLiteCommitMessage(null) }
+    else IceLiteCommitMessage(name)
+  }
+  override def abort(): Unit = { closeOnce(); file.delete(); () }
+  override def close(): Unit = closeOnce()
 }
 
 class IceLiteScanBuilder(ref: TableRef, schema: StructType,

@@ -66,4 +66,74 @@ class IceLiteSourceSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(a == b && a.nonEmpty)
   }
+
+  // ---- write side (d26) ----
+
+  test("connector append commits one snapshot; rows and nulls round-trip") {
+    val wh = java.nio.file.Files.createTempDirectory("v2snk_ap").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq((1L, Some(1.5), Some("a")))
+      .toDF("k", "v", "s"))
+    Seq((2L, None: Option[Double], None: Option[String]), (3L, Some(3.5), Some("c")))
+      .toDF("k", "v", "s")
+      .write.format(Fmt).mode("append").save(ref.dir.toString)
+    val m = IceLite.readManifest(ref)
+    assert(m.snapshots.map(_.operation) == Seq("create", "append"))
+    assert(m.current.rowCount == 3)
+    val got = IceLite.read(spark, ref)
+      .as[(Long, Option[Double], Option[String])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, Some(1.5), Some("a")), (2L, None, None),
+      (3L, Some(3.5), Some("c"))))
+  }
+
+  test("connector overwrite truncates: replace snapshot, only new rows remain") {
+    val wh = java.nio.file.Files.createTempDirectory("v2snk_ow").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, (0L until 100L).map(k => (k, "old")).toDF("k", "s"))
+    Seq((7L, "new")).toDF("k", "s")
+      .write.format(Fmt).mode("overwrite").save(ref.dir.toString)
+    val m = IceLite.readManifest(ref)
+    assert(m.snapshots.map(_.operation) == Seq("create", "replace"))
+    val got = IceLite.read(spark, ref).as[(Long, String)].collect().toSeq
+    assert(got == Seq((7L, "new")))
+    // the old files stay time-travelable until expiry
+    assert(IceLite.readAt(spark, ref, m.snapshots.head.id).count() == 100)
+  }
+
+  test("footer-derived stats make connector-written files prunable on read") {
+    val wh = java.nio.file.Files.createTempDirectory("v2snk_st").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq((-1L, 0L)).toDF("k", "v"))
+    // 8 range-partitioned sorted partitions → 8 files with tight,
+    // footer-recorded k ranges
+    (0L until 8000L).map(k => (k, k * 2)).toDF("k", "v")
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+      .write.format(Fmt).mode("overwrite").save(ref.dir.toString)
+    val df = spark.read.format(Fmt).load(ref.dir.toString)
+      .filter($"k" >= 1000L && $"k" < 2000L)
+    val rows = df.as[(Long, Long)].collect()
+    assert(rows.length == 1000 && rows.forall(r => r._1 >= 1000 && r._1 < 2000))
+    val planned = IceLiteSource.lastPlannedFiles.size
+    val total = IceLite.readManifest(ref).current.files.size
+    assert(total == 8 && planned < total,
+      s"footer stats must prune connector-written files: planned $planned of $total")
+  }
+
+  test("empty input partitions stage no files") {
+    val wh = java.nio.file.Files.createTempDirectory("v2snk_mt").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
+    // 8 partitions, 2 rows → ≥6 empty writers; none may leave a file
+    Seq((2L, "b"), (3L, "c")).toDF("k", "s").repartition(8)
+      .write.format(Fmt).mode("append").save(ref.dir.toString)
+    val m = IceLite.readManifest(ref)
+    assert(m.current.rowCount == 3)
+    val newFiles = m.current.files.filterNot(m.snapshots.head.files.toSet)
+    assert(newFiles.nonEmpty && newFiles.size <= 2,
+      s"only non-empty partitions may stage files, got $newFiles")
+  }
 }
