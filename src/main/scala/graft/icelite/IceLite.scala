@@ -923,6 +923,33 @@ object IceLite {
       .toDF("snapshot_id", "operation", "n_rows", "n_files", "is_current")
   }
 
+  /** d27: the file METADATA TABLE (Iceberg's `table$files`) — the
+    * CURRENT snapshot's data files as a queryable DataFrame: path,
+    * size, exact row count (parquet footer, the authority Iceberg
+    * itself records), partition values parsed from the Hive layout,
+    * and the per-column min/max the manifest tracks. Everything is
+    * driver-side metadata + footer reads — O(files), the data pages
+    * are never touched; this is the table a maintenance decision
+    * (compact? rebalance? expire?) reads FIRST at 100 TB, so small-
+    * file pressure and partition skew are one GROUP BY away, not a
+    * full scan. */
+  def filesDf(spark: SparkSession, ref: TableRef): DataFrame = {
+    import spark.implicits._
+    val snap = readManifest(ref).current
+    snap.files.map { f =>
+      val p = ref.dir.resolve(f)
+      val partition = f.split('/').dropRight(1).filter(_.contains('='))
+        .map { seg =>
+          val c = seg.takeWhile(_ != '=')
+          c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+        }.toMap
+      val cs = snap.fileStats.getOrElse(f, Nil)
+      (f, Files.size(p), countRowsFromFooters(ref, Seq(f)), partition,
+        cs.map(c => c.col -> c.min).toMap, cs.map(c => c.col -> c.max).toMap)
+    }.toDF("file", "size_bytes", "row_count", "partition",
+      "stats_min", "stats_max")
+  }
+
   /** Orphan-file GC (Iceberg's remove_orphan_files role): delete data
     * files referenced by NO snapshot in the manifest — the residue of
     * writers that crashed between staging and their CAS claim, which

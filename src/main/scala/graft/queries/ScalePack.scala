@@ -876,6 +876,40 @@ object ScalePack extends Pack {
              'create,append,replace' AS ops
              FROM orders WHERE o_custkey < 50""")),
 
+    // d27: the file METADATA TABLE (Iceberg `table$files`) — per-file
+    // path/size/row-count/partition/stats as a DataFrame, from the
+    // manifest + parquet footers only (O(files) driver metadata; data
+    // pages never touched). The query partitions orders by status
+    // (one file per value per commit — d05's layout guarantee), then
+    // answers "rows and files per partition" FROM METADATA ALONE;
+    // the oracle recomputes the same numbers from the data, proving
+    // the metadata table tells the truth. At 100 TB this is the table
+    // compaction/skew decisions read instead of scanning anything.
+    Decl("d27_files_metadata",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d27").toString
+        val ref = IngestJob.tableRef(wh, "orders_parts")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        IceLite.createOrReplacePartitioned(ref, o, "o_orderstatus",
+          statsCols = Seq("o_orderkey"))
+        IceLite.filesDf(s, ref)
+          .groupBy($"partition"("o_orderstatus").as("status"))
+          .agg(count(lit(1)).cast("long").as("n_files"),
+            sum($"row_count").cast("long").as("n_rows"),
+            // manifest stats cover the whole key range per partition
+            min($"stats_min"("o_orderkey")).cast("long").as("min_key"),
+            max($"stats_max"("o_orderkey")).cast("long").as("max_key"))
+          .orderBy($"status")
+      },
+      Some("""SELECT o_orderstatus AS status,
+             CAST(1 AS BIGINT) AS n_files,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+             CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+             FROM orders GROUP BY o_orderstatus ORDER BY status""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -294,4 +294,26 @@ class IceLiteSpec extends AnyFunSuite {
     IceLite.createOrReplace(ref, Seq(9).toDF("k"))
     intercept[IllegalArgumentException](IceLite.incrementalScan(spark, ref, cp.id))
   }
+
+  test("filesDf reports per-file rows, partition values and stats from metadata") {
+    val ref = freshRef()
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "a"), (2L, "a"), (9L, "b")).toDF("k", "p"),
+      "p", statsCols = Seq("k"))
+    val files = IceLite.filesDf(spark, ref)
+      .select($"partition"("p"), $"row_count",
+        $"stats_min"("k"), $"stats_max"("k"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(files == Seq(("a", 2L, 1.0, 2.0), ("b", 1L, 9.0, 9.0)))
+    // unpartitioned tables: empty partition map, still per-file rows
+    val ref2 = freshRef()
+    IceLite.createOrReplace(ref2, Seq(1, 2, 3).toDF("k"))
+    val total = IceLite.filesDf(spark, ref2)
+      .agg(org.apache.spark.sql.functions.sum($"row_count"))
+      .as[Long].head()
+    assert(total == 3)
+    assert(IceLite.filesDf(spark, ref2)
+      .select(org.apache.spark.sql.functions.size($"partition"))
+      .as[Int].collect().forall(_ == 0))
+  }
 }
