@@ -87,6 +87,27 @@ object BloomIndex {
     sc
   }
 
+  /** Rebuild EVERY existing sidecar of `ref` against the CURRENT
+    * snapshot — the post-rewrite maintenance hook (compaction and
+    * MERGE call this automatically): a rewrite replaces the files the
+    * index was built over, leaving the sidecar stale — correct but
+    * useless (unindexed files are conservatively kept, so point
+    * lookups stop pruning). Tables with no sidecar pay nothing; each
+    * existing key costs one metadata-sized build job over the new
+    * files. Returns the rebuilt keys. */
+  def refreshAll(spark: SparkSession, ref: TableRef): Seq[String] = {
+    if (!Files.exists(ref.dir)) return Nil
+    val sidecars = IceLite.listDir(Files.list(ref.dir))(_
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("bloom.") && n.endsWith(".json") && !n.startsWith(".")
+      }.toSeq)
+    sidecars.map { p =>
+      val sc = Serialization.read[BloomSidecar](Files.readString(p))
+      build(spark, ref, sc.key, sc.bits, sc.hashes).key
+    }
+  }
+
   def readSidecar(ref: TableRef, key: String): Option[BloomSidecar] = {
     val p = sidecarPath(ref, key)
     if (!Files.exists(p)) None

@@ -421,8 +421,12 @@ object IceLite {
           val snap = Snapshot(id, System.currentTimeMillis(), "replace",
             files, rows, stats)
           if (tryCommit(baseVersion + 1,
-              base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files))
+              base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
+            // MERGE rewrites the table → refresh any Bloom sidecar
+            // (no-op without one), same as compact()
+            BloomIndex.refreshAll(spark, ref)
             return snap
+          }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -521,8 +525,13 @@ object IceLite {
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
         files, rows, stats, cur.partitionCols, cur.sortedBy)
       if (tryCommit(baseVersion + 1,
-          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files))
+          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
+        // rewrites orphan any Bloom sidecar (d17): its entries key the
+        // replaced files, so lookups stop pruning until rebuilt.
+        // No-op for tables without sidecars.
+        BloomIndex.refreshAll(spark, ref)
         return snap
+      }
     }
     throw new IllegalStateException("unreachable")
   }

@@ -82,6 +82,40 @@ class ScalePackSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq == Seq((777777L, 42L)))
   }
 
+  test("d17+d07: compaction and MERGE auto-rebuild the bloom sidecar") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.icelite.{BloomIndex, IceLite, IngestJob}
+    val wh = java.nio.file.Files.createTempDirectory("bloom_cmp_wh").toString
+    val ref = IngestJob.tableRef(wh, "kv")
+    IceLite.createNamespace(wh, "src")
+    IceLite.createOrReplace(ref,
+      (0L until 4000L).map(k => (k, k * 10)).toDF("k", "v").repartition(4, col("k")))
+    BloomIndex.build(spark, ref, "k")
+    // compaction rewrites every file — the sidecar must follow the
+    // rewrite: rebuilt against the NEW snapshot, pruning restored
+    IceLite.compact(spark, ref, targetFiles = 4)
+    val snapAfterCompact = IceLite.readManifest(ref).currentSnapshotId
+    val sc = BloomIndex.readSidecar(ref, "k").get
+    assert(IceLite.readManifest(ref).snapshots
+      .find(_.id == snapAfterCompact).get.files.forall(sc.files.contains),
+      "compaction must re-index the rewritten files")
+    assert(BloomIndex.prunedFiles(ref, "k", 1234L).size < 4)
+    assert(BloomIndex.readPointLookup(spark, ref, "k", 1234L)
+      .as[(Long, Long)].collect().toSeq == Seq((1234L, 12340L)))
+    // MERGE rewrites too: same rebuild, lookup sees the new value
+    IceLite.merge(spark, ref, Seq((1234L, -1L)).toDF("k", "v"), Seq("k"))
+    val sc2 = BloomIndex.readSidecar(ref, "k").get
+    assert(sc2.snapshot == IceLite.readManifest(ref).currentSnapshotId,
+      "merge must re-key the sidecar to its snapshot")
+    assert(BloomIndex.readPointLookup(spark, ref, "k", 1234L)
+      .as[(Long, Long)].collect().toSeq == Seq((1234L, -1L)))
+    // tables without a sidecar pay nothing (refreshAll no-ops)
+    val ref2 = IngestJob.tableRef(wh, "plain")
+    IceLite.createOrReplace(ref2, Seq((1L, 2L)).toDF("k", "v"))
+    assert(BloomIndex.refreshAll(spark, ref2).isEmpty)
+  }
+
   test("d16 multi-column pruning skips files on the SECOND dimension too") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
