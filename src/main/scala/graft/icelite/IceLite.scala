@@ -465,6 +465,25 @@ object IceLite {
     }.current
   }
 
+  /** d28: sorted APPEND — the append-side half of a sort-order
+    * evolution. New data is range-partitioned on `sortCol` into
+    * `numFiles` files and sorted within each (tight, non-overlapping
+    * [min,max] among the NEW files), while existing files keep
+    * whatever layout they were written with — no rewrite. This is how
+    * a table ADOPTS a clustering key at 100 TB: new commits cluster
+    * immediately, old files re-cluster lazily via compact(). The
+    * snapshot-level sortOrder is intentionally NOT set: it would
+    * claim the whole table is sorted, and only the new files are —
+    * pruning precision comes from per-file stats, which are exact
+    * either way. */
+  def appendSorted(ref: TableRef, df: DataFrame, sortCol: String,
+      numFiles: Int, statsCols: Seq[String] = Nil): Snapshot = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val c = org.apache.spark.sql.functions.col(sortCol)
+    append(ref, df.repartitionByRange(numFiles, c).sortWithinPartitions(c),
+      (statsCols :+ sortCol).distinct)
+  }
+
   /** Compaction — Iceberg's `rewrite_data_files` role. Rewrites the
     * current snapshot's many small files into `targetFiles` large ones
     * as a new "replace" snapshot: content-identical, time-travelable,

@@ -110,6 +110,82 @@ object LlmPack extends Pack {
   /** c16's persisted edge/label stages (same lifecycle as lastSig). */
   @volatile private var lastCC: Seq[DataFrame] = Nil
 
+  /** Large-star/small-star edge contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): returns an edge
+    * set with the SAME connected components whose diameter collapses
+    * in O(log n) alternating rounds, independent of the input graph's
+    * diameter. Hash-to-min alone needs one shuffle per hop of
+    * diameter — fine for near-dup fans (diameter 2-3), a scale-killer
+    * on chain-shaped graphs (e.g. drifting boilerplate where doc i
+    * only resembles doc i±1). Each round is two window-aggregated
+    * passes:
+    *   large-star: every neighbor v > u re-attaches to m = min(Γ⁺(u))
+    *   small-star: every neighbor v ≤ u (and u itself) attaches to
+    *     the min of that small neighborhood
+    * Both preserve components exactly (the paper's invariant); the
+    * fixpoint witness is the edge-set fingerprint (count + bit_xor of
+    * per-edge hashes — order-independent, overflow-free under ANSI,
+    * and exact on sets up to hash collisions; a collision could only
+    * end the loop one round early, and the caller's own hash-to-min
+    * fixpoint still guarantees correct labels on whatever edge set it
+    * receives). */
+  private[queries] def largeStarSmallStar(pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    def symm(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct($"src".as("u"), $"dst".as("v")),
+        struct($"dst".as("u"), $"src".as("v")))).as("p"))
+      .select($"p.u".as("u"), $"p.v".as("v"))
+    val w = Window.partitionBy($"u")
+    def largeStar(e: DataFrame): DataFrame = symm(e)
+      .withColumn("m", least(min($"v").over(w), $"u"))
+      .filter($"v" > $"u")
+      .select($"v".as("src"), $"m".as("dst"))
+      .distinct()
+    def smallStar(e: DataFrame): DataFrame = {
+      val small = symm(e).filter($"v" <= $"u")
+        .withColumn("m", least(min($"v").over(w), $"u"))
+      small.select($"v".as("src"), $"m".as("dst"))
+        .union(small.select($"u".as("src"), $"m".as("dst")))
+        .filter($"src" =!= $"dst")
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // localCheckpoint (eager) per round: each round's plan REFERENCES
+    // the previous round's twice (smallStar unions two projections of
+    // the same window stage), so an un-truncated lineage doubles every
+    // iteration — exponential plan blowup long before any data-size
+    // problem. Checkpointing materializes the round and cuts the
+    // logical plan to a leaf; on a multi-node cluster the same loop
+    // uses reliable checkpoint() to survive executor loss.
+    var edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .localCheckpoint(true)
+    var prev = fingerprint(edges)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val f = fingerprint(next)
+      done = f == prev
+      prev = f
+      scala.util.Try(edges.unpersist(blocking = false))
+      edges = next
+      iter += 1
+    }
+    require(done, s"largeStarSmallStar: no fixpoint in $maxIter iters")
+    lastLSS.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
+    lastLSS = Seq(edges)
+    edges.select($"src".as("doc_a"), $"dst".as("doc_b"))
+  }
+
+  /** largeStarSmallStar's final checkpointed round (unpersisted on the
+    * next invocation, same lifecycle as lastCC). */
+  @volatile private var lastLSS: Seq[DataFrame] = Nil
+
   /** c16: hash-to-min connected components over an undirected pair
     * set (columns doc_a, doc_b). Labels start as each node's own id;
     * every iteration each node takes the min label across itself and
@@ -117,32 +193,52 @@ object LlmPack extends Pack {
     * converging in ≤ diameter steps. Near-dup components are mutation
     * fans of a base document (diameter 2-3), so the loop is shallow.
     * Labels can only decrease, so `next.comp < old.comp` is an exact
-    * convergence test. At 100 TB the identical loop runs with the
-    * large-star/small-star contraction (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") plus a checkpoint every few
-    * rounds to truncate lineage; the fixture graph is shallow enough
-    * that plain hash-to-min is already the right plan. */
+    * convergence test.
+    *
+    * Deep/huge graphs: when `contractionThreshold` is set and the
+    * pair count exceeds it, the edge set is first collapsed with
+    * [[largeStarSmallStar]] — O(log n) rounds regardless of diameter
+    * — and hash-to-min then labels the contracted (diameter ≤ 2)
+    * graph in 1-2 passes. c16 leaves the threshold unset (near-dup
+    * fans are shallow, and the count probe would re-execute the
+    * un-persisted pair join once); a chain-shaped workload passes the
+    * expected pair budget. LlmPackSpec forces threshold 0 to pin the
+    * contracted path end-to-end against the plain loop's labels. */
   private[queries] def connectedComponents(pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      maxIter: Int = 20,
+      contractionThreshold: Long = Long.MaxValue): DataFrame = {
+    // a contracted graph keeps every original node at its fixpoint
+    // (each non-min node holds an edge to its component min, and the
+    // min appears as that edge's endpoint), so labeling the
+    // contracted edges still labels every node that appeared in ≥1
+    // original pair.
+    val contracted =
+      if (contractionThreshold != Long.MaxValue &&
+          pairs.count() > contractionThreshold)
+        largeStarSmallStar(pairs)
+      else pairs
     // symmetrize in ONE pass over the pair plan (explode of the two
     // directions) — a union of two selects would execute the upstream
-    // pair join twice before the persist materializes
-    val edges = pairs
+    // pair join twice before the checkpoint materializes.
+    // localCheckpoint (eager) instead of persist: each round's plan
+    // references `labels` TWICE (the join and the union), so an
+    // un-truncated lineage doubles per iteration — exponential plan
+    // growth that overflows plan stringification near ~20 rounds even
+    // though the DATA is cached. Checkpointing cuts every round to a
+    // leaf; a multi-node cluster uses reliable checkpoint() instead.
+    val edges = contracted
       .select(explode(array(
         struct($"doc_a".as("src"), $"doc_b".as("dst")),
         struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("comp", $"id").persist(lvl)
-    val kept = scala.collection.mutable.ArrayBuffer[DataFrame](edges, labels)
+      .withColumn("comp", $"id").localCheckpoint(true)
     // convergence probe: labels are monotonically non-increasing and
     // at least one strictly decreases per changing round, so
     // sum(comp) is a strictly decreasing fixpoint witness — ONE agg
-    // action per iteration (which doubles as the persist
-    // materializer), no join-and-count job. Ids are < 2^40 and node
-    // counts corpus-bounded, so the sum stays far from overflow.
+    // action per iteration, no join-and-count job. Ids are < 2^40 and
+    // node counts corpus-bounded, so the sum stays far from overflow.
     def sumComp(df: DataFrame): Long =
       df.agg(sum($"comp")).head.getLong(0)
     var prevSum = sumComp(labels)
@@ -152,17 +248,19 @@ object LlmPack extends Pack {
       val next = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.comp").as("comp"))
         .union(labels.select($"id", $"comp"))
-        .groupBy($"id").agg(min($"comp").as("comp")).persist(lvl)
-      kept += next
+        .groupBy($"id").agg(min($"comp").as("comp"))
+        .localCheckpoint(true)
       val s = sumComp(next)
       done = s == prevSum
       prevSum = s
+      scala.util.Try(labels.unpersist(blocking = false))
       labels = next
       iter += 1
     }
     require(done, s"connectedComponents: no fixpoint in $maxIter iters")
+    scala.util.Try(edges.unpersist(blocking = false))
     lastCC.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
-    lastCC = kept.toSeq
+    lastCC = Seq(labels)
     labels
   }
 
@@ -806,6 +904,80 @@ object LlmPack extends Pack {
              SELECT source, n_docs, n_tokens,
                ROUND(pow(n_tokens, 0.7) / z, 4) AS weight,
                ROUND(pow(n_tokens, 0.7) / z * total_tokens / n_tokens, 4) AS epochs
-             FROM s CROSS JOIN n ORDER BY source"""))
+             FROM s CROSS JOIN n ORDER BY source""")),
+
+    // c21: INCREMENTAL dedup — dedup an arrival batch against the
+    // already-curated corpus WITHOUT re-pairing the corpus with
+    // itself (the production shape: the corpus is 100 TB and frozen,
+    // the batch is one day's crawl; c01 re-run over corpus+batch
+    // would re-shuffle everything already deduped). The batch first
+    // dedups internally (c01's one-shuffle window), then anti-joins
+    // the corpus on the md5 of the normalized text — the shuffle
+    // carries 32-char digests, never document bodies. At 100 TB the
+    // corpus digest set is a materialized bucketed table (d03's
+    // layout), so each day's probe is a zero-exchange anti-join and
+    // the corpus is never rescanned per batch. Batch = doc_id ≡ 0
+    // (mod 10) as the arrival stand-in.
+    Decl("c21_dedup_incremental",
+      (s, dir) => {
+        val keyed = docs(s, dir)
+          .withColumn("key", md5(lower(trim($"text")).cast("binary")))
+        val corpus = keyed.filter($"doc_id" % 10 =!= 0)
+        val batch = keyed.filter($"doc_id" % 10 === 0)
+        val w = Window.partitionBy($"key").orderBy($"doc_id".asc)
+        batch
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .join(corpus.select($"key"), Seq("key"), "left_anti")
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      // NOT EXISTS (not NOT IN): identical anti-join semantics to
+      // Spark even if a key were ever NULL
+      Some("""WITH k AS (SELECT *, md5(lower(trim(text))) AS key FROM documents),
+                  b AS (SELECT * FROM k WHERE doc_id % 10 = 0
+                        QUALIFY ROW_NUMBER() OVER (PARTITION BY key
+                                                   ORDER BY doc_id) = 1)
+             SELECT doc_id, lang, source, n_chars FROM b
+             WHERE NOT EXISTS (SELECT 1 FROM k c
+                               WHERE c.doc_id % 10 <> 0 AND c.key = b.key)
+             ORDER BY doc_id""")),
+
+    // c22: stratified sampling — EXECUTING a mixture plan (c20 plans
+    // the weights, this realizes them): per-language target rates
+    // applied via the same Knuth multiplicative-hash family as c14
+    // (a different odd constant, so sample membership is independent
+    // of c14's split assignment). Deterministic and portable (the
+    // oracle reproduces the exact sample), and append-stable —
+    // re-running after a corpus append never flips membership of an
+    // existing doc, which rand()/TABLESAMPLE cannot promise. Map-only
+    // at any scale: no shuffle until the stratum-census aggregate,
+    // whose cardinality is |langs|. Verified output is the census
+    // (population vs sample per stratum) — the monitoring table a
+    // sampling job must emit anyway.
+    Decl("c22_stratified_sample",
+      (s, dir) => {
+        val bucket = ($"doc_id" * lit(2246822519L)) % lit(4294967296L) % lit(100)
+        val rate = when($"lang" === "en", 60)
+          .when($"lang".isin("de", "es"), 35)
+          .otherwise(20)
+        docs(s, dir)
+          .withColumn("sampled", bucket < rate)
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when($"sampled", 1L).otherwise(0L)).cast("long").as("n_sampled"),
+            sum(when($"sampled", $"n_chars")).cast("long").as("sampled_chars"))
+          .orderBy($"lang")
+      },
+      Some("""WITH t AS (SELECT lang, n_chars,
+                    (doc_id * 2246822519) % 4294967296 % 100 <
+                      CASE WHEN lang = 'en' THEN 60
+                           WHEN lang IN ('de', 'es') THEN 35
+                           ELSE 20 END AS sampled
+                  FROM documents)
+             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(CASE WHEN sampled THEN n_chars END) AS BIGINT) AS sampled_chars
+             FROM t GROUP BY lang ORDER BY lang"""))
   )
 }

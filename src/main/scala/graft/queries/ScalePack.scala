@@ -910,6 +910,55 @@ object ScalePack extends Pack {
              CAST(MAX(o_orderkey) AS BIGINT) AS max_key
              FROM orders GROUP BY o_orderstatus ORDER BY status""")),
 
+    // d28: SORT-ORDER EVOLUTION — d15's evolve-without-rewrite axiom
+    // applied to d16's clustering: era 1 lands hash-scattered (the
+    // layout of a table ingested before anyone thought about scan
+    // locality — every file spans the full key range), era 2 appends
+    // Z-clustered files via appendSorted WITHOUT touching a byte of
+    // era 1. A conjunctive 2-D predicate then prunes era-2 files on
+    // both axes from their tight per-file stats while every era-1
+    // file is conservatively kept (its stats span everything) and
+    // residual-filtered — correctness never depends on layout, only
+    // cost does, and the old layout re-clusters lazily through
+    // compact() on the normal maintenance schedule instead of a
+    // big-bang rewrite. The two boolean witnesses pin both halves:
+    // era-2 pruning fired (kept < total) AND era 1 stayed whole
+    // (kept ≥ the 8 era-1 files).
+    Decl("d28_zorder_evolution",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d28").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_ze")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+            $"l_quantity", $"l_extendedprice")
+          .withColumn("zval", zorder2($"l_partkey", $"l_suppkey"))
+        IceLite.createOrReplace(ref,
+          l.filter($"l_orderkey" % 2 === 0).repartition(8, $"l_orderkey"),
+          statsCols = Seq("l_partkey", "l_suppkey"))
+        IceLite.appendSorted(ref, l.filter($"l_orderkey" % 2 =!= 0),
+          "zval", numFiles = 16, statsCols = Seq("l_partkey", "l_suppkey"))
+        // box bounds sit inside every SF's key range (suppkey tops out
+        // at 9 at sf0.001), so era-1 files are genuinely kept rather
+        // than vacuously pruned to an empty result
+        val preds = Seq(("l_partkey", 20.0, 80.0), ("l_suppkey", 2.0, 5.0))
+        val total = IceLite.readManifest(ref).current.files.size.toLong
+        val kept = IceLite.prunedFilesMulti(ref, preds).size.toLong
+        IceLite.readPrunedMulti(s, ref, preds)
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            dsum($"l_extendedprice", 2).as("sum_price"))
+          .withColumn("era2_pruned", lit(kept < total))
+          .withColumn("era1_kept_whole", lit(kept >= 8L))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             TRUE AS era2_pruned, TRUE AS era1_kept_whole
+             FROM lineitem
+             WHERE l_partkey BETWEEN 20 AND 80
+               AND l_suppkey BETWEEN 2 AND 5""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

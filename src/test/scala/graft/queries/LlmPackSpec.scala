@@ -357,4 +357,89 @@ class LlmPackSpec extends AnyFunSuite {
     // every cluster is non-trivial: a doc only enters via some pair
     assert(byComp.forall(_._2.size >= 2), "no singleton clusters in output")
   }
+
+  test("largeStarSmallStar: a 60-chain labels in O(log n) where hash-to-min alone cannot") {
+    // diameter 59 > the plain loop's default 20-iteration budget —
+    // contraction (threshold 0) collapses it to a star first, so the
+    // same budget suffices; ids are scattered so the min sits mid-chain
+    val ids = (0 until 60).map(i => ((i * 37) % 61 + 100).toLong)
+    val pairs = ids.zip(ids.tail).toDF("doc_a", "doc_b")
+    val got = LlmPack.connectedComponents(pairs, maxIter = 20,
+      contractionThreshold = 0L).as[(Long, Long)].collect().toMap
+    val min = ids.min
+    assert(got.keySet == ids.toSet, "every chain node must be labeled")
+    assert(got.values.forall(_ == min), s"all labels must be the chain min $min")
+  }
+
+  test("largeStarSmallStar: labels match the plain loop on random graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 10
+      val edges = (0 until n).map { _ =>
+        (rng.nextInt(n).toLong * 13 + 5, rng.nextInt(n).toLong * 13 + 5)
+      }.filter { case (a, b) => a != b }
+      val pairs = edges.toDF("doc_a", "doc_b")
+      // sparse random graphs sit near the connectivity threshold, so
+      // chains can run deep — give the plain loop diameter headroom
+      val plain = LlmPack.connectedComponents(pairs, maxIter = 60)
+        .as[(Long, Long)].collect().toMap
+      val contracted = LlmPack.connectedComponents(pairs, maxIter = 20,
+        contractionThreshold = 0L).as[(Long, Long)].collect().toMap
+      assert(contracted == plain, s"trial $trial: contraction changed labels")
+    }
+  }
+
+  test("c21 incremental dedup: batch-internal and batch-vs-corpus dupes both drop") {
+    // corpus = ids not ≡0 (mod 10); batch = ids ≡0 (mod 10).
+    // 10 duplicates corpus doc 3 → dropped; 30/40 duplicate each
+    // other → only 30 kept; 20 is unique → kept.
+    val df = Seq(
+      (3L, "shared corpus text"), (7L, "corpus only text"),
+      (10L, "shared corpus text"), (20L, "unique batch text"),
+      (30L, "batch twin text"), (40L, "batch twin text"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("c21_spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = LlmPack.queries("c21_dedup_incremental")(spark, tmp)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(20L, 30L), s"expected {20, 30}, got $kept")
+  }
+
+  test("c22 stratified sample: deterministic, rate-bound, and append-stable") {
+    val census = LlmPack.queries("c22_stratified_sample")(spark, sfDir)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(census.nonEmpty)
+    // recompute membership from the declared hash — the census must
+    // be exactly the fold of the per-doc rule (no hidden randomness)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)]
+      .collect().toSeq
+    def sampled(id: Long, lang: String): Boolean = {
+      val rate = lang match {
+        case "en" => 60L; case "de" | "es" => 35L; case _ => 20L }
+      (id * 2246822519L) % 4294967296L % 100L < rate
+    }
+    val expected = docs.groupBy(_._2).map { case (lang, xs) =>
+      val in = xs.filter(x => sampled(x._1, lang))
+      (lang, xs.size.toLong, in.size.toLong,
+        if (in.isEmpty) None else Some(in.map(_._3).sum))
+    }.toSeq.sortBy(_._1)
+    assert(census.sortBy(_._1) == expected, "census must equal the per-doc fold")
+    // append-stability: running over a PREFIX of the corpus yields a
+    // census that is exactly the fold over that prefix — membership
+    // of existing docs never shifts when later docs arrive
+    val tmp = java.nio.file.Files.createTempDirectory("c22_spec").toString
+    graft.Tables.load(spark, sfDir, "documents").filter($"doc_id" < 100)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val prefixCensus = LlmPack.queries("c22_stratified_sample")(spark, tmp)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => (r._1, r._3)).toMap
+    val prefixExpected = docs.filter(_._1 < 100).groupBy(_._2)
+      .map { case (lang, xs) =>
+        (lang, xs.count(x => sampled(x._1, lang)).toLong) }
+    assert(prefixCensus == prefixExpected,
+      "prefix census must match the same membership rule")
+  }
 }

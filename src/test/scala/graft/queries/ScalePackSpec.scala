@@ -142,4 +142,53 @@ class ScalePackSpec extends AnyFunSuite {
       Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0))).count()
     assert(rows == 256L, s"residual filter must return the exact box, got $rows")
   }
+
+  test("d28 appendSorted: new files cluster tightly, old files are untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.icelite.{IceLite, IngestJob}
+    val wh = java.nio.file.Files.createTempDirectory("d28_spec").toString
+    val ref = IngestJob.tableRef(wh, "evolve_z")
+    IceLite.createNamespace(wh, "src")
+    // era 1: 256 scattered rows across 4 hash files (full-range stats)
+    val grid = (0 until 1024).map { i =>
+      (i.toLong, (i * 17 % 64).toLong, (i * 29 % 64).toLong)
+    }.toDF("id", "x", "y").withColumn("zval", ScalePack.zorder2(col("x"), col("y")))
+    IceLite.createOrReplace(ref, grid.filter($"id" < 256).repartition(4, $"id"),
+      statsCols = Seq("x", "y"))
+    val era1Files = IceLite.readManifest(ref).current.files.toSet
+    val era1Bytes = era1Files.map(f =>
+      f -> java.nio.file.Files.size(ref.dir.resolve(f))).toMap
+    // era 2: z-clustered append
+    IceLite.appendSorted(ref, grid.filter($"id" >= 256), "zval",
+      numFiles = 8, statsCols = Seq("x", "y"))
+    val snap = IceLite.readManifest(ref).current
+    // old files survive in the snapshot, byte-identical on disk
+    assert(era1Files.subsetOf(snap.files.toSet), "era-1 files must remain")
+    era1Bytes.foreach { case (f, sz) =>
+      assert(java.nio.file.Files.size(ref.dir.resolve(f)) == sz,
+        s"era-1 file $f was rewritten") }
+    // era-2 files have pairwise NON-overlapping zval ranges (the
+    // clustering appendSorted promises), era-1 files all overlap
+    val era2 = snap.files.filterNot(era1Files)
+    assert(era2.size == 8, s"expected 8 era-2 files, got ${era2.size}")
+    val zRanges = era2.map { f =>
+      val cs = snap.fileStats(f).find(_.col == "zval").get
+      (cs.min, cs.max)
+    }.sortBy(_._1)
+    zRanges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"era-2 zval ranges overlap: $zRanges")
+      case _ =>
+    }
+    // a corner box prunes era-2 files but keeps all era-1 files
+    val preds = Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0))
+    val kept = IceLite.prunedFilesMulti(ref, preds).toSet
+    assert(era1Files.subsetOf(kept), "era-1 files are conservatively kept")
+    assert(!era2.toSet.subsetOf(kept), "some era-2 file must prune away")
+    // and the read is still exact
+    val n = IceLite.readPrunedMulti(spark, ref, preds).count()
+    val expected = grid.filter($"x" <= 15 && $"y" <= 15).count()
+    assert(n == expected, s"pruned read returned $n, expected $expected")
+  }
 }
