@@ -959,6 +959,44 @@ object ScalePack extends Pack {
              WHERE l_partkey BETWEEN 20 AND 80
                AND l_suppkey BETWEEN 2 AND 5""")),
 
+    // d29: AGGREGATE PUSHDOWN through the DSv2 connector — the
+    // unfiltered `count(*) / min / max` a user fires first at any new
+    // table, answered from the MANIFEST ALONE: the scan builder
+    // (SupportsPushDownAggregates) resolves COUNT(*) from the snapshot
+    // row count and MIN/MAX from the per-file ColStats fold, and plans
+    // ONE synthetic input partition — zero parquet files opened. At
+    // 100 TB this is the difference between a driver-side metadata
+    // read and a full-table scan (Iceberg's manifest-aggregation
+    // role). Pushdown is decline-safe: a stats gap, filter, group-by
+    // or non-double column falls back to the normal pruned scan
+    // (IceLiteSourceSpec pins all four declines). The noop execution
+    // inside the query is the witness probe: `agg_pushed` reports
+    // whether the metadata-only path actually served the plan.
+    Decl("d29_agg_pushdown",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d29").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_meta")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+        IceLite.createOrReplace(ref, l.repartition(8, $"l_orderkey"),
+          statsCols = Seq("l_quantity", "l_extendedprice"))
+        val agg = s.read.format("graft.sources.IceLiteSource")
+          .load(ref.dir.toString)
+          .agg(count(lit(1)).as("n"),
+            min($"l_quantity").as("min_qty"),
+            max($"l_extendedprice").as("max_price"))
+        graft.sources.IceLiteSource.lastScanMetadataOnly = false
+        agg.write.format("noop").mode("overwrite").save()
+        val pushed = graft.sources.IceLiteSource.lastScanMetadataOnly
+        agg.withColumn("agg_pushed", lit(pushed))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(l_quantity) AS min_qty,
+             MAX(l_extendedprice) AS max_price,
+             TRUE AS agg_pushed
+             FROM lineitem""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

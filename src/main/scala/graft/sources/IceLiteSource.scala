@@ -12,7 +12,8 @@ import org.apache.parquet.example.data.Group
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -20,7 +21,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOr
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import graft.icelite.{IceLite, TableRef}
+import graft.icelite.{ColStats, IceLite, TableRef}
 
 /** DataSource V2 connector for IceLite tables — the `sources/` rung
   * of the architecture: `spark.read.format("graft.sources.
@@ -81,6 +82,9 @@ class IceLiteSource extends TableProvider {
 object IceLiteSource {
   /** Spec observability: the file list the most recent scan planned. */
   @volatile var lastPlannedFiles: Seq[String] = Nil
+  /** Spec observability: whether the most recent scan was answered
+    * from the manifest alone (aggregate pushdown — zero data files). */
+  @volatile var lastScanMetadataOnly: Boolean = false
 }
 
 class IceLiteTable(ref: TableRef, schema: StructType)
@@ -228,14 +232,24 @@ class IceLiteDataWriter(dir: String, name: String,
   override def close(): Unit = closeOnce()
 }
 
+/** The pushed-down shape of one aggregate a metadata-only scan can
+  * answer: COUNT(*) from the snapshot row count, MIN/MAX from the
+  * per-file ColStats ranges (d29 — Iceberg answers the same three
+  * from its manifests without touching a data file). */
+private[sources] sealed trait PushedAgg
+private[sources] case object PushedCountStar extends PushedAgg
+private[sources] final case class PushedMin(col: String) extends PushedAgg
+private[sources] final case class PushedMax(col: String) extends PushedAgg
+
 class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     snapshotsPerTrigger: Int = Int.MaxValue)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var accepted: Array[Filter] = Array.empty
   private var bounds: Map[String, (Double, Double)] = Map.empty
+  private var pushedAggs: Option[Seq[PushedAgg]] = None
 
   private def num(v: Any): Option[Double] = v match {
     case n: Number => Some(n.doubleValue())
@@ -266,8 +280,112 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new IceLiteScan(ref, required, bounds, snapshotsPerTrigger)
+  /** Aggregate pushdown (d29): COUNT(*) / MIN / MAX with no GROUP BY
+    * and no filter answer from the MANIFEST ALONE — zero data files
+    * planned. COUNT(*) is the snapshot row count; MIN/MAX fold the
+    * per-file ColStats ranges, accepted only for DOUBLE columns
+    * (stats are stored as doubles — exact for doubles, lossy past
+    * 2^53 for longs) where EVERY current file carries a stat (a
+    * stats gap falls back to the normal scan, so pushdown is never a
+    * correctness risk). Spark only attempts aggregate pushdown when
+    * no post-scan filter remains, and this source keeps every pushed
+    * filter residual — so a filtered aggregate always takes the
+    * normal scan path. */
+  private lazy val currentSnap = IceLite.readManifest(ref).current
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  private def statsCovered(col: String): Boolean =
+    schema.fields.find(_.name == col).map(_.dataType).contains(DoubleType) &&
+      currentSnap.files.nonEmpty &&
+      currentSnap.files.forall(f =>
+        currentSnap.fileStats.get(f).exists(_.exists(_.col == col)))
+
+  private def translate(agg: Aggregation): Option[Seq[PushedAgg]] =
+    if (agg.groupByExpressions.nonEmpty || bounds.nonEmpty) None
+    else {
+      val specs: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(PushedCountStar)
+        case m: Min => colOf(m.column).filter(statsCovered).map(PushedMin)
+        case m: Max => colOf(m.column).filter(statsCovered).map(PushedMax)
+        case _ => None
+      }
+      if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.flatten)
+      else None
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // complete pushdown only: a partial (per-partition) answer from
+    // one manifest would be no cheaper than the complete one
+    pushedAggs = translate(agg)
+    pushedAggs.isDefined
+  }
+
+  override def build(): Scan = pushedAggs match {
+    case Some(specs) => new IceLiteAggScan(ref, specs)
+    case None => new IceLiteScan(ref, required, bounds, snapshotsPerTrigger)
+  }
+}
+
+/** Metadata-only scan: one synthetic input partition carrying the
+  * aggregate values resolved from the manifest — no parquet file is
+  * ever opened. At 100 TB this turns `SELECT count(*), min(x),
+  * max(x)` over a billion-file table into a driver-side manifest
+  * read, exactly Iceberg's manifest-aggregation optimization. */
+class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(specs.map {
+    case PushedCountStar => StructField("count_star", LongType, nullable = false)
+    case PushedMin(c) => StructField(s"min_$c", DoubleType)
+    case PushedMax(c) => StructField(s"max_$c", DoubleType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"IceLiteAggScan ${ref.name} metadataOnly=${specs.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val snap = IceLite.readManifest(ref).current
+    def fold(c: String, pick: ColStats => Double, reduce: Seq[Double] => Double): Double =
+      reduce(snap.files.map { f =>
+        snap.fileStats.get(f).flatMap(_.find(_.col == c)).map(pick).getOrElse(
+          throw new IllegalStateException(
+            s"file $f of ${ref.name} lost its $c stats between pushdown and planning"))
+      })
+    // explicit Any return: a bare match would weakly-conform the Long
+    // count branch to Double alongside the min/max branches
+    def value(s: PushedAgg): Any = s match {
+      case PushedCountStar => snap.rowCount
+      case PushedMin(c) => fold(c, _.min, _.min)
+      case PushedMax(c) => fold(c, _.max, _.max)
+    }
+    val vals: Array[Any] = specs.map(value).toArray
+    IceLiteSource.lastPlannedFiles = Nil
+    IceLiteSource.lastScanMetadataOnly = true
+    Array(IceLiteAggPartition(vals))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IceLiteAggReaderFactory
+}
+
+case class IceLiteAggPartition(vals: Array[Any]) extends InputPartition
+
+class IceLiteAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vals = p.asInstanceOf[IceLiteAggPartition].vals
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(vals.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class IceLiteScan(ref: TableRef, required: StructType,
@@ -287,6 +405,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
       else IceLite.prunedFilesMulti(ref,
         bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
     IceLiteSource.lastPlannedFiles = files
+    IceLiteSource.lastScanMetadataOnly = false
     files.map(f => IceLiteInputPartition(
       ref.dir.resolve(f).toString): InputPartition).toArray
   }

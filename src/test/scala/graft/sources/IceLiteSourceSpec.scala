@@ -136,4 +136,63 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(newFiles.nonEmpty && newFiles.size <= 2,
       s"only non-empty partitions may stage files, got $newFiles")
   }
+
+  test("aggregate pushdown answers count/min/max from the manifest alone") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_ag").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref,
+      (1L to 1000L).map(k => (k, k * 0.5)).toDF("k", "v").repartition(4),
+      statsCols = Seq("v"))
+    IceLiteSource.lastScanMetadataOnly = false
+    val row = spark.read.format(Fmt).load(ref.dir.toString)
+      .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+      .collect().head
+    assert((row.getLong(0), row.getDouble(1), row.getDouble(2)) == ((1000L, 0.5, 500.0)))
+    assert(IceLiteSource.lastScanMetadataOnly,
+      "count/min/max over a stats-covered table must be metadata-only")
+  }
+
+  test("count(*) alone pushes even without declared column stats") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_ac").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, (1L to 77L).map(k => (k, s"s$k")).toDF("k", "s"))
+    IceLiteSource.lastScanMetadataOnly = false
+    val n = spark.read.format(Fmt).load(ref.dir.toString)
+      .agg(count(lit(1))).collect().head.getLong(0)
+    assert(n == 77L)
+    assert(IceLiteSource.lastScanMetadataOnly)
+  }
+
+  test("aggregate pushdown declines on stats gaps, filters, group-by and long columns") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_ad").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    // no statsCols → min/max must fall back to a real scan, exactly
+    IceLite.createOrReplace(ref, (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    val src = spark.read.format(Fmt).load(ref.dir.toString)
+    IceLiteSource.lastScanMetadataOnly = false
+    val r1 = src.agg(count(lit(1)), min($"v"), max($"v")).collect().head
+    assert((r1.getLong(0), r1.getDouble(1), r1.getDouble(2)) == ((100L, 2.0, 200.0)))
+    assert(!IceLiteSource.lastScanMetadataOnly, "stats gap must fall back")
+    // stats present, but a filter keeps the aggregate off the metadata path
+    IceLite.createOrReplace(ref, (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v"),
+      statsCols = Seq("v"))
+    IceLiteSource.lastScanMetadataOnly = false
+    val r2 = src.filter($"k" <= 10L).agg(count(lit(1)), max($"v")).collect().head
+    assert((r2.getLong(0), r2.getDouble(1)) == ((10L, 20.0)))
+    assert(!IceLiteSource.lastScanMetadataOnly, "filtered agg must scan")
+    // group-by is not answerable from global manifest stats
+    IceLiteSource.lastScanMetadataOnly = false
+    val r3 = src.groupBy(($"k" % 2).as("g")).agg(count(lit(1)).as("n"))
+      .orderBy($"g").collect()
+    assert(r3.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 50L), (1L, 50L)))
+    assert(!IceLiteSource.lastScanMetadataOnly, "grouped agg must scan")
+    // min/max over a LONG column: double stats would be lossy → scan
+    IceLiteSource.lastScanMetadataOnly = false
+    val r4 = src.agg(min($"k"), max($"k")).collect().head
+    assert((r4.getLong(0), r4.getLong(1)) == ((1L, 100L)))
+    assert(!IceLiteSource.lastScanMetadataOnly, "long min/max must scan")
+  }
 }
