@@ -47,6 +47,35 @@ object RelationalPack extends Pack {
     // shortest-representation rendering. Aggregation uses the
     // decimal-exact pattern so the oracle (computed from the parquet
     // source) matches bit-for-bit.
+    // ORC roundtrip through Spark's built-in columnar ORC source —
+    // the lakehouse's second columnar format (the reference bundles
+    // ORC-capable engines; Trino/Iceberg read both). Write with a
+    // (l_linenumber) sort so ORC row-group stats are tight, read back
+    // with predicate pushdown active, aggregate; the oracle computes
+    // the same numbers from the original parquet, proving the format
+    // hop is lossless for longs, doubles, and decimals-as-doubles.
+    Decl("b64_orc_roundtrip",
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_b64").toString
+        val slice = li(s, dir).filter($"l_orderkey" < 1000)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        slice.sortWithinPartitions($"l_linenumber")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .filter($"l_linenumber" <= 4)
+          .groupBy($"l_linenumber".cast("long").as("l_linenumber"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            dsum($"l_extendedprice", 2).as("sum_price"))
+          .orderBy($"l_linenumber")
+      },
+      Some("""SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM lineitem WHERE l_orderkey < 1000 AND l_linenumber <= 4
+             GROUP BY 1 ORDER BY l_linenumber""")),
+
     Decl("b62_csv_roundtrip",
       (s, dir) => {
         val out = java.nio.file.Files.createTempDirectory("graft_b62").toString

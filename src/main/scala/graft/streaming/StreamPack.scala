@@ -731,6 +731,34 @@ object StreamPack extends Pack {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-             FROM lineitem"""))
+             FROM lineitem""")),
+
+    // s14: STREAM-STATIC enrichment join — the standard "decorate a
+    // fact feed with a dimension" shape. The static side is loaded
+    // once and broadcast into every micro-batch (stateless: no join
+    // state accrues, unlike s10's stream-stream buffers), so at
+    // 100 TB the feed streams unbounded while the dim stays a
+    // broadcast-sized lookup; a dim too big to broadcast becomes a
+    // shuffled per-batch join with the same semantics. The sink holds
+    // enriched rows; the batch-side rollup proves every event found
+    // its customer segment exactly once.
+    Decl("s14_stream_static_join",
+      (s, dir) => {
+        val staged = stageEvents(s, dir, 3)
+        val dim = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        runStream(s, staged, "s14_sink", "append")(
+          _.select(col("event_id"), col("user_id"), col("value"))
+            .join(broadcast(dim), col("user_id") === col("c_custkey")))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum(col("value")), 2).as("sum_val"))
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sum_val
+             FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             GROUP BY 1 ORDER BY segment"""))
   )
 }
