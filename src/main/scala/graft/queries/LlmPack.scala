@@ -978,6 +978,88 @@ object LlmPack extends Pack {
              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
                CAST(SUM(CASE WHEN sampled THEN n_chars END) AS BIGINT) AS sampled_chars
-             FROM t GROUP BY lang ORDER BY lang"""))
+             FROM t GROUP BY lang ORDER BY lang""")),
+
+    // c23: SEMANTIC DEDUP (the SemDeDup recipe, Abbas et al. 2023):
+    // cluster the embedding space, then drop near-duplicates ONLY
+    // within a cluster — pair work is Σ(cluster size)² ≈ n²/k, never
+    // the all-pairs product. Cluster assignment is one broadcast map
+    // pass (k centroids, here the per-label means as the deterministic
+    // stand-in for a trained k-means — c10's quantizer; a real run
+    // scales k with the corpus, assignment stays one pass). Note the
+    // assignment is COMPUTED, not the label itself: a vector lands on
+    // whichever centroid it is nearest, so the dedup pairs can cross
+    // source labels — c13's label-blocked dedup cannot find those.
+    // Drop rule is greedy keep-first (drop any doc with an
+    // earlier-id neighbor above τ in its cluster, whether or not
+    // that neighbor is itself dropped) — deterministic and
+    // join-expressible, the standard SemDeDup simplification.
+    Decl("c23_semantic_dedup",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val cents = e
+          .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos").agg(round(avg($"v".cast("double")), 6).as("cv"))
+          .groupBy($"label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+            .as("centroid"))
+          .select($"label".as("cluster"), $"centroid")
+        // nearest centroid per vector; rounded cosine + cluster-id
+        // tie-break keeps the argmax deterministic in both engines
+        def assigned: DataFrame = {
+          val w = Window.partitionBy($"vec_id").orderBy($"acos".desc, $"cluster".asc)
+          e.crossJoin(broadcast(cents))
+            .select($"vec_id", $"embedding", $"cluster",
+              round(cosine($"embedding", $"centroid"), 6).as("acos"))
+            .withColumn("rk", row_number().over(w))
+            .filter($"rk" === 1)
+            .select($"vec_id", $"cluster", $"embedding")
+        }
+        // two independent plan trees sidestep self-join ambiguity; the
+        // assignment pass is one broadcast map, cheap to replay
+        val dropped = assigned.as("a")
+          .join(assigned.as("b"),
+            col("a.cluster") === col("b.cluster") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .filter(expr("cosine_sim(a.embedding, b.embedding)") >= 0.4)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        assigned.as("v")
+          .join(dropped.as("d"), col("v.vec_id") === col("d.vec_id"), "left")
+          .groupBy(col("v.cluster").as("cluster"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            count(col("d.vec_id")).cast("long").as("n_dropped"))
+          .withColumn("n_kept", ($"n_docs" - $"n_dropped").cast("long"))
+          .select($"cluster", $"n_docs", $"n_kept", $"n_dropped")
+          .orderBy($"cluster")
+      },
+      Some("""WITH cent AS (
+               SELECT label AS cluster, list(cv ORDER BY pos) AS centroid FROM (
+                 SELECT label, pos, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS cv
+                 FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                              unnest(embedding) AS e FROM embeddings)
+                 GROUP BY label, pos)
+               GROUP BY label),
+             assigned AS (
+               SELECT vec_id, cluster, embedding FROM (
+                 SELECT e.vec_id, c.cluster, e.embedding,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND((list_aggregate(list_transform(list_zip(e.embedding, c.centroid), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                        * sqrt(list_aggregate(list_transform(c.centroid, x -> x * x), 'sum')))), 6) DESC,
+                     c.cluster ASC) AS rk
+                 FROM embeddings e CROSS JOIN cent c)
+               WHERE rk = 1),
+             dropped AS (
+               SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE (list_aggregate(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum')))) >= 0.4)
+             SELECT v.cluster, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept,
+               CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped
+             FROM assigned v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+             GROUP BY v.cluster ORDER BY v.cluster"""))
   )
 }
