@@ -9,12 +9,17 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val ids = args.drop(1)
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val builder = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B a state store provider without touching the declared queries,
+    // e.g. SPARK_GRAFT_STATESTORE=org.apache.spark.sql.execution
+    // .streaming.state.RocksDBStateStoreProvider
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach(v =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def exec(id: String): Double = {
       val t0 = System.nanoTime()
