@@ -78,6 +78,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("salt"), s"salt missing from the executed plan:\n$p")
   }
 
+  test("c23 semantic dedup: within-cluster pairs come from an equi-join, no cartesian") {
+    val p = plan("c23_semantic_dedup")
+    // the k-centroid broadcast assignment is a BroadcastNestedLoop by
+    // design (k rows); the PAIR join must never degenerate to one
+    assert(!p.contains("CartesianProduct"),
+      s"cluster pair join degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      s"centroids not broadcast:\n$p")
+  }
+
+  test("d29 aggregate pushdown: the final plan reads the metadata-only scan") {
+    val p = plan("d29_agg_pushdown")
+    assert(p.contains("IceLiteAggScan"),
+      s"count/min/max not served by the metadata-only scan:\n$p")
+  }
+
   test("minhash_sig and cosine_sim stay inside whole-stage codegen") {
     // AQE defers codegen subtrees to execution time (the explainer
     // sees only the un-finalized adaptive root) — plan without AQE for
