@@ -256,7 +256,7 @@ object IceLite {
     * (`truncate`) replace; create on first commit. Stats come from
     * the parquet footers (no second read pass). */
   private[graft] def commitStaged(ref: TableRef, files: Seq[String],
-      truncate: Boolean): Snapshot = {
+      truncate: Boolean, summary: Map[String, String] = Map.empty): Snapshot = {
     val rows = countRowsFromFooters(ref, files)
     val stats = footerStats(ref, files)
     commitCAS(ref) { cur =>
@@ -264,14 +264,16 @@ object IceLite {
       val now = System.currentTimeMillis()
       cur match {
         case None =>
-          Manifest(ref.name, id, Seq(Snapshot(id, now, "create", files, rows, stats)))
+          Manifest(ref.name, id, Seq(Snapshot(id, now, "create", files, rows,
+            stats, summary = summary)))
         case Some(m) if truncate =>
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
-            Snapshot(id, now, "replace", files, rows, stats))
+            Snapshot(id, now, "replace", files, rows, stats, summary = summary))
         case Some(m) =>
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
             Snapshot(id, now, "append", m.current.files ++ files,
-              m.current.rowCount + rows, m.current.fileStats ++ stats))
+              m.current.rowCount + rows, m.current.fileStats ++ stats,
+              summary = summary))
       }
     }.current
   }

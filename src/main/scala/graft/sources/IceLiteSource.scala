@@ -17,6 +17,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -93,7 +94,8 @@ class IceLiteTable(ref: TableRef, schema: StructType)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(ref, schema,
       options.getInt("snapshotsPerTrigger", Int.MaxValue))
@@ -115,6 +117,12 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new IceLiteBatchWrite(ref, info.schema(), replace)
+    override def toStreaming: StreamingWrite = {
+      require(!replace,
+        "icelite streaming sink is append-only (complete/truncate modes " +
+          "would replace the table every epoch)")
+      new IceLiteStreamingWrite(ref, info.schema())
+    }
     override def description(): String =
       s"IceLiteWrite ${ref.name} ${if (replace) "replace" else "append"}"
   }
@@ -161,6 +169,80 @@ class IceLiteWriterFactory(dir: String, fields: Array[(String, DataType)])
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new IceLiteDataWriter(dir, f"part-$partitionId%05d-$taskId.parquet", fields)
+}
+
+/** Streaming sink face of the connector (s15): `df.writeStream
+  * .format(...)` plans each micro-batch through this write — the
+  * epoch's staged files become ONE CAS append snapshot whose summary
+  * records the epoch id, so data and exactly-once marker commit
+  * atomically (the same contract s07 builds by hand in foreachBatch,
+  * and Iceberg's own Spark streaming sink provides). A REPLAYED epoch
+  * (crash between sink commit and checkpoint advance) is detected
+  * from the summary and its re-staged files are dropped instead of
+  * committed — at-least-once delivery from Spark, exactly-once in the
+  * table. Committed epoch ids are cached per query run and reseeded
+  * from the manifest on restart; single-writer per table, like every
+  * streaming sink. Append-only: complete/truncate modes are refused
+  * at build time. */
+class IceLiteStreamingWrite(ref: TableRef, schema: StructType)
+  extends StreamingWrite {
+  import IceLiteStreamingWrite.EpochKey
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+
+  /** Epochs already in the table, seeded lazily from the manifest
+    * (the durable record) on first commit of this run. */
+  private lazy val committed: java.util.Set[java.lang.Long] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    if (IceLite.tableExists(ref))
+      IceLite.readManifest(ref).snapshots
+        .flatMap(_.summary.get(EpochKey)).foreach(e => s.add(e.toLong))
+    s
+  }
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
+    new IceLiteStreamingWriterFactory(ref.dataDir.resolve(token).toString,
+      schema.fields.map(f => (f.name, f.dataType)))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case IceLiteCommitMessage(name) if name != null => s"data/$token/$name"
+    }.toSeq.sorted
+    if (committed.contains(epochId)) {
+      // replayed epoch: the data already landed — drop the restage
+      files.foreach(f => java.nio.file.Files.deleteIfExists(ref.dir.resolve(f)))
+    } else if (files.nonEmpty) {
+      IceLite.commitStaged(ref, files, truncate = false,
+        summary = Map(EpochKey -> epochId.toString))
+      committed.add(epochId)
+    } // empty epoch: nothing to commit, replay is vacuously idempotent
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case IceLiteCommitMessage(name) if name != null =>
+        java.nio.file.Files.deleteIfExists(ref.dataDir.resolve(token).resolve(name))
+      case _ => ()
+    }
+}
+
+object IceLiteStreamingWrite {
+  /** Same summary key the foreachBatch sink (s07) uses — one uniform
+    * exactly-once marker convention across both sink styles. */
+  val EpochKey = "streaming.batch_id"
+}
+
+class IceLiteStreamingWriterFactory(dir: String,
+    fields: Array[(String, DataType)]) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    // executor-side dir ensure (same machine in local mode; an object
+    // store at scale, where prefixes need no creation)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    new IceLiteDataWriter(dir,
+      f"part-e$epochId-$partitionId%05d-$taskId.parquet", fields)
+  }
 }
 
 /** Group-materializing parquet writer over the projected primitive

@@ -759,6 +759,57 @@ object StreamPack extends Pack {
              CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(SUM(value), 2) AS sum_val
              FROM events e JOIN customer c ON e.user_id = c.c_custkey
-             GROUP BY 1 ORDER BY segment"""))
+             GROUP BY 1 ORDER BY segment""")),
+
+    // s15: NATIVE STREAMING SINK — `writeStream.format(...)` straight
+    // into an IceLite table, the write-side twin of s13's streaming
+    // source (together: table-to-table streaming pipelines with no
+    // foreachBatch glue). Each epoch commits ONE CAS append snapshot
+    // with the epoch id in its summary — data and exactly-once marker
+    // atomic, replayed epochs drop their restage instead of
+    // double-committing (IceLiteStreamSinkSpec pins the replay and
+    // restart paths). The path-based provider infers the sink schema
+    // from the table, so the query seeds it with one out-of-band
+    // sentinel row (event_id -1), filtered back out of the readback.
+    // 3 staged files × maxFilesPerTrigger=1 → exactly 3 data epochs,
+    // pinned by the n_epochs witness column.
+    Decl("s15_stream_icelite_sink",
+      (s, dir) => {
+        val staged = stageEvents(s, dir, 3)
+        val wh = Files.createTempDirectory("graft_s15_wh").toString
+        val ref = TableRef(wh, "sink", "events_lake")
+        IceLite.createNamespace(wh, "sink")
+        IceLite.createOrReplace(ref, s.sql(
+          """SELECT CAST(-1 AS BIGINT) AS event_id,
+                    TIMESTAMP'2000-01-01 00:00:00' AS ts,
+                    CAST(-1 AS BIGINT) AS user_id,
+                    CAST(0.0 AS DOUBLE) AS value"""))
+        val sch = s.read.parquet(staged).schema
+        withStreamShufflePartitions(s) {
+          val q = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+            .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+            .writeStream.format("graft.sources.IceLiteSource")
+            .outputMode("append")
+            .option("checkpointLocation",
+              Files.createTempDirectory("graft_ckpt_s15").toString)
+            .trigger(Trigger.AvailableNow())
+            .start(ref.dir.toString)
+          q.awaitTermination()
+        }
+        val epochs = IceLite.readManifest(ref).snapshots
+          .flatMap(_.summary.get(
+            graft.sources.IceLiteStreamingWrite.EpochKey)).distinct.size
+        IceLite.read(s, ref).filter(col("event_id") >= 0)
+          .agg(count(lit(1)).cast("long").as("n"),
+            countDistinct(col("event_id")).cast("long").as("n_ids"),
+            round(sum(col("value")), 2).as("sum_val"))
+          .withColumn("n_epochs", lit(epochs.toLong))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+             ROUND(SUM(value), 2) AS sum_val,
+             CAST(3 AS BIGINT) AS n_epochs
+             FROM events"""))
   )
 }
