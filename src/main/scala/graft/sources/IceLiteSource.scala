@@ -412,7 +412,16 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
 
   override def build(): Scan = pushedAggs match {
     case Some(specs) => new IceLiteAggScan(ref, specs)
-    case None => new IceLiteScan(ref, required, bounds, snapshotsPerTrigger)
+    case None =>
+      // normalize the projection to FILE-SCHEMA order: the vectorized
+      // reader clips the parquet schema in file order, so readSchema
+      // must line up positionally (Spark re-projects the user's
+      // column order above the scan by name)
+      val names = required.fieldNames.toSet
+      val ordered = StructType(schema.fields.filter(f => names.contains(f.name)))
+      new IceLiteScan(ref,
+        if (ordered.length == required.length) ordered else required,
+        bounds, snapshotsPerTrigger)
   }
 }
 
@@ -603,6 +612,32 @@ class IceLiteMicroBatchStream(ref: TableRef,
 
 class IceLiteReaderFactory(fields: Array[(String, DataType)])
   extends PartitionReaderFactory {
+
+  /** Columnar read path: Spark's own vectorized parquet reader
+    * decodes straight into column vectors (the engine's production
+    * scan kernel — dictionary-aware, page-skipping, no per-row
+    * materialization), ~the difference between this connector being a
+    * demo and being usable. The projection was normalized to
+    * file-schema order at build time, so the clipped parquet schema
+    * lines up positionally with readSchema. The row decoder below
+    * stays as the fallback for empty projections. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    fields.nonEmpty
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val file = p.asInstanceOf[IceLiteInputPartition].file
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val reader =
+        new org.apache.spark.sql.execution.datasources.parquet
+          .VectorizedParquetRecordReader(false, 4096)
+      reader.initialize(file, fields.map(_._1).toList.asJava)
+      private val batch = reader.resultBatch()
+      override def next(): Boolean = reader.nextBatch()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = reader.close()
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[IceLiteInputPartition].file
     new PartitionReader[InternalRow] {

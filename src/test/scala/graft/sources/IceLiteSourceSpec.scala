@@ -137,6 +137,26 @@ class IceLiteSourceSpec extends AnyFunSuite {
       s"only non-empty partitions may stage files, got $newFiles")
   }
 
+  test("connector reads run the vectorized columnar kernel (ColumnarToRow planned)") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_vc").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref,
+      (1L to 500L).map(k => (k, k * 0.25, s"s$k")).toDF("k", "v", "s"))
+    // AQE inserts columnar transitions per-stage at execution; plan
+    // without it so the static plan shows the transition
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.read.format(Fmt).load(ref.dir.toString)
+        .filter($"k" <= 100L).select($"k", $"v")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ColumnarToRow"),
+        s"connector scan did not plan the columnar kernel:\n$p")
+      assert(df.as[(Long, Double)].collect().toSeq.sortBy(_._1).take(3)
+        == Seq((1L, 0.25), (2L, 0.5), (3L, 0.75)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("aggregate pushdown answers count/min/max from the manifest alone") {
     val wh = java.nio.file.Files.createTempDirectory("v2src_ag").toString
     val ref = TableRef(wh, "ns", "t")
