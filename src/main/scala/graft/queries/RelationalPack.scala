@@ -76,6 +76,31 @@ object RelationalPack extends Pack {
              FROM lineitem WHERE l_orderkey < 1000 AND l_linenumber <= 4
              GROUP BY 1 ORDER BY l_linenumber""")),
 
+    // exact percentiles (linear interpolation — Spark `percentile` ≡
+    // DuckDB `quantile_cont`) per group. Exact percentile is a sort
+    // within the aggregation buffer — fine at per-group cardinality;
+    // an unbounded-cardinality column at 100 TB switches to
+    // percentile_approx (one bounded sketch per partition, merged),
+    // same query shape, no oracle (b27's HLL precedent). Rounded to
+    // 6dp: the interpolation arithmetic is the same IEEE op in both
+    // engines but the group-sort order of equal doubles is not
+    // observable, so the usual guard applies.
+    Decl("b65_percentiles",
+      (s, dir) => li(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy($"l_returnflag"),
+      Some("""SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+             CAST(COUNT(*) AS BIGINT) AS n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     Decl("b62_csv_roundtrip",
       (s, dir) => {
         val out = java.nio.file.Files.createTempDirectory("graft_b62").toString
