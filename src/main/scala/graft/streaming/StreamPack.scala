@@ -703,18 +703,27 @@ object StreamPack extends Pack {
     // batch/stream equivalence is what the oracle checks.
     Decl("s13_stream_icelite_source",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_s13_wh").toString
-        val ref = TableRef(wh, "src", "lineitem_feed")
-        IceLite.createNamespace(wh, "src")
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_quantity"),
-            col("l_extendedprice"), col("l_returnflag"))
-        IceLite.createOrReplace(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 0))
-        IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 1))
-        IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 2))
+        // the 3-snapshot feed table is immutable once built and
+        // identical across runs — stage it once per JVM like every
+        // other staged source (the per-run isolation that matters,
+        // checkpoint and sink, stays per-run); rebuilding it cost 3
+        // write jobs + 3 commits per bench pass, ~3s of non-streaming
+        // work billed to the streaming row
+        val feedDir = stagedCache.computeIfAbsent(s"$dir#icelite#feed", { _ =>
+          val wh = Files.createTempDirectory("graft_s13_wh").toString
+          val ref = TableRef(wh, "src", "lineitem_feed")
+          IceLite.createNamespace(wh, "src")
+          val li = Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"),
+              col("l_extendedprice"), col("l_returnflag"))
+          IceLite.createOrReplace(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 0))
+          IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 1))
+          IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 2))
+          ref.dir.toString
+        })
         val q = s.readStream.format("graft.sources.IceLiteSource")
           .option("snapshotsPerTrigger", 1)
-          .load(ref.dir.toString)
+          .load(feedDir)
           .writeStream.format("memory").queryName("s13_sink")
           .outputMode("append")
           .option("checkpointLocation",
