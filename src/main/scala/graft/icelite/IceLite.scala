@@ -331,6 +331,36 @@ object IceLite {
     }.current
   }
 
+  /** Drop a staged-but-uncommitted result after a lost CAS race. */
+  private def unstageFiles(ref: TableRef, files: Seq[String]): Unit =
+    files.map(_.split('/')(1)).distinct.foreach { token =>
+      scala.util.Try {
+        val d = ref.dataDir.resolve(token)
+        listDir(Files.list(d))(_.foreach(Files.deleteIfExists(_)))
+        Files.deleteIfExists(d)
+      }
+    }
+
+  /** One conditional commit claiming exactly `version`: succeeds only
+    * if no other writer committed since the result was computed (the
+    * serializable conflict-validation primitive merge / deleteWhere /
+    * updateWhere retry on). */
+  private def claimVersion(ref: TableRef, version: Long, next: Manifest,
+      staged: Seq[String]): Boolean = {
+    val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
+    Files.writeString(tmp, Serialization.writePretty(next))
+    try {
+      Files.createLink(manifestPathFor(ref, version), tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        unstageFiles(ref, staged) // stale base: recompute on the winner
+        false
+    }
+  }
+
   /** MERGE/upsert (the Iceberg `MERGE INTO` shape the reference's
     * users reach through Spark SQL): rows in `updates` replace
     * current rows with the same key, unmatched update rows are
@@ -362,31 +392,9 @@ object IceLite {
       case Some(cond) => updates.filter(!org.apache.spark.sql.functions.expr(cond))
       case None => updates
     }
-    // Drop a staged-but-uncommitted result after a lost CAS race.
-    def unstage(files: Seq[String]): Unit =
-      files.map(_.split('/')(1)).distinct.foreach { token =>
-        scala.util.Try {
-          val d = ref.dataDir.resolve(token)
-          listDir(Files.list(d))(_.foreach(Files.deleteIfExists(_)))
-          Files.deleteIfExists(d)
-        }
-      }
-    // One conditional commit claiming exactly `version`: succeeds only
-    // if no other writer committed since the merge was computed.
-    def tryCommit(version: Long, next: Manifest, files: Seq[String]): Boolean = {
-      val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
-      Files.writeString(tmp, Serialization.writePretty(next))
-      try {
-        Files.createLink(manifestPathFor(ref, version), tmp)
-        Files.deleteIfExists(tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          unstage(files) // stale base: recompute on the winner's state
-          false
-      }
-    }
+    def unstage(files: Seq[String]): Unit = unstageFiles(ref, files)
+    def tryCommit(version: Long, next: Manifest, files: Seq[String]): Boolean =
+      claimVersion(ref, version, next, files)
     while (true) {
       latestManifestFile(ref) match {
         case None =>
@@ -429,6 +437,77 @@ object IceLite {
             BloomIndex.refreshAll(spark, ref)
             return snap
           }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Standalone `DELETE FROM t WHERE p` (Iceberg copy-on-write
+    * delete): rewrites ONLY the files that contain matching rows —
+    * one scan finds the touched file set, each touched file is
+    * rewritten without its matches, every other file stays
+    * byte-identical in the new snapshot. At 100 TB a targeted delete
+    * (one tenant, one day) touches the handful of files stats/layout
+    * put those rows in, not the table; contrast merge(), which
+    * rewrites everything because every current row may pair with an
+    * update. A predicate matching nothing commits nothing (idempotent
+    * no-op). Conflict validation as in merge: the commit claims the
+    * exact base version and recomputes on loss. Like merge, the
+    * rewritten files drop any partition/sort layout metadata —
+    * layout-preserving rewrites arrive with compact()'s scheduler. */
+  def deleteWhere(spark: SparkSession, ref: TableRef, predicate: String,
+      statsCols: Seq[String] = Nil): Snapshot = {
+    import org.apache.spark.sql.functions.{expr, not}
+    rewriteWhere(spark, ref, predicate, "delete", statsCols,
+      df => df.filter(not(expr(predicate))))
+  }
+
+  /** Standalone `UPDATE t SET c = e, ... WHERE p` (copy-on-write
+    * update): same touched-files-only rewrite as deleteWhere, with
+    * matching rows transformed instead of dropped. `set` maps column
+    * name → SQL expression (evaluated on the matching row). */
+  def updateWhere(spark: SparkSession, ref: TableRef, predicate: String,
+      set: Map[String, String], statsCols: Seq[String] = Nil): Snapshot = {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    require(set.nonEmpty, "updateWhere requires at least one SET column")
+    rewriteWhere(spark, ref, predicate, "update", statsCols,
+      df => set.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(expr(predicate), expr(e)).otherwise(col(c)))
+      })
+  }
+
+  private def rewriteWhere(spark: SparkSession, ref: TableRef,
+      predicate: String, op: String, statsCols: Seq[String],
+      transform: DataFrame => DataFrame): Snapshot = {
+    import org.apache.spark.sql.functions.{expr, input_file_name}
+    while (true) {
+      val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
+        throw new IllegalArgumentException(s"${ref.name} does not exist"))
+      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val snap = base.current
+      // one scan over current files: which contain matching rows?
+      // (file-name set is O(files), driver-sized — the same scale
+      // class as the manifest itself)
+      val hitUris = readFiles(spark, ref, snap.files)
+        .filter(expr(predicate))
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0))
+      val affected = hitUris.flatMap(matchStagedPath(snap.files, _)).toSet
+      if (affected.isEmpty) return snap // nothing matches: no-op
+      val newFiles = stage(ref, transform(readFiles(spark, ref, affected.toSeq)))
+      val newRows = countRowsFromFooters(ref, newFiles)
+      val affectedRows = countRowsFromFooters(ref, affected.toSeq)
+      val stats = collectStats(spark, ref, newFiles, statsCols)
+      val files = snap.files.filterNot(affected) ++ newFiles
+      val id = base.snapshots.map(_.id).max + 1
+      val next = Snapshot(id, System.currentTimeMillis(), op, files,
+        snap.rowCount - affectedRows + newRows,
+        (snap.fileStats -- affected) ++ stats)
+      if (claimVersion(ref, baseVersion + 1,
+          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next),
+          newFiles)) {
+        BloomIndex.refreshAll(spark, ref) // rewrite → refresh sidecars
+        return next
       }
     }
     throw new IllegalStateException("unreachable")

@@ -997,6 +997,71 @@ object ScalePack extends Pack {
              TRUE AS agg_pushed
              FROM lineitem""")),
 
+    // d30: standalone DELETE FROM ... WHERE (Iceberg copy-on-write
+    // delete). The table is sort-laid-out on the key, so the delete's
+    // one detection scan finds matches concentrated in a FEW files,
+    // rewrites only those, and every other file survives
+    // byte-identical into the new snapshot — witnessed by `targeted`
+    // (some original files untouched). Contrast d13's MERGE-delete,
+    // which rewrites the whole table because any row may pair with an
+    // update. This is the GDPR/retention erasure a 100 TB store runs
+    // nightly: cost scales with rows matched, not table size.
+    Decl("d30_delete_where",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d30").toString
+        val ref = IngestJob.tableRef(wh, "orders_del")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        val before = IceLite.readManifest(ref).current.files.toSet
+        IceLite.deleteWhere(s, ref, "o_orderkey BETWEEN 1000 AND 1999",
+          statsCols = Seq("o_orderkey"))
+        val after = IceLite.readManifest(ref).current.files
+        val untouched = after.count(before)
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("targeted", lit(untouched > 0))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS targeted
+             FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 1999""")),
+
+    // d31: standalone UPDATE ... SET ... WHERE — the same
+    // touched-files-only copy-on-write rewrite as d30 with matching
+    // rows transformed in place instead of dropped (the backfill /
+    // correction shape). Non-matching rows inside a touched file are
+    // carried through unchanged; untouched files stay byte-identical.
+    Decl("d31_update_where",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d31").toString
+        val ref = IngestJob.tableRef(wh, "orders_upd")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        val before = IceLite.readManifest(ref).current.files.toSet
+        IceLite.updateWhere(s, ref, "o_orderkey BETWEEN 1000 AND 1999",
+          Map("o_totalprice" -> "o_totalprice * 2"),
+          statsCols = Seq("o_orderkey"))
+        val after = IceLite.readManifest(ref).current.files
+        val untouched = after.count(before)
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("targeted", lit(untouched > 0))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderkey BETWEEN 1000 AND 1999
+               THEN o_totalprice * 2 ELSE o_totalprice END
+               AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS targeted
+             FROM orders""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -276,6 +276,69 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
       s"rows lost under compact/append race: ${rows.size} of 40")
   }
 
+  test("concurrent standalone deletes on disjoint predicates both apply") {
+    val wh = Files.createTempDirectory("cas_delwhere_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, (0 until 40).map(k => (k, k * 2)).toDF("k", "v"))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    Seq("k < 5", "k >= 35").foreach { pred =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try IceLite.deleteWhere(spark, ref, pred)
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "deletes timed out")
+    assert(failures.isEmpty, s"delete failed: ${failures.peek()}")
+    // the losing delete recomputed against the winner's table: both
+    // predicates applied, no survivor lost, no row resurrected
+    val rows = IceLite.read(spark, ref).as[(Int, Int)].collect().map(_._1).sorted
+    assert(rows.toSeq == (5 until 35).toSeq,
+      s"concurrent deletes lost rows or resurrected deletions: ${rows.length}")
+  }
+
+  test("a standalone delete racing an append loses neither") {
+    val wh = Files.createTempDirectory("cas_delapp_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, (0 until 20).map(k => (k, "base")).toDF("k", "v"))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try IceLite.deleteWhere(spark, ref, "k < 10")
+        catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        // appended keys sit outside the delete predicate, so both
+        // serializable orders agree on the final content
+        try IceLite.append(ref, (100 until 110).map(k => (k, "new")).toDF("k", "v"))
+        catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    val keys = IceLite.read(spark, ref).as[(Int, String)].collect().map(_._1).sorted
+    assert(keys.toSeq == (10 until 20) ++ (100 until 110),
+      s"delete/append race lost rows: ${keys.toSeq}")
+  }
+
   test("manifest versions are dense and monotonic after races") {
     val wh = Files.createTempDirectory("cas_spec2").toString
     IceLite.createNamespace(wh, "src")

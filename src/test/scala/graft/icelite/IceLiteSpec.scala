@@ -316,4 +316,42 @@ class IceLiteSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.size($"partition"))
       .as[Int].collect().forall(_ == 0))
   }
+
+  test("deleteWhere rewrites only touched files; no-match is a no-op") {
+    val ref = freshRef()
+    // 4 sorted files with tight key ranges: a range delete must touch
+    // only the files holding matches
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current
+    val snap = IceLite.deleteWhere(spark, ref, "k >= 100 AND k < 150")
+    assert(snap.operation == "delete")
+    assert(snap.rowCount == 350)
+    val untouched = snap.files.count(before.files.toSet)
+    assert(untouched == 3, s"expected 3 untouched files, got $untouched")
+    val got = IceLite.read(spark, ref).as[(Long, String)].collect()
+    assert(got.length == 350 && got.forall(r => r._1 < 100 || r._1 >= 150))
+    // matching nothing commits nothing: same snapshot comes back
+    val noop = IceLite.deleteWhere(spark, ref, "k = 99999")
+    assert(noop.id == snap.id &&
+      IceLite.readManifest(ref).snapshots.size == 2)
+  }
+
+  test("updateWhere transforms only matching rows; untouched files identical") {
+    val ref = freshRef()
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 400L).map(k => (k, k.toDouble)).toDF("k", "v"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current
+    val snap = IceLite.updateWhere(spark, ref, "k >= 100 AND k < 150",
+      Map("v" -> "v + 1000.0"))
+    assert(snap.operation == "update" && snap.rowCount == 400)
+    assert(snap.files.count(before.files.toSet) == 3)
+    val got = IceLite.read(spark, ref).as[(Long, Double)].collect().toMap
+    assert(got(99L) == 99.0 && got(100L) == 1100.0 &&
+      got(149L) == 1149.0 && got(150L) == 150.0)
+    // non-matching rows inside the touched file carried unchanged
+    assert(got(101L) == 1101.0 && got.size == 400)
+  }
 }
