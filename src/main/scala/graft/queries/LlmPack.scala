@@ -1060,6 +1060,48 @@ object LlmPack extends Pack {
                CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept,
                CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped
              FROM assigned v LEFT JOIN dropped d ON v.vec_id = d.vec_id
-             GROUP BY v.cluster ORDER BY v.cluster"""))
+             GROUP BY v.cluster ORDER BY v.cluster""")),
+
+    // c24: the CURATION PIPELINE — the individual curation operators
+    // composed into the one job a training-data team actually
+    // schedules: exact-dedup (c01's window, keep lowest doc_id) ∧
+    // length gate (t02's family) ∧ language allowlist (t01's role),
+    // reported as the per-(lang, source) census the run must emit
+    // anyway (kept docs and token mass feed the c20 mixture step).
+    // One shuffle on the text hash + one on the report key — the
+    // whole pipeline is two exchanges regardless of corpus size;
+    // every gate is a map-side expression.
+    Decl("c24_curation_pipeline",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(xxhash64(lower(trim($"text"))), lower(trim($"text")))
+          .orderBy($"doc_id".asc)
+        docs(s, dir)
+          .withColumn("n_tokens", size(split($"text", " ")))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("kept",
+            $"rk" === 1 && $"n_tokens" >= 40 && $"lang".isin("en", "de", "es"))
+          .groupBy($"lang", $"source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when($"kept", 1L).otherwise(0L)).cast("long").as("n_kept"),
+            sum(when($"kept", $"n_tokens".cast("long"))).cast("long")
+              .as("kept_tokens"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""WITH t AS (
+               SELECT lang, source,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY lower(trim(text))
+                   ORDER BY doc_id) AS rk
+               FROM documents),
+             flagged AS (
+               SELECT lang, source, n_tokens,
+                 (rk = 1 AND n_tokens >= 40
+                  AND lang IN ('en', 'de', 'es')) AS kept
+               FROM t)
+             SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN n_tokens END) AS BIGINT) AS kept_tokens
+             FROM flagged GROUP BY lang, source ORDER BY lang, source"""))
   )
 }

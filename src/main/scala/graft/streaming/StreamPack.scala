@@ -176,6 +176,26 @@ object StreamPack extends Pack {
       out
     })
 
+  /** s13/s16's feed: lineitem as a 3-snapshot IceLite table. The
+    * table is immutable once built and identical across runs — staged
+    * once per JVM like every other staged source (the per-run
+    * isolation that matters, checkpoint and sink, stays per-run);
+    * rebuilding it cost 3 write jobs + 3 commits per bench pass of
+    * non-streaming work billed to the streaming row. */
+  private def stagedFeedTable(s: SparkSession, dir: String): String =
+    stagedCache.computeIfAbsent(s"$dir#icelite#feed", { _ =>
+      val wh = Files.createTempDirectory("graft_s13_wh").toString
+      val ref = TableRef(wh, "src", "lineitem_feed")
+      IceLite.createNamespace(wh, "src")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      IceLite.createOrReplace(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 0))
+      IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 1))
+      IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 2))
+      ref.dir.toString
+    })
+
   /** s12's variant: the documents table as a 3-file stream, staged
     * once per JVM. */
   private def stageDocBatches(s: SparkSession, dir: String): String =
@@ -703,24 +723,7 @@ object StreamPack extends Pack {
     // batch/stream equivalence is what the oracle checks.
     Decl("s13_stream_icelite_source",
       (s, dir) => {
-        // the 3-snapshot feed table is immutable once built and
-        // identical across runs — stage it once per JVM like every
-        // other staged source (the per-run isolation that matters,
-        // checkpoint and sink, stays per-run); rebuilding it cost 3
-        // write jobs + 3 commits per bench pass, ~3s of non-streaming
-        // work billed to the streaming row
-        val feedDir = stagedCache.computeIfAbsent(s"$dir#icelite#feed", { _ =>
-          val wh = Files.createTempDirectory("graft_s13_wh").toString
-          val ref = TableRef(wh, "src", "lineitem_feed")
-          IceLite.createNamespace(wh, "src")
-          val li = Tables.load(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_quantity"),
-              col("l_extendedprice"), col("l_returnflag"))
-          IceLite.createOrReplace(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 0))
-          IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 1))
-          IceLite.append(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 2))
-          ref.dir.toString
-        })
+        val feedDir = stagedFeedTable(s, dir)
         val q = s.readStream.format("graft.sources.IceLiteSource")
           .option("snapshotsPerTrigger", 1)
           .load(feedDir)
@@ -820,5 +823,56 @@ object StreamPack extends Pack {
              ROUND(SUM(value), 2) AS sum_val,
              CAST(3 AS BIGINT) AS n_epochs
              FROM events"""))
+  ,
+
+    // s16: TABLE-TO-TABLE streaming pipeline — s13's source INTO
+    // s15's sink with an in-stream transform, the shape the two
+    // connector faces exist for: `readStream.format(icelite) →
+    // filter/project → writeStream.format(icelite)`, no foreachBatch
+    // glue anywhere. Exactly-once END TO END: the source's snapshot
+    // offsets live in the checkpoint (replays re-plan only unread
+    // snapshots) and the sink commits each epoch atomically with its
+    // marker — a crash at any point resumes without loss or
+    // double-write. Each source snapshot drains as one O(delta)
+    // micro-batch and lands as one sink snapshot (3 feed snapshots →
+    // 3 sink epochs, witnessed). This is the medallion bronze→silver
+    // hop every lakehouse runs continuously at 100 TB.
+    Decl("s16_stream_table_pipeline",
+      (s, dir) => {
+        val feedDir = stagedFeedTable(s, dir)
+        val wh = Files.createTempDirectory("graft_s16_wh").toString
+        val ref = TableRef(wh, "sink", "lineitem_silver")
+        IceLite.createNamespace(wh, "sink")
+        // schema seed for the path-based sink (sentinel key, filtered
+        // out of the readback)
+        IceLite.createOrReplace(ref, s.sql(
+          """SELECT CAST(-1 AS BIGINT) AS l_orderkey,
+                    CAST(0.0 AS DOUBLE) AS l_quantity,
+                    CAST(0.0 AS DOUBLE) AS l_extendedprice"""))
+        val q = s.readStream.format("graft.sources.IceLiteSource")
+          .option("snapshotsPerTrigger", 1)
+          .load(feedDir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .writeStream.format("graft.sources.IceLiteSource")
+          .outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s16").toString)
+          .trigger(Trigger.AvailableNow())
+          .start(ref.dir.toString)
+        q.awaitTermination()
+        val epochs = IceLite.readManifest(ref).snapshots
+          .flatMap(_.summary.get(
+            graft.sources.IceLiteStreamingWrite.EpochKey)).distinct.size
+        import graft.queries.syntax.dsum
+        IceLite.read(s, ref).filter(col("l_orderkey") >= 0)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum(col("l_extendedprice"), 2).as("sum_price"))
+          .withColumn("n_epochs", lit(epochs.toLong))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(3 AS BIGINT) AS n_epochs
+             FROM lineitem WHERE l_returnflag = 'R'"""))
   )
 }
