@@ -46,7 +46,12 @@ final case class Snapshot(
     // writer-supplied key/values committed ATOMICALLY with the snapshot
     // (Iceberg's snapshot summary role) — e.g. a streaming sink's
     // batch id, so data + marker can never diverge under a crash
-    summary: Map[String, String] = Map.empty)
+    summary: Map[String, String] = Map.empty,
+    // exact per-file row counts (Iceberg's manifest record_count):
+    // lets COUNT — global or grouped by a file-constant column — be
+    // answered from metadata alone. Absent in pre-upgrade manifests;
+    // consumers must fall back (footer read / full scan) on a gap.
+    fileRows: Map[String, Long] = Map.empty)
 
 final case class Manifest(
     table: String,
@@ -157,19 +162,25 @@ object IceLite {
       .map(n => s"data/$token/$n")
   }
 
-  /** Exact row count from parquet footers, driver-side — no Spark job.
-    * This is how Iceberg itself records manifest row counts: the file
-    * metadata is authoritative, and for a freshly staged commit it
-    * replaces a full scan-and-count job per commit. */
-  private def countRowsFromFooters(ref: TableRef, files: Seq[String]): Long = {
+  /** Exact PER-FILE row counts from parquet footers, driver-side — no
+    * Spark job. This is how Iceberg itself records manifest row
+    * counts: the file metadata is authoritative, and for a freshly
+    * staged commit it replaces a full scan-and-count job per commit.
+    * Every commit path stores the map in `Snapshot.fileRows`, so the
+    * count survives as manifest metadata (grouped/global COUNT
+    * pushdown reads it instead of re-opening footers). */
+  private def fileRowCounts(ref: TableRef, files: Seq[String]): Map[String, Long] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     files.map { f =>
       val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try r.getRecordCount finally r.close()
-    }.sum
+      try f -> r.getRecordCount finally r.close()
+    }.toMap
   }
+
+  private def countRowsFromFooters(ref: TableRef, files: Seq[String]): Long =
+    fileRowCounts(ref, files).values.sum
 
   /** Resolve an input_file_name() URI back to its table-relative
     * staged path. Matches on the FULL table-relative path, not a
@@ -257,7 +268,8 @@ object IceLite {
     * the parquet footers (no second read pass). */
   private[graft] def commitStaged(ref: TableRef, files: Seq[String],
       truncate: Boolean, summary: Map[String, String] = Map.empty): Snapshot = {
-    val rows = countRowsFromFooters(ref, files)
+    val rowsByFile = fileRowCounts(ref, files)
+    val rows = rowsByFile.values.sum
     val stats = footerStats(ref, files)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
@@ -265,15 +277,17 @@ object IceLite {
       cur match {
         case None =>
           Manifest(ref.name, id, Seq(Snapshot(id, now, "create", files, rows,
-            stats, summary = summary)))
+            stats, summary = summary, fileRows = rowsByFile)))
         case Some(m) if truncate =>
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
-            Snapshot(id, now, "replace", files, rows, stats, summary = summary))
+            Snapshot(id, now, "replace", files, rows, stats,
+              summary = summary, fileRows = rowsByFile))
         case Some(m) =>
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
             Snapshot(id, now, "append", m.current.files ++ files,
               m.current.rowCount + rows, m.current.fileStats ++ stats,
-              summary = summary))
+              summary = summary,
+              fileRows = m.current.fileRows ++ rowsByFile))
       }
     }.current
   }
@@ -285,12 +299,14 @@ object IceLite {
       statsCols: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val files = stage(ref, df)
-    val rows = countRowsFromFooters(ref, files)
+    val rowsByFile = fileRowCounts(ref, files)
+    val rows = rowsByFile.values.sum
     val stats = collectStats(df.sparkSession, ref, files, statsCols)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       val op = if (cur.isDefined) "replace" else "create"
-      val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows, stats)
+      val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows,
+        stats, fileRows = rowsByFile)
       // copy from cur, never rebuild positionally — a rebuilt Manifest
       // would silently drop fields like `branches` (bitten: WAP)
       cur match {
@@ -313,33 +329,43 @@ object IceLite {
       summary: Map[String, String] = Map.empty): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val newFiles = stage(ref, df)
-    val rows = countRowsFromFooters(ref, newFiles)
+    val rowsByFile = fileRowCounts(ref, newFiles)
+    val rows = rowsByFile.values.sum
     val stats = collectStats(df.sparkSession, ref, newFiles, statsCols)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       cur match {
         case None =>
           val snap = Snapshot(id, System.currentTimeMillis(), "create",
-            newFiles, rows, stats, summary = summary)
+            newFiles, rows, stats, summary = summary, fileRows = rowsByFile)
           Manifest(ref.name, id, Seq(snap))
         case Some(m) =>
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
-            m.current.fileStats ++ stats, summary = summary)
+            m.current.fileStats ++ stats, summary = summary,
+            fileRows = m.current.fileRows ++ rowsByFile)
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
       }
     }.current
   }
 
-  /** Drop a staged-but-uncommitted result after a lost CAS race. */
-  private def unstageFiles(ref: TableRef, files: Seq[String]): Unit =
-    files.map(_.split('/')(1)).distinct.foreach { token =>
+  /** Drop a staged-but-uncommitted result after a lost CAS race.
+    * Flat-staged files reclaim their whole per-commit token dir
+    * (markers like _SUCCESS included); partition-staged files live in
+    * SHARED `data/part/<col>=<v>/` dirs hosting other commits' files,
+    * so those are deleted by exact path only (token-prefixed names
+    * make them precisely ours) and the dirs are left standing. */
+  private def unstageFiles(ref: TableRef, files: Seq[String]): Unit = {
+    val (shared, tokened) = files.partition(_.startsWith("data/part/"))
+    shared.foreach(f => scala.util.Try(Files.deleteIfExists(ref.dir.resolve(f))))
+    tokened.map(_.split('/')(1)).distinct.foreach { token =>
       scala.util.Try {
         val d = ref.dataDir.resolve(token)
         listDir(Files.list(d))(_.foreach(Files.deleteIfExists(_)))
         Files.deleteIfExists(d)
       }
     }
+  }
 
   /** One conditional commit claiming exactly `version`: succeeds only
     * if no other writer committed since the result was computed (the
@@ -377,7 +403,11 @@ object IceLite {
     * no-op (erasing an absent key is idempotent).
     *
     * At scale this is one anti-join (shuffle on the key) + a rewrite
-    * of the table — the copy-on-write MERGE strategy. Conflict
+    * of the table — the copy-on-write MERGE strategy. The rewrite is
+    * layout-preserving: a partitioned/sorted table re-stages through
+    * its own partition dirs / sort clustering and the new snapshot
+    * keeps `partitionCols`/`sortedBy` (updates to a partitioned table
+    * must therefore carry the partition columns). Conflict
     * validation: the commit claims the exact version the merge was
     * computed against; if a concurrent writer won, the merge is
     * RECOMPUTED against the new table state and retried (Iceberg's
@@ -406,15 +436,19 @@ object IceLite {
           // v1 instead loops back into the normal merge path against
           // the now-existing table.
           val files = stage(ref, upserts)
-          val rows = countRowsFromFooters(ref, files)
+          val rowsByFile = fileRowCounts(ref, files)
           val stats = collectStats(spark, ref, files, statsCols)
           val snap = Snapshot(1L, System.currentTimeMillis(), "create",
-            files, rows, stats)
+            files, rowsByFile.values.sum, stats, fileRows = rowsByFile)
           if (tryCommit(1L, Manifest(ref.name, 1L, Seq(snap)), files))
             return snap
         case Some((baseVersion, basePath)) =>
           val base = Serialization.read[Manifest](Files.readString(basePath))
-          val current = readFiles(spark, ref, base.current.files)
+          val cur = base.current
+          val current =
+            if (cur.partitionCols.nonEmpty)
+              readPartitionedFiles(spark, ref, cur.files)
+            else readFiles(spark, ref, cur.files)
           // anti-join on ALL update keys (upserts AND tombstones):
           // a tombstoned key's current row must not survive
           val survivors = current.join(
@@ -423,13 +457,19 @@ object IceLite {
           // allowMissingColumns: after a schema-evolving append the
           // table may carry columns the updates lack (or vice versa) —
           // missing sides surface null, matching mergeSchema reads
-          val files = stage(ref,
-            upserts.unionByName(survivors, allowMissingColumns = true))
-          val rows = countRowsFromFooters(ref, files)
-          val stats = collectStats(spark, ref, files, statsCols)
+          // layout-preserving: the merged table keeps the partition
+          // dirs / sort clustering (and snapshot metadata) it had
+          val files = restageWithLayout(ref,
+            upserts.unionByName(survivors, allowMissingColumns = true),
+            cur, cur.files.size)
+          val keepStatsCols =
+            (statsCols ++ cur.fileStats.values.flatten.map(_.col)).distinct
+          val rowsByFile = fileRowCounts(ref, files)
+          val stats = collectStats(spark, ref, files, keepStatsCols)
           val id = base.snapshots.map(_.id).max + 1
           val snap = Snapshot(id, System.currentTimeMillis(), "replace",
-            files, rows, stats)
+            files, rowsByFile.values.sum, stats, cur.partitionCols,
+            cur.sortedBy, fileRows = rowsByFile)
           if (tryCommit(baseVersion + 1,
               base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
             // MERGE rewrites the table → refresh any Bloom sidecar
@@ -452,9 +492,15 @@ object IceLite {
     * rewrites everything because every current row may pair with an
     * update. A predicate matching nothing commits nothing (idempotent
     * no-op). Conflict validation as in merge: the commit claims the
-    * exact base version and recomputes on loss. Like merge, the
-    * rewritten files drop any partition/sort layout metadata —
-    * layout-preserving rewrites arrive with compact()'s scheduler. */
+    * exact base version and recomputes on loss. The rewrite is
+    * LAYOUT-PRESERVING: rewritten rows re-stage through the table's
+    * own partition dirs / sort clustering and the new snapshot keeps
+    * `partitionCols`/`sortedBy`, so partition and stats pruning work
+    * exactly as before (Iceberg likewise rewrites within the table's
+    * partition spec and sort order). On partitioned tables the
+    * predicate may reference partition columns — the detection scan
+    * reads through partition discovery, so path-borne columns are
+    * first-class predicate inputs. */
   def deleteWhere(spark: SparkSession, ref: TableRef, predicate: String,
       statsCols: Seq[String] = Nil): Snapshot = {
     import org.apache.spark.sql.functions.{expr, not}
@@ -476,6 +522,26 @@ object IceLite {
       })
   }
 
+  /** Re-stage rewritten rows in the snapshot's OWN layout (the
+    * layout-preserving half of merge/deleteWhere/updateWhere):
+    * partitioned tables re-stage through the Hive dirs of the current
+    * spec, sorted tables re-cluster on the sort key into `numFiles`
+    * range-partitioned files (tight, non-overlapping [min,max] among
+    * the rewritten files), flat tables stage as-is. Without this a
+    * rewrite landed flat and the table silently lost its pruning
+    * layout until the next compact(). */
+  private def restageWithLayout(ref: TableRef, df: DataFrame,
+      layoutOf: Snapshot, numFiles: Int): Seq[String] =
+    if (layoutOf.partitionCols.nonEmpty)
+      stagePartitioned(ref, df, layoutOf.partitionCols)
+    else layoutOf.sortedBy match {
+      case Some(sc) =>
+        val c = org.apache.spark.sql.functions.col(sc)
+        stage(ref, df.repartitionByRange(math.max(1, numFiles), c)
+          .sortWithinPartitions(c))
+      case None => stage(ref, df)
+    }
+
   private def rewriteWhere(spark: SparkSession, ref: TableRef,
       predicate: String, op: String, statsCols: Seq[String],
       transform: DataFrame => DataFrame): Snapshot = {
@@ -485,24 +551,36 @@ object IceLite {
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
       val base = Serialization.read[Manifest](Files.readString(basePath))
       val snap = base.current
+      // partition-aware read: path-borne partition columns must be
+      // predicate-visible and must survive into the rewrite
+      def readSlice(fs: Seq[String]): DataFrame =
+        if (snap.partitionCols.nonEmpty) readPartitionedFiles(spark, ref, fs)
+        else readFiles(spark, ref, fs)
       // one scan over current files: which contain matching rows?
       // (file-name set is O(files), driver-sized — the same scale
       // class as the manifest itself)
-      val hitUris = readFiles(spark, ref, snap.files)
+      val hitUris = readSlice(snap.files)
         .filter(expr(predicate))
         .select(input_file_name().as("f")).distinct()
         .collect().map(_.getString(0))
       val affected = hitUris.flatMap(matchStagedPath(snap.files, _)).toSet
       if (affected.isEmpty) return snap // nothing matches: no-op
-      val newFiles = stage(ref, transform(readFiles(spark, ref, affected.toSeq)))
-      val newRows = countRowsFromFooters(ref, newFiles)
+      val rewritten = transform(readSlice(affected.toSeq))
+      val newFiles = restageWithLayout(ref, rewritten, snap, affected.size)
+      // keep pruning precise across the rewrite: re-collect every
+      // column the current snapshot tracks, plus any caller additions
+      val keepStatsCols =
+        (statsCols ++ snap.fileStats.values.flatten.map(_.col)).distinct
+      val newRowsByFile = fileRowCounts(ref, newFiles)
       val affectedRows = countRowsFromFooters(ref, affected.toSeq)
-      val stats = collectStats(spark, ref, newFiles, statsCols)
+      val stats = collectStats(spark, ref, newFiles, keepStatsCols)
       val files = snap.files.filterNot(affected) ++ newFiles
       val id = base.snapshots.map(_.id).max + 1
       val next = Snapshot(id, System.currentTimeMillis(), op, files,
-        snap.rowCount - affectedRows + newRows,
-        (snap.fileStats -- affected) ++ stats)
+        snap.rowCount - affectedRows + newRowsByFile.values.sum,
+        (snap.fileStats -- affected) ++ stats,
+        snap.partitionCols, snap.sortedBy,
+        fileRows = (snap.fileRows -- affected) ++ newRowsByFile)
       if (claimVersion(ref, baseVersion + 1,
           base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next),
           newFiles)) {
@@ -529,14 +607,15 @@ object IceLite {
     val c = org.apache.spark.sql.functions.col(sortCol)
     val shaped = df.repartitionByRange(numFiles, c).sortWithinPartitions(c)
     val files = stage(ref, shaped)
-    val rows = countRowsFromFooters(ref, files)
+    val rowsByFile = fileRowCounts(ref, files)
     val stats = collectStats(df.sparkSession, ref, files,
       (statsCols :+ sortCol).distinct)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       val op = if (cur.isDefined) "replace" else "create"
-      val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows,
-        stats, Nil, Some(sortCol))
+      val snap = Snapshot(id, System.currentTimeMillis(), op, files,
+        rowsByFile.values.sum, stats, Nil, Some(sortCol),
+        fileRows = rowsByFile)
       // copy from cur, never rebuild positionally — a rebuilt Manifest
       // would silently drop fields like `branches` (bitten: WAP)
       cur match {
@@ -619,11 +698,12 @@ object IceLite {
           case None =>
             stage(ref, readFiles(spark, ref, cur.files).repartition(targetFiles))
         }
-      val rows = countRowsFromFooters(ref, files)
+      val rowsByFile = fileRowCounts(ref, files)
       val stats = collectStats(spark, ref, files, statsCols)
       val id = base.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
-        files, rows, stats, cur.partitionCols, cur.sortedBy)
+        files, rowsByFile.values.sum, stats, cur.partitionCols,
+        cur.sortedBy, fileRows = rowsByFile)
       if (tryCommit(baseVersion + 1,
           base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
         // rewrites orphan any Bloom sidecar (d17): its entries key the
@@ -685,13 +765,13 @@ object IceLite {
       partitionCols: Seq[String], statsCols: Seq[String]): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val files = stagePartitioned(ref, df, partitionCols)
-    val rows = countRowsFromFooters(ref, files)
+    val rowsByFile = fileRowCounts(ref, files)
     val stats = collectStats(df.sparkSession, ref, files, statsCols)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       val op = if (cur.isDefined) "replace" else "create"
-      val snap = Snapshot(id, System.currentTimeMillis(), op, files, rows,
-        stats, partitionCols)
+      val snap = Snapshot(id, System.currentTimeMillis(), op, files,
+        rowsByFile.values.sum, stats, partitionCols, fileRows = rowsByFile)
       // copy from cur, never rebuild positionally — a rebuilt Manifest
       // would silently drop fields like `branches` (bitten: WAP)
       cur match {
@@ -735,14 +815,15 @@ object IceLite {
       allowSpecChange: Boolean): Snapshot = {
     Files.createDirectories(ref.dataDir)
     val newFiles = stagePartitioned(ref, df, partitionCols)
-    val rows = countRowsFromFooters(ref, newFiles)
+    val rowsByFile = fileRowCounts(ref, newFiles)
+    val rows = rowsByFile.values.sum
     val stats = collectStats(df.sparkSession, ref, newFiles, statsCols)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       cur match {
         case None =>
           val snap = Snapshot(id, System.currentTimeMillis(), "create",
-            newFiles, rows, stats, partitionCols)
+            newFiles, rows, stats, partitionCols, fileRows = rowsByFile)
           Manifest(ref.name, id, Seq(snap))
         case Some(m) =>
           require(allowSpecChange || m.current.partitionCols == partitionCols,
@@ -751,7 +832,8 @@ object IceLite {
               "(use appendPartitionedEvolving to evolve the spec)")
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
-            m.current.fileStats ++ stats, partitionCols)
+            m.current.fileStats ++ stats, partitionCols,
+            fileRows = m.current.fileRows ++ rowsByFile)
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
       }
     }.current
@@ -1012,7 +1094,9 @@ object IceLite {
           srcSnap.fileStats.get(rel).map(abs -> _) }.toMap,
         srcSnap.partitionCols, srcSnap.sortedBy,
         summary = Map("clone.source" -> src.dir.toString,
-          "clone.sourceSnapshot" -> srcSnap.id.toString))
+          "clone.sourceSnapshot" -> srcSnap.id.toString),
+        fileRows = absFiles.zip(srcSnap.files).flatMap { case (abs, rel) =>
+          srcSnap.fileRows.get(rel).map(abs -> _) }.toMap)
       Manifest(dst.name, 1L, Seq(snap))
     }.current
   }
@@ -1053,7 +1137,10 @@ object IceLite {
           c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
         }.toMap
       val cs = snap.fileStats.getOrElse(f, Nil)
-      (f, Files.size(p), countRowsFromFooters(ref, Seq(f)), partition,
+      // manifest record count when present (every post-upgrade commit
+      // writes it); footer read only for pre-upgrade snapshots
+      val rows = snap.fileRows.getOrElse(f, countRowsFromFooters(ref, Seq(f)))
+      (f, Files.size(p), rows, partition,
         cs.map(c => c.col -> c.min).toMap, cs.map(c => c.col -> c.max).toMap)
     }.toDF("file", "size_bytes", "row_count", "partition",
       "stats_min", "stats_max")
@@ -1142,7 +1229,7 @@ object IceLite {
   def stageBranchAppend(ref: TableRef, branch: String, df: DataFrame,
       statsCols: Seq[String] = Nil): Snapshot = {
     val files = stage(ref, df)
-    val rows = countRowsFromFooters(ref, files)
+    val rowsByFile = fileRowCounts(ref, files)
     val stats = collectStats(df.sparkSession, ref, files, statsCols)
     val man = commitCAS(ref) { cur =>
       val m = cur.getOrElse(
@@ -1150,11 +1237,12 @@ object IceLite {
       val base = m.current
       val id = m.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "stage-append",
-        base.files ++ files, base.rowCount + rows,
+        base.files ++ files, base.rowCount + rowsByFile.values.sum,
         base.fileStats ++ stats, base.partitionCols, base.sortedBy,
         // the base main snapshot this candidate was built on — publish
         // refuses to fast-forward if main has advanced past it
-        summary = Map("wap.base" -> base.id.toString))
+        summary = Map("wap.base" -> base.id.toString),
+        fileRows = base.fileRows ++ rowsByFile)
       m.copy(snapshots = m.snapshots :+ snap,
         branches = m.branches + (branch -> id))
     }

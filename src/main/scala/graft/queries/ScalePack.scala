@@ -1062,6 +1062,84 @@ object ScalePack extends Pack {
              TRUE AS targeted
              FROM orders""")),
 
+    // d33: GROUPED aggregate pushdown (the d29 extension) — GROUP BY
+    // a FILE-CONSTANT column answers from the manifest alone: the
+    // table's files are value-pure on the group key (one append per
+    // value here; a partitioned/clustered ingest at scale), so the
+    // connector groups the per-file manifest rows — record counts
+    // (Snapshot.fileRows) and min/max stats — instead of opening one
+    // parquet file. Iceberg's partition-stats read: `GROUP BY
+    // partition_col` over a billion-file table = a driver-side
+    // metadata fold. Decline-safe: a file straddling two group
+    // values, a stats/record-count gap, or any filter falls back to
+    // the real scan (spec-pinned).
+    Decl("d33_group_agg_pushdown",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d33").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_grouped")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_linenumber", $"l_quantity")
+        val groups = l.select($"l_linenumber").distinct()
+          .collect().map(_.getInt(0)).sorted
+        groups.foreach { g =>
+          IceLite.append(ref, l.filter($"l_linenumber" === g).coalesce(1),
+            statsCols = Seq("l_linenumber", "l_quantity"))
+        }
+        val agg = s.read.format("graft.sources.IceLiteSource")
+          .load(ref.dir.toString)
+          .groupBy($"l_linenumber")
+          .agg(count(lit(1)).as("n"),
+            min($"l_quantity").as("min_qty"),
+            max($"l_quantity").as("max_qty"))
+          .orderBy($"l_linenumber")
+        graft.sources.IceLiteSource.lastScanMetadataOnly = false
+        agg.write.format("noop").mode("overwrite").save()
+        val pushed = graft.sources.IceLiteSource.lastScanMetadataOnly
+        agg.withColumn("agg_pushed", lit(pushed))
+      },
+      Some("""SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             TRUE AS agg_pushed
+             FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""")),
+
+    // d32: LAYOUT-PRESERVING row-level rewrite — the delete runs on a
+    // Hive-partitioned table, the predicate references the PATH-BORNE
+    // partition column (detection scans read through partition
+    // discovery), and the rewritten rows re-stage into their original
+    // `l_returnflag=<v>/` dir with `partitionCols` kept in the new
+    // snapshot. Witnessed: `layout_kept` (snapshot still partitioned +
+    // every rewritten file under the deleted partition's dir) and the
+    // post-delete read goes through partition PRUNING — at 100 TB a
+    // delete must not demote the table to a flat layout until the next
+    // compact(), or every downstream query loses its partition skips.
+    Decl("d32_layout_preserving_delete",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d32").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_part_del")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+            $"l_returnflag")
+        IceLite.createOrReplacePartitioned(ref, l, "l_returnflag",
+          statsCols = Seq("l_orderkey"))
+        val before = IceLite.readManifest(ref).current.files.toSet
+        val snap = IceLite.deleteWhere(s, ref,
+          "l_returnflag = 'R' AND l_quantity < 10")
+        val newFiles = snap.files.filterNot(before)
+        val layoutKept = snap.partitionCols == Seq("l_returnflag") &&
+          newFiles.nonEmpty && newFiles.forall(_.contains("l_returnflag=R"))
+        IceLite.readPartitionPruned(s, ref, Set("R"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"l_extendedprice", 3).as("sum_price"))
+          .withColumn("layout_kept", lit(layoutKept))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS layout_kept
+             FROM lineitem
+             WHERE l_returnflag = 'R' AND l_quantity >= 10""")),
+
     Decl("d02_salted_agg",
       (s, dir) => {
         // stage 1: aggregate by (salt, key) — a hot key splits across

@@ -98,7 +98,8 @@ class IceLiteTable(ref: TableRef, schema: StructType)
       TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(ref, schema,
-      options.getInt("snapshotsPerTrigger", Int.MaxValue))
+      options.getInt("snapshotsPerTrigger", Int.MaxValue),
+      options.getLong("targetSplitBytes", 128L * 1024 * 1024))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new IceLiteWriteBuilder(ref, info)
 }
@@ -324,14 +325,15 @@ private[sources] final case class PushedMin(col: String) extends PushedAgg
 private[sources] final case class PushedMax(col: String) extends PushedAgg
 
 class IceLiteScanBuilder(ref: TableRef, schema: StructType,
-    snapshotsPerTrigger: Int = Int.MaxValue)
+    snapshotsPerTrigger: Int = Int.MaxValue,
+    targetSplitBytes: Long = 128L * 1024 * 1024)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var accepted: Array[Filter] = Array.empty
   private var bounds: Map[String, (Double, Double)] = Map.empty
-  private var pushedAggs: Option[Seq[PushedAgg]] = None
+  private var pushedAggs: Option[(Seq[String], Seq[PushedAgg])] = None
 
   private def num(v: Any): Option[Double] = v match {
     case n: Number => Some(n.doubleValue())
@@ -362,17 +364,26 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Aggregate pushdown (d29): COUNT(*) / MIN / MAX with no GROUP BY
-    * and no filter answer from the MANIFEST ALONE — zero data files
-    * planned. COUNT(*) is the snapshot row count; MIN/MAX fold the
-    * per-file ColStats ranges, accepted only for DOUBLE columns
-    * (stats are stored as doubles — exact for doubles, lossy past
-    * 2^53 for longs) where EVERY current file carries a stat (a
-    * stats gap falls back to the normal scan, so pushdown is never a
-    * correctness risk). Spark only attempts aggregate pushdown when
-    * no post-scan filter remains, and this source keeps every pushed
-    * filter residual — so a filtered aggregate always takes the
-    * normal scan path. */
+  /** Aggregate pushdown (d29/d33): COUNT(*) / MIN / MAX with no
+    * filter answer from the MANIFEST ALONE — zero data files planned.
+    * Global: COUNT(*) is the snapshot row count; MIN/MAX fold the
+    * per-file ColStats ranges. GROUPED (d33): a GROUP BY over
+    * FILE-CONSTANT columns — every file's [min,max] stat for the
+    * column collapses to a point, i.e. the files are value-pure the
+    * way a partitioned/clustered ingest writes them — groups the
+    * FILES by their stat values: per-group COUNT sums the manifest's
+    * per-file record counts (`Snapshot.fileRows`), per-group MIN/MAX
+    * folds within the group. This is Iceberg's partition-stats read:
+    * `GROUP BY <partition col>` over a billion-file table from
+    * driver-side metadata. Accepted columns are DOUBLE (stats are
+    * stored as doubles — exact) or, for GROUP BY keys, LONG/INT
+    * whose stat values are all integral below 2^53 (the double
+    * round-trips exactly). Any gap — missing stat, non-pure file,
+    * missing record count, other types — falls back to the normal
+    * scan, so pushdown is never a correctness risk. Spark only
+    * attempts aggregate pushdown when no post-scan filter remains,
+    * and this source keeps every pushed filter residual — so a
+    * filtered aggregate always takes the normal scan path. */
   private lazy val currentSnap = IceLite.readManifest(ref).current
 
   private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -381,22 +392,52 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       case _ => None
     }
 
+  private def typeOf(col: String): Option[DataType] =
+    schema.fields.find(_.name == col).map(_.dataType)
+
   private def statsCovered(col: String): Boolean =
-    schema.fields.find(_.name == col).map(_.dataType).contains(DoubleType) &&
+    typeOf(col).contains(DoubleType) &&
       currentSnap.files.nonEmpty &&
       currentSnap.files.forall(f =>
         currentSnap.fileStats.get(f).exists(_.exists(_.col == col)))
 
-  private def translate(agg: Aggregation): Option[Seq[PushedAgg]] =
-    if (agg.groupByExpressions.nonEmpty || bounds.nonEmpty) None
+  /** A column every file is value-pure on (stat min == max), typed so
+    * the double-stored stat round-trips exactly. */
+  private def groupable(col: String): Boolean = {
+    def pointStats = currentSnap.files.forall { f =>
+      currentSnap.fileStats.get(f).exists(_.exists(cs =>
+        cs.col == col && cs.min == cs.max))
+    }
+    def integralPoints = currentSnap.files.forall { f =>
+      currentSnap.fileStats.get(f).flatMap(_.find(_.col == col)).forall(cs =>
+        cs.min == math.rint(cs.min) && math.abs(cs.min) <= (1L << 53).toDouble)
+    }
+    currentSnap.files.nonEmpty && (typeOf(col) match {
+      case Some(DoubleType) => pointStats
+      case Some(LongType) | Some(IntegerType) => pointStats && integralPoints
+      case _ => false
+    })
+  }
+
+  private def fileRowsComplete: Boolean =
+    currentSnap.files.forall(currentSnap.fileRows.contains)
+
+  private def translate(agg: Aggregation): Option[(Seq[String], Seq[PushedAgg])] =
+    if (bounds.nonEmpty) None
     else {
+      val groupCols: Seq[Option[String]] =
+        agg.groupByExpressions.toSeq.map(colOf(_).filter(groupable))
+      val grouped = groupCols.nonEmpty
       val specs: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
-        case _: CountStar => Some(PushedCountStar)
+        // grouped COUNT needs the per-file record counts in the
+        // manifest; the global count reads the snapshot total
+        case _: CountStar if !grouped || fileRowsComplete => Some(PushedCountStar)
         case m: Min => colOf(m.column).filter(statsCovered).map(PushedMin)
         case m: Max => colOf(m.column).filter(statsCovered).map(PushedMax)
         case _ => None
       }
-      if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.flatten)
+      if (specs.nonEmpty && specs.forall(_.isDefined) && groupCols.forall(_.isDefined))
+        Some((groupCols.flatten, specs.flatten))
       else None
     }
 
@@ -411,7 +452,9 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   }
 
   override def build(): Scan = pushedAggs match {
-    case Some(specs) => new IceLiteAggScan(ref, specs)
+    case Some((groupCols, specs)) =>
+      new IceLiteAggScan(ref, specs,
+        groupCols.map(c => (c, typeOf(c).get)))
     case None =>
       // normalize the projection to FILE-SCHEMA order: the vectorized
       // reader clips the parquet schema in file order, so readSchema
@@ -421,59 +464,81 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       val ordered = StructType(schema.fields.filter(f => names.contains(f.name)))
       new IceLiteScan(ref,
         if (ordered.length == required.length) ordered else required,
-        bounds, snapshotsPerTrigger)
+        bounds, snapshotsPerTrigger, targetSplitBytes)
   }
 }
 
 /** Metadata-only scan: one synthetic input partition carrying the
-  * aggregate values resolved from the manifest — no parquet file is
-  * ever opened. At 100 TB this turns `SELECT count(*), min(x),
-  * max(x)` over a billion-file table into a driver-side manifest
-  * read, exactly Iceberg's manifest-aggregation optimization. */
-class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg]) extends Scan with Batch {
-  override def readSchema(): StructType = StructType(specs.map {
-    case PushedCountStar => StructField("count_star", LongType, nullable = false)
-    case PushedMin(c) => StructField(s"min_$c", DoubleType)
-    case PushedMax(c) => StructField(s"max_$c", DoubleType)
-  })
+  * aggregate rows resolved from the manifest — no parquet file is
+  * ever opened. Global mode emits the single `count(*)/min/max` row;
+  * grouped mode (d33) emits one row per distinct value tuple of the
+  * file-constant GROUP BY columns, with per-group counts from the
+  * manifest's per-file record counts. At 100 TB this turns `SELECT
+  * part, count(*) ... GROUP BY part` over a billion-file table into
+  * a driver-side manifest read, exactly Iceberg's manifest/
+  * partition-stats aggregation. Spark's complete-pushdown contract
+  * puts the GROUP BY columns FIRST in the scan output, aggregate
+  * values after. */
+class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
+    groupCols: Seq[(String, DataType)] = Nil) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    groupCols.map { case (c, dt) => StructField(c, dt) } ++
+    specs.map {
+      case PushedCountStar => StructField("count_star", LongType, nullable = false)
+      case PushedMin(c) => StructField(s"min_$c", DoubleType)
+      case PushedMax(c) => StructField(s"max_$c", DoubleType)
+    })
   override def toBatch: Batch = this
   override def description(): String =
-    s"IceLiteAggScan ${ref.name} metadataOnly=${specs.mkString(",")}"
+    s"IceLiteAggScan ${ref.name} metadataOnly=${specs.mkString(",")}" +
+      (if (groupCols.isEmpty) "" else s" groupBy=${groupCols.map(_._1).mkString(",")}")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = IceLite.readManifest(ref).current
-    def fold(c: String, pick: ColStats => Double, reduce: Seq[Double] => Double): Double =
-      reduce(snap.files.map { f =>
-        snap.fileStats.get(f).flatMap(_.find(_.col == c)).map(pick).getOrElse(
-          throw new IllegalStateException(
-            s"file $f of ${ref.name} lost its $c stats between pushdown and planning"))
-      })
+    def stat(f: String, c: String): ColStats =
+      snap.fileStats.get(f).flatMap(_.find(_.col == c)).getOrElse(
+        throw new IllegalStateException(
+          s"file $f of ${ref.name} lost its $c stats between pushdown and planning"))
     // explicit Any return: a bare match would weakly-conform the Long
     // count branch to Double alongside the min/max branches
-    def value(s: PushedAgg): Any = s match {
-      case PushedCountStar => snap.rowCount
-      case PushedMin(c) => fold(c, _.min, _.min)
-      case PushedMax(c) => fold(c, _.max, _.max)
+    def value(files: Seq[String])(s: PushedAgg): Any = s match {
+      case PushedCountStar =>
+        if (groupCols.isEmpty) snap.rowCount // old manifests: no fileRows
+        else files.map(snap.fileRows).sum
+      case PushedMin(c) => files.map(stat(_, c).min).min
+      case PushedMax(c) => files.map(stat(_, c).max).max
     }
-    val vals: Array[Any] = specs.map(value).toArray
+    def keyVal(f: String)(gc: (String, DataType)): Any = {
+      val v = stat(f, gc._1).min // min == max: file-constant by contract
+      gc._2 match {
+        case LongType => v.toLong
+        case IntegerType => v.toInt
+        case _ => v
+      }
+    }
+    val rows: Array[Array[Any]] =
+      if (groupCols.isEmpty) Array(specs.map(value(snap.files)).toArray)
+      else snap.files.groupBy(f => groupCols.map(keyVal(f)))
+        .toArray.sortBy(_._1.mkString(" "))
+        .map { case (key, files) => (key ++ specs.map(value(files))).toArray }
     IceLiteSource.lastPlannedFiles = Nil
     IceLiteSource.lastScanMetadataOnly = true
-    Array(IceLiteAggPartition(vals))
+    Array(IceLiteAggPartition(rows))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new IceLiteAggReaderFactory
 }
 
-case class IceLiteAggPartition(vals: Array[Any]) extends InputPartition
+case class IceLiteAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 class IceLiteAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val vals = p.asInstanceOf[IceLiteAggPartition].vals
+    val rows = p.asInstanceOf[IceLiteAggPartition].rows
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = !emitted && { emitted = true; true }
-      override def get(): InternalRow = InternalRow.fromSeq(vals.toIndexedSeq)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = InternalRow.fromSeq(rows(i).toIndexedSeq)
       override def close(): Unit = ()
     }
   }
@@ -481,7 +546,8 @@ class IceLiteAggReaderFactory extends PartitionReaderFactory {
 
 class IceLiteScan(ref: TableRef, required: StructType,
     bounds: Map[String, (Double, Double)],
-    snapshotsPerTrigger: Int = Int.MaxValue) extends Scan with Batch {
+    snapshotsPerTrigger: Int = Int.MaxValue,
+    targetSplitBytes: Long = 128L * 1024 * 1024) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -490,6 +556,18 @@ class IceLiteScan(ref: TableRef, required: StructType,
   override def description(): String =
     s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}"
 
+  /** One input partition per ~`targetSplitBytes` of data, not per
+    * file: consecutive manifest files bin-pack greedily until the
+    * bin would overflow (Spark's own parquet source coalesces small
+    * files per split the same way, via files.maxPartitionBytes).
+    * One-file-per-task matches IceLite's sized writes, but a table
+    * of many tiny files — fresh streaming appends, pre-compaction
+    * ingest — would otherwise pay a task launch per file; at 100 TB
+    * with millions of small files that is pure scheduler overhead.
+    * Packing keeps MANIFEST ORDER, so a sorted table's consecutive
+    * key ranges stay in the same task (range locality survives).
+    * File sizes come from the local footer stat — O(files) driver
+    * metadata, the same class as the manifest read itself. */
   override def planInputPartitions(): Array[InputPartition] = {
     val files =
       if (bounds.isEmpty) IceLite.readManifest(ref).current.files
@@ -497,15 +575,28 @@ class IceLiteScan(ref: TableRef, required: StructType,
         bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
     IceLiteSource.lastPlannedFiles = files
     IceLiteSource.lastScanMetadataOnly = false
-    files.map(f => IceLiteInputPartition(
-      ref.dir.resolve(f).toString): InputPartition).toArray
+    val sized = files.map { f =>
+      val p = ref.dir.resolve(f)
+      (p.toString, scala.util.Try(java.nio.file.Files.size(p)).getOrElse(0L))
+    }
+    val bins = Seq.newBuilder[Seq[String]]
+    var bin = Vector.empty[String]
+    var binBytes = 0L
+    sized.foreach { case (path, bytes) =>
+      if (bin.nonEmpty && binBytes + bytes > targetSplitBytes) {
+        bins += bin; bin = Vector.empty; binBytes = 0L
+      }
+      bin :+= path; binBytes += bytes
+    }
+    if (bin.nonEmpty) bins += bin
+    bins.result().map(fs => IceLiteInputPartition(fs): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new IceLiteReaderFactory(required.fields.map(f => (f.name, f.dataType)))
 }
 
-case class IceLiteInputPartition(file: String) extends InputPartition
+case class IceLiteInputPartition(files: Seq[String]) extends InputPartition
 
 /** Streaming offset = the snapshot id the stream has consumed up to
   * (−1 = nothing consumed yet). Snapshot ids are the natural offset
@@ -597,7 +688,8 @@ class IceLiteMicroBatchStream(ref: TableRef,
         s"($startId → $endId removed ${dropped.size} files — replace/" +
         "compaction/rollback); restart from a fresh checkpoint")
     endFiles.filterNot(startFiles)
-      .map(f => IceLiteInputPartition(ref.dir.resolve(f).toString): InputPartition)
+      .map(f => IceLiteInputPartition(
+        Seq(ref.dir.resolve(f).toString)): InputPartition)
       .toArray
   }
 
@@ -624,22 +716,57 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
   override def supportColumnarReads(p: InputPartition): Boolean =
     fields.nonEmpty
 
+  /** Reads a (possibly coalesced) file group: one vectorized reader
+    * at a time, opened lazily as the previous file drains — a packed
+    * partition holds at most ONE open file's decode state, so
+    * coalescing never multiplies memory. */
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val file = p.asInstanceOf[IceLiteInputPartition].file
+    val files = p.asInstanceOf[IceLiteInputPartition].files
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      private val reader =
-        new org.apache.spark.sql.execution.datasources.parquet
-          .VectorizedParquetRecordReader(false, 4096)
-      reader.initialize(file, fields.map(_._1).toList.asJava)
-      private val batch = reader.resultBatch()
-      override def next(): Boolean = reader.nextBatch()
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
-      override def close(): Unit = reader.close()
+      private val remaining = files.iterator
+      private var reader: org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader = _
+      private def openNext(): Boolean =
+        if (!remaining.hasNext) false
+        else {
+          reader = new org.apache.spark.sql.execution.datasources.parquet
+            .VectorizedParquetRecordReader(false, 4096)
+          reader.initialize(remaining.next(), fields.map(_._1).toList.asJava)
+          reader.resultBatch() // allocates the batch nextBatch() fills
+          true
+        }
+      override def next(): Boolean = {
+        while (reader == null || !reader.nextBatch()) {
+          if (reader != null) { reader.close(); reader = null }
+          if (!openNext()) return false
+        }
+        true
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        reader.resultBatch()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[IceLiteInputPartition].file
+    val group = p.asInstanceOf[IceLiteInputPartition].files
+    new PartitionReader[InternalRow] {
+      private val fileReaders = group.iterator.map(singleFileReader)
+      private var cur0: PartitionReader[InternalRow] =
+        if (fileReaders.hasNext) fileReaders.next() else null
+      override def next(): Boolean = {
+        while (cur0 != null && !cur0.next()) {
+          cur0.close()
+          cur0 = if (fileReaders.hasNext) fileReaders.next() else null
+        }
+        cur0 != null
+      }
+      override def get(): InternalRow = cur0.get()
+      override def close(): Unit = if (cur0 != null) cur0.close()
+    }
+  }
+
+  private def singleFileReader(file: String): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val conf = new Configuration()
       // project the read schema down to the required columns so the

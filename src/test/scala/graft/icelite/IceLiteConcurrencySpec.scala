@@ -339,6 +339,50 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
       s"delete/append race lost rows: ${keys.toSeq}")
   }
 
+  test("concurrent merges on a PARTITIONED table: both land, shared part dirs intact") {
+    // the unstage-on-lost-race path: partition-staged files live in
+    // SHARED data/part/<col>=<v>/ dirs, so the loser's cleanup must
+    // delete exactly its own staged files, never the dir (a token-dir
+    // style unstage here would wipe the winner's committed files too)
+    val wh = Files.createTempDirectory("cas_part_merge_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 40L).map(k => (k, s"v$k", if (k % 2 == 0) "even" else "odd"))
+        .toDF("k", "v", "p"),
+      "p", statsCols = Seq("k"))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val batches = Seq(
+      (0L until 5L).map(k => (k, "A", if (k % 2 == 0) "even" else "odd")),
+      (100L until 105L).map(k => (k, "B", if (k % 2 == 0) "even" else "odd")))
+    batches.foreach { b =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try IceLite.merge(spark, ref, b.toDF("k", "v", "p"), Seq("k"))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "merges timed out")
+    assert(failures.isEmpty, s"partitioned merge failed: ${failures.peek()}")
+
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionCols == Seq("p"), "layout metadata lost under race")
+    val got = IceLite.readPartitioned(spark, ref)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 45, s"rows lost under partitioned merge race: ${got.size}")
+    assert((0L until 5L).forall(got(_) == "A") &&
+      (100L until 105L).forall(got(_) == "B") &&
+      (5L until 40L).forall(k => got(k) == s"v$k"),
+      s"a partitioned concurrent merge was lost")
+  }
+
   test("manifest versions are dense and monotonic after races") {
     val wh = Files.createTempDirectory("cas_spec2").toString
     IceLite.createNamespace(wh, "src")

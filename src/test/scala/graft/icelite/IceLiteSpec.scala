@@ -354,4 +354,83 @@ class IceLiteSpec extends AnyFunSuite {
     // non-matching rows inside the touched file carried unchanged
     assert(got(101L) == 1101.0 && got.size == 400)
   }
+
+  test("deleteWhere on a sorted table keeps the sort layout and tight file ranges") {
+    val ref = freshRef()
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    val snap = IceLite.deleteWhere(spark, ref, "k >= 100 AND k < 150")
+    // layout metadata survives the rewrite …
+    assert(snap.sortedBy.contains("k"))
+    // … and so do per-file stats: every file still carries a k range,
+    // and the ranges stay pairwise non-overlapping (sorted layout)
+    val ranges = snap.files.map { f =>
+      val cs = snap.fileStats(f).find(_.col == "k").get
+      (cs.min, cs.max)
+    }.sortBy(_._1)
+    assert(ranges.size == snap.files.size)
+    assert(ranges.zip(ranges.tail).forall { case ((_, hi), (lo, _)) => hi < lo })
+    // a range scan after the delete still prunes to one file
+    assert(IceLite.prunedFiles(ref, "k", 350.0, 360.0).size == 1)
+  }
+
+  test("deleteWhere on a partitioned table preserves the layout and partition-col predicates work") {
+    val ref = freshRef()
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 300L).map(k => (k, if (k % 3 == 0) "a" else if (k % 3 == 1) "b" else "c"))
+        .toDF("k", "p"),
+      "p", statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current
+    // predicate on the PATH-BORNE partition column — only possible
+    // because the detection scan reads through partition discovery
+    val snap = IceLite.deleteWhere(spark, ref, "p = 'b' AND k < 100")
+    assert(snap.partitionCols == Seq("p"))
+    // untouched partitions' files survive byte-identical (same paths)
+    val untouched = before.files.filter(f => !f.contains("p=b"))
+    assert(untouched.forall(snap.files.contains))
+    // rewritten rows landed back under their Hive partition dir
+    val newFiles = snap.files.filterNot(before.files.toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("p=b")))
+    // partition pruning still works post-delete, and the data is right
+    val b = IceLite.readPartitionPruned(spark, ref, Set("b"))
+      .select("k").as[Long].collect().sorted
+    assert(b.toSeq == (0L until 300L).filter(_ % 3 == 1).filter(_ >= 100))
+    assert(IceLite.read(spark, ref).count() == 300 - 33)
+  }
+
+  test("merge on a partitioned table keeps the partition layout") {
+    val ref = freshRef()
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b")).toDF("k", "v", "p"),
+      "p", statsCols = Seq("k"))
+    val snap = IceLite.merge(spark, ref,
+      Seq((2L, "Y2", "a"), (4L, "w", "b")).toDF("k", "v", "p"), Seq("k"))
+    assert(snap.partitionCols == Seq("p"))
+    assert(snap.files.nonEmpty && snap.files.forall(_.startsWith("data/part/p=")))
+    val got = IceLite.readPartitioned(spark, ref)
+      .select("k", "v", "p").as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "x", "a"), (2L, "Y2", "a"),
+      (3L, "z", "b"), (4L, "w", "b")))
+    // partition pruning still answers from the new snapshot
+    assert(IceLite.readPartitionPruned(spark, ref, Set("b"))
+      .select("k").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("merge on a sorted table keeps the sort layout") {
+    val ref = freshRef()
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 200L).map(k => (k, k.toDouble)).toDF("k", "v"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    val snap = IceLite.merge(spark, ref,
+      Seq((50L, -1.0), (500L, 500.0)).toDF("k", "v"), Seq("k"))
+    assert(snap.sortedBy.contains("k"))
+    val ranges = snap.files.map { f =>
+      val cs = snap.fileStats(f).find(_.col == "k").get
+      (cs.min, cs.max)
+    }.sortBy(_._1)
+    assert(ranges.zip(ranges.tail).forall { case ((_, hi), (lo, _)) => hi < lo })
+    val got = IceLite.read(spark, ref).as[(Long, Double)].collect().toMap
+    assert(got.size == 201 && got(50L) == -1.0 && got(500L) == 500.0)
+  }
 }

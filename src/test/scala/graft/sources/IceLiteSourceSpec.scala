@@ -157,6 +157,45 @@ class IceLiteSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("many small files coalesce into few input partitions; values unchanged") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_co").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    // 20 tiny files — the pre-compaction / fresh-streaming-append shape
+    IceLite.createOrReplace(ref,
+      (0L until 1000L).map(k => (k, k * 3)).toDF("k", "v").repartition(20))
+    val total = IceLite.readManifest(ref).current.files.size
+    assert(total == 20)
+    // default 128 MiB target dwarfs the fixture: ONE packed partition,
+    // not one task launch per tiny file
+    val df = spark.read.format(Fmt).load(ref.dir.toString)
+    assert(df.rdd.getNumPartitions == 1,
+      s"tiny files must pack into one split, got ${df.rdd.getNumPartitions}")
+    assert(df.as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      == (0L until 1000L).map(k => (k, k * 3)))
+    // a tiny target degenerates to the old one-file-per-partition shape
+    val perFile = spark.read.format(Fmt).option("targetSplitBytes", "1")
+      .load(ref.dir.toString)
+    assert(perFile.rdd.getNumPartitions == total)
+    assert(perFile.count() == 1000L)
+  }
+
+  test("coalesced splits compose with filter pushdown (prune first, then pack)") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_cp2").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 8000L).map(k => (k, k * 2)).toDF("k", "v"),
+      "k", numFiles = 8, statsCols = Seq("k"))
+    val df = spark.read.format(Fmt).load(ref.dir.toString)
+      .filter($"k" >= 1000L && $"k" < 3000L)
+    val rows = df.as[(Long, Long)].collect()
+    assert(rows.length == 2000 && rows.forall(r => r._1 >= 1000 && r._1 < 3000))
+    // only the overlapping files were planned, and they packed into one split
+    assert(IceLiteSource.lastPlannedFiles.size < 8)
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
   test("aggregate pushdown answers count/min/max from the manifest alone") {
     val wh = java.nio.file.Files.createTempDirectory("v2src_ag").toString
     val ref = TableRef(wh, "ns", "t")
@@ -183,6 +222,38 @@ class IceLiteSourceSpec extends AnyFunSuite {
       .agg(count(lit(1))).collect().head.getLong(0)
     assert(n == 77L)
     assert(IceLiteSource.lastScanMetadataOnly)
+  }
+
+  test("GROUPED aggregate pushdown answers GROUP BY a file-constant column from the manifest") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_ga").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    // one value-pure file per group — the layout a partitioned or
+    // clustered ingest produces (here: one append per group value)
+    (1L to 4L).foreach { g =>
+      IceLite.append(ref,
+        (1L to g * 10L).map(k => (g, k * 1.0 + g)).toDF("g", "v").coalesce(1),
+        statsCols = Seq("g", "v"))
+    }
+    IceLiteSource.lastScanMetadataOnly = false
+    val got = spark.read.format(Fmt).load(ref.dir.toString)
+      .groupBy($"g").agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == (1L to 4L).map(g => (g, g * 10L, 1.0 + g, g * 10.0 + g)),
+      s"grouped pushdown wrong: $got")
+    assert(IceLiteSource.lastScanMetadataOnly,
+      "GROUP BY a file-constant column over a stats+fileRows-covered " +
+        "table must be metadata-only")
+    // a file holding TWO group values breaks purity → falls back, exact
+    IceLite.append(ref, Seq((5L, 1.0), (6L, 2.0)).toDF("g", "v").coalesce(1),
+      statsCols = Seq("g", "v"))
+    IceLiteSource.lastScanMetadataOnly = false
+    val n = spark.read.format(Fmt).load(ref.dir.toString)
+      .groupBy($"g").agg(count(lit(1))).collect().length
+    assert(n == 6)
+    assert(!IceLiteSource.lastScanMetadataOnly,
+      "a non-value-pure file must force the scan path")
   }
 
   test("aggregate pushdown declines on stats gaps, filters, group-by and long columns") {
