@@ -1146,6 +1146,45 @@ object IceLite {
       "stats_min", "stats_max")
   }
 
+  /** d34: the PARTITIONS metadata table (Iceberg's `table$partitions`)
+    * — one row per live partition-value tuple with file count, exact
+    * record count, and byte size. Everything folds from the manifest:
+    * partition values parse from the Hive paths, record counts read
+    * `Snapshot.fileRows` (footer fallback only for pre-upgrade
+    * snapshots), sizes from file metadata — O(files) driver work, no
+    * data page touched. This is the skew/balance dashboard a 100 TB
+    * operator checks before choosing compaction or salting targets;
+    * pairing it with d33's grouped pushdown, the manifest answers
+    * both the metadata shape AND the data aggregate without a scan.
+    * Under spec evolution, files whose own layout lacks a current
+    * partition column report NULL for it (path-borne truth only). */
+  def partitionsDf(spark: SparkSession, ref: TableRef): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val snap = readManifest(ref).current
+    require(snap.partitionCols.nonEmpty, s"${ref.name} is not partitioned")
+    val byPart = snap.files.groupBy { f =>
+      val vals = f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
+        val c = seg.takeWhile(_ != '=')
+        c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+      }.toMap
+      snap.partitionCols.map(vals.get(_).orNull)
+    }
+    val rows = byPart.toSeq.map { case (vals, files) =>
+      Row.fromSeq(vals ++ Seq(
+        files.size.toLong,
+        files.map(f => snap.fileRows.getOrElse(f,
+          countRowsFromFooters(ref, Seq(f)))).sum,
+        files.map(f => Files.size(ref.dir.resolve(f))).sum))
+    }
+    val schema = StructType(
+      snap.partitionCols.map(c => StructField(c, StringType)) ++
+        Seq(StructField("file_count", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Orphan-file GC (Iceberg's remove_orphan_files role): delete data
     * files referenced by NO snapshot in the manifest — the residue of
     * writers that crashed between staging and their CAS claim, which
@@ -1298,13 +1337,38 @@ object IceLite {
   def expireSnapshots(ref: TableRef, cutoffMs: Long): Seq[Long] = {
     if (readManifest(ref).snapshots.forall(s => s.timestampMs >= cutoffMs))
       return Seq.empty
+    expireWhere(ref, (s, m) => s.timestampMs < cutoffMs)
+  }
+
+  /** d35: COUNT-based retention (Iceberg's `expire_snapshots(
+    * retain_last => N)`) — keep the N newest snapshots regardless of
+    * age; current and branch-pinned snapshots always survive on top.
+    * The operational complement to the time cutoff: a table that
+    * commits every few seconds (a streaming sink) ages out its
+    * time-travel window in minutes under a pure-age policy, while a
+    * rarely-written table under count-only retention would keep
+    * years — production Iceberg runs BOTH bounds, and so can callers
+    * here (the two compose: run one, then the other). */
+  def expireSnapshotsRetainLast(ref: TableRef, n: Int): Seq[Long] = {
+    require(n >= 1, "retain_last must keep at least one snapshot")
+    expireWhere(ref, (s, m) =>
+      !m.snapshots.map(_.id).sorted.takeRight(n).contains(s.id))
+  }
+
+  /** Shared expiry core: drop snapshots matching `dead` (current and
+    * branch-pinned always survive), then reclaim data files no
+    * surviving snapshot references — in that order, so a reader
+    * holding the old manifest never sees a missing file for a
+    * snapshot the new manifest still lists. */
+  private def expireWhere(ref: TableRef,
+      dead: (Snapshot, Manifest) => Boolean): Seq[Long] = {
     var expired: Seq[Snapshot] = Seq.empty
     val committed = commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
       val pinned = m.branches.values.toSet + m.currentSnapshotId
-      val (dead, alive) = m.snapshots.partition(s =>
-        s.timestampMs < cutoffMs && !pinned(s.id))
-      expired = dead
+      val (gone, alive) = m.snapshots.partition(s =>
+        dead(s, m) && !pinned(s.id))
+      expired = gone
       m.copy(snapshots = alive)
     }
     val keepFiles = committed.snapshots.flatMap(_.files).toSet

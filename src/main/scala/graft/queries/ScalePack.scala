@@ -1062,6 +1062,77 @@ object ScalePack extends Pack {
              TRUE AS targeted
              FROM orders""")),
 
+    // d35: COUNT-based snapshot retention (Iceberg expire_snapshots
+    // retain_last => N) — a12/a13's age cutoff breaks down on a
+    // streaming sink that commits every few seconds (the time-travel
+    // window collapses to minutes), so production retention runs BOTH
+    // bounds; this id drives the count bound through the gate. Five
+    // commits, retain 2: the three oldest snapshots drop from the
+    // manifest (witness columns), the survivors still read every row
+    // (append-chain files stay referenced — reclaim of replaced files
+    // is spec-pinned in IceLiteSpec).
+    Decl("d35_expire_retain_last",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d35").toString
+        val ref = IngestJob.tableRef(wh, "orders_retain")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" % 5 === 0))
+        (1 to 4).foreach(i =>
+          IceLite.append(ref, o.filter($"o_orderkey" % 5 === i)))
+        val before = IceLite.readManifest(ref).snapshots.size
+        val expired = IceLite.expireSnapshotsRetainLast(ref, 2)
+        val kept = IceLite.readManifest(ref).snapshots.size
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("snapshots_before", lit(before.toLong))
+          .withColumn("snapshots_kept", lit(kept.toLong))
+          .withColumn("expired_count", lit(expired.size.toLong))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             CAST(5 AS BIGINT) AS snapshots_before,
+             CAST(2 AS BIGINT) AS snapshots_kept,
+             CAST(3 AS BIGINT) AS expired_count
+             FROM orders""")),
+
+    // d34: the $partitions METADATA TABLE (Iceberg table$partitions;
+    // d20/d27's sibling) — per-partition file/row census folded from
+    // the manifest alone: partition values from the Hive paths,
+    // record counts from Snapshot.fileRows, zero data pages read. The
+    // oracle recomputes row counts from the DATA (GROUP BY the
+    // partition column), proving the metadata table tells the truth;
+    // file counts are deterministic here because stagePartitioned
+    // writes one file per value per commit (create=1, +append=2 for
+    // the appended flag). At 100 TB this census — skew, small-file
+    // pressure, compaction targets — is a driver-side metadata read.
+    Decl("d34_partitions_metadata",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d34").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_census")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        IceLite.createOrReplacePartitioned(ref, l, "l_returnflag",
+          statsCols = Seq("l_orderkey"))
+        // second commit into ONE partition: its file_count becomes 2
+        IceLite.appendPartitioned(ref,
+          l.filter($"l_returnflag" === "R").withColumn("l_quantity",
+            $"l_quantity" + 100.0),
+          "l_returnflag", statsCols = Seq("l_orderkey"))
+        IceLite.partitionsDf(s, ref)
+          .select($"l_returnflag", $"file_count", $"row_count")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             CASE WHEN l_returnflag = 'R' THEN CAST(2 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS file_count,
+             CAST(COUNT(*) * CASE WHEN l_returnflag = 'R' THEN 2 ELSE 1 END
+               AS BIGINT) AS row_count
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // d33: GROUPED aggregate pushdown (the d29 extension) — GROUP BY
     // a FILE-CONSTANT column answers from the manifest alone: the
     // table's files are value-pure on the group key (one append per

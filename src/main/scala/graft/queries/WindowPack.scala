@@ -198,6 +198,40 @@ object WindowPack extends Pack {
                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
                FROM orders JOIN customer ON o_custkey = c_custkey)
              WHERE rn <= 3
-             ORDER BY c_mktsegment, rn"""))
+             ORDER BY c_mktsegment, rn""")),
+
+    // IGNORE NULLS navigation — the gap-fill shape of sparse
+    // time-series (sensor/price feeds where most ticks carry no
+    // value): lag/lead skip null rows, last_value carries the most
+    // recent observation forward. Same keyed-window scale shape as
+    // b36/b40 (one hash shuffle, partition-local sort); nulls are
+    // synthesized deterministically so both engines see the same
+    // sparsity. Spark's ignoreNulls overloads ≡ DuckDB IGNORE NULLS.
+    Decl("b66_win_ignore_nulls",
+      (s, dir) => {
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey".asc)
+        t(s, dir, "orders").filter($"o_orderkey" < 4000)
+          .withColumn("v",
+            when($"o_orderkey" % 3 === 0, lit(null)).otherwise($"o_totalprice"))
+          .select($"o_orderkey", $"o_custkey", $"v",
+            lag($"v", 1, null, ignoreNulls = true).over(w).as("prev_v"),
+            lead($"v", 1, null, ignoreNulls = true).over(w).as("next_v"),
+            last($"v", ignoreNulls = true)
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("filled"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, v,
+             lag(v IGNORE NULLS) OVER w AS prev_v,
+             lead(v IGNORE NULLS) OVER w AS next_v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+             FROM (SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                          ELSE o_totalprice END AS v
+                   FROM orders WHERE o_orderkey < 4000)
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)
+             ORDER BY o_orderkey"""))
   )
 }

@@ -355,6 +355,43 @@ class IceLiteSpec extends AnyFunSuite {
     assert(got(101L) == 1101.0 && got.size == 400)
   }
 
+  test("expireSnapshotsRetainLast keeps the N newest and reclaims unreferenced files") {
+    val ref = freshRef()
+    val s1 = IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    val s2 = IceLite.createOrReplace(ref, Seq(2).toDF("k")) // s1's file now exclusive
+    val s3 = IceLite.append(ref, Seq(3).toDF("k"))
+    val expired = IceLite.expireSnapshotsRetainLast(ref, 2)
+    assert(expired == Seq(s1.id))
+    assert(IceLite.readManifest(ref).snapshots.map(_.id) == Seq(s2.id, s3.id))
+    // the replaced-away file is reclaimed; survivors read fine
+    assert(s1.files.forall(f => !Files.exists(ref.dir.resolve(f))))
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(2, 3))
+    // retaining more than exist is a no-op; current always survives n=1
+    assert(IceLite.expireSnapshotsRetainLast(ref, 10).isEmpty)
+    assert(IceLite.expireSnapshotsRetainLast(ref, 1) == Seq(s2.id))
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("partitionsDf reports the per-partition census from the manifest") {
+    val ref = freshRef()
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "p"),
+      "p", statsCols = Seq("k"))
+    IceLite.appendPartitioned(ref, Seq((4L, "a")).toDF("k", "p"), "p")
+    val got = IceLite.partitionsDf(spark, ref)
+      .select($"p", $"file_count", $"row_count")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // a: create(1 file, 2 rows) + append(1 file, 1 row); b: 1 file
+    assert(got == Seq(("a", 2L, 3L), ("b", 1L, 1L)))
+    // size_bytes present and positive for live partitions
+    assert(IceLite.partitionsDf(spark, ref)
+      .select($"size_bytes").as[Long].collect().forall(_ > 0))
+    // unpartitioned tables refuse (Iceberg's table$partitions contract)
+    val ref2 = freshRef()
+    IceLite.createOrReplace(ref2, Seq(1).toDF("k"))
+    assertThrows[IllegalArgumentException](IceLite.partitionsDf(spark, ref2))
+  }
+
   test("deleteWhere on a sorted table keeps the sort layout and tight file ranges") {
     val ref = freshRef()
     IceLite.createOrReplaceSorted(ref,
