@@ -1062,6 +1062,69 @@ object ScalePack extends Pack {
              TRUE AS targeted
              FROM orders""")),
 
+    // d36: PARTITIONED reads through the DSv2 connector — partition
+    // columns are PATH-borne (Hive layout) yet surface as ordinary
+    // columns; a pushed `p = 'R'` equality prunes whole partition
+    // dirs at the connector boundary (Iceberg identity-partition
+    // pushdown) and the scan stays fully columnar: partition values
+    // ride as ConstantColumnVectors beside the parquet-decoded
+    // vectors, exactly how Spark's own file source represents them.
+    // The witness asserts every planned file sat under the filtered
+    // dir — at 100 TB the other partitions were never even listed.
+    Decl("d36_dsv2_partitioned_read",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d36").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_part")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+            $"l_returnflag")
+        IceLite.createOrReplacePartitioned(ref, l, "l_returnflag",
+          statsCols = Seq("l_orderkey"))
+        val r = s.read.format("graft.sources.IceLiteSource")
+          .load(ref.dir.toString)
+          .filter($"l_returnflag" === "R")
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"l_extendedprice", 3).as("sum_price"))
+        r.write.format("noop").mode("overwrite").save()
+        val pruned = graft.sources.IceLiteSource.lastPlannedFiles
+        r.withColumn("dir_pruned",
+          lit(pruned.nonEmpty && pruned.forall(_.contains("l_returnflag=R"))))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS dir_pruned
+             FROM lineitem WHERE l_returnflag = 'R'""")),
+
+    // d37: GROUP BY the PARTITION column from the manifest alone —
+    // d33's grouped pushdown meeting d36's partitioned read: the
+    // group key comes from the partition paths, per-group COUNT from
+    // Snapshot.fileRows. `SELECT part, count(*) GROUP BY part` over a
+    // billion-file table is a driver-side metadata fold (Iceberg's
+    // partition-stats role); zero parquet reads, witnessed.
+    Decl("d37_partition_group_pushdown",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d37").toString
+        val ref = IngestJob.tableRef(wh, "lineitem_pgrp")
+        IceLite.createNamespace(wh, "src")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_returnflag")
+        IceLite.createOrReplacePartitioned(ref, l, "l_returnflag",
+          statsCols = Seq("l_orderkey"))
+        val agg = s.read.format("graft.sources.IceLiteSource")
+          .load(ref.dir.toString)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+        graft.sources.IceLiteSource.lastScanMetadataOnly = false
+        agg.write.format("noop").mode("overwrite").save()
+        val pushed = graft.sources.IceLiteSource.lastScanMetadataOnly
+        agg.withColumn("agg_pushed", lit(pushed))
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             TRUE AS agg_pushed
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // d35: COUNT-based snapshot retention (Iceberg expire_snapshots
     // retain_last => N) — a12/a13's age cutoff breaks down on a
     // streaming sink that commits every few seconds (the time-travel

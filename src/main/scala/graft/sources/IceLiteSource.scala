@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -68,11 +68,27 @@ class IceLiteSource extends TableProvider {
     require(snap.files.nonEmpty, s"${ref.name} has no data files")
     val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
-    try {
+    val fileSchema = try {
       val msg = r.getFooter.getFileMetaData.getSchema
       new org.apache.spark.sql.execution.datasources.parquet
         .ParquetToSparkSchemaConverter().convert(msg)
     } finally r.close()
+    if (snap.partitionCols.isEmpty) fileSchema
+    else {
+      // partitioned table: the partition columns are PATH-borne (the
+      // files themselves don't carry them) and surface as STRING —
+      // Hive's untyped-partition default; IceLite.readPartitioned
+      // remains the typed-discovery read. Mixed (evolved) layouts are
+      // refused: an old-layout file carries the column in DATA, and a
+      // path-typed scan would emit nulls for real values.
+      require(snap.files.forall(f =>
+          IceLiteSource.pathPartValues(f).keySet == snap.partitionCols.toSet),
+        s"${ref.name} mixes partition layouts (spec evolution) — " +
+          "read it with IceLite.readPartitioned, which unions layout groups")
+      StructType(fileSchema.fields ++
+        snap.partitionCols.filterNot(fileSchema.fieldNames.contains)
+          .map(c => StructField(c, StringType)))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -86,6 +102,14 @@ object IceLiteSource {
   /** Spec observability: whether the most recent scan was answered
     * from the manifest alone (aggregate pushdown — zero data files). */
   @volatile var lastScanMetadataOnly: Boolean = false
+
+  /** The `col=value` pairs a file's own path carries, URI-decoded
+    * (partition values are escaped on disk). */
+  private[sources] def pathPartValues(file: String): Map[String, String] =
+    file.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
+      val c = seg.takeWhile(_ != '=')
+      c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+    }.toMap
 }
 
 class IceLiteTable(ref: TableRef, schema: StructType)
@@ -333,6 +357,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private var required: StructType = schema
   private var accepted: Array[Filter] = Array.empty
   private var bounds: Map[String, (Double, Double)] = Map.empty
+  private var partFilters: Map[String, Set[String]] = Map.empty
   private var pushedAggs: Option[(Seq[String], Seq[PushedAgg])] = None
 
   private def num(v: Any): Option[Double] = v match {
@@ -340,20 +365,30 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     case _ => None
   }
 
-  /** Accept numeric range predicates for manifest pruning; EVERYTHING
-    * stays residual (we return the full array), so accepted filters
-    * only ever skip whole files, never rows. */
+  private def isPartCol(c: String): Boolean =
+    currentSnap.partitionCols.contains(c)
+
+  /** Accept numeric range predicates (stats pruning) and string
+    * equality / IN over PARTITION columns (path pruning — Iceberg's
+    * identity-partition predicate pushdown); EVERYTHING stays
+    * residual (we return the full array), so accepted filters only
+    * ever skip whole files, never rows. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def tighten(col: String, lo: Double, hi: Double): Unit = {
       val (l0, h0) = bounds.getOrElse(col,
         (Double.NegativeInfinity, Double.PositiveInfinity))
       bounds += col -> (math.max(l0, lo), math.min(h0, hi))
     }
+    def partEq(col: String, vs: Set[String]): Unit =
+      partFilters += col -> partFilters.get(col).map(_.intersect(vs)).getOrElse(vs)
     accepted = filters.filter {
       case GreaterThan(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
       case GreaterThanOrEqual(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
       case LessThan(c, v) => num(v).exists { d => tighten(c, Double.NegativeInfinity, d); true }
       case LessThanOrEqual(c, v) => num(v).exists { d => tighten(c, Double.NegativeInfinity, d); true }
+      case EqualTo(c, v: String) if isPartCol(c) => partEq(c, Set(v)); true
+      case In(c, vs) if isPartCol(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        partEq(c, vs.map(_.asInstanceOf[String]).toSet); true
       case EqualTo(c, v) => num(v).exists { d => tighten(c, d, d); true }
       case _ => false
     }
@@ -401,9 +436,11 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       currentSnap.files.forall(f =>
         currentSnap.fileStats.get(f).exists(_.exists(_.col == col)))
 
-  /** A column every file is value-pure on (stat min == max), typed so
-    * the double-stored stat round-trips exactly. */
-  private def groupable(col: String): Boolean = {
+  /** A column every file is value-pure on: a PARTITION column (the
+    * path carries one value per file by construction) or a
+    * stats-pure column (stat min == max), typed so the double-stored
+    * stat round-trips exactly. */
+  private def groupable(col: String): Boolean = isPartCol(col) || {
     def pointStats = currentSnap.files.forall { f =>
       currentSnap.fileStats.get(f).exists(_.exists(cs =>
         cs.col == col && cs.min == cs.max))
@@ -423,7 +460,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     currentSnap.files.forall(currentSnap.fileRows.contains)
 
   private def translate(agg: Aggregation): Option[(Seq[String], Seq[PushedAgg])] =
-    if (bounds.nonEmpty) None
+    if (bounds.nonEmpty || partFilters.nonEmpty) None
     else {
       val groupCols: Seq[Option[String]] =
         agg.groupByExpressions.toSeq.map(colOf(_).filter(groupable))
@@ -454,17 +491,24 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   override def build(): Scan = pushedAggs match {
     case Some((groupCols, specs)) =>
       new IceLiteAggScan(ref, specs,
-        groupCols.map(c => (c, typeOf(c).get)))
+        groupCols.map(c => (c, typeOf(c).get, isPartCol(c))))
     case None =>
-      // normalize the projection to FILE-SCHEMA order: the vectorized
+      // normalize the projection to FILE-SCHEMA order (the vectorized
       // reader clips the parquet schema in file order, so readSchema
-      // must line up positionally (Spark re-projects the user's
-      // column order above the scan by name)
+      // must line up positionally; Spark re-projects the user's
+      // column order above the scan by name), with the PATH-BORNE
+      // partition columns appended last — they come from the file
+      // path, not the parquet pages
       val names = required.fieldNames.toSet
-      val ordered = StructType(schema.fields.filter(f => names.contains(f.name)))
+      val partProjected = currentSnap.partitionCols.filter(names.contains)
+      val dataOrdered = schema.fields.filter(f =>
+        names.contains(f.name) && !partProjected.contains(f.name))
+      val ordered = StructType(dataOrdered ++
+        partProjected.flatMap(c => schema.fields.find(_.name == c)))
       new IceLiteScan(ref,
         if (ordered.length == required.length) ordered else required,
-        bounds, snapshotsPerTrigger, targetSplitBytes)
+        bounds, partFilters, partProjected,
+        snapshotsPerTrigger, targetSplitBytes)
   }
 }
 
@@ -480,9 +524,9 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   * puts the GROUP BY columns FIRST in the scan output, aggregate
   * values after. */
 class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
-    groupCols: Seq[(String, DataType)] = Nil) extends Scan with Batch {
+    groupCols: Seq[(String, DataType, Boolean)] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = StructType(
-    groupCols.map { case (c, dt) => StructField(c, dt) } ++
+    groupCols.map { case (c, dt, _) => StructField(c, dt) } ++
     specs.map {
       case PushedCountStar => StructField("count_star", LongType, nullable = false)
       case PushedMin(c) => StructField(s"min_$c", DoubleType)
@@ -508,13 +552,16 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
       case PushedMin(c) => files.map(stat(_, c).min).min
       case PushedMax(c) => files.map(stat(_, c).max).max
     }
-    def keyVal(f: String)(gc: (String, DataType)): Any = {
-      val v = stat(f, gc._1).min // min == max: file-constant by contract
-      gc._2 match {
-        case LongType => v.toLong
-        case IntegerType => v.toInt
-        case _ => v
-      }
+    def keyVal(f: String)(gc: (String, DataType, Boolean)): Any = gc match {
+      case (c, _, true) => // partition column: one value per file path
+        UTF8String.fromString(IceLiteSource.pathPartValues(f)(c))
+      case (c, dt, false) =>
+        val v = stat(f, c).min // min == max: file-constant by contract
+        dt match {
+          case LongType => v.toLong
+          case IntegerType => v.toInt
+          case _ => v
+        }
     }
     val rows: Array[Array[Any]] =
       if (groupCols.isEmpty) Array(specs.map(value(snap.files)).toArray)
@@ -546,15 +593,26 @@ class IceLiteAggReaderFactory extends PartitionReaderFactory {
 
 class IceLiteScan(ref: TableRef, required: StructType,
     bounds: Map[String, (Double, Double)],
+    partFilters: Map[String, Set[String]] = Map.empty,
+    partFields: Seq[String] = Nil,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024) extends Scan with Batch {
+  /** The columns decoded from parquet pages (partition columns come
+    * from the file path instead). */
+  private val dataFields = required.fields
+    .filter(f => !partFields.contains(f.name)).map(f => (f.name, f.dataType))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new IceLiteMicroBatchStream(ref,
-      required.fields.map(f => (f.name, f.dataType)), snapshotsPerTrigger)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(partFields.isEmpty,
+      "icelite streaming reads support unpartitioned tables (the batch " +
+        "connector surfaces partitioned reads)")
+    new IceLiteMicroBatchStream(ref, dataFields, snapshotsPerTrigger)
+  }
   override def description(): String =
-    s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}"
+    s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}" +
+      (if (partFilters.isEmpty) ""
+       else s" partPruned=${partFilters.keys.toSeq.sorted.mkString(",")}")
 
   /** One input partition per ~`targetSplitBytes` of data, not per
     * file: consecutive manifest files bin-pack greedily until the
@@ -569,34 +627,53 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * File sizes come from the local footer stat — O(files) driver
     * metadata, the same class as the manifest read itself. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files =
+    val statsPruned =
       if (bounds.isEmpty) IceLite.readManifest(ref).current.files
       else IceLite.prunedFilesMulti(ref,
         bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
+    // partition-value pruning (pushed string equality / IN): a file
+    // survives only if its path matches every filtered column — the
+    // conjunction Iceberg evaluates against identity partitions
+    val files =
+      if (partFilters.isEmpty) statsPruned
+      else statsPruned.filter { f =>
+        val vals = IceLiteSource.pathPartValues(f)
+        partFilters.forall { case (c, vs) => vals.get(c).exists(vs.contains) }
+      }
     IceLiteSource.lastPlannedFiles = files
     IceLiteSource.lastScanMetadataOnly = false
-    val sized = files.map { f =>
-      val p = ref.dir.resolve(f)
-      (p.toString, scala.util.Try(java.nio.file.Files.size(p)).getOrElse(0L))
-    }
-    val bins = Seq.newBuilder[Seq[String]]
-    var bin = Vector.empty[String]
-    var binBytes = 0L
-    sized.foreach { case (path, bytes) =>
-      if (bin.nonEmpty && binBytes + bytes > targetSplitBytes) {
-        bins += bin; bin = Vector.empty; binBytes = 0L
-      }
-      bin :+= path; binBytes += bytes
-    }
-    if (bin.nonEmpty) bins += bin
-    bins.result().map(fs => IceLiteInputPartition(fs): InputPartition).toArray
+    // one group per projected partition-value tuple (a split never
+    // mixes partition values — its readers emit them as constants),
+    // bin-packed within the group
+    files.groupBy(f =>
+        partFields.map(IceLiteSource.pathPartValues(f).getOrElse(_, null)))
+      .toSeq.sortBy(_._2.head)
+      .flatMap { case (partVals, groupFiles) =>
+        val sized = groupFiles.map { f =>
+          val p = ref.dir.resolve(f)
+          (p.toString, scala.util.Try(java.nio.file.Files.size(p)).getOrElse(0L))
+        }
+        val bins = Seq.newBuilder[Seq[String]]
+        var bin = Vector.empty[String]
+        var binBytes = 0L
+        sized.foreach { case (path, bytes) =>
+          if (bin.nonEmpty && binBytes + bytes > targetSplitBytes) {
+            bins += bin; bin = Vector.empty; binBytes = 0L
+          }
+          bin :+= path; binBytes += bytes
+        }
+        if (bin.nonEmpty) bins += bin
+        bins.result().map(fs =>
+          IceLiteInputPartition(fs, partVals): InputPartition)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IceLiteReaderFactory(required.fields.map(f => (f.name, f.dataType)))
+    new IceLiteReaderFactory(dataFields)
 }
 
-case class IceLiteInputPartition(files: Seq[String]) extends InputPartition
+case class IceLiteInputPartition(files: Seq[String],
+    partVals: Seq[String] = Nil) extends InputPartition
 
 /** Streaming offset = the snapshot id the stream has consumed up to
   * (−1 = nothing consumed yet). Snapshot ids are the natural offset
@@ -719,20 +796,35 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
   /** Reads a (possibly coalesced) file group: one vectorized reader
     * at a time, opened lazily as the previous file drains — a packed
     * partition holds at most ONE open file's decode state, so
-    * coalescing never multiplies memory. */
+    * coalescing never multiplies memory. Path-borne partition values
+    * ride along as ConstantColumnVectors appended to each batch —
+    * Spark's own vectorized scan represents partition columns the
+    * same way, so partitioned reads stay fully columnar. */
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val files = p.asInstanceOf[IceLiteInputPartition].files
+    val part = p.asInstanceOf[IceLiteInputPartition]
+    val files = part.files
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val constVectors = part.partVals.map { v =>
+        val cv = new org.apache.spark.sql.execution.vectorized
+          .ConstantColumnVector(4096, StringType)
+        if (v == null) cv.setNull() else cv.setUtf8String(UTF8String.fromString(v))
+        cv
+      }
       private val remaining = files.iterator
       private var reader: org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader = _
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
       private def openNext(): Boolean =
         if (!remaining.hasNext) false
         else {
           reader = new org.apache.spark.sql.execution.datasources.parquet
             .VectorizedParquetRecordReader(false, 4096)
           reader.initialize(remaining.next(), fields.map(_._1).toList.asJava)
-          reader.resultBatch() // allocates the batch nextBatch() fills
+          val fb = reader.resultBatch() // allocates the batch nextBatch() fills
+          batch =
+            if (constVectors.isEmpty) fb
+            else new org.apache.spark.sql.vectorized.ColumnarBatch(
+              ((0 until fb.numCols).map(fb.column) ++ constVectors).toArray)
           true
         }
       override def next(): Boolean = {
@@ -740,18 +832,20 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
           if (reader != null) { reader.close(); reader = null }
           if (!openNext()) return false
         }
+        if (constVectors.nonEmpty)
+          batch.setNumRows(reader.resultBatch().numRows)
         true
       }
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-        reader.resultBatch()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
       override def close(): Unit = if (reader != null) reader.close()
     }
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val group = p.asInstanceOf[IceLiteInputPartition].files
+    val part = p.asInstanceOf[IceLiteInputPartition]
     new PartitionReader[InternalRow] {
-      private val fileReaders = group.iterator.map(singleFileReader)
+      private val fileReaders =
+        part.files.iterator.map(singleFileReader(_, part.partVals))
       private var cur0: PartitionReader[InternalRow] =
         if (fileReaders.hasNext) fileReaders.next() else null
       override def next(): Boolean = {
@@ -766,7 +860,25 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
     }
   }
 
-  private def singleFileReader(file: String): PartitionReader[InternalRow] = {
+  private def singleFileReader(file: String,
+      partVals: Seq[String]): PartitionReader[InternalRow] = {
+    val partTail0: Array[Any] = partVals.map(v =>
+      if (v == null) null else UTF8String.fromString(v): Any).toArray
+    // no data columns projected (partition-only select, or a count
+    // over a declined aggregate): the footer's record count is the
+    // whole answer — emit that many constant rows, zero pages decoded
+    if (fields.isEmpty) return new PartitionReader[InternalRow] {
+      private val total = {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(file), new Configuration()))
+        try r.getRecordCount finally r.close()
+      }
+      private val row = new GenericInternalRow(partTail0.clone())
+      private var i = 0L
+      override def next(): Boolean = { i += 1; i <= total }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
     new PartitionReader[InternalRow] {
       private val conf = new Configuration()
       // project the read schema down to the required columns so the
@@ -783,10 +895,17 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new HPath(file))
           .withConf(conf).build()
+      private val partTail: Array[Any] =
+        partVals.map(v => if (v == null) null
+          else UTF8String.fromString(v): Any).toArray
       private var cur: Group = _
       override def next(): Boolean = { cur = reader.read(); cur != null }
       override def get(): InternalRow = {
-        val row = new GenericInternalRow(fields.length)
+        val row = new GenericInternalRow(fields.length + partTail.length)
+        var j = 0
+        while (j < partTail.length) {
+          row.update(fields.length + j, partTail(j)); j += 1
+        }
         var i = 0
         while (i < fields.length) {
           val (name, dt) = fields(i)

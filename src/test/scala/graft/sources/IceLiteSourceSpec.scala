@@ -224,6 +224,61 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(IceLiteSource.lastScanMetadataOnly)
   }
 
+  test("connector reads a PARTITIONED table: path-borne columns, pruning, columnar") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_pt").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 300L).map(k =>
+        (k, if (k % 3 == 0) "a" else if (k % 3 == 1) "b" else "c")).toDF("k", "p"),
+      "p", statsCols = Seq("k"))
+    val df = spark.read.format(Fmt).load(ref.dir.toString)
+    // the path-borne partition column appends to the file schema
+    assert(df.schema.fieldNames.toSeq == Seq("k", "p"))
+    val got = df.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == (0L until 300L).map(k =>
+      (k, if (k % 3 == 0) "a" else if (k % 3 == 1) "b" else "c")))
+    // partition-equality pushdown prunes whole dirs at the connector
+    val b = df.filter($"p" === "b").as[(Long, String)].collect()
+    assert(b.length == 100 && b.forall(_._2 == "b"))
+    assert(IceLiteSource.lastPlannedFiles.nonEmpty &&
+      IceLiteSource.lastPlannedFiles.forall(_.contains("p=b")),
+      s"partition filter must prune paths: ${IceLiteSource.lastPlannedFiles}")
+    // partitioned reads stay columnar (constant vectors for part cols)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df.filter($"k" < 10).queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"),
+        s"partitioned connector scan lost the columnar kernel:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // partition-only projection: zero parquet pages, counts exact
+    assert(df.select($"p").collect().map(_.getString(0)).sorted.toSeq
+      == (Seq.fill(100)("a") ++ Seq.fill(100)("b") ++ Seq.fill(100)("c")))
+  }
+
+  test("GROUP BY the partition column answers from the manifest alone") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_gp").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 300L).map(k =>
+        (k, if (k % 3 == 0) "a" else "b")).toDF("k", "p"), "p")
+    IceLiteSource.lastScanMetadataOnly = false
+    val got = spark.read.format(Fmt).load(ref.dir.toString)
+      .groupBy($"p").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got == Seq(("a", 100L), ("b", 200L)))
+    assert(IceLiteSource.lastScanMetadataOnly,
+      "GROUP BY the partition column must fold manifest fileRows, not scan")
+    // a partition filter keeps the aggregate off the metadata path
+    IceLiteSource.lastScanMetadataOnly = false
+    val n = spark.read.format(Fmt).load(ref.dir.toString)
+      .filter($"p" === "a").agg(count(lit(1))).collect().head.getLong(0)
+    assert(n == 100L)
+    assert(!IceLiteSource.lastScanMetadataOnly,
+      "a filtered aggregate must take the scan path")
+  }
+
   test("GROUPED aggregate pushdown answers GROUP BY a file-constant column from the manifest") {
     val wh = java.nio.file.Files.createTempDirectory("v2src_ga").toString
     val ref = TableRef(wh, "ns", "t")
