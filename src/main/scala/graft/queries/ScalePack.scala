@@ -1062,6 +1062,40 @@ object ScalePack extends Pack {
              TRUE AS targeted
              FROM orders""")),
 
+    // d38: the SQL-ADDRESSABLE face — a DSv2 TableCatalog over the
+    // warehouse (the REST-catalog + Trino role in the reference:
+    // every Iceberg table is a SQL identifier there, README.md:66-77).
+    // One registration makes every IceLite table plain SQL: the query
+    // runs a CTAS (CREATE TABLE ... AS SELECT through Spark's
+    // non-staging CTAS path → the curated mart materializes as ONE
+    // create snapshot) and then aggregates the new table by SQL
+    // identifier. Reads resolve through the same connector scans as
+    // the DataFrame path — manifest-pruned, columnar, agg-pushdown —
+    // so SQL users and API users see one table layer (spec-pinned).
+    Decl("d38_sql_catalog",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d38").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_sql")
+        IceLite.createOrReplace(ref, Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice"))
+        // unique catalog name per invocation: Spark caches catalog
+        // instances by name, and each run uses a fresh warehouse
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"""CREATE TABLE $cat.src.big_orders AS
+                  SELECT o_orderkey, o_totalprice FROM $cat.src.orders_sql
+                  WHERE o_totalprice > 100000""")
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.big_orders""")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM orders WHERE o_totalprice > 100000""")),
+
     // d36: PARTITIONED reads through the DSv2 connector — partition
     // columns are PATH-borne (Hive layout) yet surface as ordinary
     // columns; a pushed `p = 'R'` equality prunes whole partition

@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.icelite.{IceLite, TableRef}
+
+/** DataSource V2 TABLE CATALOG over an IceLite warehouse — the
+  * SQL-addressable face of the engine (the role the REST catalog +
+  * Trino play in the reference: README.md:66-77 exposes every
+  * Iceberg table to plain SQL). Register once:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.IceLiteCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * and every IceLite table is a SQL identifier: `SELECT ... FROM
+  * graft.ns.t`, `INSERT INTO graft.ns.t ...`, `CREATE TABLE
+  * graft.ns.t2 AS SELECT ...`, `DROP TABLE graft.ns.t`. Reads and
+  * writes resolve through the same IceLiteTable the path-based
+  * connector uses — manifest-pruned, columnar, CAS-committed — so
+  * SQL and DataFrame users see one table layer.
+  *
+  * Catalog operations are metadata-sized: list/load walk the
+  * warehouse directory and manifest heads only. CREATE TABLE AS
+  * SELECT works through Spark's non-staging CTAS path (createTable,
+  * then an append that commits the create snapshot; the table
+  * directory appears atomically with its first CAS manifest).
+  * Partitioned/sorted DDL layouts are the IceLite API's job
+  * (createOrReplacePartitioned / createOrReplaceSorted) — SQL DDL
+  * here creates flat tables, and ALTER/RENAME are refused loudly
+  * (schema evolves through mergeSchema writes, as everywhere else in
+  * the engine).
+  */
+class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def refOf(ident: Identifier): TableRef = {
+    require(ident.namespace.length == 1,
+      s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
+    TableRef(warehouse, ident.namespace.head, ident.name)
+  }
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.length == 1,
+      s"icelite namespaces are single-level, got ${namespace.mkString(".")}")
+    if (!IceLite.listNamespaces(warehouse).contains(namespace.head))
+      throw new NoSuchNamespaceException(namespace)
+    IceLite.listTables(warehouse, namespace.head)
+      .map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val ref = refOf(ident)
+    if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
+    new IceLiteTable(ref, IceLiteSource.schemaOf(ref))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    IceLite.tableExists(refOf(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "SQL DDL creates flat tables; partitioned/sorted layouts go through " +
+        "IceLite.createOrReplacePartitioned / createOrReplaceSorted")
+    val ref = refOf(ident)
+    if (IceLite.tableExists(ref)) throw new TableAlreadyExistsException(ident)
+    IceLite.createNamespace(warehouse, ident.namespace.head)
+    // no manifest is written yet: the table materializes atomically
+    // with its first committed write (CTAS lands here, then appends)
+    new IceLiteTable(ref, schema)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val ref = refOf(ident)
+    if (!IceLite.tableExists(ref)) return false
+    val all = IceLite.listDir(java.nio.file.Files.walk(ref.dir))(_.toSeq)
+    all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    true
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "icelite schemas evolve through mergeSchema writes, not ALTER TABLE")
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "icelite tables are addressed by path; copy via CTAS instead of RENAME")
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    IceLite.listNamespaces(warehouse).map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      IceLite.listNamespaces(warehouse).contains(namespace.head)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"icelite namespaces are single-level, got ${namespace.mkString(".")}")
+    IceLite.createNamespace(warehouse, namespace.head)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("icelite namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val ns = java.nio.file.Paths.get(warehouse, namespace.head)
+    val tables = IceLite.listTables(warehouse, namespace.head)
+    require(tables.isEmpty || cascade,
+      s"namespace ${namespace.head} holds ${tables.size} tables (use CASCADE)")
+    val all = IceLite.listDir(java.nio.file.Files.walk(ns))(_.toSeq)
+    all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    true
+  }
+}

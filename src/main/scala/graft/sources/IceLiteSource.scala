@@ -62,34 +62,8 @@ class IceLiteSource extends TableProvider {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val ref = refOf(pathOf(options))
-    val snap = IceLite.readManifest(ref).current
-    require(snap.files.nonEmpty, s"${ref.name} has no data files")
-    val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
-    val fileSchema = try {
-      val msg = r.getFooter.getFileMetaData.getSchema
-      new org.apache.spark.sql.execution.datasources.parquet
-        .ParquetToSparkSchemaConverter().convert(msg)
-    } finally r.close()
-    if (snap.partitionCols.isEmpty) fileSchema
-    else {
-      // partitioned table: the partition columns are PATH-borne (the
-      // files themselves don't carry them) and surface as STRING —
-      // Hive's untyped-partition default; IceLite.readPartitioned
-      // remains the typed-discovery read. Mixed (evolved) layouts are
-      // refused: an old-layout file carries the column in DATA, and a
-      // path-typed scan would emit nulls for real values.
-      require(snap.files.forall(f =>
-          IceLiteSource.pathPartValues(f).keySet == snap.partitionCols.toSet),
-        s"${ref.name} mixes partition layouts (spec evolution) — " +
-          "read it with IceLite.readPartitioned, which unions layout groups")
-      StructType(fileSchema.fields ++
-        snap.partitionCols.filterNot(fileSchema.fieldNames.contains)
-          .map(c => StructField(c, StringType)))
-    }
-  }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IceLiteSource.schemaOf(refOf(pathOf(options)))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -110,6 +84,34 @@ object IceLiteSource {
       val c = seg.takeWhile(_ != '=')
       c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
     }.toMap
+
+  /** Table schema as the connector exposes it: the first data file's
+    * parquet schema, plus the PATH-borne partition columns as STRING
+    * — Hive's untyped-partition default; IceLite.readPartitioned
+    * remains the typed-discovery read. Mixed (evolved) layouts are
+    * refused: an old-layout file carries the column in DATA, and a
+    * path-typed scan would emit nulls for real values. */
+  private[sources] def schemaOf(ref: TableRef): StructType = {
+    val snap = IceLite.readManifest(ref).current
+    require(snap.files.nonEmpty, s"${ref.name} has no data files")
+    val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
+    val fileSchema = try {
+      val msg = r.getFooter.getFileMetaData.getSchema
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter().convert(msg)
+    } finally r.close()
+    if (snap.partitionCols.isEmpty) fileSchema
+    else {
+      require(snap.files.forall(f =>
+          pathPartValues(f).keySet == snap.partitionCols.toSet),
+        s"${ref.name} mixes partition layouts (spec evolution) — " +
+          "read it with IceLite.readPartitioned, which unions layout groups")
+      StructType(fileSchema.fields ++
+        snap.partitionCols.filterNot(fileSchema.fieldNames.contains)
+          .map(c => StructField(c, StringType)))
+    }
+  }
 }
 
 class IceLiteTable(ref: TableRef, schema: StructType)
