@@ -974,9 +974,14 @@ object IceLite {
     * predicate multiplies the skip rate — a single-column sort only
     * ever prunes on its leading key. */
   def prunedFilesMulti(ref: TableRef,
+      preds: Seq[(String, Double, Double)]): Seq[String] =
+    prunedFilesMulti(readManifest(ref).current, preds)
+
+  /** Snapshot-targeted variant: prune any retained snapshot's file
+    * list (the connector's time-travel scans pin one). */
+  def prunedFilesMulti(snap: Snapshot,
       preds: Seq[(String, Double, Double)]): Seq[String] = {
     require(preds.nonEmpty, "prunedFilesMulti needs at least one predicate")
-    val snap = readManifest(ref).current
     snap.files.filter { f =>
       preds.forall { case (col, lo, hi) =>
         snap.fileStats.get(f) match {

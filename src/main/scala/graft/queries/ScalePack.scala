@@ -1096,6 +1096,37 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
              FROM orders WHERE o_totalprice > 100000""")),
 
+    // d39: SQL TIME TRAVEL — `VERSION AS OF` through the catalog
+    // (Iceberg's SQL time travel; d11/d14's engine mechanism behind a
+    // plain SQL clause). The pinned table is read-only and resolves
+    // that snapshot's files and stats through the same pruned
+    // columnar scan; snapshot ids are deterministic (1 = create,
+    // 2 = append), so the oracle recomputes both epochs from the
+    // source rows. TIMESTAMP AS OF shares the resolve path
+    // (wall-clock — spec-pinned, not oracle-checkable).
+    Decl("d39_sql_time_travel",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d39").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_tt")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" % 2 === 0))
+        IceLite.append(ref, o.filter($"o_orderkey" % 2 === 1))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_v1
+                  FROM $cat.src.orders_tt VERSION AS OF 1""")
+          .crossJoin(s.sql(
+            s"SELECT CAST(COUNT(*) AS BIGINT) AS n_now FROM $cat.src.orders_tt"))
+      },
+      Some("""SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+               AS BIGINT) AS n_v1,
+             CAST(COUNT(*) AS BIGINT) AS n_now
+             FROM orders""")),
+
     // d36: PARTITIONED reads through the DSv2 connector — partition
     // columns are PATH-borne (Hive layout) yet surface as ordinary
     // columns; a pushed `p = 'R'` equality prunes whole partition

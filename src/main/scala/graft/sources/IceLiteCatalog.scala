@@ -73,6 +73,34 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     new IceLiteTable(ref, IceLiteSource.schemaOf(ref))
   }
 
+  /** SQL time travel — `SELECT ... FROM cat.ns.t VERSION AS OF <id>`:
+    * the version string is a snapshot id; the returned table is
+    * pinned (read-only) to that snapshot's files and stats. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ref = refOf(ident)
+    if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
+    val id = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"icelite versions are snapshot ids, got '$version'"))
+    require(IceLite.readManifest(ref).snapshots.exists(_.id == id),
+      s"no snapshot $id in ${ident.name} (expired past retention?)")
+    new IceLiteTable(ref, IceLiteSource.schemaOf(ref, Some(id)), Some(id))
+  }
+
+  /** `TIMESTAMP AS OF <t>`: Spark hands the cutoff in MICROseconds;
+    * resolve the newest snapshot at-or-before it — the same
+    * wall-clock semantics as IceLite.readAsOf (d14). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val ref = refOf(ident)
+    if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
+    val cutoffMs = timestamp / 1000
+    val m = IceLite.readManifest(ref)
+    val snap = m.snapshots.filter(_.timestampMs <= cutoffMs)
+      .sortBy(_.id).lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no snapshot in ${ident.name} at or before $cutoffMs " +
+          s"(first commit is ${m.snapshots.map(_.timestampMs).min})"))
+    new IceLiteTable(ref, IceLiteSource.schemaOf(ref, Some(snap.id)), Some(snap.id))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     IceLite.tableExists(refOf(ident))
 

@@ -22,7 +22,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOr
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import graft.icelite.{ColStats, IceLite, TableRef}
+import graft.icelite.{ColStats, IceLite, Snapshot, TableRef}
 
 /** DataSource V2 connector for IceLite tables — the `sources/` rung
   * of the architecture: `spark.read.format("graft.sources.
@@ -85,14 +85,28 @@ object IceLiteSource {
       c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
     }.toMap
 
+  /** Resolve the scan snapshot: the pinned id (time travel) or the
+    * current head. A pinned id that expired past retention fails
+    * loudly, exactly like IceLite.readAt. */
+  private[sources] def resolveSnap(ref: TableRef, asOf: Option[Long]): Snapshot = {
+    val m = IceLite.readManifest(ref)
+    asOf match {
+      case None => m.current
+      case Some(id) => m.snapshots.find(_.id == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot $id in ${ref.name} (expired past retention?)"))
+    }
+  }
+
   /** Table schema as the connector exposes it: the first data file's
     * parquet schema, plus the PATH-borne partition columns as STRING
     * — Hive's untyped-partition default; IceLite.readPartitioned
     * remains the typed-discovery read. Mixed (evolved) layouts are
     * refused: an old-layout file carries the column in DATA, and a
     * path-typed scan would emit nulls for real values. */
-  private[sources] def schemaOf(ref: TableRef): StructType = {
-    val snap = IceLite.readManifest(ref).current
+  private[sources] def schemaOf(ref: TableRef,
+      asOf: Option[Long] = None): StructType = {
+    val snap = resolveSnap(ref, asOf)
     require(snap.files.nonEmpty, s"${ref.name} has no data files")
     val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
@@ -114,20 +128,31 @@ object IceLiteSource {
   }
 }
 
-class IceLiteTable(ref: TableRef, schema: StructType)
+/** `asOf`: a pinned snapshot id — the table as a TIME-TRAVEL read
+  * (SQL `VERSION AS OF` / `TIMESTAMP AS OF` through IceLiteCatalog).
+  * Pinned tables are read-only: history is immutable. */
+class IceLiteTable(ref: TableRef, schema: StructType,
+    asOf: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"icelite.${ref.namespace}.${ref.name}"
+  override def name(): String =
+    s"icelite.${ref.namespace}.${ref.name}" +
+      asOf.map(id => s"@$id").getOrElse("")
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+    if (asOf.isDefined) Set(TableCapability.BATCH_READ).asJava
+    else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(ref, schema,
       options.getInt("snapshotsPerTrigger", Int.MaxValue),
-      options.getLong("targetSplitBytes", 128L * 1024 * 1024))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      options.getLong("targetSplitBytes", 128L * 1024 * 1024),
+      asOf)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"${name()} is a time-travel read — snapshots are immutable")
     new IceLiteWriteBuilder(ref, info)
+  }
 }
 
 /** Write side of the connector (d26): `df.write.format(...)
@@ -352,7 +377,8 @@ private[sources] final case class PushedMax(col: String) extends PushedAgg
 
 class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     snapshotsPerTrigger: Int = Int.MaxValue,
-    targetSplitBytes: Long = 128L * 1024 * 1024)
+    targetSplitBytes: Long = 128L * 1024 * 1024,
+    asOf: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -421,7 +447,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     * attempts aggregate pushdown when no post-scan filter remains,
     * and this source keeps every pushed filter residual — so a
     * filtered aggregate always takes the normal scan path. */
-  private lazy val currentSnap = IceLite.readManifest(ref).current
+  private lazy val currentSnap = IceLiteSource.resolveSnap(ref, asOf)
 
   private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
@@ -493,7 +519,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   override def build(): Scan = pushedAggs match {
     case Some((groupCols, specs)) =>
       new IceLiteAggScan(ref, specs,
-        groupCols.map(c => (c, typeOf(c).get, isPartCol(c))))
+        groupCols.map(c => (c, typeOf(c).get, isPartCol(c))), asOf)
     case None =>
       // normalize the projection to FILE-SCHEMA order (the vectorized
       // reader clips the parquet schema in file order, so readSchema
@@ -510,7 +536,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       new IceLiteScan(ref,
         if (ordered.length == required.length) ordered else required,
         bounds, partFilters, partProjected,
-        snapshotsPerTrigger, targetSplitBytes)
+        snapshotsPerTrigger, targetSplitBytes, asOf)
   }
 }
 
@@ -526,7 +552,8 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   * puts the GROUP BY columns FIRST in the scan output, aggregate
   * values after. */
 class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
-    groupCols: Seq[(String, DataType, Boolean)] = Nil) extends Scan with Batch {
+    groupCols: Seq[(String, DataType, Boolean)] = Nil,
+    asOf: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = StructType(
     groupCols.map { case (c, dt, _) => StructField(c, dt) } ++
     specs.map {
@@ -540,7 +567,7 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
       (if (groupCols.isEmpty) "" else s" groupBy=${groupCols.map(_._1).mkString(",")}")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val snap = IceLite.readManifest(ref).current
+    val snap = IceLiteSource.resolveSnap(ref, asOf)
     def stat(f: String, c: String): ColStats =
       snap.fileStats.get(f).flatMap(_.find(_.col == c)).getOrElse(
         throw new IllegalStateException(
@@ -598,7 +625,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     partFilters: Map[String, Set[String]] = Map.empty,
     partFields: Seq[String] = Nil,
     snapshotsPerTrigger: Int = Int.MaxValue,
-    targetSplitBytes: Long = 128L * 1024 * 1024) extends Scan with Batch {
+    targetSplitBytes: Long = 128L * 1024 * 1024,
+    asOf: Option[Long] = None) extends Scan with Batch {
   /** The columns decoded from parquet pages (partition columns come
     * from the file path instead). */
   private val dataFields = required.fields
@@ -629,9 +657,10 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * File sizes come from the local footer stat — O(files) driver
     * metadata, the same class as the manifest read itself. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val snap = IceLiteSource.resolveSnap(ref, asOf)
     val statsPruned =
-      if (bounds.isEmpty) IceLite.readManifest(ref).current.files
-      else IceLite.prunedFilesMulti(ref,
+      if (bounds.isEmpty) snap.files
+      else IceLite.prunedFilesMulti(snap,
         bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
     // partition-value pruning (pushed string equality / IN): a file
     // survives only if its path matches every filtered column — the

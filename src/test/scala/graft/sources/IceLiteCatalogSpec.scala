@@ -86,6 +86,34 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql(s"SELECT * FROM $cat.src.gone").collect())
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF pin snapshots") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "tt")
+    val s1 = IceLite.createOrReplace(ref,
+      (1L to 10L).map(k => (k, "v1")).toDF("k", "s"))
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    IceLite.append(ref, (11L to 15L).map(k => (k, "v2")).toDF("k", "s"))
+    // VERSION AS OF pins the first snapshot
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.tt VERSION AS OF ${s1.id}")
+      .head.getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.tt").head.getLong(0) == 15L)
+    // TIMESTAMP AS OF between the commits sees only the first
+    val lit = java.time.Instant.ofEpochMilli(between).toString.replace("T", " ").replace("Z", "")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.src.tt TIMESTAMP AS OF '$lit'")
+      .head.getLong(0) == 10L,
+      "TIMESTAMP AS OF between commits must resolve the older snapshot")
+    // an unknown version fails loudly
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $cat.src.tt VERSION AS OF 999").collect())
+    // a pinned table refuses writes (history is immutable)
+    assertThrows[Exception](spark.sql(
+      s"INSERT INTO $cat.src.tt VERSION AS OF ${s1.id} VALUES (99, 'x')"))
+  }
+
   test("catalog reads keep the connector's pruning and pushdown") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
