@@ -1163,9 +1163,12 @@ object IceLite {
     * both the metadata shape AND the data aggregate without a scan.
     * Under spec evolution, files whose own layout lacks a current
     * partition column report NULL for it (path-borne truth only). */
-  def partitionsDf(spark: SparkSession, ref: TableRef): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+  /** Driver-side census rows backing partitionsDf AND the catalog's
+    * `t$partitions` SQL identifier: (partition cols, one tuple per
+    * live partition value: values, file_count, row_count,
+    * size_bytes). */
+  private[graft] def partitionsRows(ref: TableRef)
+      : (Seq[String], Seq[(Seq[String], Long, Long, Long)]) = {
     val snap = readManifest(ref).current
     require(snap.partitionCols.nonEmpty, s"${ref.name} is not partitioned")
     val byPart = snap.files.groupBy { f =>
@@ -1175,15 +1178,24 @@ object IceLite {
       }.toMap
       snap.partitionCols.map(vals.get(_).orNull)
     }
-    val rows = byPart.toSeq.map { case (vals, files) =>
-      Row.fromSeq(vals ++ Seq(
+    (snap.partitionCols, byPart.toSeq.map { case (vals, files) =>
+      (vals,
         files.size.toLong,
         files.map(f => snap.fileRows.getOrElse(f,
           countRowsFromFooters(ref, Seq(f)))).sum,
-        files.map(f => Files.size(ref.dir.resolve(f))).sum))
+        files.map(f => Files.size(ref.dir.resolve(f))).sum)
+    })
+  }
+
+  def partitionsDf(spark: SparkSession, ref: TableRef): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val (partitionCols, census) = partitionsRows(ref)
+    val rows = census.map { case (vals, fc, rc, sb) =>
+      Row.fromSeq(vals ++ Seq(fc, rc, sb))
     }
     val schema = StructType(
-      snap.partitionCols.map(c => StructField(c, StringType)) ++
+      partitionCols.map(c => StructField(c, StringType)) ++
         Seq(StructField("file_count", LongType, nullable = false),
           StructField("row_count", LongType, nullable = false),
           StructField("size_bytes", LongType, nullable = false)))

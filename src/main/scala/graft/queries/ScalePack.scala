@@ -1127,6 +1127,77 @@ object ScalePack extends Pack {
              CAST(COUNT(*) AS BIGINT) AS n_now
              FROM orders""")),
 
+    // d40: SQL DELETE — `DELETE FROM cat.ns.t WHERE ...` through
+    // SupportsDelete delegates to the layout-preserving
+    // touched-files-only copy-on-write delete (d30/d32), so the GDPR
+    // erasure job is one SQL statement. Witnessed: only the files
+    // holding matches were rewritten (the sorted layout localizes
+    // them), the delete committed one snapshot, and the surviving
+    // rows match the complement.
+    Decl("d40_sql_delete",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d40").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_sqldel")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        val before = IceLite.readManifest(ref).current.files.toSet
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"DELETE FROM $cat.src.orders_sqldel " +
+          "WHERE o_orderkey BETWEEN 1000 AND 1999")
+        val after = IceLite.readManifest(ref).current
+        val targeted = after.files.count(before) > 0 &&
+          after.operation == "delete"
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.orders_sqldel""")
+          .withColumn("targeted", lit(targeted))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS targeted
+             FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 1999""")),
+
+    // d41: METADATA TABLES as SQL identifiers — Iceberg's
+    // `t$snapshots` / `t$partitions` UX: history and the partition
+    // census are plain relations (backtick-quoted), folded from the
+    // manifest at load time, zero data files. The oracle recomputes
+    // the census from DATA, proving the metadata tells the truth;
+    // the snapshot count is deterministic (create + append = 2).
+    Decl("d41_sql_metadata",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d41").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "lineitem_meta_sql")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        IceLite.createOrReplacePartitioned(ref, l, "l_returnflag",
+          statsCols = Seq("l_orderkey"))
+        IceLite.appendPartitioned(ref, l.filter($"l_returnflag" === "R"),
+          "l_returnflag", statsCols = Seq("l_orderkey"))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"""SELECT p.l_returnflag, p.file_count, p.row_count,
+                  (SELECT CAST(COUNT(*) AS BIGINT)
+                   FROM $cat.src.`lineitem_meta_sql$$snapshots`) AS n_snapshots
+                  FROM $cat.src.`lineitem_meta_sql$$partitions` p
+                  ORDER BY p.l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+             CASE WHEN l_returnflag = 'R' THEN CAST(2 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS file_count,
+             CAST(COUNT(*) * CASE WHEN l_returnflag = 'R' THEN 2 ELSE 1 END
+               AS BIGINT) AS row_count,
+             CAST(2 AS BIGINT) AS n_snapshots
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // d36: PARTITIONED reads through the DSv2 connector — partition
     // columns are PATH-borne (Hive layout) yet surface as ordinary
     // columns; a pushed `p = 'R'` equality prunes whole partition

@@ -37,6 +37,31 @@ import graft.icelite.{IceLite, TableRef}
   * (schema evolves through mergeSchema writes, as everywhere else in
   * the engine).
   */
+/** A fixed row set as a read-only DSv2 table (the catalog's metadata
+  * tables): one synthetic input partition, rows precomputed
+  * driver-side from the manifest. */
+private[sources] class StaticRowsTable(tableName: String,
+    tableSchema: StructType, rows: Array[Array[Any]])
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def description(): String = s"StaticRowsTable $tableName"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(IceLiteAggPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new IceLiteAggReaderFactory
+      }
+    }
+}
+
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -68,9 +93,51 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    val dollar = ident.name.lastIndexOf('$')
+    if (dollar > 0) return loadMetadataTable(ident,
+      ident.name.take(dollar), ident.name.drop(dollar + 1))
     val ref = refOf(ident)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
     new IceLiteTable(ref, IceLiteSource.schemaOf(ref))
+  }
+
+  /** Iceberg-style METADATA TABLE identifiers: `` `t$snapshots` ``
+    * (history: d20's surface) and `` `t$partitions` `` (the census:
+    * d34's surface) as plain SQL relations. Rows fold from the
+    * manifest at load time — metadata-sized, zero data files. */
+  private def loadMetadataTable(ident: Identifier, base: String,
+      meta: String): Table = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val baseIdent = Identifier.of(ident.namespace, base)
+    val ref = refOf(baseIdent)
+    if (!IceLite.tableExists(ref)) throw new NoSuchTableException(baseIdent)
+    meta match {
+      case "snapshots" =>
+        val m = IceLite.readManifest(ref)
+        val rows = m.snapshots.map(s => Array[Any](s.id,
+          UTF8String.fromString(s.operation), s.rowCount,
+          s.files.size.toLong, s.id == m.currentSnapshotId)).toArray
+        new StaticRowsTable(s"${ident.name}", StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("n_files", LongType, nullable = false),
+          StructField("is_current", BooleanType, nullable = false))), rows)
+      case "partitions" =>
+        val (partitionCols, census) = IceLite.partitionsRows(ref)
+        val rows = census.map { case (vals, fc, rc, sb) =>
+          (vals.map(v => if (v == null) null
+            else UTF8String.fromString(v): Any) ++ Seq(fc, rc, sb)).toArray
+        }.toArray
+        new StaticRowsTable(s"${ident.name}", StructType(
+          partitionCols.map(c => StructField(c, StringType)) ++ Seq(
+            StructField("file_count", LongType, nullable = false),
+            StructField("row_count", LongType, nullable = false),
+            StructField("size_bytes", LongType, nullable = false))), rows)
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$$$other' (have: snapshots, partitions)")
+    }
   }
 
   /** SQL time travel — `SELECT ... FROM cat.ns.t VERSION AS OF <id>`:

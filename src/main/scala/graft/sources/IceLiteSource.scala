@@ -130,10 +130,18 @@ object IceLiteSource {
 
 /** `asOf`: a pinned snapshot id — the table as a TIME-TRAVEL read
   * (SQL `VERSION AS OF` / `TIMESTAMP AS OF` through IceLiteCatalog).
-  * Pinned tables are read-only: history is immutable. */
+  * Pinned tables are read-only: history is immutable.
+  *
+  * SupportsDelete: `DELETE FROM cat.ns.t WHERE ...` delegates to
+  * IceLite.deleteWhere — the layout-preserving touched-files-only
+  * copy-on-write rewrite (d30/d32) behind the plain SQL statement.
+  * Only filters this source can render as predicate text are
+  * accepted (`canDeleteWhere`); anything else fails loudly rather
+  * than deleting the wrong rows. */
 class IceLiteTable(ref: TableRef, schema: StructType,
     asOf: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"icelite.${ref.namespace}.${ref.name}" +
       asOf.map(id => s"@$id").getOrElse("")
@@ -152,6 +160,54 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     require(asOf.isEmpty,
       s"${name()} is a time-travel read — snapshots are immutable")
     new IceLiteWriteBuilder(ref, info)
+  }
+
+  /** Render a pushed filter as SQL predicate text for
+    * IceLite.deleteWhere (None = not renderable → decline). */
+  private def render(f: Filter): Option[String] = {
+    def lit(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case b: Boolean => Some(b.toString)
+      case n: Number => Some(n.toString)
+      case _ => None // timestamps/binary/etc: decline, don't guess
+    }
+    f match {
+      case EqualTo(c, v) => lit(v).map(l => s"`$c` = $l")
+      case GreaterThan(c, v) => lit(v).map(l => s"`$c` > $l")
+      case GreaterThanOrEqual(c, v) => lit(v).map(l => s"`$c` >= $l")
+      case LessThan(c, v) => lit(v).map(l => s"`$c` < $l")
+      case LessThanOrEqual(c, v) => lit(v).map(l => s"`$c` <= $l")
+      case In(c, vs) if vs.nonEmpty =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.forall(_.isDefined)) Some(s"`$c` IN (${ls.flatten.mkString(", ")})")
+        else None
+      case org.apache.spark.sql.sources.IsNull(c) => Some(s"`$c` IS NULL")
+      case org.apache.spark.sql.sources.IsNotNull(c) => Some(s"`$c` IS NOT NULL")
+      case org.apache.spark.sql.sources.Not(child) => render(child).map(p => s"NOT ($p)")
+      case org.apache.spark.sql.sources.And(l, r) =>
+        for (a <- render(l); b <- render(r)) yield s"($a) AND ($b)"
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        for (a <- render(l); b <- render(r)) yield s"($a) OR ($b)"
+      case org.apache.spark.sql.sources.AlwaysTrue() => Some("true")
+      case org.apache.spark.sql.sources.AlwaysFalse() => Some("false")
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(render(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty,
+      s"${name()} is a time-travel read — snapshots are immutable")
+    val pred =
+      if (filters.isEmpty) "true"
+      else filters.map(f => render(f).getOrElse(throw new IllegalArgumentException(
+        s"cannot render $f as a delete predicate"))).mkString("(", ") AND (", ")")
+    IceLite.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, ref, pred)
+    ()
   }
 }
 

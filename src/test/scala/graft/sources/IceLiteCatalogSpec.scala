@@ -114,6 +114,51 @@ class IceLiteCatalogSpec extends AnyFunSuite {
       s"INSERT INTO $cat.src.tt VERSION AS OF ${s1.id} VALUES (99, 'x')"))
   }
 
+  test("DELETE FROM through SQL runs the layout-preserving copy-on-write delete") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "s"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current.files.toSet
+    spark.sql(s"DELETE FROM $cat.src.t WHERE k >= 100 AND k < 150")
+    val m = IceLite.readManifest(ref)
+    assert(m.snapshots.map(_.operation) == Seq("create", "delete"))
+    // touched-files-only: 3 of 4 files survive byte-identical
+    assert(m.current.files.count(before) == 3)
+    // sort layout survived the SQL statement (d32 through SQL)
+    assert(m.current.sortedBy.contains("k"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 350L)
+    // string predicates render too (escaping included)
+    spark.sql(s"DELETE FROM $cat.src.t WHERE s = 'v200'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 349L)
+    // a time-travel identifier refuses deletes
+    assertThrows[Exception](spark.sql(
+      s"DELETE FROM $cat.src.t VERSION AS OF 1 WHERE k = 0"))
+  }
+
+  test("metadata tables are SQL identifiers: t\\$snapshots and t\\$partitions") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "pt")
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "p"), "p",
+      statsCols = Seq("k"))
+    IceLite.appendPartitioned(ref, Seq((4L, "a")).toDF("k", "p"), "p")
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, operation, n_rows, is_current FROM $cat.src.`pt$$snapshots` ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(snaps.toSeq == Seq((1L, "create", 3L, false), (2L, "append", 4L, true)))
+    val parts = spark.sql(
+      s"SELECT p, file_count, row_count FROM $cat.src.`pt$$partitions` ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.toSeq == Seq(("a", 2L, 3L), ("b", 1L, 1L)))
+    // unknown suffix fails loudly
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $cat.src.`pt$$bogus`").collect())
+  }
+
   test("catalog reads keep the connector's pruning and pushdown") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
