@@ -262,6 +262,55 @@ object IceLite {
     }.filter(_._2.nonEmpty).toMap
   }
 
+  /** d42/d43: group-based copy-on-write commit (the DSv2 ReplaceData
+    * contract behind SQL UPDATE / MERGE INTO): atomically swap exactly
+    * the files the row-level scan planned (`removed`) for the files
+    * the replace-write staged (`added`) in ONE snapshot. Concurrent
+    * APPENDs rebase and survive (their files are not in `removed`);
+    * a concurrent rewrite that already replaced one of `removed`
+    * fails the commit LOUDLY (the staged result was computed from a
+    * stale snapshot — re-running the statement is the only correct
+    * retry, Iceberg's serializable-isolation validation). Stats for
+    * the new files come from parquet footers; the removed files'
+    * row counts leave through the manifest's own record counts. */
+  private[graft] def commitReplace(ref: TableRef, removed: Set[String],
+      added: Seq[String], op: String): Snapshot = {
+    val rowsByFile = fileRowCounts(ref, added)
+    val stats = footerStats(ref, added)
+    while (true) {
+      val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
+        throw new IllegalArgumentException(s"${ref.name} does not exist"))
+      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val snap = base.current
+      val gone = removed.filterNot(snap.files.contains)
+      if (gone.nonEmpty) {
+        unstageFiles(ref, added)
+        throw new java.util.ConcurrentModificationException(
+          s"${ref.name}: ${gone.size} file(s) this $op was computed " +
+            s"against were rewritten concurrently (e.g. ${gone.head}) — " +
+            "re-run the statement against the current snapshot")
+      }
+      val removedRows = removed.toSeq.map(f =>
+        snap.fileRows.getOrElse(f, countRowsFromFooters(ref, Seq(f)))).sum
+      val id = base.snapshots.map(_.id).max + 1
+      val next = Snapshot(id, System.currentTimeMillis(), op,
+        snap.files.filterNot(removed) ++ added,
+        snap.rowCount - removedRows + rowsByFile.values.sum,
+        (snap.fileStats -- removed) ++ stats,
+        snap.partitionCols, snap.sortedBy,
+        fileRows = (snap.fileRows -- removed) ++ rowsByFile)
+      // staged files survive a lost CAS race (pass Nil): the loop
+      // rebases and re-validates rather than recomputing the data
+      if (claimVersion(ref, baseVersion + 1,
+          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next),
+          Nil)) {
+        BloomIndex.refreshAll(org.apache.spark.sql.SparkSession.active, ref)
+        return next
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** d26: commit files an EXTERNAL writer (the DSv2 BatchWrite) has
     * already staged under data/<token>/ — one CAS snapshot, append or
     * (`truncate`) replace; create on first commit. Stats come from

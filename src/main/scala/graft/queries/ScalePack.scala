@@ -1163,6 +1163,152 @@ object ScalePack extends Pack {
              TRUE AS targeted
              FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 1999""")),
 
+    // d42: SQL UPDATE — Spark's own group-based copy-on-write rewrite
+    // (SupportsRowLevelOperations → ReplaceData): the analyzer plans
+    // the statement, runtime group filtering narrows the rewrite scan
+    // to the files whose rows match (via the `_file` metadata column
+    // + SupportsRuntimeV2Filtering), and the replace-write swaps
+    // exactly those files in one CAS snapshot. Witnessed: untouched
+    // files survive byte-identical and the snapshot operation is
+    // "update". At 100 TB the rewrite cost is proportional to the
+    // matched files, never the table.
+    Decl("d42_sql_update",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d42").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_sqlupd")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        val before = IceLite.readManifest(ref).current.files.toSet
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"UPDATE $cat.src.orders_sqlupd " +
+          "SET o_totalprice = o_totalprice + 500000 " +
+          "WHERE o_orderkey BETWEEN 1000 AND 1999")
+        val after = IceLite.readManifest(ref).current
+        val targeted = after.files.count(before) > 0 &&
+          after.operation == "update"
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.orders_sqlupd""")
+          .withColumn("targeted", lit(targeted))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice +
+               CASE WHEN o_orderkey BETWEEN 1000 AND 1999
+                    THEN 500000 ELSE 0 END AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS targeted
+             FROM orders""")),
+
+    // d43: SQL MERGE INTO — the full statement (matched update +
+    // not-matched insert) through the same ReplaceData path as d42.
+    // The engine-side IceLite.merge (d04) is the DataFrame twin; here
+    // Catalyst builds the join, the cardinality check, and the
+    // rewrite, and the connector only scans groups and swaps files.
+    // The oracle reconstructs the merge result relationally.
+    Decl("d43_sql_merge",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d43").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_sqlmrg")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        val before = IceLite.readManifest(ref).current.files.toSet
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val ordersPq = s"parquet.`$dir/orders.parquet`"
+        s.sql(s"""MERGE INTO $cat.src.orders_sqlmrg t
+                  USING (
+                    SELECT o_orderkey AS sk, o_totalprice + 500000 AS sp
+                    FROM $ordersPq WHERE o_orderkey BETWEEN 1000 AND 1999
+                    UNION ALL
+                    SELECT o_orderkey + 100000000 AS sk, CAST(1.0 AS DOUBLE) AS sp
+                    FROM $ordersPq WHERE o_orderkey <= 640
+                  ) s ON t.o_orderkey = s.sk
+                  WHEN MATCHED THEN UPDATE SET o_totalprice = s.sp
+                  WHEN NOT MATCHED THEN
+                    INSERT (o_orderkey, o_totalprice) VALUES (s.sk, s.sp)""")
+        val after = IceLite.readManifest(ref).current
+        val targeted = after.files.count(before) > 0 &&
+          after.operation == "merge"
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.orders_sqlmrg""")
+          .withColumn("targeted", lit(targeted))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(price AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS targeted
+             FROM (
+               SELECT o_totalprice +
+                 CASE WHEN o_orderkey BETWEEN 1000 AND 1999
+                      THEN 500000 ELSE 0 END AS price
+               FROM orders
+               UNION ALL
+               SELECT CAST(1.0 AS DOUBLE) AS price
+               FROM orders WHERE o_orderkey <= 640
+             )""")),
+
+    // d44: SQL MAINTENANCE PROCEDURES — `CALL cat.system.<proc>(...)`
+    // (Iceberg's stored-procedure UX; the reference's Trino `ALTER
+    // TABLE ... EXECUTE optimize` + `expire_snapshots` role). The
+    // whole steady-state maintenance loop — compact small files,
+    // expire history, reclaim orphans — runs as three SQL statements;
+    // each returns its witness row. Witnessed: compaction leaves
+    // exactly target_files files, expiry leaves one snapshot, gc
+    // reclaims a planted (backdated) orphan, and the data still
+    // matches the source afterwards.
+    Decl("d44_sql_procedures",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d44").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_proc")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" % 4 <= 1))
+        IceLite.append(ref, o.filter($"o_orderkey" % 4 === 2))
+        IceLite.append(ref, o.filter($"o_orderkey" % 4 === 3))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val nFiles = s.sql(s"CALL $cat.system.compact(" +
+          "table => 'src.orders_proc', target_files => 2)")
+          .head.getLong(1)
+        s.sql(s"CALL $cat.system.expire_retain_last('src.orders_proc', 1)")
+        val nSnaps = IceLite.readManifest(ref).snapshots.size.toLong
+        val orphan = ref.dataDir.resolve("deadbeef").resolve("orphan.parquet")
+        Files.createDirectories(orphan.getParent)
+        Files.write(orphan, Array[Byte](1, 2, 3))
+        Files.setLastModifiedTime(orphan,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 10000))
+        val gcDeleted = s.sql(
+          s"CALL $cat.system.gc_orphans('src.orders_proc', 0)")
+          .head.getLong(0)
+        val gcOk = gcDeleted >= 1L && !Files.exists(orphan)
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.orders_proc""")
+          .withColumn("n_files", lit(nFiles))
+          .withColumn("n_snapshots", lit(nSnaps))
+          .withColumn("gc_ok", lit(gcOk))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             CAST(2 AS BIGINT) AS n_files,
+             CAST(1 AS BIGINT) AS n_snapshots,
+             TRUE AS gc_ok
+             FROM orders""")),
+
     // d41: METADATA TABLES as SQL identifiers — Iceberg's
     // `t$snapshots` / `t$partitions` UX: history and the partition
     // census are plain relations (backtick-quoted), folded from the

@@ -62,7 +62,8 @@ private[sources] class StaticRowsTable(tableName: String,
     }
 }
 
-class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
+class IceLiteCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -199,6 +200,25 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(
       "icelite tables are addressed by path; copy via CTAS instead of RENAME")
+
+  // ---- procedures (d44) ----
+
+  /** `CALL cat.system.<proc>(...)` — the SQL maintenance loop
+    * (compact / expire / rollback / gc), Iceberg's stored-procedure
+    * UX over IceLite's own operations. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got " +
+        s"${(ident.namespace :+ ident.name).mkString(".")}")
+    IceLiteProcedures(warehouse, ident.name).getOrElse(
+      throw new RuntimeException(s"unknown procedure '${ident.name}' " +
+        s"(have: ${IceLiteProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else IceLiteProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ---- namespaces ----
 

@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import graft.icelite.{IceLite, TableRef}
+
+/** d44: SQL MAINTENANCE PROCEDURES — the `CALL cat.system.<proc>(...)`
+  * face of the engine's table-maintenance loop (Iceberg's Spark
+  * procedures: `rewrite_data_files`, `expire_snapshots`,
+  * `rollback_to_snapshot`, `remove_orphan_files`; the reference runs
+  * the same loop through Trino's `ALTER TABLE ... EXECUTE` and
+  * `expire_snapshots` calls, extract_load.py:164-178). Each procedure
+  * binds by position or name (`table => 'ns.t'`), runs the
+  * corresponding IceLite operation, and returns its witness row
+  * through a driver-local scan (LocalScan — procedure results are
+  * metadata-sized by construction).
+  *
+  * The steady-state 100 TB maintenance loop is therefore plain SQL:
+  * append small files all day, `CALL system.compact(...)` nightly,
+  * `CALL system.expire_snapshots(...)` after retention,
+  * `CALL system.gc_orphans(...)` to reclaim dead bytes — no JVM
+  * client needed, exactly how a warehouse team operates Iceberg.
+  */
+object IceLiteProcedures {
+  val names: Seq[String] = Seq("compact", "expire_snapshots",
+    "expire_retain_last", "rollback_to_snapshot", "gc_orphans")
+
+  def apply(warehouse: String, name: String): Option[UnboundProcedure] =
+    name match {
+      case "compact" => Some(new Proc("compact",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_files", IntegerType)
+            .defaultValue("1").build()),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("n_files", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val snap = IceLite.compact(SparkSession.active,
+            refOf(warehouse, in.getUTF8String(0).toString), in.getInt(1))
+          Array(Array[Any](snap.id, snap.files.size.toLong))
+        }
+      })
+      case "expire_snapshots" => Some(new Proc("expire_snapshots",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_ms", LongType).build()),
+        StructType(Seq(
+          StructField("expired_snapshots", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val expired = IceLite.expireSnapshots(
+            refOf(warehouse, in.getUTF8String(0).toString), in.getLong(1))
+          Array(Array[Any](expired.size.toLong))
+        }
+      })
+      case "expire_retain_last" => Some(new Proc("expire_retain_last",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("retain_last", IntegerType).build()),
+        StructType(Seq(
+          StructField("expired_snapshots", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val expired = IceLite.expireSnapshotsRetainLast(
+            refOf(warehouse, in.getUTF8String(0).toString), in.getInt(1))
+          Array(Array[Any](expired.size.toLong))
+        }
+      })
+      case "rollback_to_snapshot" => Some(new Proc("rollback_to_snapshot",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("snapshot_id", LongType).build()),
+        StructType(Seq(
+          StructField("new_snapshot_id", LongType, nullable = false),
+          StructField("restored_snapshot_id", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val restoredFrom = in.getLong(1)
+          val snap = IceLite.rollback(
+            refOf(warehouse, in.getUTF8String(0).toString), restoredFrom)
+          Array(Array[Any](snap.id, restoredFrom))
+        }
+      })
+      case "gc_orphans" => Some(new Proc("gc_orphans",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("grace_ms", LongType)
+            .defaultValue("3600000").build()),
+        StructType(Seq(
+          StructField("orphans_deleted", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val deleted = IceLite.gcOrphans(
+            refOf(warehouse, in.getUTF8String(0).toString), in.getLong(1))
+          Array(Array[Any](deleted.size.toLong))
+        }
+      })
+      case _ => None
+    }
+
+  private def refOf(warehouse: String, table: String): TableRef = {
+    val parts = table.split('.')
+    require(parts.length == 2,
+      s"procedure table arguments are 'namespace.table', got '$table'")
+    TableRef(warehouse, parts(0), parts(1))
+  }
+
+  /** One procedure = one class: unbound and bound are the same object
+    * (parameters are static; bind() is the identity). The maintenance
+    * action runs in call() on the driver; its witness rows come back
+    * as a LocalScan. */
+  private abstract class Proc(procName: String,
+      params: Array[ProcedureParameter], resultSchema: StructType)
+    extends UnboundProcedure with BoundProcedure {
+    def run(in: InternalRow): Array[Array[Any]]
+
+    override def name(): String = procName
+    override def description(): String = s"icelite maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = run(input).map(r =>
+        InternalRow.fromSeq(r.toIndexedSeq): InternalRow)
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = resultSchema
+        override def description(): String = s"IceLiteProcedureResult $procName"
+      }).iterator()
+    }
+  }
+}

@@ -137,11 +137,30 @@ object IceLiteSource {
   * copy-on-write rewrite (d30/d32) behind the plain SQL statement.
   * Only filters this source can render as predicate text are
   * accepted (`canDeleteWhere`); anything else fails loudly rather
-  * than deleting the wrong rows. */
+  * than deleting the wrong rows.
+  *
+  * SupportsRowLevelOperations (d42/d43): SQL `UPDATE` and `MERGE
+  * INTO` (and non-renderable DELETEs) plan through Spark's own
+  * group-based copy-on-write rewrite — Catalyst rewrites the
+  * statement into a ReplaceData plan over this operation's scan,
+  * runtime group filtering narrows that scan to the files that
+  * actually hold matching rows (via the `_file` metadata column +
+  * SupportsRuntimeV2Filtering), and the replace-write swaps exactly
+  * those files for the rewritten ones in one CAS snapshot. The
+  * engine-side analogue is IceLite.merge/updateWhere (d04/d31);
+  * this surface lets Spark's analyzer drive the same touched-files-
+  * only cost model from plain SQL.
+  *
+  * SupportsMetadataColumns: `_file` — the absolute path of the data
+  * file a row came from (Iceberg's `_file` column), the group id
+  * runtime filtering keys on, and useful on its own for debugging
+  * skew or tracing a bad row to its file. */
 class IceLiteTable(ref: TableRef, schema: StructType,
     asOf: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String =
     s"icelite.${ref.namespace}.${ref.name}" +
       asOf.map(id => s"@$id").getOrElse("")
@@ -160,6 +179,22 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     require(asOf.isEmpty,
       s"${name()} is a time-travel read — snapshots are immutable")
     new IceLiteWriteBuilder(ref, info)
+  }
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(IceLiteTable.FileMetadataColumn)
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"${name()} is a time-travel read — snapshots are immutable")
+    require(IceLiteSource.resolveSnap(ref, None).partitionCols.isEmpty,
+      s"${name()} is partitioned — SQL row-level writes restage flat " +
+        "files, which would break the Hive partition layout; use " +
+        "IceLite.merge/updateWhere (the DataFrame API), which re-stage " +
+        "through the partition dirs")
+    () => new IceLiteRowLevelOperation(ref, schema, info.command)
   }
 
   /** Render a pushed filter as SQL predicate text for
@@ -208,6 +243,129 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     IceLite.deleteWhere(
       org.apache.spark.sql.SparkSession.active, ref, pred)
     ()
+  }
+}
+
+object IceLiteTable {
+  /** `_file` — Iceberg's file-provenance metadata column, and the
+    * GROUP ID of the copy-on-write row-level path: runtime group
+    * filtering collects the distinct `_file` values holding matched
+    * rows and narrows the rewrite scan to exactly those files. The
+    * preserve flags are off so copied-over rows do NOT drag the
+    * column into the replace-write's schema (the write sees pure
+    * table columns). */
+  val FileMetadataColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the data file the row came from"
+      override def metadataInJSON(): String =
+        """{"__preserve_on_delete": false, "__preserve_on_update": false}"""
+    }
+}
+
+/** One SQL row-level statement (UPDATE / MERGE / rewritten DELETE) as
+  * Spark's group-based operation contract (d42/d43): the scan half
+  * reads the candidate file groups (runtime-filtered to matched
+  * files), the write half stages the rewritten rows and commits a
+  * snapshot swapping exactly the scanned files. The instance is the
+  * bridge — the scan records what it planned, the write replaces it.
+  * Scan and write of one statement share this object by construction
+  * (Spark builds both from the same RowLevelOperation). */
+class IceLiteRowLevelOperation(ref: TableRef, tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  /** Manifest-relative files the (runtime-filtered) scan planned —
+    * the groups the replace-write swaps out. Set by
+    * IceLiteScan.planInputPartitions, read by commit(); both run on
+    * the driver, planning strictly before commit. */
+  @volatile private[sources] var scannedFiles: Option[Seq[String]] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"IceLiteRowLevelOperation $cmd ${ref.name}"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IceLiteScanBuilder(ref, tableSchema, rowOp = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new IceLiteReplaceWrite(
+        ref, info.schema(), IceLiteRowLevelOperation.this,
+        cmd.toString.toLowerCase)
+    }
+
+  /** Ask the rewrite plan to project `_file`, making it available to
+    * the runtime group filter. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+}
+
+/** The write half of ReplaceData: stages rewritten rows like any
+  * batch write, then commits ONE snapshot that removes the scanned
+  * file groups and adds the staged files (IceLite.commitReplace —
+  * concurrent appends rebase and survive; a concurrent rewrite of a
+  * scanned file fails the statement loudly). A SORTED table asks
+  * Spark to range-partition and sort the rewritten rows on the sort
+  * key (RequiresDistributionAndOrdering), so the table's clustering
+  * — and with it stats-pruning precision — survives the SQL rewrite
+  * without a connector-side second pass. */
+class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
+    op: IceLiteRowLevelOperation, opName: String)
+  extends Write with BatchWrite
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+  private def sortedBy: Option[String] =
+    IceLiteSource.resolveSnap(ref, None).sortedBy
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"IceLiteReplaceWrite $opName ${ref.name}"
+
+  override def requiredDistribution(): Distribution = sortedBy match {
+    case Some(c) => Distributions.ordered(Array(
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+    case None => Distributions.unspecified()
+  }
+  override def requiredOrdering(): Array[SortOrder] = sortedBy match {
+    case Some(c) => Array(
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+    case None => Array.empty
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // the preserve flags on _file are off, so the rewrite writes pure
+    // table columns — if this ever trips, the metadata-column flags
+    // regressed and the rewrite would bake `_file` into the data
+    require(!schema.fieldNames.contains("_file"),
+      s"row-level $opName write schema leaked the _file metadata column")
+    java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
+    new IceLiteWriterFactory(ref.dataDir.resolve(token).toString,
+      schema.fields.map(f => (f.name, f.dataType)))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case IceLiteCommitMessage(name) if name != null => s"data/$token/$name"
+    }.toSeq.sorted
+    val removed = op.scannedFiles.getOrElse(throw new IllegalStateException(
+      s"row-level $opName write committed before its scan planned files"))
+    if (removed.isEmpty && staged.isEmpty) ()  // nothing matched, nothing inserted
+    else IceLite.commitReplace(ref, removed.toSet, staged, opName)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = ref.dataDir.resolve(token)
+    if (java.nio.file.Files.exists(dir)) {
+      IceLite.listDir(java.nio.file.Files.list(dir))(_.toSeq)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 }
 
@@ -434,7 +592,8 @@ private[sources] final case class PushedMax(col: String) extends PushedAgg
 class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    rowOp: Option[IceLiteRowLevelOperation] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -582,16 +741,19 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       // must line up positionally; Spark re-projects the user's
       // column order above the scan by name), with the PATH-BORNE
       // partition columns appended last — they come from the file
-      // path, not the parquet pages
-      val names = required.fieldNames.toSet
+      // path, not the parquet pages — and the `_file` metadata
+      // column (per-file constant, from the split) after those
+      val emitFile = required.fieldNames.contains("_file")
+      val names = required.fieldNames.toSet - "_file"
       val partProjected = currentSnap.partitionCols.filter(names.contains)
       val dataOrdered = schema.fields.filter(f =>
         names.contains(f.name) && !partProjected.contains(f.name))
       val ordered = StructType(dataOrdered ++
-        partProjected.flatMap(c => schema.fields.find(_.name == c)))
+        partProjected.flatMap(c => schema.fields.find(_.name == c)) ++
+        (if (emitFile) required.fields.filter(_.name == "_file") else Array.empty[StructField]))
       new IceLiteScan(ref,
         if (ordered.length == required.length) ordered else required,
-        bounds, partFilters, partProjected,
+        bounds, partFilters, partProjected, emitFile, rowOp,
         snapshotsPerTrigger, targetSplitBytes, asOf)
   }
 }
@@ -680,13 +842,56 @@ class IceLiteScan(ref: TableRef, required: StructType,
     bounds: Map[String, (Double, Double)],
     partFilters: Map[String, Set[String]] = Map.empty,
     partFields: Seq[String] = Nil,
+    emitFile: Boolean = false,
+    rowOp: Option[IceLiteRowLevelOperation] = None,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024,
-    asOf: Option[Long] = None) extends Scan with Batch {
+    asOf: Option[Long] = None) extends Scan with Batch
+  with SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, Literal}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
   /** The columns decoded from parquet pages (partition columns come
-    * from the file path instead). */
+    * from the file path; `_file` from the split). */
   private val dataFields = required.fields
-    .filter(f => !partFields.contains(f.name)).map(f => (f.name, f.dataType))
+    .filter(f => !partFields.contains(f.name) && f.name != "_file")
+    .map(f => (f.name, f.dataType))
+
+  /** Runtime group filter (row-level COW path): the distinct `_file`
+    * values Spark's group-filter subquery found matching rows in —
+    * only those files are re-scanned and rewritten. None = no runtime
+    * filter arrived (rewrite every candidate file: correct, wider). */
+  private var runtimeKeep: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (rowOp.isDefined) Array(Expressions.column("_file"))
+    else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def isFileCol(e: V2Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("_file"))
+      case _ => false
+    }
+    def litStr(e: V2Expression): Option[String] = e match {
+      case l: Literal[_] => Option(l.value).map {
+        case u: UTF8String => u.toString
+        case other => other.toString
+      }
+      case _ => None
+    }
+    val sets = predicates.flatMap { p =>
+      val kids = p.children()
+      p.name match {
+        case "IN" if kids.nonEmpty && isFileCol(kids.head) =>
+          val vs = kids.tail.map(litStr)
+          if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+        case "=" if kids.length == 2 && isFileCol(kids.head) =>
+          litStr(kids(1)).map(Set(_))
+        case _ => None // untranslatable: stay conservative (keep all)
+      }
+    }
+    if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -721,12 +926,21 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // partition-value pruning (pushed string equality / IN): a file
     // survives only if its path matches every filtered column — the
     // conjunction Iceberg evaluates against identity partitions
-    val files =
+    val partPruned =
       if (partFilters.isEmpty) statsPruned
       else statsPruned.filter { f =>
         val vals = IceLiteSource.pathPartValues(f)
         partFilters.forall { case (c, vs) => vals.get(c).exists(vs.contains) }
       }
+    // runtime group filter last (matches on the absolute path the
+    // reader emits as `_file`)
+    val files = runtimeKeep match {
+      case Some(keep) => partPruned.filter(f =>
+        keep.contains(ref.dir.resolve(f).toString))
+      case None => partPruned
+    }
+    // the row-level write replaces exactly what this scan planned
+    rowOp.foreach(_.scannedFiles = Some(files))
     IceLiteSource.lastPlannedFiles = files
     IceLiteSource.lastScanMetadataOnly = false
     // one group per projected partition-value tuple (a split never
@@ -756,7 +970,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IceLiteReaderFactory(dataFields)
+    new IceLiteReaderFactory(dataFields, emitFile)
 }
 
 case class IceLiteInputPartition(files: Seq[String],
@@ -866,7 +1080,8 @@ class IceLiteMicroBatchStream(ref: TableRef,
     s"IceLiteMicroBatchStream(${ref.namespace}.${ref.name})"
 }
 
-class IceLiteReaderFactory(fields: Array[(String, DataType)])
+class IceLiteReaderFactory(fields: Array[(String, DataType)],
+    emitFile: Boolean = false)
   extends PartitionReaderFactory {
 
   /** Columnar read path: Spark's own vectorized parquet reader
@@ -897,6 +1112,13 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
         if (v == null) cv.setNull() else cv.setUtf8String(UTF8String.fromString(v))
         cv
       }
+      // `_file` is per-FILE constant: one vector, re-pointed at each
+      // file open (a batch is consumed before the next file opens)
+      private val fileVector =
+        if (!emitFile) None
+        else Some(new org.apache.spark.sql.execution.vectorized
+          .ConstantColumnVector(4096, StringType))
+      private val appendedVectors = constVectors ++ fileVector
       private val remaining = files.iterator
       private var reader: org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader = _
@@ -904,14 +1126,16 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
       private def openNext(): Boolean =
         if (!remaining.hasNext) false
         else {
+          val path = remaining.next()
+          fileVector.foreach(_.setUtf8String(UTF8String.fromString(path)))
           reader = new org.apache.spark.sql.execution.datasources.parquet
             .VectorizedParquetRecordReader(false, 4096)
-          reader.initialize(remaining.next(), fields.map(_._1).toList.asJava)
+          reader.initialize(path, fields.map(_._1).toList.asJava)
           val fb = reader.resultBatch() // allocates the batch nextBatch() fills
           batch =
-            if (constVectors.isEmpty) fb
+            if (appendedVectors.isEmpty) fb
             else new org.apache.spark.sql.vectorized.ColumnarBatch(
-              ((0 until fb.numCols).map(fb.column) ++ constVectors).toArray)
+              ((0 until fb.numCols).map(fb.column) ++ appendedVectors).toArray)
           true
         }
       override def next(): Boolean = {
@@ -919,7 +1143,7 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
           if (reader != null) { reader.close(); reader = null }
           if (!openNext()) return false
         }
-        if (constVectors.nonEmpty)
+        if (appendedVectors.nonEmpty)
           batch.setNumRows(reader.resultBatch().numRows)
         true
       }
@@ -949,8 +1173,9 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
 
   private def singleFileReader(file: String,
       partVals: Seq[String]): PartitionReader[InternalRow] = {
-    val partTail0: Array[Any] = partVals.map(v =>
-      if (v == null) null else UTF8String.fromString(v): Any).toArray
+    val partTail0: Array[Any] = (partVals.map(v =>
+      if (v == null) null else UTF8String.fromString(v): Any) ++
+      (if (emitFile) Seq(UTF8String.fromString(file): Any) else Nil)).toArray
     // no data columns projected (partition-only select, or a count
     // over a declined aggregate): the footer's record count is the
     // whole answer — emit that many constant rows, zero pages decoded
@@ -982,9 +1207,7 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)])
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new HPath(file))
           .withConf(conf).build()
-      private val partTail: Array[Any] =
-        partVals.map(v => if (v == null) null
-          else UTF8String.fromString(v): Any).toArray
+      private val partTail: Array[Any] = partTail0
       private var cur: Group = _
       override def next(): Boolean = { cur = reader.read(); cur != null }
       override def get(): InternalRow = {

@@ -138,6 +138,101 @@ class IceLiteCatalogSpec extends AnyFunSuite {
       s"DELETE FROM $cat.src.t VERSION AS OF 1 WHERE k = 0"))
   }
 
+  test("_file metadata column traces every row to its data file") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 400L).map(k => (k, k * 2.0)).toDF("k", "v"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    val perFile = spark.sql(
+      s"SELECT _file, count(*) AS n FROM $cat.src.t GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(perFile.length == 4)
+    assert(perFile.map(_._2).sum == 400L)
+    // values are real paths of the table's current files
+    val files = IceLite.readManifest(ref).current.files
+      .map(f => ref.dir.resolve(f).toString).toSet
+    assert(perFile.map(_._1).toSet == files)
+  }
+
+  test("UPDATE through SQL rewrites only the files holding matches") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 400L).map(k => (k, k * 2.0)).toDF("k", "v"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current.files.toSet
+    spark.sql(s"UPDATE $cat.src.t SET v = v + 1000 WHERE k >= 100 AND k < 150")
+    val m = IceLite.readManifest(ref)
+    assert(m.snapshots.map(_.operation) == Seq("create", "update"))
+    // runtime group filtering: 3 of 4 files survive byte-identical
+    assert(m.current.files.count(before) == 3)
+    // the table's sort metadata survives, and row count is unchanged
+    assert(m.current.sortedBy.contains("k"))
+    assert(m.current.rowCount == 400L)
+    val got = spark.sql(
+      s"SELECT sum(v) FROM $cat.src.t").head.getDouble(0)
+    assert(got == (0L until 400L).map(_ * 2.0).sum + 50 * 1000)
+    // untouched rows inside the rewritten file kept their values
+    assert(spark.sql(s"SELECT v FROM $cat.src.t WHERE k = 99")
+      .head.getDouble(0) == 198.0)
+  }
+
+  test("MERGE INTO through SQL: matched update, not-matched insert, one snapshot") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 400L).map(k => (k, k * 2.0)).toDF("k", "v"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current.files.toSet
+    // updates hit only the first file's range; inserts are new keys
+    Seq((10L, -1.0), (20L, -2.0), (1000L, 5.0), (1001L, 6.0))
+      .toDF("k", "v").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.src.t t USING merge_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT *""")
+    val m = IceLite.readManifest(ref)
+    assert(m.snapshots.map(_.operation) == Seq("create", "merge"))
+    assert(m.current.files.count(before) == 3)
+    assert(m.current.rowCount == 402L)
+    val got = spark.sql(
+      s"SELECT k, v FROM $cat.src.t WHERE k IN (10, 20, 1000, 1001, 30) ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((10L, -1.0), (20L, -2.0), (30L, 60.0),
+      (1000L, 5.0), (1001L, 6.0)))
+  }
+
+  test("DELETE with a non-renderable predicate takes the row-level COW path") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s"))
+    // k % 7 = 3 cannot render as a pushed source filter → ReplaceData
+    spark.sql(s"DELETE FROM $cat.src.t WHERE k % 7 = 3")
+    val m = IceLite.readManifest(ref)
+    assert(m.snapshots.last.operation == "delete")
+    val expect = (0L until 100L).filterNot(_ % 7 == 3)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0)
+      == expect.length.toLong)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.src.t").head.getLong(0)
+      == expect.sum)
+  }
+
+  test("SQL row-level writes refuse partitioned tables loudly") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "pt")
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "p")
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $cat.src.pt SET k = k + 1 WHERE p = 'a'"))
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("metadata tables are SQL identifiers: t\\$snapshots and t\\$partitions") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
@@ -157,6 +252,46 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     // unknown suffix fails loudly
     assertThrows[Exception](
       spark.sql(s"SELECT * FROM $cat.src.`pt$$bogus`").collect())
+  }
+
+  test("CALL system procedures drive the maintenance loop from SQL") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    IceLite.append(ref, Seq((101L, 1.0)).toDF("k", "v"))
+    IceLite.append(ref, Seq((102L, 2.0)).toDF("k", "v"))
+    // compact: many small files → 1, via named-argument CALL
+    val c = spark.sql(s"CALL $cat.system.compact(table => 'src.t')").collect()
+    assert(c.head.getLong(1) == 1L)
+    assert(IceLite.readManifest(ref).current.files.size == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 102L)
+    // rollback: the time-travel undo as SQL
+    val rb = spark.sql(
+      s"CALL $cat.system.rollback_to_snapshot('src.t', 1)").collect()
+    assert(rb.head.getLong(1) == 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 100L)
+    // expiry: keep the last 2 snapshots
+    val ex = spark.sql(
+      s"CALL $cat.system.expire_retain_last('src.t', 2)").collect()
+    assert(ex.head.getLong(0) >= 1L)
+    assert(IceLite.readManifest(ref).snapshots.size == 2)
+    // gc: reclaim a planted (backdated — mtime grace) orphan
+    val orphan = ref.dataDir.resolve("deadbeef").resolve("orphan.parquet")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000))
+    val gc = spark.sql(
+      s"CALL $cat.system.gc_orphans('src.t', 0)").collect()
+    assert(gc.head.getLong(0) >= 1L)
+    assert(!java.nio.file.Files.exists(orphan))
+    // the table still answers correctly after the full loop
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 100L)
+    // unknown procedures fail loudly
+    assertThrows[Exception](spark.sql(s"CALL $cat.system.bogus()"))
   }
 
   test("catalog reads keep the connector's pruning and pushdown") {
