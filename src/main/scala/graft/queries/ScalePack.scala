@@ -1309,6 +1309,114 @@ object ScalePack extends Pack {
              TRUE AS gc_ok
              FROM orders""")),
 
+    // d45: DYNAMIC PARTITION PRUNING through the connector — the
+    // star-schema runtime filter (Iceberg's runtime filtering /
+    // Spark's DPP) arriving at the DSv2 boundary: the dim's filter is
+    // on an attribute, NOT the join key, so no static pushdown
+    // exists; Spark's PartitionPruning rule reuses the dim broadcast
+    // as a pruning subquery, SupportsRuntimeV2Filtering hands the
+    // surviving keys to the scan, and whole fact partition dirs are
+    // skipped at EXECUTION time. d06 builds this by hand (collect →
+    // IN filter); d45 is the same physics with zero user code — the
+    // planner owns it. Witnessed: the fact scan planned only the
+    // matching partition's files.
+    Decl("d45_connector_dpp",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d45").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "lineitem_dpp")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        IceLite.createOrReplacePartitioned(ref, l, "l_returnflag",
+          statsCols = Seq("l_orderkey"))
+        // scan-backed dim (a LocalRelation would constant-fold the
+        // filter away and leave DPP nothing to reuse)
+        val dimDir = Files.createTempDirectory("graft_d45_dim").toString
+        l.select($"l_returnflag".as("flag")).distinct()
+          .withColumn("grp",
+            when($"flag" === "R", lit("keep")).otherwise(lit("drop")))
+          .write.mode("overwrite").parquet(dimDir)
+        val fact = s.read.format("graft.sources.IceLiteSource")
+          .load(ref.dir.toString)
+        val dim = s.read.parquet(dimDir).filter($"grp" === "keep")
+        val q = fact.join(dim, fact("l_returnflag") === dim("flag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"l_quantity".cast("decimal(18,3)")).cast("double").as("sum_qty"))
+        val row = q.head()
+        val planned = graft.sources.IceLiteSource.lastPlannedFiles
+        val dppPruned = planned.nonEmpty &&
+          planned.forall(_.contains("l_returnflag=R"))
+        import s.implicits._
+        Seq((row.getLong(0), row.getDouble(1), dppPruned))
+          .toDF("n", "sum_qty", "dpp_pruned")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+             TRUE AS dpp_pruned
+             FROM lineitem WHERE l_returnflag = 'R'""")),
+
+    // d46: STORAGE-PARTITIONED JOIN — two tables partitioned on the
+    // same column join with NO shuffle on either side (Iceberg SPJ /
+    // Spark v2 bucketing): the scans report KeyGroupedPartitioning
+    // over their identity transforms, splits carry their key
+    // (HasPartitionKey), and Spark co-schedules matching partitions.
+    // d03 shows the same physics with Spark's own bucketed tables;
+    // here it's the CONNECTOR's layout driving the planner. At 100 TB
+    // this deletes the dominant fact⋈dim exchange for co-partitioned
+    // tables. Evaluated eagerly (plan witness + conf scope); the
+    // witness asserts no hash exchange feeds the join.
+    Decl("d46_storage_partitioned_join",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d46").toString
+        IceLite.createNamespace(wh, "src")
+        val factRef = IngestJob.tableRef(wh, "lineitem_spj")
+        val dimRef = IngestJob.tableRef(wh, "flags_spj")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        IceLite.createOrReplacePartitioned(factRef, l, "l_returnflag",
+          statsCols = Seq("l_orderkey"))
+        IceLite.createOrReplacePartitioned(dimRef,
+          l.select($"l_returnflag".as("flag")).distinct()
+            .withColumn("w", when($"flag" === "R", 2L)
+              .when($"flag" === "A", 3L).otherwise(5L)),
+          "flag")
+        val bucketingWas =
+          s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val aqeWas = s.conf.getOption("spark.sql.adaptive.enabled")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val fact = s.read.format("graft.sources.IceLiteSource")
+            .load(factRef.dir.toString)
+          val dim = s.read.format("graft.sources.IceLiteSource")
+            .load(dimRef.dir.toString)
+          val q = fact.hint("merge").join(dim, fact("l_returnflag") === dim("flag"))
+            .groupBy($"l_returnflag")
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum($"l_quantity".cast("decimal(18,3)") * $"w")
+                .cast("double").as("sum_wq"))
+            .orderBy($"l_returnflag")
+          val plan = q.queryExecution.executedPlan.toString
+          val noShuffle = plan.contains("SortMergeJoin") &&
+            !plan.split("SortMergeJoin").last.contains("Exchange hashpartitioning")
+          val rows = q.collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getDouble(2), noShuffle))
+          import s.implicits._
+          rows.toSeq.toDF("l_returnflag", "n", "sum_wq", "spj_no_shuffle")
+        } finally {
+          bucketingWas.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+            s.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+          aqeWas.fold(s.conf.unset("spark.sql.adaptive.enabled"))(
+            s.conf.set("spark.sql.adaptive.enabled", _))
+        }
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3)) *
+               CASE l_returnflag WHEN 'R' THEN 2 WHEN 'A' THEN 3
+                    ELSE 5 END) AS DOUBLE) AS sum_wq,
+             TRUE AS spj_no_shuffle
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // d41: METADATA TABLES as SQL identifiers — Iceberg's
     // `t$snapshots` / `t$partitions` UX: history and the partition
     // census are plain relations (backtick-quoted), folded from the

@@ -103,9 +103,10 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** Iceberg-style METADATA TABLE identifiers: `` `t$snapshots` ``
-    * (history: d20's surface) and `` `t$partitions` `` (the census:
-    * d34's surface) as plain SQL relations. Rows fold from the
-    * manifest at load time — metadata-sized, zero data files. */
+    * (history: d20's surface), `` `t$partitions` `` (the census:
+    * d34's surface) and `` `t$files` `` (the per-file inventory:
+    * d27's surface) as plain SQL relations. Rows fold from the
+    * manifest at load time — metadata-sized, zero data pages. */
   private def loadMetadataTable(ident: Identifier, base: String,
       meta: String): Table = {
     import org.apache.spark.sql.types._
@@ -114,6 +115,18 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     val ref = refOf(baseIdent)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(baseIdent)
     meta match {
+      case "files" =>
+        // flat projection of d27's filesDf (the map-typed stats stay
+        // on the DataFrame face); collect is O(files) driver metadata
+        val rows = IceLite.filesDf(
+            org.apache.spark.sql.SparkSession.active, ref)
+          .select("file", "size_bytes", "row_count").collect()
+          .map(r => Array[Any](UTF8String.fromString(r.getString(0)),
+            r.getLong(1), r.getLong(2)))
+        new StaticRowsTable(s"${ident.name}", StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = false))), rows)
       case "snapshots" =>
         val m = IceLite.readManifest(ref)
         val rows = m.snapshots.map(s => Array[Any](s.id,
@@ -137,19 +150,25 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
             StructField("row_count", LongType, nullable = false),
             StructField("size_bytes", LongType, nullable = false))), rows)
       case other => throw new IllegalArgumentException(
-        s"unknown metadata table '$$$other' (have: snapshots, partitions)")
+        s"unknown metadata table '$$$other' (have: snapshots, partitions, files)")
     }
   }
 
-  /** SQL time travel — `SELECT ... FROM cat.ns.t VERSION AS OF <id>`:
-    * the version string is a snapshot id; the returned table is
-    * pinned (read-only) to that snapshot's files and stats. */
+  /** SQL time travel — `SELECT ... FROM cat.ns.t VERSION AS OF <v>`:
+    * a NUMERIC version is a snapshot id; a non-numeric one is a
+    * BRANCH name (d19's WAP branches — Iceberg's branch reads:
+    * `VERSION AS OF 'audit'` inspects staged-but-unpublished commits
+    * without touching main). Either way the returned table is pinned
+    * (read-only) to the resolved snapshot's files and stats. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val ref = refOf(ident)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
-    val id = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"icelite versions are snapshot ids, got '$version'"))
-    require(IceLite.readManifest(ref).snapshots.exists(_.id == id),
+    val m = IceLite.readManifest(ref)
+    val id = version.toLongOption.getOrElse(
+      m.branches.getOrElse(version, throw new IllegalArgumentException(
+        s"'$version' is neither a snapshot id nor a branch of " +
+          s"${ident.name} (branches: ${m.branches.keys.toSeq.sorted.mkString(", ")})")))
+    require(m.snapshots.exists(_.id == id),
       s"no snapshot $id in ${ident.name} (expired past retention?)")
     new IceLiteTable(ref, IceLiteSource.schemaOf(ref, Some(id)), Some(id))
   }

@@ -754,6 +754,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       new IceLiteScan(ref,
         if (ordered.length == required.length) ordered else required,
         bounds, partFilters, partProjected, emitFile, rowOp,
+        currentSnap.partitionCols,
         snapshotsPerTrigger, targetSplitBytes, asOf)
   }
 }
@@ -844,12 +845,15 @@ class IceLiteScan(ref: TableRef, required: StructType,
     partFields: Seq[String] = Nil,
     emitFile: Boolean = false,
     rowOp: Option[IceLiteRowLevelOperation] = None,
+    partitionCols: Seq[String] = Nil,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024,
     asOf: Option[Long] = None) extends Scan with Batch
-  with SupportsRuntimeV2Filtering {
+  with SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, Literal}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 
   /** The columns decoded from parquet pages (partition columns come
     * from the file path; `_file` from the split). */
@@ -863,14 +867,27 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * filter arrived (rewrite every candidate file: correct, wider). */
   private var runtimeKeep: Option[Set[String]] = None
 
+  /** Runtime PARTITION filter (d45: dynamic partition pruning through
+    * the connector): per-column value sets Spark's DPP subquery
+    * collected from the filtered dim side of a join on the partition
+    * column — whole partition dirs of the fact table are skipped at
+    * execution time, Iceberg's runtime-filtering behavior on identity
+    * partitions. Conjunctive with the statically pushed filters. */
+  private var runtimePartKeep: Map[String, Set[String]] = Map.empty
+
+  /** Row-level scans filter on the `_file` group id; ordinary scans
+    * of a partitioned table advertise the partition columns (the DPP
+    * hook — Spark's PartitionPruning rule only considers columns
+    * listed here). */
   override def filterAttributes(): Array[NamedReference] =
     if (rowOp.isDefined) Array(Expressions.column("_file"))
-    else Array.empty
+    else partitionCols.map(Expressions.column).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    def isFileCol(e: V2Expression): Boolean = e match {
-      case nr: NamedReference => nr.fieldNames.sameElements(Array("_file"))
-      case _ => false
+    def colOf(e: V2Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
     }
     def litStr(e: V2Expression): Option[String] = e match {
       case l: Literal[_] => Option(l.value).map {
@@ -879,18 +896,31 @@ class IceLiteScan(ref: TableRef, required: StructType,
       }
       case _ => None
     }
-    val sets = predicates.flatMap { p =>
+    // (column, accepted value set) — only columns we can act on;
+    // untranslatable predicates stay conservative (keep all files)
+    val sets: Seq[(String, Set[String])] = predicates.toSeq.flatMap { p =>
       val kids = p.children()
       p.name match {
-        case "IN" if kids.nonEmpty && isFileCol(kids.head) =>
-          val vs = kids.tail.map(litStr)
-          if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
-        case "=" if kids.length == 2 && isFileCol(kids.head) =>
-          litStr(kids(1)).map(Set(_))
-        case _ => None // untranslatable: stay conservative (keep all)
+        case "IN" if kids.nonEmpty =>
+          for {
+            c <- colOf(kids.head)
+            vs = kids.tail.map(litStr)
+            if vs.forall(_.isDefined)
+          } yield c -> vs.flatten.toSet
+        case "=" if kids.length == 2 =>
+          for { c <- colOf(kids.head); v <- litStr(kids(1)) }
+            yield c -> Set(v)
+        case _ => None
       }
     }
-    if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
+    sets.foreach {
+      case ("_file", vs) if rowOp.isDefined =>
+        runtimeKeep = Some(runtimeKeep.fold(vs)(_ intersect vs))
+      case (c, vs) if partitionCols.contains(c) =>
+        runtimePartKeep += c ->
+          runtimePartKeep.get(c).fold(vs)(_ intersect vs)
+      case _ => () // not a column this scan prunes on
+    }
   }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -905,6 +935,48 @@ class IceLiteScan(ref: TableRef, required: StructType,
       (if (partFilters.isEmpty) ""
        else s" partPruned=${partFilters.keys.toSeq.sorted.mkString(",")}")
 
+  /** Statically pruned file list (manifest stats + pushed partition
+    * equality) — what planning-time consumers (outputPartitioning)
+    * may see; runtime filters narrow further at execution. */
+  private def staticPruned: Seq[String] = {
+    val snap = IceLiteSource.resolveSnap(ref, asOf)
+    val statsPruned =
+      if (bounds.isEmpty) snap.files
+      else IceLite.prunedFilesMulti(snap,
+        bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
+    // partition-value pruning (pushed string equality / IN): a file
+    // survives only if its path matches every filtered column — the
+    // conjunction Iceberg evaluates against identity partitions
+    if (partFilters.isEmpty) statsPruned
+    else statsPruned.filter { f =>
+      val vals = IceLiteSource.pathPartValues(f)
+      partFilters.forall { case (c, vs) => vals.get(c).exists(vs.contains) }
+    }
+  }
+
+  /** Whether splits carry their full partition-value tuple — the
+    * precondition for key-grouped scheduling (d46). */
+  private def fullyKeyed: Boolean =
+    rowOp.isEmpty && partitionCols.nonEmpty &&
+      partitionCols.forall(partFields.contains)
+
+  /** d46: report the table's OWN layout to the planner. A partitioned
+    * scan projecting all its partition columns is KeyGroupedPartitioning
+    * over the identity transforms — with `spark.sql.sources.v2.
+    * bucketing.enabled`, two tables partitioned on the same columns
+    * join with NO shuffle on either side (Iceberg's storage-partitioned
+    * join). At 100 TB that deletes the dominant fact⋈fact exchange;
+    * the splits carry their key (HasPartitionKey) and Spark groups
+    * and co-schedules them per value. */
+  override def outputPartitioning(): Partitioning =
+    if (fullyKeyed) {
+      val keys = staticPruned
+        .map(f => partitionCols.map(IceLiteSource.pathPartValues(f).get))
+        .distinct.size
+      new KeyGroupedPartitioning(
+        partitionCols.map(Expressions.identity).toArray, keys)
+    } else new UnknownPartitioning(0)
+
   /** One input partition per ~`targetSplitBytes` of data, not per
     * file: consecutive manifest files bin-pack greedily until the
     * bin would overflow (Spark's own parquet source coalesces small
@@ -918,26 +990,20 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * File sizes come from the local footer stat — O(files) driver
     * metadata, the same class as the manifest read itself. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val snap = IceLiteSource.resolveSnap(ref, asOf)
-    val statsPruned =
-      if (bounds.isEmpty) snap.files
-      else IceLite.prunedFilesMulti(snap,
-        bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
-    // partition-value pruning (pushed string equality / IN): a file
-    // survives only if its path matches every filtered column — the
-    // conjunction Iceberg evaluates against identity partitions
-    val partPruned =
-      if (partFilters.isEmpty) statsPruned
-      else statsPruned.filter { f =>
+    val partPruned = staticPruned
+    // runtime partition filter (DPP values from a join's dim side)
+    val dppPruned =
+      if (runtimePartKeep.isEmpty) partPruned
+      else partPruned.filter { f =>
         val vals = IceLiteSource.pathPartValues(f)
-        partFilters.forall { case (c, vs) => vals.get(c).exists(vs.contains) }
+        runtimePartKeep.forall { case (c, vs) => vals.get(c).exists(vs.contains) }
       }
     // runtime group filter last (matches on the absolute path the
     // reader emits as `_file`)
     val files = runtimeKeep match {
-      case Some(keep) => partPruned.filter(f =>
+      case Some(keep) => dppPruned.filter(f =>
         keep.contains(ref.dir.resolve(f).toString))
-      case None => partPruned
+      case None => dppPruned
     }
     // the row-level write replaces exactly what this scan planned
     rowOp.foreach(_.scannedFiles = Some(files))
@@ -965,7 +1031,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
         }
         if (bin.nonEmpty) bins += bin
         bins.result().map(fs =>
-          IceLiteInputPartition(fs, partVals): InputPartition)
+          if (fullyKeyed) IceLiteKeyedPartition(fs, partVals): InputPartition
+          else IceLiteInputPartition(fs, partVals): InputPartition)
       }.toArray
   }
 
@@ -973,8 +1040,27 @@ class IceLiteScan(ref: TableRef, required: StructType,
     new IceLiteReaderFactory(dataFields, emitFile)
 }
 
+sealed trait IceLitePartition extends InputPartition {
+  def files: Seq[String]
+  def partVals: Seq[String]
+}
+
 case class IceLiteInputPartition(files: Seq[String],
-    partVals: Seq[String] = Nil) extends InputPartition
+    partVals: Seq[String] = Nil) extends IceLitePartition
+
+/** A split that KNOWS its partition-value tuple (d46: the
+  * storage-partitioned-join contract): HasPartitionKey lets Spark
+  * group splits by key and co-schedule two tables partitioned on the
+  * same columns — the join runs with NO shuffle on either side. Keys
+  * are the path-borne partition values as UTF8Strings, matching the
+  * STRING columns the scan emits. */
+case class IceLiteKeyedPartition(files: Seq[String],
+    partVals: Seq[String]) extends IceLitePartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow.fromSeq(partVals.map(v =>
+      if (v == null) null else UTF8String.fromString(v)))
+}
 
 /** Streaming offset = the snapshot id the stream has consumed up to
   * (−1 = nothing consumed yet). Snapshot ids are the natural offset
@@ -1103,7 +1189,7 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     * Spark's own vectorized scan represents partition columns the
     * same way, so partitioned reads stay fully columnar. */
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val part = p.asInstanceOf[IceLiteInputPartition]
+    val part = p.asInstanceOf[IceLitePartition]
     val files = part.files
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private val constVectors = part.partVals.map { v =>
@@ -1153,7 +1239,7 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[IceLiteInputPartition]
+    val part = p.asInstanceOf[IceLitePartition]
     new PartitionReader[InternalRow] {
       private val fileReaders =
         part.files.iterator.map(singleFileReader(_, part.partVals))

@@ -249,9 +249,72 @@ class IceLiteCatalogSpec extends AnyFunSuite {
       s"SELECT p, file_count, row_count FROM $cat.src.`pt$$partitions` ORDER BY p")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(parts.toSeq == Seq(("a", 2L, 3L), ("b", 1L, 1L)))
+    // `t$files`: one row per live data file, counts from the manifest
+    val files = spark.sql(
+      s"SELECT file, row_count FROM $cat.src.`pt$$files` ORDER BY file")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(files.length == 3 && files.map(_._2).sum == 4L)
+    assert(files.map(_._1).toSeq ==
+      IceLite.readManifest(ref).current.files.sorted)
     // unknown suffix fails loudly
     assertThrows[Exception](
       spark.sql(s"SELECT * FROM $cat.src.`pt$$bogus`").collect())
+  }
+
+  test("VERSION AS OF a branch name reads the staged WAP candidate") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    IceLite.stageBranchAppend(ref, "audit",
+      Seq((51L, 51.0), (52L, 52.0)).toDF("k", "v"))
+    // main is untouched; the branch sees the staged rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 50L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.src.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 52L)
+    // branch tables are read-only pins
+    assertThrows[Exception](spark.sql(
+      s"INSERT INTO $cat.src.t VERSION AS OF 'audit' VALUES (99, 9.9)"))
+    // unknown branch fails loudly, naming the live ones
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.src.t VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("audit"))
+  }
+
+  test("INSERT OVERWRITE through the catalog replaces the table in one snapshot") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, (1L to 100L).map(k => (k, "old")).toDF("k", "s"))
+    spark.sql(s"INSERT OVERWRITE $cat.src.t VALUES (7, 'new'), (8, 'newer')")
+    val m = IceLite.readManifest(ref)
+    assert(m.snapshots.map(_.operation) == Seq("create", "replace"))
+    val got = spark.sql(s"SELECT k, s FROM $cat.src.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((7L, "new"), (8L, "newer")))
+    // history stays time-travelable until expiry
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.src.t VERSION AS OF ${m.snapshots.head.id}")
+      .head.getLong(0) == 100L)
+  }
+
+  test("readStream.table streams an IceLite table through the catalog identifier") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "feed")
+    IceLite.createOrReplace(ref, (1L to 10L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    IceLite.append(ref, Seq((11L, 22.0)).toDF("k", "v"))
+    val out = java.nio.file.Files.createTempDirectory("cat_stream_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("cat_stream_ck").toString
+    val q = spark.readStream.table(s"$cat.src.feed")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == (1L to 11L).map(k => (k, k * 2.0)))
   }
 
   test("CALL system procedures drive the maintenance loop from SQL") {

@@ -256,6 +256,73 @@ class IceLiteSourceSpec extends AnyFunSuite {
       == (Seq.fill(100)("a") ++ Seq.fill(100)("b") ++ Seq.fill(100)("c")))
   }
 
+  test("dynamic partition pruning through the connector: dim filter prunes fact dirs at runtime") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_dpp").toString
+    val ref = TableRef(wh, "ns", "fact")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 300L).map(k =>
+        (k, if (k % 3 == 0) "a" else if (k % 3 == 1) "b" else "c")).toDF("k", "p"),
+      "p", statsCols = Seq("k"))
+    val fact = spark.read.format(Fmt).load(ref.dir.toString)
+    // the dim's filter is on grp, NOT the join key — so no static
+    // transitive filter exists; only runtime pruning can skip dirs.
+    // The dim must be scan-backed (a LocalRelation constant-folds its
+    // filter away and DPP sees no selective predicate to reuse).
+    val dimDir = java.nio.file.Files.createTempDirectory("v2src_dpp_dim").toString
+    Seq(("a", "drop"), ("b", "keep"), ("c", "drop"))
+      .toDF("flag", "grp").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim, fact("p") === dim("flag")).filter($"grp" === "keep")
+    IceLiteSource.lastPlannedFiles = Nil
+    val n = q.count()
+    assert(n == 100L)
+    // the runtime filter narrowed the fact scan to the one live dir
+    assert(IceLiteSource.lastPlannedFiles.nonEmpty &&
+      IceLiteSource.lastPlannedFiles.forall(_.contains("p=b")),
+      s"DPP must prune fact dirs at runtime: ${IceLiteSource.lastPlannedFiles}")
+    // and it really was dynamic: the plan carries a runtime filter
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("runtime filters"),
+      s"expected a dynamic pruning filter in:\n$plan")
+  }
+
+  test("storage-partitioned join: co-partitioned tables join with no shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_spj").toString
+    IceLite.createNamespace(wh, "ns")
+    val fact = TableRef(wh, "ns", "fact")
+    val dim = TableRef(wh, "ns", "dim")
+    IceLite.createOrReplacePartitioned(fact,
+      (0L until 300L).map(k =>
+        (k, if (k % 3 == 0) "a" else if (k % 3 == 1) "b" else "c")).toDF("k", "p"),
+      "p", statsCols = Seq("k"))
+    IceLite.createOrReplacePartitioned(dim,
+      Seq(("a", 1L), ("b", 10L), ("c", 100L)).toDF("p", "w"), "p")
+    val f = spark.read.format(Fmt).load(fact.dir.toString)
+    val d = spark.read.format(Fmt).load(dim.dir.toString)
+      .withColumnRenamed("p", "dp")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = f.hint("merge").join(d, f("p") === d("dp"))
+        .agg(sum($"k" * $"w").as("s"), count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // no exchange below the join: the scans' KeyGroupedPartitioning
+      // satisfies the join's distribution on both sides
+      val joinPart = plan.split("SortMergeJoin").last
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join must not shuffle its inputs:\n$plan")
+      val r = q.head()
+      val expect = (0L until 300L).map(k =>
+        k * (if (k % 3 == 0) 1L else if (k % 3 == 1) 10L else 100L)).sum
+      assert(r.getLong(0) == expect && r.getLong(1) == 300L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+  }
+
   test("GROUP BY the partition column answers from the manifest alone") {
     val wh = java.nio.file.Files.createTempDirectory("v2src_gp").toString
     val ref = TableRef(wh, "ns", "t")
