@@ -51,7 +51,15 @@ final case class Snapshot(
     // lets COUNT — global or grouped by a file-constant column — be
     // answered from metadata alone. Absent in pre-upgrade manifests;
     // consumers must fall back (footer read / full scan) on a gap.
-    fileRows: Map[String, Long] = Map.empty)
+    fileRows: Map[String, Long] = Map.empty,
+    // d47: MERGE-ON-READ position-delete sidecars (Iceberg v2
+    // position deletes / deletion vectors): parquet files of
+    // (file_path, pos) rows under deletes/, applied as an anti-join
+    // at read time. Empty = pure copy-on-write snapshot. fileStats /
+    // fileRows still describe the PHYSICAL files (deleted rows
+    // included) — stats stay conservative-correct for pruning, but
+    // metadata-only COUNT paths must refuse while deletes are live.
+    deleteFiles: Seq[String] = Nil)
 
 final case class Manifest(
     table: String,
@@ -67,6 +75,7 @@ final case class TableRef(warehouse: String, namespace: String, name: String) {
   def nsDir: Path = Paths.get(warehouse, namespace)
   def dir: Path = nsDir.resolve(name)
   def dataDir: Path = dir.resolve("data")
+  def deletesDir: Path = dir.resolve("deletes")
 }
 
 object IceLite {
@@ -282,6 +291,9 @@ object IceLite {
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
       val base = Serialization.read[Manifest](Files.readString(basePath))
       val snap = base.current
+      require(snap.deleteFiles.isEmpty,
+        s"${ref.name} has live MoR delete sidecars — compact() to " +
+          "materialize them before a SQL row-level rewrite")
       val gone = removed.filterNot(snap.files.contains)
       if (gone.nonEmpty) {
         unstageFiles(ref, added)
@@ -336,7 +348,8 @@ object IceLite {
             Snapshot(id, now, "append", m.current.files ++ files,
               m.current.rowCount + rows, m.current.fileStats ++ stats,
               summary = summary,
-              fileRows = m.current.fileRows ++ rowsByFile))
+              fileRows = m.current.fileRows ++ rowsByFile,
+              deleteFiles = m.current.deleteFiles))
       }
     }.current
   }
@@ -392,7 +405,8 @@ object IceLite {
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
             m.current.fileStats ++ stats, summary = summary,
-            fileRows = m.current.fileRows ++ rowsByFile)
+            fileRows = m.current.fileRows ++ rowsByFile,
+            deleteFiles = m.current.deleteFiles) // live sidecars survive appends
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
       }
     }.current
@@ -494,6 +508,9 @@ object IceLite {
         case Some((baseVersion, basePath)) =>
           val base = Serialization.read[Manifest](Files.readString(basePath))
           val cur = base.current
+          require(cur.deleteFiles.isEmpty,
+            s"${ref.name} has live MoR delete sidecars — compact() to " +
+              "materialize them before a copy-on-write merge")
           val current =
             if (cur.partitionCols.nonEmpty)
               readPartitionedFiles(spark, ref, cur.files)
@@ -571,6 +588,191 @@ object IceLite {
       })
   }
 
+  /** d47: MERGE-ON-READ delete (Iceberg v2 position deletes / the
+    * deletion-vector role): instead of rewriting every touched file
+    * (copy-on-write `deleteWhere`), write a position-delete SIDECAR —
+    * parquet rows of (file_path, pos) for the matching rows — and
+    * commit a snapshot that references the same data files plus the
+    * sidecar. Write cost is O(matched rows), ZERO data rewrite: the
+    * GDPR-erasure path a 100 TB table takes when the matches touch
+    * every file and COW would rewrite the table. Reads pay an
+    * anti-join against the sidecars until `compact()` materializes
+    * them away — the standard MoR read-amplification trade, with
+    * compaction as the amortizer.
+    *
+    * Positions are Spark's own `_metadata.file_path` / `_metadata
+    * .row_index` (the engine's file-provenance columns), so the
+    * sidecar's keys and the read-side anti-join keys come from the
+    * SAME renderer by construction. Predicates are evaluated on the
+    * MoR VIEW (existing sidecars applied), so stacked deletes never
+    * re-tombstone a dead row. Conflict validation: the commit
+    * re-checks that every data file the positions were computed
+    * against is still live — a concurrent rewrite fails the delete
+    * loudly (positions into rewritten files would be garbage), while
+    * concurrent APPENDS rebase and survive. Flat/sorted tables only
+    * (partitioned rewrites are COW's job); snapshot-level metadata
+    * counts stay physical, so metadata-only COUNT surfaces refuse
+    * while deletes are live. */
+  def deleteWhereMoR(spark: SparkSession, ref: TableRef,
+      predicate: String): Snapshot = {
+    import org.apache.spark.sql.functions.{col, expr}
+    while (true) {
+      val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
+        throw new IllegalArgumentException(s"${ref.name} does not exist"))
+      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val snap = base.current
+      require(snap.partitionCols.isEmpty,
+        "MoR deletes support flat/sorted tables; partitioned tables " +
+          "take the layout-preserving COW path (deleteWhere)")
+      val matches = morView(spark, ref, snap).filter(expr(predicate))
+        .select(col("_mor_file").as("file_path"), col("_mor_pos").as("pos"))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val outDir = ref.deletesDir.resolve(token)
+      matches.write.mode("overwrite").parquet(outDir.toString)
+      val sidecars = listDir(Files.list(outDir))(_
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted).map(n => s"deletes/$token/$n")
+      val deleted = countRowsFromFooters(ref, sidecars)
+      if (deleted == 0L) { // nothing matched: reclaim the empty stage
+        listDir(Files.walk(outDir))(_.toSeq).sortBy(-_.getNameCount)
+          .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+        return snap
+      }
+      val committed = commitCAS(ref) { cur =>
+        val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
+        val head = m.current
+        val gone = snap.files.filterNot(head.files.contains)
+        // a concurrent rewrite of an indexed file OR a concurrent
+        // sidecar change invalidates the view this delete was
+        // computed on (row counts and tombstone sets would skew)
+        if (gone.nonEmpty || head.deleteFiles != snap.deleteFiles) {
+          listDir(Files.walk(outDir))(_.toSeq).sortBy(-_.getNameCount)
+            .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+          throw new java.util.ConcurrentModificationException(
+            s"${ref.name}: the snapshot this MoR delete was computed " +
+              "against changed concurrently (rewrite or sidecar) — re-run")
+        }
+        val id = m.snapshots.map(_.id).max + 1
+        val next = Snapshot(id, System.currentTimeMillis(), "delete-mor",
+          head.files, head.rowCount - deleted, head.fileStats,
+          head.partitionCols, head.sortedBy,
+          fileRows = head.fileRows,
+          deleteFiles = head.deleteFiles ++ sidecars)
+        m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
+      }
+      return committed.current
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** d48: MERGE-ON-READ UPDATE — the MoR twin of `updateWhere`: the
+    * matching rows' positions become a delete sidecar and their
+    * TRANSFORMED copies append as new data files, both in ONE
+    * snapshot (op "update-mor"), so a reader never sees the row
+    * doubled or missing. Write cost is O(matches) sidecar +
+    * O(matches) new rows — zero rewrite of untouched rows, the MoR
+    * economics of d47 applied to UPDATE. `set` maps column name →
+    * SQL expression evaluated on the matching row. Same conflict
+    * rule as d47: a concurrent rewrite of an indexed file fails the
+    * statement loudly; concurrent appends rebase and survive. */
+  def updateWhereMoR(spark: SparkSession, ref: TableRef,
+      predicate: String, set: Map[String, String]): Snapshot = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(set.nonEmpty, "updateWhereMoR requires at least one SET column")
+    val (_, basePath) = latestManifestFile(ref).getOrElse(
+      throw new IllegalArgumentException(s"${ref.name} does not exist"))
+    val base = Serialization.read[Manifest](Files.readString(basePath))
+    val snap = base.current
+    require(snap.partitionCols.isEmpty,
+      "MoR updates support flat/sorted tables; partitioned tables " +
+        "take the layout-preserving COW path (updateWhere)")
+    val matched = morView(spark, ref, snap).filter(expr(predicate))
+      .localCheckpoint() // one scan feeds BOTH the sidecar and the rewrite
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val outDir = ref.deletesDir.resolve(token)
+    matched.select(col("_mor_file").as("file_path"), col("_mor_pos").as("pos"))
+      .write.mode("overwrite").parquet(outDir.toString)
+    val sidecars = listDir(Files.list(outDir))(_
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .toSeq.sorted).map(n => s"deletes/$token/$n")
+    val deleted = countRowsFromFooters(ref, sidecars)
+    if (deleted == 0L) {
+      listDir(Files.walk(outDir))(_.toSeq).sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+      return snap
+    }
+    // cast each SET expression to the column's EXISTING type: UPDATE
+    // never changes a column's type, and an uncast literal (-1.0 is
+    // a DECIMAL(2,1)) would silently drift the appended files' schema
+    val rewritten = set.foldLeft(
+        matched.drop("_mor_file", "_mor_pos")) { case (d, (c, e)) =>
+      d.withColumn(c, expr(e).cast(d.schema(c).dataType))
+    }
+    val newFiles = stage(ref, rewritten)
+    val rowsByFile = fileRowCounts(ref, newFiles)
+    val keepStatsCols = snap.fileStats.values.flatten.map(_.col).toSeq.distinct
+    val stats = collectStats(spark, ref, newFiles, keepStatsCols)
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
+      val head = m.current
+      val gone = snap.files.filterNot(head.files.contains)
+      if (gone.nonEmpty || head.deleteFiles != snap.deleteFiles) {
+        (sidecars ++ newFiles).foreach(f =>
+          scala.util.Try(Files.deleteIfExists(ref.dir.resolve(f))))
+        throw new java.util.ConcurrentModificationException(
+          s"${ref.name}: the snapshot this MoR update was computed " +
+            "against changed concurrently (rewrite or sidecar) — re-run")
+      }
+      val id = m.snapshots.map(_.id).max + 1
+      val next = Snapshot(id, System.currentTimeMillis(), "update-mor",
+        head.files ++ newFiles, head.rowCount, head.fileStats ++ stats,
+        head.partitionCols, head.sortedBy,
+        fileRows = head.fileRows ++ rowsByFile,
+        deleteFiles = head.deleteFiles ++ sidecars)
+      m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
+    }.current
+  }
+
+  /** The MoR view of a snapshot WITH its position key columns
+    * (`_mor_file`, `_mor_pos`) still attached: raw file rows, minus
+    * every (file, pos) any sidecar tombstones. The anti-join's build
+    * side is the sidecars — sized by deleted rows, not the table. */
+  private def morView(spark: SparkSession, ref: TableRef,
+      snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = readFiles(spark, ref, snap.files)
+      .withColumn("_mor_file", col("_metadata.file_path"))
+      .withColumn("_mor_pos", col("_metadata.row_index"))
+    if (snap.deleteFiles.isEmpty) df
+    else {
+      val dels = spark.read.parquet(
+        snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+      df.join(dels, df("_mor_file") === dels("file_path") &&
+        df("_mor_pos") === dels("pos"), "left_anti")
+    }
+  }
+
+  /** Read `files` of `snap` with its position deletes applied (and
+    * the helper columns dropped) — every read path of a MoR-live
+    * snapshot funnels through here. */
+  private def readFilesWithDeletes(spark: SparkSession, ref: TableRef,
+      snap: Snapshot, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (snap.deleteFiles.isEmpty) readFiles(spark, ref, files)
+    else {
+      val df = readFiles(spark, ref, files)
+        .withColumn("_mor_file", col("_metadata.file_path"))
+        .withColumn("_mor_pos", col("_metadata.row_index"))
+      val dels = spark.read.parquet(
+        snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+      df.join(dels, df("_mor_file") === dels("file_path") &&
+          df("_mor_pos") === dels("pos"), "left_anti")
+        .drop("_mor_file", "_mor_pos")
+    }
+  }
+
   /** Re-stage rewritten rows in the snapshot's OWN layout (the
     * layout-preserving half of merge/deleteWhere/updateWhere):
     * partitioned tables re-stage through the Hive dirs of the current
@@ -600,6 +802,9 @@ object IceLite {
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
       val base = Serialization.read[Manifest](Files.readString(basePath))
       val snap = base.current
+      require(snap.deleteFiles.isEmpty,
+        s"${ref.name} has live MoR delete sidecars — compact() to " +
+          "materialize them before a copy-on-write rewrite")
       // partition-aware read: path-borne partition columns must be
       // predicate-visible and must survive into the rewrite
       def readSlice(fs: Seq[String]): DataFrame =
@@ -739,13 +944,16 @@ object IceLite {
             cur.partitionCols)
         else cur.sortedBy match {
           // preserve the table's sort order: a hash repartition would
-          // destroy the non-overlapping file ranges sorted writes buy
+          // destroy the non-overlapping file ranges sorted writes buy.
+          // MoR sidecars are APPLIED here and absent from the new
+          // snapshot — compaction is the delete materializer (d47)
           case Some(sc) =>
             val c = org.apache.spark.sql.functions.col(sc)
-            stage(ref, readFiles(spark, ref, cur.files)
+            stage(ref, readFilesWithDeletes(spark, ref, cur, cur.files)
               .repartitionByRange(targetFiles, c).sortWithinPartitions(c))
           case None =>
-            stage(ref, readFiles(spark, ref, cur.files).repartition(targetFiles))
+            stage(ref, readFilesWithDeletes(spark, ref, cur, cur.files)
+              .repartition(targetFiles))
         }
       val rowsByFile = fileRowCounts(ref, files)
       val stats = collectStats(spark, ref, files, statsCols)
@@ -1013,7 +1221,8 @@ object IceLite {
     if (files.isEmpty) {
       // preserve schema: read current snapshot's empty slice
       read(spark, ref).where(c(col) >= lo && c(col) <= hi).limit(0)
-    } else readFiles(spark, ref, files).where(c(col) >= lo && c(col) <= hi)
+    } else readFilesWithDeletes(spark, ref, readManifest(ref).current, files)
+      .where(c(col) >= lo && c(col) <= hi)
   }
 
   /** Conjunctive multi-column pruning: keep a file only if EVERY
@@ -1052,7 +1261,8 @@ object IceLite {
       .reduce(_ && _)
     val files = prunedFilesMulti(ref, preds)
     if (files.isEmpty) read(spark, ref).where(residual).limit(0)
-    else readFiles(spark, ref, files).where(residual)
+    else readFilesWithDeletes(spark, ref, readManifest(ref).current, files)
+      .where(residual)
   }
 
   // mergeSchema: appends may evolve the schema (Iceberg v2 semantics,
@@ -1094,7 +1304,7 @@ object IceLite {
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot $snapshotId in ${ref.name}"))
     if (snap.files.isEmpty) spark.emptyDataFrame
-    else readFiles(spark, ref, snap.files)
+    else readFilesWithDeletes(spark, ref, snap, snap.files)
   }
 
   /** d23: INCREMENTAL SCAN (Iceberg's incremental read) — only the
@@ -1135,6 +1345,8 @@ object IceLite {
     * the clone's first compact() severs the dependency. */
   def shallowClone(src: TableRef, dst: TableRef): Snapshot = {
     val srcSnap = readManifest(src).current
+    require(srcSnap.deleteFiles.isEmpty,
+      s"${src.name} has live MoR delete sidecars — compact() before cloning")
     require(srcSnap.partitionCols.isEmpty,
       "shallowClone supports unpartitioned sources (partition discovery " +
         "reads need the files under the clone's own basePath)")
@@ -1260,12 +1472,18 @@ object IceLite {
     * because a concurrent writer stages BEFORE it claims a version.
     * Returns the deleted table-relative paths. */
   def gcOrphans(ref: TableRef, graceMs: Long = 3600L * 1000): Seq[String] = {
-    val referenced = readManifest(ref).snapshots.flatMap(_.files).toSet
+    val man = readManifest(ref)
+    val referenced = (man.snapshots.flatMap(_.files) ++
+      man.snapshots.flatMap(_.deleteFiles)).toSet
     if (!Files.exists(ref.dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - graceMs
+    // data/ plus the MoR sidecar tree (deletes/) — sidecars follow
+    // the same orphan rules as data files
+    val roots = Seq(ref.dataDir) ++
+      (if (Files.exists(ref.deletesDir)) Seq(ref.deletesDir) else Nil)
     // only DATA files (same rule as stage()'s listing): Spark's
     // _SUCCESS / .crc markers beside committed files are not orphans
-    val orphans = listDir(Files.walk(ref.dataDir))(_
+    val orphans = roots.flatMap(root => listDir(Files.walk(root))(_
       .filter { p =>
         val n = p.getFileName.toString
         Files.isRegularFile(p) && n.endsWith(".parquet") &&
@@ -1276,7 +1494,7 @@ object IceLite {
         !referenced(rel) &&
           Files.getLastModifiedTime(p).toMillis < cutoff
       }
-      .toSeq)
+      .toSeq))
     orphans.foreach { case (p, _) => Files.deleteIfExists(p) }
     // sweep now-empty dirs (staging skeletons, emptied token dirs) —
     // the grace window applies to DIRS too: a concurrent writer
@@ -1289,9 +1507,9 @@ object IceLite {
     // dir a racing writer re-populated: DirectoryNotEmptyException is
     // swallowed, the dir survives)
     val emptiedByUs = orphans.map(_._1.getParent).toSet
-    listDir(Files.walk(ref.dataDir))(_
-      .filter(p => Files.isDirectory(p) && p != ref.dataDir)
-      .toSeq).sortBy(-_.getNameCount)
+    roots.flatMap(root => listDir(Files.walk(root))(_
+        .filter(p => Files.isDirectory(p) && p != root)
+        .toSeq)).sortBy(-_.getNameCount)
       .foreach { d =>
         scala.util.Try {
           if ((emptiedByUs(d) ||
@@ -1333,6 +1551,9 @@ object IceLite {
     * on the normal schedule. */
   def stageBranchAppend(ref: TableRef, branch: String, df: DataFrame,
       statsCols: Seq[String] = Nil): Snapshot = {
+    require(readManifest(ref).current.deleteFiles.isEmpty,
+      s"${ref.name} has live MoR delete sidecars — compact() before " +
+        "staging a WAP branch (the staged snapshot must not lose them)")
     val files = stage(ref, df)
     val rowsByFile = fileRowCounts(ref, files)
     val stats = collectStats(df.sparkSession, ref, files, statsCols)
@@ -1440,6 +1661,10 @@ object IceLite {
     val keepFiles = committed.snapshots.flatMap(_.files).toSet
     val orphans = expired.flatMap(_.files).toSet -- keepFiles
     orphans.foreach(f => Files.deleteIfExists(ref.dir.resolve(f)))
+    // position-delete sidecars follow the same liveness rule
+    val keepDeletes = committed.snapshots.flatMap(_.deleteFiles).toSet
+    (expired.flatMap(_.deleteFiles).toSet -- keepDeletes)
+      .foreach(f => Files.deleteIfExists(ref.dir.resolve(f)))
     expired.map(_.id).sorted
   }
 }

@@ -1417,6 +1417,93 @@ object ScalePack extends Pack {
              TRUE AS spj_no_shuffle
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // d47: MERGE-ON-READ DELETE (Iceberg v2 position deletes / the
+    // deletion-vector role): the delete writes an O(matches)
+    // position sidecar and rewrites NOTHING — at 100 TB, erasure
+    // whose matches touch every file costs minutes instead of a
+    // table rewrite. Reads anti-join the sidecars until compact()
+    // materializes them. Witnessed: the data file list is unchanged
+    // by the delete, a sidecar exists, and the aggregates are
+    // identical before and after materialization.
+    Decl("d47_mor_delete",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d47").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_mor")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        val before = IceLite.readManifest(ref).current.files
+        val snap = IceLite.deleteWhereMoR(s, ref,
+          "o_orderkey BETWEEN 1000 AND 1999")
+        val zeroRewrite = snap.files == before &&
+          snap.operation == "delete-mor" && snap.deleteFiles.nonEmpty
+        def aggNow(): (Long, Double) = {
+          val r = IceLite.read(s, ref).agg(
+            count(lit(1)).cast("long").as("n"),
+            sum($"o_totalprice".cast("decimal(18,3)")).cast("double").as("p"))
+            .head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        val morAgg = aggNow()
+        val compacted = IceLite.compact(s, ref, targetFiles = 4)
+        val cowAgg = aggNow()
+        val morOk = zeroRewrite && compacted.deleteFiles.isEmpty &&
+          morAgg == cowAgg
+        import s.implicits._
+        Seq((morAgg._1, morAgg._2, morOk)).toDF("n", "sum_price", "mor_ok")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS mor_ok
+             FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 1999""")),
+
+    // d48: MERGE-ON-READ UPDATE — d47's economics applied to UPDATE:
+    // matched rows tombstone into a position sidecar and their
+    // transformed copies append as new files, both in ONE snapshot
+    // (no doubled row, no missing row, ever). Write cost O(matches);
+    // untouched rows never move. Witnessed: original files all
+    // survive, row count is stable, and aggregates equal the
+    // relational reconstruction before AND after compact()
+    // materializes the sidecars.
+    Decl("d48_mor_update",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d48").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_morupd")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        val before = IceLite.readManifest(ref).current
+        val snap = IceLite.updateWhereMoR(s, ref,
+          "o_orderkey BETWEEN 1000 AND 1999",
+          Map("o_totalprice" -> "o_totalprice + 500000"))
+        val morOk = snap.operation == "update-mor" &&
+          before.files.forall(snap.files.contains) &&
+          snap.deleteFiles.nonEmpty && snap.rowCount == before.rowCount
+        def aggNow(): (Long, Double) = {
+          val r = IceLite.read(s, ref).agg(
+            count(lit(1)).cast("long").as("n"),
+            sum($"o_totalprice".cast("decimal(18,3)")).cast("double").as("p"))
+            .head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        val morAgg = aggNow()
+        val compacted = IceLite.compact(s, ref, targetFiles = 4)
+        val stable = morOk && compacted.deleteFiles.isEmpty &&
+          morAgg == aggNow()
+        import s.implicits._
+        Seq((morAgg._1, morAgg._2, stable)).toDF("n", "sum_price", "mor_ok")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice +
+               CASE WHEN o_orderkey BETWEEN 1000 AND 1999
+                    THEN 500000 ELSE 0 END AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS mor_ok
+             FROM orders""")),
+
     // d41: METADATA TABLES as SQL identifiers — Iceberg's
     // `t$snapshots` / `t$partitions` UX: history and the partition
     // census are plain relations (backtick-quoted), folded from the

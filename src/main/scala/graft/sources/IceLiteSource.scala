@@ -731,7 +731,18 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     pushedAggs.isDefined
   }
 
-  override def build(): Scan = pushedAggs match {
+  override def build(): Scan = {
+    // d47: the connector's readers are positional (vectorized pages /
+    // footer counts) and know nothing of MoR sidecars — refuse a
+    // MoR-live snapshot loudly rather than resurrect deleted rows.
+    // compact() materializes the deletes and reopens the connector.
+    require(currentSnap.deleteFiles.isEmpty,
+      s"${ref.name} has live MoR delete sidecars — read via " +
+        "IceLite.read (sidecar-aware) or compact() to materialize")
+    buildScan()
+  }
+
+  private def buildScan(): Scan = pushedAggs match {
     case Some((groupCols, specs)) =>
       new IceLiteAggScan(ref, specs,
         groupCols.map(c => (c, typeOf(c).get, isPartCol(c))), asOf)

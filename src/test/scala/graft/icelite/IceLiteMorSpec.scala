@@ -1,0 +1,174 @@
+package graft.icelite
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** d47: merge-on-read position deletes (Iceberg v2 position deletes /
+  * the deletion-vector role). Deletes write O(matches) sidecars and
+  * rewrite NOTHING; reads apply them as an anti-join; compact()
+  * materializes them away; COW rewrites and the positional connector
+  * refuse MoR-live snapshots loudly. */
+class IceLiteMorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mk(rows: Long = 400L, files: Int = 4): TableRef = {
+    val wh = Files.createTempDirectory("mor_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until rows).map(k => (k, k * 2.0)).toDF("k", "v"),
+      "k", numFiles = files, statsCols = Seq("k"))
+    ref
+  }
+
+  test("MoR delete: zero data rewrite, complement read, physical counts stay") {
+    val ref = mk()
+    val before = IceLite.readManifest(ref).current
+    val snap = IceLite.deleteWhereMoR(spark, ref, "k >= 100 AND k < 150")
+    assert(snap.operation == "delete-mor")
+    // the DATA FILE LIST is byte-for-byte the same — nothing rewrote
+    assert(snap.files == before.files)
+    assert(snap.deleteFiles.nonEmpty)
+    assert(snap.rowCount == 350L)
+    // reads see the complement
+    val got = IceLite.read(spark, ref).as[(Long, Double)].collect().toSeq
+    assert(got.length == 350 && !got.exists(r => r._1 >= 100 && r._1 < 150))
+    assert(got.find(_._1 == 99L).map(_._2).contains(198.0))
+    // physical per-file metadata still counts the deleted rows
+    assert(snap.fileRows.values.sum == 400L)
+  }
+
+  test("stacked MoR deletes: predicates see the view, dead rows not re-tombstoned") {
+    val ref = mk()
+    IceLite.deleteWhereMoR(spark, ref, "k < 100")
+    // overlaps the first delete: only k in [100,200) is newly dead
+    val snap2 = IceLite.deleteWhereMoR(spark, ref, "k < 200")
+    assert(snap2.rowCount == 200L)
+    // the second sidecar holds ONLY the newly-deleted positions
+    val firstSidecars = IceLite.readManifest(ref).snapshots
+      .find(_.operation == "delete-mor").get.deleteFiles.toSet
+    val newSidecars = snap2.deleteFiles.filterNot(firstSidecars)
+    val newTombstones = spark.read.parquet(
+      newSidecars.map(f => ref.dir.resolve(f).toString): _*).count()
+    assert(newTombstones == 100L,
+      s"second delete must tombstone only live rows, got $newTombstones")
+    assert(IceLite.read(spark, ref).count() == 200L)
+  }
+
+  test("no-op MoR delete commits nothing and leaves no sidecar") {
+    val ref = mk()
+    val before = IceLite.readManifest(ref)
+    val snap = IceLite.deleteWhereMoR(spark, ref, "k < 0")
+    assert(snap.id == before.currentSnapshotId)
+    assert(IceLite.readManifest(ref).snapshots.size == before.snapshots.size)
+    assert(!Files.exists(ref.deletesDir) ||
+      IceLite.listDir(Files.walk(ref.deletesDir))(
+        _.count(Files.isRegularFile(_))) == 0L)
+  }
+
+  test("time travel sees the pre-delete snapshot; appends keep sidecars live") {
+    val ref = mk()
+    val pre = IceLite.readManifest(ref).currentSnapshotId
+    IceLite.deleteWhereMoR(spark, ref, "k < 50")
+    assert(IceLite.readAt(spark, ref, pre).count() == 400L)
+    IceLite.append(ref, Seq((1000L, 1.0), (1001L, 2.0)).toDF("k", "v"))
+    val got = IceLite.read(spark, ref).as[(Long, Double)].collect().toSeq
+    assert(got.length == 352)
+    assert(!got.exists(_._1 < 50) && got.exists(_._1 == 1000L))
+    assert(IceLite.readManifest(ref).current.deleteFiles.nonEmpty)
+  }
+
+  test("pruned reads apply the sidecars") {
+    val ref = mk()
+    IceLite.deleteWhereMoR(spark, ref, "k >= 100 AND k < 110")
+    val pruned = IceLite.readPruned(spark, ref, "k", 90, 130)
+      .as[(Long, Double)].collect().map(_._1).sorted.toSeq
+    assert(pruned == ((90L to 99L) ++ (110L to 130L)))
+  }
+
+  test("compact materializes deletes: values keep, sidecars cleared, COW reopens") {
+    val ref = mk()
+    IceLite.deleteWhereMoR(spark, ref, "k % 7 = 3")
+    val expect = (0L until 400L).filterNot(_ % 7 == 3)
+    val snap = IceLite.compact(spark, ref, targetFiles = 2)
+    assert(snap.deleteFiles.isEmpty)
+    assert(snap.rowCount == expect.length.toLong)
+    assert(IceLite.read(spark, ref).as[(Long, Double)].collect()
+      .map(_._1).sorted.toSeq == expect)
+    // COW and the connector both work again after materialization
+    IceLite.deleteWhere(spark, ref, "k = 0")
+    assert(spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString).count() == expect.length - 1L)
+  }
+
+  test("COW rewrites, merge and the connector refuse a MoR-live snapshot") {
+    val ref = mk()
+    IceLite.deleteWhereMoR(spark, ref, "k < 10")
+    val e1 = intercept[IllegalArgumentException](
+      IceLite.deleteWhere(spark, ref, "k = 20"))
+    assert(e1.getMessage.contains("MoR"))
+    val e2 = intercept[IllegalArgumentException](
+      IceLite.merge(spark, ref, Seq((20L, 0.0)).toDF("k", "v"), Seq("k")))
+    assert(e2.getMessage.contains("MoR"))
+    val e3 = intercept[Exception](spark.read
+      .format("graft.sources.IceLiteSource").load(ref.dir.toString).count())
+    assert(e3.getMessage.contains("MoR") ||
+      e3.getCause != null && e3.getCause.getMessage.contains("MoR"))
+  }
+
+  test("MoR update: tombstone + appended copies in one snapshot, count stable") {
+    val ref = mk()
+    val before = IceLite.readManifest(ref).current
+    val snap = IceLite.updateWhereMoR(spark, ref,
+      "k >= 100 AND k < 150", Map("v" -> "v + 1000"))
+    assert(snap.operation == "update-mor")
+    // original files untouched; matches re-appended as new files
+    assert(before.files.forall(snap.files.contains))
+    assert(snap.files.size > before.files.size)
+    assert(snap.deleteFiles.nonEmpty)
+    assert(snap.rowCount == 400L)
+    val got = IceLite.read(spark, ref).as[(Long, Double)].collect().toSeq
+    assert(got.length == 400)
+    // no doubling, values transformed exactly in the matched range
+    assert(got.map(_._1).sorted == (0L until 400L))
+    assert(got.find(_._1 == 120L).map(_._2).contains(1240.0))
+    assert(got.find(_._1 == 99L).map(_._2).contains(198.0))
+  }
+
+  test("MoR update then MoR delete stack; compact materializes both") {
+    val ref = mk()
+    IceLite.updateWhereMoR(spark, ref, "k < 50", Map("v" -> "-1.0"))
+    IceLite.deleteWhereMoR(spark, ref, "v = -1.0")
+    assert(IceLite.read(spark, ref).count() == 350L)
+    val snap = IceLite.compact(spark, ref, targetFiles = 2)
+    assert(snap.deleteFiles.isEmpty && snap.rowCount == 350L)
+    assert(IceLite.read(spark, ref).as[(Long, Double)].collect()
+      .map(_._1).sorted.toSeq == (50L until 400L))
+  }
+
+  test("no-op MoR update leaves the table untouched") {
+    val ref = mk()
+    val before = IceLite.readManifest(ref)
+    val snap = IceLite.updateWhereMoR(spark, ref, "k < 0", Map("v" -> "0.0"))
+    assert(snap.id == before.currentSnapshotId)
+    assert(IceLite.readManifest(ref).snapshots.size == before.snapshots.size)
+  }
+
+  test("expiry reclaims sidecars of expired snapshots; gc leaves live ones") {
+    val ref = mk()
+    val snap = IceLite.deleteWhereMoR(spark, ref, "k < 10")
+    val sidecarPaths = snap.deleteFiles.map(f => ref.dir.resolve(f))
+    assert(sidecarPaths.forall(Files.exists(_)))
+    // gc with zero grace must keep the LIVE sidecars
+    IceLite.gcOrphans(ref, graceMs = 0)
+    assert(sidecarPaths.forall(Files.exists(_)))
+    // materialize, then expire history: the sidecars become dead
+    IceLite.compact(spark, ref)
+    IceLite.expireSnapshotsRetainLast(ref, 1)
+    assert(sidecarPaths.forall(!Files.exists(_)),
+      s"expired sidecars must be reclaimed: $sidecarPaths")
+    assert(IceLite.read(spark, ref).count() == 390L)
+  }
+}
