@@ -1504,6 +1504,77 @@ object ScalePack extends Pack {
              TRUE AS mor_ok
              FROM orders""")),
 
+    // d49: CHANGELOG SCAN (Delta CDF / Iceberg changelog): row-level
+    // changes between two snapshots, derived from the manifest alone
+    // — new files are inserts, new MoR sidecars NAME the deleted
+    // rows and a semi-join recovers their values. A downstream sync
+    // job consumes O(changed rows), never O(table); rewriting
+    // commits in the range refuse loudly (file diff ≢ row diff).
+    // The oracle reconstructs both change sets relationally.
+    Decl("d49_changelog_scan",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d49").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_cdc")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o.filter($"o_orderkey" % 4 =!= 0),
+          "o_orderkey", numFiles = 8, statsCols = Seq("o_orderkey"))
+        val s1 = IceLite.readManifest(ref).currentSnapshotId
+        IceLite.append(ref, o.filter($"o_orderkey" % 4 === 0))
+        IceLite.deleteWhereMoR(s, ref, "o_orderkey % 7 = 3")
+        val s3 = IceLite.readManifest(ref).currentSnapshotId
+        IceLite.changes(s, ref, s1, s3)
+          .groupBy($"_change_type".as("change_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"o_totalprice".cast("decimal(18,3)")).cast("double").as("sum_price"))
+          .orderBy($"change_type")
+      },
+      Some("""SELECT change_type, CAST(n AS BIGINT) AS n, sum_price FROM (
+               SELECT 'delete' AS change_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+               FROM orders WHERE o_orderkey % 7 = 3
+               UNION ALL
+               SELECT 'insert' AS change_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+               FROM orders WHERE o_orderkey % 4 = 0)
+             ORDER BY change_type""")),
+
+    // d50: MoR-AWARE CONNECTOR READS — the DSv2/SQL face applies
+    // position sidecars: splits carry their files' tombstone indexes,
+    // the row reader skips them positionally, footer-count paths
+    // subtract them, and metadata-only aggregate pushdown DECLINES
+    // (manifest counts are physical). A MoR-live table is therefore
+    // fully SQL-readable between delete and compaction — the window
+    // where Iceberg v2 readers earn their keep. Witnessed: sidecars
+    // were live at read time and the aggregates match the complement.
+    Decl("d50_mor_connector_read",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d50").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_morsql")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        IceLite.deleteWhereMoR(s, ref, "o_orderkey % 7 = 3")
+        val morLive = IceLite.readManifest(ref).current.deleteFiles.nonEmpty
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+                  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+                  FROM $cat.src.orders_morsql""")
+          .withColumn("mor_live", lit(morLive))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+             TRUE AS mor_live
+             FROM orders WHERE o_orderkey % 7 <> 3""")),
+
     // d41: METADATA TABLES as SQL identifiers — Iceberg's
     // `t$snapshots` / `t$partitions` UX: history and the partition
     // census are plain relations (backtick-quoted), folded from the

@@ -77,6 +77,16 @@ object IceLiteSource {
     * from the manifest alone (aggregate pushdown — zero data files). */
   @volatile var lastScanMetadataOnly: Boolean = false
 
+  /** One canonical form for a file path however it was rendered —
+    * plain ("/a/b"), URI ("file:/a/b", "file:///a/b") — so MoR
+    * tombstone keys (from Spark's _metadata.file_path) and the
+    * planner's absolute paths compare equal. */
+  private[sources] def normPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getPath != null && u.getPath.nonEmpty) u.getPath else s
+    } catch { case _: Exception => s }
+
   /** The `col=value` pairs a file's own path carries, URI-decoded
     * (partition values are escaped on disk). */
   private[sources] def pathPartValues(file: String): Map[String, String] =
@@ -233,6 +243,11 @@ class IceLiteTable(ref: TableRef, schema: StructType,
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     asOf.isEmpty && filters.forall(render(_).isDefined)
 
+  /** `spark.graft.icelite.deleteMode=mor` routes SQL DELETEs to the
+    * merge-on-read path (position sidecars, zero rewrite — d47) when
+    * the table's layout supports it; default is copy-on-write.
+    * Iceberg expresses the same choice as the table property
+    * `write.delete.mode=merge-on-read`. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty,
       s"${name()} is a time-travel read — snapshots are immutable")
@@ -240,8 +255,12 @@ class IceLiteTable(ref: TableRef, schema: StructType,
       if (filters.isEmpty) "true"
       else filters.map(f => render(f).getOrElse(throw new IllegalArgumentException(
         s"cannot render $f as a delete predicate"))).mkString("(", ") AND (", ")")
-    IceLite.deleteWhere(
-      org.apache.spark.sql.SparkSession.active, ref, pred)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val mor = spark.conf.getOption("spark.graft.icelite.deleteMode")
+      .contains("mor") &&
+      IceLite.readManifest(ref).current.partitionCols.isEmpty
+    if (mor) IceLite.deleteWhereMoR(spark, ref, pred)
+    else IceLite.deleteWhere(spark, ref, pred)
     ()
   }
 }
@@ -703,7 +722,11 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     currentSnap.files.forall(currentSnap.fileRows.contains)
 
   private def translate(agg: Aggregation): Option[(Seq[String], Seq[PushedAgg])] =
-    if (bounds.nonEmpty || partFilters.nonEmpty) None
+    // MoR-live snapshots decline: manifest counts/stats describe the
+    // PHYSICAL files, tombstoned rows included — a metadata-only
+    // answer would resurrect them (d50)
+    if (bounds.nonEmpty || partFilters.nonEmpty ||
+        currentSnap.deleteFiles.nonEmpty) None
     else {
       val groupCols: Seq[Option[String]] =
         agg.groupByExpressions.toSeq.map(colOf(_).filter(groupable))
@@ -731,18 +754,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     pushedAggs.isDefined
   }
 
-  override def build(): Scan = {
-    // d47: the connector's readers are positional (vectorized pages /
-    // footer counts) and know nothing of MoR sidecars — refuse a
-    // MoR-live snapshot loudly rather than resurrect deleted rows.
-    // compact() materializes the deletes and reopens the connector.
-    require(currentSnap.deleteFiles.isEmpty,
-      s"${ref.name} has live MoR delete sidecars — read via " +
-        "IceLite.read (sidecar-aware) or compact() to materialize")
-    buildScan()
-  }
-
-  private def buildScan(): Scan = pushedAggs match {
+  override def build(): Scan = pushedAggs match {
     case Some((groupCols, specs)) =>
       new IceLiteAggScan(ref, specs,
         groupCols.map(c => (c, typeOf(c).get, isPartCol(c))), asOf)
@@ -765,7 +777,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       new IceLiteScan(ref,
         if (ordered.length == required.length) ordered else required,
         bounds, partFilters, partProjected, emitFile, rowOp,
-        currentSnap.partitionCols,
+        currentSnap.partitionCols, currentSnap.deleteFiles,
         snapshotsPerTrigger, targetSplitBytes, asOf)
   }
 }
@@ -857,6 +869,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
     emitFile: Boolean = false,
     rowOp: Option[IceLiteRowLevelOperation] = None,
     partitionCols: Seq[String] = Nil,
+    deleteFiles: Seq[String] = Nil,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024,
     asOf: Option[Long] = None) extends Scan with Batch
@@ -939,6 +952,9 @@ class IceLiteScan(ref: TableRef, required: StructType,
     require(partFields.isEmpty,
       "icelite streaming reads support unpartitioned tables (the batch " +
         "connector surfaces partitioned reads)")
+    require(deleteFiles.isEmpty,
+      s"${ref.name} has live MoR delete sidecars — the streaming source's " +
+        "baseline would resurrect deleted rows; compact() first")
     new IceLiteMicroBatchStream(ref, dataFields, snapshotsPerTrigger)
   }
   override def description(): String =
@@ -1020,6 +1036,18 @@ class IceLiteScan(ref: TableRef, required: StructType,
     rowOp.foreach(_.scannedFiles = Some(files))
     IceLiteSource.lastPlannedFiles = files
     IceLiteSource.lastScanMetadataOnly = false
+    // d50: MoR sidecars fold to per-file tombstone indexes once,
+    // driver-side (O(deleted rows) — the same class Iceberg's
+    // delete-file index holds at planning), keyed by normalized path
+    // so the sidecar's _metadata.file_path rendering and our absolute
+    // paths meet on one form
+    val tombstonesByFile: Map[String, Array[Long]] =
+      if (deleteFiles.isEmpty) Map.empty
+      else org.apache.spark.sql.SparkSession.active.read
+        .parquet(deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+        .select("file_path", "pos").collect()
+        .groupBy(r => IceLiteSource.normPath(r.getString(0)))
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
     // one group per projected partition-value tuple (a split never
     // mixes partition values — its readers emit them as constants),
     // bin-packed within the group
@@ -1041,9 +1069,16 @@ class IceLiteScan(ref: TableRef, required: StructType,
           bin :+= path; binBytes += bytes
         }
         if (bin.nonEmpty) bins += bin
-        bins.result().map(fs =>
-          if (fullyKeyed) IceLiteKeyedPartition(fs, partVals): InputPartition
-          else IceLiteInputPartition(fs, partVals): InputPartition)
+        bins.result().map { fs =>
+          val tombs =
+            if (tombstonesByFile.isEmpty) Map.empty[String, Array[Long]]
+            else fs.flatMap { f =>
+              val k = IceLiteSource.normPath(f)
+              tombstonesByFile.get(k).map(k -> _)
+            }.toMap
+          if (fullyKeyed) IceLiteKeyedPartition(fs, partVals, tombs): InputPartition
+          else IceLiteInputPartition(fs, partVals, tombs): InputPartition
+        }
       }.toArray
   }
 
@@ -1054,10 +1089,15 @@ class IceLiteScan(ref: TableRef, required: StructType,
 sealed trait IceLitePartition extends InputPartition {
   def files: Seq[String]
   def partVals: Seq[String]
+  /** d50: MoR position tombstones for THIS split's files, keyed by
+    * normalized absolute path — the reader skips these row indexes.
+    * Empty for CoW-pure snapshots (the overwhelmingly common case). */
+  def tombstones: Map[String, Array[Long]]
 }
 
 case class IceLiteInputPartition(files: Seq[String],
-    partVals: Seq[String] = Nil) extends IceLitePartition
+    partVals: Seq[String] = Nil,
+    tombstones: Map[String, Array[Long]] = Map.empty) extends IceLitePartition
 
 /** A split that KNOWS its partition-value tuple (d46: the
   * storage-partitioned-join contract): HasPartitionKey lets Spark
@@ -1066,7 +1106,8 @@ case class IceLiteInputPartition(files: Seq[String],
   * are the path-borne partition values as UTF8Strings, matching the
   * STRING columns the scan emits. */
 case class IceLiteKeyedPartition(files: Seq[String],
-    partVals: Seq[String]) extends IceLitePartition
+    partVals: Seq[String],
+    tombstones: Map[String, Array[Long]] = Map.empty) extends IceLitePartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow.fromSeq(partVals.map(v =>
@@ -1190,7 +1231,7 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     * lines up positionally with readSchema. The row decoder below
     * stays as the fallback for empty projections. */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    fields.nonEmpty
+    fields.nonEmpty && p.asInstanceOf[IceLitePartition].tombstones.isEmpty
 
   /** Reads a (possibly coalesced) file group: one vectorized reader
     * at a time, opened lazily as the previous file drains — a packed
@@ -1253,7 +1294,9 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     val part = p.asInstanceOf[IceLitePartition]
     new PartitionReader[InternalRow] {
       private val fileReaders =
-        part.files.iterator.map(singleFileReader(_, part.partVals))
+        part.files.iterator.map(f => singleFileReader(f, part.partVals,
+          part.tombstones.getOrElse(IceLiteSource.normPath(f),
+            Array.empty[Long])))
       private var cur0: PartitionReader[InternalRow] =
         if (fileReaders.hasNext) fileReaders.next() else null
       override def next(): Boolean = {
@@ -1269,10 +1312,17 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
   }
 
   private def singleFileReader(file: String,
-      partVals: Seq[String]): PartitionReader[InternalRow] = {
+      partVals: Seq[String],
+      tombstones: Array[Long] = Array.empty): PartitionReader[InternalRow] = {
     val partTail0: Array[Any] = (partVals.map(v =>
       if (v == null) null else UTF8String.fromString(v): Any) ++
       (if (emitFile) Seq(UTF8String.fromString(file): Any) else Nil)).toArray
+    // d50: MoR position skip-set for THIS file (empty = fast path)
+    val dead: java.util.HashSet[java.lang.Long] = {
+      val s = new java.util.HashSet[java.lang.Long](tombstones.length * 2)
+      tombstones.foreach(s.add(_))
+      s
+    }
     // no data columns projected (partition-only select, or a count
     // over a declined aggregate): the footer's record count is the
     // whole answer — emit that many constant rows, zero pages decoded
@@ -1280,7 +1330,8 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
       private val total = {
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new HPath(file), new Configuration()))
-        try r.getRecordCount finally r.close()
+        // tombstoned rows are not rows: the footer count is physical
+        try r.getRecordCount - dead.size finally r.close()
       }
       private val row = new GenericInternalRow(partTail0.clone())
       private var i = 0L
@@ -1306,7 +1357,13 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
           .withConf(conf).build()
       private val partTail: Array[Any] = partTail0
       private var cur: Group = _
-      override def next(): Boolean = { cur = reader.read(); cur != null }
+      private var pos = -1L
+      override def next(): Boolean = {
+        while ({ cur = reader.read(); pos += 1; cur != null }) {
+          if (dead.isEmpty || !dead.contains(pos)) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val row = new GenericInternalRow(fields.length + partTail.length)
         var j = 0

@@ -2,7 +2,9 @@ package graft.icelite
 
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{count, lit}
 import graft.TestSpark
+import graft.sources.IceLiteSource
 
 /** d47: merge-on-read position deletes (Iceberg v2 position deletes /
   * the deletion-vector role). Deletes write O(matches) sidecars and
@@ -103,7 +105,7 @@ class IceLiteMorSpec extends AnyFunSuite {
       .load(ref.dir.toString).count() == expect.length - 1L)
   }
 
-  test("COW rewrites, merge and the connector refuse a MoR-live snapshot") {
+  test("COW rewrites and merge refuse a MoR-live snapshot") {
     val ref = mk()
     IceLite.deleteWhereMoR(spark, ref, "k < 10")
     val e1 = intercept[IllegalArgumentException](
@@ -112,10 +114,38 @@ class IceLiteMorSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       IceLite.merge(spark, ref, Seq((20L, 0.0)).toDF("k", "v"), Seq("k")))
     assert(e2.getMessage.contains("MoR"))
-    val e3 = intercept[Exception](spark.read
-      .format("graft.sources.IceLiteSource").load(ref.dir.toString).count())
-    assert(e3.getMessage.contains("MoR") ||
-      e3.getCause != null && e3.getCause.getMessage.contains("MoR"))
+  }
+
+  test("connector reads apply MoR sidecars (d50): row path, counts, pushdown, agg decline") {
+    val ref = mk()
+    IceLite.deleteWhereMoR(spark, ref, "k >= 100 AND k < 150")
+    val df = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString)
+    // full read: the complement, exactly
+    val got = df.as[(Long, Double)].collect().toSeq
+    assert(got.length == 350 && !got.exists(r => r._1 >= 100 && r._1 < 150))
+    // filter pushdown composes: pruned files + skipped positions
+    assert(df.filter($"k" >= 90 && $"k" < 160).as[(Long, Double)]
+      .collect().map(_._1).sorted.toSeq ==
+      ((90L to 99L) ++ (150L until 160L)))
+    // projection-only count: footer totals minus tombstones
+    assert(df.count() == 350L)
+    // aggregate pushdown DECLINED (manifest counts are physical):
+    // the answer must come from a real scan and still be right
+    IceLiteSource.lastScanMetadataOnly = true
+    val n = df.agg(count(lit(1))).head.getLong(0)
+    assert(n == 350L)
+    assert(!graft.sources.IceLiteSource.lastScanMetadataOnly,
+      "agg pushdown must decline on a MoR-live snapshot")
+    // SQL catalog face sees the same complement
+    val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", ref.warehouse)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 350L)
+    assert(spark.sql(
+      s"SELECT sum(v) FROM $cat.src.t WHERE k < 100").head.getDouble(0)
+      == (0L until 100L).map(_ * 2.0).sum)
   }
 
   test("MoR update: tombstone + appended copies in one snapshot, count stable") {
@@ -154,6 +184,47 @@ class IceLiteMorSpec extends AnyFunSuite {
     val snap = IceLite.updateWhereMoR(spark, ref, "k < 0", Map("v" -> "0.0"))
     assert(snap.id == before.currentSnapshotId)
     assert(IceLite.readManifest(ref).snapshots.size == before.snapshots.size)
+  }
+
+  test("changelog scan: appends are inserts, MoR deletes carry the dead rows' values") {
+    val ref = mk(rows = 100L, files = 2)
+    val s1 = IceLite.readManifest(ref).currentSnapshotId
+    IceLite.append(ref, Seq((500L, 5.0), (501L, 6.0)).toDF("k", "v"))
+    IceLite.deleteWhereMoR(spark, ref, "k < 10")
+    val s3 = IceLite.readManifest(ref).currentSnapshotId
+    val ch = IceLite.changes(spark, ref, s1, s3)
+      .as[(Long, Double, String, Long)].collect().toSeq
+    val inserts = ch.filter(_._3 == "insert")
+    val deletes = ch.filter(_._3 == "delete")
+    assert(inserts.map(r => (r._1, r._2)).sorted ==
+      Seq((500L, 5.0), (501L, 6.0)))
+    // deletes carry the full pre-delete row values
+    assert(deletes.map(r => (r._1, r._2)).sorted ==
+      (0L until 10L).map(k => (k, k * 2.0)))
+    assert(ch.forall(r => r._4 > s1 && r._4 <= s3))
+  }
+
+  test("changelog scan: MoR update emits pre/postimage pairs") {
+    val ref = mk(rows = 100L, files = 2)
+    val s1 = IceLite.readManifest(ref).currentSnapshotId
+    IceLite.updateWhereMoR(spark, ref, "k = 7", Map("v" -> "99.0"))
+    val s2 = IceLite.readManifest(ref).currentSnapshotId
+    val ch = IceLite.changes(spark, ref, s1, s2)
+      .as[(Long, Double, String, Long)].collect().toSeq
+    assert(ch.sortBy(_._3) == Seq(
+      (7L, 99.0, "update_postimage", s2),
+      (7L, 14.0, "update_preimage", s2)))
+  }
+
+  test("changelog scan refuses rewriting commits in the range") {
+    val ref = mk(rows = 100L, files = 2)
+    val s1 = IceLite.readManifest(ref).currentSnapshotId
+    IceLite.append(ref, Seq((500L, 5.0)).toDF("k", "v"))
+    IceLite.compact(spark, ref)
+    val s3 = IceLite.readManifest(ref).currentSnapshotId
+    val e = intercept[IllegalArgumentException](
+      IceLite.changes(spark, ref, s1, s3))
+    assert(e.getMessage.contains("rewriting"))
   }
 
   test("expiry reclaims sidecars of expired snapshots; gc leaves live ones") {

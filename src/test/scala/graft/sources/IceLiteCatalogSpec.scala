@@ -138,6 +138,27 @@ class IceLiteCatalogSpec extends AnyFunSuite {
       s"DELETE FROM $cat.src.t VERSION AS OF 1 WHERE k = 0"))
   }
 
+  test("DELETE FROM in mor mode writes a sidecar instead of rewriting") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "s"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current.files
+    spark.conf.set("spark.graft.icelite.deleteMode", "mor")
+    try {
+      spark.sql(s"DELETE FROM $cat.src.t WHERE k >= 100 AND k < 150")
+      val m = IceLite.readManifest(ref).current
+      assert(m.operation == "delete-mor")
+      assert(m.files == before, "MoR delete must rewrite nothing")
+      assert(m.deleteFiles.nonEmpty)
+      // the SQL face reads the complement through the sidecars
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t")
+        .head.getLong(0) == 350L)
+    } finally spark.conf.unset("spark.graft.icelite.deleteMode")
+  }
+
   test("_file metadata column traces every row to its data file") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
