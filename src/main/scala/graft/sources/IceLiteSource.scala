@@ -62,8 +62,12 @@ class IceLiteSource extends TableProvider {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    IceLiteSource.schemaOf(refOf(pathOf(options)))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = IceLiteSource.schemaOf(refOf(pathOf(options)))
+    if (options.getBoolean("changelog", false))
+      StructType(base.fields ++ IceLiteSource.CdcFields)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -76,6 +80,13 @@ object IceLiteSource {
   /** Spec observability: whether the most recent scan was answered
     * from the manifest alone (aggregate pushdown — zero data files). */
   @volatile var lastScanMetadataOnly: Boolean = false
+
+  /** The two synthetic columns a changelog (CDC) relation appends
+    * to the table schema (s17; Delta CDF's _change_type /
+    * _commit_version shape). */
+  private[sources] val CdcFields: Seq[StructField] = Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_snapshot_id", LongType, nullable = false))
 
   /** One canonical form for a file path however it was rendered —
     * plain ("/a/b"), URI ("file:/a/b", "file:///a/b") — so MoR
@@ -184,7 +195,7 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     new IceLiteScanBuilder(ref, schema,
       options.getInt("snapshotsPerTrigger", Int.MaxValue),
       options.getLong("targetSplitBytes", 128L * 1024 * 1024),
-      asOf)
+      asOf, changelog = options.getBoolean("changelog", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
       s"${name()} is a time-travel read — snapshots are immutable")
@@ -612,7 +623,8 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024,
     asOf: Option[Long] = None,
-    rowOp: Option[IceLiteRowLevelOperation] = None)
+    rowOp: Option[IceLiteRowLevelOperation] = None,
+    changelog: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -754,7 +766,11 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     pushedAggs.isDefined
   }
 
-  override def build(): Scan = pushedAggs match {
+  override def build(): Scan =
+    if (changelog) new IceLiteCdcScan(ref, required, snapshotsPerTrigger)
+    else buildScan()
+
+  private def buildScan(): Scan = pushedAggs match {
     case Some((groupCols, specs)) =>
       new IceLiteAggScan(ref, specs,
         groupCols.map(c => (c, typeOf(c).get, isPartCol(c))), asOf)
@@ -1153,9 +1169,9 @@ class IceLiteMicroBatchStream(ref: TableRef,
   /** AvailableNow ceiling: snapshot id captured at query start. */
   @volatile private var availableNowTarget: Option[Long] = None
 
-  private def manifest = IceLite.readManifest(ref)
+  protected def manifest = IceLite.readManifest(ref)
 
-  private def idxOf(m: graft.icelite.Manifest, snapshotId: Long): Int =
+  protected def idxOf(m: graft.icelite.Manifest, snapshotId: Long): Int =
     if (snapshotId == -1L) -1
     else {
       val i = m.snapshots.indexWhere(_.id == snapshotId)
@@ -1216,6 +1232,137 @@ class IceLiteMicroBatchStream(ref: TableRef,
   override def stop(): Unit = ()
   override def toString: String =
     s"IceLiteMicroBatchStream(${ref.namespace}.${ref.name})"
+}
+
+/** s17: the CHANGELOG STREAMING face (`readStream.option("changelog",
+  * "true")` — Delta CDF's streaming read / Iceberg changelog): each
+  * trigger emits the ROW-LEVEL CHANGES of the snapshots it advances
+  * over — inserts from new data files, deletes recovered from new MoR
+  * sidecars, update-mor commits paired as pre/postimages — with
+  * `_change_type` and `_commit_snapshot_id` columns. Batch reads of a
+  * changelog relation refuse (d49's `IceLite.changes` is the batch
+  * face); rewriting commits in a delta fail the stream loudly, the
+  * same rule as d49. */
+class IceLiteCdcScan(ref: TableRef, required: StructType,
+    snapshotsPerTrigger: Int) extends Scan {
+  private val dataFields = required.fields
+    .filter(f => !IceLiteSource.CdcFields.exists(_.name == f.name))
+    .map(f => (f.name, f.dataType))
+  override def readSchema(): StructType = required
+  override def description(): String = s"IceLiteCdcScan ${ref.name}"
+  override def toBatch: Batch =
+    throw new UnsupportedOperationException(
+      "changelog relations are streaming reads — the batch face is " +
+        "IceLite.changes(ref, from, to) (d49)")
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new IceLiteCdcMicroBatchStream(ref, dataFields,
+      required.fieldNames.contains("_change_type"),
+      required.fieldNames.contains("_commit_snapshot_id"),
+      snapshotsPerTrigger)
+}
+
+/** One changelog slice: either the rows OF new files (inserts /
+  * update postimages; `positions` empty) or the tombstoned rows of
+  * prior files (deletes / update preimages; `emitOnly` — the reader
+  * emits exactly the named positions). */
+case class IceLiteCdcPartition(files: Seq[String], changeType: String,
+    commitId: Long, positions: Map[String, Array[Long]],
+    emitOnly: Boolean) extends InputPartition
+
+class IceLiteCdcReaderFactory(fields: Array[(String, DataType)],
+    emitType: Boolean, emitId: Boolean)
+  extends IceLiteReaderFactory(fields) {
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[IceLiteCdcPartition]
+    val extra: Array[Any] =
+      ((if (emitType) Seq(UTF8String.fromString(part.changeType): Any) else Nil) ++
+       (if (emitId) Seq(part.commitId: Any) else Nil)).toArray
+    new PartitionReader[InternalRow] {
+      private val fileReaders = part.files.iterator.map(f =>
+        singleFileReader(f, Nil,
+          part.positions.getOrElse(IceLiteSource.normPath(f), Array.empty[Long]),
+          part.emitOnly, extra))
+      private var cur0: PartitionReader[InternalRow] =
+        if (fileReaders.hasNext) fileReaders.next() else null
+      override def next(): Boolean = {
+        while (cur0 != null && !cur0.next()) {
+          cur0.close()
+          cur0 = if (fileReaders.hasNext) fileReaders.next() else null
+        }
+        cur0 != null
+      }
+      override def get(): InternalRow = cur0.get()
+      override def close(): Unit = if (cur0 != null) cur0.close()
+    }
+  }
+}
+
+/** Offsets are snapshot ids exactly like the plain table stream; each
+  * trigger's delta is rendered as CHANGE ROWS instead of file scans.
+  * Deltas must be change-derivable: append / delete-mor / update-mor
+  * (and the initial create) — rewriting or branch-staging commits in
+  * a consumed range fail loudly; re-baseline from a full read, the
+  * Delta CDF rule. */
+class IceLiteCdcMicroBatchStream(ref: TableRef,
+    fields: Array[(String, DataType)], emitType: Boolean, emitId: Boolean,
+    snapshotsPerTrigger: Int)
+  extends IceLiteMicroBatchStream(ref, fields, snapshotsPerTrigger) {
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val m = manifest
+    val startId = start.asInstanceOf[IceLiteOffset].snapshotId
+    val endId = end.asInstanceOf[IceLiteOffset].snapshotId
+    val endIdx = idxOf(m, endId)
+    val startIdx = if (startId == -1L) -1 else idxOf(m, startId)
+    val range = m.snapshots.slice(startIdx.max(0), endIdx + 1)
+    val pairs: Seq[(Snapshot, Snapshot)] = {
+      val base =
+        if (startIdx == -1)
+          Snapshot(-1L, 0L, "empty", Nil, 0L) +: range
+        else range
+      base.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    }
+    val bad = pairs.map(_._2.operation)
+      .filterNot(Set("create", "append", "delete-mor", "update-mor"))
+    require(bad.isEmpty,
+      s"changelog stream of ${ref.name} hit non-derivable commit(s) " +
+        s"${bad.distinct.mkString(", ")} — re-baseline from a fresh " +
+          "checkpoint and full read")
+    pairs.flatMap { case (prev, s) =>
+      val isUpdate = s.operation == "update-mor"
+      val prevFiles = prev.files.toSet
+      val inserts = s.files.filterNot(prevFiles).map(f =>
+        IceLiteCdcPartition(Seq(ref.dir.resolve(f).toString),
+          if (isUpdate) "update_postimage" else "insert",
+          s.id, Map.empty, emitOnly = false): InputPartition)
+      val newSidecars = s.deleteFiles.filterNot(prev.deleteFiles.toSet)
+      val deletes =
+        if (newSidecars.isEmpty) Nil
+        else {
+          val byFile = org.apache.spark.sql.SparkSession.active.read
+            .parquet(newSidecars.map(f => ref.dir.resolve(f).toString): _*)
+            .select("file_path", "pos").collect()
+            .groupBy(r => IceLiteSource.normPath(r.getString(0)))
+            .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+          prev.files.flatMap { f =>
+            val abs = ref.dir.resolve(f).toString
+            byFile.get(IceLiteSource.normPath(abs)).map(pos =>
+              IceLiteCdcPartition(Seq(abs),
+                if (isUpdate) "update_preimage" else "delete",
+                s.id, Map(IceLiteSource.normPath(abs) -> pos),
+                emitOnly = true): InputPartition)
+          }
+        }
+      inserts ++ deletes
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IceLiteCdcReaderFactory(fields, emitType, emitId)
+
+  override def toString: String =
+    s"IceLiteCdcMicroBatchStream(${ref.namespace}.${ref.name})"
 }
 
 class IceLiteReaderFactory(fields: Array[(String, DataType)],
@@ -1311,13 +1458,17 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     }
   }
 
-  private def singleFileReader(file: String,
+  protected def singleFileReader(file: String,
       partVals: Seq[String],
-      tombstones: Array[Long] = Array.empty): PartitionReader[InternalRow] = {
-    val partTail0: Array[Any] = (partVals.map(v =>
+      tombstones: Array[Long] = Array.empty,
+      emitOnly: Boolean = false,
+      extraTail: Array[Any] = Array.empty): PartitionReader[InternalRow] = {
+    val partTail0: Array[Any] = ((partVals.map(v =>
       if (v == null) null else UTF8String.fromString(v): Any) ++
-      (if (emitFile) Seq(UTF8String.fromString(file): Any) else Nil)).toArray
-    // d50: MoR position skip-set for THIS file (empty = fast path)
+      (if (emitFile) Seq(UTF8String.fromString(file): Any) else Nil))
+      .toArray ++ extraTail)
+    // d50: MoR position set for THIS file (skip-set normally; the
+    // EMIT-set in changelog delete slices, s17)
     val dead: java.util.HashSet[java.lang.Long] = {
       val s = new java.util.HashSet[java.lang.Long](tombstones.length * 2)
       tombstones.foreach(s.add(_))
@@ -1331,7 +1482,10 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new HPath(file), new Configuration()))
         // tombstoned rows are not rows: the footer count is physical
-        try r.getRecordCount - dead.size finally r.close()
+        try {
+          if (emitOnly) dead.size.toLong
+          else r.getRecordCount - dead.size
+        } finally r.close()
       }
       private val row = new GenericInternalRow(partTail0.clone())
       private var i = 0L
@@ -1360,7 +1514,8 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
       private var pos = -1L
       override def next(): Boolean = {
         while ({ cur = reader.read(); pos += 1; cur != null }) {
-          if (dead.isEmpty || !dead.contains(pos)) return true
+          val hit = dead.contains(pos)
+          if (if (emitOnly) hit else !hit) return true
         }
         false
       }

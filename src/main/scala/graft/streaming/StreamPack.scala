@@ -873,6 +873,50 @@ object StreamPack extends Pack {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              CAST(3 AS BIGINT) AS n_epochs
-             FROM lineitem WHERE l_returnflag = 'R'"""))
-  )
+             FROM lineitem WHERE l_returnflag = 'R'""")),
+
+    // s17: CHANGELOG (CDC) STREAMING — `readStream.option("changelog",
+    // "true")` turns the table's commit history into a stream of
+    // CHANGE ROWS: inserts from new files, deletes recovered from MoR
+    // sidecars (values included), each stamped with _change_type and
+    // _commit_snapshot_id. The d49 batch changelog made continuous —
+    // Delta CDF's streaming read. A downstream sync consumes O(changed
+    // rows) per trigger forever; rewriting commits fail the stream
+    // loudly (re-baseline). The oracle reconstructs both change sets.
+    Decl("s17_stream_changelog",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_s17_wh").toString
+        val ref = TableRef(wh, "src", "orders_cdc_feed")
+        IceLite.createNamespace(wh, "src")
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        IceLite.deleteWhereMoR(s, ref, "o_orderkey % 7 = 3")
+        val sink = s"s17_sink_${java.util.UUID.randomUUID.toString.take(8)}"
+        val q = s.readStream.format("graft.sources.IceLiteSource")
+          .option("changelog", "true")
+          .load(ref.dir.toString)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s17").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("o_totalprice").cast("decimal(18,3)")).cast("double").as("sum_price"))
+          .orderBy(col("change_type"))
+      },
+      Some("""SELECT change_type, CAST(n AS BIGINT) AS n, sum_price FROM (
+               SELECT 'delete' AS change_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+               FROM orders WHERE o_orderkey % 7 = 3
+               UNION ALL
+               SELECT 'insert' AS change_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+               FROM orders)
+             ORDER BY change_type""")))
 }

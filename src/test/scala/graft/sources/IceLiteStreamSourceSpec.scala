@@ -112,4 +112,76 @@ class IceLiteStreamSourceSpec extends AnyFunSuite {
     assert(spark.table("st_prj_sink").columns.toSeq == Seq("k"))
     assert(spark.table("st_prj_sink").as[Long].collect().toSeq.sorted == Seq(1L, 2L))
   }
+
+  // ---- s17: changelog (CDC) streaming ----
+
+  test("changelog stream emits inserts, MoR deletes and update pre/post pairs") {
+    val ref = freshTable("cdc_wh")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 100L).map(k => (k, k * 2.0)).toDF("k", "v"),
+      "k", numFiles = 2, statsCols = Seq("k"))
+    IceLite.append(ref, Seq((500L, 5.0)).toDF("k", "v"))
+    IceLite.deleteWhereMoR(spark, ref, "k < 10")
+    IceLite.updateWhereMoR(spark, ref, "k = 20", Map("v" -> "999.0"))
+    val q = spark.readStream.format(Fmt)
+      .option("changelog", "true").load(ref.dir.toString)
+      .writeStream.format("memory").queryName("cdc_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("cdc_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdc_sink")
+      .as[(Long, Double, String, Long)].collect().toSeq
+    val byType = got.groupBy(_._3)
+    // baseline create (100) + append (1) = 101 inserts
+    assert(byType("insert").length == 101)
+    assert(byType("insert").exists(_._1 == 500L))
+    // 10 deletes carrying the dead rows' values
+    assert(byType("delete").map(r => (r._1, r._2)).sorted ==
+      (0L until 10L).map(k => (k, k * 2.0)))
+    // one pre/post pair for the update
+    assert(byType("update_preimage").map(r => (r._1, r._2)) == Seq((20L, 40.0)))
+    assert(byType("update_postimage").map(r => (r._1, r._2)) == Seq((20L, 999.0)))
+    // commit ids are monotone and match snapshot order
+    val ids = got.map(_._4).distinct.sorted
+    assert(ids.size == 4)
+  }
+
+  test("changelog checkpoint resume delivers only the new changes") {
+    val ref = freshTable("cdc_res_wh")
+    val ck = ckpt("cdc_res_ck")
+    val out = java.nio.file.Files.createTempDirectory("cdc_res_out").toString
+    IceLite.createOrReplace(ref, (0L until 50L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("changelog", "true").load(ref.dir.toString)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    IceLite.deleteWhereMoR(spark, ref, "k >= 40")
+    drain()
+    val got = spark.read.parquet(out).as[(Long, Double, String, Long)]
+      .collect().toSeq
+    assert(got.count(_._3 == "insert") == 50)
+    assert(got.filter(_._3 == "delete").map(_._1).sorted == (40L until 50L))
+  }
+
+  test("changelog stream fails loudly on a rewriting commit in the range") {
+    val ref = freshTable("cdc_rw_wh")
+    IceLite.createOrReplace(ref, (0L until 20L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    IceLite.append(ref, Seq((100L, 1.0)).toDF("k", "v"))
+    IceLite.compact(spark, ref)
+    val q = spark.readStream.format(Fmt)
+      .option("changelog", "true").load(ref.dir.toString)
+      .writeStream.format("memory").queryName("cdc_rw_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("cdc_rw_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[Exception](q.awaitTermination())
+    assert(e.getMessage.contains("non-derivable") ||
+      (e.getCause != null && e.getCause.getMessage.contains("non-derivable")))
+  }
 }
