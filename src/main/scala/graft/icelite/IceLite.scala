@@ -477,7 +477,8 @@ object IceLite {
     * serializable-merge behavior), so no concurrent append is lost. */
   def merge(spark: SparkSession, ref: TableRef, updates: DataFrame,
       keyCols: Seq[String], statsCols: Seq[String] = Nil,
-      deleteWhere: Option[String] = None): Snapshot = {
+      deleteWhere: Option[String] = None,
+      summary: Map[String, String] = Map.empty): Snapshot = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     Files.createDirectories(ref.dataDir)
     // rows that survive the predicate upsert; tombstones only delete
@@ -502,7 +503,8 @@ object IceLite {
           val rowsByFile = fileRowCounts(ref, files)
           val stats = collectStats(spark, ref, files, statsCols)
           val snap = Snapshot(1L, System.currentTimeMillis(), "create",
-            files, rowsByFile.values.sum, stats, fileRows = rowsByFile)
+            files, rowsByFile.values.sum, stats, summary = summary,
+            fileRows = rowsByFile)
           if (tryCommit(1L, Manifest(ref.name, 1L, Seq(snap)), files))
             return snap
         case Some((baseVersion, basePath)) =>
@@ -535,7 +537,7 @@ object IceLite {
           val id = base.snapshots.map(_.id).max + 1
           val snap = Snapshot(id, System.currentTimeMillis(), "replace",
             files, rowsByFile.values.sum, stats, cur.partitionCols,
-            cur.sortedBy, fileRows = rowsByFile)
+            cur.sortedBy, summary = summary, fileRows = rowsByFile)
           if (tryCommit(baseVersion + 1,
               base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
             // MERGE rewrites the table → refresh any Bloom sidecar

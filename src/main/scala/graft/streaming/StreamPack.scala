@@ -284,6 +284,59 @@ object StreamPack extends Pack {
     }
   }
 
+  /** s18: fold ONE micro-batch of changelog rows (`_change_type` +
+    * key + value) into the incrementally-maintained aggregate table
+    * `mv` (key → n_orders, sum_price). Inserts/postimages add,
+    * deletes/preimages subtract; a key whose count reaches 0 is
+    * REMOVED via merge's delete branch. Sums accumulate as
+    * DECIMAL(18,3), so the fold is exact and order-independent
+    * (NOTES decimal-exact rule). Additive merges are NOT idempotent,
+    * so replay safety comes from the batch id committed atomically in
+    * the merge snapshot's summary — the appendBatchOnce contract, on
+    * the merge path. Per trigger the work is O(|changed keys| + |mv|):
+    * the delta fold shuffles only the batch's keys; the merge rewrite
+    * is bounded by the MV, which is |distinct keys| — the whole point
+    * of maintaining the MV instead of re-aggregating the 100 TB
+    * source. */
+  private[streaming] def mergeMvDeltaOnce(s: SparkSession, mv: TableRef,
+      batchId: Long, cdc: DataFrame): Boolean = {
+    val ids = committedBatchIds.computeIfAbsent(mv.dir.toString, { _ =>
+      val set = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      if (IceLite.tableExists(mv))
+        IceLite.readManifest(mv).snapshots
+          .flatMap(_.summary.get(BatchIdKey)).foreach(b => set.add(b.toLong))
+      set
+    })
+    if (ids.contains(batchId)) false
+    else {
+      val sign = when(
+        col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(-1)
+      val delta = cdc
+        .groupBy(col("o_custkey"))
+        .agg(sum(sign).cast("long").as("dn"),
+          sum(sign * col("o_totalprice").cast("decimal(18,3)"))
+            .cast("decimal(18,3)").as("dsum"))
+      val combined =
+        (if (!IceLite.tableExists(mv)) {
+          delta.select(col("o_custkey"), col("dn").as("n_orders"),
+            col("dsum").as("sum_price"))
+        } else {
+          delta.join(IceLite.read(s, mv), Seq("o_custkey"), "left")
+            .select(col("o_custkey"),
+              (coalesce(col("n_orders"), lit(0L)) + col("dn"))
+                .as("n_orders"),
+              (coalesce(col("sum_price"), lit(BigDecimal(0)).cast("decimal(18,3)"))
+                + col("dsum")).cast("decimal(18,3)").as("sum_price"))
+        })
+      IceLite.merge(s, mv, combined, Seq("o_custkey"),
+        deleteWhere = Some("n_orders <= 0"),
+        summary = Map(BatchIdKey -> batchId.toString))
+      ids.add(batchId)
+      true
+    }
+  }
+
   val decls: Seq[Decl] = Seq(
 
     // s01: incremental file discovery → micro-batches
@@ -918,5 +971,61 @@ object StreamPack extends Pack {
                SELECT 'insert' AS change_type, COUNT(*) AS n,
                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
                FROM orders)
-             ORDER BY change_type""")))
+             ORDER BY change_type""")),
+
+    // s18: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the s17
+    // changelog stream drives a per-customer (count, sum) aggregate
+    // table forward through foreachBatch: each trigger folds its CDC
+    // rows into signed per-key deltas (+insert/postimage,
+    // -delete/preimage) and MERGEs them into the MV, deleting keys
+    // whose count reaches zero. This is the classic delta-propagation
+    // IVM for distributive aggregates: the 100 TB source is read
+    // O(changed rows) per trigger, never re-aggregated; replay safety
+    // is the batch id committed atomically with the merge snapshot.
+    // The oracle recomputes the aggregate from the source's FINAL
+    // state (after the MoR delete and update), proving the
+    // incrementally-maintained MV converges to the from-scratch
+    // answer.
+    Decl("s18_stream_mv_maintenance",
+      (s, dir) => {
+        withStreamShufflePartitions(s) {
+        val wh = Files.createTempDirectory("graft_s18_wh").toString
+        val src = TableRef(wh, "src", "orders_mv_feed")
+        val mv = TableRef(wh, "mart", "orders_by_cust_mv")
+        IceLite.createNamespace(wh, "src")
+        IceLite.createNamespace(wh, "mart")
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        IceLite.createOrReplaceSorted(src, o, "o_orderkey", numFiles = 4,
+          statsCols = Seq("o_orderkey"))
+        IceLite.deleteWhereMoR(s, src, "o_orderkey % 7 = 3")
+        IceLite.updateWhereMoR(s, src, "o_orderkey % 7 = 2",
+          Map("o_totalprice" -> "1000.0"))
+        val q = s.readStream.format("graft.sources.IceLiteSource")
+          .option("changelog", "true")
+          .option("snapshotsPerTrigger", 1)
+          .load(src.dir.toString)
+          .select(col("o_custkey"), col("o_totalprice"), col("_change_type"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            mergeMvDeltaOnce(s, mv, batchId, batch); ()
+          }
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s18").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        IceLite.read(s, mv)
+          .select(col("o_custkey"),
+            col("n_orders").cast("long").as("n_orders"),
+            col("sum_price").cast("double").as("sum_price"))
+          .orderBy(col("o_custkey"))
+        }
+      },
+      Some("""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 2 THEN 1000.0
+                                  ELSE o_totalprice END AS DECIMAL(18,3)))
+                    AS DOUBLE) AS sum_price
+             FROM orders WHERE o_orderkey % 7 <> 3
+             GROUP BY o_custkey ORDER BY o_custkey""")))
 }

@@ -101,6 +101,43 @@ class StreamPackSpec extends AnyFunSuite {
     assert(IceLite.read(spark, ref).count() == 3)
   }
 
+  test("MV delta merge: additive fold, zero-count eviction, replay skip") {
+    import graft.icelite.{IceLite, TableRef}
+    val wh = Files.createTempDirectory("s18_mv_wh").toString
+    IceLite.createNamespace(wh, "mart")
+    val mv = TableRef(wh, "mart", "mv")
+
+    def cdc(rows: (Long, Double, String)*): DataFrame =
+      rows.toDF("o_custkey", "o_totalprice", "_change_type")
+
+    // batch 0: inserts for two customers
+    assert(StreamPack.mergeMvDeltaOnce(spark, mv, 0L,
+      cdc((1L, 10.0, "insert"), (1L, 20.0, "insert"), (2L, 5.0, "insert"))))
+    // batch 1: delete one of cust 1's orders; update cust 2's order
+    assert(StreamPack.mergeMvDeltaOnce(spark, mv, 1L,
+      cdc((1L, 10.0, "delete"),
+        (2L, 5.0, "update_preimage"), (2L, 7.5, "update_postimage"))))
+    val got = IceLite.read(spark, mv)
+      .select($"o_custkey", $"n_orders".cast("long"),
+        $"sum_price".cast("double"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 20.0), (2L, 1L, 7.5)), s"MV state: $got")
+    // replay of batch 1 must NOT double-subtract (additive ≠ idempotent)
+    assert(!StreamPack.mergeMvDeltaOnce(spark, mv, 1L,
+      cdc((1L, 10.0, "delete"))))
+    // batch 2: cust 1's last order deleted → key evicted from the MV
+    assert(StreamPack.mergeMvDeltaOnce(spark, mv, 2L,
+      cdc((1L, 20.0, "delete"))))
+    val keys = IceLite.read(spark, mv).select($"o_custkey")
+      .as[Long].collect().toSeq
+    assert(keys == Seq(2L), s"zero-count key must evict: $keys")
+    // restart: cache gone, manifest summary is durable → replay skipped
+    StreamPack.resetBatchIdCache()
+    assert(!StreamPack.mergeMvDeltaOnce(spark, mv, 2L,
+      cdc((1L, 20.0, "delete"))))
+    assert(IceLite.read(spark, mv).count() == 1)
+  }
+
   test("streaming dedup emits each key once across micro-batches") {
     // mirrors s05: watermarked dedup — duplicates within the delay
     // horizon are removed exactly
