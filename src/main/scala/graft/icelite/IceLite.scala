@@ -61,13 +61,26 @@ final case class Snapshot(
     // metadata-only COUNT paths must refuse while deletes are live.
     deleteFiles: Seq[String] = Nil)
 
+/** A column added by `ALTER TABLE ADD COLUMN` (d51) that may not yet
+  * exist in any data file: readers surface NULL for files written
+  * before it. `sinceSnapshotId` scopes the column to snapshots from
+  * that id onward — a time-travel read of an earlier snapshot does
+  * not see it (Iceberg's per-snapshot schema-id semantics, manifest-
+  * level instead of a full schema registry). */
+final case class AddedCol(name: String, sqlType: String,
+    sinceSnapshotId: Long)
+
 final case class Manifest(
     table: String,
     currentSnapshotId: Long,
     snapshots: Seq[Snapshot],
     // named branch → snapshot id (Iceberg refs): staged candidates
     // readers of main never see until publish fast-forwards (d19)
-    branches: Map[String, Long] = Map.empty) {
+    branches: Map[String, Long] = Map.empty,
+    // ALTER TABLE ADD COLUMN ledger (d51): schema columns that exist
+    // independently of the data files. Commit paths carry it forward
+    // by evolving the manifest with copy() (NOTES rule 21).
+    addedCols: Seq[AddedCol] = Nil) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
 }
 
@@ -1369,6 +1382,47 @@ object IceLite {
     readAt(spark, ref, snap.id)
   }
 
+  /** d51: `ALTER TABLE t ADD COLUMN name type` — a METADATA-ONLY
+    * commit (one CAS manifest version, no snapshot, no data file
+    * touched — Iceberg's add-column, which is why schema evolution
+    * is free at 100 TB). The column exists from the CURRENT snapshot
+    * onward: connector/SQL reads surface NULL for files that predate
+    * it, time travel to earlier snapshots does not see it, and the
+    * next INSERT may populate it. Primitive types only (the set the
+    * connector decodes). The batch face (IceLite.read) is
+    * schema-on-read from the data files and shows the column once a
+    * write materializes it; the connector face shows it immediately
+    * — same split as Iceberg's Spark vs raw-parquet reads. */
+  def alterAddColumn(ref: TableRef, colName: String, sqlType: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = DataType.fromDDL(sqlType)
+    require(Seq(LongType, IntegerType, DoubleType, BooleanType,
+        StringType, TimestampType).contains(dt),
+      s"ADD COLUMN supports the connector's primitive types, got $sqlType")
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      val fileCols: Set[String] = m.current.files.headOption.map { f =>
+        val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            p, new org.apache.hadoop.conf.Configuration()))
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+        } finally r.close()
+      }.getOrElse(Set.empty)
+      val taken = fileCols ++ m.addedCols.map(_.name) ++
+        m.current.partitionCols
+      require(!taken.contains(colName),
+        s"column $colName already exists in ${ref.name}")
+      m.copy(addedCols =
+        m.addedCols :+ AddedCol(colName, sqlType, m.currentSnapshotId))
+    }
+    ()
+  }
+
   /** Time travel: read the table as of a specific snapshot id. */
   def readAt(spark: SparkSession, ref: TableRef, snapshotId: Long): DataFrame = {
     val m = readManifest(ref)
@@ -1416,7 +1470,8 @@ object IceLite {
     * references — same caveat as Delta shallow clones; deep-copy on
     * the clone's first compact() severs the dependency. */
   def shallowClone(src: TableRef, dst: TableRef): Snapshot = {
-    val srcSnap = readManifest(src).current
+    val srcManifest = readManifest(src)
+    val srcSnap = srcManifest.current
     require(srcSnap.deleteFiles.isEmpty,
       s"${src.name} has live MoR delete sidecars — compact() before cloning")
     require(srcSnap.partitionCols.isEmpty,
@@ -1435,7 +1490,11 @@ object IceLite {
           "clone.sourceSnapshot" -> srcSnap.id.toString),
         fileRows = absFiles.zip(srcSnap.files).flatMap { case (abs, rel) =>
           srcSnap.fileRows.get(rel).map(abs -> _) }.toMap)
-      Manifest(dst.name, 1L, Seq(snap))
+      // the clone's snapshot 1 sees every column the source's current
+      // snapshot saw, ALTER-added ones included
+      Manifest(dst.name, 1L, Seq(snap), addedCols = srcManifest.addedCols
+        .filter(_.sinceSnapshotId <= srcSnap.id)
+        .map(_.copy(sinceSnapshotId = 1L)))
     }.current
   }
 

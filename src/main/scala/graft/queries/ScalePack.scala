@@ -1575,6 +1575,53 @@ object ScalePack extends Pack {
              TRUE AS mor_live
              FROM orders WHERE o_orderkey % 7 <> 3""")),
 
+    // d51: SQL SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMN` as a
+    // METADATA-ONLY CAS commit (Iceberg's add-column: no data file is
+    // touched at any table size, which is why schema evolution is
+    // free at 100 TB). Files written before the alter null-fill the
+    // column at read time — in BOTH the row and the vectorized
+    // connector paths (constant null vectors interleaved into the
+    // columnar batch) — while post-alter INSERTs populate it; time
+    // travel to a pre-alter snapshot hides the column entirely
+    // (spec-pinned). The oracle rebuilds the same mixed-era state
+    // with a UNION of NULL-extended old rows and value-bearing new
+    // rows.
+    Decl("d51_sql_alter_evolution",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d51").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_evolve_sql")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+        IceLite.createOrReplace(ref,
+          o.filter($"o_orderkey" < 1000).drop("o_orderpriority"))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"ALTER TABLE $cat.src.orders_evolve_sql ADD COLUMN o_orderpriority STRING")
+        o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+          .createOrReplaceTempView("d51_new_rows")
+        s.sql(s"""INSERT INTO $cat.src.orders_evolve_sql
+                  SELECT o_orderkey, o_totalprice, o_orderpriority FROM d51_new_rows""")
+        s.sql(s"""SELECT (o_orderpriority IS NULL) AS pre_alter,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.orders_evolve_sql
+                  GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT pre_alter, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM (
+               SELECT TRUE AS pre_alter, NULL AS o_orderpriority, o_totalprice
+               FROM orders WHERE o_orderkey < 1000
+               UNION ALL
+               SELECT FALSE AS pre_alter, o_orderpriority, o_totalprice
+               FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000)
+             GROUP BY 1 ORDER BY 1""")),
+
     // d41: METADATA TABLES as SQL identifiers — Iceberg's
     // `t$snapshots` / `t$partitions` UX: history and the partition
     // census are plain relations (backtick-quoted), folded from the

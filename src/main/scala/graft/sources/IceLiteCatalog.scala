@@ -212,9 +212,29 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     true
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "icelite schemas evolve through mergeSchema writes, not ALTER TABLE")
+  /** `ALTER TABLE cat.ns.t ADD COLUMN c type` (d51): a metadata-only
+    * CAS commit — no data file is touched at any table size. The
+    * column is nullable, visible from the current snapshot onward
+    * (files that predate it null-fill at read time; time travel to
+    * earlier snapshots does not see it); the next INSERT may write
+    * it. Everything else (RENAME/DROP/ALTER COLUMN) refuses loudly —
+    * IceLite columns are addressed by name in the data files, so
+    * those need a rewrite, not a metadata flip. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ref = refOf(ident)
+    if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"icelite supports top-level columns only, got " +
+            add.fieldNames.mkString("."))
+        IceLite.alterAddColumn(ref, add.fieldNames.head,
+          add.dataType.catalogString)
+      case other => throw new UnsupportedOperationException(
+        s"icelite ALTER TABLE supports ADD COLUMN only, got $other")
+    }
+    loadTable(ident)
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(

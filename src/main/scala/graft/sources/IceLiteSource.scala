@@ -136,16 +136,26 @@ object IceLiteSource {
       new org.apache.spark.sql.execution.datasources.parquet
         .ParquetToSparkSchemaConverter().convert(msg)
     } finally r.close()
-    if (snap.partitionCols.isEmpty) fileSchema
-    else {
-      require(snap.files.forall(f =>
-          pathPartValues(f).keySet == snap.partitionCols.toSet),
-        s"${ref.name} mixes partition layouts (spec evolution) — " +
-          "read it with IceLite.readPartitioned, which unions layout groups")
-      StructType(fileSchema.fields ++
-        snap.partitionCols.filterNot(fileSchema.fieldNames.contains)
-          .map(c => StructField(c, StringType)))
-    }
+    val withParts =
+      if (snap.partitionCols.isEmpty) fileSchema
+      else {
+        require(snap.files.forall(f =>
+            pathPartValues(f).keySet == snap.partitionCols.toSet),
+          s"${ref.name} mixes partition layouts (spec evolution) — " +
+            "read it with IceLite.readPartitioned, which unions layout groups")
+        StructType(fileSchema.fields ++
+          snap.partitionCols.filterNot(fileSchema.fieldNames.contains)
+            .map(c => StructField(c, StringType)))
+      }
+    // d51: ALTER-added columns, scoped to snapshots at-or-after the
+    // alter (time travel to an earlier snapshot must not see them);
+    // files that predate the column surface NULL at read time
+    val added = IceLite.readManifest(ref).addedCols
+      .filter(c => c.sinceSnapshotId <= snap.id &&
+        !withParts.fieldNames.contains(c.name))
+    if (added.isEmpty) withParts
+    else StructType(withParts.fields ++ added.map(c =>
+      StructField(c.name, org.apache.spark.sql.types.DataType.fromDDL(c.sqlType))))
   }
 }
 
@@ -1408,29 +1418,81 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
       private var reader: org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader = _
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      // composite batch (null/constant vectors interleaved): row count
+      // must be synced from the decode batch after each nextBatch()
+      private var syncRows = false
+      // >0: the current file decodes NOTHING (every projected column
+      // was ALTER-added after it was written, d51) — emit that many
+      // all-null rows in 4096-row chunks without opening a reader
+      private var nullRowsLeft = 0L
+      private def nullVector(dt: DataType) = {
+        val cv = new org.apache.spark.sql.execution.vectorized
+          .ConstantColumnVector(4096, dt)
+        cv.setNull()
+        cv
+      }
       private def openNext(): Boolean =
         if (!remaining.hasNext) false
         else {
           val path = remaining.next()
           fileVector.foreach(_.setUtf8String(UTF8String.fromString(path)))
-          reader = new org.apache.spark.sql.execution.datasources.parquet
-            .VectorizedParquetRecordReader(false, 4096)
-          reader.initialize(path, fields.map(_._1).toList.asJava)
-          val fb = reader.resultBatch() // allocates the batch nextBatch() fills
-          batch =
-            if (appendedVectors.isEmpty) fb
-            else new org.apache.spark.sql.vectorized.ColumnarBatch(
-              ((0 until fb.numCols).map(fb.column) ++ appendedVectors).toArray)
-          true
+          // d51: decode the columns this file HAS; ALTER-added ones it
+          // predates ride along as constant null vectors
+          val (fileCols, fileRows) = {
+            val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
+              new HPath(path), new Configuration()))
+            try (fr.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSeq, fr.getRecordCount)
+            finally fr.close()
+          }
+          val presentNames = fields.map(_._1).filter(fileCols.contains)
+          if (presentNames.isEmpty) {
+            nullRowsLeft = fileRows
+            syncRows = false
+            batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              (fields.map(f => nullVector(f._2)) ++ appendedVectors).toArray)
+            true
+          } else {
+            reader = new org.apache.spark.sql.execution.datasources.parquet
+              .VectorizedParquetRecordReader(false, 4096)
+            reader.initialize(path, presentNames.toList.asJava)
+            val fb = reader.resultBatch() // allocates the batch nextBatch() fills
+            if (presentNames.length == fields.length) {
+              syncRows = appendedVectors.nonEmpty
+              batch =
+                if (appendedVectors.isEmpty) fb
+                else new org.apache.spark.sql.vectorized.ColumnarBatch(
+                  ((0 until fb.numCols).map(fb.column) ++ appendedVectors).toArray)
+            } else {
+              // fb columns follow FILE-schema order of the present
+              // subset; map back to the projection by name
+              val fbIdx = fileCols.filter(presentNames.toSet).zipWithIndex.toMap
+              syncRows = true
+              batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+                (fields.map { case (n, dt) =>
+                  fbIdx.get(n).map(fb.column)
+                    .getOrElse(nullVector(dt)): org.apache.spark.sql.vectorized.ColumnVector
+                } ++ appendedVectors).toArray)
+            }
+            true
+          }
         }
       override def next(): Boolean = {
-        while (reader == null || !reader.nextBatch()) {
+        while (true) {
+          if (nullRowsLeft > 0) {
+            val n = math.min(4096L, nullRowsLeft).toInt
+            batch.setNumRows(n)
+            nullRowsLeft -= n
+            return true
+          }
+          if (reader != null && reader.nextBatch()) {
+            if (syncRows) batch.setNumRows(reader.resultBatch().numRows)
+            return true
+          }
           if (reader != null) { reader.close(); reader = null }
           if (!openNext()) return false
         }
-        if (appendedVectors.nonEmpty)
-          batch.setNumRows(reader.resultBatch().numRows)
-        true
+        false // unreachable
       }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
       override def close(): Unit = if (reader != null) reader.close()
@@ -1474,37 +1536,54 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
       tombstones.foreach(s.add(_))
       s
     }
-    // no data columns projected (partition-only select, or a count
-    // over a declined aggregate): the footer's record count is the
-    // whole answer — emit that many constant rows, zero pages decoded
-    if (fields.isEmpty) return new PartitionReader[InternalRow] {
-      private val total = {
-        val r = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new HPath(file), new Configuration()))
-        // tombstoned rows are not rows: the footer count is physical
-        try {
-          if (emitOnly) dead.size.toLong
-          else r.getRecordCount - dead.size
-        } finally r.close()
+    // no data columns projected (partition-only select, a count over
+    // a declined aggregate, or every projected column postdates this
+    // file's write — d51): the footer's record count is the whole
+    // answer — emit that many constant rows, zero pages decoded
+    def countOnlyReader(): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val total = {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new HPath(file), new Configuration()))
+          // tombstoned rows are not rows: the footer count is physical
+          try {
+            if (emitOnly) dead.size.toLong
+            else r.getRecordCount - dead.size
+          } finally r.close()
+        }
+        // data cells (all null — only the ALTER-added case reaches
+        // here with fields) then the constant tail
+        private val row = new GenericInternalRow(
+          new Array[Any](fields.length) ++ partTail0)
+        private var i = 0L
+        override def next(): Boolean = { i += 1; i <= total }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
       }
-      private val row = new GenericInternalRow(partTail0.clone())
-      private var i = 0L
-      override def next(): Boolean = { i += 1; i <= total }
-      override def get(): InternalRow = row
-      override def close(): Unit = ()
+    if (fields.isEmpty) return countOnlyReader()
+    val fullFileSchema: org.apache.parquet.schema.MessageType = {
+      val fr = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(file), new Configuration()))
+      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
     }
+    val fileHas: Set[String] =
+      fullFileSchema.getFields.asScala.map(_.getName).toSet
+    // every projected column postdates this file (ALTER-added, d51):
+    // nothing to decode — null cells at footer-count cardinality
+    if (!fields.exists(f => fileHas(f._1))) return countOnlyReader()
     new PartitionReader[InternalRow] {
       private val conf = new Configuration()
       // project the read schema down to the required columns so the
-      // parquet reader materializes only those pages
-      locally {
-        val fr = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new HPath(file), conf))
-        val full = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      // parquet reader materializes only those pages; a column ABSENT
+      // from this file (written before its ALTER TABLE ADD COLUMN,
+      // d51) is null-filled per row below
+      private val present: Array[Boolean] = {
         val want = fields.map(_._1).toSet
-        val projected = new org.apache.parquet.schema.MessageType(full.getName,
-          full.getFields.asScala.filter(f => want(f.getName)).asJava)
+        val projected = new org.apache.parquet.schema.MessageType(
+          fullFileSchema.getName,
+          fullFileSchema.getFields.asScala.filter(f => want(f.getName)).asJava)
         conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+        fields.map(f => fileHas(f._1))
       }
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new HPath(file))
@@ -1528,7 +1607,8 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         var i = 0
         while (i < fields.length) {
           val (name, dt) = fields(i)
-          if (cur.getFieldRepetitionCount(name) == 0) row.setNullAt(i)
+          if (!present(i)) row.setNullAt(i)
+          else if (cur.getFieldRepetitionCount(name) == 0) row.setNullAt(i)
           else dt match {
             case LongType => row.update(i, cur.getLong(name, 0))
             case IntegerType => row.update(i, cur.getInteger(name, 0))

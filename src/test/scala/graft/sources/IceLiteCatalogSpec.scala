@@ -47,6 +47,86 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assert(tables.toSeq == Seq("t1", "t2"))
   }
 
+  // ---- d51: ALTER TABLE ADD COLUMN ----
+
+  test("ALTER TABLE ADD COLUMN: metadata-only, old files null-fill, INSERT writes it") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1L to 10L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    val filesBefore = IceLite.readManifest(ref).current.files
+    spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN tag STRING")
+    // metadata-only: same snapshot, same files, new manifest version
+    val m = IceLite.readManifest(ref)
+    assert(m.current.files == filesBefore, "ALTER must not touch data files")
+    assert(m.addedCols.map(c => (c.name, c.sqlType)) == Seq(("tag", "string")))
+    // visible immediately; pre-alter rows are NULL
+    assert(spark.sql(s"SELECT * FROM $cat.src.t").columns.toSeq ==
+      Seq("k", "v", "tag"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.src.t WHERE tag IS NULL")
+      .head.getLong(0) == 10L)
+    // INSERT with the new column; mixed files read correctly
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (11, 22.0, 'new')")
+    val got = spark.sql(
+      s"SELECT k, v, tag FROM $cat.src.t ORDER BY k")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(got.size == 11)
+    assert(got.take(10).forall(_._3.isEmpty), "pre-alter rows must be NULL")
+    assert(got.last == ((11L, 22.0, Some("new"))))
+    // filter on the added column (old files can't match, new ones can)
+    assert(spark.sql(
+      s"SELECT k FROM $cat.src.t WHERE tag = 'new'").head.getLong(0) == 11L)
+  }
+
+  test("ALTER-added column: projection of ONLY the added column spans old files") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, (1L to 7L).map(k => (k, k)).toDF("k", "v"))
+    spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN w BIGINT")
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (8, 8, 80)")
+    // every projected column is missing from the old file → its rows
+    // come from the footer count as all-null cells
+    val ws = spark.sql(s"SELECT w FROM $cat.src.t")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(ws.length == 8)
+    assert(ws.count(_.isEmpty) == 7 && ws.flatten.toSeq == Seq(80L))
+  }
+
+  test("ALTER-added column is scoped: time travel before the alter hides it") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, Seq((1L, 1.0)).toDF("k", "v"))
+    val preAlterSnap = IceLite.readManifest(ref).currentSnapshotId
+    IceLite.append(ref, Seq((2L, 2.0)).toDF("k", "v"))
+    spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN tag STRING")
+    assert(spark.sql(
+      s"SELECT * FROM $cat.src.t VERSION AS OF $preAlterSnap")
+      .columns.toSeq == Seq("k", "v"),
+      "pre-alter snapshot must not see the added column")
+    assert(spark.sql(s"SELECT * FROM $cat.src.t").columns.toSeq ==
+      Seq("k", "v", "tag"))
+  }
+
+  test("ALTER TABLE refuses duplicates, non-ADD changes, nested and complex types") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    IceLite.createOrReplace(TableRef(wh, "src", "t"), Seq((1L, 1.0)).toDF("k", "v"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN v DOUBLE"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN a ARRAY<INT>"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN v TO w"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.t DROP COLUMN v"))
+    // and the ledger stayed empty
+    assert(IceLite.readManifest(TableRef(wh, "src", "t")).addedCols.isEmpty)
+  }
+
   test("CTAS creates a table whose first snapshot is the select result") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
