@@ -247,6 +247,64 @@ object JoinPack extends Pack {
              WHERE o_custkey IN (SELECT c_custkey FROM customer
                                  WHERE c_mktsegment = 'BUILDING')
                AND o_orderkey < 2000
-             ORDER BY o_orderkey"""))
+             ORDER BY o_orderkey""")),
+
+    // b67 (builder extension): CORRELATED EXISTS / NOT EXISTS —
+    // Catalyst decorrelates both into existence joins on the
+    // correlation key (plan-checked: two BroadcastHashJoin
+    // ExistenceJoin nodes here; hash-partitioned on o_custkey when
+    // the orders side outgrows the broadcast threshold), rather than
+    // re-running the subquery per outer row — the decorrelation that
+    // makes EXISTS usable at scale. Customers WITH an urgent order
+    // and withOUT any order, counted by segment.
+    Decl("b67_subquery_exists",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_mktsegment,
+                 CAST(SUM(CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                 CAST(SUM(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+                 FROM customer c
+                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment,
+             CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+             CAST(SUM(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+             FROM customer c
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // b68 (builder extension): LATERAL correlated subquery — each
+    // nation row drives a dependent top-2-suppliers-by-balance
+    // subquery (the per-row "top N related rows" shape). Catalyst
+    // decorrelates the LATERAL into a ranked window join, so the
+    // plan is one shuffle on the correlation key, not a re-executed
+    // subquery per outer row.
+    Decl("b68_join_lateral",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT n.n_name, t.s_name, t.s_acctbal
+                 FROM nation n,
+                 LATERAL (SELECT s_name, s_acctbal FROM supplier s
+                          WHERE s.s_nationkey = n.n_nationkey
+                          ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+                 ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""")
+      },
+      Some("""SELECT n.n_name, t.s_name, t.s_acctbal
+             FROM nation n,
+             LATERAL (SELECT s_name, s_acctbal FROM supplier s
+                      WHERE s.s_nationkey = n.n_nationkey
+                      ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+             ORDER BY n.n_name, t.s_acctbal DESC, t.s_name"""))
   )
 }
