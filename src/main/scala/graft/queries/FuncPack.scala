@@ -295,6 +295,39 @@ object FuncPack extends Pack {
       Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(SUM(value), 2) AS sum_val
-             FROM events GROUP BY 1 ORDER BY bucket"""))
+             FROM events GROUP BY 1 ORDER BY bucket""")),
+
+    // b69 (builder extension): UNPIVOT — wide-to-long reshaping, the
+    // inverse of b31's pivot (`Dataset.unpivot`, Spark's melt). The
+    // unpivot itself is a pure per-row flatMap (each input row emits
+    // one row per value column, no shuffle, no UDF); the only
+    // exchange here is the upstream aggregate's. The oracle spells
+    // the same reshape as a UNION ALL, which is exactly the plan
+    // shape Spark's Expand operator fuses into one pass.
+    Decl("b69_unpivot",
+      (s, dir) => {
+        val wide = Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(dsum($"l_quantity", 2).as("sum_qty"),
+            dsum($"l_extendedprice", 3).as("sum_price"),
+            dsum($"l_discount", 2).as("sum_disc"))
+        wide.unpivot(Array($"l_returnflag"),
+            Array($"sum_qty", $"sum_price", $"sum_disc"),
+            "metric", "value")
+          .orderBy($"l_returnflag", $"metric")
+      },
+      Some("""SELECT l_returnflag, metric, value FROM (
+               SELECT l_returnflag, 'sum_qty' AS metric,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+               FROM lineitem GROUP BY l_returnflag
+               UNION ALL
+               SELECT l_returnflag, 'sum_price' AS metric,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS value
+               FROM lineitem GROUP BY l_returnflag
+               UNION ALL
+               SELECT l_returnflag, 'sum_disc' AS metric,
+                 CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS value
+               FROM lineitem GROUP BY l_returnflag)
+             ORDER BY l_returnflag, metric"""))
   )
 }
