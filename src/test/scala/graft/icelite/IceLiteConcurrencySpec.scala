@@ -383,6 +383,74 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
       s"a partitioned concurrent merge was lost")
   }
 
+  test("ALTER ADD COLUMN racing appends: ledger and all snapshots survive") {
+    val wh = Files.createTempDirectory("alter_race").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, Seq((0, 0.0)).toDF("k", "v"))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // 3 appenders × 2 appends race 1 altering writer
+    (0 until 3).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until 2).foreach { i =>
+            IceLite.append(ref, Seq((w * 10 + i + 1, 1.0)).toDF("k", "v"))
+          } catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try IceLite.alterAddColumn(ref, "tag", "string")
+        catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+
+    val m = IceLite.readManifest(ref)
+    // no append lost to the alter, no alter lost to an append
+    assert(m.snapshots.size == 7, s"lost snapshots: ${m.snapshots.size} of 7")
+    assert(m.current.rowCount == 7)
+    assert(m.addedCols.map(_.name) == Seq("tag"),
+      s"alter lost to a racing commit: ${m.addedCols}")
+  }
+
+  test("two ALTERs racing on the same column name: exactly one wins") {
+    val wh = Files.createTempDirectory("alter_dup_race").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, Seq((0, 0.0)).toDF("k", "v"))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    (0 until 2).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try { IceLite.alterAddColumn(ref, "tag", "string"); outcomes.add(true) }
+          catch { case _: IllegalArgumentException => outcomes.add(false) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    // the loser rebased inside commitCAS and hit the duplicate check
+    import scala.jdk.CollectionConverters._
+    assert(outcomes.asScala.toSeq.sorted == Seq(false, true),
+      s"duplicate-column race outcomes: ${outcomes.asScala.toSeq}")
+    assert(IceLite.readManifest(ref).addedCols.map(_.name) == Seq("tag"))
+  }
+
   test("manifest versions are dense and monotonic after races") {
     val wh = Files.createTempDirectory("cas_spec2").toString
     IceLite.createNamespace(wh, "src")

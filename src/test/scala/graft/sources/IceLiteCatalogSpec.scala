@@ -111,6 +111,20 @@ class IceLiteCatalogSpec extends AnyFunSuite {
       Seq("k", "v", "tag"))
   }
 
+  test("ALTER-added column composes with partitioned connector reads") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "p"), "p")
+    spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN score DOUBLE")
+    // old partitioned files null-fill; partition pruning still works
+    val got = spark.sql(
+      s"SELECT k, p, score FROM $cat.src.t WHERE p = 'a' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2)))
+    assert(got.toSeq == Seq((1L, "a", true), (2L, "a", true)))
+  }
+
   test("ALTER TABLE refuses duplicates, non-ADD changes, nested and complex types") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
