@@ -80,7 +80,14 @@ final case class Manifest(
     // ALTER TABLE ADD COLUMN ledger (d51): schema columns that exist
     // independently of the data files. Commit paths carry it forward
     // by evolving the manifest with copy() (NOTES rule 21).
-    addedCols: Seq[AddedCol] = Nil) {
+    addedCols: Seq[AddedCol] = Nil,
+    // ALTER TABLE DROP COLUMN ledger (d52): columns hidden from
+    // snapshots at-or-after sinceSnapshotId. The data files keep the
+    // bytes (the drop is metadata-only); readers stop projecting the
+    // name. A dropped name can never be re-added — without Iceberg's
+    // field ids, a re-add would resurface the old files' stale
+    // values under the new column.
+    droppedCols: Seq[AddedCol] = Nil) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
 }
 
@@ -1417,8 +1424,56 @@ object IceLite {
         m.current.partitionCols
       require(!taken.contains(colName),
         s"column $colName already exists in ${ref.name}")
+      require(!m.droppedCols.exists(_.name == colName),
+        s"column $colName was previously dropped from ${ref.name} and " +
+          "cannot be re-added: without per-field ids the old files' " +
+          "stale values would resurface under the new column")
       m.copy(addedCols =
         m.addedCols :+ AddedCol(colName, sqlType, m.currentSnapshotId))
+    }
+    ()
+  }
+
+  /** d52: `ALTER TABLE t DROP COLUMN name` — the metadata-only twin
+    * of [[alterAddColumn]] (Iceberg's drop-column): one CAS manifest
+    * commit, zero data files touched. The bytes stay in the files;
+    * readers simply stop projecting the name from the current
+    * snapshot onward, and time travel to a pre-drop snapshot still
+    * sees the column with its values. Partition and sort-key columns
+    * refuse (the table's layout depends on them); so does a name not
+    * in the schema. Dropped names are remembered and can never be
+    * re-added (see [[Manifest.droppedCols]]). */
+  def alterDropColumn(ref: TableRef, colName: String): Unit = {
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      require(!m.current.partitionCols.contains(colName),
+        s"$colName partitions ${ref.name} — dropping it would orphan " +
+          "the directory layout")
+      require(!m.current.sortedBy.contains(colName),
+        s"$colName is ${ref.name}'s sort key — dropping it would " +
+          "invalidate the clustered layout and its pruning stats")
+      val dropped = m.droppedCols.map(_.name).toSet
+      val visible: Set[String] = {
+        val fileCols = m.current.files.headOption.map { f =>
+          val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              p, new org.apache.hadoop.conf.Configuration()))
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSet
+          } finally r.close()
+        }.getOrElse(Set.empty)
+        (fileCols ++ m.addedCols.map(_.name)) -- dropped
+      }
+      require(visible.contains(colName),
+        s"no column $colName in ${ref.name} (have: ${visible.toSeq.sorted.mkString(", ")})")
+      require(visible.size > 1,
+        s"$colName is ${ref.name}'s only column — a table needs at least one")
+      m.copy(droppedCols =
+        m.droppedCols :+ AddedCol(colName, "", m.currentSnapshotId))
     }
     ()
   }

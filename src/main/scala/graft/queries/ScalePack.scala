@@ -1622,6 +1622,42 @@ object ScalePack extends Pack {
                FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000)
              GROUP BY 1 ORDER BY 1""")),
 
+    // d52: `ALTER TABLE DROP COLUMN` — d51's metadata-only twin
+    // (Iceberg's drop-column). The bytes stay in the files; readers
+    // stop projecting the name from the current snapshot onward, new
+    // INSERTs land with the narrowed schema, time travel to a
+    // pre-drop snapshot still sees the column, and the dropped name
+    // can never be re-added (no field ids to keep stale bytes from
+    // resurfacing — spec-pinned along with partition/sort-key and
+    // last-column refusals). The oracle reads the surviving columns
+    // across both eras.
+    Decl("d52_sql_drop_evolution",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d52").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_drop_sql")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"ALTER TABLE $cat.src.orders_drop_sql DROP COLUMN o_totalprice")
+        o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+          .drop("o_totalprice").createOrReplaceTempView("d52_new_rows")
+        s.sql(s"""INSERT INTO $cat.src.orders_drop_sql
+                  SELECT o_orderkey, o_orderpriority FROM d52_new_rows""")
+        s.sql(s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+                  FROM $cat.src.orders_drop_sql
+                  GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+             FROM orders WHERE o_orderkey < 2000
+             GROUP BY 1 ORDER BY 1""")),
+
     // d41: METADATA TABLES as SQL identifiers — Iceberg's
     // `t$snapshots` / `t$partitions` UX: history and the partition
     // census are plain relations (backtick-quoted), folded from the

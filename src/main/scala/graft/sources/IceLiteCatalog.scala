@@ -212,14 +212,18 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     true
   }
 
-  /** `ALTER TABLE cat.ns.t ADD COLUMN c type` (d51): a metadata-only
-    * CAS commit — no data file is touched at any table size. The
-    * column is nullable, visible from the current snapshot onward
-    * (files that predate it null-fill at read time; time travel to
-    * earlier snapshots does not see it); the next INSERT may write
-    * it. Everything else (RENAME/DROP/ALTER COLUMN) refuses loudly —
-    * IceLite columns are addressed by name in the data files, so
-    * those need a rewrite, not a metadata flip. */
+  /** `ALTER TABLE cat.ns.t ADD COLUMN c type` (d51) and
+    * `DROP COLUMN c` (d52): metadata-only CAS commits — no data file
+    * is touched at any table size. An added column is nullable,
+    * visible from the current snapshot onward (files that predate it
+    * null-fill at read time; time travel to earlier snapshots does
+    * not see it); the next INSERT may write it. A dropped column
+    * keeps its bytes but is never projected again (and its name can
+    * never be re-added — no field ids to disambiguate stale values);
+    * time travel to a pre-drop snapshot still sees it. Everything
+    * else (RENAME/ALTER COLUMN) refuses loudly — IceLite columns are
+    * addressed by name in the data files, so those need a rewrite,
+    * not a metadata flip. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ref = refOf(ident)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
@@ -230,8 +234,13 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
             add.fieldNames.mkString("."))
         IceLite.alterAddColumn(ref, add.fieldNames.head,
           add.dataType.catalogString)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"icelite supports top-level columns only, got " +
+            del.fieldNames.mkString("."))
+        IceLite.alterDropColumn(ref, del.fieldNames.head)
       case other => throw new UnsupportedOperationException(
-        s"icelite ALTER TABLE supports ADD COLUMN only, got $other")
+        s"icelite ALTER TABLE supports ADD/DROP COLUMN only, got $other")
     }
     loadTable(ident)
   }

@@ -147,15 +147,23 @@ object IceLiteSource {
           snap.partitionCols.filterNot(fileSchema.fieldNames.contains)
             .map(c => StructField(c, StringType)))
       }
-    // d51: ALTER-added columns, scoped to snapshots at-or-after the
-    // alter (time travel to an earlier snapshot must not see them);
-    // files that predate the column surface NULL at read time
-    val added = IceLite.readManifest(ref).addedCols
+    // d51/d52: ALTER-added columns appended, ALTER-dropped columns
+    // hidden — both scoped to snapshots at-or-after their alter, so
+    // time travel to an earlier snapshot sees the pre-alter schema.
+    // Files that predate an added column surface NULL at read time;
+    // dropped columns keep their bytes but are never projected.
+    val m = IceLite.readManifest(ref)
+    val added = m.addedCols
       .filter(c => c.sinceSnapshotId <= snap.id &&
         !withParts.fieldNames.contains(c.name))
-    if (added.isEmpty) withParts
-    else StructType(withParts.fields ++ added.map(c =>
-      StructField(c.name, org.apache.spark.sql.types.DataType.fromDDL(c.sqlType))))
+    val evolved =
+      if (added.isEmpty) withParts
+      else StructType(withParts.fields ++ added.map(c =>
+        StructField(c.name, org.apache.spark.sql.types.DataType.fromDDL(c.sqlType))))
+    val hidden = m.droppedCols
+      .filter(_.sinceSnapshotId <= snap.id).map(_.name).toSet
+    if (hidden.isEmpty) evolved
+    else StructType(evolved.fields.filterNot(f => hidden(f.name)))
   }
 }
 

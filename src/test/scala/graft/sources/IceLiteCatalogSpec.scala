@@ -125,7 +125,7 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", true), (2L, "a", true)))
   }
 
-  test("ALTER TABLE refuses duplicates, non-ADD changes, nested and complex types") {
+  test("ALTER TABLE refuses duplicates, renames, nested and complex types") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
     IceLite.createOrReplace(TableRef(wh, "src", "t"), Seq((1L, 1.0)).toDF("k", "v"))
@@ -136,9 +136,69 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN v TO w"))
     intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.src.t DROP COLUMN v"))
-    // and the ledger stayed empty
-    assert(IceLite.readManifest(TableRef(wh, "src", "t")).addedCols.isEmpty)
+      spark.sql(s"ALTER TABLE $cat.src.t DROP COLUMN nope"))
+    // and the ledgers stayed empty
+    val m = IceLite.readManifest(TableRef(wh, "src", "t"))
+    assert(m.addedCols.isEmpty && m.droppedCols.isEmpty)
+  }
+
+  // ---- d52: ALTER TABLE DROP COLUMN ----
+
+  test("DROP COLUMN: metadata-only hide, time travel still sees it, no re-add") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1L to 4L).map(k => (k, k * 2.0, s"u$k")).toDF("k", "v", "u"))
+    val preDropSnap = IceLite.readManifest(ref).currentSnapshotId
+    // an alter binds to the CURRENT snapshot id, so time travel
+    // distinguishes it only across commits (same rule as ADD COLUMN)
+    IceLite.append(ref, Seq((5L, 10.0, "u5")).toDF("k", "v", "u"))
+    val filesBefore = IceLite.readManifest(ref).current.files
+    spark.sql(s"ALTER TABLE $cat.src.t DROP COLUMN v")
+    // metadata-only: files untouched, column hidden immediately
+    assert(IceLite.readManifest(ref).current.files == filesBefore)
+    assert(spark.sql(s"SELECT * FROM $cat.src.t").columns.toSeq == Seq("k", "u"))
+    intercept[Exception](spark.sql(s"SELECT v FROM $cat.src.t").collect())
+    // remaining columns keep their values
+    assert(spark.sql(s"SELECT u FROM $cat.src.t WHERE k = 3")
+      .head.getString(0) == "u3")
+    // time travel BEFORE the drop sees the column and its bytes
+    val tt = spark.sql(
+      s"SELECT k, v FROM $cat.src.t VERSION AS OF $preDropSnap WHERE k = 3")
+    assert(tt.head.getDouble(1) == 6.0)
+    // INSERT against the narrowed schema, then read both eras
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (6, 'u6')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 6L)
+    // a dropped name can never come back (stale bytes would resurface)
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN v DOUBLE"))
+  }
+
+  test("DROP COLUMN refuses partition keys, sort keys, and the last column") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val part = TableRef(wh, "src", "p")
+    IceLite.createOrReplacePartitioned(part,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "p")
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.src.p DROP COLUMN p"))
+    val sorted = TableRef(wh, "src", "s")
+    IceLite.createOrReplaceSorted(sorted,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), "k", numFiles = 1)
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.src.s DROP COLUMN k"))
+    val tiny = TableRef(wh, "src", "one")
+    IceLite.createOrReplace(tiny, Seq(1L).toDF("k"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.src.one DROP COLUMN k"))
+  }
+
+  test("DROP of an ALTER-added column that was never written") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    IceLite.createOrReplace(TableRef(wh, "src", "t"), Seq((1L, 1.0)).toDF("k", "v"))
+    spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN tag STRING")
+    assert(spark.sql(s"SELECT * FROM $cat.src.t").columns.length == 3)
+    spark.sql(s"ALTER TABLE $cat.src.t DROP COLUMN tag")
+    assert(spark.sql(s"SELECT * FROM $cat.src.t").columns.toSeq == Seq("k", "v"))
   }
 
   test("CTAS creates a table whose first snapshot is the select result") {
