@@ -1658,6 +1658,45 @@ object ScalePack extends Pack {
              FROM orders WHERE o_orderkey < 2000
              GROUP BY 1 ORDER BY 1""")),
 
+    // d53: CONNECTOR STATISTICS drive the join strategy — the scan
+    // reports post-pruning size/rows to Catalyst
+    // (SupportsReportStatistics, Iceberg's SparkScan role). Without
+    // it a DSv2 relation costs `defaultSizeInBytes` (≈∞): a 100-row
+    // dim would never auto-broadcast and every connector join would
+    // shuffle BOTH sides — at 100 TB that one missing metadata hook
+    // is the difference between a map-side join and re-shuffling the
+    // fact table. Witnessed here: a fact ⋈ dim with NO broadcast
+    // hint plans BroadcastHashJoin in the STATIC physical plan
+    // (stats-driven, not an AQE rescue); the oracle checks the join
+    // result itself.
+    Decl("d53_connector_stats_join",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d53").toString
+        IceLite.createNamespace(wh, "src")
+        val fact = IngestJob.tableRef(wh, "lineitem_stats")
+        val dim = IngestJob.tableRef(wh, "supplier_stats")
+        IceLite.createOrReplace(fact, Tables.load(s, dir, "lineitem")
+          .select($"l_suppkey", $"l_extendedprice"))
+        IceLite.createOrReplace(dim, Tables.load(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey"))
+        val joined = s.read.format("graft.sources.IceLiteSource")
+          .load(fact.dir.toString)
+          .join(s.read.format("graft.sources.IceLiteSource")
+            .load(dim.dir.toString), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"l_extendedprice", 3).as("sum_price"))
+          .orderBy($"s_nationkey")
+        val broadcastPlanned = joined.queryExecution.sparkPlan
+          .toString.contains("BroadcastHashJoin")
+        joined.withColumn("broadcast_planned", lit(broadcastPlanned))
+      },
+      Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS broadcast_planned
+             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // d41: METADATA TABLES as SQL identifiers — Iceberg's
     // `t$snapshots` / `t$partitions` UX: history and the partition
     // census are plain relations (backtick-quoted), folded from the

@@ -908,7 +908,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     targetSplitBytes: Long = 128L * 1024 * 1024,
     asOf: Option[Long] = None) extends Scan with Batch
   with SupportsRuntimeV2Filtering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, Literal}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
@@ -1012,6 +1013,37 @@ class IceLiteScan(ref: TableRef, required: StructType,
     else statsPruned.filter { f =>
       val vals = IceLiteSource.pathPartValues(f)
       partFilters.forall { case (c, vs) => vals.get(c).exists(vs.contains) }
+    }
+  }
+
+  /** d53: report POST-PRUNING statistics to the planner (Iceberg's
+    * SparkScan.estimateStatistics role). Without this a DSv2 relation
+    * falls back to `spark.sql.defaultSizeInBytes` (effectively ∞), so
+    * a 10-row IceLite dim would never auto-broadcast and every
+    * connector join would shuffle both sides. Size is the byte sum of
+    * the files THIS scan will actually read (manifest pruning + pushed
+    * partition filters applied — a filtered fact table shrinks below
+    * the broadcast threshold exactly when its surviving files do);
+    * row count is exact from the manifest's per-file record counts
+    * when available and physical (no live MoR sidecars), else absent
+    * rather than wrong. O(pruned files) driver metadata, the same
+    * class as planning itself. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val snap = IceLiteSource.resolveSnap(ref, asOf)
+    val files = staticPruned
+    val size = files.map { f =>
+      scala.util.Try(java.nio.file.Files.size(ref.dir.resolve(f))).getOrElse(0L)
+    }.sum
+    val rows: Option[Long] =
+      if (snap.deleteFiles.nonEmpty) None // physical counts overcount MoR
+      else if (files.forall(snap.fileRows.contains))
+        Some(files.map(snap.fileRows).sum)
+      else None
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
   }
 

@@ -196,6 +196,70 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 1)
   }
 
+  // ---- d53: reported statistics ----
+
+  test("scan reports exact post-pruning statistics to the planner") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_stats").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 8000L).map(k => (k, k * 2)).toDF("k", "v"),
+      "k", numFiles = 8, statsCols = Seq("k"))
+    val m = IceLite.readManifest(ref).current
+    def statsOf(df: org.apache.spark.sql.DataFrame) = {
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+      rel.scan.asInstanceOf[IceLiteScan].estimateStatistics()
+    }
+    val full = statsOf(spark.read.format(Fmt).load(ref.dir.toString))
+    val allBytes = m.files.map(f =>
+      java.nio.file.Files.size(ref.dir.resolve(f))).sum
+    assert(full.numRows.getAsLong == 8000L)
+    assert(full.sizeInBytes.getAsLong == allBytes)
+    // a pushed range filter shrinks the reported stats with the files
+    val filtered = statsOf(spark.read.format(Fmt).load(ref.dir.toString)
+      .filter($"k" >= 1000L && $"k" < 2000L))
+    assert(filtered.numRows.getAsLong < 8000L,
+      s"pruned stats must shrink: ${filtered.numRows.getAsLong}")
+    assert(filtered.sizeInBytes.getAsLong < allBytes)
+  }
+
+  test("a small connector dim auto-broadcasts with no hint (stats-driven)") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_bhj").toString
+    IceLite.createNamespace(wh, "ns")
+    val fact = TableRef(wh, "ns", "fact")
+    val dim = TableRef(wh, "ns", "dim")
+    IceLite.createOrReplace(fact,
+      (0L until 5000L).map(k => (k, k % 10)).toDF("k", "fk"))
+    IceLite.createOrReplace(dim,
+      (0L until 10L).map(d => (d, s"d$d")).toDF("d", "name"))
+    val joined = spark.read.format(Fmt).load(fact.dir.toString)
+      .join(spark.read.format(Fmt).load(dim.dir.toString), $"fk" === $"d")
+    // the STATIC physical plan picks BHJ from the reported size —
+    // no broadcast() hint, no AQE rescue needed
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"10-row dim must auto-broadcast, got:\n$plan")
+    assert(joined.count() == 5000L)
+  }
+
+  test("stats omit the row count while MoR sidecars are live") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_morstats").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, (0L until 100L).map(k => (k, k)).toDF("k", "v"))
+    IceLite.deleteWhereMoR(spark, ref, "k < 10")
+    val rel = spark.read.format(Fmt).load(ref.dir.toString)
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+    val st = rel.scan.asInstanceOf[IceLiteScan].estimateStatistics()
+    assert(!st.numRows.isPresent,
+      "physical manifest counts overcount tombstoned rows — must omit")
+    assert(st.sizeInBytes.getAsLong > 0L)
+  }
+
   test("aggregate pushdown answers count/min/max from the manifest alone") {
     val wh = java.nio.file.Files.createTempDirectory("v2src_ag").toString
     val ref = TableRef(wh, "ns", "t")
