@@ -1102,6 +1102,62 @@ object LlmPack extends Pack {
              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(SUM(CASE WHEN kept THEN n_tokens END) AS BIGINT) AS kept_tokens
-             FROM flagged GROUP BY lang, source ORDER BY lang, source"""))
+             FROM flagged GROUP BY lang, source ORDER BY lang, source""")),
+
+    // c25 (builder extension): BM25 RANKED RETRIEVAL — the lexical
+    // search stage of a retrieval pipeline (Lucene/Elasticsearch's
+    // default scorer; the keyword complement to c04's dense ANN).
+    // Robertson idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2,
+    // b=0.75. At scale only the QUERY TERMS' postings move: the
+    // tokenize pass filters to the term set before any shuffle, the
+    // per-term df and global avgdl are broadcast-sized scalars, the
+    // final top-20 is TakeOrderedAndProject — the corpus text itself
+    // is never exchanged. Scores rounded to 6dp (the c07 precedent
+    // for cross-engine libm ln).
+    Decl("c25_bm25_rank",
+      (s, dir) => {
+        val terms = Seq("spark", "table", "join")
+        val d = docs(s, dir)
+          .withColumn("dl", size(split($"text", " ")).cast("double"))
+        val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg($"dl").as("avgdl"))
+        val toks = d.select($"doc_id", $"dl",
+            explode(split($"text", " ")).as("tok"))
+          .filter($"tok".isin(terms: _*))
+        val tf = toks.groupBy($"doc_id", $"dl", $"tok")
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val df = toks.select($"doc_id", $"tok").distinct()
+          .groupBy($"tok").agg(count(lit(1)).cast("double").as("df"))
+        val scored = tf.join(broadcast(df), "tok")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+          .withColumn("part",
+            $"idf" * ($"tf" * lit(2.2)) /
+              ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * $"dl" / $"avgdl")))
+          .groupBy($"doc_id")
+          .agg(round(sum($"part"), 6).as("score"))
+        scored.orderBy($"score".desc, $"doc_id".asc).limit(20)
+          .select($"doc_id", $"score")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl, text
+               FROM documents),
+             stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(dl) AS avgdl FROM d),
+             toks AS (SELECT doc_id, dl,
+                 unnest(string_split(text, ' ')) AS tok FROM d),
+             qt AS (SELECT * FROM toks
+                 WHERE tok IN ('spark', 'table', 'join')),
+             tf AS (SELECT doc_id, dl, tok,
+                 CAST(COUNT(*) AS DOUBLE) AS tf FROM qt
+                 GROUP BY doc_id, dl, tok),
+             df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+                 FROM (SELECT DISTINCT doc_id, tok FROM qt) GROUP BY tok)
+             SELECT doc_id, ROUND(SUM(
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+               (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+             FROM tf JOIN df USING (tok) CROSS JOIN stats
+             GROUP BY doc_id
+             ORDER BY score DESC, doc_id ASC LIMIT 20"""))
   )
 }
