@@ -348,13 +348,20 @@ object IceLite {
     * (`truncate`) replace; create on first commit. Stats come from
     * the parquet footers (no second read pass). */
   private[graft] def commitStaged(ref: TableRef, files: Seq[String],
-      truncate: Boolean, summary: Map[String, String] = Map.empty): Snapshot = {
+      truncate: Boolean, summary: Map[String, String] = Map.empty,
+      keepSorted: Boolean = false): Snapshot = {
     val rowsByFile = fileRowCounts(ref, files)
     val rows = rowsByFile.values.sum
     val stats = footerStats(ref, files)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       val now = System.currentTimeMillis()
+      // d54: the writer met the table's range-distribution + sort
+      // requirement, so the new files are range-clustered and the
+      // sortedBy marker (layout-preserving rewrites, pruning claims)
+      // survives the commit; an unclustered write drops it honestly
+      def sortKept(m: Manifest): Option[String] =
+        if (keepSorted) m.current.sortedBy else None
       cur match {
         case None =>
           Manifest(ref.name, id, Seq(Snapshot(id, now, "create", files, rows,
@@ -362,11 +369,13 @@ object IceLite {
         case Some(m) if truncate =>
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
             Snapshot(id, now, "replace", files, rows, stats,
+              sortedBy = sortKept(m),
               summary = summary, fileRows = rowsByFile))
         case Some(m) =>
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
             Snapshot(id, now, "append", m.current.files ++ files,
               m.current.rowCount + rows, m.current.fileStats ++ stats,
+              sortedBy = sortKept(m),
               summary = summary,
               fileRows = m.current.fileRows ++ rowsByFile,
               deleteFiles = m.current.deleteFiles))

@@ -1658,6 +1658,51 @@ object ScalePack extends Pack {
              FROM orders WHERE o_orderkey < 2000
              GROUP BY 1 ORDER BY 1""")),
 
+    // d54: WRITE-SIDE DISTRIBUTION — `INSERT INTO` a SORTED table
+    // through SQL range-clusters the incoming rows on the table's
+    // sort key (RequiresDistributionAndOrdering on the append write —
+    // Iceberg's write.distribution-mode=range): the new files land
+    // with tight disjoint [min,max] stats, the snapshot KEEPS its
+    // sortedBy marker (so layout-preserving rewrites and pruning
+    // claims survive), and a later range query prunes files of BOTH
+    // eras. Without this, every SQL append would silently erode a
+    // clustered 100 TB table into unprunable files. Witnessed: marker
+    // kept + range scan plans fewer files than the table holds.
+    Decl("d54_sorted_sql_append",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d54").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_sorted_sql")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o.filter($"o_orderkey" < 1000),
+          "o_orderkey", numFiles = 4, statsCols = Seq("o_orderkey"))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // era 2 arrives UNSORTED; the write's required distribution
+        // re-clusters it
+        o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+          .orderBy(rand(7)).createOrReplaceTempView("d54_new_rows")
+        s.sql(s"""INSERT INTO $cat.src.orders_sorted_sql
+                  SELECT o_orderkey, o_totalprice FROM d54_new_rows""")
+        val m = IceLite.readManifest(ref).current
+        val probe = s.read.format("graft.sources.IceLiteSource")
+          .load(ref.dir.toString)
+          .filter($"o_orderkey" >= 1200 && $"o_orderkey" < 1800)
+        probe.write.format("noop").mode("overwrite").save()
+        val pruned = graft.sources.IceLiteSource.lastPlannedFiles.size < m.files.size
+        probe.agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("sorted_kept", lit(m.sortedBy.contains("o_orderkey")))
+          .withColumn("era2_pruned", lit(pruned))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS sorted_kept, TRUE AS era2_pruned
+             FROM orders WHERE o_orderkey >= 1200 AND o_orderkey < 1800""")),
+
     // d53: CONNECTOR STATISTICS drive the join strategy — the scan
     // reports post-pruning size/rows to Catalyst
     // (SupportsReportStatistics, Iceberg's SparkScan role). Without

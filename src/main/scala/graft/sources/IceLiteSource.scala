@@ -428,9 +428,45 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+    // partitioned tables stage through Hive dirs the connector's flat
+    // writer doesn't produce — a silent flat append would DROP the
+    // snapshot's partitionCols and the path-borne values with it
+    locally {
+      if (IceLite.tableExists(ref))
+        require(IceLiteSource.resolveSnap(ref, None).partitionCols.isEmpty,
+          s"${ref.name} is partitioned — write through " +
+            "IceLite.appendPartitioned / createOrReplacePartitioned")
+    }
+
+    /** d54: a SORTED table asks Spark to range-partition and sort the
+      * incoming rows on its sort key, so every INSERT INTO / append
+      * lands as range-clustered files with tight disjoint stats and
+      * the table KEEPS its `sortedBy` layout marker (and with it
+      * stats-pruning precision and layout-preserving rewrites) —
+      * Iceberg's write.distribution-mode=range on the SQL write path. */
+    private val sortCol: Option[String] =
+      if (IceLite.tableExists(ref)) IceLiteSource.resolveSnap(ref, None).sortedBy
+      else None
+
+    override def requiredDistribution(): Distribution = sortCol match {
+      case Some(c) => Distributions.ordered(Array(
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+      case None => Distributions.unspecified()
+    }
+    override def requiredOrdering(): Array[SortOrder] = sortCol match {
+      case Some(c) => Array(
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      case None => Array.empty
+    }
+
     override def toBatch: BatchWrite =
-      new IceLiteBatchWrite(ref, info.schema(), replace)
+      new IceLiteBatchWrite(ref, info.schema(), replace,
+        clustered = sortCol.isDefined)
     override def toStreaming: StreamingWrite = {
       require(!replace,
         "icelite streaming sink is append-only (complete/truncate modes " +
@@ -451,7 +487,8 @@ case class IceLiteCommitMessage(fileName: String) extends WriterCommitMessage
   * set into ONE CAS manifest snapshot, so concurrent appends rebase
   * rather than clobber and a reader never sees a partial write. File
   * stats come from the parquet footers at commit (no second scan). */
-class IceLiteBatchWrite(ref: TableRef, schema: StructType, replace: Boolean)
+class IceLiteBatchWrite(ref: TableRef, schema: StructType, replace: Boolean,
+    clustered: Boolean = false)
   extends BatchWrite {
   private val token = java.util.UUID.randomUUID.toString.take(8)
 
@@ -465,7 +502,11 @@ class IceLiteBatchWrite(ref: TableRef, schema: StructType, replace: Boolean)
     val files = messages.collect {
       case IceLiteCommitMessage(name) if name != null => s"data/$token/$name"
     }.toSeq.sorted
-    if (files.nonEmpty || replace) IceLite.commitStaged(ref, files, replace)
+    // `clustered`: Spark honored this write's range distribution +
+    // sort requirement (d54), so the staged files are range-clustered
+    // and the snapshot may KEEP the table's sortedBy layout marker
+    if (files.nonEmpty || replace)
+      IceLite.commitStaged(ref, files, replace, keepSorted = clustered)
     else ()  // empty append: no snapshot (nothing changed)
   }
 

@@ -196,6 +196,57 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 1)
   }
 
+  // ---- d54: write-side distribution/ordering ----
+
+  test("INSERT INTO a sorted table range-clusters new files and keeps sortedBy") {
+    val wh = java.nio.file.Files.createTempDirectory("v2w_sorted").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplaceSorted(ref,
+      (0L until 4000L).map(k => (k, k)).toDF("k", "v"),
+      "k", numFiles = 4, statsCols = Seq("k"))
+    // era 2 arrives UNSORTED through the connector write path
+    (4000L until 8000L).map(k => (k, k)).toDF("k", "v")
+      .orderBy(rand(7)).repartition(4)
+      .write.format(Fmt).mode("append").save(ref.dir.toString)
+    val m = IceLite.readManifest(ref).current
+    assert(m.sortedBy.contains("k"),
+      "clustered connector append must keep the sortedBy marker")
+    // the write's required range distribution makes era-2 files
+    // non-overlapping on k, so their footer stats stay prunable
+    val era2 = m.files.filter(f => !m.fileStats.isEmpty &&
+      m.fileRows.contains(f)).filter(_ => true)
+    val ranges = m.files.flatMap(f =>
+      m.fileStats.get(f).flatMap(_.find(_.col == "k")).map(s => (s.min, s.max)))
+    assert(ranges.size == m.files.size, "every file needs k stats")
+    val sorted = ranges.sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, s"file ranges must stay disjoint after the SQL append: $sorted")
+    // a range filter through the connector prunes files of BOTH eras
+    val n = spark.read.format(Fmt).load(ref.dir.toString)
+      .filter($"k" >= 6000L && $"k" < 6500L).count()
+    assert(n == 500L)
+    assert(IceLiteSource.lastPlannedFiles.size < m.files.size,
+      "range filter must prune era-2 files via their footer stats")
+  }
+
+  test("connector write refuses a partitioned target loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("v2w_part").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "p")
+    val e = intercept[Exception] {
+      Seq((3L, "c")).toDF("k", "p")
+        .write.format(Fmt).mode("append").save(ref.dir.toString)
+    }
+    assert(e.getMessage.contains("partitioned") ||
+      (e.getCause != null && e.getCause.getMessage.contains("partitioned")),
+      s"flat append into a partitioned table must refuse: ${e.getMessage}")
+  }
+
   // ---- d53: reported statistics ----
 
   test("scan reports exact post-pruning statistics to the planner") {
