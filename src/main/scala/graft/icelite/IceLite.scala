@@ -1074,6 +1074,49 @@ object IceLite {
     throw new IllegalStateException("unreachable")
   }
 
+  /** d55: PARTIAL compaction — merge only the files whose [min,max]
+    * stats on `col` intersect [lo,hi] (Iceberg's
+    * `rewrite_data_files(where => ...)`): at 100 TB "compact the
+    * table" is not an operation, "compact yesterday's ingest range"
+    * is. Files outside the range stay BYTE-IDENTICAL in the new
+    * snapshot; files without stats on `col` are conservatively
+    * INCLUDED (merging unknown files is row-preserving, skipping
+    * in-range ones would leave the small-file problem in place).
+    * Sorted tables re-cluster the merged rows on their sort key, so
+    * the range's files stay disjoint and prunable. Commits through
+    * commitReplace: concurrent appends rebase and survive; a
+    * concurrent rewrite of a selected file fails loudly. Live MoR
+    * sidecars refuse (full compact() is the delete materializer);
+    * partitioned tables refuse (compact per partition value instead).
+    * No-op (current snapshot returned) when ≤1 file is in range. */
+  def compactRange(spark: SparkSession, ref: TableRef, col: String,
+      lo: Double, hi: Double, targetFiles: Int = 1): Snapshot = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val snap = readManifest(ref).current
+    require(snap.deleteFiles.isEmpty,
+      s"${ref.name} has live MoR delete sidecars — full compact() " +
+        "materializes them; range compaction cannot split a sidecar")
+    require(snap.partitionCols.isEmpty,
+      "range compaction supports flat/sorted tables; partitioned " +
+        "tables compact per partition value")
+    val selected = snap.files.filter { f =>
+      snap.fileStats.get(f).flatMap(_.find(_.col == col)) match {
+        case Some(cs) => cs.max >= lo && cs.min <= hi
+        case None => true // statless file: conservatively merged
+      }
+    }
+    if (selected.size <= 1) return snap
+    val df = readFiles(spark, ref, selected)
+    val staged = snap.sortedBy match {
+      case Some(sc) =>
+        val c = org.apache.spark.sql.functions.col(sc)
+        stage(ref, df.repartitionByRange(targetFiles, c)
+          .sortWithinPartitions(c))
+      case None => stage(ref, df.repartition(targetFiles))
+    }
+    commitReplace(ref, selected.toSet, staged, "compact-range")
+  }
+
   /** Stage with Hive-style partition layout. Files land in SHARED
     * per-value dirs `data/part/<col>=<value>/<token>-part-*.parquet`
     * (token-prefixed names keep concurrent commits collision-free) —

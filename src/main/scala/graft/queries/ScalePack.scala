@@ -1658,6 +1658,52 @@ object ScalePack extends Pack {
              FROM orders WHERE o_orderkey < 2000
              GROUP BY 1 ORDER BY 1""")),
 
+    // d55: PARTIAL COMPACTION — `CALL system.compact_range(...)`
+    // merges ONLY the files whose stats intersect a key range
+    // (Iceberg's `rewrite_data_files(where => ...)`). At 100 TB
+    // "compact the table" is not an operation; "compact yesterday's
+    // small-file spray" is — out-of-range files stay byte-identical,
+    // so the rewrite cost tracks the HOT range, not the table.
+    // Witnessed: era-1's sorted files survive under their original
+    // paths, the three tiny hot-range appends collapse to one file,
+    // and no row is lost or duplicated (the oracle re-aggregates).
+    Decl("d55_compact_range",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d55").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_hotrange")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o.filter($"o_orderkey" < 1000),
+          "o_orderkey", numFiles = 4, statsCols = Seq("o_orderkey"))
+        val era1 = IceLite.readManifest(ref).current.files.toSet
+        // the day's small-file spray: three tiny appends in [1000,2000)
+        Seq((1000, 1300), (1300, 1600), (1600, 2000)).foreach { case (a, b) =>
+          IceLite.append(ref,
+            o.filter($"o_orderkey" >= a && $"o_orderkey" < b).coalesce(1),
+            statsCols = Seq("o_orderkey"))
+        }
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"""CALL $cat.system.compact_range(
+                  table => 'src.orders_hotrange', col => 'o_orderkey',
+                  lo => 1000.0D, hi => 2000.0D)""").collect()
+        val after = IceLite.readManifest(ref).current
+        val era1Intact = era1.subsetOf(after.files.toSet)
+        val hotMerged = after.files.size == era1.size + 1
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("era1_intact", lit(era1Intact))
+          .withColumn("hot_range_merged", lit(hotMerged))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS era1_intact, TRUE AS hot_range_merged
+             FROM orders WHERE o_orderkey < 2000""")),
+
     // d54: WRITE-SIDE DISTRIBUTION — `INSERT INTO` a SORTED table
     // through SQL range-clusters the incoming rows on the table's
     // sort key (RequiresDistributionAndOrdering on the append write —

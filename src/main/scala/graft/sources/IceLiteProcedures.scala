@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import graft.icelite.{IceLite, TableRef}
 
 /** d44: SQL MAINTENANCE PROCEDURES — the `CALL cat.system.<proc>(...)`
@@ -25,8 +25,9 @@ import graft.icelite.{IceLite, TableRef}
   * client needed, exactly how a warehouse team operates Iceberg.
   */
 object IceLiteProcedures {
-  val names: Seq[String] = Seq("compact", "expire_snapshots",
-    "expire_retain_last", "rollback_to_snapshot", "gc_orphans")
+  val names: Seq[String] = Seq("compact", "compact_range",
+    "expire_snapshots", "expire_retain_last", "rollback_to_snapshot",
+    "gc_orphans")
 
   def apply(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -41,6 +42,28 @@ object IceLiteProcedures {
         override def run(in: InternalRow): Array[Array[Any]] = {
           val snap = IceLite.compact(SparkSession.active,
             refOf(warehouse, in.getUTF8String(0).toString), in.getInt(1))
+          Array(Array[Any](snap.id, snap.files.size.toLong))
+        }
+      })
+      // d55: Iceberg's `rewrite_data_files(where => ...)` — compact
+      // ONLY the files intersecting a stats range on one column; the
+      // rest of the table stays byte-identical
+      case "compact_range" => Some(new Proc("compact_range",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("col", StringType).build(),
+          ProcedureParameter.in("lo", DoubleType).build(),
+          ProcedureParameter.in("hi", DoubleType).build(),
+          ProcedureParameter.in("target_files", IntegerType)
+            .defaultValue("1").build()),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("n_files", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val snap = IceLite.compactRange(SparkSession.active,
+            refOf(warehouse, in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString, in.getDouble(2), in.getDouble(3),
+            in.getInt(4))
           Array(Array[Any](snap.id, snap.files.size.toLong))
         }
       })

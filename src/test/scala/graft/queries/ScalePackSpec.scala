@@ -143,6 +143,66 @@ class ScalePackSpec extends AnyFunSuite {
     assert(rows == 256L, s"residual filter must return the exact box, got $rows")
   }
 
+  test("d55 compactRange merges only in-range files; statless files join conservatively") {
+    import spark.implicits._
+    import graft.icelite.{IceLite, TableRef}
+    val wh = java.nio.file.Files.createTempDirectory("d55_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    // three stat-carrying files with disjoint key ranges...
+    IceLite.createOrReplace(ref,
+      (0L until 100L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    IceLite.append(ref,
+      (100L until 200L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    IceLite.append(ref,
+      (200L until 300L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    // ...and one WITHOUT stats on k (must be conservatively included)
+    IceLite.append(ref,
+      (300L until 320L).map(k => (k, k)).toDF("k", "v").coalesce(1))
+    val before = IceLite.readManifest(ref).current
+    assert(before.files.size == 4)
+    val untouched = before.files.filter(f =>
+      before.fileStats.get(f).exists(_.exists(s => s.col == "k" && s.max < 100)))
+    assert(untouched.size == 1)
+
+    val snap = IceLite.compactRange(spark, ref, "k", 100.0, 300.0)
+    assert(snap.operation == "compact-range")
+    // file 1 (out of range) is byte-identical — same path in the new
+    // snapshot; files 2-4 (two in-range + the statless one) merged
+    assert(snap.files.size == 2, s"files after: ${snap.files}")
+    assert(untouched.forall(snap.files.contains),
+      "out-of-range file must survive untouched")
+    // no row lost or duplicated
+    val got = IceLite.read(spark, ref).as[(Long, Long)].collect().map(_._1).sorted
+    assert(got.toSeq == (0L until 320L))
+    // the merged file regains k stats from its footer → pruning works
+    val merged = snap.files.filterNot(untouched.contains).head
+    assert(snap.fileStats.get(merged).exists(_.exists(_.col == "k")),
+      "merged file must carry footer-derived k stats")
+    // a second call in the same range is a no-op (single file in range)
+    assert(IceLite.compactRange(spark, ref, "k", 100.0, 300.0).id == snap.id)
+  }
+
+  test("d55 compactRange refuses partitioned tables and live MoR sidecars") {
+    import spark.implicits._
+    import graft.icelite.{IceLite, TableRef}
+    val wh = java.nio.file.Files.createTempDirectory("d55_refuse").toString
+    IceLite.createNamespace(wh, "src")
+    val part = TableRef(wh, "src", "p")
+    IceLite.createOrReplacePartitioned(part,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "p")
+    intercept[IllegalArgumentException](
+      IceLite.compactRange(spark, part, "k", 0.0, 10.0))
+    val mor = TableRef(wh, "src", "m")
+    IceLite.createOrReplace(mor, (0L until 50L).map(k => (k, k)).toDF("k", "v"))
+    IceLite.deleteWhereMoR(spark, mor, "k < 5")
+    intercept[IllegalArgumentException](
+      IceLite.compactRange(spark, mor, "k", 0.0, 10.0))
+  }
+
   test("d28 appendSorted: new files cluster tightly, old files are untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
