@@ -138,6 +138,60 @@ class StreamPackSpec extends AnyFunSuite {
     assert(IceLite.read(spark, mv).count() == 1)
   }
 
+  test("MV maintenance property: random CDC sequences converge to the from-scratch aggregate") {
+    import graft.icelite.{IceLite, TableRef}
+    val wh = Files.createTempDirectory("s18_prop_wh").toString
+    IceLite.createNamespace(wh, "mart")
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val mv = TableRef(wh, "mart", s"mv_$trial")
+      // reference model: the live multiset of prices per key
+      // (integer-valued prices keep double sums exact)
+      val live = scala.collection.mutable.Map.empty[Long, Vector[Double]]
+        .withDefaultValue(Vector())
+      for (batchId <- 0L until 6L) {
+        val rows = scala.collection.mutable.Buffer[(Long, Double, String)]()
+        for (_ <- 0 until rnd.nextInt(5) + 1) {
+          val k = rnd.nextInt(4).toLong
+          val p = (rnd.nextInt(1000) + 1).toDouble
+          rows += ((k, p, "insert")); live(k) = live(k) :+ p
+        }
+        for (_ <- 0 until rnd.nextInt(3)) {
+          val withRows = live.filter(_._2.nonEmpty).keys.toSeq.sorted
+          if (withRows.nonEmpty) {
+            val k = withRows(rnd.nextInt(withRows.size))
+            val p = live(k).head
+            rows += ((k, p, "delete")); live(k) = live(k).tail
+          }
+        }
+        for (_ <- 0 until rnd.nextInt(2)) {
+          val withRows = live.filter(_._2.nonEmpty).keys.toSeq.sorted
+          if (withRows.nonEmpty) {
+            val k = withRows(rnd.nextInt(withRows.size))
+            val old = live(k).head
+            val nv = (rnd.nextInt(1000) + 1).toDouble
+            rows += ((k, old, "update_preimage"))
+            rows += ((k, nv, "update_postimage"))
+            live(k) = nv +: live(k).tail
+          }
+        }
+        assert(StreamPack.mergeMvDeltaOnce(spark, mv, batchId,
+          rows.toSeq.toDF("o_custkey", "o_totalprice", "_change_type")))
+      }
+      val want = live.filter(_._2.nonEmpty)
+        .map { case (k, ps) => k -> ((ps.size.toLong, ps.sum)) }.toMap
+      val got =
+        if (!IceLite.tableExists(mv)) Map.empty[Long, (Long, Double)]
+        else IceLite.read(spark, mv)
+          .select($"o_custkey", $"n_orders".cast("long"),
+            $"sum_price".cast("double"))
+          .as[(Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want,
+        s"trial $trial diverged:\n  mv    = $got\n  model = $want")
+    }
+  }
+
   test("streaming dedup emits each key once across micro-batches") {
     // mirrors s05: watermarked dedup — duplicates within the delay
     // horizon are removed exactly
