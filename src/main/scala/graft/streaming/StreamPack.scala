@@ -1027,5 +1027,68 @@ object StreamPack extends Pack {
                                   ELSE o_totalprice END AS DECIMAL(18,3)))
                     AS DOUBLE) AS sum_price
              FROM orders WHERE o_orderkey % 7 <> 3
-             GROUP BY o_custkey ORDER BY o_custkey""")))
+             GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // s19: CDC REPLICATION — the changelog stream (s17) drives a
+    // row-level REPLICA of the source table (Fivetran/DMS's
+    // apply-changes sink; the proof that the changelog carries
+    // COMPLETE row-level information, where s18 only needed deltas).
+    // Each trigger applies its change rows in ONE merge: deletes and
+    // update preimages become tombstones (price = NULL +
+    // deleteWhere), inserts and update postimages upsert — an update
+    // pair for one key resolves to "replace" inside the single merge.
+    // Key-based apply is idempotent under foreachBatch replay, so no
+    // batch-id bookkeeping is needed (s11's argument, now fed by the
+    // connector's own changelog instead of staged files). The oracle
+    // checks the replica against the source's FINAL state.
+    Decl("s19_stream_cdc_replica",
+      (s, dir) => {
+        withStreamShufflePartitions(s) {
+        val wh = Files.createTempDirectory("graft_s19_wh").toString
+        val src = TableRef(wh, "src", "orders_cdc_src")
+        val replica = TableRef(wh, "mart", "orders_replica")
+        IceLite.createNamespace(wh, "src")
+        IceLite.createNamespace(wh, "mart")
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        IceLite.createOrReplaceSorted(src, o, "o_orderkey", numFiles = 4,
+          statsCols = Seq("o_orderkey"))
+        IceLite.deleteWhereMoR(s, src, "o_orderkey % 7 = 3")
+        IceLite.updateWhereMoR(s, src, "o_orderkey % 7 = 2",
+          Map("o_totalprice" -> "-1.0"))
+        val q = s.readStream.format("graft.sources.IceLiteSource")
+          .option("changelog", "true")
+          .option("snapshotsPerTrigger", 1)
+          .load(src.dir.toString)
+          .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val changes = batch.select(col("o_orderkey"),
+              when(col("_change_type").isin("delete", "update_preimage"),
+                lit(null)).otherwise(col("o_totalprice"))
+                .as("o_totalprice"))
+            IceLite.merge(s, replica, changes, Seq("o_orderkey"),
+              deleteWhere = Some("o_totalprice IS NULL"))
+            ()
+          }
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s19").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import graft.queries.syntax.dsum
+        IceLite.read(s, replica)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum(col("o_totalprice"), 3).as("sum_price"),
+            count(when(col("o_totalprice") === -1.0, 1)).cast("long")
+              .as("n_repriced"))
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 2 THEN -1.0
+                                ELSE o_totalprice END AS DECIMAL(18,3)))
+                  AS DOUBLE) AS sum_price,
+             CAST(SUM(CASE WHEN o_orderkey % 7 = 2 THEN 1
+                  ELSE 0 END) AS BIGINT) AS n_repriced
+             FROM orders WHERE o_orderkey % 7 <> 3""")))
 }
