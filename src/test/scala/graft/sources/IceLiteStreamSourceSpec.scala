@@ -169,6 +169,59 @@ class IceLiteStreamSourceSpec extends AnyFunSuite {
     assert(got.filter(_._3 == "delete").map(_._1).sorted == (40L until 50L))
   }
 
+  test("CDC replica follows the source across checkpoint restarts") {
+    val ref = freshTable("cdc_rep_wh")
+    val replica = graft.icelite.TableRef(
+      ref.warehouse, ref.namespace, ref.name + "_replica")
+    val ck = ckpt("cdc_rep_ck")
+    IceLite.createOrReplace(ref, (0L until 50L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("changelog", "true").load(ref.dir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val changes = batch.select(col("k"),
+            when(col("_change_type").isin("delete", "update_preimage"),
+              lit(null)).otherwise(col("v")).as("v"))
+          IceLite.merge(spark, replica, changes, Seq("k"),
+            deleteWhere = Some("v IS NULL"))
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // source evolves: a delete and an append land between runs
+    IceLite.deleteWhereMoR(spark, ref, "k < 5")
+    IceLite.append(ref, Seq((100L, 7.0)).toDF("k", "v"))
+    drain()
+    // replica ≡ source's current state (MoR-applied read)
+    val want = IceLite.read(spark, ref).as[(Long, Double)].collect().toSeq.sorted
+    val got = IceLite.read(spark, replica).as[(Long, Double)].collect().toSeq.sorted
+    assert(got == want, s"replica diverged: ${got.size} vs ${want.size} rows")
+    assert(got.size == 46 && !got.exists(_._1 < 5) && got.contains((100L, 7.0)))
+  }
+
+  test("changelog stream survives an ALTER ADD COLUMN between commits") {
+    val ref = freshTable("cdc_alt_wh")
+    IceLite.createOrReplace(ref, (0L until 10L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    // metadata-only commit mid-history: no snapshot, nothing to emit
+    IceLite.alterAddColumn(ref, "tag", "string")
+    IceLite.append(ref, Seq((10L, 10.0)).toDF("k", "v"))
+    val q = spark.readStream.format(Fmt)
+      .option("changelog", "true").load(ref.dir.toString)
+      .select(col("k"), col("_change_type"))
+      .writeStream.format("memory").queryName("cdc_alt_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("cdc_alt_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdc_alt_sink").as[(Long, String)].collect().toSeq
+    assert(got.size == 11 && got.forall(_._2 == "insert"),
+      s"alter must be invisible to the changelog: $got")
+  }
+
   test("changelog stream fails loudly on a rewriting commit in the range") {
     val ref = freshTable("cdc_rw_wh")
     IceLite.createOrReplace(ref, (0L until 20L).map(k => (k, k * 1.0)).toDF("k", "v"))
