@@ -34,6 +34,20 @@ import org.json4s.jackson.Serialization
   * (Iceberg's min/max file-skipping role, SURVEY §4.2). */
 final case class ColStats(col: String, min: Double, max: Double)
 
+/** d56: a HIDDEN-partitioning field (Iceberg partition transforms).
+  * The directory column `name` is DERIVED from `sourceCol` by
+  * `transform` at write time — "bucket" (param = bucket count,
+  * Spark's Murmur3 `hash` pmod param), "days" (UTC day string of a
+  * timestamp), "truncate" (param-width string prefix). Unlike
+  * identity partitioning the data files KEEP the source column and
+  * never store the derived value: queries keep filtering the SOURCE
+  * column and pruning maps each predicate through the transform to
+  * the matching directory values (Iceberg's headline UX — users
+  * can't write a wrong partition filter because they never see the
+  * partition column). */
+final case class PartitionField(name: String, transform: String,
+    sourceCol: String, param: Int = 0)
+
 final case class Snapshot(
     id: Long,
     timestampMs: Long,
@@ -59,7 +73,14 @@ final case class Snapshot(
     // fileRows still describe the PHYSICAL files (deleted rows
     // included) — stats stay conservative-correct for pruning, but
     // metadata-only COUNT paths must refuse while deletes are live.
-    deleteFiles: Seq[String] = Nil)
+    deleteFiles: Seq[String] = Nil,
+    // d56: hidden-partitioning spec (transform-derived directory
+    // layout). Disjoint from partitionCols: identity layouts carry
+    // their values in the path AND drop them from the files, while a
+    // transformed layout derives the dir value and keeps the source
+    // column in the data — reads are plain file reads, only pruning
+    // consults the dirs.
+    partitionSpec: Seq[PartitionField] = Nil)
 
 /** A column added by `ALTER TABLE ADD COLUMN` (d51) that may not yet
   * exist in any data file: readers surface NULL for files written
@@ -419,6 +440,11 @@ object IceLite {
       statsCols: Seq[String] = Nil,
       summary: Map[String, String] = Map.empty): Snapshot = {
     Files.createDirectories(ref.dataDir)
+    // pre-stage check (the in-CAS require is authoritative; this one
+    // just avoids staging files that are guaranteed to be refused)
+    if (tableExists(ref))
+      require(readManifest(ref).current.partitionSpec.isEmpty,
+        s"${ref.name} has a hidden-partition spec — use appendTransformed")
     val newFiles = stage(ref, df)
     val rowsByFile = fileRowCounts(ref, newFiles)
     val rows = rowsByFile.values.sum
@@ -431,6 +457,10 @@ object IceLite {
             newFiles, rows, stats, summary = summary, fileRows = rowsByFile)
           Manifest(ref.name, id, Seq(snap))
         case Some(m) =>
+          require(m.current.partitionSpec.isEmpty,
+            s"${ref.name} has a hidden-partition spec — use " +
+              "appendTransformed (a flat append would strand the new " +
+              "files outside the transform layout and drop the spec)")
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
             m.current.fileStats ++ stats, summary = summary,
@@ -566,7 +596,8 @@ object IceLite {
           val id = base.snapshots.map(_.id).max + 1
           val snap = Snapshot(id, System.currentTimeMillis(), "replace",
             files, rowsByFile.values.sum, stats, cur.partitionCols,
-            cur.sortedBy, summary = summary, fileRows = rowsByFile)
+            cur.sortedBy, summary = summary, fileRows = rowsByFile,
+            partitionSpec = cur.partitionSpec) // met: restageWithLayout re-derived it
           if (tryCommit(baseVersion + 1,
               base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
             // MERGE rewrites the table → refresh any Bloom sidecar
@@ -886,6 +917,10 @@ object IceLite {
       layoutOf: Snapshot, numFiles: Int): Seq[String] =
     if (layoutOf.partitionCols.nonEmpty)
       stagePartitioned(ref, df, layoutOf.partitionCols)
+    else if (layoutOf.partitionSpec.nonEmpty)
+      // d56: rewritten rows re-derive their transform dirs (the
+      // source columns are in the data, so the layout is recomputable)
+      stageTransformed(ref, df, layoutOf.partitionSpec)
     else layoutOf.sortedBy match {
       case Some(sc) =>
         val c = org.apache.spark.sql.functions.col(sc)
@@ -935,7 +970,8 @@ object IceLite {
         snap.rowCount - affectedRows + newRowsByFile.values.sum,
         (snap.fileStats -- affected) ++ stats,
         snap.partitionCols, snap.sortedBy,
-        fileRows = (snap.fileRows -- affected) ++ newRowsByFile)
+        fileRows = (snap.fileRows -- affected) ++ newRowsByFile,
+        partitionSpec = snap.partitionSpec) // met: restageWithLayout re-derived it
       if (claimVersion(ref, baseVersion + 1,
           base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next),
           newFiles)) {
@@ -1043,6 +1079,13 @@ object IceLite {
         if (cur.partitionCols.nonEmpty)
           stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files),
             cur.partitionCols)
+        else if (cur.partitionSpec.nonEmpty)
+          // d56: compaction re-derives the transform layout (merges
+          // the small files WITHIN each bucket/day dir — the source
+          // columns are in the data, so the dirs are recomputable)
+          stageTransformed(ref,
+            readFilesWithDeletes(spark, ref, cur, cur.files),
+            cur.partitionSpec)
         else cur.sortedBy match {
           // preserve the table's sort order: a hash repartition would
           // destroy the non-overlapping file ranges sorted writes buy.
@@ -1061,7 +1104,8 @@ object IceLite {
       val id = base.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
         files, rowsByFile.values.sum, stats, cur.partitionCols,
-        cur.sortedBy, fileRows = rowsByFile)
+        cur.sortedBy, fileRows = rowsByFile,
+        partitionSpec = cur.partitionSpec) // met: restaged through the spec
       if (tryCommit(baseVersion + 1,
           base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
         // rewrites orphan any Bloom sidecar (d17): its entries key the
@@ -1096,9 +1140,10 @@ object IceLite {
     require(snap.deleteFiles.isEmpty,
       s"${ref.name} has live MoR delete sidecars — full compact() " +
         "materializes them; range compaction cannot split a sidecar")
-    require(snap.partitionCols.isEmpty,
+    require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
       "range compaction supports flat/sorted tables; partitioned " +
-        "tables compact per partition value")
+        "tables compact per partition value (full compact() merges " +
+        "within transform dirs)")
     val selected = snap.files.filter { f =>
       snap.fileStats.get(f).flatMap(_.find(_.col == col)) match {
         case Some(cs) => cs.max >= lo && cs.min <= hi
@@ -1336,6 +1381,205 @@ object IceLite {
       .sortBy(_.head) // deterministic union order
       .map(readGroup)
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  // ---------------------------------------------------------------
+  // d56: hidden partitioning (Iceberg partition transforms)
+  // ---------------------------------------------------------------
+
+  /** The derived directory column for one spec field, as a Spark
+    * expression over the source column — evaluated ONLY at write
+    * time (readers never see the derived value). */
+  private def transformExpr(f: PartitionField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, date_format, hash, lit, pmod, substring}
+    f.transform match {
+      case "bucket" =>
+        require(f.param >= 2, s"bucket(${f.param}) needs >= 2 buckets")
+        pmod(hash(col(f.sourceCol)), lit(f.param))
+      case "days" => date_format(col(f.sourceCol), "yyyy-MM-dd")
+      case "truncate" =>
+        require(f.param >= 1, s"truncate(${f.param}) needs width >= 1")
+        substring(col(f.sourceCol), 1, f.param)
+      case t => throw new IllegalArgumentException(
+        s"unknown partition transform '$t' (bucket | days | truncate)")
+    }
+  }
+
+  /** The bucket a LITERAL lands in — evaluated through the same
+    * Catalyst Murmur3 expression the write path uses (`hash()` with
+    * its default seed), so write-side layout and prune-side mapping
+    * can never disagree. */
+  private[icelite] def bucketOf(v: Any, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = new Murmur3Hash(Seq(Literal(v))).eval(null).asInstanceOf[Int]
+    val m = h % n
+    if (m < 0) m + n else m
+  }
+
+  /** The derived dir value a literal source value maps to. */
+  private def transformValue(f: PartitionField, v: Any): String = f.transform match {
+    case "bucket"   => bucketOf(v, f.param).toString
+    case "truncate" => v.toString.take(f.param)
+    case "days"     => v.toString.take(10) // caller passes yyyy-MM-dd[...]
+    case t => throw new IllegalArgumentException(s"unknown transform '$t'")
+  }
+
+  private def stageTransformed(ref: TableRef, df: DataFrame,
+      spec: Seq[PartitionField]): Seq[String] = {
+    require(spec.nonEmpty, "partition spec must be non-empty")
+    val srcCols = df.columns.toSet
+    spec.foreach { f =>
+      require(srcCols.contains(f.sourceCol),
+        s"transform source column '${f.sourceCol}' not in dataframe")
+      require(!srcCols.contains(f.name),
+        s"derived partition name '${f.name}' collides with a data column")
+    }
+    // derive the dir columns, write Hive-style on the DERIVED names
+    // (partitionBy drops them from the file contents — the source
+    // columns stay, which is exactly the hidden-partitioning layout),
+    // then promote files out of staging like stagePartitioned
+    val derived = spec.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, transformExpr(f)) }
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmpDir = ref.dataDir.resolve(s".stage-$token")
+    derived.repartition(spec.map(f =>
+        org.apache.spark.sql.functions.col(f.name)): _*)
+      .write.mode("overwrite").partitionBy(spec.map(_.name): _*)
+      .parquet(tmpDir.toString)
+    val staged = listDir(Files.walk(tmpDir))(_
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .toSeq)
+      .map { p =>
+        val valuePath = tmpDir.relativize(p.getParent)
+        val dest = ref.dataDir.resolve("part").resolve(valuePath)
+          .resolve(s"$token-${p.getFileName}")
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest)
+        ref.dir.relativize(dest).toString
+      }.sorted
+    listDir(Files.walk(tmpDir))(_.toSeq).sortBy(-_.getNameCount)
+      .foreach(Files.deleteIfExists(_))
+    staged
+  }
+
+  /** d56: atomic full refresh under a HIDDEN (transform-derived)
+    * partition layout. Queries never mention the derived columns —
+    * they filter the source columns and `transformPrunedFiles` maps
+    * those predicates through the transforms. */
+  def createOrReplaceTransformed(ref: TableRef, df: DataFrame,
+      spec: Seq[PartitionField], statsCols: Seq[String] = Nil): Snapshot = {
+    Files.createDirectories(ref.dataDir)
+    val files = stageTransformed(ref, df, spec)
+    val rowsByFile = fileRowCounts(ref, files)
+    val stats = collectStats(df.sparkSession, ref, files, statsCols)
+    commitCAS(ref) { cur =>
+      val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
+      val op = if (cur.isDefined) "replace" else "create"
+      val snap = Snapshot(id, System.currentTimeMillis(), op, files,
+        rowsByFile.values.sum, stats, fileRows = rowsByFile,
+        partitionSpec = spec)
+      cur match {
+        case Some(m) => m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
+        case None    => Manifest(ref.name, id, Seq(snap))
+      }
+    }.current
+  }
+
+  /** d56: append under the table's hidden-partition spec (must match
+    * the current spec — evolving a transform is a different layout
+    * era, not supported on this path). */
+  def appendTransformed(ref: TableRef, df: DataFrame,
+      statsCols: Seq[String] = Nil): Snapshot = {
+    val spec = readManifest(ref).current.partitionSpec
+    require(spec.nonEmpty, s"${ref.name} has no partition-transform spec")
+    val files = stageTransformed(ref, df, spec)
+    val rowsByFile = fileRowCounts(ref, files)
+    val stats = collectStats(df.sparkSession, ref, files, statsCols)
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      require(m.current.partitionSpec == spec,
+        s"partition spec changed concurrently on ${ref.name}")
+      val id = m.snapshots.map(_.id).max + 1
+      val snap = Snapshot(id, System.currentTimeMillis(), "append",
+        m.current.files ++ files, m.current.rowCount + rowsByFile.values.sum,
+        m.current.fileStats ++ stats,
+        fileRows = m.current.fileRows ++ rowsByFile, partitionSpec = spec)
+      m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
+    }.current
+  }
+
+  /** A SOURCE-column predicate for transform pruning: either a set of
+    * literal values (mapped through bucket/truncate/days equality) or
+    * an inclusive day-string range `[loDay, hiDay]` against a "days"
+    * transform. */
+  sealed trait TransformPred { def sourceCol: String }
+  final case class SourceIn(sourceCol: String, values: Seq[Any])
+      extends TransformPred
+  final case class SourceDayRange(sourceCol: String, loDay: String,
+      hiDay: String) extends TransformPred
+
+  /** d56: manifest-level pruning through the transforms. Each
+    * predicate names a SOURCE column; every spec field derived from
+    * it constrains the matching dir segment (bucket/truncate/days
+    * literals map to exact dir values; a day range is a lexical
+    * range over yyyy-MM-dd dirs, which sort chronologically). Files
+    * whose path lacks a field's dir are conservatively kept — the
+    * residual filter in readTransformPruned makes results exact.
+    * Like every pruning path here this runs BEFORE plan
+    * construction: at 100 TB the other buckets/days are never even
+    * listed to Spark. */
+  def transformPrunedFiles(ref: TableRef,
+      preds: Seq[TransformPred]): Seq[String] = {
+    val snap = readManifest(ref).current
+    require(snap.partitionSpec.nonEmpty,
+      s"${ref.name} has no partition-transform spec")
+    val bySource = snap.partitionSpec.groupBy(_.sourceCol)
+    preds.foreach { p =>
+      require(bySource.contains(p.sourceCol),
+        s"no transform is derived from '${p.sourceCol}' " +
+          s"(spec sources: ${bySource.keys.toSeq.sorted.mkString(", ")})")
+    }
+    // per spec-field allowed dir segments (None = range check on days)
+    val constraints: Seq[(PartitionField, Either[Set[String], (String, String)])] =
+      preds.flatMap {
+        case SourceIn(c, vs) => bySource(c).map { f =>
+          f -> Left(vs.map(v => s"${f.name}=${escapePartitionValue(
+            transformValue(f, v))}").toSet)
+        }
+        case SourceDayRange(c, lo, hi) => bySource(c).collect {
+          case f if f.transform == "days" => f -> Right((lo, hi))
+        }
+      }
+    snap.files.filter { f =>
+      val segs = f.split('/').toSeq
+      constraints.forall { case (field, c) =>
+        segs.find(_.startsWith(s"${field.name}=")) match {
+          case None => true // pre-spec file: keep conservatively
+          case Some(seg) => c match {
+            case Left(allowed) => allowed.contains(seg)
+            case Right((lo, hi)) =>
+              val day = seg.drop(field.name.length + 1)
+              day >= lo && day <= hi
+          }
+        }
+      }
+    }
+  }
+
+  /** d56: pruned read + the exact residual predicate the caller
+    * supplies (pruning is conservative; the residual makes rows
+    * exact — same contract as readPruned). Data files carry the full
+    * source schema, so this is a plain file-list read. */
+  def readTransformPruned(spark: SparkSession, ref: TableRef,
+      preds: Seq[TransformPred],
+      residual: org.apache.spark.sql.Column): DataFrame = {
+    val files = transformPrunedFiles(ref, preds)
+    if (files.isEmpty) read(spark, ref).where(residual).limit(0)
+    else readFilesWithDeletes(spark, ref, readManifest(ref).current, files)
+      .where(residual)
   }
 
   /** Manifest-level file pruning: resolve only the files whose
@@ -1792,6 +2036,9 @@ object IceLite {
     require(readManifest(ref).current.deleteFiles.isEmpty,
       s"${ref.name} has live MoR delete sidecars — compact() before " +
         "staging a WAP branch (the staged snapshot must not lose them)")
+    require(readManifest(ref).current.partitionSpec.isEmpty,
+      s"${ref.name} has a hidden-partition spec — WAP staging appends " +
+        "flat files and would strand them outside the transform layout")
     val files = stage(ref, df)
     val rowsByFile = fileRowCounts(ref, files)
     val stats = collectStats(df.sparkSession, ref, files, statsCols)

@@ -1704,6 +1704,53 @@ object ScalePack extends Pack {
              TRUE AS era1_intact, TRUE AS hot_range_merged
              FROM orders WHERE o_orderkey < 2000""")),
 
+    // d56: HIDDEN PARTITIONING — Iceberg partition transforms
+    // (`bucket(4, user_id)` × `days(ts)`). The query filters the
+    // SOURCE columns only; pruning maps each predicate THROUGH the
+    // transform to the matching dirs (literal → Murmur3 bucket, time
+    // range → lexical day range) and never lists the other
+    // buckets/days to Spark. This is the UX that kills wrong-partition
+    // -filter bugs at 100 TB: users cannot mis-write a partition
+    // predicate because the partition column does not exist in the
+    // schema — the data files keep only the source columns, and one
+    // Catalyst hash expression serves both the write-side layout and
+    // the prune-side literal mapping so they can never disagree. The
+    // day range is pruned a day wide on each side (timezone-proof
+    // conservatism); the residual filter makes rows exact either way.
+    Decl("d56_partition_transforms",
+      (s, dir) => {
+        import graft.icelite.{PartitionField, TableRef}
+        import graft.icelite.IceLite.{SourceDayRange, SourceIn}
+        val wh = Files.createTempDirectory("graft_d56").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "events_hidden")
+        IceLite.createOrReplaceTransformed(ref, Tables.load(s, dir, "events"),
+          Seq(PartitionField("user_bucket", "bucket", "user_id", 4),
+            PartitionField("ts_day", "days", "ts", 0)))
+        val users = Seq(7L, 42L, 99L)
+        val total = IceLite.readManifest(ref).current.files.size
+        val kept = IceLite.transformPrunedFiles(ref, Seq(
+          SourceIn("user_id", users),
+          SourceDayRange("ts", "2024-01-09", "2024-01-15"))).size
+        IceLite.readTransformPruned(spark = s, ref = ref,
+          preds = Seq(SourceIn("user_id", users),
+            SourceDayRange("ts", "2024-01-09", "2024-01-15")),
+          residual = col("user_id").isin(users: _*) &&
+            col("ts") >= "2024-01-10" && col("ts") < "2024-01-15")
+          .agg(count(lit(1)).cast("long").as("n"),
+            countDistinct(col("user_id")).cast("long").as("n_users"),
+            round(sum(col("value")), 2).as("sum_val"))
+          .withColumn("files_pruned", lit(kept < total))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             ROUND(SUM(value), 2) AS sum_val,
+             TRUE AS files_pruned
+             FROM events
+             WHERE user_id IN (7, 42, 99)
+               AND ts >= TIMESTAMP '2024-01-10'
+               AND ts < TIMESTAMP '2024-01-15'""")),
+
     // d54: WRITE-SIDE DISTRIBUTION — `INSERT INTO` a SORTED table
     // through SQL range-clusters the incoming rows on the table's
     // sort key (RequiresDistributionAndOrdering on the append write —

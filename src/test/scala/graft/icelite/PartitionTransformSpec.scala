@@ -1,0 +1,161 @@
+package graft.icelite
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.icelite.IceLite.{SourceDayRange, SourceIn}
+
+/** d56 — hidden partitioning (Iceberg partition transforms).
+  *
+  * The invariants that make "hidden" partitioning safe:
+  *  - write-side layout and prune-side literal mapping share ONE
+  *    bucket function (a mismatch silently loses rows, the worst
+  *    failure mode a pruner can have) — asserted by comparing every
+  *    pruned read against the plain full-scan filter;
+  *  - the data files keep the source columns and never gain the
+  *    derived ones;
+  *  - rewrites (merge) and compaction re-derive the layout and keep
+  *    the spec marker; flat appends/WAP refuse instead of stranding
+  *    files outside the layout.
+  */
+class PartitionTransformSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRef(name: String): TableRef = {
+    val wh = Files.createTempDirectory("pt_spec").toString
+    IceLite.createNamespace(wh, "src")
+    TableRef(wh, "src", name)
+  }
+
+  private def sampleDf = (1L to 400L).map { i =>
+    (i, s"user_${i % 7}", f"2024-01-${(i % 9 + 1)}%02d 10:00:00")
+  }.toDF("id", "who", "ts_s")
+    .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+
+  test("bucket pruning returns exactly the full-scan filter result for every key") {
+    val ref = freshRef("bkt")
+    val spec = Seq(PartitionField("id_bucket", "bucket", "id", 4))
+    IceLite.createOrReplaceTransformed(ref, sampleDf, spec)
+    val all = IceLite.readManifest(ref).current.files
+    assert(all.forall(_.contains("id_bucket=")))
+    (1L to 20L).foreach { k =>
+      val pruned = IceLite.readTransformPruned(spark, ref,
+        Seq(SourceIn("id", Seq(k))), $"id" === k)
+      val expect = IceLite.read(spark, ref).filter($"id" === k)
+      assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+        expect.select("id").as[Long].collect().sorted.toSeq, s"key $k")
+      // and it actually pruned: one bucket of four
+      val kept = IceLite.transformPrunedFiles(ref, Seq(SourceIn("id", Seq(k))))
+      assert(kept.size < all.size, s"key $k kept ${kept.size}/${all.size}")
+    }
+  }
+
+  test("days range pruning is inclusive on both boundary days and exact") {
+    val ref = freshRef("days")
+    val spec = Seq(PartitionField("ts_day", "days", "ts", 0))
+    IceLite.createOrReplaceTransformed(ref, sampleDf, spec)
+    val all = IceLite.readManifest(ref).current.files
+    val kept = IceLite.transformPrunedFiles(ref,
+      Seq(SourceDayRange("ts", "2024-01-03", "2024-01-05")))
+    assert(kept.nonEmpty && kept.size < all.size)
+    assert(kept.forall { f =>
+      val day = f.split('/').find(_.startsWith("ts_day=")).get.drop(7)
+      day >= "2024-01-03" && day <= "2024-01-05"
+    })
+    val pruned = IceLite.readTransformPruned(spark, ref,
+      Seq(SourceDayRange("ts", "2024-01-03", "2024-01-05")),
+      $"ts" >= "2024-01-03" && $"ts" < "2024-01-06")
+    val expect = IceLite.read(spark, ref)
+      .filter($"ts" >= "2024-01-03" && $"ts" < "2024-01-06")
+    assert(pruned.count() == expect.count() && pruned.count() > 0)
+  }
+
+  test("truncate transform prunes string prefixes; multi-field specs intersect") {
+    val ref = freshRef("multi")
+    val spec = Seq(
+      PartitionField("who_pfx", "truncate", "who", 6), // "user_0".."user_6"
+      PartitionField("ts_day", "days", "ts", 0))
+    IceLite.createOrReplaceTransformed(ref, sampleDf, spec)
+    val all = IceLite.readManifest(ref).current.files
+    val kept = IceLite.transformPrunedFiles(ref, Seq(
+      SourceIn("who", Seq("user_3xyz")), // truncates to user_3
+      SourceDayRange("ts", "2024-01-02", "2024-01-03")))
+    assert(kept.nonEmpty && kept.size < all.size)
+    assert(kept.forall(f => f.contains("who_pfx=user_3") &&
+      (f.contains("ts_day=2024-01-02") || f.contains("ts_day=2024-01-03"))))
+  }
+
+  test("hidden: reads surface only source columns; files carry no derived column") {
+    val ref = freshRef("hidden")
+    IceLite.createOrReplaceTransformed(ref, sampleDf,
+      Seq(PartitionField("id_bucket", "bucket", "id", 4)))
+    val cols = IceLite.read(spark, ref).columns.toSet
+    assert(cols == Set("id", "who", "ts"))
+    // a predicate on a column no transform derives from refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IceLite.transformPrunedFiles(ref, Seq(SourceIn("who", Seq("user_1"))))
+    }
+    assert(e.getMessage.contains("no transform"))
+  }
+
+  test("appendTransformed lands in the same layout; flat append and WAP refuse") {
+    val ref = freshRef("app")
+    val spec = Seq(PartitionField("id_bucket", "bucket", "id", 4))
+    IceLite.createOrReplaceTransformed(ref,
+      sampleDf.filter($"id" <= 200), spec)
+    IceLite.appendTransformed(ref, sampleDf.filter($"id" > 200))
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionSpec == spec)
+    assert(snap.files.forall(_.contains("id_bucket=")))
+    assert(IceLite.read(spark, ref).count() == 400)
+    // pruning still exact across both eras
+    val pruned = IceLite.readTransformPruned(spark, ref,
+      Seq(SourceIn("id", Seq(150L, 350L))), $"id".isin(150L, 350L))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(150L, 350L))
+    assert(intercept[IllegalArgumentException] {
+      IceLite.append(ref, sampleDf.limit(1))
+    }.getMessage.contains("appendTransformed"))
+    assert(intercept[IllegalArgumentException] {
+      IceLite.stageBranchAppend(ref, "audit", sampleDf.limit(1))
+    }.getMessage.contains("hidden-partition"))
+  }
+
+  test("merge re-derives the layout and keeps the spec marker") {
+    val ref = freshRef("mrg")
+    val spec = Seq(PartitionField("id_bucket", "bucket", "id", 4))
+    IceLite.createOrReplaceTransformed(ref, sampleDf, spec)
+    val updates = Seq((5L, "UPDATED", "2024-02-01 00:00:00"))
+      .toDF("id", "who", "ts_s")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    IceLite.merge(spark, ref, updates, Seq("id"))
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionSpec == spec)
+    assert(snap.files.forall(_.contains("id_bucket=")))
+    val got = IceLite.readTransformPruned(spark, ref,
+      Seq(SourceIn("id", Seq(5L))), $"id" === 5L)
+      .select("who").as[String].collect().toSeq
+    assert(got == Seq("UPDATED"))
+    assert(IceLite.read(spark, ref).count() == 400)
+  }
+
+  test("compact merges small files within dirs and keeps the spec") {
+    val ref = freshRef("cmp")
+    val spec = Seq(PartitionField("id_bucket", "bucket", "id", 2))
+    IceLite.createOrReplaceTransformed(ref, sampleDf.filter($"id" <= 100), spec)
+    IceLite.appendTransformed(ref, sampleDf.filter($"id" > 100 && $"id" <= 200))
+    IceLite.appendTransformed(ref, sampleDf.filter($"id" > 200))
+    val before = IceLite.readManifest(ref).current.files.size
+    IceLite.compact(spark, ref)
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionSpec == spec)
+    assert(snap.files.size < before)
+    assert(snap.files.forall(_.contains("id_bucket=")))
+    assert(IceLite.read(spark, ref).count() == 400)
+    // pruning still exact after compaction
+    val pruned = IceLite.readTransformPruned(spark, ref,
+      Seq(SourceIn("id", Seq(42L))), $"id" === 42L)
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(42L))
+  }
+}
