@@ -98,6 +98,13 @@ final case class Manifest(
     // named branch → snapshot id (Iceberg refs): staged candidates
     // readers of main never see until publish fast-forwards (d19)
     branches: Map[String, Long] = Map.empty,
+    // d57: named TAGS → snapshot id (Iceberg tags — immutable refs):
+    // a tagged snapshot is pinned through retention ("the v1 training
+    // snapshot", "the audited quarter-end") and readable forever via
+    // `VERSION AS OF '<tag>'`. Unlike branches a tag never moves and
+    // is never consumed by publish; dropping it is the only way to
+    // let the snapshot expire.
+    tags: Map[String, Long] = Map.empty,
     // ALTER TABLE ADD COLUMN ledger (d51): schema columns that exist
     // independently of the data files. Commit paths carry it forward
     // by evolving the manifest with copy() (NOTES rule 21).
@@ -2054,6 +2061,8 @@ object IceLite {
         // refuses to fast-forward if main has advanced past it
         summary = Map("wap.base" -> base.id.toString),
         fileRows = base.fileRows ++ rowsByFile)
+      require(!m.tags.contains(branch),
+        s"'$branch' is already a tag of ${ref.name}")
       m.copy(snapshots = m.snapshots :+ snap,
         branches = m.branches + (branch -> id))
     }
@@ -2089,6 +2098,51 @@ object IceLite {
       }
       m.copy(currentSnapshotId = id, branches = m.branches - branch)
     }.current
+
+  /** d57: tag a snapshot (Iceberg tags — immutable named refs). The
+    * tagged snapshot is PINNED: expiry never drops it while the tag
+    * exists, and `readTag` / SQL `VERSION AS OF '<tag>'` resolve it
+    * by name forever. Tags are write-once (retagging a name is a
+    * refusal, not a move — an immutable ref that silently moved
+    * would be a branch with a misleading name); tag and branch names
+    * share a namespace so version-string resolution is unambiguous. */
+  def createTag(ref: TableRef, tag: String, snapshotId: Long): Unit = {
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      require(m.snapshots.exists(_.id == snapshotId),
+        s"snapshot $snapshotId not found in ${ref.name} (expired?)")
+      require(!m.tags.contains(tag),
+        s"tag '$tag' already exists on ${ref.name} (tags are immutable " +
+          "— drop it first if you really mean to move it)")
+      require(!m.branches.contains(tag),
+        s"'$tag' is already a branch of ${ref.name}")
+      m.copy(tags = m.tags + (tag -> snapshotId))
+    }
+    ()
+  }
+
+  /** d57: drop a tag — the snapshot it pinned becomes expirable on
+    * the normal schedule (the only way a tagged snapshot ever ages
+    * out). */
+  def dropTag(ref: TableRef, tag: String): Unit = {
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      require(m.tags.contains(tag), s"no tag '$tag' on ${ref.name}")
+      m.copy(tags = m.tags - tag)
+    }
+    ()
+  }
+
+  /** d57: read the snapshot a tag pins. */
+  def readTag(spark: SparkSession, ref: TableRef, tag: String): DataFrame = {
+    val m = readManifest(ref)
+    val id = m.tags.getOrElse(tag,
+      throw new IllegalArgumentException(s"no tag '$tag' on ${ref.name} " +
+        s"(tags: ${m.tags.keys.toSeq.sorted.mkString(", ")})"))
+    readAt(spark, ref, id)
+  }
 
   /** Abandon a staged branch (audit failed); main is untouched and
     * the staged snapshot expires on the normal schedule. */
@@ -2137,7 +2191,8 @@ object IceLite {
     var expired: Seq[Snapshot] = Seq.empty
     val committed = commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
-      val pinned = m.branches.values.toSet + m.currentSnapshotId
+      // d57: tagged snapshots are pinned exactly like branch refs
+      val pinned = m.branches.values.toSet ++ m.tags.values + m.currentSnapshotId
       val (gone, alive) = m.snapshots.partition(s =>
         dead(s, m) && !pinned(s.id))
       expired = gone

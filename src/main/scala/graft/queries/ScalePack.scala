@@ -1751,6 +1751,55 @@ object ScalePack extends Pack {
                AND ts >= TIMESTAMP '2024-01-10'
                AND ts < TIMESTAMP '2024-01-15'""")),
 
+    // d57: SNAPSHOT TAGS — immutable named refs (Iceberg tags). A
+    // tag pins its snapshot (and, transitively, its files) through
+    // retention and resolves by name via `VERSION AS OF '<tag>'` —
+    // the "v1 training snapshot" / "audited quarter-end" workflow:
+    // at 100 TB you cannot re-derive a historical table, so the ref
+    // must survive aggressive snapshot expiry, and here it does: a
+    // full refresh supersedes era 1, retain_last(1) expires
+    // everything unpinned, yet the tagged era-1 snapshot stays
+    // byte-readable while the untagged intermediate is reclaimed.
+    // Tags share a namespace with branches so version-string
+    // resolution is unambiguous, and they are write-once: an
+    // immutable ref that silently moved would be a branch with a
+    // misleading name.
+    Decl("d57_snapshot_tags",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d57").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_tagged")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val s1 = IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        IceLite.createTag(ref, "v1", s1.id)
+        // era 2 fully supersedes era 1 (disjoint files) — without the
+        // tag, retention would reclaim era 1's files
+        IceLite.createOrReplace(ref,
+          o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
+        val expired = IceLite.expireSnapshotsRetainLast(ref, 1)
+        val tagPinned = !expired.contains(s1.id)
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_v1,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_v1
+                  FROM $cat.src.orders_tagged VERSION AS OF 'v1'""")
+          .crossJoin(s.sql(
+            s"SELECT CAST(COUNT(*) AS BIGINT) AS n_current FROM $cat.src.orders_tagged"))
+          .withColumn("tag_pinned", lit(tagPinned))
+      },
+      Some("""SELECT
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey < 1000) AS n_v1,
+             (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE)
+              FROM orders WHERE o_orderkey < 1000) AS sum_v1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey >= 1000 AND o_orderkey < 2000) AS n_current,
+             TRUE AS tag_pinned""")),
+
     // d54: WRITE-SIDE DISTRIBUTION — `INSERT INTO` a SORTED table
     // through SQL range-clusters the incoming rows on the table's
     // sort key (RequiresDistributionAndOrdering on the append write —

@@ -158,16 +158,21 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     * a NUMERIC version is a snapshot id; a non-numeric one is a
     * BRANCH name (d19's WAP branches — Iceberg's branch reads:
     * `VERSION AS OF 'audit'` inspects staged-but-unpublished commits
-    * without touching main). Either way the returned table is pinned
-    * (read-only) to the resolved snapshot's files and stats. */
+    * without touching main) or a TAG (d57 — immutable pinned refs;
+    * the two namespaces are disjoint by construction). Either way
+    * the returned table is pinned (read-only) to the resolved
+    * snapshot's files and stats. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val ref = refOf(ident)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
     val m = IceLite.readManifest(ref)
-    val id = version.toLongOption.getOrElse(
-      m.branches.getOrElse(version, throw new IllegalArgumentException(
-        s"'$version' is neither a snapshot id nor a branch of " +
-          s"${ident.name} (branches: ${m.branches.keys.toSeq.sorted.mkString(", ")})")))
+    val id = version.toLongOption
+      .orElse(m.branches.get(version))
+      .orElse(m.tags.get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a snapshot id, a branch, nor a tag of " +
+          s"${ident.name} (branches: ${m.branches.keys.toSeq.sorted.mkString(", ")}; " +
+          s"tags: ${m.tags.keys.toSeq.sorted.mkString(", ")})"))
     require(m.snapshots.exists(_.id == id),
       s"no snapshot $id in ${ident.name} (expired past retention?)")
     new IceLiteTable(ref, IceLiteSource.schemaOf(ref, Some(id)), Some(id))

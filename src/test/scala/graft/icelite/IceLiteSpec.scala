@@ -33,6 +33,26 @@ class IceLiteSpec extends AnyFunSuite {
       Seq("create", "replace"))
   }
 
+  test("tags pin snapshots (and their files) through expiry; dropTag releases them") {
+    val ref = freshRef()
+    val s1 = IceLite.createOrReplace(ref, Seq((1, "era1"), (2, "era1")).toDF("k", "v"))
+    IceLite.createTag(ref, "baseline", s1.id)
+    // replace → era-1 files are referenced ONLY by the tagged snapshot
+    IceLite.createOrReplace(ref, Seq((9, "era2")).toDF("k", "v"))
+    val expired = IceLite.expireSnapshotsRetainLast(ref, 1)
+    assert(!expired.contains(s1.id), "tagged snapshot must survive retention")
+    // still readable, files intact
+    assert(IceLite.readTag(spark, ref, "baseline")
+      .as[(Int, String)].collect().map(_._1).sorted.toSeq == Seq(1, 2))
+    // dropping the tag is the only way the snapshot ages out
+    IceLite.dropTag(ref, "baseline")
+    val expired2 = IceLite.expireSnapshotsRetainLast(ref, 1)
+    assert(expired2.contains(s1.id))
+    assertThrows[IllegalArgumentException](IceLite.readTag(spark, ref, "baseline"))
+    // tagging an unknown snapshot refuses
+    assertThrows[IllegalArgumentException](IceLite.createTag(ref, "ghost", 999L))
+  }
+
   test("append accumulates files and rowCount") {
     val ref = freshRef()
     IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))

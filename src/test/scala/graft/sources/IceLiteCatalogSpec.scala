@@ -268,6 +268,27 @@ class IceLiteCatalogSpec extends AnyFunSuite {
       s"INSERT INTO $cat.src.tt VERSION AS OF ${s1.id} VALUES (99, 'x')"))
   }
 
+  test("VERSION AS OF resolves a tag; tags and branches stay disjoint") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "tg")
+    val s1 = IceLite.createOrReplace(ref,
+      (1L to 10L).map(k => (k, "era1")).toDF("k", "s"))
+    IceLite.createTag(ref, "v1", s1.id)
+    IceLite.createOrReplace(ref, (1L to 5L).map(k => (k, "era2")).toDF("k", "s"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.tg VERSION AS OF 'v1'")
+      .head.getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.tg").head.getLong(0) == 5L)
+    // a tag name can't be reused as a branch, nor retagged
+    assertThrows[IllegalArgumentException](
+      IceLite.stageBranchAppend(ref, "v1", Seq((99L, "x")).toDF("k", "s")))
+    assertThrows[IllegalArgumentException](IceLite.createTag(ref, "v1", s1.id))
+    // unknown names still fail loudly (and list the tags)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.src.tg VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("tag"))
+  }
+
   test("DELETE FROM through SQL runs the layout-preserving copy-on-write delete") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
