@@ -232,6 +232,43 @@ object WindowPack extends Pack {
                           ELSE o_totalprice END AS v
                    FROM orders WHERE o_orderkey < 4000)
              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)
-             ORDER BY o_orderkey"""))
+             ORDER BY o_orderkey""")),
+
+    // DISTRIBUTION ranking — ntile (equi-depth bucketing: the
+    // quantile-cohort assignment behind decile reports and
+    // stratified splits), percent_rank and cume_dist (empirical CDF
+    // position). ntile assigns by ROW POSITION, so the window order
+    // ends in the unique key (NOTES determinism rule — ties would
+    // otherwise land in engine-dependent tiles). Same one-shuffle
+    // keyed-window shape as the rest of B.5; the per-tile rollup
+    // keeps the declared output bounded.
+    Decl("b70_win_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+        t(s, dir, "orders").filter($"o_orderkey" < 4000)
+          .select($"o_orderpriority", $"o_totalprice",
+            ntile(4).over(w).as("tile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .groupBy($"o_orderpriority", $"tile")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(max($"pr"), 6).as("max_pr"),
+            round(max($"cd"), 6).as("max_cd"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .orderBy($"o_orderpriority", $"tile")
+      },
+      Some("""SELECT o_orderpriority, tile, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(MAX(pr), 6) AS max_pr, ROUND(MAX(cd), 6) AS max_cd,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM (SELECT o_orderpriority, o_totalprice,
+                     CAST(ntile(4) OVER w AS INT) AS tile,
+                     percent_rank() OVER w AS pr,
+                     cume_dist() OVER w AS cd
+                   FROM orders WHERE o_orderkey < 4000
+                   WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC))
+             GROUP BY o_orderpriority, tile
+             ORDER BY o_orderpriority, tile"""))
   )
 }
