@@ -143,6 +143,43 @@ object StreamPack extends Pack {
       out
     })
 
+  /** s20's variant: one parity half of the events stream (as s10)
+    * PLUS a far-future sentinel file arriving last — the watermark
+    * push that lets a drained OUTER join emit its null-padded rows
+    * (outer results only materialize once the watermark proves no
+    * match can still arrive; on an unbounded feed the flowing stream
+    * provides that proof naturally, here the sentinel does). */
+  private def stageEventsHalfWithSentinel(s: SparkSession, dir: String,
+      parity: Int): String =
+    stagedCache.computeIfAbsent(s"$dir#events#half$parity#sentinel", { _ =>
+      val out = Files.createTempDirectory(s"graft_s20_src$parity").toString
+      val ev = Tables.load(s, dir, "events")
+      ev.filter(pmod(col("event_id"), lit(2)) === parity)
+        .repartition(2)
+        .write.mode("overwrite").parquet(out)
+      val staging = Files.createTempDirectory(s"graft_s20_sent$parity")
+      ev.limit(1)
+        .withColumn("event_id", lit(-1L - parity).cast(ev.schema("event_id").dataType))
+        .withColumn("user_id", lit(SentinelUser).cast(ev.schema("user_id").dataType))
+        .withColumn("ts", lit("2100-01-01 00:00:00").cast("timestamp"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = IceLite.listDir(Files.list(staging))(_
+        .find(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith(".")))
+        .getOrElse(throw new IllegalStateException("no sentinel part"))
+      Files.move(part, Paths.get(out, "zz_sentinel.parquet"))
+      val now = System.currentTimeMillis()
+      IceLite.listDir(Files.list(Paths.get(out)))(_
+        .filter(_.toString.endsWith(".parquet")).toSeq)
+        .foreach { p =>
+          val t = if (p.getFileName.toString == "zz_sentinel.parquet") now
+                  else now - 60000
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t))
+        }
+      out
+    })
+
   /** s11's variant: a 3-file CDC change feed over `orders`, mtime-
     * ordered so later files merge later — b0 seeds keys < 2000 at
     * their source price, b1 re-prices keys < 1000 to 1.0, b2
@@ -663,6 +700,65 @@ object StreamPack extends Pack {
                ON a.user_id = b.user_id
               AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
               AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""")),
+
+    // s20: STREAM-STREAM LEFT OUTER join — s10's enrichment shape
+    // when the business question is "which clicks found NO
+    // impression?". The null-padded row for an unmatched left event
+    // can only be emitted once the WATERMARK proves no match can
+    // still arrive (until then it sits in the join state buffer); on
+    // an unbounded feed the flowing stream advances that proof
+    // naturally, here each side's far-future sentinel file plays
+    // that role so the drained end state is the complete outer join
+    // (matches emit eagerly, outer rows emit on eviction — both
+    // deterministic once the watermark passes everything). Same
+    // evictable-state scale argument as s10: buffered state is one
+    // disorder-horizon of feed, never stream-lifetime.
+    Decl("s20_stream_stream_outer_join",
+      (s, dir) => {
+        withStreamShufflePartitions(s) {
+        val aDir = stageEventsHalfWithSentinel(s, dir, 0)
+        val bDir = stageEventsHalfWithSentinel(s, dir, 1)
+        val schA = s.read.parquet(aDir).schema
+        val left = s.readStream.schema(schA)
+          .option("maxFilesPerTrigger", 1).parquet(aDir)
+          .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+            col("event_id").as("a_id"))
+          .withWatermark("a_ts", "35 days")
+        val right = s.readStream.schema(s.read.parquet(bDir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(bDir)
+          .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+            col("event_id").as("b_id"))
+          .withWatermark("b_ts", "35 days")
+        val q = left.join(right, expr(
+            """a_user = b_user AND
+               b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 10 MINUTES"""),
+            "leftOuter")
+          .writeStream.format("memory").queryName("s20_sink")
+          .outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s20").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("s20_sink")
+          .filter(col("a_user") =!= SentinelUser) // sentinels flush, never count
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            count(col("b_id")).cast("long").as("n_matched"),
+            count(when(col("b_id").isNull, 1)).cast("long").as("n_unmatched"),
+            countDistinct(col("a_id")).cast("long").as("n_a"))
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(b_id) AS BIGINT) AS n_matched,
+             CAST(SUM(CASE WHEN b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched,
+             CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_a
+             FROM (SELECT a.event_id AS a_id, b.event_id AS b_id
+                   FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+                   LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+                     ON a.user_id = b.user_id
+                    AND b.ts >= a.ts
+                    AND b.ts <= a.ts + INTERVAL 10 MINUTE)""")),
 
     // s11 (builder extension): streaming CDC UPSERT sink — foreachBatch
     // merging each micro-batch into the table layer by key (the
