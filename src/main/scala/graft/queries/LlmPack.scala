@@ -1158,6 +1158,76 @@ object LlmPack extends Pack {
                (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
              FROM tf JOIN df USING (tok) CROSS JOIN stats
              GROUP BY doc_id
-             ORDER BY score DESC, doc_id ASC LIMIT 20"""))
+             ORDER BY score DESC, doc_id ASC LIMIT 20""")),
+
+    // c26: PMI CO-OCCURRENCE mining — pointwise mutual information
+    // over skip-gram pairs (offsets 1-2), the collocation /
+    // phrase-discovery statistic (word2vec's SGNS objective is a
+    // shifted PMI factorization; corpus tooling uses it to find
+    // multi-word terms worth single tokens). Spark side is
+    // EXPRESSION-ONLY pair extraction: zip_with the token array
+    // against its own slice — a per-row flatMap, so the document
+    // text never shuffles; only (a, b) pair-count keys and the
+    // token-count keys do (two map-side-combining aggregates + one
+    // pair→unigram join, the same exchange budget as tf-idf).
+    // Normalizers N and P are 1-row aggregates, broadcast. The PMI
+    // arithmetic is structured IDENTICALLY in both engines (ln of
+    // double ratios, round 6 — c07's ln precedent); ordering is by
+    // the ROUNDED value with a (a, b) tie-break so the top-50 cut is
+    // engine-stable.
+    Decl("c26_pmi_cooccurrence",
+      (s, dir) => {
+        val toks = docs(s, dir).select($"doc_id",
+          split(lower($"text"), " ").as("ts"))
+        def shifted(off: Int) = zip_with($"ts",
+          slice($"ts", lit(off + 1), size($"ts")),
+          (a, b) => struct(a.as("a"), b.as("b")))
+        val pairs = toks
+          .select(explode(concat(shifted(1), shifted(2))).as("p"))
+          .filter($"p.b".isNotNull)
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(count(lit(1)).cast("long").as("c_ab"))
+        val uni = toks.select(explode($"ts").as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).cast("long").as("c"))
+        val totals = pairs.agg(sum($"c_ab").cast("double").as("p_tot"))
+          .crossJoin(uni.agg(sum($"c").cast("double").as("n_tot")))
+        pairs.filter($"c_ab" >= 3)
+          .join(uni.withColumnRenamed("tok", "a")
+            .withColumnRenamed("c", "c_a"), "a")
+          .join(uni.withColumnRenamed("tok", "b")
+            .withColumnRenamed("c", "c_b"), "b")
+          .crossJoin(broadcast(totals))
+          .select($"a", $"b", $"c_ab",
+            round(log(($"c_ab".cast("double") / $"p_tot") /
+              (($"c_a".cast("double") / $"n_tot") *
+                ($"c_b".cast("double") / $"n_tot"))), 6).as("pmi"))
+          .orderBy($"pmi".desc, $"a".asc, $"b".asc)
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+                 generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+               FROM documents),
+             pairs AS (
+               SELECT a.tok AS a, b.tok AS b,
+                 CAST(COUNT(*) AS BIGINT) AS c_ab
+               FROM toks a JOIN toks b
+                 ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+               GROUP BY 1, 2),
+             uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY 1),
+             tot AS (SELECT
+               (SELECT CAST(SUM(c_ab) AS DOUBLE) FROM pairs) AS p_tot,
+               (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n_tot)
+             SELECT a, b, c_ab,
+               ROUND(LN((CAST(c_ab AS DOUBLE) / p_tot) /
+                 ((CAST(ca.c AS DOUBLE) / n_tot) *
+                  (CAST(cb.c AS DOUBLE) / n_tot))), 6) AS pmi
+             FROM pairs
+             JOIN uni ca ON pairs.a = ca.tok
+             JOIN uni cb ON pairs.b = cb.tok
+             CROSS JOIN tot
+             WHERE c_ab >= 3
+             ORDER BY pmi DESC, a ASC, b ASC LIMIT 50"""))
   )
 }
