@@ -91,6 +91,15 @@ final case class Snapshot(
 final case class AddedCol(name: String, sqlType: String,
     sinceSnapshotId: Long)
 
+/** d58: a column renamed by `ALTER TABLE RENAME COLUMN` — metadata
+  * only. Files written before the rename keep the bytes under
+  * `from`; readers project the CURRENT name and fall back through
+  * the rename chain per file (the alias role Iceberg's field ids
+  * play). Scoped like AddedCol: time travel before `sinceSnapshotId`
+  * sees the old name. */
+final case class RenamedCol(from: String, to: String,
+    sinceSnapshotId: Long)
+
 final case class Manifest(
     table: String,
     currentSnapshotId: Long,
@@ -115,7 +124,13 @@ final case class Manifest(
     // name. A dropped name can never be re-added — without Iceberg's
     // field ids, a re-add would resurface the old files' stale
     // values under the new column.
-    droppedCols: Seq[AddedCol] = Nil) {
+    droppedCols: Seq[AddedCol] = Nil,
+    // ALTER TABLE RENAME COLUMN ledger (d58): zero bytes move; the
+    // connector resolves the current name through the chain per
+    // file. Names on either side of a rename are retired forever
+    // (re-adding or re-targeting them would resurface stale bytes
+    // — the same no-field-ids rule as droppedCols).
+    renamedCols: Seq[RenamedCol] = Nil) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
 }
 
@@ -822,6 +837,9 @@ object IceLite {
       fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val m = readManifest(ref)
+    require(m.renamedCols.isEmpty,
+      s"${ref.name} has RENAME COLUMN history — changelog rows would mix " +
+        "stored names across eras; re-baseline the consumer instead")
     def idx(id: Long): Int = {
       val i = m.snapshots.indexWhere(_.id == id)
       require(i >= 0, s"snapshot $id not found in ${ref.name} (expired?)")
@@ -1712,27 +1730,84 @@ object IceLite {
     commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalArgumentException(
         s"${ref.name} does not exist"))
-      val fileCols: Set[String] = m.current.files.headOption.map { f =>
-        val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            p, new org.apache.hadoop.conf.Configuration()))
-        try {
-          import scala.jdk.CollectionConverters._
-          r.getFooter.getFileMetaData.getSchema.getFields.asScala
-            .map(_.getName).toSet
-        } finally r.close()
-      }.getOrElse(Set.empty)
-      val taken = fileCols ++ m.addedCols.map(_.name) ++
-        m.current.partitionCols
+      val taken = visibleColNames(ref, m) ++ m.current.partitionCols
       require(!taken.contains(colName),
         s"column $colName already exists in ${ref.name}")
       require(!m.droppedCols.exists(_.name == colName),
         s"column $colName was previously dropped from ${ref.name} and " +
           "cannot be re-added: without per-field ids the old files' " +
           "stale values would resurface under the new column")
+      require(!m.renamedCols.exists(r => r.from == colName || r.to == colName),
+        s"column $colName appears in ${ref.name}'s rename history and " +
+          "cannot be (re)added: old files still hold bytes under that " +
+          "name and alias resolution would resurface them")
       m.copy(addedCols =
         m.addedCols :+ AddedCol(colName, sqlType, m.currentSnapshotId))
+    }
+    ()
+  }
+
+  /** First data file's parquet field names (the connector's
+    * schema-of-record; stored names, pre-rename). */
+  private def firstFileCols(ref: TableRef, m: Manifest): Set[String] =
+    m.current.files.headOption.map { f =>
+      val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          p, new org.apache.hadoop.conf.Configuration()))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+      } finally r.close()
+    }.getOrElse(Set.empty)
+
+  /** The CURRENT visible column names: file schema ∪ ALTER-added,
+    * minus dropped, with the rename chain applied. */
+  private def visibleColNames(ref: TableRef, m: Manifest): Set[String] = {
+    val base = (firstFileCols(ref, m) ++ m.addedCols.map(_.name)) --
+      m.droppedCols.map(_.name)
+    m.renamedCols.foldLeft(base) { (names, r) =>
+      if (names.contains(r.from)) names - r.from + r.to else names
+    }
+  }
+
+  /** d58: `ALTER TABLE t RENAME COLUMN from TO to` — METADATA-ONLY
+    * (one CAS manifest commit, zero bytes move; Iceberg's rename,
+    * which its field ids make trivial — here the rename ledger plays
+    * the field-id role). Readers project the NEW name across every
+    * file era: files written after the rename store it directly,
+    * older files resolve through the chain and read their stored
+    * name. Time travel to a pre-rename snapshot sees the old name.
+    * Both names retire forever: re-adding either would resurface
+    * stale bytes (same rule as dropped names). Partition, sort-key
+    * and transform-source columns refuse — the table layout is keyed
+    * by the stored name. */
+  def alterRenameColumn(ref: TableRef, from: String, to: String): Unit = {
+    require(from != to, "RENAME COLUMN requires distinct names")
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      val visible = visibleColNames(ref, m)
+      require(visible.contains(from),
+        s"no column $from in ${ref.name} (have: ${visible.toSeq.sorted.mkString(", ")})")
+      require(!visible.contains(to),
+        s"column $to already exists in ${ref.name}")
+      require(!m.droppedCols.exists(_.name == to) &&
+          !m.renamedCols.exists(r => r.from == to || r.to == to),
+        s"name $to appears in ${ref.name}'s drop/rename history and " +
+          "cannot be reused: old files still hold bytes under it")
+      require(!m.current.partitionCols.contains(from),
+        s"$from partitions ${ref.name} — its directory layout is keyed " +
+          "by the stored name")
+      require(!m.current.sortedBy.contains(from),
+        s"$from is ${ref.name}'s sort key — pruning stats are keyed by " +
+          "the stored name")
+      require(!m.current.partitionSpec.exists(f =>
+          f.sourceCol == from || f.name == from),
+        s"$from feeds ${ref.name}'s hidden-partition spec")
+      m.copy(renamedCols =
+        m.renamedCols :+ RenamedCol(from, to, m.currentSnapshotId))
     }
     ()
   }
@@ -1756,21 +1831,7 @@ object IceLite {
       require(!m.current.sortedBy.contains(colName),
         s"$colName is ${ref.name}'s sort key — dropping it would " +
           "invalidate the clustered layout and its pruning stats")
-      val dropped = m.droppedCols.map(_.name).toSet
-      val visible: Set[String] = {
-        val fileCols = m.current.files.headOption.map { f =>
-          val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              p, new org.apache.hadoop.conf.Configuration()))
-          try {
-            import scala.jdk.CollectionConverters._
-            r.getFooter.getFileMetaData.getSchema.getFields.asScala
-              .map(_.getName).toSet
-          } finally r.close()
-        }.getOrElse(Set.empty)
-        (fileCols ++ m.addedCols.map(_.name)) -- dropped
-      }
+      val visible = visibleColNames(ref, m)
       require(visible.contains(colName),
         s"no column $colName in ${ref.name} (have: ${visible.toSeq.sorted.mkString(", ")})")
       require(visible.size > 1,

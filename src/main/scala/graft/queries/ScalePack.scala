@@ -1800,6 +1800,48 @@ object ScalePack extends Pack {
               WHERE o_orderkey >= 1000 AND o_orderkey < 2000) AS n_current,
              TRUE AS tag_pinned""")),
 
+    // d58: `ALTER TABLE RENAME COLUMN` — the third metadata-only
+    // ALTER (Iceberg's rename, trivial there because field ids name
+    // columns; here a rename LEDGER plays the field-id role). Zero
+    // bytes move: files written before the rename keep the old
+    // stored name and the connector resolves the current name
+    // through the chain PER FILE in both read paths; post-rename
+    // INSERTs store the new name directly. Renaming a column of a
+    // 100 TB table must cost one manifest line — this is that flip,
+    // with the stale-byte hazards refused (either name retires
+    // forever; layout-keyed columns refuse). The oracle reads both
+    // eras under the new name.
+    Decl("d58_sql_rename_column",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d58").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_rename_sql")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"ALTER TABLE $cat.src.orders_rename_sql " +
+          "RENAME COLUMN o_totalprice TO price_usd")
+        o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+          .createOrReplaceTempView("d58_new_rows")
+        s.sql(s"""INSERT INTO $cat.src.orders_rename_sql
+                  SELECT o_orderkey, o_totalprice FROM d58_new_rows""")
+        s.sql(s"""SELECT (o_orderkey < 1000) AS era1,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(price_usd AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.orders_rename_sql
+                  GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT (o_orderkey < 1000) AS era1,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+             FROM orders WHERE o_orderkey < 2000
+             GROUP BY 1 ORDER BY 1""")),
+
     // d54: WRITE-SIDE DISTRIBUTION — `INSERT INTO` a SORTED table
     // through SQL range-clusters the incoming rows on the table's
     // sort key (RequiresDistributionAndOrdering on the append write —

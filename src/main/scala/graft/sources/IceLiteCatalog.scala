@@ -225,10 +225,11 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     * not see it); the next INSERT may write it. A dropped column
     * keeps its bytes but is never projected again (and its name can
     * never be re-added — no field ids to disambiguate stale values);
-    * time travel to a pre-drop snapshot still sees it. Everything
-    * else (RENAME/ALTER COLUMN) refuses loudly — IceLite columns are
-    * addressed by name in the data files, so those need a rewrite,
-    * not a metadata flip. */
+    * time travel to a pre-drop snapshot still sees it. A RENAMED
+    * column (d58) keeps its bytes under the old name in old files —
+    * readers resolve the current name through the rename chain per
+    * file. Anything else (type changes, nested fields) refuses
+    * loudly — those need a rewrite, not a metadata flip. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ref = refOf(ident)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
@@ -244,8 +245,13 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
           s"icelite supports top-level columns only, got " +
             del.fieldNames.mkString("."))
         IceLite.alterDropColumn(ref, del.fieldNames.head)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"icelite supports top-level columns only, got " +
+            ren.fieldNames.mkString("."))
+        IceLite.alterRenameColumn(ref, ren.fieldNames.head, ren.newName)
       case other => throw new UnsupportedOperationException(
-        s"icelite ALTER TABLE supports ADD/DROP COLUMN only, got $other")
+        s"icelite ALTER TABLE supports ADD/DROP/RENAME COLUMN only, got $other")
     }
     loadTable(ident)
   }

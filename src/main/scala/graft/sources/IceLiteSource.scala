@@ -160,11 +160,30 @@ object IceLiteSource {
       if (added.isEmpty) withParts
       else StructType(withParts.fields ++ added.map(c =>
         StructField(c.name, org.apache.spark.sql.types.DataType.fromDDL(c.sqlType))))
+    // d58: apply the rename chain (stored → current names) BEFORE the
+    // drop filter — a drop after a rename records the current name
+    val renamed = m.renamedCols.filter(_.sinceSnapshotId <= snap.id)
+      .foldLeft(evolved) { (sch, r) =>
+        StructType(sch.fields.map(f =>
+          if (f.name == r.from) f.copy(name = r.to) else f))
+      }
     val hidden = m.droppedCols
       .filter(_.sinceSnapshotId <= snap.id).map(_.name).toSet
-    if (hidden.isEmpty) evolved
-    else StructType(evolved.fields.filterNot(f => hidden(f.name)))
+    if (hidden.isEmpty) renamed
+    else StructType(renamed.fields.filterNot(f => hidden(f.name)))
   }
+
+  /** d58: current name → its older stored names, newest first — the
+    * per-file fallback chain readers resolve a projection through
+    * (`a→b→c` yields `c -> [b, a]`). Scoped to renames visible at
+    * `snapId`, like the schema itself. */
+  private[sources] def aliasesOf(m: graft.icelite.Manifest,
+      snapId: Long): Map[String, Seq[String]] =
+    m.renamedCols.filter(_.sinceSnapshotId <= snapId)
+      .foldLeft(Map.empty[String, List[String]]) { (acc, r) =>
+        val olds = r.from :: acc.getOrElse(r.from, Nil)
+        acc - r.from + (r.to -> olds)
+      }
 }
 
 /** `asOf`: a pinned snapshot id — the table as a TIME-TRAVEL read
@@ -1189,8 +1208,13 @@ class IceLiteScan(ref: TableRef, required: StructType,
       }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new IceLiteReaderFactory(dataFields, emitFile)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // d58: ship the rename-chain aliases (scoped to this scan's
+    // snapshot) so every split resolves projections per file
+    val m = IceLite.readManifest(ref)
+    new IceLiteReaderFactory(dataFields, emitFile,
+      IceLiteSource.aliasesOf(m, asOf.getOrElse(m.currentSnapshotId)))
+  }
 }
 
 sealed trait IceLitePartition extends InputPartition {
@@ -1316,8 +1340,13 @@ class IceLiteMicroBatchStream(ref: TableRef,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new IceLiteReaderFactory(fields)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // d58: streamed files may span a rename — same per-file aliasing
+    // as batch scans, scoped to the live manifest
+    val m = IceLite.readManifest(ref)
+    new IceLiteReaderFactory(fields,
+      aliases = IceLiteSource.aliasesOf(m, m.currentSnapshotId))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1345,11 +1374,15 @@ class IceLiteCdcScan(ref: TableRef, required: StructType,
     throw new UnsupportedOperationException(
       "changelog relations are streaming reads — the batch face is " +
         "IceLite.changes(ref, from, to) (d49)")
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(IceLite.readManifest(ref).renamedCols.isEmpty,
+      s"${ref.name} has RENAME COLUMN history — changelog rows would mix " +
+        "stored names across eras; re-baseline the consumer instead")
     new IceLiteCdcMicroBatchStream(ref, dataFields,
       required.fieldNames.contains("_change_type"),
       required.fieldNames.contains("_commit_snapshot_id"),
       snapshotsPerTrigger)
+  }
 }
 
 /** One changelog slice: either the rows OF new files (inserts /
@@ -1457,8 +1490,16 @@ class IceLiteCdcMicroBatchStream(ref: TableRef,
 }
 
 class IceLiteReaderFactory(fields: Array[(String, DataType)],
-    emitFile: Boolean = false)
+    emitFile: Boolean = false,
+    // d58: current name → older stored names (rename chain, newest
+    // first); per file, a projected column resolves to the first
+    // name the file actually stores
+    aliases: Map[String, Seq[String]] = Map.empty)
   extends PartitionReaderFactory {
+
+  /** The name `file` stores column `n` under (None: predates it). */
+  private def storedIn(fileCols: Seq[String], n: String): Option[String] =
+    (n +: aliases.getOrElse(n, Nil)).find(fileCols.contains)
 
   /** Columnar read path: Spark's own vectorized parquet reader
     * decodes straight into column vectors (the engine's production
@@ -1526,8 +1567,13 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
               .map(_.getName).toSeq, fr.getRecordCount)
             finally fr.close()
           }
-          val presentNames = fields.map(_._1).filter(fileCols.contains)
-          if (presentNames.isEmpty) {
+          // d58: resolve each projected column to the name THIS file
+          // stores it under (rename chain); unresolved = predates it
+          val storedByField = fields.map(f => storedIn(fileCols, f._1))
+          val presentStored = storedByField.flatten
+          val aliased = fields.indices.exists(i =>
+            storedByField(i).exists(_ != fields(i)._1))
+          if (presentStored.isEmpty) {
             nullRowsLeft = fileRows
             syncRows = false
             batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
@@ -1536,9 +1582,9 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
           } else {
             reader = new org.apache.spark.sql.execution.datasources.parquet
               .VectorizedParquetRecordReader(false, 4096)
-            reader.initialize(path, presentNames.toList.asJava)
+            reader.initialize(path, presentStored.toList.asJava)
             val fb = reader.resultBatch() // allocates the batch nextBatch() fills
-            if (presentNames.length == fields.length) {
+            if (presentStored.length == fields.length && !aliased) {
               syncRows = appendedVectors.nonEmpty
               batch =
                 if (appendedVectors.isEmpty) fb
@@ -1546,12 +1592,12 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
                   ((0 until fb.numCols).map(fb.column) ++ appendedVectors).toArray)
             } else {
               // fb columns follow FILE-schema order of the present
-              // subset; map back to the projection by name
-              val fbIdx = fileCols.filter(presentNames.toSet).zipWithIndex.toMap
+              // subset; map back to the projection via stored names
+              val fbIdx = fileCols.filter(presentStored.toSet).zipWithIndex.toMap
               syncRows = true
               batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
-                (fields.map { case (n, dt) =>
-                  fbIdx.get(n).map(fb.column)
+                (fields.zipWithIndex.map { case ((_, dt), i) =>
+                  storedByField(i).flatMap(fbIdx.get).map(fb.column)
                     .getOrElse(nullVector(dt)): org.apache.spark.sql.vectorized.ColumnVector
                 } ++ appendedVectors).toArray)
             }
@@ -1647,11 +1693,15 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         HadoopInputFile.fromPath(new HPath(file), new Configuration()))
       try fr.getFooter.getFileMetaData.getSchema finally fr.close()
     }
-    val fileHas: Set[String] =
-      fullFileSchema.getFields.asScala.map(_.getName).toSet
+    val fileColsSeq: Seq[String] =
+      fullFileSchema.getFields.asScala.map(_.getName).toSeq
+    // d58: per-file stored name for each projected column (rename
+    // chain fallback); null = the file predates the column
+    val storedNames: Array[String] =
+      fields.map(f => storedIn(fileColsSeq, f._1).orNull)
     // every projected column postdates this file (ALTER-added, d51):
     // nothing to decode — null cells at footer-count cardinality
-    if (!fields.exists(f => fileHas(f._1))) return countOnlyReader()
+    if (!storedNames.exists(_ != null)) return countOnlyReader()
     new PartitionReader[InternalRow] {
       private val conf = new Configuration()
       // project the read schema down to the required columns so the
@@ -1659,12 +1709,12 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
       // from this file (written before its ALTER TABLE ADD COLUMN,
       // d51) is null-filled per row below
       private val present: Array[Boolean] = {
-        val want = fields.map(_._1).toSet
+        val want = storedNames.filter(_ != null).toSet
         val projected = new org.apache.parquet.schema.MessageType(
           fullFileSchema.getName,
           fullFileSchema.getFields.asScala.filter(f => want(f.getName)).asJava)
         conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-        fields.map(f => fileHas(f._1))
+        storedNames.map(_ != null)
       }
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new HPath(file))
@@ -1687,7 +1737,8 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         }
         var i = 0
         while (i < fields.length) {
-          val (name, dt) = fields(i)
+          val name = storedNames(i) // d58: this file's stored name
+          val dt = fields(i)._2
           if (!present(i)) row.setNullAt(i)
           else if (cur.getFieldRepetitionCount(name) == 0) row.setNullAt(i)
           else dt match {

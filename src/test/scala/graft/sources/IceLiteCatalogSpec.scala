@@ -125,7 +125,7 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", true), (2L, "a", true)))
   }
 
-  test("ALTER TABLE refuses duplicates, renames, nested and complex types") {
+  test("ALTER TABLE refuses duplicates, nested and complex types") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
     IceLite.createOrReplace(TableRef(wh, "src", "t"), Seq((1L, 1.0)).toDF("k", "v"))
@@ -134,12 +134,12 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN a ARRAY<INT>"))
     intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN v TO w"))
+      spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN v TO k")) // name taken
     intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.src.t DROP COLUMN nope"))
     // and the ledgers stayed empty
     val m = IceLite.readManifest(TableRef(wh, "src", "t"))
-    assert(m.addedCols.isEmpty && m.droppedCols.isEmpty)
+    assert(m.addedCols.isEmpty && m.droppedCols.isEmpty && m.renamedCols.isEmpty)
   }
 
   // ---- d52: ALTER TABLE DROP COLUMN ----
@@ -266,6 +266,66 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     // a pinned table refuses writes (history is immutable)
     assertThrows[Exception](spark.sql(
       s"INSERT INTO $cat.src.tt VERSION AS OF ${s1.id} VALUES (99, 'x')"))
+  }
+
+  // ---- d58: ALTER TABLE RENAME COLUMN ----
+
+  test("RENAME COLUMN: metadata-only; new name reads values across file eras") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    val s1 = IceLite.createOrReplace(ref,
+      (1L to 4L).map(k => (k, k * 2.0)).toDF("k", "price"))
+    IceLite.append(ref, (5L to 10L).map(k => (k, k * 2.0)).toDF("k", "price"))
+    val filesBefore = IceLite.readManifest(ref).current.files
+    spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN price TO amount")
+    // metadata-only: same snapshot, same files
+    val m = IceLite.readManifest(ref)
+    assert(m.current.files == filesBefore)
+    assert(m.renamedCols.map(r => (r.from, r.to)) == Seq(("price", "amount")))
+    // old files answer under the NEW name (alias read, columnar path)
+    assert(spark.sql(s"SELECT SUM(amount) FROM $cat.src.t").head.getDouble(0)
+      == (1L to 10L).map(_ * 2.0).sum)
+    assert(!spark.table(s"$cat.src.t").columns.contains("price"))
+    // post-rename INSERT stores the new name; both eras read together
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (11, 100.0)")
+    assert(spark.sql(
+      s"SELECT CAST(COUNT(*) AS BIGINT), SUM(amount) FROM $cat.src.t")
+      .head match { case r => r.getLong(0) == 11L &&
+        r.getDouble(1) == (1L to 10L).map(_ * 2.0).sum + 100.0 })
+    // projection of ONLY the renamed column spans old files
+    assert(spark.sql(s"SELECT amount FROM $cat.src.t WHERE amount = 6.0")
+      .count() == 1L)
+    // time travel STRICTLY before the rename's snapshot scope sees
+    // the OLD name (the rename is scoped to its commit-time snapshot
+    // onward, like ALTER-added columns)
+    val tt = spark.sql(s"SELECT * FROM $cat.src.t VERSION AS OF ${s1.id}")
+    assert(tt.columns.toSet == Set("k", "price"))
+    assert(tt.count() == 4L)
+  }
+
+  test("RENAME COLUMN chains resolve per file era; retired names refuse reuse") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, Seq((1L, 10.0)).toDF("k", "a"))
+    spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN a TO b")
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (2, 20.0)") // stores b
+    spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN b TO c")
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (3, 30.0)") // stores c
+    val got = spark.sql(s"SELECT k, c FROM $cat.src.t ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // retired names: neither a nor b can be re-added or re-targeted
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN a DOUBLE"))
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN c TO b"))
+    // renaming a missing column refuses
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN nope TO x"))
+    // changelog consumers refuse renamed tables (stored names mix)
+    assertThrows[Exception](IceLite.changes(spark, ref, 1L, 2L))
   }
 
   test("VERSION AS OF resolves a tag; tags and branches stay disjoint") {
