@@ -1187,6 +1187,53 @@ object IceLite {
     commitReplace(ref, selected.toSet, staged, "compact-range")
   }
 
+  /** d59: Z-ORDER REWRITE — Iceberg's `rewrite_data_files(strategy =>
+    * 'sort', sort_order => 'zorder(c1, c2)')` role: rewrite the whole
+    * table clustered on the Morton interleave of two columns, so
+    * per-file min/max stats become tight rectangles in BOTH
+    * dimensions and `prunedFilesMulti` drops files for conjunctive
+    * range predicates. This is the maintenance face of what d16 does
+    * at write time: a table that accumulated hash- or arrival-ordered
+    * files (every file spanning the full key space, stats useless)
+    * gets its locality back in one conflict-validated rewrite.
+    * Commits through commitReplace: concurrent appends rebase and
+    * survive; a concurrent rewrite of a selected file fails loudly;
+    * the old layout stays time-travelable until expiry. Stats for the
+    * new files come from the parquet footers at commit (no second
+    * scan). Flat tables only — partitioned tables cluster within
+    * their dirs via compact(); live MoR sidecars refuse (compact()
+    * is the delete materializer); linearly-sorted tables refuse too,
+    * because the commit path would carry their `sortedBy` marker onto
+    * files the z-rewrite just un-sorted (NOTES rule 25: meet the
+    * layout contract or drop the marker — and the z-key is not a
+    * linear sort on any data column, so no marker can be kept). */
+  def rewriteZOrder(spark: SparkSession, ref: TableRef, col1: String,
+      col2: String, targetFiles: Int = 8): Snapshot = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val snap = readManifest(ref).current
+    require(snap.deleteFiles.isEmpty,
+      s"${ref.name} has live MoR delete sidecars — full compact() " +
+        "materializes them before a z-order rewrite")
+    require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
+      "z-order rewrite supports flat tables; partitioned " +
+        "tables cluster within their dirs via compact()")
+    require(snap.sortedBy.isEmpty,
+      s"${ref.name} is sorted by ${snap.sortedBy.get} — a z-order " +
+        "rewrite would keep the marker on un-sorted files; drop the " +
+        "sort (compact to flat) first")
+    val zc = org.apache.spark.sql.functions.col("__zkey")
+    val shaped = readFiles(spark, ref, snap.files)
+      .withColumn("__zkey",
+        graft.functions.ZOrder.key2(
+          org.apache.spark.sql.functions.col(col1),
+          org.apache.spark.sql.functions.col(col2)))
+      .repartitionByRange(targetFiles, zc)
+      .sortWithinPartitions(zc)
+      .drop("__zkey")
+    val staged = stage(ref, shaped)
+    commitReplace(ref, snap.files.toSet, staged, "replace")
+  }
+
   /** Stage with Hive-style partition layout. Files land in SHARED
     * per-value dirs `data/part/<col>=<value>/<token>-part-*.parquet`
     * (token-prefixed names keep concurrent commits collision-free) —

@@ -328,6 +328,41 @@ object FuncPack extends Pack {
                SELECT l_returnflag, 'sum_disc' AS metric,
                  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS value
                FROM lineitem GROUP BY l_returnflag)
-             ORDER BY l_returnflag, metric"""))
+             ORDER BY l_returnflag, metric""")),
+
+    // b71: STRING-DISTANCE SIMILARITY JOIN — edit-distance pairing
+    // (entity resolution / fuzzy matching over name columns). The
+    // scale-critical move is BLOCKING: candidate pairs come from an
+    // equi-join on a cheap block key (the name's first token), so
+    // pair work is Σ block² instead of the all-pairs N² a naive
+    // distance join would cost, and levenshtein() — a codegen'd
+    // built-in, identical unit-cost edit distance in both engines —
+    // runs only on candidates. The p_partkey < 500 slice keeps the
+    // fixture bounded at every SF (same 500 parts regardless of
+    // scale factor).
+    Decl("b71_string_distance",
+      (s, dir) => {
+        val p = t(s, dir, "part").filter($"p_partkey" < 500)
+          .select($"p_partkey", $"p_name",
+            split($"p_name", " ").getItem(0).as("blk"))
+        p.as("a").join(p.as("b"),
+            col("a.blk") === col("b.blk") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
+          .select(col("a.p_partkey").as("a_key"),
+            col("b.p_partkey").as("b_key"),
+            levenshtein(col("a.p_name"), col("b.p_name"))
+              .cast("int").as("dist"))
+          .orderBy($"a_key", $"b_key")
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[1] AS blk
+               FROM part WHERE p_partkey < 500)
+             SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+             FROM p a JOIN p b
+               ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+             WHERE levenshtein(a.p_name, b.p_name) <= 4
+             ORDER BY a_key, b_key"""))
   )
 }

@@ -107,6 +107,30 @@ object LlmPack extends Pack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** c27's core, w-parameterized for the unit test: per document, how
+    * many of its w-token windows appear verbatim in ≥2 distinct
+    * documents. Window strings never shuffle — only 64-bit xxhash64
+    * keys do (the c27 Decl documents the collision trade). */
+  private[queries] def substringDupCounts(d0: DataFrame, w: Int): DataFrame = {
+    val d = d0
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= w)
+    val wins = d.select($"doc_id",
+        explode(expr(s"word_ngrams(toks, $w)")).as("gram"))
+      .select($"doc_id", xxhash64($"gram").as("gh"))
+    val dup = wins.distinct()
+      .groupBy($"gh").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"gh")
+    val pd = wins.join(dup, Seq("gh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).cast("long").as("dup_windows"))
+    d.select($"doc_id", (size($"toks") - lit(w - 1)).cast("long").as("n_windows"))
+      .join(pd, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_windows"))
+      .withColumn("dup_ratio",
+        round($"dup_windows" / $"n_windows", 4))
+      .orderBy($"doc_id")
+  }
+
   /** c16's persisted edge/label stages (same lifecycle as lastSig). */
   @volatile private var lastCC: Seq[DataFrame] = Nil
 
@@ -1228,6 +1252,133 @@ object LlmPack extends Pack {
              JOIN uni cb ON pairs.b = cb.tok
              CROSS JOIN tot
              WHERE c_ab >= 3
-             ORDER BY pmi DESC, a ASC, b ASC LIMIT 50"""))
+             ORDER BY pmi DESC, a ASC, b ASC LIMIT 50""")),
+
+    // c27: EXACT SUBSTRING DEDUP — the span-level dedup published
+    // LLM-corpus work applies where document-level near-dup (c02/c12)
+    // cannot: boilerplate and license blocks repeat VERBATIM inside
+    // otherwise-distinct documents. A window of W=8 consecutive
+    // tokens that appears in ≥2 distinct documents marks a duplicated
+    // span; the per-document duplicated-window ratio is the curation
+    // signal (mask or drop high-ratio docs). Scale shape: the W-token
+    // window STRINGS never shuffle — each window is hashed to 64 bits
+    // map-side (xxhash64) and only (doc_id, hash) pairs move; the
+    // cross-doc test is one distinct + one aggregate on the hash, and
+    // the position-count join-back is an equi-semi-join on the hash.
+    // A 64-bit collision could only mark one window duplicated
+    // spuriously (never correctness of the texts themselves); the
+    // oracle compares per-doc counts, which hashing leaves intact.
+    Decl("c27_substring_dedup",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        substringDupCounts(docs(s, dir), 8)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE len(string_split(text, ' ')) >= 8),
+             wins AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+               FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i)),
+             dup AS (SELECT gram FROM (
+               SELECT gram, COUNT(DISTINCT doc_id) AS nd
+               FROM (SELECT DISTINCT doc_id, gram FROM wins) GROUP BY gram)
+               WHERE nd >= 2),
+             pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows
+               FROM wins SEMI JOIN dup USING (gram) GROUP BY doc_id)
+             SELECT d.doc_id, CAST(len(toks) - 7 AS BIGINT) AS n_windows,
+               COALESCE(dup_windows, 0) AS dup_windows,
+               ROUND(COALESCE(dup_windows, 0)
+                 / CAST(len(toks) - 7 AS DOUBLE), 4) AS dup_ratio
+             FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""")),
+
+    // c28: IMPORTANCE WEIGHTING for domain matching (the DSIR recipe:
+    // score raw documents by how target-like they are, then resample)
+    // — here with unigram-LM features: fit add-one-smoothed unigram
+    // distributions over the target slice (source = src0) and the
+    // raw rest, broadcast the per-token log-likelihood RATIO table
+    // (vocabulary-sized), and score every document with one
+    // broadcast join + one aggregate. The ln() inputs are identical
+    // exact-integer ratios in both engines, computed once per VOCAB
+    // ENTRY (not per occurrence), so cross-engine libm drift is
+    // bounded by ~1 ulp × token count — invisible at round 4. The
+    // top-50 cut orders by the ROUNDED score with a doc_id tie-break
+    // (NOTES rule 13 discipline).
+    Decl("c28_dsir_importance",
+      (s, dir) => {
+        val toks = docs(s, dir).select($"doc_id", $"source",
+          explode(split(lower($"text"), " ")).as("tok"))
+        val tc = toks.filter($"source" === "src0")
+          .groupBy($"tok").agg(count(lit(1)).cast("long").as("ct"))
+        val rc = toks.filter($"source" =!= "src0")
+          .groupBy($"tok").agg(count(lit(1)).cast("long").as("cr"))
+        val vocab = tc.join(rc, Seq("tok"), "full_outer")
+          .na.fill(0L, Seq("ct", "cr"))
+        val tot = vocab.agg(sum($"ct").cast("double").as("tt"),
+          sum($"cr").cast("double").as("tr"),
+          count(lit(1)).cast("double").as("v"))
+        val lr = vocab.crossJoin(broadcast(tot))
+          .select($"tok",
+            (log(($"ct" + 1).cast("double") / ($"tt" + $"v")) -
+             log(($"cr" + 1).cast("double") / ($"tr" + $"v"))).as("lw"))
+        val dt = toks.groupBy($"doc_id", $"tok")
+          .agg(count(lit(1)).cast("long").as("n"))
+        dt.join(broadcast(lr), "tok")
+          .groupBy($"doc_id")
+          .agg(round(sum($"n" * $"lw"), 4).as("logw"))
+          .orderBy($"logw".desc, $"doc_id".asc)
+          .limit(50)
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+               unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+             tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct
+               FROM toks WHERE source = 'src0' GROUP BY tok),
+             rc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cr
+               FROM toks WHERE source <> 'src0' GROUP BY tok),
+             vocab AS (SELECT COALESCE(tc.tok, rc.tok) AS tok,
+               COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+               FROM tc FULL OUTER JOIN rc ON tc.tok = rc.tok),
+             tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt,
+               CAST(SUM(cr) AS DOUBLE) AS tr,
+               CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+             lr AS (SELECT tok,
+               LN(CAST(ct + 1 AS DOUBLE) / (tt + v)) -
+               LN(CAST(cr + 1 AS DOUBLE) / (tr + v)) AS lw
+               FROM vocab CROSS JOIN tot),
+             dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+               FROM toks GROUP BY doc_id, tok)
+             SELECT doc_id, ROUND(SUM(n * lw), 4) AS logw
+             FROM dt JOIN lr USING (tok) GROUP BY doc_id
+             ORDER BY logw DESC, doc_id ASC LIMIT 50""")),
+
+    // c29: BPE PAIR COUNTS — the inner statistic of byte-pair-encoding
+    // tokenizer training: corpus-wide adjacent-character-pair
+    // frequencies weighted by word frequency; the argmax is the first
+    // BPE merge. Scale shape: the corpus collapses to its WORD
+    // FREQUENCY table first (vocabulary-sized — the classic BPE
+    // training preprocessing), so the pair explosion runs over
+    // distinct words × positions, not over every token occurrence;
+    // per-pair totals are one map-side-combining aggregate. All
+    // arithmetic is integer — the comparison is exact, and the top-30
+    // cut tie-breaks on the pair string.
+    Decl("c29_bpe_pair_counts",
+      (s, dir) => {
+        val words = docs(s, dir)
+          .select(explode(split(lower($"text"), " ")).as("w"))
+          .filter(length($"w") >= 2)
+          .groupBy($"w").agg(count(lit(1)).cast("long").as("freq"))
+        words.select($"freq", explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy($"pair").agg(sum($"freq").cast("long").as("cnt"))
+          .orderBy($"cnt".desc, $"pair".asc)
+          .limit(30)
+      },
+      Some("""WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                     FROM documents)
+               WHERE len(w) >= 2 GROUP BY w),
+             pairs AS (SELECT substring(w, i, 2) AS pair, freq
+               FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i))
+             SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM pairs GROUP BY pair
+             ORDER BY cnt DESC, pair ASC LIMIT 30"""))
   )
 }

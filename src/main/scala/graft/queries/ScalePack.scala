@@ -29,16 +29,11 @@ object ScalePack extends Pack {
     * (the current one is still referenced by the returned lazy plan). */
   @volatile private var lastDb: Option[String] = None
 
-  /** d16's 2-column Morton (Z-order) key over 16-bit non-negative
-    * keys: bit i of x lands at 2i, bit i of y at 2i+1. The loop
-    * unrolls at plan-build time into a static tree of 32 shift/mask
-    * terms — pure built-ins, whole-stage codegen, no UDF. */
+  /** d16's 2-column Morton (Z-order) key — shared with the
+    * table-maintenance rewrite (graft.functions.ZOrder, d59). */
   private[queries] def zorder2(x: org.apache.spark.sql.Column,
       y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 16).foldLeft(lit(0L)) { (z, i) =>
-      z.bitwiseOR(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+    graft.functions.ZOrder.key2(x, y)
 
   val decls: Seq[Decl] = Seq(
 
@@ -2190,6 +2185,53 @@ object ScalePack extends Pack {
       },
       Some("""SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
              CAST(COUNT(*) AS BIGINT) AS n
-             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // d59: Z-ORDER REWRITE as a maintenance procedure — the d16
+    // clustering applied AFTER the fact (Iceberg's
+    // `rewrite_data_files(sort_order => zorder(...))`). The table
+    // starts hash-scattered: 8 files, each spanning the full
+    // (partkey, suppkey) rectangle, so min/max stats prune NOTHING
+    // (asserted: before == total). `CALL system.rewrite_zorder`
+    // reclusters on the Morton interleave in one conflict-validated
+    // replace snapshot; the same conjunctive predicate then keeps a
+    // strict subset of files (kept < total) and the range read stays
+    // exact. At 100 TB this is the nightly locality-repair job for
+    // tables whose ingest order is uncorrelated with query keys.
+    Decl("d59_rewrite_zorder",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d59").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "lineitem_rz")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+            $"l_quantity", $"l_extendedprice")
+        IceLite.createOrReplace(ref, l.repartition(8, $"l_orderkey"),
+          statsCols = Seq("l_partkey", "l_suppkey"))
+        val preds = Seq(("l_partkey", 20.0, 60.0), ("l_suppkey", 1.0, 4.0))
+        val total0 = IceLite.readManifest(ref).current.files.size.toLong
+        val before = IceLite.prunedFilesMulti(ref, preds).size.toLong
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"""CALL $cat.system.rewrite_zorder(
+                  table => 'src.lineitem_rz', col1 => 'l_partkey',
+                  col2 => 'l_suppkey', target_files => 16)""").collect()
+        val total = IceLite.readManifest(ref).current.files.size.toLong
+        val kept = IceLite.prunedFilesMulti(ref, preds).size.toLong
+        IceLite.readPrunedMulti(s, ref, preds)
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            dsum($"l_extendedprice", 2).as("sum_price"))
+          .withColumn("zorder_pruned", lit(before == total0 && kept < total))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             TRUE AS zorder_pruned
+             FROM lineitem
+             WHERE l_partkey BETWEEN 20 AND 60
+               AND l_suppkey BETWEEN 1 AND 4"""))
   )
 }

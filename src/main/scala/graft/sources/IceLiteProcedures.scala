@@ -26,8 +26,8 @@ import graft.icelite.{IceLite, TableRef}
   */
 object IceLiteProcedures {
   val names: Seq[String] = Seq("compact", "compact_range",
-    "expire_snapshots", "expire_retain_last", "rollback_to_snapshot",
-    "gc_orphans")
+    "rewrite_zorder", "expire_snapshots", "expire_retain_last",
+    "rollback_to_snapshot", "gc_orphans")
 
   def apply(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -64,6 +64,27 @@ object IceLiteProcedures {
             refOf(warehouse, in.getUTF8String(0).toString),
             in.getUTF8String(1).toString, in.getDouble(2), in.getDouble(3),
             in.getInt(4))
+          Array(Array[Any](snap.id, snap.files.size.toLong))
+        }
+      })
+      // d59: Iceberg's `rewrite_data_files(sort_order => zorder(..))`
+      // — recluster the whole table on the Morton interleave of two
+      // columns so conjunctive range predicates prune files again
+      case "rewrite_zorder" => Some(new Proc("rewrite_zorder",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("col1", StringType).build(),
+          ProcedureParameter.in("col2", StringType).build(),
+          ProcedureParameter.in("target_files", IntegerType)
+            .defaultValue("8").build()),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("n_files", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val snap = IceLite.rewriteZOrder(SparkSession.active,
+            refOf(warehouse, in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getInt(3))
           Array(Array[Any](snap.id, snap.files.size.toLong))
         }
       })

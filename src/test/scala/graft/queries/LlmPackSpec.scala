@@ -442,4 +442,28 @@ class LlmPackSpec extends AnyFunSuite {
     assert(prefixCensus == prefixExpected,
       "prefix census must match the same membership rule")
   }
+
+  test("c27 substring dedup: planted verbatim span found, offsets and self-repeats don't count") {
+    graft.functions.GraftFunctions.register(spark)
+    // docs 1 and 2 share a verbatim 5-token span at DIFFERENT offsets;
+    // doc 3 repeats its own 5-gram twice (within one doc — must NOT
+    // count as cross-doc duplication); doc 4 is all-unique.
+    val span = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      (1L, s"$span one two three"),
+      (2L, s"zero $span nine"),
+      (3L, "r1 r2 r3 r4 r5 x r1 r2 r3 r4 r5"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7")
+    ).toDF("doc_id", "text")
+    val got = LlmPack.substringDupCounts(df, 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1: 4 windows, exactly 1 (the span) duplicated cross-doc
+    assert(got(1L) == (4L, 1L), s"doc 1: ${got(1L)}")
+    // doc 2: 3 windows, 1 duplicated — offset doesn't matter
+    assert(got(2L) == (3L, 1L), s"doc 2: ${got(2L)}")
+    // doc 3: its repeated 5-gram appears in ONE doc only → 0 dup
+    assert(got(3L) == (7L, 0L), s"doc 3: ${got(3L)}")
+    assert(got(4L) == (3L, 0L), s"doc 4: ${got(4L)}")
+  }
 }

@@ -51,6 +51,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"banding degenerated:\n$p")
   }
 
+  test("b71 string-distance join blocks on an equi-key, no cartesian product") {
+    val p = plan("b71_string_distance")
+    assert(!p.contains("CartesianProduct"),
+      s"distance join degenerated to all-pairs:\n$p")
+  }
+
+  test("c27 substring dedup joins on the window hash, no cartesian product") {
+    val p = plan("c27_substring_dedup")
+    assert(!p.contains("CartesianProduct"), s"span matching degenerated:\n$p")
+  }
+
   test("c17 quantized top-k: broadcast query, distributed top-k, no cartesian") {
     val p = plan("c17_embed_quantize")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not distributed:\n$p")

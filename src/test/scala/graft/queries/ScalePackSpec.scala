@@ -251,4 +251,59 @@ class ScalePackSpec extends AnyFunSuite {
     val expected = grid.filter($"x" <= 15 && $"y" <= 15).count()
     assert(n == expected, s"pruned read returned $n, expected $expected")
   }
+
+  test("d59 rewriteZOrder: restores 2-dim pruning, preserves rows, keeps history") {
+    import spark.implicits._
+    import graft.icelite.{IceLite, TableRef}
+    val wh = java.nio.file.Files.createTempDirectory("d59_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "grid")
+    // a 32×32 grid hash-scattered over 8 files: every file spans the
+    // full (x, y) rectangle, so multi-column stats prune nothing
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong, (x * 32 + y).toLong)).toDF("x", "y", "v")
+    val first = IceLite.createOrReplace(ref,
+      grid.repartition(8, $"v"), statsCols = Seq("x", "y"))
+    val preds = Seq(("x", 0.0, 7.0), ("y", 0.0, 7.0))
+    assert(IceLite.prunedFilesMulti(ref, preds).size == 8,
+      "hash layout must defeat pruning (precondition)")
+
+    val snap = IceLite.rewriteZOrder(spark, ref, "x", "y", targetFiles = 8)
+    assert(snap.operation == "replace")
+    assert(snap.files.size == 8)
+    // z-clustering makes the predicate rectangle intersect few files
+    val kept = IceLite.prunedFilesMulti(ref, preds).size
+    assert(kept < 8, s"z-rewrite must restore pruning, kept $kept/8")
+    // content identical
+    val got = IceLite.read(spark, ref).as[(Long, Long, Long)]
+      .collect().map(_._3).sorted
+    assert(got.toSeq == (0L until 1024L))
+    // pruned read exact
+    val n = IceLite.readPrunedMulti(spark, ref, preds).count()
+    assert(n == 64, s"pruned read returned $n, expected 64")
+    // the scattered layout is still time-travelable
+    assert(IceLite.readAt(spark, ref, first.id).count() == 1024)
+  }
+
+  test("d59 rewriteZOrder refuses sorted, partitioned, and MoR-live tables") {
+    import spark.implicits._
+    import graft.icelite.{IceLite, TableRef}
+    val wh = java.nio.file.Files.createTempDirectory("d59_refuse").toString
+    IceLite.createNamespace(wh, "src")
+    val df = (0L until 100L).map(k => (k, k % 10)).toDF("k", "g")
+
+    val sorted = TableRef(wh, "src", "sorted_t")
+    IceLite.createOrReplaceSorted(sorted, df, "k", numFiles = 2)
+    val e1 = intercept[IllegalArgumentException] {
+      IceLite.rewriteZOrder(spark, sorted, "k", "g")
+    }
+    assert(e1.getMessage.contains("sorted"))
+
+    val parted = TableRef(wh, "src", "parted_t")
+    IceLite.createOrReplacePartitioned(parted, df, "g")
+    val e2 = intercept[IllegalArgumentException] {
+      IceLite.rewriteZOrder(spark, parted, "k", "g")
+    }
+    assert(e2.getMessage.contains("partitioned"))
+  }
 }
