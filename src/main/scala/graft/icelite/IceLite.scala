@@ -2148,29 +2148,56 @@ object IceLite {
     * on the normal schedule. */
   def stageBranchAppend(ref: TableRef, branch: String, df: DataFrame,
       statsCols: Seq[String] = Nil): Snapshot = {
-    require(readManifest(ref).current.deleteFiles.isEmpty,
-      s"${ref.name} has live MoR delete sidecars — compact() before " +
-        "staging a WAP branch (the staged snapshot must not lose them)")
-    require(readManifest(ref).current.partitionSpec.isEmpty,
-      s"${ref.name} has a hidden-partition spec — WAP staging appends " +
-        "flat files and would strand them outside the transform layout")
     val files = stage(ref, df)
-    val rowsByFile = fileRowCounts(ref, files)
     val stats = collectStats(df.sparkSession, ref, files, statsCols)
+    commitFilesToBranch(ref, branch, files, stats, keepSorted = false)
+  }
+
+  /** d60: the `spark.wap.branch` connector write path — commit files
+    * ALREADY staged by the DSv2 writer tasks to a branch instead of
+    * advancing main (Iceberg's session-conf WAP routing). Stats come
+    * from the parquet footers at commit, like every connector write. */
+  private[graft] def commitStagedToBranch(ref: TableRef, branch: String,
+      files: Seq[String], keepSorted: Boolean): Snapshot =
+    commitFilesToBranch(ref, branch, files, footerStats(ref, files), keepSorted)
+
+  /** Shared branch-commit body. A second stage onto a LIVE branch
+    * chains on the BRANCH head (Iceberg wap.branch appends accumulate
+    * on the candidate), while the publish gate (`wap.base`) keeps the
+    * candidate's ORIGINAL staging base on main, so fast-forward still
+    * refuses when main has advanced since staging began. The staged
+    * snapshot drops the `sortedBy` marker unless the writer proved
+    * clustering (NOTES rule 25) — publish would otherwise advance
+    * main onto a layout claim the staged files break. */
+  private def commitFilesToBranch(ref: TableRef, branch: String,
+      files: Seq[String], stats: Map[String, Seq[ColStats]],
+      keepSorted: Boolean): Snapshot = {
+    val rowsByFile = fileRowCounts(ref, files)
     val man = commitCAS(ref) { cur =>
       val m = cur.getOrElse(
         throw new IllegalStateException(s"no manifest for ${ref.name}"))
-      val base = m.current
+      require(!m.tags.contains(branch),
+        s"'$branch' is already a tag of ${ref.name}")
+      val branchHead = m.branches.get(branch)
+        .flatMap(id => m.snapshots.find(_.id == id))
+      val base = branchHead.getOrElse(m.current)
+      require(base.deleteFiles.isEmpty,
+        s"${ref.name} has live MoR delete sidecars — compact() before " +
+          "staging a WAP branch (the staged snapshot must not lose them)")
+      require(base.partitionSpec.isEmpty,
+        s"${ref.name} has a hidden-partition spec — WAP staging appends " +
+          "flat files and would strand them outside the transform layout")
+      // the base main snapshot this candidate was built on — publish
+      // refuses to fast-forward if main has advanced past it
+      val wapBase = branchHead.flatMap(_.summary.get("wap.base"))
+        .getOrElse(m.current.id.toString)
       val id = m.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "stage-append",
         base.files ++ files, base.rowCount + rowsByFile.values.sum,
-        base.fileStats ++ stats, base.partitionCols, base.sortedBy,
-        // the base main snapshot this candidate was built on — publish
-        // refuses to fast-forward if main has advanced past it
-        summary = Map("wap.base" -> base.id.toString),
+        base.fileStats ++ stats, base.partitionCols,
+        if (keepSorted) base.sortedBy else None,
+        summary = Map("wap.base" -> wapBase),
         fileRows = base.fileRows ++ rowsByFile)
-      require(!m.tags.contains(branch),
-        s"'$branch' is already a tag of ${ref.name}")
       m.copy(snapshots = m.snapshots :+ snap,
         branches = m.branches + (branch -> id))
     }

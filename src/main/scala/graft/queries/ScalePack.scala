@@ -2232,6 +2232,55 @@ object ScalePack extends Pack {
              TRUE AS zorder_pruned
              FROM lineitem
              WHERE l_partkey BETWEEN 20 AND 60
-               AND l_suppkey BETWEEN 1 AND 4"""))
+               AND l_suppkey BETWEEN 1 AND 4""")),
+
+    // d60: SQL-SESSION WAP — Iceberg's `spark.wap.branch` routing +
+    // branch-lifecycle procedures. With the conf set, a plain
+    // `INSERT INTO` stages its snapshot under the branch (main does
+    // not move — asserted), the audit reads it via
+    // `VERSION AS OF '<branch>'`, and `CALL system.publish_branch`
+    // fast-forwards main. The whole write-audit-publish loop runs in
+    // SQL with no JVM API access — the shape a 100 TB ingest pipeline
+    // actually has (orchestrator sets one conf; a bad batch is
+    // `CALL system.drop_branch` away from never having existed).
+    Decl("d60_sql_wap_branch",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d60").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_wapsql")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val first = IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+          .createOrReplaceTempView("graft_d60_batch")
+        val (stagedInvisible, branchSaw) = try {
+          s.conf.set("spark.wap.branch", "audit")
+          s.sql(s"""INSERT INTO $cat.src.orders_wapsql
+                    SELECT o_orderkey, o_totalprice FROM graft_d60_batch""")
+          val invisible = IceLite.read(s, ref).count() == first.rowCount
+          val branchN = s.sql(
+            s"""SELECT COUNT(*) FROM $cat.src.orders_wapsql
+                VERSION AS OF 'audit'""").head().getLong(0)
+          (invisible, branchN > first.rowCount)
+        } finally s.conf.unset("spark.wap.branch")
+        s.sql(s"""CALL $cat.system.publish_branch(
+                  table => 'src.orders_wapsql', branch => 'audit')""").collect()
+        val published = IceLite.readManifest(ref).branches.isEmpty
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("staged_invisible", lit(stagedInvisible))
+          .withColumn("branch_saw_batch", lit(branchSaw))
+          .withColumn("published", lit(published))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS staged_invisible, TRUE AS branch_saw_batch,
+             TRUE AS published
+             FROM orders WHERE o_orderkey < 2000"""))
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import graft.icelite.{IceLite, TableRef}
 
 /** d44: SQL MAINTENANCE PROCEDURES — the `CALL cat.system.<proc>(...)`
@@ -27,7 +27,8 @@ import graft.icelite.{IceLite, TableRef}
 object IceLiteProcedures {
   val names: Seq[String] = Seq("compact", "compact_range",
     "rewrite_zorder", "expire_snapshots", "expire_retain_last",
-    "rollback_to_snapshot", "gc_orphans")
+    "rollback_to_snapshot", "gc_orphans", "publish_branch",
+    "drop_branch")
 
   def apply(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -124,6 +125,34 @@ object IceLiteProcedures {
           val snap = IceLite.rollback(
             refOf(warehouse, in.getUTF8String(0).toString), restoredFrom)
           Array(Array[Any](snap.id, restoredFrom))
+        }
+      })
+      // d60: WAP branch lifecycle — the publish/reject halves of the
+      // write-audit-publish loop, SQL-callable so the audit job needs
+      // no JVM API access (Iceberg's fast_forward role)
+      case "publish_branch" => Some(new Proc("publish_branch",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(
+          StructField("published_snapshot_id", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val snap = IceLite.publish(
+            refOf(warehouse, in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString)
+          Array(Array[Any](snap.id))
+        }
+      })
+      case "drop_branch" => Some(new Proc("drop_branch",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          IceLite.dropBranch(refOf(warehouse, in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString)
+          Array(Array[Any](true))
         }
       })
       case "gc_orphans" => Some(new Proc("gc_orphans",

@@ -299,6 +299,13 @@ class IceLiteTable(ref: TableRef, schema: StructType,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty,
       s"${name()} is a time-travel read — snapshots are immutable")
+    // d60: same audit-session guard as the row-level write path — a
+    // pushed-filter DELETE during a WAP session would mutate main
+    // while the audit reads the branch
+    require(org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.wap.branch").forall(_.isEmpty),
+      "spark.wap.branch is set — DELETE would rewrite main during " +
+        "an audit session; publish/drop the branch or unset the conf")
     val pred =
       if (filters.isEmpty) "true"
       else filters.map(f => render(f).getOrElse(throw new IllegalArgumentException(
@@ -417,6 +424,13 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // d60: a row-level rewrite during a WAP session would mutate MAIN
+    // while the audit looks at the branch — refuse rather than route
+    // (branch-based copy-on-write is not supported; publish or unset)
+    require(org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.wap.branch").forall(_.isEmpty),
+      s"spark.wap.branch is set — $opName would rewrite main during " +
+        "an audit session; publish/drop the branch or unset the conf")
     val staged = messages.collect {
       case IceLiteCommitMessage(name) if name != null => s"data/$token/$name"
     }.toSeq.sorted
@@ -521,12 +535,31 @@ class IceLiteBatchWrite(ref: TableRef, schema: StructType, replace: Boolean,
     val files = messages.collect {
       case IceLiteCommitMessage(name) if name != null => s"data/$token/$name"
     }.toSeq.sorted
-    // `clustered`: Spark honored this write's range distribution +
-    // sort requirement (d54), so the staged files are range-clustered
-    // and the snapshot may KEEP the table's sortedBy layout marker
-    if (files.nonEmpty || replace)
-      IceLite.commitStaged(ref, files, replace, keepSorted = clustered)
-    else ()  // empty append: no snapshot (nothing changed)
+    // d60: Iceberg's session-conf WAP routing — with `spark.wap.branch`
+    // set, INSERT INTO stages its snapshot under the branch and main
+    // does not move until `CALL system.publish_branch`. Appends only:
+    // an overwrite cannot be "staged" (publish is a fast-forward of
+    // main, and a truncate-under-audit would silently hide the
+    // destructive part until publish) — refuse loudly instead.
+    val wap = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.wap.branch").filter(_.nonEmpty)
+    wap match {
+      case Some(branch) =>
+        require(!replace,
+          "spark.wap.branch is set — INSERT OVERWRITE / truncate " +
+            "cannot be staged to a WAP branch; unset the conf to overwrite")
+        if (files.nonEmpty) {
+          IceLite.commitStagedToBranch(ref, branch, files,
+            keepSorted = clustered); ()
+        }
+      case None =>
+        // `clustered`: Spark honored this write's range distribution +
+        // sort requirement (d54), so the staged files are range-clustered
+        // and the snapshot may KEEP the table's sortedBy layout marker
+        if (files.nonEmpty || replace)
+          IceLite.commitStaged(ref, files, replace, keepSorted = clustered)
+        else ()  // empty append: no snapshot (nothing changed)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

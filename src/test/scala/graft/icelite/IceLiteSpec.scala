@@ -216,6 +216,26 @@ class IceLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IceLite.rollback(ref, 12345L))
   }
 
+  test("branch staging chains on the branch head; the publish gate stays the original base") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_wap_chain").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
+    IceLite.stageBranchAppend(ref, "b", Seq(3).toDF("k"))
+    IceLite.stageBranchAppend(ref, "b", Seq(4).toDF("k"))
+    // second stage accumulated on the candidate, main untouched
+    assert(IceLite.readBranch(spark, ref, "b")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // main advances AFTER staging began: publish must still refuse —
+    // the gate is the candidate's ORIGINAL staging base, not the
+    // branch head's commit time
+    IceLite.append(ref, Seq(9).toDF("k"))
+    intercept[IllegalStateException](IceLite.publish(ref, "b"))
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 9), "failed publish must leave main intact")
+  }
+
   test("WAP branches: staged invisible on main, publish fast-forwards, drop abandons") {
     val wh = java.nio.file.Files.createTempDirectory("icelite_wap").toString
     val ref = TableRef(wh, "ns", "t")

@@ -538,6 +538,51 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("audit"))
   }
 
+  test("spark.wap.branch routes INSERT INTO to the branch; lifecycle procedures close the loop") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    try {
+      spark.conf.set("spark.wap.branch", "audit")
+      // two INSERTs ACCUMULATE on the branch; main never moves
+      spark.sql(s"INSERT INTO $cat.src.t VALUES (51, 51.0)")
+      spark.sql(s"INSERT INTO $cat.src.t VALUES (52, 52.0)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 50L,
+        "main must not move while spark.wap.branch is set")
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.src.t VERSION AS OF 'audit'")
+        .head.getLong(0) == 52L,
+        "second INSERT must chain on the branch head, not restage")
+      // an overwrite cannot be staged — loud refusal, main intact
+      val e = intercept[Exception](
+        spark.sql(s"INSERT OVERWRITE $cat.src.t VALUES (1, 1.0)"))
+      assert(e.getMessage.contains("wap.branch") ||
+        Option(e.getCause).exists(_.getMessage.contains("wap.branch")))
+      // a row-level rewrite mid-audit refuses too (it would hit main)
+      val e2 = intercept[Exception](
+        spark.sql(s"DELETE FROM $cat.src.t WHERE k = 1"))
+      assert(e2.getMessage.contains("wap.branch") ||
+        Option(e2.getCause).exists(_.getMessage.contains("wap.branch")))
+    } finally spark.conf.unset("spark.wap.branch")
+    // audit passed: publish fast-forwards main, branch pointer clears
+    val pub = spark.sql(s"""CALL $cat.system.publish_branch(
+      table => 'src.t', branch => 'audit')""").collect()
+    assert(pub.head.getLong(0) > 0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 52L)
+    assert(IceLite.readManifest(ref).branches.isEmpty)
+    // reject path: stage a bad batch, drop it via the procedure
+    try {
+      spark.conf.set("spark.wap.branch", "audit2")
+      spark.sql(s"INSERT INTO $cat.src.t VALUES (999, -1.0)")
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(spark.sql(s"""CALL $cat.system.drop_branch(
+      table => 'src.t', branch => 'audit2')""").collect().head.getBoolean(0))
+    assert(IceLite.readManifest(ref).branches.isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 52L,
+      "rejected batch must never reach main")
+  }
+
   test("INSERT OVERWRITE through the catalog replaces the table in one snapshot") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
