@@ -2138,6 +2138,39 @@ object IceLite {
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
     }.current
 
+  /** d61: table statistics collection — the ANALYZE role (Iceberg
+    * computes NDV into puffin stat files; Trino's ANALYZE does the
+    * same). One Spark job folds HyperLogLog sketches per column
+    * (approx_count_distinct — mergeable partial aggregation, a single
+    * pass however wide the table), and the per-column NDV lands in a
+    * metadata-only "analyze" snapshot's summary (`ndv.<col>`), where
+    * planners and the `$snapshots` metadata table can read it. The
+    * snapshot references the SAME files as its base — nothing is
+    * rewritten; a concurrent append rebases past it like any other
+    * metadata commit. At 100 TB NDV is what join planners need beyond
+    * d53's size/rows: row count says broadcast, NDV says which side
+    * duplicates under the join key. */
+  def analyze(spark: SparkSession, ref: TableRef, cols: Seq[String]): Snapshot = {
+    require(cols.nonEmpty, "analyze requires at least one column")
+    val df = read(spark, ref)
+    val aggs = cols.map(c =>
+      org.apache.spark.sql.functions.approx_count_distinct(
+        org.apache.spark.sql.functions.col(c)).cast("long").as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ndv = cols.zipWithIndex.map { case (c, i) =>
+      s"ndv.$c" -> row.getLong(i).toString }.toMap
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      val base = m.current
+      val id = m.snapshots.map(_.id).max + 1
+      val snap = base.copy(id = id,
+        timestampMs = System.currentTimeMillis(), operation = "analyze",
+        summary = base.summary ++ ndv)
+      m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
+    }.current
+  }
+
   /** d19: WRITE-AUDIT-PUBLISH staging (Iceberg's wap.branch
     * workflow). Commit the candidate snapshot — current files + the
     * staged batch — into the manifest under a named BRANCH without

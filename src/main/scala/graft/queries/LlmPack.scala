@@ -1379,6 +1379,43 @@ object LlmPack extends Pack {
                FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i))
              SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
              FROM pairs GROUP BY pair
-             ORDER BY cnt DESC, pair ASC LIMIT 30"""))
+             ORDER BY cnt DESC, pair ASC LIMIT 30""")),
+
+    // c30: GLOBAL CORPUS SHUFFLE + SHARDING — the step between
+    // curation and training: decorrelate document order (a corpus
+    // sorted by crawl source trains badly) and split into balanced
+    // shards. Deterministic stand-in for randomness: a Knuth
+    // multiplicative hash of doc_id is the shuffle key (append-stable,
+    // reproducible across runs — the property a training run needs to
+    // resume); shard = key mod 8; within-shard order = (key, doc_id).
+    // NO GLOBAL SORT anywhere: shard census is one keyed aggregate,
+    // the first-doc witness is a keyed window, and the real writer
+    // shape at 100 TB is repartition(shard) +
+    // sortWithinPartitions(key) — both embarrassingly shuffle-
+    // parallel. Balance is hash-uniform (asserted by the oracle's
+    // per-shard counts, 62-63 docs per shard at 500 docs).
+    Decl("c30_global_shuffle",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("skey", pmod($"doc_id" * lit(2654435761L), lit(4294967296L)))
+          .withColumn("shard", pmod($"skey", lit(8)).cast("long"))
+        val wFirst = org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"skey".asc, $"doc_id".asc)
+        d.withColumn("rn", row_number().over(wFirst))
+          .groupBy($"shard")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("sum_chars"),
+            max(when($"rn" === 1, $"doc_id")).cast("long").as("first_doc"))
+          .orderBy($"shard")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+               (doc_id * 2654435761) % 4294967296 AS skey FROM documents),
+             s AS (SELECT doc_id, n_chars, skey, skey % 8 AS shard,
+               ROW_NUMBER() OVER (PARTITION BY skey % 8
+                 ORDER BY skey, doc_id) AS rn FROM d)
+             SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc
+             FROM s GROUP BY shard ORDER BY shard"""))
   )
 }

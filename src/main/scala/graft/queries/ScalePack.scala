@@ -2281,6 +2281,51 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
              TRUE AS staged_invisible, TRUE AS branch_saw_batch,
              TRUE AS published
-             FROM orders WHERE o_orderkey < 2000"""))
+             FROM orders WHERE o_orderkey < 2000""")),
+
+    // d61: ANALYZE / NDV statistics — `CALL system.analyze` folds
+    // per-column HyperLogLog sketches in ONE pass (mergeable partial
+    // aggregation — the only shape that works however wide the scan)
+    // and commits the NDVs into a metadata-only "analyze" snapshot's
+    // summary. Row count and size (d53) say when to broadcast; NDV
+    // says which join side duplicates under the key — the statistic
+    // cost-based join planners actually branch on. The witnesses pin
+    // that the NDVs landed in table metadata and sit within HLL
+    // tolerance (10%) of the exact distinct counts, which the oracle
+    // recomputes exactly.
+    Decl("d61_analyze_ndv",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d61").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_stats")
+        IceLite.createOrReplace(ref, Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice"))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val ndv = s.sql(s"""CALL $cat.system.analyze(
+            table => 'src.orders_stats', cols => 'o_custkey,o_orderkey')""")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val summary = IceLite.readManifest(ref).current.summary
+        val inMeta = summary.contains("ndv.o_custkey") &&
+          summary.contains("ndv.o_orderkey")
+        val exact = IceLite.read(s, ref)
+          .agg(countDistinct($"o_custkey").cast("long"),
+            countDistinct($"o_orderkey").cast("long")).head()
+        def close(est: Long, ex: Long): Boolean =
+          math.abs(est - ex).toDouble / ex <= 0.10
+        val ndvClose = close(ndv("o_custkey"), exact.getLong(0)) &&
+          close(ndv("o_orderkey"), exact.getLong(1))
+        IceLite.read(s, ref)
+          .agg(countDistinct($"o_custkey").cast("long").as("n_cust"),
+            countDistinct($"o_orderkey").cast("long").as("n_keys"))
+          .withColumn("ndv_in_metadata", lit(inMeta))
+          .withColumn("ndv_close", lit(ndvClose))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+             TRUE AS ndv_in_metadata, TRUE AS ndv_close
+             FROM orders"""))
   )
 }

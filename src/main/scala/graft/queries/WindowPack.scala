@@ -137,6 +137,35 @@ object WindowPack extends Pack {
              FROM lineitem WHERE l_orderkey < 500
              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
 
+    // b72: TIME-INTERVAL range frame — the event-time sibling of b39's
+    // numeric range frame: per event, aggregate the same user's
+    // trailing hour (sessionized rate/rolling-exposure queries). The
+    // frame is value-defined, not row-defined, so ties and order
+    // nondeterminism cannot change it. Both engines order by the
+    // EXACT integer microsecond epoch (unix_micros / epoch_us) — the
+    // fixture's timestamps carry sub-second parts, and a
+    // seconds-truncated cast would put boundary events in different
+    // frames per engine. Keyed window: one hash shuffle on user_id,
+    // frames evaluated per partition — the standard scalable shape.
+    Decl("b72_win_time_range",
+      (s, dir) => {
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts").asc)
+          .rangeBetween(-3600000000L, 0)
+        t(s, dir, "events").filter($"user_id" < 20)
+          .withColumn("cnt_1h", count(lit(1)).over(w).cast("long"))
+          .withColumn("sum_1h", round(sum($"value").over(w), 4))
+          .select($"event_id", $"cnt_1h", $"sum_1h")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+             ROUND(SUM(value) OVER w, 4) AS sum_1h
+             FROM events WHERE user_id < 20
+             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             ORDER BY event_id""")),
+
     // generalizes the reference's latest-file pick (extract_load.py:147):
     // first/last value over the full partition frame
     Decl("b40_win_first_last",

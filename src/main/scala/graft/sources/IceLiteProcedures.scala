@@ -28,7 +28,7 @@ object IceLiteProcedures {
   val names: Seq[String] = Seq("compact", "compact_range",
     "rewrite_zorder", "expire_snapshots", "expire_retain_last",
     "rollback_to_snapshot", "gc_orphans", "publish_branch",
-    "drop_branch")
+    "drop_branch", "analyze")
 
   def apply(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -153,6 +153,25 @@ object IceLiteProcedures {
           IceLite.dropBranch(refOf(warehouse, in.getUTF8String(0).toString),
             in.getUTF8String(1).toString)
           Array(Array[Any](true))
+        }
+      })
+      // d61: ANALYZE — fold per-column NDV sketches in one pass and
+      // commit them to the table metadata (Iceberg puffin / Trino
+      // ANALYZE role); returns one (col, ndv) witness row per column
+      case "analyze" => Some(new Proc("analyze",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("cols", StringType).build()),
+        StructType(Seq(
+          StructField("col", StringType, nullable = false),
+          StructField("ndv", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val cols = in.getUTF8String(1).toString.split(',').map(_.trim).toSeq
+          val snap = IceLite.analyze(SparkSession.active,
+            refOf(warehouse, in.getUTF8String(0).toString), cols)
+          cols.map(c => Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(c),
+            snap.summary(s"ndv.$c").toLong)).toArray
         }
       })
       case "gc_orphans" => Some(new Proc("gc_orphans",

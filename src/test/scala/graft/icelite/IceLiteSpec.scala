@@ -216,6 +216,29 @@ class IceLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IceLite.rollback(ref, 12345L))
   }
 
+  test("analyze commits NDV into a metadata-only snapshot over the same files") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_analyze").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, (1L to 100L).map(k => (k, k % 7)).toDF("k", "g"))
+    val base = IceLite.readManifest(ref).current
+    val snap = IceLite.analyze(spark, ref, Seq("k", "g"))
+    assert(snap.operation == "analyze")
+    // metadata-only: same files, same rows, nothing rewritten
+    assert(snap.files == base.files)
+    assert(IceLite.read(spark, ref).count() == 100L)
+    // HLL++ at default rsd: within 5% on k, exact on tiny g
+    val ndvK = snap.summary("ndv.k").toLong
+    assert(math.abs(ndvK - 100L) <= 5, s"ndv.k = $ndvK")
+    assert(snap.summary("ndv.g").toLong == 7L)
+    // a later append keeps the recorded NDVs in its summary lineage
+    // only via the analyze snapshot — the append's own summary is
+    // fresh (re-analyze after significant growth, like any engine)
+    IceLite.append(ref, Seq((101L, 1L)).toDF("k", "g"))
+    assert(IceLite.readManifest(ref).snapshots
+      .exists(_.summary.contains("ndv.k")))
+  }
+
   test("branch staging chains on the branch head; the publish gate stays the original base") {
     val wh = java.nio.file.Files.createTempDirectory("icelite_wap_chain").toString
     val ref = TableRef(wh, "ns", "t")
