@@ -2138,6 +2138,38 @@ object IceLite {
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
     }.current
 
+  /** d62: METADATA retention — Iceberg's
+    * `write.metadata.previous-versions-max` / delete-after-commit
+    * role. Every commit writes a FULL manifest version file; at a
+    * 100 TB table's commit cadence that is thousands of redundant
+    * JSONs per table-year, each repeating the whole snapshot list.
+    * Superseded version files have NO reader: every read resolves the
+    * newest version, and time travel resolves snapshots INSIDE the
+    * current manifest (snapshot retention is expireSnapshots' job,
+    * not this one's — expiring metadata versions never shortens
+    * time-travel history). Deleting old versions cannot race CAS
+    * either: a claim creates a strictly newer version file and
+    * latestManifestFile picks the max, so the watermark only moves
+    * forward. Keeps the newest `keepLast` versions for forensic
+    * recovery; returns the versions deleted. */
+  def expireMetadata(ref: TableRef, keepLast: Int = 10): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    latestManifestFile(ref) match {
+      case None => Nil
+      case Some((maxV, _)) =>
+        val versions = listDir(Files.list(ref.dir))(_
+          .flatMap { p =>
+            p.getFileName.toString match {
+              case ManifestRe(v) => Some(v.toLong)
+              case _ => None
+            }
+          }.toSeq)
+        val doomed = versions.filter(_ <= maxV - keepLast).sorted
+        doomed.foreach(v => Files.deleteIfExists(manifestPathFor(ref, v)))
+        doomed
+    }
+  }
+
   /** d61: table statistics collection — the ANALYZE role (Iceberg
     * computes NDV into puffin stat files; Trino's ANALYZE does the
     * same). One Spark job folds HyperLogLog sketches per column

@@ -2326,6 +2326,53 @@ object ScalePack extends Pack {
       Some("""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
              CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
              TRUE AS ndv_in_metadata, TRUE AS ndv_close
-             FROM orders"""))
+             FROM orders""")),
+
+    // d62: METADATA RETENTION — `CALL system.expire_metadata`
+    // (Iceberg's write.metadata.previous-versions-max role). Six
+    // commits leave six full manifest JSONs; keep_last=2 reclaims
+    // four. The load-bearing assertion is what expiry must NOT cost:
+    // snapshot history lives INSIDE the current manifest, so time
+    // travel to the very first snapshot still works after the version
+    // files that created it are gone — metadata expiry and snapshot
+    // expiry are independent dials, and only the second shortens
+    // history. At a 100 TB table's commit cadence this is the cap on
+    // thousands of redundant manifest JSONs per table-year.
+    Decl("d62_expire_metadata",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d62").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_meta")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val first = IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 500))
+        (1 to 5).foreach { i =>
+          IceLite.append(ref, o.filter(
+            $"o_orderkey" >= i * 500 && $"o_orderkey" < (i + 1) * 500))
+        }
+        def manifests(): Long = IceLite.listDir(
+          java.nio.file.Files.list(java.nio.file.Paths.get(wh, "src", "orders_meta")))(_
+          .count(_.getFileName.toString.startsWith("manifest.v")).toLong)
+        val before = manifests()
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val deleted = s.sql(s"""CALL $cat.system.expire_metadata(
+            table => 'src.orders_meta', keep_last => 2)""")
+          .head().getLong(0)
+        val after = manifests()
+        // history is untouched: the first snapshot still time-travels
+        val ttOk = IceLite.readAt(s, ref, first.id).count() == first.rowCount
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("versions_reclaimed", lit(before == 6L && after == 2L && deleted == 4L))
+          .withColumn("history_intact", lit(ttOk))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS versions_reclaimed, TRUE AS history_intact
+             FROM orders WHERE o_orderkey < 3000"""))
   )
 }

@@ -28,7 +28,7 @@ object IceLiteProcedures {
   val names: Seq[String] = Seq("compact", "compact_range",
     "rewrite_zorder", "expire_snapshots", "expire_retain_last",
     "rollback_to_snapshot", "gc_orphans", "publish_branch",
-    "drop_branch", "analyze")
+    "drop_branch", "analyze", "expire_metadata")
 
   def apply(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -153,6 +153,22 @@ object IceLiteProcedures {
           IceLite.dropBranch(refOf(warehouse, in.getUTF8String(0).toString),
             in.getUTF8String(1).toString)
           Array(Array[Any](true))
+        }
+      })
+      // d62: bound manifest-version growth (Iceberg's
+      // previous-versions-max role) — superseded version files have
+      // no reader and never shorten time-travel history
+      case "expire_metadata" => Some(new Proc("expire_metadata",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_last", IntegerType)
+            .defaultValue("10").build()),
+        StructType(Seq(
+          StructField("versions_deleted", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val deleted = IceLite.expireMetadata(
+            refOf(warehouse, in.getUTF8String(0).toString), in.getInt(1))
+          Array(Array[Any](deleted.size.toLong))
         }
       })
       // d61: ANALYZE — fold per-column NDV sketches in one pass and

@@ -216,6 +216,32 @@ class IceLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IceLite.rollback(ref, 12345L))
   }
 
+  test("expireMetadata reclaims superseded manifest versions; history and CAS survive") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_meta").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    val first = IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
+    (3 to 6).foreach(k => IceLite.append(ref, Seq(k).toDF("k")))
+    def manifests(): Seq[String] = IceLite.listDir(
+      java.nio.file.Files.list(ref.dir))(_
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("manifest.v")).toSeq)
+    assert(manifests().size == 5)
+    // nothing to do when keepLast covers everything
+    assert(IceLite.expireMetadata(ref, keepLast = 10).isEmpty)
+    val deleted = IceLite.expireMetadata(ref, keepLast = 1)
+    assert(deleted.size == 4)
+    assert(manifests().size == 1)
+    // reads, time travel, and snapshot history are untouched
+    assert(IceLite.read(spark, ref).count() == 6)
+    assert(IceLite.readAt(spark, ref, first.id).count() == 2)
+    assert(IceLite.readManifest(ref).snapshots.size == 5)
+    // CAS continues: the next commit claims the next version number
+    IceLite.append(ref, Seq(7).toDF("k"))
+    assert(IceLite.read(spark, ref).count() == 7)
+    assert(manifests().size == 2)
+  }
+
   test("analyze commits NDV into a metadata-only snapshot over the same files") {
     val wh = java.nio.file.Files.createTempDirectory("icelite_analyze").toString
     val ref = TableRef(wh, "ns", "t")
