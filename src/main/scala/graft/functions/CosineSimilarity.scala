@@ -136,5 +136,12 @@ object GraftFunctions {
         require(children.size == 2, "word_ngrams takes (array<string>, n)")
         WordNGrams(children.head, intLit(children(1), "word_ngrams"))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
+      })
   }
 }

@@ -162,6 +162,34 @@ object AggPack extends Pack {
              ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
              QUANTILE_CONT(l_quantity, 0.5) AS p50_qty,
              QUANTILE_CONT(l_quantity, 0.9) AS p90_qty
-             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // b73: fixed-bin histogram — the profiling aggregate behind every
+    // "distribution of X" dashboard. Bucket index is computed with the
+    // same closed-form floor arithmetic on both engines (width_bucket
+    // exists in neither identically; floor((x-lo)/(hi-lo)*n) is one
+    // IEEE expression, bitwise identical in Spark and DuckDB), clamped
+    // to [0, n-1] so the hi endpoint lands in the last bin. One
+    // 2-phase hash aggregate over ≤ n groups — histogramming 100 TB
+    // shuffles n rows per partition, nothing else.
+    Decl("b73_histogram",
+      (s, dir) => {
+        val lo = lit(900.0); val hi = lit(105000.0); val n = lit(16)
+        val bucket = least(n - 1,
+          floor((($"l_extendedprice" - lo) / (hi - lo)) * n)).cast("long")
+        li(s, dir)
+          .select(bucket.as("bucket"), $"l_extendedprice")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            round(min($"l_extendedprice"), 2).as("lo_seen"),
+            round(max($"l_extendedprice"), 2).as("hi_seen"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT
+               CAST(LEAST(15, FLOOR(((l_extendedprice - 900.0) / (105000.0 - 900.0)) * 16)) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(MIN(l_extendedprice), 2) AS lo_seen,
+               ROUND(MAX(l_extendedprice), 2) AS hi_seen
+             FROM lineitem GROUP BY 1 ORDER BY bucket"""))
   )
 }

@@ -1416,6 +1416,45 @@ object LlmPack extends Pack {
              SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc
-             FROM s GROUP BY shard ORDER BY shard"""))
+             FROM s GROUP BY shard ORDER BY shard""")),
+
+    // c31: per-source frequency capping — the CommonCrawl-style
+    // curation rule "keep at most K documents per domain" that stops a
+    // handful of boilerplate-heavy sources from dominating the corpus.
+    // Selection must be DETERMINISTIC and append-stable, so the rank
+    // within each source orders by the same multiplicative hash as
+    // c14/c30 (not by arrival order, which re-shuffles every run):
+    // a doc's keep/drop decision depends only on (source, its hash
+    // rank), and appending new docs can only evict hash-later ones.
+    // One window over the source partition — at 100 TB, the shuffle
+    // key is the source and per-source groups stream through the rank;
+    // a skewed mega-source is the known hazard and is exactly what the
+    // cap bounds the OUTPUT of (the rank itself is a single-pass sort
+    // per group, spill-safe).
+    Decl("c31_domain_cap",
+      (s, dir) => {
+        val cap = 40
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source")
+          .orderBy(pmod($"doc_id" * lit(2654435761L), lit(4294967296L)).asc,
+            $"doc_id".asc)
+        docs(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .groupBy($"source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when($"rk" <= cap, 1L).otherwise(0L)).cast("long").as("n_kept"),
+            sum(when($"rk" <= cap, $"n_chars")).cast("long").as("chars_kept"),
+            max(when($"rk" === 1, $"doc_id")).cast("long").as("first_kept_doc"))
+          .orderBy($"source")
+      },
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+               FROM documents)
+             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rk <= 40 THEN n_chars END) AS BIGINT) AS chars_kept,
+               CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS first_kept_doc
+             FROM r GROUP BY source ORDER BY source"""))
   )
 }

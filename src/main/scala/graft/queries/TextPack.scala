@@ -319,6 +319,52 @@ object TextPack extends Pack {
                          FROM chars GROUP BY 1, 2, 3)
              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
                ROUND(-SUM((cnt / len) * ln(cnt / len)), 4) AS entropy
-             FROM cc GROUP BY doc_id ORDER BY doc_id"""))
+             FROM cc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // t10: Unicode sanitation — NFC canonicalization (native codegen
+    // expression; DuckDB nfc_normalize mirrors the same Unicode
+    // tables) plus a control-character census. Dedup hashing upstream
+    // (c01/c02/c27) assumes canonical text: a decomposed "e"+U+0301
+    // and the composed "é" MUST hash identically, and C0 controls are
+    // the classic mojibake tell. The fixture corpus is ASCII (where
+    // NFC is the identity — the fast path), so both engines also
+    // plant a decomposed-accent row and a control-char row via
+    // UNION ALL VALUES to exercise the non-trivial branch through the
+    // oracle. Pure expression map: no shuffle, no UDF, sanitizing
+    // 100 TB is scan-bound. The ctrl pattern goes through the TYPED
+    // regexp_replace (NOTES rule 17 — expr() would eat the \x).
+    Decl("t10_unicode_sanitize",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val ctrlPat = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+        val planted = s.range(1).select(
+            lit(9001L).as("doc_id"),
+            lit("Cafe\u0301 du jour").as("text")) // decomposed accent
+          .union(s.range(1).select(lit(9002L).as("doc_id"),
+            lit("bad\u0001ctrl").as("text")))
+        docs(s, dir).filter($"doc_id" < 50).select($"doc_id", $"text")
+          .union(planted)
+          .select($"doc_id",
+            length($"text").cast("long").as("len_raw"),
+            length(expr("nfc_normalize(text)")).cast("long").as("len_nfc"),
+            (length($"text") -
+              length(regexp_replace($"text", lit(ctrlPat), lit(""))))
+              .cast("long").as("n_ctrl"),
+            when(expr("nfc_normalize(text)") =!= $"text", 1L).otherwise(0L)
+              .cast("long").as("nfc_changed"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH u AS (
+               SELECT doc_id, text FROM documents WHERE doc_id < 50
+               UNION ALL SELECT 9001, 'Cafe' || chr(769) || ' du jour'
+               UNION ALL SELECT 9002, 'bad' || chr(1) || 'ctrl')
+             SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS len_raw,
+               CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
+               CAST(length(text) - length(regexp_replace(text,
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS n_ctrl,
+               CAST(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END
+                 AS BIGINT) AS nfc_changed
+             FROM u ORDER BY doc_id"""))
   )
 }

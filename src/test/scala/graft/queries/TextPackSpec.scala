@@ -106,4 +106,28 @@ class TextPackSpec extends AnyFunSuite {
       (2L, 4L, r4(math.log(4)))),      // uniform over 4 → ln 4
       s"got $got")
   }
+
+  test("nfc_normalize: composition, ASCII identity fast path, NULL, codegen ≡ eval") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      ("Café", "Café"),   // decomposed → composed
+      ("plain ascii", "plain ascii"), // fast path: already NFC
+      ("\u00e9\u00e8", "\u00e9\u00e8"), // composed stays composed
+      ("", "")
+    ).toDF("raw", "want")
+    val got = rows.selectExpr("nfc_normalize(raw) AS got", "want")
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"'$g' != '$w'") }
+
+    // NULL propagates; interpreted eval (no codegen) agrees with the
+    // codegen'd path — both route through the same static helper
+    val n = spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS v")
+      .as[Option[String]].collect().head
+    assert(n.isEmpty)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val interp = graft.functions.NfcNormalize(Literal("Cafe\u0301"))
+      .eval(null).asInstanceOf[UTF8String]
+    assert(interp.toString == "Caf\u00e9")
+  }
 }
