@@ -426,6 +426,74 @@ object IceLite {
     }.current
   }
 
+  /** d63: ZERO-COPY MIGRATION (Iceberg's `add_files` / `migrate`
+    * procedures; Delta's CONVERT TO DELTA): register parquet files an
+    * EXTERNAL writer already produced into an IceLite table without
+    * rewriting a byte. Each source is HARD-LINKED into data/<token>/
+    * (same-filesystem link = a new directory entry, zero data copied —
+    * the 100 TB onboarding path; cross-device falls back to a copy),
+    * then one CAS append/create snapshot picks up stats and row counts
+    * from the parquet FOOTERS — migration cost is metadata-sized, not
+    * data-sized, exactly like Iceberg's add_files.
+    *
+    * Safety gates (rule 25 — never let a commit silently break a
+    * marker or a reader):
+    *  - all sources and the existing table must agree on the parquet
+    *    field names (Iceberg's add_files schema check) — registering a
+    *    mismatched file would poison every later read;
+    *  - targets with a partition/sort layout or live MoR sidecars
+    *    refuse: a flat registered file can't meet those contracts.
+    */
+  def addFiles(ref: TableRef, sources: Seq[java.nio.file.Path]): Snapshot = {
+    require(sources.nonEmpty, "addFiles: no source files given")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def fieldNames(p: java.nio.file.Path): Seq[String] = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+      } finally r.close()
+    }
+    val want = fieldNames(sources.head).sorted
+    sources.tail.foreach { s =>
+      val got = fieldNames(s).sorted
+      require(got == want,
+        s"addFiles: schema mismatch — ${s.getFileName} has ${got.mkString(",")}, " +
+          s"expected ${want.mkString(",")}")
+    }
+    latestManifestFile(ref).foreach { case (_, p) =>
+      val m = Serialization.read[Manifest](Files.readString(p))
+      val snap = m.current
+      require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
+        s"${ref.name} is partitioned — a registered flat file can't carry " +
+          "partition values; write through the partitioned append path")
+      require(snap.deleteFiles.isEmpty,
+        s"${ref.name} has live MoR delete sidecars — compact() before add_files")
+      snap.files.headOption.foreach { f =>
+        val got = fieldNames(ref.dir.resolve(f)).sorted
+        require(got == want,
+          s"addFiles: schema mismatch vs table — sources have ${want.mkString(",")}, " +
+            s"table has ${got.mkString(",")}")
+      }
+    }
+    val token = "add-" + java.util.UUID.randomUUID.toString.take(8)
+    val outDir = ref.dataDir.resolve(token)
+    Files.createDirectories(outDir)
+    val rels = sources.zipWithIndex.map { case (src, i) =>
+      // index prefix keeps same-named sources from distinct dirs unique
+      val dst = outDir.resolve(f"$i%05d-${src.getFileName}")
+      try Files.createLink(dst, src)
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst) // cross-device: copy is the only option
+      }
+      s"data/$token/${dst.getFileName}"
+    }
+    commitStaged(ref, rels, truncate = false,
+      summary = Map("added-files" -> rels.size.toString, "operation-origin" -> "add_files"))
+  }
+
   /** a10: atomic full refresh — new snapshot referencing only the new
     * files (extract_load.py:94-98 createOrReplace). `statsCols`
     * captures per-file min/max for manifest-level pruning. */

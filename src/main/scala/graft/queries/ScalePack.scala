@@ -2373,6 +2373,57 @@ object ScalePack extends Pack {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
              TRUE AS versions_reclaimed, TRUE AS history_intact
-             FROM orders WHERE o_orderkey < 3000"""))
+             FROM orders WHERE o_orderkey < 3000""")),
+
+    // d63: ZERO-COPY MIGRATION — `CALL system.add_files` registers an
+    // external writer's parquet directory as table data without
+    // rewriting a byte (Iceberg's add_files/migrate; Delta's CONVERT;
+    // the onboarding path for a 100 TB legacy lake, where any
+    // rewrite-based import is a non-starter). Two registrations
+    // (create, then append) land two snapshots; stats and row counts
+    // come from the parquet footers, so the whole migration is
+    // metadata-cost. The zero_copy witness pins the hard-link claim
+    // (registered file shares an inode with the source — proved via
+    // Files.isSameFile); the oracle recomputes the same two lineitem
+    // slices straight from the fixture.
+    Decl("d63_add_files_migrate",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d63").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "li_migrated")
+        val li = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        val ext1 = Files.createTempDirectory("graft_d63_ext1").toString
+        val ext2 = Files.createTempDirectory("graft_d63_ext2").toString
+        li.filter($"l_orderkey" % 3 === 0).write.mode("overwrite").parquet(ext1)
+        li.filter($"l_orderkey" % 3 === 1).write.mode("overwrite").parquet(ext2)
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val r1 = s.sql(s"CALL $cat.system.add_files(" +
+          s"table => 'src.li_migrated', source_dir => '$ext1')").head
+        s.sql(s"CALL $cat.system.add_files('src.li_migrated', '$ext2')")
+        // zero-copy witness: a registered file is the SAME inode as
+        // its source (hard link), not a copy
+        val srcFile = IceLite.listDir(Files.list(java.nio.file.Paths.get(ext1)))(_
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sorted.head)
+        val m = IceLite.readManifest(ref)
+        val linked = m.snapshots.head.files.exists(f =>
+          Files.isSameFile(ref.dir.resolve(f), srcFile))
+        val nSnaps = m.snapshots.size.toLong
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice", 2).as("sum_price"))
+          .withColumn("n_snapshots", lit(nSnaps))
+          .withColumn("zero_copy", lit(linked && r1.getLong(1) >= 1L))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(l_quantity) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(2 AS BIGINT) AS n_snapshots,
+             TRUE AS zero_copy
+             FROM lineitem WHERE l_orderkey % 3 IN (0, 1)"""))
   )
 }

@@ -28,7 +28,7 @@ object IceLiteProcedures {
   val names: Seq[String] = Seq("compact", "compact_range",
     "rewrite_zorder", "expire_snapshots", "expire_retain_last",
     "rollback_to_snapshot", "gc_orphans", "publish_branch",
-    "drop_branch", "analyze", "expire_metadata")
+    "drop_branch", "analyze", "expire_metadata", "add_files")
 
   def apply(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -188,6 +188,32 @@ object IceLiteProcedures {
           cols.map(c => Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(c),
             snap.summary(s"ndv.$c").toLong)).toArray
+        }
+      })
+      // d63: zero-copy migration — register an external directory's
+      // parquet files into the table (Iceberg's add_files procedure);
+      // hard links + footer stats, no data rewrite
+      case "add_files" => Some(new Proc("add_files",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("source_dir", StringType).build()),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("added_files", LongType, nullable = false),
+          StructField("added_rows", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val dir = java.nio.file.Paths.get(in.getUTF8String(1).toString)
+          val sources = IceLite.listDir(java.nio.file.Files.list(dir))(_
+            .map(p => p)
+            .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+              !p.getFileName.toString.startsWith("."))
+            .toSeq.sortBy(_.getFileName.toString))
+          val ref = refOf(warehouse, in.getUTF8String(0).toString)
+          val before =
+            if (IceLite.tableExists(ref)) IceLite.readManifest(ref).current.rowCount
+            else 0L
+          val snap = IceLite.addFiles(ref, sources)
+          Array(Array[Any](snap.id, sources.size.toLong, snap.rowCount - before))
         }
       })
       case "gc_orphans" => Some(new Proc("gc_orphans",

@@ -559,4 +559,46 @@ class IceLiteSpec extends AnyFunSuite {
     val got = IceLite.read(spark, ref).as[(Long, Double)].collect().toMap
     assert(got.size == 201 && got(50L) == -1.0 && got(500L) == 500.0)
   }
+
+  test("addFiles registers external parquet zero-copy; schema/layout gates refuse") {
+    val ref = freshRef()
+    val ext = Files.createTempDirectory("addfiles_ext")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .repartition(2).write.mode("overwrite").parquet(ext.toString)
+    val sources = IceLite.listDir(Files.list(ext))(_
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString))
+    val snap = IceLite.addFiles(ref, sources)
+    assert(snap.rowCount == 3 && snap.files.size == sources.size)
+    // zero-copy: every registered file shares its source's inode
+    snap.files.zip(sources).foreach { case (f, _) =>
+      assert(sources.exists(srcP => Files.isSameFile(ref.dir.resolve(f), srcP)),
+        s"$f is not a hard link of any source")
+    }
+    assert(IceLite.read(spark, ref).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    // footer-derived metadata is complete (record counts per file)
+    assert(snap.fileRows.values.sum == 3)
+
+    // second registration appends (new snapshot, rows accumulate)
+    val ext2 = Files.createTempDirectory("addfiles_ext2")
+    Seq((4, "d")).toDF("k", "v").write.mode("overwrite").parquet(ext2.toString)
+    val src2 = IceLite.listDir(Files.list(ext2))(_
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    val snap2 = IceLite.addFiles(ref, src2)
+    assert(snap2.operation == "append" && snap2.rowCount == 4)
+
+    // schema mismatch refuses (against the table)
+    val bad = Files.createTempDirectory("addfiles_bad")
+    Seq((1, 2.0)).toDF("k", "other").write.mode("overwrite").parquet(bad.toString)
+    val badSrc = IceLite.listDir(Files.list(bad))(_
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    intercept[IllegalArgumentException] { IceLite.addFiles(ref, badSrc) }
+
+    // partitioned target refuses (a flat file can't carry path values)
+    val pRef = freshRef()
+    IceLite.createOrReplacePartitioned(pRef,
+      Seq((1, "x", "p1"), (2, "y", "p2")).toDF("k", "v", "p"), "p")
+    intercept[IllegalArgumentException] { IceLite.addFiles(pRef, sources) }
+  }
 }
