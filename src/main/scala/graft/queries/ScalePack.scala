@@ -2424,6 +2424,45 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              CAST(2 AS BIGINT) AS n_snapshots,
              TRUE AS zero_copy
-             FROM lineitem WHERE l_orderkey % 3 IN (0, 1)"""))
+             FROM lineitem WHERE l_orderkey % 3 IN (0, 1)""")),
+
+    // d64: the `t$refs` METADATA TABLE (Iceberg's refs surface) —
+    // every named ref (main, WAP branches, tags) with the snapshot it
+    // points at, as a plain SQL relation. One manifest read, O(refs)
+    // rows, zero data pages — "what is staged / pinned right now" is
+    // the first question an operator asks a 100 TB table, and it must
+    // never cost a scan. Snapshot ids are deterministic (create=1,
+    // append=2, stage=3), so the oracle pins exact rows; the branch
+    // row count read through VERSION AS OF ties the ref to its data.
+    Decl("d64_refs_metadata",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d64").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_refs")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val s1 = IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
+        IceLite.createTag(ref, "v1", s1.id)
+        IceLite.stageBranchAppend(ref, "audit",
+          o.filter($"o_orderkey" >= 2000 && $"o_orderkey" < 2500))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"""SELECT r.name, r.type, r.snapshot_id,
+                  (SELECT CAST(COUNT(*) AS BIGINT)
+                   FROM $cat.src.orders_refs VERSION AS OF 'audit') AS n_audit
+                  FROM $cat.src.`orders_refs$$refs` r ORDER BY r.name""")
+      },
+      Some("""SELECT name, type, snapshot_id,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey < 2500) AS n_audit
+             FROM (VALUES ('audit', 'branch', CAST(3 AS BIGINT)),
+                          ('main',  'branch', CAST(2 AS BIGINT)),
+                          ('v1',    'tag',    CAST(1 AS BIGINT)))
+               AS t(name, type, snapshot_id)
+             ORDER BY name"""))
   )
 }

@@ -149,8 +149,22 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
             StructField("file_count", LongType, nullable = false),
             StructField("row_count", LongType, nullable = false),
             StructField("size_bytes", LongType, nullable = false))), rows)
+      case "refs" =>
+        // d64: Iceberg's `t$refs` — every named ref (the `main`
+        // branch, WAP branches, tags) with the snapshot it points at.
+        // One manifest read, O(refs) rows, zero data pages.
+        val m = IceLite.readManifest(ref)
+        val rows = (Seq(("main", "branch", m.currentSnapshotId)) ++
+          m.branches.toSeq.sortBy(_._1).map { case (n, id) => (n, "branch", id) } ++
+          m.tags.toSeq.sortBy(_._1).map { case (n, id) => (n, "tag", id) })
+          .map { case (n, tpe, id) => Array[Any](UTF8String.fromString(n),
+            UTF8String.fromString(tpe), id) }.toArray
+        new StaticRowsTable(s"${ident.name}", StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false))), rows)
       case other => throw new IllegalArgumentException(
-        s"unknown metadata table '$$$other' (have: snapshots, partitions, files)")
+        s"unknown metadata table '$$$other' (have: snapshots, partitions, files, refs)")
     }
   }
 

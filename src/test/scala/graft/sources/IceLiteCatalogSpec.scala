@@ -517,6 +517,39 @@ class IceLiteCatalogSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM $cat.src.`pt$$bogus`").collect())
   }
 
+  // ---- d64: the `t$refs` metadata table ----
+
+  test("t\\$refs lists main, WAP branches, and tags with their snapshots") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    val s1 = IceLite.createOrReplace(ref,
+      (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    // a bare table has exactly one ref: main at the current snapshot
+    val bare = spark.sql(
+      s"SELECT name, type, snapshot_id FROM $cat.src.`t$$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(bare.toSeq == Seq(("main", "branch", s1.id)))
+    IceLite.append(ref, Seq((11L, 11.0)).toDF("k", "v"))
+    IceLite.createTag(ref, "v1", s1.id)
+    IceLite.stageBranchAppend(ref, "audit", Seq((12L, 12.0)).toDF("k", "v"))
+    val refs = spark.sql(
+      s"SELECT name, type, snapshot_id FROM $cat.src.`t$$refs` ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val m = IceLite.readManifest(ref)
+    assert(refs.toSeq == Seq(
+      ("audit", "branch", m.branches("audit")),
+      ("main", "branch", m.currentSnapshotId),
+      ("v1", "tag", s1.id)))
+    // lifecycle reflected: publish consumes the branch, drop-tag the tag
+    IceLite.publish(ref, "audit")
+    IceLite.dropTag(ref, "v1")
+    val after = spark.sql(
+      s"SELECT name, snapshot_id FROM $cat.src.`t$$refs`")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(after.toSeq == Seq(("main", IceLite.readManifest(ref).currentSnapshotId)))
+  }
+
   test("VERSION AS OF a branch name reads the staged WAP candidate") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
