@@ -2367,6 +2367,73 @@ object IceLite {
       m.copy(currentSnapshotId = id, branches = m.branches - branch)
     }.current
 
+  /** d65: cherry-pick a WAP branch onto a main that ADVANCED since
+    * staging — the non-fast-forward publish (Iceberg's
+    * `cherrypick_snapshot`, the other half of the WAP loop next to
+    * fast_forward). The branch's cumulative file DELTA vs its
+    * staging base re-applies as ONE append-shaped commit on the
+    * CURRENT head: concurrent commits that landed on main while the
+    * audit ran are kept, not dropped — exactly the case `publish`
+    * refuses. Sound because staged snapshots are append-only vs
+    * their base by construction (stageBranchAppend), so the delta is
+    * new files with no remove set; like Iceberg, only append deltas
+    * are cherry-pickable. The staging-base snapshot must still be
+    * resolvable (branches pin their snapshots through expiry, and
+    * the base is an ancestor of the staged snapshot — but a
+    * rewriting commit on main does not affect the delta). `sortedBy`
+    * survives only if the staged snapshot proved clustering AND main
+    * still claims the same key (NOTES rule 25: never advance main
+    * onto a layout claim the new files break). */
+  def cherrypick(ref: TableRef, branch: String): Snapshot =
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest for ${ref.name}"))
+      val id = m.branches.getOrElse(branch,
+        throw new IllegalArgumentException(s"no branch '$branch' on ${ref.name}"))
+      val staged = m.snapshots.find(_.id == id).getOrElse(
+        throw new IllegalStateException(s"branch '$branch' snapshot $id expired"))
+      val baseId = staged.summary.getOrElse("wap.base",
+        throw new IllegalStateException(
+          s"branch '$branch' carries no wap.base — not a staged candidate")).toLong
+      val base = m.snapshots.find(_.id == baseId).getOrElse(
+        throw new IllegalStateException(
+          s"branch '$branch' staging base $baseId expired — re-stage"))
+      require(base.files.forall(staged.files.contains),
+        s"branch '$branch' is not append-only vs its base — " +
+          "cherry-pick supports append deltas only")
+      val head = m.current
+      if (head.id == baseId) {
+        // main never moved: cherry-pick degenerates to fast-forward
+        m.copy(currentSnapshotId = id, branches = m.branches - branch)
+      } else {
+        val baseFiles = base.files.toSet
+        val delta = staged.files.filterNot(baseFiles)
+        require(delta.forall(!head.files.contains(_)),
+          s"branch '$branch' delta already present on main")
+        require(head.partitionCols.isEmpty && head.partitionSpec.isEmpty,
+          s"${ref.name} gained a partition layout since staging — the " +
+            "flat delta files would strand outside it; re-stage")
+        val deltaSet = delta.toSet
+        require(delta.forall(staged.fileRows.contains),
+          s"branch '$branch' staged files lack row counts — cannot " +
+            "carry an exact rowCount through cherry-pick")
+        val newId = m.snapshots.map(_.id).max + 1
+        val snap = Snapshot(newId, System.currentTimeMillis(), "cherrypick",
+          head.files ++ delta,
+          head.rowCount + delta.map(staged.fileRows).sum,
+          head.fileStats ++ staged.fileStats.view.filterKeys(deltaSet).toMap,
+          head.partitionCols,
+          if (staged.sortedBy.isDefined && staged.sortedBy == head.sortedBy)
+            head.sortedBy else None,
+          summary = Map("cherrypick.source" -> id.toString),
+          fileRows = head.fileRows ++
+            staged.fileRows.view.filterKeys(deltaSet).toMap,
+          deleteFiles = head.deleteFiles)
+        m.copy(currentSnapshotId = newId, snapshots = m.snapshots :+ snap,
+          branches = m.branches - branch)
+      }
+    }.current
+
   /** d57: tag a snapshot (Iceberg tags — immutable named refs). The
     * tagged snapshot is PINNED: expiry never drops it while the tag
     * exists, and `readTag` / SQL `VERSION AS OF '<tag>'` resolve it

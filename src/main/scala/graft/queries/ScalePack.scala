@@ -2463,6 +2463,52 @@ object ScalePack extends Pack {
                           ('main',  'branch', CAST(2 AS BIGINT)),
                           ('v1',    'tag',    CAST(1 AS BIGINT)))
                AS t(name, type, snapshot_id)
-             ORDER BY name"""))
+             ORDER BY name""")),
+
+    // d65: CHERRY-PICK — the non-fast-forward WAP publish (Iceberg's
+    // `cherrypick_snapshot`). Main ADVANCES while the audit runs;
+    // fast-forward publish rightly refuses (it would drop the
+    // concurrent commit), and cherry-pick re-applies the branch's
+    // append delta onto the current head as one commit — both the
+    // concurrent append and the audited batch survive. This is the
+    // metadata operation that lets a 100 TB ingest keep committing
+    // while yesterday's candidate clears review: O(delta files)
+    // manifest work, zero data bytes moved. The witnesses pin that
+    // publish DID refuse and the branch was consumed.
+    Decl("d65_cherrypick_publish",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d65").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_cherry")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        IceLite.stageBranchAppend(ref, "audit",
+          o.filter($"o_orderkey" >= 2000 && $"o_orderkey" < 2500))
+        // ingest keeps landing on main while the audit runs
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
+        val publishRefused =
+          try { IceLite.publish(ref, "audit"); false }
+          catch { case _: IllegalStateException => true }
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CALL $cat.system.cherrypick_snapshot(" +
+          "table => 'src.orders_cherry', branch => 'audit')")
+        val m = IceLite.readManifest(ref)
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum($"o_totalprice", 3).as("sum_price"))
+          .withColumn("publish_refused", lit(publishRefused))
+          .withColumn("branch_consumed", lit(m.branches.isEmpty))
+          .withColumn("op", lit(m.current.operation))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS publish_refused, TRUE AS branch_consumed,
+             'cherrypick' AS op
+             FROM orders WHERE o_orderkey < 2500"""))
   )
 }

@@ -28,7 +28,8 @@ object IceLiteProcedures {
   val names: Seq[String] = Seq("compact", "compact_range",
     "rewrite_zorder", "expire_snapshots", "expire_retain_last",
     "rollback_to_snapshot", "gc_orphans", "publish_branch",
-    "drop_branch", "analyze", "expire_metadata", "add_files")
+    "cherrypick_snapshot", "drop_branch", "analyze", "expire_metadata",
+    "add_files")
 
   def apply(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -138,6 +139,22 @@ object IceLiteProcedures {
           StructField("published_snapshot_id", LongType, nullable = false)))) {
         override def run(in: InternalRow): Array[Array[Any]] = {
           val snap = IceLite.publish(
+            refOf(warehouse, in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString)
+          Array(Array[Any](snap.id))
+        }
+      })
+      // d65: the non-fast-forward publish — re-apply the branch's
+      // append delta onto an advanced main (Iceberg's
+      // cherrypick_snapshot role; publish refuses exactly this case)
+      case "cherrypick_snapshot" => Some(new Proc("cherrypick_snapshot",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(
+          StructField("published_snapshot_id", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val snap = IceLite.cherrypick(
             refOf(warehouse, in.getUTF8String(0).toString),
             in.getUTF8String(1).toString)
           Array(Array[Any](snap.id))

@@ -451,6 +451,46 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     assert(IceLite.readManifest(ref).addedCols.map(_.name) == Seq("tag"))
   }
 
+  test("cherrypick racing concurrent appends loses neither side") {
+    // the exact scenario cherry-pick exists for: main keeps moving
+    // while the audited candidate lands. CAS rebase must keep every
+    // append AND apply the delta exactly once.
+    val wh = Files.createTempDirectory("cas_cherry").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, Seq(0).toDF("k"))
+    IceLite.stageBranchAppend(ref, "audit", Seq(1000, 1001).toDF("k"))
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 3).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try IceLite.append(ref, Seq(w).toDF("k"))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try IceLite.cherrypick(ref, "audit")
+        catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    val rows = IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
+    assert(rows == Seq(0, 1, 2, 3, 1000, 1001),
+      "cherry-pick delta or a concurrent append was lost/duplicated")
+    val m = IceLite.readManifest(ref)
+    assert(m.branches.isEmpty, "branch must be consumed exactly once")
+    assert(m.current.rowCount == 6L)
+  }
+
   test("manifest versions are dense and monotonic after races") {
     val wh = Files.createTempDirectory("cas_spec2").toString
     IceLite.createNamespace(wh, "src")

@@ -285,6 +285,62 @@ class IceLiteSpec extends AnyFunSuite {
       == Seq(1, 2, 9), "failed publish must leave main intact")
   }
 
+  // ---- d65: cherry-pick (the non-fast-forward publish) ----
+
+  test("cherrypick re-applies the branch delta onto an advanced main") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_cherry").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
+    IceLite.stageBranchAppend(ref, "audit", Seq(3, 4).toDF("k"))
+    IceLite.stageBranchAppend(ref, "audit", Seq(5).toDF("k")) // chained
+    // main advances while the audit runs — publish refuses this
+    IceLite.append(ref, Seq(9).toDF("k"))
+    intercept[IllegalStateException](IceLite.publish(ref, "audit"))
+    // cherry-pick keeps BOTH the concurrent append and the delta
+    val snap = IceLite.cherrypick(ref, "audit")
+    assert(snap.operation == "cherrypick")
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3, 4, 5, 9))
+    val m = IceLite.readManifest(ref)
+    assert(m.branches.isEmpty, "cherry-pick must consume the branch")
+    assert(m.current.rowCount == 6L)
+    assert(m.current.fileRows.values.sum == 6L,
+      "delta fileRows must carry over")
+    // metadata stays answerable: the delta files' stats came along
+    assert(snap.files.forall(m.current.fileRows.contains))
+  }
+
+  test("cherrypick on an unmoved main degenerates to fast-forward") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_cherry_ff").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    val staged = IceLite.stageBranchAppend(ref, "audit", Seq(2).toDF("k"))
+    IceLite.cherrypick(ref, "audit")
+    val m = IceLite.readManifest(ref)
+    // no extra snapshot minted: main fast-forwarded to the candidate
+    assert(m.currentSnapshotId == staged.id)
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("cherrypick refuses when the staging base expired or layout changed") {
+    val wh = java.nio.file.Files.createTempDirectory("icelite_cherry_ref").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    IceLite.stageBranchAppend(ref, "audit", Seq(2).toDF("k"))
+    IceLite.append(ref, Seq(3).toDF("k"))
+    IceLite.append(ref, Seq(4).toDF("k"))
+    // retain-last keeps the branch-pinned candidate but reaps its
+    // staging base (snapshot 1) → the delta is no longer computable
+    IceLite.expireSnapshotsRetainLast(ref, 1)
+    val e = intercept[IllegalStateException](IceLite.cherrypick(ref, "audit"))
+    assert(e.getMessage.contains("base"))
+    assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
+      == Seq(1, 3, 4), "failed cherry-pick must leave main intact")
+  }
+
   test("WAP branches: staged invisible on main, publish fast-forwards, drop abandons") {
     val wh = java.nio.file.Files.createTempDirectory("icelite_wap").toString
     val ref = TableRef(wh, "ns", "t")
