@@ -23,31 +23,50 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     qs.foreach { case (_, fn) => try exec(fn) catch { case _: Throwable => () } }
-    def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { exec(fn) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // A throwing query must NOT record its (tiny) time-to-throw as a
+    // measurement — round 5's loader breakage made 13 broken ids look
+    // like ~0.05s speedups. Failures carry a -1 sentinel and are listed
+    // by id so breakage can never masquerade as performance.
+    def timedPass(): Seq[(String, Either[String, Double])] =
+      qs.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { exec(fn); name -> Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      }
     // per-id MIN of two timed passes: one pass is hostage to host
     // noise (round 4 recorded 17.1s for a query that re-measures at
     // 2.6s — a 13s phantom in the round totals). The min rejects
     // one-off interference while staying honest about systematic cost.
-    val results = timedPass().zip(timedPass())
-      .map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val results = timedPass().zip(timedPass()).map {
+      case ((n, Right(a)), (_, Right(b))) => n -> Right(math.min(a, b))
+      case ((n, Right(a)), (_, Left(_)))  => n -> Right(a)
+      case ((n, Left(_)),  (_, Right(b))) => n -> Right(b)
+      case ((n, Left(e)),  (_, Left(_)))  => n -> Left(e)
+    }
+    val ok = results.collect { case (n, Right(v)) => n -> v }
+    val failed = results.collect { case (n, Left(e)) => n -> e }
+    val qjson = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_))  => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val ejson = failed.map { case (k, e) =>
+      val msg = e.take(200).replaceAll("[\\\\\"\\n\\r\\t]", " ")
+      s"\"$k\":\"$msg\""
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
     // apples-to-apples vs BENCH_r01 (which covered only these 9 ids —
     // the full total now spans 100+ operators incl. streaming/ELT)
     val r01Ids = Set("b01_parquet_scan", "b02_scan_limit", "b05_project_rename",
       "b06_filter_comparison", "b07_filter_in_between_like",
       "b08_filter_null_handling", "b09_distinct", "b23_agg_global",
       "b24_agg_groupby")
-    val r01Subset = results.collect { case (k, v) if r01Ids(k) => v }.sum
+    val r01Subset = ok.collect { case (k, v) if r01Ids(k) => v }.sum
     // b01/b05/b06 were re-scoped to bounded keyed slices in round 2, so
     // the subset measures less work than BENCH_r01 did — flag that in
     // the emitted JSON rather than implying a like-for-like speedup
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_queries":${results.size},"timed_passes":2,"per_id":"min","r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$ejson,"timed_passes":2,"per_id":"min","r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
     spark.stop()
   }
 }

@@ -19,18 +19,46 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert
-      // to a micro-precision timestamp — integral `div` (not `/`) since
-      // epoch-nanos exceed double's 2^53 exact-integer range. DuckDB
-      // reads the same file as TIMESTAMP_NS natively (NOTES.md rule 7).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(sfDir, name))
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(path(sfDir, name))
+    if (name == "events") loadEvents(spark, path(sfDir, name))
+    else spark.read.parquet(path(sfDir, name))
+
+  /** Schema-adaptive events load. The fixtures' `ts` footer type has
+    * changed across regenerations (TIMESTAMP(NANOS) → timestamp[us]),
+    * so adapt to what the footer actually carries instead of assuming:
+    *  - plain read succeeds, `ts` is a timestamp → cast TIMESTAMP_NTZ
+    *    to the session-TZ TimestampType (session TZ is UTC everywhere
+    *    here) so downstream time arithmetic and the DuckDB oracle see
+    *    the same wall-clock values as before;
+    *  - plain read succeeds, `ts` is int64 → treat as epoch-nanos and
+    *    convert (integral `div`, not `/`: epoch-nanos exceed double's
+    *    2^53 exact range);
+    *  - plain read REJECTS the footer (Spark 4 throws on
+    *    TIMESTAMP(NANOS)) → only then set the session-wide
+    *    `nanosAsLong` shim and convert. The conf must stay set for the
+    *    lazy scan that executes later, so it is scoped to "footer
+    *    actually carries nanos", not restored mid-plan.
+    * Mirrors reference schema-on-read tolerance (extract_load.py:73).
+    */
+  private def loadEvents(spark: SparkSession, p: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def nanosToTs(df: DataFrame): DataFrame =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val plain =
+      try Some(spark.read.parquet(p))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    plain match {
+      case Some(df) =>
+        df.schema("ts").dataType match {
+          case LongType           => nanosToTs(df)
+          case TimestampNTZType   => df.withColumn("ts", col("ts").cast(TimestampType))
+          case _                  => df
+        }
+      case None =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        nanosToTs(spark.read.parquet(p))
+    }
+  }
 
   /** Register every fixture table as a temp view named after the table.
     * Idempotent; cheap (no data read until an action). */

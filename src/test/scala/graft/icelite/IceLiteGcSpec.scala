@@ -52,6 +52,29 @@ class IceLiteGcSpec extends AnyFunSuite {
     assert(Files.exists(freshDir.resolve("part-00000-x.parquet")))
   }
 
+  test("grace window protects a staged-but-EMPTY token dir") {
+    // a concurrent writer creates its staging/token dir BEFORE any
+    // file lands in it — the empty-dir sweep must treat a young empty
+    // dir as in-flight, not garbage
+    val ref = mk()
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    val staged = ref.dataDir.resolve("freshtoken")
+    Files.createDirectories(staged)
+    val deleted = IceLite.gcOrphans(ref, graceMs = 60000L)
+    assert(deleted.isEmpty)
+    assert(Files.exists(staged), "young empty staging dir was swept")
+    // ...while an OLD empty dir (crashed writer residue) is reclaimed
+    val stale = ref.dataDir.resolve("staletoken")
+    Files.createDirectories(stale)
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+    // grace 5s: stale (10s old) is past the cutoff, staged (just
+    // created) is inside it — no same-millisecond timing dependence
+    IceLite.gcOrphans(ref, graceMs = 5000L)
+    assert(!Files.exists(stale), "stale empty dir should be reclaimed")
+    assert(Files.exists(staged), "young dir must still survive")
+  }
+
   test("gcOrphans handles partitioned layout (shared value dirs)") {
     val ref = mk()
     IceLite.createOrReplacePartitioned(ref,
