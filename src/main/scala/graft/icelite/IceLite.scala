@@ -100,6 +100,9 @@ final case class AddedCol(name: String, sqlType: String,
 final case class RenamedCol(from: String, to: String,
     sinceSnapshotId: Long)
 
+final case class WidenedCol(name: String, fromType: String,
+    toType: String, sinceSnapshotId: Long)
+
 final case class Manifest(
     table: String,
     currentSnapshotId: Long,
@@ -130,7 +133,12 @@ final case class Manifest(
     // file. Names on either side of a rename are retired forever
     // (re-adding or re-targeting them would resurface stale bytes
     // — the same no-field-ids rule as droppedCols).
-    renamedCols: Seq[RenamedCol] = Nil) {
+    renamedCols: Seq[RenamedCol] = Nil,
+    // ALTER TABLE ALTER COLUMN TYPE ledger (d66): Iceberg's safe
+    // type promotions (int→bigint, float→double), metadata-only.
+    // Files written before the widen keep their narrow bytes;
+    // readers upcast at decode time (lossless by promotion rule).
+    widenedCols: Seq[WidenedCol] = Nil) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
 }
 
@@ -1796,9 +1804,49 @@ object IceLite {
   // mergeSchema: appends may evolve the schema (Iceberg v2 semantics,
   // extract_load.py inherits this through format-version=2); older
   // files surface null for later-added columns
-  private[icelite] def readFiles(spark: SparkSession, ref: TableRef, files: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => ref.dir.resolve(f).toString): _*)
+  private[icelite] def readFiles(spark: SparkSession, ref: TableRef, files: Seq[String]): DataFrame = {
+    val paths = files.map(f => ref.dir.resolve(f).toString)
+    val widens = scala.util.Try(readManifest(ref).widenedCols).getOrElse(Nil)
+    if (widens.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else {
+      // d66: a widened table mixes narrow/wide file eras, which
+      // schema MERGING refuses (CANNOT_MERGE_SCHEMAS) — read with the
+      // explicit post-widen schema instead; Spark 4's parquet readers
+      // natively upcast int32→long / float→double per file
+      import org.apache.spark.sql.types._
+      val conv = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter()
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        val sch = try conv.convert(r.getFooter.getFileMetaData.getSchema)
+          finally r.close()
+        sch.fields.foreach { fd =>
+          fields.get(fd.name) match {
+            case None => fields(fd.name) = fd
+            case Some(prev) if prev.dataType == fd.dataType => ()
+            case Some(prev) => // eras disagree: take the wider side
+              val wide = (prev.dataType, fd.dataType) match {
+                case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+                case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+                case (a, b) => throw new IllegalStateException(
+                  s"${ref.name}: column ${fd.name} has irreconcilable " +
+                    s"types across files (${a.simpleString} vs ${b.simpleString})")
+              }
+              fields(fd.name) = prev.copy(dataType = wide)
+          }
+        }
+      }
+      val target = widens.map(w => w.name -> DataType.fromDDL(w.toType)).toMap
+      val widened = StructType(fields.values.toSeq.map(fd =>
+        target.get(fd.name).fold(fd)(t => fd.copy(dataType = t))))
+      spark.read.schema(widened).parquet(paths: _*)
+    }
+  }
 
   /** Read the current snapshot (schema-on-read from Parquet footers,
     * like extract_load.py:73). */
@@ -1957,6 +2005,72 @@ object IceLite {
     ()
   }
 
+  /** d66: `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — Iceberg's
+    * SAFE type promotion (int→bigint, float→double), METADATA-ONLY:
+    * one CAS manifest commit, zero data files touched. Files written
+    * before the widen keep their narrow bytes; every reader upcasts
+    * at decode time (the promotion is lossless by construction, which
+    * is exactly why Iceberg allows only these pairs). Time travel to
+    * a pre-widen snapshot sees the narrow type. Partition, sort-key
+    * and transform-source columns refuse (their stats/layout are
+    * typed by the stored values); so do columns with rename history
+    * (the ledger is keyed by one canonical name per column). */
+  def alterWidenColumn(ref: TableRef, colName: String, toSqlType: String): Unit = {
+    import org.apache.spark.sql.types._
+    val promotions: Map[(DataType, DataType), Unit] = Map(
+      (IntegerType, LongType) -> (), (FloatType, DoubleType) -> ())
+    val to = DataType.fromDDL(toSqlType)
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      val visible = visibleColNames(ref, m)
+      require(visible.contains(colName),
+        s"no column $colName in ${ref.name} (have: ${visible.toSeq.sorted.mkString(", ")})")
+      require(!m.renamedCols.exists(r => r.from == colName || r.to == colName),
+        s"$colName has rename history in ${ref.name} — widen before " +
+          "renaming, not after (the widen ledger is keyed by one name)")
+      require(!m.current.partitionCols.contains(colName) &&
+          !m.current.sortedBy.contains(colName) &&
+          !m.current.partitionSpec.exists(f =>
+            f.sourceCol == colName || f.name == colName),
+        s"$colName keys ${ref.name}'s layout (partition/sort/transform) " +
+          "— its stats and directory values are typed by the stored form")
+      val from: DataType = m.widenedCols.filter(_.name == colName)
+        .lastOption.map(w => DataType.fromDDL(w.toType))
+        .orElse(m.addedCols.find(_.name == colName)
+          .map(c => DataType.fromDDL(c.sqlType)))
+        .getOrElse {
+          val msg = firstFileMessageType(ref, m)
+          val conv = new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetToSparkSchemaConverter()
+          conv.convert(msg).fields.find(_.name == colName).map(_.dataType)
+            .getOrElse(throw new IllegalStateException(
+              s"$colName not found in ${ref.name}'s file schema"))
+        }
+      require(promotions.contains((from, to)),
+        s"unsupported type change ${from.simpleString} -> ${to.simpleString} " +
+          s"for $colName: only int->bigint and float->double are lossless " +
+          "metadata-only promotions (Iceberg's rule) — anything else " +
+          "needs a rewrite")
+      m.copy(widenedCols = m.widenedCols :+
+        WidenedCol(colName, from.simpleString, to.simpleString,
+          m.currentSnapshotId))
+    }
+    ()
+  }
+
+  /** First data file's full parquet MessageType. */
+  private def firstFileMessageType(ref: TableRef,
+      m: Manifest): org.apache.parquet.schema.MessageType = {
+    val f = m.current.files.headOption.getOrElse(
+      throw new IllegalStateException(s"${ref.name} has no data files"))
+    val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, new org.apache.hadoop.conf.Configuration()))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
   /** Time travel: read the table as of a specific snapshot id. */
   def readAt(spark: SparkSession, ref: TableRef, snapshotId: Long): DataFrame = {
     val m = readManifest(ref)
@@ -2028,7 +2142,10 @@ object IceLite {
       // snapshot saw, ALTER-added ones included
       Manifest(dst.name, 1L, Seq(snap), addedCols = srcManifest.addedCols
         .filter(_.sinceSnapshotId <= srcSnap.id)
-        .map(_.copy(sinceSnapshotId = 1L)))
+        .map(_.copy(sinceSnapshotId = 1L)),
+        widenedCols = srcManifest.widenedCols
+          .filter(_.sinceSnapshotId <= srcSnap.id)
+          .map(_.copy(sinceSnapshotId = 1L)))
     }.current
   }
 

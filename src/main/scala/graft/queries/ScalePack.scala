@@ -2509,6 +2509,55 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
              TRUE AS publish_refused, TRUE AS branch_consumed,
              'cherrypick' AS op
-             FROM orders WHERE o_orderkey < 2500"""))
+             FROM orders WHERE o_orderkey < 2500""")),
+
+    // d66: ALTER COLUMN TYPE widening — Iceberg's lossless metadata
+    // type promotion (int→bigint) as plain SQL through the catalog.
+    // The alter is ONE manifest commit: none of the table's data
+    // files move (witnessed), old files keep their int32 bytes and
+    // every read face upcasts at decode, the post-widen INSERT lands
+    // a value no int32 can hold, and time travel to a pre-widen
+    // snapshot still sees the narrow type (witnessed). At 100 TB this
+    // is the difference between evolving a key column in milliseconds
+    // and rewriting the table.
+    Decl("d66_alter_widen_type",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d66").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_widen")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey".cast("int").as("k"),
+            $"o_totalprice".as("price"))
+        val s1 = IceLite.createOrReplace(ref, o.filter($"k" < 1000))
+        IceLite.append(ref, o.filter($"k" >= 1000 && $"k" < 2000))
+        val filesBefore = IceLite.readManifest(ref).current.files
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"ALTER TABLE $cat.src.orders_widen ALTER COLUMN k TYPE BIGINT")
+        val metadataOnly =
+          IceLite.readManifest(ref).current.files == filesBefore
+        s.sql(s"INSERT INTO $cat.src.orders_widen VALUES " +
+          "(5000000000, CAST(0.5 AS DOUBLE))")
+        val cur = s.table(s"$cat.src.orders_widen")
+        val widened = cur.schema("k").dataType ==
+          org.apache.spark.sql.types.LongType
+        val narrowHistory = s.sql(
+          s"SELECT k FROM $cat.src.orders_widen VERSION AS OF ${s1.id}")
+          .schema("k").dataType == org.apache.spark.sql.types.IntegerType
+        cur.agg(count(lit(1)).cast("long").as("n"),
+            sum($"k").as("sum_k"),
+            sum($"price".cast("decimal(18,3)")).cast("double").as("sum_price"))
+          .withColumn("widened", lit(widened))
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("narrow_history", lit(narrowHistory))
+      },
+      Some("""SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n,
+             CAST(SUM(o_orderkey) + 5000000000 AS BIGINT) AS sum_k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) + CAST(0.5 AS DECIMAL(18,3)) AS DOUBLE) AS sum_price,
+             TRUE AS widened, TRUE AS metadata_only, TRUE AS narrow_history
+             FROM orders WHERE o_orderkey < 2000"""))
   )
 }

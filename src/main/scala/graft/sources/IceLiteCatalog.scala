@@ -242,8 +242,11 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     * time travel to a pre-drop snapshot still sees it. A RENAMED
     * column (d58) keeps its bytes under the old name in old files —
     * readers resolve the current name through the rename chain per
-    * file. Anything else (type changes, nested fields) refuses
-    * loudly — those need a rewrite, not a metadata flip. */
+    * file. A WIDENED column (d66: int→bigint / float→double, the
+    * lossless Iceberg promotions) keeps narrow bytes in old files —
+    * readers upcast at decode. Anything else (lossy type changes,
+    * nested fields) refuses loudly — those need a rewrite, not a
+    * metadata flip. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ref = refOf(ident)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
@@ -264,8 +267,17 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
           s"icelite supports top-level columns only, got " +
             ren.fieldNames.mkString("."))
         IceLite.alterRenameColumn(ref, ren.fieldNames.head, ren.newName)
+      case upd: TableChange.UpdateColumnType =>
+        // d66: `ALTER COLUMN c TYPE <wider>` — metadata-only Iceberg
+        // type promotion (int→bigint, float→double); IceLite validates
+        require(upd.fieldNames.length == 1,
+          s"icelite supports top-level columns only, got " +
+            upd.fieldNames.mkString("."))
+        IceLite.alterWidenColumn(ref, upd.fieldNames.head,
+          upd.newDataType.catalogString)
       case other => throw new UnsupportedOperationException(
-        s"icelite ALTER TABLE supports ADD/DROP/RENAME COLUMN only, got $other")
+        s"icelite ALTER TABLE supports ADD/DROP/RENAME COLUMN and " +
+          s"ALTER COLUMN TYPE widening only, got $other")
     }
     loadTable(ident)
   }

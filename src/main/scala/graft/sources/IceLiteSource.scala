@@ -169,8 +169,19 @@ object IceLiteSource {
       }
     val hidden = m.droppedCols
       .filter(_.sinceSnapshotId <= snap.id).map(_.name).toSet
-    if (hidden.isEmpty) renamed
-    else StructType(renamed.fields.filterNot(f => hidden(f.name)))
+    val dropped =
+      if (hidden.isEmpty) renamed
+      else StructType(renamed.fields.filterNot(f => hidden(f.name)))
+    // d66: ALTER COLUMN TYPE widening — the schema surfaces the
+    // widened type from the alter's snapshot onward; time travel to
+    // an earlier snapshot sees the narrow stored type. Readers upcast
+    // narrow-era files at decode time.
+    val widenTo = m.widenedCols.filter(_.sinceSnapshotId <= snap.id)
+      .map(w => w.name ->
+        org.apache.spark.sql.types.DataType.fromDDL(w.toType)).toMap
+    if (widenTo.isEmpty) dropped
+    else StructType(dropped.fields.map(f =>
+      widenTo.get(f.name).fold(f)(t => f.copy(dataType = t))))
   }
 
   /** d58: current name → its older stored names, newest first — the
@@ -1593,12 +1604,17 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
           fileVector.foreach(_.setUtf8String(UTF8String.fromString(path)))
           // d51: decode the columns this file HAS; ALTER-added ones it
           // predates ride along as constant null vectors
-          val (fileCols, fileRows) = {
+          val (fileCols, fileTypes, fileRows) = {
             val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
               new HPath(path), new Configuration()))
-            try (fr.getFooter.getFileMetaData.getSchema.getFields.asScala
-              .map(_.getName).toSeq, fr.getRecordCount)
-            finally fr.close()
+            try {
+              val msg = fr.getFooter.getFileMetaData.getSchema
+              val sparkTypes = new org.apache.spark.sql.execution.datasources
+                .parquet.ParquetToSparkSchemaConverter().convert(msg)
+                .fields.map(f => f.name -> f.dataType).toMap
+              (msg.getFields.asScala.map(_.getName).toSeq, sparkTypes,
+                fr.getRecordCount)
+            } finally fr.close()
           }
           // d58: resolve each projected column to the name THIS file
           // stores it under (rename chain); unresolved = predates it
@@ -1606,6 +1622,17 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
           val presentStored = storedByField.flatten
           val aliased = fields.indices.exists(i =>
             storedByField(i).exists(_ != fields(i)._1))
+          // d66: file stores a NARROWER type than the projection asks
+          // for (written before an ALTER COLUMN TYPE widen) — its
+          // decoded vector gets an upcast adapter
+          val needUpcast: Array[Boolean] =
+            fields.zipWithIndex.map { case ((_, dt), i) =>
+              storedByField(i).exists { s =>
+                val ft = fileTypes(s)
+                (ft == IntegerType && dt == LongType) ||
+                  (ft == FloatType && dt == DoubleType)
+              }
+            }
           if (presentStored.isEmpty) {
             nullRowsLeft = fileRows
             syncRows = false
@@ -1617,7 +1644,8 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
               .VectorizedParquetRecordReader(false, 4096)
             reader.initialize(path, presentStored.toList.asJava)
             val fb = reader.resultBatch() // allocates the batch nextBatch() fills
-            if (presentStored.length == fields.length && !aliased) {
+            if (presentStored.length == fields.length && !aliased &&
+                !needUpcast.exists(identity)) {
               syncRows = appendedVectors.nonEmpty
               batch =
                 if (appendedVectors.isEmpty) fb
@@ -1631,6 +1659,10 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
               batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
                 (fields.zipWithIndex.map { case ((_, dt), i) =>
                   storedByField(i).flatMap(fbIdx.get).map(fb.column)
+                    .map(cv => if (needUpcast(i))
+                      new UpcastColumnVector(cv, dt)
+                        : org.apache.spark.sql.vectorized.ColumnVector
+                      else cv)
                     .getOrElse(nullVector(dt)): org.apache.spark.sql.vectorized.ColumnVector
                 } ++ appendedVectors).toArray)
             }
@@ -1735,6 +1767,21 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     // every projected column postdates this file (ALTER-added, d51):
     // nothing to decode — null cells at footer-count cardinality
     if (!storedNames.exists(_ != null)) return countOnlyReader()
+    // d66: columns this file stores NARROWER than the projection
+    // (written before an ALTER COLUMN TYPE widen) — decode with the
+    // stored accessor and upcast per value
+    val narrowStored: Array[Boolean] = {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      fields.zipWithIndex.map { case ((_, dt), i) =>
+        storedNames(i) != null && {
+          val prim = fullFileSchema
+            .getType(Array(storedNames(i)): _*)
+            .asPrimitiveType.getPrimitiveTypeName
+          (dt == LongType && prim == PrimitiveTypeName.INT32) ||
+            (dt == DoubleType && prim == PrimitiveTypeName.FLOAT)
+        }
+      }
+    }
     new PartitionReader[InternalRow] {
       private val conf = new Configuration()
       // project the read schema down to the required columns so the
@@ -1775,9 +1822,13 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
           if (!present(i)) row.setNullAt(i)
           else if (cur.getFieldRepetitionCount(name) == 0) row.setNullAt(i)
           else dt match {
-            case LongType => row.update(i, cur.getLong(name, 0))
+            case LongType =>
+              row.update(i, if (narrowStored(i)) cur.getInteger(name, 0).toLong
+                else cur.getLong(name, 0))
             case IntegerType => row.update(i, cur.getInteger(name, 0))
-            case DoubleType => row.update(i, cur.getDouble(name, 0))
+            case DoubleType =>
+              row.update(i, if (narrowStored(i)) cur.getFloat(name, 0).toDouble
+                else cur.getDouble(name, 0))
             case BooleanType => row.update(i, cur.getBoolean(name, 0))
             case StringType =>
               row.update(i, UTF8String.fromString(cur.getString(name, 0)))
