@@ -103,6 +103,22 @@ final case class RenamedCol(from: String, to: String,
 final case class WidenedCol(name: String, fromType: String,
     toType: String, sinceSnapshotId: Long)
 
+/** d67: how a partitioned DSv2 write resolves against existing files. */
+sealed trait PartitionedWriteMode
+object PartitionedWriteMode {
+  /** INSERT INTO — keep every existing file. */
+  case object Append extends PartitionedWriteMode
+  /** INSERT OVERWRITE (static, no PARTITION clause) — replace all. */
+  case object ReplaceAll extends PartitionedWriteMode
+  /** INSERT OVERWRITE PARTITION (c=v, …) — replace exactly the files
+    * whose path values match every equality. */
+  final case class ReplaceWhere(eq: Map[String, String])
+    extends PartitionedWriteMode
+  /** Dynamic partition overwrite — replace exactly the partitions the
+    * incoming rows actually touch (Iceberg/Hive dynamic mode). */
+  case object ReplaceDynamic extends PartitionedWriteMode
+}
+
 final case class Manifest(
     table: String,
     currentSnapshotId: Long,
@@ -138,7 +154,11 @@ final case class Manifest(
     // type promotions (int→bigint, float→double), metadata-only.
     // Files written before the widen keep their narrow bytes;
     // readers upcast at decode time (lossless by promotion rule).
-    widenedCols: Seq[WidenedCol] = Nil) {
+    widenedCols: Seq[WidenedCol] = Nil,
+    // d68: DDL-declared schema for a table created EMPTY (SQL
+    // `CREATE TABLE … PARTITIONED BY`): the schema of record until
+    // the first data file lands (schema-on-read takes over after).
+    declaredSchemaDdl: Option[String] = None) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
 }
 
@@ -431,6 +451,121 @@ object IceLite {
               fileRows = m.current.fileRows ++ rowsByFile,
               deleteFiles = m.current.deleteFiles))
       }
+    }.current
+  }
+
+  /** d68: SQL `CREATE TABLE … PARTITIONED BY (identity cols)` — an
+    * EMPTY partitioned table whose manifest records the layout and
+    * the DDL schema, so the first `INSERT INTO` routes through the
+    * partitioned write path and a pre-insert SELECT answers empty
+    * (instead of failing schema-on-read). One CAS commit; creating a
+    * table that exists refuses via the normal claim conflict. */
+  def createEmptyPartitioned(ref: TableRef, schemaDdl: String,
+      partitionCols: Seq[String]): Snapshot = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    Files.createDirectories(ref.dataDir)
+    commitCAS(ref) { cur =>
+      require(cur.isEmpty, s"${ref.name} already exists")
+      Manifest(ref.name, 1L,
+        Seq(Snapshot(1L, System.currentTimeMillis(), "create", Nil, 0L,
+          Map.empty, partitionCols)),
+        declaredSchemaDdl = Some(schemaDdl))
+    }.current
+  }
+
+  /** d67: commit a partitioned DSv2 write (INSERT INTO / INSERT
+    * OVERWRITE [PARTITION (…)] / dynamic overwrite through the SQL
+    * connector). `staged` are paths relative to `data/<token>/`, each
+    * carrying its Hive value dirs (`a=1/b=2/part-….parquet`); the
+    * driver moves them into the table's `data/part/` layout (a
+    * rename, no bytes) and resolves survivors per `mode` in ONE CAS
+    * snapshot — partition overwrite is metadata work + the new
+    * partition's bytes, never a table rewrite. Stats and row counts
+    * come from the new files' footers (no second scan). Identity
+    * partitions only; MoR-live targets refuse replace modes (dropping
+    * a file would dangle its delete sidecar entries). */
+  private[graft] def commitStagedPartitioned(ref: TableRef, token: String,
+      staged: Seq[String], mode: PartitionedWriteMode): Snapshot = {
+    import PartitionedWriteMode._
+    val moved: Seq[String] = staged.sorted.map { rel =>
+      val src = ref.dataDir.resolve(token).resolve(rel)
+      val slash = rel.lastIndexOf('/')
+      require(slash > 0, s"partitioned stage path lacks value dirs: $rel")
+      val (valuePath, fname) = (rel.take(slash), rel.drop(slash + 1))
+      val dest = ref.dataDir.resolve("part")
+        .resolve(java.nio.file.Paths.get(valuePath))
+        .resolve(s"$token-$fname")
+      Files.createDirectories(dest.getParent)
+      Files.move(src, dest)
+      ref.dir.relativize(dest).toString
+    }
+    // drop the emptied staging skeleton (value dirs + token dir)
+    val tokenDir = ref.dataDir.resolve(token)
+    if (Files.exists(tokenDir))
+      listDir(Files.walk(tokenDir))(_.toSeq).sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+    def partVals(f: String): Map[String, String] =
+      f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
+        val c = seg.takeWhile(_ != '=')
+        c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+      }.toMap
+    val rowsByFile = fileRowCounts(ref, moved)
+    val stats = footerStats(ref, moved)
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException(
+        s"${ref.name} does not exist — partitioned DSv2 writes target " +
+          "an existing partitioned table (createOrReplacePartitioned)"))
+      val snap = m.current
+      require(snap.partitionCols.nonEmpty,
+        s"${ref.name} is not identity-partitioned")
+      moved.foreach { f =>
+        require(partVals(f).keySet == snap.partitionCols.toSet,
+          s"staged file $f does not carry the table's partition " +
+            s"columns ${snap.partitionCols.mkString(",")}")
+      }
+      val survivors: Seq[String] = mode match {
+        case Append => snap.files
+        case ReplaceAll =>
+          require(snap.deleteFiles.isEmpty,
+            s"${ref.name} has live MoR sidecars — compact() before overwrite")
+          Nil
+        case ReplaceWhere(eq) =>
+          require(snap.deleteFiles.isEmpty,
+            s"${ref.name} has live MoR sidecars — compact() before overwrite")
+          eq.keys.foreach(c => require(snap.partitionCols.contains(c),
+            s"$c is not a partition column of ${ref.name}"))
+          moved.foreach { f =>
+            val vals = partVals(f)
+            require(eq.forall { case (c, v) => vals.get(c).contains(v) },
+              s"INSERT OVERWRITE PARTITION ${eq.mkString(",")} received a " +
+                s"row for partition ${vals.mkString(",")}")
+          }
+          snap.files.filterNot(f =>
+            eq.forall { case (c, v) => partVals(f).get(c).contains(v) })
+        case ReplaceDynamic =>
+          require(snap.deleteFiles.isEmpty,
+            s"${ref.name} has live MoR sidecars — compact() before overwrite")
+          val touched = moved.map(f =>
+            snap.partitionCols.map(partVals(f).get)).toSet
+          snap.files.filterNot(f =>
+            touched.contains(snap.partitionCols.map(partVals(f).get)))
+      }
+      val survivorSet = survivors.toSet
+      val id = m.snapshots.map(_.id).max + 1
+      val files = survivors ++ moved
+      val next = Snapshot(id, System.currentTimeMillis(),
+        if (mode == Append) "append" else "overwrite",
+        files,
+        survivors.map(snap.fileRows.getOrElse(_, 0L)).sum +
+          rowsByFile.values.sum,
+        snap.fileStats.view.filterKeys(survivorSet).toMap ++ stats,
+        snap.partitionCols,
+        summary = Map("mode" -> mode.toString),
+        fileRows = snap.fileRows.view.filterKeys(survivorSet).toMap ++
+          rowsByFile,
+        deleteFiles = if (mode == Append) snap.deleteFiles else Nil,
+        partitionSpec = snap.partitionSpec)
+      m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
     }.current
   }
 

@@ -2558,6 +2558,136 @@ object ScalePack extends Pack {
              CAST(SUM(o_orderkey) + 5000000000 AS BIGINT) AS sum_k,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) + CAST(0.5 AS DECIMAL(18,3)) AS DOUBLE) AS sum_price,
              TRUE AS widened, TRUE AS metadata_only, TRUE AS narrow_history
-             FROM orders WHERE o_orderkey < 2000"""))
+             FROM orders WHERE o_orderkey < 2000""")),
+
+    // d67: INSERT OVERWRITE through the connector — partition-
+    // granular replacement as plain SQL (Iceberg/Hive overwrite
+    // semantics on identity partitions). Three write shapes against
+    // one partitioned table: a static `PARTITION (flag='A')`
+    // overwrite (replaces exactly that partition's files), a DYNAMIC
+    // overwrite (replaces exactly the partitions the incoming rows
+    // touch), and a plain INSERT INTO a brand-new partition value.
+    // Witnessed: the never-written partition keeps its exact file
+    // list through all three writes, and time travel to the
+    // pre-overwrite snapshot still reads the original totals. At
+    // 100 TB a daily re-load replaces one day's directory as O(that
+    // day) new bytes + one CAS manifest commit — never a table scan.
+    // Quantity multipliers are powers of two so double arithmetic
+    // stays exact against the oracle.
+    Decl("d67_insert_overwrite_partition",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d67").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "li_part")
+        val li = Tables.load(s, dir, "lineitem")
+          .filter($"l_orderkey" < 2000)
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        IceLite.createOrReplacePartitioned(ref, li, "l_returnflag")
+        val s1 = IceLite.readManifest(ref)
+        val rFiles = s1.current.files.filter(_.contains("l_returnflag=R"))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // static: replace partition A with doubled quantities
+        li.filter($"l_returnflag" === "A")
+          .select($"l_orderkey", ($"l_quantity" * 2).as("l_quantity"))
+          .createOrReplaceTempView("d67_a_src")
+        s.sql(s"INSERT OVERWRITE $cat.src.li_part PARTITION " +
+          "(l_returnflag='A') SELECT l_orderkey, l_quantity FROM d67_a_src")
+        // dynamic: the incoming rows decide — only N is replaced
+        li.filter($"l_returnflag" === "N")
+          .select($"l_orderkey", ($"l_quantity" * 4).as("l_quantity"),
+            $"l_returnflag")
+          .createOrReplaceTempView("d67_n_src")
+        val modeKey = "spark.sql.sources.partitionOverwriteMode"
+        val prevMode = s.conf.getOption(modeKey)
+        s.conf.set(modeKey, "dynamic")
+        try s.sql(s"INSERT OVERWRITE $cat.src.li_part " +
+          "SELECT l_orderkey, l_quantity, l_returnflag FROM d67_n_src")
+        finally prevMode match {
+          case Some(v) => s.conf.set(modeKey, v)
+          case None => s.conf.unset(modeKey)
+        }
+        // append a brand-new partition value
+        s.sql(s"INSERT INTO $cat.src.li_part VALUES " +
+          "(999999L, CAST(42.0 AS DOUBLE), 'Z')")
+        val m2 = IceLite.readManifest(ref)
+        val untouched =
+          m2.current.files.filter(_.contains("l_returnflag=R")) == rFiles
+        val histSum = s.sql(
+          s"SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) " +
+            s"FROM $cat.src.li_part VERSION AS OF ${s1.currentSnapshotId}")
+          .head.getDouble(0)
+        val baseSum = li
+          .agg(sum($"l_quantity".cast("decimal(18,3)")).cast("double"))
+          .head.getDouble(0)
+        s.table(s"$cat.src.li_part")
+          .groupBy($"l_returnflag".as("flag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"l_quantity".cast("decimal(18,3)")).cast("double")
+              .as("sum_qty"))
+          .withColumn("untouched_ok", lit(untouched))
+          .withColumn("history_ok", lit(histSum == baseSum))
+          .orderBy("flag")
+      },
+      Some("""SELECT flag, n, sum_qty, TRUE AS untouched_ok,
+             TRUE AS history_ok FROM (
+               SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(l_quantity *
+                   (CASE l_returnflag WHEN 'A' THEN 2 WHEN 'N' THEN 4
+                    ELSE 1 END) AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+               FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1
+               UNION ALL
+               SELECT 'Z', CAST(1 AS BIGINT), CAST(42.0 AS DOUBLE)
+             ) t ORDER BY flag""")),
+
+    // d68: SQL-NATIVE partitioned lifecycle — `CREATE TABLE …
+    // PARTITIONED BY` declares an EMPTY identity-partitioned table
+    // (manifest records layout + DDL schema, so a pre-insert SELECT
+    // answers empty instead of failing schema-on-read), INSERT INTO
+    // routes rows to their value dirs through the d67 write path, and
+    // a partition-filtered read plans ONLY the matching partition's
+    // files (witnessed via the planned-file hook). The full Iceberg
+    // SQL DDL story: a user never touches the engine API to stand up,
+    // load and prune a partitioned table.
+    Decl("d68_sql_create_partitioned",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d68").toString
+        IceLite.createNamespace(wh, "src")
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.src.li_ddl (l_orderkey BIGINT, " +
+          "l_quantity DOUBLE, l_returnflag STRING) " +
+          "PARTITIONED BY (l_returnflag)")
+        val emptyBefore = s.table(s"$cat.src.li_ddl").count() == 0L
+        Tables.load(s, dir, "lineitem")
+          .filter($"l_orderkey" < 2000)
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+          .createOrReplaceTempView("d68_src")
+        s.sql(s"INSERT INTO $cat.src.li_ddl " +
+          "SELECT l_orderkey, l_quantity, l_returnflag FROM d68_src")
+        // partition-pruned probe: only flag=R files may be planned
+        s.sql(s"SELECT COUNT(*) FROM $cat.src.li_ddl " +
+          "WHERE l_returnflag = 'R'").collect()
+        val pruned = graft.sources.IceLiteSource.lastPlannedFiles.nonEmpty &&
+          graft.sources.IceLiteSource.lastPlannedFiles
+            .forall(_.contains("l_returnflag=R"))
+        s.sql(
+          s"""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+              FROM $cat.src.li_ddl GROUP BY l_returnflag""")
+          .withColumn("empty_before", lit(emptyBefore))
+          .withColumn("pruned_ok", lit(pruned))
+          .orderBy("flag")
+      },
+      Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+             TRUE AS empty_before, TRUE AS pruned_ok
+             FROM lineitem WHERE l_orderkey < 2000
+             GROUP BY 1 ORDER BY 1"""))
   )
 }

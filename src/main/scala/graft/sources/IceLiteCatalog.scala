@@ -212,15 +212,39 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "SQL DDL creates flat tables; partitioned/sorted layouts go through " +
-        "IceLite.createOrReplacePartitioned / createOrReplaceSorted")
     val ref = refOf(ident)
     if (IceLite.tableExists(ref)) throw new TableAlreadyExistsException(ident)
     IceLite.createNamespace(warehouse, ident.namespace.head)
-    // no manifest is written yet: the table materializes atomically
-    // with its first committed write (CTAS lands here, then appends)
-    new IceLiteTable(ref, schema)
+    if (partitions.isEmpty) {
+      // no manifest is written yet: the table materializes atomically
+      // with its first committed write (CTAS lands here, then appends)
+      new IceLiteTable(ref, schema)
+    } else {
+      // d68: `CREATE TABLE … PARTITIONED BY (c, …)` — identity
+      // transforms only (hidden-partition transforms write through
+      // the engine). Partition values are PATH-BORNE in the Hive
+      // layout, so the partition columns surface as strings and sort
+      // last — the same shape every populated partitioned read has.
+      val cols = partitions.toSeq.map { t =>
+        if (t.name != "identity")
+          throw new UnsupportedOperationException(
+            s"icelite SQL DDL supports identity partitioning only, got " +
+              s"${t.describe} — transform layouts write through " +
+              "IceLite.createOrReplaceTransformed")
+        val fieldNames = t.references()(0).fieldNames
+        require(fieldNames.length == 1,
+          s"icelite partitions on top-level columns only, got ${t.describe}")
+        fieldNames.head
+      }
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"partition column $c is not in the table schema"))
+      val ordered = StructType(
+        schema.fields.filterNot(f => cols.contains(f.name)) ++
+          cols.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)))
+      IceLite.createEmptyPartitioned(ref, ordered.toDDL, cols)
+      new IceLiteTable(ref, ordered)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -128,6 +128,12 @@ object IceLiteSource {
   private[sources] def schemaOf(ref: TableRef,
       asOf: Option[Long] = None): StructType = {
     val snap = resolveSnap(ref, asOf)
+    // d68: a table created empty by SQL DDL reads its declared schema
+    // until the first data file lands (then schema-on-read governs)
+    if (snap.files.isEmpty)
+      IceLite.readManifest(ref).declaredSchemaDdl.foreach { ddl =>
+        return StructType.fromDDL(ddl)
+      }
     require(snap.files.nonEmpty, s"${ref.name} has no data files")
     val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
@@ -234,10 +240,21 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     s"icelite.${ref.namespace}.${ref.name}" +
       asOf.map(id => s"@$id").getOrElse("")
   override def schema(): StructType = schema
+  /** d67: declare the identity partitioning so the analyzer accepts
+    * `INSERT OVERWRITE … PARTITION (col=val)` clauses (and SHOW-style
+    * tooling sees the layout). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val cols =
+      if (IceLite.tableExists(ref)) IceLiteSource.resolveSnap(ref, asOf).partitionCols
+      else Nil
+    cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+      .identity(c)).toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     if (asOf.isDefined) Set(TableCapability.BATCH_READ).asJava
     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(ref, schema,
@@ -469,22 +486,66 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
   * creation in — IceLite.createOrReplace is the create path, as the
   * REST catalog is for Iceberg). */
 class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, Filter}
+
   private var replace = false
+  // d67: static partition overwrite — conjunctive partition equalities
+  private var overwriteEq: Option[Map[String, String]] = None
+  private var dynamic = false
   override def truncate(): WriteBuilder = { replace = true; this }
+
+  /** d67: `INSERT OVERWRITE t PARTITION (c=v, …)` (static mode) —
+    * Spark hands the partition spec as v1 equality filters. AlwaysTrue
+    * (no PARTITION clause) degrades to truncate; anything this source
+    * cannot guarantee file-granular (non-equality, non-partition
+    * columns — validated at commit) refuses loudly rather than
+    * over- or under-deleting. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) { replace = true; this }
+    else {
+      val eq = filters.toSeq.map {
+        case EqualTo(c, v) => c -> String.valueOf(v)
+        case EqualNullSafe(c, v) if v != null => c -> String.valueOf(v)
+        case other => throw new UnsupportedOperationException(
+          s"icelite INSERT OVERWRITE supports partition equality " +
+            s"filters only, got $other")
+      }.toMap
+      overwriteEq = Some(eq)
+      this
+    }
+  }
+
+  /** d67: dynamic partition overwrite (`spark.sql.sources.
+    * partitionOverwriteMode=dynamic`) — replace exactly the
+    * partitions the incoming rows touch. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
+  }
+
   override def build(): Write = new Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
-    // partitioned tables stage through Hive dirs the connector's flat
-    // writer doesn't produce — a silent flat append would DROP the
-    // snapshot's partitionCols and the path-borne values with it
+    /** Identity partition columns of the target (empty = flat). */
+    private val partCols: Seq[String] =
+      if (!IceLite.tableExists(ref)) Nil
+      else IceLiteSource.resolveSnap(ref, None).partitionCols
+
+    // transform-partitioned (hidden-partition, d56) tables stage
+    // their dirs from DERIVED values the writer cannot recompute
+    // row-shape-agnostically — those still write through the engine
     locally {
       if (IceLite.tableExists(ref))
-        require(IceLiteSource.resolveSnap(ref, None).partitionCols.isEmpty,
-          s"${ref.name} is partitioned — write through " +
-            "IceLite.appendPartitioned / createOrReplacePartitioned")
+        require(IceLiteSource.resolveSnap(ref, None).partitionSpec.isEmpty,
+          s"${ref.name} is transform-partitioned — write through " +
+            "IceLite.appendTransformed")
+      require(partCols.nonEmpty || (overwriteEq.isEmpty && !dynamic),
+        s"${ref.name} is not partitioned — partition overwrite does " +
+          "not apply (plain INSERT OVERWRITE truncates)")
     }
 
     /** d54: a SORTED table asks Spark to range-partition and sort the
@@ -497,28 +558,88 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
       if (IceLite.tableExists(ref)) IceLiteSource.resolveSnap(ref, None).sortedBy
       else None
 
-    override def requiredDistribution(): Distribution = sortCol match {
-      case Some(c) => Distributions.ordered(Array(
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
-      case None => Distributions.unspecified()
-    }
+    override def requiredDistribution(): Distribution =
+      if (partCols.nonEmpty)
+        // d67: cluster rows by partition value so each task owns whole
+        // tuples — one file per (task, partition) instead of a
+        // files × tasks small-file spray
+        Distributions.clustered(partCols.map(c =>
+          Expressions.identity(c): org.apache.spark.sql.connector
+            .expressions.Expression).toArray)
+      else sortCol match {
+        case Some(c) => Distributions.ordered(Array(
+          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+        case None => Distributions.unspecified()
+      }
     override def requiredOrdering(): Array[SortOrder] = sortCol match {
-      case Some(c) => Array(
+      case Some(c) if partCols.isEmpty => Array(
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
-      case None => Array.empty
+      case _ => Array.empty
     }
 
     override def toBatch: BatchWrite =
-      new IceLiteBatchWrite(ref, info.schema(), replace,
-        clustered = sortCol.isDefined)
+      if (partCols.nonEmpty) {
+        import graft.icelite.PartitionedWriteMode._
+        val mode =
+          if (dynamic) ReplaceDynamic
+          else overwriteEq.map(ReplaceWhere(_))
+            .getOrElse(if (replace) ReplaceAll else Append)
+        new IceLitePartitionedBatchWrite(ref, info.schema(), partCols, mode)
+      } else
+        new IceLiteBatchWrite(ref, info.schema(), replace,
+          clustered = sortCol.isDefined)
     override def toStreaming: StreamingWrite = {
       require(!replace,
         "icelite streaming sink is append-only (complete/truncate modes " +
           "would replace the table every epoch)")
+      require(partCols.isEmpty,
+        "icelite streaming sink writes unpartitioned tables")
       new IceLiteStreamingWrite(ref, info.schema())
     }
     override def description(): String =
-      s"IceLiteWrite ${ref.name} ${if (replace) "replace" else "append"}"
+      s"IceLiteWrite ${ref.name} " +
+        (if (dynamic) "overwrite-dynamic"
+         else if (overwriteEq.isDefined) s"overwrite-${overwriteEq.get}"
+         else if (replace) "replace" else "append")
+  }
+}
+
+/** d67: batch write for identity-partitioned tables — executors stage
+  * Hive-layout files under `data/<token>/`, the driver's commit moves
+  * them into `data/part/` (rename, zero bytes) and resolves the
+  * overwrite mode in ONE CAS snapshot (IceLite.commitStagedPartitioned). */
+class IceLitePartitionedBatchWrite(ref: TableRef, schema: StructType,
+    partitionCols: Seq[String], mode: graft.icelite.PartitionedWriteMode)
+  extends BatchWrite {
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
+    new IceLitePartitionedWriterFactory(
+      ref.dataDir.resolve(token).toString, schema, partitionCols)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val wap = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.wap.branch").filter(_.nonEmpty)
+    require(wap.isEmpty,
+      "spark.wap.branch is set — partitioned writes cannot be staged " +
+        "to a WAP branch; unset the conf first")
+    val files = messages.collect {
+      case IceLitePartitionedCommitMessage(fs) => fs
+    }.flatten.toSeq
+    import graft.icelite.PartitionedWriteMode.Append
+    if (files.nonEmpty || mode != Append) {
+      IceLite.commitStagedPartitioned(ref, token, files, mode); ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = ref.dataDir.resolve(token)
+    if (java.nio.file.Files.exists(dir))
+      IceLite.listDir(java.nio.file.Files.walk(dir))(_.toSeq)
+        .sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
   }
 }
 
@@ -587,6 +708,78 @@ class IceLiteWriterFactory(dir: String, fields: Array[(String, DataType)])
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new IceLiteDataWriter(dir, f"part-$partitionId%05d-$taskId.parquet", fields)
+}
+
+/** d67: files staged by one partitioned-write task, paths relative to
+  * the staging token dir and carrying their Hive value dirs. */
+case class IceLitePartitionedCommitMessage(files: Seq[String])
+  extends WriterCommitMessage
+
+/** d67: partitioned DSv2 writer — routes each row to the parquet file
+  * of its partition-value tuple (`<token>/<a>=<v>/part-….parquet`),
+  * writing DATA columns only (partition values live in the path, the
+  * same contract as IceLite.stagePartitioned). The write requires a
+  * CLUSTERED distribution on the partition columns, so a task
+  * normally owns whole value tuples and the open-writer map stays at
+  * a handful of entries — the shape that scales to thousands of
+  * partitions without small-file spray. */
+class IceLitePartitionedWriterFactory(stageDir: String,
+    schema: StructType, partitionCols: Seq[String])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new IceLitePartitionedDataWriter(stageDir,
+      f"part-$partitionId%05d-$taskId.parquet", schema, partitionCols)
+}
+
+class IceLitePartitionedDataWriter(stageDir: String, fileName: String,
+    schema: StructType, partitionCols: Seq[String])
+  extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  private val partIdx: Array[Int] =
+    partitionCols.map(schema.fieldIndex).toArray
+  private val dataIdx: Array[Int] = schema.fields.indices
+    .filterNot(partIdx.contains(_)).toArray
+  private val dataFields: Array[(String, DataType)] =
+    dataIdx.map(i => (schema.fields(i).name, schema.fields(i).dataType))
+  private val projected = new org.apache.spark.sql.catalyst
+    .ProjectingInternalRow(
+      StructType(dataIdx.map(schema.fields(_))), dataIdx.toIndexedSeq)
+
+  private def dirOf(row: InternalRow): String =
+    partitionCols.indices.map { j =>
+      val i = partIdx(j)
+      val v =
+        if (row.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(
+          row.get(i, schema.fields(i).dataType).toString)
+      s"${partitionCols(j)}=$v"
+    }.mkString("/")
+
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[String, IceLiteDataWriter]
+
+  override def write(row: InternalRow): Unit = {
+    val dir = dirOf(row)
+    val w = open.getOrElseUpdate(dir, {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(stageDir, dir))
+      new IceLiteDataWriter(s"$stageDir/$dir", fileName, dataFields)
+    })
+    projected.project(row)
+    w.write(projected)
+  }
+
+  override def commit(): WriterCommitMessage =
+    IceLitePartitionedCommitMessage(open.toSeq.flatMap { case (dir, w) =>
+      w.commit() match {
+        case IceLiteCommitMessage(name) if name != null => Some(s"$dir/$name")
+        case _ => None
+      }
+    })
+
+  override def abort(): Unit = open.values.foreach(_.abort())
+  override def close(): Unit = ()
 }
 
 /** Streaming sink face of the connector (s15): `df.writeStream

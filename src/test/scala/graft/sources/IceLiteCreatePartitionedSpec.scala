@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.icelite.{IceLite, TableRef}
+
+/** d68: SQL-native partitioned table lifecycle — CREATE TABLE …
+  * PARTITIONED BY, pre-insert SELECT (empty, declared schema), INSERT
+  * INTO routing to value dirs, partition-pruned reads, overwrite. */
+class IceLiteCreatePartitionedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog(): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory("cpt_wh").toString
+    val name = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    IceLite.createNamespace(wh, "src")
+    (name, wh)
+  }
+
+  test("CREATE TABLE PARTITIONED BY -> empty SELECT -> INSERT -> pruned read") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src.t (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p)")
+    // declared schema answers before any data lands; partition col last
+    val empty = spark.sql(s"SELECT * FROM $cat.src.t")
+    assert(empty.columns.toSeq == Seq("k", "v", "p"))
+    assert(empty.count() == 0)
+    spark.sql(s"INSERT INTO $cat.src.t VALUES " +
+      "(1L, CAST(1.5 AS DOUBLE), 'A'), (2L, CAST(2.5 AS DOUBLE), 'B')")
+    val ref = TableRef(wh, "src", "t")
+    val m = IceLite.readManifest(ref)
+    assert(m.current.partitionCols == Seq("p"))
+    assert(m.current.files.forall(f =>
+      f.contains("p=A") || f.contains("p=B")), s"${m.current.files}")
+    val got = spark.sql(s"SELECT k FROM $cat.src.t WHERE p = 'B'")
+      .as[Long].collect().toSeq
+    assert(got == Seq(2L))
+    assert(IceLiteSource.lastPlannedFiles.forall(_.contains("p=B")),
+      s"pruning failed: ${IceLiteSource.lastPlannedFiles}")
+  }
+
+  test("static PARTITION overwrite works on a DDL-created table") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src.t2 (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.src.t2 VALUES (1L, 'A'), (2L, 'B')")
+    spark.sql(s"INSERT OVERWRITE $cat.src.t2 PARTITION (p='A') VALUES (7L)")
+    val got = spark.sql(s"SELECT k, p FROM $cat.src.t2 ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "B"), (7L, "A")))
+  }
+
+  test("CTAS PARTITIONED BY lands partitioned") {
+    val (cat, wh) = freshCatalog()
+    Seq((1L, "X"), (2L, "Y"), (3L, "X")).toDF("k", "p")
+      .createOrReplaceTempView("cpt_src")
+    spark.sql(s"CREATE TABLE $cat.src.t3 PARTITIONED BY (p) AS " +
+      "SELECT k, p FROM cpt_src")
+    val m = IceLite.readManifest(TableRef(wh, "src", "t3"))
+    assert(m.current.partitionCols == Seq("p"))
+    val got = spark.sql(s"SELECT k FROM $cat.src.t3 WHERE p = 'X'")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("non-identity transforms refuse loudly") {
+    val (cat, _) = freshCatalog()
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.src.t4 (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("identity")),
+      s"expected identity-only refusal, got: ${e.getMessage}")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.icelite.{IceLite, TableRef}
+
+/** d67: partitioned writes through the SQL connector — INSERT INTO,
+  * INSERT OVERWRITE (whole-table, static PARTITION clause, dynamic
+  * mode). Partition overwrite must be file-granular: untouched
+  * partitions keep their exact files, and history stays travelable. */
+class IceLitePartitionedWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mk(): (String, TableRef) = {
+    val wh = java.nio.file.Files.createTempDirectory("pw_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("k", "flag"), "flag")
+    val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, ref)
+  }
+
+  private def rows(cat: String): Seq[(Long, String)] =
+    spark.sql(s"SELECT k, flag FROM $cat.src.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+
+  test("INSERT INTO a partitioned table routes rows to value dirs") {
+    val (cat, ref) = mk()
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (4L, 'B'), (5L, 'C')")
+    assert(rows(cat) ==
+      Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "C")))
+    val m = IceLite.readManifest(ref)
+    assert(m.current.partitionCols == Seq("flag"), "layout marker survives")
+    val newFiles = m.current.files.filterNot(
+      m.snapshots.head.files.toSet)
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(f => f.contains("flag=B") || f.contains("flag=C")),
+      s"new files must land in their value dirs: $newFiles")
+  }
+
+  test("INSERT OVERWRITE without PARTITION clause replaces the table") {
+    val (cat, ref) = mk()
+    spark.sql(s"INSERT OVERWRITE $cat.src.t VALUES (9L, 'Z')")
+    assert(rows(cat) == Seq((9L, "Z")))
+    assert(IceLite.readManifest(ref).current.partitionCols == Seq("flag"))
+  }
+
+  test("static INSERT OVERWRITE PARTITION replaces only that partition") {
+    val (cat, ref) = mk()
+    val before = IceLite.readManifest(ref)
+    val bFiles = before.current.files.filter(_.contains("flag=B"))
+    spark.sql(
+      s"INSERT OVERWRITE $cat.src.t PARTITION (flag='A') VALUES (10L), (11L)")
+    assert(rows(cat) == Seq((3L, "B"), (10L, "A"), (11L, "A")))
+    val m = IceLite.readManifest(ref)
+    assert(m.current.files.filter(_.contains("flag=B")) == bFiles,
+      "partition B's files must be untouched")
+    assert(m.current.operation == "overwrite")
+    // history: the pre-overwrite snapshot still reads the old A rows
+    val old = spark.sql(
+      s"SELECT k FROM $cat.src.t VERSION AS OF ${before.currentSnapshotId}")
+      .as[Long].collect().sorted.toSeq
+    assert(old == Seq(1L, 2L, 3L))
+  }
+
+  test("dynamic partitionOverwriteMode replaces only touched partitions") {
+    val (cat, ref) = mk()
+    val bFiles = IceLite.readManifest(ref).current.files
+      .filter(_.contains("flag=B"))
+    withDynamicMode {
+      spark.sql(s"INSERT OVERWRITE $cat.src.t VALUES (20L, 'A'), (21L, 'C')")
+    }
+    assert(rows(cat) == Seq((3L, "B"), (20L, "A"), (21L, "C")))
+    assert(IceLite.readManifest(ref).current.files
+      .filter(_.contains("flag=B")) == bFiles)
+  }
+
+  test("partition pruning still works over connector-written files") {
+    val (cat, _) = mk()
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (4L, 'C')")
+    val got = spark.sql(s"SELECT k FROM $cat.src.t WHERE flag = 'C'")
+    assert(got.as[Long].collect().toSeq == Seq(4L))
+    // only the C partition's file is planned
+    assert(IceLiteSource.lastPlannedFiles.forall(_.contains("flag=C")),
+      s"scan read beyond the filtered partition: ${IceLiteSource.lastPlannedFiles}")
+  }
+
+  private def withDynamicMode[T](body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}

@@ -232,19 +232,22 @@ class IceLiteSourceSpec extends AnyFunSuite {
       "range filter must prune era-2 files via their footer stats")
   }
 
-  test("connector write refuses a partitioned target loudly") {
+  test("connector append into a partitioned table routes to value dirs (d67)") {
     val wh = java.nio.file.Files.createTempDirectory("v2w_part").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplacePartitioned(ref,
       Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "p")
-    val e = intercept[Exception] {
-      Seq((3L, "c")).toDF("k", "p")
-        .write.format(Fmt).mode("append").save(ref.dir.toString)
-    }
-    assert(e.getMessage.contains("partitioned") ||
-      (e.getCause != null && e.getCause.getMessage.contains("partitioned")),
-      s"flat append into a partitioned table must refuse: ${e.getMessage}")
+    Seq((3L, "c")).toDF("k", "p")
+      .write.format(Fmt).mode("append").save(ref.dir.toString)
+    val m = IceLite.readManifest(ref)
+    assert(m.current.partitionCols == Seq("p"), "layout marker survives")
+    val newFiles = m.current.files.filterNot(m.snapshots.head.files.toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("p=c")),
+      s"appended file must land in its value dir: $newFiles")
+    val got = IceLite.readPartitioned(spark, ref)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
   }
 
   // ---- d53: reported statistics ----
