@@ -473,6 +473,54 @@ object IceLite {
     }.current
   }
 
+  /** d69: METADATA-ONLY partition delete (Iceberg's metadata-delete:
+    * `DELETE FROM t WHERE part_col = v`). When the predicate selects
+    * WHOLE partitions of an identity-partitioned table, no row needs
+    * rewriting — the matching files are simply dropped from the next
+    * snapshot in one CAS commit. Zero data bytes read or written at
+    * any table size; dropped files stay referenced by older snapshots
+    * (time travel) and are reclaimed by expiry on its normal
+    * schedule. `eq` is conjunctive: partition column → accepted value
+    * set (from `=` / `IN`). MoR-live tables refuse (a dropped file's
+    * sidecar entries would dangle). */
+  def deletePartitions(ref: TableRef,
+      eq: Map[String, Set[String]]): Snapshot = {
+    require(eq.nonEmpty, "deletePartitions requires at least one equality")
+    def partVals(f: String): Map[String, String] =
+      f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
+        val c = seg.takeWhile(_ != '=')
+        c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+      }.toMap
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException(
+        s"no manifest for ${ref.name}"))
+      val snap = m.current
+      require(snap.partitionCols.nonEmpty,
+        s"${ref.name} is not identity-partitioned")
+      require(snap.deleteFiles.isEmpty,
+        s"${ref.name} has live MoR sidecars — compact() first")
+      eq.keys.foreach(c => require(snap.partitionCols.contains(c),
+        s"$c is not a partition column of ${ref.name}"))
+      val kept = snap.files.filterNot { f =>
+        val vals = partVals(f)
+        eq.forall { case (c, vs) => vals.get(c).exists(vs.contains) }
+      }
+      val keptSet = kept.toSet
+      val id = m.snapshots.map(_.id).max + 1
+      val next = Snapshot(id, System.currentTimeMillis(),
+        "delete-partitions", kept,
+        kept.map(snap.fileRows.getOrElse(_, 0L)).sum,
+        snap.fileStats.view.filterKeys(keptSet).toMap,
+        snap.partitionCols,
+        summary = Map("deleted.partitions" -> eq.map {
+          case (c, vs) => s"$c=${vs.toSeq.sorted.mkString("|")}"
+        }.toSeq.sorted.mkString(",")),
+        fileRows = snap.fileRows.view.filterKeys(keptSet).toMap,
+        partitionSpec = snap.partitionSpec)
+      m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
+    }.current
+  }
+
   /** d67: commit a partitioned DSv2 write (INSERT INTO / INSERT
     * OVERWRITE [PARTITION (…)] / dynamic overwrite through the SQL
     * connector). `staged` are paths relative to `data/<token>/`, each
@@ -484,9 +532,12 @@ object IceLite {
     * come from the new files' footers (no second scan). Identity
     * partitions only; MoR-live targets refuse replace modes (dropping
     * a file would dangle its delete sidecar entries). */
-  private[graft] def commitStagedPartitioned(ref: TableRef, token: String,
-      staged: Seq[String], mode: PartitionedWriteMode): Snapshot = {
-    import PartitionedWriteMode._
+  /** Promote files a partitioned DSv2 writer staged under
+    * `data/<token>/<value dirs>/` into the table's `data/part/`
+    * layout (a rename per file, zero bytes) and drop the emptied
+    * staging skeleton. Returns the table-relative moved paths. */
+  private[graft] def promoteStagedPartitioned(ref: TableRef, token: String,
+      staged: Seq[String]): Seq[String] = {
     val moved: Seq[String] = staged.sorted.map { rel =>
       val src = ref.dataDir.resolve(token).resolve(rel)
       val slash = rel.lastIndexOf('/')
@@ -499,11 +550,17 @@ object IceLite {
       Files.move(src, dest)
       ref.dir.relativize(dest).toString
     }
-    // drop the emptied staging skeleton (value dirs + token dir)
     val tokenDir = ref.dataDir.resolve(token)
     if (Files.exists(tokenDir))
       listDir(Files.walk(tokenDir))(_.toSeq).sortBy(-_.getNameCount)
         .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+    moved
+  }
+
+  private[graft] def commitStagedPartitioned(ref: TableRef, token: String,
+      staged: Seq[String], mode: PartitionedWriteMode): Snapshot = {
+    import PartitionedWriteMode._
+    val moved = promoteStagedPartitioned(ref, token, staged)
     def partVals(f: String): Map[String, String] =
       f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
         val c = seg.takeWhile(_ != '=')

@@ -2688,6 +2688,64 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
              TRUE AS empty_before, TRUE AS pruned_ok
              FROM lineitem WHERE l_orderkey < 2000
+             GROUP BY 1 ORDER BY 1""")),
+
+    // d69: METADATA-ONLY partition delete (Iceberg's metadata
+    // delete). `DELETE FROM t WHERE part_col = v` selects WHOLE
+    // partitions, so no row is rewritten: Spark's
+    // OptimizeMetadataOnlyDeleteFromTable routes the statement to
+    // SupportsDelete, and the connector answers it by dropping the
+    // matching files in one CAS commit — zero data bytes read or
+    // written at ANY table size (witnessed: op, kept files
+    // byte-identical). Dropped files stay time-travelable. A 100 TB
+    // GDPR purge or day-partition retention sweep is a manifest
+    // commit, not a scan. Non-partition predicates keep the CoW
+    // rewrite path (which now restages through the Hive layout, so
+    // pruning survives — exercised by the follow-up keyed DELETE).
+    Decl("d69_metadata_partition_delete",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d69").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "li_del")
+        val li = Tables.load(s, dir, "lineitem")
+          .filter($"l_orderkey" < 2000)
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        IceLite.createOrReplacePartitioned(ref, li, "l_returnflag")
+        val before = IceLite.readManifest(ref)
+        val keptExpected = before.current.files
+          .filterNot(_.contains("l_returnflag=A"))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"DELETE FROM $cat.src.li_del WHERE l_returnflag = 'A'")
+        val m1 = IceLite.readManifest(ref)
+        val metadataOnly = m1.current.operation == "delete-partitions" &&
+          m1.current.files == keptExpected
+        // CoW path still available for row predicates (layout kept)
+        s.sql(s"DELETE FROM $cat.src.li_del WHERE l_orderkey < 100")
+        val layoutKept =
+          IceLite.readManifest(ref).current.partitionCols ==
+            Seq("l_returnflag")
+        val historyOk = s.sql(s"SELECT COUNT(*) FROM $cat.src.li_del " +
+          s"VERSION AS OF ${before.currentSnapshotId}")
+          .head.getLong(0) == before.current.rowCount
+        s.sql(
+          s"""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+              FROM $cat.src.li_del GROUP BY l_returnflag""")
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("layout_kept", lit(layoutKept))
+          .withColumn("history_ok", lit(historyOk))
+          .orderBy("flag")
+      },
+      Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+             TRUE AS metadata_only, TRUE AS layout_kept, TRUE AS history_ok
+             FROM lineitem
+             WHERE l_orderkey < 2000 AND l_orderkey >= 100
+               AND l_returnflag <> 'A'
              GROUP BY 1 ORDER BY 1"""))
   )
 }

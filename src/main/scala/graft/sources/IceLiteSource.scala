@@ -275,11 +275,11 @@ class IceLiteTable(ref: TableRef, schema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty,
       s"${name()} is a time-travel read — snapshots are immutable")
-    require(IceLiteSource.resolveSnap(ref, None).partitionCols.isEmpty,
-      s"${name()} is partitioned — SQL row-level writes restage flat " +
-        "files, which would break the Hive partition layout; use " +
-        "IceLite.merge/updateWhere (the DataFrame API), which re-stage " +
-        "through the partition dirs")
+    // transform-partitioned (hidden-partition) layouts restage from
+    // DERIVED values the SQL writer cannot recompute — engine only
+    require(IceLiteSource.resolveSnap(ref, None).partitionSpec.isEmpty,
+      s"${name()} is transform-partitioned — use IceLite.merge/" +
+        "updateWhere (the DataFrame API)")
     () => new IceLiteRowLevelOperation(ref, schema, info.command)
   }
 
@@ -339,11 +339,37 @@ class IceLiteTable(ref: TableRef, schema: StructType,
       else filters.map(f => render(f).getOrElse(throw new IllegalArgumentException(
         s"cannot render $f as a delete predicate"))).mkString("(", ") AND (", ")")
     val spark = org.apache.spark.sql.SparkSession.active
-    val mor = spark.conf.getOption("spark.graft.icelite.deleteMode")
-      .contains("mor") &&
-      IceLite.readManifest(ref).current.partitionCols.isEmpty
-    if (mor) IceLite.deleteWhereMoR(spark, ref, pred)
-    else IceLite.deleteWhere(spark, ref, pred)
+    val cur = IceLite.readManifest(ref).current
+    // d69: when every filter is a partition-column equality/IN on an
+    // identity-partitioned CoW table, the DELETE selects WHOLE
+    // partitions — answer it as Iceberg's metadata delete (drop the
+    // matching files in one CAS commit, zero rows rewritten)
+    val partEq: Option[Map[String, Set[String]]] =
+      if (cur.partitionCols.isEmpty || cur.deleteFiles.nonEmpty ||
+          filters.isEmpty) None
+      else {
+        import org.apache.spark.sql.sources.{EqualTo, In}
+        val sets = filters.toSeq.map {
+          case EqualTo(c, v) if cur.partitionCols.contains(c) && v != null =>
+            Some(c -> Set(String.valueOf(v)))
+          case In(c, vs) if cur.partitionCols.contains(c) &&
+              vs.forall(_ != null) =>
+            Some(c -> vs.map(String.valueOf).toSet)
+          case _ => None
+        }
+        if (sets.forall(_.isDefined))
+          Some(sets.flatten.groupBy(_._1).view.mapValues(
+            _.map(_._2).reduce(_ intersect _)).toMap)
+        else None
+      }
+    partEq match {
+      case Some(eq) => IceLite.deletePartitions(ref, eq)
+      case None =>
+        val mor = spark.conf.getOption("spark.graft.icelite.deleteMode")
+          .contains("mor") && cur.partitionCols.isEmpty
+        if (mor) IceLite.deleteWhereMoR(spark, ref, pred)
+        else IceLite.deleteWhere(spark, ref, pred)
+    }
     ()
   }
 }
@@ -425,19 +451,29 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
   private val token = java.util.UUID.randomUUID.toString.take(8)
   private def sortedBy: Option[String] =
     IceLiteSource.resolveSnap(ref, None).sortedBy
+  /** d69: identity partition columns — a partitioned rewrite stages
+    * through Hive value dirs (the d67 writer) so the layout, and the
+    * pruning it feeds, survives SQL UPDATE/MERGE/DELETE. */
+  private val partCols: Seq[String] =
+    IceLiteSource.resolveSnap(ref, None).partitionCols
 
   override def toBatch: BatchWrite = this
   override def description(): String = s"IceLiteReplaceWrite $opName ${ref.name}"
 
-  override def requiredDistribution(): Distribution = sortedBy match {
-    case Some(c) => Distributions.ordered(Array(
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
-    case None => Distributions.unspecified()
-  }
+  override def requiredDistribution(): Distribution =
+    if (partCols.nonEmpty)
+      Distributions.clustered(partCols.map(c =>
+        Expressions.identity(c): org.apache.spark.sql.connector
+          .expressions.Expression).toArray)
+    else sortedBy match {
+      case Some(c) => Distributions.ordered(Array(
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+      case None => Distributions.unspecified()
+    }
   override def requiredOrdering(): Array[SortOrder] = sortedBy match {
-    case Some(c) => Array(
+    case Some(c) if partCols.isEmpty => Array(
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
-    case None => Array.empty
+    case _ => Array.empty
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -447,8 +483,12 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
     require(!schema.fieldNames.contains("_file"),
       s"row-level $opName write schema leaked the _file metadata column")
     java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
-    new IceLiteWriterFactory(ref.dataDir.resolve(token).toString,
-      schema.fields.map(f => (f.name, f.dataType)))
+    if (partCols.nonEmpty)
+      new IceLitePartitionedWriterFactory(
+        ref.dataDir.resolve(token).toString, schema, partCols)
+    else
+      new IceLiteWriterFactory(ref.dataDir.resolve(token).toString,
+        schema.fields.map(f => (f.name, f.dataType)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -459,11 +499,17 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
         .getOption("spark.wap.branch").forall(_.isEmpty),
       s"spark.wap.branch is set — $opName would rewrite main during " +
         "an audit session; publish/drop the branch or unset the conf")
-    val staged = messages.collect {
-      case IceLiteCommitMessage(name) if name != null => s"data/$token/$name"
-    }.toSeq.sorted
     val removed = op.scannedFiles.getOrElse(throw new IllegalStateException(
       s"row-level $opName write committed before its scan planned files"))
+    val staged: Seq[String] =
+      if (partCols.nonEmpty) {
+        val rels = messages.collect {
+          case IceLitePartitionedCommitMessage(fs) => fs
+        }.flatten.toSeq
+        IceLite.promoteStagedPartitioned(ref, token, rels)
+      } else messages.collect {
+        case IceLiteCommitMessage(name) if name != null => s"data/$token/$name"
+      }.toSeq.sorted
     if (removed.isEmpty && staged.isEmpty) ()  // nothing matched, nothing inserted
     else IceLite.commitReplace(ref, removed.toSet, staged, opName)
   }

@@ -478,15 +478,20 @@ class IceLiteCatalogSpec extends AnyFunSuite {
       == expect.sum)
   }
 
-  test("SQL row-level writes refuse partitioned tables loudly") {
+  test("SQL row-level writes restage partitioned tables through their layout (d69)") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "pt")
     IceLite.createOrReplacePartitioned(ref,
       Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "p")
-    val e = intercept[Exception](
-      spark.sql(s"UPDATE $cat.src.pt SET k = k + 1 WHERE p = 'a'"))
-    assert(e.getMessage.contains("partitioned"))
+    spark.sql(s"UPDATE $cat.src.pt SET k = k + 1 WHERE p = 'a'")
+    val got = spark.sql(s"SELECT k, p FROM $cat.src.pt ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "a"), (2L, "b")))
+    val m = IceLite.readManifest(ref)
+    assert(m.current.partitionCols == Seq("p"), "layout marker survives")
+    assert(m.current.files.forall(f => f.contains("p=a") || f.contains("p=b")),
+      s"rewritten files must stay in value dirs: ${m.current.files}")
   }
 
   test("metadata tables are SQL identifiers: t\\$snapshots and t\\$partitions") {

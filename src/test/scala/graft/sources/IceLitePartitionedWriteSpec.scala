@@ -89,6 +89,50 @@ class IceLitePartitionedWriteSpec extends AnyFunSuite {
       s"scan read beyond the filtered partition: ${IceLiteSource.lastPlannedFiles}")
   }
 
+  test("DELETE on a partition predicate is metadata-only (d69)") {
+    val (cat, ref) = mk()
+    val before = IceLite.readManifest(ref)
+    val bFiles = before.current.files.filter(_.contains("flag=B"))
+    spark.sql(s"DELETE FROM $cat.src.t WHERE flag = 'A'")
+    val m = IceLite.readManifest(ref)
+    assert(m.current.operation == "delete-partitions",
+      s"expected metadata delete, got ${m.current.operation}")
+    assert(m.current.files == bFiles,
+      "kept files must be the untouched B files, byte-identical")
+    assert(rows(cat) == Seq((3L, "B")))
+    // history: pre-delete snapshot still reads everything
+    val old = spark.sql(
+      s"SELECT k FROM $cat.src.t VERSION AS OF ${before.currentSnapshotId}")
+      .as[Long].collect().sorted.toSeq
+    assert(old == Seq(1L, 2L, 3L))
+  }
+
+  test("DELETE with a non-partition predicate still rewrites (CoW)") {
+    val (cat, ref) = mk()
+    spark.sql(s"DELETE FROM $cat.src.t WHERE k = 1")
+    assert(rows(cat) == Seq((2L, "A"), (3L, "B")))
+    val m = IceLite.readManifest(ref)
+    assert(m.current.operation != "delete-partitions")
+    assert(m.current.partitionCols == Seq("flag"), "layout survives CoW")
+  }
+
+  test("SQL UPDATE moves rows across partitions, layout survives") {
+    val (cat, ref) = mk()
+    spark.sql(s"UPDATE $cat.src.t SET flag = 'C' WHERE k = 1")
+    assert(rows(cat) == Seq((1L, "C"), (2L, "A"), (3L, "B")))
+    val m = IceLite.readManifest(ref)
+    assert(m.current.partitionCols == Seq("flag"), "layout marker survives")
+    // the rewritten row landed in its NEW partition's value dir
+    assert(m.current.files.exists(_.contains("flag=C")),
+      s"moved row must live under flag=C: ${m.current.files}")
+    // and pruning still works over the rewritten layout
+    val got = spark.sql(s"SELECT k FROM $cat.src.t WHERE flag = 'C'")
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L))
+    assert(IceLiteSource.lastPlannedFiles.forall(_.contains("flag=C")),
+      s"pruning failed after UPDATE: ${IceLiteSource.lastPlannedFiles}")
+  }
+
   private def withDynamicMode[T](body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
