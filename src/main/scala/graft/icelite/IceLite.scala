@@ -558,7 +558,8 @@ object IceLite {
   }
 
   private[graft] def commitStagedPartitioned(ref: TableRef, token: String,
-      staged: Seq[String], mode: PartitionedWriteMode): Snapshot = {
+      staged: Seq[String], mode: PartitionedWriteMode,
+      summary: Map[String, String] = Map.empty): Snapshot = {
     import PartitionedWriteMode._
     val moved = promoteStagedPartitioned(ref, token, staged)
     def partVals(f: String): Map[String, String] =
@@ -617,7 +618,7 @@ object IceLite {
           rowsByFile.values.sum,
         snap.fileStats.view.filterKeys(survivorSet).toMap ++ stats,
         snap.partitionCols,
-        summary = Map("mode" -> mode.toString),
+        summary = summary + ("mode" -> mode.toString),
         fileRows = snap.fileRows.view.filterKeys(survivorSet).toMap ++
           rowsByFile,
         deleteFiles = if (mode == Append) snap.deleteFiles else Nil,

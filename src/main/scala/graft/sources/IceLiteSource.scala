@@ -638,9 +638,12 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
       require(!replace,
         "icelite streaming sink is append-only (complete/truncate modes " +
           "would replace the table every epoch)")
-      require(partCols.isEmpty,
-        "icelite streaming sink writes unpartitioned tables")
-      new IceLiteStreamingWrite(ref, info.schema())
+      if (partCols.nonEmpty)
+        // s21: streaming fanout into an identity-partitioned table —
+        // each epoch's rows land in their Hive value dirs, one CAS
+        // append snapshot per epoch with the exactly-once marker
+        new IceLitePartitionedStreamingWrite(ref, info.schema(), partCols)
+      else new IceLiteStreamingWrite(ref, info.schema())
     }
     override def description(): String =
       s"IceLiteWrite ${ref.name} " +
@@ -888,6 +891,71 @@ object IceLiteStreamingWrite {
   /** Same summary key the foreachBatch sink (s07) uses — one uniform
     * exactly-once marker convention across both sink styles. */
   val EpochKey = "streaming.batch_id"
+}
+
+/** s21: streaming sink face for IDENTITY-PARTITIONED tables — the
+  * Iceberg "fanout" streaming write. Executors route each epoch's
+  * rows into Hive value dirs under `data/<token>/` (the d67 writer);
+  * the driver promotes them into `data/part/` and commits ONE CAS
+  * append snapshot per epoch carrying the exactly-once marker, so a
+  * replayed epoch (crash between sink commit and checkpoint advance)
+  * is detected and its restage dropped — the same contract as the
+  * flat sink, now with the partition layout (and the pruning it
+  * feeds) intact from the first micro-batch. */
+class IceLitePartitionedStreamingWrite(ref: TableRef, schema: StructType,
+    partitionCols: Seq[String]) extends StreamingWrite {
+  import IceLiteStreamingWrite.EpochKey
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+
+  private lazy val committed: java.util.Set[java.lang.Long] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    if (IceLite.tableExists(ref))
+      IceLite.readManifest(ref).snapshots
+        .flatMap(_.summary.get(EpochKey)).foreach(e => s.add(e.toLong))
+    s
+  }
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
+    new IceLitePartitionedStreamingWriterFactory(
+      ref.dataDir.resolve(token).toString, schema, partitionCols)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rels = messages.collect {
+      case IceLitePartitionedCommitMessage(fs) => fs
+    }.flatten.toSeq
+    if (committed.contains(epochId)) {
+      // replayed epoch: the data already landed — drop the restage
+      rels.foreach(r => java.nio.file.Files.deleteIfExists(
+        ref.dataDir.resolve(token).resolve(r)))
+      abort(epochId, Array.empty)
+    } else if (rels.nonEmpty) {
+      IceLite.commitStagedPartitioned(ref, token, rels,
+        graft.icelite.PartitionedWriteMode.Append,
+        summary = Map(EpochKey -> epochId.toString))
+      committed.add(epochId)
+    } // empty epoch: nothing to commit, replay is vacuously idempotent
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = ref.dataDir.resolve(token)
+    if (java.nio.file.Files.exists(dir))
+      IceLite.listDir(java.nio.file.Files.walk(dir))(_.toSeq)
+        .sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+  }
+}
+
+class IceLitePartitionedStreamingWriterFactory(stageDir: String,
+    schema: StructType, partitionCols: Seq[String])
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stageDir))
+    new IceLitePartitionedDataWriter(stageDir,
+      f"part-e$epochId-$partitionId%05d-$taskId.parquet", schema, partitionCols)
+  }
 }
 
 class IceLiteStreamingWriterFactory(dir: String,

@@ -1186,5 +1186,61 @@ object StreamPack extends Pack {
                   AS DOUBLE) AS sum_price,
              CAST(SUM(CASE WHEN o_orderkey % 7 = 2 THEN 1
                   ELSE 0 END) AS BIGINT) AS n_repriced
-             FROM orders WHERE o_orderkey % 7 <> 3""")))
+             FROM orders WHERE o_orderkey % 7 <> 3""")),
+
+    // s21: STREAMING FANOUT into a PARTITIONED table — Iceberg's
+    // fanout streaming write. Each micro-batch's rows land in their
+    // Hive value dirs (the d67 partitioned writer under the streaming
+    // sink face) and commit as ONE CAS append snapshot carrying the
+    // exactly-once epoch marker, so the partition layout — and the
+    // partition pruning every downstream reader relies on — is intact
+    // from the FIRST micro-batch, not after a later compaction. At
+    // 100 TB this is the continuous-ingest shape: a day/shard-
+    // partitioned bronze table fed by a stream, readable with pruning
+    // while it loads. 3 feed files → 3 epochs (witnessed), every
+    // committed file under a shard dir (witnessed).
+    Decl("s21_stream_partitioned_sink",
+      (s, dir) => {
+        val staged = stageEvents(s, dir, 3)
+        val wh = Files.createTempDirectory("graft_s21_wh").toString
+        val ref = TableRef(wh, "sink", "events_by_shard")
+        IceLite.createNamespace(wh, "sink")
+        IceLite.createOrReplacePartitioned(ref, s.sql(
+          """SELECT CAST(-1 AS BIGINT) AS event_id,
+                    CAST(0.0 AS DOUBLE) AS value,
+                    '-1' AS shard"""), "shard")
+        val sch = s.read.parquet(staged).schema
+        withStreamShufflePartitions(s) {
+          val q = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+            .select(col("event_id"), col("value"),
+              (col("user_id") % 4).cast("string").as("shard"))
+            .writeStream.format("graft.sources.IceLiteSource")
+            .outputMode("append")
+            .option("checkpointLocation",
+              Files.createTempDirectory("graft_ckpt_s21").toString)
+            .trigger(Trigger.AvailableNow())
+            .start(ref.dir.toString)
+          q.awaitTermination()
+        }
+        val m = IceLite.readManifest(ref)
+        val epochs = m.snapshots.flatMap(_.summary.get(
+          graft.sources.IceLiteStreamingWrite.EpochKey)).distinct.size
+        val layoutOk = m.current.partitionCols == Seq("shard") &&
+          m.current.files.forall(_.contains("shard="))
+        IceLite.readPartitioned(s, ref).filter(col("event_id") >= 0)
+          // partition discovery type-infers path values (shard=0 →
+          // int); pin the declared string type for the oracle compare
+          .groupBy(col("shard").cast("string").as("shard"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum(col("value")), 2).as("sum_val"))
+          .withColumn("n_epochs", lit(epochs.toLong))
+          .withColumn("layout_ok", lit(layoutOk))
+          .orderBy("shard")
+      },
+      Some("""SELECT CAST(user_id % 4 AS VARCHAR) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sum_val,
+             CAST(3 AS BIGINT) AS n_epochs, TRUE AS layout_ok
+             FROM events GROUP BY 1 ORDER BY 1""")))
 }

@@ -62,6 +62,43 @@ class IceLiteStreamSinkSpec extends AnyFunSuite {
     assert(IceLite.readManifest(ref).current.rowCount == 4)
   }
 
+  test("partitioned streaming sink: value dirs, epoch markers, replay-once (s21)") {
+    val wh = Files.createTempDirectory("v2snk_part").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((0L, "z")).toDF("k", "p"), "p")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", StringType)))
+    val sw = new IceLitePartitionedStreamingWrite(ref, schema, Seq("p"))
+    val factory = sw.createStreamingWriterFactory(writeInfo(1))
+    var nextTask = 0L
+    def stage(epoch: Long, rows: Seq[(Long, String)]) = {
+      val w = factory.createWriter(0, { nextTask += 1; nextTask }, epoch)
+      rows.foreach { case (k, p) =>
+        w.write(InternalRow(k, org.apache.spark.unsafe.types.UTF8String.fromString(p))) }
+      Array(w.commit())
+    }
+    sw.commit(0L, stage(0L, Seq((1L, "a"), (2L, "b"))))
+    val after = IceLite.readManifest(ref)
+    assert(after.current.rowCount == 3)
+    assert(after.current.partitionCols == Seq("p"))
+    val newFiles = after.current.files.filterNot(
+      after.snapshots.head.files.toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      f.contains("p=a") || f.contains("p=b")), s"$newFiles")
+    assert(after.current.summary.get(IceLiteStreamingWrite.EpochKey)
+      .contains("0"))
+    // replayed epoch drops its restage
+    sw.commit(0L, stage(0L, Seq((1L, "a"), (2L, "b"))))
+    val replay = IceLite.readManifest(ref)
+    assert(replay.current.rowCount == 3, "replayed epoch double-committed")
+    val dataFiles = IceLite.listDir(Files.walk(ref.dataDir))(_
+      .filter(p => p.toString.endsWith(".parquet")).toSeq)
+    assert(dataFiles.size == replay.current.files.size,
+      s"restaged files leaked: $dataFiles vs ${replay.current.files}")
+  }
+
   test("restart from checkpoint: new files commit, old epochs stay single") {
     val wh = Files.createTempDirectory("v2snk_rs").toString
     val ref = TableRef(wh, "ns", "t")
