@@ -473,6 +473,47 @@ object IceLite {
     }.current
   }
 
+  /** d70: the commit half of ATOMIC `CREATE [OR REPLACE] / REPLACE
+    * TABLE … AS SELECT` (Iceberg's transactional replaceTable): the
+    * staged data files become the table's ONLY files in one CAS
+    * commit — readers see the old table until the instant of the
+    * claim, then the new one; a failed job never leaves a dropped or
+    * half-written table (contrast the non-atomic drop-then-create).
+    * REPLACE starts a fresh schema era: it refuses tables with live
+    * schema-evolution ledgers (added/dropped/renamed/widened) rather
+    * than silently re-applying them to the new schema; history stays
+    * travelable. `create`/`orReplace` gate existence exactly like
+    * SQL's three statement forms. */
+  private[graft] def replaceTableStaged(ref: TableRef, files: Seq[String],
+      partitionCols: Seq[String], schemaDdl: String,
+      mustNotExist: Boolean, mustExist: Boolean): Snapshot = {
+    val rowsByFile = fileRowCounts(ref, files)
+    val stats = footerStats(ref, files)
+    commitCAS(ref) { cur =>
+      if (mustNotExist) require(cur.isEmpty, s"${ref.name} already exists")
+      if (mustExist) require(cur.nonEmpty, s"${ref.name} does not exist")
+      cur.foreach { m =>
+        require(m.addedCols.isEmpty && m.droppedCols.isEmpty &&
+            m.renamedCols.isEmpty && m.widenedCols.isEmpty,
+          s"REPLACE TABLE on ${ref.name} is not supported while schema-" +
+            "evolution ledgers are live — the old ledgers cannot apply " +
+            "to the new schema; recreate the table instead")
+      }
+      val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
+      val snap = Snapshot(id, System.currentTimeMillis(),
+        if (cur.isEmpty) "create" else "replace", files,
+        rowsByFile.values.sum, stats, partitionCols,
+        fileRows = rowsByFile)
+      val ddl = if (files.isEmpty) Some(schemaDdl) else None
+      cur match {
+        case Some(m) => m.copy(currentSnapshotId = id,
+          snapshots = m.snapshots :+ snap, declaredSchemaDdl = ddl)
+        case None => Manifest(ref.name, id, Seq(snap),
+          declaredSchemaDdl = ddl)
+      }
+    }.current
+  }
+
   /** d69: METADATA-ONLY partition delete (Iceberg's metadata-delete:
     * `DELETE FROM t WHERE part_col = v`). When the predicate selects
     * WHOLE partitions of an identity-partitioned table, no row needs

@@ -2746,6 +2746,66 @@ object ScalePack extends Pack {
              FROM lineitem
              WHERE l_orderkey < 2000 AND l_orderkey >= 100
                AND l_returnflag <> 'A'
-             GROUP BY 1 ORDER BY 1"""))
+             GROUP BY 1 ORDER BY 1""")),
+
+    // d70: ATOMIC `CREATE OR REPLACE TABLE … AS SELECT` (Iceberg's
+    // transactional replaceTable via Spark's StagingTableCatalog).
+    // The SELECT's files land INVISIBLY under a staging token; one
+    // CAS manifest commit publishes them — readers see the old table
+    // until that instant, and a SELECT that throws mid-write leaves
+    // the old table byte-identical (witnessed: the poisoned replace
+    // aborts, the target still answers with its old rows, no staged
+    // bytes leak). History stays travelable across the swap. This is
+    // the nightly-rebuild shape at 100 TB: recompute a mart in place
+    // with zero reader-visible downtime and crash-safety for free —
+    // vs the non-atomic drop-then-create that can lose the table.
+    Decl("d70_atomic_replace_table",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d70").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_rt")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000))
+        val before = IceLite.readManifest(ref)
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // a poisoned replace must abort without touching the target
+        val failedKept =
+          try {
+            s.sql(s"CREATE OR REPLACE TABLE $cat.src.orders_rt AS " +
+              s"SELECT o_orderkey, assert_true(o_orderkey < 0) AS poison " +
+              s"FROM $cat.src.orders_rt")
+            false
+          } catch { case _: Throwable =>
+            IceLite.readManifest(ref).currentSnapshotId ==
+              before.currentSnapshotId
+          }
+        // the real replace: doubled prices over a wider slice
+        o.filter($"o_orderkey" < 2000)
+          .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"))
+          .createOrReplaceTempView("d70_src")
+        s.sql(s"CREATE OR REPLACE TABLE $cat.src.orders_rt AS " +
+          "SELECT o_orderkey, o_totalprice FROM d70_src")
+        val m = IceLite.readManifest(ref)
+        val histOk = s.sql(
+          s"SELECT CAST(COUNT(*) AS BIGINT) FROM $cat.src.orders_rt " +
+            s"VERSION AS OF ${before.currentSnapshotId}")
+          .head.getLong(0) == before.current.rowCount
+        s.table(s"$cat.src.orders_rt")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"o_totalprice".cast("decimal(18,3)")).cast("double")
+              .as("sum_price"))
+          .withColumn("replaced", lit(m.current.operation == "replace"))
+          .withColumn("failed_replace_kept", lit(failedKept))
+          .withColumn("history_ok", lit(histOk))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS replaced, TRUE AS failed_replace_kept, TRUE AS history_ok
+             FROM orders WHERE o_orderkey < 2000"""))
   )
 }

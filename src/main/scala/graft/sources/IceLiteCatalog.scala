@@ -63,7 +63,8 @@ private[sources] class StaticRowsTable(tableName: String,
 }
 
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -220,32 +221,82 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
       // with its first committed write (CTAS lands here, then appends)
       new IceLiteTable(ref, schema)
     } else {
-      // d68: `CREATE TABLE … PARTITIONED BY (c, …)` — identity
-      // transforms only (hidden-partition transforms write through
-      // the engine). Partition values are PATH-BORNE in the Hive
-      // layout, so the partition columns surface as strings and sort
-      // last — the same shape every populated partitioned read has.
-      val cols = partitions.toSeq.map { t =>
-        if (t.name != "identity")
-          throw new UnsupportedOperationException(
-            s"icelite SQL DDL supports identity partitioning only, got " +
-              s"${t.describe} — transform layouts write through " +
-              "IceLite.createOrReplaceTransformed")
-        val fieldNames = t.references()(0).fieldNames
-        require(fieldNames.length == 1,
-          s"icelite partitions on top-level columns only, got ${t.describe}")
-        fieldNames.head
-      }
-      cols.foreach(c => require(schema.fieldNames.contains(c),
-        s"partition column $c is not in the table schema"))
-      val ordered = StructType(
-        schema.fields.filterNot(f => cols.contains(f.name)) ++
-          cols.map(c => org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.StringType)))
+      // d68: `CREATE TABLE … PARTITIONED BY (c, …)`
+      val (ordered, cols) = partitionedShape(schema, partitions)
       IceLite.createEmptyPartitioned(ref, ordered.toDDL, cols)
       new IceLiteTable(ref, ordered)
     }
   }
+
+  /** d68/d70: identity transforms only (hidden-partition transforms
+    * write through the engine). Partition values are PATH-BORNE in
+    * the Hive layout, so the partition columns surface as strings and
+    * sort last — the same shape every populated partitioned read has. */
+  private def partitionedShape(schema: StructType,
+      partitions: Array[Transform]): (StructType, Seq[String]) = {
+    val cols = partitions.toSeq.map { t =>
+      if (t.name != "identity")
+        throw new UnsupportedOperationException(
+          s"icelite SQL DDL supports identity partitioning only, got " +
+            s"${t.describe} — transform layouts write through " +
+            "IceLite.createOrReplaceTransformed")
+      val fieldNames = t.references()(0).fieldNames
+      require(fieldNames.length == 1,
+        s"icelite partitions on top-level columns only, got ${t.describe}")
+      fieldNames.head
+    }
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
+    (StructType(
+      schema.fields.filterNot(f => cols.contains(f.name)) ++
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType))), cols)
+  }
+
+  // ---- d70: atomic CREATE [OR REPLACE] / REPLACE TABLE AS SELECT ----
+
+  /** The staged path: Spark writes the SELECT through the returned
+    * table FIRST (invisible under `data/<token>/`), then one CAS
+    * commit publishes it — Iceberg's transactional replace, not the
+    * non-atomic drop-then-create fallback. */
+  private def staged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], mustNotExist: Boolean,
+      mustExist: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val ref = refOf(ident)
+    if (mustNotExist && IceLite.tableExists(ref))
+      throw new TableAlreadyExistsException(ident)
+    if (mustExist && !IceLite.tableExists(ref))
+      throw new NoSuchTableException(ident)
+    IceLite.createNamespace(warehouse, ident.namespace.head)
+    val (ordered, cols) =
+      if (partitions.isEmpty) (schema, Nil) else partitionedShape(schema, partitions)
+    new IceLiteStagedTable(ref, ordered, cols, mustNotExist, mustExist)
+  }
+
+  private def structOf(columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    StructType(columns.map(c => org.apache.spark.sql.types
+      .StructField(c.name, c.dataType, c.nullable)))
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, structOf(columns), partitions,
+      mustNotExist = true, mustExist = false)
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, structOf(columns), partitions,
+      mustNotExist = false, mustExist = true)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, structOf(columns), partitions,
+      mustNotExist = false, mustExist = false)
 
   override def dropTable(ident: Identifier): Boolean = {
     val ref = refOf(ident)

@@ -128,12 +128,18 @@ object IceLiteSource {
   private[sources] def schemaOf(ref: TableRef,
       asOf: Option[Long] = None): StructType = {
     val snap = resolveSnap(ref, asOf)
-    // d68: a table created empty by SQL DDL reads its declared schema
-    // until the first data file lands (then schema-on-read governs)
-    if (snap.files.isEmpty)
-      IceLite.readManifest(ref).declaredSchemaDdl.foreach { ddl =>
-        return StructType.fromDDL(ddl)
-      }
+    if (snap.files.isEmpty) {
+      val m0 = IceLite.readManifest(ref)
+      // d68: a table created empty by SQL DDL reads its declared
+      // schema until the first data file lands
+      m0.declaredSchemaDdl.foreach { ddl => return StructType.fromDDL(ddl) }
+      // TRUNCATEd (or partition-emptied) tables: schema-on-read from
+      // the newest prior snapshot that still has files — the bytes
+      // are retained for time travel anyway
+      m0.snapshots.filter(s => s.id < snap.id && s.files.nonEmpty)
+        .sortBy(_.id).lastOption
+        .foreach { donor => return schemaOf(ref, Some(donor.id)) }
+    }
     require(snap.files.nonEmpty, s"${ref.name} has no data files")
     val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.util.UUID
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{StagedTable, SupportsWrite, TableCapability}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import graft.icelite.{IceLite, TableRef}
+
+import scala.jdk.CollectionConverters._
+
+/** d70: the staged half of ATOMIC `CREATE [OR REPLACE] TABLE … AS
+  * SELECT`. Spark writes the SELECT's rows through this table's write
+  * builder FIRST (files land invisibly under `data/<token>/`, or its
+  * Hive value dirs for a partitioned target), then calls
+  * [[commitStagedChanges]] — which performs the single CAS manifest
+  * commit that makes the new table visible. A failure at any earlier
+  * point reaches [[abortStagedChanges]] and the old table was never
+  * touched — the atomicity Iceberg's catalog gives REPLACE TABLE, vs
+  * the non-atomic drop-then-create fallback. */
+class IceLiteStagedTable(ref: TableRef, declared: StructType,
+    partitionCols: Seq[String], mustNotExist: Boolean, mustExist: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  private val token = UUID.randomUUID.toString.take(8)
+  @volatile private var staged: Seq[String] = Nil
+
+  override def name(): String = s"icelite.${ref.namespace}.${ref.name} (staged)"
+  override def schema(): StructType = declared
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionCols.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // the staged table is empty by definition — CTAS "overwrite"
+      // modes degrade to the same fresh write
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write with BatchWrite {
+        override def toBatch: BatchWrite = this
+        override def description(): String = s"IceLiteStagedWrite ${ref.name}"
+        override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+          java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
+          if (partitionCols.nonEmpty)
+            new IceLitePartitionedWriterFactory(
+              ref.dataDir.resolve(token).toString, declared, partitionCols)
+          else
+            new IceLiteWriterFactory(ref.dataDir.resolve(token).toString,
+              declared.fields.filterNot(f => partitionCols.contains(f.name))
+                .map(f => (f.name, f.dataType)))
+        }
+        // records the staged set; the MANIFEST commit waits for
+        // commitStagedChanges so the whole statement stays atomic
+        override def commit(messages: Array[WriterCommitMessage]): Unit =
+          staged =
+            if (partitionCols.nonEmpty) messages.collect {
+              case IceLitePartitionedCommitMessage(fs) => fs
+            }.flatten.toSeq
+            else messages.collect {
+              case IceLiteCommitMessage(n) if n != null => n
+            }.toSeq.sorted
+        override def abort(messages: Array[WriterCommitMessage]): Unit =
+          abortStagedChanges()
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val files =
+      if (partitionCols.nonEmpty)
+        IceLite.promoteStagedPartitioned(ref, token, staged)
+      else staged.map(n => s"data/$token/$n")
+    IceLite.replaceTableStaged(ref, files, partitionCols,
+      declared.toDDL, mustNotExist, mustExist)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val dir = ref.dataDir.resolve(token)
+    if (java.nio.file.Files.exists(dir))
+      IceLite.listDir(java.nio.file.Files.walk(dir))(_.toSeq)
+        .sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+  }
+}

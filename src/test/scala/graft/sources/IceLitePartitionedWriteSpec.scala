@@ -133,6 +133,22 @@ class IceLitePartitionedWriteSpec extends AnyFunSuite {
       s"pruning failed after UPDATE: ${IceLiteSource.lastPlannedFiles}")
   }
 
+  test("TRUNCATE TABLE empties a partitioned table, layout + history survive") {
+    val (cat, ref) = mk()
+    val before = IceLite.readManifest(ref)
+    spark.sql(s"TRUNCATE TABLE $cat.src.t")
+    assert(rows(cat).isEmpty)
+    val m = IceLite.readManifest(ref)
+    assert(m.current.partitionCols == Seq("flag"), "layout marker survives")
+    val old = spark.sql(
+      s"SELECT k FROM $cat.src.t VERSION AS OF ${before.currentSnapshotId}")
+      .as[Long].collect().sorted.toSeq
+    assert(old == Seq(1L, 2L, 3L), "pre-truncate snapshot must survive")
+    // and the table accepts new inserts after
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (9L, 'C')")
+    assert(rows(cat) == Seq((9L, "C")))
+  }
+
   private def withDynamicMode[T](body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
