@@ -2806,6 +2806,55 @@ object ScalePack extends Pack {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
              TRUE AS replaced, TRUE AS failed_replace_kept, TRUE AS history_ok
-             FROM orders WHERE o_orderkey < 2000"""))
+             FROM orders WHERE o_orderkey < 2000""")),
+
+    // d71: partition management as SQL — `SHOW PARTITIONS` folds the
+    // distinct value tuples from the MANIFEST paths (O(files) driver
+    // metadata, zero data pages — d34's census behind the standard
+    // command), and `ALTER TABLE … DROP PARTITION` delegates to the
+    // d69 metadata delete (one CAS commit, zero rows read, history
+    // travelable). ADD PARTITION refuses: partitions are data-implied
+    // (they materialize with their first inserted row), Iceberg's
+    // stance. The census witness pins SHOW's output before and after
+    // the drop.
+    Decl("d71_show_drop_partitions",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d71").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "li_pm")
+        val li = Tables.load(s, dir, "lineitem")
+          .filter($"l_orderkey" < 2000)
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        IceLite.createOrReplacePartitioned(ref, li, "l_returnflag")
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val censusBefore = s.sql(s"SHOW PARTITIONS $cat.src.li_pm")
+          .collect().map(_.getString(0)).sorted.toSeq
+        s.sql(s"ALTER TABLE $cat.src.li_pm DROP PARTITION (l_returnflag='A')")
+        val censusAfter = s.sql(s"SHOW PARTITIONS $cat.src.li_pm")
+          .collect().map(_.getString(0)).sorted.toSeq
+        val censusOk =
+          censusBefore == Seq("l_returnflag=A", "l_returnflag=N",
+            "l_returnflag=R") &&
+          censusAfter == Seq("l_returnflag=N", "l_returnflag=R")
+        val metadataOnly = IceLite.readManifest(ref)
+          .current.operation == "delete-partitions"
+        s.sql(
+          s"""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+              FROM $cat.src.li_pm GROUP BY l_returnflag""")
+          .withColumn("census_ok", lit(censusOk))
+          .withColumn("metadata_only", lit(metadataOnly))
+          .orderBy("flag")
+      },
+      Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+             TRUE AS census_ok, TRUE AS metadata_only
+             FROM lineitem
+             WHERE l_orderkey < 2000 AND l_returnflag <> 'A'
+             GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -241,7 +241,8 @@ class IceLiteTable(ref: TableRef, schema: StructType,
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   override def name(): String =
     s"icelite.${ref.namespace}.${ref.name}" +
       asOf.map(id => s"@$id").getOrElse("")
@@ -262,6 +263,72 @@ class IceLiteTable(ref: TableRef, schema: StructType,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE).asJava
+
+  // ---- d71: SupportsPartitionManagement — `SHOW PARTITIONS` and
+  // `ALTER TABLE … DROP PARTITION` over the manifest census. Iceberg's
+  // stance: partitions are DATA-IMPLIED (they materialize with their
+  // first written row and vanish with their last), so ADD/metadata
+  // mutations refuse loudly; DROP delegates to the d69 metadata
+  // delete (one CAS commit, zero rows read). ----
+
+  private def identityPartCols: Seq[String] =
+    if (IceLite.tableExists(ref))
+      IceLiteSource.resolveSnap(ref, asOf).partitionCols
+    else Nil
+
+  override def partitionSchema(): StructType =
+    StructType(identityPartCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, StringType)))
+
+  /** Distinct partition-value tuples, folded from the manifest file
+    * paths — O(files) driver metadata, zero data pages (d34's census
+    * behind the SQL command). `names`/`ident` prefilter per contract. */
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val cols = identityPartCols
+    require(names.length == ident.numFields,
+      s"filter names/ident arity mismatch: ${names.length} vs ${ident.numFields}")
+    val want: Map[String, String] = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (ident.isNullAt(i)) null else ident.getString(i))
+    }.toMap
+    val snap = IceLiteSource.resolveSnap(ref, asOf)
+    snap.files.map(f => cols.map(c =>
+        IceLiteSource.pathPartValues(f).getOrElse(c, null)))
+      .distinct
+      .filter(tuple => want.forall { case (n, v) =>
+        val i = cols.indexOf(n); i >= 0 && tuple(i) == v })
+      .sortBy(_.mkString("/"))
+      .map(tuple => InternalRow.fromSeq(tuple.map(v =>
+        if (v == null) null else UTF8String.fromString(v))): InternalRow)
+      .toArray
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val cols = identityPartCols
+    require(asOf.isEmpty,
+      s"${name()} is a time-travel read — snapshots are immutable")
+    require(ident.numFields == cols.length,
+      s"DROP PARTITION needs all ${cols.length} partition values")
+    val eq = cols.zipWithIndex.map { case (c, i) =>
+      c -> Set(ident.getString(i)) }.toMap
+    val before = IceLiteSource.resolveSnap(ref, None).files.size
+    val after = IceLite.deletePartitions(ref, eq).files.size
+    after < before
+  }
+
+  override def createPartition(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "icelite partitions are data-implied — they materialize with " +
+        "their first written row (INSERT INTO), like Iceberg")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "icelite partitions carry no mutable metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(ref, schema,
       options.getInt("snapshotsPerTrigger", Int.MaxValue),

@@ -505,4 +505,74 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     assert(versions == Seq("manifest.v00000001.json",
       "manifest.v00000002.json", "manifest.v00000003.json"))
   }
+
+  // ---- d67/d69: partitioned DSv2 write races ----
+
+  private def partitionedSqlTable(): (String, TableRef) = {
+    val wh = Files.createTempDirectory("cas_part").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "flag"), "flag")
+    val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, ref)
+  }
+
+  test("concurrent partitioned SQL INSERTs all land (CAS rebase)") {
+    val (cat, ref) = partitionedSqlTable()
+    val writers = 4
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try spark.sql(
+            s"INSERT INTO $cat.src.t VALUES (${100L + w}, 'P$w')")
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    val got = spark.sql(s"SELECT k FROM $cat.src.t ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L) ++ (0 until writers).map(100L + _),
+      s"rows lost under concurrent partitioned inserts: $got")
+    assert(IceLite.readManifest(ref).current.partitionCols == Seq("flag"))
+  }
+
+  test("partition overwrite racing an append to ANOTHER partition keeps both") {
+    val (cat, ref) = partitionedSqlTable()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    pool.submit(new Runnable { def run(): Unit = {
+      start.await()
+      try spark.sql(
+        s"INSERT OVERWRITE $cat.src.t PARTITION (flag='A') VALUES (7L)")
+      catch { case t: Throwable => failures.add(t) }
+    }})
+    pool.submit(new Runnable { def run(): Unit = {
+      start.await()
+      try spark.sql(s"INSERT INTO $cat.src.t VALUES (9L, 'B')")
+      catch { case t: Throwable => failures.add(t) }
+    }})
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    // whichever order the CAS resolved: A was replaced (1 gone, 7 in),
+    // B kept its old row AND gained the appended one
+    val got = spark.sql(s"SELECT k, flag FROM $cat.src.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "B"), (7L, "A"), (9L, "B")),
+      s"overwrite/append race lost an effect: $got")
+  }
 }

@@ -149,6 +149,26 @@ class IceLitePartitionedWriteSpec extends AnyFunSuite {
     assert(rows(cat) == Seq((9L, "C")))
   }
 
+  test("SHOW PARTITIONS lists the census; DROP PARTITION is metadata-only (d71)") {
+    val (cat, ref) = mk()
+    val parts = spark.sql(s"SHOW PARTITIONS $cat.src.t")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("flag=A", "flag=B"), s"census wrong: $parts")
+    spark.sql(s"ALTER TABLE $cat.src.t DROP PARTITION (flag='A')")
+    val m = IceLite.readManifest(ref)
+    assert(m.current.operation == "delete-partitions")
+    assert(rows(cat) == Seq((3L, "B")))
+    val after = spark.sql(s"SHOW PARTITIONS $cat.src.t")
+      .collect().map(_.getString(0)).toSeq
+    assert(after == Seq("flag=B"))
+    // ADD PARTITION refuses: partitions are data-implied
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.t ADD PARTITION (flag='Z')"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("data-implied")), s"got: ${e.getMessage}")
+  }
+
   private def withDynamicMode[T](body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
