@@ -80,7 +80,25 @@ final case class Snapshot(
     // transformed layout derives the dir value and keeps the source
     // column in the data — reads are plain file reads, only pruning
     // consults the dirs.
-    partitionSpec: Seq[PartitionField] = Nil)
+    partitionSpec: Seq[PartitionField] = Nil,
+    // d72: MERGE-ON-READ equality-delete sidecars (Iceberg v2
+    // equality deletes — the CDC-friendly delete: a batch of KEY
+    // tuples, no positions needed). Sequence semantics via snapshot
+    // ids: a sidecar written at snapshot D deletes matching rows of
+    // files ADDED STRICTLY BEFORE D — a later re-insert of the same
+    // key survives, exactly Iceberg's sequence-number rule.
+    eqDeletes: Seq[EqDelete] = Nil) {
+  /** Live MoR sidecars of either kind — the guard every rewrite /
+    * overwrite / metadata-count path checks before trusting the
+    * physical file set. */
+  def morLive: Boolean = deleteFiles.nonEmpty || eqDeletes.nonEmpty
+}
+
+/** d72: one equality-delete sidecar — a parquet file of key tuples
+  * under deletes/, with the key columns and the snapshot it was
+  * committed at (its "sequence number"). */
+final case class EqDelete(file: String, keyCols: Seq[String],
+    snapshotId: Long)
 
 /** A column added by `ALTER TABLE ADD COLUMN` (d51) that may not yet
   * exist in any data file: readers surface NULL for files written
@@ -382,7 +400,7 @@ object IceLite {
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
       val base = Serialization.read[Manifest](Files.readString(basePath))
       val snap = base.current
-      require(snap.deleteFiles.isEmpty,
+      require(!snap.morLive,
         s"${ref.name} has live MoR delete sidecars — compact() to " +
           "materialize them before a SQL row-level rewrite")
       val gone = removed.filterNot(snap.files.contains)
@@ -449,7 +467,8 @@ object IceLite {
               sortedBy = sortKept(m),
               summary = summary,
               fileRows = m.current.fileRows ++ rowsByFile,
-              deleteFiles = m.current.deleteFiles))
+              deleteFiles = m.current.deleteFiles,
+              eqDeletes = m.current.eqDeletes))
       }
     }.current
   }
@@ -538,7 +557,7 @@ object IceLite {
       val snap = m.current
       require(snap.partitionCols.nonEmpty,
         s"${ref.name} is not identity-partitioned")
-      require(snap.deleteFiles.isEmpty,
+      require(!snap.morLive,
         s"${ref.name} has live MoR sidecars — compact() first")
       eq.keys.foreach(c => require(snap.partitionCols.contains(c),
         s"$c is not a partition column of ${ref.name}"))
@@ -625,11 +644,11 @@ object IceLite {
       val survivors: Seq[String] = mode match {
         case Append => snap.files
         case ReplaceAll =>
-          require(snap.deleteFiles.isEmpty,
+          require(!snap.morLive,
             s"${ref.name} has live MoR sidecars — compact() before overwrite")
           Nil
         case ReplaceWhere(eq) =>
-          require(snap.deleteFiles.isEmpty,
+          require(!snap.morLive,
             s"${ref.name} has live MoR sidecars — compact() before overwrite")
           eq.keys.foreach(c => require(snap.partitionCols.contains(c),
             s"$c is not a partition column of ${ref.name}"))
@@ -642,7 +661,7 @@ object IceLite {
           snap.files.filterNot(f =>
             eq.forall { case (c, v) => partVals(f).get(c).contains(v) })
         case ReplaceDynamic =>
-          require(snap.deleteFiles.isEmpty,
+          require(!snap.morLive,
             s"${ref.name} has live MoR sidecars — compact() before overwrite")
           val touched = moved.map(f =>
             snap.partitionCols.map(partVals(f).get)).toSet
@@ -663,7 +682,8 @@ object IceLite {
         fileRows = snap.fileRows.view.filterKeys(survivorSet).toMap ++
           rowsByFile,
         deleteFiles = if (mode == Append) snap.deleteFiles else Nil,
-        partitionSpec = snap.partitionSpec)
+        partitionSpec = snap.partitionSpec,
+        eqDeletes = if (mode == Append) snap.eqDeletes else Nil)
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
     }.current
   }
@@ -711,7 +731,7 @@ object IceLite {
       require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
         s"${ref.name} is partitioned — a registered flat file can't carry " +
           "partition values; write through the partitioned append path")
-      require(snap.deleteFiles.isEmpty,
+      require(!snap.morLive,
         s"${ref.name} has live MoR delete sidecars — compact() before add_files")
       snap.files.headOption.foreach { f =>
         val got = fieldNames(ref.dir.resolve(f)).sorted
@@ -797,7 +817,8 @@ object IceLite {
             m.current.files ++ newFiles, m.current.rowCount + rows,
             m.current.fileStats ++ stats, summary = summary,
             fileRows = m.current.fileRows ++ rowsByFile,
-            deleteFiles = m.current.deleteFiles) // live sidecars survive appends
+            deleteFiles = m.current.deleteFiles, // live sidecars survive appends
+            eqDeletes = m.current.eqDeletes)
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
       }
     }.current
@@ -901,7 +922,7 @@ object IceLite {
         case Some((baseVersion, basePath)) =>
           val base = Serialization.read[Manifest](Files.readString(basePath))
           val cur = base.current
-          require(cur.deleteFiles.isEmpty,
+          require(!cur.morLive,
             s"${ref.name} has live MoR delete sidecars — compact() to " +
               "materialize them before a copy-on-write merge")
           val current =
@@ -1018,6 +1039,10 @@ object IceLite {
       require(snap.partitionCols.isEmpty,
         "MoR deletes support flat/sorted tables; partitioned tables " +
           "take the layout-preserving COW path (deleteWhere)")
+      require(snap.eqDeletes.isEmpty,
+        s"${ref.name} has live EQUALITY-delete sidecars — their matched " +
+          "row counts are unknown without a scan, so a position delete " +
+          "on top would corrupt the logical rowCount; compact() first")
       val matches = morView(spark, ref, snap).filter(expr(predicate))
         .select(col("_mor_file").as("file_path"), col("_mor_pos").as("pos"))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -1060,6 +1085,76 @@ object IceLite {
     throw new IllegalStateException("unreachable")
   }
 
+  /** d72: MERGE-ON-READ EQUALITY delete (Iceberg v2 equality deletes
+    * — the CDC-friendly shape): delete every current row whose key
+    * tuple appears in `keys`, WITHOUT knowing positions — the sidecar
+    * stores only the key batch. Write cost is O(keys) sidecar bytes +
+    * one logical-count scan; zero data files touched. Sequence rule:
+    * the sidecar (committed at snapshot D) applies to files added
+    * strictly before D, so a later re-insert of a deleted key
+    * survives — exactly what a CDC upsert stream needs. Readers fold
+    * the sidecars as broadcast anti-joins; compact() materializes and
+    * clears them. The connector refuses eq-delete-live tables
+    * (compact first) — the engine face is the read path. */
+  def deleteByKeysMoR(spark: SparkSession, ref: TableRef,
+      keys: DataFrame, keyCols: Seq[String]): Snapshot = {
+    require(keyCols.nonEmpty, "deleteByKeysMoR requires key columns")
+    while (true) {
+      val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
+        throw new IllegalArgumentException(s"${ref.name} does not exist"))
+      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val snap = base.current
+      require(snap.partitionCols.isEmpty,
+        "MoR equality deletes support flat/sorted tables")
+      val keyBatch = keys
+        .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().localCheckpoint()
+      // exact logical count: matched rows of the CURRENT logical view
+      // (one broadcast semi-join scan — the price of keeping
+      // Snapshot.rowCount truthful; Iceberg skips this and reports
+      // physical counts instead)
+      val matched = readFilesWithDeletes(spark, ref, snap, snap.files)
+        .join(org.apache.spark.sql.functions.broadcast(keyBatch),
+          keyCols, "left_semi").count()
+      if (matched == 0L) return snap
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val outDir = ref.deletesDir.resolve(token)
+      keyBatch.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+      val sidecars = listDir(Files.list(outDir))(_
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted).map(n => s"deletes/$token/$n")
+      try {
+        val committed = commitCAS(ref) { cur =>
+          val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
+          val head = m.current
+          val gone = snap.files.filterNot(head.files.contains)
+          if (gone.nonEmpty || head.deleteFiles != snap.deleteFiles ||
+              head.eqDeletes != snap.eqDeletes || head.files != snap.files) {
+            throw new java.util.ConcurrentModificationException(
+              s"${ref.name}: the snapshot this equality delete was " +
+                "computed against changed concurrently — re-run")
+          }
+          val id = m.snapshots.map(_.id).max + 1
+          val next = Snapshot(id, System.currentTimeMillis(), "delete-eq",
+            head.files, head.rowCount - matched, head.fileStats,
+            head.partitionCols, head.sortedBy,
+            fileRows = head.fileRows,
+            deleteFiles = head.deleteFiles,
+            eqDeletes = head.eqDeletes ++
+              sidecars.map(EqDelete(_, keyCols, id)))
+          m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
+        }
+        return committed.current
+      } catch { case e: java.util.ConcurrentModificationException =>
+        listDir(Files.walk(outDir))(_.toSeq).sortBy(-_.getNameCount)
+          .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+        throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** d48: MERGE-ON-READ UPDATE — the MoR twin of `updateWhere`: the
     * matching rows' positions become a delete sidecar and their
     * TRANSFORMED copies append as new data files, both in ONE
@@ -1081,6 +1176,9 @@ object IceLite {
     require(snap.partitionCols.isEmpty,
       "MoR updates support flat/sorted tables; partitioned tables " +
         "take the layout-preserving COW path (updateWhere)")
+    require(snap.eqDeletes.isEmpty,
+      s"${ref.name} has live EQUALITY-delete sidecars — compact() before " +
+        "a position-based MoR update")
     val matched = morView(spark, ref, snap).filter(expr(predicate))
       .localCheckpoint() // one scan feeds BOTH the sidecar and the rewrite
     val token = java.util.UUID.randomUUID.toString.take(8)
@@ -1162,7 +1260,8 @@ object IceLite {
         s"$fromSnapshotId .. $toSnapshotId")
     val range = m.snapshots.slice(fromIdx, toIdx + 1)
     val bad = range.tail.map(_.operation)
-      .filterNot(Set("append", "stage-append", "delete-mor", "update-mor"))
+      .filterNot(Set("append", "stage-append", "delete-mor", "update-mor",
+        "delete-eq"))
     require(bad.isEmpty,
       s"changelog range of ${ref.name} contains rewriting commit(s) " +
         s"${bad.distinct.mkString(", ")} — file diffs no longer equal " +
@@ -1193,7 +1292,26 @@ object IceLite {
               lit(if (isUpdate) "update_preimage" else "delete"))
             .withColumn("_commit_snapshot_id", lit(s.id)))
         }
-      Seq(inserts, deletes).flatten
+      // d72: equality-delete commits — the deleted rows are prev's
+      // LOGICAL rows matching the new key batches (all of prev's
+      // files predate the delete snapshot, so the sequence rule
+      // matches every one of them)
+      val newEq = s.eqDeletes.filterNot(prev.eqDeletes.toSet)
+      val eqDeleted =
+        if (newEq.isEmpty) None
+        else {
+          val prior = readFilesWithDeletes(spark, ref, prev, prev.files)
+          Some(newEq.groupBy(_.keyCols).map { case (kc, dels) =>
+            val keys = dels.map(d =>
+              spark.read.parquet(ref.dir.resolve(d.file).toString)
+                .select(kc.map(col): _*)).reduce(_ unionByName _).distinct()
+            prior.join(org.apache.spark.sql.functions.broadcast(keys),
+              kc, "left_semi")
+          }.reduce(_ unionByName _)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_snapshot_id", lit(s.id)))
+        }
+      Seq(inserts, deletes, eqDeleted).flatten
     }.flatten.toSeq
     if (slices.isEmpty)
       read(spark, ref).limit(0)
@@ -1221,24 +1339,67 @@ object IceLite {
     }
   }
 
-  /** Read `files` of `snap` with its position deletes applied (and
-    * the helper columns dropped) — every read path of a MoR-live
+  /** Read `files` of `snap` with its position AND equality deletes
+    * applied (helper columns dropped) — every read path of a MoR-live
     * snapshot funnels through here. */
   private def readFilesWithDeletes(spark: SparkSession, ref: TableRef,
       snap: Snapshot, files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (snap.deleteFiles.isEmpty) readFiles(spark, ref, files)
-    else {
-      val df = readFiles(spark, ref, files)
-        .withColumn("_mor_file", col("_metadata.file_path"))
-        .withColumn("_mor_pos", col("_metadata.row_index"))
-      val dels = spark.read.parquet(
-        snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
-      df.join(dels, df("_mor_file") === dels("file_path") &&
-          df("_mor_pos") === dels("pos"), "left_anti")
-        .drop("_mor_file", "_mor_pos")
-    }
+    val positioned =
+      if (snap.deleteFiles.isEmpty) readFiles(spark, ref, files)
+      else {
+        val df = readFiles(spark, ref, files)
+          .withColumn("_mor_file", col("_metadata.file_path"))
+          .withColumn("_mor_pos", col("_metadata.row_index"))
+        val dels = spark.read.parquet(
+          snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+        df.join(dels, df("_mor_file") === dels("file_path") &&
+            df("_mor_pos") === dels("pos"), "left_anti")
+          .drop("_mor_file", "_mor_pos")
+      }
+    applyEqDeletes(spark, ref, snap, positioned)
   }
+
+  /** d72: fold EQUALITY-delete sidecars into a read. Sequence rule
+    * (Iceberg's, with snapshot ids as sequence numbers): a sidecar
+    * committed at snapshot D deletes a matching row only if the row's
+    * data file was added STRICTLY BEFORE D — a post-delete re-insert
+    * of the same key survives. File "added at" resolves from the
+    * snapshot history (first snapshot listing the file); the lookup
+    * is broadcast (O(files) rows) and each key batch is a broadcast
+    * anti-join — CDC batches are small by nature, the corpus is
+    * never reshuffled. */
+  private def applyEqDeletes(spark: SparkSession, ref: TableRef,
+      snap: Snapshot, df: DataFrame): DataFrame =
+    if (snap.eqDeletes.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+      val m = readManifest(ref)
+      val ordered = m.snapshots.sortBy(_.id)
+      def addedAt(f: String): Long =
+        ordered.find(_.files.contains(f)).map(_.id).getOrElse(0L)
+      import spark.implicits._
+      val lookup = snap.files
+        .map(f => (ref.dir.resolve(f).toString, addedAt(f)))
+        .toDF("_eq_path", "_eq_added")
+      val withAdded = df
+        .withColumn("_eq_file",
+          regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+        .join(broadcast(lookup), col("_eq_file") === col("_eq_path"), "left")
+        .drop("_eq_path", "_eq_file")
+      val folded = snap.eqDeletes.groupBy(_.keyCols).foldLeft(withAdded) {
+        case (cur, (kc, dels)) =>
+          val keys = dels.map { d =>
+            spark.read.parquet(ref.dir.resolve(d.file).toString)
+              .select(kc.map(col): _*)
+              .withColumn("_eq_dsnap", lit(d.snapshotId))
+          }.reduce(_ unionByName _)
+          val cond = kc.map(c => cur(c) <=> keys(c)).reduce(_ && _) &&
+            keys("_eq_dsnap") > cur("_eq_added")
+          cur.join(broadcast(keys), cond, "left_anti")
+      }
+      folded.drop("_eq_added")
+    }
 
   /** Re-stage rewritten rows in the snapshot's OWN layout (the
     * layout-preserving half of merge/deleteWhere/updateWhere):
@@ -1273,7 +1434,7 @@ object IceLite {
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
       val base = Serialization.read[Manifest](Files.readString(basePath))
       val snap = base.current
-      require(snap.deleteFiles.isEmpty,
+      require(!snap.morLive,
         s"${ref.name} has live MoR delete sidecars — compact() to " +
           "materialize them before a copy-on-write rewrite")
       // partition-aware read: path-borne partition columns must be
@@ -1472,7 +1633,7 @@ object IceLite {
       lo: Double, hi: Double, targetFiles: Int = 1): Snapshot = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val snap = readManifest(ref).current
-    require(snap.deleteFiles.isEmpty,
+    require(!snap.morLive,
       s"${ref.name} has live MoR delete sidecars — full compact() " +
         "materializes them; range compaction cannot split a sidecar")
     require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
@@ -1521,7 +1682,7 @@ object IceLite {
       col2: String, targetFiles: Int = 8): Snapshot = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val snap = readManifest(ref).current
-    require(snap.deleteFiles.isEmpty,
+    require(!snap.morLive,
       s"${ref.name} has live MoR delete sidecars — full compact() " +
         "materializes them before a z-order rewrite")
     require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
@@ -2354,7 +2515,7 @@ object IceLite {
   def shallowClone(src: TableRef, dst: TableRef): Snapshot = {
     val srcManifest = readManifest(src)
     val srcSnap = srcManifest.current
-    require(srcSnap.deleteFiles.isEmpty,
+    require(!srcSnap.morLive,
       s"${src.name} has live MoR delete sidecars — compact() before cloning")
     require(srcSnap.partitionCols.isEmpty,
       "shallowClone supports unpartitioned sources (partition discovery " +
@@ -2490,7 +2651,8 @@ object IceLite {
   def gcOrphans(ref: TableRef, graceMs: Long = 3600L * 1000): Seq[String] = {
     val man = readManifest(ref)
     val referenced = (man.snapshots.flatMap(_.files) ++
-      man.snapshots.flatMap(_.deleteFiles)).toSet
+      man.snapshots.flatMap(_.deleteFiles) ++
+      man.snapshots.flatMap(_.eqDeletes.map(_.file))).toSet
     if (!Files.exists(ref.dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - graceMs
     // data/ plus the MoR sidecar tree (deletes/) — sidecars follow
@@ -2665,7 +2827,7 @@ object IceLite {
       val branchHead = m.branches.get(branch)
         .flatMap(id => m.snapshots.find(_.id == id))
       val base = branchHead.getOrElse(m.current)
-      require(base.deleteFiles.isEmpty,
+      require(!base.morLive,
         s"${ref.name} has live MoR delete sidecars — compact() before " +
           "staging a WAP branch (the staged snapshot must not lose them)")
       require(base.partitionSpec.isEmpty,
@@ -2779,7 +2941,8 @@ object IceLite {
           summary = Map("cherrypick.source" -> id.toString),
           fileRows = head.fileRows ++
             staged.fileRows.view.filterKeys(deltaSet).toMap,
-          deleteFiles = head.deleteFiles)
+          deleteFiles = head.deleteFiles,
+          eqDeletes = head.eqDeletes)
         m.copy(currentSnapshotId = newId, snapshots = m.snapshots :+ snap,
           branches = m.branches - branch)
       }
@@ -2888,8 +3051,10 @@ object IceLite {
     val orphans = expired.flatMap(_.files).toSet -- keepFiles
     orphans.foreach(f => Files.deleteIfExists(ref.dir.resolve(f)))
     // position-delete sidecars follow the same liveness rule
-    val keepDeletes = committed.snapshots.flatMap(_.deleteFiles).toSet
-    (expired.flatMap(_.deleteFiles).toSet -- keepDeletes)
+    val keepDeletes = (committed.snapshots.flatMap(_.deleteFiles) ++
+      committed.snapshots.flatMap(_.eqDeletes.map(_.file))).toSet
+    ((expired.flatMap(_.deleteFiles) ++
+      expired.flatMap(_.eqDeletes.map(_.file))).toSet -- keepDeletes)
       .foreach(f => Files.deleteIfExists(ref.dir.resolve(f)))
     expired.map(_.id).sorted
   }

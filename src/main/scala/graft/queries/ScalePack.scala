@@ -2855,6 +2855,65 @@ object ScalePack extends Pack {
              TRUE AS census_ok, TRUE AS metadata_only
              FROM lineitem
              WHERE l_orderkey < 2000 AND l_returnflag <> 'A'
-             GROUP BY 1 ORDER BY 1"""))
+             GROUP BY 1 ORDER BY 1""")),
+
+    // d72: MERGE-ON-READ EQUALITY DELETE (Iceberg v2 equality
+    // deletes) — the CDC-friendly delete: a batch of KEY tuples, no
+    // positions needed, so the writer never scans the table
+    // (contrast d47's position deletes, which need the match scan).
+    // Sequence rule via snapshot ids: the sidecar deletes only rows
+    // from files added BEFORE it, so the post-delete re-insert of a
+    // deleted key survives — exactly the upsert-stream contract
+    // (witnessed: the reborn key reads back with its new value).
+    // Zero data files move at delete time (witnessed); compact()
+    // materializes the sidecars and the logical view is unchanged
+    // (witnessed). At 100 TB this is the only delete a CDC pipeline
+    // can afford: O(keys) sidecar bytes per batch, read-side
+    // broadcast anti-joins sized by the key batch.
+    Decl("d72_mor_equality_delete",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d72").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_eq")
+        val o = Tables.load(s, dir, "orders")
+          .filter($"o_orderkey" < 2000)
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o)
+        val before = IceLite.readManifest(ref).current
+        val delKeys = o.filter($"o_orderkey" % 10 === 3)
+          .select($"o_orderkey")
+        val snap = IceLite.deleteByKeysMoR(s, ref, delKeys, Seq("o_orderkey"))
+        val zeroRewrite = snap.files == before.files &&
+          snap.operation == "delete-eq" && snap.eqDeletes.nonEmpty
+        // CDC re-insert of the smallest deleted key — must survive
+        val minDel = delKeys.agg(min($"o_orderkey")).head.getLong(0)
+        IceLite.append(ref, s.range(1).select(lit(minDel).as("o_orderkey"),
+          lit(42.0).as("o_totalprice")))
+        val reborn = IceLite.read(s, ref)
+          .filter($"o_orderkey" === minDel)
+          .select($"o_totalprice").collect().map(_.getDouble(0))
+          .toSeq == Seq(42.0)
+        def agg(): (Long, Double) = {
+          val r = IceLite.read(s, ref).agg(
+            count(lit(1)).cast("long").as("n"),
+            sum($"o_totalprice".cast("decimal(18,3)")).cast("double").as("p"))
+            .head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        val morAgg = agg()
+        val compacted = IceLite.compact(s, ref, targetFiles = 4)
+        val cowAgg = agg()
+        val ok = zeroRewrite && reborn && compacted.eqDeletes.isEmpty &&
+          morAgg == cowAgg
+        s.range(1).select(lit(morAgg._1).as("n"),
+          lit(morAgg._2).as("sum_price"), lit(ok).as("eq_mor_ok"))
+      },
+      Some("""SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3)))
+                  + CAST(42.0 AS DECIMAL(18,3)) AS DOUBLE) AS sum_price,
+             TRUE AS eq_mor_ok
+             FROM orders
+             WHERE o_orderkey < 2000 AND o_orderkey % 10 <> 3"""))
   )
 }

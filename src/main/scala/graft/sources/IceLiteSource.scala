@@ -329,11 +329,19 @@ class IceLiteTable(ref: TableRef, schema: StructType,
 
   override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
     java.util.Collections.emptyMap()
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // d72: the connector's vectorized scan folds POSITION tombstones
+    // per file but not equality-delete key joins — refuse loudly
+    // rather than resurrect deleted rows (engine reads fold them;
+    // compact() materializes and clears)
+    require(IceLiteSource.resolveSnap(ref, asOf).eqDeletes.isEmpty,
+      s"${name()} has live equality-delete sidecars — read through " +
+        "IceLite.read or compact() first")
     new IceLiteScanBuilder(ref, schema,
       options.getInt("snapshotsPerTrigger", Int.MaxValue),
       options.getLong("targetSplitBytes", 128L * 1024 * 1024),
       asOf, changelog = options.getBoolean("changelog", false))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
       s"${name()} is a time-travel read — snapshots are immutable")

@@ -1,0 +1,106 @@
+package graft.icelite
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** d72: equality-delete MoR (Iceberg v2 equality deletes) — delete by
+  * KEY batch without positions, sequence-scoped so re-inserts survive;
+  * compaction materializes; the connector refuses while live. */
+class IceLiteEqDeleteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mk(): TableRef = {
+    val wh = Files.createTempDirectory("eqdel_spec").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1L to 10L).map(k => (k, s"r$k")).toDF("k", "s"))
+    ref
+  }
+
+  test("delete by key batch: zero data files touched, logical view folds") {
+    val ref = mk()
+    val before = IceLite.readManifest(ref).current
+    val snap = IceLite.deleteByKeysMoR(spark, ref,
+      Seq(3L, 7L, 99L).toDF("k"), Seq("k"))
+    assert(snap.operation == "delete-eq")
+    assert(snap.files == before.files, "data files must not move")
+    assert(snap.rowCount == 8, "logical rowCount must fold matches (99 absent)")
+    assert(snap.eqDeletes.size == 1 &&
+      snap.eqDeletes.head.keyCols == Seq("k"))
+    val got = IceLite.read(spark, ref).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(got == (1L to 10L).filterNot(Set(3L, 7L)))
+  }
+
+  test("sequence rule: a re-inserted key survives the earlier delete") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(5L).toDF("k"), Seq("k"))
+    // CDC re-insert of the deleted key — a LATER file, must survive
+    IceLite.append(ref, Seq((5L, "reborn")).toDF("k", "s"))
+    val got = IceLite.read(spark, ref)
+      .filter($"k" === 5L).select("s").as[String].collect().toSeq
+    assert(got == Seq("reborn"),
+      s"re-insert was wrongly folded by the older eq delete: $got")
+    assert(IceLite.read(spark, ref).count() == 10)
+  }
+
+  test("compact materializes equality deletes and clears the sidecars") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(2L, 4L).toDF("k"), Seq("k"))
+    val logical = IceLite.read(spark, ref).select("k").as[Long]
+      .collect().sorted.toSeq
+    val compacted = IceLite.compact(spark, ref, targetFiles = 2)
+    assert(compacted.eqDeletes.isEmpty && compacted.deleteFiles.isEmpty)
+    val after = IceLite.read(spark, ref).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(after == logical)
+    assert(compacted.rowCount == 8)
+  }
+
+  test("connector refuses eq-delete-live tables; reads again post-compact") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(1L).toDF("k"), Seq("k"))
+    val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", ref.warehouse)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.src.t").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("equality-delete")), s"${e.getMessage}")
+    IceLite.compact(spark, ref, targetFiles = 1)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t").head.getLong(0) == 9)
+  }
+
+  test("position-based MoR refuses while equality deletes are live") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(1L).toDF("k"), Seq("k"))
+    val e = intercept[IllegalArgumentException](
+      IceLite.deleteWhereMoR(spark, ref, "k = 2"))
+    assert(e.getMessage.contains("EQUALITY"))
+  }
+
+  test("changelog emits the eq-deleted rows as deletes") {
+    val ref = mk()
+    val s1 = IceLite.readManifest(ref).currentSnapshotId
+    val s2 = IceLite.deleteByKeysMoR(spark, ref, Seq(6L).toDF("k"), Seq("k")).id
+    val changes = IceLite.changes(spark, ref, s1, s2)
+      .select($"k", $"_change_type").as[(Long, String)].collect().toSeq
+    assert(changes == Seq((6L, "delete")), s"changelog wrong: $changes")
+  }
+
+  test("expiry retains sidecars referenced by live snapshots") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(8L).toDF("k"), Seq("k"))
+    val sidecar = IceLite.readManifest(ref).current.eqDeletes.head.file
+    // orphan gc must treat the sidecar as referenced
+    IceLite.gcOrphans(ref, graceMs = 0L)
+    assert(Files.exists(ref.dir.resolve(sidecar)),
+      "gc reclaimed a referenced equality-delete sidecar")
+    assert(IceLite.read(spark, ref).count() == 9)
+  }
+}
