@@ -1155,6 +1155,79 @@ object IceLite {
     throw new IllegalStateException("unreachable")
   }
 
+  /** s22: ATOMIC MoR UPSERT (the Flink→Iceberg upsert-mode commit):
+    * ONE snapshot that appends the batch's rows as new data files AND
+    * carries an equality-delete sidecar for their keys. The sequence
+    * rule makes this correct by construction — the sidecar (sequence
+    * = this snapshot) hides matching rows of OLDER files only, never
+    * the rows committed with it. Write cost O(batch); zero existing
+    * files touched; a reader sees the pre- or post-upsert state,
+    * never a key doubled or missing. Replay converges: re-upserting
+    * the same batch deletes the prior epoch's copies and re-adds
+    * identical rows. */
+  def upsertByKeysMoR(spark: SparkSession, ref: TableRef,
+      rows: DataFrame, keyCols: Seq[String]): Snapshot = {
+    require(keyCols.nonEmpty, "upsertByKeysMoR requires key columns")
+    val cached = rows.localCheckpoint()
+    while (true) {
+      val (_, basePath) = latestManifestFile(ref).getOrElse(
+        throw new IllegalArgumentException(s"${ref.name} does not exist"))
+      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val snap = base.current
+      require(snap.partitionCols.isEmpty,
+        "MoR upserts support flat/sorted tables")
+      val keyBatch = cached
+        .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().localCheckpoint()
+      val matched = readFilesWithDeletes(spark, ref, snap, snap.files)
+        .join(org.apache.spark.sql.functions.broadcast(keyBatch),
+          keyCols, "left_semi").count()
+      val dataFiles = stage(ref, cached)
+      val newRowsByFile = fileRowCounts(ref, dataFiles)
+      val newStats = footerStats(ref, dataFiles)
+      val sidecars: Seq[String] =
+        if (matched == 0L) Nil // pure insert: no old versions to hide
+        else {
+          val token = java.util.UUID.randomUUID.toString.take(8)
+          val outDir = ref.deletesDir.resolve(token)
+          keyBatch.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+          listDir(Files.list(outDir))(_
+            .map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+            .toSeq.sorted).map(n => s"deletes/$token/$n")
+        }
+      val committed = commitCAS(ref) { cur =>
+        val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
+        val head = m.current
+        if (head.files != snap.files || head.deleteFiles != snap.deleteFiles ||
+            head.eqDeletes != snap.eqDeletes) {
+          unstageFiles(ref, dataFiles)
+          sidecars.headOption.foreach { s0 =>
+            val dir = ref.dir.resolve(s0).getParent
+            listDir(Files.walk(dir))(_.toSeq).sortBy(-_.getNameCount)
+              .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+          }
+          throw new java.util.ConcurrentModificationException(
+            s"${ref.name}: the snapshot this upsert was computed against " +
+              "changed concurrently — re-run")
+        }
+        val id = m.snapshots.map(_.id).max + 1
+        val next = Snapshot(id, System.currentTimeMillis(), "upsert-eq",
+          head.files ++ dataFiles,
+          head.rowCount - matched + newRowsByFile.values.sum,
+          head.fileStats ++ newStats,
+          head.partitionCols, head.sortedBy,
+          fileRows = head.fileRows ++ newRowsByFile,
+          deleteFiles = head.deleteFiles,
+          eqDeletes = head.eqDeletes ++
+            sidecars.map(EqDelete(_, keyCols, id)))
+        m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
+      }
+      return committed.current
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** d48: MERGE-ON-READ UPDATE — the MoR twin of `updateWhere`: the
     * matching rows' positions become a delete sidecar and their
     * TRANSFORMED copies append as new data files, both in ONE
@@ -1261,7 +1334,7 @@ object IceLite {
     val range = m.snapshots.slice(fromIdx, toIdx + 1)
     val bad = range.tail.map(_.operation)
       .filterNot(Set("append", "stage-append", "delete-mor", "update-mor",
-        "delete-eq"))
+        "delete-eq", "upsert-eq"))
     require(bad.isEmpty,
       s"changelog range of ${ref.name} contains rewriting commit(s) " +
         s"${bad.distinct.mkString(", ")} — file diffs no longer equal " +

@@ -1242,5 +1242,65 @@ object StreamPack extends Pack {
              CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(SUM(value), 2) AS sum_val,
              CAST(3 AS BIGINT) AS n_epochs, TRUE AS layout_ok
-             FROM events GROUP BY 1 ORDER BY 1""")))
+             FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // s22: CDC upsert stream via ATOMIC MoR upserts (the
+    // Flink→Iceberg upsert-mode sink; d72's equality deletes made
+    // streaming-shaped). Each micro-batch commits ONE snapshot that
+    // appends the batch's rows AND an equality-delete sidecar for
+    // their keys — the sequence rule hides only OLDER copies, so a
+    // reader never sees a key doubled or missing, and NO existing
+    // data file is ever rewritten (witnessed: every base file
+    // survives all epochs — contrast s11, whose per-epoch MERGE
+    // rewrites matched files copy-on-write). Same feed and same
+    // final state as s11; the write amplification is the difference:
+    // O(batch) here vs O(matched files) there. At 100 TB of CDC this
+    // is the only affordable upsert cadence; compaction reclaims the
+    // read-side join on its own schedule.
+    Decl("s22_stream_cdc_eq_upsert",
+      (s, dir) => {
+        withStreamShufflePartitions(s) {
+        val staged = stageCdcBatches(s, dir)
+        val wh = Files.createTempDirectory("graft_s22_wh").toString
+        val ref = TableRef(wh, "src", "orders_cdc_eq")
+        IceLite.createNamespace(wh, "src")
+        val sch = s.read.parquet(staged).schema
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!IceLite.tableExists(ref))
+              IceLite.createOrReplace(ref, batch)
+            else
+              IceLite.upsertByKeysMoR(s, ref, batch, Seq("o_orderkey"))
+            ()
+          }
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ckpt_s22").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val m = IceLite.readManifest(ref)
+        val baseFiles = m.snapshots.head.files
+        val zeroRewrite =
+          baseFiles.forall(m.current.files.contains) &&
+          m.snapshots.tail.forall(_.operation == "upsert-eq")
+        import graft.queries.syntax.dsum
+        IceLite.read(s, ref)
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum(col("o_totalprice"), 3).as("sum_price"),
+            count(when(col("o_totalprice") === 2.0, 1)).cast("long")
+              .as("n_repriced_twice"))
+          .withColumn("zero_rewrite", lit(zeroRewrite))
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderkey < 500 THEN 2.0
+                                WHEN o_orderkey < 1000 THEN 1.0
+                                ELSE o_totalprice END AS DECIMAL(18,3)))
+                  AS DOUBLE) AS sum_price,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey < 500) AS n_repriced_twice,
+             TRUE AS zero_rewrite
+             FROM orders WHERE o_orderkey < 2000""")))
 }

@@ -93,6 +93,27 @@ class IceLiteEqDeleteSpec extends AnyFunSuite {
     assert(changes == Seq((6L, "delete")), s"changelog wrong: $changes")
   }
 
+  test("upsertByKeysMoR: one atomic snapshot, old copies hidden, new visible") {
+    val ref = mk()
+    val before = IceLite.readManifest(ref).current
+    val snap = IceLite.upsertByKeysMoR(spark, ref,
+      Seq((3L, "v2"), (11L, "new")).toDF("k", "s"), Seq("k"))
+    assert(snap.operation == "upsert-eq")
+    assert(before.files.forall(snap.files.contains), "no base file rewritten")
+    assert(snap.rowCount == 11, "10 - 1 hidden + 2 new")
+    val got = IceLite.read(spark, ref)
+      .filter($"k" === 3L || $"k" === 11L)
+      .select("s").as[String].collect().sorted.toSeq
+    assert(got == Seq("new", "v2"), s"upsert visibility wrong: $got")
+    assert(IceLite.read(spark, ref).count() == 11)
+    // replay of the SAME batch converges (CDC at-least-once)
+    IceLite.upsertByKeysMoR(spark, ref,
+      Seq((3L, "v2"), (11L, "new")).toDF("k", "s"), Seq("k"))
+    assert(IceLite.read(spark, ref).count() == 11)
+    assert(IceLite.read(spark, ref).filter($"k" === 3L)
+      .select("s").as[String].collect().toSeq == Seq("v2"))
+  }
+
   test("expiry retains sidecars referenced by live snapshots") {
     val ref = mk()
     IceLite.deleteByKeysMoR(spark, ref, Seq(8L).toDF("k"), Seq("k"))
