@@ -57,6 +57,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"distance join degenerated to all-pairs:\n$p")
   }
 
+  test("d72 eq-delete fold: broadcast anti-join sized by the key batch") {
+    // the read-side fold must be a BROADCAST anti-join (build side =
+    // the key batch), never a shuffle of the corpus or a cartesian
+    val ref = {
+      val wh = java.nio.file.Files.createTempDirectory("pa_eq").toString
+      graft.icelite.IceLite.createNamespace(wh, "src")
+      val r = graft.icelite.TableRef(wh, "src", "t")
+      import spark.implicits._
+      graft.icelite.IceLite.createOrReplace(r,
+        (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v"))
+      graft.icelite.IceLite.deleteByKeysMoR(spark, r,
+        Seq(5L, 6L).toDF("k"), Seq("k"))
+      r
+    }
+    val p = graft.icelite.IceLite.read(spark, ref)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"eq fold degenerated:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"key batch not broadcast in eq-delete fold:\n$p")
+  }
+
   test("c27 substring dedup joins on the window hash, no cartesian product") {
     val p = plan("c27_substring_dedup")
     assert(!p.contains("CartesianProduct"), s"span matching degenerated:\n$p")
