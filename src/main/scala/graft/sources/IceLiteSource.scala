@@ -1476,13 +1476,13 @@ class IceLiteScan(ref: TableRef, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(partFields.isEmpty,
-      "icelite streaming reads support unpartitioned tables (the batch " +
-        "connector surfaces partitioned reads)")
     require(deleteFiles.isEmpty,
       s"${ref.name} has live MoR delete sidecars — the streaming source's " +
         "baseline would resurrect deleted rows; compact() first")
-    new IceLiteMicroBatchStream(ref, dataFields, snapshotsPerTrigger)
+    // s23: partitioned tables stream too — each new file's path-borne
+    // partition values ride along as constant vectors, same as batch
+    new IceLiteMicroBatchStream(ref, dataFields, snapshotsPerTrigger,
+      partFields)
   }
   override def description(): String =
     s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}" +
@@ -1710,7 +1710,8 @@ object IceLiteOffset {
   * table-feed operating rule. State is metadata-sized: the stream
   * holds no data, only the manifest walk per trigger. */
 class IceLiteMicroBatchStream(ref: TableRef,
-    fields: Array[(String, DataType)], snapshotsPerTrigger: Int)
+    fields: Array[(String, DataType)], snapshotsPerTrigger: Int,
+    partFields: Seq[String] = Nil)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** AvailableNow ceiling: snapshot id captured at query start. */
@@ -1767,8 +1768,13 @@ class IceLiteMicroBatchStream(ref: TableRef,
         s"($startId → $endId removed ${dropped.size} files — replace/" +
         "compaction/rollback); restart from a fresh checkpoint")
     endFiles.filterNot(startFiles)
-      .map(f => IceLiteInputPartition(
-        Seq(ref.dir.resolve(f).toString)): InputPartition)
+      .map { f =>
+        // s23: projected partition values come from the file path,
+        // exactly like batch splits
+        val vals = IceLiteSource.pathPartValues(f)
+        IceLiteInputPartition(Seq(ref.dir.resolve(f).toString),
+          partFields.map(vals.getOrElse(_, null))): InputPartition
+      }
       .toArray
   }
 

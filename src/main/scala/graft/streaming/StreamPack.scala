@@ -1302,5 +1302,57 @@ object StreamPack extends Pack {
              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
               WHERE o_orderkey < 500) AS n_repriced_twice,
              TRUE AS zero_rewrite
-             FROM orders WHERE o_orderkey < 2000""")))
+             FROM orders WHERE o_orderkey < 2000""")),
+
+    // s23: streaming READ of a PARTITIONED table — the other half of
+    // s21's fanout sink: a day/shard-partitioned bronze table is also
+    // a STREAM source, each trigger draining one snapshot's file
+    // delta with the path-borne partition values riding along as
+    // constant vectors (same representation as batch splits — no
+    // decode cost for the partition column). With s21+s23 the
+    // partitioned table is a full streaming pipe: fanout in, O(delta)
+    // out, pruning for batch readers in between. Three partitioned
+    // commits → three micro-batches (witnessed via snapshotsPerTrigger
+    // = 1 and the epoch count), per-shard rollup ≡ the batch oracle.
+    Decl("s23_stream_partitioned_source",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_s23_wh").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "li_feed")
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        // three partitioned commits = three stream epochs
+        IceLite.createOrReplacePartitioned(ref,
+          li.filter(col("l_orderkey") < 700), "l_returnflag")
+        IceLite.appendPartitioned(ref,
+          li.filter(col("l_orderkey") >= 700 && col("l_orderkey") < 1400),
+          "l_returnflag")
+        IceLite.appendPartitioned(ref,
+          li.filter(col("l_orderkey") >= 1400), "l_returnflag")
+        val sink = s"s23_sink_${java.util.UUID.randomUUID.toString.take(8)}"
+        withStreamShufflePartitions(s) {
+          val q = s.readStream.format("graft.sources.IceLiteSource")
+            .option("snapshotsPerTrigger", 1)
+            .load(ref.dir.toString)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation",
+              Files.createTempDirectory("graft_ckpt_s23").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        import graft.queries.syntax.dsum
+        s.table(sink)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            dsum(col("l_quantity"), 3).as("sum_qty"))
+          .orderBy("flag")
+      },
+      Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+             FROM lineitem WHERE l_orderkey < 2000
+             GROUP BY 1 ORDER BY 1""")))
 }

@@ -44,6 +44,26 @@ class IceLiteStreamSourceSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
   }
 
+  test("streams a PARTITIONED table with path-borne values intact (s23)") {
+    val ref = freshTable("st_src_part")
+    IceLite.createOrReplacePartitioned(ref,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
+    IceLite.appendPartitioned(ref, Seq((3L, "C")).toDF("k", "p"), "p")
+    val q = spark.readStream.format(Fmt)
+      .option("snapshotsPerTrigger", 1).load(ref.dir.toString)
+      .writeStream.format("memory").queryName("st_src_part_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("st_src_part_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+      "one micro-batch per partitioned commit")
+    val got = spark.table("st_src_part_sink")
+      .select("k", "p").as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L, "A"), (2L, "B"), (3L, "C")),
+      s"partition values lost on the stream read: $got")
+  }
+
   test("checkpoint resume reads only snapshots appended after the last run") {
     val ref = freshTable("st_res_wh")
     val ck = ckpt("st_res_ck")
