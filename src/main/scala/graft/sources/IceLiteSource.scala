@@ -752,15 +752,31 @@ class IceLitePartitionedBatchWrite(ref: TableRef, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val wap = org.apache.spark.sql.SparkSession.active.conf
       .getOption("spark.wap.branch").filter(_.nonEmpty)
-    require(wap.isEmpty,
-      "spark.wap.branch is set — partitioned writes cannot be staged " +
-        "to a WAP branch; unset the conf first")
     val files = messages.collect {
       case IceLitePartitionedCommitMessage(fs) => fs
     }.flatten.toSeq
     import graft.icelite.PartitionedWriteMode.Append
-    if (files.nonEmpty || mode != Append) {
-      IceLite.commitStagedPartitioned(ref, token, files, mode); ()
+    wap match {
+      case Some(branch) =>
+        // d60×d67: WAP routing for partitioned APPENDS — the staged
+        // files promote into their value dirs (invisible: no snapshot
+        // references them until the branch commit) and the branch
+        // snapshot carries the partition layout. Overwrites cannot be
+        // staged (same rule as the flat sink: publish is a
+        // fast-forward, a truncate-under-audit would hide the
+        // destructive part until publish).
+        require(mode == Append,
+          "spark.wap.branch is set — INSERT OVERWRITE cannot be staged " +
+            "to a WAP branch; unset the conf to overwrite")
+        if (files.nonEmpty) {
+          val moved = IceLite.promoteStagedPartitioned(ref, token, files)
+          IceLite.commitStagedToBranch(ref, branch, moved,
+            keepSorted = false); ()
+        }
+      case None =>
+        if (files.nonEmpty || mode != Append) {
+          IceLite.commitStagedPartitioned(ref, token, files, mode); ()
+        }
     }
   }
 

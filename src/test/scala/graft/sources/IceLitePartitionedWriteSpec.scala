@@ -169,6 +169,28 @@ class IceLitePartitionedWriteSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("data-implied")), s"got: ${e.getMessage}")
   }
 
+  test("WAP: partitioned INSERT stages to the branch; publish lands it") {
+    val (cat, ref) = mk()
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      spark.sql(s"INSERT INTO $cat.src.t VALUES (7L, 'C')")
+      // main unmoved: readers see the pre-stage table
+      assert(rows(cat) == Seq((1L, "A"), (2L, "A"), (3L, "B")))
+      val m = IceLite.readManifest(ref)
+      assert(m.branches.contains("audit"))
+    } finally spark.conf.unset("spark.wap.branch")
+    IceLite.publish(ref, "audit")
+    assert(rows(cat) == Seq((1L, "A"), (2L, "A"), (3L, "B"), (7L, "C")))
+    val m2 = IceLite.readManifest(ref)
+    assert(m2.current.partitionCols == Seq("flag"),
+      "published branch must keep the partition layout")
+    assert(m2.current.files.exists(_.contains("flag=C")),
+      s"staged file must live in its value dir: ${m2.current.files}")
+    // pruning works over the published staged file
+    val got = spark.sql(s"SELECT k FROM $cat.src.t WHERE flag = 'C'")
+    assert(got.as[Long].collect().toSeq == Seq(7L))
+  }
+
   private def withDynamicMode[T](body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
