@@ -2394,9 +2394,16 @@ object IceLite {
     }.getOrElse(Set.empty)
 
   /** The CURRENT visible column names: file schema ∪ ALTER-added,
-    * minus dropped, with the rename chain applied. */
+    * minus dropped, with the rename chain applied. A still-empty
+    * DDL-created table has no file to read a schema from — its
+    * declared DDL plays the file-schema role until data lands. */
   private def visibleColNames(ref: TableRef, m: Manifest): Set[String] = {
-    val base = (firstFileCols(ref, m) ++ m.addedCols.map(_.name)) --
+    val fileCols = firstFileCols(ref, m)
+    val stored =
+      if (fileCols.nonEmpty) fileCols
+      else m.declaredSchemaDdl.map(ddl => org.apache.spark.sql.types
+        .StructType.fromDDL(ddl).fieldNames.toSet).getOrElse(Set.empty)
+    val base = (stored ++ m.addedCols.map(_.name)) --
       m.droppedCols.map(_.name)
     m.renamedCols.foldLeft(base) { (names, r) =>
       if (names.contains(r.from)) names - r.from + r.to else names
@@ -2507,6 +2514,9 @@ object IceLite {
         .lastOption.map(w => DataType.fromDDL(w.toType))
         .orElse(m.addedCols.find(_.name == colName)
           .map(c => DataType.fromDDL(c.sqlType)))
+        .orElse(if (m.current.files.nonEmpty) None
+          else m.declaredSchemaDdl.flatMap(ddl => StructType.fromDDL(ddl)
+            .fields.find(_.name == colName).map(_.dataType)))
         .getOrElse {
           val msg = firstFileMessageType(ref, m)
           val conv = new org.apache.spark.sql.execution.datasources.parquet

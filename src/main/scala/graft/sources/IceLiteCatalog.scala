@@ -64,7 +64,8 @@ private[sources] class StaticRowsTable(tableName: String,
 
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.internal.Logging {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -247,6 +248,17 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     }
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the table schema"))
+    // loud, not silent: the Hive-layout convention (values live in the
+    // path) means a non-string declared partition type surfaces as
+    // STRING and partition columns sort last — tell the user instead
+    // of letting them discover it from a surprising DESCRIBE
+    cols.foreach { c =>
+      val f = schema(schema.fieldIndex(c))
+      if (f.dataType != org.apache.spark.sql.types.StringType)
+        logWarning(s"partition column '$c' declared ${f.dataType.sql} " +
+          "surfaces as STRING (partition values are path-borne in the " +
+          "Hive layout) and partition columns sort last in the schema")
+    }
     (StructType(
       schema.fields.filterNot(f => cols.contains(f.name)) ++
         cols.map(c => org.apache.spark.sql.types.StructField(c,

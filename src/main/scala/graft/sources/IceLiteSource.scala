@@ -128,27 +128,33 @@ object IceLiteSource {
   private[sources] def schemaOf(ref: TableRef,
       asOf: Option[Long] = None): StructType = {
     val snap = resolveSnap(ref, asOf)
-    if (snap.files.isEmpty) {
-      val m0 = IceLite.readManifest(ref)
+    val m = IceLite.readManifest(ref)
+    val withParts: StructType = if (snap.files.isEmpty) {
       // d68: a table created empty by SQL DDL reads its declared
-      // schema until the first data file lands
-      m0.declaredSchemaDdl.foreach { ddl => return StructType.fromDDL(ddl) }
-      // TRUNCATEd (or partition-emptied) tables: schema-on-read from
-      // the newest prior snapshot that still has files — the bytes
-      // are retained for time travel anyway
-      m0.snapshots.filter(s => s.id < snap.id && s.files.nonEmpty)
-        .sortBy(_.id).lastOption
-        .foreach { donor => return schemaOf(ref, Some(donor.id)) }
-    }
-    require(snap.files.nonEmpty, s"${ref.name} has no data files")
-    val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
-    val fileSchema = try {
-      val msg = r.getFooter.getFileMetaData.getSchema
-      new org.apache.spark.sql.execution.datasources.parquet
-        .ParquetToSparkSchemaConverter().convert(msg)
-    } finally r.close()
-    val withParts =
+      // schema until the first data file lands — fed through the SAME
+      // alter-ledger pipeline below, so an ALTER on a still-empty DDL
+      // table is visible (the early return here used to bypass it)
+      m.declaredSchemaDdl match {
+        case Some(ddl) => StructType.fromDDL(ddl)
+        case None =>
+          // TRUNCATEd (or partition-emptied) tables: schema-on-read
+          // from the newest prior snapshot that still has files — the
+          // bytes are retained for time travel anyway
+          m.snapshots.filter(s => s.id < snap.id && s.files.nonEmpty)
+            .sortBy(_.id).lastOption match {
+            case Some(donor) => return schemaOf(ref, Some(donor.id))
+            case None => throw new IllegalArgumentException(
+              s"${ref.name} has no data files")
+          }
+      }
+    } else {
+      val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
+      val fileSchema = try {
+        val msg = r.getFooter.getFileMetaData.getSchema
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter().convert(msg)
+      } finally r.close()
       if (snap.partitionCols.isEmpty) fileSchema
       else {
         require(snap.files.forall(f =>
@@ -159,12 +165,12 @@ object IceLiteSource {
           snap.partitionCols.filterNot(fileSchema.fieldNames.contains)
             .map(c => StructField(c, StringType)))
       }
+    }
     // d51/d52: ALTER-added columns appended, ALTER-dropped columns
     // hidden — both scoped to snapshots at-or-after their alter, so
     // time travel to an earlier snapshot sees the pre-alter schema.
     // Files that predate an added column surface NULL at read time;
     // dropped columns keep their bytes but are never projected.
-    val m = IceLite.readManifest(ref)
     val added = m.addedCols
       .filter(c => c.sinceSnapshotId <= snap.id &&
         !withParts.fieldNames.contains(c.name))

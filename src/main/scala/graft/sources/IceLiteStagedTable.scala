@@ -34,7 +34,18 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // ACCEPT_ANY_SCHEMA suppresses Spark's output-column reordering, so
+    // rows arrive in the QUERY's layout — info.schema() — not in the
+    // reordered `declared` (partition cols last, path-typed). Writers
+    // MUST bind to the query layout; partition columns are located by
+    // NAME inside it. Binding to `declared` positionally silently
+    // swaps columns whenever the SELECT lists a partition column
+    // anywhere but last.
+    val querySchema = info.schema()
+    partitionCols.foreach(c => require(querySchema.fieldNames.contains(c),
+      s"CTAS query output has no partition column '$c' " +
+        s"(query columns: ${querySchema.fieldNames.mkString(", ")})"))
     new WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
       // the staged table is empty by definition — CTAS "overwrite"
@@ -47,11 +58,10 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
           java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
           if (partitionCols.nonEmpty)
             new IceLitePartitionedWriterFactory(
-              ref.dataDir.resolve(token).toString, declared, partitionCols)
+              ref.dataDir.resolve(token).toString, querySchema, partitionCols)
           else
             new IceLiteWriterFactory(ref.dataDir.resolve(token).toString,
-              declared.fields.filterNot(f => partitionCols.contains(f.name))
-                .map(f => (f.name, f.dataType)))
+              querySchema.fields.map(f => (f.name, f.dataType)))
         }
         // records the staged set; the MANIFEST commit waits for
         // commitStagedChanges so the whole statement stays atomic
@@ -67,6 +77,7 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
           abortStagedChanges()
       }
     }
+  }
 
   override def commitStagedChanges(): Unit = {
     val files =

@@ -66,6 +66,58 @@ class IceLiteCreatePartitionedSpec extends AnyFunSuite {
     assert(got == Seq(1L, 3L))
   }
 
+  test("CTAS PARTITIONED BY with the partition column FIRST binds by name") {
+    // regression: the staged writer used to bind rows POSITIONALLY to
+    // the reordered declared schema (data cols first, partition col
+    // last), so SELECT p, k landed k in p and p in k
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src.t5 PARTITIONED BY (p) AS " +
+      "SELECT * FROM VALUES ('PA', 'ka'), ('PB', 'kb') v(p, k)")
+    val got = spark.sql(s"SELECT k, p FROM $cat.src.t5 ORDER BY k")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("ka", "PA"), ("kb", "PB")))
+    val pruned = spark.sql(s"SELECT k FROM $cat.src.t5 WHERE p = 'PB'")
+      .as[String].collect().toSeq
+    assert(pruned == Seq("kb"))
+  }
+
+  test("CTAS PARTITIONED BY with a non-string partition source column") {
+    // the INT partition value is path-borne and surfaces as STRING
+    // (Hive layout); the data column keeps its own type and values
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src.t6 PARTITIONED BY (p) AS " +
+      "SELECT * FROM VALUES (10, 1L), (20, 2L) v(p, k)")
+    val m = IceLite.readManifest(TableRef(wh, "src", "t6"))
+    assert(m.current.partitionCols == Seq("p"))
+    assert(m.current.files.forall(f => f.contains("p=10") || f.contains("p=20")),
+      s"${m.current.files}")
+    val got = spark.sql(s"SELECT k, p FROM $cat.src.t6 ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "10"), (2L, "20")))
+  }
+
+  test("REPLACE TABLE PARTITIONED BY, partition column mid-SELECT") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src.t7 AS SELECT 1L AS old")
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.src.t7 PARTITIONED BY (p) AS " +
+      "SELECT * FROM VALUES (1L, 'A', 1.5D), (2L, 'B', 2.5D) v(k, p, v)")
+    val got = spark.sql(s"SELECT k, p, v FROM $cat.src.t7 ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "A", 1.5), (2L, "B", 2.5)))
+  }
+
+  test("ALTER on a still-empty DDL table is visible in its schema") {
+    // regression: schemaOf's declared-DDL early return used to bypass
+    // the add/drop/rename/widen ledgers until the first file landed
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src.t8 (k BIGINT, junk INT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"ALTER TABLE $cat.src.t8 ADD COLUMN note STRING")
+    spark.sql(s"ALTER TABLE $cat.src.t8 DROP COLUMN junk")
+    val cols = spark.sql(s"SELECT * FROM $cat.src.t8").columns.toSeq
+    assert(cols == Seq("k", "p", "note"), cols.toString)
+  }
+
   test("non-identity transforms refuse loudly") {
     val (cat, _) = freshCatalog()
     val e = intercept[Exception] {
