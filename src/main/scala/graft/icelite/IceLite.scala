@@ -2444,6 +2444,9 @@ object IceLite {
       require(!m.current.partitionSpec.exists(f =>
           f.sourceCol == from || f.name == from),
         s"$from feeds ${ref.name}'s hidden-partition spec")
+      require(!m.current.eqDeletes.exists(_.keyCols.contains(from)),
+        s"$from keys a live equality-delete sidecar of ${ref.name} — " +
+          "compact() first")
       m.copy(renamedCols =
         m.renamedCols :+ RenamedCol(from, to, m.currentSnapshotId))
     }
@@ -2474,6 +2477,9 @@ object IceLite {
         s"no column $colName in ${ref.name} (have: ${visible.toSeq.sorted.mkString(", ")})")
       require(visible.size > 1,
         s"$colName is ${ref.name}'s only column — a table needs at least one")
+      require(!m.current.eqDeletes.exists(_.keyCols.contains(colName)),
+        s"$colName keys a live equality-delete sidecar of ${ref.name} — " +
+          "compact() first")
       m.copy(droppedCols =
         m.droppedCols :+ AddedCol(colName, "", m.currentSnapshotId))
     }
@@ -2510,6 +2516,9 @@ object IceLite {
             f.sourceCol == colName || f.name == colName),
         s"$colName keys ${ref.name}'s layout (partition/sort/transform) " +
           "— its stats and directory values are typed by the stored form")
+      require(!m.current.eqDeletes.exists(_.keyCols.contains(colName)),
+        s"$colName keys a live equality-delete sidecar of ${ref.name} — " +
+          "widening would change the key comparison type; compact() first")
       val from: DataType = m.widenedCols.filter(_.name == colName)
         .lastOption.map(w => DataType.fromDDL(w.toType))
         .orElse(m.addedCols.find(_.name == colName)

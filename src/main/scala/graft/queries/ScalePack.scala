@@ -2914,6 +2914,80 @@ object ScalePack extends Pack {
                   + CAST(42.0 AS DECIMAL(18,3)) AS DOUBLE) AS sum_price,
              TRUE AS eq_mor_ok
              FROM orders
+             WHERE o_orderkey < 2000 AND o_orderkey % 10 <> 3""")),
+
+    // d73: EQ-DELETE-AWARE CONNECTOR READS — SQL reads the CDC upsert
+    // stream's table MID-STREAM, before any compact() (Trino's
+    // Iceberg connector reads v2 deletes live the same way:
+    // reference config/iceberg-template.properties:1-13). The scan
+    // folds equality sidecars at planning into ONE broadcast key
+    // index (O(delete keys), CDC-batch-sized) + a per-split
+    // file→added-at map; readers anti-join per file under the
+    // snapshot-id sequence rule, over-reading key columns honestly
+    // when the projection dropped them. Splits no sidecar applies to
+    // keep the fully columnar path; COUNT(*) pushdown declines while
+    // eq-live (manifest counts are physical). Witnessed here: delete
+    // batch + upsert batch (update, re-insert of a deleted key, and
+    // a brand-new key), zero data files rewritten, sidecars still
+    // live at read time, and a key-free projection agreeing with the
+    // keyed one.
+    Decl("d73_mor_eq_read",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d73").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_eqr")
+        val o = Tables.load(s, dir, "orders")
+          .filter($"o_orderkey" < 2000)
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o)
+        val before = IceLite.readManifest(ref).current
+        // CDC batch 1: delete every key ending in 3
+        IceLite.deleteByKeysMoR(s, ref,
+          o.filter($"o_orderkey" % 10 === 3).select($"o_orderkey"),
+          Seq("o_orderkey"))
+        val minDel = o.filter($"o_orderkey" % 10 === 3)
+          .agg(min($"o_orderkey")).head.getLong(0)
+        // CDC batch 2: upsert — update keys ending in 4 to 1.0,
+        // re-insert the smallest deleted key at 9.9, add a new key
+        val ups = o.filter($"o_orderkey" % 10 === 4)
+          .select($"o_orderkey", lit(1.0).as("o_totalprice"))
+          .unionByName(s.range(1).select(lit(minDel).as("o_orderkey"),
+            lit(9.9).as("o_totalprice")))
+          .unionByName(s.range(1).select(lit(2000000L).as("o_orderkey"),
+            lit(5.5).as("o_totalprice")))
+        IceLite.upsertByKeysMoR(s, ref, ups, Seq("o_orderkey"))
+        val cur = IceLite.readManifest(ref).current
+        val midStream = cur.eqDeletes.nonEmpty &&
+          before.files.forall(cur.files.contains)
+        // the read under test: plain SQL through the catalog, with
+        // the sidecars STILL LIVE
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val agg = s.sql(
+          s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE)
+                AS sum_price FROM $cat.src.orders_eqr""").head()
+        // key-free projection: the scan over-reads o_orderkey to fold
+        val projN = s.sql(s"SELECT o_totalprice FROM $cat.src.orders_eqr")
+          .count()
+        val reborn = s.sql(s"SELECT o_totalprice FROM $cat.src.orders_eqr " +
+          s"WHERE o_orderkey = $minDel").collect()
+          .map(_.getDouble(0)).toSeq == Seq(9.9)
+        val ok = midStream && projN == agg.getLong(0) && reborn
+        s.range(1).select(lit(agg.getLong(0)).as("n"),
+          lit(agg.getDouble(1)).as("sum_price"), lit(ok).as("eq_read_ok"))
+      },
+      Some("""SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderkey % 10 = 4
+                           THEN CAST(1.0 AS DECIMAL(18,3))
+                           ELSE CAST(o_totalprice AS DECIMAL(18,3)) END)
+                  + CAST(9.9 AS DECIMAL(18,3))
+                  + CAST(5.5 AS DECIMAL(18,3)) AS DOUBLE) AS sum_price,
+             TRUE AS eq_read_ok
+             FROM orders
              WHERE o_orderkey < 2000 AND o_orderkey % 10 <> 3"""))
   )
 }

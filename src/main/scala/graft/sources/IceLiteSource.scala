@@ -336,13 +336,10 @@ class IceLiteTable(ref: TableRef, schema: StructType,
   override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
     java.util.Collections.emptyMap()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // d72: the connector's vectorized scan folds POSITION tombstones
-    // per file but not equality-delete key joins — refuse loudly
-    // rather than resurrect deleted rows (engine reads fold them;
-    // compact() materializes and clears)
-    require(IceLiteSource.resolveSnap(ref, asOf).eqDeletes.isEmpty,
-      s"${name()} has live equality-delete sidecars — read through " +
-        "IceLite.read or compact() first")
+    // d72/d73: the scan folds BOTH MoR sidecar kinds — position
+    // tombstones per file (d50) and equality-delete key batches under
+    // the snapshot-id sequence rule (d73) — so SQL reads an eq-live
+    // CDC table mid-stream, before any compact()
     new IceLiteScanBuilder(ref, schema,
       options.getInt("snapshotsPerTrigger", Int.MaxValue),
       options.getLong("targetSplitBytes", 128L * 1024 * 1024),
@@ -367,6 +364,12 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     require(IceLiteSource.resolveSnap(ref, None).partitionSpec.isEmpty,
       s"${name()} is transform-partitioned — use IceLite.merge/" +
         "updateWhere (the DataFrame API)")
+    // a row-level rewrite on an eq-live table would have to re-derive
+    // the sidecars' logical row accounting — compact() first (reads
+    // fold eq sidecars, d73; rewrites need them materialized)
+    require(IceLiteSource.resolveSnap(ref, None).eqDeletes.isEmpty,
+      s"${name()} has live equality-delete sidecars — compact() " +
+        "before a row-level DELETE/UPDATE/MERGE")
     () => new IceLiteRowLevelOperation(ref, schema, info.command)
   }
 
@@ -1267,10 +1270,9 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
 
   private def translate(agg: Aggregation): Option[(Seq[String], Seq[PushedAgg])] =
     // MoR-live snapshots decline: manifest counts/stats describe the
-    // PHYSICAL files, tombstoned rows included — a metadata-only
-    // answer would resurrect them (d50)
-    if (bounds.nonEmpty || partFilters.nonEmpty ||
-        currentSnap.deleteFiles.nonEmpty) None
+    // PHYSICAL files, tombstoned/eq-deleted rows included — a
+    // metadata-only answer would resurrect them (d50/d73)
+    if (bounds.nonEmpty || partFilters.nonEmpty || currentSnap.morLive) None
     else {
       val groupCols: Seq[Option[String]] =
         agg.groupByExpressions.toSeq.map(colOf(_).filter(groupable))
@@ -1315,17 +1317,34 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       // path, not the parquet pages — and the `_file` metadata
       // column (per-file constant, from the split) after those
       val emitFile = required.fieldNames.contains("_file")
-      val names = required.fieldNames.toSet - "_file"
+      // d73: an eq-live snapshot's readers anti-join rows on the
+      // sidecars' KEY columns — those columns must be decoded even
+      // when the projection dropped them, so the scan over-reads them
+      // honestly (they appear in readSchema; Spark projects them away
+      // above the scan). Post-compaction the over-read disappears.
+      val eqKeyCols: Seq[String] =
+        if (currentSnap.eqDeletes.isEmpty) Nil
+        else {
+          val kcs = currentSnap.eqDeletes.flatMap(_.keyCols).distinct
+          kcs.foreach(c => require(schema.fieldNames.contains(c),
+            s"equality-delete key column $c is no longer in " +
+              s"${ref.name}'s schema — compact() before dropping or " +
+              "renaming key columns"))
+          kcs
+        }
+      val names = required.fieldNames.toSet - "_file" ++ eqKeyCols
       val partProjected = currentSnap.partitionCols.filter(names.contains)
       val dataOrdered = schema.fields.filter(f =>
         names.contains(f.name) && !partProjected.contains(f.name))
       val ordered = StructType(dataOrdered ++
         partProjected.flatMap(c => schema.fields.find(_.name == c)) ++
         (if (emitFile) required.fields.filter(_.name == "_file") else Array.empty[StructField]))
+      val expected = names.size + (if (emitFile) 1 else 0)
       new IceLiteScan(ref,
-        if (ordered.length == required.length) ordered else required,
+        if (ordered.length == expected) ordered else required,
         bounds, partFilters, partProjected, emitFile, rowOp,
         currentSnap.partitionCols, currentSnap.deleteFiles,
+        currentSnap.eqDeletes,
         snapshotsPerTrigger, targetSplitBytes, asOf)
   }
 }
@@ -1418,6 +1437,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
     rowOp: Option[IceLiteRowLevelOperation] = None,
     partitionCols: Seq[String] = Nil,
     deleteFiles: Seq[String] = Nil,
+    eqDeletes: Seq[graft.icelite.EqDelete] = Nil,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024,
     asOf: Option[Long] = None) extends Scan with Batch
@@ -1498,7 +1518,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(deleteFiles.isEmpty,
+    require(deleteFiles.isEmpty && eqDeletes.isEmpty,
       s"${ref.name} has live MoR delete sidecars — the streaming source's " +
         "baseline would resurrect deleted rows; compact() first")
     // s23: partitioned tables stream too — each new file's path-borne
@@ -1549,7 +1569,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
       scala.util.Try(java.nio.file.Files.size(ref.dir.resolve(f))).getOrElse(0L)
     }.sum
     val rows: Option[Long] =
-      if (snap.deleteFiles.nonEmpty) None // physical counts overcount MoR
+      if (snap.morLive) None // physical counts overcount MoR
       else if (files.forall(snap.fileRows.contains))
         Some(files.map(snap.fileRows).sum)
       else None
@@ -1628,6 +1648,45 @@ class IceLiteScan(ref: TableRef, required: StructType,
         .select("file_path", "pos").collect()
         .groupBy(r => IceLiteSource.normPath(r.getString(0)))
         .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+    // d73: EQUALITY-delete sidecars fold at planning into ONE
+    // broadcast key index (O(delete keys) — CDC-batch-sized by the
+    // write path's construction) shared by every split, plus a
+    // per-split file→added-at-snapshot map. Readers anti-join each
+    // file's rows against the keys whose sidecar snapshot id is
+    // STRICTLY GREATER than the file's added-at id (Iceberg's
+    // sequence-number rule with snapshot ids as sequence numbers) —
+    // a post-delete re-insert of a deleted key survives. Key values
+    // ship as catalyst internal forms so the reader compares them
+    // against decoded vectors with no per-row conversion.
+    val eqIndex: Option[(org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]], Long)] =
+      if (eqDeletes.isEmpty) None
+      else {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val groups = eqDeletes.groupBy(_.keyCols).toSeq.map { case (kc, dels) =>
+          val keys: Array[(Seq[Any], Long)] = dels.toArray.flatMap { d =>
+            val df = spark.read.parquet(ref.dir.resolve(d.file).toString)
+              .select(kc.map(org.apache.spark.sql.functions.col): _*)
+            val convs = df.schema.fields.map(f => org.apache.spark.sql
+              .catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
+            df.collect().map(r => (Seq.tabulate(kc.length)(i =>
+              convs(i)(r.get(i))), d.snapshotId))
+          }
+          EqKeyGroup(kc, keys)
+        }
+        Some((spark.sparkContext.broadcast(groups),
+          eqDeletes.map(_.snapshotId).max))
+      }
+    val addedAtByAbs: Map[String, Long] =
+      if (eqDeletes.isEmpty) Map.empty
+      else {
+        val m = IceLite.readManifest(ref)
+        val b = scala.collection.mutable.HashMap.empty[String, Long]
+        m.snapshots.sortBy(_.id).foreach(s => s.files.foreach { f =>
+          val k = IceLiteSource.normPath(ref.dir.resolve(f).toString)
+          if (!b.contains(k)) b(k) = s.id
+        })
+        b.toMap
+      }
     // one group per projected partition-value tuple (a split never
     // mixes partition values — its readers emit them as constants),
     // bin-packed within the group
@@ -1656,8 +1715,19 @@ class IceLiteScan(ref: TableRef, required: StructType,
               val k = IceLiteSource.normPath(f)
               tombstonesByFile.get(k).map(k -> _)
             }.toMap
-          if (fullyKeyed) IceLiteKeyedPartition(fs, partVals, tombs): InputPartition
-          else IceLiteInputPartition(fs, partVals, tombs): InputPartition
+          // attach the eq index only when some file in the split
+          // predates a sidecar — untouched splits keep the fully
+          // columnar path
+          val added = fs.map { f =>
+            val k = IceLiteSource.normPath(f)
+            k -> addedAtByAbs.getOrElse(k, 0L)
+          }.toMap
+          val eq = eqIndex.collect {
+            case (bc, maxDsnap) if added.values.exists(_ < maxDsnap) => bc
+          }
+          val eqAdded = if (eq.isEmpty) Map.empty[String, Long] else added
+          if (fullyKeyed) IceLiteKeyedPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
+          else IceLiteInputPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
         }
       }.toArray
   }
@@ -1671,6 +1741,14 @@ class IceLiteScan(ref: TableRef, required: StructType,
   }
 }
 
+/** d73: one equality-delete key group — all sidecar key tuples that
+  * share a key-column list, each tagged with its sidecar's snapshot
+  * id (the sequence number). Values are CATALYST-internal forms
+  * (UTF8String, Long, …) so readers compare decoded row values
+  * directly. Broadcast ONCE per scan and shared by every split —
+  * key batches are CDC-sized, never table-sized. */
+case class EqKeyGroup(keyCols: Seq[String], keys: Array[(Seq[Any], Long)])
+
 sealed trait IceLitePartition extends InputPartition {
   def files: Seq[String]
   def partVals: Seq[String]
@@ -1678,11 +1756,19 @@ sealed trait IceLitePartition extends InputPartition {
     * normalized absolute path — the reader skips these row indexes.
     * Empty for CoW-pure snapshots (the overwhelmingly common case). */
   def tombstones: Map[String, Array[Long]]
+  /** d73: the scan-wide equality-delete key index (None when no
+    * sidecar applies to any of this split's files) … */
+  def eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]]
+  /** … and each file's added-at snapshot id (normalized absolute
+    * path), the sequence-rule side of the anti-join. */
+  def fileAddedAt: Map[String, Long]
 }
 
 case class IceLiteInputPartition(files: Seq[String],
     partVals: Seq[String] = Nil,
-    tombstones: Map[String, Array[Long]] = Map.empty) extends IceLitePartition
+    tombstones: Map[String, Array[Long]] = Map.empty,
+    eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
+    fileAddedAt: Map[String, Long] = Map.empty) extends IceLitePartition
 
 /** A split that KNOWS its partition-value tuple (d46: the
   * storage-partitioned-join contract): HasPartitionKey lets Spark
@@ -1692,7 +1778,9 @@ case class IceLiteInputPartition(files: Seq[String],
   * STRING columns the scan emits. */
 case class IceLiteKeyedPartition(files: Seq[String],
     partVals: Seq[String],
-    tombstones: Map[String, Array[Long]] = Map.empty) extends IceLitePartition
+    tombstones: Map[String, Array[Long]] = Map.empty,
+    eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
+    fileAddedAt: Map[String, Long] = Map.empty) extends IceLitePartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow.fromSeq(partVals.map(v =>
@@ -1969,8 +2057,55 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     * file-schema order at build time, so the clipped parquet schema
     * lines up positionally with readSchema. The row decoder below
     * stays as the fallback for empty projections. */
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    fields.nonEmpty && p.asInstanceOf[IceLitePartition].tombstones.isEmpty
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val part = p.asInstanceOf[IceLitePartition]
+    fields.nonEmpty && part.tombstones.isEmpty && part.eqKeys.isEmpty
+  }
+
+  /** d73: the equality-delete anti-join for ONE file — each group's
+    * key tuples still live for this file (sidecar snapshot id >
+    * file's added-at id), as (key indexes into the emitted row, their
+    * types, the key set). Empty for files newer than every sidecar. */
+  private def eqFiltersFor(part: IceLitePartition, file: String)
+      : Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
+    part.eqKeys.toSeq.flatMap { bc =>
+      val added = part.fileAddedAt.getOrElse(IceLiteSource.normPath(file), 0L)
+      bc.value.flatMap { g =>
+        val live = g.keys.filter(_._2 > added)
+        if (live.isEmpty) None
+        else {
+          val idx = g.keyCols.map(c => fields.indexWhere(_._1 == c)).toArray
+          require(idx.forall(_ >= 0),
+            s"equality-delete key column(s) ${g.keyCols.mkString(", ")} " +
+              "missing from the scan projection (over-read failed)")
+          val set = new java.util.HashSet[Seq[Any]](live.length * 2)
+          live.foreach(k => set.add(k._1))
+          Some((idx, idx.map(i => fields(i)._2), set))
+        }
+      }
+    }
+
+  /** Drop rows whose key tuple appears in a live equality-delete set
+    * — the reader-side half of d73's broadcast anti-join. */
+  private def eqFiltered(r: PartitionReader[InternalRow],
+      filters: Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])])
+      : PartitionReader[InternalRow] =
+    if (filters.isEmpty) r
+    else new PartitionReader[InternalRow] {
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          val dead = filters.exists { case (idx, dts, set) =>
+            set.contains(Seq.tabulate(idx.length)(j =>
+              if (row.isNullAt(idx(j))) null else row.get(idx(j), dts(j))))
+          }
+          if (!dead) return true
+        }
+        false
+      }
+      override def get(): InternalRow = r.get()
+      override def close(): Unit = r.close()
+    }
 
   /** Reads a (possibly coalesced) file group: one vectorized reader
     * at a time, opened lazily as the previous file drains — a packed
@@ -2111,9 +2246,11 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     val part = p.asInstanceOf[IceLitePartition]
     new PartitionReader[InternalRow] {
       private val fileReaders =
-        part.files.iterator.map(f => singleFileReader(f, part.partVals,
-          part.tombstones.getOrElse(IceLiteSource.normPath(f),
-            Array.empty[Long])))
+        part.files.iterator.map(f => eqFiltered(
+          singleFileReader(f, part.partVals,
+            part.tombstones.getOrElse(IceLiteSource.normPath(f),
+              Array.empty[Long])),
+          eqFiltersFor(part, f)))
       private var cur0: PartitionReader[InternalRow] =
         if (fileReaders.hasNext) fileReaders.next() else null
       override def next(): Boolean = {

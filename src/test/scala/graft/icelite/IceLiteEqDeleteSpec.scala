@@ -60,20 +60,68 @@ class IceLiteEqDeleteSpec extends AnyFunSuite {
     assert(compacted.rowCount == 8)
   }
 
-  test("connector refuses eq-delete-live tables; reads again post-compact") {
-    val ref = mk()
-    IceLite.deleteByKeysMoR(spark, ref, Seq(1L).toDF("k"), Seq("k"))
+  private def catFor(ref: TableRef): String = {
     val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.IceLiteCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", ref.warehouse)
-    val e = intercept[Exception](
-      spark.sql(s"SELECT * FROM $cat.src.t").collect())
+    cat
+  }
+
+  test("d73: SQL reads an eq-live table mid-stream (before compact)") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(1L, 4L).toDF("k"), Seq("k"))
+    val cat = catFor(ref)
+    // full projection folds the sidecar
+    val ks = spark.sql(s"SELECT k FROM $cat.src.t ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(ks == (1L to 10L).filterNot(Set(1L, 4L)), s"$ks")
+    // projection WITHOUT the key column: the scan over-reads k
+    // honestly and still folds
+    val ss = spark.sql(s"SELECT s FROM $cat.src.t").as[String]
+      .collect().sorted.toSeq
+    assert(ss == (1L to 10L).filterNot(Set(1L, 4L)).map(k => s"r$k")
+      .sorted, s"$ss")
+    // COUNT(*) must NOT answer from the manifest while eq-live
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t").head.getLong(0) == 8)
+    // post-compact: identical logical view, sidecars gone
+    IceLite.compact(spark, ref, targetFiles = 1)
+    assert(spark.sql(s"SELECT k FROM $cat.src.t ORDER BY k")
+      .as[Long].collect().toSeq == ks)
+  }
+
+  test("d73: sequence rule through SQL — re-inserted key survives") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(5L).toDF("k"), Seq("k"))
+    IceLite.append(ref, Seq((5L, "reborn")).toDF("k", "s"))
+    val cat = catFor(ref)
+    val got = spark.sql(s"SELECT s FROM $cat.src.t WHERE k = 5")
+      .as[String].collect().toSeq
+    assert(got == Seq("reborn"), s"$got")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t").head.getLong(0) == 10)
+  }
+
+  test("d73: SQL reads the upsert stream's table mid-stream") {
+    val ref = mk()
+    IceLite.upsertByKeysMoR(spark, ref,
+      Seq((3L, "v2"), (11L, "new")).toDF("k", "s"), Seq("k"))
+    val cat = catFor(ref)
+    val got = spark.sql(
+        s"SELECT s FROM $cat.src.t WHERE k IN (3, 11) ORDER BY s")
+      .as[String].collect().toSeq
+    assert(got == Seq("new", "v2"), s"$got")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t").head.getLong(0) == 11)
+  }
+
+  test("d73: streaming source and row-level ops still refuse eq-live") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(1L).toDF("k"), Seq("k"))
+    val cat = catFor(ref)
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.src.t WHERE k = 2"))
     assert(msgs(e).exists(_.contains("equality-delete")), s"${e.getMessage}")
-    IceLite.compact(spark, ref, targetFiles = 1)
-    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t").head.getLong(0) == 9)
   }
 
   test("position-based MoR refuses while equality deletes are live") {
