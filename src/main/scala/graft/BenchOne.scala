@@ -14,6 +14,7 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     // A/B a state store provider without touching the declared queries,
     // e.g. SPARK_GRAFT_STATESTORE=org.apache.spark.sql.execution
     // .streaming.state.RocksDBStateStoreProvider

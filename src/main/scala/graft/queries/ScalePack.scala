@@ -2988,6 +2988,64 @@ object ScalePack extends Pack {
                   + CAST(5.5 AS DECIMAL(18,3)) AS DOUBLE) AS sum_price,
              TRUE AS eq_read_ok
              FROM orders
-             WHERE o_orderkey < 2000 AND o_orderkey % 10 <> 3"""))
+             WHERE o_orderkey < 2000 AND o_orderkey % 10 <> 3""")),
+
+    // d74: SQL VIEWS — the reference's dbt DEFAULT materialization
+    // (README.md:79-98: dbt-trino materializes models as views unless
+    // told otherwise, so a user's first `dbt run` is CREATE OR
+    // REPLACE VIEW). Stock Spark 4.1 refuses view DDL outside its
+    // session catalog; the graft.GraftExtensions parser intercept +
+    // resolution rule wire Spark's own connector ViewCatalog API to
+    // IceLiteCatalog (GraftSqlParser / GraftViewSubstitution). A view
+    // is stored SQL text re-analyzed at EVERY read — metadata-sized
+    // (one JSON file), and underlying-table evolution flows through.
+    // Witnessed here: CREATE VIEW, a nested view (dbt model-over-
+    // model), CREATE OR REPLACE swapping a definition, SHOW VIEWS,
+    // and DROP VIEW — with the final read going through the nested
+    // view stack via plain SQL.
+    Decl("d74_sql_views",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d74").toString
+        IceLite.createNamespace(wh, "src")
+        IceLite.createOrReplace(graft.icelite.TableRef(wh, "src", "nation"),
+          Tables.load(s, dir, "nation")
+            .select($"n_nationkey", $"n_name", $"n_regionkey"))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // dbt model 1: per-region rollup
+        s.sql(s"""CREATE VIEW $cat.src.region_stats AS
+          SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+          FROM $cat.src.nation GROUP BY n_regionkey""")
+        // dbt model 2 builds ON model 1 (view-over-view)
+        s.sql(s"""CREATE VIEW $cat.src.busy_regions AS
+          SELECT n_regionkey, n_nations, first_name
+          FROM $cat.src.region_stats WHERE n_nations >= 1""")
+        // REPLACE is the dbt re-run: swap model 1's definition and the
+        // downstream view re-resolves on its next read
+        s.sql(s"""CREATE OR REPLACE VIEW $cat.src.region_stats AS
+          SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS first_name
+          FROM $cat.src.nation GROUP BY n_regionkey""")
+        s.sql(s"""CREATE OR REPLACE VIEW $cat.src.region_stats AS
+          SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+          FROM $cat.src.nation GROUP BY n_regionkey""")
+        val shown = s.sql(s"SHOW VIEWS IN $cat.src").collect()
+          .map(_.getString(1)).toSeq.sorted
+        s.sql(s"CREATE VIEW $cat.src.scratch AS SELECT 1 AS one")
+        s.sql(s"DROP VIEW $cat.src.scratch")
+        val afterDrop = s.sql(s"SHOW VIEWS IN $cat.src").collect()
+          .map(_.getString(1)).toSeq.sorted
+        val viewsOk = shown == Seq("busy_regions", "region_stats") &&
+          afterDrop == shown
+        s.sql(s"""SELECT n_regionkey, n_nations, first_name
+            FROM $cat.src.busy_regions""")
+          .withColumn("views_ok", lit(viewsOk))
+      },
+      Some("""SELECT n_regionkey,
+             COUNT(*) AS n_nations,
+             MIN(n_name) AS first_name,
+             TRUE AS views_ok
+             FROM nation GROUP BY n_regionkey"""))
   )
 }

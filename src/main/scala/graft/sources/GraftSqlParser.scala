@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.StructType
+
+/** Parser interception for SQL VIEW DDL on IceLite catalogs (d74).
+  *
+  * Why the parser and not a resolution rule: Spark's
+  * ResolveSessionCatalog runs BEFORE injected resolution rules inside
+  * the fixed-point Resolution batch and throws
+  * MISSING_CATALOG_ABILITY.VIEWS the moment it sees view DDL whose
+  * identifier resolved to a non-session catalog — an injected rule
+  * never gets a turn. Rewriting the parsed plan, before analysis
+  * starts, is the only seam stock Spark leaves open (Iceberg's
+  * extensions take the same route). Reads don't have this problem
+  * (nothing throws on an unresolved relation until CheckAnalysis), so
+  * view READS stay in GraftViewSubstitution, a normal resolution
+  * rule.
+  *
+  * Every non-view statement — and every view statement aimed at a
+  * non-IceLite catalog — passes through the delegate untouched.
+  */
+class GraftSqlParser(spark: SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+
+  private def partsOf(child: LogicalPlan): Option[Seq[String]] = child match {
+    case UnresolvedIdentifier(parts, _) => Some(parts)
+    case v: UnresolvedView => Some(v.multipartIdentifier)
+    case t: UnresolvedTableOrView => Some(t.multipartIdentifier)
+    case _ => None
+  }
+
+  private def target(child: LogicalPlan) =
+    partsOf(child).flatMap(GraftViewCommands.resolveTarget(spark, _))
+
+  private def existingView(child: LogicalPlan) =
+    partsOf(child).flatMap(GraftViewCommands.resolveExistingView(spark, _))
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case cv: CreateView =>
+      target(cv.child).map { case (catName, _, ns, name) =>
+        val text = cv.originalText.getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE VIEW $catName.$ns.$name has no SQL text to store"))
+        GraftCreateViewCommand(catName, ns, name,
+          cv.userSpecifiedColumns.map(_._1), cv.comment, cv.properties,
+          text, cv.query, cv.allowExisting, cv.replace): LogicalPlan
+      }.getOrElse(cv)
+
+    case dv: DropView =>
+      target(dv.child).map { case (catName, _, ns, name) =>
+        GraftDropViewCommand(catName, ns, name, dv.ifExists): LogicalPlan
+      }.getOrElse(dv)
+
+    case sv: ShowViews =>
+      val nsParts = sv.namespace match {
+        case ns: UnresolvedNamespace => Some(ns.multipartIdentifier)
+        case _ => None
+      }
+      val resolved = nsParts.flatMap {
+        case Seq(cat, ns) =>
+          GraftViewCommands.resolveTarget(spark, Seq(cat, ns, "_"))
+            .map { case (c, _, n, _) => (c, n) }
+        case Seq(ns) =>
+          GraftViewCommands.resolveTarget(spark, Seq(ns, "_"))
+            .map { case (c, _, n, _) => (c, n) }
+        case _ => None
+      }
+      resolved.map { case (catName, ns) =>
+        GraftShowViewsCommand(catName, ns, sv.pattern, sv.output): LogicalPlan
+      }.getOrElse(sv)
+
+    case av: AlterViewAs =>
+      target(av.child).map { case (catName, _, ns, name) =>
+        GraftAlterViewAsCommand(catName, ns, name, av.originalText,
+          av.query): LogicalPlan
+      }.getOrElse(av)
+
+    case sp: SetViewProperties =>
+      existingView(sp.child).map { case (catName, _, ns, name) =>
+        GraftAlterViewPropsCommand(catName, ns, name, sp.properties,
+          Nil): LogicalPlan
+      }.getOrElse(sp)
+
+    case up: UnsetViewProperties =>
+      existingView(up.child).map { case (catName, _, ns, name) =>
+        GraftAlterViewPropsCommand(catName, ns, name, Map.empty,
+          up.propertyKeys): LogicalPlan
+      }.getOrElse(up)
+
+    // DESCRIBE / SHOW CREATE TABLE hit the TABLE path first; only a
+    // name that IS an existing IceLite view reroutes
+    case d: DescribeRelation if d.partitionSpec.isEmpty =>
+      existingView(d.relation).map { case (catName, _, ns, name) =>
+        GraftDescribeViewCommand(catName, ns, name, d.output): LogicalPlan
+      }.getOrElse(d)
+
+    case sc: ShowCreateTable =>
+      existingView(sc.child).map { case (catName, _, ns, name) =>
+        GraftShowCreateViewCommand(catName, ns, name, sc.output): LogicalPlan
+      }.getOrElse(sc)
+
+    case other => other
+  }
+
+  // ---- pure delegation ----
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

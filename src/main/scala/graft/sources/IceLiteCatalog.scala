@@ -2,8 +2,8 @@ package graft.sources
 
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, View, ViewInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,6 +65,7 @@ private[sources] class StaticRowsTable(tableName: String,
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.ViewCatalog
   with org.apache.spark.internal.Logging {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -372,6 +373,92 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(
       "icelite tables are addressed by path; copy via CTAS instead of RENAME")
+
+  // ---- views (d74) ----
+
+  /** SQL views (d74) — the reference's dbt DEFAULT materialization
+    * (README.md:79-98). A view is stored SQL text re-analyzed at read
+    * (IceLiteViews), so underlying-table evolution flows through and
+    * a view over a dropped column fails honestly at read time. */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    IceLiteViews.list(warehouse, ns.head)
+      .map(Identifier.of(ns, _)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      IceLiteViews.exists(warehouse, ident.namespace.head, ident.name)
+
+  override def loadView(ident: Identifier): View = {
+    require(ident.namespace.length == 1,
+      s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
+    IceLiteViews.load(warehouse, ident.namespace.head, ident.name)
+      .map(IceLiteViews.asSparkView(ident, _))
+      .getOrElse(throw new NoSuchViewException(ident))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    require(ident.namespace.length == 1,
+      s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
+    // a name can be a table OR a view, never both — same rule as Spark's
+    // session catalog and Iceberg's view spec
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    IceLite.createNamespace(warehouse, ident.namespace.head)
+    val v = IceLiteViews.defOf(info)
+    if (!IceLiteViews.write(warehouse, ident.namespace.head, ident.name, v,
+        replace = false))
+      throw new ViewAlreadyExistsException(ident)
+    IceLiteViews.asSparkView(ident, v)
+  }
+
+  /** CREATE OR REPLACE VIEW: one atomic rename — readers see either
+    * the old or the new definition, never a missing view. */
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    require(ident.namespace.length == 1,
+      s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (!orCreate && !viewExists(ident)) throw new NoSuchViewException(ident)
+    IceLite.createNamespace(warehouse, ident.namespace.head)
+    val v = IceLiteViews.defOf(info)
+    IceLiteViews.write(warehouse, ident.namespace.head, ident.name, v,
+      replace = true)
+    IceLiteViews.asSparkView(ident, v)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*): View = {
+    val ns = ident.namespace.head
+    val cur = IceLiteViews.load(warehouse, ns, ident.name)
+      .getOrElse(throw new NoSuchViewException(ident))
+    val next = changes.foldLeft(cur) { (v, ch) => ch match {
+      case set: org.apache.spark.sql.connector.catalog.ViewChange.SetProperty =>
+        v.copy(properties = v.properties + (set.property -> set.value))
+      case rm: org.apache.spark.sql.connector.catalog.ViewChange.RemoveProperty =>
+        v.copy(properties = v.properties - rm.property)
+      case other => throw new UnsupportedOperationException(
+        s"icelite ALTER VIEW supports SET/UNSET TBLPROPERTIES only, got $other")
+    }}
+    IceLiteViews.write(warehouse, ns, ident.name, next, replace = true)
+    IceLiteViews.asSparkView(ident, next)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      IceLiteViews.drop(warehouse, ident.namespace.head, ident.name)
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from)) throw new NoSuchViewException(from)
+    if (viewExists(to)) throw new ViewAlreadyExistsException(to)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    IceLiteViews.rename(warehouse, from.namespace.head, from.name,
+      to.namespace.head, to.name)
+  }
 
   // ---- procedures (d44) ----
 

@@ -18,4 +18,23 @@ object Bridge {
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
       .queryExecution.analyzed
+
+  private def classic(spark: SparkSession): org.apache.spark.sql.classic.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  /** Catalog-plugin lookup by name (CatalogManager is `private[sql]`;
+    * the returned CatalogPlugin is public API). Throws
+    * CatalogNotFoundException for unknown names. */
+  def catalogPlugin(spark: SparkSession,
+      name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    classic(spark).sessionState.catalogManager.catalog(name)
+
+  def currentCatalogName(spark: SparkSession): String =
+    classic(spark).sessionState.catalogManager.currentCatalog.name
+
+  def currentNamespace(spark: SparkSession): Array[String] =
+    classic(spark).sessionState.catalogManager.currentNamespace
+
+  def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
+    classic(spark).sessionState.sqlParser.parsePlan(sql)
 }
