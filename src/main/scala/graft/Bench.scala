@@ -36,15 +36,19 @@ object Bench {
           name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       }
-    // per-id MIN of two timed passes: one pass is hostage to host
+    // per-id MIN of three timed passes: one pass is hostage to host
     // noise (round 4 recorded 17.1s for a query that re-measures at
-    // 2.6s — a 13s phantom in the round totals). The min rejects
-    // one-off interference while staying honest about systematic cost.
-    val results = timedPass().zip(timedPass()).map {
-      case ((n, Right(a)), (_, Right(b))) => n -> Right(math.min(a, b))
-      case ((n, Right(a)), (_, Left(_)))  => n -> Right(a)
-      case ((n, Left(_)),  (_, Right(b))) => n -> Right(b)
-      case ((n, Left(e)),  (_, Left(_)))  => n -> Left(e)
+    // 2.6s; round 6's t09 read 1.56s in-sweep vs 0.37s re-measured —
+    // same class). The min over three rejects one-off AND two-off
+    // interference while staying honest about systematic cost.
+    val timedPasses = 3
+    val passes = Seq.fill(timedPasses)(timedPass())
+    val results = qs.indices.map { i =>
+      val name = passes.head(i)._1
+      val runs = passes.map(_(i)._2)
+      val oks = runs.collect { case Right(v) => v }
+      if (oks.nonEmpty) name -> Right(oks.min)
+      else name -> runs.head
     }
     val ok = results.collect { case (n, Right(v)) => n -> v }
     val failed = results.collect { case (n, Left(e)) => n -> e }
@@ -52,10 +56,20 @@ object Bench {
       case (k, Right(v)) => s"\"" + k + "\":" + v
       case (k, Left(_))  => s"\"" + k + "\":-1"
     }.mkString("{", ",", "}")
-    val ejson = failed.map { case (k, e) =>
-      val msg = e.take(200).replaceAll("[\\\\\"\\n\\r\\t]", " ")
-      s"\"$k\":\"$msg\""
-    }.mkString("{", ",", "}")
+    // full JSON string escaping (Verify's q() rule): any control char
+    // below 0x20 in an exception message would corrupt the one-line
+    // JSON the driver parses
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ejson = failed.map { case (k, e) => s"\"$k\":${q(e.take(200))}" }
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     // apples-to-apples vs BENCH_r01 (which covered only these 9 ids —
     // the full total now spans 100+ operators incl. streaming/ELT)
@@ -67,7 +81,7 @@ object Bench {
     // b01/b05/b06 were re-scoped to bounded keyed slices in round 2, so
     // the subset measures less work than BENCH_r01 did — flag that in
     // the emitted JSON rather than implying a like-for-like speedup
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$ejson,"timed_passes":2,"per_id":"min","r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$ejson,"timed_passes":$timedPasses,"per_id":"min","r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
     spark.stop()
   }
 }

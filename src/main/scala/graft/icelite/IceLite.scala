@@ -208,15 +208,20 @@ object IceLite {
 
   private val ManifestRe = "manifest\\.v(\\d{8})\\.json".r
 
+  /** The storage seam under the metadata layer (manifests, segments,
+    * the CAS claim). Swappable for fault-injection/counting specs;
+    * production code never reassigns it. Data files stay on Spark's
+    * own Hadoop FS path — see FileIO's contract. */
+  private[graft] var io: FileIO = LocalFileIO
+
   /** Highest-version manifest file, if any. */
   private def latestManifestFile(ref: TableRef): Option[(Long, Path)] =
-    if (!Files.exists(ref.dir)) None
-    else listDir(Files.list(ref.dir))(_.flatMap { p =>
+    io.list(ref.dir).flatMap { p =>
       p.getFileName.toString match {
         case ManifestRe(v) => Some((v.toLong, p))
         case _ => None
       }
-    }.toSeq.sortBy(_._1).lastOption)
+    }.sortBy(_._1).lastOption
 
   private def manifestPathFor(ref: TableRef, version: Long): Path =
     ref.dir.resolve(f"manifest.v$version%08d.json")
@@ -236,7 +241,285 @@ object IceLite {
   def readManifest(ref: TableRef): Manifest = {
     val (_, path) = latestManifestFile(ref).getOrElse(
       throw new IllegalStateException(s"no manifest for ${ref.name}"))
-    Serialization.read[Manifest](Files.readString(path))
+    decodeManifest(ref, path)
+  }
+
+  // ---- sharded manifest layout ("seg1") ----------------------------
+  //
+  // A manifest version file used to carry EVERYTHING — all snapshots
+  // × all files × per-file stats — so every commit re-serialized the
+  // whole table history (O(files) bytes per commit) and every read
+  // re-parsed it. That is the one structure in the engine that grew
+  // with table size instead of the delta: at a 100 TB table's file
+  // count it is exactly why Iceberg shards its metadata into a
+  // manifest LIST plus immutable, shared manifest files.
+  //
+  // Same split here. The versioned `manifest.vNNNNNNNN.json` is now a
+  // POINTER — table-level fields plus one light record per snapshot
+  // (id, operation, counts, layout markers, the delta-sized MoR
+  // sidecar lists) referencing a CHAIN of immutable segments under
+  // `meta/seg-<id>-<uuid>.json`; a segment holds a slice of the
+  // snapshot's bulk (file list + per-file stats + per-file row
+  // counts), and the snapshot's content is the chain's concatenation.
+  // An append's snapshot REUSES the base snapshot's whole chain and
+  // adds one delta segment holding only the new files — Iceberg's
+  // manifest-reuse move — so commit bytes are O(pointer + delta), not
+  // O(table history). Chains cap at SegChainMax: past that, one
+  // merged segment is written (Iceberg's min-count-to-merge manifest
+  // compaction) — amortized O(files/SegChainMax) per commit, and the
+  // pointer stays O(snapshots × SegChainMax) worst-case.
+  //
+  // Reads parse the pointer and assemble chains through a
+  // process-wide cache (segments are immutable, so entries never
+  // invalidate, and the same chain always yields the same assembled
+  // instances — which is what lets the writer prove "unchanged" by
+  // identity). Reuse detection is IDENTITY-based: commit paths carry
+  // unchanged snapshots forward by reference (and appends build
+  // `base.files ++ added`), so an identity hit plus a per-entry
+  // equality check over the base's stats is a cheap structural proof;
+  // any miss just re-serializes a full segment (correct, merely less
+  // cheap). The legacy single-JSON layout still decodes (the `layout`
+  // marker is absent), so pre-upgrade manifests load unchanged.
+  // Lost CAS races delete the segments they staged; segments no
+  // manifest version references are swept by expireMetadata
+  // (gcOrphans never touches meta/ — it walks only data/ and
+  // deletes/ for *.parquet).
+
+  private val SegLayout = "seg1"
+
+  /** Chain growth bound: a snapshot whose reuse base already chains
+    * this many segments gets one merged segment instead. */
+  private val SegChainMax = 64
+
+  /** One immutable slice of a snapshot's bulk. */
+  private final case class SnapshotSegment(
+      files: Seq[String],
+      fileStats: Map[String, Seq[ColStats]],
+      fileRows: Map[String, Long])
+
+  /** One snapshot's light record in the pointer file. The MoR
+    * sidecar lists ride here — they are delta-sized by nature (live
+    * only between CDC batch and compaction). */
+  private final case class SnapshotPtr(
+      id: Long, timestampMs: Long, operation: String, rowCount: Long,
+      partitionCols: Seq[String], sortedBy: Option[String],
+      summary: Map[String, String], partitionSpec: Seq[PartitionField],
+      deleteFiles: Seq[String], eqDeletes: Seq[EqDelete],
+      segments: Seq[String])
+
+  private final case class ManifestPtr(
+      layout: String,
+      table: String,
+      currentSnapshotId: Long,
+      snapshots: Seq[SnapshotPtr],
+      branches: Map[String, Long],
+      tags: Map[String, Long],
+      addedCols: Seq[AddedCol],
+      droppedCols: Seq[AddedCol],
+      renamedCols: Seq[RenamedCol],
+      widenedCols: Seq[WidenedCol],
+      declaredSchemaDdl: Option[String])
+
+  /** An assembled chain: the exact field instances a Snapshot gets.
+    * Cached per chain so repeated decodes return the SAME instances —
+    * the identity the writer's reuse proof relies on. */
+  private final case class SegChain(tableDir: String, chain: Seq[String],
+      files: Seq[String], fileStats: Map[String, Seq[ColStats]],
+      fileRows: Map[String, Long])
+
+  /** Raw segment cache: absolute path → parsed segment (immutable). */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SnapshotSegment]()
+
+  /** Assembled-chain cache: tableDir + chain → assembled instances. */
+  private val chainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SegChain]()
+
+  /** Reuse index: IDENTITY of a snapshot's assembled `files` instance
+    * → its chain. Populated on decode and on write. */
+  private val segIndex = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[AnyRef, SegChain]())
+
+  private def boundSegCaches(): Unit = {
+    if (segIndex.size > 65536) segIndex.clear()
+    if (segCache.size > 65536) segCache.clear()
+    if (chainCache.size > 65536) chainCache.clear()
+  }
+
+  private def loadSegment(ref: TableRef, rel: String): SnapshotSegment = {
+    val abs = ref.dir.resolve(rel).toString
+    val hit = segCache.get(abs)
+    if (hit != null) hit
+    else {
+      val seg = Serialization.read[SnapshotSegment](
+        io.readString(ref.dir.resolve(rel)))
+      boundSegCaches()
+      segCache.put(abs, seg)
+      seg
+    }
+  }
+
+  private def registerChain(sc: SegChain): SegChain = {
+    boundSegCaches()
+    chainCache.put(sc.tableDir + " " + sc.chain.mkString("|"), sc)
+    segIndex.put(sc.files, sc)
+    sc
+  }
+
+  /** Assemble (and cache) a chain's concatenated content. */
+  private def assembleChain(ref: TableRef, chain: Seq[String]): SegChain = {
+    val key = ref.dir.toString + " " + chain.mkString("|")
+    val hit = chainCache.get(key)
+    if (hit != null) hit
+    else {
+      val segs = chain.map(loadSegment(ref, _))
+      registerChain(SegChain(ref.dir.toString, chain,
+        segs.flatMap(_.files),
+        segs.foldLeft(Map.empty[String, Seq[ColStats]])(_ ++ _.fileStats),
+        segs.foldLeft(Map.empty[String, Long])(_ ++ _.fileRows)))
+    }
+  }
+
+  /** Parse a manifest version file of either layout into the full
+    * in-memory Manifest every caller already consumes. */
+  private def decodeManifest(ref: TableRef, path: Path): Manifest = {
+    import org.json4s._
+    val jv = org.json4s.jackson.JsonMethods.parse(io.readString(path))
+    jv \ "layout" match {
+      case JString(SegLayout) =>
+        val ptr = jv.extract[ManifestPtr]
+        Manifest(ptr.table, ptr.currentSnapshotId,
+          ptr.snapshots.map { sp =>
+            val sc = assembleChain(ref, sp.segments)
+            Snapshot(sp.id, sp.timestampMs, sp.operation, sc.files,
+              sp.rowCount, sc.fileStats, sp.partitionCols, sp.sortedBy,
+              sp.summary, sc.fileRows, sp.deleteFiles, sp.partitionSpec,
+              sp.eqDeletes)
+          },
+          ptr.branches, ptr.tags, ptr.addedCols, ptr.droppedCols,
+          ptr.renamedCols, ptr.widenedCols, ptr.declaredSchemaDdl)
+      case _ => jv.extract[Manifest] // legacy single-JSON layout
+    }
+  }
+
+  private def chainLive(ref: TableRef, sc: SegChain): Boolean =
+    sc.tableDir == ref.dir.toString &&
+      sc.chain.forall(rel => segCache.containsKey(
+        ref.dir.resolve(rel).toString) || io.exists(ref.dir.resolve(rel)))
+
+  /** Does `base`'s assembled content form an exact prefix of `snap`'s
+    * bulk? (files a list-prefix; every base stats/rows entry equal in
+    * snap — so base-chain ++ delta-segment assembles to exactly
+    * snap's content, tail entries overriding nothing.) */
+  private def prefixOf(base: SegChain, snap: Snapshot): Boolean =
+    base.files.length < snap.files.length &&
+      snap.files.startsWith(base.files) &&
+      base.fileStats.forall { case (k, v) => snap.fileStats.get(k).contains(v) } &&
+      base.fileRows.forall { case (k, v) => snap.fileRows.get(k).contains(v) }
+
+  private def writeSegment(ref: TableRef, snapId: Long,
+      seg: SnapshotSegment): String = {
+    val rel = s"meta/seg-$snapId-${java.util.UUID.randomUUID.toString.take(8)}.json"
+    io.writeString(ref.dir.resolve(rel), Serialization.write(seg))
+    boundSegCaches()
+    segCache.put(ref.dir.resolve(rel).toString, seg)
+    rel
+  }
+
+  /** Find-or-build the segment chain for one snapshot. Returns the
+    * chain plus any segment path this call wrote. */
+  private def chainFor(ref: TableRef, snap: Snapshot,
+      all: Seq[Snapshot]): (Seq[String], Option[String]) = {
+    // 1. unchanged snapshot: identity hit on the assembled instances
+    val exact = segIndex.get(snap.files)
+    if (exact != null && chainLive(ref, exact) &&
+        (exact.fileStats.asInstanceOf[AnyRef] eq snap.fileStats) &&
+        (exact.fileRows.asInstanceOf[AnyRef] eq snap.fileRows))
+      return (exact.chain, None)
+    // 2. extension: the longest sibling chain that is an exact prefix
+    //    (the append shape: base.files ++ added) — reuse it, write
+    //    one delta segment. Chains at the cap fall through to merge.
+    val base = all.iterator.filter(_ ne snap)
+      .flatMap(o => Option(segIndex.get(o.files)))
+      .filter(sc => sc.chain.length < SegChainMax && chainLive(ref, sc) &&
+        prefixOf(sc, snap))
+      .foldLeft(Option.empty[SegChain]) { (best, sc) =>
+        if (best.forall(_.files.length < sc.files.length)) Some(sc) else best
+      }
+    base match {
+      case Some(sc) =>
+        val tail = SnapshotSegment(
+          snap.files.drop(sc.files.length),
+          snap.fileStats.filter { case (k, v) => !sc.fileStats.get(k).contains(v) },
+          snap.fileRows.filter { case (k, v) => !sc.fileRows.get(k).contains(v) })
+        val rel = writeSegment(ref, snap.id, tail)
+        val chain = sc.chain :+ rel
+        registerChain(SegChain(ref.dir.toString, chain, snap.files,
+          snap.fileStats, snap.fileRows))
+        (chain, Some(rel))
+      case None =>
+        // 3. changed beyond extension (replace/compact/clone) or
+        //    chain at cap: one merged full segment
+        val rel = writeSegment(ref, snap.id,
+          SnapshotSegment(snap.files, snap.fileStats, snap.fileRows))
+        registerChain(SegChain(ref.dir.toString, Seq(rel), snap.files,
+          snap.fileStats, snap.fileRows))
+        (Seq(rel), Some(rel))
+    }
+  }
+
+  /** Serialize `next` to `tmp` in the sharded layout. Returns the
+    * segment paths THIS call wrote so a lost CAS race can unstage
+    * them. Bytes written = O(pointer) + O(changed snapshots' delta),
+    * never O(table history). */
+  private def writeManifestTo(ref: TableRef, next: Manifest,
+      tmp: Path): Seq[String] = {
+    val wrote = Seq.newBuilder[String]
+    val ptrs = next.snapshots.map { s =>
+      val (chain, fresh) = chainFor(ref, s, next.snapshots)
+      fresh.foreach(wrote += _)
+      SnapshotPtr(s.id, s.timestampMs, s.operation, s.rowCount,
+        s.partitionCols, s.sortedBy, s.summary, s.partitionSpec,
+        s.deleteFiles, s.eqDeletes, chain)
+    }
+    val ptr = ManifestPtr(SegLayout, next.table, next.currentSnapshotId,
+      ptrs, next.branches, next.tags, next.addedCols, next.droppedCols,
+      next.renamedCols, next.widenedCols, next.declaredSchemaDdl)
+    io.writeString(tmp, Serialization.writePretty(ptr))
+    wrote.result()
+  }
+
+  /** Drop segments staged for a manifest that lost its CAS race. */
+  private def unstageSegments(ref: TableRef, rels: Seq[String]): Unit =
+    rels.foreach { rel =>
+      segCache.remove(ref.dir.resolve(rel).toString)
+      scala.util.Try(io.delete(ref.dir.resolve(rel)))
+    }
+
+  /** Delete meta/ segments no surviving manifest version references
+    * (run after manifest versions are expired). */
+  private def sweepSegments(ref: TableRef): Seq[String] = {
+    val metaDir = ref.dir.resolve("meta")
+    import org.json4s._
+    def strings(jv: JValue): Seq[String] = jv match {
+      case JString(s) => Seq(s)
+      case JArray(vs) => vs.flatMap(strings)
+      case _ => Nil
+    }
+    val referenced = io.list(ref.dir)
+      .filter(p => ManifestRe.matches(p.getFileName.toString))
+      .flatMap(p => strings(
+        org.json4s.jackson.JsonMethods.parse(io.readString(p)) \
+          "snapshots" \ "segments"))
+      .map(rel => ref.dir.resolve(rel).toString).toSet
+    val doomed = io.list(metaDir)
+      .filter(_.getFileName.toString.startsWith("seg-"))
+      .filterNot(p => referenced(p.toString))
+    doomed.foreach { p =>
+      segCache.remove(p.toString)
+      io.delete(p)
+    }
+    doomed.map(p => ref.dir.relativize(p).toString).sorted
   }
 
   /** Optimistic CAS commit: `build` maps the latest manifest (None if
@@ -244,23 +527,18 @@ object IceLite {
     * version V+1 is an atomic hard-link, and a lost race re-reads and
     * rebuilds. Returns the manifest that actually committed. */
   private def commitCAS(ref: TableRef)(build: Option[Manifest] => Manifest): Manifest = {
-    Files.createDirectories(ref.dir)
+    io.mkdirs(ref.dir)
     while (true) {
       val latest = latestManifestFile(ref)
-      val cur = latest.map { case (_, p) =>
-        Serialization.read[Manifest](Files.readString(p)) }
+      val cur = latest.map { case (_, p) => decodeManifest(ref, p) }
       val next = build(cur)
       val nextVersion = latest.map(_._1).getOrElse(0L) + 1
       val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
-      Files.writeString(tmp, Serialization.writePretty(next))
-      try {
-        Files.createLink(manifestPathFor(ref, nextVersion), tmp)
-        Files.deleteIfExists(tmp)
-        return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race — rebase and retry
-      }
+      val staged = writeManifestTo(ref, next, tmp)
+      val won = io.claim(manifestPathFor(ref, nextVersion), tmp)
+      io.delete(tmp)
+      if (won) return next
+      unstageSegments(ref, staged) // lost the race — rebase and retry
     }
     throw new IllegalStateException("unreachable")
   }
@@ -398,7 +676,7 @@ object IceLite {
     while (true) {
       val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
-      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val base = decodeManifest(ref, basePath)
       val snap = base.current
       require(!snap.morLive,
         s"${ref.name} has live MoR delete sidecars — compact() to " +
@@ -726,7 +1004,7 @@ object IceLite {
           s"expected ${want.mkString(",")}")
     }
     latestManifestFile(ref).foreach { case (_, p) =>
-      val m = Serialization.read[Manifest](Files.readString(p))
+      val m = decodeManifest(ref, p)
       val snap = m.current
       require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
         s"${ref.name} is partitioned — a registered flat file can't carry " +
@@ -849,17 +1127,14 @@ object IceLite {
   private def claimVersion(ref: TableRef, version: Long, next: Manifest,
       staged: Seq[String]): Boolean = {
     val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
-    Files.writeString(tmp, Serialization.writePretty(next))
-    try {
-      Files.createLink(manifestPathFor(ref, version), tmp)
-      Files.deleteIfExists(tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        unstageFiles(ref, staged) // stale base: recompute on the winner
-        false
+    val segs = writeManifestTo(ref, next, tmp)
+    val won = io.claim(manifestPathFor(ref, version), tmp)
+    io.delete(tmp)
+    if (!won) {
+      unstageSegments(ref, segs)
+      unstageFiles(ref, staged) // stale base: recompute on the winner
     }
+    won
   }
 
   /** MERGE/upsert (the Iceberg `MERGE INTO` shape the reference's
@@ -920,7 +1195,7 @@ object IceLite {
           if (tryCommit(1L, Manifest(ref.name, 1L, Seq(snap)), files))
             return snap
         case Some((baseVersion, basePath)) =>
-          val base = Serialization.read[Manifest](Files.readString(basePath))
+          val base = decodeManifest(ref, basePath)
           val cur = base.current
           require(!cur.morLive,
             s"${ref.name} has live MoR delete sidecars — compact() to " +
@@ -1034,7 +1309,7 @@ object IceLite {
     while (true) {
       val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
-      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val base = decodeManifest(ref, basePath)
       val snap = base.current
       require(snap.partitionCols.isEmpty,
         "MoR deletes support flat/sorted tables; partitioned tables " +
@@ -1102,7 +1377,7 @@ object IceLite {
     while (true) {
       val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
-      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val base = decodeManifest(ref, basePath)
       val snap = base.current
       require(snap.partitionCols.isEmpty,
         "MoR equality deletes support flat/sorted tables")
@@ -1172,7 +1447,7 @@ object IceLite {
     while (true) {
       val (_, basePath) = latestManifestFile(ref).getOrElse(
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
-      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val base = decodeManifest(ref, basePath)
       val snap = base.current
       require(snap.partitionCols.isEmpty,
         "MoR upserts support flat/sorted tables")
@@ -1244,7 +1519,7 @@ object IceLite {
     require(set.nonEmpty, "updateWhereMoR requires at least one SET column")
     val (_, basePath) = latestManifestFile(ref).getOrElse(
       throw new IllegalArgumentException(s"${ref.name} does not exist"))
-    val base = Serialization.read[Manifest](Files.readString(basePath))
+    val base = decodeManifest(ref, basePath)
     val snap = base.current
     require(snap.partitionCols.isEmpty,
       "MoR updates support flat/sorted tables; partitioned tables " +
@@ -1505,7 +1780,7 @@ object IceLite {
     while (true) {
       val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
-      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val base = decodeManifest(ref, basePath)
       val snap = base.current
       require(!snap.morLive,
         s"${ref.name} has live MoR delete sidecars — compact() to " +
@@ -1626,22 +1901,19 @@ object IceLite {
       files.foreach(f => scala.util.Try(Files.deleteIfExists(ref.dir.resolve(f))))
     def tryCommit(version: Long, next: Manifest, files: Seq[String]): Boolean = {
       val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
-      Files.writeString(tmp, Serialization.writePretty(next))
-      try {
-        Files.createLink(manifestPathFor(ref, version), tmp)
-        Files.deleteIfExists(tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          unstageExact(files) // stale base: recompute on winner's state
-          false
+      val segs = writeManifestTo(ref, next, tmp)
+      val won = io.claim(manifestPathFor(ref, version), tmp)
+      io.delete(tmp)
+      if (!won) {
+        unstageSegments(ref, segs)
+        unstageExact(files) // stale base: recompute on winner's state
       }
+      won
     }
     while (true) {
       val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
         throw new IllegalStateException(s"no manifest for ${ref.name}"))
-      val base = Serialization.read[Manifest](Files.readString(basePath))
+      val base = decodeManifest(ref, basePath)
       val cur = base.current
       val statsCols = cur.fileStats.values.flatten.map(_.col).toSeq.distinct.sorted
       val files =
@@ -2830,15 +3102,17 @@ object IceLite {
     latestManifestFile(ref) match {
       case None => Nil
       case Some((maxV, _)) =>
-        val versions = listDir(Files.list(ref.dir))(_
-          .flatMap { p =>
-            p.getFileName.toString match {
-              case ManifestRe(v) => Some(v.toLong)
-              case _ => None
-            }
-          }.toSeq)
+        val versions = io.list(ref.dir).flatMap { p =>
+          p.getFileName.toString match {
+            case ManifestRe(v) => Some(v.toLong)
+            case _ => None
+          }
+        }
         val doomed = versions.filter(_ <= maxV - keepLast).sorted
-        doomed.foreach(v => Files.deleteIfExists(manifestPathFor(ref, v)))
+        doomed.foreach(v => io.delete(manifestPathFor(ref, v)))
+        // segments referenced only by the deleted versions are
+        // unreachable now — reclaim them (O(meta files), no data touch)
+        sweepSegments(ref)
         doomed
     }
   }
