@@ -361,14 +361,14 @@ object IceLite {
 
   private def registerChain(sc: SegChain): SegChain = {
     boundSegCaches()
-    chainCache.put(sc.tableDir + " " + sc.chain.mkString("|"), sc)
+    chainCache.put(sc.tableDir + "::" + sc.chain.mkString("|"), sc)
     segIndex.put(sc.files, sc)
     sc
   }
 
   /** Assemble (and cache) a chain's concatenated content. */
   private def assembleChain(ref: TableRef, chain: Seq[String]): SegChain = {
-    val key = ref.dir.toString + " " + chain.mkString("|")
+    val key = ref.dir.toString + "::" + chain.mkString("|")
     val hit = chainCache.get(key)
     if (hit != null) hit
     else {
@@ -1691,12 +1691,13 @@ object IceLite {
     * applied (helper columns dropped) — every read path of a MoR-live
     * snapshot funnels through here. */
   private def readFilesWithDeletes(spark: SparkSession, ref: TableRef,
-      snap: Snapshot, files: Seq[String]): DataFrame = {
+      snap: Snapshot, files: Seq[String],
+      widensOf: Option[Seq[WidenedCol]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val positioned =
-      if (snap.deleteFiles.isEmpty) readFiles(spark, ref, files)
+      if (snap.deleteFiles.isEmpty) readFiles(spark, ref, files, widensOf)
       else {
-        val df = readFiles(spark, ref, files)
+        val df = readFiles(spark, ref, files, widensOf)
           .withColumn("_mor_file", col("_metadata.file_path"))
           .withColumn("_mor_pos", col("_metadata.row_index"))
         val dels = spark.read.parquet(
@@ -1981,16 +1982,48 @@ object IceLite {
     require(!snap.morLive,
       s"${ref.name} has live MoR delete sidecars — full compact() " +
         "materializes them; range compaction cannot split a sidecar")
-    require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
-      "range compaction supports flat/sorted tables; partitioned " +
-        "tables compact per partition value (full compact() merges " +
-        "within transform dirs)")
-    val selected = snap.files.filter { f =>
+    require(snap.partitionSpec.isEmpty,
+      "range compaction on transform layouts: full compact() merges " +
+        "within transform dirs (a source-column range does not map " +
+        "cleanly onto bucket/truncate dirs)")
+    def statSelected(files: Seq[String]): Seq[String] = files.filter { f =>
       snap.fileStats.get(f).flatMap(_.find(_.col == col)) match {
         case Some(cs) => cs.max >= lo && cs.min <= hi
         case None => true // statless file: conservatively merged
       }
     }
+    if (snap.partitionCols.nonEmpty) {
+      // PER-PARTITION hot-range compaction — the actual 100 TB
+      // maintenance shape: a streaming sink sprays small files into
+      // the hot partitions (today's date, the active tenant) while
+      // cold partitions are already compact; merging only the hot
+      // range touches O(hot partitions' files), never the table. The
+      // range selects by PARTITION VALUE when `col` is a partition
+      // column (path-borne, so numeric-parsed; non-numeric values are
+      // conservatively left alone), by file stats otherwise; files
+      // merge WITHIN their own partition dir (one file per dir per
+      // pass, compact()'s shape), so the Hive layout and partition
+      // pruning survive untouched.
+      def partVals(f: String): Map[String, String] =
+        f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
+          val c = seg.takeWhile(_ != '=')
+          c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+        }.toMap
+      val selected =
+        if (snap.partitionCols.contains(col))
+          snap.files.filter(f => partVals(f).get(col)
+            .flatMap(_.toDoubleOption).exists(v => v >= lo && v <= hi))
+        else statSelected(snap.files)
+      // only dirs holding >1 selected file have anything to merge
+      val byDir = selected.groupBy(_.split('/').dropRight(1).mkString("/"))
+        .filter(_._2.size > 1)
+      if (byDir.isEmpty) return snap
+      val toMerge = byDir.values.flatten.toSeq.sorted
+      val df = readPartitionedFiles(spark, ref, toMerge)
+      val staged = stagePartitioned(ref, df, snap.partitionCols)
+      return commitReplace(ref, toMerge.toSet, staged, "compact-range")
+    }
+    val selected = statSelected(snap.files)
     if (selected.size <= 1) return snap
     val df = readFiles(spark, ref, selected)
     val staged = snap.sortedBy match {
@@ -2544,9 +2577,17 @@ object IceLite {
   // mergeSchema: appends may evolve the schema (Iceberg v2 semantics,
   // extract_load.py inherits this through format-version=2); older
   // files surface null for later-added columns
-  private[icelite] def readFiles(spark: SparkSession, ref: TableRef, files: Seq[String]): DataFrame = {
+  /** `widensOf`: the widen ledger SCOPED to the snapshot being read —
+    * callers with a pinned snapshot pass `Some(...)` so time travel to
+    * a pre-widen snapshot surfaces the era's own (narrow) type, same
+    * as the connector's VERSION AS OF; None = current-snapshot reads,
+    * which see the full ledger. */
+  private[icelite] def readFiles(spark: SparkSession, ref: TableRef,
+      files: Seq[String],
+      widensOf: Option[Seq[WidenedCol]] = None): DataFrame = {
     val paths = files.map(f => ref.dir.resolve(f).toString)
-    val widens = scala.util.Try(readManifest(ref).widenedCols).getOrElse(Nil)
+    val widens = widensOf.getOrElse(
+      scala.util.Try(readManifest(ref).widenedCols).getOrElse(Nil))
     if (widens.isEmpty)
       spark.read.option("mergeSchema", "true").parquet(paths: _*)
     else {
@@ -2837,7 +2878,11 @@ object IceLite {
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot $snapshotId in ${ref.name}"))
     if (snap.files.isEmpty) spark.emptyDataFrame
-    else readFilesWithDeletes(spark, ref, snap, snap.files)
+    else readFilesWithDeletes(spark, ref, snap, snap.files,
+      // a widen is visible only from its own era onward: time travel
+      // to an earlier snapshot must surface the narrow type (matches
+      // the connector's VERSION AS OF schema scoping)
+      Some(m.widenedCols.filter(_.sinceSnapshotId <= snapshotId)))
   }
 
   /** d23: INCREMENTAL SCAN (Iceberg's incremental read) — only the

@@ -1688,15 +1688,42 @@ object ScalePack extends Pack {
         val after = IceLite.readManifest(ref).current
         val era1Intact = era1.subsetOf(after.files.toSet)
         val hotMerged = after.files.size == era1.size + 1
+        // the PARTITIONED face: per-partition hot-range compaction —
+        // a small-file spray into the hot partition values merges
+        // WITHIN each dir, cold partitions stay byte-identical and
+        // the Hive layout (and its pruning) survives
+        val pref = IngestJob.tableRef(wh, "orders_part_hot")
+        val op = Tables.load(s, dir, "orders")
+          .filter($"o_orderkey" < 2000)
+          .select($"o_orderkey", $"o_totalprice",
+            ($"o_orderkey" % 4).cast("string").as("bkt"))
+        IceLite.createOrReplacePartitioned(pref, op.filter($"bkt" =!= "3"), "bkt")
+        val cold = IceLite.readManifest(pref).current.files.toSet
+        // spray: three tiny appends, all landing in hot partition 3
+        (0 until 3).foreach(i => IceLite.appendPartitioned(pref,
+          op.filter($"bkt" === "3" && $"o_orderkey" % 3 === i), "bkt"))
+        val sprayed = IceLite.readManifest(pref).current.files
+        IceLite.compactRange(s, pref, "bkt", 3.0, 3.0)
+        val pafter = IceLite.readManifest(pref).current
+        val coldIntact = cold.subsetOf(pafter.files.toSet) &&
+          pafter.partitionCols == Seq("bkt")
+        val hotDirMerged =
+          pafter.files.count(_.contains("bkt=3")) == 1 &&
+            sprayed.count(_.contains("bkt=3")) == 3
+        val pAgg = IceLite.read(s, pref)
+          .agg(count(lit(1)).cast("long").as("pn")).head.getLong(0)
+        val partHotOk = coldIntact && hotDirMerged && pAgg == op.count()
         IceLite.read(s, ref)
           .agg(count(lit(1)).cast("long").as("n"),
             dsum($"o_totalprice", 3).as("sum_price"))
           .withColumn("era1_intact", lit(era1Intact))
           .withColumn("hot_range_merged", lit(hotMerged))
+          .withColumn("part_hot_ok", lit(partHotOk))
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
-             TRUE AS era1_intact, TRUE AS hot_range_merged
+             TRUE AS era1_intact, TRUE AS hot_range_merged,
+             TRUE AS part_hot_ok
              FROM orders WHERE o_orderkey < 2000""")),
 
     // d56: HIDDEN PARTITIONING — Iceberg partition transforms
@@ -3039,13 +3066,13 @@ object ScalePack extends Pack {
         val viewsOk = shown == Seq("busy_regions", "region_stats") &&
           afterDrop == shown
         s.sql(s"""SELECT n_regionkey, n_nations, first_name
-            FROM $cat.src.busy_regions""")
+            FROM $cat.src.busy_regions ORDER BY n_regionkey""")
           .withColumn("views_ok", lit(viewsOk))
       },
       Some("""SELECT n_regionkey,
              COUNT(*) AS n_nations,
              MIN(n_name) AS first_name,
              TRUE AS views_ok
-             FROM nation GROUP BY n_regionkey"""))
+             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
   )
 }

@@ -1404,7 +1404,7 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
     val rows: Array[Array[Any]] =
       if (groupCols.isEmpty) Array(specs.map(value(snap.files)).toArray)
       else snap.files.groupBy(f => groupCols.map(keyVal(f)))
-        .toArray.sortBy(_._1.mkString(" "))
+        .toArray.sortBy(_._1.mkString("\u0000"))
         .map { case (key, files) => (key ++ specs.map(value(files))).toArray }
     IceLiteSource.lastPlannedFiles = Nil
     IceLiteSource.lastScanMetadataOnly = true

@@ -123,11 +123,18 @@ object StreamPack extends Pack {
           java.nio.file.attribute.FileTime.fromMillis(mtime))
       }
       val now = System.currentTimeMillis()
+      // THREE batches so the replay is genuinely LATE: batch 1's
+      // watermark (max batch-0 ts − 1h) emits and EVICTS the old
+      // windows, so batch 2's replay of rows 1000-1099 hits evicted
+      // state and is dropped — with only two batches the replay
+      // arrives while its windows are still live and merges in
+      // (measured, Spark 4.1), which witnesses nothing
       writeBatch(ev.filter(col("event_id") < 8000), "batch_000.parquet",
         now - 60000)
-      writeBatch(ev.filter(col("event_id") >= 8000)
-        .unionByName(ev.filter(col("event_id").between(1000, 1099))),
-        "batch_001.parquet", now)
+      writeBatch(ev.filter(col("event_id") >= 8000),
+        "batch_001.parquet", now - 30000)
+      writeBatch(ev.filter(col("event_id").between(1000, 1099)),
+        "batch_002.parquet", now)
       out
     })
 
@@ -521,7 +528,23 @@ object StreamPack extends Pack {
             col("n"))
           .orderBy(col("bucket"))
       },
-      None),
+      // The staged three-batch order (mtime-pinned, maxFilesPerTrigger=1)
+      // makes the watermark walk deterministic, so the late-drop result
+      // IS batch-expressible: batch 1 runs under watermark
+      // max(batch0.ts) − 1h, emitting and evicting every older window,
+      // so batch 2's replayed rows (event_id 1000-1099, days-old
+      // windows) are DROPPED in full and contribute nothing; the final
+      // no-data batch then emits every window closed under the final
+      // watermark max(all ts) − 1h. Oracle: every event exactly once,
+      // restricted to closed windows — if Spark failed to drop the
+      // replay, the replayed windows would exceed this count.
+      Some("""WITH wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+             SELECT strftime(date_trunc('hour', ts),
+                             '%Y-%m-%d %H:%M:%S') AS bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM events, wmf
+             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+             GROUP BY 1 ORDER BY 1""")),
 
     // s08 (builder extension): arbitrary stateful processing via
     // flatMapGroupsWithState — per-user running totals persist in the

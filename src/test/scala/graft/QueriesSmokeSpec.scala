@@ -22,7 +22,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // the full list of legitimate omissions (sketches, hash-dependent,
     // catalog ops, watermark-dependent streaming)
     val allowed = Set("b04_catalog_tables", "b27_agg_approx_distinct",
-      "c02_dedup_near_minhash", "s06_stream_late_data",
+      "c02_dedup_near_minhash",
       "m02_feature_extract_stub", "c11_dedup_simhash")
     assert(noOracle == allowed,
       s"oracle coverage drifted: missing=${noOracle -- allowed}")

@@ -172,4 +172,39 @@ class IceLiteEqDeleteSpec extends AnyFunSuite {
       "gc reclaimed a referenced equality-delete sidecar")
     assert(IceLite.read(spark, ref).count() == 9)
   }
+
+  test("mixed sidecars: eq deletes on top of live POSITION deletes") {
+    val ref = mk()
+    // position-delete k in {2,3} (deletion-vector sidecar, no rewrite)
+    IceLite.deleteWhereMoR(spark, ref, "k = 2 OR k = 3")
+    assert(IceLite.readManifest(ref).current.deleteFiles.nonEmpty)
+    // eq-delete {3, 5}: 3 is ALREADY position-hidden, so only 5 counts
+    val snap = IceLite.deleteByKeysMoR(spark, ref,
+      Seq(3L, 5L).toDF("k"), Seq("k"))
+    assert(snap.deleteFiles.nonEmpty && snap.eqDeletes.nonEmpty,
+      "both sidecar kinds live at once")
+    assert(snap.rowCount == 7, "10 - 2 pos - 1 eq (3 was already hidden)")
+    // the combined read path: pos anti-join THEN eq fold after the join
+    val got = IceLite.read(spark, ref).select("k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 4L, 6L, 7L, 8L, 9L, 10L), s"mixed fold wrong: $got")
+    // sequence rule still holds with mixed sidecars: re-insert of an
+    // eq-deleted key survives, the pos-deleted keys stay gone
+    IceLite.append(ref, Seq((5L, "reborn")).toDF("k", "s"))
+    assert(IceLite.read(spark, ref).filter($"k" === 5L)
+      .select("s").as[String].collect().toSeq == Seq("reborn"))
+    assert(IceLite.read(spark, ref).filter($"k" === 2L || $"k" === 3L).count() == 0)
+    // upsert on the mixed table: update 4, insert 11
+    IceLite.upsertByKeysMoR(spark, ref,
+      Seq((4L, "v2"), (11L, "new")).toDF("k", "s"), Seq("k"))
+    assert(IceLite.read(spark, ref).count() == 9)
+    // compaction materializes BOTH kinds and clears them
+    IceLite.compact(spark, ref, targetFiles = 2)
+    val after = IceLite.readManifest(ref).current
+    assert(after.deleteFiles.isEmpty && after.eqDeletes.isEmpty)
+    val fin = IceLite.read(spark, ref).select("k", "s").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(fin.map(_._1) == Seq(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L))
+    assert(fin.collect { case (4L, s) => s } == Seq("v2"))
+    assert(fin.collect { case (5L, s) => s } == Seq("reborn"))
+  }
 }

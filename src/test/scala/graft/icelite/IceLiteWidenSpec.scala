@@ -122,4 +122,22 @@ class IceLiteWidenSpec extends AnyFunSuite {
       IceLite.alterWidenColumn(r, "kk", "bigint")
     }
   }
+
+  test("time travel to a pre-widen snapshot surfaces the NARROW type") {
+    val ref = mk()
+    IceLite.createOrReplace(ref, Seq((1, "a"), (2, "b")).toDF("k", "s"))
+    val preWiden = IceLite.readManifest(ref).currentSnapshotId
+    // widen scopes to the snapshot current AT ALTER TIME onward
+    // (d51's convention) — commit once more so preWiden predates it
+    IceLite.append(ref, Seq((3, "m")).toDF("k", "s"))
+    IceLite.alterWidenColumn(ref, "k", "bigint")
+    IceLite.append(ref, Seq((Int.MaxValue.toLong + 7L, "c")).toDF("k", "s"))
+    // engine-face time travel scopes the widen ledger by snapshot id,
+    // matching the connector's VERSION AS OF schema
+    val old = IceLite.readAt(spark, ref, preWiden)
+    assert(old.schema("k").dataType == IntegerType,
+      s"pre-widen era must keep int, got ${old.schema("k").dataType}")
+    assert(old.select("k").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(IceLite.read(spark, ref).schema("k").dataType == LongType)
+  }
 }

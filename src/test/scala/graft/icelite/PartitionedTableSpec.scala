@@ -258,4 +258,47 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(IceLite.readAt(spark, ref, s1.id).count() == 1)
     assert(IceLite.readPartitioned(spark, ref).count() == 2)
   }
+
+  test("compactRange on a partitioned table merges only hot dirs") {
+    val wh = java.nio.file.Files.createTempDirectory("pcr_wh").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    val df = (1L to 90L).map(k => (k, (k % 3).toString)).toDF("k", "p")
+    IceLite.createOrReplacePartitioned(ref, df.filter($"p" =!= "1"), "p")
+    val cold = IceLite.readManifest(ref).current.files.toSet
+    // three sprayed files, all landing in hot partition p=1
+    (0 until 3).foreach(i => IceLite.appendPartitioned(ref,
+      df.filter($"p" === "1" && $"k" % 9 === (3 * i + 1)), "p"))
+    assert(IceLite.readManifest(ref).current.files.count(_.contains("p=1")) == 3)
+    IceLite.compactRange(spark, ref, "p", 1.0, 1.0)
+    val after = IceLite.readManifest(ref).current
+    assert(cold.subsetOf(after.files.toSet), "cold partitions must not move")
+    assert(after.files.count(_.contains("p=1")) == 1, "hot dir merges to one file")
+    assert(after.partitionCols == Seq("p"), "layout marker survives")
+    assert(IceLite.readPartitioned(spark, ref).count() == 90)
+    // partition pruning still works post-merge
+    assert(IceLite.readPartitioned(spark, ref).filter($"p" === "1").count() == 30)
+  }
+
+  test("compactRange with a STATS column merges within dirs; non-numeric partition values are left alone") {
+    val wh = java.nio.file.Files.createTempDirectory("pcr2_wh").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    val df = (1L to 60L).map(k => (k, if (k % 2 == 0) "even" else "odd")).toDF("k", "p")
+    // two sprayed appends per partition value
+    IceLite.appendPartitioned(ref, df.filter($"k" <= 30), "p", statsCols = Seq("k"))
+    IceLite.appendPartitioned(ref, df.filter($"k" > 30), "p", statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current.files
+    // non-numeric partition values: a range on the PARTITION column
+    // selects nothing (conservative no-op)
+    val same = IceLite.compactRange(spark, ref, "p", 0.0, 9.0)
+    assert(same.files == before, "non-numeric partition values must not be selected")
+    // a range on the DATA column selects by per-file stats and merges
+    // within each dir
+    IceLite.compactRange(spark, ref, "k", 1.0, 60.0)
+    val after = IceLite.readManifest(ref).current
+    assert(after.files.count(_.contains("p=even")) == 1)
+    assert(after.files.count(_.contains("p=odd")) == 1)
+    assert(IceLite.readPartitioned(spark, ref).count() == 60)
+  }
 }

@@ -186,16 +186,20 @@ class ScalePackSpec extends AnyFunSuite {
     assert(IceLite.compactRange(spark, ref, "k", 100.0, 300.0).id == snap.id)
   }
 
-  test("d55 compactRange refuses partitioned tables and live MoR sidecars") {
+  test("d55 compactRange: partitioned single-file dirs no-op; MoR-live refuses") {
     import spark.implicits._
     import graft.icelite.{IceLite, TableRef}
     val wh = java.nio.file.Files.createTempDirectory("d55_refuse").toString
     IceLite.createNamespace(wh, "src")
+    // partitioned tables now compact per dir (round 7) — with one file
+    // per dir there is nothing to merge, so the call is a no-op commit
     val part = TableRef(wh, "src", "p")
     IceLite.createOrReplacePartitioned(part,
       Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "p")
-    intercept[IllegalArgumentException](
-      IceLite.compactRange(spark, part, "k", 0.0, 10.0))
+    val before = IceLite.readManifest(part).current.files
+    IceLite.compactRange(spark, part, "k", 0.0, 10.0)
+    assert(IceLite.readManifest(part).current.files == before,
+      "single-file partition dirs must not be rewritten")
     val mor = TableRef(wh, "src", "m")
     IceLite.createOrReplace(mor, (0L until 50L).map(k => (k, k)).toDF("k", "v"))
     IceLite.deleteWhereMoR(spark, mor, "k < 5")
