@@ -199,4 +199,22 @@ class IceLiteViewSpec extends AnyFunSuite {
       spark.sql(s"DROP VIEW $cat.src.race")
     }
   }
+
+  test("plan audit: filters and projection push through a view into the scan") {
+    withTable { (cat, _, _) =>
+      spark.sql(s"CREATE VIEW $cat.src.vplan AS SELECT k, v, g FROM $cat.src.t")
+      val plan = spark.sql(s"SELECT k FROM $cat.src.vplan WHERE k = 42")
+        .queryExecution.executedPlan.toString
+      // the view is pure metadata at plan time: the physical plan ends
+      // in the SAME pruned IceLite scan a direct query gets — only the
+      // projected column in the read schema, manifest pruning engaged
+      val scanLine = plan.linesIterator.find(_.contains("BatchScan"))
+        .getOrElse(fail(s"no BatchScan in plan:\n$plan"))
+      assert(scanLine.contains("prunedOn=k"),
+        s"manifest pruning must engage through the view: $scanLine")
+      assert(!scanLine.contains("v#") && !scanLine.contains("g#"),
+        s"projection must prune unread view columns: $scanLine")
+      spark.sql(s"DROP VIEW $cat.src.vplan")
+    }
+  }
 }
