@@ -244,6 +244,20 @@ object IceLite {
     decodeManifest(ref, path)
   }
 
+  /** The current manifest WITH its version number — the REST catalog
+    * face serves this pair so remote clients can spool-cache by
+    * version (graft.sources.rest). */
+  def currentManifestVersioned(ref: TableRef): (Long, Manifest) = {
+    val (v, path) = latestManifestFile(ref).getOrElse(
+      throw new IllegalStateException(s"no manifest for ${ref.name}"))
+    (v, decodeManifest(ref, path))
+  }
+
+  /** Serialize a manifest in the LEGACY single-JSON layout — the
+    * version-stable WIRE format of the REST face (decodeManifest
+    * reads it forever, whatever the on-disk layout does). */
+  def manifestWireJson(m: Manifest): String = Serialization.write(m)
+
   // ---- sharded manifest layout ("seg1") ----------------------------
   //
   // A manifest version file used to carry EVERYTHING — all snapshots

@@ -3073,6 +3073,71 @@ object ScalePack extends Pack {
              COUNT(*) AS n_nations,
              MIN(n_name) AS first_name,
              TRUE AS views_ok
+             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // d75: MULTI-ENGINE CATALOG ACCESS — the reference's REST catalog
+    // serves Spark and Trino concurrently over HTTP while the engines
+    // share storage (docker-compose.yml:3-29 runs the catalog
+    // container, iceberg-template.properties:8-9 attaches Trino by
+    // uri). Same split here: CatalogServer owns metadata over HTTP
+    // (namespaces, listings, the current manifest as a version-stable
+    // wire JSON); IceLiteRestCatalog attaches with nothing but the
+    // uri, spools the manifest version-keyed, mounts the shared
+    // data/deletes dirs, and serves the FULL scan machinery —
+    // manifest stats pruning, partition discovery, MoR folds — as a
+    // read-only face (writes refuse toward the owning catalog).
+    // Witnessed: the aggregate through the REST attachment ≡ oracle,
+    // metadata requests actually crossed HTTP, a post-attach commit
+    // is visible on the next query, INSERT refuses.
+    Decl("d75_rest_catalog",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d75").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = graft.icelite.TableRef(wh, "src", "nation")
+        IceLite.createOrReplace(ref, Tables.load(s, dir, "nation")
+          .filter($"n_nationkey" =!= 0L)
+          .select($"n_nationkey", $"n_name", $"n_regionkey"))
+        val srv = new graft.sources.rest.CatalogServer(wh).start()
+        try {
+          val cat = s"restcat_${java.util.UUID.randomUUID.toString.take(8)}"
+          s.conf.set(s"spark.sql.catalog.$cat",
+            "graft.sources.rest.IceLiteRestCatalog")
+          s.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+          val req0 = srv.requests.get
+          val rows = s.sql(
+            s"""SELECT n_regionkey, COUNT(*) AS n_nations,
+                MIN(n_name) AS first_name
+                FROM $cat.src.nation GROUP BY n_regionkey""").collect()
+          val overHttp = srv.requests.get > req0
+          // a commit AFTER attach is visible on the next query (the
+          // spool re-keys by the server's manifest version)
+          IceLite.append(ref, Tables.load(s, dir, "nation")
+            .filter($"n_nationkey" === 0L)
+            .select($"n_nationkey", $"n_name", $"n_regionkey"))
+          val fresh = s.sql(
+            s"""SELECT n_regionkey, COUNT(*) AS n_nations,
+                MIN(n_name) AS first_name
+                FROM $cat.src.nation GROUP BY n_regionkey""").collect()
+          val writeRefused =
+            try { s.sql(s"INSERT INTO $cat.src.nation VALUES (99,'x',0)"); false }
+            catch { case _: Exception => true }
+          val restOk = overHttp && writeRefused &&
+            fresh.map(_.getLong(1)).sum == rows.map(_.getLong(1)).sum + 1
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(fresh.toSeq.asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("n_regionkey",
+                fresh.head.schema("n_regionkey").dataType),
+              org.apache.spark.sql.types.StructField("n_nations",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("first_name",
+                org.apache.spark.sql.types.StringType))))
+            .withColumn("rest_ok", lit(restOk))
+            .orderBy($"n_regionkey")
+        } finally srv.stop()
+      },
+      Some("""SELECT n_regionkey, COUNT(*) AS n_nations,
+             MIN(n_name) AS first_name, TRUE AS rest_ok
              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
   )
 }

@@ -1,0 +1,100 @@
+package graft.sources.rest
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s.{Formats, NoTypeHints}
+import org.json4s.jackson.Serialization
+import graft.icelite.{IceLite, TableRef}
+
+/** A REST catalog face over an IceLite warehouse — the role the
+  * Iceberg REST catalog plays in the reference stack, where ONE
+  * catalog service serves Spark and Trino concurrently over HTTP
+  * while the engines share the storage layer
+  * (docker-compose.yml:3-29 runs the REST catalog container;
+  * iceberg-template.properties:8-9 points Trino at its uri; the
+  * engines share MinIO). Same architecture here: this server owns
+  * METADATA over HTTP — namespaces, table listings, the current
+  * manifest — and any engine with access to the shared warehouse
+  * path reads the data files directly. Out-of-process clients (the
+  * multi-engine case) attach with nothing but the uri.
+  *
+  * Endpoints (JSON):
+  *   GET  /v1/config                                → {warehouse}
+  *   GET  /v1/namespaces                            → {namespaces:[..]}
+  *   POST /v1/namespaces/{ns}                       → create
+  *   GET  /v1/namespaces/{ns}/tables                → {tables:[..]}
+  *   GET  /v1/namespaces/{ns}/tables/{t}            → {version, manifest}
+  *
+  * The manifest travels as the LEGACY single-JSON layout (assembled
+  * from the sharded pointer server-side), so a client can spool it
+  * as-is and every IceLite reader decodes it — the wire format is
+  * version-stable even as the on-disk layout shards. Metadata-sized
+  * responses only; data bytes never cross this server.
+  *
+  * Single-threaded handler (JDK HttpServer default executor) is
+  * deliberate: every request is a metadata read measured in
+  * microseconds-to-milliseconds; at real scale this component scales
+  * the way the reference's does — by fronting the catalog service,
+  * not by fanning data through it.
+  */
+class CatalogServer(warehouse: String, port: Int = 0) {
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
+  val requests = new AtomicLong(0)
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** The bound uri (port resolved when `port = 0`). */
+  def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+
+  private def send(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  server.createContext("/v1", (ex: HttpExchange) => {
+    requests.incrementAndGet()
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1").stripPrefix("/")
+      val parts = path.split('/').filter(_.nonEmpty).toSeq
+      (ex.getRequestMethod, parts) match {
+        case ("GET", Seq("config")) =>
+          send(ex, 200, Serialization.write(Map("warehouse" -> warehouse)))
+        case ("GET", Seq("namespaces")) =>
+          send(ex, 200, Serialization.write(
+            Map("namespaces" -> IceLite.listNamespaces(warehouse))))
+        case ("POST", Seq("namespaces", ns)) =>
+          IceLite.createNamespace(warehouse, ns)
+          send(ex, 200, "{}")
+        case ("GET", Seq("namespaces", ns, "tables")) =>
+          if (!IceLite.listNamespaces(warehouse).contains(ns))
+            send(ex, 404, s"""{"error":"no namespace $ns"}""")
+          else send(ex, 200, Serialization.write(
+            Map("tables" -> IceLite.listTables(warehouse, ns))))
+        case ("GET", Seq("namespaces", ns, "tables", t)) =>
+          val ref = TableRef(warehouse, ns, t)
+          if (!IceLite.tableExists(ref))
+            send(ex, 404, s"""{"error":"no table $ns.$t"}""")
+          else {
+            val (version, manifest) = IceLite.currentManifestVersioned(ref)
+            send(ex, 200, Serialization.write(Map(
+              "version" -> version,
+              "manifest" -> IceLite.manifestWireJson(manifest))))
+          }
+        case (m, p) =>
+          send(ex, 404, s"""{"error":"no route $m /${p.mkString("/")}"}""")
+      }
+    } catch {
+      case e: Exception =>
+        send(ex, 500, Serialization.write(Map(
+          "error" -> Option(e.getMessage).getOrElse(e.getClass.getName))))
+    } finally ex.close()
+  })
+
+  def start(): CatalogServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,231 @@
+package graft.sources.rest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.json4s.{Formats, NoTypeHints}
+import org.json4s.jackson.Serialization
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.icelite.TableRef
+import graft.sources.{IceLiteSource, IceLiteTable}
+
+/** The REST-ATTACHED catalog — how a second engine (or a second
+  * Spark cluster) mounts a graft warehouse with nothing but a uri,
+  * the way Trino attaches to the reference's Iceberg REST catalog
+  * (iceberg-template.properties:8-9: `iceberg.catalog.type=rest` +
+  * uri; storage shared underneath). Register:
+  *
+  * {{{
+  *   spark.sql.catalog.remote     = graft.sources.rest.IceLiteRestCatalog
+  *   spark.sql.catalog.remote.uri = http://host:port/v1
+  * }}}
+  *
+  * METADATA travels over HTTP; DATA is read from the shared
+  * warehouse (the reference's engines share MinIO the same way).
+  * loadTable fetches the current manifest and SPOOLS it as a local
+  * single-JSON manifest version file keyed by the server's version —
+  * re-loads of an unchanged table are one GET plus a cache hit, a
+  * changed table spools the newer version beside the old (highest
+  * wins, the same rule the engine itself uses). The spool's `data/`
+  * and `deletes/` are symlinks into the shared warehouse, so every
+  * relative path in the manifest — flat, partitioned, MoR sidecars —
+  * resolves without rewriting (the local-FS analogue of the absolute
+  * object-store URIs real Iceberg manifests carry).
+  *
+  * The REST face is READ-ONLY by contract in this build: writes,
+  * DDL, and row-level operations refuse with a pointer at the owning
+  * engine's catalog — the reference's division of labor (Spark owns
+  * ELT writes, Trino reads interactively) made explicit. Streaming
+  * reads refuse too: the spool is a point-in-time snapshot, and a
+  * stream that silently never advanced would be a lie.
+  */
+class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces {
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
+  private var catalogName: String = _
+  private var uri: String = _
+  private var spoolRoot: Path = _
+  private var warehouse: String = _
+  private val http = HttpClient.newHttpClient()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    uri = options.get("uri")
+    require(uri != null, s"catalog '$name' needs spark.sql.catalog.$name.uri")
+    uri = uri.stripSuffix("/")
+    spoolRoot = Option(options.get("spool")).map(Paths.get(_))
+      .getOrElse(Files.createTempDirectory(s"graft_rest_spool_$name"))
+    warehouse = (parse(get("/config")) \ "warehouse")
+      .asInstanceOf[org.json4s.JString].s
+  }
+
+  override def name(): String = catalogName
+
+  private def parse(s: String): org.json4s.JValue =
+    org.json4s.jackson.JsonMethods.parse(s)
+
+  private def get(path: String): String = {
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(uri + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200) throw new RestCatalogException(
+      resp.statusCode(), s"GET $path -> ${resp.statusCode()}: ${resp.body()}")
+    resp.body()
+  }
+
+  private def post(path: String): Unit = {
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(uri + path))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200) throw new RestCatalogException(
+      resp.statusCode(), s"POST $path -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    (parse(get("/namespaces")) \ "namespaces")
+      .extract[Seq[String]].map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && listNamespaces().exists(_.sameElements(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"icelite namespaces are single-level, got ${namespace.mkString(".")}")
+    post(s"/namespaces/${namespace.head}")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("icelite namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    refuseWrite("DROP NAMESPACE")
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
+    try (parse(get(s"/namespaces/${namespace.head}/tables")) \ "tables")
+      .extract[Seq[String]].map(Identifier.of(namespace, _)).toArray
+    catch { case e: RestCatalogException if e.code == 404 =>
+      throw new NoSuchNamespaceException(namespace) }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { spoolManifest(ident); true }
+    catch { case _: NoSuchTableException => false }
+
+  /** Fetch the current manifest over HTTP and spool it locally keyed
+    * by the server's version; returns the spool TableRef. */
+  private def spoolManifest(ident: Identifier): TableRef = {
+    require(ident.namespace.length == 1,
+      s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
+    val ns = ident.namespace.head
+    val body =
+      try parse(get(s"/namespaces/$ns/tables/${ident.name}"))
+      catch { case e: RestCatalogException if e.code == 404 =>
+        throw new NoSuchTableException(ident) }
+    val version = (body \ "version").extract[Long]
+    val manifestJson = (body \ "manifest").extract[String]
+    val spool = TableRef(spoolRoot.toString, ns, ident.name)
+    Files.createDirectories(spool.dir)
+    // shared-storage mounts: every relative data/delete path in the
+    // manifest resolves through these links (object-store deployments
+    // carry absolute URIs instead and need no mount)
+    val serverTable = Paths.get(warehouse, ns, ident.name)
+    Seq("data", "deletes").foreach { d =>
+      val link = spool.dir.resolve(d)
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(link, serverTable.resolve(d))
+    }
+    val mf = spool.dir.resolve(f"manifest.v$version%08d.json")
+    if (!Files.exists(mf)) {
+      val tmp = Files.createTempFile(spool.dir, ".spool", ".tmp")
+      Files.writeString(tmp, manifestJson)
+      try Files.createLink(mf, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    spool
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val spool = spoolManifest(ident)
+    new RestReadTable(spool, IceLiteSource.schemaOf(spool), catalogName, ident)
+  }
+
+  private def refuseWrite(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$op refused: catalog '$catalogName' is a READ-ONLY REST attachment " +
+        "(metadata over HTTP, shared storage underneath); writes go " +
+        "through the warehouse's owning catalog (IceLiteCatalog)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table =
+    refuseWrite("CREATE TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = refuseWrite("DROP TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    refuseWrite("ALTER TABLE")
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    refuseWrite("RENAME TABLE")
+}
+
+private[rest] class RestCatalogException(val code: Int, msg: String)
+  extends RuntimeException(msg)
+
+/** The read-only face a REST attachment serves: the full IceLite scan
+  * machinery (manifest pruning, columnar read, MoR delete folds,
+  * partition discovery) over the spooled snapshot — and nothing that
+  * mutates or streams. */
+private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
+    catalogName: String, ident: Identifier)
+  extends IceLiteTable(spool, tableSchema) {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = s"$catalogName.${ident.namespace.head}.${ident.name}"
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  private def refuse(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$op refused: ${name()} is a read-only REST attachment; " +
+        "write through the warehouse's owning catalog")
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    refuse("write")
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    refuse("row-level operation")
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = false
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    refuse("DELETE")
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: JMap[String, String]): Unit = refuse("ADD PARTITION")
+  override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    refuse("DROP PARTITION")
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.icelite.{IceLite, TableRef}
+import graft.sources.rest.CatalogServer
+
+/** The multi-engine catalog face (d75): a CatalogServer serving
+  * metadata over HTTP + IceLiteRestCatalog attaching with nothing but
+  * the uri — the reference's REST-catalog architecture (one catalog
+  * service, engines share storage). Reads must be byte-identical to
+  * the direct path, every scan feature intact; writes refuse. */
+class RestCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withServer(f: (String, String, CatalogServer) => Unit): Unit = {
+    val wh = Files.createTempDirectory("restspec_wh").toString
+    IceLite.createNamespace(wh, "src")
+    val srv = new CatalogServer(wh).start()
+    val cat = s"restcat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.rest.IceLiteRestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+    try f(wh, cat, srv) finally srv.stop()
+  }
+
+  test("REST reads equal direct reads; metadata travels over HTTP") {
+    withServer { (wh, cat, srv) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref,
+        (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v"), statsCols = Seq("k"))
+      val before = srv.requests.get
+      val got = spark.sql(s"SELECT k, v FROM $cat.src.t WHERE k <= 3 ORDER BY k")
+        .as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)))
+      assert(srv.requests.get > before, "metadata must travel over HTTP")
+      // manifest stats pruning survives the wire: the spooled manifest
+      // carries fileStats, so the scan prunes exactly like the direct path
+      val plan = spark.sql(s"SELECT k FROM $cat.src.t WHERE k = 42")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("prunedOn=k"), s"stats pruning lost over REST: $plan")
+      assert(spark.sql(s"SHOW TABLES IN $cat.src").collect()
+        .map(_.getString(1)).toSeq == Seq("t"))
+      assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+        .map(_.getString(0)).toSeq.contains("src"))
+    }
+  }
+
+  test("partitioned tables and live MoR sidecars read intact over REST") {
+    withServer { (wh, cat, _) =>
+      IceLite.createOrReplacePartitioned(TableRef(wh, "src", "p"),
+        (1L to 90L).map(k => (k, (k % 3).toString)).toDF("k", "p"), "p")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.p").head.getLong(0) == 90)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.p WHERE p = '1'")
+        .head.getLong(0) == 30)
+      // eq-delete-live CDC table: the wire manifest carries the sidecar
+      // refs; the spool's deletes/ mount resolves them
+      val m = TableRef(wh, "src", "m")
+      IceLite.createOrReplace(m, (1L to 10L).map(k => (k, s"r$k")).toDF("k", "s"))
+      IceLite.deleteByKeysMoR(spark, m, Seq(3L, 5L).toDF("k"), Seq("k"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.m").head.getLong(0) == 8)
+      assert(spark.sql(s"SELECT s FROM $cat.src.m WHERE k = 4").head.getString(0) == "r4")
+    }
+  }
+
+  test("a new commit is visible on the next query (version-keyed spool)") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 1)
+      IceLite.append(ref, Seq((2L, "b")).toDF("k", "s"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 2,
+        "the REST face must re-resolve the current version per query")
+    }
+  }
+
+  test("every write path refuses with a pointer at the owning catalog") {
+    withServer { (wh, cat, _) =>
+      IceLite.createOrReplace(TableRef(wh, "src", "t"),
+        Seq((1L, "a")).toDF("k", "s"))
+      def refused(sql: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql).collect())
+        val msg = e.getMessage.toLowerCase
+        // either our explicit refusal or Spark's own capability check
+        // (the table advertises BATCH_READ only, so the analyzer
+        // rejects writes natively — equally loud, equally safe)
+        assert(msg.contains("read-only") || msg.contains("refused") ||
+          msg.contains("does not support"),
+          s"'$sql' should refuse as read-only, got: ${e.getMessage.take(150)}")
+      }
+      refused(s"INSERT INTO $cat.src.t VALUES (9, 'x')")
+      refused(s"DELETE FROM $cat.src.t WHERE k = 1")
+      refused(s"UPDATE $cat.src.t SET s = 'y' WHERE k = 1")
+      refused(s"DROP TABLE $cat.src.t")
+      refused(s"CREATE TABLE $cat.src.t2 (k BIGINT)")
+      refused(s"ALTER TABLE $cat.src.t ADD COLUMN c INT")
+      // and the data is untouched
+      assert(IceLite.read(spark, TableRef(wh, "src", "t")).count() == 1)
+    }
+  }
+
+  test("missing tables and namespaces map to the standard errors") {
+    withServer { (_, cat, _) =>
+      val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.src.nope"))
+      assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+      val e2 = intercept[Exception](spark.sql(s"SHOW TABLES IN $cat.missing"))
+      assert(e2.getMessage.contains("SCHEMA_NOT_FOUND") ||
+        e2.getMessage.toLowerCase.contains("namespace"))
+    }
+  }
+}
