@@ -154,7 +154,8 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces {
     Seq("data", "deletes").foreach { d =>
       val link = spool.dir.resolve(d)
       if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        Files.createSymbolicLink(link, serverTable.resolve(d))
+        try Files.createSymbolicLink(link, serverTable.resolve(d))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racing loader won
     }
     val mf = spool.dir.resolve(f"manifest.v$version%08d.json")
     if (!Files.exists(mf)) {
