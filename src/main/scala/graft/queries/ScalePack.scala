@@ -3084,11 +3084,15 @@ object ScalePack extends Pack {
     // wire JSON); IceLiteRestCatalog attaches with nothing but the
     // uri, spools the manifest version-keyed, mounts the shared
     // data/deletes dirs, and serves the FULL scan machinery —
-    // manifest stats pruning, partition discovery, MoR folds — as a
-    // read-only face (writes refuse toward the owning catalog).
-    // Witnessed: the aggregate through the REST attachment ≡ oracle,
-    // metadata requests actually crossed HTTP, a post-attach commit
-    // is visible on the next query, INSERT refuses.
+    // manifest stats pruning, partition discovery, MoR folds — plus
+    // APPEND writes through the REST commit protocol (data staged
+    // into shared storage by the engine, ONE POST CAS-commits it
+    // server-side; history rewrites refuse toward the owning
+    // catalog). Witnessed: the aggregate through the REST attachment
+    // ≡ oracle, metadata requests actually crossed HTTP, a
+    // post-attach commit is visible on the next query, an INSERT
+    // through REST lands in the owning engine's read, INSERT
+    // OVERWRITE refuses.
     Decl("d75_rest_catalog",
       (s, dir) => {
         val wh = Files.createTempDirectory("graft_d75").toString
@@ -3118,10 +3122,17 @@ object ScalePack extends Pack {
             s"""SELECT n_regionkey, COUNT(*) AS n_nations,
                 MIN(n_name) AS first_name
                 FROM $cat.src.nation GROUP BY n_regionkey""").collect()
-          val writeRefused =
-            try { s.sql(s"INSERT INTO $cat.src.nation VALUES (99,'x',0)"); false }
+          // APPEND through the REST commit protocol: staged into the
+          // shared warehouse by this engine, CAS-committed by the
+          // server, visible to the owning engine's direct read
+          s.sql(s"INSERT INTO $cat.src.nation VALUES (9900, 'zz_rest', 0)")
+          val restAppend = IceLite.read(s, ref)
+            .filter($"n_nationkey" === 9900L).count() == 1
+          // history rewrites refuse toward the owning catalog
+          val overwriteRefused =
+            try { s.sql(s"INSERT OVERWRITE $cat.src.nation VALUES (1,'x',0)"); false }
             catch { case _: Exception => true }
-          val restOk = overHttp && writeRefused &&
+          val restOk = overHttp && restAppend && overwriteRefused &&
             fresh.map(_.getLong(1)).sum == rows.map(_.getLong(1)).sum + 1
           import scala.jdk.CollectionConverters._
           s.createDataFrame(fresh.toSeq.asJava,

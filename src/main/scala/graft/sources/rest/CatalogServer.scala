@@ -39,6 +39,8 @@ import graft.icelite.{IceLite, TableRef}
   * the way the reference's does — by fronting the catalog service,
   * not by fanning data through it.
   */
+private[rest] final case class CommitStagedReq(files: Seq[String])
+
 class CatalogServer(warehouse: String, port: Int = 0) {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   val requests = new AtomicLong(0)
@@ -84,6 +86,27 @@ class CatalogServer(warehouse: String, port: Int = 0) {
             send(ex, 200, Serialization.write(Map(
               "version" -> version,
               "manifest" -> IceLite.manifestWireJson(manifest))))
+          }
+        // the WRITE protocol: a remote engine stages parquet into the
+        // SHARED warehouse itself (data is never proxied), then asks
+        // the catalog service to turn the staged set into one CAS
+        // snapshot — the metadata authority stays here, exactly
+        // Iceberg's REST-commit division of labor. Stats and row
+        // counts come from the staged footers server-side.
+        case ("POST", Seq("namespaces", ns, "tables", t, "commit-staged")) =>
+          val ref = TableRef(warehouse, ns, t)
+          if (!IceLite.tableExists(ref))
+            send(ex, 404, s"""{"error":"no table $ns.$t"}""")
+          else {
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val req = Serialization.read[CommitStagedReq](body)
+            require(req.files.nonEmpty, "commit-staged needs staged files")
+            require(req.files.forall(f => f.startsWith("data/") &&
+              !f.contains("..")), "staged paths must be table-relative data/ files")
+            val snap = IceLite.commitStaged(ref, req.files, truncate = false)
+            send(ex, 200, Serialization.write(Map(
+              "snapshotId" -> snap.id, "rowCount" -> snap.rowCount)))
           }
         case (m, p) =>
           send(ex, 404, s"""{"error":"no route $m /${p.mkString("/")}"}""")

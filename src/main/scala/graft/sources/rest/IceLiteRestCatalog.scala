@@ -38,12 +38,16 @@ import graft.sources.{IceLiteSource, IceLiteTable}
   * resolves without rewriting (the local-FS analogue of the absolute
   * object-store URIs real Iceberg manifests carry).
   *
-  * The REST face is READ-ONLY by contract in this build: writes,
-  * DDL, and row-level operations refuse with a pointer at the owning
-  * engine's catalog — the reference's division of labor (Spark owns
-  * ELT writes, Trino reads interactively) made explicit. Streaming
-  * reads refuse too: the spool is a point-in-time snapshot, and a
-  * stream that silently never advanced would be a lie.
+  * Writes: APPEND (INSERT INTO) works end-to-end — executors stage
+  * parquet straight into the shared warehouse through the data/
+  * mount, then one POST asks the catalog service to CAS-commit the
+  * staged set (Iceberg's REST commit: data never proxies through the
+  * catalog, the metadata authority never leaves it; concurrent
+  * remote and local appenders rebase through the same CAS). History
+  * rewrites — overwrite, row-level ops, DDL — refuse toward the
+  * owning catalog, and streaming reads refuse too: the spool is a
+  * point-in-time snapshot, and a stream that silently never advanced
+  * would be a lie.
   */
 class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
@@ -170,7 +174,8 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val spool = spoolManifest(ident)
-    new RestReadTable(spool, IceLiteSource.schemaOf(spool), catalogName, ident)
+    new RestReadTable(spool, IceLiteSource.schemaOf(spool), catalogName,
+      ident, uri, http)
   }
 
   private def refuseWrite(op: String): Nothing =
@@ -195,28 +200,52 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces {
 private[rest] class RestCatalogException(val code: Int, msg: String)
   extends RuntimeException(msg)
 
-/** The read-only face a REST attachment serves: the full IceLite scan
-  * machinery (manifest pruning, columnar read, MoR delete folds,
-  * partition discovery) over the spooled snapshot — and nothing that
-  * mutates or streams. */
+/** The face a REST attachment serves: the full IceLite scan machinery
+  * (manifest pruning, columnar read, MoR delete folds, partition
+  * discovery) over the spooled snapshot, plus APPEND writes through
+  * the REST commit protocol — executors stage parquet into the
+  * SHARED warehouse (the spool's data/ mount), then ONE POST asks the
+  * catalog service to commit the staged set (Iceberg's REST-commit
+  * division of labor: data never proxies through the catalog, the
+  * metadata authority never leaves it). Everything else — overwrite,
+  * row-level ops, DDL, streaming — refuses toward the owning catalog:
+  * those operations rewrite history, and history belongs to the
+  * metadata authority, not to a spool snapshot of it. */
 private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
-    catalogName: String, ident: Identifier)
+    catalogName: String, ident: Identifier, uri: String,
+    http: java.net.http.HttpClient)
   extends IceLiteTable(spool, tableSchema) {
   import org.apache.spark.sql.connector.catalog.TableCapability
 
   override def name(): String = s"$catalogName.${ident.namespace.head}.${ident.name}"
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
 
   private def refuse(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$op refused: ${name()} is a read-only REST attachment; " +
-        "write through the warehouse's owning catalog")
+      s"$op refused: ${name()} is a REST attachment (append-only " +
+        "writes via the commit protocol); run this through the " +
+        "warehouse's owning catalog")
 
   override def newWriteBuilder(
-      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
-    refuse("write")
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.wap.branch").forall(_.isEmpty),
+      "spark.wap.branch is set — branch staging commits through the " +
+        "owning catalog, not the REST face")
+    // plain WriteBuilder (no SupportsTruncate/SupportsOverwrite): the
+    // analyzer itself refuses INSERT OVERWRITE/truncate natively
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new RestBatchWrite(spool, info.schema(),
+              s"$uri/namespaces/${ident.namespace.head}/tables/${ident.name}/commit-staged",
+              http)
+        }
+    }
+  }
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     refuse("row-level operation")
@@ -229,4 +258,52 @@ private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
       properties: JMap[String, String]): Unit = refuse("ADD PARTITION")
   override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
     refuse("DROP PARTITION")
+}
+
+/** Executors stage one parquet file per non-empty input partition into
+  * the SHARED warehouse through the spool's data/ mount (same staging
+  * layout as the local writer — pre-commit files are invisible and
+  * orphan-GC-able); the driver's commit is ONE POST to the catalog
+  * service, which CAS-commits the staged set with footer-derived
+  * stats. Concurrent remote and local appenders rebase through the
+  * same CAS — nobody's snapshot is lost. */
+private[rest] class RestBatchWrite(spool: graft.icelite.TableRef,
+    schema: StructType, commitUrl: String, http: java.net.http.HttpClient)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private implicit val formats: org.json4s.Formats =
+    Serialization.formats(org.json4s.NoTypeHints)
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(spool.dataDir.resolve(token))
+    new graft.sources.IceLiteWriterFactory(
+      spool.dataDir.resolve(token).toString,
+      schema.fields.map(f => (f.name, f.dataType)))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case graft.sources.IceLiteCommitMessage(name) if name != null =>
+        s"data/$token/$name"
+    }.toSeq.sorted
+    if (files.isEmpty) return // empty append: no snapshot
+    val resp = http.send(
+      java.net.http.HttpRequest.newBuilder(URI.create(commitUrl))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          Serialization.write(Map("files" -> files)))).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200) throw new RestCatalogException(
+      resp.statusCode(),
+      s"REST commit failed (${resp.statusCode()}): ${resp.body()}")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = spool.dataDir.resolve(token)
+    if (Files.exists(dir)) {
+      graft.icelite.IceLite.listDir(Files.list(dir))(_.toSeq)
+        .foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(dir)
+    }
+  }
 }

@@ -76,7 +76,26 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("every write path refuses with a pointer at the owning catalog") {
+  test("INSERT INTO commits through the REST protocol; both faces see it") {
+    withServer { (wh, cat, srv) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
+      val req0 = srv.requests.get
+      spark.sql(s"INSERT INTO $cat.src.t VALUES (2, 'remote')")
+      assert(srv.requests.get > req0, "the commit must cross HTTP")
+      // the OWNING engine sees the remote append (one shared history)
+      assert(IceLite.read(spark, ref).as[(Long, String)].collect().toMap ==
+        Map(1L -> "a", 2L -> "remote"))
+      // and a subsequent LOCAL append is seen back through REST —
+      // concurrent writers share one CAS lineage
+      IceLite.append(ref, Seq((3L, "local")).toDF("k", "s"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 3)
+      val m = IceLite.readManifest(ref)
+      assert(m.snapshots.map(_.operation).count(_ == "append") == 2)
+    }
+  }
+
+  test("history rewrites refuse with a pointer at the owning catalog") {
     withServer { (wh, cat, _) =>
       IceLite.createOrReplace(TableRef(wh, "src", "t"),
         Seq((1L, "a")).toDF("k", "s"))
@@ -84,13 +103,13 @@ class RestCatalogSpec extends AnyFunSuite {
         val e = intercept[Exception](spark.sql(sql).collect())
         val msg = e.getMessage.toLowerCase
         // either our explicit refusal or Spark's own capability check
-        // (the table advertises BATCH_READ only, so the analyzer
-        // rejects writes natively — equally loud, equally safe)
+        // (no truncate/overwrite support advertised, so the analyzer
+        // rejects natively — equally loud, equally safe)
         assert(msg.contains("read-only") || msg.contains("refused") ||
-          msg.contains("does not support"),
-          s"'$sql' should refuse as read-only, got: ${e.getMessage.take(150)}")
+          msg.contains("owning catalog") || msg.contains("does not support"),
+          s"'$sql' should refuse, got: ${e.getMessage.take(150)}")
       }
-      refused(s"INSERT INTO $cat.src.t VALUES (9, 'x')")
+      refused(s"INSERT OVERWRITE $cat.src.t VALUES (9, 'x')")
       refused(s"DELETE FROM $cat.src.t WHERE k = 1")
       refused(s"UPDATE $cat.src.t SET s = 'y' WHERE k = 1")
       refused(s"DROP TABLE $cat.src.t")
