@@ -44,6 +44,13 @@ class GraftSqlParser(spark: SparkSession,
   private def existingView(child: LogicalPlan) =
     partsOf(child).flatMap(GraftViewCommands.resolveExistingView(spark, _))
 
+  /** Mutations stay on the OWNING catalog only. */
+  private def existingIceView(child: LogicalPlan) =
+    partsOf(child).flatMap(GraftViewCommands.resolveTarget(spark, _))
+      .filter { case (_, cat, ns, name) =>
+        cat.viewExists(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array(ns), name)) }
+
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case cv: CreateView =>
       target(cv.child).map { case (catName, _, ns, name) =>
@@ -67,10 +74,10 @@ class GraftSqlParser(spark: SparkSession,
       }
       val resolved = nsParts.flatMap {
         case Seq(cat, ns) =>
-          GraftViewCommands.resolveTarget(spark, Seq(cat, ns, "_"))
+          GraftViewCommands.resolveViewCatalog(spark, Seq(cat, ns, "_"))
             .map { case (c, _, n, _) => (c, n) }
         case Seq(ns) =>
-          GraftViewCommands.resolveTarget(spark, Seq(ns, "_"))
+          GraftViewCommands.resolveViewCatalog(spark, Seq(ns, "_"))
             .map { case (c, _, n, _) => (c, n) }
         case _ => None
       }
@@ -85,13 +92,13 @@ class GraftSqlParser(spark: SparkSession,
       }.getOrElse(av)
 
     case sp: SetViewProperties =>
-      existingView(sp.child).map { case (catName, _, ns, name) =>
+      existingIceView(sp.child).map { case (catName, _, ns, name) =>
         GraftAlterViewPropsCommand(catName, ns, name, sp.properties,
           Nil): LogicalPlan
       }.getOrElse(sp)
 
     case up: UnsetViewProperties =>
-      existingView(up.child).map { case (catName, _, ns, name) =>
+      existingIceView(up.child).map { case (catName, _, ns, name) =>
         GraftAlterViewPropsCommand(catName, ns, name, Map.empty,
           up.propertyKeys): LogicalPlan
       }.getOrElse(up)

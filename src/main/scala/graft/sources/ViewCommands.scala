@@ -52,10 +52,34 @@ object GraftViewCommands {
     }
   }
 
-  /** Like resolveTarget, but only when the view actually exists. */
+  /** Resolve to ANY ViewCatalog-capable plugin (the local IceLite
+    * catalog or a REST attachment) — the READ-side resolver. DDL
+    * stays on resolveTarget (IceLiteCatalog owns mutation). */
+  def resolveViewCatalog(spark: SparkSession,
+      parts: Seq[String]): Option[(String, ViewCatalog, String, String)] = {
+    def viewCat(name: String): Option[ViewCatalog] =
+      try Bridge.catalogPlugin(spark, name) match {
+        case c: ViewCatalog => Some(c)
+        case _ => None
+      } catch { case _: Exception => None }
+    parts match {
+      case Seq(cat, ns, name) => viewCat(cat).map((cat, _, ns, name))
+      case Seq(ns, name) =>
+        val cur = Bridge.currentCatalogName(spark)
+        viewCat(cur).map((cur, _, ns, name))
+      case Seq(name) =>
+        val cur = Bridge.currentCatalogName(spark)
+        val curNs = Bridge.currentNamespace(spark)
+        if (curNs.length != 1) None
+        else viewCat(cur).map((cur, _, curNs.head, name))
+      case _ => None
+    }
+  }
+
+  /** Like resolveViewCatalog, but only when the view actually exists. */
   def resolveExistingView(spark: SparkSession,
-      parts: Seq[String]): Option[(String, IceLiteCatalog, String, String)] =
-    resolveTarget(spark, parts).filter { case (_, cat, ns, name) =>
+      parts: Seq[String]): Option[(String, ViewCatalog, String, String)] =
+    resolveViewCatalog(spark, parts).filter { case (_, cat, ns, name) =>
       cat.viewExists(Identifier.of(Array(ns), name))
     }
 
@@ -63,7 +87,7 @@ object GraftViewCommands {
     * qualified with the view's stored context, nested views expanded
     * eagerly (seen-set = cycle detection), column aliases applied,
     * wrapped in a SubqueryAlias so `v.col` references resolve. */
-  def expandView(spark: SparkSession, catName: String, cat: IceLiteCatalog,
+  def expandView(spark: SparkSession, catName: String, cat: ViewCatalog,
       ns: String, name: String,
       seen: Set[(String, String, String)]): LogicalPlan = {
     val key = (catName, ns, name)
@@ -73,7 +97,7 @@ object GraftViewCommands {
         "newPath" -> (seen.map(k => s"${k._1}.${k._2}.${k._3}") + s"$catName.$ns.$name")
           .mkString(" -> ")))
     val ident = Identifier.of(Array(ns), name)
-    val v = cat.asInstanceOf[ViewCatalog].loadView(ident)
+    val v = cat.loadView(ident)
     // Spark's CTESubstitution batch already ran by the time this rule
     // injects the parsed body — re-apply it here so WITH aliases in
     // the view body resolve (they become CTERelationRefs, which the
@@ -81,8 +105,16 @@ object GraftViewCommands {
     // catalog tables below
     val parsed = org.apache.spark.sql.catalyst.analysis.CTESubstitution(
       Bridge.parsePlan(spark, v.query))
-    val viewCat = v.currentCatalog
-    val viewNs = v.currentNamespace.toSeq
+    // stored context names the catalog as the CREATING session knew
+    // it; an attached engine (REST) may register the same warehouse
+    // under a different alias — if the stored name is not a catalog
+    // HERE, relative names re-qualify through the alias the view was
+    // reached by (the Iceberg-views rule: catalog names are local)
+    val storedCatKnown =
+      try { Bridge.catalogPlugin(spark, v.currentCatalog); true }
+      catch { case _: Exception => false }
+    val viewCat = if (storedCatKnown) v.currentCatalog else catName
+    val viewNs = if (storedCatKnown) v.currentNamespace.toSeq else Seq(ns)
     val qualified = parsed.transformUp {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         val qparts = u.multipartIdentifier match {
@@ -168,7 +200,7 @@ case class GraftShowViewsCommand(catName: String, ns: String,
     pattern: Option[String],
     override val output: Seq[Attribute]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[IceLiteCatalog]
+    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[ViewCatalog]
     val names = cat.listViews(ns).map(_.name).toSeq
     val kept = pattern.fold(names) { p =>
       val res = p.split("\\|").toSeq.map(q =>
@@ -220,7 +252,7 @@ case class GraftAlterViewPropsCommand(catName: String, ns: String,
 case class GraftDescribeViewCommand(catName: String, ns: String, name: String,
     override val output: Seq[Attribute]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[IceLiteCatalog]
+    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[ViewCatalog]
     val v = cat.loadView(Identifier.of(Array(ns), name))
     val aliases = v.columnAliases
     v.schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
@@ -235,7 +267,7 @@ case class GraftShowCreateViewCommand(catName: String, ns: String,
     name: String,
     override val output: Seq[Attribute]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[IceLiteCatalog]
+    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[ViewCatalog]
     val v = cat.loadView(Identifier.of(Array(ns), name))
     val cols = if (v.columnAliases == null || v.columnAliases.isEmpty) ""
       else v.columnAliases.mkString(" (", ", ", ")")

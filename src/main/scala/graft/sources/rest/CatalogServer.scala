@@ -108,6 +108,18 @@ class CatalogServer(warehouse: String, port: Int = 0) {
             send(ex, 200, Serialization.write(Map(
               "snapshotId" -> snap.id, "rowCount" -> snap.rowCount)))
           }
+        // views travel as their stored definition — SQL text + the
+        // re-resolution context (d74's persistence, wire-faced)
+        case ("GET", Seq("namespaces", ns, "views")) =>
+          if (!IceLite.listNamespaces(warehouse).contains(ns))
+            send(ex, 404, s"""{"error":"no namespace $ns"}""")
+          else send(ex, 200, Serialization.write(
+            Map("views" -> graft.sources.IceLiteViews.list(warehouse, ns))))
+        case ("GET", Seq("namespaces", ns, "views", v)) =>
+          graft.sources.IceLiteViews.load(warehouse, ns, v) match {
+            case None => send(ex, 404, s"""{"error":"no view $ns.$v"}""")
+            case Some(vd) => send(ex, 200, Serialization.write(vd))
+          }
         case (m, p) =>
           send(ex, 404, s"""{"error":"no route $m /${p.mkString("/")}"}""")
       }

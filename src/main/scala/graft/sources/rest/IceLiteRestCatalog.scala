@@ -49,7 +49,8 @@ import graft.sources.{IceLiteSource, IceLiteTable}
   * point-in-time snapshot, and a stream that silently never advanced
   * would be a lie.
   */
-class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces {
+class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   private var catalogName: String = _
   private var uri: String = _
@@ -183,6 +184,45 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces {
       s"$op refused: catalog '$catalogName' is a READ-ONLY REST attachment " +
         "(metadata over HTTP, shared storage underneath); writes go " +
         "through the warehouse's owning catalog (IceLiteCatalog)")
+
+  // ---- views over the wire: the owning engine's dbt models are
+  // queryable from this attachment (GraftViewSubstitution resolves
+  // through ANY ViewCatalog, this one included); definitions are
+  // fetched per read, so a re-run's CREATE OR REPLACE flows through.
+  // View DDL mutates catalog state → owning catalog only. ----
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    try (parse(get(s"/namespaces/${ns.head}/views")) \ "views")
+      .extract[Seq[String]].map(Identifier.of(ns, _)).toArray
+    catch { case e: RestCatalogException if e.code == 404 =>
+      throw new NoSuchNamespaceException(ns) }
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    try { loadView(ident); true }
+    catch { case _: org.apache.spark.sql.catalyst.analysis.NoSuchViewException => false }
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
+    require(ident.namespace.length == 1,
+      s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
+    val vd =
+      try Serialization.read[graft.sources.ViewDef](
+        get(s"/namespaces/${ident.namespace.head}/views/${ident.name}"))
+      catch { case e: RestCatalogException if e.code == 404 =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident) }
+    graft.sources.IceLiteViews.asSparkView(ident, vd)
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): org.apache.spark.sql.connector.catalog.View =
+    refuseWrite("CREATE VIEW")
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*): org.apache.spark.sql.connector.catalog.View =
+    refuseWrite("ALTER VIEW")
+  override def dropView(ident: Identifier): Boolean = refuseWrite("DROP VIEW")
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    refuseWrite("RENAME VIEW")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table =

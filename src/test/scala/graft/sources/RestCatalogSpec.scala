@@ -129,4 +129,43 @@ class RestCatalogSpec extends AnyFunSuite {
         e2.getMessage.toLowerCase.contains("namespace"))
     }
   }
+
+  test("views defined by the owning engine are queryable through REST") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref,
+        (1L to 100L).map(k => (k, (k % 5).toString)).toDF("k", "g"))
+      // the OWNING catalog (a different alias) defines the dbt models
+      val owner = s"owner_${java.util.UUID.randomUUID.toString.take(8)}"
+      spark.conf.set(s"spark.sql.catalog.$owner",
+        classOf[IceLiteCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$owner.warehouse", wh)
+      // body uses RELATIVE names: the attachment must re-qualify them
+      // through ITS OWN alias (the stored catalog name is not
+      // registered on a real second engine)
+      spark.sql(s"USE $owner.src")
+      try {
+        spark.sql("CREATE VIEW g_stats AS SELECT g, count(*) AS n FROM t GROUP BY g")
+        spark.sql("CREATE VIEW busy AS SELECT g, n FROM g_stats WHERE n >= 20")
+      } finally spark.sql("USE spark_catalog.default")
+      // drop the owner alias entirely — the attachment is on its own
+      spark.conf.unset(s"spark.sql.catalog.$owner")
+      val got = spark.sql(s"SELECT g, n FROM $cat.src.busy ORDER BY g")
+        .as[(String, Long)].collect().toSeq
+      assert(got == Seq(("0", 20L), ("1", 20L), ("2", 20L), ("3", 20L), ("4", 20L)))
+      assert(spark.sql(s"SHOW VIEWS IN $cat.src").collect()
+        .map(_.getString(1)).sorted.toSeq == Seq("busy", "g_stats"))
+      // a dbt re-run (CREATE OR REPLACE via the warehouse) flows through
+      IceLiteViews.write(wh, "src", "busy", IceLiteViews.load(wh, "src", "busy")
+        .get.copy(sql = "SELECT g, n FROM g_stats WHERE n > 1000"), replace = true)
+      assert(spark.sql(s"SELECT * FROM $cat.src.busy").count() == 0)
+      // view DDL refuses on the attachment
+      val e = intercept[Exception](
+        spark.sql(s"CREATE VIEW $cat.src.v2 AS SELECT 1 AS one"))
+      assert(e.getMessage.toLowerCase.contains("read-only") ||
+        e.getMessage.toLowerCase.contains("owning catalog") ||
+        e.getMessage.toLowerCase.contains("does not support"),
+        s"view DDL must refuse on the REST face: ${e.getMessage.take(150)}")
+    }
+  }
 }
