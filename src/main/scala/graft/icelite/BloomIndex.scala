@@ -175,10 +175,15 @@ object BloomIndex {
         Some(sc.key)
       case n if n.endsWith(".parquet") =>
         val key = n.stripPrefix("bloom.").stripSuffix(".parquet")
-        val meta = spark.read.parquet(ref.dir.resolve(n).toString)
-          .select("bits", "hashes").head()
-        build(spark, ref, key, meta.getInt(0), meta.getInt(1),
-          format = "parquet")
+        // an empty sidecar (built over an empty table or all-null
+        // key) carries no (bits, hashes) row — rebuild with the
+        // defaults instead of failing the maintenance op that
+        // triggered the refresh
+        val (bits, hashes) = spark.read.parquet(ref.dir.resolve(n).toString)
+          .select("bits", "hashes").limit(1).collect().headOption
+          .map(r => (r.getInt(0), r.getInt(1)))
+          .getOrElse((DefaultBits, DefaultHashes))
+        build(spark, ref, key, bits, hashes, format = "parquet")
         Some(key)
       case _ => None
     }

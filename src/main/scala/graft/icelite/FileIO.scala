@@ -61,6 +61,9 @@ private[graft] trait FileIO {
   def delete(p: Path): Boolean
   def list(dir: Path): Seq[Path]
   def mkdirs(p: Path): Unit
+  /** Object age, for orphan-sweep grace windows (Iceberg's
+    * orphan-cleanup age rule). Local: mtime. S3: LastModified. */
+  def mtimeMs(p: Path): Long
 }
 
 /** java.nio implementation — the sandbox/laptop deployment. The CAS
@@ -88,4 +91,6 @@ private[graft] object LocalFileIO extends FileIO {
       try s.iterator().asScala.toSeq finally s.close()
     }
   override def mkdirs(p: Path): Unit = Files.createDirectories(p)
+  override def mtimeMs(p: Path): Long =
+    Files.getLastModifiedTime(p).toMillis
 }

@@ -510,9 +510,19 @@ object IceLite {
       scala.util.Try(io.delete(ref.dir.resolve(rel)))
     }
 
+  /** Unreferenced-segment sweeps skip segments younger than this: a
+    * concurrent committer in ANOTHER process stages its segments
+    * (writeManifestTo) BEFORE claiming the pointer, so an
+    * unreferenced young segment may be a commit in flight — deleting
+    * it would let the claim succeed against vanished segments
+    * (Iceberg's orphan-cleanup age rule, default 3 days; minutes
+    * suffice here because staging→claim is one write apart). */
+  private[graft] val SegSweepGraceMs: Long = 10L * 60 * 1000
+
   /** Delete meta/ segments no surviving manifest version references
     * (run after manifest versions are expired). */
-  private def sweepSegments(ref: TableRef): Seq[String] = {
+  private def sweepSegments(ref: TableRef,
+      graceMs: Long = SegSweepGraceMs): Seq[String] = {
     val metaDir = ref.dir.resolve("meta")
     import org.json4s._
     def strings(jv: JValue): Seq[String] = jv match {
@@ -526,9 +536,12 @@ object IceLite {
         org.json4s.jackson.JsonMethods.parse(io.readString(p)) \
           "snapshots" \ "segments"))
       .map(rel => ref.dir.resolve(rel).toString).toSet
+    val now = System.currentTimeMillis()
     val doomed = io.list(metaDir)
       .filter(_.getFileName.toString.startsWith("seg-"))
       .filterNot(p => referenced(p.toString))
+      .filter(p => scala.util.Try(io.mtimeMs(p)).toOption
+        .forall(now - _ >= graceMs))
     doomed.foreach { p =>
       segCache.remove(p.toString)
       io.delete(p)
@@ -743,6 +756,17 @@ object IceLite {
       // survives the commit; an unclustered write drops it honestly
       def sortKept(m: Manifest): Option[String] =
         if (keepSorted) m.current.sortedBy else None
+      // a flat staged commit against a partitioned table would flip
+      // the current snapshot to flat layout — path-borne partition
+      // values silently vanish and pruning breaks. The local DSv2
+      // path routes partitioned tables to commitStagedPartitioned;
+      // refuse here so no OTHER caller (e.g. a remote commit
+      // protocol) can take that corrupting shortcut.
+      cur.foreach { m =>
+        require(m.current.partitionCols.isEmpty && m.current.partitionSpec.isEmpty,
+          s"${ref.name} is partitioned — flat staged commits would drop " +
+            "the partition layout; stage through the partitioned write path")
+      }
       cur match {
         case None =>
           Manifest(ref.name, id, Seq(Snapshot(id, now, "create", files, rows,
@@ -3156,7 +3180,8 @@ object IceLite {
     * latestManifestFile picks the max, so the watermark only moves
     * forward. Keeps the newest `keepLast` versions for forensic
     * recovery; returns the versions deleted. */
-  def expireMetadata(ref: TableRef, keepLast: Int = 10): Seq[Long] = {
+  def expireMetadata(ref: TableRef, keepLast: Int = 10,
+      segGraceMs: Long = SegSweepGraceMs): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     latestManifestFile(ref) match {
       case None => Nil
@@ -3170,8 +3195,10 @@ object IceLite {
         val doomed = versions.filter(_ <= maxV - keepLast).sorted
         doomed.foreach(v => io.delete(manifestPathFor(ref, v)))
         // segments referenced only by the deleted versions are
-        // unreachable now — reclaim them (O(meta files), no data touch)
-        sweepSegments(ref)
+        // unreachable now — reclaim them (O(meta files), no data
+        // touch); the grace window protects another process's
+        // staged-but-not-yet-claimed commit
+        sweepSegments(ref, segGraceMs)
         doomed
     }
   }

@@ -50,6 +50,15 @@ class CatalogServer(warehouse: String, port: Int = 0) {
   /** The bound uri (port resolved when `port = 0`). */
   def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
 
+  /** URL path segments become filesystem path components (TableRef,
+    * view files) — whitelist identifier shapes so `..`, separators,
+    * or hidden-file prefixes can never address outside the warehouse
+    * (the 127.0.0.1 bind is not a sufficient guard: any local process
+    * can reach this port). */
+  private val IdentRe = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+  private def validIdent(s: String): Boolean =
+    IdentRe.matches(s) && !s.contains("..")
+
   private def send(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -63,7 +72,11 @@ class CatalogServer(warehouse: String, port: Int = 0) {
     try {
       val path = ex.getRequestURI.getPath.stripPrefix("/v1").stripPrefix("/")
       val parts = path.split('/').filter(_.nonEmpty).toSeq
-      (ex.getRequestMethod, parts) match {
+      // every segment that names a namespace/table/view must be a
+      // plain identifier; route keywords pass trivially
+      if (!parts.forall(validIdent))
+        send(ex, 400, s"""{"error":"invalid identifier in path"}""")
+      else (ex.getRequestMethod, parts) match {
         case ("GET", Seq("config")) =>
           send(ex, 200, Serialization.write(Map("warehouse" -> warehouse)))
         case ("GET", Seq("namespaces")) =>

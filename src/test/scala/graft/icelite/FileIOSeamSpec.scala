@@ -41,6 +41,7 @@ class FileIOSeamSpec extends AnyFunSuite {
     override def delete(p: Path): Boolean = LocalFileIO.delete(p)
     override def list(dir: Path): Seq[Path] = LocalFileIO.list(dir)
     override def mkdirs(p: Path): Unit = LocalFileIO.mkdirs(p)
+    override def mtimeMs(p: Path): Long = LocalFileIO.mtimeMs(p)
   }
 
   private def withScopedIO[A](f: (Scoped, TableRef) => A): A = {

@@ -118,7 +118,7 @@ class ManifestShardSpec extends AnyFunSuite {
     // still references every historical delta segment (shared history
     // is the point of the layout)
     IceLite.expireSnapshotsRetainLast(ref, 1)
-    IceLite.expireMetadata(ref, keepLast = 1)
+    IceLite.expireMetadata(ref, keepLast = 1, segGraceMs = 0L)
     assert(segFiles(ref).size == 9, "chained history must survive expiry")
     // compaction gives the current snapshot a fresh merged chain; once
     // the old snapshots AND the old manifest versions referencing the
@@ -126,7 +126,7 @@ class ManifestShardSpec extends AnyFunSuite {
     IceLite.compact(spark, ref, targetFiles = 1)
     IceLite.expireSnapshotsRetainLast(ref, 1)
     val segsBefore = segFiles(ref).size
-    IceLite.expireMetadata(ref, keepLast = 1)
+    IceLite.expireMetadata(ref, keepLast = 1, segGraceMs = 0L)
     val segsAfter = segFiles(ref).size
     assert(segsAfter < segsBefore,
       s"expireMetadata should reclaim unreachable segments ($segsBefore -> $segsAfter)")
@@ -138,6 +138,25 @@ class ManifestShardSpec extends AnyFunSuite {
     segFiles(ref).foreach(p =>
       assert(ptr.contains(s"meta/${p.getFileName}"),
         s"swept table keeps unreferenced segment $p"))
+  }
+
+  test("segment sweep honors the grace window (in-flight commits survive)") {
+    val ref = freshRef()
+    IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
+    (1 to 3).foreach(i => IceLite.append(ref, Seq((i + 1L, "b")).toDF("k", "s")))
+    IceLite.compact(spark, ref, targetFiles = 1)
+    IceLite.expireSnapshotsRetainLast(ref, 1)
+    val segsBefore = segFiles(ref).size
+    // default grace: every unreferenced segment here is seconds old —
+    // a sweep must NOT reclaim it (it could be another process's
+    // staged-but-not-yet-claimed commit)
+    IceLite.expireMetadata(ref, keepLast = 1)
+    assert(segFiles(ref).size == segsBefore,
+      "young unreferenced segments must survive the graced sweep")
+    // past the grace window the same sweep reclaims them
+    IceLite.expireMetadata(ref, keepLast = 1, segGraceMs = 0L)
+    assert(segFiles(ref).size < segsBefore)
+    assert(IceLite.read(spark, ref).count() == 4)
   }
 
   test("long chains cap and merge instead of growing unboundedly") {

@@ -87,7 +87,7 @@ class ShardModelSpec extends AnyFunSuite {
         case 9 => // expire all but the newest few snapshots
           IceLite.expireSnapshotsRetainLast(ref, 1 + rnd.nextInt(3))
         case 10 => // expire old manifest versions (sweeps segments)
-          IceLite.expireMetadata(ref, keepLast = 1 + rnd.nextInt(3))
+          IceLite.expireMetadata(ref, keepLast = 1 + rnd.nextInt(3), segGraceMs = 0L)
         case 11 => // no-op readManifest round-trip (cache exercise)
           val m = IceLite.readManifest(ref)
           assert(m.current.rowCount == model.size,
