@@ -936,8 +936,21 @@ object IceLite {
   private[graft] def commitStagedPartitioned(ref: TableRef, token: String,
       staged: Seq[String], mode: PartitionedWriteMode,
       summary: Map[String, String] = Map.empty): Snapshot = {
-    import PartitionedWriteMode._
     val moved = promoteStagedPartitioned(ref, token, staged)
+    commitPromotedPartitioned(ref, moved, mode, summary)
+  }
+
+  /** The CAS half of a partitioned staged commit: `moved` are
+    * table-relative `data/part/<value dirs>/` paths ALREADY promoted
+    * into the Hive layout (locally by commitStagedPartitioned; by the
+    * remote writer itself on the REST path — promotion is data-plane,
+    * visibility changes only here). Validates every file carries the
+    * table's partition columns, then resolves the overwrite mode in
+    * ONE CAS snapshot. */
+  private[graft] def commitPromotedPartitioned(ref: TableRef,
+      moved: Seq[String], mode: PartitionedWriteMode,
+      summary: Map[String, String] = Map.empty): Snapshot = {
+    import PartitionedWriteMode._
     def partVals(f: String): Map[String, String] =
       f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
         val c = seg.takeWhile(_ != '=')

@@ -3128,11 +3128,13 @@ object ScalePack extends Pack {
           s.sql(s"INSERT INTO $cat.src.nation VALUES (9900, 'zz_rest', 0)")
           val restAppend = IceLite.read(s, ref)
             .filter($"n_nationkey" === 9900L).count() == 1
-          // history rewrites refuse toward the owning catalog
-          val overwriteRefused =
-            try { s.sql(s"INSERT OVERWRITE $cat.src.nation VALUES (1,'x',0)"); false }
+          // operations the commit protocol does not carry (schema
+          // evolution) still refuse toward the owning catalog; DML is
+          // d76's surface
+          val alterRefused =
+            try { s.sql(s"ALTER TABLE $cat.src.nation ADD COLUMN c INT"); false }
             catch { case _: Exception => true }
-          val restOk = overHttp && restAppend && overwriteRefused &&
+          val restOk = overHttp && restAppend && alterRefused &&
             fresh.map(_.getLong(1)).sum == rows.map(_.getLong(1)).sum + 1
           import scala.jdk.CollectionConverters._
           s.createDataFrame(fresh.toSeq.asJava,
@@ -3149,6 +3151,176 @@ object ScalePack extends Pack {
       },
       Some("""SELECT n_regionkey, COUNT(*) AS n_nations,
              MIN(n_name) AS first_name, TRUE AS rest_ok
-             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // d76: FULL DML over the REST attachment — the reference's shared
+    // catalog serves every engine for every operation (dbt-trino runs
+    // CTAS and incremental MERGE through the REST catalog:
+    // README.md:79-98, iceberg-template.properties:8-9). One commit
+    // protocol shape covers it all: the remote engine stages (and for
+    // partitioned layouts promotes) files in SHARED storage, then ONE
+    // POST CAS-commits {operation, added, removed} server-side — the
+    // metadata authority never leaves the catalog service, data bytes
+    // never cross it. Witnessed here: remote row-level DELETE, a
+    // CONCURRENT local append rebasing cleanly between remote
+    // rewrites, remote UPDATE, remote MERGE (update + insert arms),
+    // remote static-partition INSERT OVERWRITE on a partitioned
+    // table (layout kept), and remote CTAS visible to both faces —
+    // all landing as successive snapshots of the owner's ONE lineage.
+    Decl("d76_rest_dml",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d76").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = graft.icelite.TableRef(wh, "src", "orders_dml")
+        val orders = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        // modular key slices so every statement matches rows at every
+        // fixture scale (keys are dense 0..N-1)
+        IceLite.createOrReplace(ref, orders.filter($"o_orderkey" % 4 < 2))
+        val srv = new graft.sources.rest.CatalogServer(wh).start()
+        try {
+          val cat = s"restdml_${java.util.UUID.randomUUID.toString.take(8)}"
+          s.conf.set(s"spark.sql.catalog.$cat",
+            "graft.sources.rest.IceLiteRestCatalog")
+          s.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+          // remote row-level DELETE: the group-based rewrite runs on
+          // the attachment, the removed-for-added swap commits
+          // server-side
+          s.sql(s"DELETE FROM $cat.src.orders_dml WHERE o_orderkey % 8 = 0")
+          // CONCURRENT local append — rebases through the same CAS
+          IceLite.append(ref, orders.filter($"o_orderkey" % 4 === 2))
+          // remote UPDATE over the merged lineage
+          s.sql(s"""UPDATE $cat.src.orders_dml
+                    SET o_totalprice = o_totalprice * 2
+                    WHERE o_orderstatus = 'F'""")
+          // remote MERGE: matched arm (keys ≡1 mod 4, all present)
+          // zeroes, not-matched arm (keys ≡3 mod 4, all absent) inserts
+          orders.filter($"o_orderkey" % 4 === 1 || $"o_orderkey" % 4 === 3)
+            .createOrReplaceTempView("d76_merge_src")
+          s.sql(
+            s"""MERGE INTO $cat.src.orders_dml t USING d76_merge_src m
+                ON t.o_orderkey = m.o_orderkey
+                WHEN MATCHED THEN UPDATE SET o_totalprice = CAST(0.0 AS DOUBLE)
+                WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+                VALUES (m.o_orderkey, m.o_orderstatus, m.o_totalprice)""")
+          // the owner's lineage carries every remote commit in order
+          val lineageOk = IceLite.readManifest(ref).snapshots.map(_.operation) ==
+            Seq("create", "delete", "append", "update", "merge")
+          // remote static-partition INSERT OVERWRITE keeps the layout
+          val pref = graft.icelite.TableRef(wh, "src", "po")
+          locally { import s.implicits._
+            IceLite.createOrReplacePartitioned(pref,
+              Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "p"), "p") }
+          s.sql(s"INSERT OVERWRITE $cat.src.po PARTITION (p='a') VALUES (9L)")
+          val pm = IceLite.readManifest(pref).current
+          val overwriteOk = pm.partitionCols == Seq("p") &&
+            pm.files.forall(_.contains("p=")) &&
+            s.sql(s"SELECT k FROM $cat.src.po WHERE p = 'a'")
+              .collect().map(_.getLong(0)).toSeq == Seq(9L) &&
+            pm.operation == "overwrite"
+          // remote CTAS: staged into shared storage, published by one
+          // POST, visible to the owning engine immediately
+          s.sql(s"""CREATE TABLE $cat.src.dml_summary AS
+                    SELECT o_orderstatus, COUNT(*) AS n FROM $cat.src.orders_dml
+                    GROUP BY o_orderstatus""")
+          val ctasOk = IceLite.read(s,
+              graft.icelite.TableRef(wh, "src", "dml_summary"))
+            .agg(sum($"n")).head.getLong(0) ==
+            IceLite.read(s, ref).count()
+          // final state through the REST face ≡ the oracle's replay
+          s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                    FROM $cat.src.orders_dml
+                    GROUP BY o_orderstatus""")
+            .withColumn("dml_ok", lit(lineageOk && overwriteOk && ctasOk))
+            .orderBy($"o_orderstatus")
+        } finally srv.stop()
+      },
+      Some("""WITH base AS (
+               SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderkey % 4 < 2 AND o_orderkey % 8 <> 0
+               UNION ALL
+               SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderkey % 4 = 2
+             ), upd AS (
+               SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                      ELSE o_totalprice END AS p
+               FROM base
+             ), merged AS (
+               SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 4 = 1 THEN 0.0 ELSE p END AS p
+               FROM upd
+               UNION ALL
+               SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderkey % 4 = 3
+             )
+             SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(p AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+               TRUE AS dml_ok
+             FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // d78: VIEW DDL over the REST attachment — d74's full witness
+    // flow (create, nested views, atomic replace, show, drop) run
+    // entirely through the wire face. The attachment posts the view
+    // DEFINITION to the catalog service, which applies the same
+    // one-winner hard-link CREATE and atomic-rename REPLACE the
+    // owning catalog uses; the owning engine reads the remote-created
+    // models instantly (shared _views/), and a remote re-run's
+    // CREATE OR REPLACE flows back — dbt against the attachment is
+    // now fully symmetric with dbt against the owner.
+    Decl("d78_rest_view_ddl",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d78").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = graft.icelite.TableRef(wh, "src", "customer")
+        IceLite.createOrReplace(ref, Tables.load(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal"))
+        val srv = new graft.sources.rest.CatalogServer(wh).start()
+        try {
+          val cat = s"restvw_${java.util.UUID.randomUUID.toString.take(8)}"
+          s.conf.set(s"spark.sql.catalog.$cat",
+            "graft.sources.rest.IceLiteRestCatalog")
+          s.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+          // remote CREATE VIEW + a nested view on top of it
+          s.sql(s"""CREATE VIEW $cat.src.seg_stats AS
+                    SELECT c_mktsegment, COUNT(*) AS n,
+                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,3))) AS DOUBLE) AS bal
+                    FROM $cat.src.customer GROUP BY c_mktsegment""")
+          s.sql(s"""CREATE VIEW $cat.src.big_segs AS
+                    SELECT c_mktsegment, n, bal FROM $cat.src.seg_stats
+                    WHERE n >= 0""")
+          // the OWNING warehouse sees the remote definitions
+          val ownerSees =
+            graft.sources.IceLiteViews.exists(wh, "src", "seg_stats") &&
+            graft.sources.IceLiteViews.exists(wh, "src", "big_segs")
+          // duplicate CREATE refuses (one-winner claim), OR REPLACE
+          // swaps atomically and the nested read sees the new body
+          val dupRefused =
+            try { s.sql(s"CREATE VIEW $cat.src.seg_stats AS SELECT 1 AS one")
+                  .collect(); false }
+            catch { case _: Exception => true }
+          s.sql(s"""CREATE OR REPLACE VIEW $cat.src.seg_stats AS
+                    SELECT c_mktsegment, COUNT(*) AS n,
+                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,3))) AS DOUBLE) AS bal
+                    FROM $cat.src.customer WHERE c_acctbal > 0
+                    GROUP BY c_mktsegment""")
+          val shown = s.sql(s"SHOW VIEWS IN $cat.src").collect()
+            .map(_.getString(1)).sorted.toSeq == Seq("big_segs", "seg_stats")
+          // remote DROP of the outer view; the inner keeps serving
+          s.sql(s"DROP VIEW $cat.src.big_segs")
+          val dropOk = !graft.sources.IceLiteViews.exists(wh, "src", "big_segs")
+          // final read through the replaced remote view ≡ oracle
+          s.sql(s"SELECT c_mktsegment, n, bal FROM $cat.src.seg_stats")
+            .withColumn("view_ddl_ok",
+              lit(ownerSees && dupRefused && shown && dropOk))
+            .orderBy($"c_mktsegment")
+        } finally srv.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,3))) AS DOUBLE) AS bal,
+             TRUE AS view_ddl_ok
+             FROM customer WHERE c_acctbal > 0
+             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -230,41 +230,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** d68/d70: identity transforms only (hidden-partition transforms
-    * write through the engine). Partition values are PATH-BORNE in
-    * the Hive layout, so the partition columns surface as strings and
-    * sort last — the same shape every populated partitioned read has. */
   private def partitionedShape(schema: StructType,
-      partitions: Array[Transform]): (StructType, Seq[String]) = {
-    val cols = partitions.toSeq.map { t =>
-      if (t.name != "identity")
-        throw new UnsupportedOperationException(
-          s"icelite SQL DDL supports identity partitioning only, got " +
-            s"${t.describe} — transform layouts write through " +
-            "IceLite.createOrReplaceTransformed")
-      val fieldNames = t.references()(0).fieldNames
-      require(fieldNames.length == 1,
-        s"icelite partitions on top-level columns only, got ${t.describe}")
-      fieldNames.head
-    }
-    cols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c is not in the table schema"))
-    // loud, not silent: the Hive-layout convention (values live in the
-    // path) means a non-string declared partition type surfaces as
-    // STRING and partition columns sort last — tell the user instead
-    // of letting them discover it from a surprising DESCRIBE
-    cols.foreach { c =>
-      val f = schema(schema.fieldIndex(c))
-      if (f.dataType != org.apache.spark.sql.types.StringType)
-        logWarning(s"partition column '$c' declared ${f.dataType.sql} " +
-          "surfaces as STRING (partition values are path-borne in the " +
-          "Hive layout) and partition columns sort last in the schema")
-    }
-    (StructType(
-      schema.fields.filterNot(f => cols.contains(f.name)) ++
-        cols.map(c => org.apache.spark.sql.types.StructField(c,
-          org.apache.spark.sql.types.StringType))), cols)
-  }
+      partitions: Array[Transform]): (StructType, Seq[String]) =
+    IceLiteCatalog.partitionedShape(schema, partitions)
 
   // ---- d70: atomic CREATE [OR REPLACE] / REPLACE TABLE AS SELECT ----
 
@@ -518,5 +486,45 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     val all = IceLite.listDir(java.nio.file.Files.walk(ns))(_.toSeq)
     all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     true
+  }
+}
+
+object IceLiteCatalog extends org.apache.spark.internal.Logging {
+  /** d68/d70: identity transforms only (hidden-partition transforms
+    * write through the engine). Partition values are PATH-BORNE in
+    * the Hive layout, so the partition columns surface as strings and
+    * sort last — the same shape every populated partitioned read has.
+    * Shared by the owning catalog and the REST attachment's DDL face
+    * (d76). */
+  private[graft] def partitionedShape(schema: StructType,
+      partitions: Array[Transform]): (StructType, Seq[String]) = {
+    val cols = partitions.toSeq.map { t =>
+      if (t.name != "identity")
+        throw new UnsupportedOperationException(
+          s"icelite SQL DDL supports identity partitioning only, got " +
+            s"${t.describe} — transform layouts write through " +
+            "IceLite.createOrReplaceTransformed")
+      val fieldNames = t.references()(0).fieldNames
+      require(fieldNames.length == 1,
+        s"icelite partitions on top-level columns only, got ${t.describe}")
+      fieldNames.head
+    }
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
+    // loud, not silent: the Hive-layout convention (values live in the
+    // path) means a non-string declared partition type surfaces as
+    // STRING and partition columns sort last — tell the user instead
+    // of letting them discover it from a surprising DESCRIBE
+    cols.foreach { c =>
+      val f = schema(schema.fieldIndex(c))
+      if (f.dataType != org.apache.spark.sql.types.StringType)
+        logWarning(s"partition column '$c' declared ${f.dataType.sql} " +
+          "surfaces as STRING (partition values are path-borne in the " +
+          "Hive layout) and partition columns sort last in the schema")
+    }
+    (StructType(
+      schema.fields.filterNot(f => cols.contains(f.name)) ++
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType))), cols)
   }
 }

@@ -601,8 +601,16 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
         case IceLiteCommitMessage(name) if name != null => s"data/$token/$name"
       }.toSeq.sorted
     if (removed.isEmpty && staged.isEmpty) ()  // nothing matched, nothing inserted
-    else IceLite.commitReplace(ref, removed.toSet, staged, opName)
+    else commitReplaced(removed.toSet, staged)
   }
+
+  /** The single metadata commit of the rewrite — swap the scanned
+    * groups for the staged files. The REST attachment overrides this
+    * to route the SAME swap through the catalog service's commit
+    * protocol (staging and promotion above are data-plane and stay
+    * client-side). */
+  protected def commitReplaced(removed: Set[String], staged: Seq[String]): Unit =
+    IceLite.commitReplace(ref, removed, staged, opName)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = ref.dataDir.resolve(token)

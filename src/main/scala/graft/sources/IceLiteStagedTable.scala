@@ -84,6 +84,13 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
       if (partitionCols.nonEmpty)
         IceLite.promoteStagedPartitioned(ref, token, staged)
       else staged.map(n => s"data/$token/$n")
+    commitTable(files)
+  }
+
+  /** The atomic publish of the staged table — ONE manifest commit.
+    * The REST attachment overrides this to route the same commit
+    * through the catalog service (staging stays data-plane). */
+  protected def commitTable(files: Seq[String]): Unit = {
     IceLite.replaceTableStaged(ref, files, partitionCols,
       declared.toDDL, mustNotExist, mustExist)
     ()

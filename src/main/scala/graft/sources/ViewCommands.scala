@@ -27,34 +27,19 @@ import org.apache.spark.sql.graft.Bridge
   */
 object GraftViewCommands {
 
-  /** Resolve multi-part identifier `parts` to an IceLite catalog view
+  /** Resolve multi-part identifier `parts` to a graft view-DDL
     * target, honoring the session's current catalog/namespace for
-    * short names. None when the identifier does not land in an
-    * IceLite catalog (caller passes through to stock Spark). */
+    * short names. Any ViewCatalog-capable plugin qualifies — the
+    * local IceLite catalog or a REST attachment (d78: remote view
+    * DDL posts definitions through the catalog service). None when
+    * the identifier does not land in one (caller passes through to
+    * stock Spark). */
   def resolveTarget(spark: SparkSession,
-      parts: Seq[String]): Option[(String, IceLiteCatalog, String, String)] = {
-    def iceCat(name: String): Option[IceLiteCatalog] =
-      try Bridge.catalogPlugin(spark, name) match {
-        case c: IceLiteCatalog => Some(c)
-        case _ => None
-      } catch { case _: Exception => None }
-    parts match {
-      case Seq(cat, ns, name) => iceCat(cat).map((cat, _, ns, name))
-      case Seq(ns, name) =>
-        val cur = Bridge.currentCatalogName(spark)
-        iceCat(cur).map((cur, _, ns, name))
-      case Seq(name) =>
-        val cur = Bridge.currentCatalogName(spark)
-        val curNs = Bridge.currentNamespace(spark)
-        if (curNs.length != 1) None
-        else iceCat(cur).map((cur, _, curNs.head, name))
-      case _ => None
-    }
-  }
+      parts: Seq[String]): Option[(String, ViewCatalog, String, String)] =
+    resolveViewCatalog(spark, parts)
 
   /** Resolve to ANY ViewCatalog-capable plugin (the local IceLite
-    * catalog or a REST attachment) — the READ-side resolver. DDL
-    * stays on resolveTarget (IceLiteCatalog owns mutation). */
+    * catalog or a REST attachment). */
   def resolveViewCatalog(spark: SparkSession,
       parts: Seq[String]): Option[(String, ViewCatalog, String, String)] = {
     def viewCat(name: String): Option[ViewCatalog] =
@@ -160,7 +145,7 @@ case class GraftCreateViewCommand(
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(query)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[IceLiteCatalog]
+    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[ViewCatalog]
     val ident = Identifier.of(Array(ns), name)
     if (cat.viewExists(ident) && allowExisting && !replace) return Nil
     // analyze the body now: invalid SQL / missing tables fail at
@@ -186,7 +171,7 @@ case class GraftCreateViewCommand(
 case class GraftDropViewCommand(catName: String, ns: String, name: String,
     ifExists: Boolean) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[IceLiteCatalog]
+    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[ViewCatalog]
     val dropped = cat.dropView(Identifier.of(Array(ns), name))
     if (!dropped && !ifExists)
       throw new NoSuchViewException(Identifier.of(Array(ns), name))
@@ -219,7 +204,7 @@ case class GraftAlterViewAsCommand(catName: String, ns: String, name: String,
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(query)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[IceLiteCatalog]
+    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[ViewCatalog]
     val ident = Identifier.of(Array(ns), name)
     val old = cat.loadView(ident)
     val analyzed = Bridge.ofRows(spark, query)
@@ -238,7 +223,7 @@ case class GraftAlterViewPropsCommand(catName: String, ns: String,
     unset: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.connector.catalog.ViewChange
-    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[IceLiteCatalog]
+    val cat = Bridge.catalogPlugin(spark, catName).asInstanceOf[ViewCatalog]
     val changes: Seq[ViewChange] =
       set.toSeq.sortBy(_._1).map { case (k, v) => ViewChange.setProperty(k, v) } ++
         unset.map(ViewChange.removeProperty)

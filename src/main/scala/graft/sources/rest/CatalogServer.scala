@@ -41,6 +41,45 @@ import graft.icelite.{IceLite, TableRef}
   */
 private[rest] final case class CommitStagedReq(files: Seq[String])
 
+/** The generic DML commit: a remote engine has staged (and, for
+  * partitioned layouts, promoted) its output files in the SHARED
+  * warehouse; this one POST turns them into ONE CAS snapshot. The
+  * reference's catalog serves every engine for every operation the
+  * same way (dbt-trino CTAS + incremental MERGE through the REST
+  * catalog — README.md:79-98); `operation` selects the commit shape:
+  *  - `append` / `overwrite`            flat tables (commitStaged)
+  *  - `append-partitioned` /
+  *    `overwrite-partitioned`           Hive-layout tables; `mode` is
+  *                                      all|dynamic|static (+`eq` for
+  *                                      static partition filters)
+  *  - `replace`                         row-level rewrite: swap
+  *                                      `removed` for `added`
+  *                                      (`opName` names the statement)
+  */
+private[rest] final case class CommitReq(
+    operation: String,
+    added: Seq[String] = Nil,
+    removed: Seq[String] = Nil,
+    mode: Option[String] = None,
+    eq: Map[String, String] = Map.empty,
+    opName: Option[String] = None,
+    keepSorted: Boolean = false)
+
+/** CTAS/RTAS commit: the staged files become the table's ONLY files
+  * in one CAS commit (IceLite.replaceTableStaged semantics). */
+private[rest] final case class CreateStagedReq(
+    files: Seq[String], partitionCols: Seq[String], schemaDdl: String,
+    mustNotExist: Boolean, mustExist: Boolean)
+
+/** `CREATE TABLE … PARTITIONED BY` with no data (d68). */
+private[rest] final case class CreateEmptyReq(
+    schemaDdl: String, partitionCols: Seq[String])
+
+/** View DDL payload: the stored definition plus the statement shape
+  * (CREATE vs CREATE OR REPLACE vs REPLACE). */
+private[rest] final case class ViewPutReq(
+    replace: Boolean, orCreate: Boolean, viewDef: graft.sources.ViewDef)
+
 class CatalogServer(warehouse: String, port: Int = 0) {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   val requests = new AtomicLong(0)
@@ -58,6 +97,9 @@ class CatalogServer(warehouse: String, port: Int = 0) {
   private val IdentRe = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
   private def validIdent(s: String): Boolean =
     IdentRe.matches(s) && !s.contains("..")
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
   private def send(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -121,6 +163,81 @@ class CatalogServer(warehouse: String, port: Int = 0) {
             send(ex, 200, Serialization.write(Map(
               "snapshotId" -> snap.id, "rowCount" -> snap.rowCount)))
           }
+        // the FULL DML commit face (d76): overwrite, partitioned
+        // modes, and row-level rewrites land through the same
+        // one-POST CAS shape as appends — the metadata authority
+        // never leaves this service, data bytes never cross it
+        case ("POST", Seq("namespaces", ns, "tables", t, "commit")) =>
+          val ref = TableRef(warehouse, ns, t)
+          if (!IceLite.tableExists(ref))
+            send(ex, 404, s"""{"error":"no table $ns.$t"}""")
+          else {
+            val req = Serialization.read[CommitReq](readBody(ex))
+            (req.added ++ req.removed).foreach(f => require(
+              f.startsWith("data/") && !f.contains(".."),
+              s"commit paths must be table-relative data/ files, got $f"))
+            import graft.icelite.PartitionedWriteMode._
+            val via = Map("committed-via" -> "rest")
+            val snap = req.operation match {
+              case "append" =>
+                require(req.added.nonEmpty, "append needs staged files")
+                IceLite.commitStaged(ref, req.added, truncate = false,
+                  summary = via, keepSorted = req.keepSorted)
+              case "overwrite" =>
+                IceLite.commitStaged(ref, req.added, truncate = true,
+                  summary = via, keepSorted = req.keepSorted)
+              case "append-partitioned" =>
+                require(req.added.nonEmpty, "append needs staged files")
+                IceLite.commitPromotedPartitioned(ref, req.added, Append, via)
+              case "overwrite-partitioned" =>
+                val mode = req.mode match {
+                  case Some("all") => ReplaceAll
+                  case Some("dynamic") => ReplaceDynamic
+                  case Some("static") => ReplaceWhere(req.eq)
+                  case other => throw new IllegalArgumentException(
+                    s"overwrite-partitioned mode must be all|dynamic|static, got $other")
+                }
+                IceLite.commitPromotedPartitioned(ref, req.added, mode, via)
+              case "replace" =>
+                IceLite.commitReplace(ref, req.removed.toSet, req.added,
+                  req.opName.getOrElse("replace"))
+              case other => throw new IllegalArgumentException(
+                s"unknown commit operation '$other'")
+            }
+            send(ex, 200, Serialization.write(Map(
+              "snapshotId" -> snap.id, "rowCount" -> snap.rowCount)))
+          }
+        // CTAS/RTAS: one CAS commit makes the staged files the
+        // table's only content (atomic create-or-replace — d70's
+        // replaceTableStaged behind the wire face)
+        case ("POST", Seq("namespaces", ns, "tables", t, "create-staged")) =>
+          val ref = TableRef(warehouse, ns, t)
+          val req = Serialization.read[CreateStagedReq](readBody(ex))
+          req.files.foreach(f => require(
+            f.startsWith("data/") && !f.contains(".."),
+            s"staged paths must be table-relative data/ files, got $f"))
+          IceLite.createNamespace(warehouse, ns)
+          val snap = IceLite.replaceTableStaged(ref, req.files,
+            req.partitionCols, req.schemaDdl, req.mustNotExist, req.mustExist)
+          send(ex, 200, Serialization.write(Map(
+            "snapshotId" -> snap.id, "rowCount" -> snap.rowCount)))
+        case ("POST", Seq("namespaces", ns, "tables", t, "create-empty")) =>
+          val ref = TableRef(warehouse, ns, t)
+          val req = Serialization.read[CreateEmptyReq](readBody(ex))
+          IceLite.createNamespace(warehouse, ns)
+          val snap = IceLite.createEmptyPartitioned(ref, req.schemaDdl,
+            req.partitionCols)
+          send(ex, 200, Serialization.write(Map("snapshotId" -> snap.id)))
+        case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
+          val ref = TableRef(warehouse, ns, t)
+          if (!IceLite.tableExists(ref))
+            send(ex, 404, s"""{"error":"no table $ns.$t"}""")
+          else {
+            val all = IceLite.listDir(java.nio.file.Files.walk(ref.dir))(_.toSeq)
+            all.sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            send(ex, 200, """{"dropped":true}""")
+          }
         // views travel as their stored definition — SQL text + the
         // re-resolution context (d74's persistence, wire-faced)
         case ("GET", Seq("namespaces", ns, "views")) =>
@@ -133,10 +250,39 @@ class CatalogServer(warehouse: String, port: Int = 0) {
             case None => send(ex, 404, s"""{"error":"no view $ns.$v"}""")
             case Some(vd) => send(ex, 200, Serialization.write(vd))
           }
+        // view DDL over the wire: a remote dbt run can CREATE OR
+        // REPLACE its models against the shared catalog, not just
+        // read them. Same guards as the owning catalog: a name is a
+        // table OR a view, never both; CREATE races have one winner
+        // (hard-link claim); REPLACE is one atomic rename.
+        case ("POST", Seq("namespaces", ns, "views", v)) =>
+          val req = Serialization.read[ViewPutReq](readBody(ex))
+          if (IceLite.tableExists(TableRef(warehouse, ns, v)))
+            send(ex, 409, s"""{"error":"$ns.$v is a table"}""")
+          else if (req.replace && !req.orCreate &&
+              !graft.sources.IceLiteViews.exists(warehouse, ns, v))
+            send(ex, 404, s"""{"error":"no view $ns.$v"}""")
+          else {
+            IceLite.createNamespace(warehouse, ns)
+            if (graft.sources.IceLiteViews.write(warehouse, ns, v,
+                req.viewDef, replace = req.replace))
+              send(ex, 200, "{}")
+            else send(ex, 409, s"""{"error":"view $ns.$v already exists"}""")
+          }
+        case ("DELETE", Seq("namespaces", ns, "views", v)) =>
+          send(ex, 200, Serialization.write(Map(
+            "dropped" -> graft.sources.IceLiteViews.drop(warehouse, ns, v))))
         case (m, p) =>
           send(ex, 404, s"""{"error":"no route $m /${p.mkString("/")}"}""")
       }
     } catch {
+      // commit races and precondition failures are CONFLICTS the
+      // client can act on (rebase, re-run against the new snapshot) —
+      // distinguish them from server faults
+      case e @ (_: java.util.ConcurrentModificationException |
+                _: IllegalArgumentException | _: IllegalStateException) =>
+        send(ex, 409, Serialization.write(Map(
+          "error" -> Option(e.getMessage).getOrElse(e.getClass.getName))))
       case e: Exception =>
         send(ex, 500, Serialization.write(Map(
           "error" -> Option(e.getMessage).getOrElse(e.getClass.getName))))

@@ -7,12 +7,12 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 import org.json4s.{Formats, NoTypeHints}
 import org.json4s.jackson.Serialization
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.icelite.TableRef
+import graft.icelite.{IceLite, TableRef}
 import graft.sources.{IceLiteSource, IceLiteTable}
 
 /** The REST-ATTACHED catalog — how a second engine (or a second
@@ -38,18 +38,25 @@ import graft.sources.{IceLiteSource, IceLiteTable}
   * resolves without rewriting (the local-FS analogue of the absolute
   * object-store URIs real Iceberg manifests carry).
   *
-  * Writes: APPEND (INSERT INTO) works end-to-end — executors stage
-  * parquet straight into the shared warehouse through the data/
-  * mount, then one POST asks the catalog service to CAS-commit the
-  * staged set (Iceberg's REST commit: data never proxies through the
-  * catalog, the metadata authority never leaves it; concurrent
-  * remote and local appenders rebase through the same CAS). History
-  * rewrites — overwrite, row-level ops, DDL — refuse toward the
-  * owning catalog, and streaming reads refuse too: the spool is a
-  * point-in-time snapshot, and a stream that silently never advanced
-  * would be a lie.
+  * Writes (d76): the FULL DML surface works over the wire, through
+  * one division of labor — executors stage (and, for partitioned
+  * layouts, promote) parquet straight into the shared warehouse
+  * through the data/ mount, then ONE POST asks the catalog service
+  * to CAS-commit the result (Iceberg's REST commit: data never
+  * proxies through the catalog, the metadata authority never leaves
+  * it). That covers INSERT INTO, INSERT OVERWRITE (truncate, static
+  * and dynamic partition modes), row-level DELETE/UPDATE/MERGE (the
+  * group-based rewrite runs client-side against the spool, the swap
+  * commits server-side), atomic CTAS/RTAS (StagingTableCatalog),
+  * CREATE TABLE … PARTITIONED BY, DROP TABLE, and view DDL — the
+  * operations a remote dbt run issues against the reference's shared
+  * catalog (README.md:79-98). Concurrent remote and local writers
+  * rebase through the same server-side CAS. Streaming reads refuse:
+  * the spool is a point-in-time snapshot, and a stream that silently
+  * never advanced would be a lie.
   */
 class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   private var catalogName: String = _
@@ -83,13 +90,16 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     resp.body()
   }
 
-  private def post(path: String): Unit = {
+  private def post(path: String, body: String = ""): String =
+    RestCommitClient.post(http, uri + path, body)
+
+  private def delete(path: String): String = {
     val resp = http.send(
-      HttpRequest.newBuilder(URI.create(uri + path))
-        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpRequest.newBuilder(URI.create(uri + path)).DELETE().build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200) throw new RestCatalogException(
-      resp.statusCode(), s"POST $path -> ${resp.statusCode()}: ${resp.body()}")
+      resp.statusCode(), s"DELETE $path -> ${resp.statusCode()}: ${resp.body()}")
+    resp.body()
   }
 
   // ---- namespaces ----
@@ -115,6 +125,7 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     require(namespace.length == 1,
       s"icelite namespaces are single-level, got ${namespace.mkString(".")}")
     post(s"/namespaces/${namespace.head}")
+    ()
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -158,9 +169,11 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     val serverTable = Paths.get(warehouse, ns, ident.name)
     Seq("data", "deletes").foreach { d =>
       val link = spool.dir.resolve(d)
-      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        Files.createDirectories(serverTable.resolve(d))
         try Files.createSymbolicLink(link, serverTable.resolve(d))
         catch { case _: java.nio.file.FileAlreadyExistsException => () } // racing loader won
+      }
     }
     val mf = spool.dir.resolve(f"manifest.v$version%08d.json")
     if (!Files.exists(mf)) {
@@ -179,17 +192,22 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       ident, uri, http)
   }
 
+  /** Server path (relative to the /v1 base) of a table resource. */
+  private def tablePath(ident: Identifier): String =
+    s"/namespaces/${ident.namespace.head}/tables/${ident.name}"
+
   private def refuseWrite(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$op refused: catalog '$catalogName' is a READ-ONLY REST attachment " +
-        "(metadata over HTTP, shared storage underneath); writes go " +
-        "through the warehouse's owning catalog (IceLiteCatalog)")
+      s"$op refused: catalog '$catalogName' is a REST attachment; this " +
+        "operation mutates state the commit protocol does not carry — " +
+        "run it through the warehouse's owning catalog (IceLiteCatalog)")
 
   // ---- views over the wire: the owning engine's dbt models are
-  // queryable from this attachment (GraftViewSubstitution resolves
-  // through ANY ViewCatalog, this one included); definitions are
-  // fetched per read, so a re-run's CREATE OR REPLACE flows through.
-  // View DDL mutates catalog state → owning catalog only. ----
+  // queryable AND maintainable from this attachment — definitions are
+  // fetched per read (a re-run's CREATE OR REPLACE flows through),
+  // and view DDL posts the definition to the catalog service, which
+  // applies the same one-winner CREATE claim / atomic REPLACE the
+  // owning catalog uses (d76/d78). ----
 
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray
@@ -201,7 +219,7 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
 
   override def viewExists(ident: Identifier): Boolean =
     try { loadView(ident); true }
-    catch { case _: org.apache.spark.sql.catalyst.analysis.NoSuchViewException => false }
+    catch { case _: NoSuchViewException => false }
 
   override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
     require(ident.namespace.length == 1,
@@ -210,47 +228,187 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       try Serialization.read[graft.sources.ViewDef](
         get(s"/namespaces/${ident.namespace.head}/views/${ident.name}"))
       catch { case e: RestCatalogException if e.code == 404 =>
-        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident) }
+        throw new NoSuchViewException(ident) }
     graft.sources.IceLiteViews.asSparkView(ident, vd)
   }
 
+  private def putView(ident: Identifier, vd: graft.sources.ViewDef,
+      replace: Boolean, orCreate: Boolean): Unit = {
+    require(ident.namespace.length == 1,
+      s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
+    try post(s"/namespaces/${ident.namespace.head}/views/${ident.name}",
+      Serialization.write(ViewPutReq(replace, orCreate, vd)))
+    catch {
+      case e: RestCatalogException if e.code == 409 =>
+        if (e.getMessage.contains("is a table"))
+          throw new TableAlreadyExistsException(ident)
+        else throw new ViewAlreadyExistsException(ident)
+      case e: RestCatalogException if e.code == 404 =>
+        throw new NoSuchViewException(ident)
+    }
+    ()
+  }
+
   override def createView(
-      info: org.apache.spark.sql.connector.catalog.ViewInfo): org.apache.spark.sql.connector.catalog.View =
-    refuseWrite("CREATE VIEW")
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): org.apache.spark.sql.connector.catalog.View = {
+    val vd = graft.sources.IceLiteViews.defOf(info)
+    putView(info.ident, vd, replace = false, orCreate = false)
+    graft.sources.IceLiteViews.asSparkView(info.ident, vd)
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val vd = graft.sources.IceLiteViews.defOf(info)
+    putView(info.ident, vd, replace = true, orCreate = orCreate)
+    graft.sources.IceLiteViews.asSparkView(info.ident, vd)
+  }
+
   override def alterView(ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.ViewChange*): org.apache.spark.sql.connector.catalog.View =
-    refuseWrite("ALTER VIEW")
-  override def dropView(ident: Identifier): Boolean = refuseWrite("DROP VIEW")
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*): org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val cur =
+      try Serialization.read[graft.sources.ViewDef](
+        get(s"/namespaces/${ident.namespace.head}/views/${ident.name}"))
+      catch { case e: RestCatalogException if e.code == 404 =>
+        throw new NoSuchViewException(ident) }
+    val next = changes.foldLeft(cur) { (v, ch) => ch match {
+      case set: ViewChange.SetProperty =>
+        v.copy(properties = v.properties + (set.property -> set.value))
+      case rm: ViewChange.RemoveProperty =>
+        v.copy(properties = v.properties - rm.property)
+      case other => throw new UnsupportedOperationException(
+        s"icelite ALTER VIEW supports SET/UNSET TBLPROPERTIES only, got $other")
+    }}
+    putView(ident, next, replace = true, orCreate = true)
+    graft.sources.IceLiteViews.asSparkView(ident, next)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      (parse(delete(s"/namespaces/${ident.namespace.head}/views/${ident.name}")) \
+        "dropped").extract[Boolean]
+
   override def renameView(from: Identifier, to: Identifier): Unit =
     refuseWrite("RENAME VIEW")
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    refuseWrite("CREATE TABLE")
+  // ---- table DDL over the wire (d76) ----
 
-  override def dropTable(ident: Identifier): Boolean = refuseWrite("DROP TABLE")
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (partitions.isEmpty)
+      // a flat CREATE TABLE materializes with its first committed
+      // write locally; over the wire that lazy state has no manifest
+      // to spool — use CTAS, or create through the owning catalog
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE (no data) on REST attachment '$catalogName' " +
+          "supports partitioned tables only — use CREATE TABLE … AS " +
+          "SELECT for flat tables")
+    else {
+      val (ordered, cols) =
+        graft.sources.IceLiteCatalog.partitionedShape(schema, partitions)
+      post(tablePath(ident) + "/create-empty", Serialization.write(
+        CreateEmptyReq(ordered.toDDL, cols)))
+      loadTable(ident)
+    }
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    try { delete(tablePath(ident)); true }
+    catch { case e: RestCatalogException if e.code == 404 => false }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     refuseWrite("ALTER TABLE")
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     refuseWrite("RENAME TABLE")
+
+  // ---- atomic CTAS/RTAS (d70 over the wire): Spark writes the
+  // SELECT through the staged table FIRST — files land invisibly in
+  // the SHARED warehouse under data/<token>/ (the attachment writes
+  // the warehouse path directly; staging is data-plane) — then ONE
+  // POST publishes them as the table's only content. ----
+
+  private def stagedTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], mustNotExist: Boolean,
+      mustExist: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(ident.namespace.length == 1,
+      s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
+    if (mustNotExist && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (mustExist && !tableExists(ident))
+      throw new NoSuchTableException(ident)
+    post(s"/namespaces/${ident.namespace.head}")
+    val schema = StructType(columns.map(c => org.apache.spark.sql.types
+      .StructField(c.name, c.dataType, c.nullable)))
+    val (ordered, cols) =
+      if (partitions.isEmpty) (schema, Seq.empty[String])
+      else graft.sources.IceLiteCatalog.partitionedShape(schema, partitions)
+    // stage into the shared warehouse directly: the table dir may not
+    // exist yet, so there is no spool to mount through
+    new RestStagedTable(TableRef(warehouse, ident.namespace.head, ident.name),
+      ordered, cols, mustNotExist, mustExist,
+      uri + tablePath(ident) + "/create-staged", http)
+  }
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedTable(ident, columns, partitions, mustNotExist = true, mustExist = false)
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedTable(ident, columns, partitions, mustNotExist = false, mustExist = true)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedTable(ident, columns, partitions, mustNotExist = false, mustExist = false)
 }
 
 private[rest] class RestCatalogException(val code: Int, msg: String)
   extends RuntimeException(msg)
 
+/** Shared POST helper: JSON in/out with the standard error mapping
+  * (409 = commit conflict the caller can rebase on; surfaced as
+  * ConcurrentModificationException so retrying statements see the
+  * same exception local conflicts raise). */
+private[rest] object RestCommitClient {
+  def post(http: HttpClient, url: String, body: String): String = {
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 409)
+      throw new java.util.ConcurrentModificationException(
+        s"REST commit conflict: ${resp.body()}")
+    if (resp.statusCode() != 200) throw new RestCatalogException(
+      resp.statusCode(), s"POST $url -> ${resp.statusCode()}: ${resp.body()}")
+    resp.body()
+  }
+}
+
 /** The face a REST attachment serves: the full IceLite scan machinery
   * (manifest pruning, columnar read, MoR delete folds, partition
-  * discovery) over the spooled snapshot, plus APPEND writes through
-  * the REST commit protocol — executors stage parquet into the
-  * SHARED warehouse (the spool's data/ mount), then ONE POST asks the
-  * catalog service to commit the staged set (Iceberg's REST-commit
-  * division of labor: data never proxies through the catalog, the
-  * metadata authority never leaves it). Everything else — overwrite,
-  * row-level ops, DDL, streaming — refuses toward the owning catalog:
-  * those operations rewrite history, and history belongs to the
-  * metadata authority, not to a spool snapshot of it. */
+  * discovery) over the spooled snapshot, plus the full batch DML
+  * surface through the REST commit protocol (d76) — executors stage
+  * parquet into the SHARED warehouse (the spool's data/ mount),
+  * partitioned layouts promote into their Hive value dirs
+  * client-side (data-plane moves; nothing is visible until commit),
+  * then ONE POST asks the catalog service to CAS-commit the change
+  * (Iceberg's REST-commit division of labor: data never proxies
+  * through the catalog, the metadata authority never leaves it).
+  * Row-level DELETE/UPDATE/MERGE run the same group-based rewrite as
+  * the owning catalog — scan and staging client-side, the
+  * removed-for-added swap server-side, concurrent-rewrite races
+  * failing loudly. Streaming still refuses: the spool is a
+  * point-in-time snapshot. */
 private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
     catalogName: String, ident: Identifier, uri: String,
     http: java.net.http.HttpClient)
@@ -259,14 +417,18 @@ private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
 
   override def name(): String = s"$catalogName.${ident.namespace.head}.${ident.name}"
 
+  private def commitUrl: String =
+    s"$uri/namespaces/${ident.namespace.head}/tables/${ident.name}/commit"
+
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
 
   private def refuse(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$op refused: ${name()} is a REST attachment (append-only " +
-        "writes via the commit protocol); run this through the " +
-        "warehouse's owning catalog")
+      s"$op refused: ${name()} is a REST attachment; run this through " +
+        "the warehouse's owning catalog")
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -274,41 +436,145 @@ private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
         .getOption("spark.wap.branch").forall(_.isEmpty),
       "spark.wap.branch is set — branch staging commits through the " +
         "owning catalog, not the REST face")
-    // plain WriteBuilder (no SupportsTruncate/SupportsOverwrite): the
-    // analyzer itself refuses INSERT OVERWRITE/truncate natively
-    new org.apache.spark.sql.connector.write.WriteBuilder {
-      override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.Write {
-          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new RestBatchWrite(spool, info.schema(),
-              s"$uri/namespaces/${ident.namespace.head}/tables/${ident.name}/commit-staged",
-              http)
-        }
-    }
+    // transform-partitioned (hidden-partition) layouts stage their
+    // dirs from DERIVED values the SQL writer cannot recompute
+    require(IceLiteSource.resolveSnap(spool, None).partitionSpec.isEmpty,
+      s"${name()} is transform-partitioned — write through the owning " +
+        "catalog's engine API (IceLite.appendTransformed)")
+    new RestWriteBuilder(spool, info, commitUrl, http)
   }
+
   override def newRowLevelOperationBuilder(
-      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    refuse("row-level operation")
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val snap = IceLiteSource.resolveSnap(spool, None)
+    require(snap.partitionSpec.isEmpty,
+      s"${name()} is transform-partitioned — row-level rewrites run " +
+        "through the owning catalog's engine API")
+    require(snap.eqDeletes.isEmpty,
+      s"${name()} has live equality-delete sidecars — compact() " +
+        "before a row-level DELETE/UPDATE/MERGE")
+    () => new RestRowLevelOperation(spool, tableSchema, info.command,
+      commitUrl, http)
+  }
+
+  // pushed-filter DELETE declines: the row-level rewrite path above
+  // covers DELETE with full semantics; metadata-only partition drops
+  // stay an owning-catalog operation
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = false
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    refuse("DELETE")
+    refuse("pushed-filter DELETE")
   override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
       properties: JMap[String, String]): Unit = refuse("ADD PARTITION")
   override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
     refuse("DROP PARTITION")
 }
 
-/** Executors stage one parquet file per non-empty input partition into
-  * the SHARED warehouse through the spool's data/ mount (same staging
-  * layout as the local writer — pre-commit files are invisible and
-  * orphan-GC-able); the driver's commit is ONE POST to the catalog
-  * service, which CAS-commits the staged set with footer-derived
-  * stats. Concurrent remote and local appenders rebase through the
-  * same CAS — nobody's snapshot is lost. */
+/** Write builder of the REST face — the same statement surface as the
+  * owning catalog's IceLiteWriteBuilder (truncate, static partition
+  * overwrite, dynamic overwrite), with the commit re-routed through
+  * the catalog service. Distribution/ordering requirements are
+  * identical: partitioned targets cluster rows by partition value
+  * (one file per task × partition, d67), sorted targets
+  * range-partition and sort on the table's sort key (d54). */
+private[rest] class RestWriteBuilder(spool: TableRef,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    commitUrl: String, http: java.net.http.HttpClient)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  import org.apache.spark.sql.connector.write.{Write, WriteBuilder, BatchWrite}
+  import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, Filter}
+
+  private var replace = false
+  private var overwriteEq: Option[Map[String, String]] = None
+  private var dynamic = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) { replace = true; this }
+    else {
+      val eq = filters.toSeq.map {
+        case EqualTo(c, v) => c -> String.valueOf(v)
+        case EqualNullSafe(c, v) if v != null => c -> String.valueOf(v)
+        case other => throw new UnsupportedOperationException(
+          s"icelite INSERT OVERWRITE supports partition equality " +
+            s"filters only, got $other")
+      }.toMap
+      overwriteEq = Some(eq)
+      this
+    }
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
+  }
+
+  override def build(): Write = new Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+    private val snap = IceLiteSource.resolveSnap(spool, None)
+    private val partCols: Seq[String] = snap.partitionCols
+    private val sortCol: Option[String] = snap.sortedBy
+
+    locally {
+      require(partCols.nonEmpty || (overwriteEq.isEmpty && !dynamic),
+        s"${spool.name} is not partitioned — partition overwrite does " +
+          "not apply (plain INSERT OVERWRITE truncates)")
+    }
+
+    override def requiredDistribution(): Distribution =
+      if (partCols.nonEmpty)
+        Distributions.clustered(partCols.map(c =>
+          Expressions.identity(c): org.apache.spark.sql.connector
+            .expressions.Expression).toArray)
+      else sortCol match {
+        case Some(c) => Distributions.ordered(Array(
+          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+        case None => Distributions.unspecified()
+      }
+    override def requiredOrdering(): Array[SortOrder] = sortCol match {
+      case Some(c) if partCols.isEmpty => Array(
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
+
+    override def toBatch: BatchWrite =
+      if (partCols.nonEmpty) {
+        val (modeStr, eq) =
+          if (dynamic) ("dynamic", Map.empty[String, String])
+          else overwriteEq match {
+            case Some(m) => ("static", m)
+            case None => (if (replace) "all" else "append", Map.empty[String, String])
+          }
+        new RestPartitionedBatchWrite(spool, info.schema(), partCols,
+          modeStr, eq, commitUrl, http)
+      } else new RestBatchWrite(spool, info.schema(), commitUrl, http,
+        replace, keepSorted = sortCol.isDefined)
+
+    override def description(): String =
+      s"RestWrite ${spool.name} " +
+        (if (dynamic) "overwrite-dynamic"
+         else if (overwriteEq.isDefined) s"overwrite-${overwriteEq.get}"
+         else if (replace) "overwrite" else "append")
+  }
+}
+
+/** Flat-table batch write over the REST protocol: executors stage one
+  * parquet file per non-empty input partition into the SHARED
+  * warehouse through the spool's data/ mount (pre-commit files are
+  * invisible and orphan-GC-able); the driver's commit is ONE POST,
+  * which CAS-commits the staged set server-side with footer-derived
+  * stats — append or truncate. Concurrent remote and local writers
+  * rebase through the same CAS. */
 private[rest] class RestBatchWrite(spool: graft.icelite.TableRef,
-    schema: StructType, commitUrl: String, http: java.net.http.HttpClient)
+    schema: StructType, commitUrl: String, http: java.net.http.HttpClient,
+    truncate: Boolean = false, keepSorted: Boolean = false)
   extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
   private implicit val formats: org.json4s.Formats =
@@ -327,15 +593,11 @@ private[rest] class RestBatchWrite(spool: graft.icelite.TableRef,
       case graft.sources.IceLiteCommitMessage(name) if name != null =>
         s"data/$token/$name"
     }.toSeq.sorted
-    if (files.isEmpty) return // empty append: no snapshot
-    val resp = http.send(
-      java.net.http.HttpRequest.newBuilder(URI.create(commitUrl))
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-          Serialization.write(Map("files" -> files)))).build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200) throw new RestCatalogException(
-      resp.statusCode(),
-      s"REST commit failed (${resp.statusCode()}): ${resp.body()}")
+    if (files.isEmpty && !truncate) return // empty append: no snapshot
+    RestCommitClient.post(http, commitUrl, Serialization.write(CommitReq(
+      operation = if (truncate) "overwrite" else "append",
+      added = files, keepSorted = keepSorted)))
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -345,5 +607,116 @@ private[rest] class RestBatchWrite(spool: graft.icelite.TableRef,
         .foreach(Files.deleteIfExists(_))
       Files.deleteIfExists(dir)
     }
+  }
+}
+
+/** Partitioned batch write over the REST protocol (d76): executors
+  * stage Hive-layout files under the shared `data/<token>/`, the
+  * driver PROMOTES them into `data/part/` value dirs (renames within
+  * shared storage — data-plane, invisible until commit) and ONE POST
+  * resolves the overwrite mode server-side
+  * (IceLite.commitPromotedPartitioned): append, replace-all,
+  * static-partition replace, or dynamic replace. */
+private[rest] class RestPartitionedBatchWrite(spool: graft.icelite.TableRef,
+    schema: StructType, partitionCols: Seq[String], mode: String,
+    eq: Map[String, String], commitUrl: String,
+    http: java.net.http.HttpClient)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private implicit val formats: org.json4s.Formats =
+    Serialization.formats(org.json4s.NoTypeHints)
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(spool.dataDir.resolve(token))
+    new graft.sources.IceLitePartitionedWriterFactory(
+      spool.dataDir.resolve(token).toString, schema, partitionCols)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case graft.sources.IceLitePartitionedCommitMessage(fs) => fs
+    }.flatten.toSeq
+    if (staged.isEmpty && mode == "append") return
+    val moved = IceLite.promoteStagedPartitioned(spool, token, staged)
+    val (op, m) =
+      if (mode == "append") ("append-partitioned", None)
+      else ("overwrite-partitioned", Some(mode))
+    RestCommitClient.post(http, commitUrl, Serialization.write(CommitReq(
+      operation = op, added = moved, mode = m, eq = eq)))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = spool.dataDir.resolve(token)
+    if (Files.exists(dir))
+      graft.icelite.IceLite.listDir(Files.walk(dir))(_.toSeq)
+        .sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+  }
+}
+
+/** One SQL row-level statement (UPDATE / MERGE / rewritten DELETE)
+  * against the REST attachment: the group-based scan half is the
+  * owning catalog's exactly (runtime-filtered candidate files read
+  * through the spool + shared mounts); the write half stages and
+  * promotes rewritten rows client-side, then routes the
+  * removed-for-added swap through the catalog service's commit
+  * protocol — where a concurrent rewrite of a scanned file fails the
+  * statement loudly and concurrent appends rebase, same as local. */
+private[rest] class RestRowLevelOperation(spool: TableRef,
+    tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    commitUrl: String, http: java.net.http.HttpClient)
+  extends graft.sources.IceLiteRowLevelOperation(spool, tableSchema, cmd) {
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new RestReplaceWrite(spool, info.schema(),
+          RestRowLevelOperation.this, cmd.toString.toLowerCase,
+          commitUrl, http)
+    }
+}
+
+/** The write half of a REST row-level rewrite: staging and promotion
+  * are inherited (they run against the spool's shared mounts — pure
+  * data-plane); only the single metadata commit differs, posting
+  * {removed, added, operation} for the server-side CAS swap. */
+private[rest] class RestReplaceWrite(spool: TableRef, schema: StructType,
+    op: graft.sources.IceLiteRowLevelOperation, opName: String,
+    commitUrl: String, http: java.net.http.HttpClient)
+  extends graft.sources.IceLiteReplaceWrite(spool, schema, op, opName) {
+  private implicit val formats: org.json4s.Formats =
+    Serialization.formats(org.json4s.NoTypeHints)
+
+  override protected def commitReplaced(removed: Set[String],
+      staged: Seq[String]): Unit = {
+    RestCommitClient.post(http, commitUrl, Serialization.write(CommitReq(
+      operation = "replace", added = staged,
+      removed = removed.toSeq.sorted, opName = Some(opName))))
+    ()
+  }
+}
+
+/** Atomic CTAS/RTAS over the wire: the staged write half is inherited
+  * (files land invisibly under the shared `data/<token>/`, promoted
+  * to Hive value dirs for partitioned targets); the publish is ONE
+  * POST to create-staged, which runs the same
+  * create-or-replace-table CAS the owning catalog uses (d70). */
+private[rest] class RestStagedTable(ref: TableRef, declared: StructType,
+    partitionCols: Seq[String], mustNotExist: Boolean, mustExist: Boolean,
+    createUrl: String, http: java.net.http.HttpClient)
+  extends graft.sources.IceLiteStagedTable(ref, declared, partitionCols,
+    mustNotExist, mustExist) {
+  private implicit val formats: org.json4s.Formats =
+    Serialization.formats(org.json4s.NoTypeHints)
+
+  override protected def commitTable(files: Seq[String]): Unit = {
+    RestCommitClient.post(http, createUrl, Serialization.write(
+      CreateStagedReq(files, partitionCols, declared.toDDL,
+        mustNotExist, mustExist)))
+    ()
   }
 }

@@ -10,7 +10,8 @@ import graft.sources.rest.CatalogServer
   * metadata over HTTP + IceLiteRestCatalog attaching with nothing but
   * the uri — the reference's REST-catalog architecture (one catalog
   * service, engines share storage). Reads must be byte-identical to
-  * the direct path, every scan feature intact; writes refuse. */
+  * the direct path, every scan feature intact; the FULL batch DML
+  * surface (d76) commits through the one-POST CAS protocol. */
 class RestCatalogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -95,27 +96,136 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("history rewrites refuse with a pointer at the owning catalog") {
+  test("INSERT OVERWRITE, DELETE, UPDATE, MERGE commit through the REST protocol (d76)") {
+    withServer { (wh, cat, srv) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref,
+        (1L to 10L).map(k => (k, s"r$k")).toDF("k", "s"))
+      // row-level DELETE: rewrite client-side, swap server-side
+      spark.sql(s"DELETE FROM $cat.src.t WHERE k > 8")
+      assert(IceLite.read(spark, ref).count() == 8)
+      assert(IceLite.readManifest(ref).current.operation == "delete")
+      // UPDATE
+      spark.sql(s"UPDATE $cat.src.t SET s = 'updated' WHERE k = 3")
+      assert(IceLite.read(spark, ref).filter($"s" === "updated").count() == 1)
+      // MERGE (update + insert arms)
+      Seq((3L, "merged"), (99L, "new")).toDF("k", "s")
+        .createOrReplaceTempView("rest_merge_src")
+      spark.sql(
+        s"""MERGE INTO $cat.src.t tgt USING rest_merge_src src ON tgt.k = src.k
+            WHEN MATCHED THEN UPDATE SET s = src.s
+            WHEN NOT MATCHED THEN INSERT (k, s) VALUES (src.k, src.s)""")
+      val got = IceLite.read(spark, ref).as[(Long, String)].collect().toMap
+      assert(got(3L) == "merged" && got(99L) == "new" && got.size == 9)
+      // INSERT OVERWRITE replaces the whole flat table in one snapshot
+      spark.sql(s"INSERT OVERWRITE $cat.src.t VALUES (1, 'only')")
+      assert(IceLite.read(spark, ref).as[(Long, String)].collect().toSeq ==
+        Seq((1L, "only")))
+      assert(IceLite.readManifest(ref).current.operation == "replace")
+      // every rewrite above landed in the ONE shared lineage, and the
+      // snapshots the remote engine committed say so
+      assert(IceLite.readManifest(ref).snapshots.map(_.operation) ==
+        Seq("create", "delete", "update", "merge", "replace"))
+    }
+  }
+
+  test("partitioned DML over REST keeps the Hive layout and pruning (d76)") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "p")
+      IceLite.createOrReplacePartitioned(ref,
+        (1L to 90L).map(k => (k, (k % 3).toString)).toDF("k", "p"), "p")
+      // remote append routes through the PARTITIONED commit path —
+      // value dirs, not flat files (the round-7 advice bug)
+      spark.sql(s"INSERT INTO $cat.src.p VALUES (1000, '1')")
+      val m = IceLite.readManifest(ref)
+      assert(m.current.partitionCols == Seq("p"),
+        "remote append must not flip a partitioned table to flat layout")
+      assert(m.current.files.forall(_.contains("p=")),
+        s"files must stay in value dirs: ${m.current.files.filterNot(_.contains("p=")).take(3)}")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.p WHERE p = '1'")
+        .head.getLong(0) == 31)
+      // static partition overwrite replaces exactly one partition
+      spark.sql(s"INSERT OVERWRITE $cat.src.p PARTITION (p='2') VALUES (7L)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.p WHERE p = '2'")
+        .head.getLong(0) == 1)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.p").head.getLong(0) == 62)
+      // dynamic overwrite replaces only the touched partitions
+      spark.sql("SET spark.sql.sources.partitionOverwriteMode=dynamic")
+      try spark.sql(s"INSERT OVERWRITE $cat.src.p VALUES (8, '2'), (9, '2')")
+      finally spark.sql("SET spark.sql.sources.partitionOverwriteMode=static")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.p WHERE p = '2'")
+        .head.getLong(0) == 2)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.p WHERE p = '0'")
+        .head.getLong(0) == 30, "untouched partitions must survive dynamic overwrite")
+      // row-level rewrite keeps the layout (restage through value dirs)
+      spark.sql(s"DELETE FROM $cat.src.p WHERE k = 9")
+      val m2 = IceLite.readManifest(ref)
+      assert(m2.current.partitionCols == Seq("p") &&
+        m2.current.files.forall(_.contains("p=")))
+    }
+  }
+
+  test("atomic CTAS / REPLACE TABLE and DROP TABLE over REST (d76)") {
+    withServer { (wh, cat, _) =>
+      val src = TableRef(wh, "src", "base")
+      IceLite.createOrReplace(src, (1L to 50L).map(k => (k, k % 5)).toDF("k", "g"))
+      // CTAS: staged into shared storage, published by one POST
+      spark.sql(s"CREATE TABLE $cat.src.ct AS SELECT k, g FROM $cat.src.base WHERE k <= 10")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.ct").head.getLong(0) == 10)
+      // the owning engine sees it — one shared warehouse
+      assert(IceLite.read(spark, TableRef(wh, "src", "ct")).count() == 10)
+      // CREATE refuses over an existing table
+      intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.src.ct AS SELECT 1L AS k, 1L AS g"))
+      // RTAS atomically swaps content
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.src.ct AS SELECT k, g FROM $cat.src.base WHERE k > 40")
+      assert(spark.sql(s"SELECT min(k) FROM $cat.src.ct").head.getLong(0) == 41)
+      // partitioned CTAS keeps value dirs
+      spark.sql(s"CREATE TABLE $cat.src.pt PARTITIONED BY (g) AS " +
+        s"SELECT k, CAST(g AS STRING) AS g FROM $cat.src.base")
+      val pm = IceLite.readManifest(TableRef(wh, "src", "pt"))
+      assert(pm.current.partitionCols == Seq("g") &&
+        pm.current.files.forall(_.contains("g=")))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.pt WHERE g = '0'")
+        .head.getLong(0) == 10)
+      // DROP through the wire
+      spark.sql(s"DROP TABLE $cat.src.ct")
+      assert(!IceLite.tableExists(TableRef(wh, "src", "ct")))
+    }
+  }
+
+  test("a concurrent local append rebases cleanly past a remote rewrite") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, (1L to 10L).map(k => (k, s"r$k")).toDF("k", "s"))
+      // interleave: remote DELETE, local append, remote UPDATE — all
+      // three land as successive snapshots of ONE lineage
+      spark.sql(s"DELETE FROM $cat.src.t WHERE k <= 2")
+      IceLite.append(ref, Seq((100L, "local")).toDF("k", "s"))
+      spark.sql(s"UPDATE $cat.src.t SET s = 'x' WHERE k = 100")
+      val m = IceLite.readManifest(ref)
+      assert(m.snapshots.map(_.operation) ==
+        Seq("create", "delete", "append", "update"))
+      val got = IceLite.read(spark, ref).as[(Long, String)].collect().toMap
+      assert(got.size == 9 && got(100L) == "x" && !got.contains(1L))
+    }
+  }
+
+  test("operations the commit protocol does not carry still refuse") {
     withServer { (wh, cat, _) =>
       IceLite.createOrReplace(TableRef(wh, "src", "t"),
         Seq((1L, "a")).toDF("k", "s"))
       def refused(sql: String): Unit = {
         val e = intercept[Exception](spark.sql(sql).collect())
         val msg = e.getMessage.toLowerCase
-        // either our explicit refusal or Spark's own capability check
-        // (no truncate/overwrite support advertised, so the analyzer
-        // rejects natively — equally loud, equally safe)
-        assert(msg.contains("read-only") || msg.contains("refused") ||
-          msg.contains("owning catalog") || msg.contains("does not support"),
+        assert(msg.contains("refused") || msg.contains("owning catalog") ||
+          msg.contains("does not support") || msg.contains("only"),
           s"'$sql' should refuse, got: ${e.getMessage.take(150)}")
       }
-      refused(s"INSERT OVERWRITE $cat.src.t VALUES (9, 'x')")
-      refused(s"DELETE FROM $cat.src.t WHERE k = 1")
-      refused(s"UPDATE $cat.src.t SET s = 'y' WHERE k = 1")
-      refused(s"DROP TABLE $cat.src.t")
-      refused(s"CREATE TABLE $cat.src.t2 (k BIGINT)")
       refused(s"ALTER TABLE $cat.src.t ADD COLUMN c INT")
-      // and the data is untouched
+      refused(s"ALTER TABLE $cat.src.t RENAME TO t9")
+      // flat CREATE TABLE with no data has no manifest to spool
+      refused(s"CREATE TABLE $cat.src.t2 (k BIGINT)")
       assert(IceLite.read(spark, TableRef(wh, "src", "t")).count() == 1)
     }
   }
@@ -159,13 +269,34 @@ class RestCatalogSpec extends AnyFunSuite {
       IceLiteViews.write(wh, "src", "busy", IceLiteViews.load(wh, "src", "busy")
         .get.copy(sql = "SELECT g, n FROM g_stats WHERE n > 1000"), replace = true)
       assert(spark.sql(s"SELECT * FROM $cat.src.busy").count() == 0)
-      // view DDL refuses on the attachment
+    }
+  }
+
+  test("view DDL through the REST attachment (d78): create, replace, drop") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref,
+        (1L to 40L).map(k => (k, (k % 4).toString)).toDF("k", "g"))
+      // CREATE VIEW posts the definition; the server applies the same
+      // one-winner claim the owning catalog uses
+      spark.sql(s"CREATE VIEW $cat.src.v AS SELECT g, count(*) AS n " +
+        s"FROM $cat.src.t GROUP BY g")
+      assert(spark.sql(s"SELECT sum(n) FROM $cat.src.v").head.getLong(0) == 40)
+      // the OWNING engine reads the remote-created view (shared _views/)
+      assert(IceLiteViews.exists(wh, "src", "v"))
+      // duplicate CREATE refuses; OR REPLACE swaps atomically
+      intercept[Exception](
+        spark.sql(s"CREATE VIEW $cat.src.v AS SELECT 1 AS one").collect())
+      spark.sql(s"CREATE OR REPLACE VIEW $cat.src.v AS SELECT g FROM $cat.src.t WHERE g = '1'")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.v").head.getLong(0) == 10)
+      // a view name cannot shadow a table
       val e = intercept[Exception](
-        spark.sql(s"CREATE VIEW $cat.src.v2 AS SELECT 1 AS one"))
-      assert(e.getMessage.toLowerCase.contains("read-only") ||
-        e.getMessage.toLowerCase.contains("owning catalog") ||
-        e.getMessage.toLowerCase.contains("does not support"),
-        s"view DDL must refuse on the REST face: ${e.getMessage.take(150)}")
+        spark.sql(s"CREATE VIEW $cat.src.t AS SELECT 1 AS one").collect())
+      assert(e.getMessage.toUpperCase.contains("ALREADY_EXISTS") ||
+        e.getMessage.toLowerCase.contains("table"))
+      // DROP through the wire
+      spark.sql(s"DROP VIEW $cat.src.v")
+      assert(!IceLiteViews.exists(wh, "src", "v"))
     }
   }
 }
