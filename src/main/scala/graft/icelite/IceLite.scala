@@ -254,9 +254,48 @@ object IceLite {
   }
 
   /** Serialize a manifest in the LEGACY single-JSON layout — the
-    * version-stable WIRE format of the REST face (decodeManifest
-    * reads it forever, whatever the on-disk layout does). */
+    * fallback WIRE format of the REST face (decodeManifest reads it
+    * forever; served under ?legacy=1 for old attachments). */
   def manifestWireJson(m: Manifest): String = Serialization.write(m)
+
+  /** The SHARDED wire pieces of the current manifest (d77): the
+    * version, the pointer file's EXACT bytes, and the meta/ segment
+    * basenames it references. Serving raw bytes means the wire
+    * inherits the on-disk layout's O(pointer + delta) properties for
+    * free: segments are immutable and content-named, so an attachment
+    * fetches only the ones it has not spooled yet — an unchanged
+    * 10⁶-file table costs one pointer GET, an append costs pointer +
+    * one delta segment, never O(files). A LEGACY (pre-shard)
+    * manifest file travels the same way: its raw bytes are the whole
+    * manifest and its segment list is empty — wire compatibility is
+    * structural, not special-cased. */
+  def currentManifestWire(ref: TableRef): (Long, String, Seq[String]) = {
+    val (v, path) = latestManifestFile(ref).getOrElse(
+      throw new IllegalStateException(s"no manifest for ${ref.name}"))
+    val raw = io.readString(path)
+    import org.json4s.{JArray, JString, JValue}
+    def segs(jv: JValue): Seq[String] = jv match {
+      case JString(s) => Seq(s)
+      case JArray(vs) => vs.flatMap(segs)
+      case _ => Nil
+    }
+    val names = segs(
+      org.json4s.jackson.JsonMethods.parse(raw) \ "snapshots" \ "segments")
+      .map(_.stripPrefix("meta/")).distinct
+    (v, raw, names)
+  }
+
+  /** One immutable meta/ segment's exact bytes for the wire; None if
+    * absent (e.g. swept after the pointer was fetched — the client
+    * re-resolves). The name whitelist keeps this from ever reading
+    * outside meta/. */
+  def segmentWire(ref: TableRef, name: String): Option[String] = {
+    require(name.startsWith("seg-") && name.endsWith(".json") &&
+      !name.contains("/") && !name.contains("\\") && !name.contains(".."),
+      s"not a segment name: $name")
+    val p = ref.dir.resolve("meta").resolve(name)
+    if (io.exists(p)) Some(io.readString(p)) else None
+  }
 
   // ---- sharded manifest layout ("seg1") ----------------------------
   //

@@ -3260,6 +3260,64 @@ object ScalePack extends Pack {
                TRUE AS dml_ok
              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // d77: the SHARDED manifest wire — the catalog service serves the
+    // pointer's raw bytes + segment names instead of re-assembling
+    // the legacy single JSON; the attachment spools segments by
+    // content name and fetches only unseen ones. The on-disk layout's
+    // O(pointer + delta) commit story now holds over the WIRE too:
+    // an unchanged 10⁶-file table costs one pointer GET, a changed
+    // one ships pointer + delta segments — never O(files). Witnessed
+    // with byte accounting against the assembled legacy manifest.
+    Decl("d77_rest_wire_shard",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d77").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = graft.icelite.TableRef(wh, "src", "orders_wire")
+        val orders = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        // 7 commits → a pointer referencing 7 immutable segments
+        IceLite.createOrReplace(ref, orders.filter($"o_orderkey" % 8 === 0))
+        (1 to 6).foreach(i =>
+          IceLite.append(ref, orders.filter($"o_orderkey" % 8 === i)))
+        val srv = new graft.sources.rest.CatalogServer(wh).start()
+        try {
+          val cat = s"restwire_${java.util.UUID.randomUUID.toString.take(8)}"
+          s.conf.set(s"spark.sql.catalog.$cat",
+            "graft.sources.rest.IceLiteRestCatalog")
+          s.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+          def agg() = s.sql(
+            s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                FROM $cat.src.orders_wire GROUP BY o_orderpriority""")
+          agg().collect() // attach: pointer + all 8 segments spool once
+          // unchanged table: pointer GET(s) only, ZERO segment fetches
+          val (req0, segs0) = (srv.requests.get, srv.segmentGets.get)
+          agg().collect()
+          val unchangedCheap = srv.requests.get - req0 <= 3 &&
+            srv.segmentGets.get == segs0
+          // one local append (the last key slice) → the next read
+          // ships the new pointer + ONE delta segment; the legacy
+          // single JSON (8 snapshots × cumulative file lists + stats)
+          // is far bigger
+          IceLite.append(ref, orders.filter($"o_orderkey" % 8 === 7))
+          val (bytes0, segsBefore) = (srv.bytesSent.get, srv.segmentGets.get)
+          val fresh = agg()
+          fresh.collect()
+          // O(delta) on the wire: exactly ONE segment crossed (the
+          // append's delta), the other 7 were already spooled — and
+          // the bytes stay under the assembled legacy manifest
+          val deltaCheap = srv.segmentGets.get - segsBefore == 1 &&
+            srv.bytesSent.get - bytes0 < IceLite.manifestWireJson(
+              IceLite.readManifest(ref)).length
+          fresh.withColumn("wire_ok", lit(unchangedCheap && deltaCheap))
+            .orderBy($"o_orderpriority")
+        } finally srv.stop()
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS wire_ok
+             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // d78: VIEW DDL over the REST attachment — d74's full witness
     // flow (create, nested views, atomic replace, show, drop) run
     // entirely through the wire face. The attachment posts the view

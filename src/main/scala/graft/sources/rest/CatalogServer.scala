@@ -83,6 +83,11 @@ private[rest] final case class ViewPutReq(
 class CatalogServer(warehouse: String, port: Int = 0) {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   val requests = new AtomicLong(0)
+  /** Total response bytes served — the d77 wire-cost witness. */
+  val bytesSent = new AtomicLong(0)
+  /** Segment fetches served — the O(delta) wire witness: a reload
+    * after one append must fetch exactly one. */
+  val segmentGets = new AtomicLong(0)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -103,6 +108,7 @@ class CatalogServer(warehouse: String, port: Int = 0) {
 
   private def send(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
+    bytesSent.addAndGet(bytes.length)
     ex.getResponseHeaders.add("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
@@ -132,15 +138,32 @@ class CatalogServer(warehouse: String, port: Int = 0) {
             send(ex, 404, s"""{"error":"no namespace $ns"}""")
           else send(ex, 200, Serialization.write(
             Map("tables" -> IceLite.listTables(warehouse, ns))))
+        // the SHARDED manifest wire (d77): the pointer's raw bytes +
+        // the segment names it references; the attachment fetches
+        // only segments it has not spooled (immutable, content-named)
+        // — O(pointer + delta) per changed table, one GET when
+        // unchanged. `?legacy=1` re-assembles the single-JSON layout
+        // for old attachments.
         case ("GET", Seq("namespaces", ns, "tables", t)) =>
           val ref = TableRef(warehouse, ns, t)
           if (!IceLite.tableExists(ref))
             send(ex, 404, s"""{"error":"no table $ns.$t"}""")
-          else {
+          else if (Option(ex.getRequestURI.getQuery).exists(_.contains("legacy"))) {
             val (version, manifest) = IceLite.currentManifestVersioned(ref)
             send(ex, 200, Serialization.write(Map(
               "version" -> version,
               "manifest" -> IceLite.manifestWireJson(manifest))))
+          } else {
+            val (version, pointer, segments) = IceLite.currentManifestWire(ref)
+            send(ex, 200, Serialization.write(Map(
+              "version" -> version, "pointer" -> pointer,
+              "segments" -> segments)))
+          }
+        case ("GET", Seq("namespaces", ns, "tables", t, "segments", seg)) =>
+          segmentGets.incrementAndGet()
+          IceLite.segmentWire(TableRef(warehouse, ns, t), seg) match {
+            case Some(raw) => send(ex, 200, raw)
+            case None => send(ex, 404, s"""{"error":"no segment $seg"}""")
           }
         // the WRITE protocol: a remote engine stages parquet into the
         // SHARED warehouse itself (data is never proxied), then asks

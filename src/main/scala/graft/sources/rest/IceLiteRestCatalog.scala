@@ -160,9 +160,35 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       catch { case e: RestCatalogException if e.code == 404 =>
         throw new NoSuchTableException(ident) }
     val version = (body \ "version").extract[Long]
-    val manifestJson = (body \ "manifest").extract[String]
+    // sharded wire (d77): the pointer's raw bytes + its segment
+    // names; legacy servers send the assembled single JSON instead —
+    // both spool verbatim (decodeManifest reads either layout)
+    val manifestJson = (body \ "pointer") match {
+      case org.json4s.JString(p) => p
+      case _ => (body \ "manifest").extract[String]
+    }
+    val segments = (body \ "segments") match {
+      case org.json4s.JArray(_) => (body \ "segments").extract[Seq[String]]
+      case _ => Nil
+    }
     val spool = TableRef(spoolRoot.toString, ns, ident.name)
     Files.createDirectories(spool.dir)
+    // fetch only the segments this spool has never seen (immutable,
+    // content-named — the O(delta) half of the wire), and land them
+    // BEFORE the pointer so no concurrent reader of the spool can
+    // decode a pointer whose chain is missing
+    if (segments.nonEmpty) {
+      val metaDir = spool.dir.resolve("meta")
+      Files.createDirectories(metaDir)
+      segments.filterNot(n => Files.exists(metaDir.resolve(n))).foreach { n =>
+        val raw = get(s"/namespaces/$ns/tables/${ident.name}/segments/$n")
+        val tmp = Files.createTempFile(metaDir, ".seg", ".tmp")
+        Files.writeString(tmp, raw)
+        try Files.createLink(metaDir.resolve(n), tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally Files.deleteIfExists(tmp)
+      }
+    }
     // shared-storage mounts: every relative data/delete path in the
     // manifest resolves through these links (object-store deployments
     // carry absolute URIs instead and need no mount)

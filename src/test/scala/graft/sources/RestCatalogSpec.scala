@@ -96,6 +96,40 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("the wire is sharded (d77): a changed table ships pointer + delta segment, not O(files)") {
+    withServer { (wh, cat, srv) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, Seq((0L, 0.0)).toDF("k", "v"))
+      (1 to 30).foreach(i =>
+        IceLite.append(ref, Seq((i.toLong, i * 1.0)).toDF("k", "v")))
+      // first attach spools the pointer and EVERY referenced segment
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 31)
+      // an unchanged table costs ONE GET and no segment fetches
+      val (req0, bytes0) = (srv.requests.get, srv.bytesSent.get)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 31)
+      assert(srv.requests.get - req0 <= 2,
+        s"unchanged table should cost ~1 GET, got ${srv.requests.get - req0}")
+      // one append → the next load ships the new pointer + exactly the
+      // ONE new delta segment; the legacy single-JSON of this table
+      // (31 snapshots × cumulative file lists) is far bigger
+      IceLite.append(ref, Seq((100L, 1.0)).toDF("k", "v"))
+      val bytes1 = srv.bytesSent.get
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 32)
+      val deltaBytes = srv.bytesSent.get - bytes1
+      val fullLegacy = IceLite.manifestWireJson(IceLite.readManifest(ref)).length
+      assert(deltaBytes < fullLegacy / 3,
+        s"changed-table wire cost $deltaBytes should be O(pointer+delta), " +
+          s"legacy full manifest is $fullLegacy")
+      // legacy wire stays decodable for old attachments (?legacy=1)
+      val legacyBody = new String(java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"${srv.uri}/namespaces/src/tables/t?legacy=1")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+      assert(legacyBody.contains("\"manifest\""),
+        "?legacy=1 must serve the assembled single-JSON manifest")
+    }
+  }
+
   test("INSERT OVERWRITE, DELETE, UPDATE, MERGE commit through the REST protocol (d76)") {
     withServer { (wh, cat, srv) =>
       val ref = TableRef(wh, "src", "t")
