@@ -3255,6 +3255,20 @@ object IceLite {
     }
   }
 
+  /** d73 follow-on: how deep the eq-live window is — (sidecar count,
+    * total delete keys). Every reader of an eq-live table pays a
+    * planning-time fold of O(these keys) (cached per sidecar set,
+    * IceLiteSource.eqIndexFor); a pipeline that lets delete batches
+    * accumulate without compacting grows that tax linearly — this is
+    * the signal the maintenance procedure turns into a compact
+    * nudge. Key counts come from the sidecar parquet FOOTERS:
+    * metadata-cost, no data read. */
+  def eqLiveDepth(ref: TableRef): (Int, Long) = {
+    val cur = readManifest(ref).current
+    (cur.eqDeletes.size,
+      cur.eqDeletes.map(d => countRowsFromFooters(ref, Seq(d.file))).sum)
+  }
+
   /** d61: table statistics collection — the ANALYZE role (Iceberg
     * computes NDV into puffin stat files; Trino's ANALYZE does the
     * same). One Spark job folds HyperLogLog sketches per column

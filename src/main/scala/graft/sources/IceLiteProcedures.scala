@@ -47,6 +47,27 @@ object IceLiteProcedures {
           Array(Array[Any](snap.id, snap.files.size.toLong))
         }
       })
+      // d73 follow-on: the eq-live maintenance signal — how many
+      // equality-delete sidecars (and keys) every reader currently
+      // folds at planning, and whether that depth warrants a
+      // compact() (Iceberg surfaces the same health signal through
+      // its delete-file metadata tables)
+      case "eq_live_depth" => Some(new Proc("eq_live_depth",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("key_threshold", IntegerType)
+            .defaultValue("10000").build()),
+        StructType(Seq(
+          StructField("sidecars", LongType, nullable = false),
+          StructField("delete_keys", LongType, nullable = false),
+          StructField("compact_recommended", BooleanType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val (sidecars, keys) = IceLite.eqLiveDepth(
+            refOf(warehouse, in.getUTF8String(0).toString))
+          Array(Array[Any](sidecars.toLong, keys,
+            keys > in.getInt(1).toLong))
+        }
+      })
       // d55: Iceberg's `rewrite_data_files(where => ...)` — compact
       // ONLY the files intersecting a stats range on one column; the
       // rest of the table stays byte-identical

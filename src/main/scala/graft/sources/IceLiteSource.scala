@@ -77,6 +77,61 @@ class IceLiteSource extends TableProvider {
 object IceLiteSource {
   /** Spec observability: the file list the most recent scan planned. */
   @volatile var lastPlannedFiles: Seq[String] = Nil
+
+  /** d73 follow-on: the planning-time equality-key fold, CACHED by
+    * (table, exact eq-sidecar set). The fold reads every live
+    * sidecar parquet driver-side and broadcasts one key index —
+    * O(delete keys), CDC-batch-sized — but a pipeline that runs N
+    * queries over the same eq-live window would otherwise pay that
+    * fold N times. Sidecar files are immutable and the SET identifies
+    * the window exactly: any new delete batch, upsert, or compaction
+    * changes the set and therefore the key — no invalidation
+    * protocol needed. Bounded LRU; evicted broadcasts unpersist
+    * (executor copies drop; an in-flight query re-fetches from the
+    * driver). */
+  private val EqIndexCacheMax = 8
+  private val eqIndexCache =
+    new java.util.LinkedHashMap[(String, Seq[(String, Long)]),
+        org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[(String, Long)]),
+            org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]]): Boolean = {
+        val evict = size() > EqIndexCacheMax
+        if (evict) scala.util.Try(e.getValue.unpersist(blocking = false))
+        evict
+      }
+    }
+  /** Spec observability: number of times the fold actually computed
+    * (cache misses). */
+  val eqFoldComputes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[sources] def eqIndexFor(ref: graft.icelite.TableRef,
+      eqDeletes: Seq[graft.icelite.EqDelete]): org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]] = {
+    val key = (ref.dir.toString,
+      eqDeletes.map(d => (d.file, d.snapshotId)).sortBy(identity))
+    eqIndexCache.synchronized {
+      val hit = eqIndexCache.get(key)
+      if (hit != null) return hit
+    }
+    // compute outside the lock (driver parquet reads); a racing
+    // duplicate compute is benign — last one wins the cache slot
+    eqFoldComputes.incrementAndGet()
+    val spark = org.apache.spark.sql.SparkSession.active
+    val groups = eqDeletes.groupBy(_.keyCols).toSeq.map { case (kc, dels) =>
+      val keys: Array[(Seq[Any], Long)] = dels.toArray.flatMap { d =>
+        val df = spark.read.parquet(ref.dir.resolve(d.file).toString)
+          .select(kc.map(org.apache.spark.sql.functions.col): _*)
+        val convs = df.schema.fields.map(f => org.apache.spark.sql
+          .catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
+        df.collect().map(r => (Seq.tabulate(kc.length)(i =>
+          convs(i)(r.get(i))), d.snapshotId))
+      }
+      EqKeyGroup(kc, keys)
+    }
+    val bc = spark.sparkContext.broadcast(groups)
+    eqIndexCache.synchronized { eqIndexCache.put(key, bc) }
+    bc
+  }
   /** Spec observability: whether the most recent scan was answered
     * from the manifest alone (aggregate pushdown — zero data files). */
   @volatile var lastScanMetadataOnly: Boolean = false
@@ -1668,22 +1723,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // against decoded vectors with no per-row conversion.
     val eqIndex: Option[(org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]], Long)] =
       if (eqDeletes.isEmpty) None
-      else {
-        val spark = org.apache.spark.sql.SparkSession.active
-        val groups = eqDeletes.groupBy(_.keyCols).toSeq.map { case (kc, dels) =>
-          val keys: Array[(Seq[Any], Long)] = dels.toArray.flatMap { d =>
-            val df = spark.read.parquet(ref.dir.resolve(d.file).toString)
-              .select(kc.map(org.apache.spark.sql.functions.col): _*)
-            val convs = df.schema.fields.map(f => org.apache.spark.sql
-              .catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
-            df.collect().map(r => (Seq.tabulate(kc.length)(i =>
-              convs(i)(r.get(i))), d.snapshotId))
-          }
-          EqKeyGroup(kc, keys)
-        }
-        Some((spark.sparkContext.broadcast(groups),
-          eqDeletes.map(_.snapshotId).max))
-      }
+      else Some((IceLiteSource.eqIndexFor(ref, eqDeletes),
+        eqDeletes.map(_.snapshotId).max))
     val addedAtByAbs: Map[String, Long] =
       if (eqDeletes.isEmpty) Map.empty
       else {

@@ -207,4 +207,53 @@ class IceLiteEqDeleteSpec extends AnyFunSuite {
     assert(fin.collect { case (4L, s) => s } == Seq("v2"))
     assert(fin.collect { case (5L, s) => s } == Seq("reborn"))
   }
+
+  test("d73 fold cache: two scans of one eq-live snapshot pay ONE sidecar fold") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(2L, 4L).toDF("k"), Seq("k"))
+    def scan(): Long = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString).count()
+    val c0 = graft.sources.IceLiteSource.eqFoldComputes.get
+    assert(scan() == 8)
+    val afterFirst = graft.sources.IceLiteSource.eqFoldComputes.get
+    assert(afterFirst - c0 == 1, "first scan computes the fold")
+    assert(scan() == 8)
+    assert(scan() == 8)
+    assert(graft.sources.IceLiteSource.eqFoldComputes.get == afterFirst,
+      "repeat scans of the same sidecar set must hit the cached broadcast")
+    // a NEW delete batch changes the sidecar set -> exactly one fresh fold
+    IceLite.deleteByKeysMoR(spark, ref, Seq(6L).toDF("k"), Seq("k"))
+    assert(scan() == 7)
+    assert(scan() == 7)
+    assert(graft.sources.IceLiteSource.eqFoldComputes.get == afterFirst + 1,
+      "a changed sidecar set computes once, then caches")
+    // compaction clears the sidecars -> no fold at all
+    IceLite.compact(spark, ref, targetFiles = 1)
+    val c1 = graft.sources.IceLiteSource.eqFoldComputes.get
+    assert(scan() == 7)
+    assert(graft.sources.IceLiteSource.eqFoldComputes.get == c1)
+  }
+
+  test("eq_live_depth procedure: the compact nudge signal") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(1L, 2L, 3L).toDF("k"), Seq("k"))
+    IceLite.deleteByKeysMoR(spark, ref, Seq(5L).toDF("k"), Seq("k"))
+    val (sidecars, keys) = IceLite.eqLiveDepth(ref)
+    assert(sidecars == 2 && keys == 4)
+    val cat = s"eqcat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", ref.warehouse)
+    val row = spark.sql(s"""CALL $cat.system.eq_live_depth(
+        table => 'src.t', key_threshold => 3)""").head()
+    assert(row.getLong(0) == 2 && row.getLong(1) == 4 && row.getBoolean(2))
+    // under the threshold: no nudge
+    val quiet = spark.sql(s"""CALL $cat.system.eq_live_depth(
+        table => 'src.t', key_threshold => 1000)""").head()
+    assert(!quiet.getBoolean(2))
+    // compacted: zero depth
+    IceLite.compact(spark, ref, targetFiles = 1)
+    val after = spark.sql(s"CALL $cat.system.eq_live_depth(table => 'src.t')").head()
+    assert(after.getLong(0) == 0 && after.getLong(1) == 0 && !after.getBoolean(2))
+  }
 }
