@@ -1222,7 +1222,8 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     targetSplitBytes: Long = 128L * 1024 * 1024,
     asOf: Option[Long] = None,
     rowOp: Option[IceLiteRowLevelOperation] = None,
-    changelog: Boolean = false)
+    changelog: Boolean = false,
+    streamRefresh: () => Unit = () => ())
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -1364,7 +1365,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   }
 
   override def build(): Scan =
-    if (changelog) new IceLiteCdcScan(ref, required, snapshotsPerTrigger)
+    if (changelog) new IceLiteCdcScan(ref, required, snapshotsPerTrigger, streamRefresh)
     else buildScan()
 
   private def buildScan(): Scan = pushedAggs match {
@@ -1408,7 +1409,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         bounds, partFilters, partProjected, emitFile, rowOp,
         currentSnap.partitionCols, currentSnap.deleteFiles,
         currentSnap.eqDeletes,
-        snapshotsPerTrigger, targetSplitBytes, asOf)
+        snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh)
   }
 }
 
@@ -1503,7 +1504,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     eqDeletes: Seq[graft.icelite.EqDelete] = Nil,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024,
-    asOf: Option[Long] = None) extends Scan with Batch
+    asOf: Option[Long] = None,
+    streamRefresh: () => Unit = () => ()) extends Scan with Batch
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1587,7 +1589,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // s23: partitioned tables stream too — each new file's path-borne
     // partition values ride along as constant vectors, same as batch
     new IceLiteMicroBatchStream(ref, dataFields, snapshotsPerTrigger,
-      partFields)
+      partFields, streamRefresh)
   }
   override def description(): String =
     s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}" +
@@ -1870,13 +1872,18 @@ object IceLiteOffset {
   * holds no data, only the manifest walk per trigger. */
 class IceLiteMicroBatchStream(ref: TableRef,
     fields: Array[(String, DataType)], snapshotsPerTrigger: Int,
-    partFields: Seq[String] = Nil)
+    partFields: Seq[String] = Nil,
+    refresh: () => Unit = () => ())
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** AvailableNow ceiling: snapshot id captured at query start. */
   @volatile private var availableNowTarget: Option[Long] = None
 
-  protected def manifest = IceLite.readManifest(ref)
+  /** The version-watch hook (s24): a REST attachment re-resolves its
+    * spool against the catalog service before every manifest read, so
+    * a remote commit is visible to the NEXT micro-batch — the spool
+    * stops being a point-in-time lie. Local tables no-op. */
+  protected def manifest = { refresh(); IceLite.readManifest(ref) }
 
   protected def idxOf(m: graft.icelite.Manifest, snapshotId: Long): Int =
     if (snapshotId == -1L) -1
@@ -1961,7 +1968,8 @@ class IceLiteMicroBatchStream(ref: TableRef,
   * face); rewriting commits in a delta fail the stream loudly, the
   * same rule as d49. */
 class IceLiteCdcScan(ref: TableRef, required: StructType,
-    snapshotsPerTrigger: Int) extends Scan {
+    snapshotsPerTrigger: Int,
+    streamRefresh: () => Unit = () => ()) extends Scan {
   private val dataFields = required.fields
     .filter(f => !IceLiteSource.CdcFields.exists(_.name == f.name))
     .map(f => (f.name, f.dataType))
@@ -1978,7 +1986,7 @@ class IceLiteCdcScan(ref: TableRef, required: StructType,
     new IceLiteCdcMicroBatchStream(ref, dataFields,
       required.fieldNames.contains("_change_type"),
       required.fieldNames.contains("_commit_snapshot_id"),
-      snapshotsPerTrigger)
+      snapshotsPerTrigger, streamRefresh)
   }
 }
 
@@ -2027,8 +2035,9 @@ class IceLiteCdcReaderFactory(fields: Array[(String, DataType)],
   * Delta CDF rule. */
 class IceLiteCdcMicroBatchStream(ref: TableRef,
     fields: Array[(String, DataType)], emitType: Boolean, emitId: Boolean,
-    snapshotsPerTrigger: Int)
-  extends IceLiteMicroBatchStream(ref, fields, snapshotsPerTrigger) {
+    snapshotsPerTrigger: Int, refresh: () => Unit = () => ())
+  extends IceLiteMicroBatchStream(ref, fields, snapshotsPerTrigger,
+    Nil, refresh) {
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val m = manifest

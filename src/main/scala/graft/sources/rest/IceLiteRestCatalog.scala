@@ -51,9 +51,14 @@ import graft.sources.{IceLiteSource, IceLiteTable}
   * CREATE TABLE … PARTITIONED BY, DROP TABLE, and view DDL — the
   * operations a remote dbt run issues against the reference's shared
   * catalog (README.md:79-98). Concurrent remote and local writers
-  * rebase through the same server-side CAS. Streaming reads refuse:
-  * the spool is a point-in-time snapshot, and a stream that silently
-  * never advanced would be a lie.
+  * rebase through the same server-side CAS.
+  *
+  * Streaming reads (s24) follow the LIVE table through a
+  * version-watch: the micro-batch stream re-resolves the spool
+  * against the catalog service before every offset/plan, so a remote
+  * commit surfaces in the next batch — the spool is a cache, never a
+  * point-in-time lie. Offsets are snapshot ids, identical to the
+  * owning catalog's stream.
   */
 class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
@@ -214,8 +219,11 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val spool = spoolManifest(ident)
+    // the version-watch hook (s24): streaming reads re-resolve the
+    // spool against the catalog service before every manifest read,
+    // so remote commits surface in the next micro-batch
     new RestReadTable(spool, IceLiteSource.schemaOf(spool), catalogName,
-      ident, uri, http)
+      ident, uri, http, () => { spoolManifest(ident); () })
   }
 
   /** Server path (relative to the /v1 base) of a table resource. */
@@ -437,7 +445,7 @@ private[rest] object RestCommitClient {
   * point-in-time snapshot. */
 private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
     catalogName: String, ident: Identifier, uri: String,
-    http: java.net.http.HttpClient)
+    http: java.net.http.HttpClient, respool: () => Unit = () => ())
   extends IceLiteTable(spool, tableSchema) {
   import org.apache.spark.sql.connector.catalog.TableCapability
 
@@ -447,9 +455,23 @@ private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
     s"$uri/namespaces/${ident.namespace.head}/tables/${ident.name}/commit"
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC).asJava
+
+  /** Streaming over the attachment (s24): same scan machinery, plus
+    * the version-watch — `streamRefresh` re-spools from the catalog
+    * service before each latestOffset/plan, so the stream follows the
+    * LIVE table, not the attach-time snapshot. Offsets are snapshot
+    * ids, identical to the owning catalog's stream — a checkpoint
+    * survives switching between the two faces. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new graft.sources.IceLiteScanBuilder(spool, tableSchema,
+      options.getInt("snapshotsPerTrigger", Int.MaxValue),
+      options.getLong("targetSplitBytes", 128L * 1024 * 1024),
+      None, changelog = options.getBoolean("changelog", false),
+      streamRefresh = respool)
 
   private def refuse(op: String): Nothing =
     throw new UnsupportedOperationException(

@@ -1377,5 +1377,69 @@ object StreamPack extends Pack {
       Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
              FROM lineitem WHERE l_orderkey < 2000
-             GROUP BY 1 ORDER BY 1""")))
+             GROUP BY 1 ORDER BY 1""")),
+
+    // s24: STREAMING THROUGH THE REST ATTACHMENT — the reference's
+    // catalog serves Spark Structured Streaming like any other read
+    // (one catalog service, engines share storage); the round-7
+    // refusal is lifted with a VERSION-WATCH: the micro-batch stream
+    // re-resolves the attachment's spool against the catalog service
+    // before every latestOffset, so commits made AFTER attach — by
+    // the owning engine or by another remote engine through the d76
+    // DML protocol — surface in the next batch. Offsets stay
+    // snapshot ids (the same checkpoint works against either face).
+    // The drained sink equals the batch read of everything committed
+    // — batch/stream equivalence across the wire is what the oracle
+    // checks; the mid-stream witness pins that rows arrived in
+    // MULTIPLE batches, not one attach-time snapshot.
+    Decl("s24_stream_rest_source",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_s24").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "li_feed")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        IceLite.createOrReplace(ref, li.filter(col("l_orderkey") % 3 === 0))
+        val srv = new graft.sources.rest.CatalogServer(wh).start()
+        try {
+          val cat = s"rests_${java.util.UUID.randomUUID.toString.take(8)}"
+          s.conf.set(s"spark.sql.catalog.$cat",
+            "graft.sources.rest.IceLiteRestCatalog")
+          s.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+          val sink = "s24_sink"
+          val q = s.readStream.table(s"$cat.src.li_feed")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation",
+              Files.createTempDirectory("graft_ckpt_s24").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            val afterAttach = s.table(sink).count()
+            // mid-stream LOCAL commit (the owning engine writes)
+            IceLite.append(ref, li.filter(col("l_orderkey") % 3 === 1))
+            q.processAllAvailable()
+            val afterLocal = s.table(sink).count()
+            // mid-stream REMOTE commit (another engine, via the d76
+            // REST DML protocol) — same next-batch visibility
+            li.filter(col("l_orderkey") % 3 === 2)
+              .createOrReplaceTempView("s24_tail")
+            s.sql(s"INSERT INTO $cat.src.li_feed SELECT * FROM s24_tail")
+            q.processAllAvailable()
+            val streamOk = afterAttach < afterLocal &&
+              afterLocal < s.table(sink).count()
+            import graft.queries.syntax.dsum
+            s.table(sink)
+              .groupBy(col("l_returnflag").as("flag"))
+              .agg(count(lit(1)).cast("long").as("n"),
+                dsum(col("l_quantity"), 3).as("sum_qty"))
+              .withColumn("stream_ok", lit(streamOk))
+              .orderBy("flag")
+          } finally q.stop()
+        } finally srv.stop()
+      },
+      Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+             TRUE AS stream_ok
+             FROM lineitem GROUP BY 1 ORDER BY 1""")))
 }

@@ -245,6 +245,35 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming follows the live table through the version-watch (s24)") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+      val sink = s"rest_stream_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = spark.readStream.table(s"$cat.src.t")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("rest_stream_ck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 2)
+        // a LOCAL commit surfaces in the NEXT micro-batch: the stream
+        // re-resolves the spool against the catalog service per batch
+        IceLite.append(ref, Seq((3L, "c")).toDF("k", "s"))
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 3,
+          "a mid-stream local append must reach the REST stream")
+        // a REMOTE append (through the DML protocol) surfaces too
+        spark.sql(s"INSERT INTO $cat.src.t VALUES (4, 'd')")
+        q.processAllAvailable()
+        assert(spark.table(sink).as[(Long, String)].collect().toMap ==
+          Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+      } finally q.stop()
+    }
+  }
+
   test("operations the commit protocol does not carry still refuse") {
     withServer { (wh, cat, _) =>
       IceLite.createOrReplace(TableRef(wh, "src", "t"),
