@@ -31,6 +31,76 @@ object MultimodalPack extends Pack {
   final case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Long, features: Array[Double])
 
+  /** The CODEC SEAM (m02's slot, m06's proof): a real decoder plugs
+    * in here. `init()` runs once per PARTITION — where a native codec
+    * amortizes its setup — and `decode` maps raw media bytes to
+    * decoded bytes. The pipeline around the seam (typed
+    * mapPartitions, feature pooling, explode shape) never changes
+    * when the codec does. */
+  trait MediaCodec extends Serializable {
+    /** Once per partition, before the first decode. */
+    def init(): Unit = ()
+    def decode(payload: Array[Byte]): Array[Byte]
+  }
+
+  /** m02's stub stance: the payload IS the decoded media (no codec in
+    * the sandbox). */
+  object IdentityCodec extends MediaCodec {
+    override def decode(payload: Array[Byte]): Array[Byte] = payload
+  }
+
+  /** m06: a REAL byte-level codec in the slot — zlib inflate, JDK
+    * built-in, no image libraries needed. Proves the seam carries an
+    * actual decoder: payloads arrive DEFLATED (synthetic compressed
+    * media) and the per-partition pipeline inflates them before
+    * feature pooling. */
+  object ZlibCodec extends MediaCodec {
+    override def decode(payload: Array[Byte]): Array[Byte] =
+      inflateBytes(payload)
+  }
+
+  def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val buf = new Array[Byte](math.max(64, b.length))
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end()
+    out.toByteArray
+  }
+
+  def inflateBytes(b: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(b)
+    val buf = new Array[Byte](math.max(64, b.length * 4))
+    val out = new java.io.ByteArrayOutputStream()
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      // empty-content streams: the call that yields 0 bytes is also
+      // the one that flips finished — only a 0 with input exhausted
+      // and the stream NOT finished is a truncation
+      if (n == 0 && !inf.finished() && inf.needsInput())
+        throw new java.util.zip.DataFormatException("truncated zlib payload")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** The decode STAGE — one shape for every codec: per-partition
+    * init, then decode + pooled features per row. m02 runs it with
+    * IdentityCodec (documented stub stance), m06 with ZlibCodec
+    * (real decoder); the spec pins that the two paths share this
+    * exact plumbing. */
+  def decodeWith(codec: MediaCodec)(it: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    codec.init() // amortized once per partition — the native-codec slot
+    it.map { m =>
+      val decoded = codec.decode(m.payload)
+      MediaFeatures(m.media_id, m.kind, decoded.length.toLong,
+        decodeStub(decoded))
+    }
+  }
+
   /** STUB decoder: per-chunk mean byte value over 8 fixed chunks — a
     * deterministic stand-in for "decode image → pooled features".
     * Swap this body for a real codec; the signature and the
@@ -106,11 +176,7 @@ object MultimodalPack extends Pack {
         implicit val enc = Encoders.product[MediaFeatures]
         val rows = media(s, dir).filter($"media_id" < 100)
           .as(Encoders.product[MediaRow])
-          .mapPartitions { it =>
-            // per-partition init would happen here (codec handles etc.)
-            it.map(m => MediaFeatures(m.media_id, m.kind,
-              m.payload.length.toLong, decodeStub(m.payload)))
-          }
+          .mapPartitions(decodeWith(IdentityCodec))
         rows.toDF()
           .select($"media_id", $"kind", $"n_bytes",
             posexplode($"features").as(Seq("chunk", "mean_byte")))
@@ -209,6 +275,46 @@ object MultimodalPack extends Pack {
       Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS media_id,
              CAST(COUNT(*) AS BIGINT) AS n_copies,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-             FROM documents GROUP BY text ORDER BY media_id"""))
+             FROM documents GROUP BY text ORDER BY media_id""")),
+
+    // m06: a REAL codec in m02's slot — zlib (JDK built-in). Payloads
+    // arrive DEFLATED (synthetic compressed media); the decode stage
+    // inflates them per partition through the SAME decodeWith
+    // plumbing m02 runs, then pools the same features. Because
+    // inflate∘deflate is identity on the original bytes, the decoded
+    // sizes are DuckDB-checkable against the source text — the codec
+    // path gets a real oracle where the stub could not — and the
+    // features_match witness pins that the zlib path produces
+    // byte-identical features to the identity path (the "swap the
+    // codec, keep the pipeline" claim, demonstrated).
+    Decl("m06_zlib_codec",
+      (s, dir) => {
+        implicit val encR = Encoders.product[MediaRow]
+        implicit val encF = Encoders.product[MediaFeatures]
+        val raw = media(s, dir).filter($"media_id" < 100)
+        // synthetic compressed media: deflate each payload (typed
+        // stage, same partition-local shape as any encode pipeline)
+        val deflated = raw.as(Encoders.product[MediaRow])
+          .mapPartitions(_.map(m =>
+            MediaRow(m.media_id, m.kind, deflateBytes(m.payload))))
+        val viaZlib = deflated.mapPartitions(decodeWith(ZlibCodec)).toDF()
+        val viaIdentity = raw.as(Encoders.product[MediaRow])
+          .mapPartitions(decodeWith(IdentityCodec)).toDF()
+        // the swap witness: identical features from both codec paths
+        val mismatches = viaZlib.as("z")
+          .join(viaIdentity.as("i"), Seq("media_id"))
+          .filter($"z.n_bytes" =!= $"i.n_bytes" ||
+            $"z.features" =!= $"i.features")
+          .count()
+        viaZlib
+          .select($"media_id", $"kind", $"n_bytes".as("n_bytes_decoded"))
+          .withColumn("features_match", lit(mismatches == 0L))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_decoded,
+             TRUE AS features_match
+             FROM documents WHERE doc_id < 100 ORDER BY media_id"""))
   )
 }

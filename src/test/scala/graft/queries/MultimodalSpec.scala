@@ -87,4 +87,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq((1000L, 3L, 10L), (1003L, 1L, 5L)),
       s"dedup must keep min id with copy count: $got")
   }
+
+  test("m06: zlib roundtrip is exact and the codec slots into m02's plumbing") {
+    val texts = Seq("hello media world", "", "a" * 500, "\u00e9\u00e8\u00ea unicode")
+    texts.foreach { t =>
+      val b = t.getBytes("UTF-8")
+      assert(MultimodalPack.inflateBytes(MultimodalPack.deflateBytes(b)).toSeq
+        == b.toSeq, s"zlib roundtrip broke for '$t'")
+    }
+    // identical features from the zlib path and the identity path —
+    // the decode stage is the SAME function with a different codec
+    val rows = (1L to 40L).map(i =>
+      MultimodalPack.MediaRow(i, "image", s"payload-$i-${"x" * (i % 7).toInt}".getBytes("UTF-8")))
+    val viaIdentity = MultimodalPack.decodeWith(MultimodalPack.IdentityCodec)(
+      rows.iterator).toSeq
+    val viaZlib = MultimodalPack.decodeWith(MultimodalPack.ZlibCodec)(
+      rows.map(m => MultimodalPack.MediaRow(m.media_id, m.kind,
+        MultimodalPack.deflateBytes(m.payload))).iterator).toSeq
+    assert(viaZlib.map(f => (f.media_id, f.n_bytes, f.features.toSeq)) ==
+      viaIdentity.map(f => (f.media_id, f.n_bytes, f.features.toSeq)))
+  }
+
+  test("m06: codec init runs once per partition (the native-codec amortization slot)") {
+    MultimodalSpec.codecInits.set(0)
+    implicit val enc = org.apache.spark.sql.Encoders.product[MultimodalPack.MediaFeatures]
+    implicit val encR = org.apache.spark.sql.Encoders.product[MultimodalPack.MediaRow]
+    val n = spark.createDataset((1L to 100L).map(i =>
+        MultimodalPack.MediaRow(i, "image", Array[Byte](1, 2, 3))))
+      .repartition(4)
+      .mapPartitions(MultimodalPack.decodeWith(MultimodalSpec.CountingCodec))
+      .count()
+    assert(n == 100)
+    assert(MultimodalSpec.codecInits.get == 4,
+      s"init must run once per partition, ran ${MultimodalSpec.codecInits.get}")
+  }
+}
+
+object MultimodalSpec {
+  /** Static so executor-side (same-JVM local mode) init calls are
+    * visible to the driver-side assertion. */
+  val codecInits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Companion-level so the lambda closes over nothing but the
+    * serializable codec object. */
+  object CountingCodec extends MultimodalPack.MediaCodec {
+    override def init(): Unit = { codecInits.incrementAndGet(); () }
+    override def decode(p: Array[Byte]): Array[Byte] = p
+  }
 }
