@@ -52,9 +52,21 @@ object Bench {
     }
     val ok = results.collect { case (n, Right(v)) => n -> v }
     val failed = results.collect { case (n, Left(e)) => n -> e }
+    // per-id SPREAD (max − min over the timed passes): the noise
+    // floor next to each measurement, so a cross-round delta smaller
+    // than the id's spread reads as noise, not regression — without
+    // re-measurement archaeology (round-7 verdict follow-up).
+    val spreads: Map[String, Double] = qs.indices.flatMap { i =>
+      val name = passes.head(i)._1
+      val oks = passes.map(_(i)._2).collect { case Right(v) => v }
+      if (oks.size >= 2) Some(name -> (oks.max - oks.min)) else None
+    }.toMap
     val qjson = results.map {
       case (k, Right(v)) => s"\"" + k + "\":" + v
       case (k, Left(_))  => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val sjson = results.flatMap { case (k, _) =>
+      spreads.get(k).map(s => "\"" + k + "\":" + f"$s%.4f")
     }.mkString("{", ",", "}")
     // full JSON string escaping (Verify's q() rule): any control char
     // below 0x20 in an exception message would corrupt the one-line
@@ -81,7 +93,7 @@ object Bench {
     // b01/b05/b06 were re-scoped to bounded keyed slices in round 2, so
     // the subset measures less work than BENCH_r01 did — flag that in
     // the emitted JSON rather than implying a like-for-like speedup
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$ejson,"timed_passes":$timedPasses,"per_id":"min","r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$ejson,"timed_passes":$timedPasses,"per_id":"min","r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
     spark.stop()
   }
 }

@@ -3128,13 +3128,13 @@ object ScalePack extends Pack {
           s.sql(s"INSERT INTO $cat.src.nation VALUES (9900, 'zz_rest', 0)")
           val restAppend = IceLite.read(s, ref)
             .filter($"n_nationkey" === 9900L).count() == 1
-          // operations the commit protocol does not carry (schema
-          // evolution) still refuse toward the owning catalog; DML is
-          // d76's surface
-          val alterRefused =
-            try { s.sql(s"ALTER TABLE $cat.src.nation ADD COLUMN c INT"); false }
+          // operations the commit protocol does not carry (table
+          // rename — path-addressed tables have no rename anywhere)
+          // still refuse; DML is d76's surface, ALTER is d79's
+          val renameRefused =
+            try { s.sql(s"ALTER TABLE $cat.src.nation RENAME TO nation2"); false }
             catch { case _: Exception => true }
-          val restOk = overHttp && restAppend && alterRefused &&
+          val restOk = overHttp && restAppend && renameRefused &&
             fresh.map(_.getLong(1)).sum == rows.map(_.getLong(1)).sum + 1
           import scala.jdk.CollectionConverters._
           s.createDataFrame(fresh.toSeq.asJava,
@@ -3317,6 +3317,75 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
              TRUE AS wire_ok
              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // d79: SCHEMA EVOLUTION over the REST attachment — the last DDL
+    // class the wire refused. Each ALTER posts one metadata-only CAS
+    // commit to the catalog service (the same alterAdd/Drop/Rename/
+    // Widen the owning catalog runs — free at 100 TB, no data file
+    // touched), so an attached dbt run's on_schema_change:
+    // append_new_columns works against the shared catalog. Witnessed:
+    // remote ADD COLUMN (pre-evolution files null-fill), a remote
+    // INSERT writing the evolved shape, remote RENAME COLUMN flowing
+    // through to reads on BOTH faces.
+    Decl("d79_rest_alter",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d79").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = graft.icelite.TableRef(wh, "src", "supplier_ev")
+        val sup = Tables.load(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name", $"s_acctbal")
+        IceLite.createOrReplace(ref, sup)
+        val srv = new graft.sources.rest.CatalogServer(wh).start()
+        try {
+          val cat = s"restalt_${java.util.UUID.randomUUID.toString.take(8)}"
+          s.conf.set(s"spark.sql.catalog.$cat",
+            "graft.sources.rest.IceLiteRestCatalog")
+          s.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+          // remote ADD COLUMN: one metadata-only commit over HTTP
+          s.sql(s"ALTER TABLE $cat.src.supplier_ev ADD COLUMN tier STRING")
+          // pre-evolution rows null-fill the new column
+          val nullFill = s.sql(
+            s"SELECT count(*) FROM $cat.src.supplier_ev WHERE tier IS NULL")
+            .head.getLong(0) == sup.count()
+          // a remote INSERT writes the evolved shape
+          sup.select(($"s_suppkey" + 100000L).as("s_suppkey"), $"s_name",
+              $"s_acctbal",
+              when($"s_acctbal" > 0, "pos").otherwise("neg").as("tier"))
+            .createOrReplaceTempView("d79_new_rows")
+          s.sql(s"INSERT INTO $cat.src.supplier_ev SELECT * FROM d79_new_rows")
+          // remote RENAME COLUMN — reads on both faces see the new name
+          s.sql(s"ALTER TABLE $cat.src.supplier_ev RENAME COLUMN s_name TO supplier_name")
+          // both faces: the attachment's SQL read AND the owning
+          // catalog's direct read see the renamed column
+          val ownCat = s"own79_${java.util.UUID.randomUUID.toString.take(8)}"
+          s.conf.set(s"spark.sql.catalog.$ownCat",
+            classOf[graft.sources.IceLiteCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$ownCat.warehouse", wh)
+          val bothFacesOk = nullFill &&
+            s.sql(s"SELECT * FROM $cat.src.supplier_ev").columns
+              .contains("supplier_name") &&
+            s.sql(s"SELECT * FROM $ownCat.src.supplier_ev").columns
+              .contains("supplier_name")
+          s.sql(s"""SELECT COALESCE(tier, 'none') AS tier,
+                    COUNT(*) AS n, MIN(supplier_name) AS first_name,
+                    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,3))) AS DOUBLE) AS sum_bal
+                    FROM $cat.src.supplier_ev GROUP BY COALESCE(tier, 'none')""")
+            .withColumn("evolve_ok", lit(bothFacesOk))
+            .orderBy($"tier")
+        } finally srv.stop()
+      },
+      Some("""WITH all_rows AS (
+               SELECT s_suppkey, s_name, s_acctbal, NULL AS tier FROM supplier
+               UNION ALL
+               SELECT s_suppkey + 100000, s_name, s_acctbal,
+                 CASE WHEN s_acctbal > 0 THEN 'pos' ELSE 'neg' END
+               FROM supplier
+             )
+             SELECT COALESCE(tier, 'none') AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n, MIN(s_name) AS first_name,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,3))) AS DOUBLE) AS sum_bal,
+               TRUE AS evolve_ok
+             FROM all_rows GROUP BY COALESCE(tier, 'none') ORDER BY tier""")),
 
     // d78: VIEW DDL over the REST attachment — d74's full witness
     // flow (create, nested views, atomic replace, show, drop) run

@@ -80,6 +80,15 @@ private[rest] final case class CreateEmptyReq(
 private[rest] final case class ViewPutReq(
     replace: Boolean, orCreate: Boolean, viewDef: graft.sources.ViewDef)
 
+/** Schema evolution over the wire (d79): one metadata-only CAS
+  * commit per change — the same alterAddColumn/Drop/Rename/Widen the
+  * owning catalog runs. */
+private[rest] final case class AlterReq(
+    op: String,                  // add | drop | rename | widen
+    col: String,
+    sqlType: Option[String] = None,   // add / widen
+    newName: Option[String] = None)   // rename
+
 class CatalogServer(warehouse: String, port: Int = 0) {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   val requests = new AtomicLong(0)
@@ -251,6 +260,30 @@ class CatalogServer(warehouse: String, port: Int = 0) {
           val snap = IceLite.createEmptyPartitioned(ref, req.schemaDdl,
             req.partitionCols)
           send(ex, 200, Serialization.write(Map("snapshotId" -> snap.id)))
+        // schema evolution (d79): metadata-only CAS commits — the
+        // free-at-100TB half of DDL, now reachable from any engine
+        case ("POST", Seq("namespaces", ns, "tables", t, "alter")) =>
+          val ref = TableRef(warehouse, ns, t)
+          if (!IceLite.tableExists(ref))
+            send(ex, 404, s"""{"error":"no table $ns.$t"}""")
+          else {
+            val req = Serialization.read[AlterReq](readBody(ex))
+            req.op match {
+              case "add" => IceLite.alterAddColumn(ref, req.col,
+                req.sqlType.getOrElse(throw new IllegalArgumentException(
+                  "add needs sqlType")))
+              case "drop" => IceLite.alterDropColumn(ref, req.col)
+              case "rename" => IceLite.alterRenameColumn(ref, req.col,
+                req.newName.getOrElse(throw new IllegalArgumentException(
+                  "rename needs newName")))
+              case "widen" => IceLite.alterWidenColumn(ref, req.col,
+                req.sqlType.getOrElse(throw new IllegalArgumentException(
+                  "widen needs sqlType")))
+              case other => throw new IllegalArgumentException(
+                s"unknown alter op '$other'")
+            }
+            send(ex, 200, "{}")
+          }
         case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
           val ref = TableRef(warehouse, ns, t)
           if (!IceLite.tableExists(ref))

@@ -352,8 +352,37 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     try { delete(tablePath(ident)); true }
     catch { case e: RestCatalogException if e.code == 404 => false }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    refuseWrite("ALTER TABLE")
+  /** Schema evolution over the wire (d79): each change posts one
+    * metadata-only CAS commit to the catalog service — the same
+    * alterAdd/Drop/Rename/Widen the owning catalog runs, so an
+    * attached dbt run's on_schema_change flows through. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    def one(c: TableChange.ColumnChange): String = {
+      require(c.fieldNames.length == 1,
+        s"icelite supports top-level columns only, got " +
+          c.fieldNames.mkString("."))
+      c.fieldNames.head
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        post(tablePath(ident) + "/alter", Serialization.write(AlterReq(
+          "add", one(add), sqlType = Some(add.dataType.catalogString))))
+      case del: TableChange.DeleteColumn =>
+        post(tablePath(ident) + "/alter", Serialization.write(AlterReq(
+          "drop", one(del))))
+      case ren: TableChange.RenameColumn =>
+        post(tablePath(ident) + "/alter", Serialization.write(AlterReq(
+          "rename", one(ren), newName = Some(ren.newName))))
+      case upd: TableChange.UpdateColumnType =>
+        post(tablePath(ident) + "/alter", Serialization.write(AlterReq(
+          "widen", one(upd), sqlType = Some(upd.newDataType.catalogString))))
+      case other => throw new UnsupportedOperationException(
+        s"icelite ALTER TABLE supports ADD/DROP/RENAME COLUMN and " +
+          s"ALTER COLUMN TYPE widening only, got $other")
+    }
+    loadTable(ident)
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     refuseWrite("RENAME TABLE")

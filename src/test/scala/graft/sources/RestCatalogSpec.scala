@@ -285,11 +285,39 @@ class RestCatalogSpec extends AnyFunSuite {
           msg.contains("does not support") || msg.contains("only"),
           s"'$sql' should refuse, got: ${e.getMessage.take(150)}")
       }
-      refused(s"ALTER TABLE $cat.src.t ADD COLUMN c INT")
       refused(s"ALTER TABLE $cat.src.t RENAME TO t9")
       // flat CREATE TABLE with no data has no manifest to spool
       refused(s"CREATE TABLE $cat.src.t2 (k BIGINT)")
       assert(IceLite.read(spark, TableRef(wh, "src", "t")).count() == 1)
+    }
+  }
+
+  test("schema evolution over the wire (d79): ADD/DROP/RENAME COLUMN, widen") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref,
+        Seq((1, "a"), (2, "b")).toDF("k", "s"))
+      // ADD COLUMN: metadata-only CAS commit through the service
+      spark.sql(s"ALTER TABLE $cat.src.t ADD COLUMN note STRING")
+      assert(spark.sql(s"SELECT note FROM $cat.src.t").collect()
+        .forall(_.isNullAt(0)), "pre-evolution files null-fill")
+      // the OWNING catalog sees the same evolution (one manifest)
+      val owner = s"owner_${java.util.UUID.randomUUID.toString.take(8)}"
+      spark.conf.set(s"spark.sql.catalog.$owner",
+        classOf[IceLiteCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$owner.warehouse", wh)
+      assert(spark.sql(s"SELECT * FROM $owner.src.t").columns.contains("note"))
+      // widen + rename + drop through the wire
+      spark.sql(s"ALTER TABLE $cat.src.t ALTER COLUMN k TYPE BIGINT")
+      spark.sql(s"ALTER TABLE $cat.src.t RENAME COLUMN s TO label")
+      assert(spark.sql(s"SELECT label FROM $cat.src.t WHERE k = 1")
+        .head.getString(0) == "a")
+      spark.sql(s"ALTER TABLE $cat.src.t DROP COLUMN note")
+      assert(!spark.sql(s"SELECT * FROM $cat.src.t").columns.contains("note"))
+      // a remote INSERT writes the evolved shape
+      spark.sql(s"INSERT INTO $cat.src.t VALUES (3L, 'c')")
+      assert(spark.sql(s"SELECT label FROM $cat.src.t WHERE k = 3")
+        .head.getString(0) == "c")
     }
   }
 
