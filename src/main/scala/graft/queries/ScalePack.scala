@@ -3172,10 +3172,12 @@ object ScalePack extends Pack {
         val wh = Files.createTempDirectory("graft_d76").toString
         IceLite.createNamespace(wh, "src")
         val ref = graft.icelite.TableRef(wh, "src", "orders_dml")
+        // bounded keyed slice (keys are dense 0..N-1): full coverage
+        // at the small fixtures, capped witness cost at sf0.1 — the
+        // DML semantics being witnessed are row-count-independent
         val orders = Tables.load(s, dir, "orders")
+          .filter($"o_orderkey" < 6000)
           .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-        // modular key slices so every statement matches rows at every
-        // fixture scale (keys are dense 0..N-1)
         IceLite.createOrReplace(ref, orders.filter($"o_orderkey" % 4 < 2))
         val srv = new graft.sources.rest.CatalogServer(wh).start()
         try {
@@ -3236,12 +3238,14 @@ object ScalePack extends Pack {
             .orderBy($"o_orderstatus")
         } finally srv.stop()
       },
-      Some("""WITH base AS (
+      Some("""WITH bounded AS (
                SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderkey < 6000
+             ), base AS (
+               SELECT * FROM bounded
                WHERE o_orderkey % 4 < 2 AND o_orderkey % 8 <> 0
                UNION ALL
-               SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-               WHERE o_orderkey % 4 = 2
+               SELECT * FROM bounded WHERE o_orderkey % 4 = 2
              ), upd AS (
                SELECT o_orderkey, o_orderstatus,
                  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
@@ -3252,8 +3256,7 @@ object ScalePack extends Pack {
                  CASE WHEN o_orderkey % 4 = 1 THEN 0.0 ELSE p END AS p
                FROM upd
                UNION ALL
-               SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-               WHERE o_orderkey % 4 = 3
+               SELECT * FROM bounded WHERE o_orderkey % 4 = 3
              )
              SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(p AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
@@ -3273,7 +3276,10 @@ object ScalePack extends Pack {
         val wh = Files.createTempDirectory("graft_d77").toString
         IceLite.createNamespace(wh, "src")
         val ref = graft.icelite.TableRef(wh, "src", "orders_wire")
+        // bounded slice (dense keys): the wire-cost witness depends on
+        // commit COUNT, not row volume
         val orders = Tables.load(s, dir, "orders")
+          .filter($"o_orderkey" < 8000)
           .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
         // 7 commits → a pointer referencing 7 immutable segments
         IceLite.createOrReplace(ref, orders.filter($"o_orderkey" % 8 === 0))
@@ -3316,7 +3322,8 @@ object ScalePack extends Pack {
       Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
              TRUE AS wire_ok
-             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+             FROM orders WHERE o_orderkey < 8000
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // d79: SCHEMA EVOLUTION over the REST attachment — the last DDL
     // class the wire refused. Each ALTER posts one metadata-only CAS

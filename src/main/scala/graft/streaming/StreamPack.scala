@@ -1397,7 +1397,10 @@ object StreamPack extends Pack {
         val wh = Files.createTempDirectory("graft_s24").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "li_feed")
+        // bounded keyed slice (dense keys): the live-follow witness
+        // depends on COMMITS arriving mid-stream, not on row volume
         val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 15000)
           .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
         IceLite.createOrReplace(ref, li.filter(col("l_orderkey") % 3 === 0))
         val srv = new graft.sources.rest.CatalogServer(wh).start()
@@ -1441,5 +1444,5 @@ object StreamPack extends Pack {
       Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
              TRUE AS stream_ok
-             FROM lineitem GROUP BY 1 ORDER BY 1""")))
+             FROM lineitem WHERE l_orderkey < 15000 GROUP BY 1 ORDER BY 1""")))
 }
