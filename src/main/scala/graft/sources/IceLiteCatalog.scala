@@ -219,8 +219,12 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     if (IceLite.tableExists(ref)) throw new TableAlreadyExistsException(ident)
     IceLite.createNamespace(warehouse, ident.namespace.head)
     if (partitions.isEmpty) {
-      // no manifest is written yet: the table materializes atomically
-      // with its first committed write (CTAS lands here, then appends)
+      // an EMPTY flat table with its declared schema in the manifest
+      // (one CAS create commit) — a pre-insert SELECT answers empty
+      // and the REST face can spool it, same as d68's partitioned
+      // DDL. CTAS never lands here (StagingTableCatalog owns it).
+      IceLite.replaceTableStaged(ref, Nil, Nil, schema.toDDL,
+        mustNotExist = true, mustExist = false)
       new IceLiteTable(ref, schema)
     } else {
       // d68: `CREATE TABLE … PARTITIONED BY (c, …)`

@@ -80,6 +80,9 @@ private[rest] final case class CreateEmptyReq(
 private[rest] final case class ViewPutReq(
     replace: Boolean, orCreate: Boolean, viewDef: graft.sources.ViewDef)
 
+/** RENAME VIEW target. */
+private[rest] final case class ViewRenameReq(toNs: String, toName: String)
+
 /** Schema evolution over the wire (d79): one metadata-only CAS
   * commit per change — the same alterAddColumn/Drop/Rename/Widen the
   * owning catalog runs. */
@@ -142,6 +145,21 @@ class CatalogServer(warehouse: String, port: Int = 0) {
         case ("POST", Seq("namespaces", ns)) =>
           IceLite.createNamespace(warehouse, ns)
           send(ex, 200, "{}")
+        case ("DELETE", Seq("namespaces", ns)) =>
+          if (!IceLite.listNamespaces(warehouse).contains(ns))
+            send(ex, 200, """{"dropped":false}""")
+          else {
+            val cascade = Option(ex.getRequestURI.getQuery)
+              .exists(_.contains("cascade"))
+            val tables = IceLite.listTables(warehouse, ns)
+            require(tables.isEmpty || cascade,
+              s"namespace $ns holds ${tables.size} tables (use CASCADE)")
+            val dir = java.nio.file.Paths.get(warehouse, ns)
+            IceLite.listDir(java.nio.file.Files.walk(dir))(_.toSeq)
+              .sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            send(ex, 200, """{"dropped":true}""")
+          }
         case ("GET", Seq("namespaces", ns, "tables")) =>
           if (!IceLite.listNamespaces(warehouse).contains(ns))
             send(ex, 404, s"""{"error":"no namespace $ns"}""")
@@ -328,6 +346,21 @@ class CatalogServer(warehouse: String, port: Int = 0) {
         case ("DELETE", Seq("namespaces", ns, "views", v)) =>
           send(ex, 200, Serialization.write(Map(
             "dropped" -> graft.sources.IceLiteViews.drop(warehouse, ns, v))))
+        case ("POST", Seq("namespaces", ns, "views", v, "rename")) =>
+          val req = Serialization.read[ViewRenameReq](readBody(ex))
+          require(validIdent(req.toNs) && validIdent(req.toName),
+            "invalid rename target identifier")
+          if (!graft.sources.IceLiteViews.exists(warehouse, ns, v))
+            send(ex, 404, s"""{"error":"no view $ns.$v"}""")
+          else if (graft.sources.IceLiteViews.exists(warehouse, req.toNs, req.toName))
+            send(ex, 409, s"""{"error":"view ${req.toNs}.${req.toName} already exists"}""")
+          else if (IceLite.tableExists(TableRef(warehouse, req.toNs, req.toName)))
+            send(ex, 409, s"""{"error":"${req.toNs}.${req.toName} is a table"}""")
+          else {
+            graft.sources.IceLiteViews.rename(warehouse, ns, v,
+              req.toNs, req.toName)
+            send(ex, 200, "{}")
+          }
         case (m, p) =>
           send(ex, 404, s"""{"error":"no route $m /${p.mkString("/")}"}""")
       }

@@ -137,8 +137,13 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("icelite namespaces carry no metadata")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    refuseWrite("DROP NAMESPACE")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    require(namespace.length == 1,
+      s"icelite namespaces are single-level, got ${namespace.mkString(".")}")
+    val suffix = if (cascade) "?cascade=1" else ""
+    (parse(delete(s"/namespaces/${namespace.head}$suffix")) \ "dropped")
+      .extract[Boolean]
+  }
 
   // ---- tables ----
 
@@ -323,23 +328,36 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       (parse(delete(s"/namespaces/${ident.namespace.head}/views/${ident.name}")) \
         "dropped").extract[Boolean]
 
-  override def renameView(from: Identifier, to: Identifier): Unit =
-    refuseWrite("RENAME VIEW")
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    require(from.namespace.length == 1 && to.namespace.length == 1,
+      "icelite namespaces are single-level")
+    try post(s"/namespaces/${from.namespace.head}/views/${from.name}/rename",
+      Serialization.write(ViewRenameReq(to.namespace.head, to.name)))
+    catch {
+      case e: RestCatalogException if e.code == 404 =>
+        throw new NoSuchViewException(from)
+      case e: RestCatalogException if e.code == 409 =>
+        if (e.getMessage.contains("is a table"))
+          throw new TableAlreadyExistsException(to)
+        else throw new ViewAlreadyExistsException(to)
+    }
+    ()
+  }
 
   // ---- table DDL over the wire (d76) ----
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    if (partitions.isEmpty)
-      // a flat CREATE TABLE materializes with its first committed
-      // write locally; over the wire that lazy state has no manifest
-      // to spool — use CTAS, or create through the owning catalog
-      throw new UnsupportedOperationException(
-        s"CREATE TABLE (no data) on REST attachment '$catalogName' " +
-          "supports partitioned tables only — use CREATE TABLE … AS " +
-          "SELECT for flat tables")
-    else {
+    if (partitions.isEmpty) {
+      // empty flat table with its declared schema in the manifest —
+      // one create-staged POST with no files (same CAS commit the
+      // owning catalog's flat DDL makes)
+      post(tablePath(ident) + "/create-staged", Serialization.write(
+        CreateStagedReq(Nil, Nil, schema.toDDL,
+          mustNotExist = true, mustExist = false)))
+      loadTable(ident)
+    } else {
       val (ordered, cols) =
         graft.sources.IceLiteCatalog.partitionedShape(schema, partitions)
       post(tablePath(ident) + "/create-empty", Serialization.write(

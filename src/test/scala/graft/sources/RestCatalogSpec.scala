@@ -286,9 +286,37 @@ class RestCatalogSpec extends AnyFunSuite {
           s"'$sql' should refuse, got: ${e.getMessage.take(150)}")
       }
       refused(s"ALTER TABLE $cat.src.t RENAME TO t9")
-      // flat CREATE TABLE with no data has no manifest to spool
-      refused(s"CREATE TABLE $cat.src.t2 (k BIGINT)")
       assert(IceLite.read(spark, TableRef(wh, "src", "t")).count() == 1)
+    }
+  }
+
+  test("flat CREATE TABLE, DROP NAMESPACE, RENAME VIEW over the wire") {
+    withServer { (wh, cat, _) =>
+      // flat CREATE TABLE: empty declared-schema manifest, SELECT
+      // answers empty, INSERT lands the first data
+      spark.sql(s"CREATE TABLE $cat.src.flat (k BIGINT, s STRING)")
+      assert(spark.sql(s"SELECT * FROM $cat.src.flat").count() == 0)
+      spark.sql(s"INSERT INTO $cat.src.flat VALUES (1, 'a')")
+      assert(IceLite.read(spark, TableRef(wh, "src", "flat")).count() == 1)
+      // RENAME VIEW through the service (link-then-delete, one
+      // winner) — the ViewCatalog API face, same as the owning
+      // catalog (SQL ALTER VIEW RENAME is unwired in stock Spark for
+      // both faces alike)
+      spark.sql(s"CREATE VIEW $cat.src.v1 AS SELECT k FROM $cat.src.flat")
+      val vcat = org.apache.spark.sql.graft.Bridge.catalogPlugin(spark, cat)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+      import org.apache.spark.sql.connector.catalog.Identifier
+      vcat.renameView(Identifier.of(Array("src"), "v1"),
+        Identifier.of(Array("src"), "v2"))
+      assert(!IceLiteViews.exists(wh, "src", "v1") &&
+        IceLiteViews.exists(wh, "src", "v2"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.v2").head.getLong(0) == 1)
+      // DROP NAMESPACE: refuses while tables live, cascades on demand
+      spark.sql(s"CREATE NAMESPACE $cat.tmpns")
+      spark.sql(s"CREATE TABLE $cat.tmpns.x AS SELECT 1L AS k")
+      intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.tmpns").collect())
+      spark.sql(s"DROP NAMESPACE $cat.tmpns CASCADE")
+      assert(!IceLite.listNamespaces(wh).contains("tmpns"))
     }
   }
 
