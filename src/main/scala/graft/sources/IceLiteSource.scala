@@ -90,14 +90,15 @@ object IceLiteSource {
     * (executor copies drop; an in-flight query re-fetches from the
     * driver). */
   private val EqIndexCacheMax = 8
+  private type EqCacheEntry =
+    (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]])
   private val eqIndexCache =
-    new java.util.LinkedHashMap[(String, Seq[(String, Long)]),
-        org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Seq[(String, Long)]), EqCacheEntry](
+        16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Seq[(String, Long)]),
-            org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]]): Boolean = {
+          e: java.util.Map.Entry[(String, Seq[(String, Long)]), EqCacheEntry]): Boolean = {
         val evict = size() > EqIndexCacheMax
-        if (evict) scala.util.Try(e.getValue.unpersist(blocking = false))
+        if (evict) scala.util.Try(e.getValue._2.unpersist(blocking = false))
         evict
       }
     }
@@ -107,16 +108,20 @@ object IceLiteSource {
 
   private[sources] def eqIndexFor(ref: graft.icelite.TableRef,
       eqDeletes: Seq[graft.icelite.EqDelete]): org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val sc = spark.sparkContext
     val key = (ref.dir.toString,
       eqDeletes.map(d => (d.file, d.snapshotId)).sortBy(identity))
     eqIndexCache.synchronized {
       val hit = eqIndexCache.get(key)
-      if (hit != null) return hit
+      // a hit is valid only on the LIVE context that created it — a
+      // session restart in the same JVM (Bench/driver pattern) must
+      // not hand out a dead broadcast handle
+      if (hit != null && (hit._1 eq sc) && !sc.isStopped) return hit._2
+      if (hit != null) eqIndexCache.remove(key)
     }
-    // compute outside the lock (driver parquet reads); a racing
-    // duplicate compute is benign — last one wins the cache slot
+    // compute outside the lock (driver parquet reads)
     eqFoldComputes.incrementAndGet()
-    val spark = org.apache.spark.sql.SparkSession.active
     val groups = eqDeletes.groupBy(_.keyCols).toSeq.map { case (kc, dels) =>
       val keys: Array[(Seq[Any], Long)] = dels.toArray.flatMap { d =>
         val df = spark.read.parquet(ref.dir.resolve(d.file).toString)
@@ -128,9 +133,18 @@ object IceLiteSource {
       }
       EqKeyGroup(kc, keys)
     }
-    val bc = spark.sparkContext.broadcast(groups)
-    eqIndexCache.synchronized { eqIndexCache.put(key, bc) }
-    bc
+    val bc = sc.broadcast(groups)
+    eqIndexCache.synchronized {
+      val raced = eqIndexCache.get(key)
+      if (raced != null && (raced._1 eq sc) && !sc.isStopped) {
+        // a racing compute won the slot — keep theirs, release ours
+        scala.util.Try(bc.unpersist(blocking = false))
+        raced._2
+      } else {
+        eqIndexCache.put(key, (sc, bc))
+        bc
+      }
+    }
   }
   /** Spec observability: whether the most recent scan was answered
     * from the manifest alone (aggregate pushdown — zero data files). */

@@ -152,8 +152,10 @@ class CatalogServer(warehouse: String, port: Int = 0) {
             val cascade = Option(ex.getRequestURI.getQuery)
               .exists(_.contains("cascade"))
             val tables = IceLite.listTables(warehouse, ns)
-            require(tables.isEmpty || cascade,
-              s"namespace $ns holds ${tables.size} tables (use CASCADE)")
+            val views = graft.sources.IceLiteViews.list(warehouse, ns)
+            require((tables.isEmpty && views.isEmpty) || cascade,
+              s"namespace $ns holds ${tables.size} tables and " +
+                s"${views.size} views (use CASCADE)")
             val dir = java.nio.file.Paths.get(warehouse, ns)
             IceLite.listDir(java.nio.file.Files.walk(dir))(_.toSeq)
               .sortBy(-_.getNameCount)
@@ -165,26 +167,29 @@ class CatalogServer(warehouse: String, port: Int = 0) {
             send(ex, 404, s"""{"error":"no namespace $ns"}""")
           else send(ex, 200, Serialization.write(
             Map("tables" -> IceLite.listTables(warehouse, ns))))
-        // the SHARDED manifest wire (d77): the pointer's raw bytes +
-        // the segment names it references; the attachment fetches
-        // only segments it has not spooled (immutable, content-named)
-        // — O(pointer + delta) per changed table, one GET when
-        // unchanged. `?legacy=1` re-assembles the single-JSON layout
-        // for old attachments.
+        // the manifest wire. DEFAULT stays the pre-d77 single-JSON
+        // shape {version, manifest} so an attachment that predates the
+        // sharded wire keeps decoding — version stability means the
+        // OLD client, which cannot know any new parameter, must stay
+        // correct. Clients that understand d77 ask `?wire=sharded`
+        // and get {version, pointer, segments}: the pointer's raw
+        // bytes plus the segment names it references; they then fetch
+        // only segments not already spooled (immutable,
+        // content-named) — O(pointer + delta) per changed table.
         case ("GET", Seq("namespaces", ns, "tables", t)) =>
           val ref = TableRef(warehouse, ns, t)
           if (!IceLite.tableExists(ref))
             send(ex, 404, s"""{"error":"no table $ns.$t"}""")
-          else if (Option(ex.getRequestURI.getQuery).exists(_.contains("legacy"))) {
-            val (version, manifest) = IceLite.currentManifestVersioned(ref)
-            send(ex, 200, Serialization.write(Map(
-              "version" -> version,
-              "manifest" -> IceLite.manifestWireJson(manifest))))
-          } else {
+          else if (Option(ex.getRequestURI.getQuery).exists(_.contains("wire=sharded"))) {
             val (version, pointer, segments) = IceLite.currentManifestWire(ref)
             send(ex, 200, Serialization.write(Map(
               "version" -> version, "pointer" -> pointer,
               "segments" -> segments)))
+          } else {
+            val (version, manifest) = IceLite.currentManifestVersioned(ref)
+            send(ex, 200, Serialization.write(Map(
+              "version" -> version,
+              "manifest" -> IceLite.manifestWireJson(manifest))))
           }
         case ("GET", Seq("namespaces", ns, "tables", t, "segments", seg)) =>
           segmentGets.incrementAndGet()
@@ -365,12 +370,16 @@ class CatalogServer(warehouse: String, port: Int = 0) {
           send(ex, 404, s"""{"error":"no route $m /${p.mkString("/")}"}""")
       }
     } catch {
-      // commit races and precondition failures are CONFLICTS the
-      // client can act on (rebase, re-run against the new snapshot) —
-      // distinguish them from server faults
-      case e @ (_: java.util.ConcurrentModificationException |
-                _: IllegalArgumentException | _: IllegalStateException) =>
+      // a genuine commit RACE is a 409 — retryable, the client can
+      // rebase and re-run. Validation/precondition failures are 400 —
+      // permanent for this request; mapping them to 409 would send
+      // retrying clients into a loop on a statement that can never
+      // succeed. Everything else is a 500 server fault.
+      case e: java.util.ConcurrentModificationException =>
         send(ex, 409, Serialization.write(Map(
+          "error" -> Option(e.getMessage).getOrElse(e.getClass.getName))))
+      case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+        send(ex, 400, Serialization.write(Map(
           "error" -> Option(e.getMessage).getOrElse(e.getClass.getName))))
       case e: Exception =>
         send(ex, 500, Serialization.write(Map(

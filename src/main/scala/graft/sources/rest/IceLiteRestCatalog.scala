@@ -156,17 +156,43 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    try { spoolManifest(ident); true }
+    try { probeVersion(ident); true }
     catch { case _: NoSuchTableException => false }
 
-  /** Fetch the current manifest over HTTP and spool it locally keyed
-    * by the server's version; returns the spool TableRef. */
-  private def spoolManifest(ident: Identifier): TableRef = {
+  /** Existence/version probe: ONE pointer GET, no segment fetches, no
+    * spool writes — what an existence check (or a staged-create
+    * guard) actually needs. */
+  private def probeVersion(ident: Identifier): Long = {
     require(ident.namespace.length == 1,
       s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
     val ns = ident.namespace.head
     val body =
-      try parse(get(s"/namespaces/$ns/tables/${ident.name}"))
+      try parse(get(s"/namespaces/$ns/tables/${ident.name}?wire=sharded"))
+      catch { case e: RestCatalogException if e.code == 404 =>
+        throw new NoSuchTableException(ident) }
+    (body \ "version").extract[Long]
+  }
+
+  /** Fetch the current manifest over HTTP and spool it locally keyed
+    * by the server's version; returns the spool TableRef. Retries
+    * from the pointer when a referenced segment was swept between the
+    * pointer GET and the segment GET (the re-resolve IceLite
+    * .segmentWire's contract names). */
+  private def spoolManifest(ident: Identifier): TableRef = {
+    var last: RestCatalogException = null
+    (1 to 3).foreach { _ =>
+      try return spoolManifestOnce(ident)
+      catch { case e: RestCatalogException if e.code == 404 => last = e }
+    }
+    throw last
+  }
+
+  private def spoolManifestOnce(ident: Identifier): TableRef = {
+    require(ident.namespace.length == 1,
+      s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
+    val ns = ident.namespace.head
+    val body =
+      try parse(get(s"/namespaces/$ns/tables/${ident.name}?wire=sharded"))
       catch { case e: RestCatalogException if e.code == 404 =>
         throw new NoSuchTableException(ident) }
     val version = (body \ "version").extract[Long]
@@ -183,6 +209,35 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     }
     val spool = TableRef(spoolRoot.toString, ns, ident.name)
     Files.createDirectories(spool.dir)
+    val mf = spool.dir.resolve(f"manifest.v$version%08d.json")
+    // STALE-INCARNATION detection, BEFORE any fetch lands in the
+    // spool. A DROP + re-CREATE restarts the server's version
+    // counter, so a dead incarnation shows up either as a spool max
+    // version ABOVE the server's current one (highest-wins would
+    // resurrect the dropped table) or as same-version CONTENT drift
+    // (the new incarnation reached the old count). Either way: wipe.
+    val spoolMaxAbove = IceLite.listDir(Files.list(spool.dir))(_
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("manifest.v") =>
+        n.stripPrefix("manifest.v").stripSuffix(".json").toLong }
+      .maxOption.exists(_ > version))
+    val contentDrift = Files.exists(mf) && Files.readString(mf) != manifestJson
+    if (spoolMaxAbove || contentDrift) {
+      wipeSpool(spool)
+      Files.createDirectories(spool.dir)
+    }
+    // shared-storage mounts: every relative data/delete path in the
+    // manifest resolves through these links (object-store deployments
+    // carry absolute URIs instead and need no mount)
+    val serverTable = Paths.get(warehouse, ns, ident.name)
+    Seq("data", "deletes").foreach { d =>
+      val link = spool.dir.resolve(d)
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        Files.createDirectories(serverTable.resolve(d))
+        try Files.createSymbolicLink(link, serverTable.resolve(d))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racing loader won
+      }
+    }
     // fetch only the segments this spool has never seen (immutable,
     // content-named — the O(delta) half of the wire), and land them
     // BEFORE the pointer so no concurrent reader of the spool can
@@ -199,19 +254,6 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
         finally Files.deleteIfExists(tmp)
       }
     }
-    // shared-storage mounts: every relative data/delete path in the
-    // manifest resolves through these links (object-store deployments
-    // carry absolute URIs instead and need no mount)
-    val serverTable = Paths.get(warehouse, ns, ident.name)
-    Seq("data", "deletes").foreach { d =>
-      val link = spool.dir.resolve(d)
-      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        Files.createDirectories(serverTable.resolve(d))
-        try Files.createSymbolicLink(link, serverTable.resolve(d))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racing loader won
-      }
-    }
-    val mf = spool.dir.resolve(f"manifest.v$version%08d.json")
     if (!Files.exists(mf)) {
       val tmp = Files.createTempFile(spool.dir, ".spool", ".tmp")
       Files.writeString(tmp, manifestJson)
@@ -366,8 +408,26 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Remove a table's local spool (manifests, spooled segments, the
+    * shared-storage mounts — links only, never targets). */
+  private def wipeSpool(spool: TableRef): Unit =
+    if (Files.exists(spool.dir, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      // Files.walk MUST NOT follow links (the default): the data/
+      // and deletes/ mounts are symlinks into SHARED storage — only
+      // the link entries themselves may be deleted, never the
+      // targets' contents
+      IceLite.listDir(Files.walk(spool.dir))(_.toSeq)
+        .sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+
   override def dropTable(ident: Identifier): Boolean =
-    try { delete(tablePath(ident)); true }
+    try {
+      delete(tablePath(ident))
+      // invalidate this attachment's spool: a later re-CREATE under
+      // the same name restarts the server's version counter
+      wipeSpool(TableRef(spoolRoot.toString, ident.namespace.head, ident.name))
+      true
+    }
     catch { case e: RestCatalogException if e.code == 404 => false }
 
   /** Schema evolution over the wire (d79): each change posts one
@@ -456,23 +516,30 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
 private[rest] class RestCatalogException(val code: Int, msg: String)
   extends RuntimeException(msg)
 
-/** Shared POST helper: JSON in/out with the standard error mapping
-  * (409 = commit conflict the caller can rebase on; surfaced as
+/** Shared POST helpers. `post` surfaces every non-200 as a typed
+  * RestCatalogException (DDL callers map 404/409 to Spark's typed
+  * exceptions). `postCommit` is for COMMIT protocol calls only: a
+  * 409 there is a genuine CAS race, surfaced as
   * ConcurrentModificationException so retrying statements see the
-  * same exception local conflicts raise). */
+  * same exception local conflicts raise; a 400 is a permanent
+  * request error and stays a RestCatalogException — retrying it
+  * would loop forever. */
 private[rest] object RestCommitClient {
   def post(http: HttpClient, url: String, body: String): String = {
     val resp = http.send(
       HttpRequest.newBuilder(URI.create(url))
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() == 409)
-      throw new java.util.ConcurrentModificationException(
-        s"REST commit conflict: ${resp.body()}")
     if (resp.statusCode() != 200) throw new RestCatalogException(
       resp.statusCode(), s"POST $url -> ${resp.statusCode()}: ${resp.body()}")
     resp.body()
   }
+
+  def postCommit(http: HttpClient, url: String, body: String): String =
+    try post(http, url, body)
+    catch { case e: RestCatalogException if e.code == 409 =>
+      throw new java.util.ConcurrentModificationException(
+        s"REST commit conflict: ${e.getMessage}") }
 }
 
 /** The face a REST attachment serves: the full IceLite scan machinery
@@ -689,7 +756,7 @@ private[rest] class RestBatchWrite(spool: graft.icelite.TableRef,
         s"data/$token/$name"
     }.toSeq.sorted
     if (files.isEmpty && !truncate) return // empty append: no snapshot
-    RestCommitClient.post(http, commitUrl, Serialization.write(CommitReq(
+    RestCommitClient.postCommit(http, commitUrl, Serialization.write(CommitReq(
       operation = if (truncate) "overwrite" else "append",
       added = files, keepSorted = keepSorted)))
     ()
@@ -737,7 +804,7 @@ private[rest] class RestPartitionedBatchWrite(spool: graft.icelite.TableRef,
     val (op, m) =
       if (mode == "append") ("append-partitioned", None)
       else ("overwrite-partitioned", Some(mode))
-    RestCommitClient.post(http, commitUrl, Serialization.write(CommitReq(
+    RestCommitClient.postCommit(http, commitUrl, Serialization.write(CommitReq(
       operation = op, added = moved, mode = m, eq = eq)))
     ()
   }
@@ -788,7 +855,7 @@ private[rest] class RestReplaceWrite(spool: TableRef, schema: StructType,
 
   override protected def commitReplaced(removed: Set[String],
       staged: Seq[String]): Unit = {
-    RestCommitClient.post(http, commitUrl, Serialization.write(CommitReq(
+    RestCommitClient.postCommit(http, commitUrl, Serialization.write(CommitReq(
       operation = "replace", added = staged,
       removed = removed.toSeq.sorted, opName = Some(opName))))
     ()
@@ -809,7 +876,7 @@ private[rest] class RestStagedTable(ref: TableRef, declared: StructType,
     Serialization.formats(org.json4s.NoTypeHints)
 
   override protected def commitTable(files: Seq[String]): Unit = {
-    RestCommitClient.post(http, createUrl, Serialization.write(
+    RestCommitClient.postCommit(http, createUrl, Serialization.write(
       CreateStagedReq(files, partitionCols, declared.toDDL,
         mustNotExist, mustExist)))
     ()

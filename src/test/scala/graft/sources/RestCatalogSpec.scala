@@ -274,6 +274,61 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP + re-CREATE invalidates the spool (no stale-version resurrection)") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, Seq((1L, "old")).toDF("k", "s"))
+      (1 to 5).foreach(i => IceLite.append(ref, Seq((i + 1L, "old")).toDF("k", "s")))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 6)
+      // remote DROP + CTAS under the same name: the server's version
+      // counter restarts at 1, below the spool's cached v6 — a
+      // highest-wins spool would resurrect the dropped table
+      spark.sql(s"DROP TABLE $cat.src.t")
+      spark.sql(s"CREATE TABLE $cat.src.t AS SELECT 9L AS k, 'new' AS s")
+      assert(spark.sql(s"SELECT k, s FROM $cat.src.t").as[(Long, String)]
+        .collect().toSeq == Seq((9L, "new")))
+      // drop/recreate by the OWNING engine (this attachment never
+      // told): the stale-spool version check wipes and respools
+      IceLite.listDir(java.nio.file.Files.walk(ref.dir))(_.toSeq)
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      IceLite.createOrReplace(ref, Seq((100L, "reborn")).toDF("k", "s"))
+      assert(spark.sql(s"SELECT k, s FROM $cat.src.t").as[(Long, String)]
+        .collect().toSeq == Seq((100L, "reborn")),
+        "a foreign drop+recreate must not serve the stale spool")
+    }
+  }
+
+  test("wire errors carry their types: view conflicts are not commit races") {
+    withServer { (wh, cat, _) =>
+      IceLite.createOrReplace(TableRef(wh, "src", "t"),
+        Seq((1L, "a")).toDF("k", "s"))
+      spark.sql(s"CREATE VIEW $cat.src.v AS SELECT k FROM $cat.src.t")
+      // duplicate CREATE VIEW is a typed catalog error, NOT a
+      // ConcurrentModificationException (which would invite retries)
+      val e = intercept[Exception](
+        spark.sql(s"CREATE VIEW $cat.src.v AS SELECT 1 AS one").collect())
+      assert(!e.isInstanceOf[java.util.ConcurrentModificationException],
+        s"view conflict must not masquerade as a commit race: $e")
+      assert(e.getMessage.toUpperCase.contains("ALREADY_EXISTS") ||
+        e.toString.contains("ViewAlreadyExists"), e.toString)
+      // a permanent request error is NOT a retryable conflict
+      // either: the server answers 400, not 409
+      val p = TableRef(wh, "src", "p")
+      IceLite.createOrReplacePartitioned(p,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "p")
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          spark.conf.get(s"spark.sql.catalog.$cat.uri") +
+            "/namespaces/src/tables/p/commit"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"operation":"bogus"}""")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 400,
+        s"validation errors must be 400, got ${resp.statusCode()}: ${resp.body()}")
+    }
+  }
+
   test("operations the commit protocol does not carry still refuse") {
     withServer { (wh, cat, _) =>
       IceLite.createOrReplace(TableRef(wh, "src", "t"),
