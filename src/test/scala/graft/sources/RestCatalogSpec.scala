@@ -274,6 +274,54 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent remote appenders rebase through the server-side CAS") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, Seq((0L, "seed")).toDF("k", "s"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futures = (1 to 4).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              (0 until 2).foreach(i => spark.sql(
+                s"INSERT INTO $cat.src.t VALUES (${t * 10 + i}, 'w$t')"))
+          })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+      // all 8 INSERTs landed as 8 append snapshots of ONE lineage —
+      // losing claims rebased server-side, nothing was dropped
+      assert(IceLite.read(spark, ref).count() == 9)
+      val m = IceLite.readManifest(ref)
+      assert(m.snapshots.count(_.operation == "append") == 8 &&
+        m.current.rowCount == 9)
+    }
+  }
+
+  test("a REST row-level DELETE rewrites only the matched file groups") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      // 4 separate appends -> 4 data files with disjoint key ranges
+      IceLite.createOrReplace(ref,
+        Seq((1L, "a"), (2L, "a")).toDF("k", "s").coalesce(1),
+        statsCols = Seq("k"))
+      IceLite.append(ref, Seq((10L, "b"), (11L, "b")).toDF("k", "s").coalesce(1))
+      IceLite.append(ref, Seq((20L, "c"), (21L, "c")).toDF("k", "s").coalesce(1))
+      IceLite.append(ref, Seq((30L, "d"), (31L, "d")).toDF("k", "s").coalesce(1))
+      val before = IceLite.readManifest(ref).current.files.toSet
+      assert(before.size == 4)
+      // matches rows in exactly ONE file — the group-based rewrite's
+      // runtime file filter must narrow the replace to that file
+      spark.sql(s"DELETE FROM $cat.src.t WHERE k = 20")
+      val after = IceLite.readManifest(ref).current.files.toSet
+      assert((before -- after).size == 1,
+        s"rewrite must swap exactly the matched file, removed ${(before -- after).size}")
+      assert((before & after).size == 3,
+        "untouched file groups must survive byte-identical")
+      assert(IceLite.read(spark, ref).count() == 7)
+    }
+  }
+
   test("DROP + re-CREATE invalidates the spool (no stale-version resurrection)") {
     withServer { (wh, cat, _) =>
       val ref = TableRef(wh, "src", "t")
