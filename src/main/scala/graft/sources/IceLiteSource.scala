@@ -591,6 +591,37 @@ class IceLiteRowLevelOperation(ref: TableRef, tableSchema: StructType,
     Array(Expressions.column("_file"))
 }
 
+
+/** The write-layout contract shared by every IceLite batch write
+  * (local append/overwrite, row-level replace, REST variants):
+  * identity-partitioned targets CLUSTER rows by partition value (one
+  * file per task × partition, d67); sorted targets RANGE-partition
+  * and order on the sort key so appends land range-clustered with
+  * tight disjoint stats (d54); flat targets impose nothing. */
+private[graft] object IceLiteWriteLayout {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  def distributionFor(partCols: Seq[String],
+      sortCol: Option[String]): Distribution =
+    if (partCols.nonEmpty)
+      Distributions.clustered(partCols.map(c =>
+        Expressions.identity(c): org.apache.spark.sql.connector
+          .expressions.Expression).toArray)
+    else sortCol match {
+      case Some(c) => Distributions.ordered(Array(
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+      case None => Distributions.unspecified()
+    }
+
+  def orderingFor(partCols: Seq[String],
+      sortCol: Option[String]): Array[SortOrder] = sortCol match {
+    case Some(c) if partCols.isEmpty => Array(
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+    case _ => Array.empty
+  }
+}
+
 /** The write half of ReplaceData: stages rewritten rows like any
   * batch write, then commits ONE snapshot that removes the scanned
   * file groups and adds the staged files (IceLite.commitReplace —
@@ -620,20 +651,9 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
   override def description(): String = s"IceLiteReplaceWrite $opName ${ref.name}"
 
   override def requiredDistribution(): Distribution =
-    if (partCols.nonEmpty)
-      Distributions.clustered(partCols.map(c =>
-        Expressions.identity(c): org.apache.spark.sql.connector
-          .expressions.Expression).toArray)
-    else sortedBy match {
-      case Some(c) => Distributions.ordered(Array(
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
-      case None => Distributions.unspecified()
-    }
-  override def requiredOrdering(): Array[SortOrder] = sortedBy match {
-    case Some(c) if partCols.isEmpty => Array(
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
-    case _ => Array.empty
-  }
+    IceLiteWriteLayout.distributionFor(partCols, sortedBy)
+  override def requiredOrdering(): Array[SortOrder] =
+    IceLiteWriteLayout.orderingFor(partCols, sortedBy)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // the preserve flags on _file are off, so the rewrite writes pure
@@ -772,23 +792,9 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
       else None
 
     override def requiredDistribution(): Distribution =
-      if (partCols.nonEmpty)
-        // d67: cluster rows by partition value so each task owns whole
-        // tuples — one file per (task, partition) instead of a
-        // files × tasks small-file spray
-        Distributions.clustered(partCols.map(c =>
-          Expressions.identity(c): org.apache.spark.sql.connector
-            .expressions.Expression).toArray)
-      else sortCol match {
-        case Some(c) => Distributions.ordered(Array(
-          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
-        case None => Distributions.unspecified()
-      }
-    override def requiredOrdering(): Array[SortOrder] = sortCol match {
-      case Some(c) if partCols.isEmpty => Array(
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
-      case _ => Array.empty
-    }
+      IceLiteWriteLayout.distributionFor(partCols, sortCol)
+    override def requiredOrdering(): Array[SortOrder] =
+      IceLiteWriteLayout.orderingFor(partCols, sortCol)
 
     override def toBatch: BatchWrite =
       if (partCols.nonEmpty) {

@@ -691,20 +691,9 @@ private[rest] class RestWriteBuilder(spool: TableRef,
     }
 
     override def requiredDistribution(): Distribution =
-      if (partCols.nonEmpty)
-        Distributions.clustered(partCols.map(c =>
-          Expressions.identity(c): org.apache.spark.sql.connector
-            .expressions.Expression).toArray)
-      else sortCol match {
-        case Some(c) => Distributions.ordered(Array(
-          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
-        case None => Distributions.unspecified()
-      }
-    override def requiredOrdering(): Array[SortOrder] = sortCol match {
-      case Some(c) if partCols.isEmpty => Array(
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
-      case _ => Array.empty
-    }
+      graft.sources.IceLiteWriteLayout.distributionFor(partCols, sortCol)
+    override def requiredOrdering(): Array[SortOrder] =
+      graft.sources.IceLiteWriteLayout.orderingFor(partCols, sortCol)
 
     override def toBatch: BatchWrite =
       if (partCols.nonEmpty) {
