@@ -86,13 +86,20 @@ object RelationalPack extends Pack {
     // engines but the group-sort order of equal doubles is not
     // observable, so the usual guard applies.
     Decl("b65_percentiles",
+      // ONE array-argument percentile aggregate instead of three
+      // scalar ones: exact percentile is an ObjectAggregate that
+      // buffers every value per group — three calls triple that
+      // buffer work; the array form shares one buffer and sorts once
       (s, dir) => li(s, dir)
         .groupBy($"l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))").as("ps"),
           count(lit(1)).cast("long").as("n"))
+        .select($"l_returnflag",
+          round($"ps"(0), 6).as("p25"),
+          round($"ps"(1), 6).as("p50"),
+          round($"ps"(2), 6).as("p95"),
+          $"n")
         .orderBy($"l_returnflag"),
       Some("""SELECT l_returnflag,
              ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
