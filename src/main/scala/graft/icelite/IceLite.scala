@@ -624,6 +624,51 @@ object IceLite {
       .map(n => s"data/$token/$n")
   }
 
+  /** Staging face for the REST attachment's remote compaction (d80):
+    * same layout and token rules as every local stage; the ref is the
+    * attachment's SPOOL, whose data/ mount lands the files in shared
+    * storage. */
+  private[graft] def stageFor(ref: TableRef, df: DataFrame): Seq[String] =
+    stage(ref, df)
+
+  /** d80: the commit half of a REMOTE compaction. The attachment read
+    * snapshot S through its folding scan (MoR sidecars applied),
+    * staged the rewrite into shared storage, and posts
+    * {added, expected = S.files}. ONE CAS attempt — the staged bytes
+    * are a function of the base, so a changed base cannot be rebased
+    * server-side: unstage and answer the race (409); the client
+    * recomputes against the current snapshot. On success the new
+    * snapshot clears both MoR sidecar kinds (compaction is the
+    * delete materializer, d47/d72) and keeps the sort marker the
+    * client preserved. */
+  private[graft] def commitCompactStaged(ref: TableRef, added: Seq[String],
+      expected: Seq[String], keepSorted: Boolean): Snapshot = {
+    val rowsByFile = fileRowCounts(ref, added)
+    val stats = footerStats(ref, added)
+    try {
+      commitCAS(ref) { curOpt =>
+        val m = curOpt.getOrElse(throw new IllegalArgumentException(
+          s"${ref.name} does not exist"))
+        val cur = m.current
+        require(cur.partitionCols.isEmpty && cur.partitionSpec.isEmpty,
+          s"${ref.name} has a partition layout — compact through the " +
+            "owning catalog (remote compaction restages flat/sorted only)")
+        if (cur.files.toSet != expected.toSet)
+          throw new java.util.ConcurrentModificationException(
+            s"${ref.name} changed since the remote compaction read it " +
+              "— recompute against the current snapshot")
+        val id = m.snapshots.map(_.id).max + 1
+        m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
+          Snapshot(id, System.currentTimeMillis(), "replace", added,
+            rowsByFile.values.sum, stats,
+            sortedBy = if (keepSorted) cur.sortedBy else None,
+            summary = Map("committed-via" -> "rest",
+              "maintenance" -> "compact"),
+            fileRows = rowsByFile))
+      }.current
+    } catch { case e: Throwable => unstageFiles(ref, added); throw e }
+  }
+
   /** Exact PER-FILE row counts from parquet footers, driver-side — no
     * Spark job. This is how Iceberg itself records manifest row
     * counts: the file metadata is authoritative, and for a freshly
@@ -1158,7 +1203,8 @@ object IceLite {
     * split). */
   def append(ref: TableRef, df: DataFrame,
       statsCols: Seq[String] = Nil,
-      summary: Map[String, String] = Map.empty): Snapshot = {
+      summary: Map[String, String] = Map.empty,
+      keepSortedOn: Option[String] = None): Snapshot = {
     Files.createDirectories(ref.dataDir)
     // pre-stage check (the in-CAS require is authoritative; this one
     // just avoids staging files that are guaranteed to be refused)
@@ -1183,7 +1229,13 @@ object IceLite {
               "files outside the transform layout and drop the spec)")
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
-            m.current.fileStats ++ stats, summary = summary,
+            m.current.fileStats ++ stats,
+            // d54's rule on the API face: the sort marker survives an
+            // append only when the writer range-clustered on the
+            // TABLE's own sort key (appendSorted passes it); any
+            // other append drops it honestly
+            sortedBy = m.current.sortedBy.filter(keepSortedOn.contains),
+            summary = summary,
             fileRows = m.current.fileRows ++ rowsByFile,
             deleteFiles = m.current.deleteFiles, // live sidecars survive appends
             eqDeletes = m.current.eqDeletes)
@@ -1967,7 +2019,7 @@ object IceLite {
     require(numFiles >= 1, "numFiles must be >= 1")
     val c = org.apache.spark.sql.functions.col(sortCol)
     append(ref, df.repartitionByRange(numFiles, c).sortWithinPartitions(c),
-      (statsCols :+ sortCol).distinct)
+      (statsCols :+ sortCol).distinct, keepSortedOn = Some(sortCol))
   }
 
   /** Compaction — Iceberg's `rewrite_data_files` role. Rewrites the

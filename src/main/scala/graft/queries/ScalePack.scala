@@ -3394,6 +3394,79 @@ object ScalePack extends Pack {
                TRUE AS evolve_ok
              FROM all_rows GROUP BY COALESCE(tier, 'none') ORDER BY tier""")),
 
+    // d80: TABLE MAINTENANCE through the REST attachment — the
+    // reference's remote engines run the maintenance loop against the
+    // shared catalog (Trino's expire_snapshots / ALTER TABLE EXECUTE
+    // go through the REST catalog, extract_load.py:164-178). The
+    // division follows the data: metadata-only procedures (expiry,
+    // gc, rollback, eq depth) are ONE POST run by the catalog
+    // service; compaction — a data rewrite — runs CLIENT-side
+    // through the attachment's folding scan (MoR materialized) and
+    // lands via a base-conditioned swap (changed base = 409 =
+    // recompute). Witnessed: the full CDC maintenance loop — ingest
+    // in small appends, eq-delete batch, remote depth nudge, remote
+    // compact (sidecars cleared, one file), remote history expiry +
+    // orphan GC actually reclaiming the pre-compaction bytes.
+    Decl("d80_rest_maintenance",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_d80").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = graft.icelite.TableRef(wh, "src", "li_maint")
+        val li = Tables.load(s, dir, "lineitem")
+          .filter($"l_orderkey" < 8000)
+          .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+        IceLite.createOrReplace(ref, li.filter($"l_orderkey" % 3 === 0))
+        (1 to 2).foreach(i =>
+          IceLite.append(ref, li.filter($"l_orderkey" % 3 === i)))
+        // the CDC delete: one eq-key sidecar, zero data files touched
+        IceLite.deleteByKeysMoR(spark = s, ref,
+          li.filter($"l_orderkey" % 97 === 0).select($"l_orderkey").distinct(),
+          Seq("l_orderkey"))
+        val srv = new graft.sources.rest.CatalogServer(wh).start()
+        try {
+          val cat = s"restmt_${java.util.UUID.randomUUID.toString.take(8)}"
+          s.conf.set(s"spark.sql.catalog.$cat",
+            "graft.sources.rest.IceLiteRestCatalog")
+          s.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+          // the depth nudge sees the live sidecar over the wire
+          val depth = s.sql(s"""CALL $cat.system.eq_live_depth(
+              table => 'src.li_maint', key_threshold => 1)""").head()
+          val nudged = depth.getLong(0) == 1L && depth.getBoolean(2)
+          // REMOTE compaction: folding read + shared-storage restage
+          // client-side, base-conditioned swap server-side
+          val c = s.sql(s"CALL $cat.system.compact(table => 'src.li_maint')")
+            .head()
+          val m = IceLite.readManifest(ref)
+          val compacted = c.getLong(1) == 1L &&
+            m.current.eqDeletes.isEmpty && m.current.operation == "replace" &&
+            m.current.summary.get("committed-via").contains("rest")
+          // remote history expiry reclaims the pre-compaction bytes
+          // (expireWhere deletes files no surviving snapshot
+          // references); gc_orphans after it finds NOTHING left — the
+          // maintenance loop completes without touching the owning
+          // engine, and the physical file count proves the reclaim
+          val expired = s.sql(s"""CALL $cat.system.expire_retain_last(
+              table => 'src.li_maint', retain_last => 1)""").head().getLong(0)
+          val swept = s.sql(s"""CALL $cat.system.gc_orphans(
+              table => 'src.li_maint', grace_ms => 0)""").head().getLong(0)
+          val parquetLeft = IceLite.listDir(
+            java.nio.file.Files.walk(ref.dataDir))(_
+            .count(p => p.toString.endsWith(".parquet")))
+          val reclaimed = expired > 0L && swept == 0L && parquetLeft == 1L
+          s.sql(s"""SELECT l_returnflag AS flag, COUNT(*) AS n,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+                    FROM $cat.src.li_maint GROUP BY l_returnflag""")
+            .withColumn("maintenance_ok", lit(nudged && compacted && reclaimed))
+            .orderBy($"flag")
+        } finally srv.stop()
+      },
+      Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+             TRUE AS maintenance_ok
+             FROM lineitem
+             WHERE l_orderkey < 8000 AND l_orderkey % 97 <> 0
+             GROUP BY 1 ORDER BY 1""")),
+
     // d78: VIEW DDL over the REST attachment — d74's full witness
     // flow (create, nested views, atomic replace, show, drop) run
     // entirely through the wire face. The attachment posts the view

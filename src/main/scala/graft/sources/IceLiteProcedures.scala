@@ -281,7 +281,8 @@ object IceLiteProcedures {
     * (parameters are static; bind() is the identity). The maintenance
     * action runs in call() on the driver; its witness rows come back
     * as a LocalScan. */
-  private abstract class Proc(procName: String,
+  /** Shared with the REST attachment's procedure face (d80). */
+  private[graft] abstract class Proc(procName: String,
       params: Array[ProcedureParameter], resultSchema: StructType)
     extends UnboundProcedure with BoundProcedure {
     def run(in: InternalRow): Array[Array[Any]]

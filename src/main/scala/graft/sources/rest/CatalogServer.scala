@@ -83,6 +83,12 @@ private[rest] final case class ViewPutReq(
 /** RENAME VIEW target. */
 private[rest] final case class ViewRenameReq(toNs: String, toName: String)
 
+/** Remote METADATA-ONLY maintenance call (d80): name + the one int
+  * or long argument each procedure takes; results travel as a flat
+  * Long vector the client reshapes per procedure. */
+private[rest] final case class ProcReq(
+    name: String, intArg: Option[Int] = None, longArg: Option[Long] = None)
+
 /** Schema evolution over the wire (d79): one metadata-only CAS
   * commit per change — the same alterAddColumn/Drop/Rename/Widen the
   * owning catalog runs. */
@@ -256,6 +262,13 @@ class CatalogServer(warehouse: String, port: Int = 0) {
               case "replace" =>
                 IceLite.commitReplace(ref, req.removed.toSet, req.added,
                   req.opName.getOrElse("replace"))
+              // d80: remote compaction — `removed` is the EXPECTED
+              // full file list the client compacted; a changed base
+              // answers 409 (the staged bytes are a function of the
+              // base, so only the client can recompute)
+              case "compact" =>
+                IceLite.commitCompactStaged(ref, req.added, req.removed,
+                  req.keepSorted)
               case other => throw new IllegalArgumentException(
                 s"unknown commit operation '$other'")
             }
@@ -283,6 +296,45 @@ class CatalogServer(warehouse: String, port: Int = 0) {
           val snap = IceLite.createEmptyPartitioned(ref, req.schemaDdl,
             req.partitionCols)
           send(ex, 200, Serialization.write(Map("snapshotId" -> snap.id)))
+        // d80: METADATA-ONLY maintenance procedures run server-side
+        // (they are IceLite metadata commits / file sweeps — no Spark
+        // job involved); data-rewriting maintenance (compact) runs
+        // CLIENT-side and lands through the commit protocol above
+        case ("POST", Seq("namespaces", ns, "tables", t, "procedure")) =>
+          val ref = TableRef(warehouse, ns, t)
+          if (!IceLite.tableExists(ref))
+            send(ex, 404, s"""{"error":"no table $ns.$t"}""")
+          else {
+            val req = Serialization.read[ProcReq](readBody(ex))
+            val values: Seq[Long] = req.name match {
+              case "expire_snapshots" =>
+                Seq(IceLite.expireSnapshots(ref, req.longArg.getOrElse(
+                  throw new IllegalArgumentException(
+                    "expire_snapshots needs older_than_ms"))).size.toLong)
+              case "expire_retain_last" =>
+                Seq(IceLite.expireSnapshotsRetainLast(ref,
+                  req.intArg.getOrElse(throw new IllegalArgumentException(
+                    "expire_retain_last needs retain_last"))).size.toLong)
+              case "expire_metadata" =>
+                Seq(IceLite.expireMetadata(ref,
+                  req.intArg.getOrElse(10)).size.toLong)
+              case "gc_orphans" =>
+                Seq(IceLite.gcOrphans(ref,
+                  req.longArg.getOrElse(3600000L)).size.toLong)
+              case "rollback_to_snapshot" =>
+                val target = req.longArg.getOrElse(
+                  throw new IllegalArgumentException(
+                    "rollback_to_snapshot needs snapshot_id"))
+                Seq(IceLite.rollback(ref, target).id, target)
+              case "eq_live_depth" =>
+                val (sidecars, keys) = IceLite.eqLiveDepth(ref)
+                Seq(sidecars.toLong, keys,
+                  if (keys > req.intArg.getOrElse(10000).toLong) 1L else 0L)
+              case other => throw new IllegalArgumentException(
+                s"unknown remote procedure '$other'")
+            }
+            send(ex, 200, Serialization.write(Map("values" -> values)))
+          }
         // schema evolution (d79): metadata-only CAS commits — the
         // free-at-100TB half of DDL, now reachable from any engine
         case ("POST", Seq("namespaces", ns, "tables", t, "alter")) =>

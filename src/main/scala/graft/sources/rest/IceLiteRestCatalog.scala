@@ -62,6 +62,7 @@ import graft.sources.{IceLiteSource, IceLiteTable}
   */
 class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
   with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   private var catalogName: String = _
@@ -97,6 +98,17 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
 
   private def post(path: String, body: String = ""): String =
     RestCommitClient.post(http, uri + path, body)
+
+  /** POST face for the procedure layer (d80). */
+  private[rest] def postPath(path: String, body: String): String =
+    post(path, body)
+
+  /** Parse a procedure's 'ns.t' table argument. */
+  private[rest] def splitTable(table: String): (String, String) = {
+    val parts = table.split('.')
+    require(parts.length == 2, s"expected 'namespace.table', got '$table'")
+    (parts(0), parts(1))
+  }
 
   private def delete(path: String): String = {
     val resp = http.send(
@@ -464,6 +476,66 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     refuseWrite("RENAME TABLE")
+
+  // ---- d80: maintenance through the attachment ----
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got " +
+        s"${(ident.namespace :+ ident.name).mkString(".")}")
+    new RestProcedures(this)(ident.name).getOrElse(
+      throw new RuntimeException(s"unknown remote procedure '${ident.name}' " +
+        s"(have: ${RestProcedures.names.mkString(", ")}; other maintenance " +
+        "runs through the owning catalog)"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else RestProcedures.names.map(n =>
+      Identifier.of(Array("system"), n)).toArray
+
+  /** Remote compaction (d80): read snapshot S through this
+    * attachment's folding scan (MoR sidecars applied — compaction is
+    * the delete materializer), restage into SHARED storage via the
+    * spool's data/ mount, and ask the catalog service to swap it in
+    * IFF the base is still S. A 409 means the base moved — the
+    * staged bytes are a function of the base, so the only correct
+    * rebase is a client-side recompute (bounded retries). */
+  private[rest] def remoteCompact(table: String,
+      targetFiles: Int): graft.icelite.Snapshot = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val (ns, t) = splitTable(table)
+    val ident = Identifier.of(Array(ns), t)
+    var last: Throwable = null
+    (1 to 3).foreach { _ =>
+      val spool = spoolManifest(ident)
+      val snap = IceLiteSource.resolveSnap(spool, None)
+      require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
+        s"$table has a partition layout — compact through the owning catalog")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df0 = spark.read.format("graft.sources.IceLiteSource")
+        .load(spool.dir.toString)
+      val df = snap.sortedBy match {
+        case Some(c) =>
+          // preserve the sort layout: range-partition + sort keeps the
+          // non-overlapping file ranges pruning relies on (d54)
+          df0.repartitionByRange(targetFiles,
+              org.apache.spark.sql.functions.col(c))
+            .sortWithinPartitions(org.apache.spark.sql.functions.col(c))
+        case None => df0.repartition(targetFiles)
+      }
+      val files = IceLite.stageFor(spool, df)
+      try {
+        RestCommitClient.postCommit(http, uri + tablePath(ident) + "/commit",
+          Serialization.write(CommitReq("compact", added = files,
+            removed = snap.files, keepSorted = snap.sortedBy.isDefined)))
+        return IceLiteSource.resolveSnap(spoolManifest(ident), None)
+      } catch {
+        case e: java.util.ConcurrentModificationException => last = e
+      } // base moved: recompute against the current snapshot
+    }
+    throw last
+  }
 
   // ---- atomic CTAS/RTAS (d70 over the wire): Spark writes the
   // SELECT through the staged table FIRST — files land invisibly in

@@ -322,6 +322,71 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("maintenance through the attachment (d80): compact, eq depth, expiry, rollback") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, (1L to 10L).map(k => (k, s"r$k")).toDF("k", "s"))
+      (1 to 4).foreach(i =>
+        IceLite.append(ref, Seq((10L + i, "x")).toDF("k", "s")))
+      IceLite.deleteByKeysMoR(spark, ref, Seq(3L, 14L).toDF("k"), Seq("k"))
+      // eq depth over the wire sees the live sidecar
+      val depth = spark.sql(
+        s"CALL $cat.system.eq_live_depth(table => 'src.t', key_threshold => 1)").head()
+      assert(depth.getLong(0) == 1 && depth.getLong(1) == 2 && depth.getBoolean(2))
+      // REMOTE compaction: reads through the folding scan (deletes
+      // materialized), restages into shared storage, server swaps
+      val c = spark.sql(s"CALL $cat.system.compact(table => 'src.t')").head()
+      assert(c.getLong(1) == 1, "compacted to one file")
+      val m = IceLite.readManifest(ref)
+      assert(m.current.operation == "replace" &&
+        m.current.eqDeletes.isEmpty && m.current.deleteFiles.isEmpty,
+        "remote compaction must materialize and clear the MoR sidecars")
+      assert(m.current.summary.get("committed-via").contains("rest"))
+      assert(IceLite.read(spark, ref).count() == 12)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 12)
+      // metadata-only procedures run server-side: expiry + rollback
+      val rolledTo = m.snapshots.map(_.id).max
+      IceLite.append(ref, Seq((99L, "tail")).toDF("k", "s"))
+      val rb = spark.sql(s"""CALL $cat.system.rollback_to_snapshot(
+          table => 'src.t', snapshot_id => $rolledTo)""").head()
+      assert(rb.getLong(1) == rolledTo)
+      assert(IceLite.read(spark, ref).count() == 12)
+      val expired = spark.sql(
+        s"CALL $cat.system.expire_retain_last(table => 'src.t', retain_last => 1)")
+        .head().getLong(0)
+      assert(expired > 0)
+      val versions = spark.sql(
+        s"CALL $cat.system.expire_metadata(table => 'src.t', keep_last => 2)")
+        .head().getLong(0)
+      assert(versions > 0)
+      assert(spark.sql(
+        s"CALL $cat.system.gc_orphans(table => 'src.t', grace_ms => 0)") != null)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 12)
+    }
+  }
+
+  test("remote compact preserves sort layout; partitioned refuses toward owner") {
+    withServer { (wh, cat, _) =>
+      val sref = TableRef(wh, "src", "sorted")
+      IceLite.createOrReplaceSorted(sref,
+        (1L to 200L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", numFiles = 4)
+      IceLite.appendSorted(sref, Seq((500L, 1.0)).toDF("k", "v"), "k", numFiles = 1)
+      spark.sql(s"CALL $cat.system.compact(table => 'src.sorted', target_files => 2)")
+      val sm = IceLiteSource.resolveSnap(sref, None)
+      assert(sm.sortedBy.contains("k"),
+        "remote compaction must keep the sort marker")
+      assert(sm.files.size == 2)
+      assert(IceLite.read(spark, sref).count() == 201)
+      val pref = TableRef(wh, "src", "parted")
+      IceLite.createOrReplacePartitioned(pref,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "p")
+      val e = intercept[Exception](spark.sql(
+        s"CALL $cat.system.compact(table => 'src.parted')").collect())
+      assert(e.getMessage.toLowerCase.contains("owning catalog"),
+        s"partitioned remote compact must refuse: ${e.getMessage.take(120)}")
+    }
+  }
+
   test("DROP + re-CREATE invalidates the spool (no stale-version resurrection)") {
     withServer { (wh, cat, _) =>
       val ref = TableRef(wh, "src", "t")
