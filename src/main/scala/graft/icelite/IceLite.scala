@@ -642,31 +642,51 @@ object IceLite {
     * delete materializer, d47/d72) and keeps the sort marker the
     * client preserved. */
   private[graft] def commitCompactStaged(ref: TableRef, added: Seq[String],
-      expected: Seq[String], keepSorted: Boolean): Snapshot = {
+      expectedVersion: Long, keepSorted: Boolean): Snapshot = {
     val rowsByFile = fileRowCounts(ref, added)
     val stats = footerStats(ref, added)
-    try {
-      commitCAS(ref) { curOpt =>
-        val m = curOpt.getOrElse(throw new IllegalArgumentException(
-          s"${ref.name} does not exist"))
-        val cur = m.current
-        require(cur.partitionCols.isEmpty && cur.partitionSpec.isEmpty,
-          s"${ref.name} has a partition layout — compact through the " +
-            "owning catalog (remote compaction restages flat/sorted only)")
-        if (cur.files.toSet != expected.toSet)
-          throw new java.util.ConcurrentModificationException(
-            s"${ref.name} changed since the remote compaction read it " +
-              "— recompute against the current snapshot")
-        val id = m.snapshots.map(_.id).max + 1
-        m.copy(currentSnapshotId = id, snapshots = m.snapshots :+
-          Snapshot(id, System.currentTimeMillis(), "replace", added,
-            rowsByFile.values.sum, stats,
-            sortedBy = if (keepSorted) cur.sortedBy else None,
-            summary = Map("committed-via" -> "rest",
-              "maintenance" -> "compact"),
-            fileRows = rowsByFile))
-      }.current
-    } catch { case e: Throwable => unstageFiles(ref, added); throw e }
+    // local compact()'s race rule, over the wire: claim EXACTLY the
+    // version after the one the client compacted against, so ANY
+    // concurrent commit — another append, a metadata commit, and
+    // critically an eq-delete batch that changes no data file —
+    // invalidates the claim. (Comparing file sets is NOT enough: a
+    // delete-eq snapshot keeps the same files and only adds a
+    // sidecar; rebasing past it would clear the sidecar unread and
+    // resurrect its deleted rows.) The staged bytes are a function
+    // of the base, so a lost claim unstages and answers the race —
+    // only the client can recompute.
+    val (curVersion, curPath) = latestManifestFile(ref).getOrElse {
+      unstageFiles(ref, added)
+      throw new IllegalArgumentException(s"${ref.name} does not exist")
+    }
+    def raced(): Nothing = {
+      unstageFiles(ref, added)
+      throw new java.util.ConcurrentModificationException(
+        s"${ref.name} changed since the remote compaction read it " +
+          s"(version $expectedVersion is no longer current) — recompute " +
+          "against the current snapshot")
+    }
+    if (curVersion != expectedVersion) raced()
+    val m = decodeManifest(ref, curPath)
+    val cur = m.current
+    try require(cur.partitionCols.isEmpty && cur.partitionSpec.isEmpty,
+      s"${ref.name} has a partition layout — compact through the " +
+        "owning catalog (remote compaction restages flat/sorted only)")
+    catch { case e: Throwable => unstageFiles(ref, added); throw e }
+    val id = m.snapshots.map(_.id).max + 1
+    val snap = Snapshot(id, System.currentTimeMillis(), "replace", added,
+      rowsByFile.values.sum, stats,
+      sortedBy = if (keepSorted) cur.sortedBy else None,
+      summary = Map("committed-via" -> "rest", "maintenance" -> "compact"),
+      fileRows = rowsByFile)
+    if (!claimVersion(ref, expectedVersion + 1,
+        m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap),
+        added)) raced()
+    // parity with local compact(): the rewrite orphans any Bloom
+    // sidecar — rebuild so point-lookup pruning survives (same
+    // active-session caveat as commitReplace's refresh)
+    BloomIndex.refreshAll(org.apache.spark.sql.SparkSession.active, ref)
+    snap
   }
 
   /** Exact PER-FILE row counts from parquet footers, driver-side — no

@@ -63,7 +63,8 @@ private[rest] final case class CommitReq(
     mode: Option[String] = None,
     eq: Map[String, String] = Map.empty,
     opName: Option[String] = None,
-    keepSorted: Boolean = false)
+    keepSorted: Boolean = false,
+    expectedVersion: Option[Long] = None)
 
 /** CTAS/RTAS commit: the staged files become the table's ONLY files
   * in one CAS commit (IceLite.replaceTableStaged semantics). */
@@ -262,12 +263,16 @@ class CatalogServer(warehouse: String, port: Int = 0) {
               case "replace" =>
                 IceLite.commitReplace(ref, req.removed.toSet, req.added,
                   req.opName.getOrElse("replace"))
-              // d80: remote compaction — `removed` is the EXPECTED
-              // full file list the client compacted; a changed base
-              // answers 409 (the staged bytes are a function of the
-              // base, so only the client can recompute)
+              // d80: remote compaction — conditioned on the exact
+              // manifest VERSION the client compacted against; any
+              // concurrent commit (including a files-unchanged
+              // eq-delete) answers 409, and only the client can
+              // recompute (the staged bytes are a function of the base)
               case "compact" =>
-                IceLite.commitCompactStaged(ref, req.added, req.removed,
+                IceLite.commitCompactStaged(ref, req.added,
+                  req.expectedVersion.getOrElse(
+                    throw new IllegalArgumentException(
+                      "compact needs expectedVersion")),
                   req.keepSorted)
               case other => throw new IllegalArgumentException(
                 s"unknown commit operation '$other'")

@@ -190,7 +190,10 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     * from the pointer when a referenced segment was swept between the
     * pointer GET and the segment GET (the re-resolve IceLite
     * .segmentWire's contract names). */
-  private def spoolManifest(ident: Identifier): TableRef = {
+  private def spoolManifest(ident: Identifier): TableRef =
+    spoolManifestVersioned(ident)._1
+
+  private[rest] def spoolManifestVersioned(ident: Identifier): (TableRef, Long) = {
     var last: RestCatalogException = null
     (1 to 3).foreach { _ =>
       try return spoolManifestOnce(ident)
@@ -199,7 +202,7 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     throw last
   }
 
-  private def spoolManifestOnce(ident: Identifier): TableRef = {
+  private def spoolManifestOnce(ident: Identifier): (TableRef, Long) = {
     require(ident.namespace.length == 1,
       s"icelite namespaces are single-level, got ${ident.namespace.mkString(".")}")
     val ns = ident.namespace.head
@@ -273,7 +276,7 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       finally Files.deleteIfExists(tmp)
     }
-    spool
+    (spool, version)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -508,7 +511,7 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     val ident = Identifier.of(Array(ns), t)
     var last: Throwable = null
     (1 to 3).foreach { _ =>
-      val spool = spoolManifest(ident)
+      val (spool, version) = spoolManifestVersioned(ident)
       val snap = IceLiteSource.resolveSnap(spool, None)
       require(snap.partitionCols.isEmpty && snap.partitionSpec.isEmpty,
         s"$table has a partition layout — compact through the owning catalog")
@@ -526,10 +529,19 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       }
       val files = IceLite.stageFor(spool, df)
       try {
-        RestCommitClient.postCommit(http, uri + tablePath(ident) + "/commit",
+        val resp = RestCommitClient.postCommit(http,
+          uri + tablePath(ident) + "/commit",
           Serialization.write(CommitReq("compact", added = files,
-            removed = snap.files, keepSorted = snap.sortedBy.isDefined)))
-        return IceLiteSource.resolveSnap(spoolManifest(ident), None)
+            keepSorted = snap.sortedBy.isDefined,
+            expectedVersion = Some(version))))
+        // the response names the committed snapshot — report THAT,
+        // not whatever is current by respool time (a concurrent
+        // append may already have landed on top)
+        val snapId = (parse(resp) \ "snapshotId").extract[Long]
+        return IceLite.readManifest(spoolManifest(ident)).snapshots
+          .find(_.id == snapId).getOrElse(
+            throw new IllegalStateException(
+              s"committed compaction snapshot $snapId not in respool"))
       } catch {
         case e: java.util.ConcurrentModificationException => last = e
       } // base moved: recompute against the current snapshot

@@ -365,6 +365,45 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("remote compact refuses a moved base — even a files-unchanged eq-delete") {
+    withServer { (wh, cat, srv) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, (1L to 6L).map(k => (k, s"r$k")).toDF("k", "s"))
+      val http = java.net.http.HttpClient.newHttpClient()
+      def getJson(path: String): String = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(srv.uri + path)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val version = (org.json4s.jackson.JsonMethods.parse(
+        getJson("/namespaces/src/tables/t?wire=sharded")) \ "version")
+        .values.toString.toLong
+      // the "client" stages its rewrite of version V...
+      val staged = IceLite.stageFor(ref,
+        IceLite.read(spark, ref).repartition(1))
+      // ...while a CDC eq-delete lands V+1: SAME data files, one new
+      // sidecar. A file-set comparison would let the stale compact
+      // through and silently clear the unread sidecar.
+      IceLite.deleteByKeysMoR(spark, ref, Seq(2L).toDF("k"), Seq("k"))
+      val body = s"""{"operation":"compact","added":[${
+        staged.map("\"" + _ + "\"").mkString(",")}],"keepSorted":false,
+        "expectedVersion":$version}"""
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}/namespaces/src/tables/t/commit"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 409,
+        s"stale-base compact must be a conflict, got ${resp.statusCode()}: ${resp.body()}")
+      assert(IceLite.read(spark, ref).count() == 5,
+        "the eq-delete must survive the refused stale compact")
+      // the real procedure's retry loop recomputes and converges
+      spark.sql(s"CALL $cat.system.compact(table => 'src.t')")
+      val m = IceLite.readManifest(ref)
+      assert(m.current.eqDeletes.isEmpty && IceLite.read(spark, ref).count() == 5,
+        "retried compaction must materialize the concurrent delete, not drop it")
+    }
+  }
+
   test("remote compact preserves sort layout; partitioned refuses toward owner") {
     withServer { (wh, cat, _) =>
       val sref = TableRef(wh, "src", "sorted")
