@@ -20,18 +20,35 @@ import graft.icelite.{IceLite, TableRef}
   * path reads the data files directly. Out-of-process clients (the
   * multi-engine case) attach with nothing but the uri.
   *
-  * Endpoints (JSON):
-  *   GET  /v1/config                                → {warehouse}
-  *   GET  /v1/namespaces                            → {namespaces:[..]}
-  *   POST /v1/namespaces/{ns}                       → create
-  *   GET  /v1/namespaces/{ns}/tables                → {tables:[..]}
-  *   GET  /v1/namespaces/{ns}/tables/{t}            → {version, manifest}
+  * Endpoints (JSON; {..} are validated identifiers):
+  *   GET    /v1/config                                  → {warehouse}
+  *   GET    /v1/namespaces                              → {namespaces}
+  *   POST   /v1/namespaces/{ns}                         → create
+  *   DELETE /v1/namespaces/{ns}[?cascade]               → drop (tables
+  *          AND views counted before a non-cascade drop)
+  *   GET    /v1/namespaces/{ns}/tables                  → {tables}
+  *   GET    /v1/namespaces/{ns}/tables/{t}              → {version,
+  *          manifest} (the pre-d77 single-JSON shape — the default,
+  *          because an OLD client cannot know any new parameter);
+  *          `?wire=sharded` → {version, pointer, segments} (d77)
+  *   GET    /v1/…/tables/{t}/segments/{seg}             → raw segment
+  *   POST   /v1/…/tables/{t}/commit                     → d76/d80 DML
+  *          commit: append / overwrite (flat + partitioned modes) /
+  *          replace (row-level swap) / compact (version-conditioned)
+  *   POST   /v1/…/tables/{t}/commit-staged              → legacy append
+  *   POST   /v1/…/tables/{t}/create-staged              → CTAS/RTAS
+  *   POST   /v1/…/tables/{t}/create-empty               → DDL create
+  *   POST   /v1/…/tables/{t}/alter                      → d79 evolution
+  *   POST   /v1/…/tables/{t}/procedure                  → d80 metadata
+  *          maintenance (expiry, gc, rollback, eq depth)
+  *   DELETE /v1/…/tables/{t}                            → drop table
+  *   GET/POST/DELETE /v1/…/views[/{v}][/rename]         → d74/d78 views
   *
-  * The manifest travels as the LEGACY single-JSON layout (assembled
-  * from the sharded pointer server-side), so a client can spool it
-  * as-is and every IceLite reader decodes it — the wire format is
-  * version-stable even as the on-disk layout shards. Metadata-sized
-  * responses only; data bytes never cross this server.
+  * Metadata-sized requests and responses only; data bytes never cross
+  * this server — executors stage parquet into SHARED storage and the
+  * commit routes carry file NAMES (Iceberg's REST-commit division of
+  * labor). Errors: 404 missing, 409 CAS race (retry after rebase),
+  * 400 permanent request error, 500 fault.
   *
   * Single-threaded handler (JDK HttpServer default executor) is
   * deliberate: every request is a metadata read measured in
