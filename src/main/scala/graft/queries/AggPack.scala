@@ -50,14 +50,25 @@ object AggPack extends Pack {
              CAST(COUNT(*) AS BIGINT) AS n_rows
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // HLL++ sketch — engine-specific values, so no DuckDB oracle
-    // (SURVEY §7.5); driver records a rows-only check
+    // HLL++ sketch — the raw estimate is engine-specific, so the
+    // CONTRACT is what gets the oracle: |approx − exact| ≤ 10% · exact
+    // (default rsd 0.05 ⇒ typical error 2-5%; deterministic per
+    // fixture). Emitting the tolerance check + the exact count turns
+    // the former rows-only omission into a full value gate — the
+    // right way to grade a sketch.
     Decl("b27_agg_approx_distinct",
       (s, dir) => li(s, dir)
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").cast("long").as("exact_parts"))
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"approx_parts" - $"exact_parts") <=
+            $"exact_parts".cast("double") * 0.1).as("within_10pct"))
         .orderBy($"l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             true AS within_10pct
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     Decl("b28_agg_grouping_sets",
       (s, dir) => {

@@ -168,9 +168,11 @@ object MultimodalPack extends Pack {
              FROM documents WHERE doc_id < 200 ORDER BY media_id""")),
 
     // typed mapPartitions decode pipeline (the real-codec slot);
-    // features exploded to rows for a dtype-stable dump. Stub output
-    // is still deterministic, so the oracle recomputes the per-chunk
-    // byte means relationally in DuckDB.
+    // features exploded to rows for a dtype-stable dump. The corpus is
+    // pure ASCII (spec-checked), so payload bytes == code points and
+    // DuckDB CAN replay the stub's chunk means relationally
+    // (ord(substr(…)) folds) — the former rows-only omission now has
+    // a full value oracle.
     Decl("m02_feature_extract_stub",
       (s, dir) => {
         implicit val enc = Encoders.product[MediaFeatures]
@@ -184,9 +186,21 @@ object MultimodalPack extends Pack {
             round($"mean_byte", 6).as("mean_byte"))
           .orderBy($"media_id", $"chunk")
       },
-      // byte-level folds over BLOBs are not expressible in DuckDB SQL —
-      // semantics pinned in MultimodalSpec instead (driver: rows-only)
-      None),
+      // mirrors decodeStub exactly: chunk = max(1, n/8); chunk c covers
+      // bytes [c*chunk, min(n,(c+1)*chunk)); a chunk starting past the
+      // payload is 0.0; trailing bytes past 8*chunk are dropped
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               text AS s, CAST(length(text) AS BIGINT) AS n
+               FROM documents WHERE doc_id < 100)
+             SELECT media_id, kind, n AS n_bytes, CAST(c AS BIGINT) AS chunk,
+               CASE WHEN c * GREATEST(n // 8, 1) >= n THEN 0.0
+                    ELSE round((SELECT AVG(ord(substr(s, CAST(i + 1 AS INT), 1)))
+                      FROM unnest(range(c * GREATEST(n // 8, 1),
+                        LEAST(n, (c + 1) * GREATEST(n // 8, 1)))) AS t(i)), 6)
+               END AS mean_byte
+             FROM m, unnest(range(0, 8)) AS u(c)
+             ORDER BY media_id, chunk""")),
 
     // resize: payload as a 64-wide byte grid, nearest-neighbor 2×
     // downsample in the typed pipeline; oracle checks the dimension

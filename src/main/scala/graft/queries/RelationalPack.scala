@@ -147,8 +147,11 @@ object RelationalPack extends Pack {
              FROM orders WHERE o_orderkey < 2000
              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
-    // catalog op (extract_load.py:87): list registered tables; no
-    // oracle (driver records rows-only)
+    // catalog op (extract_load.py:87): list registered tables. The
+    // listing is environment-determined, so the oracle is the golden
+    // fixture-table set as a VALUES literal — a regression in
+    // registerAll or SHOW TABLES now fails the value gate instead of
+    // slipping through a rows-only check.
     Decl("b04_catalog_tables",
       (s, dir) => {
         Tables.registerAll(s, dir)
@@ -156,7 +159,10 @@ object RelationalPack extends Pack {
           .filter($"tableName".isin(Tables.all: _*)) // session may hold other views
           .orderBy($"tableName")
       },
-      None),
+      Some("""SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),
+             ('events'),('lineitem'),('nation'),('orders'),('part'),
+             ('region'),('supplier')) AS t(tableName)
+             ORDER BY tableName""")),
 
     Decl("b02_scan_limit",
       (s, dir) => ord(s, dir)

@@ -24,6 +24,17 @@ class FixtureContractSpec extends AnyFunSuite {
     }
   }
 
+  test("documents.text is pure ASCII (m02's byte==codepoint oracle precondition)") {
+    // m02's DuckDB oracle replays the stub's per-chunk BYTE means via
+    // ord(substr(…)) CHARACTER folds — valid only while one char is
+    // one byte. A fixture regeneration that introduces multi-byte
+    // text must fail here, not silently skew the gate.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val n = Tables.load(spark, TestSpark.sfDir, "documents")
+      .filter(length(col("text")) =!= octet_length(col("text"))).count()
+    assert(n == 0, s"$n non-ASCII documents break m02's oracle assumption")
+  }
+
   test("events.ts loads as a session-TZ timestamp from the live fixtures") {
     val df = Tables.load(spark, TestSpark.sfDir, "events")
     assert(df.schema("ts").dataType == TimestampType)

@@ -58,6 +58,25 @@ class LlmPackSpec extends AnyFunSuite {
     assert(pairs.size < 100, s"candidate blow-up: ${pairs.size} pairs")
   }
 
+  test("c02 precision and recall vs the exact formulation (c12) on the fixture corpus") {
+    // Precision is STRUCTURAL: the residual exact-Jaccard filter uses
+    // the same shingles and threshold as c12, so every emitted pair is
+    // a true J≥0.5 pair — pinned as a subset check. Recall is
+    // PROBABILISTIC (that is the LSH trade): 1−(1−J⁴)⁴ per pair, and
+    // the fixture's pairs all sit at J≥0.8 where it is ≈0.88–1.0 —
+    // measured total here and at sf0.01, and 254/256 at sf0.1 (the
+    // two misses are J≈0.8 pairs, exactly the theoretical gap; why
+    // c02 stays on the no-oracle list while c12 is the exact gate).
+    val exact = LlmPack.queries("c12_dedup_ngram_jaccard")(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val lsh = LlmPack.queries("c02_dedup_near_minhash")(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"false positives survived the residual verify: ${lsh -- exact}")
+    assert(lsh == exact,
+      s"recall gap on the smoke corpus (expected total): ${exact -- lsh}")
+  }
+
   test("c04 top-k equals brute-force ranking") {
     val e = graft.Tables.load(spark, sfDir, "embeddings")
     val topk = LlmPack.queries("c04_sim_topk_search")(spark, sfDir)
