@@ -35,13 +35,15 @@ import scala.jdk.CollectionConverters._
   *  - `delete`/`exists`/`mkdirs` — direct equivalents (mkdirs is a
   *    no-op on object stores; prefixes need no creation).
   *
-  * DATA files deliberately do NOT go through this trait: they are
-  * written by Spark's parquet writer and read by Spark's scans, which
-  * already run on Hadoop FileSystem connectors (s3a/abfs/gs at
-  * cluster scale, file:// here) — re-abstracting them would duplicate
-  * an abstraction Spark owns. The one POSIX-ism outside this seam is
-  * add_files' hard-link registration (d63), which an object-store
-  * deployment replaces with server-side copy — documented there.
+  * DATA file READS and WRITES deliberately do NOT go through this
+  * trait: they are written by Spark's parquet writer and read by
+  * Spark's scans, which already run on Hadoop FileSystem connectors
+  * (s3a/abfs/gs at cluster scale, file:// here) — re-abstracting them
+  * would duplicate an abstraction Spark owns. Data file REGISTRATION
+  * (linking an existing immutable file under a table-owned name —
+  * add_files' zero-copy migration, table RENAME's data carry-over)
+  * does route through `linkOrCopy`, because it is a metadata-layer
+  * storage op with a real object-store mapping (server-side copy).
   *
   * The instance is swappable (IceLite.io) so specs can wrap the local
   * impl with fault injection or op counters; production code never
@@ -64,6 +66,16 @@ private[graft] trait FileIO {
   /** Object age, for orphan-sweep grace windows (Iceberg's
     * orphan-cleanup age rule). Local: mtime. S3: LastModified. */
   def mtimeMs(p: Path): Long
+  /** Register the IMMUTABLE object at `src` under a second name `dst`
+    * without rewriting bytes where the store allows it — the zero-copy
+    * registration primitive behind add_files (d63) and table RENAME.
+    * Local: hard link (a new directory entry; cross-device falls back
+    * to a byte copy). S3: server-side CopyObject — no client egress,
+    * and the cheapest registration a store offers (real Iceberg
+    * sidesteps even that by recording absolute source URIs in the
+    * manifest, which a relative-path manifest cannot). `src` must be
+    * fully written and never mutated afterward; `dst` must not exist. */
+  def linkOrCopy(dst: Path, src: Path): Unit
 }
 
 /** java.nio implementation — the sandbox/laptop deployment. The CAS
@@ -93,4 +105,11 @@ private[graft] object LocalFileIO extends FileIO {
   override def mkdirs(p: Path): Unit = Files.createDirectories(p)
   override def mtimeMs(p: Path): Long =
     Files.getLastModifiedTime(p).toMillis
+  override def linkOrCopy(dst: Path, src: Path): Unit = {
+    if (dst.getParent != null) Files.createDirectories(dst.getParent)
+    try Files.createLink(dst, src)
+    catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+      Files.copy(src, dst) // cross-device: copy is the only option
+    }
+  }
 }

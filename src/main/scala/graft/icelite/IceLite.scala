@@ -1124,9 +1124,10 @@ object IceLite {
   /** d63: ZERO-COPY MIGRATION (Iceberg's `add_files` / `migrate`
     * procedures; Delta's CONVERT TO DELTA): register parquet files an
     * EXTERNAL writer already produced into an IceLite table without
-    * rewriting a byte. Each source is HARD-LINKED into data/<token>/
-    * (same-filesystem link = a new directory entry, zero data copied —
-    * the 100 TB onboarding path; cross-device falls back to a copy),
+    * rewriting a byte. Each source is registered into data/<token>/
+    * through the FileIO seam's `linkOrCopy` (locally a hard link — a
+    * new directory entry, zero data copied — the 100 TB onboarding
+    * path; object stores map it to server-side copy),
     * then one CAS append/create snapshot picks up stats and row counts
     * from the parquet FOOTERS — migration cost is metadata-sized, not
     * data-sized, exactly like Iceberg's add_files.
@@ -1179,14 +1180,113 @@ object IceLite {
     val rels = sources.zipWithIndex.map { case (src, i) =>
       // index prefix keeps same-named sources from distinct dirs unique
       val dst = outDir.resolve(f"$i%05d-${src.getFileName}")
-      try Files.createLink(dst, src)
-      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-        Files.copy(src, dst) // cross-device: copy is the only option
-      }
+      io.linkOrCopy(dst, src) // zero-copy locally; server-side copy on stores
       s"data/$token/${dst.getFileName}"
     }
     commitStaged(ref, rels, truncate = false,
       summary = Map("added-files" -> rels.size.toString, "operation-origin" -> "add_files"))
+  }
+
+  /** Table RENAME — what Iceberg performs as a catalog-pointer move
+    * (HMS row update / REST rename call; the table LOCATION never
+    * changes). A path-addressed layout has no pointer table, so the
+    * rename is carried out as a zero-copy relocation instead:
+    *
+    *  1. every data/delete file any snapshot references is registered
+    *     under the destination dir at its SAME relative name through
+    *     the FileIO seam's `linkOrCopy` (hard link locally — no bytes
+    *     move; server-side copy on an object store), so the manifest
+    *     travels byte-identical — history, refs, tags, MoR sidecars
+    *     and time travel all survive;
+    *  2. immutable metadata segments travel through the seam's string
+    *     ops (they live in the metadata STORE, which need not be the
+    *     data filesystem);
+    *  3. the destination pointer is CAS-CLAIMED at the source's
+    *     version number — two renames (or a rename racing a CREATE)
+    *     to the same name get exactly one winner;
+    *  4. the source pointer is re-read: if any commit landed during
+    *     staging the rename fails LOUDLY (CME) and unstages — nothing
+    *     is lost, rerun picks up the new files;
+    *  5. only then is the source retired. A crash between 3 and 5
+    *     leaves BOTH names readable over shared immutable bytes —
+    *     re-running the rename (or dropping the source) heals, and no
+    *     window loses the table.
+    *
+    * NOT linearizable against writers that commit to the source AFTER
+    * step 4's check (they would recreate the source name as a fresh
+    * table): rename is an administrative operation, as in Hive. Views
+    * that reference the old name break at next read — the stored-SQL
+    * behavior Iceberg views have too. Bloom sidecars are carried over
+    * so d17 pruning stays warm. */
+  def renameTable(from: TableRef, to: TableRef): Unit = {
+    require(from.warehouse == to.warehouse, "rename cannot cross warehouses")
+    require(Files.exists(to.nsDir), s"namespace ${to.namespace} does not exist")
+    val (fromVer, fromPath) = latestManifestFile(from).getOrElse(
+      throw new IllegalStateException(s"no manifest for ${from.name}"))
+    if (tableExists(to)) throw new IllegalStateException(
+      s"table ${to.namespace}.${to.name} already exists")
+    val pointerBytes = io.readString(fromPath)
+    val man = decodeManifest(from, fromPath)
+    // 1) data plane: same relative names, zero-copy registration
+    val rels = (man.snapshots.flatMap(_.files) ++
+      man.snapshots.flatMap(_.deleteFiles) ++
+      man.snapshots.flatMap(_.eqDeletes.map(_.file))).distinct
+    rels.foreach { rel =>
+      val dst = to.dir.resolve(rel)
+      if (!Files.exists(dst)) io.linkOrCopy(dst, from.dir.resolve(rel))
+    }
+    // 2) metadata segments (immutable, content-named → idempotent)
+    io.list(from.dir.resolve("meta")).foreach { seg =>
+      io.writeString(to.dir.resolve("meta").resolve(seg.getFileName.toString),
+        io.readString(seg))
+    }
+    // 3) bloom sidecars: rebuildable data-plane artifacts (json file
+    //    or parquet dir) — carry them so pruning stays warm
+    listDir(Files.list(from.dir))(_.filter(p =>
+        p.getFileName.toString.startsWith("bloom.")).toSeq)
+      .foreach { p =>
+        listDir(Files.walk(p))(_.filter(Files.isRegularFile(_)).toSeq)
+          .foreach { f =>
+            val dst = to.dir.resolve(from.dir.relativize(f).toString)
+            if (!Files.exists(dst)) io.linkOrCopy(dst, f)
+          }
+      }
+    // 4) one-winner claim of the destination pointer, same version
+    io.mkdirs(to.dir)
+    val tmpPtr = to.dir.resolve(s".rename-${java.util.UUID.randomUUID.toString.take(8)}")
+    io.writeString(tmpPtr, pointerBytes)
+    val won = io.claim(manifestPathFor(to, fromVer), tmpPtr)
+    io.delete(tmpPtr)
+    if (!won) {
+      // the destination belongs to the race WINNER — never delete under
+      // a claimed table; our staged extras are orphans its gcOrphans
+      // reclaims after the grace window
+      throw new IllegalStateException(
+        s"table ${to.namespace}.${to.name} already exists (lost rename race)")
+    }
+    // 5) the source must not have moved while we staged
+    val unchanged = scala.util.Try(
+      latestManifestFile(from).map(_._1) == Some(fromVer) &&
+        io.readString(fromPath) == pointerBytes).getOrElse(false)
+    if (!unchanged) {
+      // we own the destination claim — unstaging it fully is safe
+      io.delete(manifestPathFor(to, fromVer))
+      io.list(to.dir.resolve("meta")).foreach(io.delete)
+      if (Files.exists(to.dir))
+        listDir(Files.walk(to.dir))(_.toSeq).sortBy(-_.getNameCount)
+          .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+      throw new java.util.ConcurrentModificationException(
+        s"${from.name}: a commit landed during rename — rerun")
+    }
+    // 6) retire the source: pointers FIRST (the name disappears), then
+    //    segments, then the linked data (bytes survive via the
+    //    destination's links)
+    io.list(from.dir).filter(_.getFileName.toString.startsWith("manifest.v"))
+      .foreach(io.delete)
+    io.list(from.dir.resolve("meta")).foreach(io.delete)
+    if (Files.exists(from.dir))
+      listDir(Files.walk(from.dir))(_.toSeq).sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
   }
 
   /** a10: atomic full refresh — new snapshot referencing only the new

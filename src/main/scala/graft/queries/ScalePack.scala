@@ -1822,6 +1822,53 @@ object ScalePack extends Pack {
               WHERE o_orderkey >= 1000 AND o_orderkey < 2000) AS n_current,
              TRUE AS tag_pinned""")),
 
+    // d81: SQL TABLE RENAME — `ALTER TABLE … RENAME TO`, Iceberg's
+    // catalog-pointer move and the one DDL this catalog refused
+    // through round 7. Path-addressed IceLite relocates ZERO-COPY:
+    // every referenced data file is registered under the new dir at
+    // its SAME relative name through the FileIO seam's linkOrCopy
+    // (hard link locally — no bytes move; server-side copy on object
+    // stores), the manifest travels byte-identical, and the
+    // destination pointer is CAS-claimed one-winner (crash/race
+    // contract at IceLite.renameTable). Witnessed: both eras AND time
+    // travel to snapshot 1 survive under the new name; the old name
+    // is gone from both the catalog and SQL resolution.
+    Decl("d81_sql_rename_table",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d81").toString
+        IceLite.createNamespace(wh, "src")
+        val refA = TableRef(wh, "src", "orders_rn_a")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(refA, o.filter($"o_orderkey" < 1000))
+        IceLite.append(refA,
+          o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"ALTER TABLE $cat.src.orders_rn_a RENAME TO src.orders_rn_b")
+        val oldGone = !IceLite.tableExists(refA) && scala.util.Try(
+          s.sql(s"SELECT * FROM $cat.src.orders_rn_a").collect()).isFailure
+        val travel = s.sql(s"SELECT CAST(COUNT(*) AS BIGINT) AS n " +
+            s"FROM $cat.src.orders_rn_b VERSION AS OF 1")
+          .head.getLong(0)
+        val era1n = o.filter($"o_orderkey" < 1000).count()
+        s.sql(s"""SELECT (o_orderkey < 1000) AS era1,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.orders_rn_b GROUP BY 1 ORDER BY 1""")
+          .withColumn("old_gone", lit(oldGone))
+          .withColumn("history_kept", lit(travel == era1n))
+      },
+      Some("""SELECT (o_orderkey < 1000) AS era1,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS old_gone, TRUE AS history_kept
+             FROM orders WHERE o_orderkey < 2000
+             GROUP BY 1 ORDER BY 1""")),
+
     // d58: `ALTER TABLE RENAME COLUMN` — the third metadata-only
     // ALTER (Iceberg's rename, trivial there because field ids name
     // columns; here a rename LEDGER plays the field-id role). Zero

@@ -33,9 +33,9 @@ import graft.icelite.{IceLite, TableRef}
   * directory appears atomically with its first CAS manifest).
   * Partitioned/sorted DDL layouts are the IceLite API's job
   * (createOrReplacePartitioned / createOrReplaceSorted) — SQL DDL
-  * here creates flat tables, and ALTER/RENAME are refused loudly
-  * (schema evolves through mergeSchema writes, as everywhere else in
-  * the engine).
+  * here creates flat tables. ALTER evolves metadata-only
+  * (d51/d52/d58/d66) and `RENAME TO` relocates zero-copy (d81);
+  * anything outside those contracts refuses loudly.
   */
 /** A fixed row set as a read-only DSv2 table (the catalog's metadata
   * tables): one synthetic input partition, rows precomputed
@@ -342,9 +342,25 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def renameTable(from: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "icelite tables are addressed by path; copy via CTAS instead of RENAME")
+  /** `ALTER TABLE … RENAME TO …` — Iceberg's catalog-pointer move,
+    * carried out as IceLite's zero-copy relocation (data hard-linked
+    * at the same relative names, manifest travels byte-identical, one
+    * CAS claim on the destination pointer — see IceLite.renameTable
+    * for the crash/race contract). History, refs, tags and MoR
+    * sidecars all survive; views that referenced the old name break
+    * at next read, the stored-SQL behavior Iceberg views share. */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val f = refOf(from)
+    val t = refOf(to)
+    if (!IceLite.tableExists(f)) throw new NoSuchTableException(from)
+    if (IceLite.tableExists(t)) throw new TableAlreadyExistsException(to)
+    try IceLite.renameTable(f, t)
+    catch {
+      case e: IllegalStateException if e.getMessage != null &&
+          e.getMessage.contains("already exists") =>
+        throw new TableAlreadyExistsException(to)
+    }
+  }
 
   // ---- views (d74) ----
 

@@ -425,6 +425,24 @@ class CatalogServer(warehouse: String, port: Int = 0) {
         case ("DELETE", Seq("namespaces", ns, "views", v)) =>
           send(ex, 200, Serialization.write(Map(
             "dropped" -> graft.sources.IceLiteViews.drop(warehouse, ns, v))))
+        // d81 over the wire: table RENAME runs server-side, where it
+        // is the catalog-authority op Iceberg models (the attachment
+        // never touches storage). Zero-copy relocation + CAS claim —
+        // IceLite.renameTable's contract; a commit racing the rename
+        // maps to 409 (retryable), an occupied target to 400.
+        case ("POST", Seq("namespaces", ns, "tables", t, "rename")) =>
+          val req = Serialization.read[ViewRenameReq](readBody(ex))
+          require(validIdent(req.toNs) && validIdent(req.toName),
+            "invalid rename target identifier")
+          val from = TableRef(warehouse, ns, t)
+          if (!IceLite.tableExists(from))
+            send(ex, 404, s"""{"error":"no table $ns.$t"}""")
+          else if (graft.sources.IceLiteViews.exists(warehouse, req.toNs, req.toName))
+            send(ex, 409, s"""{"error":"${req.toNs}.${req.toName} is a view"}""")
+          else {
+            IceLite.renameTable(from, TableRef(warehouse, req.toNs, req.toName))
+            send(ex, 200, "{}")
+          }
         case ("POST", Seq("namespaces", ns, "views", v, "rename")) =>
           val req = Serialization.read[ViewRenameReq](readBody(ex))
           require(validIdent(req.toNs) && validIdent(req.toName),

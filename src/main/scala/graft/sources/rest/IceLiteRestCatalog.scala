@@ -477,8 +477,33 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def renameTable(from: Identifier, to: Identifier): Unit =
-    refuseWrite("RENAME TABLE")
+  /** Table RENAME over the wire (d81): one POST — the rename runs
+    * entirely server-side (zero-copy relocation + CAS claim,
+    * IceLite.renameTable's contract), which is exactly the
+    * catalog-authority op real Iceberg's REST rename is. 409 from a
+    * racing commit maps to CME (retryable); an occupied target to
+    * TableAlreadyExists. */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    require(from.namespace.length == 1 && to.namespace.length == 1,
+      "icelite namespaces are single-level")
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    try post(s"/namespaces/${from.namespace.head}/tables/${from.name}/rename",
+      Serialization.write(ViewRenameReq(to.namespace.head, to.name)))
+    catch {
+      case e: RestCatalogException if e.code == 404 =>
+        throw new NoSuchTableException(from)
+      case e: RestCatalogException if (e.code == 400 || e.code == 409) &&
+          e.getMessage != null && (e.getMessage.contains("already exists") ||
+            e.getMessage.contains("is a view")) =>
+        throw new TableAlreadyExistsException(to)
+      case e: RestCatalogException if e.code == 409 =>
+        // a commit raced the rename server-side — retryable
+        throw new java.util.ConcurrentModificationException(e.getMessage)
+    }
+    // the old name's spool is dead; the new name resolves fresh
+    wipeSpool(TableRef(spoolRoot.toString, from.namespace.head, from.name))
+    ()
+  }
 
   // ---- d80: maintenance through the attachment ----
 

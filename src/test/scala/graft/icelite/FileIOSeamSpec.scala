@@ -42,6 +42,8 @@ class FileIOSeamSpec extends AnyFunSuite {
     override def list(dir: Path): Seq[Path] = LocalFileIO.list(dir)
     override def mkdirs(p: Path): Unit = LocalFileIO.mkdirs(p)
     override def mtimeMs(p: Path): Long = LocalFileIO.mtimeMs(p)
+    override def linkOrCopy(dst: Path, src: Path): Unit =
+      LocalFileIO.linkOrCopy(dst, src)
   }
 
   private def withScopedIO[A](f: (Scoped, TableRef) => A): A = {

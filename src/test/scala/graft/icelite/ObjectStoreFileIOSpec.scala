@@ -18,10 +18,11 @@ import graft.TestSpark
   * on.
   *
   * Deliberately OUT of seam scope (documented at FileIO.scala and
-  * pinned in the last test): DATA files (written/read by Spark's
-  * parquet layer, which runs on Hadoop FileSystem connectors — s3a
-  * at cluster scale) and d63 add_files' hard-link registration (an
-  * object-store deployment uses server-side copy instead). */
+  * pinned in the last test): DATA file reads/writes (Spark's parquet
+  * layer, which runs on Hadoop FileSystem connectors — s3a at
+  * cluster scale). Data REGISTRATION (d63 add_files, table rename)
+  * does route through the seam's `linkOrCopy` — server-side
+  * CopyObject on a store, hard link locally. */
 class ObjectStoreFileIOSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -97,6 +98,14 @@ class ObjectStoreFileIOSpec extends AnyFunSuite {
       if (!inScope(p)) LocalFileIO.mtimeMs(p)
       else Option(objects.get(key(p))).map(_.mtime).getOrElse(
         throw new java.nio.file.NoSuchFileException(p.toString))
+
+    /** Server-side CopyObject on the DATA layer. Data bytes live on
+      * the Spark-owned storage layer in this harness (Hadoop FS →
+      * local disk), so the copy executes there — what matters to the
+      * seam contract is that registration is one store-side op with
+      * no client egress, which both impls honor. */
+    override def linkOrCopy(dst: Path, src: Path): Unit =
+      LocalFileIO.linkOrCopy(dst, src)
   }
 
   private def withStore[A](f: (ObjectStoreFileIO, String) => A): A = {
@@ -262,7 +271,7 @@ class ObjectStoreFileIOSpec extends AnyFunSuite {
     }
   }
 
-  test("pinned scope: data files and add_files stay OUTSIDE the seam by design") {
+  test("pinned scope: data reads/writes stay OUTSIDE the seam; registration routes through it") {
     withStore { (store, wh) =>
       val ref = TableRef(wh, "src", "scope")
       IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
@@ -274,11 +283,10 @@ class ObjectStoreFileIOSpec extends AnyFunSuite {
         "data files must never route through the metadata seam")
       assert(IceLite.listDir(Files.walk(ref.dataDir))(
         _.count(_.toString.endsWith(".parquet"))) >= 1)
-      // d63 add_files uses HARD LINKS for zero-copy data registration
-      // — a POSIX-ism on the DATA layer, outside this seam's scope;
-      // an object-store deployment substitutes server-side copy
-      // (documented at FileIO.scala:43-46). Its metadata commit still
-      // goes through the store:
+      // d63 add_files registers external data through the seam's
+      // linkOrCopy (hard link locally, server-side CopyObject on a
+      // store — FileIO.scala's contract); its metadata commit goes
+      // through the store like every other commit:
       val src = Files.createTempDirectory("objstore_ext")
       Seq((10L, "x")).toDF("k", "s").coalesce(1).write
         .mode("overwrite").parquet(src.resolve("ext").toString)

@@ -481,19 +481,28 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("operations the commit protocol does not carry still refuse") {
+  test("table RENAME through the attachment (d81): one POST, owner sees it, old name gone") {
     withServer { (wh, cat, _) =>
-      IceLite.createOrReplace(TableRef(wh, "src", "t"),
-        Seq((1L, "a")).toDF("k", "s"))
-      def refused(sql: String): Unit = {
-        val e = intercept[Exception](spark.sql(sql).collect())
-        val msg = e.getMessage.toLowerCase
-        assert(msg.contains("refused") || msg.contains("owning catalog") ||
-          msg.contains("does not support") || msg.contains("only"),
-          s"'$sql' should refuse, got: ${e.getMessage.take(150)}")
-      }
-      refused(s"ALTER TABLE $cat.src.t RENAME TO t9")
-      assert(IceLite.read(spark, TableRef(wh, "src", "t")).count() == 1)
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, (1L to 20L).map(k => (k, k * 2.0)).toDF("k", "v"))
+      IceLite.append(ref, Seq((21L, 42.0)).toDF("k", "v"))
+      spark.sql(s"ALTER TABLE $cat.src.t RENAME TO src.t_renamed")
+      // the rename ran SERVER-side (the catalog authority, as in real
+      // Iceberg REST); the owner face sees the relocation with history
+      val r2 = TableRef(wh, "src", "t_renamed")
+      assert(!IceLite.tableExists(ref) && IceLite.tableExists(r2))
+      assert(IceLite.readManifest(r2).snapshots.map(_.id) == Seq(1L, 2L))
+      // the attachment resolves the new name; the old one is gone
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t_renamed")
+        .head.getLong(0) == 21L)
+      assertThrows[Exception](spark.sql(s"SELECT * FROM $cat.src.t").collect())
+      // an occupied target maps to the typed conflict, and damages nothing
+      IceLite.createOrReplace(TableRef(wh, "src", "occupied"),
+        Seq((1L, 1.0)).toDF("k", "v"))
+      assertThrows[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException](
+        spark.sql(s"ALTER TABLE $cat.src.t_renamed RENAME TO src.occupied"))
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t_renamed")
+        .head.getLong(0) == 21L)
     }
   }
 
