@@ -1,5 +1,6 @@
 package graft.queries
 
+import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -289,6 +290,37 @@ object LlmPack extends Pack {
   }
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** c32's mechanics, callable by the spec against its own out dir:
+    * write the corpus as `nShards` reproducible shards (Knuth-hash
+    * membership, one repartition, one file per shard dir,
+    * deterministic within-shard order) and return the read-back
+    * census with the one-file-per-shard witness. */
+  private[graft] def shardedExport(s: SparkSession, dir: String,
+      out: String, nShards: Int): DataFrame = {
+    val shard = pmod($"doc_id" * lit(2654435761L), lit(4294967296L)) % nShards
+    docs(s, dir)
+      .withColumn("shard", shard.cast("long"))
+      .withColumn("ord",
+        pmod($"doc_id" * lit(1327217885L), lit(4294967296L)))
+      .repartition(nShards, $"shard")
+      .sortWithinPartitions($"shard", $"ord", $"doc_id")
+      .select($"shard", $"doc_id", $"source", $"n_chars", $"text")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val perDir = graft.icelite.IceLite.listDir(java.nio.file.Files.walk(
+        java.nio.file.Paths.get(out)))(_
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_"))
+      .toSeq.groupBy(_.getParent).map(_._2.size).toSeq)
+    val oneFileEach = perDir.size == nShards && perDir.forall(_ == 1)
+    s.read.parquet(out)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        min($"doc_id").cast("long").as("min_doc"))
+      .withColumn("one_file_per_shard", lit(oneFileEach))
+      .orderBy($"shard")
+  }
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
   /** Cosine similarity in double precision, expression-only (SURVEY
@@ -1455,6 +1487,74 @@ object LlmPack extends Pack {
                CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(SUM(CASE WHEN rk <= 40 THEN n_chars END) AS BIGINT) AS chars_kept,
                CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS first_kept_doc
-             FROM r GROUP BY source ORDER BY source"""))
+             FROM r GROUP BY source ORDER BY source""")),
+
+    // c32: SHARDED EXPORT — the last mile of a curation pipeline:
+    // materialize the corpus as a FIXED number of reproducible shards
+    // (the dataset-release shape: training jobs address shard files,
+    // re-runs must produce byte-stable membership). Shard = Knuth
+    // multiplicative hash of doc_id (NOT pmod(doc_id, N): dense ids
+    // would stripe correlated neighbors into the same shard),
+    // decoupled from input partitioning. ONE shuffle: repartition on
+    // the shard value puts each shard's rows in exactly one task;
+    // write.partitionBy lands them as one file per shard dir;
+    // sortWithinPartitions gives a deterministic within-shard order
+    // (map-side, no extra exchange — c30's shuffle-order hash). At
+    // 100 TB the same plan holds with shards sized to ~file targets:
+    // cost is the one hash-repartition any export pays. Witnessed
+    // from the READ-BACK files, not the pre-write frame; the
+    // one-file-per-shard invariant is a result column.
+    Decl("c32_sharded_export",
+      (s, dir) => shardedExport(s, dir,
+        Files.createTempDirectory("graft_c32").toString, 16),
+      Some("""SELECT (doc_id * 2654435761) % 4294967296 % 16 AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+             TRUE AS one_file_per_shard
+             FROM documents GROUP BY 1 ORDER BY shard""")),
+
+    // c33: EPOCH UPSAMPLING — materialize one training epoch from
+    // per-bucket mixture weights (c20 computes weights; this EXECUTES
+    // them): weight w means every doc repeats floor(w) times plus one
+    // more with probability frac(w), decided by the doc's own Knuth
+    // hash — deterministic, append-stable, and exactly replayable
+    // (rand() would be none of those). Covers all four regimes:
+    // en×1.0 identity, de×2.5 fractional up, zh×3.0 integer up,
+    // fr×0.5 down (reps ∈ {0,1} — downsampling IS the w<1 case),
+    // es×1.75. The epoch is genuinely MATERIALIZED (explode of
+    // sequence(1, reps)) — a flatMap, no shuffle until the audit agg;
+    // at 100 TB the epoch writer streams repeats straight to the
+    // sink, paying O(output) like any copy job.
+    Decl("c33_epoch_upsample",
+      (s, dir) => {
+        val frac100 = expr("""CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 50
+          WHEN 'zh' THEN 0 WHEN 'fr' THEN 50 WHEN 'es' THEN 75 ELSE 0 END""")
+        val base = expr("""CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2
+          WHEN 'zh' THEN 3 WHEN 'fr' THEN 0 WHEN 'es' THEN 1 ELSE 1 END""")
+        docs(s, dir)
+          .withColumn("reps", (base + when(
+            pmod($"doc_id" * lit(2654435761L), lit(4294967296L)) % 100 < frac100,
+            1).otherwise(0)).cast("int"))
+          .filter($"reps" > 0) // sequence(1,0) would step -1 (NOTES #14)
+          .select($"lang", $"n_chars", $"doc_id",
+            explode(expr("sequence(1, reps)")).as("rep"))
+          .groupBy($"lang")
+          .agg(countDistinct($"doc_id").cast("long").as("n_kept"),
+            count(lit(1)).cast("long").as("n_epoch_rows"),
+            sum($"n_chars").cast("long").as("epoch_chars"))
+          .orderBy($"lang")
+      },
+      Some("""WITH w AS (SELECT lang, n_chars, doc_id,
+               (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'zh' THEN 3
+                 WHEN 'fr' THEN 0 WHEN 'es' THEN 1 ELSE 1 END) +
+               (CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 <
+                 (CASE lang WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                   WHEN 'es' THEN 75 ELSE 0 END) THEN 1 ELSE 0 END) AS reps
+               FROM documents)
+             SELECT lang, CAST(COUNT(*) FILTER (reps > 0) AS BIGINT) AS n_kept,
+               CAST(SUM(reps) AS BIGINT) AS n_epoch_rows,
+               CAST(SUM(n_chars * reps) AS BIGINT) AS epoch_chars
+             FROM w GROUP BY lang ORDER BY lang"""))
   )
 }
