@@ -176,7 +176,13 @@ final case class Manifest(
     // d68: DDL-declared schema for a table created EMPTY (SQL
     // `CREATE TABLE … PARTITIONED BY`): the schema of record until
     // the first data file lands (schema-on-read takes over after).
-    declaredSchemaDdl: Option[String] = None) {
+    declaredSchemaDdl: Option[String] = None,
+    // d82: TABLE PROPERTIES (Iceberg table properties / SET
+    // TBLPROPERTIES): free-form key→value carried by every commit;
+    // honored keys (read.split.target-size) steer the engine, the
+    // rest are user metadata (dbt/Trino config travel). Metadata-only
+    // CAS commits, like every ALTER.
+    properties: Map[String, String] = Map.empty) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
 }
 
@@ -371,7 +377,9 @@ object IceLite {
       droppedCols: Seq[AddedCol],
       renamedCols: Seq[RenamedCol],
       widenedCols: Seq[WidenedCol],
-      declaredSchemaDdl: Option[String])
+      declaredSchemaDdl: Option[String],
+      // default keeps pre-d82 pointers decodable
+      properties: Map[String, String] = Map.empty)
 
   /** An assembled chain: the exact field instances a Snapshot gets.
     * Cached per chain so repeated decodes return the SAME instances —
@@ -450,7 +458,8 @@ object IceLite {
               sp.eqDeletes)
           },
           ptr.branches, ptr.tags, ptr.addedCols, ptr.droppedCols,
-          ptr.renamedCols, ptr.widenedCols, ptr.declaredSchemaDdl)
+          ptr.renamedCols, ptr.widenedCols, ptr.declaredSchemaDdl,
+          ptr.properties)
       case _ => jv.extract[Manifest] // legacy single-JSON layout
     }
   }
@@ -537,7 +546,8 @@ object IceLite {
     }
     val ptr = ManifestPtr(SegLayout, next.table, next.currentSnapshotId,
       ptrs, next.branches, next.tags, next.addedCols, next.droppedCols,
-      next.renamedCols, next.widenedCols, next.declaredSchemaDdl)
+      next.renamedCols, next.widenedCols, next.declaredSchemaDdl,
+      next.properties)
     io.writeString(tmp, Serialization.writePretty(ptr))
     wrote.result()
   }
@@ -3120,6 +3130,45 @@ object IceLite {
     }
     ()
   }
+
+  /** d82: `ALTER TABLE … SET TBLPROPERTIES` — Iceberg table
+    * properties: free-form key→value committed metadata-only (one CAS
+    * manifest version, no snapshot, no data file). Honored keys steer
+    * the engine (`read.split.target-size` feeds the connector's split
+    * planner when the scan option is absent); everything else is user
+    * metadata that travels with the table — the dbt/Trino config
+    * channel. Validated eagerly so a bad value fails the DDL, not
+    * some later scan. */
+  def alterSetProperties(ref: TableRef, props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    props.get(SplitSizeProp).foreach { v =>
+      require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0),
+        s"$SplitSizeProp must be a positive byte count, got '$v'")
+    }
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      m.copy(properties = m.properties ++ props)
+    }
+    ()
+  }
+
+  /** d82: `ALTER TABLE … UNSET TBLPROPERTIES` (IF EXISTS semantics —
+    * unsetting an absent key is a no-op, Spark's default). */
+  def alterUnsetProperties(ref: TableRef, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      m.copy(properties = m.properties -- keys)
+    }
+    ()
+  }
+
+  /** The honored split-planning property (Iceberg's
+    * `read.split.target-size`): scan-level `targetSplitBytes` option
+    * > this table property > the 128 MiB default. */
+  val SplitSizeProp = "read.split.target-size"
 
   /** First data file's full parquet MessageType. */
   private def firstFileMessageType(ref: TableRef,

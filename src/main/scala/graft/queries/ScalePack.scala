@@ -1869,6 +1869,52 @@ object ScalePack extends Pack {
              FROM orders WHERE o_orderkey < 2000
              GROUP BY 1 ORDER BY 1""")),
 
+    // d82: TABLE PROPERTIES — `ALTER TABLE … SET/UNSET TBLPROPERTIES`
+    // (Iceberg table properties; the config channel dbt/Trino write
+    // through). Metadata-only CAS commits like every ALTER; carried by
+    // every later commit; and NOT merely cosmetic: the honored
+    // `read.split.target-size` key feeds the connector's split planner
+    // (option > property > 128 MiB default), witnessed here by the
+    // same 20-file table planning MORE input partitions under a tiny
+    // property than under the default. At 100 TB properties are how a
+    // table owner tunes scan parallelism for every engine at once —
+    // one pointer-sized commit, no job config to distribute.
+    Decl("d82_table_properties",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d82").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "props")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice").filter($"o_orderkey" < 1000)
+        IceLite.createOrReplace(ref, o.repartition(20)) // 20 tiny files
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val partsDefault = s.sql(s"SELECT * FROM $cat.src.props")
+          .rdd.getNumPartitions
+        s.sql(s"""ALTER TABLE $cat.src.props SET TBLPROPERTIES (
+          'table.owner' = 'graft', 'note' = 'tmp',
+          'read.split.target-size' = '1024')""")
+        s.sql(s"ALTER TABLE $cat.src.props UNSET TBLPROPERTIES ('note')")
+        val partsTiny = s.sql(s"SELECT * FROM $cat.src.props")
+          .rdd.getNumPartitions
+        s.sql(s"SHOW TBLPROPERTIES $cat.src.props")
+          .select($"key", $"value")
+          .withColumn("split_honored", lit(partsTiny > partsDefault))
+          .withColumn("survives_commits", lit {
+            IceLite.append(ref, o.limit(5))
+            IceLite.readManifest(ref).properties.get("table.owner").contains("graft")
+          })
+          .orderBy($"key")
+      },
+      Some("""SELECT * FROM (VALUES
+             ('read.split.target-size', '1024', TRUE, TRUE),
+             ('table.owner', 'graft', TRUE, TRUE))
+             AS t(key, value, split_honored, survives_commits)
+             ORDER BY key""")),
+
     // d58: `ALTER TABLE RENAME COLUMN` — the third metadata-only
     // ALTER (Iceberg's rename, trivial there because field ids name
     // columns; here a rename LEDGER plays the field-id role). Zero

@@ -335,9 +335,15 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
             upd.fieldNames.mkString("."))
         IceLite.alterWidenColumn(ref, upd.fieldNames.head,
           upd.newDataType.catalogString)
+      case set: TableChange.SetProperty =>
+        // d82: metadata-only property commit; honored keys validated
+        IceLite.alterSetProperties(ref, Map(set.property -> set.value))
+      case unset: TableChange.RemoveProperty =>
+        IceLite.alterUnsetProperties(ref, Seq(unset.property))
       case other => throw new UnsupportedOperationException(
-        s"icelite ALTER TABLE supports ADD/DROP/RENAME COLUMN and " +
-          s"ALTER COLUMN TYPE widening only, got $other")
+        s"icelite ALTER TABLE supports ADD/DROP/RENAME COLUMN, " +
+          s"ALTER COLUMN TYPE widening, and SET/UNSET TBLPROPERTIES, " +
+          s"got $other")
     }
     loadTable(ident)
   }

@@ -404,14 +404,25 @@ class IceLiteTable(ref: TableRef, schema: StructType,
 
   override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
     java.util.Collections.emptyMap()
+  /** d82: table properties surface on the catalog face (SHOW
+    * TBLPROPERTIES and DESCRIBE EXTENDED read this). */
+  override def properties(): java.util.Map[String, String] =
+    if (IceLite.tableExists(ref))
+      IceLite.readManifest(ref).properties.asJava
+    else java.util.Collections.emptyMap()
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // d72/d73: the scan folds BOTH MoR sidecar kinds — position
     // tombstones per file (d50) and equality-delete key batches under
     // the snapshot-id sequence rule (d73) — so SQL reads an eq-live
     // CDC table mid-stream, before any compact()
+    // d82: split sizing resolves option > table property > default
+    val propSplit = (if (IceLite.tableExists(ref))
+        IceLite.readManifest(ref).properties.get(IceLite.SplitSizeProp)
+      else None).map(_.trim.toLong).getOrElse(128L * 1024 * 1024)
     new IceLiteScanBuilder(ref, schema,
       options.getInt("snapshotsPerTrigger", Int.MaxValue),
-      options.getLong("targetSplitBytes", 128L * 1024 * 1024),
+      options.getLong("targetSplitBytes", propSplit),
       asOf, changelog = options.getBoolean("changelog", false))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

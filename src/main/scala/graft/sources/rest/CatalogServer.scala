@@ -111,10 +111,11 @@ private[rest] final case class ProcReq(
   * commit per change — the same alterAddColumn/Drop/Rename/Widen the
   * owning catalog runs. */
 private[rest] final case class AlterReq(
-    op: String,                  // add | drop | rename | widen
-    col: String,
+    op: String,                  // add | drop | rename | widen | set-prop | unset-prop
+    col: String,                 // column name, or the property KEY
     sqlType: Option[String] = None,   // add / widen
-    newName: Option[String] = None)   // rename
+    newName: Option[String] = None,   // rename
+    value: Option[String] = None)     // set-prop
 
 class CatalogServer(warehouse: String, port: Int = 0) {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
@@ -376,6 +377,12 @@ class CatalogServer(warehouse: String, port: Int = 0) {
               case "widen" => IceLite.alterWidenColumn(ref, req.col,
                 req.sqlType.getOrElse(throw new IllegalArgumentException(
                   "widen needs sqlType")))
+              // d82: table properties — same metadata-only commit class
+              case "set-prop" => IceLite.alterSetProperties(ref,
+                Map(req.col -> req.value.getOrElse(
+                  throw new IllegalArgumentException("set-prop needs value"))))
+              case "unset-prop" =>
+                IceLite.alterUnsetProperties(ref, Seq(req.col))
               case other => throw new IllegalArgumentException(
                 s"unknown alter op '$other'")
             }

@@ -470,9 +470,16 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       case upd: TableChange.UpdateColumnType =>
         post(tablePath(ident) + "/alter", Serialization.write(AlterReq(
           "widen", one(upd), sqlType = Some(upd.newDataType.catalogString))))
+      case set: TableChange.SetProperty =>
+        post(tablePath(ident) + "/alter", Serialization.write(AlterReq(
+          "set-prop", set.property, value = Some(set.value))))
+      case unset: TableChange.RemoveProperty =>
+        post(tablePath(ident) + "/alter", Serialization.write(AlterReq(
+          "unset-prop", unset.property)))
       case other => throw new UnsupportedOperationException(
-        s"icelite ALTER TABLE supports ADD/DROP/RENAME COLUMN and " +
-          s"ALTER COLUMN TYPE widening only, got $other")
+        s"icelite ALTER TABLE supports ADD/DROP/RENAME COLUMN, " +
+          s"ALTER COLUMN TYPE widening, and SET/UNSET TBLPROPERTIES, " +
+          s"got $other")
     }
     loadTable(ident)
   }

@@ -481,6 +481,30 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("table properties over the wire (d82): set on either face, visible on both") {
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, (1L to 10L).map(k => (k, k * 2.0)).toDF("k", "v"))
+      // attachment SETs → one POST, owner reads it from the manifest
+      spark.sql(s"ALTER TABLE $cat.src.t SET TBLPROPERTIES ('pipeline.stage' = 'bronze')")
+      assert(IceLite.readManifest(ref).properties
+        .get("pipeline.stage").contains("bronze"))
+      // owner SETs → attachment answers from the spooled pointer
+      IceLite.alterSetProperties(ref, Map("table.owner" -> "etl"))
+      val shown = spark.sql(s"SHOW TBLPROPERTIES $cat.src.t")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("pipeline.stage").contains("bronze") &&
+        shown.get("table.owner").contains("etl"))
+      // attachment UNSETs → gone on both faces
+      spark.sql(s"ALTER TABLE $cat.src.t UNSET TBLPROPERTIES ('pipeline.stage')")
+      assert(!IceLite.readManifest(ref).properties.contains("pipeline.stage"))
+      // the honored split key refuses garbage at DDL time, over the wire
+      val e = intercept[Exception](spark.sql(
+        s"ALTER TABLE $cat.src.t SET TBLPROPERTIES ('read.split.target-size' = 'nope')"))
+      assert(e.getMessage.contains("positive byte count"))
+    }
+  }
+
   test("table RENAME through the attachment (d81): one POST, owner sees it, old name gone") {
     withServer { (wh, cat, _) =>
       val ref = TableRef(wh, "src", "t")
