@@ -3221,13 +3221,16 @@ object ScalePack extends Pack {
           s.sql(s"INSERT INTO $cat.src.nation VALUES (9900, 'zz_rest', 0)")
           val restAppend = IceLite.read(s, ref)
             .filter($"n_nationkey" === 9900L).count() == 1
-          // operations the commit protocol does not carry (table
-          // rename — path-addressed tables have no rename anywhere)
-          // still refuse; DML is d76's surface, ALTER is d79's
-          val renameRefused =
-            try { s.sql(s"ALTER TABLE $cat.src.nation RENAME TO nation2"); false }
-            catch { case _: Exception => true }
-          val restOk = overHttp && restAppend && renameRefused &&
+          // table RENAME over the wire (d81): one POST, runs
+          // server-side; round-trip it so the rest of the flow keeps
+          // the name (d81's own id witnesses the full contract)
+          s.sql(s"ALTER TABLE $cat.src.nation RENAME TO nation2")
+          val renamed =
+            !IceLite.tableExists(ref) &&
+              IceLite.tableExists(graft.icelite.TableRef(wh, "src", "nation2"))
+          s.sql(s"ALTER TABLE $cat.src.nation2 RENAME TO nation")
+          val restOk = overHttp && restAppend && renamed &&
+            IceLite.tableExists(ref) &&
             fresh.map(_.getLong(1)).sum == rows.map(_.getLong(1)).sum + 1
           import scala.jdk.CollectionConverters._
           s.createDataFrame(fresh.toSeq.asJava,
