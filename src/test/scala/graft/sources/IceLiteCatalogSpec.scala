@@ -35,6 +35,35 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 100L)
   }
 
+  test("DataFrameWriterV2: the reference's exact load API (writeTo create/append/createOrReplace)") {
+    // extract_load.py:95-110 — the reference's loader calls
+    // df.writeTo(t).create() / .append() / .createOrReplace(), not
+    // SQL. These map to the same DSv2 plans (CTAS / AppendData /
+    // ReplaceTableAsSelect via the staging catalog), but a user
+    // switching from the reference types THESE verbs — pin them.
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val t = s"$cat.src.loaded"
+    (1L to 10L).map(k => (k, s"r$k")).toDF("k", "s")
+      .writeTo(t).option("write.format.default", "parquet").create()
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10L)
+    // incremental load: append
+    (11L to 15L).map(k => (k, s"r$k")).toDF("k", "s").writeTo(t).append()
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 15L)
+    val ref = TableRef(wh, "src", "loaded")
+    assert(IceLite.readManifest(ref).snapshots.size >= 2,
+      "append must be its own snapshot (history kept)")
+    // full refresh: createOrReplace — atomic, only the new rows remain
+    (100L to 102L).map(k => (k, s"f$k")).toDF("k", "s")
+      .writeTo(t).createOrReplace()
+    assert(spark.sql(s"SELECT min(k), max(k), count(*) FROM $t")
+      .head.toSeq == Seq(100L, 102L, 3L))
+    // create on an existing table refuses (the loader's exists-check
+    // branch relies on this failing loudly)
+    assertThrows[Exception](
+      Seq((1L, "x")).toDF("k", "s").writeTo(t).create())
+  }
+
   test("SHOW namespaces and tables reflect the warehouse") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")
