@@ -111,18 +111,33 @@ object IceLiteProcedures {
           Array(Array[Any](snap.id, snap.files.size.toLong))
         }
       })
-      case "expire_snapshots" => Some(new Proc("expire_snapshots",
-        Array(
-          ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("older_than_ms", LongType).build()),
-        StructType(Seq(
-          StructField("expired_snapshots", LongType, nullable = false)))) {
-        override def run(in: InternalRow): Array[Array[Any]] = {
-          val expired = IceLite.expireSnapshots(
-            refOf(warehouse, in.getUTF8String(0).toString), in.getLong(1))
-          Array(Array[Any](expired.size.toLong))
+      case "expire_snapshots" =>
+        // Iceberg's canonical signature is (table, older_than
+        // TIMESTAMP) — the form the reference calls VERBATIM
+        // (extract_load.py:171: `CALL …expire_snapshots('src.t',
+        // TIMESTAMP '…')`). The epoch-ms long form predates it here
+        // and stays accepted: bind dispatches on the ACTUAL second
+        // argument type (InternalRow carries timestamps as micros).
+        def expireProc(tsForm: Boolean): Proc = new Proc("expire_snapshots",
+          Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in(if (tsForm) "older_than" else "older_than_ms",
+              if (tsForm) org.apache.spark.sql.types.TimestampType
+              else LongType).build()),
+          StructType(Seq(
+            StructField("expired_snapshots", LongType, nullable = false)))) {
+          override def run(in: InternalRow): Array[Array[Any]] = {
+            val cutoffMs =
+              if (tsForm) in.getLong(1) / 1000L else in.getLong(1)
+            val expired = IceLite.expireSnapshots(
+              refOf(warehouse, in.getUTF8String(0).toString), cutoffMs)
+            Array(Array[Any](expired.size.toLong))
+          }
+          override def bind(inputType: StructType): BoundProcedure =
+            expireProc(inputType.fields.lift(1).exists(
+              _.dataType == org.apache.spark.sql.types.TimestampType))
         }
-      })
+        Some(expireProc(tsForm = false))
       case "expire_retain_last" => Some(new Proc("expire_retain_last",
         Array(
           ProcedureParameter.in("table", StringType).build(),

@@ -76,16 +76,28 @@ private[rest] class RestProcedures(catalog: IceLiteRestCatalog) {
         Array(Array[Any](vs(0), vs(1), vs(2) == 1L))
       }
     })
-    case "expire_snapshots" => Some(new Proc("expire_snapshots",
-      Array(
-        ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("older_than_ms", LongType).build()),
-      StructType(Seq(
-        StructField("expired_snapshots", LongType, nullable = false)))) {
-      override def run(in: InternalRow): Array[Array[Any]] =
-        Array(Array[Any](remoteCall(in.getUTF8String(0).toString,
-          "expire_snapshots", longArg = Some(in.getLong(1))).head))
-    })
+    case "expire_snapshots" =>
+      // same dual signature as the owning catalog: Iceberg's
+      // TIMESTAMP form (the reference's verbatim call) or epoch ms
+      def expireProc(tsForm: Boolean): Proc = new Proc("expire_snapshots",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in(if (tsForm) "older_than" else "older_than_ms",
+            if (tsForm) org.apache.spark.sql.types.TimestampType
+            else LongType).build()),
+        StructType(Seq(
+          StructField("expired_snapshots", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val cutoffMs = if (tsForm) in.getLong(1) / 1000L else in.getLong(1)
+          Array(Array[Any](remoteCall(in.getUTF8String(0).toString,
+            "expire_snapshots", longArg = Some(cutoffMs)).head))
+        }
+        override def bind(inputType: org.apache.spark.sql.types.StructType)
+            : org.apache.spark.sql.connector.catalog.procedures.BoundProcedure =
+          expireProc(inputType.fields.lift(1).exists(
+            _.dataType == org.apache.spark.sql.types.TimestampType))
+      }
+      Some(expireProc(tsForm = false))
     case "expire_retain_last" => Some(new Proc("expire_retain_last",
       Array(
         ProcedureParameter.in("table", StringType).build(),

@@ -725,6 +725,32 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql(s"CALL $cat.system.bogus()"))
   }
 
+  test("expire_snapshots accepts Iceberg's TIMESTAMP form — the reference's verbatim call") {
+    // extract_load.py:171: CALL …expire_snapshots('src.t', TIMESTAMP '…')
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, (1L to 10L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    IceLite.append(ref, Seq((11L, 1.0)).toDF("k", "v"))
+    IceLite.append(ref, Seq((12L, 2.0)).toDF("k", "v"))
+    assert(IceLite.readManifest(ref).snapshots.size == 3)
+    // a cutoff in the past expires nothing
+    val none = spark.sql(s"CALL $cat.system.expire_snapshots('src.t', " +
+      "TIMESTAMP '2001-01-01 00:00:00')").collect()
+    assert(none.head.getLong(0) == 0L)
+    // a future cutoff expires everything but the current snapshot
+    val all = spark.sql(s"CALL $cat.system.expire_snapshots('src.t', " +
+      "TIMESTAMP '2101-01-01 00:00:00')").collect()
+    assert(all.head.getLong(0) == 2L)
+    assert(IceLite.readManifest(ref).snapshots.size == 1)
+    // the epoch-ms long form still binds
+    IceLite.append(ref, Seq((13L, 3.0)).toDF("k", "v"))
+    val ms = spark.sql(s"CALL $cat.system.expire_snapshots('src.t', " +
+      s"${System.currentTimeMillis() + 3600000L}L)").collect()
+    assert(ms.head.getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 13L)
+  }
+
   test("catalog reads keep the connector's pruning and pushdown") {
     val (cat, wh) = freshCatalog()
     IceLite.createNamespace(wh, "src")

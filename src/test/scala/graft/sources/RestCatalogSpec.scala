@@ -362,6 +362,13 @@ class RestCatalogSpec extends AnyFunSuite {
       assert(spark.sql(
         s"CALL $cat.system.gc_orphans(table => 'src.t', grace_ms => 0)") != null)
       assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 12)
+      // Iceberg's TIMESTAMP expire form binds over the wire too
+      // (the reference's verbatim call, extract_load.py:171)
+      IceLite.append(ref, Seq((100L, "ts")).toDF("k", "s"))
+      val tsExp = spark.sql(s"CALL $cat.system.expire_snapshots('src.t', " +
+        "TIMESTAMP '2101-01-01 00:00:00')").head().getLong(0)
+      assert(tsExp >= 1L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 13)
     }
   }
 
