@@ -29,10 +29,16 @@ object IceLiteProcedures {
     "rewrite_zorder", "expire_snapshots", "expire_retain_last",
     "rollback_to_snapshot", "gc_orphans", "publish_branch",
     "cherrypick_snapshot", "drop_branch", "analyze", "expire_metadata",
-    "add_files")
+    "add_files", "rewrite_data_files", "remove_orphan_files")
+
+  /** Iceberg's canonical procedure names, aliased to the engine's
+    * own — a user migrating from the reference stack types these. */
+  private val aliases = Map(
+    "rewrite_data_files" -> "compact",
+    "remove_orphan_files" -> "gc_orphans")
 
   def apply(warehouse: String, name: String): Option[UnboundProcedure] =
-    name match {
+    aliases.getOrElse(name, name) match {
       case "compact" => Some(new Proc("compact",
         Array(
           ProcedureParameter.in("table", StringType).build(),

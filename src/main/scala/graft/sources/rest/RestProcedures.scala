@@ -46,7 +46,8 @@ private[rest] class RestProcedures(catalog: IceLiteRestCatalog) {
       .extract[Seq[Long]]
   }
 
-  def apply(name: String): Option[UnboundProcedure] = name match {
+  def apply(name: String): Option[UnboundProcedure] =
+    RestProcedures.aliases.getOrElse(name, name) match {
     case "compact" => Some(new Proc("compact",
       Array(
         ProcedureParameter.in("table", StringType).build(),
@@ -150,5 +151,11 @@ private[rest] class RestProcedures(catalog: IceLiteRestCatalog) {
 private[rest] object RestProcedures {
   val names: Seq[String] = Seq("compact", "eq_live_depth",
     "expire_snapshots", "expire_retain_last", "expire_metadata",
-    "gc_orphans", "rollback_to_snapshot")
+    "gc_orphans", "rollback_to_snapshot",
+    "rewrite_data_files", "remove_orphan_files")
+
+  /** Iceberg's canonical names, same mapping as the owning catalog. */
+  val aliases = Map(
+    "rewrite_data_files" -> "compact",
+    "remove_orphan_files" -> "gc_orphans")
 }

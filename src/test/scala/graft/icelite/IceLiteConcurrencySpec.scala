@@ -49,6 +49,35 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     assert(m.current.rowCount == writers * appendsEach)
   }
 
+  test("concurrent property SETs of distinct keys all land (CAS rebase, d82)") {
+    val wh = Files.createTempDirectory("props_race").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref, Seq(1).toDF("k"))
+    val writers = 4
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try IceLite.alterSetProperties(ref, Map(s"key.$w" -> s"v$w"))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"SET failed: ${failures.peek()}")
+    val props = IceLite.readManifest(ref).properties
+    (0 until writers).foreach { w =>
+      assert(props.get(s"key.$w").contains(s"v$w"),
+        s"property key.$w lost in the CAS race: $props")
+    }
+  }
+
   test("concurrent merges on disjoint keys both apply (conflict-validated)") {
     val wh = Files.createTempDirectory("cas_merge_spec").toString
     IceLite.createNamespace(wh, "src")

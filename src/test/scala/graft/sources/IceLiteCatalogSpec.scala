@@ -721,6 +721,14 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(orphan))
     // the table still answers correctly after the full loop
     assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 100L)
+    // Iceberg's canonical names alias to the same procedures — what
+    // a user migrating from the reference stack types
+    IceLite.append(ref, Seq((103L, 3.0)).toDF("k", "v"))
+    val rw = spark.sql(
+      s"CALL $cat.system.rewrite_data_files(table => 'src.t')").collect()
+    assert(rw.head.getLong(1) == 1L)
+    assert(spark.sql(
+      s"CALL $cat.system.remove_orphan_files('src.t', 0)") != null)
     // unknown procedures fail loudly
     assertThrows[Exception](spark.sql(s"CALL $cat.system.bogus()"))
   }
