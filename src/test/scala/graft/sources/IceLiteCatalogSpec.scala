@@ -733,6 +733,26 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql(s"CALL $cat.system.bogus()"))
   }
 
+  test("MERGE with all three arm classes: MATCHED, NOT MATCHED, NOT MATCHED BY SOURCE") {
+    // the full-sync shape (SCD type-1 mirror): update intersection,
+    // insert source-only, delete target-only — one MERGE statement
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1L to 10L).map(k => (k, s"old$k")).toDF("k", "s"))
+    (5L to 12L).map(k => (k, s"new$k")).toDF("k", "s")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(s"""MERGE INTO $cat.src.t t USING merge_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.s = s.s
+      WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.k, s.s)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = spark.sql(s"SELECT k, s FROM $cat.src.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == (5L to 12L).map(k => (k, s"new$k")),
+      s"full-sync MERGE diverged: $got")
+  }
+
   test("expire_snapshots accepts Iceberg's TIMESTAMP form — the reference's verbatim call") {
     // extract_load.py:171: CALL …expire_snapshots('src.t', TIMESTAMP '…')
     val (cat, wh) = freshCatalog()
