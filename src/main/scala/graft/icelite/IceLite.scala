@@ -182,8 +182,17 @@ final case class Manifest(
     // honored keys (read.split.target-size) steer the engine, the
     // rest are user metadata (dbt/Trino config travel). Metadata-only
     // CAS commits, like every ALTER.
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    // d83: the DECLARED write layout (Iceberg's default partition
+    // spec after `ALTER TABLE … ADD/DROP PARTITION FIELD`): future
+    // appends land under THIS identity layout; existing files keep
+    // their own (per-snapshot layouts, d15's read machinery). None =
+    // write in the current snapshot's layout (no evolution pending).
+    declaredPartitionCols: Option[Seq[String]] = None) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
+  /** The layout the NEXT write must use (d83). */
+  def writeLayoutCols: Seq[String] =
+    declaredPartitionCols.getOrElse(current.partitionCols)
 }
 
 final case class TableRef(warehouse: String, namespace: String, name: String) {
@@ -378,8 +387,9 @@ object IceLite {
       renamedCols: Seq[RenamedCol],
       widenedCols: Seq[WidenedCol],
       declaredSchemaDdl: Option[String],
-      // default keeps pre-d82 pointers decodable
-      properties: Map[String, String] = Map.empty)
+      // defaults keep pre-d82/d83 pointers decodable
+      properties: Map[String, String] = Map.empty,
+      declaredPartitionCols: Option[Seq[String]] = None)
 
   /** An assembled chain: the exact field instances a Snapshot gets.
     * Cached per chain so repeated decodes return the SAME instances —
@@ -459,7 +469,7 @@ object IceLite {
           },
           ptr.branches, ptr.tags, ptr.addedCols, ptr.droppedCols,
           ptr.renamedCols, ptr.widenedCols, ptr.declaredSchemaDdl,
-          ptr.properties)
+          ptr.properties, ptr.declaredPartitionCols)
       case _ => jv.extract[Manifest] // legacy single-JSON layout
     }
   }
@@ -547,7 +557,7 @@ object IceLite {
     val ptr = ManifestPtr(SegLayout, next.table, next.currentSnapshotId,
       ptrs, next.branches, next.tags, next.addedCols, next.droppedCols,
       next.renamedCols, next.widenedCols, next.declaredSchemaDdl,
-      next.properties)
+      next.properties, next.declaredPartitionCols)
     io.writeString(tmp, Serialization.writePretty(ptr))
     wrote.result()
   }
@@ -1077,12 +1087,20 @@ object IceLite {
         s"${ref.name} does not exist — partitioned DSv2 writes target " +
           "an existing partitioned table (createOrReplacePartitioned)"))
       val snap = m.current
-      require(snap.partitionCols.nonEmpty,
+      // d83: a pending spec evolution writes the DECLARED layout;
+      // existing files keep theirs (per-snapshot layouts)
+      val writeCols = m.writeLayoutCols
+      require(writeCols.nonEmpty,
         s"${ref.name} is not identity-partitioned")
+      require(mode == Append || writeCols == snap.partitionCols,
+        s"${ref.name} has a pending partition-spec evolution " +
+          s"(${snap.partitionCols.mkString(",")} → " +
+          s"${writeCols.mkString(",")}) — only appends may write until " +
+          "a write lands the new layout; overwrite after that")
       moved.foreach { f =>
-        require(partVals(f).keySet == snap.partitionCols.toSet,
+        require(partVals(f).keySet == writeCols.toSet,
           s"staged file $f does not carry the table's partition " +
-            s"columns ${snap.partitionCols.mkString(",")}")
+            s"columns ${writeCols.mkString(",")}")
       }
       val survivors: Seq[String] = mode match {
         case Append => snap.files
@@ -1093,6 +1111,13 @@ object IceLite {
         case ReplaceWhere(eq) =>
           require(!snap.morLive,
             s"${ref.name} has live MoR sidecars — compact() before overwrite")
+          // d83: a targeted overwrite decides file fates by PATH
+          // values; an old-era file (pre-evolution layout) hides its
+          // value in data pages and would silently survive —
+          // under-deleting. Materialize the layout first.
+          require(snap.files.forall(f => partVals(f).keySet == writeCols.toSet),
+            s"${ref.name} still holds pre-evolution files — compact() " +
+              "to materialize the layout before partition overwrite")
           eq.keys.foreach(c => require(snap.partitionCols.contains(c),
             s"$c is not a partition column of ${ref.name}"))
           moved.foreach { f =>
@@ -1106,6 +1131,9 @@ object IceLite {
         case ReplaceDynamic =>
           require(!snap.morLive,
             s"${ref.name} has live MoR sidecars — compact() before overwrite")
+          require(snap.files.forall(f => partVals(f).keySet == writeCols.toSet),
+            s"${ref.name} still holds pre-evolution files — compact() " +
+              "to materialize the layout before partition overwrite")
           val touched = moved.map(f =>
             snap.partitionCols.map(partVals(f).get)).toSet
           snap.files.filterNot(f =>
@@ -1120,7 +1148,7 @@ object IceLite {
         survivors.map(snap.fileRows.getOrElse(_, 0L)).sum +
           rowsByFile.values.sum,
         snap.fileStats.view.filterKeys(survivorSet).toMap ++ stats,
-        snap.partitionCols,
+        writeCols, // d83: the landed layout is the declared one
         summary = summary + ("mode" -> mode.toString),
         fileRows = snap.fileRows.view.filterKeys(survivorSet).toMap ++
           rowsByFile,
@@ -3169,6 +3197,78 @@ object IceLite {
     * `read.split.target-size`): scan-level `targetSplitBytes` option
     * > this table property > the 128 MiB default. */
   val SplitSizeProp = "read.split.target-size"
+
+  /** d83: `ALTER TABLE … ADD PARTITION FIELD col` — Iceberg's
+    * partition-spec evolution as DDL: a metadata-only CAS commit that
+    * changes the layout FUTURE appends use; no existing byte moves
+    * (each snapshot keeps per-file layouts, d15's read machinery).
+    * Scope (refusals are loud): identity fields on already
+    * identity-partitioned tables — partitioning a FLAT table, or a
+    * transform field, still needs the engine API
+    * (createOrReplacePartitioned / appendTransformed), because the
+    * mixed flat↔partitioned read path is not defined here. While an
+    * evolution is pending (declared ≠ current), only appends may
+    * write (overwrite modes refuse until a write lands the new
+    * layout). */
+  def alterAddPartitionField(ref: TableRef, col: String): Unit = {
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      val base = m.writeLayoutCols
+      require(base.nonEmpty,
+        s"${ref.name} is unpartitioned — partitioning an existing flat " +
+          "table needs a rewrite (CTAS into a partitioned layout); " +
+          "ADD PARTITION FIELD evolves already-partitioned tables")
+      require(m.current.partitionSpec.isEmpty,
+        s"${ref.name} is transform-partitioned — evolve through the " +
+          "engine API (appendTransformed)")
+      require(!base.contains(col),
+        s"$col is already a partition field of ${ref.name}")
+      require(!m.droppedCols.exists(_.name == col),
+        s"$col was dropped from ${ref.name}")
+      // eager schema check: a bad field name must fail the DDL, not
+      // the next INSERT's staging job
+      val visible = visibleColNames(ref, m) ++ base
+      require(visible.contains(col),
+        s"no column $col in ${ref.name} (have: ${visible.toSeq.sorted.mkString(", ")})")
+      // STRING fields only: identity partition values are path-borne
+      // strings, and during the mixed era the same column reads from
+      // old files' DATA pages — one type everywhere or readers would
+      // juggle per-era types (Iceberg's typed identity transforms
+      // need field ids this format does not carry)
+      val isString = m.current.files.headOption.forall { f =>
+        val msg = firstFileMessageType(ref, m)
+        val conv = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter()
+        conv.convert(msg).fields.find(_.name == col)
+          .forall(_.dataType == org.apache.spark.sql.types.StringType)
+      }
+      require(isString,
+        s"$col is not a STRING column — identity partition fields are " +
+          "path-borne strings; evolve through a rewrite for typed keys")
+      m.copy(declaredPartitionCols = Some(base :+ col))
+    }
+    ()
+  }
+
+  /** d83: `ALTER TABLE … DROP PARTITION FIELD col` — the inverse
+    * flip. Dropping the LAST field refuses (a flat future layout over
+    * partitioned history needs a rewrite, same rule as above). */
+  def alterDropPartitionField(ref: TableRef, col: String): Unit = {
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      val base = m.writeLayoutCols
+      require(base.contains(col),
+        s"$col is not a partition field of ${ref.name} (layout: " +
+          s"${base.mkString(",")})")
+      require(base.size > 1,
+        s"dropping ${ref.name}'s last partition field would make future " +
+          "appends flat over partitioned history — rewrite instead")
+      m.copy(declaredPartitionCols = Some(base.filterNot(_ == col)))
+    }
+    ()
+  }
 
   /** First data file's full parquet MessageType. */
   private def firstFileMessageType(ref: TableRef,

@@ -1869,6 +1869,66 @@ object ScalePack extends Pack {
              FROM orders WHERE o_orderkey < 2000
              GROUP BY 1 ORDER BY 1""")),
 
+    // d83: PARTITION-SPEC EVOLUTION AS DDL — `ALTER TABLE … ADD
+    // PARTITION FIELD` (Iceberg's spark-extensions grammar; stock
+    // Spark has neither the syntax nor a TableChange for it, so the
+    // GraftSqlParser intercept routes it — the same seam as view
+    // DDL). The flip is metadata-only: the DECLARED write layout
+    // changes, zero existing bytes move; the next SQL INSERT lands
+    // under the evolved layout while old files keep theirs, and ONE
+    // SQL read crosses both eras — the evolved field decodes from
+    // old-era data pages and new-era value dirs (the per-file
+    // fallback in the reader). Targeted overwrites refuse until a
+    // compaction materializes the layout (path-decided file fates
+    // would under-delete the old era). At 100 TB this is the only
+    // affordable re-partitioning: declare, let new data land right,
+    // let maintenance absorb the history.
+    Decl("d83_sql_add_partition_field",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d83").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_evolve")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus",
+            $"o_orderpriority")
+        IceLite.createOrReplacePartitioned(ref,
+          o.filter($"o_orderkey" < 1000), Seq("o_orderstatus"), Nil)
+        val filesBefore = IceLite.readManifest(ref).current.files
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"ALTER TABLE $cat.src.orders_evolve " +
+          "ADD PARTITION FIELD o_orderpriority")
+        val metadataOnly =
+          IceLite.readManifest(ref).current.files == filesBefore
+        o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+          .createOrReplaceTempView("d83_era2")
+        s.sql(s"""INSERT INTO $cat.src.orders_evolve
+                  (o_orderkey, o_totalprice, o_orderstatus, o_orderpriority)
+                  SELECT o_orderkey, o_totalprice, o_orderstatus,
+                         o_orderpriority FROM d83_era2""")
+        val snap = IceLite.readManifest(ref).current
+        val landed =
+          snap.partitionCols == Seq("o_orderstatus", "o_orderpriority") &&
+            snap.files.exists(_.contains("o_orderpriority=")) &&
+            filesBefore.forall(snap.files.contains)
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.orders_evolve
+                  GROUP BY 1, 2 ORDER BY 1, 2""")
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("evolved_landed", lit(landed))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS metadata_only, TRUE AS evolved_landed
+             FROM orders WHERE o_orderkey < 2000
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // d82: TABLE PROPERTIES — `ALTER TABLE … SET/UNSET TBLPROPERTIES`
     // (Iceberg table properties; the config channel dbt/Trino write
     // through). Metadata-only CAS commits like every ALTER; carried by

@@ -28,8 +28,51 @@ import org.apache.spark.sql.types.StructType
 class GraftSqlParser(spark: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+  /** d83: partition-spec-evolution DDL — stock Spark has NO grammar
+    * for `ALTER TABLE … ADD/DROP PARTITION FIELD` (Iceberg's
+    * extensions add it via their own ANTLR parser), so the delegate
+    * would throw a ParseException before any plan rewrite could run.
+    * Match the statement shape FIRST; anything else — including this
+    * shape aimed at a catalog without the DDL face — falls through to
+    * the delegate untouched (and fails exactly as stock Spark would). */
+  private val AddPartFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*;?\s*$""".r
+  private val DropPartFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*;?\s*$""".r
+
+  private def partFieldCommand(identText: String, col: String,
+      add: Boolean): Option[LogicalPlan] = {
+    val parts = identText.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    val resolved: Option[(String, String, String)] = parts match {
+      case Seq(cat, ns, name) => Some((cat, ns, name))
+      case Seq(ns, name) =>
+        Some((org.apache.spark.sql.graft.Bridge.currentCatalogName(spark), ns, name))
+      case Seq(name) =>
+        val curNs = org.apache.spark.sql.graft.Bridge.currentNamespace(spark)
+        if (curNs.length == 1)
+          Some((org.apache.spark.sql.graft.Bridge.currentCatalogName(spark),
+            curNs.head, name))
+        else None
+      case _ => None
+    }
+    resolved.filter { case (cat, _, _) =>
+      try org.apache.spark.sql.graft.Bridge.catalogPlugin(spark, cat)
+        .isInstanceOf[SupportsPartitionFieldDdl]
+      catch { case _: Exception => false }
+    }.map { case (cat, ns, name) =>
+      GraftPartitionFieldCommand(cat, ns, name, col, add): LogicalPlan
+    }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case AddPartFieldRe(ident, col) =>
+      partFieldCommand(ident, col, add = true)
+        .getOrElse(rewrite(delegate.parsePlan(sqlText)))
+    case DropPartFieldRe(ident, col) =>
+      partFieldCommand(ident, col, add = false)
+        .getOrElse(rewrite(delegate.parsePlan(sqlText)))
+    case _ => rewrite(delegate.parsePlan(sqlText))
+  }
 
   private def partsOf(child: LogicalPlan): Option[Seq[String]] = child match {
     case UnresolvedIdentifier(parts, _) => Some(parts)

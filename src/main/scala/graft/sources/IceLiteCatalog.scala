@@ -62,10 +62,20 @@ private[sources] class StaticRowsTable(tableName: String,
     }
 }
 
+/** d83: the partition-spec-evolution DDL face (`ALTER TABLE … ADD/
+  * DROP PARTITION FIELD`) both catalog impls share — stock Spark has
+  * no TableChange for partition fields, so the parser intercept
+  * dispatches through this instead of alterTable. */
+trait SupportsPartitionFieldDdl {
+  def addPartitionField(ident: Identifier, col: String): Unit
+  def dropPartitionField(ident: Identifier, col: String): Unit
+}
+
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ViewCatalog
+  with SupportsPartitionFieldDdl
   with org.apache.spark.internal.Logging {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -346,6 +356,21 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
           s"got $other")
     }
     loadTable(ident)
+  }
+
+  /** d83: partition-spec evolution DDL (ADD/DROP PARTITION FIELD) —
+    * metadata-only flips of the declared write layout; the parser
+    * intercept routes here because stock Spark has no syntax for it
+    * (Iceberg's extensions add the same grammar). */
+  override def addPartitionField(ident: Identifier, col: String): Unit = {
+    val ref = refOf(ident)
+    if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
+    IceLite.alterAddPartitionField(ref, col)
+  }
+  override def dropPartitionField(ident: Identifier, col: String): Unit = {
+    val ref = refOf(ident)
+    if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
+    IceLite.alterDropPartitionField(ref, col)
   }
 
   /** `ALTER TABLE … RENAME TO …` — Iceberg's catalog-pointer move,

@@ -226,12 +226,16 @@ object IceLiteSource {
       } finally r.close()
       if (snap.partitionCols.isEmpty) fileSchema
       else {
-        require(snap.files.forall(f =>
-            pathPartValues(f).keySet == snap.partitionCols.toSet),
-          s"${ref.name} mixes partition layouts (spec evolution) — " +
-            "read it with IceLite.readPartitioned, which unions layout groups")
+        // d83: a mid-evolution snapshot mixes layouts. The schema is
+        // the head file's fields plus EVERY path-borne column any era
+        // carries (string-typed — the d83 DDL admits string fields
+        // only), so a column that moved between data pages and the
+        // path stays projectable across eras.
+        val pathCols = snap.files.flatMap(f => pathPartValues(f).keys).distinct
         StructType(fileSchema.fields ++
-          snap.partitionCols.filterNot(fileSchema.fieldNames.contains)
+          (snap.partitionCols ++
+            pathCols.filterNot(snap.partitionCols.contains))
+            .filterNot(fileSchema.fieldNames.contains)
             .map(c => StructField(c, StringType)))
       }
     }
@@ -774,10 +778,12 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
-    /** Identity partition columns of the target (empty = flat). */
+    /** Identity partition columns the WRITE must use (empty = flat) —
+      * the declared layout when a d83 spec evolution is pending,
+      * the current snapshot's otherwise. */
     private val partCols: Seq[String] =
       if (!IceLite.tableExists(ref)) Nil
-      else IceLiteSource.resolveSnap(ref, None).partitionCols
+      else IceLite.readManifest(ref).writeLayoutCols
 
     // transform-partitioned (hidden-partition, d56) tables stage
     // their dirs from DERIVED values the writer cannot recompute
@@ -1344,7 +1350,12 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     * path carries one value per file by construction) or a
     * stats-pure column (stat min == max), typed so the double-stored
     * stat round-trips exactly. */
-  private def groupable(col: String): Boolean = isPartCol(col) || {
+  private def groupable(col: String): Boolean =
+    // d83: a mid-evolution partition col is NOT path-keyed on every
+    // file — its metadata grouping would misfile the old era; decline
+    // to the normal scan (which reads it via the per-file fallback)
+    (isPartCol(col) && currentSnap.files.forall(f =>
+      IceLiteSource.pathPartValues(f).contains(col))) || {
     def pointStats = currentSnap.files.forall { f =>
       currentSnap.fileStats.get(f).exists(_.exists(cs =>
         cs.col == col && cs.min == cs.max))
@@ -1428,7 +1439,19 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
           kcs
         }
       val names = required.fieldNames.toSet - "_file" ++ eqKeyCols
-      val partProjected = currentSnap.partitionCols.filter(names.contains)
+      // d83: a partition column is PATH-BORNE for this scan only when
+      // EVERY file's path carries it. Mid-evolution (mixed layouts),
+      // the evolved column demotes to a DATA field: readers decode it
+      // from old-era pages and fall back to the path value on
+      // new-era files (the per-file fallback in the reader) — one
+      // rule that covers both ADD and DROP eras.
+      val uniformPathCols: Set[String] =
+        if (currentSnap.partitionCols.isEmpty) Set.empty
+        else currentSnap.partitionCols.filter(c =>
+          currentSnap.files.forall(f =>
+            IceLiteSource.pathPartValues(f).contains(c))).toSet
+      val partProjected = currentSnap.partitionCols
+        .filter(names.contains).filter(uniformPathCols.contains)
       val dataOrdered = schema.fields.filter(f =>
         names.contains(f.name) && !partProjected.contains(f.name))
       val ordered = StructType(dataOrdered ++
@@ -1637,12 +1660,15 @@ class IceLiteScan(ref: TableRef, required: StructType,
       else IceLite.prunedFilesMulti(snap,
         bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
     // partition-value pruning (pushed string equality / IN): a file
-    // survives only if its path matches every filtered column — the
-    // conjunction Iceberg evaluates against identity partitions
+    // is DROPPED only when its path carries a non-matching value —
+    // the conjunction Iceberg evaluates against identity partitions.
+    // A file whose path lacks the column (d83 mid-evolution old era)
+    // is KEPT: its value lives in data pages and every pushed filter
+    // stays residual, so rows still filter exactly.
     if (partFilters.isEmpty) statsPruned
     else statsPruned.filter { f =>
       val vals = IceLiteSource.pathPartValues(f)
-      partFilters.forall { case (c, vs) => vals.get(c).exists(vs.contains) }
+      partFilters.forall { case (c, vs) => vals.get(c).forall(vs.contains) }
     }
   }
 
@@ -1719,7 +1745,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
       if (runtimePartKeep.isEmpty) partPruned
       else partPruned.filter { f =>
         val vals = IceLiteSource.pathPartValues(f)
-        runtimePartKeep.forall { case (c, vs) => vals.get(c).exists(vs.contains) }
+        // missing path value (d83 mid-evolution) = keep, like static
+        runtimePartKeep.forall { case (c, vs) => vals.get(c).forall(vs.contains) }
       }
     // runtime group filter last (matches on the absolute path the
     // reader emits as `_file`)
@@ -2237,6 +2264,18 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         cv.setNull()
         cv
       }
+      /** d83: a projected column a file neither stores nor predates
+        * may be PATH-BORNE for that file (mid-evolution: the demoted
+        * partition field) — surface the path value, else null. */
+      private def pathConstOrNull(path: String, name: String, dt: DataType) =
+        IceLiteSource.pathPartValues(path).get(name) match {
+          case Some(v) if dt == StringType =>
+            val cv = new org.apache.spark.sql.execution.vectorized
+              .ConstantColumnVector(4096, StringType)
+            cv.setUtf8String(UTF8String.fromString(v))
+            cv
+          case _ => nullVector(dt)
+        }
       private def openNext(): Boolean =
         if (!remaining.hasNext) false
         else {
@@ -2277,15 +2316,21 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
             nullRowsLeft = fileRows
             syncRows = false
             batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
-              (fields.map(f => nullVector(f._2)) ++ appendedVectors).toArray)
+              (fields.map(f => pathConstOrNull(path, f._1, f._2)) ++
+                appendedVectors).toArray)
             true
           } else {
             reader = new org.apache.spark.sql.execution.datasources.parquet
               .VectorizedParquetRecordReader(false, 4096)
             reader.initialize(path, presentStored.toList.asJava)
             val fb = reader.resultBatch() // allocates the batch nextBatch() fills
+            // the fast path is positional — valid only when the
+            // present subset is already in file-schema order (a d83
+            // evolved column appended at schema end can sit mid-file)
+            val fileOrdered =
+              fileCols.filter(presentStored.contains) == presentStored.toSeq
             if (presentStored.length == fields.length && !aliased &&
-                !needUpcast.exists(identity)) {
+                fileOrdered && !needUpcast.exists(identity)) {
               syncRows = appendedVectors.nonEmpty
               batch =
                 if (appendedVectors.isEmpty) fb
@@ -2297,13 +2342,14 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
               val fbIdx = fileCols.filter(presentStored.toSet).zipWithIndex.toMap
               syncRows = true
               batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
-                (fields.zipWithIndex.map { case ((_, dt), i) =>
+                (fields.zipWithIndex.map { case ((n, dt), i) =>
                   storedByField(i).flatMap(fbIdx.get).map(fb.column)
                     .map(cv => if (needUpcast(i))
                       new UpcastColumnVector(cv, dt)
                         : org.apache.spark.sql.vectorized.ColumnVector
                       else cv)
-                    .getOrElse(nullVector(dt)): org.apache.spark.sql.vectorized.ColumnVector
+                    .getOrElse(pathConstOrNull(path, n, dt))
+                    : org.apache.spark.sql.vectorized.ColumnVector
                 } ++ appendedVectors).toArray)
             }
             true
@@ -2385,10 +2431,17 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
             else r.getRecordCount - dead.size
           } finally r.close()
         }
-        // data cells (all null — only the ALTER-added case reaches
-        // here with fields) then the constant tail
+        // data cells (null, or the PATH value for a d83-demoted
+        // partition field this file carries in its dirs) then the
+        // constant tail
         private val row = new GenericInternalRow(
-          new Array[Any](fields.length) ++ partTail0)
+          fields.map { case (n, dt) =>
+            IceLiteSource.pathPartValues(file).get(n) match {
+              case Some(v) if dt == StringType =>
+                UTF8String.fromString(v): Any
+              case _ => null
+            }
+          } ++ partTail0)
         private var i = 0L
         override def next(): Boolean = { i += 1; i <= total }
         override def get(): InternalRow = row
@@ -2426,6 +2479,17 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     }
     new PartitionReader[InternalRow] {
       private val conf = new Configuration()
+      // d83: per-slot path value for columns this file does NOT store
+      // but carries in its value dirs (the demoted partition field)
+      private val pathTail: Array[Any] = {
+        val pv = IceLiteSource.pathPartValues(file)
+        fields.map { case (n, dt) =>
+          pv.get(n) match {
+            case Some(v) if dt == StringType => UTF8String.fromString(v): Any
+            case _ => null
+          }
+        }
+      }
       // project the read schema down to the required columns so the
       // parquet reader materializes only those pages; a column ABSENT
       // from this file (written before its ALTER TABLE ADD COLUMN,
@@ -2461,7 +2525,14 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         while (i < fields.length) {
           val name = storedNames(i) // d58: this file's stored name
           val dt = fields(i)._2
-          if (!present(i)) row.setNullAt(i)
+          if (!present(i)) {
+            // d83: an absent column may be path-borne for THIS file
+            // (demoted partition field mid-evolution)
+            pathTail(i) match {
+              case null => row.setNullAt(i)
+              case v => row.update(i, v)
+            }
+          }
           else if (cur.getFieldRepetitionCount(name) == 0) row.setNullAt(i)
           else dt match {
             case LongType =>

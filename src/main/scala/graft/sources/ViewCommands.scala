@@ -179,6 +179,22 @@ case class GraftDropViewCommand(catName: String, ns: String, name: String,
   }
 }
 
+/** d83: `ALTER TABLE cat.ns.t ADD|DROP PARTITION FIELD col` —
+  * partition-spec evolution as DDL (parser-intercepted; stock Spark
+  * has no grammar or TableChange for it). Dispatches through the
+  * SupportsPartitionFieldDdl face both catalog impls share. */
+case class GraftPartitionFieldCommand(catName: String, ns: String,
+    name: String, col: String, add: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = Bridge.catalogPlugin(spark, catName)
+      .asInstanceOf[SupportsPartitionFieldDdl]
+    val ident = Identifier.of(Array(ns), name)
+    if (add) cat.addPartitionField(ident, col)
+    else cat.dropPartitionField(ident, col)
+    Nil
+  }
+}
+
 /** SHOW VIEWS IN cat.ns ['pattern'] — '*' wildcards, '|' alternation
   * (Spark's SHOW semantics). */
 case class GraftShowViewsCommand(catName: String, ns: String,

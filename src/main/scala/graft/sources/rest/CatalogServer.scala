@@ -383,6 +383,11 @@ class CatalogServer(warehouse: String, port: Int = 0) {
                   throw new IllegalArgumentException("set-prop needs value"))))
               case "unset-prop" =>
                 IceLite.alterUnsetProperties(ref, Seq(req.col))
+              // d83: partition-spec evolution — declared-layout flips
+              case "add-part-field" =>
+                IceLite.alterAddPartitionField(ref, req.col)
+              case "drop-part-field" =>
+                IceLite.alterDropPartitionField(ref, req.col)
               case other => throw new IllegalArgumentException(
                 s"unknown alter op '$other'")
             }

@@ -63,7 +63,8 @@ import graft.sources.{IceLiteSource, IceLiteTable}
 class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.ViewCatalog {
+  with org.apache.spark.sql.connector.catalog.ViewCatalog
+  with graft.sources.SupportsPartitionFieldDdl {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   private var catalogName: String = _
   private var uri: String = _
@@ -484,6 +485,21 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** d83 over the wire: partition-spec evolution posts through the
+    * same /alter face as every metadata-only DDL. */
+  override def addPartitionField(ident: Identifier, col: String): Unit = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    post(tablePath(ident) + "/alter",
+      Serialization.write(AlterReq("add-part-field", col)))
+    ()
+  }
+  override def dropPartitionField(ident: Identifier, col: String): Unit = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    post(tablePath(ident) + "/alter",
+      Serialization.write(AlterReq("drop-part-field", col)))
+    ()
+  }
+
   /** Table RENAME over the wire (d81): one POST — the rename runs
     * entirely server-side (zero-copy relocation + CAS claim,
     * IceLite.renameTable's contract), which is exactly the
@@ -797,7 +813,10 @@ private[rest] class RestWriteBuilder(spool: TableRef,
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
     private val snap = IceLiteSource.resolveSnap(spool, None)
-    private val partCols: Seq[String] = snap.partitionCols
+    // d83: the spooled POINTER carries a pending spec evolution too —
+    // remote writes must land the DECLARED layout, like local ones
+    private val partCols: Seq[String] =
+      graft.icelite.IceLite.readManifest(spool).writeLayoutCols
     private val sortCol: Option[String] = snap.sortedBy
 
     locally {

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.icelite.{IceLite, TableRef}
+
+/** d83: `ALTER TABLE … ADD/DROP PARTITION FIELD` — Iceberg's
+  * partition-spec evolution as DDL. The flip is metadata-only (the
+  * declared write layout changes; zero existing bytes move); the next
+  * INSERT lands under the new layout while old files keep theirs, and
+  * reads union the eras with path-borne values (missing on old files
+  * ⇒ NULL, Iceberg's pre-evolution semantics). */
+class PartitionFieldDdlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): (String, String) = {
+    val wh = Files.createTempDirectory("pfddl_wh").toString
+    IceLite.createNamespace(wh, "src")
+    val cat = s"pfcat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  test("ADD PARTITION FIELD: metadata-only flip; next INSERT lands the evolved layout") {
+    val (cat, wh) = fresh()
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 20L).map(k => (k, s"g${k % 2}", s"h${k % 3}")).toDF("k", "g", "h"),
+      Seq("g"), Nil)
+    val filesBefore = IceLite.readManifest(ref).current.files
+
+    spark.sql(s"ALTER TABLE $cat.src.t ADD PARTITION FIELD h")
+    val m = IceLite.readManifest(ref)
+    // zero data movement: same snapshot files, evolved declaration
+    assert(m.current.files == filesBefore)
+    assert(m.declaredPartitionCols.contains(Seq("g", "h")))
+
+    // the next INSERT writes g=/h= value dirs; the old era is untouched
+    Seq((100L, "g0", "h9")).toDF("k", "g", "h")
+      .createOrReplaceTempView("pf_new")
+    spark.sql(s"INSERT INTO $cat.src.t (k, g, h) SELECT k, g, h FROM pf_new")
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionCols == Seq("g", "h"), "landed layout must be evolved")
+    assert(snap.files.exists(f => f.contains("g=g0") && f.contains("h=h9")),
+      s"new file not under the evolved layout: ${snap.files}")
+    assert(filesBefore.forall(snap.files.contains), "old era must survive")
+  }
+
+  test("reads union both eras: evolved field from data pages (old era) and the path (new era)") {
+    val (cat, wh) = fresh()
+    val ref = TableRef(wh, "src", "t2")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 10L).map(k => (k, s"g${k % 2}", s"h${k % 3}", k * 1.0))
+        .toDF("k", "g", "h", "v"),
+      Seq("g"), Nil)
+    spark.sql(s"ALTER TABLE $cat.src.t2 ADD PARTITION FIELD h")
+    Seq((100L, "g0", "h7", 7.0)).toDF("k", "g", "h", "v")
+      .createOrReplaceTempView("pf2_new")
+    spark.sql(s"INSERT INTO $cat.src.t2 (k, g, h, v) SELECT k, g, h, v FROM pf2_new")
+    val n = spark.sql(s"SELECT COUNT(*) FROM $cat.src.t2").head.getLong(0)
+    assert(n == 11L, s"reads must union both eras, got $n")
+    // old era: h decodes from the FILE's data pages (real values, not
+    // NULL); new era: h comes from the value dir
+    val hs = spark.sql(s"SELECT k, h FROM $cat.src.t2 ORDER BY k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 10L).foreach(k => assert(hs(k) == s"h${k % 3}",
+      s"old-era h lost: $k -> ${hs(k)}"))
+    assert(hs(100L) == "h7", "new-era h must come from the path")
+    // and filtering on the evolved field stays exact across eras
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t2 WHERE h = 'h0'")
+      .head.getLong(0) == (0L until 10L).count(_ % 3 == 0))
+    // a NON-string column refuses the promotion loudly (typed identity
+    // keys need field ids this format does not carry)
+    val typed = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.src.t2 ADD PARTITION FIELD k"))
+    assert(typed.getMessage.contains("not a STRING column"))
+  }
+
+  test("overwrites refuse while the evolution is pending; allowed after it lands") {
+    val (cat, wh) = fresh()
+    val ref = TableRef(wh, "src", "t3")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 8L).map(k => (k, s"g${k % 2}", s"h${k % 2}")).toDF("k", "g", "h"),
+      Seq("g"), Nil)
+    spark.sql(s"ALTER TABLE $cat.src.t3 ADD PARTITION FIELD h")
+    Seq((50L, "g0", "h0")).toDF("k", "g", "h")
+      .createOrReplaceTempView("pf3_rows")
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.src.t3 REPLACE WHERE true SELECT * FROM pf3_rows"))
+    assert(e.getMessage != null && e.getMessage.contains("pending"),
+      s"overwrite during pending evolution must refuse: ${e.getMessage}")
+    // an append lands the new layout; overwrite is legal again
+    spark.sql(s"INSERT INTO $cat.src.t3 (k, g, h) SELECT k, g, h FROM pf3_rows")
+    spark.sql(s"INSERT INTO $cat.src.t3 REPLACE WHERE true SELECT * FROM pf3_rows")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t3").head.getLong(0) == 1L)
+  }
+
+  test("DROP PARTITION FIELD evolves back; refusals are loud and specific") {
+    val (cat, wh) = fresh()
+    val ref = TableRef(wh, "src", "t4")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 6L).map(k => (k, s"g${k % 2}", s"h${k % 2}")).toDF("k", "g", "h"),
+      Seq("g"), Nil)
+    spark.sql(s"ALTER TABLE $cat.src.t4 ADD PARTITION FIELD h")
+    spark.sql(s"ALTER TABLE $cat.src.t4 DROP PARTITION FIELD h")
+    assert(IceLite.readManifest(ref).writeLayoutCols == Seq("g"))
+    // dropping the last field refuses
+    val last = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.src.t4 DROP PARTITION FIELD g"))
+    assert(last.getMessage.contains("last partition field"))
+    // unknown column refuses at DDL time, not at the next INSERT
+    val bad = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.src.t4 ADD PARTITION FIELD nope"))
+    assert(bad.getMessage.contains("no column nope"))
+    // a FLAT table refuses toward a rewrite
+    IceLite.createOrReplace(TableRef(wh, "src", "flat"), Seq((1L, "a")).toDF("k", "s"))
+    val flat = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.src.flat ADD PARTITION FIELD s"))
+    assert(flat.getMessage.contains("unpartitioned"))
+  }
+
+  test("evolution DDL works over the REST attachment (one POST)") {
+    val wh = Files.createTempDirectory("pfddl_rest").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t5")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 6L).map(k => (k, s"g${k % 2}", s"h${k % 2}")).toDF("k", "g", "h"),
+      Seq("g"), Nil)
+    val srv = new rest.CatalogServer(wh).start()
+    try {
+      val cat = s"pfrest_${java.util.UUID.randomUUID.toString.take(8)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[rest.IceLiteRestCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+      spark.sql(s"ALTER TABLE $cat.src.t5 ADD PARTITION FIELD h")
+      assert(IceLite.readManifest(ref).declaredPartitionCols
+        .contains(Seq("g", "h")), "owner must see the remote evolution")
+      // the attachment's next INSERT writes the evolved layout
+      Seq((60L, "g1", "h7")).toDF("k", "g", "h")
+        .createOrReplaceTempView("pf5_new")
+      spark.sql(s"INSERT INTO $cat.src.t5 (k, g, h) SELECT k, g, h FROM pf5_new")
+      val snap = IceLite.readManifest(ref).current
+      assert(snap.partitionCols == Seq("g", "h"))
+      assert(snap.files.exists(f => f.contains("h=h7")))
+    } finally srv.stop()
+  }
+}
