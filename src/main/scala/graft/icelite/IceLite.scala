@@ -1270,6 +1270,10 @@ object IceLite {
       man.snapshots.flatMap(_.deleteFiles) ++
       man.snapshots.flatMap(_.eqDeletes.map(_.file))).distinct
     rels.foreach { rel =>
+      // ABSOLUTE entries (d22 shallow clones reference out-of-tree
+      // files) resolve to themselves on both sides — the exists check
+      // short-circuits and the reference travels untouched, which is
+      // exactly right: a renamed clone keeps pointing at the donor.
       val dst = to.dir.resolve(rel)
       if (!Files.exists(dst)) io.linkOrCopy(dst, from.dir.resolve(rel))
     }

@@ -1555,6 +1555,62 @@ object LlmPack extends Pack {
              SELECT lang, CAST(COUNT(*) FILTER (reps > 0) AS BIGINT) AS n_kept,
                CAST(SUM(reps) AS BIGINT) AS n_epoch_rows,
                CAST(SUM(n_chars * reps) AS BIGINT) AS epoch_chars
-             FROM w GROUP BY lang ORDER BY lang"""))
+             FROM w GROUP BY lang ORDER BY lang""")),
+
+    // c34: HARD-NEGATIVE MINING — the contrastive-training data step
+    // (retrieval/embedding training needs, per anchor: its best
+    // SAME-label neighbor as the positive and the top DIFFERENT-label
+    // neighbors as hard negatives — the pairs the model currently
+    // confuses). Query slice broadcast against one corpus scan (the
+    // c04/c05 shape with label predicates); per-anchor ranking is a
+    // window over (cos desc, id) — deterministic ties. At 100 TB the
+    // anchors batch (broadcast ≪ corpus), the corpus streams once per
+    // batch, and c10's IVF drop-in replaces the scan when the corpus
+    // side outgrows it.
+    Decl("c34_hard_negatives",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val q = e.filter($"vec_id" < 30)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+            $"label".as("q_label"))
+        val scored = e.as("c").join(broadcast(q), col("c.vec_id") =!= col("q_id"))
+          .select($"q_id", $"q_label", col("c.vec_id").as("cand"),
+            col("c.label").as("cand_label"),
+            expr("cosine_sim(c.embedding, q_emb)").as("cos"))
+        val wQ = Window.partitionBy($"q_id").orderBy($"cos".desc, $"cand".asc)
+        val pos = scored.filter($"cand_label" === $"q_label")
+          .withColumn("rk", row_number().over(wQ)).filter($"rk" === 1)
+          .select($"q_id", $"cand".as("pos_id"), round($"cos", 6).as("pos_cos"))
+        val neg = scored.filter($"cand_label" =!= $"q_label")
+          .withColumn("rk", row_number().over(wQ)).filter($"rk" <= 3)
+          .groupBy($"q_id")
+          .agg(max(when($"rk" === 1, $"cand")).as("neg1"),
+            max(when($"rk" === 2, $"cand")).as("neg2"),
+            max(when($"rk" === 3, $"cand")).as("neg3"),
+            round(max(when($"rk" === 1, $"cos")), 6).as("neg1_cos"))
+        pos.join(neg, "q_id").orderBy($"q_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+                         FROM embeddings WHERE vec_id < 30),
+             s AS (SELECT q_id, q_label, c.vec_id AS cand, c.label AS cand_label,
+                     (list_aggregate(list_transform(list_zip(c.embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+                      / (sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                       * sqrt(list_aggregate(list_transform(q_emb, x -> CAST(x AS DOUBLE) * x), 'sum')))) AS cos
+                   FROM embeddings c JOIN q ON c.vec_id <> q_id),
+             p AS (SELECT q_id, cand AS pos_id, ROUND(cos, 6) AS pos_cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rk
+                   FROM s WHERE cand_label = q_label),
+             n AS (SELECT q_id, cand, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rk
+                   FROM s WHERE cand_label <> q_label)
+             SELECT p.q_id, p.pos_id, p.pos_cos,
+               CAST(MAX(CASE WHEN n.rk = 1 THEN n.cand END) AS BIGINT) AS neg1,
+               CAST(MAX(CASE WHEN n.rk = 2 THEN n.cand END) AS BIGINT) AS neg2,
+               CAST(MAX(CASE WHEN n.rk = 3 THEN n.cand END) AS BIGINT) AS neg3,
+               ROUND(MAX(CASE WHEN n.rk = 1 THEN n.cos END), 6) AS neg1_cos
+             FROM p JOIN n ON p.q_id = n.q_id AND n.rk <= 3
+             WHERE p.rk = 1
+             GROUP BY 1, 2, 3 ORDER BY p.q_id"""))
   )
 }
