@@ -2223,8 +2223,13 @@ object IceLite {
       val statsCols = cur.fileStats.values.flatten.map(_.col).toSeq.distinct.sorted
       val files =
         if (cur.partitionCols.nonEmpty)
+          // d83: compaction is the EVOLUTION MATERIALIZER — restage
+          // by the DECLARED layout (identical to the current one when
+          // no evolution is pending), so one compact() ends the mixed
+          // era: every row lands in its evolved value dir and
+          // targeted overwrites become legal again
           stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files),
-            cur.partitionCols)
+            base.writeLayoutCols)
         else if (cur.partitionSpec.nonEmpty)
           // d56: compaction re-derives the transform layout (merges
           // the small files WITHIN each bucket/day dir — the source
@@ -2249,7 +2254,10 @@ object IceLite {
       val stats = collectStats(spark, ref, files, statsCols)
       val id = base.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
-        files, rowsByFile.values.sum, stats, cur.partitionCols,
+        files, rowsByFile.values.sum, stats,
+        // d83: the materialized layout is the declared one
+        if (cur.partitionCols.nonEmpty) base.writeLayoutCols
+        else cur.partitionCols,
         cur.sortedBy, fileRows = rowsByFile,
         partitionSpec = cur.partitionSpec) // met: restaged through the spec
       if (tryCommit(baseVersion + 1,

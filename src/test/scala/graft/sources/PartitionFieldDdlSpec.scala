@@ -122,6 +122,42 @@ class PartitionFieldDdlSpec extends AnyFunSuite {
     assert(flat.getMessage.contains("unpartitioned"))
   }
 
+  test("compact() materializes the declared layout and ends the mixed era") {
+    val (cat, wh) = fresh()
+    val ref = TableRef(wh, "src", "t6")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 12L).map(k => (k, s"g${k % 2}", s"h${k % 3}", k * 2.0))
+        .toDF("k", "g", "h", "v"),
+      Seq("g"), Nil)
+    spark.sql(s"ALTER TABLE $cat.src.t6 ADD PARTITION FIELD h")
+    Seq((100L, "g0", "h9", 1.0)).toDF("k", "g", "h", "v")
+      .createOrReplaceTempView("pf6_new")
+    spark.sql(s"INSERT INTO $cat.src.t6 (k, g, h, v) SELECT * FROM pf6_new")
+    val logicalBefore = spark.sql(
+      s"SELECT k, g, h, v FROM $cat.src.t6 ORDER BY k").collect().toSeq
+    // the escape hatch the overwrite refusal points at:
+    val snap = IceLite.compact(spark, ref)
+    assert(snap.partitionCols == Seq("g", "h"))
+    assert(snap.files.forall(f => f.contains("g=") && f.contains("h=")),
+      s"compact must land EVERY row in the evolved layout: ${snap.files}")
+    // logical content byte-identical through the rewrite
+    val logicalAfter = spark.sql(
+      s"SELECT k, g, h, v FROM $cat.src.t6 ORDER BY k").collect().toSeq
+    assert(logicalAfter == logicalBefore)
+    // old-era h values survived the materialization (they came from
+    // data pages; now they live in the path)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t6 WHERE h = 'h0'")
+      .head.getLong(0) == (0L until 12L).count(_ % 3 == 0))
+    // targeted overwrites are legal again
+    Seq((200L, "g0", "h9", 3.0)).toDF("k", "g", "h", "v")
+      .createOrReplaceTempView("pf6_ow")
+    spark.sql(s"INSERT OVERWRITE $cat.src.t6 PARTITION (g = 'g0', h = 'h9') " +
+      "(k, v) SELECT k, v FROM pf6_ow")
+    assert(spark.sql(
+        s"SELECT k FROM $cat.src.t6 WHERE g = 'g0' AND h = 'h9'")
+      .collect().map(_.getLong(0)).toSeq == Seq(200L))
+  }
+
   test("evolution DDL works over the REST attachment (one POST)") {
     val wh = Files.createTempDirectory("pfddl_rest").toString
     IceLite.createNamespace(wh, "src")
