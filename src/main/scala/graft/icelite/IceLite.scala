@@ -1618,6 +1618,10 @@ object IceLite {
       require(snap.partitionCols.isEmpty,
         "MoR deletes support flat/sorted tables; partitioned tables " +
           "take the layout-preserving COW path (deleteWhere)")
+      require(base.writeLayoutCols == snap.partitionCols,
+        s"${ref.name} has a pending partition-spec evolution — the " +
+          "partitioned era carries no sidecars; use COW deletes or " +
+          "land the layout first")
       require(snap.eqDeletes.isEmpty,
         s"${ref.name} has live EQUALITY-delete sidecars — their matched " +
           "row counts are unknown without a scan, so a position delete " +
@@ -1685,6 +1689,9 @@ object IceLite {
       val snap = base.current
       require(snap.partitionCols.isEmpty,
         "MoR equality deletes support flat/sorted tables")
+      require(base.writeLayoutCols == snap.partitionCols,
+        s"${ref.name} has a pending partition-spec evolution — the " +
+          "partitioned era carries no sidecars; land the layout first")
       val keyBatch = keys
         .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().localCheckpoint()
@@ -1755,6 +1762,9 @@ object IceLite {
       val snap = base.current
       require(snap.partitionCols.isEmpty,
         "MoR upserts support flat/sorted tables")
+      require(base.writeLayoutCols == snap.partitionCols,
+        s"${ref.name} has a pending partition-spec evolution — the " +
+          "partitioned era carries no sidecars; land the layout first")
       val keyBatch = cached
         .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().localCheckpoint()
@@ -1828,6 +1838,9 @@ object IceLite {
     require(snap.partitionCols.isEmpty,
       "MoR updates support flat/sorted tables; partitioned tables " +
         "take the layout-preserving COW path (updateWhere)")
+    require(base.writeLayoutCols == snap.partitionCols,
+      s"${ref.name} has a pending partition-spec evolution — the " +
+        "partitioned era carries no sidecars; land the layout first")
     require(snap.eqDeletes.isEmpty,
       s"${ref.name} has live EQUALITY-delete sidecars — compact() before " +
         "a position-based MoR update")
@@ -2221,22 +2234,37 @@ object IceLite {
       val base = decodeManifest(ref, basePath)
       val cur = base.current
       val statsCols = cur.fileStats.values.flatten.map(_.col).toSeq.distinct.sorted
+      // d83: the layout this compaction LANDS — the declared write
+      // layout (identical to the current one when no evolution is
+      // pending). Nonempty for partitioned tables AND for flat tables
+      // with a pending flat→partitioned evolution; compaction is the
+      // EVOLUTION MATERIALIZER either way: one pass ends the mixed
+      // era, every row lands in its evolved value dir, and targeted
+      // overwrites become legal again.
+      val landedCols =
+        if (cur.partitionSpec.nonEmpty) cur.partitionCols
+        else base.writeLayoutCols
       val files =
-        if (cur.partitionCols.nonEmpty)
-          // d83: compaction is the EVOLUTION MATERIALIZER — restage
-          // by the DECLARED layout (identical to the current one when
-          // no evolution is pending), so one compact() ends the mixed
-          // era: every row lands in its evolved value dir and
-          // targeted overwrites become legal again
-          stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files),
-            base.writeLayoutCols)
-        else if (cur.partitionSpec.nonEmpty)
+        if (cur.partitionSpec.nonEmpty)
           // d56: compaction re-derives the transform layout (merges
           // the small files WITHIN each bucket/day dir — the source
           // columns are in the data, so the dirs are recomputable)
           stageTransformed(ref,
             readFilesWithDeletes(spark, ref, cur, cur.files),
             cur.partitionSpec)
+        else if (landedCols.nonEmpty) {
+          // identity layout (current or pending). The sidecar fold is
+          // flat-only, and both eras arrive sidecar-free (partitioned
+          // MoR writes refuse; the flat→partitioned DDL refuses while
+          // sidecars are live and the pending era refuses new ones) —
+          // assert the invariant rather than silently dropping deletes
+          require(!cur.morLive,
+            s"${ref.name} has live MoR sidecars under an identity " +
+              "layout — unreachable by construction; refusing to " +
+              "compact them away silently")
+          stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files),
+            landedCols)
+        }
         else cur.sortedBy match {
           // preserve the table's sort order: a hash repartition would
           // destroy the non-overlapping file ranges sorted writes buy.
@@ -2256,9 +2284,12 @@ object IceLite {
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
         files, rowsByFile.values.sum, stats,
         // d83: the materialized layout is the declared one
-        if (cur.partitionCols.nonEmpty) base.writeLayoutCols
-        else cur.partitionCols,
-        cur.sortedBy, fileRows = rowsByFile,
+        landedCols,
+        // a flat→partitioned materialization drops the flat sort
+        // marker honestly (rule 25): the restage clusters by value
+        // dirs, not the sort key
+        if (landedCols.nonEmpty) None else cur.sortedBy,
+        fileRows = rowsByFile,
         partitionSpec = cur.partitionSpec) // met: restaged through the spec
       if (tryCommit(baseVersion + 1,
           base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
@@ -2606,10 +2637,18 @@ object IceLite {
     * tables take the one-group fast path unchanged. */
   private def readPartitionedFiles(spark: SparkSession, ref: TableRef,
       files: Seq[String]): DataFrame = {
-    def readGroup(fs: Seq[String]): DataFrame = spark.read
-      .option("mergeSchema", "true")
-      .option("basePath", ref.dataDir.resolve("part").toString)
-      .parquet(fs.map(f => ref.dir.resolve(f).toString): _*)
+    // a FLAT-layout group (no k=v dirs — the old era of a
+    // flat→partitioned evolution) reads without partition discovery:
+    // its files live under data/<token>/, outside the part/ basePath,
+    // and carry every column (the future partition field included) in
+    // their data pages, so the by-name union stays column-complete
+    def readGroup(fs: Seq[String]): DataFrame = {
+      val reader = spark.read.option("mergeSchema", "true")
+      val withBase =
+        if (fileLayout(fs.head).isEmpty) reader
+        else reader.option("basePath", ref.dataDir.resolve("part").toString)
+      withBase.parquet(fs.map(f => ref.dir.resolve(f).toString): _*)
+    }
     files.groupBy(fileLayout).values.toSeq
       .sortBy(_.head) // deterministic union order
       .map(readGroup)
@@ -3214,11 +3253,16 @@ object IceLite {
     * partition-spec evolution as DDL: a metadata-only CAS commit that
     * changes the layout FUTURE appends use; no existing byte moves
     * (each snapshot keeps per-file layouts, d15's read machinery).
-    * Scope (refusals are loud): identity fields on already
-    * identity-partitioned tables — partitioning a FLAT table, or a
-    * transform field, still needs the engine API
-    * (createOrReplacePartitioned / appendTransformed), because the
-    * mixed flat↔partitioned read path is not defined here. While an
+    * Works on FLAT tables too — Iceberg's canonical evolution case
+    * (an unpartitioned table gains a partition field as it grows):
+    * old flat files keep the column in their DATA pages, new files
+    * land in value dirs, and the one mixed-era read rule (a column is
+    * path-borne only while EVERY file's path carries it, else a data
+    * field with a per-file path fallback) covers the union unchanged.
+    * Scope (refusals are loud): transform fields still need the
+    * engine API (appendTransformed); a flat table with live MoR
+    * sidecars must compact() first (the partitioned-era invariant is
+    * "no sidecars", kept by the pending-era MoR refusals). While an
     * evolution is pending (declared ≠ current), only appends may
     * write (overwrite modes refuse until a write lands the new
     * layout). */
@@ -3227,10 +3271,14 @@ object IceLite {
       val m = cur.getOrElse(throw new IllegalArgumentException(
         s"${ref.name} does not exist"))
       val base = m.writeLayoutCols
-      require(base.nonEmpty,
-        s"${ref.name} is unpartitioned — partitioning an existing flat " +
-          "table needs a rewrite (CTAS into a partitioned layout); " +
-          "ADD PARTITION FIELD evolves already-partitioned tables")
+      if (base.isEmpty)
+        // flat → partitioned: the sidecar fold is defined for flat
+        // snapshots only, and the partitioned era must start clean —
+        // materialize live deletes before flipping the layout
+        require(!m.current.morLive,
+          s"${ref.name} has live MoR delete sidecars — compact() " +
+            "before ADD PARTITION FIELD (the partitioned era carries " +
+            "no sidecars)")
       require(m.current.partitionSpec.isEmpty,
         s"${ref.name} is transform-partitioned — evolve through the " +
           "engine API (appendTransformed)")

@@ -115,11 +115,104 @@ class PartitionFieldDdlSpec extends AnyFunSuite {
     val bad = intercept[Exception](spark.sql(
       s"ALTER TABLE $cat.src.t4 ADD PARTITION FIELD nope"))
     assert(bad.getMessage.contains("no column nope"))
-    // a FLAT table refuses toward a rewrite
-    IceLite.createOrReplace(TableRef(wh, "src", "flat"), Seq((1L, "a")).toDF("k", "s"))
-    val flat = intercept[Exception](spark.sql(
-      s"ALTER TABLE $cat.src.flat ADD PARTITION FIELD s"))
-    assert(flat.getMessage.contains("unpartitioned"))
+  }
+
+  test("flat → partitioned: Iceberg's canonical evolution (old era in pages, new era in dirs)") {
+    val (cat, wh) = fresh()
+    val ref = TableRef(wh, "src", "f1")
+    IceLite.createOrReplace(ref,
+      (0L until 10L).map(k => (k, s"g${k % 2}", k * 1.0)).toDF("k", "g", "v"))
+    val filesBefore = IceLite.readManifest(ref).current.files
+
+    // the flip is metadata-only on a FLAT table too
+    spark.sql(s"ALTER TABLE $cat.src.f1 ADD PARTITION FIELD g")
+    val m = IceLite.readManifest(ref)
+    assert(m.current.files == filesBefore)
+    assert(m.current.partitionCols.isEmpty, "current snapshot stays flat")
+    assert(m.declaredPartitionCols.contains(Seq("g")))
+
+    // era-2 INSERT lands Hive value dirs; the flat era is untouched
+    Seq((100L, "g0", 9.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("f1_new")
+    spark.sql(s"INSERT INTO $cat.src.f1 (k, g, v) SELECT k, g, v FROM f1_new")
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionCols == Seq("g"), "landed layout must be declared")
+    assert(snap.files.exists(_.contains("g=g0")),
+      s"new file not under the evolved layout: ${snap.files}")
+    assert(filesBefore.forall(snap.files.contains), "flat era must survive")
+
+    // one SQL read crosses the eras: g from flat pages AND value dirs
+    val gs = spark.sql(s"SELECT k, g FROM $cat.src.f1 ORDER BY k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 10L).foreach(k => assert(gs(k) == s"g${k % 2}",
+      s"flat-era g lost: $k -> ${gs(k)}"))
+    assert(gs(100L) == "g0", "new-era g must come from the path")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.f1 WHERE g = 'g0'")
+      .head.getLong(0) == (0L until 10L).count(_ % 2 == 0) + 1)
+
+    // targeted overwrite refuses toward compaction while flat files
+    // remain; compact() materializes and legalizes it
+    Seq((200L, "g0", 1.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("f1_ow")
+    val ow = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE $cat.src.f1 PARTITION (g = 'g0') (k, v) " +
+        "SELECT k, v FROM f1_ow"))
+    assert(ow.getMessage.contains("compact"), ow.getMessage)
+    val mat = IceLite.compact(spark, ref)
+    assert(mat.partitionCols == Seq("g"))
+    assert(mat.files.forall(_.contains("g=")),
+      s"compact must land EVERY row in value dirs: ${mat.files}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.f1").head.getLong(0) == 11L)
+    spark.sql(s"INSERT OVERWRITE $cat.src.f1 PARTITION (g = 'g0') (k, v) " +
+      "SELECT k, v FROM f1_ow")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.f1 WHERE g = 'g0'")
+      .head.getLong(0) == 1L)
+  }
+
+  test("flat → partitioned: compact() alone materializes a pending declaration (no era-2 append)") {
+    val (cat, wh) = fresh()
+    val ref = TableRef(wh, "src", "f2")
+    IceLite.createOrReplace(ref,
+      (0L until 8L).map(k => (k, s"g${k % 2}")).toDF("k", "g"))
+    spark.sql(s"ALTER TABLE $cat.src.f2 ADD PARTITION FIELD g")
+    val snap = IceLite.compact(spark, ref)
+    assert(snap.partitionCols == Seq("g"))
+    assert(snap.files.forall(_.contains("g=")))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.f2").head.getLong(0) == 8L)
+  }
+
+  test("flat → partitioned: sorted marker drops honestly; MoR sidecars refuse the flip") {
+    val (cat, wh) = fresh()
+    // sorted flat table: the era-2 append clusters by value dirs, so
+    // the global sort marker cannot survive — it must DROP (rule 25),
+    // not silently keep advertising pruning the files no longer honor
+    val sref = TableRef(wh, "src", "fs")
+    IceLite.createOrReplaceSorted(TableRef(wh, "src", "fs"),
+      (0L until 10L).map(k => (k, s"g${k % 2}", k * 1.0)).toDF("k", "g", "v"),
+      "k", numFiles = 2)
+    spark.sql(s"ALTER TABLE $cat.src.fs ADD PARTITION FIELD g")
+    Seq((100L, "g1", 2.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("fs_new")
+    spark.sql(s"INSERT INTO $cat.src.fs (k, g, v) SELECT k, g, v FROM fs_new")
+    val snap = IceLite.readManifest(sref).current
+    assert(snap.partitionCols == Seq("g"))
+    assert(snap.sortedBy.isEmpty, "sort marker must drop with the layout flip")
+
+    // MoR-live flat table: the DDL refuses toward compaction, and a
+    // pending evolution refuses NEW MoR sidecars — the partitioned
+    // era always starts (and stays) sidecar-free
+    val mref = TableRef(wh, "src", "fm")
+    IceLite.createOrReplace(mref,
+      (0L until 6L).map(k => (k, s"g${k % 2}", k * 1.0)).toDF("k", "g", "v"))
+    IceLite.deleteWhereMoR(spark, mref, "k = 0")
+    val live = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.src.fm ADD PARTITION FIELD g"))
+    assert(live.getMessage.contains("compact"), live.getMessage)
+    IceLite.compact(spark, mref)
+    spark.sql(s"ALTER TABLE $cat.src.fm ADD PARTITION FIELD g")
+    val pend = intercept[Exception](
+      IceLite.deleteWhereMoR(spark, mref, "k = 1"))
+    assert(pend.getMessage.contains("pending"), pend.getMessage)
   }
 
   test("compact() materializes the declared layout and ends the mixed era") {
@@ -181,6 +274,21 @@ class PartitionFieldDdlSpec extends AnyFunSuite {
       val snap = IceLite.readManifest(ref).current
       assert(snap.partitionCols == Seq("g", "h"))
       assert(snap.files.exists(f => f.contains("h=h7")))
+
+      // flat → partitioned over the wire too: the spooled POINTER
+      // carries the declaration, so the attachment's INSERT lands the
+      // evolved layout on a table whose current snapshot is flat
+      val fref = TableRef(wh, "src", "tf")
+      IceLite.createOrReplace(fref,
+        (0L until 4L).map(k => (k, s"g${k % 2}")).toDF("k", "g"))
+      spark.sql(s"ALTER TABLE $cat.src.tf ADD PARTITION FIELD g")
+      Seq((10L, "g0")).toDF("k", "g").createOrReplaceTempView("pf5_flat")
+      spark.sql(s"INSERT INTO $cat.src.tf (k, g) SELECT k, g FROM pf5_flat")
+      val fsnap = IceLite.readManifest(fref).current
+      assert(fsnap.partitionCols == Seq("g"))
+      assert(fsnap.files.exists(_.contains("g=g0")))
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.tf WHERE g = 'g0'")
+        .head.getLong(0) == 3L)
     } finally srv.stop()
   }
 }
