@@ -3287,8 +3287,12 @@ object IceLite {
       require(!m.droppedCols.exists(_.name == col),
         s"$col was dropped from ${ref.name}")
       // eager schema check: a bad field name must fail the DDL, not
-      // the next INSERT's staging job
-      val visible = visibleColNames(ref, m) ++ base
+      // the next INSERT's staging job. A column can live in data
+      // pages OR be path-borne in some era's files (partitionBy drops
+      // it from pages) — union both, like the table-schema derivation
+      val pathCols = m.current.files.flatMap(fileLayout).toSet
+      val visible = visibleColNames(ref, m) ++ base ++
+        m.current.partitionCols ++ pathCols
       require(visible.contains(col),
         s"no column $col in ${ref.name} (have: ${visible.toSeq.sorted.mkString(", ")})")
       // STRING fields only: identity partition values are path-borne

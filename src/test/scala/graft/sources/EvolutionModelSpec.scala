@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.icelite.{IceLite, TableRef}
+
+/** Model-equivalence fuzz for PARTITION-SPEC EVOLUTION (d83): random
+  * interleavings of SQL INSERT / ADD PARTITION FIELD / DROP PARTITION
+  * FIELD / compact() / static partition overwrite against an
+  * in-memory row model, asserting after EVERY op that the full SQL
+  * read and a filtered count match the model exactly. Starts from a
+  * FLAT table, so runs cross the flat→partitioned boundary as well as
+  * evolved partitioned eras; overwrites are ATTEMPTED blind — while
+  * the table holds pre-declaration files the engine must refuse (and
+  * the model must be untouched), after a compact it must apply. Fixed
+  * seeds — failures reproduce exactly. This is the class of test that
+  * catches mixed-era bookkeeping bugs (a demoted field read as NULL,
+  * an overwrite deciding fates by paths old files don't carry, a
+  * compact landing the wrong declared layout) that single-scenario
+  * specs miss. */
+class EvolutionModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case class Row4(k: Long, g: String, h: String, v: Double)
+
+  private def run(seed: Long, ops: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val wh = Files.createTempDirectory(s"evo_model_$seed").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    val cat = s"evocat_${seed}_${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.src.t"
+
+    var model = Vector.empty[Row4]
+    var nextKey = 0L
+    def fresh(n: Int): Seq[Row4] = {
+      val rows = (nextKey until nextKey + n).map(k =>
+        Row4(k, s"g${rnd.nextInt(3)}", s"h${rnd.nextInt(2)}", k * 0.5))
+      nextKey += n
+      rows
+    }
+
+    val seedRows = fresh(6)
+    IceLite.createOrReplace(ref,
+      seedRows.map(r => (r.k, r.g, r.h, r.v)).toDF("k", "g", "h", "v"))
+    model ++= seedRows
+
+    def declared: Seq[String] = IceLite.readManifest(ref).writeLayoutCols
+
+    def check(label: String): Unit = {
+      val got = spark.sql(s"SELECT k, g, h, v FROM $tbl ORDER BY k")
+        .collect().map(r => Row4(r.getLong(0), r.getString(1),
+          r.getString(2), r.getDouble(3))).toVector
+      assert(got == model.sortBy(_.k),
+        s"[seed=$seed $label] table diverged from model\n" +
+          s"got:   ${got.take(20)}\nmodel: ${model.sortBy(_.k).take(20)}")
+      // a filter on the (possibly demoted) evolved fields must stay
+      // exact across eras — the conservative-prune + residual rule
+      val n = spark.sql(
+        s"SELECT COUNT(*) FROM $tbl WHERE g = 'g0' AND h = 'h1'")
+        .head.getLong(0)
+      assert(n == model.count(r => r.g == "g0" && r.h == "h1"),
+        s"[seed=$seed $label] filtered count diverged")
+    }
+
+    check("seed")
+    (1 to ops).foreach { i =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => // SQL INSERT — lands whatever layout is declared
+          val rows = fresh(1 + rnd.nextInt(3))
+          rows.map(r => (r.k, r.g, r.h, r.v)).toDF("k", "g", "h", "v")
+            .createOrReplaceTempView(s"evo_batch_$seed")
+          spark.sql(s"INSERT INTO $tbl (k, g, h, v) " +
+            s"SELECT k, g, h, v FROM evo_batch_$seed")
+          model ++= rows
+        case 2 => // ADD PARTITION FIELD (g then h; re-adds refuse)
+          val cand = Seq("g", "h").filterNot(declared.contains)
+          if (cand.nonEmpty)
+            spark.sql(s"ALTER TABLE $tbl ADD PARTITION FIELD ${cand.head}")
+        case 3 => // DROP PARTITION FIELD (the last one must refuse)
+          if (declared.size > 1)
+            spark.sql(s"ALTER TABLE $tbl DROP PARTITION FIELD ${declared.last}")
+          else if (declared.size == 1)
+            assert(intercept[Exception](spark.sql(
+              s"ALTER TABLE $tbl DROP PARTITION FIELD ${declared.head}"))
+              .getMessage.contains("last partition field"))
+        case 4 => // compact: materializes the declared layout
+          val snap = IceLite.compact(spark, ref)
+          assert(snap.partitionCols == declared,
+            s"[seed=$seed op$i] compact landed ${snap.partitionCols}, " +
+              s"declared $declared")
+          if (declared.nonEmpty)
+            assert(snap.files.forall(f =>
+                declared.forall(c => f.contains(s"$c="))),
+              s"[seed=$seed op$i] compact left files outside the " +
+                s"declared layout: ${snap.files}")
+        case 5 => // static overwrite of one g-partition, attempted blind
+          if (declared == Seq("g")) {
+            val g = s"g${rnd.nextInt(3)}"
+            val rows = fresh(1 + rnd.nextInt(2)).map(_.copy(g = g))
+            rows.map(r => (r.k, r.g, r.h, r.v)).toDF("k", "g", "h", "v")
+              .createOrReplaceTempView(s"evo_ow_$seed")
+            try {
+              spark.sql(s"INSERT OVERWRITE $tbl PARTITION (g = '$g') " +
+                s"(k, h, v) SELECT k, h, v FROM evo_ow_$seed")
+              model = model.filterNot(_.g == g) ++ rows
+            } catch {
+              // legal only once every file carries the g= dir; until
+              // then the engine must refuse AND leave the table alone
+              case e: Exception =>
+                assert(e.getMessage != null && (
+                    e.getMessage.contains("compact") ||
+                    e.getMessage.contains("pending")),
+                  s"[seed=$seed op$i] unexpected overwrite refusal: $e")
+            }
+          }
+      }
+      check(s"op$i")
+    }
+  }
+
+  test("random evolution interleavings match the model (seed 11)") { run(11L, 24) }
+  test("random evolution interleavings match the model (seed 29)") { run(29L, 24) }
+  test("random evolution interleavings match the model (seed 63)") { run(63L, 24) }
+}
