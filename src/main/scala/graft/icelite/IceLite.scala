@@ -629,6 +629,24 @@ object IceLite {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Scope a Spark write to INT64-micros parquet timestamps.
+    * Iceberg's format spec FORBIDS INT96, and Spark's default
+    * `outputTimestampType` is still the legacy INT96 — which the
+    * connector's vectorized reader (and most non-Spark engines) will
+    * not decode. Every engine write path runs through this, so an
+    * icelite data file never carries an INT96 column; the custom
+    * DSv2 writers already emit micros natively. */
+  private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Stage the DataFrame as Parquet files under data/<token>/ and
     * return their table-relative paths. The token is commit-agnostic
     * (a UUID, not a snapshot id) because CAS retries may rebase the
@@ -636,7 +654,9 @@ object IceLite {
   private def stage(ref: TableRef, df: DataFrame): Seq[String] = {
     val token = java.util.UUID.randomUUID.toString.take(8)
     val outDir = ref.dataDir.resolve(token)
-    df.write.mode("overwrite").parquet(outDir.toString)
+    withMicrosTimestamps(df.sparkSession) {
+      df.write.mode("overwrite").parquet(outDir.toString)
+    }
     listDir(Files.list(outDir))(_
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -1057,6 +1077,49 @@ object IceLite {
     moved
   }
 
+  /** SQL writes into HIDDEN-PARTITION (transform) tables: executors
+    * stage files under data/<token>/<derived>=<v>/ dirs they computed
+    * per row (the same Catalyst expressions `transformExpr` uses, so
+    * the SQL path and the engine API land byte-compatible layouts);
+    * promotion reuses the identity machinery (value paths are value
+    * paths), and ONE CAS snapshot validates every file carries
+    * exactly the spec's derived dirs. Append and truncate only:
+    * a static PARTITION clause would name DERIVED values hidden
+    * partitioning exists to hide. */
+  private[graft] def commitStagedTransformed(ref: TableRef, token: String,
+      staged: Seq[String], replace: Boolean): Snapshot = {
+    val moved = promoteStagedPartitioned(ref, token, staged)
+    val rowsByFile = fileRowCounts(ref, moved)
+    val stats = footerStats(ref, moved)
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException(
+        s"${ref.name} does not exist — transformed DSv2 writes target " +
+          "an existing hidden-partition table (createOrReplaceTransformed)"))
+      val snap = m.current
+      val spec = snap.partitionSpec
+      require(spec.nonEmpty,
+        s"${ref.name} lost its partition-transform spec concurrently")
+      moved.foreach { f =>
+        require(fileLayout(f) == spec.map(_.name),
+          s"staged file $f does not carry the spec's derived dirs " +
+            s"${spec.map(_.name).mkString("/")}")
+      }
+      val survivors: Seq[String] = if (replace) Nil else snap.files
+      val survivorSet = survivors.toSet
+      val id = m.snapshots.map(_.id).max + 1
+      val next = Snapshot(id, System.currentTimeMillis(),
+        if (replace) "overwrite" else "append",
+        survivors ++ moved,
+        survivors.map(snap.fileRows.getOrElse(_, 0L)).sum +
+          rowsByFile.values.sum,
+        snap.fileStats.view.filterKeys(survivorSet).toMap ++ stats,
+        Nil, fileRows = snap.fileRows.view.filterKeys(survivorSet).toMap ++
+          rowsByFile,
+        partitionSpec = spec)
+      m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
+    }.current
+  }
+
   private[graft] def commitStagedPartitioned(ref: TableRef, token: String,
       staged: Seq[String], mode: PartitionedWriteMode,
       summary: Map[String, String] = Map.empty): Snapshot = {
@@ -1187,7 +1250,21 @@ object IceLite {
           new org.apache.hadoop.fs.Path(p.toUri), conf))
       try {
         import scala.jdk.CollectionConverters._
-        r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+        val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        // Iceberg's spec forbids INT96 and this format follows it:
+        // every engine write emits INT64-micros timestamps and the
+        // connector's vectorized reader decodes exactly that — a
+        // registered INT96 file would pass schema-name checks and
+        // then fail (or misread) at scan time
+        fields.foreach { f =>
+          require(!f.isPrimitive ||
+            f.asPrimitiveType.getPrimitiveTypeName !=
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96,
+            s"addFiles: ${p.getFileName} stores ${f.getName} as INT96 — " +
+              "the icelite format (like Iceberg's spec) requires " +
+              "INT64-micros timestamps; rewrite the file first")
+        }
+        fields.map(_.getName).toSeq
       } finally r.close()
     }
     val want = fieldNames(sources.head).sorted
@@ -1630,7 +1707,9 @@ object IceLite {
         .select(col("_mor_file").as("file_path"), col("_mor_pos").as("pos"))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val outDir = ref.deletesDir.resolve(token)
-      matches.write.mode("overwrite").parquet(outDir.toString)
+      withMicrosTimestamps(spark) {
+        matches.write.mode("overwrite").parquet(outDir.toString)
+      }
       val sidecars = listDir(Files.list(outDir))(_
         .map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -1705,7 +1784,9 @@ object IceLite {
       if (matched == 0L) return snap
       val token = java.util.UUID.randomUUID.toString.take(8)
       val outDir = ref.deletesDir.resolve(token)
-      keyBatch.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+      withMicrosTimestamps(spark) {
+        keyBatch.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+      }
       val sidecars = listDir(Files.list(outDir))(_
         .map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -1779,7 +1860,10 @@ object IceLite {
         else {
           val token = java.util.UUID.randomUUID.toString.take(8)
           val outDir = ref.deletesDir.resolve(token)
-          keyBatch.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+          withMicrosTimestamps(spark) {
+            keyBatch.coalesce(1).write.mode("overwrite")
+              .parquet(outDir.toString)
+          }
           listDir(Files.list(outDir))(_
             .map(_.getFileName.toString)
             .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -1848,8 +1932,10 @@ object IceLite {
       .localCheckpoint() // one scan feeds BOTH the sidecar and the rewrite
     val token = java.util.UUID.randomUUID.toString.take(8)
     val outDir = ref.deletesDir.resolve(token)
-    matched.select(col("_mor_file").as("file_path"), col("_mor_pos").as("pos"))
-      .write.mode("overwrite").parquet(outDir.toString)
+    withMicrosTimestamps(spark) {
+      matched.select(col("_mor_file").as("file_path"), col("_mor_pos").as("pos"))
+        .write.mode("overwrite").parquet(outDir.toString)
+    }
     val sidecars = listDir(Files.list(outDir))(_
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -2443,9 +2529,11 @@ object IceLite {
     // file per value combination instead of files × tasks small-file
     // spray; this is also the write shape that scales (each partition
     // dir is written sequentially by its owning task)
-    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite").partitionBy(partitionCols: _*)
-      .parquet(tmpDir.toString)
+    withMicrosTimestamps(df.sparkSession) {
+      df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(tmpDir.toString)
+    }
     val staged = listDir(Files.walk(tmpDir))(_
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet") &&
@@ -2714,10 +2802,12 @@ object IceLite {
       d.withColumn(f.name, transformExpr(f)) }
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmpDir = ref.dataDir.resolve(s".stage-$token")
-    derived.repartition(spec.map(f =>
-        org.apache.spark.sql.functions.col(f.name)): _*)
-      .write.mode("overwrite").partitionBy(spec.map(_.name): _*)
-      .parquet(tmpDir.toString)
+    withMicrosTimestamps(df.sparkSession) {
+      derived.repartition(spec.map(f =>
+          org.apache.spark.sql.functions.col(f.name)): _*)
+        .write.mode("overwrite").partitionBy(spec.map(_.name): _*)
+        .parquet(tmpDir.toString)
+    }
     val staged = listDir(Files.walk(tmpDir))(_
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet") &&

@@ -1929,6 +1929,75 @@ object ScalePack extends Pack {
              FROM orders WHERE o_orderkey < 2000
              GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // d84: SQL INSERT into HIDDEN-PARTITION tables — the SQL face of
+    // d56 (Iceberg's flagship: any engine INSERTs, the table derives
+    // its own layout). The connector's per-row writer evaluates the
+    // spec's transforms with the SAME Catalyst ops the engine API
+    // stages through (bucket = murmur3-seed-42 mod N, days =
+    // session-tz date string, truncate = leading substring), so SQL
+    // writes and engine writes land byte-compatible dirs and the
+    // shared prune-side literal mapping keeps working over BOTH eras
+    // — witnessed by a post-INSERT prune probe whose result must
+    // equal the residual filter exactly. A static PARTITION clause
+    // refuses: it would name derived values hidden partitioning
+    // exists to hide. At 100 TB this is the ingestion UX that
+    // prevents layout drift: writers cannot land a row in the wrong
+    // bucket/day because they never choose the dir at all.
+    Decl("d84_sql_transformed_insert",
+      (s, dir) => {
+        import graft.icelite.{PartitionField, TableRef}
+        import graft.icelite.IceLite.SourceIn
+        val wh = Files.createTempDirectory("graft_d84").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "ev_sql_hidden")
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+        IceLite.createOrReplaceTransformed(ref,
+          ev.filter($"event_id" % 2 === 0),
+          Seq(PartitionField("user_bucket", "bucket", "user_id", 4),
+            PartitionField("ts_day", "days", "ts", 0)))
+        val era1 = IceLite.readManifest(ref).current.files.toSet
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        ev.filter($"event_id" % 2 === 1).createOrReplaceTempView("d84_src")
+        s.sql(s"""INSERT INTO $cat.src.ev_sql_hidden
+                  SELECT event_id, user_id, ts, event_type, value
+                  FROM d84_src""")
+        val cur = IceLite.readManifest(ref).current
+        val sqlFiles = cur.files.filterNot(era1)
+        val landedHidden = sqlFiles.nonEmpty &&
+          sqlFiles.forall(f =>
+            f.contains("user_bucket=") && f.contains("ts_day=")) &&
+          cur.partitionSpec.nonEmpty
+        // prune probe through the transforms over BOTH eras: the
+        // bucket mapping must agree with what the SQL writer landed
+        val users = Seq(3L, 11L)
+        val kept = IceLite.transformPrunedFiles(ref,
+          Seq(SourceIn("user_id", users))).size
+        val prunedN = IceLite.readTransformPruned(s, ref,
+          Seq(SourceIn("user_id", users)),
+          col("user_id").isin(users: _*)).count()
+        val fullN = IceLite.read(s, ref)
+          .filter(col("user_id").isin(users: _*)).count()
+        val pruneExact = prunedN == fullN &&
+          kept < cur.files.size
+        s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                  ROUND(SUM(value), 2) AS sum_val
+                  FROM $cat.src.ev_sql_hidden
+                  GROUP BY event_type ORDER BY event_type""")
+          .withColumn("landed_hidden", lit(landedHidden))
+          .withColumn("prune_exact", lit(pruneExact))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             ROUND(SUM(value), 2) AS sum_val,
+             TRUE AS landed_hidden, TRUE AS prune_exact
+             FROM events
+             GROUP BY event_type ORDER BY event_type""")),
+
     // d82: TABLE PROPERTIES — `ALTER TABLE … SET/UNSET TBLPROPERTIES`
     // (Iceberg table properties; the config channel dbt/Trino write
     // through). Metadata-only CAS commits like every ALTER; carried by

@@ -785,14 +785,27 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
       if (!IceLite.tableExists(ref)) Nil
       else IceLite.readManifest(ref).writeLayoutCols
 
-    // transform-partitioned (hidden-partition, d56) tables stage
-    // their dirs from DERIVED values the writer cannot recompute
-    // row-shape-agnostically — those still write through the engine
+    /** d84: hidden-partition (transform, d56) layout — SQL writes
+      * derive the value dirs per row with the same Catalyst ops the
+      * engine API uses. Static/dynamic PARTITION overwrites refuse:
+      * a PARTITION clause names DERIVED values hidden partitioning
+      * exists to hide (Iceberg's rule too — you overwrite by
+      * predicate, not by derived dir). */
+    private val transformSpec: Seq[graft.icelite.PartitionField] =
+      if (!IceLite.tableExists(ref)) Nil
+      else IceLiteSource.resolveSnap(ref, None).partitionSpec
+
     locally {
-      if (IceLite.tableExists(ref))
-        require(IceLiteSource.resolveSnap(ref, None).partitionSpec.isEmpty,
-          s"${ref.name} is transform-partitioned — write through " +
-            "IceLite.appendTransformed")
+      if (transformSpec.nonEmpty) {
+        require(overwriteEq.isEmpty && !dynamic,
+          s"${ref.name} is hidden-partitioned — a PARTITION clause " +
+            "names derived values the transforms exist to hide; " +
+            "INSERT INTO appends, plain INSERT OVERWRITE truncates")
+        transformSpec.foreach(f => require(
+          !info.schema().fieldNames.contains(f.name),
+          s"derived partition name '${f.name}' collides with a " +
+            "written column"))
+      }
       require(partCols.nonEmpty || (overwriteEq.isEmpty && !dynamic),
         s"${ref.name} is not partitioned — partition overwrite does " +
           "not apply (plain INSERT OVERWRITE truncates)")
@@ -809,12 +822,26 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
       else None
 
     override def requiredDistribution(): Distribution =
-      IceLiteWriteLayout.distributionFor(partCols, sortCol)
+      if (transformSpec.nonEmpty)
+        // cluster by the SOURCE columns: same source value ⇒ same
+        // derived dir, so each task opens a bounded set of dir
+        // writers. Coarser than clustering by the derived value (a
+        // bucket dir can collect files from several tasks — normal
+        // maintenance compaction absorbs them), but it needs no
+        // FunctionCatalog registration for Spark to resolve
+        Distributions.clustered(transformSpec.map(_.sourceCol).distinct
+          .map(c => Expressions.identity(c): org.apache.spark.sql
+            .connector.expressions.Expression).toArray)
+      else IceLiteWriteLayout.distributionFor(partCols, sortCol)
     override def requiredOrdering(): Array[SortOrder] =
-      IceLiteWriteLayout.orderingFor(partCols, sortCol)
+      if (transformSpec.nonEmpty) Array.empty
+      else IceLiteWriteLayout.orderingFor(partCols, sortCol)
 
     override def toBatch: BatchWrite =
-      if (partCols.nonEmpty) {
+      if (transformSpec.nonEmpty)
+        new IceLiteTransformedBatchWrite(ref, info.schema(), transformSpec,
+          replace)
+      else if (partCols.nonEmpty) {
         import graft.icelite.PartitionedWriteMode._
         val mode =
           if (dynamic) ReplaceDynamic
@@ -828,6 +855,10 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
       require(!replace,
         "icelite streaming sink is append-only (complete/truncate modes " +
           "would replace the table every epoch)")
+      require(transformSpec.isEmpty,
+        s"${ref.name} is hidden-partitioned — the streaming sink does " +
+          "not derive transform dirs; write through a foreachBatch " +
+          "calling IceLite.appendTransformed")
       if (partCols.nonEmpty)
         // s21: streaming fanout into an identity-partitioned table —
         // each epoch's rows land in their Hive value dirs, one CAS
@@ -1023,6 +1054,145 @@ class IceLitePartitionedDataWriter(stageDir: String, fileName: String,
     })
     projected.project(row)
     w.write(projected)
+  }
+
+  override def commit(): WriterCommitMessage =
+    IceLitePartitionedCommitMessage(open.toSeq.flatMap { case (dir, w) =>
+      w.commit() match {
+        case IceLiteCommitMessage(name) if name != null => Some(s"$dir/$name")
+        case _ => None
+      }
+    })
+
+  override def abort(): Unit = open.values.foreach(_.abort())
+  override def close(): Unit = ()
+}
+
+/** d84: batch write for HIDDEN-PARTITION (transform) tables — the
+  * SQL face of d56. Executors derive each row's value dirs with the
+  * same Catalyst ops `IceLite.transformExpr` declares, stage under
+  * `data/<token>/<derived>=<v>/`, and the driver's commit promotes +
+  * CAS-commits in one snapshot (IceLite.commitStagedTransformed). */
+class IceLiteTransformedBatchWrite(ref: TableRef, schema: StructType,
+    spec: Seq[graft.icelite.PartitionField], replace: Boolean)
+  extends BatchWrite {
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+  // capture the SESSION timezone at plan time: the days() dir string
+  // must match what the engine API's date_format would stage
+  private val tz = org.apache.spark.sql.SparkSession.active
+    .sessionState.conf.sessionLocalTimeZone
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
+    new IceLiteTransformedWriterFactory(
+      ref.dataDir.resolve(token).toString, schema, spec, tz)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    require(org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.wap.branch").forall(_.isEmpty),
+      "spark.wap.branch is set — hidden-partition writes cannot be " +
+        "staged to a WAP branch; unset the conf")
+    val files = messages.collect {
+      case IceLitePartitionedCommitMessage(fs) => fs
+    }.flatten.toSeq
+    if (files.nonEmpty || replace) {
+      IceLite.commitStagedTransformed(ref, token, files, replace); ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = ref.dataDir.resolve(token)
+    if (java.nio.file.Files.exists(dir))
+      IceLite.listDir(java.nio.file.Files.walk(dir))(_.toSeq)
+        .sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+  }
+}
+
+class IceLiteTransformedWriterFactory(stageDir: String,
+    schema: StructType, spec: Seq[graft.icelite.PartitionField],
+    timeZoneId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new IceLiteTransformedDataWriter(stageDir,
+      f"part-$partitionId%05d-$taskId.parquet", schema, spec, timeZoneId)
+}
+
+/** Per-task transform writer: evaluates the spec's derived values
+  * with BOUND Catalyst expressions (bucket = pmod(murmur3-seed-42, N),
+  * days = session-tz yyyy-MM-dd, truncate = leading substring —
+  * exactly `IceLite.transformExpr`, so SQL writes and engine-API
+  * writes land byte-compatible dirs, null source ⇒ Hive default dir
+  * for days/truncate and a REAL bucket for bucket, murmur3-of-null
+  * semantics included). The FULL row lands in the data pages — hidden
+  * partitioning keeps source columns in the file; only the derived
+  * names live in the path. */
+class IceLiteTransformedDataWriter(stageDir: String, fileName: String,
+    schema: StructType, spec: Seq[graft.icelite.PartitionField],
+    timeZoneId: String) extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+  import org.apache.spark.sql.catalyst.expressions._
+
+  private val allFields: Array[(String, DataType)] =
+    schema.fields.map(f => (f.name, f.dataType))
+
+  private val outTypes: Array[DataType] = spec.map { f =>
+    f.transform match {
+      case "bucket" => IntegerType: DataType
+      case _ => StringType: DataType
+    }
+  }.toArray
+
+  private val proj: Projection = {
+    val exprs: Seq[Expression] = spec.map { f =>
+      val i = schema.fieldIndex(f.sourceCol)
+      val bound = BoundReference(i, schema.fields(i).dataType,
+        schema.fields(i).nullable)
+      // no analyzer runs over hand-bound expressions, so insert the
+      // casts ImplicitCastInputTypes would have (date/string → a
+      // timestamp for days; anything → string for truncate) — the
+      // DataFrame path in IceLite.transformExpr gets these for free
+      f.transform match {
+        case "bucket" => Pmod(new Murmur3Hash(Seq(bound)), Literal(f.param))
+        case "days" =>
+          val ts =
+            if (bound.dataType == TimestampType) bound
+            else Cast(bound, TimestampType, Some(timeZoneId))
+          DateFormatClass(ts, Literal("yyyy-MM-dd"), Some(timeZoneId))
+        case "truncate" =>
+          val s =
+            if (bound.dataType == StringType) bound
+            else Cast(bound, StringType, Some(timeZoneId))
+          Substring(s, Literal(1), Literal(f.param))
+        case t => throw new IllegalArgumentException(
+          s"unknown partition transform '$t' (bucket | days | truncate)")
+      }
+    }
+    UnsafeProjection.create(exprs)
+  }
+
+  private def dirOf(row: InternalRow): String = {
+    val d = proj(row)
+    spec.indices.map { j =>
+      val v =
+        if (d.isNullAt(j)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(
+          d.get(j, outTypes(j)).toString)
+      s"${spec(j).name}=$v"
+    }.mkString("/")
+  }
+
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[String, IceLiteDataWriter]
+
+  override def write(row: InternalRow): Unit = {
+    val dir = dirOf(row)
+    val w = open.getOrElseUpdate(dir, {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(stageDir, dir))
+      new IceLiteDataWriter(s"$stageDir/$dir", fileName, allFields)
+    })
+    w.write(row)
   }
 
   override def commit(): WriterCommitMessage =

@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.icelite.{IceLite, PartitionField, TableRef}
+
+/** d84 — SQL writes into HIDDEN-PARTITION (d56 transform) tables.
+  *
+  * The invariant that makes the SQL face safe: the per-row writer
+  * derives value dirs with the SAME functions the engine API stages
+  * through, so both paths land byte-compatible layouts and the shared
+  * prune-side literal mapping keeps working. Asserted by appending
+  * identical rows through BOTH faces into twin tables and comparing
+  * the landed dir sets exactly — including nulls (days/truncate null
+  * → the Hive default dir; bucket null → murmur3-of-null's REAL
+  * bucket, the same one functions.hash assigns). */
+class TransformedSqlWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): (String, String) = {
+    val wh = Files.createTempDirectory("tsql_wh").toString
+    IceLite.createNamespace(wh, "src")
+    val cat = s"tscat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  private def sampleDf(lo: Long, hi: Long) = (lo to hi).map { i =>
+    (i, s"user_${i % 7}", f"2024-01-${(i % 9 + 1)}%02d 10:00:00")
+  }.toDF("id", "who", "ts_s")
+    .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+
+  private val spec = Seq(
+    PartitionField("id_bucket", "bucket", "id", 4),
+    PartitionField("day", "days", "ts"),
+    PartitionField("who_t", "truncate", "who", 6))
+
+  /** value dirs (the derived layout) of a file path */
+  private def dirsOf(f: String): String =
+    f.split('/').dropRight(1).filter(_.contains('=')).mkString("/")
+
+  test("SQL INSERT INTO lands the same derived dirs as the engine API (all three transforms)") {
+    val (cat, wh) = fresh()
+    val sqlRef = TableRef(wh, "src", "tsql")
+    val apiRef = TableRef(wh, "src", "tapi")
+    IceLite.createOrReplaceTransformed(sqlRef, sampleDf(1, 40), spec)
+    IceLite.createOrReplaceTransformed(apiRef, sampleDf(1, 40), spec)
+
+    // identical new rows through both faces — including null source
+    // values for every transform kind
+    val batch = sampleDf(41, 80)
+      .union(Seq((900L, null: String, null: String)).toDF("id", "who", "ts_s")
+        .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+        .select("id", "who", "ts"))
+    batch.createOrReplaceTempView("tsql_batch")
+    spark.sql(s"INSERT INTO $cat.src.tsql SELECT id, who, ts FROM tsql_batch")
+    IceLite.appendTransformed(apiRef, batch)
+
+    val sqlDirs = IceLite.readManifest(sqlRef).current.files.map(dirsOf).toSet
+    val apiDirs = IceLite.readManifest(apiRef).current.files.map(dirsOf).toSet
+    assert(sqlDirs == apiDirs,
+      s"SQL and engine-API layouts diverged:\nsql-only: ${sqlDirs -- apiDirs}" +
+        s"\napi-only: ${apiDirs -- sqlDirs}")
+    assert(sqlDirs.exists(_.contains("day=__HIVE_DEFAULT_PARTITION__")),
+      "null days source must land in the Hive default dir")
+
+    // logical content identical through both faces
+    val got = spark.sql(
+      s"SELECT id, who, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS t " +
+        s"FROM $cat.src.tsql ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val want = IceLite.read(spark, apiRef)
+      .select($"id", $"who", date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("t"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == want)
+
+    // source columns STAY in the data pages; derived names never enter
+    val cols = spark.sql(s"SELECT * FROM $cat.src.tsql").columns.toSet
+    assert(cols == Set("id", "who", "ts"), cols)
+  }
+
+  test("prune-through-transforms stays exact after a SQL append") {
+    val (cat, wh) = fresh()
+    val ref = TableRef(wh, "src", "tp")
+    IceLite.createOrReplaceTransformed(ref, sampleDf(1, 60), spec)
+    sampleDf(61, 120).createOrReplaceTempView("tp_new")
+    spark.sql(s"INSERT INTO $cat.src.tp SELECT id, who, ts FROM tp_new")
+    import graft.icelite.IceLite.SourceIn
+    (1L to 12L).foreach { k =>
+      val pruned = IceLite.readTransformPruned(spark, ref,
+        Seq(SourceIn("id", Seq(k))), $"id" === k)
+        .select("id").as[Long].collect().sorted.toSeq
+      val full = IceLite.read(spark, ref).filter($"id" === k)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(pruned == full, s"key $k diverged after the SQL append")
+      val kept = IceLite.transformPrunedFiles(ref, Seq(SourceIn("id", Seq(k))))
+      assert(kept.size < IceLite.readManifest(ref).current.files.size,
+        s"key $k pruned nothing")
+    }
+  }
+
+  test("INSERT OVERWRITE truncates; PARTITION clauses and streaming refuse") {
+    val (cat, wh) = fresh()
+    val ref = TableRef(wh, "src", "tow")
+    IceLite.createOrReplaceTransformed(ref, sampleDf(1, 30), spec)
+    sampleDf(200, 205).createOrReplaceTempView("tow_new")
+    spark.sql(s"INSERT OVERWRITE $cat.src.tow SELECT id, who, ts FROM tow_new")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.tow").head.getLong(0) == 6L)
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.partitionSpec == spec, "spec marker must survive overwrite")
+    assert(snap.files.forall(f =>
+      f.contains("id_bucket=") && f.contains("day=") && f.contains("who_t=")))
+
+    // a PARTITION clause names derived values — refuse loudly
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE $cat.src.tow PARTITION (id_bucket = '1') " +
+        "SELECT id, who, ts FROM tow_new"))
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("hidden-partition") ||
+        e.getMessage.contains("PARTITION")), e.getMessage)
+
+    // maintenance composes: compaction re-derives the layout on the
+    // SQL-written files too
+    val compacted = IceLite.compact(spark, ref)
+    assert(compacted.partitionSpec == spec)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.tow").head.getLong(0) == 6L)
+  }
+}
