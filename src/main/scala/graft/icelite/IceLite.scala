@@ -188,11 +188,22 @@ final case class Manifest(
     // appends land under THIS identity layout; existing files keep
     // their own (per-snapshot layouts, d15's read machinery). None =
     // write in the current snapshot's layout (no evolution pending).
-    declaredPartitionCols: Option[Seq[String]] = None) {
+    declaredPartitionCols: Option[Seq[String]] = None,
+    // d85: the DECLARED hidden-partition spec (`ALTER TABLE … ADD/
+    // DROP PARTITION FIELD bucket(8, id)` etc.): future appends
+    // derive THIS spec's dirs; existing files keep theirs. Transform
+    // layouts are reader-invisible (source columns stay in data
+    // pages; pruning keeps dir-less files conservatively), so era
+    // mixing needs no read-side rule at all. Mutually exclusive with
+    // declaredPartitionCols — a table evolves within ONE layout kind.
+    declaredPartitionSpec: Option[Seq[PartitionField]] = None) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
-  /** The layout the NEXT write must use (d83). */
+  /** The identity layout the NEXT write must use (d83). */
   def writeLayoutCols: Seq[String] =
     declaredPartitionCols.getOrElse(current.partitionCols)
+  /** The transform spec the NEXT write must derive (d85). */
+  def writeLayoutSpec: Seq[PartitionField] =
+    declaredPartitionSpec.getOrElse(current.partitionSpec)
 }
 
 final case class TableRef(warehouse: String, namespace: String, name: String) {
@@ -387,9 +398,10 @@ object IceLite {
       renamedCols: Seq[RenamedCol],
       widenedCols: Seq[WidenedCol],
       declaredSchemaDdl: Option[String],
-      // defaults keep pre-d82/d83 pointers decodable
+      // defaults keep pre-d82/d83/d85 pointers decodable
       properties: Map[String, String] = Map.empty,
-      declaredPartitionCols: Option[Seq[String]] = None)
+      declaredPartitionCols: Option[Seq[String]] = None,
+      declaredPartitionSpec: Option[Seq[PartitionField]] = None)
 
   /** An assembled chain: the exact field instances a Snapshot gets.
     * Cached per chain so repeated decodes return the SAME instances —
@@ -469,7 +481,8 @@ object IceLite {
           },
           ptr.branches, ptr.tags, ptr.addedCols, ptr.droppedCols,
           ptr.renamedCols, ptr.widenedCols, ptr.declaredSchemaDdl,
-          ptr.properties, ptr.declaredPartitionCols)
+          ptr.properties, ptr.declaredPartitionCols,
+          ptr.declaredPartitionSpec)
       case _ => jv.extract[Manifest] // legacy single-JSON layout
     }
   }
@@ -557,7 +570,8 @@ object IceLite {
     val ptr = ManifestPtr(SegLayout, next.table, next.currentSnapshotId,
       ptrs, next.branches, next.tags, next.addedCols, next.droppedCols,
       next.renamedCols, next.widenedCols, next.declaredSchemaDdl,
-      next.properties, next.declaredPartitionCols)
+      next.properties, next.declaredPartitionCols,
+      next.declaredPartitionSpec)
     io.writeString(tmp, Serialization.writePretty(ptr))
     wrote.result()
   }
@@ -907,9 +921,18 @@ object IceLite {
       // refuse here so no OTHER caller (e.g. a remote commit
       // protocol) can take that corrupting shortcut.
       cur.foreach { m =>
-        require(m.current.partitionCols.isEmpty && m.current.partitionSpec.isEmpty,
+        require(m.current.partitionCols.isEmpty,
           s"${ref.name} is partitioned — flat staged commits would drop " +
             "the partition layout; stage through the partitioned write path")
+        // d85: transform dirs are reader-invisible, so a flat commit
+        // is safe EXACTLY when the DECLARED layout is flat (a
+        // DROP-to-empty landed — old files keep their dirs, reads
+        // never change). While a spec is still declared, refuse: the
+        // dropped spec marker would silently end transform pruning.
+        require(m.writeLayoutSpec.isEmpty,
+          s"${ref.name} is transform-partitioned — flat staged commits " +
+            "would drop the hidden-partition spec; stage through the " +
+            "transformed write path")
       }
       cur match {
         case None =>
@@ -952,6 +975,30 @@ object IceLite {
     }.current
   }
 
+  /** d84: an EMPTY hidden-partition table born from SQL DDL
+    * (`CREATE TABLE … PARTITIONED BY (bucket(8, id), …)`) — one CAS
+    * create commit carrying the transform spec and the declared
+    * schema; the first INSERT stages through the spec. */
+  def createEmptyTransformed(ref: TableRef, schemaDdl: String,
+      spec: Seq[PartitionField]): Snapshot = {
+    require(spec.nonEmpty, "partition spec must be non-empty")
+    val declared = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    spec.foreach { f =>
+      require(declared.fieldNames.contains(f.sourceCol),
+        s"transform source column '${f.sourceCol}' is not in the schema")
+      require(!declared.fieldNames.contains(f.name),
+        s"derived partition name '${f.name}' collides with a declared column")
+    }
+    Files.createDirectories(ref.dataDir)
+    commitCAS(ref) { cur =>
+      require(cur.isEmpty, s"${ref.name} already exists")
+      Manifest(ref.name, 1L,
+        Seq(Snapshot(1L, System.currentTimeMillis(), "create", Nil, 0L,
+          Map.empty, Nil, partitionSpec = spec)),
+        declaredSchemaDdl = Some(schemaDdl))
+    }.current
+  }
+
   /** d70: the commit half of ATOMIC `CREATE [OR REPLACE] / REPLACE
     * TABLE … AS SELECT` (Iceberg's transactional replaceTable): the
     * staged data files become the table's ONLY files in one CAS
@@ -965,7 +1012,10 @@ object IceLite {
     * SQL's three statement forms. */
   private[graft] def replaceTableStaged(ref: TableRef, files: Seq[String],
       partitionCols: Seq[String], schemaDdl: String,
-      mustNotExist: Boolean, mustExist: Boolean): Snapshot = {
+      mustNotExist: Boolean, mustExist: Boolean,
+      partitionSpec: Seq[PartitionField] = Nil): Snapshot = {
+    require(partitionCols.isEmpty || partitionSpec.isEmpty,
+      "a table has either an identity layout or a transform spec, not both")
     val rowsByFile = fileRowCounts(ref, files)
     val stats = footerStats(ref, files)
     commitCAS(ref) { cur =>
@@ -982,7 +1032,7 @@ object IceLite {
       val snap = Snapshot(id, System.currentTimeMillis(),
         if (cur.isEmpty) "create" else "replace", files,
         rowsByFile.values.sum, stats, partitionCols,
-        fileRows = rowsByFile)
+        fileRows = rowsByFile, partitionSpec = partitionSpec)
       val ddl = if (files.isEmpty) Some(schemaDdl) else None
       cur match {
         case Some(m) => m.copy(currentSnapshotId = id,
@@ -1096,7 +1146,9 @@ object IceLite {
         s"${ref.name} does not exist — transformed DSv2 writes target " +
           "an existing hidden-partition table (createOrReplaceTransformed)"))
       val snap = m.current
-      val spec = snap.partitionSpec
+      // d85: the DECLARED spec — the first SQL INSERT after an
+      // ADD PARTITION FIELD <transform> lands the evolved layout
+      val spec = m.writeLayoutSpec
       require(spec.nonEmpty,
         s"${ref.name} lost its partition-transform spec concurrently")
       moved.foreach { f =>
@@ -1115,7 +1167,11 @@ object IceLite {
         snap.fileStats.view.filterKeys(survivorSet).toMap ++ stats,
         Nil, fileRows = snap.fileRows.view.filterKeys(survivorSet).toMap ++
           rowsByFile,
-        partitionSpec = spec)
+        partitionSpec = spec,
+        // appends carry live sidecars (they reference surviving
+        // files); a replace removes every file they point at
+        deleteFiles = if (replace) Nil else snap.deleteFiles,
+        eqDeletes = if (replace) Nil else snap.eqDeletes)
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
     }.current
   }
@@ -2320,24 +2376,23 @@ object IceLite {
       val base = decodeManifest(ref, basePath)
       val cur = base.current
       val statsCols = cur.fileStats.values.flatten.map(_.col).toSeq.distinct.sorted
-      // d83: the layout this compaction LANDS — the declared write
-      // layout (identical to the current one when no evolution is
-      // pending). Nonempty for partitioned tables AND for flat tables
-      // with a pending flat→partitioned evolution; compaction is the
-      // EVOLUTION MATERIALIZER either way: one pass ends the mixed
-      // era, every row lands in its evolved value dir, and targeted
-      // overwrites become legal again.
+      // d83/d85: the layout this compaction LANDS — the declared
+      // write layout (identical to the current one when no evolution
+      // is pending); compaction is the EVOLUTION MATERIALIZER for
+      // BOTH layout kinds: one pass lands every row in its declared
+      // value dirs (identity: ends the mixed era, overwrites legal
+      // again; transform: re-derives the declared spec's dirs).
+      val landedSpec = base.writeLayoutSpec
       val landedCols =
-        if (cur.partitionSpec.nonEmpty) cur.partitionCols
-        else base.writeLayoutCols
+        if (landedSpec.nonEmpty) Nil else base.writeLayoutCols
       val files =
-        if (cur.partitionSpec.nonEmpty)
+        if (landedSpec.nonEmpty)
           // d56: compaction re-derives the transform layout (merges
           // the small files WITHIN each bucket/day dir — the source
           // columns are in the data, so the dirs are recomputable)
           stageTransformed(ref,
             readFilesWithDeletes(spark, ref, cur, cur.files),
-            cur.partitionSpec)
+            landedSpec)
         else if (landedCols.nonEmpty) {
           // identity layout (current or pending). The sidecar fold is
           // flat-only, and both eras arrive sidecar-free (partitioned
@@ -2369,14 +2424,15 @@ object IceLite {
       val id = base.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
         files, rowsByFile.values.sum, stats,
-        // d83: the materialized layout is the declared one
+        // d83/d85: the materialized layout is the declared one
         landedCols,
-        // a flat→partitioned materialization drops the flat sort
-        // marker honestly (rule 25): the restage clusters by value
-        // dirs, not the sort key
-        if (landedCols.nonEmpty) None else cur.sortedBy,
+        // a flat→partitioned/transform materialization drops the
+        // flat sort marker honestly (rule 25): the restage clusters
+        // by value dirs, not the sort key
+        if (landedCols.nonEmpty || landedSpec.nonEmpty) None
+        else cur.sortedBy,
         fileRows = rowsByFile,
-        partitionSpec = cur.partitionSpec) // met: restaged through the spec
+        partitionSpec = landedSpec) // met: restaged through the spec
       if (tryCommit(baseVersion + 1,
           base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
         // rewrites orphan any Bloom sidecar (d17): its entries key the
@@ -2849,12 +2905,14 @@ object IceLite {
     }.current
   }
 
-  /** d56: append under the table's hidden-partition spec (must match
-    * the current spec — evolving a transform is a different layout
-    * era, not supported on this path). */
+  /** d56/d85: append under the table's DECLARED hidden-partition spec
+    * (the current snapshot's when no evolution is pending). The first
+    * append after an `ADD PARTITION FIELD <transform>` lands the
+    * evolved spec; old files keep their dirs — reader-invisible, so
+    * the mixed era needs no special handling. */
   def appendTransformed(ref: TableRef, df: DataFrame,
       statsCols: Seq[String] = Nil): Snapshot = {
-    val spec = readManifest(ref).current.partitionSpec
+    val spec = readManifest(ref).writeLayoutSpec
     require(spec.nonEmpty, s"${ref.name} has no partition-transform spec")
     val files = stageTransformed(ref, df, spec)
     val rowsByFile = fileRowCounts(ref, files)
@@ -2862,13 +2920,18 @@ object IceLite {
     commitCAS(ref) { cur =>
       val m = cur.getOrElse(
         throw new IllegalStateException(s"no manifest for ${ref.name}"))
-      require(m.current.partitionSpec == spec,
+      require(m.writeLayoutSpec == spec,
         s"partition spec changed concurrently on ${ref.name}")
       val id = m.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "append",
         m.current.files ++ files, m.current.rowCount + rowsByFile.values.sum,
         m.current.fileStats ++ stats,
-        fileRows = m.current.fileRows ++ rowsByFile, partitionSpec = spec)
+        fileRows = m.current.fileRows ++ rowsByFile, partitionSpec = spec,
+        // an append never invalidates live sidecars — carry them like
+        // the flat path does (dropping them here silently resurrected
+        // MoR-deleted rows on transform tables)
+        deleteFiles = m.current.deleteFiles,
+        eqDeletes = m.current.eqDeletes)
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
     }.current
   }
@@ -3369,9 +3432,10 @@ object IceLite {
           s"${ref.name} has live MoR delete sidecars — compact() " +
             "before ADD PARTITION FIELD (the partitioned era carries " +
             "no sidecars)")
-      require(m.current.partitionSpec.isEmpty,
-        s"${ref.name} is transform-partitioned — evolve through the " +
-          "engine API (appendTransformed)")
+      require(m.writeLayoutSpec.isEmpty,
+        s"${ref.name} is transform-partitioned — identity fields do " +
+          "not mix with hidden layouts; evolve the spec with " +
+          "ADD PARTITION FIELD <transform>(…) instead")
       require(!base.contains(col),
         s"$col is already a partition field of ${ref.name}")
       require(!m.droppedCols.exists(_.name == col),
@@ -3405,21 +3469,77 @@ object IceLite {
     ()
   }
 
-  /** d83: `ALTER TABLE … DROP PARTITION FIELD col` — the inverse
-    * flip. Dropping the LAST field refuses (a flat future layout over
-    * partitioned history needs a rewrite, same rule as above). */
+  /** d85: `ALTER TABLE … ADD PARTITION FIELD bucket(8, id) | days(ts)
+    * | truncate(4, s)` — partition-spec evolution for HIDDEN layouts,
+    * and the flat→transform flip. Metadata-only like d83's identity
+    * variant, but with NO read-side era rule at all: transform dirs
+    * are reader-invisible (source columns stay in the data pages),
+    * pruning keeps dir-less files conservatively, and targeted
+    * overwrites don't exist for hidden layouts — so nothing refuses
+    * during the mixed era. Identity-partitioned tables refuse (one
+    * layout kind per table). */
+  def alterAddPartitionFieldTransform(ref: TableRef, transform: String,
+      sourceCol: String, param: Int): Unit = {
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      require(m.writeLayoutCols.isEmpty,
+        s"${ref.name} is identity-partitioned — transform fields do " +
+          "not mix with identity layouts; rewrite instead")
+      val field = transform match {
+        case "bucket" =>
+          require(param >= 2, s"bucket($param) needs >= 2 buckets")
+          PartitionField(s"${sourceCol}_bucket", "bucket", sourceCol, param)
+        case "days" => PartitionField(s"${sourceCol}_day", "days", sourceCol, 0)
+        case "truncate" =>
+          require(param >= 1, s"truncate($param) needs width >= 1")
+          PartitionField(s"${sourceCol}_trunc", "truncate", sourceCol, param)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform '$other' (bucket | days | truncate)")
+      }
+      val base = m.writeLayoutSpec
+      require(!base.exists(_.name == field.name),
+        s"${field.name} is already a partition field of ${ref.name}")
+      // eager: the source column must exist NOW, not at the next INSERT
+      val visible = visibleColNames(ref, m)
+      require(visible.contains(sourceCol),
+        s"no column $sourceCol in ${ref.name} " +
+          s"(have: ${visible.toSeq.sorted.mkString(", ")})")
+      require(!visible.contains(field.name),
+        s"derived partition name '${field.name}' collides with a column")
+      m.copy(declaredPartitionSpec = Some(base :+ field))
+    }
+    ()
+  }
+
+  /** d83/d85: `ALTER TABLE … DROP PARTITION FIELD <name>` — the
+    * inverse flip, covering both layout kinds. Identity layouts
+    * refuse dropping the LAST field (old-era values live ONLY in
+    * paths, which a flat snapshot would stop reading); transform
+    * specs may drop to EMPTY (dirs are reader-invisible — future
+    * appends simply land flat and reads never change). Transform
+    * fields drop by their DERIVED name (`id_bucket`, `ts_day`,
+    * `who_trunc`). */
   def alterDropPartitionField(ref: TableRef, col: String): Unit = {
     commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalArgumentException(
         s"${ref.name} does not exist"))
-      val base = m.writeLayoutCols
-      require(base.contains(col),
-        s"$col is not a partition field of ${ref.name} (layout: " +
-          s"${base.mkString(",")})")
-      require(base.size > 1,
-        s"dropping ${ref.name}'s last partition field would make future " +
-          "appends flat over partitioned history — rewrite instead")
-      m.copy(declaredPartitionCols = Some(base.filterNot(_ == col)))
+      val spec = m.writeLayoutSpec
+      if (spec.nonEmpty) {
+        require(spec.exists(_.name == col),
+          s"$col is not a partition field of ${ref.name} (spec: " +
+            s"${spec.map(_.name).mkString(",")})")
+        m.copy(declaredPartitionSpec = Some(spec.filterNot(_.name == col)))
+      } else {
+        val base = m.writeLayoutCols
+        require(base.contains(col),
+          s"$col is not a partition field of ${ref.name} (layout: " +
+            s"${base.mkString(",")})")
+        require(base.size > 1,
+          s"dropping ${ref.name}'s last partition field would make future " +
+            "appends flat over partitioned history — rewrite instead")
+        m.copy(declaredPartitionCols = Some(base.filterNot(_ == col)))
+      }
     }
     ()
   }

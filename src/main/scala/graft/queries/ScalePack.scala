@@ -1945,22 +1945,28 @@ object ScalePack extends Pack {
     // bucket/day because they never choose the dir at all.
     Decl("d84_sql_transformed_insert",
       (s, dir) => {
-        import graft.icelite.{PartitionField, TableRef}
+        import graft.icelite.TableRef
         import graft.icelite.IceLite.SourceIn
         val wh = Files.createTempDirectory("graft_d84").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "ev_sql_hidden")
         val ev = Tables.load(s, dir, "events")
           .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
-        IceLite.createOrReplaceTransformed(ref,
-          ev.filter($"event_id" % 2 === 0),
-          Seq(PartitionField("user_bucket", "bucket", "user_id", 4),
-            PartitionField("ts_day", "days", "ts", 0)))
-        val era1 = IceLite.readManifest(ref).current.files.toSet
         val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
         s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.sources.IceLiteCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // the WHOLE lifecycle is SQL: a hidden-partition table born
+        // from DDL, filled by INSERT — no engine-API call anywhere
+        s.sql(s"""CREATE TABLE $cat.src.ev_sql_hidden (
+                  event_id BIGINT, user_id BIGINT, ts TIMESTAMP,
+                  event_type STRING, value DOUBLE)
+                  PARTITIONED BY (bucket(4, user_id), days(ts))""")
+        ev.filter($"event_id" % 2 === 0).createOrReplaceTempView("d84_even")
+        s.sql(s"""INSERT INTO $cat.src.ev_sql_hidden
+                  SELECT event_id, user_id, ts, event_type, value
+                  FROM d84_even""")
+        val era1 = IceLite.readManifest(ref).current.files.toSet
         ev.filter($"event_id" % 2 === 1).createOrReplaceTempView("d84_src")
         s.sql(s"""INSERT INTO $cat.src.ev_sql_hidden
                   SELECT event_id, user_id, ts, event_type, value
@@ -1969,7 +1975,7 @@ object ScalePack extends Pack {
         val sqlFiles = cur.files.filterNot(era1)
         val landedHidden = sqlFiles.nonEmpty &&
           sqlFiles.forall(f =>
-            f.contains("user_bucket=") && f.contains("ts_day=")) &&
+            f.contains("user_id_bucket=") && f.contains("ts_day=")) &&
           cur.partitionSpec.nonEmpty
         // prune probe through the transforms over BOTH eras: the
         // bucket mapping must agree with what the SQL writer landed
@@ -1995,6 +2001,100 @@ object ScalePack extends Pack {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
              ROUND(SUM(value), 2) AS sum_val,
              TRUE AS landed_hidden, TRUE AS prune_exact
+             FROM events
+             GROUP BY event_type ORDER BY event_type""")),
+
+    // d85: partition-spec evolution for HIDDEN layouts — `ALTER TABLE
+    // … ADD PARTITION FIELD bucket(4, user_id)` on a flat (or already
+    // transform-partitioned) table. Iceberg's headline evolution case:
+    // the flip is a metadata-only commit of the DECLARED spec; the
+    // next INSERT derives the evolved dirs while old files keep
+    // theirs, and — unlike d83's identity fields — NO read-side era
+    // rule is needed at all, because transform dirs are
+    // reader-invisible (source columns stay in the data pages) and
+    // pruning keeps dir-less files conservatively. compact() is the
+    // materializer for this layout kind too: one maintenance pass
+    // restages every era through the declared spec, after which the
+    // prune probe must skip files and still return exact rows. At
+    // 100 TB this is "re-bucket the table" for the price of one
+    // pointer write — the rewrite happens lazily inside maintenance
+    // the table was running anyway.
+    Decl("d85_sql_add_transform_field",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        import graft.icelite.IceLite.SourceIn
+        val wh = Files.createTempDirectory("graft_d85").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "ev_spec_evolve")
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // era 1: a FLAT SQL-born table
+        s.sql(s"""CREATE TABLE $cat.src.ev_spec_evolve (
+                  event_id BIGINT, user_id BIGINT, ts TIMESTAMP,
+                  event_type STRING, value DOUBLE)""")
+        ev.filter($"event_id" % 3 === 0).createOrReplaceTempView("d85_era1")
+        s.sql(s"""INSERT INTO $cat.src.ev_spec_evolve
+                  SELECT event_id, user_id, ts, event_type, value
+                  FROM d85_era1""")
+        val filesBefore = IceLite.readManifest(ref).current.files
+        // the flip: flat → hidden-partition, zero bytes move
+        s.sql(s"ALTER TABLE $cat.src.ev_spec_evolve " +
+          "ADD PARTITION FIELD bucket(4, user_id)")
+        val m1 = IceLite.readManifest(ref)
+        val metadataOnly = m1.current.files == filesBefore &&
+          m1.writeLayoutSpec.map(_.name) == Seq("user_id_bucket")
+        // era 2 lands the derived layout; era 1 keeps its flat files
+        ev.filter($"event_id" % 3 === 1).createOrReplaceTempView("d85_era2")
+        s.sql(s"""INSERT INTO $cat.src.ev_spec_evolve
+                  SELECT event_id, user_id, ts, event_type, value
+                  FROM d85_era2""")
+        // evolve the spec AGAIN on a live transform table: + days(ts)
+        s.sql(s"ALTER TABLE $cat.src.ev_spec_evolve " +
+          "ADD PARTITION FIELD days(ts)")
+        ev.filter($"event_id" % 3 === 2).createOrReplaceTempView("d85_era3")
+        s.sql(s"""INSERT INTO $cat.src.ev_spec_evolve
+                  SELECT event_id, user_id, ts, event_type, value
+                  FROM d85_era3""")
+        val mixed = IceLite.readManifest(ref).current
+        val eraMixed = filesBefore.forall(mixed.files.contains) &&
+          mixed.files.exists(f =>
+            f.contains("user_id_bucket=") && !f.contains("ts_day=")) &&
+          mixed.files.exists(f =>
+            f.contains("user_id_bucket=") && f.contains("ts_day="))
+        // compact() materializes the DECLARED spec over every era
+        IceLite.compact(s, ref)
+        val landed = IceLite.readManifest(ref).current
+        val compactMaterialized = landed.files.nonEmpty &&
+          landed.files.forall(f =>
+            f.contains("user_id_bucket=") && f.contains("ts_day=")) &&
+          landed.partitionSpec.map(_.name) == Seq("user_id_bucket", "ts_day")
+        // prune exactness through the materialized transforms
+        val users = Seq(5L, 17L)
+        val kept = IceLite.transformPrunedFiles(ref,
+          Seq(SourceIn("user_id", users))).size
+        val prunedN = IceLite.readTransformPruned(s, ref,
+          Seq(SourceIn("user_id", users)),
+          col("user_id").isin(users: _*)).count()
+        val fullN = IceLite.read(s, ref)
+          .filter(col("user_id").isin(users: _*)).count()
+        val pruneExact = prunedN == fullN && kept < landed.files.size
+        s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  ROUND(SUM(value), 2) AS sum_val
+                  FROM $cat.src.ev_spec_evolve
+                  GROUP BY event_type ORDER BY event_type""")
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("era_mixed", lit(eraMixed))
+          .withColumn("compact_materialized", lit(compactMaterialized))
+          .withColumn("prune_exact", lit(pruneExact))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sum_val,
+             TRUE AS metadata_only, TRUE AS era_mixed,
+             TRUE AS compact_materialized, TRUE AS prune_exact
              FROM events
              GROUP BY event_type ORDER BY event_type""")),
 

@@ -39,6 +39,36 @@ class GraftSqlParser(spark: SparkSession,
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*;?\s*$""".r
   private val DropPartFieldRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*;?\s*$""".r
+  /** d85: transform fields — `ADD/DROP PARTITION FIELD bucket(8, id)`
+    * etc. The two arguments accept either order (Iceberg's own docs
+    * write `bucket(16, id)` but `truncate(col, 4)`). */
+  private val AddPartTransformRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(\w+)\s*\(\s*([^)]+)\s*\)\s*;?\s*$""".r
+  private val DropPartTransformRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(\w+)\s*\(\s*([^)]+)\s*\)\s*;?\s*$""".r
+
+  /** Parse "8, id" / "id, 8" / "ts" into (sourceCol, param). */
+  private def transformArgs(raw: String): Option[(String, Int)] = {
+    val parts = raw.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+    parts match {
+      case Array(one) if one.matches("\\w+") && !one.forall(_.isDigit) =>
+        Some((one, 0))
+      case Array(a, b) if a.forall(_.isDigit) && b.matches("\\w+") =>
+        Some((b, a.toInt))
+      case Array(a, b) if b.forall(_.isDigit) && a.matches("\\w+") =>
+        Some((a, b.toInt))
+      case _ => None
+    }
+  }
+
+  /** The derived-name convention shared with the catalogs. */
+  private def derivedName(transform: String, src: String): String =
+    transform match {
+      case "bucket" => s"${src}_bucket"
+      case "days" => s"${src}_day"
+      case "truncate" => s"${src}_trunc"
+      case other => s"${src}_$other"
+    }
 
   private def partFieldCommand(identText: String, col: String,
       add: Boolean): Option[LogicalPlan] = {
@@ -64,7 +94,28 @@ class GraftSqlParser(spark: SparkSession,
     }
   }
 
+  private def partTransformCommand(identText: String, transform: String,
+      args: String): Option[LogicalPlan] = {
+    transformArgs(args).flatMap { case (src, param) =>
+      partFieldCommand(identText, src, add = true).map {
+        case GraftPartitionFieldCommand(cat, ns, name, _, _) =>
+          GraftPartitionTransformCommand(cat, ns, name,
+            transform.toLowerCase, src, param): LogicalPlan
+        case other => other
+      }
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case AddPartTransformRe(ident, transform, args) =>
+      partTransformCommand(ident, transform, args)
+        .getOrElse(rewrite(delegate.parsePlan(sqlText)))
+    case DropPartTransformRe(ident, transform, args) =>
+      // drop resolves through the shared derived-name convention
+      transformArgs(args).flatMap { case (src, _) =>
+        partFieldCommand(ident,
+          derivedName(transform.toLowerCase, src), add = false)
+      }.getOrElse(rewrite(delegate.parsePlan(sqlText)))
     case AddPartFieldRe(ident, col) =>
       partFieldCommand(ident, col, add = true)
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))

@@ -69,6 +69,11 @@ private[sources] class StaticRowsTable(tableName: String,
 trait SupportsPartitionFieldDdl {
   def addPartitionField(ident: Identifier, col: String): Unit
   def dropPartitionField(ident: Identifier, col: String): Unit
+  /** d85: `ADD PARTITION FIELD bucket(8, id) | days(ts) |
+    * truncate(4, s)` — transform-spec evolution. DROP uses the
+    * derived name through [[dropPartitionField]]. */
+  def addPartitionFieldTransform(ident: Identifier, transform: String,
+      sourceCol: String, param: Int): Unit
 }
 
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces
@@ -236,11 +241,19 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
       IceLite.replaceTableStaged(ref, Nil, Nil, schema.toDDL,
         mustNotExist = true, mustExist = false)
       new IceLiteTable(ref, schema)
-    } else {
-      // d68: `CREATE TABLE … PARTITIONED BY (c, …)`
-      val (ordered, cols) = partitionedShape(schema, partitions)
-      IceLite.createEmptyPartitioned(ref, ordered.toDDL, cols)
-      new IceLiteTable(ref, ordered)
+    } else IceLiteCatalog.transformSpecOf(partitions) match {
+      case Some(spec) =>
+        // d84: `CREATE TABLE … PARTITIONED BY (bucket(8, id),
+        // days(ts), …)` — a hidden-partition table born in SQL. The
+        // schema stays exactly as declared (source columns live in
+        // the data pages; the derived dirs never enter the schema)
+        IceLite.createEmptyTransformed(ref, schema.toDDL, spec)
+        new IceLiteTable(ref, schema)
+      case None =>
+        // d68: `CREATE TABLE … PARTITIONED BY (c, …)`
+        val (ordered, cols) = partitionedShape(schema, partitions)
+        IceLite.createEmptyPartitioned(ref, ordered.toDDL, cols)
+        new IceLiteTable(ref, ordered)
     }
   }
 
@@ -263,9 +276,13 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     if (mustExist && !IceLite.tableExists(ref))
       throw new NoSuchTableException(ident)
     IceLite.createNamespace(warehouse, ident.namespace.head)
+    val tSpec = if (partitions.isEmpty) None
+      else IceLiteCatalog.transformSpecOf(partitions)
     val (ordered, cols) =
-      if (partitions.isEmpty) (schema, Nil) else partitionedShape(schema, partitions)
-    new IceLiteStagedTable(ref, ordered, cols, mustNotExist, mustExist)
+      if (partitions.isEmpty || tSpec.isDefined) (schema, Nil)
+      else partitionedShape(schema, partitions)
+    new IceLiteStagedTable(ref, ordered, cols, mustNotExist, mustExist,
+      tSpec.getOrElse(Nil))
   }
 
   private def structOf(columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
@@ -371,6 +388,12 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     val ref = refOf(ident)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
     IceLite.alterDropPartitionField(ref, col)
+  }
+  override def addPartitionFieldTransform(ident: Identifier,
+      transform: String, sourceCol: String, param: Int): Unit = {
+    val ref = refOf(ident)
+    if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
+    IceLite.alterAddPartitionFieldTransform(ref, transform, sourceCol, param)
   }
 
   /** `ALTER TABLE … RENAME TO …` — Iceberg's catalog-pointer move,
@@ -547,13 +570,54 @@ object IceLiteCatalog extends org.apache.spark.internal.Logging {
     * sort last — the same shape every populated partitioned read has.
     * Shared by the owning catalog and the REST attachment's DDL face
     * (d76). */
+  /** d84: map Spark's transform DDL (`PARTITIONED BY (bucket(8, id),
+    * days(ts), truncate(4, s))`) onto the engine's PartitionField
+    * spec. None for all-identity specs (the Hive-layout d68 path);
+    * mixing identity and transform fields in one spec refuses — this
+    * format keeps the two layouts distinct. Derived names follow
+    * Iceberg's convention (`<col>_bucket` / `<col>_day` /
+    * `<col>_trunc`); the int argument is positional-agnostic
+    * (Iceberg's own docs write `bucket(16, id)` but
+    * `truncate(col, 4)`). */
+  private[graft] def transformSpecOf(
+      partitions: Array[Transform]): Option[Seq[graft.icelite.PartitionField]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLiteral}
+    if (partitions.forall(_.name == "identity")) return None
+    require(partitions.forall(_.name != "identity"),
+      "icelite does not mix identity and transform partition fields " +
+        "in one spec — declare either all-identity or all-transform")
+    Some(partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames.length == 1,
+        s"partition transforms apply to ONE top-level column, got ${t.describe}")
+      val src = refs(0).fieldNames.head
+      def intArg: Int = t.arguments.collectFirst {
+        case l: VLiteral[_] if l.value.isInstanceOf[Number] =>
+          l.value.asInstanceOf[Number].intValue
+      }.getOrElse(throw new IllegalArgumentException(
+        s"${t.describe} needs an integer argument"))
+      t.name match {
+        case "bucket" =>
+          graft.icelite.PartitionField(s"${src}_bucket", "bucket", src, intArg)
+        case "days" =>
+          graft.icelite.PartitionField(s"${src}_day", "days", src, 0)
+        case "truncate" =>
+          graft.icelite.PartitionField(s"${src}_trunc", "truncate", src, intArg)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform '$other' " +
+            "(identity | bucket | days | truncate)")
+      }
+    })
+  }
+
   private[graft] def partitionedShape(schema: StructType,
       partitions: Array[Transform]): (StructType, Seq[String]) = {
     val cols = partitions.toSeq.map { t =>
       if (t.name != "identity")
         throw new UnsupportedOperationException(
-          s"icelite SQL DDL supports identity partitioning only, got " +
-            s"${t.describe} — transform layouts write through " +
+          s"this path supports identity partitioning only, got " +
+            s"${t.describe} — hidden-partition (transform) tables are " +
+            "created through the owning catalog's SQL DDL or " +
             "IceLite.createOrReplaceTransformed")
       val fieldNames = t.references()(0).fieldNames
       require(fieldNames.length == 1,

@@ -787,13 +787,15 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
 
     /** d84: hidden-partition (transform, d56) layout — SQL writes
       * derive the value dirs per row with the same Catalyst ops the
-      * engine API uses. Static/dynamic PARTITION overwrites refuse:
-      * a PARTITION clause names DERIVED values hidden partitioning
+      * engine API uses. The DECLARED spec when a d85 evolution is
+      * pending (flat→transform included), the current snapshot's
+      * otherwise. Static/dynamic PARTITION overwrites refuse: a
+      * PARTITION clause names DERIVED values hidden partitioning
       * exists to hide (Iceberg's rule too — you overwrite by
       * predicate, not by derived dir). */
     private val transformSpec: Seq[graft.icelite.PartitionField] =
       if (!IceLite.tableExists(ref)) Nil
-      else IceLiteSource.resolveSnap(ref, None).partitionSpec
+      else IceLite.readManifest(ref).writeLayoutSpec
 
     locally {
       if (transformSpec.nonEmpty) {

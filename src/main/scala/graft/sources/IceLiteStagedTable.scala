@@ -19,17 +19,30 @@ import scala.jdk.CollectionConverters._
   * touched — the atomicity Iceberg's catalog gives REPLACE TABLE, vs
   * the non-atomic drop-then-create fallback. */
 class IceLiteStagedTable(ref: TableRef, declared: StructType,
-    partitionCols: Seq[String], mustNotExist: Boolean, mustExist: Boolean)
+    partitionCols: Seq[String], mustNotExist: Boolean, mustExist: Boolean,
+    transformSpec: Seq[graft.icelite.PartitionField] = Nil)
   extends StagedTable with SupportsWrite {
+  require(partitionCols.isEmpty || transformSpec.isEmpty,
+    "a staged table has either an identity layout or a transform spec")
 
   private val token = UUID.randomUUID.toString.take(8)
   @volatile private var staged: Seq[String] = Nil
 
   override def name(): String = s"icelite.${ref.namespace}.${ref.name} (staged)"
   override def schema(): StructType = declared
-  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partitionCols.map(c => org.apache.spark.sql.connector.expressions
-      .Expressions.identity(c)).toArray
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (transformSpec.nonEmpty)
+      transformSpec.map { f =>
+        f.transform match {
+          case "bucket" => Expressions.bucket(f.param, f.sourceCol)
+          case "days" => Expressions.days(f.sourceCol)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(f.param), Expressions.column(f.sourceCol))
+        }
+      }.toArray
+    else partitionCols.map(Expressions.identity).toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
@@ -46,6 +59,16 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
     partitionCols.foreach(c => require(querySchema.fieldNames.contains(c),
       s"CTAS query output has no partition column '$c' " +
         s"(query columns: ${querySchema.fieldNames.mkString(", ")})"))
+    transformSpec.foreach { f =>
+      require(querySchema.fieldNames.contains(f.sourceCol),
+        s"CTAS query output has no transform source column '${f.sourceCol}' " +
+          s"(query columns: ${querySchema.fieldNames.mkString(", ")})")
+      require(!querySchema.fieldNames.contains(f.name),
+        s"derived partition name '${f.name}' collides with a query column")
+    }
+    // capture the SESSION timezone at plan time for days() dirs
+    val tz = org.apache.spark.sql.SparkSession.active
+      .sessionState.conf.sessionLocalTimeZone
     new WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
       // the staged table is empty by definition — CTAS "overwrite"
@@ -56,7 +79,12 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
         override def description(): String = s"IceLiteStagedWrite ${ref.name}"
         override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
           java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
-          if (partitionCols.nonEmpty)
+          if (transformSpec.nonEmpty)
+            // d84: hidden-partition CTAS — derive value dirs per row
+            new IceLiteTransformedWriterFactory(
+              ref.dataDir.resolve(token).toString, querySchema,
+              transformSpec, tz)
+          else if (partitionCols.nonEmpty)
             new IceLitePartitionedWriterFactory(
               ref.dataDir.resolve(token).toString, querySchema, partitionCols)
           else
@@ -67,9 +95,10 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
         // commitStagedChanges so the whole statement stays atomic
         override def commit(messages: Array[WriterCommitMessage]): Unit =
           staged =
-            if (partitionCols.nonEmpty) messages.collect {
-              case IceLitePartitionedCommitMessage(fs) => fs
-            }.flatten.toSeq
+            if (partitionCols.nonEmpty || transformSpec.nonEmpty)
+              messages.collect {
+                case IceLitePartitionedCommitMessage(fs) => fs
+              }.flatten.toSeq
             else messages.collect {
               case IceLiteCommitMessage(n) if n != null => n
             }.toSeq.sorted
@@ -81,7 +110,7 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
 
   override def commitStagedChanges(): Unit = {
     val files =
-      if (partitionCols.nonEmpty)
+      if (partitionCols.nonEmpty || transformSpec.nonEmpty)
         IceLite.promoteStagedPartitioned(ref, token, staged)
       else staged.map(n => s"data/$token/$n")
     commitTable(files)
@@ -92,7 +121,7 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
     * through the catalog service (staging stays data-plane). */
   protected def commitTable(files: Seq[String]): Unit = {
     IceLite.replaceTableStaged(ref, files, partitionCols,
-      declared.toDDL, mustNotExist, mustExist)
+      declared.toDDL, mustNotExist, mustExist, transformSpec)
     ()
   }
 

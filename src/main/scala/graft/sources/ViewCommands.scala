@@ -195,6 +195,20 @@ case class GraftPartitionFieldCommand(catName: String, ns: String,
   }
 }
 
+/** d85: `ALTER TABLE cat.ns.t ADD PARTITION FIELD bucket(8, id)` —
+  * transform-spec evolution (hidden layouts), same dispatch face. */
+case class GraftPartitionTransformCommand(catName: String, ns: String,
+    name: String, transform: String, sourceCol: String, param: Int)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = Bridge.catalogPlugin(spark, catName)
+      .asInstanceOf[SupportsPartitionFieldDdl]
+    cat.addPartitionFieldTransform(Identifier.of(Array(ns), name),
+      transform, sourceCol, param)
+    Nil
+  }
+}
+
 /** SHOW VIEWS IN cat.ns ['pattern'] — '*' wildcards, '|' alternation
   * (Spark's SHOW semantics). */
 case class GraftShowViewsCommand(catName: String, ns: String,

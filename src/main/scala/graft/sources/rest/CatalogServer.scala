@@ -383,11 +383,17 @@ class CatalogServer(warehouse: String, port: Int = 0) {
                   throw new IllegalArgumentException("set-prop needs value"))))
               case "unset-prop" =>
                 IceLite.alterUnsetProperties(ref, Seq(req.col))
-              // d83: partition-spec evolution — declared-layout flips
+              // d83/d85: partition-spec evolution — declared-layout flips
               case "add-part-field" =>
                 IceLite.alterAddPartitionField(ref, req.col)
               case "drop-part-field" =>
                 IceLite.alterDropPartitionField(ref, req.col)
+              case "add-part-transform" =>
+                IceLite.alterAddPartitionFieldTransform(ref,
+                  req.newName.getOrElse(throw new IllegalArgumentException(
+                    "add-part-transform needs the transform name")),
+                  req.col,
+                  req.value.map(_.toInt).getOrElse(0))
               case other => throw new IllegalArgumentException(
                 s"unknown alter op '$other'")
             }

@@ -499,6 +499,17 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       Serialization.write(AlterReq("drop-part-field", col)))
     ()
   }
+  /** d85 over the wire: transform-spec evolution — same one-POST
+    * metadata commit (col carries the SOURCE column; the transform
+    * name and int arg ride the rename/value slots). */
+  override def addPartitionFieldTransform(ident: Identifier,
+      transform: String, sourceCol: String, param: Int): Unit = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    post(tablePath(ident) + "/alter",
+      Serialization.write(AlterReq("add-part-transform", sourceCol,
+        newName = Some(transform), value = Some(param.toString))))
+    ()
+  }
 
   /** Table RENAME over the wire (d81): one POST — the rename runs
     * entirely server-side (zero-copy relocation + CAS claim,
@@ -730,11 +741,11 @@ private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
         .getOption("spark.wap.branch").forall(_.isEmpty),
       "spark.wap.branch is set — branch staging commits through the " +
         "owning catalog, not the REST face")
-    // transform-partitioned (hidden-partition) layouts stage their
-    // dirs from DERIVED values the SQL writer cannot recompute
-    require(IceLiteSource.resolveSnap(spool, None).partitionSpec.isEmpty,
+    // transform-partitioned (hidden-partition) layouts — current OR
+    // declared by a pending d85 evolution — refuse toward the owner
+    require(graft.icelite.IceLite.readManifest(spool).writeLayoutSpec.isEmpty,
       s"${name()} is transform-partitioned — write through the owning " +
-        "catalog's engine API (IceLite.appendTransformed)")
+        "catalog (SQL INSERT there, or IceLite.appendTransformed)")
     new RestWriteBuilder(spool, info, commitUrl, http)
   }
 

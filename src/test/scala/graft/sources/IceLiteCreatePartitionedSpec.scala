@@ -118,15 +118,21 @@ class IceLiteCreatePartitionedSpec extends AnyFunSuite {
     assert(cols == Seq("k", "p", "note"), cols.toString)
   }
 
-  test("non-identity transforms refuse loudly") {
+  test("transform DDL creates hidden-partition tables (d84); unsupported transforms refuse") {
     val (cat, _) = freshCatalog()
+    // bucket/days/truncate now CREATE hidden-partition tables
+    // (TransformedSqlWriteSpec covers the write path end-to-end)
+    spark.sql(s"CREATE TABLE $cat.src.t4 (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t4").head.getLong(0) == 0L)
+    // a transform outside the supported set still refuses loudly
     val e = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.src.t4 (k BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (days(ts))")
+      spark.sql(s"CREATE TABLE $cat.src.t5 (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (years(ts))")
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("identity")),
-      s"expected identity-only refusal, got: ${e.getMessage}")
+    assert(msgs(e).exists(m => m != null && m.contains("unsupported partition transform")),
+      s"expected unsupported-transform refusal, got: ${e.getMessage}")
   }
 }

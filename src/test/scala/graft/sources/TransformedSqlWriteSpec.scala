@@ -130,4 +130,53 @@ class TransformedSqlWriteSpec extends AnyFunSuite {
     assert(compacted.partitionSpec == spec)
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.tow").head.getLong(0) == 6L)
   }
+
+  test("CREATE TABLE PARTITIONED BY transforms + CTAS: the full SQL lifecycle") {
+    val (cat, wh) = fresh()
+    // DDL-born hidden-partition table: empty read, then INSERT lands
+    // the derived layout under Iceberg-convention names
+    spark.sql(s"""CREATE TABLE $cat.src.ddl_t (
+      id BIGINT, who STRING, ts TIMESTAMP)
+      PARTITIONED BY (bucket(4, id), days(ts), truncate(6, who))""")
+    val ref = TableRef(wh, "src", "ddl_t")
+    assert(IceLite.readManifest(ref).current.partitionSpec ==
+      Seq(PartitionField("id_bucket", "bucket", "id", 4),
+        PartitionField("ts_day", "days", "ts", 0),
+        PartitionField("who_trunc", "truncate", "who", 6)))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.ddl_t").head.getLong(0) == 0L)
+    // schema is EXACTLY as declared — no derived names, no reorder
+    assert(spark.table(s"$cat.src.ddl_t").columns.toSeq ==
+      Seq("id", "who", "ts"))
+    sampleDf(1, 25).createOrReplaceTempView("ddl_src")
+    spark.sql(s"INSERT INTO $cat.src.ddl_t SELECT id, who, ts FROM ddl_src")
+    val snap = IceLite.readManifest(ref).current
+    assert(snap.files.nonEmpty && snap.files.forall(f =>
+      f.contains("id_bucket=") && f.contains("ts_day=") &&
+        f.contains("who_trunc=")), snap.files)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.ddl_t").head.getLong(0) == 25L)
+
+    // CTAS with a transform spec: atomic create, derived layout landed
+    spark.sql(s"""CREATE TABLE $cat.src.ctas_t
+      PARTITIONED BY (bucket(4, id)) AS
+      SELECT id, who, ts FROM ddl_src WHERE id <= 10""")
+    val cref = TableRef(wh, "src", "ctas_t")
+    val csnap = IceLite.readManifest(cref).current
+    assert(csnap.partitionSpec ==
+      Seq(PartitionField("id_bucket", "bucket", "id", 4)))
+    assert(csnap.files.nonEmpty && csnap.files.forall(_.contains("id_bucket=")))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.ctas_t").head.getLong(0) == 10L)
+    // CTAS dirs agree with the INSERT path's derivation for the same rows
+    val fromDdl = IceLite.readManifest(ref).current.files
+      .filter(_.contains("id_bucket=")).map(f =>
+        f.split('/').find(_.startsWith("id_bucket=")).get).toSet
+    val fromCtas = csnap.files.map(f =>
+      f.split('/').find(_.startsWith("id_bucket=")).get).toSet
+    assert(fromCtas.subsetOf(fromDdl))
+
+    // mixed identity+transform refuses loudly
+    val mixed = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.src.mix_t (id BIGINT, who STRING)
+          PARTITIONED BY (who, bucket(4, id))"""))
+    assert(mixed.getMessage.contains("mix"), mixed.getMessage)
+  }
 }
