@@ -31,11 +31,12 @@ import syntax._
 object LlmPack extends Pack {
 
   /** c02's most recent persisted signature stage — unpersisted by the
-    * next invocation (the current one backs the returned lazy plan). */
-  @volatile private var lastSig: Option[DataFrame] = None
+    * next same-context invocation (the current one backs the returned
+    * lazy plan; see PersistSlot for the context-scoping rationale). */
+  private val lastSig = new PersistSlot
 
   /** c12's most recent persisted postings stages (same lifecycle). */
-  @volatile private var lastGrams: Seq[DataFrame] = Nil
+  private val lastGrams = new PersistSlot
 
   /** c12's hot-gram guard: df per gram over the declared cap. */
   private[queries] val HotGramCap = 1000L
@@ -67,8 +68,7 @@ object LlmPack extends Pack {
     val nHot = hot.count()
     val grams = raw.join(hot.select($"gram"), Seq("gram"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastGrams.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
-    lastGrams = Seq(raw, grams)
+    lastGrams.swap(raw, grams)
     (grams, nHot)
   }
 
@@ -133,7 +133,7 @@ object LlmPack extends Pack {
   }
 
   /** c16's persisted edge/label stages (same lifecycle as lastSig). */
-  @volatile private var lastCC: Seq[DataFrame] = Nil
+  private val lastCC = new PersistSlot
 
   /** Large-star/small-star edge contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond"): returns an edge
@@ -202,14 +202,13 @@ object LlmPack extends Pack {
       iter += 1
     }
     require(done, s"largeStarSmallStar: no fixpoint in $maxIter iters")
-    lastLSS.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
-    lastLSS = Seq(edges)
+    lastLSS.swap(edges)
     edges.select($"src".as("doc_a"), $"dst".as("doc_b"))
   }
 
   /** largeStarSmallStar's final checkpointed round (unpersisted on the
     * next invocation, same lifecycle as lastCC). */
-  @volatile private var lastLSS: Seq[DataFrame] = Nil
+  private val lastLSS = new PersistSlot
 
   /** c16: hash-to-min connected components over an undirected pair
     * set (columns doc_a, doc_b). Labels start as each node's own id;
@@ -284,8 +283,7 @@ object LlmPack extends Pack {
     }
     require(done, s"connectedComponents: no fixpoint in $maxIter iters")
     scala.util.Try(edges.unpersist(blocking = false))
-    lastCC.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
-    lastCC = Seq(labels)
+    lastCC.swap(labels)
     labels
   }
 
@@ -383,8 +381,7 @@ object LlmPack extends Pack {
           .withColumn("sig", expr("minhash_sig(shingles, 16)"))
           .select($"doc_id", $"shingles", $"sig")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        lastSig.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
-        lastSig = Some(sig)
+        lastSig.swap(sig)
         // bands carry only (doc_id, band, bh) through the shuffle —
         // never the shingle arrays
         val bands = sig.select($"doc_id",

@@ -19,6 +19,33 @@ trait Pack {
     decls.collect { case Decl(id, _, Some(sql)) => id -> sql }.toMap
 }
 
+/** A one-slot persist cache scoped to the SparkContext that filled it.
+  *
+  * Pack queries persist an intermediate stage that backs the returned
+  * lazy plan, so the previous invocation's stage can only be
+  * unpersisted on the NEXT call (NOTES.md rule 16). Naively caching
+  * the DataFrame is global mutable state: after a session restart in
+  * the same JVM (the Bench/driver pattern — same hazard as the
+  * eq-index broadcast cache, `sources/IceLiteSource.scala`), the slot
+  * would hold a frame of a dead context, and in a multi-tenant JVM it
+  * could unpersist another context's frame. `swap` therefore records
+  * the owning context with each frame and only unpersists occupants
+  * created on the SAME live context; frames of dead contexts are
+  * dropped without touching them (their storage died with the
+  * context).
+  */
+final class PersistSlot {
+  private var last: Seq[(org.apache.spark.SparkContext, DataFrame)] = Nil
+  def swap(next: DataFrame*): Unit = synchronized {
+    val sc = SparkSession.active.sparkContext
+    last.foreach { case (owner, df) =>
+      if ((owner eq sc) && !owner.isStopped)
+        scala.util.Try(df.unpersist(blocking = false))
+    }
+    last = next.map(d => (sc, d)).toSeq
+  }
+}
+
 /** Shared pack helpers: `$"col"` without a live session, and the
   * exact-decimal aggregation pattern (NOTES.md rules 1-3).
   */

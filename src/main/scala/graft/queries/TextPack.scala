@@ -21,9 +21,10 @@ object TextPack extends Pack {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
-  /** t07's persisted bigram stage — unpersisted by the next
-    * invocation (the current one backs the returned lazy plan). */
-  @volatile private var lastBi: Option[DataFrame] = None
+  /** t07's persisted per-doc bigram-count stage — unpersisted by the
+    * next same-context invocation (the current one backs the returned
+    * lazy plan; see PersistSlot for the context-scoping rationale). */
+  private val lastBi = new PersistSlot
 
   val decls: Seq[Decl] = Seq(
 
@@ -206,45 +207,52 @@ object TextPack extends Pack {
     // corpus itself, score each doc by its mean token log-likelihood
     // (low scores = boilerplate/garbled text a perplexity filter
     // drops). Contexts c(w1) are bigram-first occurrences; V is the
-    // corpus vocabulary, a 1-row broadcast. Scale: the counts tables
-    // are vocabulary²-bounded — broadcast when they fit, otherwise
-    // ONE shuffle of the bigram stream on (w1,w2); scoring then
-    // re-aggregates per doc_id. ln() values are irrational, so
-    // round-4 is engine-safe (NOTES.md rule 3).
+    // corpus vocabulary, a 1-row broadcast. Scale: the raw bigram
+    // stream is pre-aggregated to per-(doc, w1, w2) counts FIRST (one
+    // shuffle), so the count tables derive from — and the probability
+    // join runs against — the deduplicated stream: join input shrinks
+    // by the per-doc bigram duplication factor, and the per-doc score
+    // becomes the k-weighted average of distinct-bigram logprobs
+    // (identical value, fewer rows). The counts tables are
+    // vocabulary²-bounded — broadcast when they fit, otherwise ONE
+    // shuffle on (w1,w2). ln() values are irrational, so round-4 is
+    // engine-safe (NOTES.md rule 3); the oracle mirrors the weighted
+    // formulation so both engines fold the same operand stream.
     Decl("t07_bigram_lm_score",
       (s, dir) => {
         val toks = docs(s, dir)
           .select($"doc_id", split($"text", " ").as("t"))
           .filter(size($"t") >= 2)
-        val bi = toks.select($"doc_id", explode(expr(
+        val db = toks.select($"doc_id", explode(expr(
             "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
           .select($"doc_id", $"b.w1", $"b.w2")
+          .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        lastBi.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
-        lastBi = Some(bi)
-        val bc = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
-        val uc = bi.groupBy($"w1").agg(count(lit(1)).as("cu"))
-        val vocab = bi.select($"w1").union(bi.select($"w2"))
+        lastBi.swap(db)
+        val bc = db.groupBy($"w1", $"w2").agg(sum($"k").as("cb"))
+        val uc = db.groupBy($"w1").agg(sum($"k").as("cu"))
+        val vocab = db.select($"w1").union(db.select($"w2"))
           .agg(countDistinct($"w1").as("v"))
-        bi.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+        db.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
           .crossJoin(broadcast(vocab))
           .withColumn("lp", log(($"cb" + lit(1)).cast("double") / ($"cu" + $"v")))
           .groupBy($"doc_id")
-          .agg(count(lit(1)).cast("long").as("n_bigrams"),
-            round(avg($"lp"), 4).as("avg_logprob"))
+          .agg(sum($"k").cast("long").as("n_bigrams"),
+            round(sum($"k" * $"lp") / sum($"k"), 4).as("avg_logprob"))
           .orderBy($"doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                             FROM documents WHERE len(string_split(text, ' ')) >= 2),
                   bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
                          FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
-                  bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
-                  uc AS (SELECT w1, COUNT(*) AS cu FROM bi GROUP BY 1),
+                  db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bi GROUP BY 1, 2, 3),
+                  bc AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS cb FROM db GROUP BY 1, 2),
+                  uc AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS cu FROM db GROUP BY 1),
                   vocab AS (SELECT COUNT(DISTINCT w) AS v FROM
-                    (SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi))
-             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               ROUND(AVG(ln((cb + 1.0) / (cu + v))), 4) AS avg_logprob
-             FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+                    (SELECT w1 AS w FROM db UNION ALL SELECT w2 FROM db))
+             SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(k * ln((cb + 1.0) / (cu + v))) / SUM(k), 4) AS avg_logprob
+             FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
              GROUP BY doc_id ORDER BY doc_id""")),
 
     // t08: character-entropy quality signal — Shannon entropy of the
