@@ -511,7 +511,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     require(ident.namespace.sameElements(Array("system")),
       s"procedures live in the 'system' namespace, got " +
         s"${(ident.namespace :+ ident.name).mkString(".")}")
-    IceLiteProcedures(warehouse, ident.name).getOrElse(
+    IceLiteProcedures(warehouse, catalogName, ident.name).getOrElse(
       throw new RuntimeException(s"unknown procedure '${ident.name}' " +
         s"(have: ${IceLiteProcedures.names.mkString(", ")})"))
   }

@@ -29,7 +29,8 @@ object IceLiteProcedures {
     "rewrite_zorder", "expire_snapshots", "expire_retain_last",
     "rollback_to_snapshot", "gc_orphans", "publish_branch",
     "cherrypick_snapshot", "drop_branch", "analyze", "expire_metadata",
-    "add_files", "rewrite_data_files", "remove_orphan_files")
+    "add_files", "check_views", "rewrite_data_files",
+    "remove_orphan_files")
 
   /** Iceberg's canonical procedure names, aliased to the engine's
     * own — a user migrating from the reference stack types these. */
@@ -37,7 +38,8 @@ object IceLiteProcedures {
     "rewrite_data_files" -> "compact",
     "remove_orphan_files" -> "gc_orphans")
 
-  def apply(warehouse: String, name: String): Option[UnboundProcedure] =
+  def apply(warehouse: String, catName: String,
+      name: String): Option[UnboundProcedure] =
     aliases.getOrElse(name, name) match {
       case "compact" => Some(new Proc("compact",
         Array(
@@ -273,6 +275,55 @@ object IceLiteProcedures {
             else 0L
           val snap = IceLite.addFiles(ref, sources)
           Array(Array[Any](snap.id, sources.size.toLong, snap.rowCount - before))
+        }
+      })
+      // View health (round-8 verdict task #6): a view stores SQL TEXT,
+      // so a table rename (d81 — admin-op semantics, references are
+      // NOT rewritten) or a DROP breaks it only at READ time. This is
+      // Iceberg stored-SQL behavior, but a dbt operator wants the
+      // breakage visible at rename time, not at 2am — one CALL lists
+      // every view whose body no longer analyzes, with the analyzer's
+      // error. Each view re-analyzes through the SAME expansion path
+      // reads use (expandView: stored-context qualification, nested
+      // views, CTE re-substitution), so "ok" here means exactly
+      // "a SELECT would succeed". Metadata-sized: O(views) analyses,
+      // no data pages touched.
+      case "check_views" => Some(new Proc("check_views",
+        Array(
+          ProcedureParameter.in("namespace", StringType)
+            .defaultValue("''").build()),
+        StructType(Seq(
+          StructField("namespace", StringType, nullable = false),
+          StructField("view", StringType, nullable = false),
+          StructField("ok", BooleanType, nullable = false),
+          StructField("error", StringType, nullable = true)))) {
+        override def run(in: InternalRow): Array[Array[Any]] = {
+          val spark = SparkSession.active
+          val nsArg = in.getUTF8String(0).toString
+          val nss =
+            if (nsArg.nonEmpty) Seq(nsArg)
+            else IceLite.listNamespaces(warehouse)
+          val cat = org.apache.spark.sql.graft.Bridge
+            .catalogPlugin(spark, catName)
+            .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+          val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+          (for {
+            ns <- nss
+            view <- IceLiteViews.list(warehouse, ns)
+          } yield {
+            val err =
+              try {
+                val plan = GraftViewCommands.expandView(
+                  spark, catName, cat, ns, view, Set.empty)
+                org.apache.spark.sql.graft.Bridge.ofRows(spark, plan)
+                None
+              } catch { case e: Throwable =>
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .linesIterator.take(1).mkString.take(300))
+              }
+            Array[Any](utf8(ns), utf8(view), err.isEmpty,
+              err.map(utf8).orNull)
+          }).toArray
         }
       })
       case "gc_orphans" => Some(new Proc("gc_orphans",

@@ -200,6 +200,46 @@ class IceLiteViewSpec extends AnyFunSuite {
     }
   }
 
+  test("check_views: a table rename surfaces broken views at CALL time, not at 2am") {
+    withTable { (cat, wh, _) =>
+      IceLite.createNamespace(wh, "other")
+      spark.sql(s"CREATE VIEW $cat.src.healthy AS " +
+        s"SELECT count(*) AS n FROM $cat.src.t")
+      spark.sql(s"CREATE VIEW $cat.src.doomed AS " +
+        s"SELECT k FROM $cat.src.t WHERE k > 90")
+      spark.sql(s"CREATE VIEW $cat.other.remote AS " +
+        s"SELECT max(k) AS mx FROM $cat.src.t")
+      def check(ns: String = ""): Seq[(String, String, Boolean, String)] = {
+        val arg = if (ns.isEmpty) "" else s"namespace => '$ns'"
+        spark.sql(s"CALL $cat.system.check_views($arg)").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+            Option(r.getString(3)).getOrElse(""))).toSeq.sortBy(t => (t._1, t._2))
+      }
+      // all healthy before the rename; default arg scans every namespace
+      assert(check().map(t => (t._1, t._2, t._3)) == Seq(
+        ("other", "remote", true), ("src", "doomed", true),
+        ("src", "healthy", true)))
+      // d81: rename does NOT rewrite stored view SQL (Hive/Iceberg
+      // admin-op semantics) — every view naming the old table breaks
+      spark.sql(s"ALTER TABLE $cat.src.t RENAME TO src.t2")
+      val after = check()
+      assert(after.map(t => (t._1, t._2, t._3)) == Seq(
+        ("other", "remote", false), ("src", "doomed", false),
+        ("src", "healthy", false)))
+      assert(after.filterNot(_._3).forall(_._4.nonEmpty),
+        s"broken views must carry the analyzer error: $after")
+      // namespace-scoped call sees only that namespace
+      assert(check("other").map(_._2) == Seq("remote"))
+      // the operator repoints ONE view; only it recovers
+      spark.sql(s"CREATE OR REPLACE VIEW $cat.src.healthy AS " +
+        s"SELECT count(*) AS n FROM $cat.src.t2")
+      assert(check("src").map(t => (t._2, t._3)) == Seq(
+        ("doomed", false), ("healthy", true)))
+      Seq(s"$cat.src.healthy", s"$cat.src.doomed", s"$cat.other.remote")
+        .foreach(v => spark.sql(s"DROP VIEW $v"))
+    }
+  }
+
   test("plan audit: filters and projection push through a view into the scan") {
     withTable { (cat, _, _) =>
       spark.sql(s"CREATE VIEW $cat.src.vplan AS SELECT k, v, g FROM $cat.src.t")
