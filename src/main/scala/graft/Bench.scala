@@ -22,7 +22,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_ONLY=id1,id2 restricts the sweep — the 10× scale
+    // shadow-bench (tools/scale_bench.sh) measures the flagship
+    // subset at sf1 without paying for 249 lifecycle ids per pass
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     qs.foreach { case (_, fn) => try exec(fn) catch { case _: Throwable => () } }
     // A throwing query must NOT record its (tiny) time-to-throw as a
     // measurement — round 5's loader breakage made 13 broken ids look
@@ -94,6 +100,23 @@ object Bench {
     // the subset measures less work than BENCH_r01 did — flag that in
     // the emitted JSON rather than implying a like-for-like speedup
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$ejson,"timed_passes":$timedPasses,"per_id":"min","r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
+    // Full per-id detail as a REPO artifact: the driver's BENCH_rN.json
+    // keeps only a tail of stdout, so the spread map never reached the
+    // round-8 verdict and a cross-round delta (s19/s20) could not be
+    // adjudicated noise-vs-real. Every run also writes min + spread +
+    // ALL pass values per id next to the sources, where the end-of-
+    // round commit picks it up (round-8 verdict task #2).
+    val pjson = qs.indices.map { i =>
+      val name = passes.head(i)._1
+      val vals = passes.map(_(i)._2.fold(_ => "-1", v => f"$v%.4f"))
+      "\"" + name + "\":[" + vals.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    val detail = s"""{"sf":"$sfDir","timed_passes":$timedPasses,"per_id":"min","total":$total,"n_failed":${failed.size},"errors":$ejson,"queries":$qjson,"spread":$sjson,"passes":$pjson}"""
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     spark.stop()
   }
 }
