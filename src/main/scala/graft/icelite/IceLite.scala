@@ -196,7 +196,16 @@ final case class Manifest(
     // pages; pruning keeps dir-less files conservatively), so era
     // mixing needs no read-side rule at all. Mutually exclusive with
     // declaredPartitionCols — a table evolves within ONE layout kind.
-    declaredPartitionSpec: Option[Seq[PartitionField]] = None) {
+    declaredPartitionSpec: Option[Seq[PartitionField]] = None,
+    // TABLE IDENTITY (Iceberg's table-uuid): minted once at creation,
+    // carried by every commit, NEVER reused. Snapshot ids are
+    // sequential (max+1 from 1), so a DROP + re-CREATE can reach the
+    // same snapshot id with different content — any consumer that
+    // checkpoints snapshot ids (streams) must pin THIS to detect the
+    // new incarnation instead of silently skipping/re-reading.
+    // Option: pre-upgrade manifests have none (consumers fall back to
+    // id-only semantics for them).
+    tableUuid: Option[String] = None) {
   def current: Snapshot = snapshots.find(_.id == currentSnapshotId).get
   /** The identity layout the NEXT write must use (d83). */
   def writeLayoutCols: Seq[String] =
@@ -401,7 +410,8 @@ object IceLite {
       // defaults keep pre-d82/d83/d85 pointers decodable
       properties: Map[String, String] = Map.empty,
       declaredPartitionCols: Option[Seq[String]] = None,
-      declaredPartitionSpec: Option[Seq[PartitionField]] = None)
+      declaredPartitionSpec: Option[Seq[PartitionField]] = None,
+      tableUuid: Option[String] = None)
 
   /** An assembled chain: the exact field instances a Snapshot gets.
     * Cached per chain so repeated decodes return the SAME instances —
@@ -422,6 +432,16 @@ object IceLite {
     * → its chain. Populated on decode and on write. */
   private val segIndex = java.util.Collections.synchronizedMap(
     new java.util.IdentityHashMap[AnyRef, SegChain]())
+
+  /** TEST hook (crash-point fuzz): drop the in-JVM metadata caches to
+    * simulate a FRESH process after a crash — a dead process's warm
+    * segment cache must never mask torn on-disk state (chainLive
+    * consults segCache before io.exists). */
+  private[graft] def clearMetaCaches(): Unit = {
+    segCache.clear()
+    chainCache.clear()
+    segIndex.synchronized(segIndex.clear())
+  }
 
   private def boundSegCaches(): Unit = {
     if (segIndex.size > 65536) segIndex.clear()
@@ -482,7 +502,7 @@ object IceLite {
           ptr.branches, ptr.tags, ptr.addedCols, ptr.droppedCols,
           ptr.renamedCols, ptr.widenedCols, ptr.declaredSchemaDdl,
           ptr.properties, ptr.declaredPartitionCols,
-          ptr.declaredPartitionSpec)
+          ptr.declaredPartitionSpec, tableUuid = ptr.tableUuid)
       case _ => jv.extract[Manifest] // legacy single-JSON layout
     }
   }
@@ -571,7 +591,7 @@ object IceLite {
       ptrs, next.branches, next.tags, next.addedCols, next.droppedCols,
       next.renamedCols, next.widenedCols, next.declaredSchemaDdl,
       next.properties, next.declaredPartitionCols,
-      next.declaredPartitionSpec)
+      next.declaredPartitionSpec, tableUuid = next.tableUuid)
     io.writeString(tmp, Serialization.writePretty(ptr))
     wrote.result()
   }
@@ -631,7 +651,7 @@ object IceLite {
     while (true) {
       val latest = latestManifestFile(ref)
       val cur = latest.map { case (_, p) => decodeManifest(ref, p) }
-      val next = build(cur)
+      val next = withIdentity(build(cur), cur)
       val nextVersion = latest.map(_._1).getOrElse(0L) + 1
       val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
       val staged = writeManifestTo(ref, next, tmp)
@@ -750,15 +770,40 @@ object IceLite {
     * Every commit path stores the map in `Snapshot.fileRows`, so the
     * count survives as manifest metadata (grouped/global COUNT
     * pushdown reads it instead of re-opening footers). */
-  private def fileRowCounts(ref: TableRef, files: Seq[String]): Map[String, Long] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try f -> r.getRecordCount finally r.close()
-    }.toMap
-  }
+  /** One footer open per file, PARALLEL on the driver: a commit of a
+    * wide fanout write (hidden-partition INSERT: buckets × days dirs)
+    * stages hundreds of files, and a sequential open-per-file loop at
+    * ~10-20ms each dominates commit latency (bitten: d84's two
+    * INSERTs paid ~480 sequential opens ≈ 12s). Footers are
+    * metadata-sized, so a bounded thread pool makes this O(files /
+    * threads) — the driver-side analogue of collectStats' one-job
+    * rule. */
+  private def mapFooters[A](ref: TableRef, files: Seq[String])(
+      fn: (String, org.apache.parquet.hadoop.ParquetFileReader) => A): Seq[A] =
+    if (files.isEmpty) Nil
+    else {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      def one(f: String): A = {
+        val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try fn(f, r) finally r.close()
+      }
+      if (files.size == 1) Seq(one(files.head))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, files.size))
+        try files.map(f => pool.submit(
+            new java.util.concurrent.Callable[A] {
+              override def call(): A = one(f)
+            }))
+          .map(_.get())
+        finally pool.shutdown()
+      }
+    }
+
+  private def fileRowCounts(ref: TableRef, files: Seq[String]): Map[String, Long] =
+    mapFooters(ref, files)((f, r) => f -> r.getRecordCount).toMap
 
   private def countRowsFromFooters(ref: TableRef, files: Seq[String]): Long =
     fileRowCounts(ref, files).values.sum
@@ -771,7 +816,7 @@ object IceLite {
     * steals the other's stats and pruning then skips live rows).
     * URI-decoding also resolves escaped partition values (a=2024%3A01
     * on disk arrives double-encoded in the URI). */
-  private[icelite] def matchStagedPath(files: Seq[String],
+  private[graft] def matchStagedPath(files: Seq[String],
       uri: String): Option[String] = {
     val byRelPath = files.toSet
     val depths = files.map(_.count(_ == '/') + 1).distinct
@@ -792,9 +837,18 @@ object IceLite {
     if (statsCols.isEmpty || files.isEmpty) Map.empty
     else {
       import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
-      val aggs = statsCols.flatMap(c =>
+      val frame = spark.read.parquet(files.map(f => ref.dir.resolve(f).toString): _*)
+      // a requested column the staged files don't carry (e.g. a stats
+      // ledger keyed under a pre-rename stored name) records no stat
+      // — pruning then conservatively keeps, same as an all-null file
+      val present = {
+        val have = frame.columns.toSet
+        statsCols.filter(have)
+      }
+      if (present.isEmpty) return Map.empty
+      val aggs = present.flatMap(c =>
         Seq(fmin(col(c)).cast("double"), fmax(col(c)).cast("double")))
-      val rows = spark.read.parquet(files.map(f => ref.dir.resolve(f).toString): _*)
+      val rows = frame
         .groupBy(input_file_name().as("_file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -803,7 +857,7 @@ object IceLite {
           .map { f =>
             // empty files / all-null columns have null min/max: record no
             // stat (the file is then conservatively kept by pruning)
-            f -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+            f -> present.zipWithIndex.flatMap { case (c, i) =>
               if (row.isNullAt(1 + 2 * i) || row.isNullAt(2 + 2 * i)) None
               else Some(ColStats(c, row.getDouble(1 + 2 * i), row.getDouble(2 + 2 * i))) }
           }
@@ -818,30 +872,24 @@ object IceLite {
     * collectStats scan would be a second pass over just-written data.
     * Columns without usable stats record nothing (pruning then keeps
     * the file conservatively). */
-  private def footerStats(ref: TableRef, files: Seq[String]): Map[String, Seq[ColStats]] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(ref.dir.resolve(f).toUri)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      val perCol: Map[String, Seq[(Double, Double)]] =
-        try {
-          import scala.jdk.CollectionConverters._
-          r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala).flatMap { c =>
-            val st = c.getStatistics
-            if (st == null || st.isEmpty || !st.hasNonNullValue) None
-            else (st.genericGetMin, st.genericGetMax) match {
-              case (lo: java.lang.Number, hi: java.lang.Number) =>
-                Some(c.getPath.toDotString -> (lo.doubleValue(), hi.doubleValue()))
-              case _ => None
-            }
-          }.toSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-        } finally r.close()
+  private def footerStats(ref: TableRef, files: Seq[String]): Map[String, Seq[ColStats]] =
+    mapFooters(ref, files) { (f, r) =>
+      val perCol: Map[String, Seq[(Double, Double)]] = {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala).flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (lo: java.lang.Number, hi: java.lang.Number) =>
+              Some(c.getPath.toDotString -> (lo.doubleValue(), hi.doubleValue()))
+            case _ => None
+          }
+        }.toSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      }
       f -> perCol.map { case (col, ranges) =>
         ColStats(col, ranges.map(_._1).min, ranges.map(_._2).max)
       }.toSeq.sortBy(_.col)
     }.filter(_._2.nonEmpty).toMap
-  }
 
   /** d42/d43: group-based copy-on-write commit (the DSv2 ReplaceData
     * contract behind SQL UPDATE / MERGE INTO): atomically swap exactly
@@ -1455,8 +1503,13 @@ object IceLite {
     }
     // 6) retire the source: pointers FIRST (the name disappears), then
     //    segments, then the linked data (bytes survive via the
-    //    destination's links)
+    //    destination's links). Pointers delete in ASCENDING version
+    //    order so the newest goes LAST: a crash mid-retire must leave
+    //    the source either fully readable (newest pointer intact) or
+    //    gone — never rolled back to an older version (found by the
+    //    crash-point fuzz).
     io.list(from.dir).filter(_.getFileName.toString.startsWith("manifest.v"))
+      .sortBy(_.getFileName.toString)
       .foreach(io.delete)
     io.list(from.dir.resolve("meta")).foreach(io.delete)
     if (Files.exists(from.dir))
@@ -1557,12 +1610,31 @@ object IceLite {
     }
   }
 
+  /** Identity policy applied at the two commit choke points: a
+    * CREATE (no prior manifest / claiming v1) mints the table uuid; a
+    * rebase that lost it (a builder that rebuilt positionally instead
+    * of copy()) re-inherits the base's — so the uuid can never churn
+    * on a legacy uuid-less table and never changes within one
+    * incarnation. */
+  private def withIdentity(next: Manifest, cur: Option[Manifest]): Manifest =
+    next.tableUuid match {
+      case Some(_) => next
+      case None => cur match {
+        case Some(m) => next.copy(tableUuid = m.tableUuid)
+        case None =>
+          next.copy(tableUuid = Some(java.util.UUID.randomUUID.toString))
+      }
+    }
+
   /** One conditional commit claiming exactly `version`: succeeds only
     * if no other writer committed since the result was computed (the
     * serializable conflict-validation primitive merge / deleteWhere /
     * updateWhere retry on). */
-  private def claimVersion(ref: TableRef, version: Long, next: Manifest,
+  private def claimVersion(ref: TableRef, version: Long, next0: Manifest,
       staged: Seq[String]): Boolean = {
+    // v1 claim = table creation (manifest versions only grow; expiry
+    // never deletes them all) — mint identity exactly like commitCAS
+    val next = if (version == 1L) withIdentity(next0, None) else next0
     val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
     val segs = writeManifestTo(ref, next, tmp)
     val won = io.claim(manifestPathFor(ref, version), tmp)
@@ -1656,6 +1728,7 @@ object IceLite {
             cur, cur.files.size)
           val keepStatsCols =
             (statsCols ++ cur.fileStats.values.flatten.map(_.col)).distinct
+              .map(currentName(base.renamedCols, _)).distinct
           val rowsByFile = fileRowCounts(ref, files)
           val stats = collectStats(spark, ref, files, keepStatsCols)
           val id = base.snapshots.map(_.id).max + 1
@@ -2011,7 +2084,10 @@ object IceLite {
     }
     val newFiles = stage(ref, rewritten)
     val rowsByFile = fileRowCounts(ref, newFiles)
-    val keepStatsCols = snap.fileStats.values.flatten.map(_.col).toSeq.distinct
+    // ledger stats key STORED names; the rewrite staged era-visible
+    // ones — re-collect under the chain-resolved names
+    val keepStatsCols = snap.fileStats.values.flatten.map(_.col).toSeq
+      .distinct.map(currentName(base.renamedCols, _)).distinct
     val stats = collectStats(spark, ref, newFiles, keepStatsCols)
     commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
@@ -2151,12 +2227,13 @@ object IceLite {
     * snapshot funnels through here. */
   private def readFilesWithDeletes(spark: SparkSession, ref: TableRef,
       snap: Snapshot, files: Seq[String],
-      widensOf: Option[Seq[WidenedCol]] = None): DataFrame = {
+      widensOf: Option[Seq[WidenedCol]] = None,
+      renamesOf: Option[Seq[RenamedCol]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val positioned =
-      if (snap.deleteFiles.isEmpty) readFiles(spark, ref, files, widensOf)
+      if (snap.deleteFiles.isEmpty) readFiles(spark, ref, files, widensOf, renamesOf)
       else {
-        val df = readFiles(spark, ref, files, widensOf)
+        val df = readFiles(spark, ref, files, widensOf, renamesOf)
           .withColumn("_mor_file", col("_metadata.file_path"))
           .withColumn("_mor_pos", col("_metadata.row_index"))
         val dels = spark.read.parquet(
@@ -2190,9 +2267,15 @@ object IceLite {
       val lookup = snap.files
         .map(f => (ref.dir.resolve(f).toString, addedAt(f)))
         .toDF("_eq_path", "_eq_added")
+      // file provenance: `_metadata` on single-relation frames, the
+      // pre-captured `_mor_file` on layout-group unions (where the
+      // pseudo-column no longer resolves)
+      val provenance =
+        if (df.columns.contains("_mor_file")) col("_mor_file")
+        else col("_metadata.file_path")
       val withAdded = df
         .withColumn("_eq_file",
-          regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+          regexp_replace(provenance, "^file:/*", "/"))
         .join(broadcast(lookup), col("_eq_file") === col("_eq_path"), "left")
         .drop("_eq_path", "_eq_file")
       val folded = snap.eqDeletes.groupBy(_.keyCols).foldLeft(withAdded) {
@@ -2263,8 +2346,11 @@ object IceLite {
       val newFiles = restageWithLayout(ref, rewritten, snap, affected.size)
       // keep pruning precise across the rewrite: re-collect every
       // column the current snapshot tracks, plus any caller additions
+      // (ledger names chain-resolved: the restage stores era-visible
+      // names)
       val keepStatsCols =
         (statsCols ++ snap.fileStats.values.flatten.map(_.col)).distinct
+          .map(currentName(base.renamedCols, _)).distinct
       val newRowsByFile = fileRowCounts(ref, newFiles)
       val affectedRows = countRowsFromFooters(ref, affected.toSeq)
       val stats = collectStats(spark, ref, newFiles, keepStatsCols)
@@ -2375,7 +2461,8 @@ object IceLite {
         throw new IllegalStateException(s"no manifest for ${ref.name}"))
       val base = decodeManifest(ref, basePath)
       val cur = base.current
-      val statsCols = cur.fileStats.values.flatten.map(_.col).toSeq.distinct.sorted
+      val statsCols = cur.fileStats.values.flatten.map(_.col).toSeq.distinct
+        .map(currentName(base.renamedCols, _)).distinct.sorted
       // d83/d85: the layout this compaction LANDS — the declared
       // write layout (identical to the current one when no evolution
       // is pending); compaction is the EVOLUTION MATERIALIZER for
@@ -2684,10 +2771,24 @@ object IceLite {
             s"partition-spec mismatch: table is partitioned by " +
               s"${m.current.partitionCols}, append by $partitionCols " +
               "(use appendPartitionedEvolving to evolve the spec)")
+          // the partitioned era carries no sidecars (same rule the
+          // SQL ADD PARTITION FIELD path enforces): evolving a spec
+          // UNDER live MoR sidecars would drop them here and silently
+          // resurface every deleted row (found by the round-9 fuzz
+          // analysis — the pre-fix Snapshot below carried neither
+          // deleteFiles nor eqDeletes)
+          if (m.current.partitionCols != partitionCols)
+            require(!m.current.morLive,
+              s"${ref.name} has live MoR delete sidecars — compact() " +
+                "to materialize them before evolving the partition spec")
           val snap = Snapshot(id, System.currentTimeMillis(), "append",
             m.current.files ++ newFiles, m.current.rowCount + rows,
             m.current.fileStats ++ stats, partitionCols,
-            fileRows = m.current.fileRows ++ rowsByFile)
+            fileRows = m.current.fileRows ++ rowsByFile,
+            // live sidecars survive same-spec appends (flat append's
+            // rule at its own commit)
+            deleteFiles = m.current.deleteFiles,
+            eqDeletes = m.current.eqDeletes)
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
       }
     }.current
@@ -2780,7 +2881,9 @@ object IceLite {
     * union is column-complete with no synthetic NULLs. Single-layout
     * tables take the one-group fast path unchanged. */
   private def readPartitionedFiles(spark: SparkSession, ref: TableRef,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String], withPositions: Boolean = false,
+      renamesOf: Option[Seq[RenamedCol]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     // a FLAT-layout group (no k=v dirs — the old era of a
     // flat→partitioned evolution) reads without partition discovery:
     // its files live under data/<token>/, outside the part/ basePath,
@@ -2791,12 +2894,21 @@ object IceLite {
       val withBase =
         if (fileLayout(fs.head).isEmpty) reader
         else reader.option("basePath", ref.dataDir.resolve("part").toString)
-      withBase.parquet(fs.map(f => ref.dir.resolve(f).toString): _*)
+      val df = withBase.parquet(fs.map(f => ref.dir.resolve(f).toString): _*)
+      // positions must be captured BEFORE the union: `_metadata` is a
+      // per-relation pseudo-column and does not survive unionByName
+      if (!withPositions) df
+      else df.withColumn("_mor_file", col("_metadata.file_path"))
+        .withColumn("_mor_pos", col("_metadata.row_index"))
     }
-    files.groupBy(fileLayout).values.toSeq
-      .sortBy(_.head) // deterministic union order
-      .map(readGroup)
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val renames = renamesOf.getOrElse(
+      scala.util.Try(readManifest(ref).renamedCols).getOrElse(Nil))
+    applyRenames(
+      files.groupBy(fileLayout).values.toSeq
+        .sortBy(_.head) // deterministic union order
+        .map(readGroup)
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)),
+      renames)
   }
 
   // ---------------------------------------------------------------
@@ -3078,6 +3190,36 @@ object IceLite {
       .where(residual)
   }
 
+  /** Apply a rename chain to a RAW frame: renamed columns surface
+    * under their era-visible name regardless of which physical name
+    * each file stores (old files keep the stored name, post-rename
+    * files store the new one — Iceberg's field-id behavior, with the
+    * ledger playing the id role). When BOTH names appear in the
+    * union schema (mixed-era file sets), the per-row value lives in
+    * exactly one of them (the other is the mergeSchema null), so a
+    * coalesce is the exact chain resolution. Raw reads applying the
+    * chain is what keeps REWRITES honest: compact/merge/updateWhere*
+    * restage whatever the read surfaces, and a rewrite that
+    * materialized BOTH era names into one file would break chain
+    * resolution on every engine face (found by RestModelFuzzSpec
+    * seeds 41/97 on their first run). */
+  private def applyRenames(df: DataFrame,
+      renames: Seq[RenamedCol]): DataFrame =
+    renames.foldLeft(df) { (d, r) =>
+      import org.apache.spark.sql.functions.{coalesce, col}
+      val has = d.columns.toSet
+      if (has(r.from) && has(r.to))
+        d.withColumn(r.to, coalesce(col(r.to), col(r.from))).drop(r.from)
+      else if (has(r.from)) d.withColumnRenamed(r.from, r.to)
+      else d
+    }
+
+  /** The era-visible name of a STORED column name under the full
+    * chain (stats ledgers key stored names; rewrites re-collect under
+    * the visible ones). */
+  private def currentName(renames: Seq[RenamedCol], c: String): String =
+    renames.foldLeft(c)((n, r) => if (n == r.from) r.to else n)
+
   // mergeSchema: appends may evolve the schema (Iceberg v2 semantics,
   // extract_load.py inherits this through format-version=2); older
   // files surface null for later-added columns
@@ -3085,8 +3227,20 @@ object IceLite {
     * callers with a pinned snapshot pass `Some(...)` so time travel to
     * a pre-widen snapshot surfaces the era's own (narrow) type, same
     * as the connector's VERSION AS OF; None = current-snapshot reads,
-    * which see the full ledger. */
+    * which see the full ledger. `renamesOf` scopes the rename chain
+    * the same way. */
   private[icelite] def readFiles(spark: SparkSession, ref: TableRef,
+      files: Seq[String],
+      widensOf: Option[Seq[WidenedCol]] = None,
+      renamesOf: Option[Seq[RenamedCol]] = None): DataFrame = {
+    val renames = renamesOf.getOrElse(
+      scala.util.Try(readManifest(ref).renamedCols).getOrElse(Nil))
+    applyRenames(readFilesStored(spark, ref, files, widensOf), renames)
+  }
+
+  /** The stored-name read (no rename chain): the raw mergeSchema /
+    * widened-schema union over exactly `files`. */
+  private def readFilesStored(spark: SparkSession, ref: TableRef,
       files: Seq[String],
       widensOf: Option[Seq[WidenedCol]] = None): DataFrame = {
     val paths = files.map(f => ref.dir.resolve(f).toString)
@@ -3562,12 +3716,36 @@ object IceLite {
     val snap = m.snapshots.find(_.id == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot $snapshotId in ${ref.name}"))
+    // a widen/rename is visible only from its own era onward: time
+    // travel to an earlier snapshot must surface the narrow type /
+    // the old name (matches the connector's VERSION AS OF scoping)
+    val widens = Some(m.widenedCols.filter(_.sinceSnapshotId <= snapshotId))
+    val renames = Some(m.renamedCols.filter(_.sinceSnapshotId <= snapshotId))
     if (snap.files.isEmpty) spark.emptyDataFrame
-    else readFilesWithDeletes(spark, ref, snap, snap.files,
-      // a widen is visible only from its own era onward: time travel
-      // to an earlier snapshot must surface the narrow type (matches
-      // the connector's VERSION AS OF schema scoping)
-      Some(m.widenedCols.filter(_.sinceSnapshotId <= snapshotId)))
+    else if (snap.partitionCols.nonEmpty) {
+      // identity-partitioned snapshots: the partition columns are
+      // PATH-BORNE — a flat file read would silently lose them (found
+      // by CrashPointFuzzSpec's partitioned sweep). Route through the
+      // layout-grouped discovery read, then fold sidecars exactly as
+      // the flat path does (positions captured per layout group,
+      // before the union erases `_metadata`).
+      val needPos = snap.deleteFiles.nonEmpty || snap.eqDeletes.nonEmpty
+      val df0 = readPartitionedFiles(spark, ref, snap.files,
+        withPositions = needPos, renamesOf = renames)
+      val df1 =
+        if (snap.deleteFiles.isEmpty) df0
+        else {
+          val dels = spark.read.parquet(
+            snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+          df0.join(dels, df0("_mor_file") === dels("file_path") &&
+            df0("_mor_pos") === dels("pos"), "left_anti")
+        }
+      // applyEqDeletes keys file provenance off `_mor_file` when
+      // present (the union erased `_metadata`)
+      val df2 = applyEqDeletes(spark, ref, snap, df1)
+      if (needPos) df2.drop("_mor_file", "_mor_pos") else df2
+    }
+    else readFilesWithDeletes(spark, ref, snap, snap.files, widens, renames)
   }
 
   /** d23: INCREMENTAL SCAN (Iceberg's incremental read) — only the
@@ -3768,6 +3946,18 @@ object IceLite {
       }
       .toSeq))
     orphans.foreach { case (p, _) => Files.deleteIfExists(p) }
+    // metadata-plane residue of CRASHED commits: a staged pointer tmp
+    // (.manifest.tmp.*) or rename stage (.rename-*) whose process died
+    // between write and claim/delete. Dot-named, so the data rules
+    // above never see them; age-gated by the same grace window (an
+    // in-flight commit's tmp is younger than grace, staging→claim is
+    // one write apart).
+    val tmpResidue = io.list(ref.dir).filter { p =>
+      val n = p.getFileName.toString
+      (n.startsWith(".manifest.tmp.") || n.startsWith(".rename-")) &&
+        scala.util.Try(io.mtimeMs(p)).toOption.forall(_ < cutoff)
+    }
+    tmpResidue.foreach(io.delete)
     // sweep now-empty dirs (staging skeletons, emptied token dirs) —
     // the grace window applies to DIRS too: a concurrent writer
     // creates its staging/token dir before any file lands in it, so an
@@ -3789,7 +3979,8 @@ object IceLite {
               listDir(Files.list(d))(_.isEmpty)) Files.deleteIfExists(d)
         }
       }
-    orphans.map(_._2).sorted
+    (orphans.map(_._2) ++
+      tmpResidue.map(p => ref.dir.relativize(p).toString)).sorted
   }
 
   /** Roll the table back to an earlier snapshot (Iceberg

@@ -244,16 +244,25 @@ object IceLiteSource {
     // time travel to an earlier snapshot sees the pre-alter schema.
     // Files that predate an added column surface NULL at read time;
     // dropped columns keep their bytes but are never projected.
+    // dedupe under CHAIN-RESOLVED names: the ledger records the
+    // at-add-time stored name (`c`), but a post-rename head file
+    // already stores the new name (`cc`) — a stored-name compare
+    // would re-append `c` and the rename below would fold it into a
+    // DUPLICATE `cc` field (found by RestModelFuzzSpec seed 97)
+    val renamesVisible = m.renamedCols.filter(_.sinceSnapshotId <= snap.id)
+    def chainName(n: String): String =
+      renamesVisible.foldLeft(n)((x, r) => if (x == r.from) r.to else x)
+    val presentNames = withParts.fieldNames.map(chainName).toSet
     val added = m.addedCols
       .filter(c => c.sinceSnapshotId <= snap.id &&
-        !withParts.fieldNames.contains(c.name))
+        !presentNames.contains(chainName(c.name)))
     val evolved =
       if (added.isEmpty) withParts
       else StructType(withParts.fields ++ added.map(c =>
         StructField(c.name, org.apache.spark.sql.types.DataType.fromDDL(c.sqlType))))
     // d58: apply the rename chain (stored → current names) BEFORE the
     // drop filter — a drop after a rename records the current name
-    val renamed = m.renamedCols.filter(_.sinceSnapshotId <= snap.id)
+    val renamed = renamesVisible
       .foldLeft(evolved) { (sch, r) =>
         StructType(sch.fields.map(f =>
           if (f.name == r.from) f.copy(name = r.to) else f))
@@ -1933,16 +1942,21 @@ class IceLiteScan(ref: TableRef, required: StructType,
     IceLiteSource.lastScanMetadataOnly = false
     // d50: MoR sidecars fold to per-file tombstone indexes once,
     // driver-side (O(deleted rows) — the same class Iceberg's
-    // delete-file index holds at planning), keyed by normalized path
-    // so the sidecar's _metadata.file_path rendering and our absolute
-    // paths meet on one form
+    // delete-file index holds at planning). Keys are matched by
+    // TABLE-RELATIVE suffix (matchStagedPath) and re-anchored at THIS
+    // reader's table dir: the sidecar records the WRITER's absolute
+    // path, and a REST attachment reads the same files under its spool
+    // root — an absolute-path compare would silently drop every
+    // tombstone there and deleted rows would resurface (found by
+    // RestModelFuzzSpec seed 7 on its first run).
     val tombstonesByFile: Map[String, Array[Long]] =
       if (deleteFiles.isEmpty) Map.empty
       else org.apache.spark.sql.SparkSession.active.read
         .parquet(deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
         .select("file_path", "pos").collect()
-        .groupBy(r => IceLiteSource.normPath(r.getString(0)))
-        .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+        .groupBy(r => IceLite.matchStagedPath(files, r.getString(0))
+          .map(rel => IceLiteSource.normPath(ref.dir.resolve(rel).toString)))
+        .collect { case (Some(f), rs) => f -> rs.map(_.getLong(1)).sorted }
     // d73: EQUALITY-delete sidecars fold at planning into ONE
     // broadcast key index (O(delete keys) — CDC-batch-sized by the
     // write path's construction) shared by every split, plus a
@@ -1975,9 +1989,19 @@ class IceLiteScan(ref: TableRef, required: StructType,
         partFields.map(IceLiteSource.pathPartValues(f).getOrElse(_, null)))
       .toSeq.sortBy(_._2.head)
       .flatMap { case (partVals, groupFiles) =>
+        // each file is charged max(bytes, openCostInBytes) when
+        // packing — Spark's own small-file rule. Without it a
+        // many-tiny-file table (fresh fanout INSERT into buckets×days
+        // dirs, pre-compaction streaming ingest) packs into ONE bin
+        // whose task pays every ~20ms reader open SEQUENTIALLY
+        // (bitten: d84's 240-file scan ran 5s in one task; with the
+        // open charge it fans out across the executors)
+        val openCost = org.apache.spark.sql.SparkSession.active
+          .sessionState.conf.filesOpenCostInBytes
         val sized = groupFiles.map { f =>
           val p = ref.dir.resolve(f)
-          (p.toString, scala.util.Try(java.nio.file.Files.size(p)).getOrElse(0L))
+          (p.toString, math.max(openCost,
+            scala.util.Try(java.nio.file.Files.size(p)).getOrElse(0L)))
         }
         val bins = Seq.newBuilder[Seq[String]]
         var bin = Vector.empty[String]
@@ -2073,15 +2097,26 @@ case class IceLiteKeyedPartition(files: Seq[String],
   * axis for a table feed — exactly Iceberg's/Delta's streaming-source
   * design: the checkpoint stores a snapshot watermark, each
   * micro-batch reads the FILE DELTA between two snapshots. */
-case class IceLiteOffset(snapshotId: Long) extends Offset {
-  override def json(): String = s"""{"snapshotId":$snapshotId}"""
+case class IceLiteOffset(snapshotId: Long,
+    tableUuid: Option[String] = None) extends Offset {
+  // offsets also PIN THE TABLE INCARNATION: snapshot ids are
+  // sequential, so a DROP + re-CREATE can reach the checkpointed id
+  // again with different content — without the uuid the stream would
+  // silently treat the new table's early snapshots as consumed.
+  // Absent for checkpoints written before the upgrade (id-only
+  // semantics until the next offset is recorded).
+  override def json(): String = tableUuid match {
+    case Some(u) => s"""{"snapshotId":$snapshotId,"tableUuid":"$u"}"""
+    case None => s"""{"snapshotId":$snapshotId}"""
+  }
 }
 
 object IceLiteOffset {
   def fromJson(s: String): IceLiteOffset = {
     val m = org.json4s.jackson.JsonMethods.parse(s)
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
-    IceLiteOffset((m \ "snapshotId").extract[Long])
+    IceLiteOffset((m \ "snapshotId").extract[Long],
+      (m \ "tableUuid").extractOpt[String])
   }
 }
 
@@ -2115,6 +2150,21 @@ class IceLiteMicroBatchStream(ref: TableRef,
     * stops being a point-in-time lie. Local tables no-op. */
   protected def manifest = { refresh(); IceLite.readManifest(ref) }
 
+  /** The incarnation gate: a checkpointed offset that pinned a table
+    * uuid must only ever meet manifests of the SAME incarnation.
+    * Sequential snapshot ids make id-only checks unsound — a
+    * re-created table can reach the consumed id again and the stream
+    * would silently skip its early snapshots (or re-read under a
+    * different history). Either side missing a uuid (pre-upgrade
+    * checkpoint / legacy manifest) falls back to id-only semantics. */
+  protected def checkIncarnation(o: Offset,
+      m: graft.icelite.Manifest): Unit =
+    for (ou <- o.asInstanceOf[IceLiteOffset].tableUuid; mu <- m.tableUuid)
+      require(ou == mu,
+        s"checkpoint tracks a different incarnation of ${ref.name} " +
+          s"(offset uuid $ou, table uuid $mu) — the table was dropped " +
+          "and re-created; restart from a fresh checkpoint")
+
   protected def idxOf(m: graft.icelite.Manifest, snapshotId: Long): Int =
     if (snapshotId == -1L) -1
     else {
@@ -2131,27 +2181,34 @@ class IceLiteMicroBatchStream(ref: TableRef,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val m = manifest
+    checkIncarnation(start, m)
     val startIdx = idxOf(m, start.asInstanceOf[IceLiteOffset].snapshotId)
     val targetIdx = idxOf(m, availableNowTarget.getOrElse(m.currentSnapshotId))
     val nextIdx = math.min(startIdx.toLong + snapshotsPerTrigger, targetIdx.toLong).toInt
     if (nextIdx <= startIdx) start
-    else IceLiteOffset(m.snapshots(nextIdx).id)
+    else IceLiteOffset(m.snapshots(nextIdx).id, m.tableUuid)
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
-  override def reportLatestOffset(): Offset =
-    IceLiteOffset(availableNowTarget.getOrElse(manifest.currentSnapshotId))
+  override def reportLatestOffset(): Offset = {
+    val m = manifest
+    IceLiteOffset(availableNowTarget.getOrElse(m.currentSnapshotId),
+      m.tableUuid)
+  }
 
-  override def initialOffset(): Offset = IceLiteOffset(-1L)
+  override def initialOffset(): Offset =
+    IceLiteOffset(-1L, manifest.tableUuid)
 
   override def deserializeOffset(json: String): Offset =
     IceLiteOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val m = manifest
+    checkIncarnation(start, m)
+    checkIncarnation(end, m)
     val startId = start.asInstanceOf[IceLiteOffset].snapshotId
     val endId = end.asInstanceOf[IceLiteOffset].snapshotId
     val startFiles =
@@ -2271,6 +2328,8 @@ class IceLiteCdcMicroBatchStream(ref: TableRef,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val m = manifest
+    checkIncarnation(start, m)
+    checkIncarnation(end, m)
     val startId = start.asInstanceOf[IceLiteOffset].snapshotId
     val endId = end.asInstanceOf[IceLiteOffset].snapshotId
     val endIdx = idxOf(m, endId)
@@ -2300,11 +2359,15 @@ class IceLiteCdcMicroBatchStream(ref: TableRef,
       val deletes =
         if (newSidecars.isEmpty) Nil
         else {
+          // suffix-matched and re-anchored like the batch scan's
+          // tombstone index: the sidecar stores the WRITER's absolute
+          // path, this reader may sit under a spool root
           val byFile = org.apache.spark.sql.SparkSession.active.read
             .parquet(newSidecars.map(f => ref.dir.resolve(f).toString): _*)
             .select("file_path", "pos").collect()
-            .groupBy(r => IceLiteSource.normPath(r.getString(0)))
-            .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+            .groupBy(r => IceLite.matchStagedPath(prev.files, r.getString(0))
+              .map(rel => IceLiteSource.normPath(ref.dir.resolve(rel).toString)))
+            .collect { case (Some(f), rs) => f -> rs.map(_.getLong(1)).sorted }
           prev.files.flatMap { f =>
             val abs = ref.dir.resolve(f).toString
             byFile.get(IceLiteSource.normPath(abs)).map(pos =>

@@ -301,4 +301,29 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(after.files.count(_.contains("p=odd")) == 1)
     assert(IceLite.readPartitioned(spark, ref).count() == 60)
   }
+
+  test("spec evolution under live MoR sidecars is refused; compact materializes, then evolution proceeds") {
+    // round-9 fuzz-analysis find: evolving flat→partitioned while a
+    // position/equality sidecar is live used to build the partitioned
+    // snapshot WITHOUT the sidecars, silently resurrecting every
+    // deleted row. The guard demands compact() first.
+    val (_, ref) = mk()
+    IceLite.createOrReplace(ref,
+      Seq((1L, "A"), (2L, "B"), (3L, "A")).toDF("k", "s"))
+    IceLite.deleteByKeysMoR(spark, ref, Seq(2L).toDF("k"), Seq("k"))
+    val refusal = intercept[IllegalArgumentException] {
+      IceLite.appendPartitionedEvolving(ref,
+        Seq((4L, "B")).toDF("k", "s"), Seq("s"))
+    }
+    assert(refusal.getMessage.contains("compact"),
+      s"refusal must point at compact(): ${refusal.getMessage}")
+    // compaction folds the sidecar into data files; evolution then works
+    IceLite.compact(spark, ref)
+    IceLite.appendPartitionedEvolving(ref,
+      Seq((4L, "B")).toDF("k", "s"), Seq("s"))
+    val ks = IceLite.readPartitioned(spark, ref)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == Set(1L, 3L, 4L), s"deleted row must stay deleted: $ks")
+  }
+
 }

@@ -119,6 +119,44 @@ class IceLiteStreamSourceSpec extends AnyFunSuite {
       s"expected the append-only guard, got: ${msgs(err).mkString(" | ")}")
   }
 
+  test("a DROP + re-CREATE reaching the consumed snapshot id fails loudly (incarnation pin)") {
+    val ref = freshTable("st_inc_wh")
+    val ck = ckpt("st_inc_ck")
+    val out = java.nio.file.Files.createTempDirectory("st_inc_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt).load(ref.dir.toString)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
+    IceLite.append(ref, Seq((2L, "b")).toDF("k", "s"))
+    drain() // checkpoint now holds snapshotId = 2
+    // DROP + re-CREATE: the new incarnation's sequential ids pass the
+    // consumed id again — id-only offsets would treat snapshots 1-2 of
+    // the NEW table as already consumed and silently skip them
+    IceLite.listDir(java.nio.file.Files.walk(ref.dir))(_.toSeq)
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    IceLite.createOrReplace(ref, Seq((10L, "x")).toDF("k", "s"))
+    IceLite.append(ref, Seq((20L, "y")).toDF("k", "s"))
+    IceLite.append(ref, Seq((30L, "z")).toDF("k", "s"))
+    val q2 = spark.readStream.format(Fmt).load(ref.dir.toString)
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("different incarnation")),
+      s"expected the incarnation pin, got: ${msgs(err).mkString(" | ")}")
+    // nothing of the new incarnation leaked through the old checkpoint
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSeq.sorted ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
   test("column projection applies on the stream read") {
     val ref = freshTable("st_prj_wh")
     IceLite.createOrReplace(ref, Seq((1L, 1.5, "a"), (2L, 2.5, "b"))

@@ -274,6 +274,93 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog-server restart mid-stream: same incarnation resumes exactly-once (s24)") {
+    withServer { (wh, cat, srv) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+      val ck = Files.createTempDirectory("rest_restart_ck").toString
+      val out = Files.createTempDirectory("rest_restart_out").toString
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.src.t")
+          .writeStream.format("parquet").option("path", out)
+          .outputMode("append").option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      assert(spark.read.parquet(out).count() == 2)
+      // KILL the catalog service, commit while it is down (shared
+      // storage: local writers need no server), restart it on the
+      // SAME port — the attachment's uri stays valid
+      val port = new java.net.URI(srv.uri).getPort
+      srv.stop()
+      IceLite.append(ref, Seq((3L, "c")).toDF("k", "s"))
+      val srv2 = restartServer(wh, port)
+      try {
+        drain()
+        // exactly the delta landed: nothing re-read, nothing skipped
+        assert(spark.read.parquet(out).as[(Long, String)].collect().toSeq
+          .sorted == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+          "restart must resume exactly-once")
+        drain()
+        assert(spark.read.parquet(out).count() == 3)
+      } finally srv2.stop()
+    }
+  }
+
+  test("catalog-server restart mid-stream: a re-created table fails loudly, never skips (s24)") {
+    withServer { (wh, cat, srv) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
+      IceLite.append(ref, Seq((2L, "b")).toDF("k", "s"))
+      val ck = Files.createTempDirectory("rest_reinc_ck").toString
+      val out = Files.createTempDirectory("rest_reinc_out").toString
+      def start() = spark.readStream.table(s"$cat.src.t")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      start().awaitTermination() // checkpoint holds snapshotId = 2
+      // server dies; the table is DROPPED and RE-CREATED past the
+      // consumed id while it is down; server comes back on the same
+      // port. The new incarnation's ids collide with the checkpoint —
+      // resuming must fail loudly, not skip its snapshots 1-2.
+      val port = new java.net.URI(srv.uri).getPort
+      srv.stop()
+      IceLite.listDir(Files.walk(ref.dir))(_.toSeq)
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      IceLite.createOrReplace(ref, Seq((10L, "x")).toDF("k", "s"))
+      IceLite.append(ref, Seq((20L, "y")).toDF("k", "s"))
+      IceLite.append(ref, Seq((30L, "z")).toDF("k", "s"))
+      val srv2 = restartServer(wh, port)
+      try {
+        val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          start().awaitTermination()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(err).exists(_.contains("different incarnation")),
+          s"expected the incarnation pin, got: ${msgs(err).mkString(" | ")}")
+        assert(spark.read.parquet(out).as[(Long, String)].collect().toSeq
+          .sorted == Seq((1L, "a"), (2L, "b")),
+          "no new-incarnation row may leak through the old checkpoint")
+      } finally srv2.stop()
+    }
+  }
+
+  /** Bind-with-retry: the restarted server must claim the SAME port
+    * the attachment's stored uri names; give the OS a beat to release
+    * the listener. */
+  private def restartServer(wh: String, port: Int): CatalogServer = {
+    var last: Throwable = null
+    (1 to 50).foreach { _ =>
+      try return new CatalogServer(wh, port).start()
+      catch { case e: java.net.BindException => last = e; Thread.sleep(100) }
+    }
+    throw last
+  }
+
   test("concurrent remote appenders rebase through the server-side CAS") {
     withServer { (wh, cat, _) =>
       val ref = TableRef(wh, "src", "t")
@@ -663,6 +750,37 @@ class RestCatalogSpec extends AnyFunSuite {
       // DROP through the wire
       spark.sql(s"DROP VIEW $cat.src.v")
       assert(!IceLiteViews.exists(wh, "src", "v"))
+    }
+  }
+
+  test("MoR update after RENAME COLUMN never mixes eras (fuzz seeds 41/97 pin)") {
+    // Pre-fix: updateWhereMoR restaged rows read WITHOUT the rename
+    // chain, materializing BOTH era names (old as null-padded
+    // mergeSchema column) into one rewritten file — the remote face
+    // then resolved the chain against the doubled schema and the
+    // renamed column's values vanished. Raw reads now apply the chain,
+    // so every rewrite restages era-visible names only.
+    withServer { (wh, cat, srv) =>
+      val ref = TableRef(wh, "src", "t")
+      val tbl = s"$cat.src.t"
+      IceLite.createOrReplace(ref, Seq((1L, 0.5)).toDF("k", "v"))
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN c BIGINT")
+      spark.sql(s"INSERT INTO $tbl (k, v, c) VALUES (14, 7.0, 0)")
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN c TO cc")
+      // local raw append post-rename stores the NEW name physically:
+      // the file set now spans both eras
+      IceLite.append(ref, Seq((20L, 1.0, 5L)).toDF("k", "v", "cc"))
+      IceLite.updateWhereMoR(spark, ref, "k % 6 = 2", Map("v" -> "v + 10"))
+      val got = spark.sql(s"SELECT k, v, cc FROM $tbl ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+      assert(got == Seq((1L, 0.5, null), (14L, 17.0, 0L), (20L, 11.0, 5L)),
+        s"era mixing: $got")
+      // the local face agrees
+      val loc = IceLite.read(spark, ref).selectExpr("k", "v", "cc")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq.sortBy(_._1)
+      assert(loc == got, s"faces disagree: local $loc vs remote $got")
     }
   }
 }
