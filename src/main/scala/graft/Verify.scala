@@ -24,12 +24,21 @@ object Verify {
     // empty object on a clean run) — stderr alone made round 5's 32-id
     // breakage invisible until the judge reproduced it locally.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_EXPLAIN=dir also writes each id's formatted physical
+    // plan — the scale shadow-bench's evidence that a plan survived the
+    // 10x fixture (broadcast stayed broadcast, pushdown still present)
+    val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN")
+    explainDir.foreach(d => new java.io.File(d).mkdirs())
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        explainDir.foreach(d => Files.writeString(Paths.get(s"$d/$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
