@@ -717,8 +717,7 @@ object IceLite {
     * client preserved. */
   private[graft] def commitCompactStaged(ref: TableRef, added: Seq[String],
       expectedVersion: Long, keepSorted: Boolean): Snapshot = {
-    val rowsByFile = fileRowCounts(ref, added)
-    val stats = footerStats(ref, added)
+    val (rowsByFile, stats) = footerRowsAndStats(ref, added)
     // local compact()'s race rule, over the wire: claim EXACTLY the
     // version after the one the client compacted against, so ANY
     // concurrent commit — another append, a metadata commit, and
@@ -873,7 +872,15 @@ object IceLite {
     * Columns without usable stats record nothing (pruning then keeps
     * the file conservatively). */
   private def footerStats(ref: TableRef, files: Seq[String]): Map[String, Seq[ColStats]] =
-    mapFooters(ref, files) { (f, r) =>
+    footerRowsAndStats(ref, files)._2
+
+  /** One footer open serving BOTH row counts and min/max stats —
+    * every commit path needs the pair, and two sweeps over the same
+    * footers doubled the driver-side open cost on wide fanout commits
+    * (the d84 class). */
+  private def footerRowsAndStats(ref: TableRef, files: Seq[String])
+      : (Map[String, Long], Map[String, Seq[ColStats]]) = {
+    val both = mapFooters(ref, files) { (f, r) =>
       val perCol: Map[String, Seq[(Double, Double)]] = {
         import scala.jdk.CollectionConverters._
         r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala).flatMap { c =>
@@ -886,10 +893,14 @@ object IceLite {
           }
         }.toSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
       }
-      f -> perCol.map { case (col, ranges) =>
+      val stats = perCol.map { case (col, ranges) =>
         ColStats(col, ranges.map(_._1).min, ranges.map(_._2).max)
       }.toSeq.sortBy(_.col)
-    }.filter(_._2.nonEmpty).toMap
+      (f, r.getRecordCount, stats)
+    }
+    (both.map { case (f, n, _) => f -> n }.toMap,
+      both.collect { case (f, _, s) if s.nonEmpty => f -> s }.toMap)
+  }
 
   /** d42/d43: group-based copy-on-write commit (the DSv2 ReplaceData
     * contract behind SQL UPDATE / MERGE INTO): atomically swap exactly
@@ -904,8 +915,7 @@ object IceLite {
     * row counts leave through the manifest's own record counts. */
   private[graft] def commitReplace(ref: TableRef, removed: Set[String],
       added: Seq[String], op: String): Snapshot = {
-    val rowsByFile = fileRowCounts(ref, added)
-    val stats = footerStats(ref, added)
+    val (rowsByFile, stats) = footerRowsAndStats(ref, added)
     while (true) {
       val (baseVersion, basePath) = latestManifestFile(ref).getOrElse(
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
@@ -950,9 +960,8 @@ object IceLite {
   private[graft] def commitStaged(ref: TableRef, files: Seq[String],
       truncate: Boolean, summary: Map[String, String] = Map.empty,
       keepSorted: Boolean = false): Snapshot = {
-    val rowsByFile = fileRowCounts(ref, files)
+    val (rowsByFile, stats) = footerRowsAndStats(ref, files)
     val rows = rowsByFile.values.sum
-    val stats = footerStats(ref, files)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       val now = System.currentTimeMillis()
@@ -1064,8 +1073,7 @@ object IceLite {
       partitionSpec: Seq[PartitionField] = Nil): Snapshot = {
     require(partitionCols.isEmpty || partitionSpec.isEmpty,
       "a table has either an identity layout or a transform spec, not both")
-    val rowsByFile = fileRowCounts(ref, files)
-    val stats = footerStats(ref, files)
+    val (rowsByFile, stats) = footerRowsAndStats(ref, files)
     commitCAS(ref) { cur =>
       if (mustNotExist) require(cur.isEmpty, s"${ref.name} already exists")
       if (mustExist) require(cur.nonEmpty, s"${ref.name} does not exist")
@@ -1187,8 +1195,7 @@ object IceLite {
   private[graft] def commitStagedTransformed(ref: TableRef, token: String,
       staged: Seq[String], replace: Boolean): Snapshot = {
     val moved = promoteStagedPartitioned(ref, token, staged)
-    val rowsByFile = fileRowCounts(ref, moved)
-    val stats = footerStats(ref, moved)
+    val (rowsByFile, stats) = footerRowsAndStats(ref, moved)
     commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException(
         s"${ref.name} does not exist — transformed DSv2 writes target " +
@@ -1247,8 +1254,7 @@ object IceLite {
         val c = seg.takeWhile(_ != '=')
         c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
       }.toMap
-    val rowsByFile = fileRowCounts(ref, moved)
-    val stats = footerStats(ref, moved)
+    val (rowsByFile, stats) = footerRowsAndStats(ref, moved)
     commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException(
         s"${ref.name} does not exist — partitioned DSv2 writes target " +
@@ -1982,8 +1988,7 @@ object IceLite {
         .join(org.apache.spark.sql.functions.broadcast(keyBatch),
           keyCols, "left_semi").count()
       val dataFiles = stage(ref, cached)
-      val newRowsByFile = fileRowCounts(ref, dataFiles)
-      val newStats = footerStats(ref, dataFiles)
+      val (newRowsByFile, newStats) = footerRowsAndStats(ref, dataFiles)
       val sidecars: Seq[String] =
         if (matched == 0L) Nil // pure insert: no old versions to hide
         else {

@@ -230,6 +230,30 @@ class CrashPointFuzzSpec extends AnyFunSuite {
         IceLite.deleteByKeysMoR(spark, ref, Seq(2L).toDF("k"), Seq("k"))
       } { pre => pre.filterNot(_._1 == 2L) }
     }
+
+    test(s"CoW delete survives every kill point ($ioName)") {
+      sweep(s"cow_$ioName", mkIo) { ref =>
+        IceLite.createOrReplace(ref,
+          Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+        Set((1L, "a"), (2L, "b"), (3L, "c"))
+      } { ref =>
+        IceLite.deleteWhere(spark, ref, "k = 2")
+      } { pre => pre.filterNot(_._1 == 2L) }
+    }
+
+    test(s"compact (with a live MoR sidecar) survives every kill point ($ioName)") {
+      // rows are identical pre/post, so the sweep's value here is the
+      // structural invariants at every kill: nothing torn, nothing
+      // dangling, residue reclaimed, sidecar semantics preserved
+      sweep(s"compact_$ioName", mkIo) { ref =>
+        IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
+        IceLite.append(ref, Seq((2L, "b"), (3L, "c")).toDF("k", "s"))
+        IceLite.deleteByKeysMoR(spark, ref, Seq(1L).toDF("k"), Seq("k"))
+        Set((2L, "b"), (3L, "c"))
+      } { ref =>
+        IceLite.compact(spark, ref)
+      } { pre => pre }
+    }
   }
 
   fuzzAll("local", localIo)
