@@ -279,9 +279,20 @@ object IceLiteSource {
     val widenTo = m.widenedCols.filter(_.sinceSnapshotId <= snap.id)
       .map(w => w.name ->
         org.apache.spark.sql.types.DataType.fromDDL(w.toType)).toMap
-    if (widenTo.isEmpty) dropped
-    else StructType(dropped.fields.map(f =>
-      widenTo.get(f.name).fold(f)(t => f.copy(dataType = t))))
+    val widened =
+      if (widenTo.isEmpty) dropped
+      else StructType(dropped.fields.map(f =>
+        widenTo.get(f.name).fold(f)(t => f.copy(dataType = t))))
+    // EVERY column is nullable — the rule spark.read.parquet itself
+    // applies (asNullable). The head file's parquet nullability is a
+    // property of ONE writer's input (a tuple-derived DF marks fields
+    // REQUIRED), not of the table: other files can predate the column
+    // or legitimately hold nulls, and a non-nullable scan schema makes
+    // codegen SKIP null checks — their nulls then read as 0/""
+    // (found by RestModelFuzzSpec sweep seeds 1022/1039: a CoW
+    // rewrite flipped the head file to a REQUIRED-schema append and
+    // every pre-ADD-COLUMN row's null read back as 0).
+    StructType(widened.fields.map(_.copy(nullable = true)))
   }
 
   /** d58: current name → its older stored names, newest first — the

@@ -526,4 +526,32 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert((r4.getLong(0), r4.getLong(1)) == ((1L, 100L)))
     assert(!IceLiteSource.lastScanMetadataOnly, "long min/max must scan")
   }
+
+  test("table schema is ALWAYS nullable: a REQUIRED-schema head file must not flip it") {
+    // RestModelFuzzSpec sweep seeds 1022/1039: a tuple-derived DF
+    // writes parquet REQUIRED fields; when that file becomes the
+    // snapshot's HEAD file (a CoW rewrite reordered the list), a
+    // schema derived from its nullability makes codegen skip null
+    // checks — every other file's nulls then read as 0. File-based
+    // tables surface every column nullable, exactly like
+    // spark.read.parquet's asNullable rule.
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("src_nullable").toString
+    IceLite.createNamespace(dir, "src")
+    val ref = TableRef(dir, "src", "t")
+    // head file: tuple-derived, parquet-REQUIRED c
+    IceLite.createOrReplace(ref, Seq((11L, 5.5, 4L)).toDF("k", "v", "c"))
+    val schema = spark.read.format(Fmt).load(ref.dir.toString).schema
+    assert(schema.fields.forall(_.nullable),
+      s"non-nullable fields leaked from the head file: $schema")
+    // a second file with all-null c must read null, not 0
+    Seq((1L, 0.5), (2L, 1.0)).toDF("k", "v")
+      .withColumn("c", lit(null).cast("bigint"))
+      .write.format(Fmt).mode("append").save(ref.dir.toString)
+    val got = spark.read.format(Fmt).load(ref.dir.toString)
+      .select("k", "c").orderBy("k").collect()
+    assert(got.filter(_.getLong(0) < 11L).forall(_.isNullAt(1)),
+      s"nulls decoded as 0 under a non-nullable scan schema: ${got.mkString(", ")}")
+    assert(got.find(_.getLong(0) == 11L).exists(_.getLong(1) == 4L))
+  }
 }

@@ -98,8 +98,11 @@ class RestModelFuzzSpec extends AnyFunSuite {
       }
 
       checkRemote("seed")
+      val trace = sys.env.contains("GRAFT_FUZZ_TRACE")
       (1 to ops).foreach { i =>
         val op = rnd.nextInt(11)
+        if (trace) println(s"[fuzz seed=$seed] op$i case$op " +
+          s"hasC=$hasC cName=$cName modelSize=${model.size}")
         op match {
           case 0 => // remote SQL INSERT
             val ks = freshKeys(1 + rnd.nextInt(3))
@@ -219,6 +222,11 @@ class RestModelFuzzSpec extends AnyFunSuite {
   test("random REST/local interleavings match the serial model (seed 7)") { run(7L, 20) }
   test("random REST/local interleavings match the serial model (seed 41)") { run(41L, 20) }
   test("random REST/local interleavings match the serial model (seed 97)") { run(97L, 20) }
+  // wide-sweep finds, pinned: a CoW rewrite made a REQUIRED-schema
+  // append the head file and every pre-ADD-COLUMN null read as 0
+  // (schemaOf now forces nullable; IceLiteSourceSpec pins the unit)
+  test("random REST/local interleavings match the serial model (seed 1022)") { run(1022L, 16) }
+  test("random REST/local interleavings match the serial model (seed 1039)") { run(1039L, 16) }
 
   // offline wide sweep (not part of the CI suite):
   //   GRAFT_FUZZ_SEEDS=50 sbt "testOnly graft.sources.RestModelFuzzSpec"
