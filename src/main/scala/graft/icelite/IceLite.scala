@@ -932,6 +932,16 @@ object IceLite {
             s"against were rewritten concurrently (e.g. ${gone.head}) — " +
             "re-run the statement against the current snapshot")
       }
+      // d56: a transform-layout rewrite must land the spec's derived
+      // dirs (the transformed replace-writer stages them; validate
+      // like commitStagedTransformed) and CARRY the spec forward —
+      // dropping it would silently end transform pruning
+      if (snap.partitionSpec.nonEmpty)
+        added.foreach { f =>
+          require(fileLayout(f) == snap.partitionSpec.map(_.name),
+            s"row-level $op staged $f outside the hidden-partition " +
+              s"layout ${snap.partitionSpec.map(_.name).mkString("/")}")
+        }
       val removedRows = removed.toSeq.map(f =>
         snap.fileRows.getOrElse(f, countRowsFromFooters(ref, Seq(f)))).sum
       val id = base.snapshots.map(_.id).max + 1
@@ -940,7 +950,8 @@ object IceLite {
         snap.rowCount - removedRows + rowsByFile.values.sum,
         (snap.fileStats -- removed) ++ stats,
         snap.partitionCols, snap.sortedBy,
-        fileRows = (snap.fileRows -- removed) ++ rowsByFile)
+        fileRows = (snap.fileRows -- removed) ++ rowsByFile,
+        partitionSpec = snap.partitionSpec)
       // staged files survive a lost CAS race (pass Nil): the loop
       // rebases and re-validates rather than recomputing the data
       if (claimVersion(ref, baseVersion + 1,
@@ -1195,6 +1206,17 @@ object IceLite {
   private[graft] def commitStagedTransformed(ref: TableRef, token: String,
       staged: Seq[String], replace: Boolean): Snapshot = {
     val moved = promoteStagedPartitioned(ref, token, staged)
+    commitPromotedTransformed(ref, moved, replace)
+  }
+
+  /** The CAS half of a transformed staged commit: `moved` are
+    * table-relative paths ALREADY promoted into the derived-dir
+    * layout (locally by commitStagedTransformed; by the remote writer
+    * itself on the REST path — promotion is data-plane, visibility
+    * changes only here). Mirrors commitPromotedPartitioned for
+    * hidden-partition layouts. */
+  private[graft] def commitPromotedTransformed(ref: TableRef,
+      moved: Seq[String], replace: Boolean): Snapshot = {
     val (rowsByFile, stats) = footerRowsAndStats(ref, moved)
     commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException(
@@ -1874,6 +1896,10 @@ object IceLite {
           head.files, head.rowCount - deleted, head.fileStats,
           head.partitionCols, head.sortedBy,
           fileRows = head.fileRows,
+          // transform tables take MoR ops (partitionCols stays empty
+          // on hidden layouts) — dropping the spec here silently ended
+          // transform pruning (TransformModelFuzzSpec seed 5)
+          partitionSpec = head.partitionSpec,
           deleteFiles = head.deleteFiles ++ sidecars)
         m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
       }
@@ -1942,6 +1968,7 @@ object IceLite {
             head.files, head.rowCount - matched, head.fileStats,
             head.partitionCols, head.sortedBy,
             fileRows = head.fileRows,
+            partitionSpec = head.partitionSpec, // hidden layouts take MoR ops
             deleteFiles = head.deleteFiles,
             eqDeletes = head.eqDeletes ++
               sidecars.map(EqDelete(_, keyCols, id)))
@@ -1987,7 +2014,10 @@ object IceLite {
       val matched = readFilesWithDeletes(spark, ref, snap, snap.files)
         .join(org.apache.spark.sql.functions.broadcast(keyBatch),
           keyCols, "left_semi").count()
-      val dataFiles = stage(ref, cached)
+      // batch rows land through the table's OWN layout (transform dirs
+      // derived per row; sorted tables range-clustered) — same rule as
+      // every other append path
+      val dataFiles = restageWithLayout(ref, cached, snap, 1)
       val (newRowsByFile, newStats) = footerRowsAndStats(ref, dataFiles)
       val sidecars: Seq[String] =
         if (matched == 0L) Nil // pure insert: no old versions to hide
@@ -2025,6 +2055,7 @@ object IceLite {
           head.fileStats ++ newStats,
           head.partitionCols, head.sortedBy,
           fileRows = head.fileRows ++ newRowsByFile,
+          partitionSpec = head.partitionSpec, // hidden layouts take MoR ops
           deleteFiles = head.deleteFiles,
           eqDeletes = head.eqDeletes ++
             sidecars.map(EqDelete(_, keyCols, id)))
@@ -2087,7 +2118,10 @@ object IceLite {
         matched.drop("_mor_file", "_mor_pos")) { case (d, (c, e)) =>
       d.withColumn(c, expr(e).cast(d.schema(c).dataType))
     }
-    val newFiles = stage(ref, rewritten)
+    // the transformed copies land through the table's OWN layout
+    // (transform dirs re-derived, sorted tables re-clustered) so the
+    // MoR append keeps pruning tight instead of accreting flat files
+    val newFiles = restageWithLayout(ref, rewritten, snap, 1)
     val rowsByFile = fileRowCounts(ref, newFiles)
     // ledger stats key STORED names; the rewrite staged era-visible
     // ones — re-collect under the chain-resolved names
@@ -2110,6 +2144,7 @@ object IceLite {
         head.files ++ newFiles, head.rowCount, head.fileStats ++ stats,
         head.partitionCols, head.sortedBy,
         fileRows = head.fileRows ++ rowsByFile,
+        partitionSpec = head.partitionSpec, // hidden layouts take MoR ops
         deleteFiles = head.deleteFiles ++ sidecars)
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
     }.current

@@ -463,11 +463,6 @@ class IceLiteTable(ref: TableRef, schema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty,
       s"${name()} is a time-travel read — snapshots are immutable")
-    // transform-partitioned (hidden-partition) layouts restage from
-    // DERIVED values the SQL writer cannot recompute — engine only
-    require(IceLiteSource.resolveSnap(ref, None).partitionSpec.isEmpty,
-      s"${name()} is transform-partitioned — use IceLite.merge/" +
-        "updateWhere (the DataFrame API)")
     // a row-level rewrite on an eq-live table would have to re-derive
     // the sidecars' logical row accounting — compact() first (reads
     // fold eq sidecars, d73; rewrites need them materialized)
@@ -681,14 +676,34 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
     * pruning it feeds, survives SQL UPDATE/MERGE/DELETE. */
   private val partCols: Seq[String] =
     IceLiteSource.resolveSnap(ref, None).partitionCols
+  /** d56×d42: HIDDEN-PARTITION rewrites restage through the CURRENT
+    * snapshot's transform spec (rewriteWhere parity) — the source
+    * columns live in the data pages, so executors re-derive the
+    * value dirs with the same bound Catalyst ops the d84 INSERT
+    * writer uses, and the layout (and its pruning) survives SQL
+    * DELETE/UPDATE/MERGE on a bucket/days/truncate table. */
+  private val transformSpec: Seq[graft.icelite.PartitionField] =
+    IceLiteSource.resolveSnap(ref, None).partitionSpec
+  // session timezone at plan time: days() dirs must match the engine
+  // API's date_format staging (same rule as IceLiteTransformedBatchWrite)
+  private val tz = org.apache.spark.sql.SparkSession.active
+    .sessionState.conf.sessionLocalTimeZone
 
   override def toBatch: BatchWrite = this
   override def description(): String = s"IceLiteReplaceWrite $opName ${ref.name}"
 
   override def requiredDistribution(): Distribution =
-    IceLiteWriteLayout.distributionFor(partCols, sortedBy)
+    if (transformSpec.nonEmpty)
+      // cluster by the SOURCE columns (same rationale as the d84
+      // append path: same source value ⇒ same derived dir, bounded
+      // per-task dir writers, no FunctionCatalog registration needed)
+      Distributions.clustered(transformSpec.map(_.sourceCol).distinct
+        .map(c => Expressions.identity(c): org.apache.spark.sql
+          .connector.expressions.Expression).toArray)
+    else IceLiteWriteLayout.distributionFor(partCols, sortedBy)
   override def requiredOrdering(): Array[SortOrder] =
-    IceLiteWriteLayout.orderingFor(partCols, sortedBy)
+    if (transformSpec.nonEmpty) Array.empty
+    else IceLiteWriteLayout.orderingFor(partCols, sortedBy)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // the preserve flags on _file are off, so the rewrite writes pure
@@ -697,7 +712,10 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
     require(!schema.fieldNames.contains("_file"),
       s"row-level $opName write schema leaked the _file metadata column")
     java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
-    if (partCols.nonEmpty)
+    if (transformSpec.nonEmpty)
+      new IceLiteTransformedWriterFactory(
+        ref.dataDir.resolve(token).toString, schema, transformSpec, tz)
+    else if (partCols.nonEmpty)
       new IceLitePartitionedWriterFactory(
         ref.dataDir.resolve(token).toString, schema, partCols)
     else
@@ -716,7 +734,9 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
     val removed = op.scannedFiles.getOrElse(throw new IllegalStateException(
       s"row-level $opName write committed before its scan planned files"))
     val staged: Seq[String] =
-      if (partCols.nonEmpty) {
+      if (partCols.nonEmpty || transformSpec.nonEmpty) {
+        // identity AND transform writers stage under value dirs; the
+        // same promotion moves both (value paths are value paths)
         val rels = messages.collect {
           case IceLitePartitionedCommitMessage(fs) => fs
         }.flatten.toSeq

@@ -69,6 +69,10 @@ private[rest] final case class CommitStagedReq(files: Seq[String])
   *    `overwrite-partitioned`           Hive-layout tables; `mode` is
   *                                      all|dynamic|static (+`eq` for
   *                                      static partition filters)
+  *  - `append-transformed` /
+  *    `overwrite-transformed`           hidden-partition (d56) tables:
+  *                                      promoted derived-dir files,
+  *                                      validated against the spec
   *  - `replace`                         row-level rewrite: swap
   *                                      `removed` for `added`
   *                                      (`opName` names the statement)
@@ -278,6 +282,13 @@ class CatalogServer(warehouse: String, port: Int = 0) {
                     s"overwrite-partitioned mode must be all|dynamic|static, got $other")
                 }
                 IceLite.commitPromotedPartitioned(ref, req.added, mode, via)
+              case "append-transformed" =>
+                require(req.added.nonEmpty, "append needs staged files")
+                IceLite.commitPromotedTransformed(ref, req.added,
+                  replace = false)
+              case "overwrite-transformed" =>
+                IceLite.commitPromotedTransformed(ref, req.added,
+                  replace = true)
               case "replace" =>
                 IceLite.commitReplace(ref, req.removed.toSet, req.added,
                   req.opName.getOrElse("replace"))

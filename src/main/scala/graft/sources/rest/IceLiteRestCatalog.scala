@@ -741,20 +741,12 @@ private[rest] class RestReadTable(spool: TableRef, tableSchema: StructType,
         .getOption("spark.wap.branch").forall(_.isEmpty),
       "spark.wap.branch is set — branch staging commits through the " +
         "owning catalog, not the REST face")
-    // transform-partitioned (hidden-partition) layouts — current OR
-    // declared by a pending d85 evolution — refuse toward the owner
-    require(graft.icelite.IceLite.readManifest(spool).writeLayoutSpec.isEmpty,
-      s"${name()} is transform-partitioned — write through the owning " +
-        "catalog (SQL INSERT there, or IceLite.appendTransformed)")
     new RestWriteBuilder(spool, info, commitUrl, http)
   }
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     val snap = IceLiteSource.resolveSnap(spool, None)
-    require(snap.partitionSpec.isEmpty,
-      s"${name()} is transform-partitioned — row-level rewrites run " +
-        "through the owning catalog's engine API")
     require(snap.eqDeletes.isEmpty,
       s"${name()} has live equality-delete sidecars — compact() " +
         "before a row-level DELETE/UPDATE/MERGE")
@@ -828,21 +820,44 @@ private[rest] class RestWriteBuilder(spool: TableRef,
     // remote writes must land the DECLARED layout, like local ones
     private val partCols: Seq[String] =
       graft.icelite.IceLite.readManifest(spool).writeLayoutCols
+    // d84 over the wire: hidden-partition targets derive value dirs
+    // client-side (staging into the shared mount) — the DECLARED spec
+    // when a d85 evolution is pending, like the local SQL face
+    private val transformSpec: Seq[graft.icelite.PartitionField] =
+      graft.icelite.IceLite.readManifest(spool).writeLayoutSpec
     private val sortCol: Option[String] = snap.sortedBy
 
     locally {
+      if (transformSpec.nonEmpty) {
+        require(overwriteEq.isEmpty && !dynamic,
+          s"${spool.name} is hidden-partitioned — a PARTITION clause " +
+            "names derived values the transforms exist to hide; " +
+            "INSERT INTO appends, plain INSERT OVERWRITE truncates")
+        transformSpec.foreach(f => require(
+          !info.schema().fieldNames.contains(f.name),
+          s"derived partition name '${f.name}' collides with a " +
+            "written column"))
+      }
       require(partCols.nonEmpty || (overwriteEq.isEmpty && !dynamic),
         s"${spool.name} is not partitioned — partition overwrite does " +
           "not apply (plain INSERT OVERWRITE truncates)")
     }
 
     override def requiredDistribution(): Distribution =
-      graft.sources.IceLiteWriteLayout.distributionFor(partCols, sortCol)
+      if (transformSpec.nonEmpty)
+        Distributions.clustered(transformSpec.map(_.sourceCol).distinct
+          .map(c => Expressions.identity(c): org.apache.spark.sql
+            .connector.expressions.Expression).toArray)
+      else graft.sources.IceLiteWriteLayout.distributionFor(partCols, sortCol)
     override def requiredOrdering(): Array[SortOrder] =
-      graft.sources.IceLiteWriteLayout.orderingFor(partCols, sortCol)
+      if (transformSpec.nonEmpty) Array.empty
+      else graft.sources.IceLiteWriteLayout.orderingFor(partCols, sortCol)
 
     override def toBatch: BatchWrite =
-      if (partCols.nonEmpty) {
+      if (transformSpec.nonEmpty)
+        new RestTransformedBatchWrite(spool, info.schema(), transformSpec,
+          replace, commitUrl, http)
+      else if (partCols.nonEmpty) {
         val (modeStr, eq) =
           if (dynamic) ("dynamic", Map.empty[String, String])
           else overwriteEq match {
@@ -941,6 +956,50 @@ private[rest] class RestPartitionedBatchWrite(spool: graft.icelite.TableRef,
       else ("overwrite-partitioned", Some(mode))
     RestCommitClient.postCommit(http, commitUrl, Serialization.write(CommitReq(
       operation = op, added = moved, mode = m, eq = eq)))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = spool.dataDir.resolve(token)
+    if (Files.exists(dir))
+      graft.icelite.IceLite.listDir(Files.walk(dir))(_.toSeq)
+        .sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+  }
+}
+
+/** Hidden-partition batch write over the REST protocol (d84 over the
+  * wire): executors derive each row's value dirs with the same bound
+  * Catalyst ops the local SQL face uses and stage under the shared
+  * `data/<token>/<derived>=<v>/`; the driver promotes client-side
+  * (renames within shared storage) and ONE POST CAS-commits the
+  * promoted set server-side, validated against the table's spec. */
+private[rest] class RestTransformedBatchWrite(spool: graft.icelite.TableRef,
+    schema: StructType, spec: Seq[graft.icelite.PartitionField],
+    replace: Boolean, commitUrl: String, http: java.net.http.HttpClient)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private implicit val formats: org.json4s.Formats =
+    Serialization.formats(org.json4s.NoTypeHints)
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+  private val tz = org.apache.spark.sql.SparkSession.active
+    .sessionState.conf.sessionLocalTimeZone
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(spool.dataDir.resolve(token))
+    new graft.sources.IceLiteTransformedWriterFactory(
+      spool.dataDir.resolve(token).toString, schema, spec, tz)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case graft.sources.IceLitePartitionedCommitMessage(fs) => fs
+    }.flatten.toSeq
+    if (staged.isEmpty && !replace) return // empty append: no snapshot
+    val moved = IceLite.promoteStagedPartitioned(spool, token, staged)
+    RestCommitClient.postCommit(http, commitUrl, Serialization.write(CommitReq(
+      operation = if (replace) "overwrite-transformed" else "append-transformed",
+      added = moved)))
     ()
   }
 

@@ -126,4 +126,14 @@ class EvolutionModelSpec extends AnyFunSuite {
   test("random evolution interleavings match the model (seed 11)") { run(11L, 24) }
   test("random evolution interleavings match the model (seed 29)") { run(29L, 24) }
   test("random evolution interleavings match the model (seed 63)") { run(63L, 24) }
+
+  // offline wide sweep (not part of the CI suite):
+  //   GRAFT_EVO_FUZZ_SEEDS=50 [GRAFT_EVO_FUZZ_BASE=4000] \
+  //     sbt "testOnly graft.sources.EvolutionModelSpec"
+  sys.env.get("GRAFT_EVO_FUZZ_SEEDS").map(_.trim.toInt).foreach { n =>
+    val base = sys.env.get("GRAFT_EVO_FUZZ_BASE").map(_.trim.toLong).getOrElse(4000L)
+    (1 to n).foreach { s =>
+      test(s"evo sweep seed ${base + s}") { run(base + s, 20) }
+    }
+  }
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.TestSpark
 import graft.icelite.{IceLite, TableRef}
 import graft.sources.rest.CatalogServer
@@ -196,6 +197,74 @@ class RestCatalogSpec extends AnyFunSuite {
       val m2 = IceLite.readManifest(ref)
       assert(m2.current.partitionCols == Seq("p") &&
         m2.current.files.forall(_.contains("p=")))
+    }
+  }
+
+  test("hidden-partition DML over REST: INSERT + row-level rewrites land the derived layout") {
+    withServer { (wh, cat, _) =>
+      // owner creates a bucket(4, k) table; the remote engine then runs
+      // the full DML surface against it — every commit must keep the
+      // spec and land derived dirs (d84 over the wire)
+      val ref = TableRef(wh, "src", "ht")
+      IceLite.createOrReplaceTransformed(ref,
+        (0L to 19L).map(k => (k, s"u${k % 3}", k * 1.0)).toDF("k", "who", "v"),
+        Seq(graft.icelite.PartitionField("k_bucket", "bucket", "k", 4)))
+
+      def assertLayout(label: String): Unit = {
+        val snap = IceLite.readManifest(ref).current
+        assert(snap.partitionSpec.map(_.name) == Seq("k_bucket"),
+          s"$label: spec lost over the wire (${snap.partitionSpec})")
+        assert(snap.files.forall(_.contains("k_bucket=")),
+          s"$label: files escaped the derived layout: ${snap.files}")
+      }
+
+      // remote INSERT derives dirs client-side, commits transformed
+      spark.sql(s"INSERT INTO $cat.src.ht VALUES (100L, 'u9', 5.0)")
+      assertLayout("insert")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.ht").head.getLong(0) == 21L)
+      // the landed bucket dir agrees with the engine API's derivation
+      val viaApi = IceLite.readManifest(ref).current.files
+      assert(viaApi.exists(_.contains(s"k_bucket=")), viaApi)
+
+      // remote row-level DELETE / UPDATE / MERGE (ReplaceData over the
+      // wire) restage through the spec and carry it in the commit
+      spark.sql(s"DELETE FROM $cat.src.ht WHERE k % 5 = 0")
+      assertLayout("delete")
+      spark.sql(s"UPDATE $cat.src.ht SET v = v + 100 WHERE k % 2 = 1")
+      assertLayout("update")
+      Seq((1L, "u7", 0.5), (200L, "u7", 2.5)).toDF("k", "who", "v")
+        .createOrReplaceTempView("ht_upd")
+      spark.sql(s"""MERGE INTO $cat.src.ht t USING ht_upd s ON t.k = s.k
+                    WHEN MATCHED THEN UPDATE SET t.v = s.v, t.who = s.who
+                    WHEN NOT MATCHED THEN INSERT (k, who, v) VALUES (s.k, s.who, s.v)""")
+      assertLayout("merge")
+      val got = spark.sql(
+          s"SELECT who, v FROM $cat.src.ht WHERE k IN (1, 200) ORDER BY k")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("u7", 0.5), ("u7", 2.5)), got)
+
+      // both faces agree, and transform pruning stays exact
+      val local = IceLite.read(spark, ref).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val remote = spark.sql(s"SELECT k, v FROM $cat.src.ht")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(local == remote, "face divergence after remote transform DML")
+      import graft.icelite.IceLite.SourceIn
+      val pruned = IceLite.readTransformPruned(spark, ref,
+        Seq(SourceIn("k", Seq(200L))), col("k") === 200L).count()
+      assert(pruned == 1L)
+
+      // INSERT OVERWRITE truncates through the transformed commit;
+      // PARTITION clauses still refuse (derived values stay hidden)
+      spark.sql(s"INSERT OVERWRITE $cat.src.ht VALUES (7L, 'u0', 1.0)")
+      assertLayout("overwrite")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.ht").head.getLong(0) == 1L)
+      val e = intercept[Exception](spark.sql(
+        s"INSERT OVERWRITE $cat.src.ht PARTITION (k_bucket=1) VALUES (9L, 'u1', 2.0)"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("hidden-partitioned") ||
+        m.contains("PARTITION")), msgs(e).mkString(" | "))
     }
   }
 

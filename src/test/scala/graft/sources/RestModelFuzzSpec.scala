@@ -229,13 +229,15 @@ class RestModelFuzzSpec extends AnyFunSuite {
   test("random REST/local interleavings match the serial model (seed 1039)") { run(1039L, 16) }
 
   // offline wide sweep (not part of the CI suite):
-  //   GRAFT_FUZZ_SEEDS=50 sbt "testOnly graft.sources.RestModelFuzzSpec"
-  // runs seeds 1001..1000+N at 16 ops each; any failure reproduces
-  // exactly under its printed seed and should be pinned as a fixed
-  // test above once diagnosed.
+  //   GRAFT_FUZZ_SEEDS=50 [GRAFT_FUZZ_BASE=2000] \
+  //     sbt "testOnly graft.sources.RestModelFuzzSpec"
+  // runs seeds BASE+1..BASE+N (default base 1000) at 16 ops each; any
+  // failure reproduces exactly under its printed seed and should be
+  // pinned as a fixed test above once diagnosed.
   sys.env.get("GRAFT_FUZZ_SEEDS").map(_.trim.toInt).foreach { n =>
+    val base = sys.env.get("GRAFT_FUZZ_BASE").map(_.trim.toLong).getOrElse(1000L)
     (1 to n).foreach { s =>
-      test(s"sweep seed ${1000 + s}") { run(1000L + s, 16) }
+      test(s"sweep seed ${base + s}") { run(base + s, 16) }
     }
   }
 }

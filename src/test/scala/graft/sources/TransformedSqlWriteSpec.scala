@@ -179,4 +179,61 @@ class TransformedSqlWriteSpec extends AnyFunSuite {
           PARTITIONED BY (who, bucket(4, id))"""))
     assert(mixed.getMessage.contains("mix"), mixed.getMessage)
   }
+
+  test("SQL DELETE/UPDATE/MERGE on a hidden-partition table preserve spec + layout") {
+    // the row-level (ReplaceData) path on a transform table: rewritten
+    // rows must re-derive their value dirs and the committed snapshot
+    // must CARRY partitionSpec — dropping either silently ends
+    // transform pruning (found by TransformModelFuzzSpec seed 5)
+    val (cat, wh) = fresh()
+    spark.sql(s"""CREATE TABLE $cat.src.rl_t (id BIGINT, who STRING, v DOUBLE)
+                  PARTITIONED BY (bucket(4, id))""")
+    (0L to 19L).map(i => (i, s"u${i % 3}", i * 1.0)).toDF("id", "who", "v")
+      .createOrReplaceTempView("rl_src")
+    spark.sql(s"INSERT INTO $cat.src.rl_t SELECT id, who, v FROM rl_src")
+    val ref = TableRef(wh, "src", "rl_t")
+    val specNames = Seq("id_bucket")
+
+    def assertLayout(label: String): Unit = {
+      val snap = IceLite.readManifest(ref).current
+      assert(snap.partitionSpec.map(_.name) == specNames,
+        s"$label: snapshot lost the transform spec (${snap.partitionSpec})")
+      assert(snap.files.forall(f => f.contains("id_bucket=")),
+        s"$label: rewrite landed files outside the layout: ${snap.files}")
+    }
+
+    // DELETE with a non-pushable predicate → row-level ReplaceData
+    spark.sql(s"DELETE FROM $cat.src.rl_t WHERE id % 5 = 0")
+    assertLayout("delete")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.rl_t").head.getLong(0) == 16L)
+
+    // UPDATE → row-level ReplaceData
+    spark.sql(s"UPDATE $cat.src.rl_t SET v = v + 100 WHERE id % 2 = 1")
+    assertLayout("update")
+    assert(spark.sql(
+        s"SELECT SUM(v) FROM $cat.src.rl_t WHERE id % 2 = 1").head.getDouble(0)
+      == (0L to 19L).filter(i => i % 5 != 0 && i % 2 == 1)
+        .map(_ * 1.0 + 100).sum)
+
+    // MERGE → row-level ReplaceData (upsert: update one, insert one)
+    Seq((1L, "u9", 0.5), (100L, "u9", 9.9)).toDF("id", "who", "v")
+      .createOrReplaceTempView("rl_upd")
+    spark.sql(s"""MERGE INTO $cat.src.rl_t t USING rl_upd s ON t.id = s.id
+                  WHEN MATCHED THEN UPDATE SET t.v = s.v, t.who = s.who
+                  WHEN NOT MATCHED THEN INSERT (id, who, v) VALUES (s.id, s.who, s.v)""")
+    assertLayout("merge")
+    val got = spark.sql(
+        s"SELECT who, v FROM $cat.src.rl_t WHERE id IN (1, 100) ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("u9", 0.5), ("u9", 9.9)), got)
+
+    // transform pruning still exact after all three rewrites
+    import graft.icelite.IceLite.SourceIn
+    val probe = Seq(3L, 100L)
+    val pruned = IceLite.readTransformPruned(spark, ref,
+        Seq(SourceIn("id", probe)), col("id").isin(probe: _*)).count()
+    val full = spark.sql(
+      s"SELECT COUNT(*) FROM $cat.src.rl_t WHERE id IN (3, 100)").head.getLong(0)
+    assert(pruned == full && full == 2L, s"pruned=$pruned full=$full")
+  }
 }
