@@ -2098,6 +2098,107 @@ object ScalePack extends Pack {
              FROM events
              GROUP BY event_type ORDER BY event_type""")),
 
+    // d86: ROW-LEVEL SQL DML on HIDDEN-PARTITION tables, through the
+    // REST attachment — the d76 DML surface × the d84 layout. Iceberg
+    // users DELETE/UPDATE/MERGE bucketed tables from any engine; here
+    // the rewrite re-derives each surviving row's value dirs (source
+    // columns live in the data pages) and the one-POST replace swap
+    // carries + validates the spec, so transform pruning survives
+    // every statement. A remote INSERT exercises the transformed wire
+    // commit (`append-transformed`) too. At 100 TB this is "GDPR-erase
+    // from a bucketed corpus over the catalog service": touched file
+    // groups only, layout intact, no engine-API access needed.
+    Decl("d86_sql_transformed_dml",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        import graft.icelite.IceLite.SourceIn
+        val wh = Files.createTempDirectory("graft_d86").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "ev_hidden_dml")
+        // bounded keyed slice (dense keys): DML semantics are
+        // row-count-independent, witness cost capped at sf0.1
+        val ev = Tables.load(s, dir, "events")
+          .filter($"event_id" < 6000)
+          .select($"event_id", $"user_id", $"event_type", $"value")
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"""CREATE TABLE $cat.src.ev_hidden_dml (
+                  event_id BIGINT, user_id BIGINT,
+                  event_type STRING, value DOUBLE)
+                  PARTITIONED BY (bucket(4, user_id))""")
+        ev.filter($"event_id" % 3 < 2).createOrReplaceTempView("d86_own")
+        s.sql(s"""INSERT INTO $cat.src.ev_hidden_dml
+                  SELECT event_id, user_id, event_type, value FROM d86_own""")
+        val srv = new graft.sources.rest.CatalogServer(wh).start()
+        try {
+          val rcat = s"restdml_${java.util.UUID.randomUUID.toString.take(8)}"
+          s.conf.set(s"spark.sql.catalog.$rcat",
+            "graft.sources.rest.IceLiteRestCatalog")
+          s.conf.set(s"spark.sql.catalog.$rcat.uri", srv.uri)
+          val rt = s"$rcat.src.ev_hidden_dml"
+          // remote INSERT: dirs derived client-side, committed via the
+          // transformed wire op
+          ev.filter($"event_id" % 3 === 2).createOrReplaceTempView("d86_rest")
+          s.sql(s"""INSERT INTO $rt
+                    SELECT event_id, user_id, event_type, value FROM d86_rest""")
+          // remote row-level DELETE / UPDATE / MERGE (ReplaceData over
+          // the wire, restaged through the spec)
+          s.sql(s"DELETE FROM $rt WHERE event_id % 5 = 0")
+          s.sql(s"UPDATE $rt SET value = value + 100 WHERE event_id % 7 = 1")
+          ev.filter($"event_id" % 4 === 1).createOrReplaceTempView("d86_merge")
+          s.sql(s"""MERGE INTO $rt t USING d86_merge m
+                    ON t.event_id = m.event_id
+                    WHEN MATCHED THEN UPDATE SET value = CAST(0.0 AS DOUBLE)
+                    WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+                    VALUES (m.event_id, m.user_id, m.event_type, m.value)""")
+          val m = IceLite.readManifest(ref)
+          val layoutOk =
+            m.snapshots.map(_.operation) ==
+              Seq("create", "append", "append", "delete", "update", "merge") &&
+            m.current.partitionSpec.map(_.name) == Seq("user_id_bucket") &&
+            m.current.files.forall(_.contains("user_id_bucket="))
+          // transform pruning stays exact through every rewrite
+          val users = Seq(3L, 11L)
+          val kept = IceLite.transformPrunedFiles(ref,
+            Seq(SourceIn("user_id", users))).size
+          val prunedN = IceLite.readTransformPruned(s, ref,
+            Seq(SourceIn("user_id", users)),
+            col("user_id").isin(users: _*)).count()
+          val fullN = IceLite.read(s, ref)
+            .filter(col("user_id").isin(users: _*)).count()
+          val pruneOk = prunedN == fullN && kept < m.current.files.size
+          s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_val
+                    FROM $rt GROUP BY event_type ORDER BY event_type""")
+            .withColumn("layout_ok", lit(layoutOk))
+            .withColumn("prune_ok", lit(pruneOk))
+        } finally srv.stop()
+      },
+      Some("""WITH s AS (
+               SELECT event_id, user_id, event_type, value FROM events
+               WHERE event_id < 6000
+             ), afterdel AS (
+               SELECT * FROM s WHERE event_id % 5 <> 0
+             ), upd AS (
+               SELECT event_id, user_id, event_type,
+                 CASE WHEN event_id % 7 = 1 THEN value + 100
+                      ELSE value END AS v
+               FROM afterdel
+             ), merged AS (
+               SELECT event_id, user_id, event_type,
+                 CASE WHEN event_id % 4 = 1 THEN 0.0 ELSE v END AS v
+               FROM upd
+               UNION ALL
+               SELECT event_id, user_id, event_type, value AS v FROM s
+               WHERE event_id % 5 = 0 AND event_id % 4 = 1
+             )
+             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(18,3))) AS DOUBLE) AS sum_val,
+               TRUE AS layout_ok, TRUE AS prune_ok
+             FROM merged GROUP BY event_type ORDER BY event_type""")),
+
     // d82: TABLE PROPERTIES — `ALTER TABLE … SET/UNSET TBLPROPERTIES`
     // (Iceberg table properties; the config channel dbt/Trino write
     // through). Metadata-only CAS commits like every ALTER; carried by

@@ -346,15 +346,42 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     s"icelite.${ref.namespace}.${ref.name}" +
       asOf.map(id => s"@$id").getOrElse("")
   override def schema(): StructType = schema
-  /** d67: declare the identity partitioning so the analyzer accepts
-    * `INSERT OVERWRITE … PARTITION (col=val)` clauses (and SHOW-style
-    * tooling sees the layout). */
+  /** d67/d83/d84: declare the table's partitioning so the analyzer
+    * accepts `INSERT OVERWRITE … PARTITION (col=val)` clauses and
+    * DESCRIBE-style tooling sees the layout. The LIVE table reports
+    * the DECLARED layout (Iceberg's rule: the evolved spec shows
+    * immediately after ADD PARTITION FIELD) — reporting the snapshot's
+    * instead made the analyzer mask the engine's documented
+    * compact()/pending overwrite refusal as NON_PARTITION_COLUMN
+    * while an evolution was pending (EvolutionModelSpec sweep seeds
+    * 4007+). Transform specs surface as their Spark transform
+    * expressions; derived NAMES stay unaddressable in PARTITION
+    * clauses, exactly the hidden-partitioning contract. Time-travel
+    * reads keep reporting their snapshot's layout. */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
-    val cols =
-      if (IceLite.tableExists(ref)) IceLiteSource.resolveSnap(ref, asOf).partitionCols
-      else Nil
-    cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
-      .identity(c)).toArray
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (!IceLite.tableExists(ref))
+      return Array.empty
+    val (cols, spec) =
+      if (asOf.isDefined) {
+        val s = IceLiteSource.resolveSnap(ref, asOf)
+        (s.partitionCols, s.partitionSpec)
+      } else {
+        val m = IceLite.readManifest(ref)
+        (m.writeLayoutCols, m.writeLayoutSpec)
+      }
+    (cols.map(c => Expressions.identity(c):
+        org.apache.spark.sql.connector.expressions.Transform) ++
+      spec.map { f =>
+        (f.transform match {
+          case "bucket" => Expressions.bucket(f.param, f.sourceCol)
+          case "days" => Expressions.days(f.sourceCol)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(f.param), Expressions.column(f.sourceCol))
+          case t => throw new IllegalArgumentException(
+            s"unknown partition transform '$t'")
+        }): org.apache.spark.sql.connector.expressions.Transform
+      }).toArray
   }
   override def capabilities(): java.util.Set[TableCapability] =
     if (asOf.isDefined) Set(TableCapability.BATCH_READ).asJava
