@@ -165,9 +165,13 @@ class CrashPointFuzzSpec extends AnyFunSuite {
         val expect = post(pre)
         crashIo.ops.set(0)
         crashIo.crashAt = k
+        // SQL-driven actions surface the crash wrapped (SparkException
+        // around the driver-side commit) — walk the cause chain
+        def isCrash(t: Throwable): Boolean =
+          t != null && (t.isInstanceOf[InjectedCrash] || isCrash(t.getCause))
         crashed =
           try { action(ref); false }
-          catch { case _: InjectedCrash => true }
+          catch { case e: Throwable if isCrash(e) => true }
         crashIo.crashAt = Int.MaxValue
         IceLite.clearMetaCaches() // the crashed process is gone
         val label = s"$name@$k"
@@ -239,6 +243,29 @@ class CrashPointFuzzSpec extends AnyFunSuite {
       } { ref =>
         IceLite.deleteWhere(spark, ref, "k = 2")
       } { pre => pre.filterNot(_._1 == 2L) }
+    }
+
+    test(s"transform row-level delete survives every kill point ($ioName)") {
+      // the SQL ReplaceData path on a HIDDEN-PARTITION table (d86):
+      // runtime-filtered scan → transformed restage → promote →
+      // commitReplace swap carrying the spec — the newest commit shape,
+      // swept like the rest
+      var tbl: String = null
+      sweep(s"tfrl_$ioName", mkIo) { ref =>
+        val cat = s"crashtf_${java.util.UUID.randomUUID.toString.take(6)}"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", ref.warehouse)
+        tbl = s"$cat.${ref.namespace}.${ref.name}"
+        spark.sql(s"CREATE TABLE $tbl (k BIGINT, s STRING) " +
+          "PARTITIONED BY (bucket(4, k))")
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s")
+          .createOrReplaceTempView("crash_tf_src")
+        spark.sql(s"INSERT INTO $tbl SELECT k, s FROM crash_tf_src")
+        Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      } { _ =>
+        spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0")
+      } { pre => pre.filterNot(_._1 % 2 == 0) }
     }
 
     test(s"compact (with a live MoR sidecar) survives every kill point ($ioName)") {
