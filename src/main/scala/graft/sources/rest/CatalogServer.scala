@@ -88,14 +88,19 @@ private[rest] final case class CommitReq(
     expectedVersion: Option[Long] = None)
 
 /** CTAS/RTAS commit: the staged files become the table's ONLY files
-  * in one CAS commit (IceLite.replaceTableStaged semantics). */
+  * in one CAS commit (IceLite.replaceTableStaged semantics).
+  * `partitionSpec` carries a hidden-partition (d56 transform) layout —
+  * mutually exclusive with identity `partitionCols`, like everywhere. */
 private[rest] final case class CreateStagedReq(
     files: Seq[String], partitionCols: Seq[String], schemaDdl: String,
-    mustNotExist: Boolean, mustExist: Boolean)
+    mustNotExist: Boolean, mustExist: Boolean,
+    partitionSpec: Seq[graft.icelite.PartitionField] = Nil)
 
-/** `CREATE TABLE … PARTITIONED BY` with no data (d68). */
+/** `CREATE TABLE … PARTITIONED BY` with no data (d68 identity /
+  * d84 transform). */
 private[rest] final case class CreateEmptyReq(
-    schemaDdl: String, partitionCols: Seq[String])
+    schemaDdl: String, partitionCols: Seq[String],
+    partitionSpec: Seq[graft.icelite.PartitionField] = Nil)
 
 /** View DDL payload: the stored definition plus the statement shape
   * (CREATE vs CREATE OR REPLACE vs REPLACE). */
@@ -320,15 +325,23 @@ class CatalogServer(warehouse: String, port: Int = 0) {
             s"staged paths must be table-relative data/ files, got $f"))
           IceLite.createNamespace(warehouse, ns)
           val snap = IceLite.replaceTableStaged(ref, req.files,
-            req.partitionCols, req.schemaDdl, req.mustNotExist, req.mustExist)
+            req.partitionCols, req.schemaDdl, req.mustNotExist, req.mustExist,
+            req.partitionSpec)
           send(ex, 200, Serialization.write(Map(
             "snapshotId" -> snap.id, "rowCount" -> snap.rowCount)))
         case ("POST", Seq("namespaces", ns, "tables", t, "create-empty")) =>
           val ref = TableRef(warehouse, ns, t)
           val req = Serialization.read[CreateEmptyReq](readBody(ex))
           IceLite.createNamespace(warehouse, ns)
-          val snap = IceLite.createEmptyPartitioned(ref, req.schemaDdl,
-            req.partitionCols)
+          val snap =
+            if (req.partitionSpec.nonEmpty) {
+              require(req.partitionCols.isEmpty,
+                "a table declares either an identity layout or a " +
+                  "transform spec, not both")
+              IceLite.createEmptyTransformed(ref, req.schemaDdl,
+                req.partitionSpec)
+            } else IceLite.createEmptyPartitioned(ref, req.schemaDdl,
+              req.partitionCols)
           send(ex, 200, Serialization.write(Map("snapshotId" -> snap.id)))
         // d80: METADATA-ONLY maintenance procedures run server-side
         // (they are IceLite metadata commits / file sweeps — no Spark

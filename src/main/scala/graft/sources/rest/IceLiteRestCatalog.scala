@@ -415,12 +415,20 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
         CreateStagedReq(Nil, Nil, schema.toDDL,
           mustNotExist = true, mustExist = false)))
       loadTable(ident)
-    } else {
-      val (ordered, cols) =
-        graft.sources.IceLiteCatalog.partitionedShape(schema, partitions)
-      post(tablePath(ident) + "/create-empty", Serialization.write(
-        CreateEmptyReq(ordered.toDDL, cols)))
-      loadTable(ident)
+    } else graft.sources.IceLiteCatalog.transformSpecOf(partitions) match {
+      case Some(spec) =>
+        // d84 over the wire: a hidden-partition table born remotely —
+        // the schema stays exactly as declared (derived names never
+        // enter it)
+        post(tablePath(ident) + "/create-empty", Serialization.write(
+          CreateEmptyReq(schema.toDDL, Nil, partitionSpec = spec)))
+        loadTable(ident)
+      case None =>
+        val (ordered, cols) =
+          graft.sources.IceLiteCatalog.partitionedShape(schema, partitions)
+        post(tablePath(ident) + "/create-empty", Serialization.write(
+          CreateEmptyReq(ordered.toDDL, cols)))
+        loadTable(ident)
     }
   }
 
@@ -627,14 +635,16 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     post(s"/namespaces/${ident.namespace.head}")
     val schema = StructType(columns.map(c => org.apache.spark.sql.types
       .StructField(c.name, c.dataType, c.nullable)))
+    val tSpec = if (partitions.isEmpty) None
+      else graft.sources.IceLiteCatalog.transformSpecOf(partitions)
     val (ordered, cols) =
-      if (partitions.isEmpty) (schema, Seq.empty[String])
+      if (partitions.isEmpty || tSpec.isDefined) (schema, Seq.empty[String])
       else graft.sources.IceLiteCatalog.partitionedShape(schema, partitions)
     // stage into the shared warehouse directly: the table dir may not
     // exist yet, so there is no spool to mount through
     new RestStagedTable(TableRef(warehouse, ident.namespace.head, ident.name),
       ordered, cols, mustNotExist, mustExist,
-      uri + tablePath(ident) + "/create-staged", http)
+      uri + tablePath(ident) + "/create-staged", http, tSpec.getOrElse(Nil))
   }
 
   override def stageCreate(ident: Identifier,
@@ -1063,16 +1073,17 @@ private[rest] class RestReplaceWrite(spool: TableRef, schema: StructType,
   * create-or-replace-table CAS the owning catalog uses (d70). */
 private[rest] class RestStagedTable(ref: TableRef, declared: StructType,
     partitionCols: Seq[String], mustNotExist: Boolean, mustExist: Boolean,
-    createUrl: String, http: java.net.http.HttpClient)
+    createUrl: String, http: java.net.http.HttpClient,
+    transformSpec: Seq[graft.icelite.PartitionField] = Nil)
   extends graft.sources.IceLiteStagedTable(ref, declared, partitionCols,
-    mustNotExist, mustExist) {
+    mustNotExist, mustExist, transformSpec) {
   private implicit val formats: org.json4s.Formats =
     Serialization.formats(org.json4s.NoTypeHints)
 
   override protected def commitTable(files: Seq[String]): Unit = {
     RestCommitClient.postCommit(http, createUrl, Serialization.write(
       CreateStagedReq(files, partitionCols, declared.toDDL,
-        mustNotExist, mustExist)))
+        mustNotExist, mustExist, transformSpec)))
     ()
   }
 }

@@ -265,6 +265,25 @@ class RestCatalogSpec extends AnyFunSuite {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(m => m.contains("hidden-partitioned") ||
         m.contains("PARTITION")), msgs(e).mkString(" | "))
+
+      // remote DDL-create of a hidden-partition table: the spec
+      // travels the wire and the first remote INSERT lands derived dirs
+      spark.sql(s"""CREATE TABLE $cat.src.ht2 (id BIGINT, v DOUBLE)
+                    PARTITIONED BY (bucket(4, id))""")
+      spark.sql(s"INSERT INTO $cat.src.ht2 VALUES (1, 1.0), (2, 2.0)")
+      val m2 = IceLite.readManifest(TableRef(wh, "src", "ht2")).current
+      assert(m2.partitionSpec.map(_.name) == Seq("id_bucket") &&
+        m2.files.nonEmpty && m2.files.forall(_.contains("id_bucket=")),
+        s"remote transform DDL lost the spec: ${m2.partitionSpec} ${m2.files}")
+
+      // remote transform CTAS: atomic publish carries the spec
+      spark.sql(s"""CREATE TABLE $cat.src.ht3 PARTITIONED BY (bucket(2, id))
+                    AS SELECT id, v FROM $cat.src.ht2""")
+      val m3 = IceLite.readManifest(TableRef(wh, "src", "ht3")).current
+      assert(m3.partitionSpec.map(_.name) == Seq("id_bucket") &&
+        m3.files.nonEmpty && m3.files.forall(_.contains("id_bucket=")),
+        s"remote transform CTAS lost the spec: ${m3.partitionSpec} ${m3.files}")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.ht3").head.getLong(0) == 2L)
     }
   }
 
