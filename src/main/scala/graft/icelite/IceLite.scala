@@ -3761,7 +3761,23 @@ object IceLite {
     // the old name (matches the connector's VERSION AS OF scoping)
     val widens = Some(m.widenedCols.filter(_.sinceSnapshotId <= snapshotId))
     val renames = Some(m.renamedCols.filter(_.sinceSnapshotId <= snapshotId))
-    if (snap.files.isEmpty) spark.emptyDataFrame
+    if (snap.files.isEmpty) {
+      // an EMPTY table still has a schema — a zero-column
+      // emptyDataFrame makes `WHERE k = 1` on an emptied table an
+      // analysis error (tf fuzz seed 6021). DDL-born tables carry
+      // their declared DDL (ALTERs keep it current); API-born ones
+      // borrow the newest file-bearing snapshot's shape.
+      val donor = m.snapshots
+        .filter(s => s.id <= snapshotId && s.files.nonEmpty)
+        .sortBy(_.id).lastOption
+      (m.declaredSchemaDdl, donor) match {
+        case (Some(d), _) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(d))
+        case (None, Some(prev)) => readAt(spark, ref, prev.id).limit(0)
+        case (None, None) => spark.emptyDataFrame
+      }
+    }
     else if (snap.partitionCols.nonEmpty) {
       // identity-partitioned snapshots: the partition columns are
       // PATH-BORNE — a flat file read would silently lose them (found

@@ -2099,8 +2099,18 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // d58: ship the rename-chain aliases (scoped to this scan's
     // snapshot) so every split resolves projections per file
     val m = IceLite.readManifest(ref)
+    // Spark requires ALL of a scan's partitions to agree on columnar
+    // vs row-based (DataSourceV2ScanExecBase.supportsColumnar). With
+    // live MoR sidecars only SOME splits carry tombstones/eq state,
+    // so per-split columnar support mixes modes and the plan throws
+    // "Cannot mix row-based and columnar input partitions" the moment
+    // the open-cost packer splits a sidecar-live table into >1 bin
+    // (REST model fuzz seeds 5010/5038). Sidecar-live scans read
+    // row-based UNIFORMLY; compact() restores the columnar kernel —
+    // the same economics as every other MoR read cost here.
     new IceLiteReaderFactory(dataFields, emitFile,
-      IceLiteSource.aliasesOf(m, asOf.getOrElse(m.currentSnapshotId)))
+      IceLiteSource.aliasesOf(m, asOf.getOrElse(m.currentSnapshotId)),
+      morLive = deleteFiles.nonEmpty || eqDeletes.nonEmpty)
   }
 }
 
@@ -2451,7 +2461,10 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     // d58: current name → older stored names (rename chain, newest
     // first); per file, a projected column resolves to the first
     // name the file actually stores
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    // scan-level MoR flag: sidecar-live scans read row-based
+    // UNIFORMLY (Spark refuses mixed columnar/row partition sets)
+    morLive: Boolean = false)
   extends PartitionReaderFactory {
 
   /** The name `file` stores column `n` under (None: predates it). */
@@ -2468,7 +2481,8 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     * stays as the fallback for empty projections. */
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val part = p.asInstanceOf[IceLitePartition]
-    fields.nonEmpty && part.tombstones.isEmpty && part.eqKeys.isEmpty
+    fields.nonEmpty && !morLive &&
+      part.tombstones.isEmpty && part.eqKeys.isEmpty
   }
 
   /** d73: the equality-delete anti-join for ONE file — each group's

@@ -527,6 +527,35 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(!IceLiteSource.lastScanMetadataOnly, "long min/max must scan")
   }
 
+  test("sidecar-live multi-split scans read row-based UNIFORMLY (no mixed-mode crash)") {
+    // REST model fuzz seeds 5010/5038: a position sidecar touches only
+    // SOME files; per-split columnar support then mixes modes and
+    // Spark's planner throws "Cannot mix row-based and columnar input
+    // partitions" the moment the open-cost packer makes >1 bin. The
+    // factory now decides columnar at SCAN level.
+    val dir = java.nio.file.Files.createTempDirectory("src_mixmor").toString
+    IceLite.createNamespace(dir, "src")
+    val ref = TableRef(dir, "src", "t")
+    IceLite.createOrReplace(ref, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    IceLite.append(ref, Seq((3L, "c"), (4L, "d")).toDF("k", "s"))
+    IceLite.deleteWhereMoR(spark, ref, "k = 1") // tombstone on file 1 only
+    // one bin per file → one split carries the tombstone, one doesn't
+    val got = spark.read.format(Fmt)
+      .option("targetSplitBytes", 1L).load(ref.dir.toString)
+      .select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "b"), (3L, "c"), (4L, "d")), got)
+    // and a sidecar-free multi-split scan keeps the columnar kernel
+    IceLite.compact(spark, ref)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = spark.read.format(Fmt)
+        .option("targetSplitBytes", 1L).load(ref.dir.toString)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"),
+        s"compacted scan lost the columnar kernel:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("table schema is ALWAYS nullable: a REQUIRED-schema head file must not flip it") {
     // RestModelFuzzSpec sweep seeds 1022/1039: a tuple-derived DF
     // writes parquet REQUIRED fields; when that file becomes the

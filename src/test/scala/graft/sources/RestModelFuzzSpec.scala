@@ -227,6 +227,11 @@ class RestModelFuzzSpec extends AnyFunSuite {
   // (schemaOf now forces nullable; IceLiteSourceSpec pins the unit)
   test("random REST/local interleavings match the serial model (seed 1022)") { run(1022L, 16) }
   test("random REST/local interleavings match the serial model (seed 1039)") { run(1039L, 16) }
+  // wide-sweep finds, pinned: a sidecar touching only SOME files mixed
+  // columnar and row-based splits once the open-cost packer made >1
+  // bin — sidecar-live scans now read row-based uniformly
+  test("random REST/local interleavings match the serial model (seed 5010)") { run(5010L, 16) }
+  test("random REST/local interleavings match the serial model (seed 5038)") { run(5038L, 16) }
 
   // offline wide sweep (not part of the CI suite):
   //   GRAFT_FUZZ_SEEDS=50 [GRAFT_FUZZ_BASE=2000] \

@@ -190,6 +190,9 @@ class TransformModelFuzzSpec extends AnyFunSuite {
   test("random transform-layout interleavings match the model (seed 5)") { run(5L, 20) }
   test("random transform-layout interleavings match the model (seed 23)") { run(23L, 20) }
   test("random transform-layout interleavings match the model (seed 71)") { run(71L, 20) }
+  // wide-sweep find, pinned: a DELETE emptying every file left a
+  // zero-column read — the emptied table now keeps its declared schema
+  test("random transform-layout interleavings match the model (seed 6021)") { run(6021L, 16) }
 
   // offline wide sweep (not part of the CI suite):
   //   GRAFT_TF_FUZZ_SEEDS=50 [GRAFT_TF_FUZZ_BASE=3000] \

@@ -236,4 +236,26 @@ class TransformedSqlWriteSpec extends AnyFunSuite {
       s"SELECT COUNT(*) FROM $cat.src.rl_t WHERE id IN (3, 100)").head.getLong(0)
     assert(pruned == full && full == 2L, s"pruned=$pruned full=$full")
   }
+
+  test("an EMPTIED table keeps its schema: filters and pruned reads still analyze") {
+    // tf fuzz seed 6021: deleting every row left a files-empty
+    // snapshot and IceLite.read answered a ZERO-COLUMN emptyDataFrame
+    // — `WHERE k = 1` became an analysis error. DDL-born tables now
+    // answer their declared schema when empty.
+    import graft.icelite.IceLite.SourceIn
+    val (cat, wh) = fresh()
+    spark.sql(s"""CREATE TABLE $cat.src.em (k BIGINT, v DOUBLE)
+                  PARTITIONED BY (bucket(4, k))""")
+    spark.sql(s"INSERT INTO $cat.src.em VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"DELETE FROM $cat.src.em WHERE k > 0")
+    val ref = TableRef(wh, "src", "em")
+    val df = IceLite.read(spark, ref)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v"),
+      s"emptied table lost its schema: ${df.schema}")
+    assert(df.filter(col("k") === 1L).count() == 0L)
+    assert(IceLite.readTransformPruned(spark, ref,
+      Seq(SourceIn("k", Seq(1L))), col("k") === 1L).count() == 0L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.src.em WHERE k = 1").head.getLong(0) == 0L)
+  }
 }
