@@ -2178,9 +2178,12 @@ object IceLite {
     }
     val fromIdx = idx(fromSnapshotId)
     val toIdx = idx(toSnapshotId)
-    require(fromIdx < toIdx,
-      s"changes needs fromSnapshotId < toSnapshotId, got " +
+    require(fromIdx <= toIdx,
+      s"changes needs fromSnapshotId <= toSnapshotId, got " +
         s"$fromSnapshotId .. $toSnapshotId")
+    // an EMPTY range (from == to) is a consumer that is already
+    // caught up — zero rows, changelog schema intact (the CDC
+    // poll-with-no-news case; found by the empty-state sweep)
     val range = m.snapshots.slice(fromIdx, toIdx + 1)
     val bad = range.tail.map(_.operation)
       .filterNot(Set("append", "stage-append", "delete-mor", "update-mor",
@@ -2200,7 +2203,9 @@ object IceLite {
           .withColumn("_commit_snapshot_id", lit(s.id)))
       val newSidecars = s.deleteFiles.filterNot(prev.deleteFiles.toSet)
       val deletes =
-        if (newSidecars.isEmpty) None
+        // prev.files empty → no row can match a position sidecar, and
+        // `_metadata` would not resolve on the schema-only fallback
+        if (newSidecars.isEmpty || prev.files.isEmpty) None
         else {
           val dels = spark.read.parquet(
             newSidecars.map(f => ref.dir.resolve(f).toString): _*)
@@ -2249,11 +2254,20 @@ object IceLite {
     * side is the sidecars — sized by deleted rows, not the table. */
   private def morView(spark: SparkSession, ref: TableRef,
       snap: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val df = readFiles(spark, ref, snap.files)
-      .withColumn("_mor_file", col("_metadata.file_path"))
-      .withColumn("_mor_pos", col("_metadata.row_index"))
-    if (snap.deleteFiles.isEmpty) df
+    import org.apache.spark.sql.functions.{col, lit}
+    // an emptied snapshot reads as a schema-only LocalRelation, where
+    // the `_metadata` pseudo-column does not resolve (tf fuzz seed
+    // 6021 op11) — attach typed-null position keys instead so the
+    // downstream filter/select still analyzes and yields zero rows
+    val df =
+      if (snap.files.isEmpty)
+        readFiles(spark, ref, snap.files)
+          .withColumn("_mor_file", lit(null).cast("string"))
+          .withColumn("_mor_pos", lit(null).cast("long"))
+      else readFiles(spark, ref, snap.files)
+        .withColumn("_mor_file", col("_metadata.file_path"))
+        .withColumn("_mor_pos", col("_metadata.row_index"))
+    if (snap.deleteFiles.isEmpty || snap.files.isEmpty) df
     else {
       val dels = spark.read.parquet(
         snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
@@ -2270,6 +2284,10 @@ object IceLite {
       widensOf: Option[Seq[WidenedCol]] = None,
       renamesOf: Option[Seq[RenamedCol]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // zero files → zero rows: no sidecar can change that, and the
+    // `_metadata` pseudo-column would not resolve on the schema-only
+    // fallback read (same empty-state class as tf fuzz seed 6021)
+    if (files.isEmpty) return readFiles(spark, ref, files, widensOf, renamesOf)
     val positioned =
       if (snap.deleteFiles.isEmpty) readFiles(spark, ref, files, widensOf, renamesOf)
       else {
@@ -2383,7 +2401,17 @@ object IceLite {
       val affected = hitUris.flatMap(matchStagedPath(snap.files, _)).toSet
       if (affected.isEmpty) return snap // nothing matches: no-op
       val rewritten = transform(readSlice(affected.toSeq))
-      val newFiles = restageWithLayout(ref, rewritten, snap, affected.size)
+      val staged = restageWithLayout(ref, rewritten, snap, affected.size)
+      // a rewrite that empties a touched file DROPS it — never commit
+      // a zero-row replacement file (Iceberg's delete semantics; a
+      // delete-all otherwise leaves junk files that survive forever
+      // and make `files` metadata lie at scale). Found by the
+      // empty-state sweep: delete-all must yield a ZERO-FILE snapshot.
+      val stagedRows = fileRowCounts(ref, staged)
+      val (newFiles, emptyStage) =
+        staged.partition(f => stagedRows.getOrElse(f, 0L) > 0L)
+      emptyStage.foreach(f =>
+        scala.util.Try(Files.deleteIfExists(ref.dir.resolve(f))))
       // keep pruning precise across the rewrite: re-collect every
       // column the current snapshot tracks, plus any caller additions
       // (ledger names chain-resolved: the restage stores era-visible
@@ -2391,7 +2419,7 @@ object IceLite {
       val keepStatsCols =
         (statsCols ++ snap.fileStats.values.flatten.map(_.col)).distinct
           .map(currentName(base.renamedCols, _)).distinct
-      val newRowsByFile = fileRowCounts(ref, newFiles)
+      val newRowsByFile = stagedRows -- emptyStage
       val affectedRows = countRowsFromFooters(ref, affected.toSeq)
       val stats = collectStats(spark, ref, newFiles, keepStatsCols)
       val files = snap.files.filterNot(affected) ++ newFiles
@@ -2402,8 +2430,15 @@ object IceLite {
         snap.partitionCols, snap.sortedBy,
         fileRows = (snap.fileRows -- affected) ++ newRowsByFile,
         partitionSpec = snap.partitionSpec) // met: restageWithLayout re-derived it
+      // delete-all: pin the schema before the file-bearing history
+      // can expire (see compact's twin comment)
+      val declared =
+        if (next.files.nonEmpty || base.declaredSchemaDdl.nonEmpty)
+          base.declaredSchemaDdl
+        else Some(rewritten.schema.toDDL)
       if (claimVersion(ref, baseVersion + 1,
-          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next),
+          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next,
+            declaredSchemaDdl = declared),
           newFiles)) {
         BloomIndex.refreshAll(spark, ref) // rewrite → refresh sidecars
         return next
@@ -2546,11 +2581,19 @@ object IceLite {
             stage(ref, readFilesWithDeletes(spark, ref, cur, cur.files)
               .repartition(targetFiles))
         }
-      val rowsByFile = fileRowCounts(ref, files)
-      val stats = collectStats(spark, ref, files, statsCols)
+      // compacting a fully-tombstoned table must land ZERO files, not
+      // one empty one (empty-state sweep) — the schema survives in
+      // the manifest's declared DDL, recorded below
+      val stagedRows = fileRowCounts(ref, files)
+      val (kept, emptyStage) =
+        files.partition(f => stagedRows.getOrElse(f, 0L) > 0L)
+      emptyStage.foreach(f =>
+        scala.util.Try(Files.deleteIfExists(ref.dir.resolve(f))))
+      val rowsByFile = stagedRows -- emptyStage
+      val stats = collectStats(spark, ref, kept, statsCols)
       val id = base.snapshots.map(_.id).max + 1
       val snap = Snapshot(id, System.currentTimeMillis(), "replace",
-        files, rowsByFile.values.sum, stats,
+        kept, rowsByFile.values.sum, stats,
         // d83/d85: the materialized layout is the declared one
         landedCols,
         // a flat→partitioned/transform materialization drops the
@@ -2560,8 +2603,17 @@ object IceLite {
         else cur.sortedBy,
         fileRows = rowsByFile,
         partitionSpec = landedSpec) // met: restaged through the spec
+      // a zero-file current snapshot with no declared DDL would lose
+      // its schema the moment history expires or a clone strips it —
+      // pin the logical schema in the manifest at emptying time
+      // (Iceberg: table metadata always carries the schema)
+      val declared =
+        if (kept.nonEmpty || base.declaredSchemaDdl.nonEmpty)
+          base.declaredSchemaDdl
+        else Some(read(spark, ref).schema.toDDL)
       if (tryCommit(baseVersion + 1,
-          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
+          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap,
+            declaredSchemaDdl = declared), kept)) {
         // rewrites orphan any Bloom sidecar (d17): its entries key the
         // replaced files, so lookups stop pruning until rebuilt.
         // No-op for tables without sidecars.
@@ -2923,7 +2975,17 @@ object IceLite {
   private def readPartitionedFiles(spark: SparkSession, ref: TableRef,
       files: Seq[String], withPositions: Boolean = false,
       renamesOf: Option[Seq[RenamedCol]] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
+    // zero files: delegate to the flat empty-schema fallback (declared
+    // DDL → donor snapshot → zero-column) — the group/reduce below
+    // would otherwise throw on the empty collection (same empty-state
+    // class as tf fuzz seed 6021)
+    if (files.isEmpty) {
+      val base = readFiles(spark, ref, files, renamesOf = renamesOf)
+      return if (!withPositions) base
+      else base.withColumn("_mor_file", lit(null).cast("string"))
+        .withColumn("_mor_pos", lit(null).cast("long"))
+    }
     // a FLAT-layout group (no k=v dirs — the old era of a
     // flat→partitioned evolution) reads without partition discovery:
     // its files live under data/<token>/, outside the part/ basePath,
@@ -3284,6 +3346,36 @@ object IceLite {
       files: Seq[String],
       widensOf: Option[Seq[WidenedCol]] = None): DataFrame = {
     val paths = files.map(f => ref.dir.resolve(f).toString)
+    if (files.isEmpty) {
+      // An EMPTY file set still needs a real schema: spark.read
+      // .parquet() with zero paths throws UNABLE_TO_INFER_SCHEMA,
+      // which turned every engine-API face that folds `snap.files`
+      // into a read (morView → deleteWhereMoR/updateWhereMoR,
+      // changes, compact) into a crash on a table a prior DELETE
+      // emptied (tf fuzz seed 6021 op11). Same fallback chain as
+      // `readAt`: declared DDL → newest file-bearing snapshot's
+      // shape → zero-column empty.
+      val m = scala.util.Try(readManifest(ref)).toOption
+      return m.flatMap(_.declaredSchemaDdl) match {
+        case Some(d) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(d))
+        case None =>
+          val donor = m.toSeq.flatMap(_.snapshots)
+            .filter(_.files.nonEmpty).sortBy(_.id).lastOption
+          donor match {
+            // a partitioned donor must read through partition
+            // discovery or the path-borne partition columns silently
+            // drop out of the empty schema (empty-state sweep:
+            // emptied partitioned table lost `g`)
+            case Some(prev) if prev.partitionCols.nonEmpty =>
+              readPartitionedFiles(spark, ref, prev.files).limit(0)
+            case Some(prev) =>
+              readFilesStored(spark, ref, prev.files, widensOf).limit(0)
+            case None => spark.emptyDataFrame
+          }
+      }
+    }
     val widens = widensOf.getOrElse(
       scala.util.Try(readManifest(ref).widenedCols).getOrElse(Nil))
     if (widens.isEmpty)
@@ -3868,7 +3960,11 @@ object IceLite {
         .map(_.copy(sinceSnapshotId = 1L)),
         widenedCols = srcManifest.widenedCols
           .filter(_.sinceSnapshotId <= srcSnap.id)
-          .map(_.copy(sinceSnapshotId = 1L)))
+          .map(_.copy(sinceSnapshotId = 1L)),
+        // cloning an EMPTIED source strips its file-bearing history —
+        // the declared DDL is the only schema carrier left
+        // (empty-state sweep)
+        declaredSchemaDdl = srcManifest.declaredSchemaDdl)
     }.current
   }
 
@@ -4401,7 +4497,15 @@ object IceLite {
     val committed = commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
       // d57: tagged snapshots are pinned exactly like branch refs
-      val pinned = m.branches.values.toSet ++ m.tags.values + m.currentSnapshotId
+      val pinned0 = m.branches.values.toSet ++ m.tags.values + m.currentSnapshotId
+      // schema-donor guard: when the current snapshot is FILE-LESS
+      // and no DDL is declared, the newest file-bearing snapshot is
+      // the only schema carrier left — expiring it would turn the
+      // table into a zero-column husk (empty-state sweep)
+      val donor =
+        if (m.current.files.nonEmpty || m.declaredSchemaDdl.nonEmpty) None
+        else m.snapshots.filter(_.files.nonEmpty).sortBy(_.id).lastOption.map(_.id)
+      val pinned = pinned0 ++ donor
       val (gone, alive) = m.snapshots.partition(s =>
         dead(s, m) && !pinned(s.id))
       expired = gone

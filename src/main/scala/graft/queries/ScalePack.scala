@@ -1978,17 +1978,23 @@ object ScalePack extends Pack {
             f.contains("user_id_bucket=") && f.contains("ts_day=")) &&
           cur.partitionSpec.nonEmpty
         // prune probe through the transforms over BOTH eras: the
-        // bucket mapping must agree with what the SQL writer landed
+        // bucket mapping must agree with what the SQL writer landed.
+        // ONE pass: prune-exactness ⟺ no matching row lives OUTSIDE
+        // the kept file set (then the pruned read returns exactly the
+        // full read's rows) — counted from the full scan's
+        // input_file_name, instead of a second, pruned scan
         val users = Seq(3L, 11L)
-        val kept = IceLite.transformPrunedFiles(ref,
-          Seq(SourceIn("user_id", users))).size
-        val prunedN = IceLite.readTransformPruned(s, ref,
-          Seq(SourceIn("user_id", users)),
-          col("user_id").isin(users: _*)).count()
-        val fullN = IceLite.read(s, ref)
-          .filter(col("user_id").isin(users: _*)).count()
-        val pruneExact = prunedN == fullN &&
-          kept < cur.files.size
+        val keptFiles = IceLite.transformPrunedFiles(ref,
+          Seq(SourceIn("user_id", users)))
+        val keptAbs = keptFiles.map(f => ref.dir.resolve(f).toString)
+        val probe = IceLite.read(s, ref)
+          .filter(col("user_id").isin(users: _*))
+          .select(regexp_replace(input_file_name(), "^file:/*", "/").as("_f"))
+          .agg(coalesce(sum(when(col("_f").isin(keptAbs: _*), 0)
+            .otherwise(1)), lit(0L)).as("outside"))
+          .head()
+        val pruneExact = probe.getLong(0) == 0L &&
+          keptFiles.size < cur.files.size
         s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
                   ROUND(SUM(value), 2) AS sum_val
@@ -2072,16 +2078,21 @@ object ScalePack extends Pack {
           landed.files.forall(f =>
             f.contains("user_id_bucket=") && f.contains("ts_day=")) &&
           landed.partitionSpec.map(_.name) == Seq("user_id_bucket", "ts_day")
-        // prune exactness through the materialized transforms
+        // prune exactness through the materialized transforms — one
+        // pass (see d84's twin comment): no matching row outside the
+        // kept file set ⟺ the pruned read is exact
         val users = Seq(5L, 17L)
-        val kept = IceLite.transformPrunedFiles(ref,
-          Seq(SourceIn("user_id", users))).size
-        val prunedN = IceLite.readTransformPruned(s, ref,
-          Seq(SourceIn("user_id", users)),
-          col("user_id").isin(users: _*)).count()
-        val fullN = IceLite.read(s, ref)
-          .filter(col("user_id").isin(users: _*)).count()
-        val pruneExact = prunedN == fullN && kept < landed.files.size
+        val keptFiles = IceLite.transformPrunedFiles(ref,
+          Seq(SourceIn("user_id", users)))
+        val keptAbs = keptFiles.map(f => ref.dir.resolve(f).toString)
+        val probe = IceLite.read(s, ref)
+          .filter(col("user_id").isin(users: _*))
+          .select(regexp_replace(input_file_name(), "^file:/*", "/").as("_f"))
+          .agg(coalesce(sum(when(col("_f").isin(keptAbs: _*), 0)
+            .otherwise(1)), lit(0L)).as("outside"))
+          .head()
+        val pruneExact = probe.getLong(0) == 0L &&
+          keptFiles.size < landed.files.size
         s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                   ROUND(SUM(value), 2) AS sum_val
                   FROM $cat.src.ev_spec_evolve

@@ -19,14 +19,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every declared id has an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the full list of legitimate omissions — now only the two
-    // hash-dependent LSH candidate sets, whose output no portable SQL
-    // can replay (xxhash64 buckets). b04 gained a golden VALUES
-    // oracle, b27 a tolerance-contract oracle, m02 an exact
-    // chunk-mean replay (ASCII corpus) in round 8.
-    val allowed = Set("c02_dedup_near_minhash", "c11_dedup_simhash")
-    assert(noOracle == allowed,
-      s"oracle coverage drifted: missing=${noOracle -- allowed}")
+    // the omission set is EMPTY since round 10: c11's hyperplanes
+    // moved from xxhash64 to a Knuth multiplicative hash the oracle
+    // engine computes identically (full value gate), and c02 emits
+    // its quality contract (recall vs the exact c12 set, structural
+    // precision) as witness columns per b27's tolerance precedent.
+    assert(noOracle == Set.empty[String],
+      s"oracle coverage drifted: missing=$noOracle")
   }
 
   test("SURVEY §2 inventory == declared queries (the coverage contract)") {

@@ -49,7 +49,7 @@ class LlmPackSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("llm_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
 
-    val pairs = LlmPack.queries("c02_dedup_near_minhash")(spark, tmp)
+    val pairs = LlmPack.minhashPairs(spark, tmp)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
 
     assert(pairs.contains((3L, 100L)), s"missed planted near-dup (3,100): $pairs")
@@ -69,12 +69,18 @@ class LlmPackSpec extends AnyFunSuite {
     // c02 stays on the no-oracle list while c12 is the exact gate).
     val exact = LlmPack.queries("c12_dedup_ngram_jaccard")(spark, sfDir)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
-    val lsh = LlmPack.queries("c02_dedup_near_minhash")(spark, sfDir)
+    val lsh = LlmPack.minhashPairs(spark, sfDir)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact),
       s"false positives survived the residual verify: ${lsh -- exact}")
     assert(lsh == exact,
       s"recall gap on the smoke corpus (expected total): ${exact -- lsh}")
+    // the DECLARED query is the oracle-checkable contract row (r10):
+    // true_pairs = |exact c12 set|, recall ≥ 0.9, zero false positives
+    val row = LlmPack.queries("c02_dedup_near_minhash")(spark, sfDir)
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(row == Seq((exact.size.toLong, true, true)),
+      s"contract row diverged: $row (exact=${exact.size})")
   }
 
   test("c32 shards are reproducible: stable membership, deterministic within-shard order") {

@@ -69,7 +69,7 @@ class EvolutionModelSpec extends AnyFunSuite {
 
     check("seed")
     (1 to ops).foreach { i =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 | 1 => // SQL INSERT — lands whatever layout is declared
           val rows = fresh(1 + rnd.nextInt(3))
           rows.map(r => (r.k, r.g, r.h, r.v)).toDF("k", "g", "h", "v")
@@ -117,6 +117,20 @@ class EvolutionModelSpec extends AnyFunSuite {
                     e.getMessage.contains("pending")),
                   s"[seed=$seed op$i] unexpected overwrite refusal: $e")
             }
+          }
+        case 6 => // EMPTY the table (seed-6021 bug class): DELETE-all
+          // across whatever era mix is on file; later ops must run
+          // against the emptied table
+          try {
+            spark.sql(s"DELETE FROM $tbl WHERE k >= 0")
+            model = Vector.empty
+          } catch {
+            case e: Exception =>
+              assert(e.getMessage != null && (
+                  e.getMessage.contains("compact") ||
+                  e.getMessage.contains("pending") ||
+                  e.getMessage.contains("MoR")),
+                s"[seed=$seed op$i] unexpected delete-all refusal: $e")
           }
       }
       check(s"op$i")

@@ -100,7 +100,7 @@ class RestModelFuzzSpec extends AnyFunSuite {
       checkRemote("seed")
       val trace = sys.env.contains("GRAFT_FUZZ_TRACE")
       (1 to ops).foreach { i =>
-        val op = rnd.nextInt(11)
+        val op = rnd.nextInt(12)
         if (trace) println(s"[fuzz seed=$seed] op$i case$op " +
           s"hasC=$hasC cName=$cName modelSize=${model.size}")
         op match {
@@ -211,6 +211,16 @@ class RestModelFuzzSpec extends AnyFunSuite {
                 k -> (k * 0.25, if (hasC) Some(k % 5) else None))
             } catch { case e: Exception =>
               assert(cowRefusalOk(e), s"[seed=$seed op$i] unexpected: $e") }
+          case 11 => // EMPTY the table (seed-6021 bug class): a DELETE
+            // matching everything through either face — every later
+            // op then runs against an emptied table
+            try {
+              if (rnd.nextBoolean())
+                spark.sql(s"DELETE FROM $tbl WHERE k >= 0")
+              else IceLite.deleteWhereMoR(spark, ref, "k >= 0")
+              model = Map.empty
+            } catch { case e: Exception =>
+              assert(cowRefusalOk(e), s"[seed=$seed op$i] unexpected: $e") }
         }
         checkRemote(s"op$i(case$op)")
         if (i % 4 == 0) checkLocal(s"op$i(case$op)")
@@ -224,7 +234,10 @@ class RestModelFuzzSpec extends AnyFunSuite {
   test("random REST/local interleavings match the serial model (seed 97)") { run(97L, 20) }
   // wide-sweep finds, pinned: a CoW rewrite made a REQUIRED-schema
   // append the head file and every pre-ADD-COLUMN null read as 0
-  // (schemaOf now forces nullable; IceLiteSourceSpec pins the unit)
+  // (schemaOf now forces nullable; IceLiteSourceSpec pins the unit).
+  // NOTE: the op space grew (empty-table op, r10), so these seeds now
+  // replay different — equally valid — interleavings; the original
+  // finds stay pinned as units in IceLiteSourceSpec.
   test("random REST/local interleavings match the serial model (seed 1022)") { run(1022L, 16) }
   test("random REST/local interleavings match the serial model (seed 1039)") { run(1039L, 16) }
   // wide-sweep finds, pinned: a sidecar touching only SOME files mixed

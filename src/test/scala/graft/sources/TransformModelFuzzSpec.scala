@@ -114,7 +114,7 @@ class TransformModelFuzzSpec extends AnyFunSuite {
     check("seed")
     val trace = sys.env.contains("GRAFT_FUZZ_TRACE")
     (1 to ops).foreach { i =>
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(11)
       if (trace) println(s"[tf fuzz seed=$seed] op$i case$op " +
         s"declared=$declared modelSize=${model.size}")
       op match {
@@ -181,6 +181,16 @@ class TransformModelFuzzSpec extends AnyFunSuite {
             model = rows.map(r => r._1 -> (r._2, r._3)).toMap
           } catch { case e: Exception =>
             assert(refusalOk(e), s"[seed=$seed op$i] unexpected: $e") }
+        case 10 => // EMPTY the table (the seed-6021 bug class): a
+          // DELETE matching everything, via CoW SQL or a MoR sidecar
+          // — every later op then runs against an emptied table
+          try {
+            if (rnd.nextBoolean())
+              spark.sql(s"DELETE FROM ${tblFace()} WHERE k >= 0")
+            else IceLite.deleteWhereMoR(spark, ref, "k >= 0")
+            model = Map.empty
+          } catch { case e: Exception =>
+            assert(refusalOk(e), s"[seed=$seed op$i] unexpected: $e") }
       }
       check(s"op$i(case$op)")
     }
@@ -190,8 +200,11 @@ class TransformModelFuzzSpec extends AnyFunSuite {
   test("random transform-layout interleavings match the model (seed 5)") { run(5L, 20) }
   test("random transform-layout interleavings match the model (seed 23)") { run(23L, 20) }
   test("random transform-layout interleavings match the model (seed 71)") { run(71L, 20) }
-  // wide-sweep find, pinned: a DELETE emptying every file left a
-  // zero-column read — the emptied table now keeps its declared schema
+  // wide-sweep find (r9): a DELETE emptying every file left a
+  // zero-column read — the emptied table now keeps its declared
+  // schema. The exact sequence is pinned deterministically in
+  // EmptyTableSweepSpec (the op-space grew since, so this seed now
+  // replays a different — equally valid — interleaving).
   test("random transform-layout interleavings match the model (seed 6021)") { run(6021L, 16) }
 
   // offline wide sweep (not part of the CI suite):
