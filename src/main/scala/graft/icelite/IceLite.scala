@@ -952,10 +952,20 @@ object IceLite {
         snap.partitionCols, snap.sortedBy,
         fileRows = (snap.fileRows -- removed) ++ rowsByFile,
         partitionSpec = snap.partitionSpec)
+      // a row-level rewrite that empties the table pins the schema,
+      // like rewriteWhere/compact (this face serves the REST replace
+      // protocol too — REST fuzz seeds 1028/1046/1050 reached the
+      // unpinned state through it)
+      val declared =
+        if (next.files.nonEmpty || base.declaredSchemaDdl.nonEmpty)
+          base.declaredSchemaDdl
+        else scala.util.Try(read(org.apache.spark.sql.SparkSession.active,
+          ref).schema.toDDL).toOption
       // staged files survive a lost CAS race (pass Nil): the loop
       // rebases and re-validates rather than recomputing the data
       if (claimVersion(ref, baseVersion + 1,
-          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next),
+          base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next,
+            declaredSchemaDdl = declared),
           Nil)) {
         BloomIndex.refreshAll(org.apache.spark.sql.SparkSession.active, ref)
         return next

@@ -2170,16 +2170,21 @@ object ScalePack extends Pack {
               Seq("create", "append", "append", "delete", "update", "merge") &&
             m.current.partitionSpec.map(_.name) == Seq("user_id_bucket") &&
             m.current.files.forall(_.contains("user_id_bucket="))
-          // transform pruning stays exact through every rewrite
+          // transform pruning stays exact through every rewrite —
+          // one pass (d84's fold): no matching row outside the kept
+          // file set ⟺ the pruned read is exact
           val users = Seq(3L, 11L)
-          val kept = IceLite.transformPrunedFiles(ref,
-            Seq(SourceIn("user_id", users))).size
-          val prunedN = IceLite.readTransformPruned(s, ref,
-            Seq(SourceIn("user_id", users)),
-            col("user_id").isin(users: _*)).count()
-          val fullN = IceLite.read(s, ref)
-            .filter(col("user_id").isin(users: _*)).count()
-          val pruneOk = prunedN == fullN && kept < m.current.files.size
+          val keptFiles = IceLite.transformPrunedFiles(ref,
+            Seq(SourceIn("user_id", users)))
+          val keptAbs = keptFiles.map(f => ref.dir.resolve(f).toString)
+          val probe = IceLite.read(s, ref)
+            .filter(col("user_id").isin(users: _*))
+            .select(regexp_replace(input_file_name(), "^file:/*", "/").as("_f"))
+            .agg(coalesce(sum(when(col("_f").isin(keptAbs: _*), 0)
+              .otherwise(1)), lit(0L)).as("outside"))
+            .head()
+          val pruneOk = probe.getLong(0) == 0L &&
+            keptFiles.size < m.current.files.size
           s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                     CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_val
                     FROM $rt GROUP BY event_type ORDER BY event_type""")

@@ -208,37 +208,22 @@ object IceLiteSource {
         case None =>
           // TRUNCATEd (or partition-emptied) tables: schema-on-read
           // from the newest prior snapshot that still has files — the
-          // bytes are retained for time travel anyway
+          // bytes are retained for time travel anyway. Only the
+          // FILE-BORNE base may come from the donor: recursing with
+          // asOf=donor.id rebound the ALTER-LEDGER scope too, so an
+          // ADD/RENAME landed AFTER the emptying delete silently
+          // vanished from the schema (REST fuzz seeds 1028/1046/1050).
+          // The pre-ledger donor base is era-correct because the
+          // ledger pipeline below re-applies every alter visible at
+          // THIS snapshot, donor-era ones included.
           m.snapshots.filter(s => s.id < snap.id && s.files.nonEmpty)
             .sortBy(_.id).lastOption match {
-            case Some(donor) => return schemaOf(ref, Some(donor.id))
+            case Some(donor) => preLedgerSchema(ref, m, donor)
             case None => throw new IllegalArgumentException(
               s"${ref.name} has no data files")
           }
       }
-    } else {
-      val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
-      val fileSchema = try {
-        val msg = r.getFooter.getFileMetaData.getSchema
-        new org.apache.spark.sql.execution.datasources.parquet
-          .ParquetToSparkSchemaConverter().convert(msg)
-      } finally r.close()
-      if (snap.partitionCols.isEmpty) fileSchema
-      else {
-        // d83: a mid-evolution snapshot mixes layouts. The schema is
-        // the head file's fields plus EVERY path-borne column any era
-        // carries (string-typed — the d83 DDL admits string fields
-        // only), so a column that moved between data pages and the
-        // path stays projectable across eras.
-        val pathCols = snap.files.flatMap(f => pathPartValues(f).keys).distinct
-        StructType(fileSchema.fields ++
-          (snap.partitionCols ++
-            pathCols.filterNot(snap.partitionCols.contains))
-            .filterNot(fileSchema.fieldNames.contains)
-            .map(c => StructField(c, StringType)))
-      }
-    }
+    } else preLedgerSchema(ref, m, snap)
     // d51/d52: ALTER-added columns appended, ALTER-dropped columns
     // hidden — both scoped to snapshots at-or-after their alter, so
     // time travel to an earlier snapshot sees the pre-alter schema.
@@ -293,6 +278,36 @@ object IceLiteSource {
     // rewrite flipped the head file to a REQUIRED-schema append and
     // every pre-ADD-COLUMN row's null read back as 0).
     StructType(widened.fields.map(_.copy(nullable = true)))
+  }
+
+  /** The FILE-BORNE schema base of one snapshot (head file's parquet
+    * fields + path-borne partition columns) — pre-alter-ledger; the
+    * caller applies added/renamed/dropped/widened scoped to ITS OWN
+    * snapshot, so a donor snapshot can lend its base to an emptied
+    * table without rebinding the ledger scope. */
+  private def preLedgerSchema(ref: TableRef, m: graft.icelite.Manifest,
+      snap: graft.icelite.Snapshot): StructType = {
+    val file = new HPath(ref.dir.resolve(snap.files.head).toUri)
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, new Configuration()))
+    val fileSchema = try {
+      val msg = r.getFooter.getFileMetaData.getSchema
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter().convert(msg)
+    } finally r.close()
+    if (snap.partitionCols.isEmpty) fileSchema
+    else {
+      // d83: a mid-evolution snapshot mixes layouts. The schema is
+      // the head file's fields plus EVERY path-borne column any era
+      // carries (string-typed — the d83 DDL admits string fields
+      // only), so a column that moved between data pages and the
+      // path stays projectable across eras.
+      val pathCols = snap.files.flatMap(f => pathPartValues(f).keys).distinct
+      StructType(fileSchema.fields ++
+        (snap.partitionCols ++
+          pathCols.filterNot(snap.partitionCols.contains))
+          .filterNot(fileSchema.fieldNames.contains)
+          .map(c => StructField(c, StringType)))
+    }
   }
 
   /** d58: current name → its older stored names, newest first — the

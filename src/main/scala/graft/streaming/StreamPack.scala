@@ -161,8 +161,12 @@ object StreamPack extends Pack {
     stagedCache.computeIfAbsent(s"$dir#events#half$parity#sentinel", { _ =>
       val out = Files.createTempDirectory(s"graft_s20_src$parity").toString
       val ev = Tables.load(s, dir, "events")
+      // ONE data file per side (+ the sentinel): the outer-join flush
+      // witness needs the sentinel in a LATER trigger than the data —
+      // two triggers, not three; extra data files only multiply
+      // state-store rounds without strengthening the witness
       ev.filter(pmod(col("event_id"), lit(2)) === parity)
-        .repartition(2)
+        .repartition(1)
         .write.mode("overwrite").parquet(out)
       val staging = Files.createTempDirectory(s"graft_s20_sent$parity")
       ev.limit(1)
@@ -231,7 +235,12 @@ object StreamPack extends Pack {
       val wh = Files.createTempDirectory("graft_s13_wh").toString
       val ref = TableRef(wh, "src", "lineitem_feed")
       IceLite.createNamespace(wh, "src")
+      // bounded keyed slice (the s24 pattern): the snapshot-offset
+      // witnesses depend on COMMIT COUNT, not row volume — the
+      // memory-sink collection was billing ~600k driver-bound rows
+      // per bench pass to what is a protocol test
       val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 15000)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
       IceLite.createOrReplace(ref, li.filter(pmod(col("l_orderkey"), lit(3)) === 0))
@@ -915,7 +924,7 @@ object StreamPack extends Pack {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-             FROM lineitem""")),
+             FROM lineitem WHERE l_orderkey < 15000""")),
 
     // s14: STREAM-STATIC enrichment join — the standard "decorate a
     // fact feed with a dimension" shape. The static side is loaded
@@ -1045,7 +1054,7 @@ object StreamPack extends Pack {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              CAST(3 AS BIGINT) AS n_epochs
-             FROM lineitem WHERE l_returnflag = 'R'""")),
+             FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey < 15000""")),
 
     // s17: CHANGELOG (CDC) STREAMING — `readStream.option("changelog",
     // "true")` turns the table's commit history into a stream of
@@ -1113,7 +1122,13 @@ object StreamPack extends Pack {
         val mv = TableRef(wh, "mart", "orders_by_cust_mv")
         IceLite.createNamespace(wh, "src")
         IceLite.createNamespace(wh, "mart")
+        // bounded keyed slice (the s24 pattern): the IVM witnesses —
+        // delta merges per trigger, converged MV vs from-scratch —
+        // depend on the CHANGELOG SHAPE (append + MoR delete + MoR
+        // update), not on row volume; each trigger's merge rewrote a
+        // full 150k-row MV per pass before the bound
         val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") < 15000)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         IceLite.createOrReplaceSorted(src, o, "o_orderkey", numFiles = 4,
           statsCols = Seq("o_orderkey"))
@@ -1145,7 +1160,7 @@ object StreamPack extends Pack {
                CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 2 THEN 1000.0
                                   ELSE o_totalprice END AS DECIMAL(18,3)))
                     AS DOUBLE) AS sum_price
-             FROM orders WHERE o_orderkey % 7 <> 3
+             FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey < 15000
              GROUP BY o_custkey ORDER BY o_custkey""")),
 
     // s19: CDC REPLICATION — the changelog stream (s17) drives a
@@ -1168,7 +1183,10 @@ object StreamPack extends Pack {
         val replica = TableRef(wh, "mart", "orders_replica")
         IceLite.createNamespace(wh, "src")
         IceLite.createNamespace(wh, "mart")
+        // bounded keyed slice — see s18's comment (the replica-apply
+        // witnesses depend on the change kinds, not row volume)
         val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") < 15000)
           .select(col("o_orderkey"), col("o_totalprice"))
         IceLite.createOrReplaceSorted(src, o, "o_orderkey", numFiles = 4,
           statsCols = Seq("o_orderkey"))
@@ -1209,7 +1227,7 @@ object StreamPack extends Pack {
                   AS DOUBLE) AS sum_price,
              CAST(SUM(CASE WHEN o_orderkey % 7 = 2 THEN 1
                   ELSE 0 END) AS BIGINT) AS n_repriced
-             FROM orders WHERE o_orderkey % 7 <> 3""")),
+             FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey < 15000""")),
 
     // s21: STREAMING FANOUT into a PARTITIONED table — Iceberg's
     // fanout streaming write. Each micro-batch's rows land in their

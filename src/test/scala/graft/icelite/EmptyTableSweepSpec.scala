@@ -207,6 +207,44 @@ class EmptyTableSweepSpec extends AnyFunSuite {
     assert(IceLite.readManifest(ref).current.partitionSpec.nonEmpty)
   }
 
+  test("schema evolution AFTER emptying is visible on both catalog faces") {
+    // REST fuzz seeds 1028/1046/1050: the zero-file donor-schema
+    // fallback rebound the alter-ledger scope to the donor snapshot,
+    // so an ADD/RENAME landed after the emptying DELETE vanished
+    val w = wh(); IceLite.createNamespace(w, "src")
+    val ref = TableRef(w, "src", "t")
+    IceLite.createOrReplace(ref,
+      (0L until 5L).map(k => (k, k * 0.5)).toDF("k", "v"))
+    val srv = new graft.sources.rest.CatalogServer(w).start()
+    try {
+      val lcat = s"esw_l_${java.util.UUID.randomUUID.toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$lcat",
+        classOf[graft.sources.IceLiteCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$lcat.warehouse", w)
+      val rcat = s"esw_r_${java.util.UUID.randomUUID.toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$rcat",
+        "graft.sources.rest.IceLiteRestCatalog")
+      spark.conf.set(s"spark.sql.catalog.$rcat.uri", srv.uri)
+      // empty through the REMOTE face (the commitReplace wire path —
+      // it must pin the schema like the local rewrite does)
+      spark.sql(s"DELETE FROM $rcat.src.t WHERE k >= 0")
+      assert(IceLite.readManifest(ref).declaredSchemaDdl.nonEmpty,
+        "emptying replace must pin the declared schema")
+      spark.sql(s"ALTER TABLE $rcat.src.t ADD COLUMN c BIGINT")
+      assert(spark.sql(s"SELECT * FROM $rcat.src.t").columns.toSeq ==
+        Seq("k", "v", "c"))
+      assert(spark.sql(s"SELECT * FROM $lcat.src.t").columns.toSeq ==
+        Seq("k", "v", "c"))
+      spark.sql(s"ALTER TABLE $rcat.src.t RENAME COLUMN c TO cc")
+      assert(spark.sql(s"SELECT k, v, cc FROM $rcat.src.t").count() == 0L)
+      assert(spark.sql(s"SELECT k, v, cc FROM $lcat.src.t").count() == 0L)
+      // the evolved schema survives a revive INSERT
+      spark.sql(s"INSERT INTO $rcat.src.t VALUES (9, 1.5, 7)")
+      assert(spark.sql(s"SELECT cc FROM $lcat.src.t").as[Long].collect()
+        .toSeq == Seq(7L))
+    } finally srv.stop()
+  }
+
   test("expire + gc on an emptied table keep it readable") {
     val ref = emptiedFlat()
     IceLite.expireSnapshotsRetainLast(ref, 1)

@@ -245,6 +245,15 @@ class RestModelFuzzSpec extends AnyFunSuite {
   // bin — sidecar-live scans now read row-based uniformly
   test("random REST/local interleavings match the serial model (seed 5010)") { run(5010L, 16) }
   test("random REST/local interleavings match the serial model (seed 5038)") { run(5038L, 16) }
+  // wide-sweep finds (r10, the empty-table op's first haul): a schema
+  // evolution landed AFTER a table-emptying DELETE vanished from the
+  // connector schema — the zero-file donor fallback rebound the
+  // alter-ledger scope to the donor snapshot, and the REST replace
+  // commit didn't pin the declared schema (EmptyTableSweepSpec pins
+  // the deterministic unit)
+  test("random REST/local interleavings match the serial model (seed 1028)") { run(1028L, 16) }
+  test("random REST/local interleavings match the serial model (seed 1046)") { run(1046L, 16) }
+  test("random REST/local interleavings match the serial model (seed 1050)") { run(1050L, 16) }
 
   // offline wide sweep (not part of the CI suite):
   //   GRAFT_FUZZ_SEEDS=50 [GRAFT_FUZZ_BASE=2000] \
