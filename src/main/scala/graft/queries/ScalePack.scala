@@ -1950,7 +1950,14 @@ object ScalePack extends Pack {
         val wh = Files.createTempDirectory("graft_d84").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "ev_sql_hidden")
+        // bounded keyed slice (the s24 pattern): the lifecycle
+        // witnesses — derived dirs per era, spec carried, prune
+        // exactness — are per-FILE properties; the full fixture's 30
+        // days × 4 buckets staged 120 dirs per INSERT and billed pure
+        // small-file task overhead to a protocol scenario. 8 days × 4
+        // buckets still exercises multi-value, multi-era layouts.
         val ev = Tables.load(s, dir, "events")
+          .filter($"event_id" < 25000)
           .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
         val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
         s.conf.set(s"spark.sql.catalog.$cat",
@@ -2007,7 +2014,7 @@ object ScalePack extends Pack {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
              ROUND(SUM(value), 2) AS sum_val,
              TRUE AS landed_hidden, TRUE AS prune_exact
-             FROM events
+             FROM events WHERE event_id < 25000
              GROUP BY event_type ORDER BY event_type""")),
 
     // d85: partition-spec evolution for HIDDEN layouts — `ALTER TABLE
@@ -2032,7 +2039,11 @@ object ScalePack extends Pack {
         val wh = Files.createTempDirectory("graft_d85").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "ev_spec_evolve")
+        // bounded keyed slice — see d84's comment (8 days × 4 buckets
+        // keeps every era/evolution witness at a fraction of the
+        // small-file staging cost)
         val ev = Tables.load(s, dir, "events")
+          .filter($"event_id" < 25000)
           .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
         val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
         s.conf.set(s"spark.sql.catalog.$cat",
@@ -2106,7 +2117,7 @@ object ScalePack extends Pack {
              ROUND(SUM(value), 2) AS sum_val,
              TRUE AS metadata_only, TRUE AS era_mixed,
              TRUE AS compact_materialized, TRUE AS prune_exact
-             FROM events
+             FROM events WHERE event_id < 25000
              GROUP BY event_type ORDER BY event_type""")),
 
     // d86: ROW-LEVEL SQL DML on HIDDEN-PARTITION tables, through the
