@@ -3037,11 +3037,18 @@ object IceLite {
         require(f.param >= 2, s"bucket(${f.param}) needs >= 2 buckets")
         pmod(hash(col(f.sourceCol)), lit(f.param))
       case "days" => date_format(col(f.sourceCol), "yyyy-MM-dd")
+      // Iceberg's coarser/finer time transforms, same dir convention
+      // (human-readable, lexically chronological): yyyy / yyyy-MM /
+      // yyyy-MM-dd-HH
+      case "years" => date_format(col(f.sourceCol), "yyyy")
+      case "months" => date_format(col(f.sourceCol), "yyyy-MM")
+      case "hours" => date_format(col(f.sourceCol), "yyyy-MM-dd-HH")
       case "truncate" =>
         require(f.param >= 1, s"truncate(${f.param}) needs width >= 1")
         substring(col(f.sourceCol), 1, f.param)
       case t => throw new IllegalArgumentException(
-        s"unknown partition transform '$t' (bucket | days | truncate)")
+        s"unknown partition transform '$t' " +
+          "(bucket | years | months | days | hours | truncate)")
     }
   }
 
@@ -3061,6 +3068,11 @@ object IceLite {
     case "bucket"   => bucketOf(v, f.param).toString
     case "truncate" => v.toString.take(f.param)
     case "days"     => v.toString.take(10) // caller passes yyyy-MM-dd[...]
+    case "years"    => v.toString.take(4)
+    case "months"   => v.toString.take(7)
+    // timestamp literals read "yyyy-MM-dd HH:…"; the dir is
+    // "yyyy-MM-dd-HH" (Iceberg's hour dir shape)
+    case "hours"    => v.toString.take(13).replace(' ', '-')
     case t => throw new IllegalArgumentException(s"unknown transform '$t'")
   }
 
@@ -3787,11 +3799,15 @@ object IceLite {
           require(param >= 2, s"bucket($param) needs >= 2 buckets")
           PartitionField(s"${sourceCol}_bucket", "bucket", sourceCol, param)
         case "days" => PartitionField(s"${sourceCol}_day", "days", sourceCol, 0)
+        case "years" => PartitionField(s"${sourceCol}_year", "years", sourceCol, 0)
+        case "months" => PartitionField(s"${sourceCol}_month", "months", sourceCol, 0)
+        case "hours" => PartitionField(s"${sourceCol}_hour", "hours", sourceCol, 0)
         case "truncate" =>
           require(param >= 1, s"truncate($param) needs width >= 1")
           PartitionField(s"${sourceCol}_trunc", "truncate", sourceCol, param)
         case other => throw new IllegalArgumentException(
-          s"unsupported partition transform '$other' (bucket | days | truncate)")
+          s"unsupported partition transform '$other' " +
+            "(bucket | years | months | days | hours | truncate)")
       }
       val base = m.writeLayoutSpec
       require(!base.exists(_.name == field.name),

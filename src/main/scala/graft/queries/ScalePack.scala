@@ -2226,6 +2226,98 @@ object ScalePack extends Pack {
                TRUE AS layout_ok, TRUE AS prune_ok
              FROM merged GROUP BY event_type ORDER BY event_type""")),
 
+    // d87: the COMPLETE Iceberg time-transform family — years/months/
+    // hours alongside days (round 10). orders.o_orderdate spans 7
+    // years, so years→months evolution produces real multi-dir
+    // layouts; the hours face runs on a one-day event slice (~22 hour
+    // dirs). Witnesses: era dirs landed per transform, prune
+    // exactness through the year/month dirs (one-pass outside-count,
+    // d84's fold), and an hour-dir prune on the second table. At
+    // 100 TB: month dirs bound a "last quarter" scan to 3/80 of the
+    // table with zero stats; hour dirs bound a streaming backfill's
+    // blast radius to the touched hours.
+    Decl("d87_time_transform_family",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        import graft.icelite.IceLite.SourceIn
+        val wh = Files.createTempDirectory("graft_d87").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_by_time")
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val o = Tables.load(s, dir, "orders")
+          .filter($"o_orderkey" < 15000)
+          .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+        // era 1: a years(ts)-partitioned SQL-born table
+        s.sql(s"""CREATE TABLE $cat.src.orders_by_time (
+                  o_orderkey BIGINT, o_orderdate TIMESTAMP,
+                  o_totalprice DOUBLE)
+                  PARTITIONED BY (years(o_orderdate))""")
+        o.filter($"o_orderkey" % 2 === 0).createOrReplaceTempView("d87_e1")
+        s.sql(s"INSERT INTO $cat.src.orders_by_time SELECT * FROM d87_e1")
+        val era1 = IceLite.readManifest(ref).current.files
+        val yearDirs = era1.nonEmpty &&
+          era1.forall(_.matches(".*o_orderdate_year=\\d{4}/.*"))
+        // evolve: + months(ts); era 2 derives BOTH dirs
+        s.sql(s"ALTER TABLE $cat.src.orders_by_time " +
+          "ADD PARTITION FIELD months(o_orderdate)")
+        o.filter($"o_orderkey" % 2 === 1).createOrReplaceTempView("d87_e2")
+        s.sql(s"INSERT INTO $cat.src.orders_by_time SELECT * FROM d87_e2")
+        val cur = IceLite.readManifest(ref).current
+        val monthDirs = cur.files.filterNot(era1.toSet).nonEmpty &&
+          cur.files.filterNot(era1.toSet).forall(f =>
+            f.contains("o_orderdate_year=") &&
+              f.matches(".*o_orderdate_month=\\d{4}-\\d{2}/.*"))
+        // prune probe: a single literal date maps through years AND
+        // months; era-1 files (no month dir) are kept conservatively
+        val probeTs = "1997-06-15 00:00:00"
+        val keptFiles = IceLite.transformPrunedFiles(ref,
+          Seq(SourceIn("o_orderdate", Seq(probeTs))))
+        val keptAbs = keptFiles.map(f => ref.dir.resolve(f).toString)
+        val outside = IceLite.read(s, ref)
+          .filter(date_format($"o_orderdate", "yyyy-MM") === "1997-06")
+          .select(regexp_replace(input_file_name(), "^file:/*", "/").as("_f"))
+          .agg(coalesce(sum(when(col("_f").isin(keptAbs: _*), 0)
+            .otherwise(1)), lit(0L)))
+          .head().getLong(0)
+        val pruneExact = outside == 0L && keptFiles.size < cur.files.size
+        // hours face: a one-day event slice through hours(ts)
+        val href = TableRef(wh, "src", "ev_by_hour")
+        val ev = Tables.load(s, dir, "events")
+          .filter($"event_id" < 3000)
+          .select($"event_id", $"ts", $"value")
+        IceLite.createOrReplaceTransformed(href, ev,
+          Seq(graft.icelite.PartitionField("ts_hour", "hours", "ts", 0)))
+        val hFiles = IceLite.readManifest(href).current.files
+        val hProbe = ev.select(date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
+          .head().getString(0)
+        val hKept = IceLite.transformPrunedFiles(href,
+          Seq(SourceIn("ts", Seq(hProbe))))
+        val hoursOk = hFiles.forall(
+            _.matches(".*ts_hour=\\d{4}-\\d{2}-\\d{2}-\\d{2}/.*")) &&
+          hKept.nonEmpty && hKept.size < hFiles.size &&
+          hKept.forall(_.contains(
+            s"ts_hour=${hProbe.take(13).replace(' ', '-')}"))
+        s.sql(s"""SELECT date_format(o_orderdate, 'yyyy') AS yr,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sum_price
+                  FROM $cat.src.orders_by_time GROUP BY yr ORDER BY yr""")
+          .withColumn("year_dirs", lit(yearDirs))
+          .withColumn("month_dirs", lit(monthDirs))
+          .withColumn("prune_exact", lit(pruneExact))
+          .withColumn("hours_ok", lit(hoursOk))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y') AS yr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             TRUE AS year_dirs, TRUE AS month_dirs,
+             TRUE AS prune_exact, TRUE AS hours_ok
+             FROM orders WHERE o_orderkey < 15000
+             GROUP BY yr ORDER BY yr""")),
+
     // d82: TABLE PROPERTIES — `ALTER TABLE … SET/UNSET TBLPROPERTIES`
     // (Iceberg table properties; the config channel dbt/Trino write
     // through). Metadata-only CAS commits like every ALTER; carried by

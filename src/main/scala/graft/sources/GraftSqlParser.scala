@@ -66,6 +66,9 @@ class GraftSqlParser(spark: SparkSession,
     transform match {
       case "bucket" => s"${src}_bucket"
       case "days" => s"${src}_day"
+      case "years" => s"${src}_year"
+      case "months" => s"${src}_month"
+      case "hours" => s"${src}_hour"
       case "truncate" => s"${src}_trunc"
       case other => s"${src}_$other"
     }

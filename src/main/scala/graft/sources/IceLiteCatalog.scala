@@ -601,11 +601,17 @@ object IceLiteCatalog extends org.apache.spark.internal.Logging {
           graft.icelite.PartitionField(s"${src}_bucket", "bucket", src, intArg)
         case "days" =>
           graft.icelite.PartitionField(s"${src}_day", "days", src, 0)
+        case "years" =>
+          graft.icelite.PartitionField(s"${src}_year", "years", src, 0)
+        case "months" =>
+          graft.icelite.PartitionField(s"${src}_month", "months", src, 0)
+        case "hours" =>
+          graft.icelite.PartitionField(s"${src}_hour", "hours", src, 0)
         case "truncate" =>
           graft.icelite.PartitionField(s"${src}_trunc", "truncate", src, intArg)
         case other => throw new UnsupportedOperationException(
           s"unsupported partition transform '$other' " +
-            "(identity | bucket | days | truncate)")
+            "(identity | bucket | years | months | days | hours | truncate)")
       }
     })
   }

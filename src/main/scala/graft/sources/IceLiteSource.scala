@@ -391,6 +391,9 @@ class IceLiteTable(ref: TableRef, schema: StructType,
         (f.transform match {
           case "bucket" => Expressions.bucket(f.param, f.sourceCol)
           case "days" => Expressions.days(f.sourceCol)
+          case "years" => Expressions.years(f.sourceCol)
+          case "months" => Expressions.months(f.sourceCol)
+          case "hours" => Expressions.hours(f.sourceCol)
           case "truncate" => Expressions.apply("truncate",
             Expressions.literal(f.param), Expressions.column(f.sourceCol))
           case t => throw new IllegalArgumentException(
@@ -1236,20 +1239,26 @@ class IceLiteTransformedDataWriter(stageDir: String, fileName: String,
       // casts ImplicitCastInputTypes would have (date/string → a
       // timestamp for days; anything → string for truncate) — the
       // DataFrame path in IceLite.transformExpr gets these for free
+      def tsFmt(pattern: String) = {
+        val ts =
+          if (bound.dataType == TimestampType) bound
+          else Cast(bound, TimestampType, Some(timeZoneId))
+        DateFormatClass(ts, Literal(pattern), Some(timeZoneId))
+      }
       f.transform match {
         case "bucket" => Pmod(new Murmur3Hash(Seq(bound)), Literal(f.param))
-        case "days" =>
-          val ts =
-            if (bound.dataType == TimestampType) bound
-            else Cast(bound, TimestampType, Some(timeZoneId))
-          DateFormatClass(ts, Literal("yyyy-MM-dd"), Some(timeZoneId))
+        case "days" => tsFmt("yyyy-MM-dd")
+        case "years" => tsFmt("yyyy")
+        case "months" => tsFmt("yyyy-MM")
+        case "hours" => tsFmt("yyyy-MM-dd-HH")
         case "truncate" =>
           val s =
             if (bound.dataType == StringType) bound
             else Cast(bound, StringType, Some(timeZoneId))
           Substring(s, Literal(1), Literal(f.param))
         case t => throw new IllegalArgumentException(
-          s"unknown partition transform '$t' (bucket | days | truncate)")
+          s"unknown partition transform '$t' " +
+            "(bucket | years | months | days | hours | truncate)")
       }
     }
     UnsafeProjection.create(exprs)

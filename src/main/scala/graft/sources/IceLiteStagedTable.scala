@@ -37,6 +37,9 @@ class IceLiteStagedTable(ref: TableRef, declared: StructType,
         f.transform match {
           case "bucket" => Expressions.bucket(f.param, f.sourceCol)
           case "days" => Expressions.days(f.sourceCol)
+          case "years" => Expressions.years(f.sourceCol)
+          case "months" => Expressions.months(f.sourceCol)
+          case "hours" => Expressions.hours(f.sourceCol)
           case "truncate" => Expressions.apply("truncate",
             Expressions.literal(f.param), Expressions.column(f.sourceCol))
         }

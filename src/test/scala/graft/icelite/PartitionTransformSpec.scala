@@ -140,6 +140,94 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(IceLite.read(spark, ref).count() == 400)
   }
 
+  // multi-year timestamps for the coarse time transforms: 18 months
+  // across 2023-07 .. 2024-12, several hours per day
+  private def spanDf = (0L until 540L).map { i =>
+    val month = 7 + (i % 18)                       // 7..24 → 2023-07..2024-12
+    val (y, m) = (2023 + (month - 1) / 12, (month - 1) % 12 + 1)
+    (i, f"$y%04d-$m%02d-${i % 27 + 1}%02d ${i % 23}%02d:30:00")
+  }.toDF("id", "ts_s")
+    .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+
+  test("years/months/hours transforms: Iceberg dir shapes, exact pruning") {
+    // months
+    val rm = freshRef("months")
+    IceLite.createOrReplaceTransformed(rm, spanDf,
+      Seq(PartitionField("ts_month", "months", "ts", 0)))
+    val mFiles = IceLite.readManifest(rm).current.files
+    assert(mFiles.forall(_.matches(".*ts_month=\\d{4}-\\d{2}/.*")), s"$mFiles")
+    val mKept = IceLite.transformPrunedFiles(rm,
+      Seq(SourceIn("ts", Seq("2024-03-15 10:30:00"))))
+    assert(mKept.nonEmpty && mKept.size < mFiles.size)
+    assert(mKept.forall(_.contains("ts_month=2024-03")))
+    val mPruned = IceLite.readTransformPruned(spark, rm,
+      Seq(SourceIn("ts", Seq("2024-03-15 10:30:00"))),
+      $"ts" >= "2024-03-01" && $"ts" < "2024-04-01")
+    val mExpect = IceLite.read(spark, rm)
+      .filter($"ts" >= "2024-03-01" && $"ts" < "2024-04-01")
+    assert(mPruned.count() == mExpect.count() && mPruned.count() > 0)
+
+    // years
+    val ry = freshRef("years")
+    IceLite.createOrReplaceTransformed(ry, spanDf,
+      Seq(PartitionField("ts_year", "years", "ts", 0)))
+    val yFiles = IceLite.readManifest(ry).current.files
+    assert(yFiles.exists(_.contains("ts_year=2023/")) &&
+      yFiles.exists(_.contains("ts_year=2024/")))
+    val yKept = IceLite.transformPrunedFiles(ry,
+      Seq(SourceIn("ts", Seq("2023-08-01 00:00:00"))))
+    assert(yKept.forall(_.contains("ts_year=2023")) && yKept.size < yFiles.size)
+
+    // hours (Iceberg's yyyy-MM-dd-HH dir)
+    val rh = freshRef("hours")
+    IceLite.createOrReplaceTransformed(rh, spanDf.filter($"ts" < "2023-08-01"),
+      Seq(PartitionField("ts_hour", "hours", "ts", 0)))
+    val hFiles = IceLite.readManifest(rh).current.files
+    assert(hFiles.forall(_.matches(".*ts_hour=\\d{4}-\\d{2}-\\d{2}-\\d{2}/.*")),
+      s"$hFiles")
+    val probeTs = spanDf.filter($"ts" < "2023-08-01")
+      .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss")).as[String].head()
+    val hKept = IceLite.transformPrunedFiles(rh, Seq(SourceIn("ts", Seq(probeTs))))
+    assert(hKept.nonEmpty && hKept.size < hFiles.size)
+    assert(hKept.forall(_.contains(
+      s"ts_hour=${probeTs.take(13).replace(' ', '-')}")))
+  }
+
+  test("SQL face: CREATE PARTITIONED BY months(ts), evolve with hours(ts)") {
+    val wh = Files.createTempDirectory("pt_sql_mh").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    val cat = s"ptmh_${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"""CREATE TABLE $cat.src.t (id BIGINT, ts TIMESTAMP)
+                  PARTITIONED BY (months(ts))""")
+    spanDf.createOrReplaceTempView("pt_mh_batch")
+    spark.sql(s"INSERT INTO $cat.src.t SELECT id, ts FROM pt_mh_batch")
+    val m1 = IceLite.readManifest(ref)
+    assert(m1.current.partitionSpec.map(_.name) == Seq("ts_month"))
+    assert(m1.current.files.forall(_.contains("ts_month=")))
+    // evolve: + hours(ts); next insert derives both dirs
+    spark.sql(s"ALTER TABLE $cat.src.t ADD PARTITION FIELD hours(ts)")
+    assert(IceLite.readManifest(ref).writeLayoutSpec.map(_.name) ==
+      Seq("ts_month", "ts_hour"))
+    spark.sql(s"INSERT INTO $cat.src.t VALUES (9999, TIMESTAMP '2025-02-03 07:30:00')")
+    val era2 = IceLite.readManifest(ref).current.files
+      .filterNot(m1.current.files.toSet)
+    assert(era2.nonEmpty && era2.forall(f =>
+      f.contains("ts_month=2025-02") && f.contains("ts_hour=2025-02-03-07")))
+    // the full SQL read is era-complete and the count matches
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t").head.getLong(0) == 541L)
+    // partitioning() reports the declared transforms
+    val parts = spark.sessionState.catalogManager
+      .catalog(cat).asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("src"), "t")).partitioning().map(_.describe).toSeq
+    assert(parts.exists(_.contains("months")) && parts.exists(_.contains("hours")),
+      s"partitioning: $parts")
+  }
+
   test("compact merges small files within dirs and keeps the spec") {
     val ref = freshRef("cmp")
     val spec = Seq(PartitionField("id_bucket", "bucket", "id", 2))
