@@ -3173,9 +3173,12 @@ object IceLite {
   }
 
   /** A SOURCE-column predicate for transform pruning: either a set of
-    * literal values (mapped through bucket/truncate/days equality) or
-    * an inclusive day-string range `[loDay, hiDay]` against a "days"
-    * transform. */
+    * literal values (mapped through bucket/truncate/time-dir equality)
+    * or an inclusive day-string range `[loDay, hiDay]` that constrains
+    * EVERY time transform derived from the column — days dirs
+    * directly, hours dirs through their day prefix, months/years dirs
+    * through the range's own prefixes (all lexically chronological by
+    * construction of the dir shapes). */
   sealed trait TransformPred { def sourceCol: String }
   final case class SourceIn(sourceCol: String, values: Seq[Any])
       extends TransformPred
@@ -3212,6 +3215,15 @@ object IceLite {
         }
         case SourceDayRange(c, lo, hi) => bySource(c).collect {
           case f if f.transform == "days" => f -> Right((lo, hi))
+          // hours dirs (yyyy-MM-dd-HH): the day prefix decides
+          case f if f.transform == "hours" => f -> Right((lo, hi))
+          // coarser dirs: the range's own prefixes bound them — a
+          // month/year dir is in range iff it intersects [lo, hi],
+          // which for prefix-shaped dirs is a prefix compare
+          case f if f.transform == "months" =>
+            f -> Right((lo.take(7), hi.take(7)))
+          case f if f.transform == "years" =>
+            f -> Right((lo.take(4), hi.take(4)))
         }
       }
     snap.files.filter { f =>
@@ -3222,8 +3234,12 @@ object IceLite {
           case Some(seg) => c match {
             case Left(allowed) => allowed.contains(seg)
             case Right((lo, hi)) =>
-              val day = seg.drop(field.name.length + 1)
-              day >= lo && day <= hi
+              // prefix-compare at each bound's own granularity: an
+              // hours dir (yyyy-MM-dd-HH) is in a DAY range iff its
+              // day prefix is; months/years bounds arrive already
+              // truncated to their dir width
+              val v = seg.drop(field.name.length + 1)
+              v.take(lo.length) >= lo && v.take(hi.length) <= hi
           }
         }
       }

@@ -193,6 +193,54 @@ class PartitionTransformSpec extends AnyFunSuite {
       s"ts_hour=${probeTs.take(13).replace(' ', '-')}")))
   }
 
+  test("day ranges prune years/months/hours dirs through their prefixes") {
+    // months: a quarter probe keeps exactly its three month dirs
+    val rm = freshRef("mrange")
+    IceLite.createOrReplaceTransformed(rm, spanDf,
+      Seq(PartitionField("ts_month", "months", "ts", 0)))
+    val mAll = IceLite.readManifest(rm).current.files
+    val mKept = IceLite.transformPrunedFiles(rm,
+      Seq(SourceDayRange("ts", "2024-01-01", "2024-03-31")))
+    assert(mKept.nonEmpty && mKept.size < mAll.size)
+    assert(mKept.forall(f => Seq("2024-01", "2024-02", "2024-03")
+      .exists(m => f.contains(s"ts_month=$m"))), s"$mKept")
+    // exactness against the full-scan filter
+    val mPruned = IceLite.readTransformPruned(spark, rm,
+      Seq(SourceDayRange("ts", "2024-01-01", "2024-03-31")),
+      $"ts" >= "2024-01-01" && $"ts" < "2024-04-01")
+    val mExpect = IceLite.read(spark, rm)
+      .filter($"ts" >= "2024-01-01" && $"ts" < "2024-04-01")
+    assert(mPruned.count() == mExpect.count() && mPruned.count() > 0)
+
+    // years: a range inside one year keeps only that year's dir
+    val ry = freshRef("yrange")
+    IceLite.createOrReplaceTransformed(ry, spanDf,
+      Seq(PartitionField("ts_year", "years", "ts", 0)))
+    val yKept = IceLite.transformPrunedFiles(ry,
+      Seq(SourceDayRange("ts", "2023-08-01", "2023-10-31")))
+    assert(yKept.nonEmpty && yKept.forall(_.contains("ts_year=2023")))
+
+    // hours: a one-day range keeps only that day's hour dirs,
+    // inclusive of hour 23 (the prefix-compare boundary case)
+    val rh = freshRef("hrange")
+    IceLite.createOrReplaceTransformed(rh, spanDf.filter($"ts" < "2023-09-01"),
+      Seq(PartitionField("ts_hour", "hours", "ts", 0)))
+    val hAll = IceLite.readManifest(rh).current.files
+    val days = hAll.map(_.split('/').find(_.startsWith("ts_hour=")).get
+      .drop(8).take(10)).distinct.sorted
+    val probeDay = days.head
+    val hKept = IceLite.transformPrunedFiles(rh,
+      Seq(SourceDayRange("ts", probeDay, probeDay)))
+    assert(hKept.nonEmpty && hKept.size < hAll.size)
+    assert(hKept.forall(_.contains(s"ts_hour=$probeDay")), s"$hKept")
+    val hPruned = IceLite.readTransformPruned(spark, rh,
+      Seq(SourceDayRange("ts", probeDay, probeDay)),
+      date_format($"ts", "yyyy-MM-dd") === probeDay)
+    val hExpect = IceLite.read(spark, rh)
+      .filter(date_format($"ts", "yyyy-MM-dd") === probeDay)
+    assert(hPruned.count() == hExpect.count() && hPruned.count() > 0)
+  }
+
   test("SQL face: CREATE PARTITIONED BY months(ts), evolve with hours(ts)") {
     val wh = Files.createTempDirectory("pt_sql_mh").toString
     IceLite.createNamespace(wh, "src")
