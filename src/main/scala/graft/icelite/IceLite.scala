@@ -3063,6 +3063,35 @@ object IceLite {
     if (m < 0) m + n else m
   }
 
+  /** The dir SEGMENTS (`name=value`) a set of pushed literal source
+    * values may land in under one spec field — the connector's
+    * transform-pruning hook (Iceberg's Spark scan does the same
+    * mapping for pushed predicates on hidden-partition sources).
+    * Time transforms need the SESSION-ZONE rendering of timestamp
+    * literals (java.time.Instant under the java8 API) because the
+    * write side derived dirs with date_format in that zone; bucket
+    * hashes the NATIVE value (same Murmur3 literal path as
+    * `bucketOf`), so values must arrive coerced to the column type. */
+  private[graft] def transformAllowedSegs(f: PartitionField, vs: Set[Any],
+      zoneId: String): Set[String] = {
+    def str(v: Any): String = v match {
+      case i: java.time.Instant => java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneId.of(zoneId)).format(i)
+      case other => other.toString
+    }
+    val mapped: Set[String] = f.transform match {
+      case "bucket" => vs.map(v => bucketOf(v, f.param).toString)
+      case "truncate" => vs.map(v => str(v).take(f.param))
+      case "days" => vs.map(v => str(v).take(10))
+      case "years" => vs.map(v => str(v).take(4))
+      case "months" => vs.map(v => str(v).take(7))
+      case "hours" => vs.map(v => str(v).take(13).replace(' ', '-'))
+      case t => throw new IllegalArgumentException(s"unknown transform '$t'")
+    }
+    mapped.map(m => s"${f.name}=${escapePartitionValue(m)}")
+  }
+
   /** The derived dir value a literal source value maps to. */
   private def transformValue(f: PartitionField, v: Any): String = f.transform match {
     case "bucket"   => bucketOf(v, f.param).toString

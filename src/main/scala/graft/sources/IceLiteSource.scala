@@ -1531,6 +1531,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private var accepted: Array[Filter] = Array.empty
   private var bounds: Map[String, (Double, Double)] = Map.empty
   private var partFilters: Map[String, Set[String]] = Map.empty
+  private var tfFilters: Map[String, Set[Any]] = Map.empty
   private var pushedAggs: Option[(Seq[String], Seq[PushedAgg])] = None
 
   private def num(v: Any): Option[Double] = v match {
@@ -1540,6 +1541,33 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
 
   private def isPartCol(c: String): Boolean =
     currentSnap.partitionCols.contains(c)
+
+  /** Columns some HIDDEN-PARTITION transform derives from — pushed
+    * equality/IN on them prunes derived dirs (Iceberg's scan does the
+    * same mapping; without it a bucket(user_id) table scanned every
+    * bucket for `WHERE user_id = k` through SQL while the engine-API
+    * read pruned). */
+  private def isTfSource(c: String): Boolean =
+    currentSnap.partitionSpec.exists(_.sourceCol == c)
+
+  /** Coerce a pushed literal to the COLUMN's native type before the
+    * bucket hash (Murmur3 of an Integer ≠ of a Long — a mistyped
+    * literal would silently prune the WRONG bucket). Unknown shapes
+    * return None and the filter simply isn't used for pruning. */
+  private def tfCoerce(c: String, v: Any): Option[Any] =
+    (typeOf(c), v) match {
+      case (_, null) => None
+      case (Some(LongType), n: Number) => Some(n.longValue())
+      case (Some(IntegerType), n: Number) => Some(n.intValue())
+      case (Some(DoubleType), n: Number) => Some(n.doubleValue())
+      case (Some(StringType), s) => Some(s.toString)
+      case (Some(TimestampType), t) => Some(t) // Instant/Timestamp as-is
+      case (Some(DateType), d) => Some(d)
+      case _ => None
+    }
+
+  private def tfEq(col: String, vs: Set[Any]): Unit =
+    tfFilters += col -> tfFilters.get(col).map(_.intersect(vs)).getOrElse(vs)
 
   /** Accept numeric range predicates (stats pruning) and string
     * equality / IN over PARTITION columns (path pruning — Iceberg's
@@ -1562,6 +1590,17 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       case EqualTo(c, v: String) if isPartCol(c) => partEq(c, Set(v)); true
       case In(c, vs) if isPartCol(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         partEq(c, vs.map(_.asInstanceOf[String]).toSet); true
+      // hidden-partition transform pruning: equality/IN on a SOURCE
+      // column maps through bucket/truncate/time dirs (files whose
+      // path lacks the dir are kept conservatively; the filter stays
+      // residual like everything else here)
+      case EqualTo(c, v) if isTfSource(c) && tfCoerce(c, v).isDefined =>
+        tfEq(c, Set(tfCoerce(c, v).get))
+        num(v).foreach(d => tighten(c, d, d))
+        true
+      case In(c, vs) if isTfSource(c) && vs.nonEmpty &&
+          vs.forall(v => tfCoerce(c, v).isDefined) =>
+        tfEq(c, vs.map(v => tfCoerce(c, v).get).toSet); true
       case EqualTo(c, v) => num(v).exists { d => tighten(c, d, d); true }
       case _ => false
     }
@@ -1726,7 +1765,8 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         bounds, partFilters, partProjected, emitFile, rowOp,
         currentSnap.partitionCols, currentSnap.deleteFiles,
         currentSnap.eqDeletes,
-        snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh)
+        snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh,
+        tfFilters)
   }
 }
 
@@ -1822,7 +1862,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024,
     asOf: Option[Long] = None,
-    streamRefresh: () => Unit = () => ()) extends Scan with Batch
+    streamRefresh: () => Unit = () => (),
+    tfFilters: Map[String, Set[Any]] = Map.empty) extends Scan with Batch
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1911,7 +1952,9 @@ class IceLiteScan(ref: TableRef, required: StructType,
   override def description(): String =
     s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}" +
       (if (partFilters.isEmpty) ""
-       else s" partPruned=${partFilters.keys.toSeq.sorted.mkString(",")}")
+       else s" partPruned=${partFilters.keys.toSeq.sorted.mkString(",")}") +
+      (if (tfFilters.isEmpty) ""
+       else s" transformPruned=${tfFilters.keys.toSeq.sorted.mkString(",")}")
 
   /** Statically pruned file list (manifest stats + pushed partition
     * equality) — what planning-time consumers (outputPartitioning)
@@ -1928,10 +1971,31 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // A file whose path lacks the column (d83 mid-evolution old era)
     // is KEPT: its value lives in data pages and every pushed filter
     // stays residual, so rows still filter exactly.
-    if (partFilters.isEmpty) statsPruned
-    else statsPruned.filter { f =>
-      val vals = IceLiteSource.pathPartValues(f)
-      partFilters.forall { case (c, vs) => vals.get(c).forall(vs.contains) }
+    val identityPruned =
+      if (partFilters.isEmpty) statsPruned
+      else statsPruned.filter { f =>
+        val vals = IceLiteSource.pathPartValues(f)
+        partFilters.forall { case (c, vs) => vals.get(c).forall(vs.contains) }
+      }
+    // hidden-partition transform pruning (pushed source-col equality
+    // mapped through bucket/truncate/time dirs); dir-less files (a
+    // pre-spec era) are kept conservatively — the residual filter
+    // keeps rows exact either way
+    if (tfFilters.isEmpty || snap.partitionSpec.isEmpty) identityPruned
+    else {
+      val zone = org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.sessionLocalTimeZone
+      val bySource = snap.partitionSpec.groupBy(_.sourceCol)
+      val constraints = tfFilters.toSeq.flatMap { case (c, vs) =>
+        bySource.getOrElse(c, Nil).map(fld =>
+          fld.name -> IceLite.transformAllowedSegs(fld, vs, zone))
+      }
+      identityPruned.filter { f =>
+        val segs = f.split('/').toSeq
+        constraints.forall { case (name, allowed) =>
+          segs.find(_.startsWith(s"$name=")).forall(allowed.contains)
+        }
+      }
     }
   }
 

@@ -276,6 +276,57 @@ class PartitionTransformSpec extends AnyFunSuite {
       s"partitioning: $parts")
   }
 
+  test("SQL pushdown prunes hidden-partition dirs (bucket point lookup, month probe)") {
+    // before round 10 the CONNECTOR scanned every bucket for
+    // `WHERE user_id = k` while the engine-API read pruned — the scan
+    // now maps pushed equality/IN through the transforms
+    val wh = Files.createTempDirectory("pt_sql_push").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    val cat = s"ptpush_${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    IceLite.createOrReplaceTransformed(ref,
+      (1L to 400L).map(i => (i, s"n$i")).toDF("id", "name"),
+      Seq(PartitionField("id_bucket", "bucket", "id", 4)))
+    val all = IceLite.readManifest(ref).current.files.size
+    val got = spark.sql(s"SELECT id, name FROM $cat.src.t WHERE id = 42")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((42L, "n42")))
+    val planned = graft.sources.IceLiteSource.lastPlannedFiles.size
+    assert(planned < all, s"bucket lookup planned $planned/$all files")
+    // IN over two keys plans at most two buckets' worth
+    spark.sql(s"SELECT COUNT(*) FROM $cat.src.t WHERE id IN (42, 43)")
+      .collect()
+    assert(graft.sources.IceLiteSource.lastPlannedFiles.size < all)
+
+    // months(ts): a timestamp equality plans only its month dir
+    val rm = TableRef(wh, "src", "m")
+    IceLite.createOrReplaceTransformed(rm, spanDf.withColumnRenamed("id", "k"),
+      Seq(PartitionField("ts_month", "months", "ts", 0)))
+    val mAll = IceLite.readManifest(rm).current.files.size
+    val probe = spark.sql(
+      s"""SELECT COUNT(*) FROM $cat.src.m
+          WHERE ts = TIMESTAMP '2024-03-02 05:30:00'""").head.getLong(0)
+    val mPlanned = graft.sources.IceLiteSource.lastPlannedFiles
+    assert(mPlanned.size < mAll, s"month probe planned ${mPlanned.size}/$mAll")
+    assert(mPlanned.forall(_.contains("ts_month=2024-03")), s"$mPlanned")
+    val expect = IceLite.read(spark, rm)
+      .filter($"ts" === "2024-03-02 05:30:00").count()
+    assert(probe == expect)
+
+    // era-mixed: pre-spec (flat) files are kept conservatively
+    val rf = TableRef(wh, "src", "f")
+    IceLite.createOrReplace(rf, (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    spark.sql(s"ALTER TABLE $cat.src.f ADD PARTITION FIELD bucket(4, id)")
+    spark.sql(s"INSERT INTO $cat.src.f VALUES (1000, 9.0)")
+    val n = spark.sql(s"SELECT COUNT(*) FROM $cat.src.f WHERE id = 7").head.getLong(0)
+    assert(n == 1L, "pre-spec rows must survive transform pruning")
+    assert(graft.sources.IceLiteSource.lastPlannedFiles.exists(
+      !_.contains("id_bucket=")), "flat-era file must stay planned")
+  }
+
   test("compact merges small files within dirs and keeps the spec") {
     val ref = freshRef("cmp")
     val spec = Seq(PartitionField("id_bucket", "bucket", "id", 2))

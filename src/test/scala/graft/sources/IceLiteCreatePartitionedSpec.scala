@@ -125,10 +125,15 @@ class IceLiteCreatePartitionedSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE $cat.src.t4 (k BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (days(ts))")
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t4").head.getLong(0) == 0L)
+    // the full time family creates too (r10: years/months/hours —
+    // PartitionTransformSpec covers their write/prune paths)
+    spark.sql(s"CREATE TABLE $cat.src.t4y (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (years(ts), hours(ts))")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src.t4y").head.getLong(0) == 0L)
     // a transform outside the supported set still refuses loudly
     val e = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.src.t5 (k BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (years(ts))")
+        "PARTITIONED BY (foo(ts))")
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
