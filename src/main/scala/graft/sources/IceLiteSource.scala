@@ -1569,6 +1569,36 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private def tfEq(col: String, vs: Set[Any]): Unit =
     tfFilters += col -> tfFilters.get(col).map(_.intersect(vs)).getOrElse(vs)
 
+  /** Day-granularity ranges over TIME-transform source columns —
+    * `WHERE ts >= X AND ts < Y` prunes year/month/day/hour dirs (the
+    * "scan last quarter" shape; bounds are conservative to the whole
+    * day, the residual filter keeps rows exact). */
+  private var tfRanges: Map[String, (String, String)] = Map.empty
+
+  private def hasTimeTransform(c: String): Boolean =
+    currentSnap.partitionSpec.exists(f => f.sourceCol == c &&
+      Set("years", "months", "days", "hours").contains(f.transform))
+
+  /** The session-zone day string of a pushed temporal literal. */
+  private def dayOf(v: Any): Option[String] = v match {
+    case i: java.time.Instant =>
+      val zone = org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.sessionLocalTimeZone
+      Some(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+        .withZone(java.time.ZoneId.of(zone)).format(i))
+    case t: java.sql.Timestamp => Some(t.toString.take(10))
+    case d: java.time.LocalDate => Some(d.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case s: String if s.matches("\\d{4}-\\d{2}-\\d{2}.*") => Some(s.take(10))
+    case _ => None
+  }
+
+  private def tfRange(col: String, lo: Option[String], hi: Option[String]): Unit = {
+    val (l0, h0) = tfRanges.getOrElse(col, ("0000-00-00", "9999-99-99"))
+    tfRanges += col -> (
+      lo.filter(_ > l0).getOrElse(l0), hi.filter(_ < h0).getOrElse(h0))
+  }
+
   /** Accept numeric range predicates (stats pruning) and string
     * equality / IN over PARTITION columns (path pruning — Iceberg's
     * identity-partition predicate pushdown); EVERYTHING stays
@@ -1583,6 +1613,16 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     def partEq(col: String, vs: Set[String]): Unit =
       partFilters += col -> partFilters.get(col).map(_.intersect(vs)).getOrElse(vs)
     accepted = filters.filter {
+      // time-transform dir ranges first (GT stays day-inclusive at
+      // its bound — conservative; LT likewise keeps the boundary day)
+      case GreaterThan(c, v) if hasTimeTransform(c) && dayOf(v).isDefined =>
+        tfRange(c, dayOf(v), None); true
+      case GreaterThanOrEqual(c, v) if hasTimeTransform(c) && dayOf(v).isDefined =>
+        tfRange(c, dayOf(v), None); true
+      case LessThan(c, v) if hasTimeTransform(c) && dayOf(v).isDefined =>
+        tfRange(c, None, dayOf(v)); true
+      case LessThanOrEqual(c, v) if hasTimeTransform(c) && dayOf(v).isDefined =>
+        tfRange(c, None, dayOf(v)); true
       case GreaterThan(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
       case GreaterThanOrEqual(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
       case LessThan(c, v) => num(v).exists { d => tighten(c, Double.NegativeInfinity, d); true }
@@ -1766,7 +1806,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         currentSnap.partitionCols, currentSnap.deleteFiles,
         currentSnap.eqDeletes,
         snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh,
-        tfFilters)
+        tfFilters, tfRanges)
   }
 }
 
@@ -1863,7 +1903,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     targetSplitBytes: Long = 128L * 1024 * 1024,
     asOf: Option[Long] = None,
     streamRefresh: () => Unit = () => (),
-    tfFilters: Map[String, Set[Any]] = Map.empty) extends Scan with Batch
+    tfFilters: Map[String, Set[Any]] = Map.empty,
+    tfRanges: Map[String, (String, String)] = Map.empty) extends Scan with Batch
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1953,8 +1994,9 @@ class IceLiteScan(ref: TableRef, required: StructType,
     s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}" +
       (if (partFilters.isEmpty) ""
        else s" partPruned=${partFilters.keys.toSeq.sorted.mkString(",")}") +
-      (if (tfFilters.isEmpty) ""
-       else s" transformPruned=${tfFilters.keys.toSeq.sorted.mkString(",")}")
+      (if (tfFilters.isEmpty && tfRanges.isEmpty) ""
+       else s" transformPruned=${(tfFilters.keySet ++ tfRanges.keySet)
+         .toSeq.sorted.mkString(",")}")
 
   /** Statically pruned file list (manifest stats + pushed partition
     * equality) — what planning-time consumers (outputPartitioning)
@@ -1978,22 +2020,44 @@ class IceLiteScan(ref: TableRef, required: StructType,
         partFilters.forall { case (c, vs) => vals.get(c).forall(vs.contains) }
       }
     // hidden-partition transform pruning (pushed source-col equality
-    // mapped through bucket/truncate/time dirs); dir-less files (a
-    // pre-spec era) are kept conservatively — the residual filter
-    // keeps rows exact either way
-    if (tfFilters.isEmpty || snap.partitionSpec.isEmpty) identityPruned
+    // mapped through bucket/truncate/time dirs, day ranges through
+    // each time dir's granularity prefix); dir-less files (a pre-spec
+    // era) are kept conservatively — the residual filter keeps rows
+    // exact either way
+    if ((tfFilters.isEmpty && tfRanges.isEmpty) || snap.partitionSpec.isEmpty)
+      identityPruned
     else {
       val zone = org.apache.spark.sql.SparkSession.active
         .sessionState.conf.sessionLocalTimeZone
       val bySource = snap.partitionSpec.groupBy(_.sourceCol)
-      val constraints = tfFilters.toSeq.flatMap { case (c, vs) =>
+      val eqConstraints = tfFilters.toSeq.flatMap { case (c, vs) =>
         bySource.getOrElse(c, Nil).map(fld =>
-          fld.name -> IceLite.transformAllowedSegs(fld, vs, zone))
+          fld.name -> Left(IceLite.transformAllowedSegs(fld, vs, zone)))
       }
+      // ranges: prefix-compare at each dir's own granularity (the
+      // engine's SourceDayRange rule)
+      val rangeConstraints = tfRanges.toSeq.flatMap { case (c, (lo, hi)) =>
+        bySource.getOrElse(c, Nil).collect {
+          case fld if fld.transform == "days" || fld.transform == "hours" =>
+            fld.name -> Right((lo, hi))
+          case fld if fld.transform == "months" =>
+            fld.name -> Right((lo.take(7), hi.take(7)))
+          case fld if fld.transform == "years" =>
+            fld.name -> Right((lo.take(4), hi.take(4)))
+        }
+      }
+      val constraints = eqConstraints ++ rangeConstraints
       identityPruned.filter { f =>
         val segs = f.split('/').toSeq
-        constraints.forall { case (name, allowed) =>
-          segs.find(_.startsWith(s"$name=")).forall(allowed.contains)
+        constraints.forall { case (name, c) =>
+          segs.find(_.startsWith(s"$name=")).forall { seg =>
+            c match {
+              case Left(allowed) => allowed.contains(seg)
+              case Right((lo, hi)) =>
+                val v = seg.drop(name.length + 1)
+                v.take(lo.length) >= lo && v.take(hi.length) <= hi
+            }
+          }
         }
       }
     }

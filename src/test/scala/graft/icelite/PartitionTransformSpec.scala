@@ -327,6 +327,32 @@ class PartitionTransformSpec extends AnyFunSuite {
       !_.contains("id_bucket=")), "flat-era file must stay planned")
   }
 
+  test("SQL pushdown prunes time-transform dirs from range predicates") {
+    val wh = Files.createTempDirectory("pt_sql_rng").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "q")
+    val cat = s"ptrng_${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    IceLite.createOrReplaceTransformed(ref,
+      spanDf.withColumnRenamed("id", "k"),
+      Seq(PartitionField("ts_month", "months", "ts", 0)))
+    val all = IceLite.readManifest(ref).current.files.size
+    // the "last quarter" shape: a BETWEEN keeps only its month dirs
+    val n = spark.sql(
+      s"""SELECT COUNT(*) FROM $cat.src.q
+          WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+            AND ts <  TIMESTAMP '2024-04-01 00:00:00'""").head.getLong(0)
+    val planned = graft.sources.IceLiteSource.lastPlannedFiles
+    assert(planned.size < all, s"quarter probe planned ${planned.size}/$all")
+    assert(planned.forall(f => Seq("2024-01", "2024-02", "2024-03", "2024-04")
+      .exists(m => f.contains(s"ts_month=$m"))), s"$planned")
+    val expect = IceLite.read(spark, ref)
+      .filter($"ts" >= "2024-01-01" && $"ts" < "2024-04-01").count()
+    assert(n == expect && n > 0)
+  }
+
   test("compact merges small files within dirs and keeps the spec") {
     val ref = freshRef("cmp")
     val spec = Seq(PartitionField("id_bucket", "bucket", "id", 2))
