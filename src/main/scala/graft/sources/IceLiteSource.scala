@@ -1932,13 +1932,32 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * partitions. Conjunctive with the statically pushed filters. */
   private var runtimePartKeep: Map[String, Set[String]] = Map.empty
 
+  /** Runtime TRANSFORM filter: DPP values on a bucket/truncate SOURCE
+    * column map through the derived dirs (Iceberg's runtime filtering
+    * on hidden partitions) — a fact⋈dim join on the bucketed key
+    * skips whole buckets at execution time. Time transforms are
+    * excluded here: their runtime literals arrive as epoch numbers,
+    * not the session-zone strings the dirs were derived from. */
+  private lazy val tfSpecFields = IceLiteSource.resolveSnap(ref, asOf)
+    .partitionSpec.filter(f =>
+      f.transform == "bucket" || f.transform == "truncate")
+  private var runtimeTfKeep: Map[String, Set[Any]] = Map.empty
+
   /** Row-level scans filter on the `_file` group id; ordinary scans
     * of a partitioned table advertise the partition columns (the DPP
     * hook — Spark's PartitionPruning rule only considers columns
-    * listed here). */
+    * listed here) plus bucket/truncate transform SOURCE columns. */
   override def filterAttributes(): Array[NamedReference] =
     if (rowOp.isDefined) Array(Expressions.column("_file"))
-    else partitionCols.map(Expressions.column).toArray
+    else {
+      // only columns THIS scan outputs: Spark's PartitionPruning rule
+      // resolves these refs against the relation output and throws on
+      // a projected-away column (bitten by d86's MERGE source scan,
+      // which projects only the join key + _file)
+      val out = required.fieldNames.toSet
+      (partitionCols ++ tfSpecFields.map(_.sourceCol)).distinct
+        .filter(out.contains).map(Expressions.column).toArray
+    }
 
   override def filter(predicates: Array[Predicate]): Unit = {
     def colOf(e: V2Expression): Option[String] = e match {
@@ -1946,36 +1965,43 @@ class IceLiteScan(ref: TableRef, required: StructType,
         Some(nr.fieldNames.head)
       case _ => None
     }
-    def litStr(e: V2Expression): Option[String] = e match {
+    // the NATIVE literal value (bucket hashes it — type must survive);
+    // UTF8String unwraps to String, numerics stay as boxed primitives
+    def litAny(e: V2Expression): Option[Any] = e match {
       case l: Literal[_] => Option(l.value).map {
         case u: UTF8String => u.toString
-        case other => other.toString
+        case other => other
       }
       case _ => None
     }
     // (column, accepted value set) — only columns we can act on;
     // untranslatable predicates stay conservative (keep all files)
-    val sets: Seq[(String, Set[String])] = predicates.toSeq.flatMap { p =>
+    val sets: Seq[(String, Set[Any])] = predicates.toSeq.flatMap { p =>
       val kids = p.children()
       p.name match {
         case "IN" if kids.nonEmpty =>
           for {
             c <- colOf(kids.head)
-            vs = kids.tail.map(litStr)
+            vs = kids.tail.map(litAny)
             if vs.forall(_.isDefined)
           } yield c -> vs.flatten.toSet
         case "=" if kids.length == 2 =>
-          for { c <- colOf(kids.head); v <- litStr(kids(1)) }
+          for { c <- colOf(kids.head); v <- litAny(kids(1)) }
             yield c -> Set(v)
         case _ => None
       }
     }
     sets.foreach {
       case ("_file", vs) if rowOp.isDefined =>
-        runtimeKeep = Some(runtimeKeep.fold(vs)(_ intersect vs))
+        val strs = vs.map(_.toString)
+        runtimeKeep = Some(runtimeKeep.fold(strs)(_ intersect strs))
       case (c, vs) if partitionCols.contains(c) =>
+        val strs = vs.map(_.toString)
         runtimePartKeep += c ->
-          runtimePartKeep.get(c).fold(vs)(_ intersect vs)
+          runtimePartKeep.get(c).fold(strs)(_ intersect strs)
+      case (c, vs) if tfSpecFields.exists(_.sourceCol == c) =>
+        runtimeTfKeep += c ->
+          runtimeTfKeep.get(c).fold(vs)(_ intersect vs)
       case _ => () // not a column this scan prunes on
     }
   }
@@ -2139,12 +2165,32 @@ class IceLiteScan(ref: TableRef, required: StructType,
         // missing path value (d83 mid-evolution) = keep, like static
         runtimePartKeep.forall { case (c, vs) => vals.get(c).forall(vs.contains) }
       }
+    // runtime TRANSFORM filter: DPP join-key values mapped through
+    // bucket/truncate dirs (dir-less files kept conservatively — the
+    // join itself keeps rows exact)
+    val tfDppPruned =
+      if (runtimeTfKeep.isEmpty || tfSpecFields.isEmpty) dppPruned
+      else {
+        val zone = org.apache.spark.sql.SparkSession.active
+          .sessionState.conf.sessionLocalTimeZone
+        val bySource = tfSpecFields.groupBy(_.sourceCol)
+        val constraints = runtimeTfKeep.toSeq.flatMap { case (c, vs) =>
+          bySource.getOrElse(c, Nil).map(fld =>
+            fld.name -> IceLite.transformAllowedSegs(fld, vs, zone))
+        }
+        dppPruned.filter { f =>
+          val segs = f.split('/').toSeq
+          constraints.forall { case (name, allowed) =>
+            segs.find(_.startsWith(s"$name=")).forall(allowed.contains)
+          }
+        }
+      }
     // runtime group filter last (matches on the absolute path the
     // reader emits as `_file`)
     val files = runtimeKeep match {
-      case Some(keep) => dppPruned.filter(f =>
+      case Some(keep) => tfDppPruned.filter(f =>
         keep.contains(ref.dir.resolve(f).toString))
-      case None => dppPruned
+      case None => tfDppPruned
     }
     // the row-level write replaces exactly what this scan planned
     rowOp.foreach(_.scannedFiles = Some(files))

@@ -353,6 +353,36 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(n == expect && n > 0)
   }
 
+  test("runtime DPP prunes bucket dirs through a join on the source column") {
+    // the d45 physics on a HIDDEN layout: a fact⋈dim join on the
+    // bucketed key collects the dim's key set at execution time and
+    // skips whole buckets of the fact table
+    val wh = Files.createTempDirectory("pt_dpp").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "fact")
+    IceLite.createOrReplaceTransformed(ref,
+      (1L to 4000L).map(i => (i % 40, i, i * 0.5)).toDF("key", "seq", "v"),
+      Seq(PartitionField("key_bucket", "bucket", "key", 8)))
+    val all = IceLite.readManifest(ref).current.files.size
+    // scan-backed dim (a LocalRelation constant-folds and leaves DPP
+    // nothing to reuse — the d45 lesson)
+    val dimDir = Files.createTempDirectory("pt_dpp_dim").toString
+    spark.range(0, 40).selectExpr("id AS dkey",
+      "CASE WHEN id = 7 THEN 'keep' ELSE 'drop' END AS grp")
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString)
+    val dim = spark.read.parquet(dimDir).filter($"grp" === "keep")
+    val n = fact.join(dim, fact("key") === dim("dkey")).count()
+    assert(n == 100L, s"join rows: $n") // key 7 appears 4000/40 times
+    val planned = graft.sources.IceLiteSource.lastPlannedFiles
+    assert(planned.nonEmpty && planned.size < all,
+      s"DPP planned ${planned.size}/$all files")
+    // every planned file is key 7's bucket
+    val b7 = IceLite.bucketOf(7L, 8)
+    assert(planned.forall(_.contains(s"key_bucket=$b7")), s"$planned")
+  }
+
   test("compact merges small files within dirs and keeps the spec") {
     val ref = freshRef("cmp")
     val spec = Seq(PartitionField("id_bucket", "bucket", "id", 2))
