@@ -3063,33 +3063,75 @@ object IceLite {
     if (m < 0) m + n else m
   }
 
+  /** The canonical "yyyy-MM-dd HH:mm:ss" rendering of a temporal
+    * literal in the SESSION zone — the zone `date_format` derived the
+    * dirs in at write time. `java.sql.Timestamp` (Spark's pushed shape
+    * with the java8 API off) must go through `toInstant`: its own
+    * toString renders in the JVM DEFAULT zone, which silently offsets
+    * day/hour dirs whenever session.timeZone differs from the JVM's.
+    * Date-typed literals zero-fill to midnight — exactly what
+    * date_format emits for a DateType column. Strings canonicalize
+    * only when they already carry the temporal shape (a 'T' separator
+    * normalizes to the space the dirs use); anything else is None and
+    * the caller declines to prune. */
+  private def temporalCanon(v: Any, zoneId: String): Option[String] = {
+    def fmt(i: java.time.Instant): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneId.of(zoneId)).format(i)
+    v match {
+      case i: java.time.Instant => Some(fmt(i))
+      case t: java.sql.Timestamp => Some(fmt(t.toInstant))
+      case d: java.time.LocalDate => Some(s"$d 00:00:00")
+      case d: java.sql.Date => Some(s"${d.toLocalDate} 00:00:00")
+      case s: String if s.matches("""\d{4}-\d{2}-\d{2}""") =>
+        Some(s"$s 00:00:00")
+      case s: String if s.matches("""\d{4}-\d{2}-\d{2}[ T]\d{2}.*""") =>
+        Some(s.replace('T', ' '))
+      case _ => None
+    }
+  }
+
   /** The dir SEGMENTS (`name=value`) a set of pushed literal source
     * values may land in under one spec field — the connector's
     * transform-pruning hook (Iceberg's Spark scan does the same
     * mapping for pushed predicates on hidden-partition sources).
-    * Time transforms need the SESSION-ZONE rendering of timestamp
-    * literals (java.time.Instant under the java8 API) because the
-    * write side derived dirs with date_format in that zone; bucket
-    * hashes the NATIVE value (same Murmur3 literal path as
-    * `bucketOf`), so values must arrive coerced to the column type. */
+    * Time transforms render literals through [[temporalCanon]] (the
+    * session-zone canonical form the write side derived dirs from);
+    * bucket hashes the NATIVE value (same Murmur3 literal path as
+    * `bucketOf`), so values must arrive coerced to the column type.
+    * None = some literal could not be mapped to the dir shape — the
+    * caller must KEEP ALL files for this field (pruning on a
+    * mis-rendered literal would silently drop matching rows; a
+    * too-short rendering — e.g. a bare date against an hours dir —
+    * could never match any real dir). */
   private[graft] def transformAllowedSegs(f: PartitionField, vs: Set[Any],
-      zoneId: String): Set[String] = {
-    def str(v: Any): String = v match {
-      case i: java.time.Instant => java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss")
-        .withZone(java.time.ZoneId.of(zoneId)).format(i)
-      case other => other.toString
+      zoneId: String): Option[Set[String]] = {
+    def canonAll(take: Int, hourDash: Boolean): Option[Set[String]] = {
+      val cs = vs.map(v => temporalCanon(v, zoneId))
+      if (cs.exists(c => c.isEmpty || c.get.length < take)) None
+      else Some(cs.map { c =>
+        val s = c.get.take(take)
+        if (hourDash) s.replace(' ', '-') else s
+      })
     }
-    val mapped: Set[String] = f.transform match {
-      case "bucket" => vs.map(v => bucketOf(v, f.param).toString)
-      case "truncate" => vs.map(v => str(v).take(f.param))
-      case "days" => vs.map(v => str(v).take(10))
-      case "years" => vs.map(v => str(v).take(4))
-      case "months" => vs.map(v => str(v).take(7))
-      case "hours" => vs.map(v => str(v).take(13).replace(' ', '-'))
+    val mapped: Option[Set[String]] = f.transform match {
+      case "bucket" => Some(vs.map(v => bucketOf(v, f.param).toString))
+      case "truncate" => Some(vs.map { v =>
+        // temporal values render canonically (truncate over a
+        // timestamp column substrings its session-zone cast); plain
+        // values truncate their native string form
+        temporalCanon(v, zoneId).filter(_ =>
+          v.isInstanceOf[java.time.Instant] ||
+            v.isInstanceOf[java.sql.Timestamp])
+          .getOrElse(v.toString).take(f.param)
+      })
+      case "days" => canonAll(10, hourDash = false)
+      case "years" => canonAll(4, hourDash = false)
+      case "months" => canonAll(7, hourDash = false)
+      case "hours" => canonAll(13, hourDash = true)
       case t => throw new IllegalArgumentException(s"unknown transform '$t'")
     }
-    mapped.map(m => s"${f.name}=${escapePartitionValue(m)}")
+    mapped.map(_.map(m => s"${f.name}=${escapePartitionValue(m)}"))
   }
 
   /** The derived dir value a literal source value maps to. */
@@ -3436,7 +3478,18 @@ object IceLite {
             // drop out of the empty schema (empty-state sweep:
             // emptied partitioned table lost `g`)
             case Some(prev) if prev.partitionCols.nonEmpty =>
-              readPartitionedFiles(spark, ref, prev.files).limit(0)
+              // the donor files predate any widen, so cast the
+              // widened columns explicitly — an emptied partitioned
+              // table must read back with the same (post-widen) types
+              // as every non-empty read and the flat-donor path below
+              val w = widensOf.getOrElse(m.toSeq.flatMap(_.widenedCols))
+              w.foldLeft(
+                  readPartitionedFiles(spark, ref, prev.files).limit(0)) {
+                (df, wc) =>
+                  if (df.columns.contains(wc.name))
+                    df.withColumn(wc.name, df(wc.name).cast(wc.toType))
+                  else df
+              }
             case Some(prev) =>
               readFilesStored(spark, ref, prev.files, widensOf).limit(0)
             case None => spark.emptyDataFrame

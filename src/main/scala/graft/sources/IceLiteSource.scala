@@ -1586,7 +1586,14 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         .sessionState.conf.sessionLocalTimeZone
       Some(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
         .withZone(java.time.ZoneId.of(zone)).format(i))
-    case t: java.sql.Timestamp => Some(t.toString.take(10))
+    // java.sql.Timestamp.toString renders in the JVM DEFAULT zone; the
+    // dirs were derived in the SESSION zone — go through the instant
+    // (the toString shortcut offset day dirs whenever the zones differ)
+    case t: java.sql.Timestamp =>
+      val zone = org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.sessionLocalTimeZone
+      Some(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+        .withZone(java.time.ZoneId.of(zone)).format(t.toInstant))
     case d: java.time.LocalDate => Some(d.toString)
     case d: java.sql.Date => Some(d.toString)
     case s: String if s.matches("\\d{4}-\\d{2}-\\d{2}.*") => Some(s.take(10))
@@ -1932,15 +1939,19 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * partitions. Conjunctive with the statically pushed filters. */
   private var runtimePartKeep: Map[String, Set[String]] = Map.empty
 
-  /** Runtime TRANSFORM filter: DPP values on a bucket/truncate SOURCE
+  /** Runtime TRANSFORM filter: DPP values on a transformed SOURCE
     * column map through the derived dirs (Iceberg's runtime filtering
     * on hidden partitions) — a fact⋈dim join on the bucketed key
-    * skips whole buckets at execution time. Time transforms are
-    * excluded here: their runtime literals arrive as epoch numbers,
-    * not the session-zone strings the dirs were derived from. */
-  private lazy val tfSpecFields = IceLiteSource.resolveSnap(ref, asOf)
-    .partitionSpec.filter(f =>
-      f.transform == "bucket" || f.transform == "truncate")
+    * skips whole buckets, and a date-keyed star join on a days()/
+    * months()-partitioned fact skips whole time dirs, at execution
+    * time. Time-transform runtime literals arrive as epoch numbers
+    * (micros / epoch-days); [[filter]] rehydrates them to instants via
+    * the V2 literal's own dataType so the session-zone dir mapping in
+    * transformAllowedSegs applies unchanged. At 100× this is the
+    * difference between scanning one month of a date-partitioned fact
+    * and scanning the whole table. */
+  private lazy val tfSpecFields =
+    IceLiteSource.resolveSnap(ref, asOf).partitionSpec
   private var runtimeTfKeep: Map[String, Set[Any]] = Map.empty
 
   /** Row-level scans filter on the `_file` group id; ordinary scans
@@ -1966,11 +1977,23 @@ class IceLiteScan(ref: TableRef, required: StructType,
       case _ => None
     }
     // the NATIVE literal value (bucket hashes it — type must survive);
-    // UTF8String unwraps to String, numerics stay as boxed primitives
+    // UTF8String unwraps to String, numerics stay as boxed primitives.
+    // Temporal literals ride the wire as epoch numbers (micros since
+    // epoch for timestamps, days for dates) — the literal's own
+    // dataType disambiguates them from plain longs/ints, and the
+    // rehydrated Instant/LocalDate is what the session-zone dir
+    // mapping (transformAllowedSegs) understands.
     def litAny(e: V2Expression): Option[Any] = e match {
-      case l: Literal[_] => Option(l.value).map {
-        case u: UTF8String => u.toString
-        case other => other
+      case l: Literal[_] => Option(l.value).map { v =>
+        (l.dataType(), v) match {
+          case (_, u: UTF8String) => u.toString
+          case (TimestampType, micros: java.lang.Long) =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .microsToInstant(micros)
+          case (DateType, days: java.lang.Integer) =>
+            java.time.LocalDate.ofEpochDay(days.toLong)
+          case _ => v
+        }
       }
       case _ => None
     }
@@ -2056,9 +2079,12 @@ class IceLiteScan(ref: TableRef, required: StructType,
       val zone = org.apache.spark.sql.SparkSession.active
         .sessionState.conf.sessionLocalTimeZone
       val bySource = snap.partitionSpec.groupBy(_.sourceCol)
+      // an unmappable literal (None) declines pruning on that field —
+      // keep-all, never a silent drop
       val eqConstraints = tfFilters.toSeq.flatMap { case (c, vs) =>
-        bySource.getOrElse(c, Nil).map(fld =>
-          fld.name -> Left(IceLite.transformAllowedSegs(fld, vs, zone)))
+        bySource.getOrElse(c, Nil).flatMap(fld =>
+          IceLite.transformAllowedSegs(fld, vs, zone).map(segs =>
+            fld.name -> Left(segs)))
       }
       // ranges: prefix-compare at each dir's own granularity (the
       // engine's SourceDayRange rule)
@@ -2174,9 +2200,10 @@ class IceLiteScan(ref: TableRef, required: StructType,
         val zone = org.apache.spark.sql.SparkSession.active
           .sessionState.conf.sessionLocalTimeZone
         val bySource = tfSpecFields.groupBy(_.sourceCol)
+        // None (unmappable runtime literal) = decline, keep-all
         val constraints = runtimeTfKeep.toSeq.flatMap { case (c, vs) =>
-          bySource.getOrElse(c, Nil).map(fld =>
-            fld.name -> IceLite.transformAllowedSegs(fld, vs, zone))
+          bySource.getOrElse(c, Nil).flatMap(fld =>
+            IceLite.transformAllowedSegs(fld, vs, zone).map(fld.name -> _))
         }
         dppPruned.filter { f =>
           val segs = f.split('/').toSeq

@@ -383,6 +383,142 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(planned.forall(_.contains(s"key_bucket=$b7")), s"$planned")
   }
 
+  test("runtime DPP prunes time-transform dirs through a date-keyed join") {
+    // the star-join shape Trino's Iceberg connector runtime-filters:
+    // fact partitioned days(ts), dim filtered to one day — the DPP
+    // subquery's TIMESTAMP values (epoch micros on the wire) must map
+    // through the session-zone day dirs and skip every other day
+    val wh = Files.createTempDirectory("pt_tdpp").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "fact")
+    val factDf = (1L to 4000L).map { i =>
+      (f"2024-01-${i % 8 + 1}%02d 10:00:00", i, i * 0.5)
+    }.toDF("ts_s", "seq", "v")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    IceLite.createOrReplaceTransformed(ref, factDf,
+      Seq(PartitionField("ts_day", "days", "ts", 0)))
+    val all = IceLite.readManifest(ref).current.files.size
+    val dimDir = Files.createTempDirectory("pt_tdpp_dim").toString
+    factDf.select($"ts".as("dts")).distinct()
+      .withColumn("grp", when(date_format($"dts", "yyyy-MM-dd") ===
+        "2024-01-03", lit("keep")).otherwise(lit("drop")))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString)
+    val dim = spark.read.parquet(dimDir).filter($"grp" === "keep")
+    val n = fact.join(dim, fact("ts") === dim("dts")).count()
+    assert(n == 500L, s"join rows: $n") // day 3 holds 4000/8 rows
+    val planned = graft.sources.IceLiteSource.lastPlannedFiles
+    assert(planned.nonEmpty && planned.size < all,
+      s"time DPP planned ${planned.size}/$all files")
+    assert(planned.forall(_.contains("ts_day=2024-01-03")), s"$planned")
+
+    // DATE-typed key (epoch-days literals on the wire), months() dirs
+    val rd = TableRef(wh, "src", "dfact")
+    val dDf = (1L to 2000L).map { i =>
+      (f"2024-${i % 6 + 1}%02d-10", i)
+    }.toDF("d_s", "seq")
+      .withColumn("d", $"d_s".cast("date")).drop("d_s")
+    IceLite.createOrReplaceTransformed(rd, dDf,
+      Seq(PartitionField("d_month", "months", "d", 0)))
+    val dAll = IceLite.readManifest(rd).current.files.size
+    val dDimDir = Files.createTempDirectory("pt_tdpp_ddim").toString
+    dDf.select($"d".as("dd")).distinct()
+      .withColumn("grp", when(month($"dd") === 4, lit("keep"))
+        .otherwise(lit("drop")))
+      .write.mode("overwrite").parquet(dDimDir)
+    val dFact = spark.read.format("graft.sources.IceLiteSource")
+      .load(rd.dir.toString)
+    val dDim = spark.read.parquet(dDimDir).filter($"grp" === "keep")
+    val dn = dFact.join(dDim, dFact("d") === dDim("dd")).count()
+    val dExpect = IceLite.read(spark, rd).filter(month($"d") === 4).count()
+    assert(dn == dExpect && dn > 0, s"date join rows: $dn vs $dExpect")
+    val dPlanned = graft.sources.IceLiteSource.lastPlannedFiles
+    assert(dPlanned.nonEmpty && dPlanned.size < dAll,
+      s"date DPP planned ${dPlanned.size}/$dAll files")
+    assert(dPlanned.forall(_.contains("d_month=2024-04")), s"$dPlanned")
+  }
+
+  test("transform pruning maps timestamp literals in the SESSION zone, not the JVM zone") {
+    // dirs are derived by date_format in the session zone; with the
+    // session zone set apart from the JVM default, a pushed
+    // java.sql.Timestamp rendered via toString would land on the
+    // WRONG day dir and silently prune matching rows (ADVICE r10 #1)
+    val jvmZone = java.util.TimeZone.getDefault.getID
+    val zone = if (jvmZone == "Asia/Kolkata") "Pacific/Kiritimati"
+               else "Asia/Kolkata"
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", zone)
+    try {
+      val wh = Files.createTempDirectory("pt_zone").toString
+      IceLite.createNamespace(wh, "src")
+      val ref = TableRef(wh, "src", "z")
+      val cat = s"ptzone_${java.util.UUID.randomUUID.toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.IceLiteCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // 01:00 LOCAL is the previous day in UTC for Kolkata (+05:30) —
+      // exactly the literal the old toString shortcut mis-mapped
+      val df = (1L to 200L).map { i =>
+        (f"2024-01-${i % 8 + 1}%02d 01:00:00", i)
+      }.toDF("ts_s", "seq")
+        .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      IceLite.createOrReplaceTransformed(ref, df,
+        Seq(PartitionField("ts_day", "days", "ts", 0)))
+      val all = IceLite.readManifest(ref).current.files.size
+      // equality probe: must find its rows AND prune to the local day
+      val n = spark.sql(
+        s"""SELECT COUNT(*) FROM $cat.src.z
+            WHERE ts = TIMESTAMP '2024-01-05 01:00:00'""").head.getLong(0)
+      assert(n == 25L, s"zone equality probe found $n rows")
+      val planned = graft.sources.IceLiteSource.lastPlannedFiles
+      assert(planned.nonEmpty && planned.size < all &&
+        planned.forall(_.contains("ts_day=2024-01-05")),
+        s"planned ${planned.mkString(",")}")
+      // range probe drives dayOf (the other mis-rendering site)
+      val r = spark.sql(
+        s"""SELECT COUNT(*) FROM $cat.src.z
+            WHERE ts >= TIMESTAMP '2024-01-05 00:30:00'
+              AND ts <  TIMESTAMP '2024-01-05 23:00:00'""").head.getLong(0)
+      assert(r == 25L, s"zone range probe found $r rows")
+      val rPlanned = graft.sources.IceLiteSource.lastPlannedFiles
+      assert(rPlanned.forall(_.contains("ts_day=2024-01-05")),
+        s"range planned ${rPlanned.mkString(",")}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("transformAllowedSegs: literal canonicalization and the decline contract") {
+    val fDays = PartitionField("ts_day", "days", "ts", 0)
+    val fHours = PartitionField("ts_hour", "hours", "ts", 0)
+    // java.sql.Timestamp renders in the REQUESTED zone (19:30Z is
+    // already Jan 5 in Kolkata)
+    val t = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-04T19:30:00Z"))
+    assert(IceLite.transformAllowedSegs(fDays, Set[Any](t), "Asia/Kolkata")
+      == Some(Set("ts_day=2024-01-05")))
+    assert(IceLite.transformAllowedSegs(fDays, Set[Any](t), "UTC")
+      == Some(Set("ts_day=2024-01-04")))
+    // a DATE-shaped literal against an hours dir zero-fills to -00
+    // (the take(13) shortcut produced a 10-char segment that could
+    // never match a real dir — ADVICE r10 #2)
+    assert(IceLite.transformAllowedSegs(fHours,
+      Set[Any](java.time.LocalDate.parse("2024-01-05")), "UTC")
+      == Some(Set("ts_hour=2024-01-05-00")))
+    assert(IceLite.transformAllowedSegs(fHours, Set[Any]("2024-01-05"), "UTC")
+      == Some(Set("ts_hour=2024-01-05-00")))
+    // T-separated strings canonicalize to the dir shape
+    assert(IceLite.transformAllowedSegs(fHours,
+      Set[Any]("2024-01-05T07:15:00"), "UTC")
+      == Some(Set("ts_hour=2024-01-05-07")))
+    // an unmappable literal DECLINES (None = keep-all) instead of
+    // emitting a segment that matches nothing
+    assert(IceLite.transformAllowedSegs(fHours, Set[Any]("hello"), "UTC").isEmpty)
+    assert(IceLite.transformAllowedSegs(fDays, Set[Any](42L), "UTC").isEmpty)
+    // one bad literal poisons the whole set (conjunction would
+    // otherwise under-keep)
+    assert(IceLite.transformAllowedSegs(fDays,
+      Set[Any]("2024-01-05", "nope"), "UTC").isEmpty)
+  }
+
   test("compact merges small files within dirs and keeps the spec") {
     val ref = freshRef("cmp")
     val spec = Seq(PartitionField("id_bucket", "bucket", "id", 2))
