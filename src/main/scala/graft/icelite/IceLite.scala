@@ -4188,6 +4188,83 @@ object IceLite {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  // ---------------------------------------------------------------
+  // d88: $history / $manifests / $entries metadata tables
+  // ---------------------------------------------------------------
+
+  /** d88: Iceberg's `$history` rows — (made_current_at_ms,
+    * snapshot_id, parent_id, is_current_ancestor). Lineage is the
+    * committed sequence (ids are monotonic, each commit appends);
+    * parent = the previous snapshot in that sequence — which is also
+    * a branch snapshot's base, since staging appends without moving
+    * `current`. A snapshot above the current pointer (a staged WAP
+    * branch commit) is NOT a current ancestor until publish
+    * fast-forwards to it. One manifest read, O(snapshots) rows. */
+  def historyRows(ref: TableRef): Seq[(Long, Long, Option[Long], Boolean)] = {
+    val m = readManifest(ref)
+    val ordered = m.snapshots.sortBy(_.id)
+    ordered.zipWithIndex.map { case (s, i) =>
+      (s.timestampMs, s.id,
+        if (i == 0) None else Some(ordered(i - 1).id),
+        s.id <= m.currentSnapshotId)
+    }
+  }
+
+  /** d88: Iceberg's `$manifests` — one row per immutable metadata
+    * segment the CURRENT manifest version references:
+    * (path, length_bytes, added_snapshot_id, files_count).
+    * added_snapshot_id is the FIRST snapshot whose chain references
+    * the segment (segments are shared across snapshots by the
+    * append-reuse layout, exactly like Iceberg manifests are shared
+    * across snapshot manifest-lists). The legacy single-JSON layout
+    * has no segments: the version file itself is the one manifest,
+    * charged to the current snapshot. */
+  def manifestsRows(ref: TableRef): Seq[(String, Long, Long, Long)] = {
+    import org.json4s._
+    val (_, path) = latestManifestFile(ref).getOrElse(
+      throw new IllegalStateException(s"no manifest for ${ref.name}"))
+    val raw = io.readString(path)
+    val jv = org.json4s.jackson.JsonMethods.parse(raw)
+    jv \ "layout" match {
+      case JString(SegLayout) =>
+        val ptr = jv.extract[ManifestPtr]
+        val firstRef = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        ptr.snapshots.sortBy(_.id).foreach(sp =>
+          sp.segments.foreach(seg =>
+            if (!firstRef.contains(seg)) firstRef(seg) = sp.id))
+        firstRef.toSeq.map { case (seg, snapId) =>
+          val content = loadSegment(ref, seg)
+          (seg, io.readString(ref.dir.resolve(seg)).getBytes("UTF-8").length.toLong,
+            snapId, content.files.size.toLong)
+        }
+      case _ =>
+        val m = jv.extract[Manifest]
+        Seq((ref.dir.relativize(path).toString,
+          raw.getBytes("UTF-8").length.toLong,
+          m.currentSnapshotId, m.current.files.size.toLong))
+    }
+  }
+
+  /** d88: Iceberg's `$entries` — one row per CURRENT-snapshot data
+    * file: (status 1=added-by-current / 0=existing, snapshot_id that
+    * first added the file, file_path, record_count, size_bytes).
+    * Record counts come from the manifest's per-file counts when
+    * present (absent → -1, never a silent footer scan — this is a
+    * metadata table). O(snapshots × files) driver fold. */
+  def entriesRows(ref: TableRef): Seq[(Int, Long, String, Long, Long)] = {
+    val m = readManifest(ref)
+    val cur = m.current
+    val firstAdded = scala.collection.mutable.HashMap.empty[String, Long]
+    m.snapshots.sortBy(_.id).foreach(s => s.files.foreach(f =>
+      if (!firstAdded.contains(f)) firstAdded(f) = s.id))
+    cur.files.map { f =>
+      val added = firstAdded.getOrElse(f, cur.id)
+      (if (added == cur.id) 1 else 0, added, f,
+        cur.fileRows.getOrElse(f, -1L),
+        scala.util.Try(Files.size(ref.dir.resolve(f))).getOrElse(0L))
+    }
+  }
+
   /** Orphan-file GC (Iceberg's remove_orphan_files role): delete data
     * files referenced by NO snapshot in the manifest — the residue of
     * writers that crashed between staging and their CAS claim, which

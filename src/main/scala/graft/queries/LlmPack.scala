@@ -60,6 +60,9 @@ object LlmPack extends Pack {
       .select($"doc_id",
         explode(array_distinct(expr("word_ngrams(toks, 3)"))).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an unbounded cap needs no df pass at all — skip the extra
+    // shuffle (c02's audit-window exact reference runs uncapped)
+    if (cap == Long.MaxValue) { lastGrams.swap(raw); return (raw, 0L) }
     // hot list is tiny by construction (only grams with df > cap), so
     // the anti-join broadcasts; df is ONE extra shuffle on gram over
     // the persisted postings — the price of a bounded self-join
@@ -77,9 +80,11 @@ object LlmPack extends Pack {
     * c12 adds presentation (rounding, ordering); c16 feeds the raw
     * pairs straight into component clustering. */
   private[queries] def jaccardPairsRaw(s: SparkSession, dir: String,
-      cap: Long): (DataFrame, Long) = {
+      cap: Long, maxDoc: Option[Long] = None): (DataFrame, Long) = {
     graft.functions.GraftFunctions.register(s)
-    val (grams, nHot) = cappedGramPostings(docs(s, dir), cap)
+    val d0 = docs(s, dir)
+    val (grams, nHot) = cappedGramPostings(
+      maxDoc.fold(d0)(m => d0.filter($"doc_id" < m)), cap)
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = grams.as("a").join(grams.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -406,15 +411,23 @@ object LlmPack extends Pack {
     // xxhash64-dependent (not reproducible in the oracle engine), but
     // the QUALITY CONTRACT is not: precision is structural (the
     // residual verify re-checks exact Jaccard ≥ 0.5, so false
-    // positives are impossible) and recall vs the exact c12 pair set
-    // is 1−(1−J⁴)⁴ per pair — ≥0.99 measured on every fixture scale
-    // (254/256 at sf0.1). The declared query emits that contract as
-    // witness columns (b27's tolerance-contract precedent), so the
-    // driver's DuckDB gate asserts it instead of skipping this id.
+    // positives are impossible) and recall vs the exact pair set is
+    // 1−(1−J⁴)⁴ per pair — ≥0.99 measured on every fixture scale.
+    // The declared query emits that contract as witness columns
+    // (b27's tolerance-contract precedent), so the driver's DuckDB
+    // gate asserts it instead of skipping this id. The exact
+    // reference is scoped to a FIXED AUDIT WINDOW (doc_id < 1000 —
+    // the whole corpus at sf0.01, a constant-cost sample above it):
+    // the LSH engine always runs the full corpus, but the witness's
+    // quadratic exact check must not — and the window's universe is
+    // UNCAPPED, the same universe the residual verify and the oracle
+    // compute in (a capped reference could flip the witness on
+    // correct behavior whenever a gram crossed the df cap).
     Decl("c02_dedup_near_minhash",
       (s, dir) => {
         val found = minhashPairs(s, dir).select($"doc_a", $"doc_b")
-        val exact = jaccardPairsRaw(s, dir, HotGramCap)._1
+          .filter($"doc_a" < 1000 && $"doc_b" < 1000)
+        val exact = jaccardPairsRaw(s, dir, Long.MaxValue, Some(1000L))._1
           .select($"doc_a", $"doc_b")
         val j = exact.withColumn("t", lit(1))
           .join(found.withColumn("f", lit(1)),
@@ -430,7 +443,9 @@ object LlmPack extends Pack {
             ($"fp" === 0).as("zero_false_positives"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                            FROM documents WHERE len(string_split(text, ' ')) >= 3),
+                            FROM documents
+                            WHERE doc_id < 1000
+                              AND len(string_split(text, ' ')) >= 3),
                   grams AS (SELECT DISTINCT doc_id,
                               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
                             FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)),

@@ -2247,8 +2247,12 @@ object ScalePack extends Pack {
         s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.sources.IceLiteCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // bounded slice: 3 years → 36 month dirs (the full 7-year
+        // span wrote 80 month files per insert — dir-count, not row
+        // count, is what the transformed write pays for; 3 years keeps
+        // the multi-year years() coverage at half the file churn)
         val o = Tables.load(s, dir, "orders")
-          .filter($"o_orderkey" < 15000)
+          .filter($"o_orderkey" < 15000 && $"o_orderdate" < "1998-01-01")
           .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
         // era 1: a years(ts)-partitioned SQL-born table
         s.sql(s"""CREATE TABLE $cat.src.orders_by_time (
@@ -2272,21 +2276,52 @@ object ScalePack extends Pack {
               f.matches(".*o_orderdate_month=\\d{4}-\\d{2}/.*"))
         // prune probe: a single literal date maps through years AND
         // months; era-1 files (no month dir) are kept conservatively
-        val probeTs = "1997-06-15 00:00:00"
+        val probeTs = "1996-06-15 00:00:00"
         val keptFiles = IceLite.transformPrunedFiles(ref,
           Seq(SourceIn("o_orderdate", Seq(probeTs))))
         val keptAbs = keptFiles.map(f => ref.dir.resolve(f).toString)
         val outside = IceLite.read(s, ref)
-          .filter(date_format($"o_orderdate", "yyyy-MM") === "1997-06")
+          .filter(date_format($"o_orderdate", "yyyy-MM") === "1996-06")
           .select(regexp_replace(input_file_name(), "^file:/*", "/").as("_f"))
           .agg(coalesce(sum(when(col("_f").isin(keptAbs: _*), 0)
             .otherwise(1)), lit(0L)))
           .head().getLong(0)
         val pruneExact = outside == 0L && keptFiles.size < cur.files.size
+        // RUNTIME (DPP) witness: a date-keyed dim join — the star-join
+        // shape — must skip every other month's dirs at EXECUTION
+        // time, through the hidden year+month transforms (era-1 files
+        // carry no month dir and stay conservatively). This is the
+        // Trino-Iceberg runtime-filtering behavior on date-partitioned
+        // facts; at 100× it is one month scanned instead of the table.
+        // the dim must be scan-backed AND carry a selective filter of
+        // its own — Spark's PartitionPruning rule only injects the DPP
+        // subquery when the build side filters (the d45 lesson)
+        val dimPath = java.nio.file.Files
+          .createTempDirectory("graft_d87_dim").toString
+        o.select($"o_orderdate".as("d_date")).distinct()
+          .withColumn("d_grp",
+            when(date_format($"d_date", "yyyy-MM") === "1996-06",
+              lit("keep")).otherwise(lit("drop")))
+          .coalesce(1).write.mode("overwrite").parquet(dimPath)
+        val fact = s.read.format("graft.sources.IceLiteSource")
+          .load(ref.dir.toString)
+        val dim = s.read.parquet(dimPath).filter($"d_grp" === "keep")
+        val dppRows = fact.join(dim, fact("o_orderdate") === dim("d_date"))
+          .count()
+        val dppPlanned = graft.sources.IceLiteSource.lastPlannedFiles
+        // expected rows from the SOURCE frame (the table holds exactly
+        // o's rows) — a second full-table read would re-pay the scan
+        val dppExpect = o
+          .filter(date_format($"o_orderdate", "yyyy-MM") === "1996-06").count()
+        val dppTimePruned = dppRows == dppExpect &&
+          dppPlanned.size < cur.files.size &&
+          dppPlanned.forall(f => f.contains("o_orderdate_year=1996") &&
+            (!f.contains("o_orderdate_month=") ||
+              f.contains("o_orderdate_month=1996-06")))
         // hours face: a one-day event slice through hours(ts)
         val href = TableRef(wh, "src", "ev_by_hour")
         val ev = Tables.load(s, dir, "events")
-          .filter($"event_id" < 3000)
+          .filter($"event_id" < 1000)
           .select($"event_id", $"ts", $"value")
         IceLite.createOrReplaceTransformed(href, ev,
           Seq(graft.icelite.PartitionField("ts_hour", "hours", "ts", 0)))
@@ -2308,23 +2343,90 @@ object ScalePack extends Pack {
           .withColumn("year_dirs", lit(yearDirs))
           .withColumn("month_dirs", lit(monthDirs))
           .withColumn("prune_exact", lit(pruneExact))
+          .withColumn("dpp_time_pruned", lit(dppTimePruned))
           .withColumn("hours_ok", lit(hoursOk))
       },
       Some("""SELECT strftime(o_orderdate, '%Y') AS yr,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              TRUE AS year_dirs, TRUE AS month_dirs,
-             TRUE AS prune_exact, TRUE AS hours_ok
-             FROM orders WHERE o_orderkey < 15000
+             TRUE AS prune_exact, TRUE AS dpp_time_pruned, TRUE AS hours_ok
+             FROM orders
+             WHERE o_orderkey < 15000 AND o_orderdate < DATE '1998-01-01'
              GROUP BY yr ORDER BY yr""")),
+
+    // d88: the remaining Iceberg METADATA TABLES — `t$history`
+    // (commit lineage with the current-ancestor flag), `t$manifests`
+    // (the immutable metadata segments the current version references,
+    // shared across snapshots by the append-reuse chains exactly like
+    // Iceberg's shared manifest files), `t$entries` (per current data
+    // file: added-by-current vs existing + the first-adding snapshot +
+    // manifest record counts). All three are driver-side manifest
+    // folds — zero data pages at any table size; Trino's Iceberg
+    // connector exposes the same trio
+    // (config/iceberg-template.properties:1-13). The fixture commits
+    // create(2 files) → append(1 file) → WAP-branch stage, so history
+    // shows a non-ancestor staged commit, entries mixes existing and
+    // added files, and manifests proves segment reuse (the append's
+    // chain extends the create's segment instead of rewriting it).
+    Decl("d88_metadata_trio",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d88").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_meta")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplace(ref, o.filter($"o_orderkey" < 1000).repartition(2))
+        IceLite.append(ref, o.filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+          .repartition(1))
+        IceLite.stageBranchAppend(ref, "audit",
+          o.filter($"o_orderkey" >= 2000 && $"o_orderkey" < 2100))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // manifests: every row names a real meta/ segment with bytes,
+        // a first-referencing snapshot, and a non-empty file list —
+        // and the segment set is SHARED (fewer or equal segments than
+        // sum of per-snapshot chains would imply; at minimum the
+        // create's segment is referenced unchanged by the append era)
+        val man = s.sql(s"SELECT * FROM $cat.src.`orders_meta$$manifests`")
+          .collect()
+        val manifestsOk = man.nonEmpty &&
+          man.forall(r => r.getString(0).startsWith("meta/") &&
+            r.getLong(1) > 0 && r.getLong(3) >= 1) &&
+          man.map(_.getLong(2)).distinct.sorted.headOption.contains(1L)
+        // entries: 2 existing files from snapshot 1, 1 added by the
+        // current snapshot 2; record counts come from the manifest
+        val ent = s.sql(s"SELECT * FROM $cat.src.`orders_meta$$entries`")
+          .collect()
+        val entriesOk = ent.length == 3 &&
+          ent.count(r => r.getInt(0) == 1 && r.getLong(1) == 2L) == 1 &&
+          ent.count(r => r.getInt(0) == 0 && r.getLong(1) == 1L) == 2 &&
+          ent.forall(r => r.getLong(3) > 0 && r.getLong(4) > 0)
+        s.sql(s"""SELECT snapshot_id, parent_id, is_current_ancestor
+                  FROM $cat.src.`orders_meta$$history`
+                  ORDER BY snapshot_id""")
+          .withColumn("manifests_ok", lit(manifestsOk))
+          .withColumn("entries_ok", lit(entriesOk))
+      },
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE, TRUE, TRUE),
+             (CAST(2 AS BIGINT), CAST(1 AS BIGINT), TRUE, TRUE, TRUE),
+             (CAST(3 AS BIGINT), CAST(2 AS BIGINT), FALSE, TRUE, TRUE))
+             AS t(snapshot_id, parent_id, is_current_ancestor,
+                  manifests_ok, entries_ok)
+             ORDER BY snapshot_id""")),
 
     // d82: TABLE PROPERTIES — `ALTER TABLE … SET/UNSET TBLPROPERTIES`
     // (Iceberg table properties; the config channel dbt/Trino write
     // through). Metadata-only CAS commits like every ALTER; carried by
     // every later commit; and NOT merely cosmetic: the honored
     // `read.split.target-size` key feeds the connector's split planner
-    // (option > property > 128 MiB default), witnessed here by the
-    // same 20-file table planning MORE input partitions under a tiny
+    // (option > property > default, where the default also applies the
+    // bytes-per-core fan-out rule), witnessed here by the same
+    // 100-file table planning MORE input partitions under a tiny
     // property than under the default. At 100 TB properties are how a
     // table owner tunes scan parallelism for every engine at once —
     // one pointer-sized commit, no job config to distribute.
@@ -2336,7 +2438,7 @@ object ScalePack extends Pack {
         val ref = TableRef(wh, "src", "props")
         val o = Tables.load(s, dir, "orders")
           .select($"o_orderkey", $"o_totalprice").filter($"o_orderkey" < 1000)
-        IceLite.createOrReplace(ref, o.repartition(20)) // 20 tiny files
+        IceLite.createOrReplace(ref, o.repartition(100)) // 100 tiny files
         val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
         s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.sources.IceLiteCatalog].getName)

@@ -181,8 +181,46 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
           StructField("name", StringType, nullable = false),
           StructField("type", StringType, nullable = false),
           StructField("snapshot_id", LongType, nullable = false))), rows)
+      case "history" =>
+        // d88: Iceberg's `t$history` — commit lineage with the
+        // current-ancestor flag (false for staged WAP-branch commits
+        // sitting above the published pointer)
+        val rows = IceLite.historyRows(ref).map { case (ts, id, parent, anc) =>
+          Array[Any](ts, id, parent.map(Long.box).orNull, anc)
+        }.toArray
+        new StaticRowsTable(s"${ident.name}", StructType(Seq(
+          StructField("made_current_at_ms", LongType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("parent_id", LongType, nullable = true),
+          StructField("is_current_ancestor", BooleanType, nullable = false))), rows)
+      case "manifests" =>
+        // d88: `t$manifests` — the immutable metadata segments the
+        // current version references (shared across snapshots by the
+        // append-reuse chains, like Iceberg's shared manifest files)
+        val rows = IceLite.manifestsRows(ref).map { case (p, len, snap, nf) =>
+          Array[Any](UTF8String.fromString(p), len, snap, nf)
+        }.toArray
+        new StaticRowsTable(s"${ident.name}", StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("length_bytes", LongType, nullable = false),
+          StructField("added_snapshot_id", LongType, nullable = false),
+          StructField("files_count", LongType, nullable = false))), rows)
+      case "entries" =>
+        // d88: `t$entries` — per current data file: added-by-current
+        // vs existing, the first-adding snapshot, manifest record
+        // count (-1 when the manifest predates per-file counts)
+        val rows = IceLite.entriesRows(ref).map { case (st, snap, f, rc, sz) =>
+          Array[Any](st, snap, UTF8String.fromString(f), rc, sz)
+        }.toArray
+        new StaticRowsTable(s"${ident.name}", StructType(Seq(
+          StructField("status", IntegerType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("file_path", StringType, nullable = false),
+          StructField("record_count", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false))), rows)
       case other => throw new IllegalArgumentException(
-        s"unknown metadata table '$$$other' (have: snapshots, partitions, files, refs)")
+        s"unknown metadata table '$$$other' (have: snapshots, partitions, " +
+          "files, refs, history, manifests, entries)")
     }
   }
 

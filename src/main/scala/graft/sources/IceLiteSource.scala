@@ -486,13 +486,16 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     // the snapshot-id sequence rule (d73) — so SQL reads an eq-live
     // CDC table mid-stream, before any compact()
     // d82: split sizing resolves option > table property > default
-    val propSplit = (if (IceLite.tableExists(ref))
+    val propSplitOpt = (if (IceLite.tableExists(ref))
         IceLite.readManifest(ref).properties.get(IceLite.SplitSizeProp)
-      else None).map(_.trim.toLong).getOrElse(128L * 1024 * 1024)
+      else None).map(_.trim.toLong)
+    val propSplit = propSplitOpt.getOrElse(128L * 1024 * 1024)
     new IceLiteScanBuilder(ref, schema,
       options.getInt("snapshotsPerTrigger", Int.MaxValue),
       options.getLong("targetSplitBytes", propSplit),
-      asOf, changelog = options.getBoolean("changelog", false))
+      asOf, changelog = options.getBoolean("changelog", false),
+      splitBytesExplicit =
+        options.containsKey("targetSplitBytes") || propSplitOpt.isDefined)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
@@ -1523,7 +1526,8 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     asOf: Option[Long] = None,
     rowOp: Option[IceLiteRowLevelOperation] = None,
     changelog: Boolean = false,
-    streamRefresh: () => Unit = () => ())
+    streamRefresh: () => Unit = () => (),
+    splitBytesExplicit: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -1813,7 +1817,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         currentSnap.partitionCols, currentSnap.deleteFiles,
         currentSnap.eqDeletes,
         snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh,
-        tfFilters, tfRanges)
+        tfFilters, tfRanges, splitBytesExplicit)
   }
 }
 
@@ -1911,7 +1915,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     asOf: Option[Long] = None,
     streamRefresh: () => Unit = () => (),
     tfFilters: Map[String, Set[Any]] = Map.empty,
-    tfRanges: Map[String, (String, String)] = Map.empty) extends Scan with Batch
+    tfRanges: Map[String, (String, String)] = Map.empty,
+    splitBytesExplicit: Boolean = false) extends Scan with Batch
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -2279,18 +2284,34 @@ class IceLiteScan(ref: TableRef, required: StructType,
         // whose task pays every ~20ms reader open SEQUENTIALLY
         // (bitten: d84's 240-file scan ran 5s in one task; with the
         // open charge it fans out across the executors)
-        val openCost = org.apache.spark.sql.SparkSession.active
-          .sessionState.conf.filesOpenCostInBytes
+        val activeConf = org.apache.spark.sql.SparkSession.active
+          .sessionState.conf
+        val openCost = activeConf.filesOpenCostInBytes
         val sized = groupFiles.map { f =>
           val p = ref.dir.resolve(f)
           (p.toString, math.max(openCost,
             scala.util.Try(java.nio.file.Files.size(p)).getOrElse(0L)))
         }
+        // Spark's FilePartition.maxSplitBytes rule: when the whole
+        // group fits in fewer bins than the session has cores, shrink
+        // the bin target to totalBytes/parallelism (floored at the
+        // open cost) so a small-but-many-files scan fans out instead
+        // of serializing its reader opens in one or two tasks. An
+        // EXPLICIT split target (scan option / table property) is a
+        // user override and stays exact.
+        val effectiveTarget =
+          if (splitBytesExplicit) targetSplitBytes
+          else {
+            val parallelism = org.apache.spark.sql.SparkSession.active
+              .sparkContext.defaultParallelism
+            math.min(targetSplitBytes, math.max(openCost,
+              sized.map(_._2).sum / math.max(1, parallelism)))
+          }
         val bins = Seq.newBuilder[Seq[String]]
         var bin = Vector.empty[String]
         var binBytes = 0L
         sized.foreach { case (path, bytes) =>
-          if (bin.nonEmpty && binBytes + bytes > targetSplitBytes) {
+          if (bin.nonEmpty && binBytes + bytes > effectiveTarget) {
             bins += bin; bin = Vector.empty; binBytes = 0L
           }
           bin :+= path; binBytes += bytes

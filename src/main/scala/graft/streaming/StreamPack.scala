@@ -75,7 +75,12 @@ object StreamPack extends Pack {
     stagedCache.computeIfAbsent(s"$dir#events#sentinel", { _ =>
       val out = Files.createTempDirectory("graft_s04_src").toString
       val ev = Tables.load(s, dir, "events")
-      ev.repartition(3).write.mode("overwrite").parquet(out)
+      // bounded keyed slice (the s24 pattern): the session-window
+      // witness depends on multi-batch watermark progression per user,
+      // not on user cardinality — the full feed billed ~100k rows and
+      // a ~10k-row driver-bound session dump to a protocol check
+      ev.filter(col("user_id") < 150)
+        .repartition(3).write.mode("overwrite").parquet(out)
       val staging = Files.createTempDirectory("graft_s04_sent")
       ev.limit(1)
         .withColumn("user_id", lit(SentinelUser).cast(ev.schema("user_id").dataType))
@@ -143,7 +148,10 @@ object StreamPack extends Pack {
   private def stageEventsHalf(s: SparkSession, dir: String, parity: Int): String =
     stagedCache.computeIfAbsent(s"$dir#events#half$parity", { _ =>
       val out = Files.createTempDirectory(s"graft_s10_src$parity").toString
+      // bounded keyed slice — the interval-join witness depends on
+      // two sides draining through buffered state, not on row volume
       Tables.load(s, dir, "events")
+        .filter(col("user_id") < 150)
         .filter(pmod(col("event_id"), lit(2)) === parity)
         .repartition(2)
         .write.mode("overwrite").parquet(out)
@@ -164,8 +172,10 @@ object StreamPack extends Pack {
       // ONE data file per side (+ the sentinel): the outer-join flush
       // witness needs the sentinel in a LATER trigger than the data —
       // two triggers, not three; extra data files only multiply
-      // state-store rounds without strengthening the witness
-      ev.filter(pmod(col("event_id"), lit(2)) === parity)
+      // state-store rounds without strengthening the witness; the
+      // keyed slice bounds row volume the same way (s10's comment)
+      ev.filter(col("user_id") < 150)
+        .filter(pmod(col("event_id"), lit(2)) === parity)
         .repartition(1)
         .write.mode("overwrite").parquet(out)
       val staging = Files.createTempDirectory(s"graft_s20_sent$parity")
@@ -480,7 +490,7 @@ object StreamPack extends Pack {
                         > INTERVAL 30 MINUTE
                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                       THEN 1 ELSE 0 END AS new_session
-               FROM events),
+               FROM events WHERE user_id < 150),
              sessions AS (
                SELECT user_id, ts,
                  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -730,6 +740,7 @@ object StreamPack extends Pack {
              CAST(COUNT(DISTINCT b.event_id) AS BIGINT) AS n_b
              FROM events a JOIN events b
                ON a.user_id = b.user_id
+              AND a.user_id < 150
               AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
               AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""")),
 
@@ -786,8 +797,10 @@ object StreamPack extends Pack {
                AS n_unmatched,
              CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_a
              FROM (SELECT a.event_id AS a_id, b.event_id AS b_id
-                   FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
-                   LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+                   FROM (SELECT * FROM events
+                         WHERE event_id % 2 = 0 AND user_id < 150) a
+                   LEFT JOIN (SELECT * FROM events
+                              WHERE event_id % 2 = 1 AND user_id < 150) b
                      ON a.user_id = b.user_id
                     AND b.ts >= a.ts
                     AND b.ts <= a.ts + INTERVAL 10 MINUTE)""")),
@@ -1069,7 +1082,12 @@ object StreamPack extends Pack {
         val wh = Files.createTempDirectory("graft_s17_wh").toString
         val ref = TableRef(wh, "src", "orders_cdc_feed")
         IceLite.createNamespace(wh, "src")
+        // bounded keyed slice — the changelog witnesses depend on the
+        // CHANGE KINDS (insert files + MoR delete sidecars), not on
+        // row volume; the memory sink collects every change row on
+        // the driver
         val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") < 15000)
           .select(col("o_orderkey"), col("o_totalprice"))
         IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
           statsCols = Seq("o_orderkey"))
@@ -1094,11 +1112,11 @@ object StreamPack extends Pack {
       Some("""SELECT change_type, CAST(n AS BIGINT) AS n, sum_price FROM (
                SELECT 'delete' AS change_type, COUNT(*) AS n,
                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
-               FROM orders WHERE o_orderkey % 7 = 3
+               FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey < 15000
                UNION ALL
                SELECT 'insert' AS change_type, COUNT(*) AS n,
                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
-               FROM orders)
+               FROM orders WHERE o_orderkey < 15000)
              ORDER BY change_type""")),
 
     // s18: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the s17

@@ -799,4 +799,65 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assert(IceLiteSource.lastScanMetadataOnly,
       "count(*) through the catalog must stay metadata-only")
   }
+
+  test("$history/$manifests/$entries metadata tables (d88)") {
+    val (cat, wh) = freshCatalog()
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v").repartition(2))
+    IceLite.append(ref,
+      (101L to 150L).map(k => (k, k * 2.0)).toDF("k", "v").repartition(1))
+    IceLite.stageBranchAppend(ref, "audit",
+      (151L to 160L).map(k => (k, k * 2.0)).toDF("k", "v"))
+
+    // history: linear lineage; the staged branch commit (id 3) sits
+    // ABOVE the published pointer and is not a current ancestor
+    val hist = spark.sql(
+      s"""SELECT snapshot_id, parent_id, is_current_ancestor
+          FROM $cat.src.`t$$history` ORDER BY snapshot_id""").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(hist(0).isNullAt(1) && hist(1).getLong(1) == 1L &&
+      hist(2).getLong(1) == 2L)
+    assert(hist.map(_.getBoolean(2)).toSeq == Seq(true, true, false))
+
+    // manifests: real meta/ segments with bytes + first-referencing
+    // snapshot; the append REUSES the create's segment (shared chains)
+    val man = spark.sql(
+      s"SELECT * FROM $cat.src.`t$$manifests`").collect()
+    assert(man.nonEmpty && man.forall(r =>
+      r.getString(0).startsWith("meta/") && r.getLong(1) > 0 &&
+        r.getLong(3) >= 1))
+    assert(man.exists(_.getLong(2) == 1L),
+      "the create-era segment must stay referenced (chain reuse)")
+
+    // entries: 2 existing files from snapshot 1, 1 added by current
+    val ent = spark.sql(
+      s"""SELECT status, snapshot_id, record_count, size_bytes
+          FROM $cat.src.`t$$entries`""").collect()
+    assert(ent.length == 3)
+    assert(ent.count(r => r.getInt(0) == 1 && r.getLong(1) == 2L) == 1)
+    assert(ent.count(r => r.getInt(0) == 0 && r.getLong(1) == 1L) == 2)
+    assert(ent.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+
+    // after a publish-style rollback commit, history extends and the
+    // new tip is the only change — ancestors stay monotone
+    IceLite.rollback(ref, 1L)
+    val h2 = spark.sql(
+      s"""SELECT snapshot_id, is_current_ancestor
+          FROM $cat.src.`t$$history` ORDER BY snapshot_id""").collect()
+    assert(h2.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(h2.map(_.getBoolean(1)).toSeq ==
+      Seq(true, true, true, true))
+    // entries now reflect the rolled-back (create-era) file set
+    val e2 = spark.sql(
+      s"SELECT status, snapshot_id FROM $cat.src.`t$$entries`").collect()
+    assert(e2.length == 2 && e2.forall(r =>
+      r.getInt(0) == 0 && r.getLong(1) == 1L))
+    // unknown metadata table still refuses loudly, naming the trio
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.src.`t$$bogus`").collect()
+    }
+    assert(err.getMessage.contains("history"))
+  }
 }
