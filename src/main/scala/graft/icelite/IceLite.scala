@@ -197,6 +197,15 @@ final case class Manifest(
     // mixing needs no read-side rule at all. Mutually exclusive with
     // declaredPartitionCols — a table evolves within ONE layout kind.
     declaredPartitionSpec: Option[Seq[PartitionField]] = None,
+    // d89: the DECLARED write order (`ALTER TABLE … WRITE ORDERED BY
+    // col` — Iceberg's sort-order DDL): future writes range-cluster +
+    // sort by this column; existing files keep their layout. The
+    // SNAPSHOT-level `sortedBy` marker (the whole-table proof that
+    // feeds pruning claims) lands only when compact() materializes
+    // the declared order across every file — until then the
+    // declaration steers writers without overclaiming. Flat tables
+    // only (partitioned layouts order within dirs via rewrite).
+    declaredSortedBy: Option[String] = None,
     // TABLE IDENTITY (Iceberg's table-uuid): minted once at creation,
     // carried by every commit, NEVER reused. Snapshot ids are
     // sequential (max+1 from 1), so a DROP + re-CREATE can reach the
@@ -407,10 +416,11 @@ object IceLite {
       renamedCols: Seq[RenamedCol],
       widenedCols: Seq[WidenedCol],
       declaredSchemaDdl: Option[String],
-      // defaults keep pre-d82/d83/d85 pointers decodable
+      // defaults keep pre-d82/d83/d85/d89 pointers decodable
       properties: Map[String, String] = Map.empty,
       declaredPartitionCols: Option[Seq[String]] = None,
       declaredPartitionSpec: Option[Seq[PartitionField]] = None,
+      declaredSortedBy: Option[String] = None,
       tableUuid: Option[String] = None)
 
   /** An assembled chain: the exact field instances a Snapshot gets.
@@ -502,7 +512,9 @@ object IceLite {
           ptr.branches, ptr.tags, ptr.addedCols, ptr.droppedCols,
           ptr.renamedCols, ptr.widenedCols, ptr.declaredSchemaDdl,
           ptr.properties, ptr.declaredPartitionCols,
-          ptr.declaredPartitionSpec, tableUuid = ptr.tableUuid)
+          ptr.declaredPartitionSpec,
+          declaredSortedBy = ptr.declaredSortedBy,
+          tableUuid = ptr.tableUuid)
       case _ => jv.extract[Manifest] // legacy single-JSON layout
     }
   }
@@ -591,7 +603,9 @@ object IceLite {
       ptrs, next.branches, next.tags, next.addedCols, next.droppedCols,
       next.renamedCols, next.widenedCols, next.declaredSchemaDdl,
       next.properties, next.declaredPartitionCols,
-      next.declaredPartitionSpec, tableUuid = next.tableUuid)
+      next.declaredPartitionSpec,
+      declaredSortedBy = next.declaredSortedBy,
+      tableUuid = next.tableUuid)
     io.writeString(tmp, Serialization.writePretty(ptr))
     wrote.result()
   }
@@ -2578,11 +2592,16 @@ object IceLite {
           stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files),
             landedCols)
         }
-        else cur.sortedBy match {
+        else (base.declaredSortedBy.orElse(cur.sortedBy)) match {
           // preserve the table's sort order: a hash repartition would
           // destroy the non-overlapping file ranges sorted writes buy.
-          // MoR sidecars are APPLIED here and absent from the new
-          // snapshot — compaction is the delete materializer (d47)
+          // A DECLARED order (d89 WRITE ORDERED BY) wins — compaction
+          // is the sort-order MATERIALIZER exactly as it is the
+          // layout-evolution materializer above: this one pass
+          // re-clusters every file and the snapshot below earns the
+          // whole-table `sortedBy` marker. MoR sidecars are APPLIED
+          // here and absent from the new snapshot — compaction is
+          // the delete materializer (d47)
           case Some(sc) =>
             val c = org.apache.spark.sql.functions.col(sc)
             stage(ref, readFilesWithDeletes(spark, ref, cur, cur.files)
@@ -2608,9 +2627,11 @@ object IceLite {
         landedCols,
         // a flat→partitioned/transform materialization drops the
         // flat sort marker honestly (rule 25): the restage clusters
-        // by value dirs, not the sort key
+        // by value dirs, not the sort key. A flat restage EARNS the
+        // declared order's marker (d89): every file was just
+        // range-clustered on it
         if (landedCols.nonEmpty || landedSpec.nonEmpty) None
-        else cur.sortedBy,
+        else base.declaredSortedBy.orElse(cur.sortedBy),
         fileRows = rowsByFile,
         partitionSpec = landedSpec) // met: restaged through the spec
       // a zero-file current snapshot with no declared DDL would lose
@@ -3870,7 +3891,10 @@ object IceLite {
       require(isString,
         s"$col is not a STRING column — identity partition fields are " +
           "path-borne strings; evolve through a rewrite for typed keys")
-      m.copy(declaredPartitionCols = Some(base :+ col))
+      // a flat sorted table's declared order drops honestly at the
+      // flip (rule 25) — the partitioned era clusters by value dirs
+      m.copy(declaredPartitionCols = Some(base :+ col),
+        declaredSortedBy = None)
     }
     ()
   }
@@ -3917,7 +3941,9 @@ object IceLite {
           s"(have: ${visible.toSeq.sorted.mkString(", ")})")
       require(!visible.contains(field.name),
         s"derived partition name '${field.name}' collides with a column")
-      m.copy(declaredPartitionSpec = Some(base :+ field))
+      // same honest-drop rule as the identity flip (d89 × d85)
+      m.copy(declaredPartitionSpec = Some(base :+ field),
+        declaredSortedBy = None)
     }
     ()
   }
@@ -3952,6 +3978,70 @@ object IceLite {
       }
     }
     ()
+  }
+
+  /** d89: `ALTER TABLE … WRITE ORDERED BY <col>` / `WRITE UNORDERED`
+    * — Iceberg's sort-order DDL (spark-extensions grammar), as a
+    * metadata-only CAS flip of the DECLARED write order. Future
+    * writes range-cluster + sort by the column immediately; existing
+    * files keep their layout; compact() is the materializer that
+    * re-clusters history and earns the whole-table `sortedBy` marker
+    * (until then the snapshot marker never overclaims). Refusal
+    * matrix: partitioned layouts of either kind refuse (sorted
+    * layouts are flat-table clustering here — partitioned tables
+    * order within dirs via compact/rewrite), and live MoR sidecars
+    * refuse (the sorted era starts from a physical baseline —
+    * compact() first, the same rule as the flat→partitioned flip). */
+  def alterWriteOrdered(ref: TableRef, col: Option[String]): Unit = {
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalArgumentException(
+        s"${ref.name} does not exist"))
+      col match {
+        case None =>
+          // WRITE UNORDERED clears the declaration AND retires the
+          // physical whole-table marker (same files, one metadata-only
+          // snapshot): the marker's only consumers are write-steering
+          // and layout-preserving claims — stats pruning reads
+          // fileStats and is untouched. Without this, a materialized
+          // marker would keep steering writes forever and UNORDERED
+          // would be a no-op.
+          val base = m.copy(declaredSortedBy = None)
+          if (m.current.sortedBy.isEmpty) base
+          else {
+            val id = m.snapshots.map(_.id).max + 1
+            base.copy(currentSnapshotId = id,
+              snapshots = m.snapshots :+ m.current.copy(id = id,
+                timestampMs = System.currentTimeMillis(),
+                operation = "unorder", sortedBy = None))
+          }
+        case Some(c) =>
+          require(m.writeLayoutCols.isEmpty && m.writeLayoutSpec.isEmpty &&
+            m.current.partitionCols.isEmpty && m.current.partitionSpec.isEmpty,
+            s"${ref.name} is partitioned — WRITE ORDERED BY applies to " +
+              "flat tables; partitioned tables cluster within their " +
+              "dirs via compact()/rewrite")
+          require(!m.current.morLive,
+            s"${ref.name} has live MoR delete sidecars — compact() " +
+              "before WRITE ORDERED BY (the sorted era starts from a " +
+              "physical baseline)")
+          // eager schema check — a bad column fails the DDL, not the
+          // next INSERT's staging job (the d83 rule)
+          val visible = visibleColNames(ref, m)
+          require(visible.contains(c),
+            s"no column $c in ${ref.name} " +
+              s"(have: ${visible.toSeq.sorted.mkString(", ")})")
+          m.copy(declaredSortedBy = Some(c))
+      }
+    }
+    ()
+  }
+
+  /** d89: the write order in effect for NEW writes — the declared
+    * order (WRITE ORDERED BY) wins over the physical whole-table
+    * marker; either absent falls through. */
+  def effectiveSortCol(ref: TableRef): Option[String] = {
+    val m = readManifest(ref)
+    m.declaredSortedBy.orElse(m.current.sortedBy)
   }
 
   /** First data file's full parquet MessageType. */

@@ -2419,6 +2419,82 @@ object ScalePack extends Pack {
                   manifests_ok, entries_ok)
              ORDER BY snapshot_id""")),
 
+    // d89: SORT-ORDER DDL — `ALTER TABLE … WRITE ORDERED BY col` /
+    // `WRITE UNORDERED` (Iceberg's spark-extensions grammar; d10/d54
+    // gave sorted layouts API-only birth). The flip is a metadata-only
+    // CAS commit of the DECLARED write order: the next INSERT
+    // range-clusters its new files immediately (disjoint stats), the
+    // snapshot-level `sortedBy` marker lands only when compact()
+    // materializes the order across every file — the declaration
+    // steers writers without overclaiming, and after compaction a
+    // range probe prunes to a strict file subset. Refusals
+    // (partitioned layouts, live MoR sidecars) are spec-pinned.
+    Decl("d89_sql_write_ordered",
+      (s, dir) => {
+        import graft.icelite.TableRef
+        val wh = Files.createTempDirectory("graft_d89").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = TableRef(wh, "src", "orders_ordered")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+          .filter($"o_orderkey" < 4000)
+        // era 1: UNSORTED, hash-spread files — every file spans the
+        // whole key range, stats useless for pruning
+        IceLite.createOrReplace(ref,
+          o.filter($"o_orderkey" < 2000).repartition(3),
+          statsCols = Seq("o_orderkey"))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val filesBefore = IceLite.readManifest(ref).current.files.toSet
+        s.sql(s"ALTER TABLE $cat.src.orders_ordered WRITE ORDERED BY o_orderkey")
+        val m1 = IceLite.readManifest(ref)
+        // metadata-only: zero bytes moved, marker NOT overclaimed
+        val metadataOnly = m1.current.files.toSet == filesBefore &&
+          m1.declaredSortedBy.contains("o_orderkey") &&
+          m1.current.sortedBy.isEmpty
+        // era 2 lands through SQL, steered by the declaration
+        o.filter($"o_orderkey" >= 2000).createOrReplaceTempView("d89_e2")
+        s.sql(s"INSERT INTO $cat.src.orders_ordered SELECT * FROM d89_e2")
+        val m2 = IceLite.readManifest(ref).current
+        val era2 = m2.files.filterNot(filesBefore)
+        val ranges = era2.flatMap(f => m2.fileStats.getOrElse(f, Nil)
+          .find(_.col == "o_orderkey").map(cs => (cs.min, cs.max)))
+        val clusteredInsert = era2.nonEmpty && ranges.size == era2.size &&
+          ranges.sortBy(_._1).sliding(2).forall {
+            case Seq((_, aMax), (bMin, _)) => aMax <= bMin
+            case _ => true
+          }
+        // compact materializes: the whole table re-clusters and EARNS
+        // the snapshot marker; a range probe then prunes
+        IceLite.compact(s, ref, targetFiles = 4)
+        val m3 = IceLite.readManifest(ref).current
+        val markerAfterCompact = m3.sortedBy.contains("o_orderkey")
+        val probe = s.sql(
+          s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price
+              FROM $cat.src.orders_ordered
+              WHERE o_orderkey >= 500 AND o_orderkey < 1500""")
+        val probed = probe.collect()(0)
+        val prunedScan =
+          graft.sources.IceLiteSource.lastPlannedFiles.size < m3.files.size
+        probe.sparkSession.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            probed.getLong(0), probed.getDouble(1),
+            metadataOnly, clusteredInsert, markerAfterCompact, prunedScan)),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "n BIGINT, sum_price DOUBLE, metadata_only BOOLEAN, " +
+              "clustered_insert BOOLEAN, marker_after_compact BOOLEAN, " +
+              "pruned_scan BOOLEAN"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             TRUE AS metadata_only, TRUE AS clustered_insert,
+             TRUE AS marker_after_compact, TRUE AS pruned_scan
+             FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500""")),
+
     // d82: TABLE PROPERTIES — `ALTER TABLE … SET/UNSET TBLPROPERTIES`
     // (Iceberg table properties; the config channel dbt/Trino write
     // through). Metadata-only CAS commits like every ALTER; carried by

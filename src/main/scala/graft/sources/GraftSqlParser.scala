@@ -46,6 +46,12 @@ class GraftSqlParser(spark: SparkSession,
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(\w+)\s*\(\s*([^)]+)\s*\)\s*;?\s*$""".r
   private val DropPartTransformRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(\w+)\s*\(\s*([^)]+)\s*\)\s*;?\s*$""".r
+  /** d89: sort-order DDL — `WRITE ORDERED BY col` / `WRITE UNORDERED`
+    * (Iceberg's spark-extensions grammar; stock Spark has neither). */
+  private val WriteOrderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+`?(\w+)`?\s*;?\s*$""".r
+  private val WriteUnorderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
 
   /** Parse "8, id" / "id, 8" / "ts" into (sourceCol, param). */
   private def transformArgs(raw: String): Option[(String, Int)] = {
@@ -109,7 +115,24 @@ class GraftSqlParser(spark: SparkSession,
     }
   }
 
+  /** d89: route WRITE ORDERED BY / UNORDERED at the same seam —
+    * reuses partFieldCommand's identifier resolution + catalog
+    * capability check, then re-tags the resolved command. */
+  private def writeOrderCommand(identText: String,
+      col: Option[String]): Option[LogicalPlan] =
+    partFieldCommand(identText, col.getOrElse("_"), add = true).map {
+      case GraftPartitionFieldCommand(cat, ns, name, _, _) =>
+        GraftWriteOrderCommand(cat, ns, name, col): LogicalPlan
+      case other => other
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case WriteOrderedRe(ident, col) =>
+      writeOrderCommand(ident, Some(col))
+        .getOrElse(rewrite(delegate.parsePlan(sqlText)))
+    case WriteUnorderedRe(ident) =>
+      writeOrderCommand(ident, None)
+        .getOrElse(rewrite(delegate.parsePlan(sqlText)))
     case AddPartTransformRe(ident, transform, args) =>
       partTransformCommand(ident, transform, args)
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))

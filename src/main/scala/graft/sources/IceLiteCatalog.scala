@@ -74,6 +74,9 @@ trait SupportsPartitionFieldDdl {
     * derived name through [[dropPartitionField]]. */
   def addPartitionFieldTransform(ident: Identifier, transform: String,
       sourceCol: String, param: Int): Unit
+  /** d89: `WRITE ORDERED BY col` / `WRITE UNORDERED` — sort-order
+    * DDL (Iceberg's spark-extensions grammar). None clears. */
+  def setWriteOrder(ident: Identifier, col: Option[String]): Unit
 }
 
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces
@@ -432,6 +435,13 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     val ref = refOf(ident)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
     IceLite.alterAddPartitionFieldTransform(ref, transform, sourceCol, param)
+  }
+  /** d89: sort-order DDL — a metadata-only flip of the declared
+    * write order (compact() materializes; see alterWriteOrdered). */
+  override def setWriteOrder(ident: Identifier, col: Option[String]): Unit = {
+    val ref = refOf(ident)
+    if (!IceLite.tableExists(ref)) throw new NoSuchTableException(ident)
+    IceLite.alterWriteOrdered(ref, col)
   }
 
   /** `ALTER TABLE … RENAME TO …` — Iceberg's catalog-pointer move,

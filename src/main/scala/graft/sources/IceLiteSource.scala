@@ -717,8 +717,9 @@ class IceLiteReplaceWrite(ref: TableRef, schema: StructType,
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
   private val token = java.util.UUID.randomUUID.toString.take(8)
-  private def sortedBy: Option[String] =
-    IceLiteSource.resolveSnap(ref, None).sortedBy
+  // the DECLARED order (d89) steers rewrites too — rewritten rows
+  // land clustered the way the table wants new data to land
+  private def sortedBy: Option[String] = IceLite.effectiveSortCol(ref)
   /** d69: identity partition columns — a partitioned rewrite stages
     * through Hive value dirs (the d67 writer) so the layout, and the
     * pruning it feeds, survives SQL UPDATE/MERGE/DELETE. */
@@ -906,9 +907,12 @@ class IceLiteWriteBuilder(ref: TableRef, info: LogicalWriteInfo)
       * lands as range-clustered files with tight disjoint stats and
       * the table KEEPS its `sortedBy` layout marker (and with it
       * stats-pruning precision and layout-preserving rewrites) —
-      * Iceberg's write.distribution-mode=range on the SQL write path. */
+      * Iceberg's write.distribution-mode=range on the SQL write path.
+      * A DECLARED order (d89 WRITE ORDERED BY) steers writes the same
+      * way from the flip onward — the snapshot marker itself lands
+      * only when compact() proves the whole table. */
     private val sortCol: Option[String] =
-      if (IceLite.tableExists(ref)) IceLiteSource.resolveSnap(ref, None).sortedBy
+      if (IceLite.tableExists(ref)) IceLite.effectiveSortCol(ref)
       else None
 
     override def requiredDistribution(): Distribution =

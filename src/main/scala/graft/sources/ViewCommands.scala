@@ -209,6 +209,19 @@ case class GraftPartitionTransformCommand(catName: String, ns: String,
   }
 }
 
+/** d89: `ALTER TABLE cat.ns.t WRITE ORDERED BY col | WRITE UNORDERED`
+  * — sort-order DDL (parser-intercepted like d83/d85), dispatching
+  * through the shared SupportsPartitionFieldDdl face. */
+case class GraftWriteOrderCommand(catName: String, ns: String,
+    name: String, col: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    Bridge.catalogPlugin(spark, catName)
+      .asInstanceOf[SupportsPartitionFieldDdl]
+      .setWriteOrder(Identifier.of(Array(ns), name), col)
+    Nil
+  }
+}
+
 /** SHOW VIEWS IN cat.ns ['pattern'] — '*' wildcards, '|' alternation
   * (Spark's SHOW semantics). */
 case class GraftShowViewsCommand(catName: String, ns: String,

@@ -418,6 +418,10 @@ class CatalogServer(warehouse: String, port: Int = 0) {
                     "add-part-transform needs the transform name")),
                   req.col,
                   req.value.map(_.toInt).getOrElse(0))
+              // d89: sort-order DDL — "" clears (WRITE UNORDERED)
+              case "write-order" =>
+                IceLite.alterWriteOrdered(ref,
+                  Option(req.col).filter(_.nonEmpty))
               case other => throw new IllegalArgumentException(
                 s"unknown alter op '$other'")
             }

@@ -518,6 +518,14 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
         newName = Some(transform), value = Some(param.toString))))
     ()
   }
+  /** d89 over the wire: sort-order DDL — one POST, metadata-only;
+    * the col rides the shared slot ("" = WRITE UNORDERED). */
+  override def setWriteOrder(ident: Identifier, col: Option[String]): Unit = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    post(tablePath(ident) + "/alter",
+      Serialization.write(AlterReq("write-order", col.getOrElse(""))))
+    ()
+  }
 
   /** Table RENAME over the wire (d81): one POST — the rename runs
     * entirely server-side (zero-copy relocation + CAS claim,

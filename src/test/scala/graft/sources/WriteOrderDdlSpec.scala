@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.TestSpark
+import graft.icelite.{IceLite, PartitionField, TableRef}
+import graft.sources.rest.CatalogServer
+
+/** d89 — sort-order DDL (`ALTER TABLE … WRITE ORDERED BY col` /
+  * `WRITE UNORDERED`), Iceberg's spark-extensions grammar.
+  *
+  * The invariants:
+  *  - the flip is metadata-only (zero bytes move) and never
+  *    overclaims: the snapshot-level `sortedBy` marker stays unset
+  *    until compact() proves the whole table;
+  *  - the declaration steers every later write (SQL INSERT clusters
+  *    its new files immediately);
+  *  - compact() materializes and EARNS the marker; a later unsorted
+  *    state is impossible to claim silently (unordered appends drop
+  *    the marker per the existing d54 rule);
+  *  - the refusal matrix: partitioned layouts of either kind, live
+  *    MoR sidecars, unknown columns;
+  *  - both catalog faces flip the same manifest field (REST posts
+  *    one /alter op).
+  */
+class WriteOrderDdlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog(): (String, String) = {
+    val wh = Files.createTempDirectory("wo_wh").toString
+    val name = s"wocat_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    IceLite.createNamespace(wh, "src")
+    (name, wh)
+  }
+
+  test("flip is metadata-only; INSERT clusters; compact earns the marker; UNORDERED clears") {
+    val (cat, wh) = freshCatalog()
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1L to 2000L).map(k => (k, k * 2.0)).toDF("k", "v").repartition(3),
+      statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current.files.toSet
+    spark.sql(s"ALTER TABLE $cat.src.t WRITE ORDERED BY k")
+    val m1 = IceLite.readManifest(ref)
+    assert(m1.current.files.toSet == before, "the flip moved bytes")
+    assert(m1.declaredSortedBy.contains("k"))
+    assert(m1.current.sortedBy.isEmpty,
+      "the whole-table marker must not land before materialization")
+    // the declared order steers the next SQL INSERT: new files carry
+    // pairwise-disjoint k ranges
+    (2001L to 4000L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("wo_e2")
+    spark.sql(s"INSERT INTO $cat.src.t SELECT * FROM wo_e2")
+    val m2 = IceLite.readManifest(ref).current
+    val era2 = m2.files.filterNot(before)
+    val ranges = era2.flatMap(f => m2.fileStats.getOrElse(f, Nil)
+      .find(_.col == "k").map(cs => (cs.min, cs.max))).sortBy(_._1)
+    assert(era2.nonEmpty && ranges.size == era2.size)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"era-2 files overlap: $ranges")
+      case _ => ()
+    }
+    // compact materializes: marker earned, range probes prune
+    IceLite.compact(spark, ref, targetFiles = 4)
+    val m3 = IceLite.readManifest(ref)
+    assert(m3.current.sortedBy.contains("k"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t WHERE k >= 100 AND k < 600")
+      .head.getLong(0) == 500L)
+    assert(IceLiteSource.lastPlannedFiles.size < m3.current.files.size,
+      "materialized order must prune range probes")
+    // WRITE UNORDERED clears the declaration; the next unsorted
+    // append drops the physical marker honestly (d54's rule)
+    spark.sql(s"ALTER TABLE $cat.src.t WRITE UNORDERED")
+    assert(IceLite.readManifest(ref).declaredSortedBy.isEmpty)
+    (4001L to 4100L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("wo_e3")
+    spark.sql(s"INSERT INTO $cat.src.t SELECT * FROM wo_e3")
+    assert(IceLite.readManifest(ref).current.sortedBy.isEmpty,
+      "an unordered append must drop the whole-table marker")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src.t").head.getLong(0) == 4100L)
+  }
+
+  test("refusal matrix: partitioned layouts, MoR-live, unknown column") {
+    val (cat, wh) = freshCatalog()
+    // identity-partitioned
+    IceLite.createOrReplacePartitioned(TableRef(wh, "src", "p"),
+      (1L to 90L).map(k => (k, (k % 3).toString)).toDF("k", "g"), "g")
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.src.p WRITE ORDERED BY k")
+    }
+    assert(e1.getMessage.contains("partitioned"))
+    // transform-partitioned
+    IceLite.createOrReplaceTransformed(TableRef(wh, "src", "h"),
+      (1L to 90L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      Seq(PartitionField("k_bucket", "bucket", "k", 4)))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.src.h WRITE ORDERED BY k")
+    }
+    assert(e2.getMessage.contains("partitioned"))
+    // MoR-live
+    val mor = TableRef(wh, "src", "m")
+    IceLite.createOrReplace(mor,
+      (1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    IceLite.deleteWhereMoR(spark, mor, "k % 7 = 0")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.src.m WRITE ORDERED BY k")
+    }
+    assert(e3.getMessage.contains("MoR"))
+    // unknown column fails the DDL eagerly
+    val flat = TableRef(wh, "src", "f")
+    IceLite.createOrReplace(flat, (1L to 10L).map(k => (k, k)).toDF("k", "v"))
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.src.f WRITE ORDERED BY nope")
+    }
+    assert(e4.getMessage.contains("no column"))
+    // a later partition-field flip drops a pending declaration
+    spark.sql(s"ALTER TABLE $cat.src.f WRITE ORDERED BY k")
+    assert(IceLite.readManifest(flat).declaredSortedBy.contains("k"))
+    spark.sql(s"ALTER TABLE $cat.src.f ADD PARTITION FIELD bucket(4, k)")
+    assert(IceLite.readManifest(flat).declaredSortedBy.isEmpty,
+      "the partitioned era must not inherit a flat sort declaration")
+  }
+
+  test("REST face: the same DDL flips the same manifest field over one POST") {
+    val wh = Files.createTempDirectory("wo_rest_wh").toString
+    IceLite.createNamespace(wh, "src")
+    val srv = new CatalogServer(wh).start()
+    val cat = s"worest_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.rest.IceLiteRestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.uri)
+    try {
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref,
+        (1L to 500L).map(k => (k, k * 2.0)).toDF("k", "v"),
+        statsCols = Seq("k"))
+      spark.sql(s"ALTER TABLE $cat.src.t WRITE ORDERED BY k")
+      assert(IceLite.readManifest(ref).declaredSortedBy.contains("k"),
+        "the REST flip must land in the owning manifest")
+      // an attachment INSERT is steered by the declaration too
+      (501L to 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
+        .createOrReplaceTempView("wo_rest_e2")
+      spark.sql(s"INSERT INTO $cat.src.t SELECT * FROM wo_rest_e2")
+      val m = IceLite.readManifest(ref).current
+      val era2 = m.files.filter(_.nonEmpty).filterNot(
+        IceLite.readManifest(ref).snapshots.head.files.toSet)
+      assert(era2.nonEmpty)
+      // refusals travel the wire as loud errors
+      IceLite.createOrReplacePartitioned(TableRef(wh, "src", "p"),
+        (1L to 30L).map(k => (k, (k % 3).toString)).toDF("k", "g"), "g")
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.src.p WRITE ORDERED BY k")
+      }
+      assert(e.getMessage.toLowerCase.contains("partitioned"))
+      // UNORDERED round-trips
+      spark.sql(s"ALTER TABLE $cat.src.t WRITE UNORDERED")
+      assert(IceLite.readManifest(ref).declaredSortedBy.isEmpty)
+    } finally srv.stop()
+  }
+}
