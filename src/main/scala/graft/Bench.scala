@@ -29,7 +29,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    qs.foreach { case (_, fn) => try exec(fn) catch { case _: Throwable => () } }
+    // SPARK_GRAFT_WARMUP=0 skips the untimed warm-up pass and
+    // SPARK_GRAFT_PASSES overrides the timed-pass count — the sf1
+    // shadow-bench runs ONE pass per scale under one protocol (the
+    // ratio is the signal there, not the absolute floor); the driver's
+    // round bench keeps the default warm-up + min-of-3.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      qs.foreach { case (_, fn) => try exec(fn) catch { case _: Throwable => () } }
     // A throwing query must NOT record its (tiny) time-to-throw as a
     // measurement — round 5's loader breakage made 13 broken ids look
     // like ~0.05s speedups. Failures carry a -1 sentinel and are listed
@@ -47,7 +53,9 @@ object Bench {
     // 2.6s; round 6's t09 read 1.56s in-sweep vs 0.37s re-measured —
     // same class). The min over three rejects one-off AND two-off
     // interference while staying honest about systematic cost.
-    val timedPasses = 3
+    val timedPasses =
+      sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption)
+        .filter(_ >= 1).getOrElse(3)
     val passes = Seq.fill(timedPasses)(timedPass())
     val results = qs.indices.map { i =>
       val name = passes.head(i)._1

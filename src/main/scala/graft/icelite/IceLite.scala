@@ -3155,17 +3155,36 @@ object IceLite {
     mapped.map(_.map(m => s"${f.name}=${escapePartitionValue(m)}"))
   }
 
-  /** The derived dir value a literal source value maps to. */
-  private def transformValue(f: PartitionField, v: Any): String = f.transform match {
-    case "bucket"   => bucketOf(v, f.param).toString
-    case "truncate" => v.toString.take(f.param)
-    case "days"     => v.toString.take(10) // caller passes yyyy-MM-dd[...]
-    case "years"    => v.toString.take(4)
-    case "months"   => v.toString.take(7)
-    // timestamp literals read "yyyy-MM-dd HH:…"; the dir is
-    // "yyyy-MM-dd-HH" (Iceberg's hour dir shape)
-    case "hours"    => v.toString.take(13).replace(' ', '-')
-    case t => throw new IllegalArgumentException(s"unknown transform '$t'")
+  /** The derived dir value a literal source value maps to (engine-API
+    * pruning — transformPrunedFiles). Time transforms canonicalize
+    * through [[temporalCanon]] in the SESSION zone and REFUSE loudly
+    * on a literal that cannot reach the dir shape: this path SELECTS
+    * the file set, so a silently mis-mapped literal (a bare date
+    * against an hours dir) would drop matching rows — the worst
+    * failure a pruner can have. The connector's pushed-filter path
+    * declines to prune instead (conservative keep-all); here the
+    * caller named the predicate explicitly, so a loud error beats a
+    * silent full scan. */
+  private def transformValue(f: PartitionField, v: Any): String = {
+    def canon(take: Int): String = {
+      val zone = scala.util.Try(org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.sessionLocalTimeZone).getOrElse("UTC")
+      val c = temporalCanon(v, zone).filter(_.length >= take)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot map literal '$v' to a ${f.transform} dir — pass a " +
+            "temporal value or a 'yyyy-MM-dd HH:mm:ss' string"))
+      c.take(take)
+    }
+    f.transform match {
+      case "bucket"   => bucketOf(v, f.param).toString
+      case "truncate" => v.toString.take(f.param)
+      case "days"     => canon(10)
+      case "years"    => canon(4)
+      case "months"   => canon(7)
+      // the dir is "yyyy-MM-dd-HH" (Iceberg's hour dir shape)
+      case "hours"    => canon(13).replace(' ', '-')
+      case t => throw new IllegalArgumentException(s"unknown transform '$t'")
+    }
   }
 
   private def stageTransformed(ref: TableRef, df: DataFrame,

@@ -182,6 +182,13 @@ object LlmPack extends Pack {
   /** c16's persisted edge/label stages (same lifecycle as lastSig). */
   private val lastCC = new PersistSlot
 
+  /** c26's persisted pair/unigram counts (same lifecycle): the plan
+    * reads `pairs` twice (totals + the PMI join) and `uni` three
+    * times — unpersisted, each consumer re-exploded the full token
+    * stream (the sf1 shadow-bench caught it at 61x: four token
+    * explosions per run, each 10x bigger). */
+  private val lastPmi = new PersistSlot
+
   /** Large-star/small-star edge contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond"): returns an edge
     * set with the SAME connected components whose diameter collapses
@@ -1319,13 +1326,19 @@ object LlmPack extends Pack {
         def shifted(off: Int) = zip_with($"ts",
           slice($"ts", lit(off + 1), size($"ts")),
           (a, b) => struct(a.as("a"), b.as("b")))
+        // both count frames are vocabulary-sized after their aggs and
+        // read by MULTIPLE consumers (totals + joins) — persist so the
+        // token explosion runs once per frame, not once per consumer
         val pairs = toks
           .select(explode(concat(shifted(1), shifted(2))).as("p"))
           .filter($"p.b".isNotNull)
           .groupBy($"p.a".as("a"), $"p.b".as("b"))
           .agg(count(lit(1)).cast("long").as("c_ab"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val uni = toks.select(explode($"ts").as("tok"))
           .groupBy($"tok").agg(count(lit(1)).cast("long").as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lastPmi.swap(pairs, uni)
         val totals = pairs.agg(sum($"c_ab").cast("double").as("p_tot"))
           .crossJoin(uni.agg(sum($"c").cast("double").as("n_tot")))
         pairs.filter($"c_ab" >= 3)

@@ -86,15 +86,23 @@ object RelationalPack extends Pack {
     // engines but the group-sort order of equal doubles is not
     // observable, so the usual guard applies.
     Decl("b65_percentiles",
-      // ONE array-argument percentile aggregate instead of three
-      // scalar ones: exact percentile is an ObjectAggregate that
-      // buffers every value per group — three calls triple that
-      // buffer work; the array form shares one buffer and sorts once
+      // Exact percentiles WITHOUT per-row group buffers: pre-aggregate
+      // to (group, value, frequency) — a two-phase hash agg that
+      // map-side combines across all cores — then feed `percentile`'s
+      // frequency argument, whose buffer is DISTINCT-VALUE-sized, not
+      // row-sized. Mathematically identical to the row-fed form (the
+      // weighted multiset interpolates exactly the same), but the only
+      // shape that survives 100 TB: 3 groups x 2M rows per reducer
+      // buffer became 3 groups x |distinct prices| map entries (the
+      // sf1 shadow-bench caught the row-buffered form at 34x). The
+      // array form still shares one buffer and sorts once.
       (s, dir) => li(s, dir)
+        .groupBy($"l_returnflag", $"l_extendedprice")
+        .agg(count(lit(1)).as("freq"))
         .groupBy($"l_returnflag")
         .agg(
-          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))").as("ps"),
-          count(lit(1)).cast("long").as("n"))
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D), freq)").as("ps"),
+          sum($"freq").cast("long").as("n"))
         .select($"l_returnflag",
           round($"ps"(0), 6).as("p25"),
           round($"ps"(1), 6).as("p50"),

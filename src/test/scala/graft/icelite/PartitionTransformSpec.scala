@@ -191,6 +191,17 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(hKept.nonEmpty && hKept.size < hFiles.size)
     assert(hKept.forall(_.contains(
       s"ts_hour=${probeTs.take(13).replace(' ', '-')}")))
+    // engine-API pruning REFUSES an unmappable literal loudly (this
+    // path SELECTS the file set — a silent mis-map would drop rows)
+    val bad = intercept[IllegalArgumentException] {
+      IceLite.transformPrunedFiles(rh, Seq(SourceIn("ts", Seq("hello"))))
+    }
+    assert(bad.getMessage.contains("cannot map"))
+    // a DATE-shaped literal reaches the hour dir zero-filled
+    val day = probeTs.take(10)
+    val hMid = IceLite.transformPrunedFiles(rh,
+      Seq(SourceIn("ts", Seq(day))))
+    assert(hMid.forall(_.contains(s"ts_hour=$day-00")), s"$hMid")
   }
 
   test("day ranges prune years/months/hours dirs through their prefixes") {
