@@ -2247,12 +2247,12 @@ object ScalePack extends Pack {
         s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.sources.IceLiteCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-        // bounded slice: 3 years → 36 month dirs (the full 7-year
+        // bounded slice: 2 years → 24 month dirs (the full 7-year
         // span wrote 80 month files per insert — dir-count, not row
-        // count, is what the transformed write pays for; 3 years keeps
-        // the multi-year years() coverage at half the file churn)
+        // count, is what the transformed write pays for; 2 years keeps
+        // the multi-year years() coverage at a quarter of the churn)
         val o = Tables.load(s, dir, "orders")
-          .filter($"o_orderkey" < 15000 && $"o_orderdate" < "1998-01-01")
+          .filter($"o_orderkey" < 15000 && $"o_orderdate" < "1997-01-01")
           .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
         // era 1: a years(ts)-partitioned SQL-born table
         s.sql(s"""CREATE TABLE $cat.src.orders_by_time (
@@ -2352,7 +2352,7 @@ object ScalePack extends Pack {
              TRUE AS year_dirs, TRUE AS month_dirs,
              TRUE AS prune_exact, TRUE AS dpp_time_pruned, TRUE AS hours_ok
              FROM orders
-             WHERE o_orderkey < 15000 AND o_orderdate < DATE '1998-01-01'
+             WHERE o_orderkey < 15000 AND o_orderdate < DATE '1997-01-01'
              GROUP BY yr ORDER BY yr""")),
 
     // d88: the remaining Iceberg METADATA TABLES — `t$history`

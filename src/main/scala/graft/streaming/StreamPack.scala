@@ -1144,9 +1144,10 @@ object StreamPack extends Pack {
         // delta merges per trigger, converged MV vs from-scratch —
         // depend on the CHANGELOG SHAPE (append + MoR delete + MoR
         // update), not on row volume; each trigger's merge rewrote a
-        // full 150k-row MV per pass before the bound
+        // full 150k-row MV per pass before the bound (6k keys keep
+        // every %7 change class ~850 keys deep)
         val o = Tables.load(s, dir, "orders")
-          .filter(col("o_orderkey") < 15000)
+          .filter(col("o_orderkey") < 6000)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         IceLite.createOrReplaceSorted(src, o, "o_orderkey", numFiles = 4,
           statsCols = Seq("o_orderkey"))
@@ -1178,7 +1179,7 @@ object StreamPack extends Pack {
                CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 2 THEN 1000.0
                                   ELSE o_totalprice END AS DECIMAL(18,3)))
                     AS DOUBLE) AS sum_price
-             FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey < 15000
+             FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey < 6000
              GROUP BY o_custkey ORDER BY o_custkey""")),
 
     // s19: CDC REPLICATION — the changelog stream (s17) drives a
@@ -1204,7 +1205,7 @@ object StreamPack extends Pack {
         // bounded keyed slice — see s18's comment (the replica-apply
         // witnesses depend on the change kinds, not row volume)
         val o = Tables.load(s, dir, "orders")
-          .filter(col("o_orderkey") < 15000)
+          .filter(col("o_orderkey") < 6000)
           .select(col("o_orderkey"), col("o_totalprice"))
         IceLite.createOrReplaceSorted(src, o, "o_orderkey", numFiles = 4,
           statsCols = Seq("o_orderkey"))
@@ -1245,7 +1246,7 @@ object StreamPack extends Pack {
                   AS DOUBLE) AS sum_price,
              CAST(SUM(CASE WHEN o_orderkey % 7 = 2 THEN 1
                   ELSE 0 END) AS BIGINT) AS n_repriced
-             FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey < 15000""")),
+             FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey < 6000""")),
 
     // s21: STREAMING FANOUT into a PARTITIONED table — Iceberg's
     // fanout streaming write. Each micro-batch's rows land in their
