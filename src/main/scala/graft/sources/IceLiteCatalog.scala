@@ -127,104 +127,14 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     * (history: d20's surface), `` `t$partitions` `` (the census:
     * d34's surface) and `` `t$files` `` (the per-file inventory:
     * d27's surface) as plain SQL relations. Rows fold from the
-    * manifest at load time — metadata-sized, zero data pages. */
+    * manifest at load time — metadata-sized, zero data pages; shared
+    * with the REST attachment via [[IceLiteMetadataTables]]. */
   private def loadMetadataTable(ident: Identifier, base: String,
       meta: String): Table = {
-    import org.apache.spark.sql.types._
-    import org.apache.spark.unsafe.types.UTF8String
     val baseIdent = Identifier.of(ident.namespace, base)
     val ref = refOf(baseIdent)
     if (!IceLite.tableExists(ref)) throw new NoSuchTableException(baseIdent)
-    meta match {
-      case "files" =>
-        // flat projection of d27's filesDf (the map-typed stats stay
-        // on the DataFrame face); collect is O(files) driver metadata
-        val rows = IceLite.filesDf(
-            org.apache.spark.sql.SparkSession.active, ref)
-          .select("file", "size_bytes", "row_count").collect()
-          .map(r => Array[Any](UTF8String.fromString(r.getString(0)),
-            r.getLong(1), r.getLong(2)))
-        new StaticRowsTable(s"${ident.name}", StructType(Seq(
-          StructField("file", StringType, nullable = false),
-          StructField("size_bytes", LongType, nullable = false),
-          StructField("row_count", LongType, nullable = false))), rows)
-      case "snapshots" =>
-        val m = IceLite.readManifest(ref)
-        val rows = m.snapshots.map(s => Array[Any](s.id,
-          UTF8String.fromString(s.operation), s.rowCount,
-          s.files.size.toLong, s.id == m.currentSnapshotId)).toArray
-        new StaticRowsTable(s"${ident.name}", StructType(Seq(
-          StructField("snapshot_id", LongType, nullable = false),
-          StructField("operation", StringType, nullable = false),
-          StructField("n_rows", LongType, nullable = false),
-          StructField("n_files", LongType, nullable = false),
-          StructField("is_current", BooleanType, nullable = false))), rows)
-      case "partitions" =>
-        val (partitionCols, census) = IceLite.partitionsRows(ref)
-        val rows = census.map { case (vals, fc, rc, sb) =>
-          (vals.map(v => if (v == null) null
-            else UTF8String.fromString(v): Any) ++ Seq(fc, rc, sb)).toArray
-        }.toArray
-        new StaticRowsTable(s"${ident.name}", StructType(
-          partitionCols.map(c => StructField(c, StringType)) ++ Seq(
-            StructField("file_count", LongType, nullable = false),
-            StructField("row_count", LongType, nullable = false),
-            StructField("size_bytes", LongType, nullable = false))), rows)
-      case "refs" =>
-        // d64: Iceberg's `t$refs` — every named ref (the `main`
-        // branch, WAP branches, tags) with the snapshot it points at.
-        // One manifest read, O(refs) rows, zero data pages.
-        val m = IceLite.readManifest(ref)
-        val rows = (Seq(("main", "branch", m.currentSnapshotId)) ++
-          m.branches.toSeq.sortBy(_._1).map { case (n, id) => (n, "branch", id) } ++
-          m.tags.toSeq.sortBy(_._1).map { case (n, id) => (n, "tag", id) })
-          .map { case (n, tpe, id) => Array[Any](UTF8String.fromString(n),
-            UTF8String.fromString(tpe), id) }.toArray
-        new StaticRowsTable(s"${ident.name}", StructType(Seq(
-          StructField("name", StringType, nullable = false),
-          StructField("type", StringType, nullable = false),
-          StructField("snapshot_id", LongType, nullable = false))), rows)
-      case "history" =>
-        // d88: Iceberg's `t$history` — commit lineage with the
-        // current-ancestor flag (false for staged WAP-branch commits
-        // sitting above the published pointer)
-        val rows = IceLite.historyRows(ref).map { case (ts, id, parent, anc) =>
-          Array[Any](ts, id, parent.map(Long.box).orNull, anc)
-        }.toArray
-        new StaticRowsTable(s"${ident.name}", StructType(Seq(
-          StructField("made_current_at_ms", LongType, nullable = false),
-          StructField("snapshot_id", LongType, nullable = false),
-          StructField("parent_id", LongType, nullable = true),
-          StructField("is_current_ancestor", BooleanType, nullable = false))), rows)
-      case "manifests" =>
-        // d88: `t$manifests` — the immutable metadata segments the
-        // current version references (shared across snapshots by the
-        // append-reuse chains, like Iceberg's shared manifest files)
-        val rows = IceLite.manifestsRows(ref).map { case (p, len, snap, nf) =>
-          Array[Any](UTF8String.fromString(p), len, snap, nf)
-        }.toArray
-        new StaticRowsTable(s"${ident.name}", StructType(Seq(
-          StructField("path", StringType, nullable = false),
-          StructField("length_bytes", LongType, nullable = false),
-          StructField("added_snapshot_id", LongType, nullable = false),
-          StructField("files_count", LongType, nullable = false))), rows)
-      case "entries" =>
-        // d88: `t$entries` — per current data file: added-by-current
-        // vs existing, the first-adding snapshot, manifest record
-        // count (-1 when the manifest predates per-file counts)
-        val rows = IceLite.entriesRows(ref).map { case (st, snap, f, rc, sz) =>
-          Array[Any](st, snap, UTF8String.fromString(f), rc, sz)
-        }.toArray
-        new StaticRowsTable(s"${ident.name}", StructType(Seq(
-          StructField("status", IntegerType, nullable = false),
-          StructField("snapshot_id", LongType, nullable = false),
-          StructField("file_path", StringType, nullable = false),
-          StructField("record_count", LongType, nullable = false),
-          StructField("size_bytes", LongType, nullable = false))), rows)
-      case other => throw new IllegalArgumentException(
-        s"unknown metadata table '$$$other' (have: snapshots, partitions, " +
-          "files, refs, history, manifests, entries)")
-    }
+    IceLiteMetadataTables.load(ref, ident.name, meta)
   }
 
   /** SQL time travel — `SELECT ... FROM cat.ns.t VERSION AS OF <v>`:
@@ -695,5 +605,108 @@ object IceLiteCatalog extends org.apache.spark.internal.Logging {
       schema.fields.filterNot(f => cols.contains(f.name)) ++
         cols.map(c => org.apache.spark.sql.types.StructField(c,
           org.apache.spark.sql.types.StringType))), cols)
+  }
+}
+
+/** The metadata-table folds, catalog-face-agnostic (d20/d27/d34/d64/
+  * d88): both the owning catalog and the REST attachment serve them —
+  * the attachment folds its SPOOLED manifest (a byte-faithful copy,
+  * one GET for an unchanged table), so the multi-engine audit surface
+  * costs wire-metadata, never data pages. */
+private[sources] object IceLiteMetadataTables {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def load(ref: TableRef, displayName: String, meta: String): Table = {
+    meta match {
+      case "files" =>
+        // flat projection of d27's filesDf (the map-typed stats stay
+        // on the DataFrame face); collect is O(files) driver metadata
+        val rows = IceLite.filesDf(
+            org.apache.spark.sql.SparkSession.active, ref)
+          .select("file", "size_bytes", "row_count").collect()
+          .map(r => Array[Any](UTF8String.fromString(r.getString(0)),
+            r.getLong(1), r.getLong(2)))
+        new StaticRowsTable(displayName, StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = false))), rows)
+      case "snapshots" =>
+        val m = IceLite.readManifest(ref)
+        val rows = m.snapshots.map(s => Array[Any](s.id,
+          UTF8String.fromString(s.operation), s.rowCount,
+          s.files.size.toLong, s.id == m.currentSnapshotId)).toArray
+        new StaticRowsTable(displayName, StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("n_files", LongType, nullable = false),
+          StructField("is_current", BooleanType, nullable = false))), rows)
+      case "partitions" =>
+        val (partitionCols, census) = IceLite.partitionsRows(ref)
+        val rows = census.map { case (vals, fc, rc, sb) =>
+          (vals.map(v => if (v == null) null
+            else UTF8String.fromString(v): Any) ++ Seq(fc, rc, sb)).toArray
+        }.toArray
+        new StaticRowsTable(displayName, StructType(
+          partitionCols.map(c => StructField(c, StringType)) ++ Seq(
+            StructField("file_count", LongType, nullable = false),
+            StructField("row_count", LongType, nullable = false),
+            StructField("size_bytes", LongType, nullable = false))), rows)
+      case "refs" =>
+        // d64: Iceberg's `t$refs` — every named ref (the `main`
+        // branch, WAP branches, tags) with the snapshot it points at.
+        // One manifest read, O(refs) rows, zero data pages.
+        val m = IceLite.readManifest(ref)
+        val rows = (Seq(("main", "branch", m.currentSnapshotId)) ++
+          m.branches.toSeq.sortBy(_._1).map { case (n, id) => (n, "branch", id) } ++
+          m.tags.toSeq.sortBy(_._1).map { case (n, id) => (n, "tag", id) })
+          .map { case (n, tpe, id) => Array[Any](UTF8String.fromString(n),
+            UTF8String.fromString(tpe), id) }.toArray
+        new StaticRowsTable(displayName, StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false))), rows)
+      case "history" =>
+        // d88: Iceberg's `t$history` — commit lineage with the
+        // current-ancestor flag (false for staged WAP-branch commits
+        // sitting above the published pointer)
+        val rows = IceLite.historyRows(ref).map { case (ts, id, parent, anc) =>
+          Array[Any](ts, id, parent.map(Long.box).orNull, anc)
+        }.toArray
+        new StaticRowsTable(displayName, StructType(Seq(
+          StructField("made_current_at_ms", LongType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("parent_id", LongType, nullable = true),
+          StructField("is_current_ancestor", BooleanType, nullable = false))), rows)
+      case "manifests" =>
+        // d88: `t$manifests` — the immutable metadata segments the
+        // current version references (shared across snapshots by the
+        // append-reuse chains, like Iceberg's shared manifest files)
+        val rows = IceLite.manifestsRows(ref).map { case (p, len, snap, nf) =>
+          Array[Any](UTF8String.fromString(p), len, snap, nf)
+        }.toArray
+        new StaticRowsTable(displayName, StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("length_bytes", LongType, nullable = false),
+          StructField("added_snapshot_id", LongType, nullable = false),
+          StructField("files_count", LongType, nullable = false))), rows)
+      case "entries" =>
+        // d88: `t$entries` — per current data file: added-by-current
+        // vs existing, the first-adding snapshot, manifest record
+        // count (-1 when the manifest predates per-file counts)
+        val rows = IceLite.entriesRows(ref).map { case (st, snap, f, rc, sz) =>
+          Array[Any](st, snap, UTF8String.fromString(f), rc, sz)
+        }.toArray
+        new StaticRowsTable(displayName, StructType(Seq(
+          StructField("status", IntegerType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("file_path", StringType, nullable = false),
+          StructField("record_count", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false))), rows)
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$$$other' (have: snapshots, partitions, " +
+          "files, refs, history, manifests, entries)")
+    }
   }
 }

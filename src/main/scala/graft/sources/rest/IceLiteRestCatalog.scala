@@ -281,6 +281,17 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables (`t$snapshots` … `t$entries`) fold from the
+    // SPOOLED manifest — the attachment's audit surface costs one
+    // version GET for an unchanged table, never data pages (the d88
+    // trio works from any engine, like Trino's Iceberg connector)
+    val dollar = ident.name.lastIndexOf('$')
+    if (dollar > 0) {
+      val baseIdent = Identifier.of(ident.namespace, ident.name.take(dollar))
+      val spool = spoolManifest(baseIdent)
+      return graft.sources.IceLiteMetadataTables.load(spool, ident.name,
+        ident.name.drop(dollar + 1))
+    }
     val spool = spoolManifest(ident)
     // the version-watch hook (s24): streaming reads re-resolve the
     // spool against the catalog service before every manifest read,

@@ -871,4 +871,36 @@ class RestCatalogSpec extends AnyFunSuite {
       assert(loc == got, s"faces disagree: local $loc vs remote $got")
     }
   }
+
+  test("metadata tables fold from the spool (d88 over the attachment)") {
+    withServer { (wh, cat, srv) =>
+      val ref = TableRef(wh, "src", "t")
+      IceLite.createOrReplace(ref,
+        (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v").repartition(2))
+      IceLite.append(ref,
+        (101L to 150L).map(k => (k, k * 2.0)).toDF("k", "v").repartition(1))
+      // owner-side local catalog for the parity compare
+      val own = s"own_${java.util.UUID.randomUUID.toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$own", classOf[IceLiteCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$own.warehouse", wh)
+      def rows(c: String, meta: String): Seq[String] =
+        spark.sql(s"SELECT * FROM $c.src.`t$$$meta`")
+          .collect().map(_.toString).sorted.toSeq
+      Seq("history", "entries", "snapshots", "refs").foreach { meta =>
+        assert(rows(cat, meta) == rows(own, meta),
+          s"$$$meta diverges between attachment and owner")
+      }
+      // $manifests folds the spool's own segment copies — same shape
+      // and counts, paths are spool-local
+      val man = spark.sql(s"SELECT * FROM $cat.src.`t$$manifests`").collect()
+      assert(man.nonEmpty && man.forall(r =>
+        r.getString(0).startsWith("meta/") && r.getLong(1) > 0 &&
+          r.getLong(3) >= 1))
+      assert(man.map(_.getLong(2)).min == 1L)
+      // a post-attach remote-visible commit surfaces in the next fold
+      IceLite.append(ref, (151L to 160L).map(k => (k, k * 2.0)).toDF("k", "v"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.src.`t$$history`")
+        .head.getLong(0) == 3L)
+    }
+  }
 }
