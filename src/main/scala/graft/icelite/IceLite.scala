@@ -87,7 +87,16 @@ final case class Snapshot(
     // ids: a sidecar written at snapshot D deletes matching rows of
     // files ADDED STRICTLY BEFORE D — a later re-insert of the same
     // key survives, exactly Iceberg's sequence-number rule.
-    eqDeletes: Seq[EqDelete] = Nil) {
+    eqDeletes: Seq[EqDelete] = Nil,
+    // d88: REAL commit lineage (Iceberg's parent-snapshot-id). The
+    // parent is the snapshot this commit was BUILT ON — the pre-commit
+    // main head for ordinary commits, the branch's previous head for
+    // staged WAP appends, the rollback TARGET for rollback (the undone
+    // snapshots are NOT on the restored lineage). Stamped centrally at
+    // commit (commitCAS → stampParents); None on the first snapshot
+    // and on pre-upgrade manifests (readers fall back to
+    // previous-in-sequence, the old implied lineage).
+    parentId: Option[Long] = None) {
   /** Live MoR sidecars of either kind — the guard every rewrite /
     * overwrite / metadata-count path checks before trusting the
     * physical file set. */
@@ -402,7 +411,9 @@ object IceLite {
       partitionCols: Seq[String], sortedBy: Option[String],
       summary: Map[String, String], partitionSpec: Seq[PartitionField],
       deleteFiles: Seq[String], eqDeletes: Seq[EqDelete],
-      segments: Seq[String])
+      segments: Seq[String],
+      // default keeps pre-parent-tracking pointers decodable
+      parentId: Option[Long] = None)
 
   private final case class ManifestPtr(
       layout: String,
@@ -507,7 +518,7 @@ object IceLite {
             Snapshot(sp.id, sp.timestampMs, sp.operation, sc.files,
               sp.rowCount, sc.fileStats, sp.partitionCols, sp.sortedBy,
               sp.summary, sc.fileRows, sp.deleteFiles, sp.partitionSpec,
-              sp.eqDeletes)
+              sp.eqDeletes, sp.parentId)
           },
           ptr.branches, ptr.tags, ptr.addedCols, ptr.droppedCols,
           ptr.renamedCols, ptr.widenedCols, ptr.declaredSchemaDdl,
@@ -597,7 +608,7 @@ object IceLite {
       fresh.foreach(wrote += _)
       SnapshotPtr(s.id, s.timestampMs, s.operation, s.rowCount,
         s.partitionCols, s.sortedBy, s.summary, s.partitionSpec,
-        s.deleteFiles, s.eqDeletes, chain)
+        s.deleteFiles, s.eqDeletes, chain, s.parentId)
     }
     val ptr = ManifestPtr(SegLayout, next.table, next.currentSnapshotId,
       ptrs, next.branches, next.tags, next.addedCols, next.droppedCols,
@@ -665,7 +676,7 @@ object IceLite {
     while (true) {
       val latest = latestManifestFile(ref)
       val cur = latest.map { case (_, p) => decodeManifest(ref, p) }
-      val next = withIdentity(build(cur), cur)
+      val next = stampParents(withIdentity(build(cur), cur), cur)
       val nextVersion = latest.map(_._1).getOrElse(0L) + 1
       val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
       val staged = writeManifestTo(ref, next, tmp)
@@ -768,7 +779,7 @@ object IceLite {
       fileRows = rowsByFile)
     if (!claimVersion(ref, expectedVersion + 1,
         m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap),
-        added)) raced()
+        added, Some(m))) raced()
     // parity with local compact(): the rewrite orphans any Bloom
     // sidecar — rebuild so point-lookup pruning survives (same
     // active-session caveat as commitReplace's refresh)
@@ -980,7 +991,7 @@ object IceLite {
       if (claimVersion(ref, baseVersion + 1,
           base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next,
             declaredSchemaDdl = declared),
-          Nil)) {
+          Nil, Some(base))) {
         BloomIndex.refreshAll(org.apache.spark.sql.SparkSession.active, ref)
         return next
       }
@@ -1668,6 +1679,35 @@ object IceLite {
     * of copy()) re-inherits the base's — so the uuid can never churn
     * on a legacy uuid-less table and never changes within one
     * incarnation. */
+  /** Stamp commit lineage (Iceberg's parent-snapshot-id) on every
+    * snapshot NEW in this commit that did not declare a parent: a
+    * staged branch commit chains on the branch's PREVIOUS head (or
+    * the main head it branched from), everything else chains on the
+    * PRE-COMMIT main head. Sites whose base is not the head declare
+    * parentId themselves (rollback → its target; analyze/unorder →
+    * the snapshot they copy). Central so no commit path can forget —
+    * $history's is_current_ancestor walks these parents, and the old
+    * implied previous-in-sequence lineage mislabeled rolled-back
+    * commits as ancestors and staged WAP snapshots as parents of the
+    * main-line commit that followed them. */
+  private def stampParents(next: Manifest, cur: Option[Manifest]): Manifest = {
+    val known = cur.map(_.snapshots.map(_.id).toSet).getOrElse(Set.empty[Long])
+    if (next.snapshots.forall(s => known(s.id) || s.parentId.isDefined)) next
+    else {
+      // pre-commit head, only if it still resolves (a fresh table has none)
+      val head = cur.map(_.currentSnapshotId)
+        .filter(id => cur.exists(_.snapshots.exists(_.id == id)))
+      val branchParent: Map[Long, Long] = next.branches.iterator.collect {
+        case (b, id) if !known(id) =>
+          id -> cur.flatMap(_.branches.get(b)).orElse(head)
+      }.collect { case (id, Some(p)) => id -> p }.toMap
+      next.copy(snapshots = next.snapshots.map { s =>
+        if (known(s.id) || s.parentId.isDefined) s
+        else s.copy(parentId = branchParent.get(s.id).orElse(head))
+      })
+    }
+  }
+
   private def withIdentity(next: Manifest, cur: Option[Manifest]): Manifest =
     next.tableUuid match {
       case Some(_) => next
@@ -1683,10 +1723,11 @@ object IceLite {
     * serializable conflict-validation primitive merge / deleteWhere /
     * updateWhere retry on). */
   private def claimVersion(ref: TableRef, version: Long, next0: Manifest,
-      staged: Seq[String]): Boolean = {
+      staged: Seq[String], base: Option[Manifest] = None): Boolean = {
     // v1 claim = table creation (manifest versions only grow; expiry
     // never deletes them all) — mint identity exactly like commitCAS
-    val next = if (version == 1L) withIdentity(next0, None) else next0
+    val next = stampParents(
+      if (version == 1L) withIdentity(next0, None) else next0, base)
     val tmp = ref.dir.resolve(s".manifest.tmp.${java.util.UUID.randomUUID}")
     val segs = writeManifestTo(ref, next, tmp)
     val won = io.claim(manifestPathFor(ref, version), tmp)
@@ -1735,8 +1776,9 @@ object IceLite {
       case None => updates
     }
     def unstage(files: Seq[String]): Unit = unstageFiles(ref, files)
-    def tryCommit(version: Long, next: Manifest, files: Seq[String]): Boolean =
-      claimVersion(ref, version, next, files)
+    def tryCommit(version: Long, next: Manifest, files: Seq[String],
+        base: Option[Manifest]): Boolean =
+      claimVersion(ref, version, next, files, base)
     while (true) {
       latestManifestFile(ref) match {
         case None =>
@@ -1753,7 +1795,7 @@ object IceLite {
           val snap = Snapshot(1L, System.currentTimeMillis(), "create",
             files, rowsByFile.values.sum, stats, summary = summary,
             fileRows = rowsByFile)
-          if (tryCommit(1L, Manifest(ref.name, 1L, Seq(snap)), files))
+          if (tryCommit(1L, Manifest(ref.name, 1L, Seq(snap)), files, None))
             return snap
         case Some((baseVersion, basePath)) =>
           val base = decodeManifest(ref, basePath)
@@ -1789,7 +1831,8 @@ object IceLite {
             cur.sortedBy, summary = summary, fileRows = rowsByFile,
             partitionSpec = cur.partitionSpec) // met: restageWithLayout re-derived it
           if (tryCommit(baseVersion + 1,
-              base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap), files)) {
+              base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ snap),
+              files, Some(base))) {
             // MERGE rewrites the table → refresh any Bloom sidecar
             // (no-op without one), same as compact()
             BloomIndex.refreshAll(spark, ref)
@@ -2463,7 +2506,7 @@ object IceLite {
       if (claimVersion(ref, baseVersion + 1,
           base.copy(currentSnapshotId = id, snapshots = base.snapshots :+ next,
             declaredSchemaDdl = declared),
-          newFiles)) {
+          newFiles, Some(base))) {
         BloomIndex.refreshAll(spark, ref) // rewrite → refresh sidecars
         return next
       }
@@ -3177,7 +3220,18 @@ object IceLite {
     }
     f.transform match {
       case "bucket"   => bucketOf(v, f.param).toString
-      case "truncate" => v.toString.take(f.param)
+      case "truncate" =>
+        // temporal literals render through the session-zone canon —
+        // the write side substrings a session-zone cast, while e.g.
+        // Instant.toString is UTC ISO with 'T'/'Z' (day can differ
+        // for param=10; 'T' mismatches for param>=11): the same
+        // silent-drop class NOTES #49 fixed for days/months/years
+        val zone = scala.util.Try(org.apache.spark.sql.SparkSession.active
+          .sessionState.conf.sessionLocalTimeZone).getOrElse("UTC")
+        temporalCanon(v, zone).filter(_ =>
+          v.isInstanceOf[java.time.Instant] ||
+            v.isInstanceOf[java.sql.Timestamp])
+          .getOrElse(v.toString).take(f.param)
       case "days"     => canon(10)
       case "years"    => canon(4)
       case "months"   => canon(7)
@@ -3704,6 +3758,9 @@ object IceLite {
       require(!m.current.sortedBy.contains(from),
         s"$from is ${ref.name}'s sort key — pruning stats are keyed by " +
           "the stored name")
+      require(!m.declaredSortedBy.contains(from),
+        s"$from is ${ref.name}'s DECLARED write order (WRITE ORDERED BY) " +
+          "— renaming it would strand the declaration; WRITE UNORDERED first")
       require(!m.current.partitionSpec.exists(f =>
           f.sourceCol == from || f.name == from),
         s"$from feeds ${ref.name}'s hidden-partition spec")
@@ -3735,6 +3792,10 @@ object IceLite {
       require(!m.current.sortedBy.contains(colName),
         s"$colName is ${ref.name}'s sort key — dropping it would " +
           "invalidate the clustered layout and its pruning stats")
+      require(!m.declaredSortedBy.contains(colName),
+        s"$colName is ${ref.name}'s DECLARED write order (WRITE ORDERED " +
+          "BY) — dropping it would break the next INSERT and compact(); " +
+          "WRITE UNORDERED first")
       val visible = visibleColNames(ref, m)
       require(visible.contains(colName),
         s"no column $colName in ${ref.name} (have: ${visible.toSeq.sorted.mkString(", ")})")
@@ -3775,6 +3836,7 @@ object IceLite {
           "renaming, not after (the widen ledger is keyed by one name)")
       require(!m.current.partitionCols.contains(colName) &&
           !m.current.sortedBy.contains(colName) &&
+          !m.declaredSortedBy.contains(colName) &&
           !m.current.partitionSpec.exists(f =>
             f.sourceCol == colName || f.name == colName),
         s"$colName keys ${ref.name}'s layout (partition/sort/transform) " +
@@ -4031,7 +4093,8 @@ object IceLite {
             base.copy(currentSnapshotId = id,
               snapshots = m.snapshots :+ m.current.copy(id = id,
                 timestampMs = System.currentTimeMillis(),
-                operation = "unorder", sortedBy = None))
+                operation = "unorder", sortedBy = None,
+                parentId = Some(m.current.id)))
           }
         case Some(c) =>
           require(m.writeLayoutCols.isEmpty && m.writeLayoutSpec.isEmpty &&
@@ -4302,21 +4365,32 @@ object IceLite {
   // ---------------------------------------------------------------
 
   /** d88: Iceberg's `$history` rows — (made_current_at_ms,
-    * snapshot_id, parent_id, is_current_ancestor). Lineage is the
-    * committed sequence (ids are monotonic, each commit appends);
-    * parent = the previous snapshot in that sequence — which is also
-    * a branch snapshot's base, since staging appends without moving
-    * `current`. A snapshot above the current pointer (a staged WAP
-    * branch commit) is NOT a current ancestor until publish
-    * fast-forwards to it. One manifest read, O(snapshots) rows. */
+    * snapshot_id, parent_id, is_current_ancestor). Parentage is the
+    * REAL commit lineage stamped at commit time ([[stampParents]]):
+    * ancestry walks parent links from the current pointer, so
+    * rolled-back commits (ids below current but off the restored
+    * lineage) and staged WAP branch commits (above the pointer until
+    * publish) both report false — exactly what Iceberg's flag exists
+    * to expose. Pre-upgrade snapshots without a stamped parent fall
+    * back to previous-in-sequence, the old implied lineage. One
+    * manifest read, O(snapshots) rows. */
   def historyRows(ref: TableRef): Seq[(Long, Long, Option[Long], Boolean)] = {
     val m = readManifest(ref)
     val ordered = m.snapshots.sortBy(_.id)
-    ordered.zipWithIndex.map { case (s, i) =>
-      (s.timestampMs, s.id,
-        if (i == 0) None else Some(ordered(i - 1).id),
-        s.id <= m.currentSnapshotId)
+    val byId = ordered.iterator.map(s => s.id -> s).toMap
+    val implied: Map[Long, Option[Long]] = ordered.zipWithIndex.map {
+      case (s, i) => s.id -> (if (i == 0) None else Some(ordered(i - 1).id))
+    }.toMap
+    def parentOf(s: Snapshot): Option[Long] =
+      s.parentId.orElse(implied(s.id))
+    val ancestors = {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var cur = byId.get(m.currentSnapshotId)
+      while (cur.isDefined && seen.add(cur.get.id))
+        cur = parentOf(cur.get).flatMap(byId.get)
+      seen.toSet
     }
+    ordered.map(s => (s.timestampMs, s.id, parentOf(s), ancestors(s.id)))
   }
 
   /** d88: Iceberg's `$manifests` — one row per immutable metadata
@@ -4343,7 +4417,10 @@ object IceLite {
             if (!firstRef.contains(seg)) firstRef(seg) = sp.id))
         firstRef.toSeq.map { case (seg, snapId) =>
           val content = loadSegment(ref, seg)
-          (seg, io.readString(ref.dir.resolve(seg)).getBytes("UTF-8").length.toLong,
+          // Files.size for length_bytes: the second full read-and-
+          // decode of every segment was O(segments × bytes) on the
+          // driver for a metadata-only table
+          (seg, Files.size(ref.dir.resolve(seg)),
             snapId, content.files.size.toLong)
         }
       case _ =>
@@ -4462,7 +4539,10 @@ object IceLite {
           s"snapshot $toSnapshotId not found (expired?)"))
       val id = m.snapshots.map(_.id).max + 1
       val snap = target.copy(id = id,
-        timestampMs = System.currentTimeMillis(), operation = "rollback")
+        timestampMs = System.currentTimeMillis(), operation = "rollback",
+        // lineage continues from the RESTORED snapshot, not the undone
+        // head: the rolled-back commits are off the current ancestry
+        parentId = Some(toSnapshotId))
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
     }.current
 
@@ -4545,7 +4625,8 @@ object IceLite {
       val id = m.snapshots.map(_.id).max + 1
       val snap = base.copy(id = id,
         timestampMs = System.currentTimeMillis(), operation = "analyze",
-        summary = base.summary ++ ndv)
+        summary = base.summary ++ ndv,
+        parentId = Some(base.id)) // copy would inherit base's OWN parent
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
     }.current
   }

@@ -52,6 +52,12 @@ class GraftSqlParser(spark: SparkSession,
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+`?(\w+)`?\s*;?\s*$""".r
   private val WriteUnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+  /** Catch-all for the fuller Iceberg grammar (multi-column orders,
+    * ASC/DESC/NULLS modifiers) — recognized and refused with a clear
+    * capability message when the table is ours; the stock delegate's
+    * generic syntax error would misdirect the user. */
+  private val WriteOrderedAnyRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
 
   /** Parse "8, id" / "id, 8" / "ts" into (sourceCol, param). */
   private def transformArgs(raw: String): Option[(String, Int)] = {
@@ -133,6 +139,11 @@ class GraftSqlParser(spark: SparkSession,
     case WriteUnorderedRe(ident) =>
       writeOrderCommand(ident, None)
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))
+    case WriteOrderedAnyRe(ident, order) if writeOrderCommand(ident, None).isDefined =>
+      throw new UnsupportedOperationException(
+        s"WRITE ORDERED BY $order: this catalog supports a single " +
+          "ascending column only (no column lists, ASC/DESC or NULLS " +
+          "modifiers) — e.g. ALTER TABLE t WRITE ORDERED BY c")
     case AddPartTransformRe(ident, transform, args) =>
       partTransformCommand(ident, transform, args)
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))

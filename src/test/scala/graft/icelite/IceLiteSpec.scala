@@ -283,6 +283,17 @@ class IceLiteSpec extends AnyFunSuite {
     intercept[IllegalStateException](IceLite.publish(ref, "b"))
     assert(IceLite.read(spark, ref).as[Int].collect().sorted.toSeq
       == Seq(1, 2, 9), "failed publish must leave main intact")
+    // REAL lineage: snapshots are create(1), stage(2), stage(3),
+    // append(4). The second stage chains on the BRANCH head, and the
+    // main-line append chains on the PUBLISHED base — not on the
+    // staged snapshot that happens to precede it in the id sequence
+    val snaps = IceLite.readManifest(ref).snapshots.sortBy(_.id)
+    assert(snaps.map(_.parentId) ==
+      Seq(None, Some(1L), Some(2L), Some(1L)),
+      snaps.map(s => s.id -> s.parentId).mkString(", "))
+    // ancestry via $history: staged commits sit off the main lineage
+    val anc = IceLite.historyRows(ref).map(r => r._2 -> r._4).toMap
+    assert(anc == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
   // ---- d65: cherry-pick (the non-fast-forward publish) ----

@@ -498,6 +498,43 @@ class PartitionTransformSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("truncate over a timestamp maps literals through the session-zone canon") {
+    // the write side derives truncate dirs by substring over a
+    // SESSION-zone string cast; an Instant literal's toString is UTC
+    // ISO ('T' separator, and a different DAY when the zones straddle
+    // midnight) — the old v.toString path selected the WRONG day's
+    // dir, silently dropping every matching row (same class as
+    // NOTES #49 for days/months/years/hours)
+    val jvmZone = java.util.TimeZone.getDefault.getID
+    val zone = if (jvmZone == "Asia/Kolkata") "Pacific/Kiritimati"
+               else "Asia/Kolkata"
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", zone)
+    try {
+      val wh = Files.createTempDirectory("pt_trunc_zone").toString
+      IceLite.createNamespace(wh, "src")
+      val ref = TableRef(wh, "src", "tz")
+      val df = (1L to 160L).map { i =>
+        (f"2024-01-${i % 8 + 1}%02d 01:00:00", i)
+      }.toDF("ts_s", "seq")
+        .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      IceLite.createOrReplaceTransformed(ref, df,
+        Seq(PartitionField("ts_pfx", "truncate", "ts", 10)))
+      val all = IceLite.readManifest(ref).current.files
+      // the instant the stored "2024-01-05 01:00:00" rows denote —
+      // 01:00 local is the PREVIOUS day in UTC for Kolkata (+05:30)
+      val inst = java.time.LocalDateTime.parse("2024-01-05T01:00:00")
+        .atZone(java.time.ZoneId.of(zone)).toInstant
+      for (lit <- Seq[Any](inst, java.sql.Timestamp.from(inst))) {
+        val files = IceLite.transformPrunedFiles(ref,
+          Seq(SourceIn("ts", Seq(lit))))
+        assert(files.nonEmpty && files.size < all.size &&
+          files.forall(_.contains("ts_pfx=2024-01-05")),
+          s"$lit pruned to ${files.mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("transformAllowedSegs: literal canonicalization and the decline contract") {
     val fDays = PartitionField("ts_day", "days", "ts", 0)
     val fHours = PartitionField("ts_hour", "hours", "ts", 0)

@@ -840,15 +840,20 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     assert(ent.count(r => r.getInt(0) == 0 && r.getLong(1) == 1L) == 2)
     assert(ent.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
 
-    // after a publish-style rollback commit, history extends and the
-    // new tip is the only change — ancestors stay monotone
+    // after a rollback to snapshot 1, ancestry follows the REAL
+    // lineage: the rollback commit (4) chains on its TARGET (1), so
+    // the undone append (2) and the staged branch commit (3) both
+    // report false — rolled-back commits are off the current lineage
+    // (the exact case Iceberg's flag exists to expose)
     IceLite.rollback(ref, 1L)
     val h2 = spark.sql(
-      s"""SELECT snapshot_id, is_current_ancestor
+      s"""SELECT snapshot_id, parent_id, is_current_ancestor
           FROM $cat.src.`t$$history` ORDER BY snapshot_id""").collect()
     assert(h2.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
-    assert(h2.map(_.getBoolean(1)).toSeq ==
-      Seq(true, true, true, true))
+    assert(h2(3).getLong(1) == 1L,
+      "the rollback commit's parent is its restore target")
+    assert(h2.map(_.getBoolean(2)).toSeq ==
+      Seq(true, false, false, true))
     // entries now reflect the rolled-back (create-era) file set
     val e2 = spark.sql(
       s"SELECT status, snapshot_id FROM $cat.src.`t$$entries`").collect()

@@ -124,6 +124,46 @@ class WriteOrderDdlSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE $cat.src.f ADD PARTITION FIELD bucket(4, k)")
     assert(IceLite.readManifest(flat).declaredSortedBy.isEmpty,
       "the partitioned era must not inherit a flat sort declaration")
+    // the fuller Iceberg grammar (column lists, ASC/DESC) is
+    // recognized and refused with a capability message — not the
+    // delegate's generic syntax error
+    val g = TableRef(wh, "src", "g")
+    IceLite.createOrReplace(g, (1L to 10L).map(k => (k, k)).toDF("a", "b"))
+    val e5 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a, b")
+    }
+    assert(e5.getMessage.contains("single ascending column"), e5.getMessage)
+    val e6 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a DESC")
+    }
+    assert(e6.getMessage.contains("single ascending column"), e6.getMessage)
+  }
+
+  test("a pending declaration blocks rename/drop/widen of its column") {
+    val (cat, wh) = freshCatalog()
+    val ref = TableRef(wh, "src", "decl")
+    IceLite.createOrReplace(ref,
+      (1 to 50).map(k => (k, k, k * 2.0)).toDF("k", "c", "v"))
+    spark.sql(s"ALTER TABLE $cat.src.decl WRITE ORDERED BY c")
+    assert(IceLite.readManifest(ref).current.sortedBy.isEmpty,
+      "fixture needs declaration-only state (marker unearned)")
+    // before compact() earns the physical marker, the DECLARATION is
+    // the only record of the write order — rename/drop/widen of its
+    // column would strand it and break the next INSERT/compact()
+    val r = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.decl RENAME COLUMN c TO x"))
+    assert(r.getMessage.contains("DECLARED write order"), r.getMessage)
+    val d = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.src.decl DROP COLUMN c"))
+    assert(d.getMessage.contains("DECLARED write order"), d.getMessage)
+    val w = intercept[Exception](
+      IceLite.alterWidenColumn(ref, "c", "bigint"))
+    assert(w.getMessage.contains("layout"), w.getMessage)
+    // WRITE UNORDERED releases the column
+    spark.sql(s"ALTER TABLE $cat.src.decl WRITE UNORDERED")
+    spark.sql(s"ALTER TABLE $cat.src.decl RENAME COLUMN c TO x")
+    assert(spark.sql(s"SELECT sum(x) FROM $cat.src.decl")
+      .head.getLong(0) == (1 to 50).map(_.toLong).sum)
   }
 
   test("REST face: the same DDL flips the same manifest field over one POST") {
