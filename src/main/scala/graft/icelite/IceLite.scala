@@ -1916,9 +1916,11 @@ object IceLite {
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
       val base = decodeManifest(ref, basePath)
       val snap = base.current
-      require(snap.partitionCols.isEmpty,
-        "MoR deletes support flat/sorted tables; partitioned tables " +
-          "take the layout-preserving COW path (deleteWhere)")
+      // identity-partitioned tables take MoR position deletes too
+      // (round 12): sidecars reference files by path, so partition
+      // scope rides along for free; reads fold per layout group and
+      // compact() materializes within the layout — the CDC/GDPR path
+      // a day-partitioned 100 TB bronze table actually needs.
       require(base.writeLayoutCols == snap.partitionCols,
         s"${ref.name} has a pending partition-spec evolution — the " +
           "partitioned era carries no sidecars; use COW deletes or " +
@@ -1994,8 +1996,11 @@ object IceLite {
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
       val base = decodeManifest(ref, basePath)
       val snap = base.current
-      require(snap.partitionCols.isEmpty,
-        "MoR equality deletes support flat/sorted tables")
+      require(snap.partitionCols.intersect(keyCols).isEmpty,
+        s"equality-delete keys ${keyCols.mkString(",")} overlap " +
+          s"${ref.name}'s partition columns — path-borne values are " +
+          "not in the data pages the read-side anti-join decodes; key " +
+          "on data columns or take the COW path")
       require(base.writeLayoutCols == snap.partitionCols,
         s"${ref.name} has a pending partition-spec evolution — the " +
           "partitioned era carries no sidecars; land the layout first")
@@ -2006,7 +2011,7 @@ object IceLite {
       // (one broadcast semi-join scan — the price of keeping
       // Snapshot.rowCount truthful; Iceberg skips this and reports
       // physical counts instead)
-      val matched = readFilesWithDeletes(spark, ref, snap, snap.files)
+      val matched = readSnapWithDeletes(spark, ref, snap, snap.files)
         .join(org.apache.spark.sql.functions.broadcast(keyBatch),
           keyCols, "left_semi").count()
       if (matched == 0L) return snap
@@ -2070,15 +2075,17 @@ object IceLite {
         throw new IllegalArgumentException(s"${ref.name} does not exist"))
       val base = decodeManifest(ref, basePath)
       val snap = base.current
-      require(snap.partitionCols.isEmpty,
-        "MoR upserts support flat/sorted tables")
+      require(snap.partitionCols.intersect(keyCols).isEmpty,
+        s"upsert keys ${keyCols.mkString(",")} overlap ${ref.name}'s " +
+          "partition columns — path-borne values are not in the data " +
+          "pages the read-side anti-join decodes; key on data columns")
       require(base.writeLayoutCols == snap.partitionCols,
         s"${ref.name} has a pending partition-spec evolution — the " +
           "partitioned era carries no sidecars; land the layout first")
       val keyBatch = cached
         .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().localCheckpoint()
-      val matched = readFilesWithDeletes(spark, ref, snap, snap.files)
+      val matched = readSnapWithDeletes(spark, ref, snap, snap.files)
         .join(org.apache.spark.sql.functions.broadcast(keyBatch),
           keyCols, "left_semi").count()
       // batch rows land through the table's OWN layout (transform dirs
@@ -2151,9 +2158,10 @@ object IceLite {
       throw new IllegalArgumentException(s"${ref.name} does not exist"))
     val base = decodeManifest(ref, basePath)
     val snap = base.current
-    require(snap.partitionCols.isEmpty,
-      "MoR updates support flat/sorted tables; partitioned tables " +
-        "take the layout-preserving COW path (updateWhere)")
+    // identity-partitioned tables take MoR updates too (round 12):
+    // the transformed copies restage through the table's own dirs —
+    // a SET on a partition column lands the copies in their NEW
+    // value dirs, exactly what the layout means
     require(base.writeLayoutCols == snap.partitionCols,
       s"${ref.name} has a pending partition-spec evolution — the " +
         "partitioned era carries no sidecars; land the layout first")
@@ -2331,6 +2339,11 @@ object IceLite {
         readFiles(spark, ref, snap.files)
           .withColumn("_mor_file", lit(null).cast("string"))
           .withColumn("_mor_pos", lit(null).cast("long"))
+      else if (snap.partitionCols.nonEmpty)
+        // identity-partitioned: discovery read so the predicate can
+        // reference path-borne partition columns; positions captured
+        // per layout group (withPositions) before the union
+        readPartitionedFiles(spark, ref, snap.files, withPositions = true)
       else readFiles(spark, ref, snap.files)
         .withColumn("_mor_file", col("_metadata.file_path"))
         .withColumn("_mor_pos", col("_metadata.row_index"))
@@ -2383,26 +2396,35 @@ object IceLite {
       snap: Snapshot, df: DataFrame): DataFrame =
     if (snap.eqDeletes.isEmpty) df
     else {
-      import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+      import org.apache.spark.sql.functions.{broadcast, col, lit, udf}
       val m = readManifest(ref)
       val ordered = m.snapshots.sortBy(_.id)
       def addedAt(f: String): Long =
         ordered.find(_.files.contains(f)).map(_.id).getOrElse(0L)
-      import spark.implicits._
-      val lookup = snap.files
-        .map(f => (ref.dir.resolve(f).toString, addedAt(f)))
-        .toDF("_eq_path", "_eq_added")
       // file provenance: `_metadata` on single-relation frames, the
       // pre-captured `_mor_file` on layout-group unions (where the
       // pseudo-column no longer resolves)
       val provenance =
         if (df.columns.contains("_mor_file")) col("_mor_file")
         else col("_metadata.file_path")
-      val withAdded = df
-        .withColumn("_eq_file",
-          regexp_replace(provenance, "^file:/*", "/"))
-        .join(broadcast(lookup), col("_eq_file") === col("_eq_path"), "left")
-        .drop("_eq_path", "_eq_file")
+      // resolve the URI through matchStagedPath, NOT a raw string
+      // compare: `_metadata.file_path` renders escaped partition dirs
+      // double-encoded (an on-disk `4-NOT%20SPECIFIED` arrives as
+      // `%2520`), so a lookup keyed by the manifest's raw paths
+      // silently missed every file under an escaped value dir — the
+      // sidecar stopped applying there and deleted rows RESURFACED
+      // (found round 12 by the partitioned d72 witness over real
+      // o_orderpriority values; flat layouts never hit it because
+      // staged names are URI-safe by construction). A non-match keeps
+      // the row (null added-at fails the sequence test) — the same
+      // conservative direction as before.
+      val filesSeq = snap.files
+      val addedByRel: Map[String, Long] =
+        snap.files.iterator.map(f => f -> addedAt(f)).toMap
+      val addedAtUdf = udf((uri: String) =>
+        if (uri == null) None
+        else matchStagedPath(filesSeq, uri).flatMap(addedByRel.get))
+      val withAdded = df.withColumn("_eq_added", addedAtUdf(provenance))
       val folded = snap.eqDeletes.groupBy(_.keyCols).foldLeft(withAdded) {
         case (cur, (kc, dels)) =>
           val keys = dels.map { d =>
@@ -2622,19 +2644,18 @@ object IceLite {
           stageTransformed(ref,
             readFilesWithDeletes(spark, ref, cur, cur.files),
             landedSpec)
-        else if (landedCols.nonEmpty) {
-          // identity layout (current or pending). The sidecar fold is
-          // flat-only, and both eras arrive sidecar-free (partitioned
-          // MoR writes refuse; the flat→partitioned DDL refuses while
-          // sidecars are live and the pending era refuses new ones) —
-          // assert the invariant rather than silently dropping deletes
-          require(!cur.morLive,
-            s"${ref.name} has live MoR sidecars under an identity " +
-              "layout — unreachable by construction; refusing to " +
-              "compact them away silently")
-          stagePartitioned(ref, readPartitionedFiles(spark, ref, cur.files),
+        else if (landedCols.nonEmpty)
+          // identity layout (current or pending). Partitioned tables
+          // carry MoR sidecars too (round 12): compaction is their
+          // materializer here exactly as on flat tables — the fold
+          // reads per layout group, the restage re-derives the value
+          // dirs, and the new snapshot below carries no sidecars.
+          // (A PENDING evolution never coexists with sidecars: the
+          // layout DDL refuses while they are live and the MoR writes
+          // refuse while it is pending.)
+          stagePartitioned(ref,
+            readPartitionedWithDeletes(spark, ref, cur, cur.files),
             landedCols)
-        }
         else (base.declaredSortedBy.orElse(cur.sortedBy)) match {
           // preserve the table's sort order: a hash repartition would
           // destroy the non-overlapping file ranges sorted writes buy.
@@ -4166,31 +4187,49 @@ object IceLite {
         case (None, None) => spark.emptyDataFrame
       }
     }
-    else if (snap.partitionCols.nonEmpty) {
+    else if (snap.partitionCols.nonEmpty)
       // identity-partitioned snapshots: the partition columns are
       // PATH-BORNE — a flat file read would silently lose them (found
       // by CrashPointFuzzSpec's partitioned sweep). Route through the
       // layout-grouped discovery read, then fold sidecars exactly as
-      // the flat path does (positions captured per layout group,
-      // before the union erases `_metadata`).
-      val needPos = snap.deleteFiles.nonEmpty || snap.eqDeletes.nonEmpty
-      val df0 = readPartitionedFiles(spark, ref, snap.files,
-        withPositions = needPos, renamesOf = renames)
-      val df1 =
-        if (snap.deleteFiles.isEmpty) df0
-        else {
-          val dels = spark.read.parquet(
-            snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
-          df0.join(dels, df0("_mor_file") === dels("file_path") &&
-            df0("_mor_pos") === dels("pos"), "left_anti")
-        }
-      // applyEqDeletes keys file provenance off `_mor_file` when
-      // present (the union erased `_metadata`)
-      val df2 = applyEqDeletes(spark, ref, snap, df1)
-      if (needPos) df2.drop("_mor_file", "_mor_pos") else df2
-    }
+      // the flat path does.
+      readPartitionedWithDeletes(spark, ref, snap, snap.files, renames)
     else readFilesWithDeletes(spark, ref, snap, snap.files, widens, renames)
   }
+
+  /** Partition-aware MoR fold: read `files` of an identity-partitioned
+    * snapshot through layout-grouped discovery (positions captured per
+    * layout group, BEFORE the union erases `_metadata`), then apply
+    * position and equality sidecars — the partitioned twin of
+    * [[readFilesWithDeletes]], shared by readAt, the MoR write ops'
+    * logical counts, and compact's materializer. */
+  private def readPartitionedWithDeletes(spark: SparkSession, ref: TableRef,
+      snap: Snapshot, files: Seq[String],
+      renamesOf: Option[Seq[RenamedCol]] = None): DataFrame = {
+    val needPos = snap.deleteFiles.nonEmpty || snap.eqDeletes.nonEmpty
+    val df0 = readPartitionedFiles(spark, ref, files,
+      withPositions = needPos, renamesOf = renamesOf)
+    val df1 =
+      if (snap.deleteFiles.isEmpty || files.isEmpty) df0
+      else {
+        val dels = spark.read.parquet(
+          snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+        df0.join(dels, df0("_mor_file") === dels("file_path") &&
+          df0("_mor_pos") === dels("pos"), "left_anti")
+      }
+    // applyEqDeletes keys file provenance off `_mor_file` when
+    // present (the union erased `_metadata`)
+    val df2 = applyEqDeletes(spark, ref, snap, df1)
+    if (needPos) df2.drop("_mor_file", "_mor_pos") else df2
+  }
+
+  /** Layout-routing MoR read: the partitioned or flat fold, by the
+    * snapshot's own layout. */
+  private def readSnapWithDeletes(spark: SparkSession, ref: TableRef,
+      snap: Snapshot, files: Seq[String]): DataFrame =
+    if (snap.partitionCols.nonEmpty)
+      readPartitionedWithDeletes(spark, ref, snap, files)
+    else readFilesWithDeletes(spark, ref, snap, files)
 
   /** d23: INCREMENTAL SCAN (Iceberg's incremental read) — only the
     * files ADDED after `fromSnapshotId`, up to the current snapshot.

@@ -1446,12 +1446,32 @@ object ScalePack extends Pack {
         val cowAgg = aggNow()
         val morOk = zeroRewrite && compacted.deleteFiles.isEmpty &&
           morAgg == cowAgg
+        // round 12: the same zero-rewrite economics on an identity-
+        // PARTITIONED table (the day-partitioned GDPR-erasure shape —
+        // previously forced onto the COW path). Bounded keyed slice;
+        // the witnesses are per-file properties, not scans.
+        val pRef = IngestJob.tableRef(wh, "orders_mor_part")
+        IceLite.createOrReplacePartitioned(pRef,
+          Tables.load(s, dir, "orders").filter($"o_orderkey" < 1000)
+            .select($"o_orderkey", $"o_totalprice", $"o_orderpriority"),
+          "o_orderpriority")
+        val pBefore = IceLite.readManifest(pRef).current.files
+        val pSnap = IceLite.deleteWhereMoR(s, pRef,
+          "o_orderkey % 5 = 0 AND o_orderpriority IS NOT NULL")
+        val pCompacted = IceLite.compact(s, pRef)
+        val partitionedMorOk = pSnap.files == pBefore &&
+          pSnap.deleteFiles.nonEmpty && pCompacted.deleteFiles.isEmpty &&
+          pCompacted.files.nonEmpty &&
+          pCompacted.files.forall(_.contains("o_orderpriority=")) &&
+          pCompacted.rowCount == pSnap.rowCount &&
+          IceLite.read(s, pRef).count() == pSnap.rowCount
         import s.implicits._
-        Seq((morAgg._1, morAgg._2, morOk)).toDF("n", "sum_price", "mor_ok")
+        Seq((morAgg._1, morAgg._2, morOk, partitionedMorOk))
+          .toDF("n", "sum_price", "mor_ok", "partitioned_mor_ok")
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
-             TRUE AS mor_ok
+             TRUE AS mor_ok, TRUE AS partitioned_mor_ok
              FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 1999""")),
 
     // d48: MERGE-ON-READ UPDATE — d47's economics applied to UPDATE:
@@ -2494,6 +2514,84 @@ object ScalePack extends Pack {
              TRUE AS metadata_only, TRUE AS clustered_insert,
              TRUE AS marker_after_compact, TRUE AS pruned_scan
              FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500""")),
+
+    // d90: STORAGE-PARTITIONED JOIN over BUCKET TRANSFORMS — the
+    // planner win the d84/d85 write layout already paid for. Two
+    // tables laid out bucket(8, key) join with ZERO exchanges below
+    // the join: each scan reports KeyGroupedPartitioning(bucket(8,
+    // key)), Catalyst resolves the transform through the catalog's
+    // `bucket` function (GraftFunctions — the Murmur3-pmod the write
+    // side derives dirs with) and matches both sides by canonical
+    // name + bucket count, then co-schedules the splits per bucket.
+    // At 100 TB this deletes the dominant fact⋈fact shuffle: two
+    // 100 TB tables bucketed on the join key pay ZERO network for
+    // the join (Iceberg's headline SPJ case; the reference ships the
+    // Spark+Iceberg pairing that does exactly this). Witnessed by
+    // the executed plan: SortMergeJoin with no hash exchange under
+    // it, values oracle-checked against the plain join.
+    Decl("d90_bucket_spj",
+      (s, dir) => {
+        import graft.icelite.{PartitionField, TableRef}
+        val wh = Files.createTempDirectory("graft_d90").toString
+        IceLite.createNamespace(wh, "src")
+        val liRef = TableRef(wh, "src", "li_spj")
+        val ordRef = TableRef(wh, "src", "ord_spj")
+        // bounded keyed slices (fixed bound: full coverage small,
+        // capped large — the witness is a plan property, not a scan)
+        IceLite.createOrReplaceTransformed(liRef,
+          Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 6000)
+            .select($"l_orderkey", $"l_quantity", $"l_extendedprice"),
+          Seq(PartitionField("l_orderkey_bucket", "bucket", "l_orderkey", 8)))
+        IceLite.createOrReplaceTransformed(ordRef,
+          Tables.load(s, dir, "orders").filter($"o_orderkey" < 6000)
+            .select($"o_orderkey", $"o_totalprice"),
+          Seq(PartitionField("o_orderkey_bucket", "bucket", "o_orderkey", 8)))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val bucketingWas =
+          s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val aqeWas = s.conf.getOption("spark.sql.adaptive.enabled")
+        val broadcastWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val q = s.sql(
+            s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+                FROM $cat.src.li_spj JOIN $cat.src.ord_spj
+                ON l_orderkey = o_orderkey""")
+          val plan = q.queryExecution.executedPlan.toString
+          val noShuffle = plan.contains("SortMergeJoin") &&
+            !plan.split("SortMergeJoin").last.contains("Exchange hashpartitioning")
+          // collect under the SPJ confs (the returned frame executes
+          // after the finally restores them — d46's pattern)
+          val r = q.collect()(0)
+          s.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(
+              r.getLong(0), r.getDouble(1), r.getDouble(2), noShuffle)),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "n BIGINT, sum_qty DOUBLE, sum_price DOUBLE, " +
+                "spj_no_shuffle BOOLEAN"))
+        } finally {
+          bucketingWas.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+            s.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+          aqeWas.fold(s.conf.unset("spark.sql.adaptive.enabled"))(
+            s.conf.set("spark.sql.adaptive.enabled", _))
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             TRUE AS spj_no_shuffle
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE l_orderkey < 6000""")),
 
     // d82: TABLE PROPERTIES — `ALTER TABLE … SET/UNSET TBLPROPERTIES`
     // (Iceberg table properties; the config channel dbt/Trino write
@@ -3653,13 +3751,34 @@ object ScalePack extends Pack {
         val cowAgg = agg()
         val ok = zeroRewrite && reborn && compacted.eqDeletes.isEmpty &&
           morAgg == cowAgg
+        // round 12: equality sidecars on an identity-PARTITIONED
+        // table — the CDC landing shape (keyed deletes against a
+        // day/priority-partitioned bronze, zero rewrite, compact
+        // materializes within the dirs)
+        val pRef = TableRef(wh, "src", "orders_eq_part")
+        IceLite.createOrReplacePartitioned(pRef,
+          Tables.load(s, dir, "orders").filter($"o_orderkey" < 1000)
+            .select($"o_orderkey", $"o_totalprice", $"o_orderpriority"),
+          "o_orderpriority")
+        val pBefore = IceLite.readManifest(pRef).current
+        val pSnap = IceLite.deleteByKeysMoR(s, pRef,
+          s.range(0, 1000, 10).select($"id".as("o_orderkey")),
+          Seq("o_orderkey"))
+        val pCompacted = IceLite.compact(s, pRef)
+        val partitionedEqOk = pSnap.files == pBefore.files &&
+          pSnap.eqDeletes.nonEmpty && pCompacted.eqDeletes.isEmpty &&
+          pCompacted.files.nonEmpty &&
+          pCompacted.files.forall(_.contains("o_orderpriority=")) &&
+          pSnap.rowCount == 900L && pCompacted.rowCount == 900L &&
+          IceLite.read(s, pRef).count() == 900L
         s.range(1).select(lit(morAgg._1).as("n"),
-          lit(morAgg._2).as("sum_price"), lit(ok).as("eq_mor_ok"))
+          lit(morAgg._2).as("sum_price"), lit(ok).as("eq_mor_ok"),
+          lit(partitionedEqOk).as("partitioned_eq_ok"))
       },
       Some("""SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3)))
                   + CAST(42.0 AS DECIMAL(18,3)) AS DOUBLE) AS sum_price,
-             TRUE AS eq_mor_ok
+             TRUE AS eq_mor_ok, TRUE AS partitioned_eq_ok
              FROM orders
              WHERE o_orderkey < 2000 AND o_orderkey % 10 <> 3""")),
 

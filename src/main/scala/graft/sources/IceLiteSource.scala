@@ -602,8 +602,10 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     partEq match {
       case Some(eq) => IceLite.deletePartitions(ref, eq)
       case None =>
+        // round 12: partitioned tables take the MoR route too (the
+        // engine-side flat-only guard is lifted)
         val mor = spark.conf.getOption("spark.graft.icelite.deleteMode")
-          .contains("mor") && cur.partitionCols.isEmpty
+          .contains("mor")
         if (mor) IceLite.deleteWhereMoR(spark, ref, pred)
         else IceLite.deleteWhere(spark, ref, pred)
     }
@@ -2161,6 +2163,20 @@ class IceLiteScan(ref: TableRef, required: StructType,
     rowOp.isEmpty && partitionCols.nonEmpty &&
       partitionCols.forall(partFields.contains)
 
+  /** d90: bucket-transform layouts are key-groupable too — when every
+    * spec field is `bucket(n, col)`, every planned file carries its
+    * derived dir (no pre-spec era), and the scan outputs every source
+    * column (the transform expression resolves against the relation
+    * output). Time/truncate transforms stay unreported for now: their
+    * functions aren't in the FunctionCatalog, so reporting them would
+    * just be dropped at resolution. */
+  private def bucketKeyed: Boolean =
+    rowOp.isEmpty && partitionCols.isEmpty && tfSpecFields.nonEmpty &&
+      tfSpecFields.forall(_.transform == "bucket") &&
+      tfSpecFields.forall(f => required.fieldNames.contains(f.sourceCol)) &&
+      staticPruned.forall(f => tfSpecFields.forall(fld =>
+        IceLiteSource.pathPartValues(f).contains(fld.name)))
+
   /** d46: report the table's OWN layout to the planner. A partitioned
     * scan projecting all its partition columns is KeyGroupedPartitioning
     * over the identity transforms — with `spark.sql.sources.v2.
@@ -2176,6 +2192,20 @@ class IceLiteScan(ref: TableRef, required: StructType,
         .distinct.size
       new KeyGroupedPartitioning(
         partitionCols.map(Expressions.identity).toArray, keys)
+    } else if (bucketKeyed) {
+      // d90: two `bucket(n, key)` tables join with NO exchange below
+      // the join — Catalyst resolves the transform through the
+      // catalog's `bucket` function ([[GraftFunctions]]) and matches
+      // both sides by canonical name + bucket count. This is the
+      // layout d84/d85 write; at 100 TB it deletes the dominant
+      // fact⋈fact shuffle.
+      val keys = staticPruned
+        .map(f => tfSpecFields.map(fld =>
+          IceLiteSource.pathPartValues(f)(fld.name)))
+        .distinct.size
+      new KeyGroupedPartitioning(
+        tfSpecFields.map(f => Expressions.bucket(f.param, f.sourceCol)
+          : V2Expression).toArray, keys)
     } else new UnknownPartitioning(0)
 
   /** One input partition per ~`targetSplitBytes` of data, not per
@@ -2276,9 +2306,14 @@ class IceLiteScan(ref: TableRef, required: StructType,
       }
     // one group per projected partition-value tuple (a split never
     // mixes partition values — its readers emit them as constants),
-    // bin-packed within the group
+    // bin-packed within the group. A bucket-keyed scan (d90) groups
+    // by the DERIVED dirs instead: splits must not mix buckets for
+    // HasPartitionKey, but the dirs are never emitted as columns.
+    val keyedByBucket = bucketKeyed
+    val groupFields: Seq[String] =
+      if (keyedByBucket) tfSpecFields.map(_.name) else partFields
     files.groupBy(f =>
-        partFields.map(IceLiteSource.pathPartValues(f).getOrElse(_, null)))
+        groupFields.map(IceLiteSource.pathPartValues(f).getOrElse(_, null)))
       .toSeq.sortBy(_._2.head)
       .flatMap { case (partVals, groupFiles) =>
         // each file is charged max(bytes, openCostInBytes) when
@@ -2340,6 +2375,12 @@ class IceLiteScan(ref: TableRef, required: StructType,
           }
           val eqAdded = if (eq.isEmpty) Map.empty[String, Long] else added
           if (fullyKeyed) IceLiteKeyedPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
+          else if (keyedByBucket)
+            // bucketKeyed guarantees every file carries its dirs, so
+            // the group key is never null; dir values are the ints
+            // the bucket function produces
+            IceLiteBucketKeyedPartition(fs, partVals.map(_.toInt),
+              tombs, eq, eqAdded): InputPartition
           else IceLiteInputPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
         }
       }.toArray
@@ -2408,6 +2449,22 @@ case class IceLiteKeyedPartition(files: Seq[String],
   override def partitionKey(): InternalRow =
     InternalRow.fromSeq(partVals.map(v =>
       if (v == null) null else UTF8String.fromString(v)))
+}
+
+/** d90: a split of a bucket-transform layout that knows its derived
+  * bucket tuple. The key row holds INTs (the `bucket` function's
+  * result type — Spark orders and matches key rows by the reported
+  * expressions' types); `partVals` stays EMPTY because hidden-
+  * partition dirs are never emitted as columns (the source columns
+  * live in the data pages). */
+case class IceLiteBucketKeyedPartition(files: Seq[String],
+    bucketVals: Seq[Int],
+    tombstones: Map[String, Array[Long]] = Map.empty,
+    eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
+    fileAddedAt: Map[String, Long] = Map.empty) extends IceLitePartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partVals: Seq[String] = Nil
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(bucketVals)
 }
 
 /** Streaming offset = the snapshot id the stream has consumed up to

@@ -1325,12 +1325,21 @@ object StreamPack extends Pack {
         val ref = TableRef(wh, "src", "orders_cdc_eq")
         IceLite.createNamespace(wh, "src")
         val sch = s.read.parquet(staged).schema
+        // round 12: the CDC stream lands in an identity-PARTITIONED
+        // bronze table (the day/shard-partitioned landing — the single
+        // most common CDC shape), possible now that partitioned tables
+        // carry MoR sidecars: each upsert batch restages through the
+        // value dirs, zero existing files touched. The shard column
+        // derives from the key (the CDC fixture carries no event-time
+        // column); the layout mechanics are identical to a day column.
         val q = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", 1).parquet(staged)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch0: DataFrame, _: Long) =>
+            val batch = batch0.withColumn("o_day",
+              concat(lit("d"), (col("o_orderkey") % 4).cast("string")))
             if (!IceLite.tableExists(ref))
-              IceLite.createOrReplace(ref, batch)
+              IceLite.createOrReplacePartitioned(ref, batch, "o_day")
             else
               IceLite.upsertByKeysMoR(s, ref, batch, Seq("o_orderkey"))
             ()
@@ -1344,7 +1353,9 @@ object StreamPack extends Pack {
         val baseFiles = m.snapshots.head.files
         val zeroRewrite =
           baseFiles.forall(m.current.files.contains) &&
-          m.snapshots.tail.forall(_.operation == "upsert-eq")
+          m.snapshots.tail.forall(_.operation == "upsert-eq") &&
+          m.current.partitionCols == Seq("o_day") &&
+          m.current.files.forall(_.contains("o_day="))
         import graft.queries.syntax.dsum
         IceLite.read(s, ref)
           .agg(count(lit(1)).cast("long").as("n"),

@@ -227,6 +227,48 @@ class IceLiteMorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rewriting"))
   }
 
+  test("partitioned MoR delete/update: zero rewrite, partition-col predicates, compact keeps the layout") {
+    // round 12: identity-partitioned tables carry MoR sidecars too —
+    // the day-partitioned bronze table is the CDC/GDPR landing shape
+    val wh = Files.createTempDirectory("mor_part").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "p")
+    IceLite.createOrReplacePartitioned(ref,
+      (0L until 300L).map(k => (k, k * 2.0, s"d${k % 3}")).toDF("k", "v", "day"),
+      "day", statsCols = Seq("k"))
+    val before = IceLite.readManifest(ref).current
+    // the predicate references BOTH a data column and the PATH-BORNE
+    // partition column — the MoR view must read through discovery
+    val snap = IceLite.deleteWhereMoR(spark, ref, "day = 'd1' AND k < 100")
+    assert(snap.files == before.files, "MoR delete must rewrite nothing")
+    assert(snap.deleteFiles.nonEmpty)
+    val expectGone = (0L until 300L).filter(k => k % 3 == 1 && k < 100)
+    assert(snap.rowCount == 300L - expectGone.length)
+    val got = IceLite.read(spark, ref).select($"k").as[Long].collect().toSet
+    assert(got == (0L until 300L).toSet -- expectGone)
+    // connector read folds the sidecars on the partitioned scan too
+    assert(spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString).count() == 300L - expectGone.length)
+    // MoR update on the partitioned view: copies land in their dirs
+    val up = IceLite.updateWhereMoR(spark, ref, "day = 'd2' AND k = 2",
+      Map("v" -> "-1.0"))
+    assert(up.rowCount == snap.rowCount, "update keeps the logical count")
+    val newFiles = up.files.filterNot(snap.files.contains)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("day=d2")),
+      s"updated copies must restage into their value dirs: $newFiles")
+    assert(IceLite.read(spark, ref).filter($"k" === 2L)
+      .select($"v").as[Double].head() == -1.0)
+    // compact materializes both sidecar kinds WITHIN the layout
+    val compacted = IceLite.compact(spark, ref)
+    assert(compacted.deleteFiles.isEmpty && compacted.eqDeletes.isEmpty)
+    assert(compacted.partitionCols == Seq("day"))
+    assert(compacted.files.forall(_.contains("day=")),
+      s"materialized files must keep the dirs: ${compacted.files}")
+    assert(compacted.rowCount == snap.rowCount)
+    assert(IceLite.read(spark, ref).filter($"k" === 2L)
+      .select($"v").as[Double].head() == -1.0)
+  }
+
   test("expiry reclaims sidecars of expired snapshots; gc leaves live ones") {
     val ref = mk()
     val snap = IceLite.deleteWhereMoR(spark, ref, "k < 10")

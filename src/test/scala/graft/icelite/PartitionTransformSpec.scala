@@ -535,6 +535,65 @@ class PartitionTransformSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("bucket-transform SPJ: co-bucketed tables join with zero exchanges (d90)") {
+    val wh = Files.createTempDirectory("pt_spj").toString
+    IceLite.createNamespace(wh, "src")
+    val aRef = TableRef(wh, "src", "fa")
+    val bRef = TableRef(wh, "src", "fb")
+    IceLite.createOrReplaceTransformed(aRef,
+      (0L until 4000L).map(k => (k, k * 2.0)).toDF("k", "va")
+        .repartition(4),
+      Seq(PartitionField("k_bucket", "bucket", "k", 8)))
+    IceLite.createOrReplaceTransformed(bRef,
+      (0L until 4000L by 2).map(k => (k, k + 1.0)).toDF("bk", "vb"),
+      Seq(PartitionField("bk_bucket", "bucket", "bk", 8)))
+    val cat = s"ptspj_${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        s"""SELECT CAST(SUM(va * vb) AS DOUBLE) AS s,
+            COUNT(*) AS n
+            FROM $cat.src.fa JOIN $cat.src.fb ON k = bk""")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // no exchange below the join: both scans report
+      // KeyGroupedPartitioning over bucket(8, key), resolved through
+      // the catalog's bucket function
+      val joinPart = plan.split("SortMergeJoin").last
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucket SPJ must not shuffle its inputs:\n$plan")
+      val r = q.head()
+      val expect = (0L until 4000L by 2).map(k => k * 2.0 * (k + 1.0)).sum
+      assert(r.getDouble(0) == expect && r.getLong(1) == 2000L)
+
+      // composes with static pruning: a pushed key-equality narrows
+      // both sides to one bucket and the join stays exchange-free
+      val p = spark.sql(
+        s"""SELECT COUNT(*) AS n FROM $cat.src.fa JOIN $cat.src.fb
+            ON k = bk WHERE k = 42""")
+      val pPlan = p.queryExecution.executedPlan.toString
+      assert(!pPlan.split("SortMergeJoin").last
+        .contains("Exchange hashpartitioning"), pPlan)
+      assert(p.head().getLong(0) == 1L)
+      // the last-planned scan (either side) read one bucket dir only
+      val planned = graft.sources.IceLiteSource.lastPlannedFiles
+      val dirs = planned.flatMap(_.split('/')
+        .find(_.matches("(k|bk)_bucket=\\d+"))).distinct
+      assert(planned.nonEmpty && dirs.size == 1,
+        s"pruned SPJ still planned: ${planned.mkString(",")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    }
+  }
+
   test("transformAllowedSegs: literal canonicalization and the decline contract") {
     val fDays = PartitionField("ts_day", "days", "ts", 0)
     val fHours = PartitionField("ts_hour", "hours", "ts", 0)
