@@ -4367,15 +4367,24 @@ object IceLite {
   private[graft] def partitionsRows(ref: TableRef)
       : (Seq[String], Seq[(Seq[String], Long, Long, Long)]) = {
     val snap = readManifest(ref).current
-    require(snap.partitionCols.nonEmpty, s"${ref.name} is not partitioned")
+    // identity layouts census their path-borne columns; HIDDEN
+    // (transform) layouts census the DERIVED dir names — Iceberg's
+    // $partitions shows the transform tuples the same way (a
+    // bucket/day census is how an operator sizes compaction and skew
+    // at 100 TB; round 12 — previously transform tables reported
+    // "not partitioned"). Pre-spec files (dir-less) census as null.
+    val cols: Seq[String] =
+      if (snap.partitionCols.nonEmpty) snap.partitionCols
+      else snap.partitionSpec.map(_.name)
+    require(cols.nonEmpty, s"${ref.name} is not partitioned")
     val byPart = snap.files.groupBy { f =>
       val vals = f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
         val c = seg.takeWhile(_ != '=')
         c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
       }.toMap
-      snap.partitionCols.map(vals.get(_).orNull)
+      cols.map(vals.get(_).orNull)
     }
-    (snap.partitionCols, byPart.toSeq.map { case (vals, files) =>
+    (cols, byPart.toSeq.map { case (vals, files) =>
       (vals,
         files.size.toLong,
         files.map(f => snap.fileRows.getOrElse(f,

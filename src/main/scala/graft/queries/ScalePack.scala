@@ -2953,15 +2953,44 @@ object ScalePack extends Pack {
           l.filter($"l_returnflag" === "R").withColumn("l_quantity",
             $"l_quantity" + 100.0),
           "l_returnflag", statsCols = Seq("l_orderkey"))
+        // round 12: HIDDEN layouts census too — the DERIVED dir
+        // names play the partition-column role (Iceberg's $partitions
+        // shows transform tuples; a bucket census is how an operator
+        // sizes compaction/skew without scanning). Witnessed through
+        // both SQL faces: SHOW PARTITIONS and the $partitions fold.
+        val hRef = IngestJob.tableRef(wh, "li_census_hidden")
+        IceLite.createOrReplaceTransformed(hRef,
+          Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 500)
+            .select($"l_orderkey", $"l_quantity"),
+          Seq(graft.icelite.PartitionField("l_orderkey_bucket", "bucket",
+            "l_orderkey", 4)))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val shown = s.sql(s"SHOW PARTITIONS $cat.src.li_census_hidden")
+          .collect().map(_.getString(0)).sorted.toSeq
+        val meta = s.sql(
+          s"SELECT * FROM $cat.src.`li_census_hidden$$partitions`").collect()
+        val hiddenCensusOk =
+          shown == (0 to 3).map(b => s"l_orderkey_bucket=$b") &&
+          meta.length == 4 &&
+          // census row_counts sum to the manifest's footer-derived
+          // total (cross-face consistency, scale-independent)
+          meta.map(_.getLong(2)).sum ==
+            IceLite.readManifest(hRef).current.rowCount &&
+          meta.forall(r => r.getLong(1) >= 1L) // file_count per bucket
         IceLite.partitionsDf(s, ref)
           .select($"l_returnflag", $"file_count", $"row_count")
+          .withColumn("hidden_census_ok", lit(hiddenCensusOk))
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
              CASE WHEN l_returnflag = 'R' THEN CAST(2 AS BIGINT)
                   ELSE CAST(1 AS BIGINT) END AS file_count,
              CAST(COUNT(*) * CASE WHEN l_returnflag = 'R' THEN 2 ELSE 1 END
-               AS BIGINT) AS row_count
+               AS BIGINT) AS row_count,
+             TRUE AS hidden_census_ok
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // d33: GROUPED aggregate pushdown (the d29 extension) — GROUP BY

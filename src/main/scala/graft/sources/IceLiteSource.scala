@@ -415,13 +415,26 @@ class IceLiteTable(ref: TableRef, schema: StructType,
   // mutations refuse loudly; DROP delegates to the d69 metadata
   // delete (one CAS commit, zero rows read). ----
 
+  /** Census columns: identity layouts expose their path-borne
+    * partition columns; HIDDEN layouts expose the DERIVED dir names
+    * (round 12 — Iceberg's SHOW PARTITIONS/$partitions shows
+    * transform tuples the same way; previously transform tables
+    * reported an empty census). */
+  private def censusPartCols: Seq[String] =
+    if (!IceLite.tableExists(ref)) Nil
+    else {
+      val snap = IceLiteSource.resolveSnap(ref, asOf)
+      if (snap.partitionCols.nonEmpty) snap.partitionCols
+      else snap.partitionSpec.map(_.name)
+    }
+
   private def identityPartCols: Seq[String] =
     if (IceLite.tableExists(ref))
       IceLiteSource.resolveSnap(ref, asOf).partitionCols
     else Nil
 
   override def partitionSchema(): StructType =
-    StructType(identityPartCols.map(c =>
+    StructType(censusPartCols.map(c =>
       org.apache.spark.sql.types.StructField(c, StringType)))
 
   /** Distinct partition-value tuples, folded from the manifest file
@@ -429,7 +442,7 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     * behind the SQL command). `names`/`ident` prefilter per contract. */
   override def listPartitionIdentifiers(names: Array[String],
       ident: InternalRow): Array[InternalRow] = {
-    val cols = identityPartCols
+    val cols = censusPartCols
     require(names.length == ident.numFields,
       s"filter names/ident arity mismatch: ${names.length} vs ${ident.numFields}")
     val want: Map[String, String] = names.zipWithIndex.map { case (n, i) =>
@@ -449,6 +462,10 @@ class IceLiteTable(ref: TableRef, schema: StructType,
 
   override def dropPartition(ident: InternalRow): Boolean = {
     val cols = identityPartCols
+    require(cols.nonEmpty,
+      s"${name()} has a hidden-partition layout — derived dirs are " +
+        "not droppable identities (the source values live in the data " +
+        "pages); DELETE by a source-column predicate instead")
     require(asOf.isEmpty,
       s"${name()} is a time-travel read — snapshots are immutable")
     require(ident.numFields == cols.length,

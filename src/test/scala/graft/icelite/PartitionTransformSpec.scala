@@ -594,6 +594,38 @@ class PartitionTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("hidden layouts census through SHOW PARTITIONS and $partitions (derived dirs)") {
+    val wh = Files.createTempDirectory("pt_census").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "ev")
+    val df = (1L to 200L).map { i =>
+      (i, f"2024-02-${i % 4 + 1}%02d 09:00:00")
+    }.toDF("id", "ts_s").withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    IceLite.createOrReplaceTransformed(ref, df,
+      Seq(PartitionField("ts_day", "days", "ts", 0)))
+    // engine face
+    val (cols, census) = IceLite.partitionsRows(ref)
+    assert(cols == Seq("ts_day") && census.size == 4)
+    assert(census.map(_._3).sum == 200L, "census row_counts must sum")
+    assert(census.map(_._1.head).sorted ==
+      (1 to 4).map(d => f"2024-02-$d%02d"))
+    // SQL faces
+    val cat = s"ptc_${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val shown = spark.sql(s"SHOW PARTITIONS $cat.src.ev")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(shown == (1 to 4).map(d => f"ts_day=2024-02-$d%02d"))
+    val meta = spark.sql(s"SELECT * FROM $cat.src.`ev$$partitions`").collect()
+    assert(meta.length == 4 && meta.map(_.getLong(2)).sum == 200L)
+    // derived dirs are not droppable identities — refuse loudly
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.src.ev DROP PARTITION (ts_day='2024-02-01')"))
+    assert(e.getMessage.contains("hidden-partition") ||
+      e.getMessage.contains("derived"), e.getMessage)
+  }
+
   test("transformAllowedSegs: literal canonicalization and the decline contract") {
     val fDays = PartitionField("ts_day", "days", "ts", 0)
     val fHours = PartitionField("ts_hour", "hours", "ts", 0)

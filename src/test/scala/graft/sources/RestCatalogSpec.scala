@@ -28,6 +28,41 @@ class RestCatalogSpec extends AnyFunSuite {
     try f(wh, cat, srv) finally srv.stop()
   }
 
+  test("runtime DPP prunes bucket dirs through a REST-attached scan (d45 over the wire)") {
+    // the planner-owned runtime filter must survive the attachment:
+    // the spooled table plans through the SAME IceLiteScan, so a
+    // fact⋈dim join on the bucketed source column skips whole buckets
+    // at execution time — the wire face must not silently lose the
+    // witness the local face pins (PartitionTransformSpec)
+    withServer { (wh, cat, _) =>
+      val ref = TableRef(wh, "src", "fact")
+      IceLite.createOrReplaceTransformed(ref,
+        (1L to 4000L).map(i => (i % 40, i, i * 0.5)).toDF("key", "seq", "v"),
+        Seq(graft.icelite.PartitionField("key_bucket", "bucket", "key", 8)))
+      val all = IceLite.readManifest(ref).current.files.size
+      val dimDir = Files.createTempDirectory("rest_dpp_dim").toString
+      spark.range(0, 40).selectExpr("id AS dkey",
+        "CASE WHEN id = 7 THEN 'keep' ELSE 'drop' END AS grp")
+        .write.mode("overwrite").parquet(dimDir)
+      val fact = spark.table(s"$cat.src.fact")
+      val dim = spark.read.parquet(dimDir).filter($"grp" === "keep")
+      val n = fact.join(dim, fact("key") === dim("dkey")).count()
+      assert(n == 100L, s"join rows: $n")
+      val planned = IceLiteSource.lastPlannedFiles
+      assert(planned.nonEmpty && planned.size < all,
+        s"REST DPP planned ${planned.size}/$all files")
+      // all planned files sit in ONE bucket dir — key 7's (the same
+      // dir a pushed static equality selects)
+      val dppDirs = planned.flatMap(_.split('/')
+        .find(_.startsWith("key_bucket="))).distinct
+      spark.sql(s"SELECT count(*) FROM $cat.src.fact WHERE key = 7").collect()
+      val staticDirs = IceLiteSource.lastPlannedFiles.flatMap(_.split('/')
+        .find(_.startsWith("key_bucket="))).distinct
+      assert(dppDirs.size == 1 && dppDirs == staticDirs,
+        s"dpp=$dppDirs static=$staticDirs")
+    }
+  }
+
   test("REST reads equal direct reads; metadata travels over HTTP") {
     withServer { (wh, cat, srv) =>
       val ref = TableRef(wh, "src", "t")
