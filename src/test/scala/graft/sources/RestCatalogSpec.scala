@@ -63,6 +63,42 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket SPJ works through the REST attachment (d90 over the wire)") {
+    // the attachment implements FunctionCatalog too, so Catalyst can
+    // resolve the reported bucket(n, col) partitioning against a
+    // REST-loaded relation — two co-bucketed tables join with zero
+    // exchanges exactly as on the owning catalog
+    withServer { (wh, cat, _) =>
+      IceLite.createOrReplaceTransformed(TableRef(wh, "src", "sa"),
+        (0L until 2000L).map(k => (k, k * 2.0)).toDF("k", "va"),
+        Seq(graft.icelite.PartitionField("k_bucket", "bucket", "k", 4)))
+      IceLite.createOrReplaceTransformed(TableRef(wh, "src", "sb"),
+        (0L until 2000L by 2).map(k => (k, k + 1.0)).toDF("bk", "vb"),
+        Seq(graft.icelite.PartitionField("bk_bucket", "bucket", "bk", 4)))
+      val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = spark.sql(
+          s"""SELECT COUNT(*) AS n, CAST(SUM(va * vb) AS DOUBLE) AS s
+              FROM $cat.src.sa JOIN $cat.src.sb ON k = bk""")
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.split("SortMergeJoin").last
+          .contains("Exchange hashpartitioning"),
+          s"REST bucket SPJ must not shuffle its inputs:\n$plan")
+        val r = q.head()
+        val expect = (0L until 2000L by 2).map(k => k * 2.0 * (k + 1.0)).sum
+        assert(r.getLong(0) == 1000L && r.getDouble(1) == expect)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+      }
+    }
+  }
+
   test("REST reads equal direct reads; metadata travels over HTTP") {
     withServer { (wh, cat, srv) =>
       val ref = TableRef(wh, "src", "t")
