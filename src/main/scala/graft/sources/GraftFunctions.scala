@@ -22,11 +22,99 @@ import org.apache.spark.sql.types._
   * (Murmur3 of an Int ≠ of a Long): two sides match only when their
   * key columns hash identically. */
 object GraftFunctions {
-  val names: Seq[String] = Seq("bucket")
+  val names: Seq[String] = Seq("bucket", "days", "months", "years", "hours")
 
   def load(name: String): Option[UnboundFunction] = name match {
     case "bucket" => Some(BucketUnbound)
+    case "days" | "months" | "years" | "hours" => Some(new TimeUnbound(name))
     case _ => None
+  }
+
+  /** The SESSION-ZONE day/month/year/hour keys the write layout's
+    * `date_format` dirs encode, as Iceberg-convention ints: days →
+    * epoch days (DateType), months → months since 1970-01, years →
+    * years since 1970, hours → hours since epoch OF THE LOCAL HOUR.
+    * Shared by the bound functions (executor-side, zone captured at
+    * bind) and the scan's dir→key parsing (driver-side, plan-time
+    * zone) so the two can never diverge. */
+  private[sources] def zonedFields(micros: Long, zone: java.time.ZoneId)
+      : java.time.ZonedDateTime =
+    java.time.ZonedDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L), zone)
+
+  private[sources] def timeKey(transform: String,
+      zdt: java.time.ZonedDateTime): Int = transform match {
+    case "days"   => zdt.toLocalDate.toEpochDay.toInt
+    case "months" => (zdt.getYear - 1970) * 12 + zdt.getMonthValue - 1
+    case "years"  => zdt.getYear - 1970
+    case "hours"  =>
+      (zdt.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        .toEpochSecond / 3600L).toInt
+    case t => throw new IllegalArgumentException(s"not a time transform: $t")
+  }
+
+  /** The key a DERIVED DIR VALUE encodes (the scan's split keys).
+    * days/months/years dirs are zone-independent labels; hours dirs
+    * are session-zone local hours, anchored through `zone`. */
+  private[sources] def dirTimeKey(transform: String, dir: String,
+      zone: java.time.ZoneId): Int = transform match {
+    case "days"   => java.time.LocalDate.parse(dir).toEpochDay.toInt
+    case "months" =>
+      val Array(y, m) = dir.split('-')
+      (y.toInt - 1970) * 12 + m.toInt - 1
+    case "years"  => dir.toInt - 1970
+    case "hours"  => // dir shape yyyy-MM-dd-HH
+      val d = java.time.LocalDate.parse(dir.take(10))
+      val h = dir.drop(11).toInt
+      (java.time.ZonedDateTime.of(d.atStartOfDay().plusHours(h), zone)
+        .toEpochSecond / 3600L).toInt
+    case t => throw new IllegalArgumentException(s"not a time transform: $t")
+  }
+
+  /** days/months/years/hours over a timestamp or date column. The
+    * bound form captures the SESSION zone at bind (analysis happens
+    * on the driver) — the same zone the write layout's `date_format`
+    * derived its dirs in, so a one-side shuffle into this layout
+    * co-locates with the dirs. Cross-zone caveat: like every other
+    * consumer of the dirs (pruning, NOTES #49), this assumes the
+    * table was written under the reading session's zone. */
+  final class TimeUnbound(transform: String) extends UnboundFunction {
+    override def name(): String = transform
+    override def description(): String =
+      s"$transform(col) — the write layout's session-zone $transform key"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"$transform takes one temporal argument, got ${inputType.catalogString}")
+      val kt = inputType.fields(0).dataType
+      require(kt == TimestampType || kt == DateType,
+        s"$transform takes timestamp or date, got ${kt.catalogString}")
+      val zone = scala.util.Try(org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.sessionLocalTimeZone).getOrElse("UTC")
+      new TimeBound(transform, kt, zone)
+    }
+  }
+
+  final class TimeBound(transform: String, keyType: DataType,
+      zoneId: String) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(keyType)
+    override def resultType(): DataType =
+      if (transform == "days") DateType else IntegerType
+    override def name(): String = transform
+    override def canonicalName(): String =
+      s"graft.$transform(${keyType.catalogString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val zone = java.time.ZoneId.of(zoneId)
+      val zdt = keyType match {
+        case TimestampType => zonedFields(input.getLong(0), zone)
+        case DateType => java.time.LocalDate.ofEpochDay(input.getInt(0).toLong)
+          .atStartOfDay(zone)
+        case t => throw new IllegalStateException(s"unbindable type $t")
+      }
+      Integer.valueOf(timeKey(transform, zdt))
+    }
   }
 
   object BucketUnbound extends UnboundFunction {

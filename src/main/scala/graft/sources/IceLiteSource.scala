@@ -2180,16 +2180,19 @@ class IceLiteScan(ref: TableRef, required: StructType,
     rowOp.isEmpty && partitionCols.nonEmpty &&
       partitionCols.forall(partFields.contains)
 
-  /** d90: bucket-transform layouts are key-groupable too — when every
-    * spec field is `bucket(n, col)`, every planned file carries its
-    * derived dir (no pre-spec era), and the scan outputs every source
-    * column (the transform expression resolves against the relation
-    * output). Time/truncate transforms stay unreported for now: their
-    * functions aren't in the FunctionCatalog, so reporting them would
-    * just be dropped at resolution. */
-  private def bucketKeyed: Boolean =
+  /** d90: transform layouts are key-groupable too — when every spec
+    * field is a KEYABLE transform (`bucket`, `days`, `months`,
+    * `years`, `hours` — each with a FunctionCatalog twin so Catalyst
+    * can resolve and match both sides), every planned file carries
+    * its derived dir (no pre-spec era), and the scan outputs every
+    * source column (the transform expression resolves against the
+    * relation output). `truncate` stays unreported (no function —
+    * string-prefix joins are not a co-location shape). */
+  private val spjTransforms = Set("bucket", "days", "months", "years", "hours")
+
+  private def transformKeyed: Boolean =
     rowOp.isEmpty && partitionCols.isEmpty && tfSpecFields.nonEmpty &&
-      tfSpecFields.forall(_.transform == "bucket") &&
+      tfSpecFields.forall(f => spjTransforms.contains(f.transform)) &&
       tfSpecFields.forall(f => required.fieldNames.contains(f.sourceCol)) &&
       staticPruned.forall(f => tfSpecFields.forall(fld =>
         IceLiteSource.pathPartValues(f).contains(fld.name)))
@@ -2209,20 +2212,25 @@ class IceLiteScan(ref: TableRef, required: StructType,
         .distinct.size
       new KeyGroupedPartitioning(
         partitionCols.map(Expressions.identity).toArray, keys)
-    } else if (bucketKeyed) {
-      // d90: two `bucket(n, key)` tables join with NO exchange below
-      // the join — Catalyst resolves the transform through the
-      // catalog's `bucket` function ([[GraftFunctions]]) and matches
-      // both sides by canonical name + bucket count. This is the
-      // layout d84/d85 write; at 100 TB it deletes the dominant
-      // fact⋈fact shuffle.
+    } else if (transformKeyed) {
+      // d90: two tables sharing a keyable transform layout join with
+      // NO exchange below the join — Catalyst resolves each transform
+      // through the catalog's functions ([[GraftFunctions]]) and
+      // matches both sides by canonical name (+ bucket count). This
+      // is exactly the layout d84/d85 write (bucket, days, and their
+      // mix); at 100 TB it deletes the dominant fact⋈fact shuffle.
       val keys = staticPruned
         .map(f => tfSpecFields.map(fld =>
           IceLiteSource.pathPartValues(f)(fld.name)))
         .distinct.size
       new KeyGroupedPartitioning(
-        tfSpecFields.map(f => Expressions.bucket(f.param, f.sourceCol)
-          : V2Expression).toArray, keys)
+        tfSpecFields.map(f => (f.transform match {
+          case "bucket" => Expressions.bucket(f.param, f.sourceCol)
+          case "days"   => Expressions.days(f.sourceCol)
+          case "months" => Expressions.months(f.sourceCol)
+          case "years"  => Expressions.years(f.sourceCol)
+          case "hours"  => Expressions.hours(f.sourceCol)
+        }): V2Expression).toArray, keys)
     } else new UnknownPartitioning(0)
 
   /** One input partition per ~`targetSplitBytes` of data, not per
@@ -2323,12 +2331,15 @@ class IceLiteScan(ref: TableRef, required: StructType,
       }
     // one group per projected partition-value tuple (a split never
     // mixes partition values — its readers emit them as constants),
-    // bin-packed within the group. A bucket-keyed scan (d90) groups
-    // by the DERIVED dirs instead: splits must not mix buckets for
-    // HasPartitionKey, but the dirs are never emitted as columns.
-    val keyedByBucket = bucketKeyed
+    // bin-packed within the group. A transform-keyed scan (d90)
+    // groups by the DERIVED dirs instead: splits must not mix key
+    // tuples for HasPartitionKey, but the dirs are never emitted as
+    // columns.
+    val keyedByTransform = transformKeyed
     val groupFields: Seq[String] =
-      if (keyedByBucket) tfSpecFields.map(_.name) else partFields
+      if (keyedByTransform) tfSpecFields.map(_.name) else partFields
+    val keyZone = java.time.ZoneId.of(org.apache.spark.sql.SparkSession
+      .active.sessionState.conf.sessionLocalTimeZone)
     files.groupBy(f =>
         groupFields.map(IceLiteSource.pathPartValues(f).getOrElse(_, null)))
       .toSeq.sortBy(_._2.head)
@@ -2392,12 +2403,15 @@ class IceLiteScan(ref: TableRef, required: StructType,
           }
           val eqAdded = if (eq.isEmpty) Map.empty[String, Long] else added
           if (fullyKeyed) IceLiteKeyedPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
-          else if (keyedByBucket)
-            // bucketKeyed guarantees every file carries its dirs, so
-            // the group key is never null; dir values are the ints
-            // the bucket function produces
-            IceLiteBucketKeyedPartition(fs, partVals.map(_.toInt),
-              tombs, eq, eqAdded): InputPartition
+          else if (keyedByTransform)
+            // transformKeyed guarantees every file carries its dirs,
+            // so the group key is never null; dir values convert to
+            // the ints the transform functions produce
+            IceLiteTransformKeyedPartition(fs,
+              tfSpecFields.zip(partVals).map { case (fld, v) =>
+                if (fld.transform == "bucket") v.toInt
+                else GraftFunctions.dirTimeKey(fld.transform, v, keyZone)
+              }, tombs, eq, eqAdded): InputPartition
           else IceLiteInputPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
         }
       }.toArray
@@ -2468,20 +2482,21 @@ case class IceLiteKeyedPartition(files: Seq[String],
       if (v == null) null else UTF8String.fromString(v)))
 }
 
-/** d90: a split of a bucket-transform layout that knows its derived
-  * bucket tuple. The key row holds INTs (the `bucket` function's
-  * result type — Spark orders and matches key rows by the reported
-  * expressions' types); `partVals` stays EMPTY because hidden-
-  * partition dirs are never emitted as columns (the source columns
-  * live in the data pages). */
-case class IceLiteBucketKeyedPartition(files: Seq[String],
-    bucketVals: Seq[Int],
+/** d90: a split of a keyable-transform layout that knows its derived
+  * key tuple. The key row holds INTs (the transform functions'
+  * result types — bucket/months/years/hours IntegerType, days
+  * DateType's int form; Spark orders and matches key rows by the
+  * reported expressions' types); `partVals` stays EMPTY because
+  * hidden-partition dirs are never emitted as columns (the source
+  * columns live in the data pages). */
+case class IceLiteTransformKeyedPartition(files: Seq[String],
+    keyVals: Seq[Int],
     tombstones: Map[String, Array[Long]] = Map.empty,
     eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
     fileAddedAt: Map[String, Long] = Map.empty) extends IceLitePartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partVals: Seq[String] = Nil
-  override def partitionKey(): InternalRow = InternalRow.fromSeq(bucketVals)
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(keyVals)
 }
 
 /** Streaming offset = the snapshot id the stream has consumed up to

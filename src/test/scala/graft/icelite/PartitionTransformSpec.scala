@@ -626,6 +626,123 @@ class PartitionTransformSpec extends AnyFunSuite {
       e.getMessage.contains("derived"), e.getMessage)
   }
 
+  test("one-side-shuffle SPJ: an unbucketed side shuffles INTO the bucket layout") {
+    // spark.sql.sources.v2.bucketing.shuffle.enabled: when only ONE
+    // side is bucket-laid-out, Spark may shuffle the other side BY
+    // THE CATALOG'S bucket function instead of exchanging both — this
+    // executes GraftFunctions.BucketBound.produceResult row-by-row,
+    // so the function must equal the write layout's hash EXACTLY or
+    // co-located rows miss each other (silent wrong join). The value
+    // check below is the end-to-end proof of that equality.
+    val wh = Files.createTempDirectory("pt_spj1").toString
+    IceLite.createNamespace(wh, "src")
+    IceLite.createOrReplaceTransformed(TableRef(wh, "src", "big"),
+      (0L until 3000L).map(k => (k, k * 2.0)).toDF("k", "va"),
+      Seq(PartitionField("k_bucket", "bucket", "k", 8)))
+    val plainDir = Files.createTempDirectory("pt_spj1_plain").toString
+    (0L until 3000L by 3).map(k => (k, k + 1.0)).toDF("pk", "vb")
+      .write.mode("overwrite").parquet(plainDir)
+    val cat = s"ptspj1_${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.read.parquet(plainDir).createOrReplaceTempView("pt_spj1_dim")
+      val q = spark.sql(
+        s"""SELECT COUNT(*) AS n, CAST(SUM(va * vb) AS DOUBLE) AS s
+            FROM $cat.src.big JOIN pt_spj1_dim ON k = pk""")
+      val plan = q.queryExecution.executedPlan.toString
+      // exactly ONE exchange below the join (the plain side's), and
+      // the bucketed side scans exchange-free
+      val joinPart = plan.split("SortMergeJoin").last
+      val exchanges = "Exchange".r.findAllIn(joinPart).size
+      assert(plan.contains("SortMergeJoin") && exchanges == 1,
+        s"expected one-side shuffle ($exchanges exchanges):\n$plan")
+      val r = q.head()
+      val expect = (0L until 3000L by 3).map(k => k * 2.0 * (k + 1.0)).sum
+      assert(r.getLong(0) == 1000L && r.getDouble(1) == expect,
+        s"one-side-shuffle SPJ joined wrong rows: ${r.getLong(0)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    }
+  }
+
+  test("time-transform SPJ: days() layouts and the d84 bucket+days mix join with zero exchanges") {
+    // the full transform family is SPJ-capable: the catalog serves
+    // days/months/years/hours functions, split keys parse from the
+    // dirs (session-zone-anchored for hours), and the MIXED layout
+    // d84 actually writes — (bucket(user), days(ts)) — co-schedules
+    // when the join carries both sources
+    val wh = Files.createTempDirectory("pt_tspj").toString
+    IceLite.createNamespace(wh, "src")
+    def evs(seed: Long) = (0L until 2000L).map { i =>
+      (i % 16, f"2024-03-${i % 4 + 1}%02d 0${(i + seed) % 8}:30:00", i + seed)
+    }.toDF("uid", "ts_s", "seq")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    IceLite.createOrReplaceTransformed(TableRef(wh, "src", "da"), evs(0),
+      Seq(PartitionField("ts_day", "days", "ts", 0)))
+    IceLite.createOrReplaceTransformed(TableRef(wh, "src", "db"), evs(0)
+      .withColumnRenamed("ts", "bts").withColumnRenamed("uid", "buid")
+      .withColumnRenamed("seq", "bseq"),
+      Seq(PartitionField("bts_day", "days", "bts", 0)))
+    IceLite.createOrReplaceTransformed(TableRef(wh, "src", "ma"), evs(0),
+      Seq(PartitionField("uid_bucket", "bucket", "uid", 4),
+        PartitionField("ts_day", "days", "ts", 0)))
+    IceLite.createOrReplaceTransformed(TableRef(wh, "src", "mb"), evs(0)
+      .withColumnRenamed("ts", "bts").withColumnRenamed("uid", "buid")
+      .withColumnRenamed("seq", "bseq"),
+      Seq(PartitionField("buid_bucket", "bucket", "buid", 4),
+        PartitionField("bts_day", "days", "bts", 0)))
+    val cat = s"pttspj_${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // days ⋈ days on the timestamp key
+      val q1 = spark.sql(
+        s"""SELECT COUNT(*) AS n FROM $cat.src.da JOIN $cat.src.db
+            ON ts = bts""")
+      val p1 = q1.queryExecution.executedPlan.toString
+      assert(p1.contains("SortMergeJoin") &&
+        !p1.split("SortMergeJoin").last.contains("Exchange hashpartitioning"),
+        s"days SPJ must not shuffle:\n$p1")
+      // self-join shape: every row matches the rows sharing its ts —
+      // ts repeats every lcm-cycle; count equals the pair count of
+      // equal-ts groups, computed independently below
+      val tsCounts = (0L until 2000L).groupBy(i => (i % 4, i % 8))
+        .values.map(g => g.size.toLong * g.size).sum
+      assert(q1.head().getLong(0) == tsCounts)
+
+      // the d84 mix: bucket(uid) + days(ts), join on BOTH sources
+      val q2 = spark.sql(
+        s"""SELECT COUNT(*) AS n FROM $cat.src.ma JOIN $cat.src.mb
+            ON uid = buid AND ts = bts""")
+      val p2 = q2.queryExecution.executedPlan.toString
+      assert(p2.contains("SortMergeJoin") &&
+        !p2.split("SortMergeJoin").last.contains("Exchange hashpartitioning"),
+        s"mixed bucket+days SPJ must not shuffle:\n$p2")
+      val pairCounts = (0L until 2000L).groupBy(i => (i % 16, i % 4, i % 8))
+        .values.map(g => g.size.toLong * g.size).sum
+      assert(q2.head().getLong(0) == pairCounts)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    }
+  }
+
   test("transformAllowedSegs: literal canonicalization and the decline contract") {
     val fDays = PartitionField("ts_day", "days", "ts", 0)
     val fHours = PartitionField("ts_hour", "hours", "ts", 0)
