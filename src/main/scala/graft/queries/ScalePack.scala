@@ -2960,7 +2960,7 @@ object ScalePack extends Pack {
         // both SQL faces: SHOW PARTITIONS and the $partitions fold.
         val hRef = IngestJob.tableRef(wh, "li_census_hidden")
         IceLite.createOrReplaceTransformed(hRef,
-          Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 500)
+          Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 200)
             .select($"l_orderkey", $"l_quantity"),
           Seq(graft.icelite.PartitionField("l_orderkey_bucket", "bucket",
             "l_orderkey", 4)))
