@@ -2193,9 +2193,13 @@ class IceLiteScan(ref: TableRef, required: StructType,
   private def transformKeyed: Boolean =
     rowOp.isEmpty && partitionCols.isEmpty && tfSpecFields.nonEmpty &&
       tfSpecFields.forall(f => spjTransforms.contains(f.transform)) &&
-      tfSpecFields.forall(f => required.fieldNames.contains(f.sourceCol)) &&
-      staticPruned.forall(f => tfSpecFields.forall(fld =>
-        IceLiteSource.pathPartValues(f).contains(fld.name)))
+      tfSpecFields.forall(f => required.fieldNames.contains(f.sourceCol)) && {
+        val files = staticPruned
+        // an EMPTIED/fully-pruned scan declines: a 0-partition
+        // KeyGroupedPartitioning report has nothing to co-schedule
+        files.nonEmpty && files.forall(f => tfSpecFields.forall(fld =>
+          IceLiteSource.pathPartValues(f).contains(fld.name)))
+      }
 
   /** d46: report the table's OWN layout to the planner. A partitioned
     * scan projecting all its partition columns is KeyGroupedPartitioning
