@@ -66,6 +66,12 @@ private[graft] trait FileIO {
   /** Object age, for orphan-sweep grace windows (Iceberg's
     * orphan-cleanup age rule). Local: mtime. S3: LastModified. */
   def mtimeMs(p: Path): Long
+  /** Byte length of an immutable metadata object. Default reads the
+    * content (correct through any impl); stores with a cheap stat
+    * override it — the $manifests census wants O(1), not a full
+    * segment read per row. */
+  def sizeBytes(p: Path): Long =
+    readString(p).getBytes("UTF-8").length.toLong
   /** Register the IMMUTABLE object at `src` under a second name `dst`
     * without rewriting bytes where the store allows it — the zero-copy
     * registration primitive behind add_files (d63) and table RENAME.
@@ -105,6 +111,7 @@ private[graft] object LocalFileIO extends FileIO {
   override def mkdirs(p: Path): Unit = Files.createDirectories(p)
   override def mtimeMs(p: Path): Long =
     Files.getLastModifiedTime(p).toMillis
+  override def sizeBytes(p: Path): Long = Files.size(p)
   override def linkOrCopy(dst: Path, src: Path): Unit = {
     if (dst.getParent != null) Files.createDirectories(dst.getParent)
     try Files.createLink(dst, src)

@@ -2269,10 +2269,23 @@ object IceLite {
           "row diffs; re-baseline the consumer from a full read")
     val slices = range.sliding(2).collect { case Seq(prev, s) =>
       val isUpdate = s.operation == "update-mor"
+      // identity-partitioned snapshots (reachable since the round-12
+      // MoR lift) read through discovery so change rows CARRY their
+      // path-borne partition columns — a flat read would silently
+      // drop them from the changelog
+      def readSlice(snap: Snapshot, files: Seq[String],
+          withPositions: Boolean): DataFrame =
+        if (snap.partitionCols.nonEmpty)
+          readPartitionedFiles(spark, ref, files, withPositions)
+        else if (withPositions)
+          readFiles(spark, ref, files)
+            .withColumn("_mor_file", col("_metadata.file_path"))
+            .withColumn("_mor_pos", col("_metadata.row_index"))
+        else readFiles(spark, ref, files)
       val newFiles = s.files.filterNot(prev.files.toSet)
       val inserts =
         if (newFiles.isEmpty) None
-        else Some(readFiles(spark, ref, newFiles)
+        else Some(readSlice(s, newFiles, withPositions = false)
           .withColumn("_change_type",
             lit(if (isUpdate) "update_postimage" else "insert"))
           .withColumn("_commit_snapshot_id", lit(s.id)))
@@ -2284,9 +2297,7 @@ object IceLite {
         else {
           val dels = spark.read.parquet(
             newSidecars.map(f => ref.dir.resolve(f).toString): _*)
-          val prior = readFiles(spark, ref, prev.files)
-            .withColumn("_mor_file", col("_metadata.file_path"))
-            .withColumn("_mor_pos", col("_metadata.row_index"))
+          val prior = readSlice(prev, prev.files, withPositions = true)
           Some(prior.join(dels,
               prior("_mor_file") === dels("file_path") &&
               prior("_mor_pos") === dels("pos"), "left_semi")
@@ -2303,7 +2314,7 @@ object IceLite {
       val eqDeleted =
         if (newEq.isEmpty) None
         else {
-          val prior = readFilesWithDeletes(spark, ref, prev, prev.files)
+          val prior = readSnapWithDeletes(spark, ref, prev, prev.files)
           Some(newEq.groupBy(_.keyCols).map { case (kc, dels) =>
             val keys = dels.map(d =>
               spark.read.parquet(ref.dir.resolve(d.file).toString)
@@ -2407,24 +2418,54 @@ object IceLite {
       val provenance =
         if (df.columns.contains("_mor_file")) col("_mor_file")
         else col("_metadata.file_path")
-      // resolve the URI through matchStagedPath, NOT a raw string
-      // compare: `_metadata.file_path` renders escaped partition dirs
+      // `_metadata.file_path` renders ESCAPED partition dirs
       // double-encoded (an on-disk `4-NOT%20SPECIFIED` arrives as
       // `%2520`), so a lookup keyed by the manifest's raw paths
       // silently missed every file under an escaped value dir — the
       // sidecar stopped applying there and deleted rows RESURFACED
       // (found round 12 by the partitioned d72 witness over real
-      // o_orderpriority values; flat layouts never hit it because
-      // staged names are URI-safe by construction). A non-match keeps
-      // the row (null added-at fails the sequence test) — the same
-      // conservative direction as before.
-      val filesSeq = snap.files
-      val addedByRel: Map[String, Long] =
-        snap.files.iterator.map(f => f -> addedAt(f)).toMap
-      val addedAtUdf = udf((uri: String) =>
-        if (uri == null) None
-        else matchStagedPath(filesSeq, uri).flatMap(addedByRel.get))
-      val withAdded = df.withColumn("_eq_added", addedAtUdf(provenance))
+      // o_orderpriority values). Escaping is detectable driver-side:
+      // when every path round-trips URI rendering unchanged (the
+      // overwhelmingly common case — flat staged names are URI-safe
+      // by construction), the raw compare is exact and the fold stays
+      // a codegen'd broadcast-hash-join; only a table whose paths
+      // actually escape pays the per-row decode (matchStagedPath's
+      // logic with its per-call state hoisted out — the naive
+      // per-row matchStagedPath rebuilt an O(files) set every row).
+      // A non-match keeps the row (null added-at fails the sequence
+      // test) — the conservative direction.
+      def uriSafe(abs: String): Boolean = scala.util.Try(
+        new java.net.URI("file", null, abs, null).getRawPath == abs)
+        .getOrElse(false)
+      val absAdded: Seq[(String, Long)] =
+        snap.files.map(f => (ref.dir.resolve(f).toString, addedAt(f)))
+      val withAdded =
+        if (absAdded.forall(p => uriSafe(p._1))) {
+          import spark.implicits._
+          val lookup = absAdded.toDF("_eq_path", "_eq_added")
+          df.withColumn("_eq_file",
+              org.apache.spark.sql.functions.regexp_replace(
+                provenance, "^file:/*", "/"))
+            .join(broadcast(lookup), col("_eq_file") === col("_eq_path"), "left")
+            .drop("_eq_path", "_eq_file")
+        } else {
+          val byRel = snap.files.toSet
+          val depths = snap.files.map(_.count(_ == '/') + 1).distinct
+          val addedByRel: Map[String, Long] =
+            snap.files.iterator.map(f => f -> addedAt(f)).toMap
+          val addedAtUdf = udf((uri: String) =>
+            if (uri == null) None
+            else {
+              val decoded = scala.util.Try(
+                new java.net.URI(uri).getPath).getOrElse(uri)
+              val segs = decoded.split('/')
+              depths.iterator
+                .map(d => segs.takeRight(d).mkString("/"))
+                .collectFirst { case rel if byRel(rel) => rel }
+                .flatMap(addedByRel.get)
+            })
+          df.withColumn("_eq_added", addedAtUdf(provenance))
+        }
       val folded = snap.eqDeletes.groupBy(_.keyCols).foldLeft(withAdded) {
         case (cur, (kc, dels)) =>
           val keys = dels.map { d =>
@@ -4377,6 +4418,14 @@ object IceLite {
       if (snap.partitionCols.nonEmpty) snap.partitionCols
       else snap.partitionSpec.map(_.name)
     require(cols.nonEmpty, s"${ref.name} is not partitioned")
+    // the census counts PHYSICAL file rows; live sidecars make those
+    // overcounts (tombstoned/eq-deleted rows still sit in the files)
+    // — refuse like every other metadata-only COUNT surface rather
+    // than report numbers a reader would trust (newly reachable:
+    // partitioned tables carry sidecars since round 12)
+    require(!snap.morLive,
+      s"${ref.name} has live MoR delete sidecars — physical per-file " +
+        "counts would overstate the partition census; compact() first")
     val byPart = snap.files.groupBy { f =>
       val vals = f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
         val c = seg.takeWhile(_ != '=')
@@ -4465,10 +4514,11 @@ object IceLite {
             if (!firstRef.contains(seg)) firstRef(seg) = sp.id))
         firstRef.toSeq.map { case (seg, snapId) =>
           val content = loadSegment(ref, seg)
-          // Files.size for length_bytes: the second full read-and-
-          // decode of every segment was O(segments × bytes) on the
-          // driver for a metadata-only table
-          (seg, Files.size(ref.dir.resolve(seg)),
+          // io.sizeBytes for length_bytes (through the storage seam —
+          // a direct java.nio call would bypass object-store impls):
+          // the second full read-and-decode of every segment was
+          // O(segments × bytes) on the driver for a metadata table
+          (seg, io.sizeBytes(ref.dir.resolve(seg)),
             snapId, content.files.size.toLong)
         }
       case _ =>

@@ -21,6 +21,33 @@ import org.apache.spark.sql.types._
   * would co-locate the wrong rows. Canonical names carry the key type
   * (Murmur3 of an Int ≠ of a Long): two sides match only when their
   * key columns hash identically. */
+/** The FunctionCatalog face both catalogs mix in — ONE copy of the
+  * resolution contract (Catalyst asks for `Identifier.of(Array.empty,
+  * name)`; `system` is the user-facing alias Iceberg also serves), so
+  * the owner and the REST attachment can never drift apart and break
+  * SPJ through whichever face missed an edit. */
+trait GraftFunctionCatalog
+  extends org.apache.spark.sql.connector.catalog.FunctionCatalog
+  with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+  import org.apache.spark.sql.connector.catalog.Identifier
+
+  private def isFnNamespace(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("system"))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (isFnNamespace(namespace))
+      GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    (if (isFnNamespace(ident.namespace)) GraftFunctions.load(ident.name)
+     else None).getOrElse(throw new org.apache.spark.sql.catalyst
+      .analysis.NoSuchFunctionException(ident))
+}
+
 object GraftFunctions {
   val names: Seq[String] = Seq("bucket", "days", "months", "years", "hours")
 
@@ -49,29 +76,33 @@ object GraftFunctions {
     case "days"   => zdt.toLocalDate.toEpochDay.toInt
     case "months" => (zdt.getYear - 1970) * 12 + zdt.getMonthValue - 1
     case "years"  => zdt.getYear - 1970
+    // LABEL math, not epoch-hours: the dir collapses a DST fall-back's
+    // two offsets into ONE "yyyy-MM-dd-HH" label, so the key must too —
+    // an epoch-hour key would route the repeated hour's second
+    // occurrence to a key no split claims (one-side-shuffle rows
+    // silently miss their partner). epochDay*24 + localHour is the
+    // dir label as an int, zone consulted only to read local fields.
     case "hours"  =>
-      (zdt.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
-        .toEpochSecond / 3600L).toInt
+      zdt.toLocalDate.toEpochDay.toInt * 24 + zdt.getHour
     case t => throw new IllegalArgumentException(s"not a time transform: $t")
   }
 
   /** The key a DERIVED DIR VALUE encodes (the scan's split keys).
-    * days/months/years dirs are zone-independent labels; hours dirs
-    * are session-zone local hours, anchored through `zone`. */
-  private[sources] def dirTimeKey(transform: String, dir: String,
-      zone: java.time.ZoneId): Int = transform match {
-    case "days"   => java.time.LocalDate.parse(dir).toEpochDay.toInt
-    case "months" =>
-      val Array(y, m) = dir.split('-')
-      (y.toInt - 1970) * 12 + m.toInt - 1
-    case "years"  => dir.toInt - 1970
-    case "hours"  => // dir shape yyyy-MM-dd-HH
-      val d = java.time.LocalDate.parse(dir.take(10))
-      val h = dir.drop(11).toInt
-      (java.time.ZonedDateTime.of(d.atStartOfDay().plusHours(h), zone)
-        .toEpochSecond / 3600L).toInt
-    case t => throw new IllegalArgumentException(s"not a time transform: $t")
-  }
+    * All four time dirs are zone-independent LABELS — the zone only
+    * enters when the bound function derives the label from an
+    * instant ([[timeKey]]). */
+  private[sources] def dirTimeKey(transform: String, dir: String): Int =
+    transform match {
+      case "days"   => java.time.LocalDate.parse(dir).toEpochDay.toInt
+      case "months" =>
+        val Array(y, m) = dir.split('-')
+        (y.toInt - 1970) * 12 + m.toInt - 1
+      case "years"  => dir.toInt - 1970
+      case "hours"  => // dir shape yyyy-MM-dd-HH
+        java.time.LocalDate.parse(dir.take(10)).toEpochDay.toInt * 24 +
+          dir.drop(11).toInt
+      case t => throw new IllegalArgumentException(s"not a time transform: $t")
+    }
 
   /** days/months/years/hours over a timestamp or date column. The
     * bound form captures the SESSION zone at bind (analysis happens

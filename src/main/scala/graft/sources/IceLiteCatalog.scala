@@ -83,7 +83,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ViewCatalog
-  with org.apache.spark.sql.connector.catalog.FunctionCatalog
+  with GraftFunctionCatalog
   with SupportsPartitionFieldDdl
   with org.apache.spark.internal.Logging {
   private var catalogName: String = _
@@ -104,26 +104,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     TableRef(warehouse, ident.namespace.head, ident.name)
   }
 
-  // ---- functions (d90: the SPJ transform-resolution hook) ----
-  // Catalyst resolves a reported `bucket(n, col)` partitioning through
-  // `loadFunction(Identifier.of(Array.empty, "bucket"))` — the empty
-  // namespace is the contract (V2ExpressionUtils), `system` is the
-  // user-facing alias Iceberg also serves.
-
-  private def isFnNamespace(ns: Array[String]): Boolean =
-    ns.isEmpty || ns.sameElements(Array("system"))
-
-  override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (isFnNamespace(namespace))
-      GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
-    else if (namespaceExists(namespace)) Array.empty
-    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
-
-  override def loadFunction(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    (if (isFnNamespace(ident.namespace)) GraftFunctions.load(ident.name)
-     else None).getOrElse(throw new org.apache.spark.sql.catalyst
-      .analysis.NoSuchFunctionException(ident))
+  // ---- functions: GraftFunctionCatalog (d90's SPJ resolution) ----
 
   // ---- tables ----
 

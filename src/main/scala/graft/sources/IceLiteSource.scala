@@ -2077,8 +2077,14 @@ class IceLiteScan(ref: TableRef, required: StructType,
 
   /** Statically pruned file list (manifest stats + pushed partition
     * equality) — what planning-time consumers (outputPartitioning)
-    * may see; runtime filters narrow further at execution. */
-  private def staticPruned: Seq[String] = {
+    * may see; runtime filters narrow further at execution. LAZY VAL,
+    * not def: planning consults it up to four times per pass
+    * (transformKeyed twice, key count, statistics, split planning) —
+    * each call re-read the manifest and re-filtered the whole file
+    * list, and a concurrent commit between calls could make the
+    * reported key count and the actual split grouping describe
+    * DIFFERENT file sets. One resolution pins one snapshot per scan. */
+  private lazy val staticPruned: Seq[String] = {
     val snap = IceLiteSource.resolveSnap(ref, asOf)
     val statsPruned =
       if (bounds.isEmpty) snap.files
@@ -2342,8 +2348,6 @@ class IceLiteScan(ref: TableRef, required: StructType,
     val keyedByTransform = transformKeyed
     val groupFields: Seq[String] =
       if (keyedByTransform) tfSpecFields.map(_.name) else partFields
-    val keyZone = java.time.ZoneId.of(org.apache.spark.sql.SparkSession
-      .active.sessionState.conf.sessionLocalTimeZone)
     files.groupBy(f =>
         groupFields.map(IceLiteSource.pathPartValues(f).getOrElse(_, null)))
       .toSeq.sortBy(_._2.head)
@@ -2414,7 +2418,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
             IceLiteTransformKeyedPartition(fs,
               tfSpecFields.zip(partVals).map { case (fld, v) =>
                 if (fld.transform == "bucket") v.toInt
-                else GraftFunctions.dirTimeKey(fld.transform, v, keyZone)
+                else GraftFunctions.dirTimeKey(fld.transform, v)
               }, tombs, eq, eqAdded): InputPartition
           else IceLiteInputPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
         }

@@ -64,7 +64,7 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
   with org.apache.spark.sql.connector.catalog.ViewCatalog
-  with org.apache.spark.sql.connector.catalog.FunctionCatalog
+  with graft.sources.GraftFunctionCatalog
   with graft.sources.SupportsPartitionFieldDdl {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   private var catalogName: String = _
@@ -135,26 +135,11 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.length == 1 && listNamespaces().exists(_.sameElements(namespace))
 
-  // d90: same catalog FUNCTIONS as the owning catalog — the transform
-  // resolution for storage-partitioned joins must work identically
-  // through the wire face (the functions are client-side semantics of
-  // the shared write layout, nothing to fetch)
-  private def isFnNamespace(ns: Array[String]): Boolean =
-    ns.isEmpty || ns.sameElements(Array("system"))
-
-  override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (isFnNamespace(namespace))
-      graft.sources.GraftFunctions.names
-        .map(Identifier.of(namespace, _)).toArray
-    else if (namespaceExists(namespace)) Array.empty
-    else throw new NoSuchNamespaceException(namespace)
-
-  override def loadFunction(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    (if (isFnNamespace(ident.namespace))
-       graft.sources.GraftFunctions.load(ident.name)
-     else None).getOrElse(throw new org.apache.spark.sql.catalyst
-      .analysis.NoSuchFunctionException(ident))
+  // d90: same catalog FUNCTIONS as the owning catalog, via the shared
+  // GraftFunctionCatalog mixin — the transform resolution for
+  // storage-partitioned joins works identically through the wire face
+  // (the functions are client-side semantics of the shared write
+  // layout, nothing to fetch)
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
     if (namespaceExists(namespace)) Map.empty[String, String].asJava

@@ -249,6 +249,19 @@ class IceLiteMorSpec extends AnyFunSuite {
     // connector read folds the sidecars on the partitioned scan too
     assert(spark.read.format("graft.sources.IceLiteSource")
       .load(ref.dir.toString).count() == 300L - expectGone.length)
+    // the batch changelog carries the PATH-BORNE partition column —
+    // a flat read would silently drop it (round-12 review finding)
+    val base = IceLite.readManifest(ref).snapshots.head.id
+    val ch = IceLite.changes(spark, ref, base, snap.id)
+    assert(ch.columns.contains("day"), ch.columns.mkString(","))
+    val chDel = ch.filter($"_change_type" === "delete")
+    assert(chDel.count() == expectGone.length.toLong)
+    assert(chDel.select($"day").distinct().as[String].collect().toSeq
+      == Seq("d1"), "delete slice must carry its partition value")
+    // the partition census refuses physical counts while sidecars live
+    val censusErr = intercept[IllegalArgumentException](
+      IceLite.partitionsDf(spark, ref))
+    assert(censusErr.getMessage.contains("MoR"), censusErr.getMessage)
     // MoR update on the partitioned view: copies land in their dirs
     val up = IceLite.updateWhereMoR(spark, ref, "day = 'd2' AND k = 2",
       Map("v" -> "-1.0"))
