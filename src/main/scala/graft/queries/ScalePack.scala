@@ -2483,9 +2483,12 @@ object ScalePack extends Pack {
           .select($"o_orderkey", $"o_totalprice")
           .filter($"o_orderkey" < 4000)
         // era 1: UNSORTED, hash-spread files — every file spans the
-        // whole key range, stats useless for pruning
+        // whole key range, stats useless for pruning. MODULAR eras
+        // (NOTES mechanics #6): a range split (`< 2000` / `>= 2000`)
+        // left era 2 EMPTY at sf0.001 (max key 1499) and the
+        // clustered-insert witness silently false there
         IceLite.createOrReplace(ref,
-          o.filter($"o_orderkey" < 2000).repartition(3),
+          o.filter($"o_orderkey" % 2 === 0).repartition(3),
           statsCols = Seq("o_orderkey"))
         val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
         s.conf.set(s"spark.sql.catalog.$cat",
@@ -2499,7 +2502,7 @@ object ScalePack extends Pack {
           m1.declaredSortedBy.contains("o_orderkey") &&
           m1.current.sortedBy.isEmpty
         // era 2 lands through SQL, steered by the declaration
-        o.filter($"o_orderkey" >= 2000).createOrReplaceTempView("d89_e2")
+        o.filter($"o_orderkey" % 2 === 1).createOrReplaceTempView("d89_e2")
         s.sql(s"INSERT INTO $cat.src.orders_ordered SELECT * FROM d89_e2")
         val m2 = IceLite.readManifest(ref).current
         val era2 = m2.files.filterNot(filesBefore)
