@@ -2625,31 +2625,43 @@ object ScalePack extends Pack {
     // through). Metadata-only CAS commits like every ALTER; carried by
     // every later commit; and NOT merely cosmetic: the honored
     // `read.split.target-size` key feeds the connector's split planner
-    // (option > property > default, where the default also applies the
-    // bytes-per-core fan-out rule), witnessed here by the same
-    // 100-file table planning MORE input partitions under a tiny
-    // property than under the default. At 100 TB properties are how a
-    // table owner tunes scan parallelism for every engine at once —
-    // one pointer-sized commit, no job config to distribute.
+    // (option > property > default), witnessed here by the same
+    // 40-file table planning MORE input partitions under a 1 KiB
+    // property than under a 1 GiB one. Both regimes are EXPLICIT
+    // properties, which bypass the core-count-dependent bytes-per-core
+    // default rule — a witness that compares against an
+    // environment-derived default must pin the environment or not
+    // compare against the default (the r12 lesson: 40 files at 32
+    // cores already planned one file per bin by DEFAULT, so
+    // default-vs-tiny stopped discriminating). At 100 TB properties
+    // are how a table owner tunes scan parallelism for every engine
+    // at once — one pointer-sized commit, no job config to distribute.
     Decl("d82_table_properties",
       (s, dir) => {
         import graft.icelite.TableRef
         val wh = Files.createTempDirectory("graft_d82").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "props")
-        val o = Tables.load(s, dir, "orders")
-          .select($"o_orderkey", $"o_totalprice").filter($"o_orderkey" < 1000)
-        // 40 tiny files: the smallest spray where the default
-        // bytes-per-core split rule and an explicit 1KB property
-        // target still land on DIFFERENT partition counts (the
-        // split_honored discrimination) — 100 files proved the same
-        // thing at 2.5× the write cost
-        IceLite.createOrReplace(ref, o.repartition(40))
+        // synthetic fixture: the witness output is SHOW TBLPROPERTIES
+        // literals, so the table's CONTENT is irrelevant — a range
+        // avoids two parquet scans of orders per run
+        val o = s.range(1000).select($"id".as("o_orderkey"),
+          ($"id" * 1.0).as("o_totalprice"))
+        // 8 tiny files, each charged max(size, openCost=4 MiB) at
+        // packing: a 1 GiB explicit target packs all 8 into ONE bin,
+        // a 1 KiB target overflows on every file → 8 bins. Explicit
+        // targets skip the parallelism heuristic, so the comparison
+        // holds at any core count — unlike the r12 default-vs-property
+        // witness, which needed a big spray AND still broke at 32
+        // cores; two explicit regimes discriminate with any ≥2 files.
+        IceLite.createOrReplace(ref, o.repartition(8))
         val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
         s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.sources.IceLiteCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-        val partsDefault = s.sql(s"SELECT * FROM $cat.src.props")
+        s.sql(s"""ALTER TABLE $cat.src.props SET TBLPROPERTIES (
+          'read.split.target-size' = '1073741824')""")
+        val partsHuge = s.sql(s"SELECT * FROM $cat.src.props")
           .rdd.getNumPartitions
         s.sql(s"""ALTER TABLE $cat.src.props SET TBLPROPERTIES (
           'table.owner' = 'graft', 'note' = 'tmp',
@@ -2659,7 +2671,7 @@ object ScalePack extends Pack {
           .rdd.getNumPartitions
         s.sql(s"SHOW TBLPROPERTIES $cat.src.props")
           .select($"key", $"value")
-          .withColumn("split_honored", lit(partsTiny > partsDefault))
+          .withColumn("split_honored", lit(partsTiny > partsHuge))
           .withColumn("survives_commits", lit {
             IceLite.append(ref, o.limit(5))
             IceLite.readManifest(ref).properties.get("table.owner").contains("graft")
