@@ -2555,7 +2555,9 @@ object ScalePack extends Pack {
     // the join (Iceberg's headline SPJ case; the reference ships the
     // Spark+Iceberg pairing that does exactly this). Witnessed by
     // the executed plan: SortMergeJoin with no hash exchange under
-    // it, values oracle-checked against the plain join.
+    // it, values oracle-checked against the plain join. r13 adds the
+    // truncate leg: two truncate(4, s) prefix layouts join
+    // exchange-free too (string keys; width-family function).
     Decl("d90_bucket_spj",
       (s, dir) => {
         import graft.icelite.{PartitionField, TableRef}
@@ -2599,12 +2601,36 @@ object ScalePack extends Pack {
           // collect under the SPJ confs (the returned frame executes
           // after the finally restores them — d46's pattern)
           val r = q.collect()(0)
+          // r13: the truncate leg — two truncate(4, s) prefix layouts
+          // join exchange-free through the width-family function
+          // ("truncate4"; Spark admits single-reference transforms
+          // only, so the width lives in the name). Value-exact: the
+          // join count is fixed by construction (every 3rd key).
+          val keysDf = s.range(2000).select(
+            format_string("g%03d-item%d", $"id" % 25, $"id").as("s"),
+            $"id")
+          IceLite.createOrReplaceTransformed(TableRef(wh, "src", "tr_a"),
+            keysDf.select($"s", ($"id" * 2.0).as("va")),
+            Seq(PartitionField("s_pfx", "truncate", "s", 4)))
+          IceLite.createOrReplaceTransformed(TableRef(wh, "src", "tr_b"),
+            keysDf.filter($"id" % 3 === 0)
+              .select($"s".as("bs"), ($"id" + 1.0).as("vb")),
+            Seq(PartitionField("bs_pfx", "truncate", "bs", 4)))
+          val qt = s.sql(
+            s"""SELECT COUNT(*) AS n FROM $cat.src.tr_a JOIN $cat.src.tr_b
+                ON s = bs""")
+          val planT = qt.queryExecution.executedPlan.toString
+          val truncNoShuffle = planT.contains("SortMergeJoin") &&
+            !planT.split("SortMergeJoin").last
+              .contains("Exchange hashpartitioning") &&
+            qt.collect()(0).getLong(0) == 667L
           s.createDataFrame(
             java.util.Arrays.asList(org.apache.spark.sql.Row(
-              r.getLong(0), r.getDouble(1), r.getDouble(2), noShuffle)),
+              r.getLong(0), r.getDouble(1), r.getDouble(2), noShuffle,
+              truncNoShuffle)),
             org.apache.spark.sql.types.StructType.fromDDL(
               "n BIGINT, sum_qty DOUBLE, sum_price DOUBLE, " +
-                "spj_no_shuffle BOOLEAN"))
+                "spj_no_shuffle BOOLEAN, truncate_spj_no_shuffle BOOLEAN"))
         } finally {
           bucketingWas.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
             s.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
@@ -2616,7 +2642,7 @@ object ScalePack extends Pack {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-             TRUE AS spj_no_shuffle
+             TRUE AS spj_no_shuffle, TRUE AS truncate_spj_no_shuffle
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              WHERE l_orderkey < 6000""")),
 
@@ -2626,7 +2652,7 @@ object ScalePack extends Pack {
     // every later commit; and NOT merely cosmetic: the honored
     // `read.split.target-size` key feeds the connector's split planner
     // (option > property > default), witnessed here by the same
-    // 40-file table planning MORE input partitions under a 1 KiB
+    // 8-file table planning MORE input partitions under a 1 KiB
     // property than under a 1 GiB one. Both regimes are EXPLICIT
     // properties, which bypass the core-count-dependent bytes-per-core
     // default rule — a witness that compares against an

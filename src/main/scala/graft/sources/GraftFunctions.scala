@@ -49,10 +49,23 @@ trait GraftFunctionCatalog
 }
 
 object GraftFunctions {
-  val names: Seq[String] = Seq("bucket", "days", "months", "years", "hours")
+  val names: Seq[String] =
+    Seq("bucket", "truncate", "days", "months", "years", "hours")
+
+  // the width-family names the scan reports for SPJ ("truncate4" =
+  // prefix-4): Spark's KeyGroupedPartitioning supports only
+  // single-reference transforms (physical.KeyGroupedPartitioning.
+  // supportsExpressions; only `bucket` gets its literal lifted into
+  // numBucketsOpt), so the width must live in the NAME, not an
+  // argument — which also makes cross-width co-location impossible
+  // by construction (different names never resolve equal functions)
+  private val TruncateN = "truncate([0-9]+)".r
 
   def load(name: String): Option[UnboundFunction] = name match {
     case "bucket" => Some(BucketUnbound)
+    case "truncate" => Some(TruncateUnbound)
+    case TruncateN(w) if w.toInt >= 1 =>
+      Some(new TruncateWidthUnbound(w.toInt))
     case "days" | "months" | "years" | "hours" => Some(new TimeUnbound(name))
     case _ => None
   }
@@ -146,6 +159,83 @@ object GraftFunctions {
       }
       Integer.valueOf(timeKey(transform, zdt))
     }
+  }
+
+  /** truncate(width, col) over a STRING column — the write layout's
+    * `substring(col, 1, width)` prefix (IceLite.transformExpr), the
+    * key two truncate-partitioned tables co-locate on. String keys
+    * only: the write path derives non-string truncate dirs through a
+    * string CAST, whose rendering has no typed function twin — a
+    * non-string side must not pretend to co-locate (NOTES #55's rule:
+    * the function must BE the layout's derivation, exactly). An
+    * equi-join on the source column implies equal prefixes, so the
+    * prefix IS a co-location key for equality joins — same shape
+    * Iceberg's SparkFunctions serves. */
+  object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(width, col) — the write layout's string-prefix key"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate takes (width int, value), got ${inputType.catalogString}")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"truncate's first argument is the int width, got " +
+          inputType.fields(0).dataType.catalogString)
+      require(inputType.fields(1).dataType == StringType,
+        "truncate co-location is served for string keys only (the " +
+          "write layout casts non-strings before prefixing; that cast " +
+          "has no exact typed twin)")
+      TruncateBound
+    }
+  }
+
+  object TruncateBound
+    extends ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate(string)"
+    override def produceResult(input: InternalRow)
+        : org.apache.spark.unsafe.types.UTF8String = {
+      val w = input.getInt(0)
+      // substringSQL = Spark's `substring(col, 1, w)` — code-point
+      // positions, the exact write-side expression
+      if (input.isNullAt(1)) null
+      else input.getUTF8String(1).substringSQL(1, w)
+    }
+  }
+
+  /** The SPJ face of truncate: `truncate<w>(col)` with the width in
+    * the function NAME (see [[TruncateN]] — Spark's key-grouped
+    * partitioning admits single-reference transforms only). Same
+    * string-prefix semantics as [[TruncateBound]]. */
+  final class TruncateWidthUnbound(width: Int) extends UnboundFunction {
+    override def name(): String = s"truncate$width"
+    override def description(): String =
+      s"truncate$width(col) — the write layout's $width-char string prefix"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"truncate$width takes one string argument, got " +
+          inputType.catalogString)
+      require(inputType.fields(0).dataType == StringType,
+        "truncate co-location is served for string keys only (the " +
+          "write layout casts non-strings before prefixing; that cast " +
+          "has no exact typed twin)")
+      new TruncateWidthBound(width)
+    }
+  }
+
+  final class TruncateWidthBound(width: Int)
+    extends ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = s"truncate$width"
+    override def canonicalName(): String = s"graft.truncate($width, string)"
+    override def produceResult(input: InternalRow)
+        : org.apache.spark.unsafe.types.UTF8String =
+      if (input.isNullAt(0)) null
+      else input.getUTF8String(0).substringSQL(1, width)
   }
 
   object BucketUnbound extends UnboundFunction {

@@ -2187,18 +2187,24 @@ class IceLiteScan(ref: TableRef, required: StructType,
       partitionCols.forall(partFields.contains)
 
   /** d90: transform layouts are key-groupable too — when every spec
-    * field is a KEYABLE transform (`bucket`, `days`, `months`,
-    * `years`, `hours` — each with a FunctionCatalog twin so Catalyst
-    * can resolve and match both sides), every planned file carries
-    * its derived dir (no pre-spec era), and the scan outputs every
-    * source column (the transform expression resolves against the
-    * relation output). `truncate` stays unreported (no function —
-    * string-prefix joins are not a co-location shape). */
-  private val spjTransforms = Set("bucket", "days", "months", "years", "hours")
+    * field is a KEYABLE transform (`bucket`, `truncate`, `days`,
+    * `months`, `years`, `hours` — each with a FunctionCatalog twin so
+    * Catalyst can resolve and match both sides), every planned file
+    * carries its derived dir (no pre-spec era), and the scan outputs
+    * every source column (the transform expression resolves against
+    * the relation output). `truncate` is served for STRING source
+    * columns only: the write layout prefixes a string CAST for other
+    * types and that cast has no exact typed function twin
+    * ([[GraftFunctions.TruncateUnbound]]). */
+  private val spjTransforms =
+    Set("bucket", "truncate", "days", "months", "years", "hours")
 
   private def transformKeyed: Boolean =
     rowOp.isEmpty && partitionCols.isEmpty && tfSpecFields.nonEmpty &&
       tfSpecFields.forall(f => spjTransforms.contains(f.transform)) &&
+      tfSpecFields.forall(f => f.transform != "truncate" ||
+        required.fields.find(_.name == f.sourceCol)
+          .exists(_.dataType == org.apache.spark.sql.types.StringType)) &&
       tfSpecFields.forall(f => required.fieldNames.contains(f.sourceCol)) && {
         val files = staticPruned
         // an EMPTIED/fully-pruned scan declines: a 0-partition
@@ -2236,6 +2242,13 @@ class IceLiteScan(ref: TableRef, required: StructType,
       new KeyGroupedPartitioning(
         tfSpecFields.map(f => (f.transform match {
           case "bucket" => Expressions.bucket(f.param, f.sourceCol)
+          // width-in-the-name single-arg form ("truncate4"): Spark's
+          // KeyGroupedPartitioning admits only single-reference
+          // transforms (bucket alone gets its literal lifted into
+          // numBucketsOpt), and the width-family name makes
+          // cross-width co-location impossible by construction
+          case "truncate" => Expressions.apply(s"truncate${f.param}",
+            Expressions.column(f.sourceCol))
           case "days"   => Expressions.days(f.sourceCol)
           case "months" => Expressions.months(f.sourceCol)
           case "years"  => Expressions.years(f.sourceCol)
@@ -2414,11 +2427,15 @@ class IceLiteScan(ref: TableRef, required: StructType,
           else if (keyedByTransform)
             // transformKeyed guarantees every file carries its dirs,
             // so the group key is never null; dir values convert to
-            // the ints the transform functions produce
+            // the keys the transform functions produce (ints for
+            // bucket/time, the prefix string itself for truncate)
             IceLiteTransformKeyedPartition(fs,
               tfSpecFields.zip(partVals).map { case (fld, v) =>
-                if (fld.transform == "bucket") v.toInt
-                else GraftFunctions.dirTimeKey(fld.transform, v)
+                fld.transform match {
+                  case "bucket"   => v.toInt
+                  case "truncate" => v
+                  case t => GraftFunctions.dirTimeKey(t, v)
+                }
               }, tombs, eq, eqAdded): InputPartition
           else IceLiteInputPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
         }
@@ -2491,20 +2508,25 @@ case class IceLiteKeyedPartition(files: Seq[String],
 }
 
 /** d90: a split of a keyable-transform layout that knows its derived
-  * key tuple. The key row holds INTs (the transform functions'
-  * result types — bucket/months/years/hours IntegerType, days
-  * DateType's int form; Spark orders and matches key rows by the
-  * reported expressions' types); `partVals` stays EMPTY because
-  * hidden-partition dirs are never emitted as columns (the source
-  * columns live in the data pages). */
+  * key tuple. The key row holds the transform functions' RESULT
+  * values — bucket/months/years/hours IntegerType ints, days
+  * DateType's int form, truncate's prefix as a plain String
+  * (converted to UTF8String at key time — the split is
+  * task-serialized and String travels safely; Spark orders and
+  * matches key rows by the reported expressions' types);
+  * `partVals` stays EMPTY because hidden-partition dirs are never
+  * emitted as columns (the source columns live in the data pages). */
 case class IceLiteTransformKeyedPartition(files: Seq[String],
-    keyVals: Seq[Int],
+    keyVals: Seq[Any],
     tombstones: Map[String, Array[Long]] = Map.empty,
     eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
     fileAddedAt: Map[String, Long] = Map.empty) extends IceLitePartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partVals: Seq[String] = Nil
-  override def partitionKey(): InternalRow = InternalRow.fromSeq(keyVals)
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(keyVals.map {
+    case s: String => UTF8String.fromString(s)
+    case v => v
+  })
 }
 
 /** Streaming offset = the snapshot id the stream has consumed up to

@@ -743,6 +743,104 @@ class PartitionTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("truncate-transform SPJ: prefix layouts join with zero exchanges, " +
+    "one-side shuffle is value-exact, non-string keys decline") {
+    // truncate(w, s) IS a co-location shape for equi-joins: equal
+    // join keys imply equal prefixes, so two truncate-laid-out
+    // tables co-schedule per prefix — the same seam d90 built for
+    // bucket, served by GraftFunctions.truncate (the write layout's
+    // substring). String keys only: the layout prefixes a string
+    // CAST for other types, which has no exact typed function twin.
+    val wh = Files.createTempDirectory("pt_trspj").toString
+    IceLite.createNamespace(wh, "src")
+    val keys = (0L until 3000L).map(i => f"g${i % 25}%03d-item$i")
+    IceLite.createOrReplaceTransformed(TableRef(wh, "src", "ta"),
+      keys.zipWithIndex.map { case (k, i) => (k, i * 2.0) }.toDF("s", "va")
+        .repartition(4),
+      Seq(PartitionField("s_pfx", "truncate", "s", 4)))
+    IceLite.createOrReplaceTransformed(TableRef(wh, "src", "tb"),
+      keys.zipWithIndex.collect { case (k, i) if i % 3 == 0 => (k, i + 1.0) }
+        .toDF("bs", "vb"),
+      Seq(PartitionField("bs_pfx", "truncate", "bs", 4)))
+    val cat = s"pttr_${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // zero-exchange join of two truncate(4) layouts
+      val q = spark.sql(
+        s"""SELECT COUNT(*) AS n, CAST(SUM(va * vb) AS DOUBLE) AS s
+            FROM $cat.src.ta JOIN $cat.src.tb ON s = bs""")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") &&
+        !plan.split("SortMergeJoin").last.contains("Exchange hashpartitioning"),
+        s"truncate SPJ must not shuffle:\n$plan")
+      val r = q.head()
+      val expect = (0L until 3000L by 3).map(i => i * 2.0 * (i + 1.0)).sum
+      assert(r.getLong(0) == 1000L && r.getDouble(1) == expect,
+        s"truncate SPJ joined wrong rows: n=${r.getLong(0)}")
+
+      // composes with static pruning: a pushed key equality narrows
+      // both sides to one prefix dir and stays exchange-free
+      val p = spark.sql(
+        s"""SELECT COUNT(*) AS n FROM $cat.src.ta JOIN $cat.src.tb
+            ON s = bs WHERE s = 'g000-item0'""")
+      assert(!p.queryExecution.executedPlan.toString
+        .split("SortMergeJoin").last.contains("Exchange hashpartitioning"))
+      assert(p.head().getLong(0) == 1L)
+      val planned = graft.sources.IceLiteSource.lastPlannedFiles
+      val dirs = planned.flatMap(_.split('/')
+        .find(_.matches("(s|bs)_pfx=.*"))).distinct
+      assert(planned.nonEmpty && dirs.size == 1,
+        s"pruned truncate SPJ still planned: ${planned.mkString(",")}")
+
+      // one-side shuffle INTO the prefix layout executes
+      // GraftFunctions.TruncateBound per row — the value check is
+      // the end-to-end proof it equals the write-side substring
+      val plainDir = Files.createTempDirectory("pt_trspj_plain").toString
+      keys.zipWithIndex.collect { case (k, i) if i % 5 == 0 => (k, i - 1.0) }
+        .toDF("ps", "pv").write.mode("overwrite").parquet(plainDir)
+      spark.read.parquet(plainDir).createOrReplaceTempView("pt_trspj_dim")
+      val q1 = spark.sql(
+        s"""SELECT COUNT(*) AS n, CAST(SUM(va * pv) AS DOUBLE) AS s
+            FROM $cat.src.ta JOIN pt_trspj_dim ON s = ps""")
+      val p1 = q1.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(p1.split("SortMergeJoin").last).size
+      assert(p1.contains("SortMergeJoin") && exchanges == 1,
+        s"expected one-side shuffle ($exchanges exchanges):\n$p1")
+      val r1 = q1.head()
+      val expect1 = (0L until 3000L by 5).map(i => i * 2.0 * (i - 1.0)).sum
+      assert(r1.getLong(0) == 600L && r1.getDouble(1) == expect1,
+        s"one-side-shuffle truncate SPJ joined wrong rows: ${r1.getLong(0)}")
+
+      // non-string truncate keys DECLINE: the layout prefixes a
+      // string cast, so the scan must not claim co-location
+      IceLite.createOrReplaceTransformed(TableRef(wh, "src", "na"),
+        (0L until 400L).map(k => (k, k * 2.0)).toDF("k", "va"),
+        Seq(PartitionField("k_pfx", "truncate", "k", 2)))
+      IceLite.createOrReplaceTransformed(TableRef(wh, "src", "nb"),
+        (0L until 400L by 2).map(k => (k, k + 1.0)).toDF("bk", "vb"),
+        Seq(PartitionField("bk_pfx", "truncate", "bk", 2)))
+      val qn = spark.sql(
+        s"""SELECT COUNT(*) AS n FROM $cat.src.na JOIN $cat.src.nb
+            ON k = bk""")
+      assert(qn.queryExecution.executedPlan.toString
+        .split("SortMergeJoin").last.contains("Exchange hashpartitioning"),
+        "non-string truncate layout must pay the exchange, not mis-co-locate")
+      assert(qn.head().getLong(0) == 200L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    }
+  }
+
   test("transformAllowedSegs: literal canonicalization and the decline contract") {
     val fDays = PartitionField("ts_day", "days", "ts", 0)
     val fHours = PartitionField("ts_hour", "hours", "ts", 0)
