@@ -48,6 +48,54 @@ final case class ColStats(col: String, min: Double, max: Double)
 final case class PartitionField(name: String, transform: String,
     sourceCol: String, param: Int = 0)
 
+/** d89 (r13): one write-order key with direction. A whole order is an
+  * ordered key LIST, encoded in the manifest's single legacy string
+  * field as `"c1 DESC,c2"` — a legacy single-column marker (`"c1"`)
+  * parses unchanged as one ascending key, so pre-r13 manifests read
+  * without migration. Directions matter to write-steering (range
+  * clustering + in-file order) and to the layout claims
+  * (layout-preserving rewrites re-cluster by the SAME order); stats
+  * pruning reads per-file [min,max], which is direction-agnostic. */
+final case class SortKey(col: String, asc: Boolean) {
+  def render: String = if (asc) col else s"$col DESC"
+}
+
+object SortKey {
+  /** Parse an encoded order ("a DESC, b ASC, c") — loud on anything
+    * that is not `col [ASC|DESC]` per comma-separated token. */
+  def parse(enc: String): Seq[SortKey] =
+    enc.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { t =>
+      t.split("\\s+") match {
+        case Array(c) => SortKey(stripTicks(c), asc = true)
+        case Array(c, d) if d.equalsIgnoreCase("asc") =>
+          SortKey(stripTicks(c), asc = true)
+        case Array(c, d) if d.equalsIgnoreCase("desc") =>
+          SortKey(stripTicks(c), asc = false)
+        case _ => throw new IllegalArgumentException(
+          s"unparseable sort key '$t' (expected: col [ASC|DESC])")
+      }
+    }.toSeq
+
+  private def stripTicks(c: String): String =
+    c.stripPrefix("`").stripSuffix("`")
+
+  def render(keys: Seq[SortKey]): String = keys.map(_.render).mkString(",")
+
+  /** Canonical form — the one the manifest stores ("a DESC,b"). */
+  def canon(enc: String): String = render(parse(enc))
+
+  /** The columns of an (optional) encoded marker, in order. */
+  def cols(marker: Option[String]): Seq[String] =
+    marker.toSeq.flatMap(parse).map(_.col)
+
+  /** Directed Columns for repartitionByRange / sortWithinPartitions. */
+  def exprs(enc: String): Seq[org.apache.spark.sql.Column] =
+    parse(enc).map { k =>
+      val c = org.apache.spark.sql.functions.col(k.col)
+      if (k.asc) c.asc else c.desc
+    }
+}
+
 final case class Snapshot(
     id: Long,
     timestampMs: Long,
@@ -1643,9 +1691,12 @@ object IceLite {
             m.current.fileStats ++ stats,
             // d54's rule on the API face: the sort marker survives an
             // append only when the writer range-clustered on the
-            // TABLE's own sort key (appendSorted passes it); any
-            // other append drops it honestly
-            sortedBy = m.current.sortedBy.filter(keepSortedOn.contains),
+            // TABLE's own sort ORDER (appendSorted passes it); any
+            // other append drops it honestly. Canonical compare —
+            // "a desc, b" and "a DESC,b" are the same order.
+            sortedBy = m.current.sortedBy.filter(mk =>
+              keepSortedOn.exists(k =>
+                SortKey.canon(k) == SortKey.canon(mk))),
             summary = summary,
             fileRows = m.current.fileRows ++ rowsByFile,
             deleteFiles = m.current.deleteFiles, // live sidecars survive appends
@@ -2498,9 +2549,9 @@ object IceLite {
       stageTransformed(ref, df, layoutOf.partitionSpec)
     else layoutOf.sortedBy match {
       case Some(sc) =>
-        val c = org.apache.spark.sql.functions.col(sc)
-        stage(ref, df.repartitionByRange(math.max(1, numFiles), c)
-          .sortWithinPartitions(c))
+        val cs = SortKey.exprs(sc)
+        stage(ref, df.repartitionByRange(math.max(1, numFiles), cs: _*)
+          .sortWithinPartitions(cs: _*))
       case None => stage(ref, df)
     }
 
@@ -2590,17 +2641,20 @@ object IceLite {
       numFiles: Int, statsCols: Seq[String] = Nil): Snapshot = {
     require(numFiles >= 1, "numFiles must be >= 1")
     Files.createDirectories(ref.dataDir)
-    val c = org.apache.spark.sql.functions.col(sortCol)
-    val shaped = df.repartitionByRange(numFiles, c).sortWithinPartitions(c)
+    // `sortCol` accepts a whole encoded order ("a DESC, b") — a bare
+    // column name parses as one ascending key (r13)
+    val cs = SortKey.exprs(sortCol)
+    val shaped =
+      df.repartitionByRange(numFiles, cs: _*).sortWithinPartitions(cs: _*)
     val files = stage(ref, shaped)
     val rowsByFile = fileRowCounts(ref, files)
     val stats = collectStats(df.sparkSession, ref, files,
-      (statsCols :+ sortCol).distinct)
+      (statsCols ++ SortKey.cols(Some(sortCol))).distinct)
     commitCAS(ref) { cur =>
       val id = cur.map(_.snapshots.map(_.id).max + 1).getOrElse(1L)
       val op = if (cur.isDefined) "replace" else "create"
       val snap = Snapshot(id, System.currentTimeMillis(), op, files,
-        rowsByFile.values.sum, stats, Nil, Some(sortCol),
+        rowsByFile.values.sum, stats, Nil, Some(SortKey.canon(sortCol)),
         fileRows = rowsByFile)
       // copy from cur, never rebuild positionally — a rebuilt Manifest
       // would silently drop fields like `branches` (bitten: WAP)
@@ -2625,9 +2679,13 @@ object IceLite {
   def appendSorted(ref: TableRef, df: DataFrame, sortCol: String,
       numFiles: Int, statsCols: Seq[String] = Nil): Snapshot = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    val c = org.apache.spark.sql.functions.col(sortCol)
-    append(ref, df.repartitionByRange(numFiles, c).sortWithinPartitions(c),
-      (statsCols :+ sortCol).distinct, keepSortedOn = Some(sortCol))
+    // `sortCol` accepts a whole encoded order ("a DESC, b") — a bare
+    // column name parses as one ascending key (r13)
+    val cs = SortKey.exprs(sortCol)
+    append(ref,
+      df.repartitionByRange(numFiles, cs: _*).sortWithinPartitions(cs: _*),
+      (statsCols ++ SortKey.cols(Some(sortCol))).distinct,
+      keepSortedOn = Some(sortCol))
   }
 
   /** Compaction — Iceberg's `rewrite_data_files` role. Rewrites the
@@ -2708,9 +2766,10 @@ object IceLite {
           // here and absent from the new snapshot — compaction is
           // the delete materializer (d47)
           case Some(sc) =>
-            val c = org.apache.spark.sql.functions.col(sc)
+            val cs = SortKey.exprs(sc)
             stage(ref, readFilesWithDeletes(spark, ref, cur, cur.files)
-              .repartitionByRange(targetFiles, c).sortWithinPartitions(c))
+              .repartitionByRange(targetFiles, cs: _*)
+              .sortWithinPartitions(cs: _*))
           case None =>
             stage(ref, readFilesWithDeletes(spark, ref, cur, cur.files)
               .repartition(targetFiles))
@@ -2828,9 +2887,9 @@ object IceLite {
     val df = readFiles(spark, ref, selected)
     val staged = snap.sortedBy match {
       case Some(sc) =>
-        val c = org.apache.spark.sql.functions.col(sc)
-        stage(ref, df.repartitionByRange(targetFiles, c)
-          .sortWithinPartitions(c))
+        val cs = SortKey.exprs(sc)
+        stage(ref, df.repartitionByRange(targetFiles, cs: _*)
+          .sortWithinPartitions(cs: _*))
       case None => stage(ref, df.repartition(targetFiles))
     }
     commitReplace(ref, selected.toSet, staged, "compact-range")
@@ -3817,10 +3876,10 @@ object IceLite {
       require(!m.current.partitionCols.contains(from),
         s"$from partitions ${ref.name} — its directory layout is keyed " +
           "by the stored name")
-      require(!m.current.sortedBy.contains(from),
+      require(!SortKey.cols(m.current.sortedBy).contains(from),
         s"$from is ${ref.name}'s sort key — pruning stats are keyed by " +
           "the stored name")
-      require(!m.declaredSortedBy.contains(from),
+      require(!SortKey.cols(m.declaredSortedBy).contains(from),
         s"$from is ${ref.name}'s DECLARED write order (WRITE ORDERED BY) " +
           "— renaming it would strand the declaration; WRITE UNORDERED first")
       require(!m.current.partitionSpec.exists(f =>
@@ -3851,10 +3910,10 @@ object IceLite {
       require(!m.current.partitionCols.contains(colName),
         s"$colName partitions ${ref.name} — dropping it would orphan " +
           "the directory layout")
-      require(!m.current.sortedBy.contains(colName),
+      require(!SortKey.cols(m.current.sortedBy).contains(colName),
         s"$colName is ${ref.name}'s sort key — dropping it would " +
           "invalidate the clustered layout and its pruning stats")
-      require(!m.declaredSortedBy.contains(colName),
+      require(!SortKey.cols(m.declaredSortedBy).contains(colName),
         s"$colName is ${ref.name}'s DECLARED write order (WRITE ORDERED " +
           "BY) — dropping it would break the next INSERT and compact(); " +
           "WRITE UNORDERED first")
@@ -3897,8 +3956,8 @@ object IceLite {
         s"$colName has rename history in ${ref.name} — widen before " +
           "renaming, not after (the widen ledger is keyed by one name)")
       require(!m.current.partitionCols.contains(colName) &&
-          !m.current.sortedBy.contains(colName) &&
-          !m.declaredSortedBy.contains(colName) &&
+          !SortKey.cols(m.current.sortedBy).contains(colName) &&
+          !SortKey.cols(m.declaredSortedBy).contains(colName) &&
           !m.current.partitionSpec.exists(f =>
             f.sourceCol == colName || f.name == colName),
         s"$colName keys ${ref.name}'s layout (partition/sort/transform) " +
@@ -4158,7 +4217,7 @@ object IceLite {
                 operation = "unorder", sortedBy = None,
                 parentId = Some(m.current.id)))
           }
-        case Some(c) =>
+        case Some(enc) =>
           require(m.writeLayoutCols.isEmpty && m.writeLayoutSpec.isEmpty &&
             m.current.partitionCols.isEmpty && m.current.partitionSpec.isEmpty,
             s"${ref.name} is partitioned — WRITE ORDERED BY applies to " +
@@ -4168,13 +4227,19 @@ object IceLite {
             s"${ref.name} has live MoR delete sidecars — compact() " +
               "before WRITE ORDERED BY (the sorted era starts from a " +
               "physical baseline)")
+          // r13: the declaration is an ordered key LIST with per-key
+          // direction ("a DESC, b"); parse loudly, store canonical
+          val keys = SortKey.parse(enc)
+          require(keys.nonEmpty, "WRITE ORDERED BY needs at least one column")
+          require(keys.map(_.col).distinct.size == keys.size,
+            s"duplicate sort column in '$enc'")
           // eager schema check — a bad column fails the DDL, not the
           // next INSERT's staging job (the d83 rule)
           val visible = visibleColNames(ref, m)
-          require(visible.contains(c),
-            s"no column $c in ${ref.name} " +
-              s"(have: ${visible.toSeq.sorted.mkString(", ")})")
-          m.copy(declaredSortedBy = Some(c))
+          keys.foreach(k => require(visible.contains(k.col),
+            s"no column ${k.col} in ${ref.name} " +
+              s"(have: ${visible.toSeq.sorted.mkString(", ")})"))
+          m.copy(declaredSortedBy = Some(SortKey.render(keys)))
       }
     }
     ()

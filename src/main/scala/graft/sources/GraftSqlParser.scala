@@ -46,14 +46,18 @@ class GraftSqlParser(spark: SparkSession,
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(\w+)\s*\(\s*([^)]+)\s*\)\s*;?\s*$""".r
   private val DropPartTransformRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(\w+)\s*\(\s*([^)]+)\s*\)\s*;?\s*$""".r
-  /** d89: sort-order DDL — `WRITE ORDERED BY col` / `WRITE UNORDERED`
-    * (Iceberg's spark-extensions grammar; stock Spark has neither). */
+  /** d89: sort-order DDL — `WRITE ORDERED BY c1 [ASC|DESC][, c2 …]` /
+    * `WRITE UNORDERED` (Iceberg's spark-extensions grammar; stock
+    * Spark has neither). Multi-column directed orders since r13; the
+    * canonical encoded form ("c1 DESC,c2") travels through the same
+    * string channel the single-column DDL used. */
   private val WriteOrderedRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+`?(\w+)`?\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+""" +
+      """(`?\w+`?(?:\s+(?:ASC|DESC))?(?:\s*,\s*`?\w+`?(?:\s+(?:ASC|DESC))?)*)\s*;?\s*$""").r
   private val WriteUnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
-  /** Catch-all for the fuller Iceberg grammar (multi-column orders,
-    * ASC/DESC/NULLS modifiers) — recognized and refused with a clear
+  /** Catch-all for the fuller Iceberg grammar (NULLS FIRST/LAST
+    * modifiers, transform keys) — recognized and refused with a clear
     * capability message when the table is ours; the stock delegate's
     * generic syntax error would misdirect the user. */
   private val WriteOrderedAnyRe =
@@ -133,17 +137,21 @@ class GraftSqlParser(spark: SparkSession,
     }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case WriteOrderedRe(ident, col) =>
-      writeOrderCommand(ident, Some(col))
+    case WriteOrderedRe(ident, order) =>
+      // canonicalize ("a desc , `b`" → "a DESC,b") at the parse seam
+      // so every downstream consumer sees one rendering
+      writeOrderCommand(ident,
+          Some(graft.icelite.SortKey.canon(order)))
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))
     case WriteUnorderedRe(ident) =>
       writeOrderCommand(ident, None)
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))
     case WriteOrderedAnyRe(ident, order) if writeOrderCommand(ident, None).isDefined =>
       throw new UnsupportedOperationException(
-        s"WRITE ORDERED BY $order: this catalog supports a single " +
-          "ascending column only (no column lists, ASC/DESC or NULLS " +
-          "modifiers) — e.g. ALTER TABLE t WRITE ORDERED BY c")
+        s"WRITE ORDERED BY $order: this catalog supports plain-column " +
+          "orders with ASC/DESC only (no NULLS FIRST/LAST modifiers, " +
+          "no transform keys) — e.g. ALTER TABLE t WRITE ORDERED BY " +
+          "c1 DESC, c2")
     case AddPartTransformRe(ident, transform, args) =>
       partTransformCommand(ident, transform, args)
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))

@@ -699,6 +699,14 @@ private[graft] object IceLiteWriteLayout {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
+  /** The declared order as V2 sort expressions — the marker string
+    * encodes a whole directed key list ("a DESC,b"; r13). */
+  private def sortOrders(enc: String): Array[SortOrder] =
+    graft.icelite.SortKey.parse(enc).map(k =>
+      Expressions.sort(Expressions.column(k.col),
+        if (k.asc) SortDirection.ASCENDING
+        else SortDirection.DESCENDING): SortOrder).toArray
+
   def distributionFor(partCols: Seq[String],
       sortCol: Option[String]): Distribution =
     if (partCols.nonEmpty)
@@ -706,15 +714,13 @@ private[graft] object IceLiteWriteLayout {
         Expressions.identity(c): org.apache.spark.sql.connector
           .expressions.Expression).toArray)
     else sortCol match {
-      case Some(c) => Distributions.ordered(Array(
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+      case Some(enc) => Distributions.ordered(sortOrders(enc))
       case None => Distributions.unspecified()
     }
 
   def orderingFor(partCols: Seq[String],
       sortCol: Option[String]): Array[SortOrder] = sortCol match {
-    case Some(c) if partCols.isEmpty => Array(
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+    case Some(enc) if partCols.isEmpty => sortOrders(enc)
     case _ => Array.empty
   }
 }

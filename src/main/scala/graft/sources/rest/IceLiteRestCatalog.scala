@@ -614,10 +614,11 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
       val df = snap.sortedBy match {
         case Some(c) =>
           // preserve the sort layout: range-partition + sort keeps the
-          // non-overlapping file ranges pruning relies on (d54)
-          df0.repartitionByRange(targetFiles,
-              org.apache.spark.sql.functions.col(c))
-            .sortWithinPartitions(org.apache.spark.sql.functions.col(c))
+          // non-overlapping file ranges pruning relies on (d54);
+          // the marker encodes a directed key list (r13)
+          val cs = graft.icelite.SortKey.exprs(c)
+          df0.repartitionByRange(targetFiles, cs: _*)
+            .sortWithinPartitions(cs: _*)
         case None => df0.repartition(targetFiles)
       }
       val files = IceLite.stageFor(spool, df)

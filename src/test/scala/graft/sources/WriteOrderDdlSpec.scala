@@ -124,19 +124,94 @@ class WriteOrderDdlSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE $cat.src.f ADD PARTITION FIELD bucket(4, k)")
     assert(IceLite.readManifest(flat).declaredSortedBy.isEmpty,
       "the partitioned era must not inherit a flat sort declaration")
-    // the fuller Iceberg grammar (column lists, ASC/DESC) is
-    // recognized and refused with a capability message — not the
+    // column lists and ASC/DESC are SUPPORTED since r13 (see the
+    // multi-column lifecycle test); the still-unsupported NULLS
+    // modifiers refuse with a capability message — not the
     // delegate's generic syntax error
     val g = TableRef(wh, "src", "g")
     IceLite.createOrReplace(g, (1L to 10L).map(k => (k, k)).toDF("a", "b"))
+    spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a, b")
+    assert(IceLite.readManifest(g).declaredSortedBy.contains("a,b"))
+    spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a DESC")
+    assert(IceLite.readManifest(g).declaredSortedBy.contains("a DESC"))
     val e5 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a, b")
+      spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a NULLS FIRST")
     }
-    assert(e5.getMessage.contains("single ascending column"), e5.getMessage)
-    val e6 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a DESC")
+    assert(e5.getMessage.contains("NULLS"), e5.getMessage)
+  }
+
+  test("multi-column DESC order: lifecycle over (d DESC, k), leading-key " +
+    "pruning, canonical keep rule, grammar refusals") {
+    val (cat, wh) = freshCatalog()
+    val ref = TableRef(wh, "src", "mo")
+    // d plays o_orderdate (yyyymmdd int), k the tiebreak key
+    def rows(ks: Range) = ks.map { i =>
+      (20240101L + (i % 40), i.toLong, i * 2.0)
+    }.toDF("d", "k", "v")
+    IceLite.createOrReplace(ref, rows(1 to 2000).repartition(3),
+      statsCols = Seq("d", "k"))
+    val before = IceLite.readManifest(ref).current.files.toSet
+    spark.sql(s"ALTER TABLE $cat.src.mo WRITE ORDERED BY d DESC, k")
+    val m1 = IceLite.readManifest(ref)
+    assert(m1.current.files.toSet == before, "the flip moved bytes")
+    assert(m1.declaredSortedBy.contains("d DESC,k"),
+      s"canonical encoding expected, got ${m1.declaredSortedBy}")
+    assert(m1.current.sortedBy.isEmpty,
+      "the whole-table marker must not land before materialization")
+    // the declaration steers the next INSERT: era-2 files carry
+    // pairwise-disjoint LEADING-key ranges, and rows inside each file
+    // honor d DESC then k ASC
+    rows(2001 to 4000).createOrReplaceTempView("wo_mo_e2")
+    spark.sql(s"INSERT INTO $cat.src.mo SELECT * FROM wo_mo_e2")
+    val m2 = IceLite.readManifest(ref).current
+    val era2 = m2.files.filterNot(before)
+    val ranges = era2.flatMap(f => m2.fileStats.getOrElse(f, Nil)
+      .find(_.col == "d").map(cs => (cs.min, cs.max))).sortBy(_._1)
+    assert(era2.nonEmpty && ranges.size == era2.size)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"era-2 leading-key ranges overlap: $ranges")
+      case _ => ()
     }
-    assert(e6.getMessage.contains("single ascending column"), e6.getMessage)
+    val inFile = spark.read.parquet(
+        ref.dir.resolve(era2.head).toString)
+      .select("d", "k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    inFile.sliding(2).foreach {
+      case Array((d1, k1), (d2, k2)) =>
+        assert(d1 > d2 || (d1 == d2 && k1 <= k2),
+          s"in-file order violates (d DESC, k): ($d1,$k1) then ($d2,$k2)")
+      case _ => ()
+    }
+    // compact materializes the DIRECTED order and earns the marker;
+    // a leading-key range probe prunes (the d10-style witness)
+    IceLite.compact(spark, ref, targetFiles = 4)
+    val m3 = IceLite.readManifest(ref)
+    assert(m3.current.sortedBy.contains("d DESC,k"))
+    assert(spark.sql(
+        s"SELECT count(*) FROM $cat.src.mo WHERE d = 20240105")
+      .head.getLong(0) == 100L)
+    assert(IceLiteSource.lastPlannedFiles.size < m3.current.files.size,
+      "materialized multi-column order must prune leading-key probes")
+    // canonical keep rule on the engine face: an appendSorted on the
+    // SAME order (spelled differently) keeps the marker; a different
+    // order drops it honestly
+    IceLite.appendSorted(ref, rows(4001 to 4100), "d desc , k",
+      numFiles = 2, statsCols = Seq("d", "k"))
+    assert(IceLite.readManifest(ref).current.sortedBy.contains("d DESC,k"),
+      "same order spelled differently must keep the marker")
+    IceLite.appendSorted(ref, rows(4101 to 4200), "d", numFiles = 1)
+    assert(IceLite.readManifest(ref).current.sortedBy.isEmpty,
+      "an append clustered on a DIFFERENT order must drop the marker")
+    // grammar refusals: NULLS modifiers and unknown columns stay loud
+    val g = intercept[UnsupportedOperationException](spark.sql(
+      s"ALTER TABLE $cat.src.mo WRITE ORDERED BY d DESC NULLS LAST"))
+    assert(g.getMessage.contains("NULLS"), g.getMessage)
+    val u = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.src.mo WRITE ORDERED BY d, nope"))
+    assert(u.getMessage.contains("no column nope"), u.getMessage)
+    val dup = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.src.mo WRITE ORDERED BY d, d DESC"))
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
   }
 
   test("a pending declaration blocks rename/drop/widen of its column") {
