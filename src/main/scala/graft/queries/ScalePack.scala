@@ -2818,6 +2818,14 @@ object ScalePack extends Pack {
           .select($"l_suppkey", $"l_extendedprice"))
         IceLite.createOrReplace(dim, Tables.load(s, dir, "supplier")
           .select($"s_suppkey", $"s_nationkey"))
+        // r13 (verdict task #8): the dim goes MoR-LIVE — an eq-delete
+        // sidecar drops suppliers 0–4 — and the join must STILL
+        // auto-broadcast: stats now report the snapshot's exact
+        // logical rowCount under live sidecars instead of omitting
+        // rows (the oracle drops the same suppliers)
+        IceLite.deleteByKeysMoR(s, dim,
+          s.range(5).select($"id".cast("long").as("s_suppkey")),
+          Seq("s_suppkey"))
         val joined = s.read.format("graft.sources.IceLiteSource")
           .load(fact.dir.toString)
           .join(s.read.format("graft.sources.IceLiteSource")
@@ -2834,6 +2842,7 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
              TRUE AS broadcast_planned
              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             WHERE s_suppkey >= 5
              GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
     // d41: METADATA TABLES as SQL identifiers — Iceberg's
@@ -2917,21 +2926,40 @@ object ScalePack extends Pack {
         val ref = IngestJob.tableRef(wh, "lineitem_pgrp")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
-          .select($"l_orderkey", $"l_returnflag")
-        IceLite.createOrReplacePartitioned(ref, l, "l_returnflag",
+          .select($"l_orderkey", $"l_returnflag", $"l_linestatus")
+        // two partition columns so the r13 witness can FILTER one and
+        // GROUP the other — the filtered partition-stats read
+        IceLite.createOrReplacePartitioned(ref,
+          l, Seq("l_returnflag", "l_linestatus"),
           statsCols = Seq("l_orderkey"))
-        val agg = s.read.format("graft.sources.IceLiteSource")
+        val src = s.read.format("graft.sources.IceLiteSource")
           .load(ref.dir.toString)
-          .groupBy($"l_returnflag")
+        val agg = src.groupBy($"l_returnflag")
           .agg(count(lit(1)).as("n"))
           .orderBy($"l_returnflag")
         graft.sources.IceLiteSource.lastScanMetadataOnly = false
         agg.write.format("noop").mode("overwrite").save()
         val pushed = graft.sources.IceLiteSource.lastScanMetadataOnly
-        agg.withColumn("agg_pushed", lit(pushed))
+        // r13 (verdict task #5): a pushed partition-column EQUALITY
+        // composes with the grouped manifest fold — the census is
+        // filtered per-dir before summing, still zero parquet reads
+        val aggF = src.filter($"l_linestatus" === "O")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_o"))
+        graft.sources.IceLiteSource.lastScanMetadataOnly = false
+        aggF.write.format("noop").mode("overwrite").save()
+        val pushedF = graft.sources.IceLiteSource.lastScanMetadataOnly
+        agg.join(aggF, Seq("l_returnflag"), "left")
+          .select($"l_returnflag", $"n",
+            coalesce($"n_o", lit(0L)).as("n_o"))
+          .orderBy($"l_returnflag")
+          .withColumn("agg_pushed", lit(pushed))
+          .withColumn("filtered_agg_pushed", lit(pushedF))
       },
       Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-             TRUE AS agg_pushed
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_o,
+             TRUE AS agg_pushed, TRUE AS filtered_agg_pushed
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // d35: COUNT-based snapshot retention (Iceberg expire_snapshots
@@ -3621,8 +3649,12 @@ object ScalePack extends Pack {
           .createOrReplaceTempView("d68_src")
         s.sql(s"INSERT INTO $cat.src.li_ddl " +
           "SELECT l_orderkey, l_quantity, l_returnflag FROM d68_src")
-        // partition-pruned probe: only flag=R files may be planned
-        s.sql(s"SELECT COUNT(*) FROM $cat.src.li_ddl " +
+        // partition-pruned probe: only flag=R files may be planned.
+        // Row-returning on purpose — a COUNT(*) under a partition
+        // filter folds metadata-only since r13 (d37's composed
+        // pushdown) and plans NO files, which is a stronger property
+        // but not the scan-pruning witness this id pins.
+        s.sql(s"SELECT l_orderkey FROM $cat.src.li_ddl " +
           "WHERE l_returnflag = 'R'").collect()
         val pruned = graft.sources.IceLiteSource.lastPlannedFiles.nonEmpty &&
           graft.sources.IceLiteSource.lastPlannedFiles

@@ -1564,6 +1564,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private var accepted: Array[Filter] = Array.empty
   private var bounds: Map[String, (Double, Double)] = Map.empty
   private var partFilters: Map[String, Set[String]] = Map.empty
+  private var partNotNull: Set[String] = Set.empty
   private var tfFilters: Map[String, Set[Any]] = Map.empty
   private var pushedAggs: Option[(Seq[String], Seq[PushedAgg])] = None
 
@@ -1668,6 +1669,10 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       case LessThan(c, v) => num(v).exists { d => tighten(c, Double.NegativeInfinity, d); true }
       case LessThanOrEqual(c, v) => num(v).exists { d => tighten(c, Double.NegativeInfinity, d); true }
       case EqualTo(c, v: String) if isPartCol(c) => partEq(c, Set(v)); true
+      // IS NOT NULL on a partition column: null rows live in the Hive
+      // null-sentinel dir, so dropping those dirs IS the filter
+      case org.apache.spark.sql.sources.IsNotNull(c) if isPartCol(c) =>
+        partNotNull += c; true
       case In(c, vs) if isPartCol(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         partEq(c, vs.map(_.asInstanceOf[String]).toSet); true
       // hidden-partition transform pruning: equality/IN on a SOURCE
@@ -1684,9 +1689,34 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       case EqualTo(c, v) => num(v).exists { d => tighten(c, d, d); true }
       case _ => false
     }
-    filters // all residual
+    // r13 (d37 completion): partition-column equality/IN over a
+    // UNIFORMLY path-borne column is EXACT — every row of a kept file
+    // carries the dir's value, so file pruning IS row filtering.
+    // Returning those fully-handled (not residual) lets Spark attempt
+    // aggregate pushdown under a partition predicate (the filtered
+    // partition-stats read). Everything else stays residual. Scoped
+    // to plain batch scans: changelog, row-level-operation and
+    // streaming scans keep every filter residual.
+    val plainBatch = !changelog && rowOp.isEmpty &&
+      snapshotsPerTrigger == Int.MaxValue
+    filters.filterNot {
+      case EqualTo(c, _: String) => plainBatch && exactPartCol(c)
+      case In(c, vs) => plainBatch && exactPartCol(c) && vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[String])
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        plainBatch && exactPartCol(c)
+      case _ => false
+    }
   }
   override def pushedFilters(): Array[Filter] = accepted
+
+  /** A partition column whose value is path-borne on EVERY current
+    * file (no mid-evolution era) — the exactness precondition for
+    * claiming its equality/IN filters fully handled. */
+  private def exactPartCol(c: String): Boolean =
+    isPartCol(c) && currentSnap.files.nonEmpty &&
+      currentSnap.files.forall(f =>
+        IceLiteSource.pathPartValues(f).contains(c))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1759,16 +1789,28 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private def translate(agg: Aggregation): Option[(Seq[String], Seq[PushedAgg])] =
     // MoR-live snapshots decline: manifest counts/stats describe the
     // PHYSICAL files, tombstoned/eq-deleted rows included — a
-    // metadata-only answer would resurrect them (d50/d73)
-    if (bounds.nonEmpty || partFilters.nonEmpty || currentSnap.morLive) None
+    // metadata-only answer would resurrect them (d50/d73). Pushed
+    // DATA-column bounds decline too (stats select files, not rows).
+    // Pushed PARTITION filters COMPOSE (r13, d37 completion): when
+    // every filtered column is uniformly path-borne, the filter
+    // selects exact value-pure files and the fold runs on the
+    // filtered census — Iceberg's partition-stats read under a
+    // partition predicate.
+    if (bounds.nonEmpty || currentSnap.morLive) None
+    else if ((partFilters.nonEmpty || partNotNull.nonEmpty) &&
+      !((partFilters.keys ++ partNotNull).forall(exactPartCol) &&
+        fileRowsComplete)) None
     else {
       val groupCols: Seq[Option[String]] =
         agg.groupByExpressions.toSeq.map(colOf(_).filter(groupable))
       val grouped = groupCols.nonEmpty
       val specs: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
-        // grouped COUNT needs the per-file record counts in the
-        // manifest; the global count reads the snapshot total
-        case _: CountStar if !grouped || fileRowsComplete => Some(PushedCountStar)
+        // grouped or filtered COUNT needs the per-file record counts
+        // in the manifest; the unfiltered global count reads the
+        // snapshot total
+        case _: CountStar
+          if (!grouped && partFilters.isEmpty) || fileRowsComplete =>
+          Some(PushedCountStar)
         case m: Min => colOf(m.column).filter(statsCovered).map(PushedMin)
         case m: Max => colOf(m.column).filter(statsCovered).map(PushedMax)
         case _ => None
@@ -1795,7 +1837,8 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private def buildScan(): Scan = pushedAggs match {
     case Some((groupCols, specs)) =>
       new IceLiteAggScan(ref, specs,
-        groupCols.map(c => (c, typeOf(c).get, isPartCol(c))), asOf)
+        groupCols.map(c => (c, typeOf(c).get, isPartCol(c))), asOf,
+        partFilters, partNotNull)
     case None =>
       // normalize the projection to FILE-SCHEMA order (the vectorized
       // reader clips the parquet schema in file order, so readSchema
@@ -1846,7 +1889,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         currentSnap.partitionCols, currentSnap.deleteFiles,
         currentSnap.eqDeletes,
         snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh,
-        tfFilters, tfRanges, splitBytesExplicit)
+        tfFilters, tfRanges, splitBytesExplicit, partNotNull)
   }
 }
 
@@ -1863,7 +1906,10 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   * values after. */
 class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
     groupCols: Seq[(String, DataType, Boolean)] = Nil,
-    asOf: Option[Long] = None) extends Scan with Batch {
+    asOf: Option[Long] = None,
+    partFilters: Map[String, Set[String]] = Map.empty,
+    partNotNull: Set[String] = Set.empty)
+  extends Scan with Batch {
   override def readSchema(): StructType = StructType(
     groupCols.map { case (c, dt, _) => StructField(c, dt) } ++
     specs.map {
@@ -1878,6 +1924,18 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = IceLiteSource.resolveSnap(ref, asOf)
+    // r13: the pushed partition predicate filters the census BEFORE
+    // the fold — exact, because the builder only composes filters on
+    // uniformly path-borne columns (value-pure files)
+    val census =
+      if (partFilters.isEmpty && partNotNull.isEmpty) snap.files
+      else snap.files.filter { f =>
+        val vals = IceLiteSource.pathPartValues(f)
+        partFilters.forall { case (c, vs) => vals.get(c).exists(vs.contains) } &&
+        partNotNull.forall(c => vals.get(c).forall(_ !=
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME))
+      }
     def stat(f: String, c: String): ColStats =
       snap.fileStats.get(f).flatMap(_.find(_.col == c)).getOrElse(
         throw new IllegalStateException(
@@ -1886,10 +1944,19 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
     // count branch to Double alongside the min/max branches
     def value(files: Seq[String])(s: PushedAgg): Any = s match {
       case PushedCountStar =>
-        if (groupCols.isEmpty) snap.rowCount // old manifests: no fileRows
+        // unfiltered global count reads the snapshot total (old
+        // manifests: no fileRows); any filtered/grouped count sums
+        // the census's per-file record counts
+        if (groupCols.isEmpty && partFilters.isEmpty && partNotNull.isEmpty)
+          snap.rowCount
         else files.map(snap.fileRows).sum
-      case PushedMin(c) => files.map(stat(_, c).min).min
-      case PushedMax(c) => files.map(stat(_, c).max).max
+      // a filtered-to-empty GLOBAL min/max is NULL (SQL semantics);
+      // grouped mode never sees an empty group (groups come from
+      // the census itself)
+      case PushedMin(c) =>
+        if (files.isEmpty) null else files.map(stat(_, c).min).min
+      case PushedMax(c) =>
+        if (files.isEmpty) null else files.map(stat(_, c).max).max
     }
     def keyVal(f: String)(gc: (String, DataType, Boolean)): Any = gc match {
       case (c, _, true) => // partition column: one value per file path
@@ -1903,8 +1970,8 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
         }
     }
     val rows: Array[Array[Any]] =
-      if (groupCols.isEmpty) Array(specs.map(value(snap.files)).toArray)
-      else snap.files.groupBy(f => groupCols.map(keyVal(f)))
+      if (groupCols.isEmpty) Array(specs.map(value(census)).toArray)
+      else census.groupBy(f => groupCols.map(keyVal(f)))
         .toArray.sortBy(_._1.mkString("\u0000"))
         .map { case (key, files) => (key ++ specs.map(value(files))).toArray }
     IceLiteSource.lastPlannedFiles = Nil
@@ -1945,7 +2012,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     streamRefresh: () => Unit = () => (),
     tfFilters: Map[String, Set[Any]] = Map.empty,
     tfRanges: Map[String, (String, String)] = Map.empty,
-    splitBytesExplicit: Boolean = false) extends Scan with Batch
+    splitBytesExplicit: Boolean = false,
+    partNotNull: Set[String] = Set.empty) extends Scan with Batch
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -2103,10 +2171,15 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // is KEPT: its value lives in data pages and every pushed filter
     // stays residual, so rows still filter exactly.
     val identityPruned =
-      if (partFilters.isEmpty) statsPruned
+      if (partFilters.isEmpty && partNotNull.isEmpty) statsPruned
       else statsPruned.filter { f =>
         val vals = IceLiteSource.pathPartValues(f)
-        partFilters.forall { case (c, vs) => vals.get(c).forall(vs.contains) }
+        partFilters.forall { case (c, vs) => vals.get(c).forall(vs.contains) } &&
+        // IS NOT NULL (r13): drop the Hive null-sentinel dirs — exact
+        // for path-borne columns, conservative (keep) on dir-less files
+        partNotNull.forall(c => vals.get(c).forall(_ !=
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME))
       }
     // hidden-partition transform pruning (pushed source-col equality
     // mapped through bucket/truncate/time dirs, day ranges through
@@ -2163,10 +2236,10 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * the files THIS scan will actually read (manifest pruning + pushed
     * partition filters applied — a filtered fact table shrinks below
     * the broadcast threshold exactly when its surviving files do);
-    * row count is exact from the manifest's per-file record counts
-    * when available and physical (no live MoR sidecars), else absent
-    * rather than wrong. O(pruned files) driver metadata, the same
-    * class as planning itself. */
+    * row count comes from the manifest's per-file record counts;
+    * an un-pruned MoR-live scan reports the snapshot's own logical
+    * rowCount (see inline note). O(pruned files) driver metadata,
+    * the same class as planning itself. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val snap = IceLiteSource.resolveSnap(ref, asOf)
     val files = staticPruned
@@ -2174,9 +2247,16 @@ class IceLiteScan(ref: TableRef, required: StructType,
       scala.util.Try(java.nio.file.Files.size(ref.dir.resolve(f))).getOrElse(0L)
     }.sum
     val rows: Option[Long] =
-      if (snap.morLive) None // physical counts overcount MoR
-      else if (files.forall(snap.fileRows.contains))
-        Some(files.map(snap.fileRows).sum)
+      if (!files.forall(snap.fileRows.contains)) None
+      else if (!snap.morLive) Some(files.map(snap.fileRows).sum)
+      // r13 (d53 under MoR): an UN-pruned MoR-live scan reports the
+      // snapshot's own rowCount — EXACT logical rows, because every
+      // MoR commit maintains it from the matched-row count it
+      // computed when writing the sidecar (head.rowCount − matched;
+      // delete-mor / delete-eq / upsert-eq all do). A PRUNED MoR
+      // scan still declines: which sidecar rows land on the pruned
+      // subset is unknown at stats time — absent beats wrong.
+      else if (files.size == snap.files.size) Some(snap.rowCount)
       else None
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -2214,9 +2294,15 @@ class IceLiteScan(ref: TableRef, required: StructType,
       tfSpecFields.forall(f => required.fieldNames.contains(f.sourceCol)) && {
         val files = staticPruned
         // an EMPTIED/fully-pruned scan declines: a 0-partition
-        // KeyGroupedPartitioning report has nothing to co-schedule
+        // KeyGroupedPartitioning report has nothing to co-schedule.
+        // A Hive null-sentinel dir (null source value under a time/
+        // truncate transform) declines too: the dir parses to no key,
+        // and the function twin would emit null on a shuffled side —
+        // the two shapes must not pretend to co-locate.
         files.nonEmpty && files.forall(f => tfSpecFields.forall(fld =>
-          IceLiteSource.pathPartValues(f).contains(fld.name)))
+          IceLiteSource.pathPartValues(f).get(fld.name).exists(_ !=
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .DEFAULT_PARTITION_NAME)))
       }
 
   /** d46: report the table's OWN layout to the planner. A partitioned

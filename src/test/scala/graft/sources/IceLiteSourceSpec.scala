@@ -301,20 +301,35 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(joined.count() == 5000L)
   }
 
-  test("stats omit the row count while MoR sidecars are live") {
+  test("stats report exact LOGICAL rows while MoR sidecars are live; " +
+    "pruned MoR scans still omit") {
     val wh = java.nio.file.Files.createTempDirectory("v2src_morstats").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
-    IceLite.createOrReplace(ref, (0L until 100L).map(k => (k, k)).toDF("k", "v"))
+    IceLite.createOrReplace(ref, (0L until 100L).map(k => (k, k)).toDF("k", "v"),
+      statsCols = Seq("k"))
     IceLite.deleteWhereMoR(spark, ref, "k < 10")
-    val rel = spark.read.format(Fmt).load(ref.dir.toString)
+    IceLite.deleteByKeysMoR(spark, ref,
+      (10L until 15L).toDF("k"), Seq("k"))
+    def statsOf(df: org.apache.spark.sql.DataFrame) = df
       .queryExecution.optimizedPlan.collectFirst {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
-      }.get
-    val st = rel.scan.asInstanceOf[IceLiteScan].estimateStatistics()
-    assert(!st.numRows.isPresent,
-      "physical manifest counts overcount tombstoned rows — must omit")
+      }.get.scan.asInstanceOf[IceLiteScan].estimateStatistics()
+    // r13: the snapshot's own rowCount IS the logical count — every
+    // MoR commit maintains it from the matched rows it computed when
+    // writing the sidecar, so the un-pruned scan reports it exactly
+    val st = statsOf(spark.read.format(Fmt).load(ref.dir.toString))
+    assert(st.numRows.isPresent && st.numRows.getAsLong == 85L,
+      s"un-pruned MoR-live scan must report exact logical rows, got $st")
     assert(st.sizeInBytes.getAsLong > 0L)
+    // a PRUNED MoR-live scan still omits: which sidecar rows land on
+    // the pruned subset is unknown at stats time — absent beats wrong
+    IceLite.append(ref, (200L until 300L).map(k => (k, k)).toDF("k", "v"),
+      statsCols = Seq("k"))
+    val pruned = statsOf(spark.read.format(Fmt).load(ref.dir.toString)
+      .filter($"k" >= 200L))
+    assert(!pruned.numRows.isPresent,
+      "pruned MoR-live scans must omit rather than guess")
   }
 
   test("aggregate pushdown answers count/min/max from the manifest alone") {
@@ -458,13 +473,16 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(got == Seq(("a", 100L), ("b", 200L)))
     assert(IceLiteSource.lastScanMetadataOnly,
       "GROUP BY the partition column must fold manifest fileRows, not scan")
-    // a partition filter keeps the aggregate off the metadata path
+    // a partition filter COMPOSES with the fold since r13 — the
+    // census filters per-dir before summing, still metadata-only
+    // (the filtered-partition-stats read; the decline matrix for
+    // data-column filters is pinned in the partition-filtered test)
     IceLiteSource.lastScanMetadataOnly = false
     val n = spark.read.format(Fmt).load(ref.dir.toString)
       .filter($"p" === "a").agg(count(lit(1))).collect().head.getLong(0)
     assert(n == 100L)
-    assert(!IceLiteSource.lastScanMetadataOnly,
-      "a filtered aggregate must take the scan path")
+    assert(IceLiteSource.lastScanMetadataOnly,
+      "a partition-filtered aggregate must stay on the metadata fold")
   }
 
   test("GROUPED aggregate pushdown answers GROUP BY a file-constant column from the manifest") {
@@ -528,6 +546,58 @@ class IceLiteSourceSpec extends AnyFunSuite {
     val r4 = src.agg(min($"k"), max($"k")).collect().head
     assert((r4.getLong(0), r4.getLong(1)) == ((1L, 100L)))
     assert(!IceLiteSource.lastScanMetadataOnly, "long min/max must scan")
+  }
+
+  test("partition-filtered aggregate pushdown: the census filters before " +
+    "the fold; nulls, empty selections and data filters stay honest") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_pf").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    // two partition columns incl. a NULL shard value (lands in the
+    // Hive null-sentinel dir)
+    val df = (1L to 120L).map { k =>
+      val shard = if (k % 4 == 3) null else s"s${k % 3}"
+      (k, shard, s"d${k % 2}", k * 1.5)
+    }.toDF("k", "shard", "day", "v")
+    IceLite.createOrReplacePartitioned(ref, df, Seq("shard", "day"),
+      statsCols = Seq("v"))
+    val src = spark.read.format(Fmt).load(ref.dir.toString)
+    // WHERE shard = 's1' GROUP BY day — metadata-only, value-exact
+    IceLiteSource.lastScanMetadataOnly = false
+    val got = src.filter($"shard" === "s1").groupBy($"day")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val expect = (1L to 120L).filter(k => k % 4 != 3 && k % 3 == 1)
+      .groupBy(k => s"d${k % 2}").view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    assert(got == expect, s"filtered grouped fold wrong: $got vs $expect")
+    assert(IceLiteSource.lastScanMetadataOnly,
+      "a pushed partition equality must compose with the grouped fold")
+    // IS NOT NULL composes too (Spark pushes it alongside equality);
+    // alone it must also fold metadata-only
+    IceLiteSource.lastScanMetadataOnly = false
+    val nn = src.filter($"shard".isNotNull).agg(count(lit(1))).head.getLong(0)
+    assert(nn == (1L to 120L).count(_ % 4 != 3).toLong)
+    assert(IceLiteSource.lastScanMetadataOnly,
+      "IS NOT NULL over a path-borne partition column must fold")
+    // ... and null rows are NOT resurrected by the plain scan path
+    // (the claimed-exact filter skips the sentinel dir)
+    assert(src.filter($"shard".isNotNull).select("k").collect().length ==
+      (1L to 120L).count(_ % 4 != 3))
+    // filtered-to-EMPTY: grouped → zero rows; global min/max → null
+    IceLiteSource.lastScanMetadataOnly = false
+    assert(src.filter($"shard" === "nope").groupBy($"day")
+      .agg(count(lit(1))).collect().isEmpty)
+    val empty = src.filter($"shard" === "nope")
+      .agg(count(lit(1)), min($"v")).head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1),
+      "empty selection must yield count 0 and null min")
+    // a DATA-column filter still declines to the scan path, exact
+    IceLiteSource.lastScanMetadataOnly = false
+    val dv = src.filter($"v" <= 30.0).agg(count(lit(1))).head.getLong(0)
+    assert(dv == (1L to 120L).count(_ * 1.5 <= 30.0).toLong)
+    assert(!IceLiteSource.lastScanMetadataOnly,
+      "a data-column filter must keep the aggregate on the scan path")
   }
 
   test("sidecar-live multi-split scans read row-based UNIFORMLY (no mixed-mode crash)") {

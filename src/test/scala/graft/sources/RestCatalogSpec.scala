@@ -972,6 +972,33 @@ class RestCatalogSpec extends AnyFunSuite {
       IceLite.append(ref, (151L to 160L).map(k => (k, k * 2.0)).toDF("k", "v"))
       assert(spark.sql(s"SELECT count(*) FROM $cat.src.`t$$history`")
         .head.getLong(0) == 3L)
+
+      // r13 (verdict task #6): the trio folds an EQ-LIVE manifest —
+      // live equality-delete sidecars (plus a position tombstone),
+      // the one manifest shape the folds had not seen. Parity must
+      // hold attachment ≡ owner, and the data view stays logical.
+      // position tombstone FIRST (a position delete on top of live
+      // eq sidecars refuses — the rowCount ordering rule), eq second
+      IceLite.deleteWhereMoR(spark, ref, "k % 50 = 11")
+      IceLite.deleteByKeysMoR(spark, ref,
+        (1L to 10L).toDF("k"), Seq("k"))
+      val cur = IceLite.readManifest(ref).current
+      assert(cur.eqDeletes.nonEmpty && cur.deleteFiles.nonEmpty,
+        "fixture must carry BOTH live sidecar kinds")
+      Seq("history", "entries", "snapshots", "refs").foreach { meta =>
+        assert(rows(cat, meta) == rows(own, meta),
+          s"$$$meta diverges between attachment and owner on an " +
+            "eq-live table")
+      }
+      assert(spark.sql(s"SELECT * FROM $cat.src.`t$$manifests`")
+        .collect().nonEmpty)
+      // both faces read the same LOGICAL view through the sidecars
+      val remote = spark.sql(s"SELECT sum(k) FROM $cat.src.t").head.getLong(0)
+      val local = spark.sql(s"SELECT sum(k) FROM $own.src.t").head.getLong(0)
+      val expect = (1L to 160L)
+        .filter(k => k > 10 && k % 50 != 11).sum
+      assert(remote == expect && local == expect,
+        s"eq-live logical view: remote=$remote local=$local expect=$expect")
     }
   }
 }
