@@ -312,7 +312,7 @@ object StreamPack extends Pack {
     * session default). */
   private def withStreamShufflePartitions[A](s: SparkSession)(f: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
