@@ -1565,6 +1565,10 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private var bounds: Map[String, (Double, Double)] = Map.empty
   private var partFilters: Map[String, Set[String]] = Map.empty
   private var partNotNull: Set[String] = Set.empty
+  /** Columns whose partition filters were CLAIMED fully handled —
+    * consumers without a residual filter above them (the micro-batch
+    * stream) must enforce these exactly or refuse. */
+  private var claimedPartCols: Set[String] = Set.empty
   private var tfFilters: Map[String, Set[Any]] = Map.empty
   private var pushedAggs: Option[(Seq[String], Seq[PushedAgg])] = None
 
@@ -1699,6 +1703,9 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     // streaming scans keep every filter residual.
     val plainBatch = !changelog && rowOp.isEmpty &&
       snapshotsPerTrigger == Int.MaxValue
+    claimedPartCols =
+      if (!plainBatch) Set.empty
+      else (partFilters.keySet ++ partNotNull).filter(exactPartCol)
     filters.filterNot {
       case EqualTo(c, _: String) => plainBatch && exactPartCol(c)
       case In(c, vs) => plainBatch && exactPartCol(c) && vs.nonEmpty &&
@@ -1889,7 +1896,8 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         currentSnap.partitionCols, currentSnap.deleteFiles,
         currentSnap.eqDeletes,
         snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh,
-        tfFilters, tfRanges, splitBytesExplicit, partNotNull)
+        tfFilters, tfRanges, splitBytesExplicit, partNotNull,
+        claimedPartCols)
   }
 }
 
@@ -2013,7 +2021,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     tfFilters: Map[String, Set[Any]] = Map.empty,
     tfRanges: Map[String, (String, String)] = Map.empty,
     splitBytesExplicit: Boolean = false,
-    partNotNull: Set[String] = Set.empty) extends Scan with Batch
+    partNotNull: Set[String] = Set.empty,
+    claimedPartCols: Set[String] = Set.empty) extends Scan with Batch
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -2139,7 +2148,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // s23: partitioned tables stream too — each new file's path-borne
     // partition values ride along as constant vectors, same as batch
     new IceLiteMicroBatchStream(ref, dataFields, snapshotsPerTrigger,
-      partFields, streamRefresh)
+      partFields, streamRefresh, partFilters, partNotNull,
+      claimedPartCols)
   }
   override def description(): String =
     s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}" +
@@ -2667,7 +2677,10 @@ object IceLiteOffset {
 class IceLiteMicroBatchStream(ref: TableRef,
     fields: Array[(String, DataType)], snapshotsPerTrigger: Int,
     partFields: Seq[String] = Nil,
-    refresh: () => Unit = () => ())
+    refresh: () => Unit = () => (),
+    partFilters: Map[String, Set[String]] = Map.empty,
+    partNotNull: Set[String] = Set.empty,
+    claimedPartCols: Set[String] = Set.empty)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** AvailableNow ceiling: snapshot id captured at query start. */
@@ -2750,6 +2763,38 @@ class IceLiteMicroBatchStream(ref: TableRef,
         s"($startId → $endId removed ${dropped.size} files — replace/" +
         "compaction/rollback); restart from a fresh checkpoint")
     endFiles.filterNot(startFiles)
+      // pushed partition filters prune the stream's file delta too
+      // (r13): the batch builder may CLAIM partition equality/IN/
+      // IS-NOT-NULL fully handled (exact on value-pure files), and
+      // the same builder serves toMicroBatchStream — so the stream
+      // MUST honor them or a filtered stream would emit unfiltered
+      // rows. A delta file LACKING a filtered column's dir (a layout
+      // evolution slid under a running stream) refuses loudly: the
+      // residual filter is gone, so a conservative keep would be
+      // silently wrong.
+      .filter { f =>
+        val vals = IceLiteSource.pathPartValues(f)
+        // a delta file LACKING a column's dir: keep conservatively
+        // when the filter stayed residual (rows still filter exactly
+        // above), refuse loudly when it was CLAIMED (the residual is
+        // gone — a keep would be silently wrong, a drop would lose
+        // rows; a layout evolution slid under the running stream)
+        def check(c: String)(pass: String => Boolean): Boolean =
+          vals.get(c) match {
+            case Some(v) => pass(v)
+            case None if claimedPartCols(c) =>
+              throw new IllegalStateException(
+                s"streaming file $f of ${ref.name} carries no path " +
+                  s"value for claimed partition-filter column $c " +
+                  "(layout changed under the stream?) — restart the " +
+                  "query from a fresh plan")
+            case None => true
+          }
+        partFilters.forall { case (c, vs) => check(c)(vs.contains) } &&
+        partNotNull.forall(c => check(c)(_ !=
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME))
+      }
       .map { f =>
         // s23: projected partition values come from the file path,
         // exactly like batch splits

@@ -80,4 +80,18 @@ class EqMorModelSpec extends AnyFunSuite {
       run(seed, ops = 18)
     }
   }
+
+  // Wide sweep (round gates, same pattern as the other model
+  // fuzzers):
+  //   GRAFT_EQMOR_SEEDS=50 [GRAFT_EQMOR_BASE=17000] \
+  //     sbt "testOnly graft.icelite.EqMorModelSpec"
+  sys.env.get("GRAFT_EQMOR_SEEDS").map(_.trim.toInt).foreach { n =>
+    val base = sys.env.get("GRAFT_EQMOR_BASE").map(_.trim.toLong)
+      .getOrElse(17000L)
+    (1 to n).foreach { i =>
+      test(s"eqmor wide sweep (seed ${base + i})") {
+        run(base + i, ops = 18)
+      }
+    }
+  }
 }

@@ -600,6 +600,33 @@ class IceLiteSourceSpec extends AnyFunSuite {
       "a data-column filter must keep the aggregate on the scan path")
   }
 
+  test("a pushed partition filter prunes the STREAMING file delta too " +
+    "(the claimed-exact filter has no residual — r13)") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_sf").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    def slice(lo: Long, hi: Long) = (lo until hi).map { k =>
+      (k, if (k % 2 == 0) "a" else "b")
+    }.toDF("k", "shard")
+    IceLite.createOrReplacePartitioned(ref, slice(0, 40), "shard")
+    val sink = s"sf_sink_${java.util.UUID.randomUUID.toString.take(6)}"
+    val q = spark.readStream.format(Fmt).load(ref.dir.toString)
+      .filter($"shard" === "a")
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("v2src_sf_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // mid-stream append lands BOTH shards; only 'a' may arrive
+      IceLite.appendPartitioned(ref, slice(40, 60), "shard")
+      q.processAllAvailable()
+      val got = spark.table(sink).select("k").as[Long].collect().sorted.toSeq
+      assert(got == (0L until 60L by 2).toSeq,
+        s"filtered stream emitted wrong rows: $got")
+    } finally q.stop()
+  }
+
   test("sidecar-live multi-split scans read row-based UNIFORMLY (no mixed-mode crash)") {
     // REST model fuzz seeds 5010/5038: a position sidecar touches only
     // SOME files; per-split columnar support then mixes modes and
