@@ -55,6 +55,21 @@ object StreamPack extends Pack {
       out
     })
 
+  /** s01/s14's variant: a bounded keyed slice of events, 2 files —
+    * these two ids land RAW (s01) or JOINED (s14) rows in a memory
+    * sink, so full-events ingest bills driver-side collection volume
+    * to what are protocol witnesses (file-batch epochs, per-trigger
+    * broadcast); the keyed slice bounds volume, the witnesses keep
+    * their triggers (r13 scale gate: s14 was 4.9×/s01 3.8× at sf1,
+    * both memory-sink-volume-proportional). */
+  private def stageEventsSlice(s: SparkSession, dir: String): String =
+    stagedCache.computeIfAbsent(s"$dir#events#slice300", { _ =>
+      val out = Files.createTempDirectory("graft_sslice_src").toString
+      Tables.load(s, dir, "events").filter(col("user_id") < 300)
+        .repartition(2).write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** s05's variant: events duplicated 2× (dedup input), 2 files —
     * a bounded keyed slice (the duplicate-across-batches witness
     * depends on pairs straddling a trigger boundary, which the
@@ -441,13 +456,14 @@ object StreamPack extends Pack {
     // column pruning a 100 TB file stream relies on.
     Decl("s01_stream_file_source",
       (s, dir) => {
-        val staged = stageEvents(s, dir, 2)
+        val staged = stageEventsSlice(s, dir)
         runStream(s, staged, "s01_sink", "append")(_.select(col("event_id")))
           .agg(count(lit(1)).cast("long").as("n"),
             countDistinct(col("event_id")).cast("long").as("n_ids"))
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids FROM events""")),
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+             FROM events WHERE user_id < 300""")),
 
     // s02: tumbling 1h counts with a 10-minute watermark; complete
     // mode emits every window → deterministic end state
@@ -982,7 +998,7 @@ object StreamPack extends Pack {
     // its customer segment exactly once.
     Decl("s14_stream_static_join",
       (s, dir) => {
-        val staged = stageEvents(s, dir, 2)
+        val staged = stageEventsSlice(s, dir)
         val dim = Tables.load(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
         runStream(s, staged, "s14_sink", "append")(
@@ -997,6 +1013,7 @@ object StreamPack extends Pack {
              CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(SUM(value), 2) AS sum_val
              FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             WHERE e.user_id < 300
              GROUP BY 1 ORDER BY segment""")),
 
     // s15: NATIVE STREAMING SINK — `writeStream.format(...)` straight
