@@ -1209,7 +1209,8 @@ object IceLite {
     def partVals(f: String): Map[String, String] =
       f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
         val c = seg.takeWhile(_ != '=')
-        c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+        c -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(c.length + 1))
       }.toMap
     commitCAS(ref) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException(
@@ -1357,7 +1358,8 @@ object IceLite {
     def partVals(f: String): Map[String, String] =
       f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
         val c = seg.takeWhile(_ != '=')
-        c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+        c -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(c.length + 1))
       }.toMap
     val (rowsByFile, stats) = footerRowsAndStats(ref, moved)
     commitCAS(ref) { cur =>
@@ -2866,7 +2868,8 @@ object IceLite {
       def partVals(f: String): Map[String, String] =
         f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
           val c = seg.takeWhile(_ != '=')
-          c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+          c -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(c.length + 1))
         }.toMap
       val selected =
         if (snap.partitionCols.contains(col))
@@ -4442,7 +4445,8 @@ object IceLite {
       val partition = f.split('/').dropRight(1).filter(_.contains('='))
         .map { seg =>
           val c = seg.takeWhile(_ != '=')
-          c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+          c -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(c.length + 1))
         }.toMap
       val cs = snap.fileStats.getOrElse(f, Nil)
       // manifest record count when present (every post-upgrade commit
@@ -4494,7 +4498,8 @@ object IceLite {
     val byPart = snap.files.groupBy { f =>
       val vals = f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
         val c = seg.takeWhile(_ != '=')
-        c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+        c -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(c.length + 1))
       }.toMap
       cols.map(vals.get(_).orNull)
     }

@@ -2606,8 +2606,10 @@ object ScalePack extends Pack {
           // ("truncate4"; Spark admits single-reference transforms
           // only, so the width lives in the name). Value-exact: the
           // join count is fixed by construction (every 3rd key).
-          val keysDf = s.range(2000).select(
-            format_string("g%03d-item%d", $"id" % 25, $"id").as("s"),
+          // bounded: 9 prefix dirs × 900 keys — the witness is a plan
+          // property plus a fixed-count value check, not a scan
+          val keysDf = s.range(900).select(
+            format_string("g%03d-item%d", $"id" % 9, $"id").as("s"),
             $"id")
           IceLite.createOrReplaceTransformed(TableRef(wh, "src", "tr_a"),
             keysDf.select($"s", ($"id" * 2.0).as("va")),
@@ -2623,7 +2625,7 @@ object ScalePack extends Pack {
           val truncNoShuffle = planT.contains("SortMergeJoin") &&
             !planT.split("SortMergeJoin").last
               .contains("Exchange hashpartitioning") &&
-            qt.collect()(0).getLong(0) == 667L
+            qt.collect()(0).getLong(0) == 300L
           s.createDataFrame(
             java.util.Arrays.asList(org.apache.spark.sql.Row(
               r.getLong(0), r.getDouble(1), r.getDouble(2), noShuffle,

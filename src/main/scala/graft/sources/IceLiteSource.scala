@@ -172,7 +172,8 @@ object IceLiteSource {
   private[sources] def pathPartValues(file: String): Map[String, String] =
     file.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
       val c = seg.takeWhile(_ != '=')
-      c -> java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+      c -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(c.length + 1))
     }.toMap
 
   /** Resolve the scan snapshot: the pinned id (time travel) or the

@@ -600,6 +600,34 @@ class IceLiteSourceSpec extends AnyFunSuite {
       "a data-column filter must keep the aggregate on the scan path")
   }
 
+  test("partition values with '+', space and '%' survive the claimed-exact " +
+    "filter round-trip (unescapePathName, not URLDecoder)") {
+    // the writer escapes dir values with escapePathName, which leaves
+    // '+' raw; URLDecoder mapped it to a space, so a claimed-exact
+    // equality on 'a+b' would have silently dropped the whole file
+    // (pre-r13 the residual filter hid the mis-decode as a failed
+    // prune; with the claim there is no residual — r13 fix)
+    val wh = java.nio.file.Files.createTempDirectory("v2src_esc").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    val shards = Seq("a+b", "a b", "100%", "plain")
+    val df = (0L until 80L).map(k => (k, shards((k % 4).toInt))).toDF("k", "shard")
+    IceLite.createOrReplacePartitioned(ref, df, "shard")
+    val src = spark.read.format(Fmt).load(ref.dir.toString)
+    shards.foreach { v =>
+      // scan path (row-returning)
+      val rows = src.filter($"shard" === v).select("k").as[Long]
+        .collect().sorted.toSeq
+      assert(rows == (0L until 80L).filter(k => shards((k % 4).toInt) == v),
+        s"claimed-exact filter lost rows for shard '$v': $rows")
+      // metadata fold path (the composed agg pushdown)
+      IceLiteSource.lastScanMetadataOnly = false
+      assert(src.filter($"shard" === v).agg(count(lit(1))).head.getLong(0)
+        == 20L, s"fold miscounted shard '$v'")
+      assert(IceLiteSource.lastScanMetadataOnly)
+    }
+  }
+
   test("a pushed partition filter prunes the STREAMING file delta too " +
     "(the claimed-exact filter has no residual — r13)") {
     val wh = java.nio.file.Files.createTempDirectory("v2src_sf").toString
