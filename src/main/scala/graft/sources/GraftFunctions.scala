@@ -64,7 +64,11 @@ object GraftFunctions {
   def load(name: String): Option[UnboundFunction] = name match {
     case "bucket" => Some(BucketUnbound)
     case "truncate" => Some(TruncateUnbound)
-    case TruncateN(w) if w.toInt >= 1 =>
+    // length guard first: a width string that overflows Int (a SQL
+    // reference to `truncate99999999999`) must fall through to the
+    // normal unresolved-function error, not surface a raw
+    // NumberFormatException from the pattern guard (ADVICE r13)
+    case TruncateN(w) if w.length <= 9 && w.toInt >= 1 =>
       Some(new TruncateWidthUnbound(w.toInt))
     case "days" | "months" | "years" | "hours" => Some(new TimeUnbound(name))
     case _ => None
@@ -198,11 +202,15 @@ object GraftFunctions {
     override def canonicalName(): String = "graft.truncate(string)"
     override def produceResult(input: InternalRow)
         : org.apache.spark.unsafe.types.UTF8String = {
-      val w = input.getInt(0)
-      // substringSQL = Spark's `substring(col, 1, w)` — code-point
-      // positions, the exact write-side expression
-      if (input.isNullAt(1)) null
-      else input.getUTF8String(1).substringSQL(1, w)
+      // null on ANY null input — Iceberg's truncate contract; a raw
+      // getInt(0) would read a null width as 0 and return "" (ADVICE
+      // r13; only the SQL-facing two-arg form can see a null width)
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else {
+        // substringSQL = Spark's `substring(col, 1, w)` — code-point
+        // positions, the exact write-side expression
+        input.getUTF8String(1).substringSQL(1, input.getInt(0))
+      }
     }
   }
 

@@ -167,6 +167,95 @@ object IceLiteSource {
       if (u.getPath != null && u.getPath.nonEmpty) u.getPath else s
     } catch { case _: Exception => s }
 
+  /** Driver-side budget for the position-delete planning fold: total
+    * sidecar bytes at or under this collect `(file_path, pos)` rows to
+    * the driver once per scan (cheap, exact, the common CDC-sized
+    * case); above it the positions NEVER visit the driver — planning
+    * runs one distinct `(sidecar, file_path)` census job (O(touched
+    * files) rows, the same class Iceberg's delete-file index holds)
+    * and each split's reader loads its own files' positions with a
+    * parquet `file_path` pushdown. A pre-compaction GDPR erasure
+    * touching 10⁸ rows stays executor-memory-shaped instead of
+    * folding into the driver heap. */
+  private[sources] def posFoldBytes: Long =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.icelite.posDeleteDriverFoldBytes").toLong)
+      .getOrElse(8L * 1024 * 1024)
+
+  /** Spec observability: position rows folded on the driver (small-
+    * sidecar path) vs scans planned on the executor-side path. */
+  val posDriverFoldRows = new java.util.concurrent.atomic.AtomicLong(0)
+  val posExecutorPlans = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Driver half of the above-threshold path: which PLANNED data file
+    * does each sidecar touch, and under which exact recorded string?
+    * One distributed distinct over the sidecars' `file_path` column —
+    * the result is (sidecar, recorded, planned-file) tuples, never
+    * positions. `files` are table-relative planned paths; keys of the
+    * result are the reader-anchored normalized absolute paths the
+    * split planner bins. */
+  private[sources] def posDeleteRefsByFile(ref: TableRef,
+      deleteFiles: Seq[String], files: Seq[String])
+      : Map[String, Seq[(String, String)]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val sidecarAbs = deleteFiles.map(f => ref.dir.resolve(f).toString)
+    val scByNorm = sidecarAbs.map(p => normPath(p) -> p).toMap
+    org.apache.spark.sql.SparkSession.active.read
+      .parquet(sidecarAbs: _*)
+      .select(input_file_name().as("_sc"), col("file_path"))
+      .distinct().collect()
+      .flatMap { r =>
+        val sc = scByNorm.getOrElse(normPath(r.getString(0)), r.getString(0))
+        val recorded = r.getString(1)
+        IceLite.matchStagedPath(files, recorded)
+          .map(rel => (normPath(ref.dir.resolve(rel).toString), (sc, recorded)))
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
+  }
+
+  /** Executor half: load the positions for THIS split's files from
+    * their matched sidecars — each distinct sidecar read ONCE per
+    * split with a `file_path` pushdown predicate (row groups whose
+    * path stats or dictionaries exclude every wanted file are never
+    * decoded). Runs inside the partition reader; the driver never
+    * sees a position. */
+  private[sources] def loadPosDeletes(
+      refs: Map[String, Seq[(String, String)]]): Map[String, Array[Long]] =
+    if (refs.isEmpty) Map.empty
+    else {
+      import org.apache.parquet.filter2.compat.FilterCompat
+      import org.apache.parquet.filter2.predicate.FilterApi
+      import org.apache.parquet.io.api.Binary
+      val byRecorded: Map[String, String] = refs.toSeq.flatMap {
+        case (k, rs) => rs.map { case (_, rec) => rec -> k } }.toMap
+      val bySidecar: Map[String, Seq[String]] = refs.values.flatten.toSeq
+        .groupBy(_._1).map { case (sc, rs) => sc -> rs.map(_._2).distinct }
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuilder.ofLong]
+      bySidecar.foreach { case (sc, recs) =>
+        val pred = recs.map(r => FilterApi.eq(
+            FilterApi.binaryColumn("file_path"), Binary.fromString(r)))
+          .reduce[org.apache.parquet.filter2.predicate.FilterPredicate](
+            FilterApi.or(_, _))
+        val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(sc))
+          .withConf(new Configuration())
+          .withFilter(FilterCompat.get(pred))
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            byRecorded.get(g.getString("file_path", 0)).foreach { k =>
+              acc.getOrElseUpdate(k,
+                new scala.collection.mutable.ArrayBuilder.ofLong) +=
+                g.getLong("pos", 0)
+            }
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      acc.map { case (k, b) => k -> b.result().sorted }.toMap
+    }
+
   /** The `col=value` pairs a file's own path carries, URI-decoded
     * (partition values are escaped on disk). */
   private[sources] def pathPartValues(file: String): Map[String, String] =
@@ -175,6 +264,18 @@ object IceLiteSource {
       c -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(seg.drop(c.length + 1))
     }.toMap
+
+  /** Dir value → SQL value: Hive's null-sentinel dir
+    * (`__HIVE_DEFAULT_PARTITION__`) decodes to NULL on every
+    * row-returning path (batch constant vectors, stream partVals,
+    * reader path-borne fallbacks), matching the claimed-filter
+    * semantics that already treat sentinel dirs as null — a null
+    * partition row must round-trip as a SQL NULL, not as the literal
+    * sentinel string (ADVICE r13). */
+  private[sources] def dirSqlValue(v: String): String =
+    if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME) null
+    else v
 
   /** Resolve the scan snapshot: the pinned id (time travel) or the
     * current head. A pinned id that expired past retention fails
@@ -1700,8 +1801,13 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     // Returning those fully-handled (not residual) lets Spark attempt
     // aggregate pushdown under a partition predicate (the filtered
     // partition-stats read). Everything else stays residual. Scoped
-    // to plain batch scans: changelog, row-level-operation and
-    // streaming scans keep every filter residual.
+    // out for changelog, row-level-operation and BOUNDED-trigger
+    // streams. NOTE (ADVICE r13): a DEFAULT readStream (no
+    // snapshotsPerTrigger option) passes this gate and its filters
+    // ARE claimed — that is correct only because the same builder's
+    // IceLiteMicroBatchStream.planInputPartitions enforces
+    // claimedPartCols on every file delta (spec-pinned); keep the
+    // two in lockstep.
     val plainBatch = !changelog && rowOp.isEmpty &&
       snapshotsPerTrigger == Int.MaxValue
     claimedPartCols =
@@ -1773,9 +1879,14 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private def groupable(col: String): Boolean =
     // d83: a mid-evolution partition col is NOT path-keyed on every
     // file — its metadata grouping would misfile the old era; decline
-    // to the normal scan (which reads it via the per-file fallback)
+    // to the normal scan (which reads it via the per-file fallback).
+    // A null-sentinel dir declines too (ADVICE r13): the fold's group
+    // key would be the literal sentinel string while the row paths
+    // decode it as SQL NULL — the real scan keeps the two faces equal
     (isPartCol(col) && currentSnap.files.forall(f =>
-      IceLiteSource.pathPartValues(f).contains(col))) || {
+      IceLiteSource.pathPartValues(f).get(col).exists(_ !=
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME))) || {
     def pointStats = currentSnap.files.forall { f =>
       currentSnap.fileStats.get(f).exists(_.exists(cs =>
         cs.col == col && cs.min == cs.max))
@@ -1845,8 +1956,14 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private def buildScan(): Scan = pushedAggs match {
     case Some((groupCols, specs)) =>
       new IceLiteAggScan(ref, specs,
-        groupCols.map(c => (c, typeOf(c).get, isPartCol(c))), asOf,
-        partFilters, partNotNull)
+        groupCols.map(c => (c, typeOf(c).get, isPartCol(c))),
+        // ADVICE r13: hand the scan the snapshot the CLAIMS were
+        // validated on — re-resolving at execution would let a
+        // concurrent commit between planning and execution slip a
+        // file past the validated path-borne/fileRows preconditions
+        // (silently dropped from the census, or a missing fileRows
+        // entry throwing)
+        currentSnap, partFilters, partNotNull)
     case None =>
       // normalize the projection to FILE-SCHEMA order (the vectorized
       // reader clips the parquet schema in file order, so readSchema
@@ -1915,7 +2032,11 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   * values after. */
 class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
     groupCols: Seq[(String, DataType, Boolean)] = Nil,
-    asOf: Option[Long] = None,
+    // the BUILDER's resolved snapshot: the exact-claim preconditions
+    // (uniformly path-borne filtered columns, complete fileRows) were
+    // validated on THIS snapshot, so the fold must read this one —
+    // never a re-resolve at execution time
+    snap: Snapshot,
     partFilters: Map[String, Set[String]] = Map.empty,
     partNotNull: Set[String] = Set.empty)
   extends Scan with Batch {
@@ -1932,7 +2053,6 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
       (if (groupCols.isEmpty) "" else s" groupBy=${groupCols.map(_._1).mkString(",")}")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val snap = IceLiteSource.resolveSnap(ref, asOf)
     // r13: the pushed partition predicate filters the census BEFORE
     // the fold — exact, because the builder only composes filters on
     // uniformly path-borne columns (value-pure files)
@@ -2413,23 +2533,45 @@ class IceLiteScan(ref: TableRef, required: StructType,
     rowOp.foreach(_.scannedFiles = Some(files))
     IceLiteSource.lastPlannedFiles = files
     IceLiteSource.lastScanMetadataOnly = false
-    // d50: MoR sidecars fold to per-file tombstone indexes once,
-    // driver-side (O(deleted rows) — the same class Iceberg's
-    // delete-file index holds at planning). Keys are matched by
-    // TABLE-RELATIVE suffix (matchStagedPath) and re-anchored at THIS
-    // reader's table dir: the sidecar records the WRITER's absolute
-    // path, and a REST attachment reads the same files under its spool
-    // root — an absolute-path compare would silently drop every
-    // tombstone there and deleted rows would resurface (found by
+    // d50: MoR position sidecars. AT-OR-UNDER the driver-fold budget
+    // they fold to per-file tombstone indexes once, driver-side
+    // (cheap and exact for CDC-sized sidecars). ABOVE it positions
+    // never visit the driver: planning runs one distinct
+    // (sidecar, file_path) census (O(touched files) rows) and each
+    // split ships its files' matched sidecar paths + exact recorded
+    // strings for the reader to load with a parquet pushdown — the
+    // pre-compaction GDPR-erasure shape at 100 TB stays executor-
+    // sized. Keys in both regimes are matched by TABLE-RELATIVE
+    // suffix (matchStagedPath) and re-anchored at THIS reader's
+    // table dir: the sidecar records the WRITER's absolute path, and
+    // a REST attachment reads the same files under its spool root —
+    // an absolute-path compare would silently drop every tombstone
+    // there and deleted rows would resurface (found by
     // RestModelFuzzSpec seed 7 on its first run).
+    val sidecarBytes: Long = deleteFiles.map { f =>
+      scala.util.Try(java.nio.file.Files.size(ref.dir.resolve(f)))
+        .getOrElse(0L)
+    }.sum
+    val posExecutorSide =
+      deleteFiles.nonEmpty && sidecarBytes > IceLiteSource.posFoldBytes
     val tombstonesByFile: Map[String, Array[Long]] =
-      if (deleteFiles.isEmpty) Map.empty
-      else org.apache.spark.sql.SparkSession.active.read
-        .parquet(deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
-        .select("file_path", "pos").collect()
-        .groupBy(r => IceLite.matchStagedPath(files, r.getString(0))
-          .map(rel => IceLiteSource.normPath(ref.dir.resolve(rel).toString)))
-        .collect { case (Some(f), rs) => f -> rs.map(_.getLong(1)).sorted }
+      if (deleteFiles.isEmpty || posExecutorSide) Map.empty
+      else {
+        val folded = org.apache.spark.sql.SparkSession.active.read
+          .parquet(deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+          .select("file_path", "pos").collect()
+        IceLiteSource.posDriverFoldRows.addAndGet(folded.length.toLong)
+        folded
+          .groupBy(r => IceLite.matchStagedPath(files, r.getString(0))
+            .map(rel => IceLiteSource.normPath(ref.dir.resolve(rel).toString)))
+          .collect { case (Some(f), rs) => f -> rs.map(_.getLong(1)).sorted }
+      }
+    val posRefsByFile: Map[String, Seq[(String, String)]] =
+      if (!posExecutorSide) Map.empty
+      else {
+        IceLiteSource.posExecutorPlans.incrementAndGet()
+        IceLiteSource.posDeleteRefsByFile(ref, deleteFiles, files)
+      }
     // d73: EQUALITY-delete sidecars fold at planning into ONE
     // broadcast key index (O(delete keys) — CDC-batch-sized by the
     // write path's construction) shared by every split, plus a
@@ -2465,7 +2607,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     val groupFields: Seq[String] =
       if (keyedByTransform) tfSpecFields.map(_.name) else partFields
     files.groupBy(f =>
-        groupFields.map(IceLiteSource.pathPartValues(f).getOrElse(_, null)))
+        groupFields.map(c => IceLiteSource.dirSqlValue(
+          IceLiteSource.pathPartValues(f).getOrElse(c, null))))
       .toSeq.sortBy(_._2.head)
       .flatMap { case (partVals, groupFiles) =>
         // each file is charged max(bytes, openCostInBytes) when
@@ -2515,6 +2658,14 @@ class IceLiteScan(ref: TableRef, required: StructType,
               val k = IceLiteSource.normPath(f)
               tombstonesByFile.get(k).map(k -> _)
             }.toMap
+          // above-threshold path: this split's files' matched sidecar
+          // refs — the reader loads its own positions
+          val posRefs =
+            if (posRefsByFile.isEmpty) Map.empty[String, Seq[(String, String)]]
+            else fs.flatMap { f =>
+              val k = IceLiteSource.normPath(f)
+              posRefsByFile.get(k).map(k -> _)
+            }.toMap
           // attach the eq index only when some file in the split
           // predates a sidecar — untouched splits keep the fully
           // columnar path
@@ -2526,7 +2677,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
             case (bc, maxDsnap) if added.values.exists(_ < maxDsnap) => bc
           }
           val eqAdded = if (eq.isEmpty) Map.empty[String, Long] else added
-          if (fullyKeyed) IceLiteKeyedPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
+          if (fullyKeyed) IceLiteKeyedPartition(fs, partVals, tombs, eq, eqAdded, posRefs): InputPartition
           else if (keyedByTransform)
             // transformKeyed guarantees every file carries its dirs,
             // so the group key is never null; dir values convert to
@@ -2539,8 +2690,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
                   case "truncate" => v
                   case t => GraftFunctions.dirTimeKey(t, v)
                 }
-              }, tombs, eq, eqAdded): InputPartition
-          else IceLiteInputPartition(fs, partVals, tombs, eq, eqAdded): InputPartition
+              }, tombs, eq, eqAdded, posRefs): InputPartition
+          else IceLiteInputPartition(fs, partVals, tombs, eq, eqAdded, posRefs): InputPartition
         }
       }.toArray
   }
@@ -2585,13 +2736,20 @@ sealed trait IceLitePartition extends InputPartition {
   /** … and each file's added-at snapshot id (normalized absolute
     * path), the sequence-rule side of the anti-join. */
   def fileAddedAt: Map[String, Long]
+  /** Above-threshold position deletes (d50 at scale): per data file
+    * (normalized absolute path), the matched sidecar paths and the
+    * EXACT recorded `file_path` strings — the reader loads its own
+    * positions with a parquet pushdown; the driver never held them. */
+  def posDeleteRefs: Map[String, Seq[(String, String)]]
 }
 
 case class IceLiteInputPartition(files: Seq[String],
     partVals: Seq[String] = Nil,
     tombstones: Map[String, Array[Long]] = Map.empty,
     eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
-    fileAddedAt: Map[String, Long] = Map.empty) extends IceLitePartition
+    fileAddedAt: Map[String, Long] = Map.empty,
+    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty)
+  extends IceLitePartition
 
 /** A split that KNOWS its partition-value tuple (d46: the
   * storage-partitioned-join contract): HasPartitionKey lets Spark
@@ -2603,7 +2761,9 @@ case class IceLiteKeyedPartition(files: Seq[String],
     partVals: Seq[String],
     tombstones: Map[String, Array[Long]] = Map.empty,
     eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
-    fileAddedAt: Map[String, Long] = Map.empty) extends IceLitePartition
+    fileAddedAt: Map[String, Long] = Map.empty,
+    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty)
+  extends IceLitePartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow.fromSeq(partVals.map(v =>
@@ -2623,7 +2783,9 @@ case class IceLiteTransformKeyedPartition(files: Seq[String],
     keyVals: Seq[Any],
     tombstones: Map[String, Array[Long]] = Map.empty,
     eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
-    fileAddedAt: Map[String, Long] = Map.empty) extends IceLitePartition
+    fileAddedAt: Map[String, Long] = Map.empty,
+    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty)
+  extends IceLitePartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partVals: Seq[String] = Nil
   override def partitionKey(): InternalRow = InternalRow.fromSeq(keyVals.map {
@@ -2798,10 +2960,11 @@ class IceLiteMicroBatchStream(ref: TableRef,
       }
       .map { f =>
         // s23: projected partition values come from the file path,
-        // exactly like batch splits
+        // exactly like batch splits (null-sentinel dirs → SQL NULL)
         val vals = IceLiteSource.pathPartValues(f)
         IceLiteInputPartition(Seq(ref.dir.resolve(f).toString),
-          partFields.map(vals.getOrElse(_, null))): InputPartition
+          partFields.map(c => IceLiteSource.dirSqlValue(
+            vals.getOrElse(c, null)))): InputPartition
       }
       .toArray
   }
@@ -2858,7 +3021,11 @@ class IceLiteCdcScan(ref: TableRef, required: StructType,
   * emits exactly the named positions). */
 case class IceLiteCdcPartition(files: Seq[String], changeType: String,
     commitId: Long, positions: Map[String, Array[Long]],
-    emitOnly: Boolean) extends InputPartition
+    emitOnly: Boolean,
+    // above-threshold delta: the reader loads this file's positions
+    // from the matched sidecars itself (positions stays empty)
+    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty)
+  extends InputPartition
 
 class IceLiteCdcReaderFactory(fields: Array[(String, DataType)],
     emitType: Boolean, emitId: Boolean)
@@ -2870,10 +3037,16 @@ class IceLiteCdcReaderFactory(fields: Array[(String, DataType)],
       ((if (emitType) Seq(UTF8String.fromString(part.changeType): Any) else Nil) ++
        (if (emitId) Seq(part.commitId: Any) else Nil)).toArray
     new PartitionReader[InternalRow] {
+      private lazy val loadedTombs: Map[String, Array[Long]] =
+        IceLiteSource.loadPosDeletes(part.posDeleteRefs)
+      private def posFor(f: String): Array[Long] = {
+        val k = IceLiteSource.normPath(f)
+        val a = part.positions.getOrElse(k, Array.empty[Long])
+        if (part.posDeleteRefs.isEmpty) a
+        else a ++ loadedTombs.getOrElse(k, Array.empty[Long])
+      }
       private val fileReaders = part.files.iterator.map(f =>
-        singleFileReader(f, Nil,
-          part.positions.getOrElse(IceLiteSource.normPath(f), Array.empty[Long]),
-          part.emitOnly, extra))
+        singleFileReader(f, Nil, posFor(f), part.emitOnly, extra))
       private var cur0: PartitionReader[InternalRow] =
         if (fileReaders.hasNext) fileReaders.next() else null
       override def next(): Boolean = {
@@ -2933,13 +3106,35 @@ class IceLiteCdcMicroBatchStream(ref: TableRef,
       val newSidecars = s.deleteFiles.filterNot(prev.deleteFiles.toSet)
       val deletes =
         if (newSidecars.isEmpty) Nil
-        else {
+        else if (newSidecars.map(f => scala.util.Try(java.nio.file.Files
+            .size(ref.dir.resolve(f))).getOrElse(0L)).sum >
+            IceLiteSource.posFoldBytes) {
+          // above-threshold delta (the batch scan's rule applied to
+          // the trigger's NEW sidecars): the driver runs only the
+          // (sidecar, file_path) census; each affected file's slice
+          // carries its matched refs and the reader loads its own
+          // positions executor-side
+          IceLiteSource.posExecutorPlans.incrementAndGet()
+          val refs = IceLiteSource.posDeleteRefsByFile(
+            ref, newSidecars, prev.files)
+          prev.files.flatMap { f =>
+            val abs = ref.dir.resolve(f).toString
+            val k = IceLiteSource.normPath(abs)
+            refs.get(k).map(rs =>
+              IceLiteCdcPartition(Seq(abs),
+                if (isUpdate) "update_preimage" else "delete",
+                s.id, Map.empty, emitOnly = true,
+                posDeleteRefs = Map(k -> rs)): InputPartition)
+          }
+        } else {
           // suffix-matched and re-anchored like the batch scan's
           // tombstone index: the sidecar stores the WRITER's absolute
           // path, this reader may sit under a spool root
-          val byFile = org.apache.spark.sql.SparkSession.active.read
+          val folded = org.apache.spark.sql.SparkSession.active.read
             .parquet(newSidecars.map(f => ref.dir.resolve(f).toString): _*)
             .select("file_path", "pos").collect()
+          IceLiteSource.posDriverFoldRows.addAndGet(folded.length.toLong)
+          val byFile = folded
             .groupBy(r => IceLite.matchStagedPath(prev.files, r.getString(0))
               .map(rel => IceLiteSource.normPath(ref.dir.resolve(rel).toString)))
             .collect { case (Some(f), rs) => f -> rs.map(_.getLong(1)).sorted }
@@ -2989,7 +3184,8 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val part = p.asInstanceOf[IceLitePartition]
     fields.nonEmpty && !morLive &&
-      part.tombstones.isEmpty && part.eqKeys.isEmpty
+      part.tombstones.isEmpty && part.eqKeys.isEmpty &&
+      part.posDeleteRefs.isEmpty
   }
 
   /** d73: the equality-delete anti-join for ONE file — each group's
@@ -3082,8 +3278,9 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         * may be PATH-BORNE for that file (mid-evolution: the demoted
         * partition field) — surface the path value, else null. */
       private def pathConstOrNull(path: String, name: String, dt: DataType) =
-        IceLiteSource.pathPartValues(path).get(name) match {
-          case Some(v) if dt == StringType =>
+        IceLiteSource.pathPartValues(path).get(name)
+            .map(IceLiteSource.dirSqlValue) match {
+          case Some(v) if v != null && dt == StringType =>
             val cv = new org.apache.spark.sql.execution.vectorized
               .ConstantColumnVector(4096, StringType)
             cv.setUtf8String(UTF8String.fromString(v))
@@ -3194,11 +3391,21 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[IceLitePartition]
     new PartitionReader[InternalRow] {
+      // above-threshold position deletes: this task loads its OWN
+      // files' positions from the matched sidecars (parquet pushdown
+      // on the recorded path) — executor-side, lazily at first use,
+      // never on the driver
+      private lazy val loadedTombs: Map[String, Array[Long]] =
+        IceLiteSource.loadPosDeletes(part.posDeleteRefs)
+      private def tombsFor(f: String): Array[Long] = {
+        val k = IceLiteSource.normPath(f)
+        val a = part.tombstones.getOrElse(k, Array.empty[Long])
+        if (part.posDeleteRefs.isEmpty) a
+        else a ++ loadedTombs.getOrElse(k, Array.empty[Long])
+      }
       private val fileReaders =
         part.files.iterator.map(f => eqFiltered(
-          singleFileReader(f, part.partVals,
-            part.tombstones.getOrElse(IceLiteSource.normPath(f),
-              Array.empty[Long])),
+          singleFileReader(f, part.partVals, tombsFor(f)),
           eqFiltersFor(part, f)))
       private var cur0: PartitionReader[InternalRow] =
         if (fileReaders.hasNext) fileReaders.next() else null
@@ -3250,8 +3457,9 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         // constant tail
         private val row = new GenericInternalRow(
           fields.map { case (n, dt) =>
-            IceLiteSource.pathPartValues(file).get(n) match {
-              case Some(v) if dt == StringType =>
+            IceLiteSource.pathPartValues(file).get(n)
+                .map(IceLiteSource.dirSqlValue) match {
+              case Some(v) if v != null && dt == StringType =>
                 UTF8String.fromString(v): Any
               case _ => null
             }
@@ -3298,8 +3506,9 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
       private val pathTail: Array[Any] = {
         val pv = IceLiteSource.pathPartValues(file)
         fields.map { case (n, dt) =>
-          pv.get(n) match {
-            case Some(v) if dt == StringType => UTF8String.fromString(v): Any
+          pv.get(n).map(IceLiteSource.dirSqlValue) match {
+            case Some(v) if v != null && dt == StringType =>
+              UTF8String.fromString(v): Any
             case _ => null
           }
         }

@@ -600,6 +600,38 @@ class IceLiteSourceSpec extends AnyFunSuite {
       "a data-column filter must keep the aggregate on the scan path")
   }
 
+  test("null partition rows round-trip as SQL NULLs on row paths; " +
+    "grouped fold declines on a sentinel dir (ADVICE r13)") {
+    val wh = java.nio.file.Files.createTempDirectory("v2src_nullp").toString
+    val ref = TableRef(wh, "ns", "t")
+    IceLite.createNamespace(wh, "ns")
+    val df = (1L to 60L).map { k =>
+      (k, if (k % 4 == 3) null else s"s${k % 3}", k * 1.5)
+    }.toDF("k", "shard", "v")
+    IceLite.createOrReplacePartitioned(ref, df, Seq("shard"),
+      statsCols = Seq("v"))
+    val src = spark.read.format(Fmt).load(ref.dir.toString)
+    // projection: the sentinel dir surfaces as NULL, never the literal
+    val shards = src.select("shard").distinct().collect()
+      .map(r => Option(r.getString(0))).toSet
+    assert(shards == Set(None, Some("s0"), Some("s1"), Some("s2")),
+      s"sentinel must decode to SQL NULL: $shards")
+    // residual IS NULL selects exactly the null-partition rows
+    assert(src.filter($"shard".isNull).select("k").as[Long].collect()
+      .sorted.toSeq == (1L to 60L).filter(_ % 4 == 3))
+    // GROUP BY the partition column: sentinel dir present → the
+    // metadata fold DECLINES and the scan-path answer carries a real
+    // null group
+    IceLiteSource.lastScanMetadataOnly = false
+    val grouped = src.groupBy($"shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(!IceLiteSource.lastScanMetadataOnly,
+      "grouped fold must decline when the grouped column has a sentinel dir")
+    assert(grouped(None) == (1L to 60L).count(_ % 4 == 3).toLong)
+    assert(grouped(Some("s1")) ==
+      (1L to 60L).count(k => k % 4 != 3 && k % 3 == 1).toLong)
+  }
+
   test("partition values with '+', space and '%' survive the claimed-exact " +
     "filter round-trip (unescapePathName, not URLDecoder)") {
     // the writer escapes dir values with escapePathName, which leaves
