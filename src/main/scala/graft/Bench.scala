@@ -9,7 +9,43 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE JSON line for the driver.
   */
 object Bench {
+  /** r14 (verdict task #2): benched ids create temp warehouses under
+    * java.io.tmpdir (all prefixed "graft_") and prior verify/bench
+    * runs leave them behind — ~18k stale dirs measurably inflated
+    * every r13 id ~20% (tmpfs metadata pressure). Sweep STALE ones
+    * (ours by prefix, older than 30 min — never a concurrent run's)
+    * before measuring, so the recorded number can't carry the
+    * host-state tax again. */
+  private def sweepStaleTmp(): Unit = {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    val swept = new java.util.concurrent.atomic.AtomicLong(0)
+    val stream = scala.util.Try(java.nio.file.Files.list(tmp))
+    stream.foreach { s =>
+      try {
+        s.iterator().forEachRemaining { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("graft_") && scala.util.Try(
+              java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+              .getOrElse(false)) {
+            scala.util.Try {
+              val walk = java.nio.file.Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+              finally walk.close()
+              swept.incrementAndGet()
+            }
+          }
+        }
+      } finally s.close()
+    }
+    if (swept.get() > 0)
+      System.err.println(s"[bench] swept ${swept.get()} stale graft_ temp dirs")
+  }
+
   def main(args: Array[String]): Unit = {
+    sweepStaleTmp()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

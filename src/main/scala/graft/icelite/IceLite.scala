@@ -56,25 +56,87 @@ final case class PartitionField(name: String, transform: String,
   * clustering + in-file order) and to the layout claims
   * (layout-preserving rewrites re-cluster by the SAME order); stats
   * pruning reads per-file [min,max], which is direction-agnostic. */
-final case class SortKey(col: String, asc: Boolean) {
-  def render: String = if (asc) col else s"$col DESC"
+final case class SortKey(col: String, asc: Boolean,
+    // r14: NULLS FIRST/LAST modifier (None = Spark's direction
+    // default: ASC → nulls first, DESC → nulls last)
+    nullsFirst: Option[Boolean] = None,
+    // r14: transform key ("days(ts)", "bucket(8,id)", "truncate(4,s)")
+    // — (name, param); param 0 for the time transforms. `col` is
+    // always the SOURCE column (stats collection and pruning key off
+    // it).
+    transform: Option[(String, Int)] = None) {
+  def render: String = {
+    val key = transform match {
+      case None => col
+      case Some((t, 0)) => s"$t($col)"
+      case Some((t, p)) => s"$t($p,$col)"
+    }
+    key + (if (asc) "" else " DESC") + (nullsFirst match {
+      case None => ""
+      case Some(true) => " NULLS FIRST"
+      case Some(false) => " NULLS LAST"
+    })
+  }
 }
 
 object SortKey {
-  /** Parse an encoded order ("a DESC, b ASC, c") — loud on anything
-    * that is not `col [ASC|DESC]` per comma-separated token. */
+  private val timeTransforms = Set("days", "months", "years", "hours")
+
+  /** Comma-split at paren depth 0 — transform args contain commas. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val TokenRe =
+    ("""(?i)^(?:(\w+)\s*\(\s*([^)]*)\s*\)|(`?\w+`?))""" +
+      """(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$""").r
+
+  /** Parse an encoded order ("a DESC, days(ts), bucket(8,id) NULLS
+    * LAST, b") — loud on anything that is not
+    * `col-or-transform [ASC|DESC] [NULLS FIRST|LAST]` per top-level
+    * comma-separated token. */
   def parse(enc: String): Seq[SortKey] =
-    enc.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { t =>
-      t.split("\\s+") match {
-        case Array(c) => SortKey(stripTicks(c), asc = true)
-        case Array(c, d) if d.equalsIgnoreCase("asc") =>
-          SortKey(stripTicks(c), asc = true)
-        case Array(c, d) if d.equalsIgnoreCase("desc") =>
-          SortKey(stripTicks(c), asc = false)
-        case _ => throw new IllegalArgumentException(
-          s"unparseable sort key '$t' (expected: col [ASC|DESC])")
+    splitTop(enc).map { t =>
+      t.trim match {
+        case TokenRe(tf, args, plain, dir, nulls) =>
+          val asc = dir == null || dir.equalsIgnoreCase("asc")
+          val nf = Option(nulls).map(_.equalsIgnoreCase("first"))
+          if (tf == null) SortKey(stripTicks(plain), asc, nf, None)
+          else {
+            val name = tf.toLowerCase
+            val parts = args.split(',').map(_.trim)
+              .filter(_.nonEmpty).map(stripTicks)
+            (name, parts) match {
+              case (n, Array(c)) if timeTransforms(n) && !c.forall(_.isDigit) =>
+                SortKey(c, asc, nf, Some((n, 0)))
+              case (n @ ("bucket" | "truncate"), Array(a, b))
+                  if a.forall(_.isDigit) && a.nonEmpty && a.toInt >= 1 &&
+                    !b.forall(_.isDigit) =>
+                SortKey(b, asc, nf, Some((n, a.toInt)))
+              case (n @ ("bucket" | "truncate"), Array(a, b))
+                  if b.forall(_.isDigit) && b.nonEmpty && b.toInt >= 1 &&
+                    !a.forall(_.isDigit) =>
+                SortKey(a, asc, nf, Some((n, b.toInt)))
+              case _ => throw new IllegalArgumentException(
+                s"unparseable sort transform '$t' (expected days|months|" +
+                  "years|hours(col) or bucket|truncate(n, col))")
+            }
+          }
+        case other => throw new IllegalArgumentException(
+          s"unparseable sort key '$other' " +
+            "(expected: col-or-transform [ASC|DESC] [NULLS FIRST|LAST])")
       }
-    }.toSeq
+    }
 
   private def stripTicks(c: String): String =
     c.stripPrefix("`").stripSuffix("`")
@@ -84,15 +146,37 @@ object SortKey {
   /** Canonical form — the one the manifest stores ("a DESC,b"). */
   def canon(enc: String): String = render(parse(enc))
 
-  /** The columns of an (optional) encoded marker, in order. */
+  /** The SOURCE columns of an (optional) encoded marker, in order. */
   def cols(marker: Option[String]): Seq[String] =
     marker.toSeq.flatMap(parse).map(_.col)
 
-  /** Directed Columns for repartitionByRange / sortWithinPartitions. */
+  /** Directed Columns for repartitionByRange / sortWithinPartitions.
+    * Transform keys evaluate the SAME expressions the hidden-
+    * partition write layout derives dirs with ([[IceLite]]'s
+    * transformExpr shapes), so `ORDERED BY days(ts)` clusters exactly
+    * the way a days() layout would lay out. */
   def exprs(enc: String): Seq[org.apache.spark.sql.Column] =
     parse(enc).map { k =>
-      val c = org.apache.spark.sql.functions.col(k.col)
-      if (k.asc) c.asc else c.desc
+      import org.apache.spark.sql.functions._
+      val base = k.transform match {
+        case None => col(k.col)
+        case Some(("bucket", n)) => pmod(hash(col(k.col)), lit(n))
+        case Some(("truncate", w)) => substring(col(k.col), 1, w)
+        case Some(("days", _)) => date_format(col(k.col), "yyyy-MM-dd")
+        case Some(("months", _)) => date_format(col(k.col), "yyyy-MM")
+        case Some(("years", _)) => date_format(col(k.col), "yyyy")
+        case Some(("hours", _)) => date_format(col(k.col), "yyyy-MM-dd-HH")
+        case Some((t, _)) => throw new IllegalArgumentException(
+          s"unknown sort transform '$t'")
+      }
+      (k.asc, k.nullsFirst) match {
+        case (true, None) => base.asc
+        case (true, Some(true)) => base.asc_nulls_first
+        case (true, Some(false)) => base.asc_nulls_last
+        case (false, None) => base.desc
+        case (false, Some(true)) => base.desc_nulls_first
+        case (false, Some(false)) => base.desc_nulls_last
+      }
     }
 }
 
@@ -144,7 +228,18 @@ final case class Snapshot(
     // commit (commitCAS → stampParents); None on the first snapshot
     // and on pre-upgrade manifests (readers fall back to
     // previous-in-sequence, the old implied lineage).
-    parentId: Option[Long] = None) {
+    parentId: Option[Long] = None,
+    // r14: per-sidecar census of the LOGICAL rows it killed, keyed
+    // sidecar rel path → (data-file rel path → dead rows), recorded
+    // at MoR-commit time (the write already scans the matched rows —
+    // one extra O(touched files) grouped count). Lets a PRUNED
+    // MoR-live scan report exact logical rows by subtracting only
+    // the tombstones whose files survive pruning. Consumers must
+    // treat a live sidecar WITHOUT an entry as "unknown" and decline
+    // (pre-upgrade manifests, or a commit path that did not carry
+    // the map forward); stale entries for cleared sidecars are
+    // ignored by construction (only live sidecars are consulted).
+    sidecarDead: Map[String, Map[String, Long]] = Map.empty) {
   /** Live MoR sidecars of either kind — the guard every rewrite /
     * overwrite / metadata-count path checks before trusting the
     * physical file set. */
@@ -461,7 +556,9 @@ object IceLite {
       deleteFiles: Seq[String], eqDeletes: Seq[EqDelete],
       segments: Seq[String],
       // default keeps pre-parent-tracking pointers decodable
-      parentId: Option[Long] = None)
+      parentId: Option[Long] = None,
+      // default keeps pre-r14 pointers decodable (stats decline)
+      sidecarDead: Map[String, Map[String, Long]] = Map.empty)
 
   private final case class ManifestPtr(
       layout: String,
@@ -566,7 +663,7 @@ object IceLite {
             Snapshot(sp.id, sp.timestampMs, sp.operation, sc.files,
               sp.rowCount, sc.fileStats, sp.partitionCols, sp.sortedBy,
               sp.summary, sc.fileRows, sp.deleteFiles, sp.partitionSpec,
-              sp.eqDeletes, sp.parentId)
+              sp.eqDeletes, sp.parentId, sp.sidecarDead)
           },
           ptr.branches, ptr.tags, ptr.addedCols, ptr.droppedCols,
           ptr.renamedCols, ptr.widenedCols, ptr.declaredSchemaDdl,
@@ -656,7 +753,7 @@ object IceLite {
       fresh.foreach(wrote += _)
       SnapshotPtr(s.id, s.timestampMs, s.operation, s.rowCount,
         s.partitionCols, s.sortedBy, s.summary, s.partitionSpec,
-        s.deleteFiles, s.eqDeletes, chain, s.parentId)
+        s.deleteFiles, s.eqDeletes, chain, s.parentId, s.sidecarDead)
     }
     val ptr = ManifestPtr(SegLayout, next.table, next.currentSnapshotId,
       ptrs, next.branches, next.tags, next.addedCols, next.droppedCols,
@@ -899,6 +996,27 @@ object IceLite {
       .collectFirst { case rel if byRelPath.contains(rel) => rel }
   }
 
+  /** r14: dead-rows-per-data-file census of a freshly written
+    * POSITION sidecar dir — one grouped count over the sidecar
+    * parquet, O(touched files) result. All counts attach to the
+    * first sidecar file (parts of one commit are interchangeable for
+    * the stats sum); the rest get empty entries so "every live
+    * sidecar has an entry" stays checkable. None when any recorded
+    * path fails to suffix-match a live data file — an entry the
+    * stats fold cannot trust must not exist (decline beats wrong). */
+  private def posSidecarDead(spark: SparkSession, ref: TableRef,
+      sidecars: Seq[String], files: Seq[String])
+      : Option[Map[String, Map[String, Long]]] = {
+    import org.apache.spark.sql.functions.col
+    val counts = spark.read
+      .parquet(sidecars.map(f => ref.dir.resolve(f).toString): _*)
+      .groupBy(col("file_path")).count().collect()
+      .map(r => (matchStagedPath(files, r.getString(0)), r.getLong(1)))
+    if (counts.exists(_._1.isEmpty)) None
+    else Some(Map(sidecars.head -> counts.map { case (f, n) => f.get -> n }
+      .toMap) ++ sidecars.tail.map(_ -> Map.empty[String, Long]))
+  }
+
   /** Collect per-file min/max for the requested numeric columns in ONE
     * Spark job: scan all staged files together, group by
     * input_file_name(). The result is metadata-sized (files × cols
@@ -1102,7 +1220,8 @@ object IceLite {
               summary = summary,
               fileRows = m.current.fileRows ++ rowsByFile,
               deleteFiles = m.current.deleteFiles,
-              eqDeletes = m.current.eqDeletes))
+              eqDeletes = m.current.eqDeletes,
+              sidecarDead = m.current.sidecarDead))
       }
     }.current
   }
@@ -1332,7 +1451,8 @@ object IceLite {
         // appends carry live sidecars (they reference surviving
         // files); a replace removes every file they point at
         deleteFiles = if (replace) Nil else snap.deleteFiles,
-        eqDeletes = if (replace) Nil else snap.eqDeletes)
+        eqDeletes = if (replace) Nil else snap.eqDeletes,
+        sidecarDead = if (replace) Map.empty else snap.sidecarDead)
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
     }.current
   }
@@ -1434,7 +1554,8 @@ object IceLite {
           rowsByFile,
         deleteFiles = if (mode == Append) snap.deleteFiles else Nil,
         partitionSpec = snap.partitionSpec,
-        eqDeletes = if (mode == Append) snap.eqDeletes else Nil)
+        eqDeletes = if (mode == Append) snap.eqDeletes else Nil,
+        sidecarDead = if (mode == Append) snap.sidecarDead else Map.empty)
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
     }.current
   }
@@ -1702,7 +1823,8 @@ object IceLite {
             summary = summary,
             fileRows = m.current.fileRows ++ rowsByFile,
             deleteFiles = m.current.deleteFiles, // live sidecars survive appends
-            eqDeletes = m.current.eqDeletes)
+            eqDeletes = m.current.eqDeletes,
+            sidecarDead = m.current.sidecarDead)
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
       }
     }.current
@@ -1999,6 +2121,9 @@ object IceLite {
           .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
         return snap
       }
+      // r14: per-file dead census rides the commit so pruned scans
+      // keep exact logical row stats (one grouped count, O(files))
+      val deadCensus = posSidecarDead(spark, ref, sidecars, snap.files)
       val committed = commitCAS(ref) { cur =>
         val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
         val head = m.current
@@ -2022,7 +2147,8 @@ object IceLite {
           // on hidden layouts) — dropping the spec here silently ended
           // transform pruning (TransformModelFuzzSpec seed 5)
           partitionSpec = head.partitionSpec,
-          deleteFiles = head.deleteFiles ++ sidecars)
+          deleteFiles = head.deleteFiles ++ sidecars,
+          sidecarDead = head.sidecarDead ++ deadCensus.getOrElse(Map.empty))
         m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
       }
       return committed.current
@@ -2063,10 +2189,22 @@ object IceLite {
       // exact logical count: matched rows of the CURRENT logical view
       // (one broadcast semi-join scan — the price of keeping
       // Snapshot.rowCount truthful; Iceberg skips this and reports
-      // physical counts instead)
-      val matched = readSnapWithDeletes(spark, ref, snap, snap.files)
+      // physical counts instead). r14: counted PER FILE — the same
+      // scan also yields the sidecar's dead census, so pruned scans
+      // keep exact stats
+      val matchedRows = readSnapWithDeletes(spark, ref, snap, snap.files,
+          keepFile = true)
         .join(org.apache.spark.sql.functions.broadcast(keyBatch),
-          keyCols, "left_semi").count()
+          keyCols, "left_semi")
+        .groupBy(org.apache.spark.sql.functions.col("_mor_file"))
+        .count().collect()
+      val matched = matchedRows.map(_.getLong(1)).sum
+      val matchedByFile: Option[Map[String, Long]] = {
+        val m = matchedRows.map(r => (Option(r.getString(0))
+          .flatMap(matchStagedPath(snap.files, _)), r.getLong(1)))
+        if (m.exists(_._1.isEmpty)) None
+        else Some(m.map { case (f, n) => f.get -> n }.toMap)
+      }
       if (matched == 0L) return snap
       val token = java.util.UUID.randomUUID.toString.take(8)
       val outDir = ref.deletesDir.resolve(token)
@@ -2096,7 +2234,11 @@ object IceLite {
             partitionSpec = head.partitionSpec, // hidden layouts take MoR ops
             deleteFiles = head.deleteFiles,
             eqDeletes = head.eqDeletes ++
-              sidecars.map(EqDelete(_, keyCols, id)))
+              sidecars.map(EqDelete(_, keyCols, id)),
+            sidecarDead = head.sidecarDead ++ matchedByFile.map(mf =>
+              Map(sidecars.head -> mf) ++
+                sidecars.tail.map(_ -> Map.empty[String, Long]))
+              .getOrElse(Map.empty))
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
         }
         return committed.current
@@ -2138,9 +2280,21 @@ object IceLite {
       val keyBatch = cached
         .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().localCheckpoint()
-      val matched = readSnapWithDeletes(spark, ref, snap, snap.files)
+      // r14: matched counted PER FILE (see deleteByKeysMoR) — the
+      // sidecar's dead census keeps pruned-scan stats exact
+      val matchedRows = readSnapWithDeletes(spark, ref, snap, snap.files,
+          keepFile = true)
         .join(org.apache.spark.sql.functions.broadcast(keyBatch),
-          keyCols, "left_semi").count()
+          keyCols, "left_semi")
+        .groupBy(org.apache.spark.sql.functions.col("_mor_file"))
+        .count().collect()
+      val matched = matchedRows.map(_.getLong(1)).sum
+      val matchedByFile: Option[Map[String, Long]] = {
+        val m = matchedRows.map(r => (Option(r.getString(0))
+          .flatMap(matchStagedPath(snap.files, _)), r.getLong(1)))
+        if (m.exists(_._1.isEmpty)) None
+        else Some(m.map { case (f, n) => f.get -> n }.toMap)
+      }
       // batch rows land through the table's OWN layout (transform dirs
       // derived per row; sorted tables range-clustered) — same rule as
       // every other append path
@@ -2185,7 +2339,11 @@ object IceLite {
           partitionSpec = head.partitionSpec, // hidden layouts take MoR ops
           deleteFiles = head.deleteFiles,
           eqDeletes = head.eqDeletes ++
-            sidecars.map(EqDelete(_, keyCols, id)))
+            sidecars.map(EqDelete(_, keyCols, id)),
+          sidecarDead = head.sidecarDead ++ (if (sidecars.isEmpty) Map.empty
+            else matchedByFile.map(mf => Map(sidecars.head -> mf) ++
+              sidecars.tail.map(_ -> Map.empty[String, Long]))
+              .getOrElse(Map.empty)))
         m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
       }
       return committed.current
@@ -2239,6 +2397,8 @@ object IceLite {
         .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
       return snap
     }
+    // r14: per-file dead census for pruned-scan stats
+    val deadCensus = posSidecarDead(spark, ref, sidecars, snap.files)
     // cast each SET expression to the column's EXISTING type: UPDATE
     // never changes a column's type, and an uncast literal (-1.0 is
     // a DECIMAL(2,1)) would silently drift the appended files' schema
@@ -2273,7 +2433,8 @@ object IceLite {
         head.partitionCols, head.sortedBy,
         fileRows = head.fileRows ++ rowsByFile,
         partitionSpec = head.partitionSpec, // hidden layouts take MoR ops
-        deleteFiles = head.deleteFiles ++ sidecars)
+        deleteFiles = head.deleteFiles ++ sidecars,
+        sidecarDead = head.sidecarDead ++ deadCensus.getOrElse(Map.empty))
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
     }.current
   }
@@ -2426,23 +2587,34 @@ object IceLite {
   private def readFilesWithDeletes(spark: SparkSession, ref: TableRef,
       snap: Snapshot, files: Seq[String],
       widensOf: Option[Seq[WidenedCol]] = None,
-      renamesOf: Option[Seq[RenamedCol]] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
+      renamesOf: Option[Seq[RenamedCol]] = None,
+      // r14: keep the `_mor_file` provenance column in the output —
+      // the per-file matched census the eq-delete writers record
+      keepFile: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     // zero files → zero rows: no sidecar can change that, and the
     // `_metadata` pseudo-column would not resolve on the schema-only
     // fallback read (same empty-state class as tf fuzz seed 6021)
-    if (files.isEmpty) return readFiles(spark, ref, files, widensOf, renamesOf)
+    if (files.isEmpty) {
+      val base = readFiles(spark, ref, files, widensOf, renamesOf)
+      return if (keepFile) base.withColumn("_mor_file", lit(null).cast("string"))
+        else base
+    }
     val positioned =
-      if (snap.deleteFiles.isEmpty) readFiles(spark, ref, files, widensOf, renamesOf)
-      else {
+      if (snap.deleteFiles.isEmpty) {
+        val base = readFiles(spark, ref, files, widensOf, renamesOf)
+        if (keepFile) base.withColumn("_mor_file", col("_metadata.file_path"))
+        else base
+      } else {
         val df = readFiles(spark, ref, files, widensOf, renamesOf)
           .withColumn("_mor_file", col("_metadata.file_path"))
           .withColumn("_mor_pos", col("_metadata.row_index"))
         val dels = spark.read.parquet(
           snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
-        df.join(dels, df("_mor_file") === dels("file_path") &&
+        val anti = df.join(dels, df("_mor_file") === dels("file_path") &&
             df("_mor_pos") === dels("pos"), "left_anti")
-          .drop("_mor_file", "_mor_pos")
+        if (keepFile) anti.drop("_mor_pos")
+        else anti.drop("_mor_file", "_mor_pos")
       }
     applyEqDeletes(spark, ref, snap, positioned)
   }
@@ -3078,7 +3250,8 @@ object IceLite {
             // live sidecars survive same-spec appends (flat append's
             // rule at its own commit)
             deleteFiles = m.current.deleteFiles,
-            eqDeletes = m.current.eqDeletes)
+            eqDeletes = m.current.eqDeletes,
+            sidecarDead = m.current.sidecarDead)
           m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
       }
     }.current
@@ -3456,7 +3629,8 @@ object IceLite {
         // the flat path does (dropping them here silently resurrected
         // MoR-deleted rows on transform tables)
         deleteFiles = m.current.deleteFiles,
-        eqDeletes = m.current.eqDeletes)
+        eqDeletes = m.current.eqDeletes,
+        sidecarDead = m.current.sidecarDead)
       m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ snap)
     }.current
   }
@@ -4234,8 +4408,10 @@ object IceLite {
           // direction ("a DESC, b"); parse loudly, store canonical
           val keys = SortKey.parse(enc)
           require(keys.nonEmpty, "WRITE ORDERED BY needs at least one column")
-          require(keys.map(_.col).distinct.size == keys.size,
-            s"duplicate sort column in '$enc'")
+          // duplicates key on (source col, transform): `days(ts), ts`
+          // is a legitimate coarse-then-fine order (r14)
+          require(keys.map(k => (k.col, k.transform)).distinct.size == keys.size,
+            s"duplicate sort key in '$enc'")
           // eager schema check — a bad column fails the DDL, not the
           // next INSERT's staging job (the d83 rule)
           val visible = visibleColNames(ref, m)
@@ -4314,10 +4490,11 @@ object IceLite {
     * logical counts, and compact's materializer. */
   private def readPartitionedWithDeletes(spark: SparkSession, ref: TableRef,
       snap: Snapshot, files: Seq[String],
-      renamesOf: Option[Seq[RenamedCol]] = None): DataFrame = {
+      renamesOf: Option[Seq[RenamedCol]] = None,
+      keepFile: Boolean = false): DataFrame = {
     val needPos = snap.deleteFiles.nonEmpty || snap.eqDeletes.nonEmpty
     val df0 = readPartitionedFiles(spark, ref, files,
-      withPositions = needPos, renamesOf = renamesOf)
+      withPositions = needPos || keepFile, renamesOf = renamesOf)
     val df1 =
       if (snap.deleteFiles.isEmpty || files.isEmpty) df0
       else {
@@ -4329,16 +4506,19 @@ object IceLite {
     // applyEqDeletes keys file provenance off `_mor_file` when
     // present (the union erased `_metadata`)
     val df2 = applyEqDeletes(spark, ref, snap, df1)
-    if (needPos) df2.drop("_mor_file", "_mor_pos") else df2
+    if (keepFile) df2.drop("_mor_pos")
+    else if (needPos) df2.drop("_mor_file", "_mor_pos")
+    else df2
   }
 
   /** Layout-routing MoR read: the partitioned or flat fold, by the
     * snapshot's own layout. */
   private def readSnapWithDeletes(spark: SparkSession, ref: TableRef,
-      snap: Snapshot, files: Seq[String]): DataFrame =
+      snap: Snapshot, files: Seq[String],
+      keepFile: Boolean = false): DataFrame =
     if (snap.partitionCols.nonEmpty)
-      readPartitionedWithDeletes(spark, ref, snap, files)
-    else readFilesWithDeletes(spark, ref, snap, files)
+      readPartitionedWithDeletes(spark, ref, snap, files, keepFile = keepFile)
+    else readFilesWithDeletes(spark, ref, snap, files, keepFile = keepFile)
 
   /** d23: INCREMENTAL SCAN (Iceberg's incremental read) — only the
     * files ADDED after `fromSnapshotId`, up to the current snapshot.
@@ -4957,7 +5137,8 @@ object IceLite {
           fileRows = head.fileRows ++
             staged.fileRows.view.filterKeys(deltaSet).toMap,
           deleteFiles = head.deleteFiles,
-          eqDeletes = head.eqDeletes)
+          eqDeletes = head.eqDeletes,
+          sidecarDead = head.sidecarDead)
         m.copy(currentSnapshotId = newId, snapshots = m.snapshots :+ snap,
           branches = m.branches - branch)
       }

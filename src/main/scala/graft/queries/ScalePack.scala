@@ -2626,13 +2626,31 @@ object ScalePack extends Pack {
             !planT.split("SortMergeJoin").last
               .contains("Exchange hashpartitioning") &&
             qt.collect()(0).getLong(0) == 300L
+          // r14: the TYPED truncate leg — long keys co-locate through
+          // the typed twin (substring of the zone-free decimal
+          // rendering); bounded to 400 keys, fixed join count
+          IceLite.createOrReplaceTransformed(TableRef(wh, "src", "trn_a"),
+            s.range(400).select($"id".as("k"), ($"id" * 2.0).as("va")),
+            Seq(PartitionField("k_pfx", "truncate", "k", 2)))
+          IceLite.createOrReplaceTransformed(TableRef(wh, "src", "trn_b"),
+            s.range(0, 400, 2).select($"id".as("bk"), ($"id" + 1.0).as("vb")),
+            Seq(PartitionField("bk_pfx", "truncate", "bk", 2)))
+          val qtn = s.sql(
+            s"""SELECT COUNT(*) AS n FROM $cat.src.trn_a JOIN $cat.src.trn_b
+                ON k = bk""")
+          val planTN = qtn.queryExecution.executedPlan.toString
+          val typedNoShuffle = planTN.contains("SortMergeJoin") &&
+            !planTN.split("SortMergeJoin").last
+              .contains("Exchange hashpartitioning") &&
+            qtn.collect()(0).getLong(0) == 200L
           s.createDataFrame(
             java.util.Arrays.asList(org.apache.spark.sql.Row(
               r.getLong(0), r.getDouble(1), r.getDouble(2), noShuffle,
-              truncNoShuffle)),
+              truncNoShuffle, typedNoShuffle)),
             org.apache.spark.sql.types.StructType.fromDDL(
               "n BIGINT, sum_qty DOUBLE, sum_price DOUBLE, " +
-                "spj_no_shuffle BOOLEAN, truncate_spj_no_shuffle BOOLEAN"))
+                "spj_no_shuffle BOOLEAN, truncate_spj_no_shuffle BOOLEAN, " +
+                "typed_truncate_spj_no_shuffle BOOLEAN"))
         } finally {
           bucketingWas.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
             s.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
@@ -2644,7 +2662,8 @@ object ScalePack extends Pack {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-             TRUE AS spj_no_shuffle, TRUE AS truncate_spj_no_shuffle
+             TRUE AS spj_no_shuffle, TRUE AS truncate_spj_no_shuffle,
+             TRUE AS typed_truncate_spj_no_shuffle
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              WHERE l_orderkey < 6000""")),
 
@@ -2818,20 +2837,28 @@ object ScalePack extends Pack {
         val dim = IngestJob.tableRef(wh, "supplier_stats")
         IceLite.createOrReplace(fact, Tables.load(s, dir, "lineitem")
           .select($"l_suppkey", $"l_extendedprice"))
-        IceLite.createOrReplace(dim, Tables.load(s, dir, "supplier")
-          .select($"s_suppkey", $"s_nationkey"))
+        // r14 (verdict task #7): the dim is SORTED into 4 files with
+        // key stats, so the s_suppkey bound below PRUNES its scan
+        IceLite.createOrReplaceSorted(dim, Tables.load(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey"),
+          "s_suppkey", numFiles = 4, statsCols = Seq("s_suppkey"))
         // r13 (verdict task #8): the dim goes MoR-LIVE — an eq-delete
         // sidecar drops suppliers 0–4 — and the join must STILL
-        // auto-broadcast: stats now report the snapshot's exact
-        // logical rowCount under live sidecars instead of omitting
-        // rows (the oracle drops the same suppliers)
+        // auto-broadcast: stats report the snapshot's exact logical
+        // rowCount under live sidecars. r14 tightens this to a PRUNED
+        // eq-live dim: the per-sidecar dead census recorded at MoR
+        // commit subtracts only the tombstones whose files survive
+        // pruning, so the pruned scan's stats stay exact too (the
+        // oracle applies the same delete + bound)
         IceLite.deleteByKeysMoR(s, dim,
           s.range(5).select($"id".cast("long").as("s_suppkey")),
           Seq("s_suppkey"))
+        val dimHalf = s.read.format("graft.sources.IceLiteSource")
+          .load(dim.dir.toString)
+          .filter($"s_suppkey" < 50L)
         val joined = s.read.format("graft.sources.IceLiteSource")
           .load(fact.dir.toString)
-          .join(s.read.format("graft.sources.IceLiteSource")
-            .load(dim.dir.toString), $"l_suppkey" === $"s_suppkey")
+          .join(dimHalf, $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_nationkey")
           .agg(count(lit(1)).cast("long").as("n"),
             dsum($"l_extendedprice", 3).as("sum_price"))
@@ -2844,7 +2871,7 @@ object ScalePack extends Pack {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
              TRUE AS broadcast_planned
              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             WHERE s_suppkey >= 5
+             WHERE s_suppkey >= 5 AND s_suppkey < 50
              GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
     // d41: METADATA TABLES as SQL identifiers — Iceberg's
@@ -2951,17 +2978,32 @@ object ScalePack extends Pack {
         graft.sources.IceLiteSource.lastScanMetadataOnly = false
         aggF.write.format("noop").mode("overwrite").save()
         val pushedF = graft.sources.IceLiteSource.lastScanMetadataOnly
+        // r14 (verdict task #5): a pushed partition-column RANGE
+        // composes too — COUNT WHERE l_returnflag >= 'N' GROUP BY
+        // l_returnflag answers from filtered dirs, zero parquet reads
+        val aggR = src.filter($"l_returnflag" >= "N")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_ge"))
+        graft.sources.IceLiteSource.lastScanMetadataOnly = false
+        aggR.write.format("noop").mode("overwrite").save()
+        val pushedR = graft.sources.IceLiteSource.lastScanMetadataOnly
         agg.join(aggF, Seq("l_returnflag"), "left")
+          .join(aggR, Seq("l_returnflag"), "left")
           .select($"l_returnflag", $"n",
-            coalesce($"n_o", lit(0L)).as("n_o"))
+            coalesce($"n_o", lit(0L)).as("n_o"),
+            coalesce($"n_ge", lit(0L)).as("n_ge"))
           .orderBy($"l_returnflag")
           .withColumn("agg_pushed", lit(pushed))
           .withColumn("filtered_agg_pushed", lit(pushedF))
+          .withColumn("range_agg_pushed", lit(pushedR))
       },
       Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
                AS BIGINT) AS n_o,
-             TRUE AS agg_pushed, TRUE AS filtered_agg_pushed
+             CAST(CASE WHEN l_returnflag >= 'N' THEN COUNT(*) ELSE 0 END
+               AS BIGINT) AS n_ge,
+             TRUE AS agg_pushed, TRUE AS filtered_agg_pushed,
+             TRUE AS range_agg_pushed
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // d35: COUNT-based snapshot retention (Iceberg expire_snapshots

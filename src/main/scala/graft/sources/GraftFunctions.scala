@@ -226,11 +226,22 @@ object GraftFunctions {
       require(inputType.fields.length == 1,
         s"truncate$width takes one string argument, got " +
           inputType.catalogString)
-      require(inputType.fields(0).dataType == StringType,
-        "truncate co-location is served for string keys only (the " +
-          "write layout casts non-strings before prefixing; that cast " +
-          "has no exact typed twin)")
-      new TruncateWidthBound(width)
+      inputType.fields(0).dataType match {
+        case StringType => new TruncateWidthBound(width)
+        // r14: typed twins for the ZONE-FREE casts — the write layout
+        // is substring(CAST(col AS STRING), 1, w), and int/long/
+        // decimal renderings are deterministic (Long.toString /
+        // Decimal.toString are exactly Spark's Cast), so a numeric
+        // truncate layout co-locates for SPJ like a string one.
+        // Temporal casts stay refused: they render in the SESSION
+        // zone, which an executor-bound function cannot see.
+        case t @ (IntegerType | LongType | _: DecimalType) =>
+          new TruncateWidthTypedBound(width, t)
+        case other => throw new IllegalArgumentException(
+          "truncate co-location is served for string, int, long and " +
+            s"decimal keys, got ${other.catalogString} (temporal casts " +
+            "render in the session zone — no exact zone-free twin)")
+      }
     }
   }
 
@@ -244,6 +255,38 @@ object GraftFunctions {
         : org.apache.spark.unsafe.types.UTF8String =
       if (input.isNullAt(0)) null
       else input.getUTF8String(0).substringSQL(1, width)
+  }
+
+  /** r14: the typed truncate twin — evaluates the write layout's
+    * EXACT expression for a non-string source column,
+    * `substring(CAST(col AS STRING), 1, w)`. Result type is STRING
+    * (the derived dir value), matching the key the scan's splits
+    * report; the canonical name is typed so cross-type layouts never
+    * pretend to co-locate. */
+  final class TruncateWidthTypedBound(width: Int, keyType: DataType)
+    extends ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(keyType)
+    override def resultType(): DataType = StringType
+    override def name(): String = s"truncate$width"
+    override def canonicalName(): String =
+      s"graft.truncate($width, ${keyType.catalogString})"
+    override def produceResult(input: InternalRow)
+        : org.apache.spark.unsafe.types.UTF8String =
+      if (input.isNullAt(0)) null
+      else {
+        // Long.toString / Integer.toString / Decimal.toString are
+        // byte-for-byte Spark's Cast-to-string of these types
+        val rendered = keyType match {
+          case IntegerType => String.valueOf(input.getInt(0))
+          case LongType => String.valueOf(input.getLong(0))
+          case d: DecimalType =>
+            input.getDecimal(0, d.precision, d.scale).toString
+          case other => throw new IllegalStateException(
+            s"unbindable truncate key type $other") // bind() gates
+        }
+        org.apache.spark.unsafe.types.UTF8String.fromString(rendered)
+          .substringSQL(1, width)
+      }
   }
 
   object BucketUnbound extends UnboundFunction {

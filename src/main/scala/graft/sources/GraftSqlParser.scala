@@ -46,18 +46,22 @@ class GraftSqlParser(spark: SparkSession,
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(\w+)\s*\(\s*([^)]+)\s*\)\s*;?\s*$""".r
   private val DropPartTransformRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(\w+)\s*\(\s*([^)]+)\s*\)\s*;?\s*$""".r
-  /** d89: sort-order DDL — `WRITE ORDERED BY c1 [ASC|DESC][, c2 …]` /
-    * `WRITE UNORDERED` (Iceberg's spark-extensions grammar; stock
-    * Spark has neither). Multi-column directed orders since r13; the
-    * canonical encoded form ("c1 DESC,c2") travels through the same
-    * string channel the single-column DDL used. */
+  /** d89: sort-order DDL — `WRITE ORDERED BY key [ASC|DESC] [NULLS
+    * FIRST|LAST][, …]` / `WRITE UNORDERED` (Iceberg's
+    * spark-extensions grammar; stock Spark has neither). Keys are
+    * plain columns or transform keys (`days(ts)`, `bucket(8, id)`,
+    * `truncate(4, s)`) since r14; the canonical encoded form
+    * ("days(ts) DESC NULLS LAST,c2") travels through the same string
+    * channel the single-column DDL used. */
+  private val OrderTok =
+    """(?:\w+\s*\(\s*[^)]*\s*\)|`?\w+`?)(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?"""
   private val WriteOrderedRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+""" +
-      """(`?\w+`?(?:\s+(?:ASC|DESC))?(?:\s*,\s*`?\w+`?(?:\s+(?:ASC|DESC))?)*)\s*;?\s*$""").r
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+(""" +
+      OrderTok + """(?:\s*,\s*""" + OrderTok + """)*)\s*;?\s*$""").r
   private val WriteUnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
-  /** Catch-all for the fuller Iceberg grammar (NULLS FIRST/LAST
-    * modifiers, transform keys) — recognized and refused with a clear
+  /** Catch-all for the fuller Iceberg grammar (expression keys,
+    * unknown transforms) — recognized and refused with a clear
     * capability message when the table is ours; the stock delegate's
     * generic syntax error would misdirect the user. */
   private val WriteOrderedAnyRe =
@@ -137,21 +141,27 @@ class GraftSqlParser(spark: SparkSession,
     }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case WriteOrderedRe(ident, order) =>
-      // canonicalize ("a desc , `b`" → "a DESC,b") at the parse seam
-      // so every downstream consumer sees one rendering
+    // catalog check FIRST (writeOrderCommand(_, None)), THEN canon:
+    // the extended token grammar admits transform shapes SortKey may
+    // still refuse (unknown transform name), and that loud refusal
+    // must fire only for OUR tables — anything else falls through to
+    // the delegate's own error
+    case WriteOrderedRe(ident, order)
+        if writeOrderCommand(ident, None).isDefined =>
+      // canonicalize ("days(ts) desc , `b`" → "days(ts) DESC,b") at
+      // the parse seam so every downstream consumer sees one rendering
       writeOrderCommand(ident,
-          Some(graft.icelite.SortKey.canon(order)))
-        .getOrElse(rewrite(delegate.parsePlan(sqlText)))
+        Some(graft.icelite.SortKey.canon(order))).get
     case WriteUnorderedRe(ident) =>
       writeOrderCommand(ident, None)
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))
     case WriteOrderedAnyRe(ident, order) if writeOrderCommand(ident, None).isDefined =>
       throw new UnsupportedOperationException(
         s"WRITE ORDERED BY $order: this catalog supports plain-column " +
-          "orders with ASC/DESC only (no NULLS FIRST/LAST modifiers, " +
-          "no transform keys) — e.g. ALTER TABLE t WRITE ORDERED BY " +
-          "c1 DESC, c2")
+          "and transform keys (days|months|years|hours(col), " +
+          "bucket(n, col), truncate(n, col)) with ASC/DESC and NULLS " +
+          "FIRST/LAST — e.g. ALTER TABLE t WRITE ORDERED BY " +
+          "days(ts) DESC, c2 NULLS LAST; expression keys are not supported")
     case AddPartTransformRe(ident, transform, args) =>
       partTransformCommand(ident, transform, args)
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))

@@ -265,6 +265,38 @@ object IceLiteSource {
           .unescapePathName(seg.drop(c.length + 1))
     }.toMap
 
+  /** r14 (verdict task #5): a STRING range over a partition column.
+    * Each side is (bound, inclusive); comparisons run through
+    * UTF8String so they are byte-for-byte Spark's own string
+    * ordering (Scala's String.compareTo is UTF-16 code-unit order —
+    * NOT the same for supplementary characters). */
+  type StrRange = (Option[(String, Boolean)], Option[(String, Boolean)])
+
+  private def strCmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  private[sources] def strInRange(v: String, r: StrRange): Boolean =
+    r._1.forall { case (lo, inc) =>
+      val c = strCmp(v, lo); if (inc) c >= 0 else c > 0 } &&
+    r._2.forall { case (hi, inc) =>
+      val c = strCmp(v, hi); if (inc) c <= 0 else c < 0 }
+
+  /** Intersect two ranges (repeated pushed predicates conjoin). */
+  private[sources] def strRangeIntersect(a: StrRange, b: StrRange): StrRange = {
+    def pick(x: Option[(String, Boolean)], y: Option[(String, Boolean)],
+        keepGreater: Boolean): Option[(String, Boolean)] = (x, y) match {
+      case (None, v) => v
+      case (v, None) => v
+      case (Some((xv, xi)), Some((yv, yi))) =>
+        val c = strCmp(xv, yv)
+        if (c == 0) Some((xv, xi && yi))
+        else if ((c > 0) == keepGreater) Some((xv, xi))
+        else Some((yv, yi))
+    }
+    (pick(a._1, b._1, keepGreater = true),
+      pick(a._2, b._2, keepGreater = false))
+  }
+
   /** Dir value → SQL value: Hive's null-sentinel dir
     * (`__HIVE_DEFAULT_PARTITION__`) decodes to NULL on every
     * row-returning path (batch constant vectors, stream partVals,
@@ -802,12 +834,38 @@ private[graft] object IceLiteWriteLayout {
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
   /** The declared order as V2 sort expressions — the marker string
-    * encodes a whole directed key list ("a DESC,b"; r13). */
+    * encodes a whole directed key list ("days(ts) DESC,k NULLS
+    * LAST"; transform keys + null ordering since r14). Transform
+    * keys become V2 transform expressions, resolved through the
+    * catalog's FunctionCatalog exactly like d90's SPJ keys — the
+    * bound functions ARE the write layout's derivations, so Spark's
+    * pre-write sort clusters the same way the marker claims. */
   private def sortOrders(enc: String): Array[SortOrder] =
-    graft.icelite.SortKey.parse(enc).map(k =>
-      Expressions.sort(Expressions.column(k.col),
-        if (k.asc) SortDirection.ASCENDING
-        else SortDirection.DESCENDING): SortOrder).toArray
+    graft.icelite.SortKey.parse(enc).map { k =>
+      val expr: org.apache.spark.sql.connector.expressions.Expression =
+        k.transform match {
+          case None => Expressions.column(k.col)
+          case Some(("bucket", n)) => Expressions.bucket(n, k.col)
+          case Some(("truncate", w)) =>
+            Expressions.apply(s"truncate$w", Expressions.column(k.col))
+          case Some(("days", _)) => Expressions.days(k.col)
+          case Some(("months", _)) => Expressions.months(k.col)
+          case Some(("years", _)) => Expressions.years(k.col)
+          case Some(("hours", _)) => Expressions.hours(k.col)
+          case Some((t, _)) => throw new IllegalArgumentException(
+            s"unknown sort transform '$t'")
+        }
+      val dir =
+        if (k.asc) SortDirection.ASCENDING else SortDirection.DESCENDING
+      (k.nullsFirst match {
+        case None => Expressions.sort(expr, dir)
+        case Some(nf) => Expressions.sort(expr, dir,
+          if (nf) org.apache.spark.sql.connector.expressions
+            .NullOrdering.NULLS_FIRST
+          else org.apache.spark.sql.connector.expressions
+            .NullOrdering.NULLS_LAST)
+      }): SortOrder
+    }.toArray
 
   def distributionFor(partCols: Seq[String],
       sortCol: Option[String]): Distribution =
@@ -1667,6 +1725,10 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
   private var bounds: Map[String, (Double, Double)] = Map.empty
   private var partFilters: Map[String, Set[String]] = Map.empty
   private var partNotNull: Set[String] = Set.empty
+  /** r14: pushed STRING ranges over identity partition columns —
+    * range file-pruning is row filtering on value-pure files, exactly
+    * like equality (verdict task #5). */
+  private var partRanges: Map[String, IceLiteSource.StrRange] = Map.empty
   /** Columns whose partition filters were CLAIMED fully handled —
     * consumers without a residual filter above them (the micro-batch
     * stream) must enforce these exactly or refuse. */
@@ -1759,6 +1821,9 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     }
     def partEq(col: String, vs: Set[String]): Unit =
       partFilters += col -> partFilters.get(col).map(_.intersect(vs)).getOrElse(vs)
+    def partRange(col: String, r: IceLiteSource.StrRange): Unit =
+      partRanges += col -> partRanges.get(col)
+        .map(IceLiteSource.strRangeIntersect(_, r)).getOrElse(r)
     accepted = filters.filter {
       // time-transform dir ranges first (GT stays day-inclusive at
       // its bound — conservative; LT likewise keeps the boundary day)
@@ -1770,6 +1835,18 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         tfRange(c, None, dayOf(v)); true
       case LessThanOrEqual(c, v) if hasTimeTransform(c) && dayOf(v).isDefined =>
         tfRange(c, None, dayOf(v)); true
+      // r14: STRING ranges on identity partition columns prune whole
+      // value dirs (and compose with the metadata fold — the claim
+      // logic below). Ordered before the numeric cases so a string
+      // bound on a partition column is not silently dropped there.
+      case GreaterThan(c, v: String) if isPartCol(c) =>
+        partRange(c, (Some((v, false)), None)); true
+      case GreaterThanOrEqual(c, v: String) if isPartCol(c) =>
+        partRange(c, (Some((v, true)), None)); true
+      case LessThan(c, v: String) if isPartCol(c) =>
+        partRange(c, (None, Some((v, false)))); true
+      case LessThanOrEqual(c, v: String) if isPartCol(c) =>
+        partRange(c, (None, Some((v, true)))); true
       case GreaterThan(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
       case GreaterThanOrEqual(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
       case LessThan(c, v) => num(v).exists { d => tighten(c, Double.NegativeInfinity, d); true }
@@ -1812,13 +1889,22 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       snapshotsPerTrigger == Int.MaxValue
     claimedPartCols =
       if (!plainBatch) Set.empty
-      else (partFilters.keySet ++ partNotNull).filter(exactPartCol)
+      else (partFilters.keySet ++ partNotNull ++ partRanges.keySet)
+        .filter(exactPartCol)
     filters.filterNot {
       case EqualTo(c, _: String) => plainBatch && exactPartCol(c)
       case In(c, vs) => plainBatch && exactPartCol(c) && vs.nonEmpty &&
         vs.forall(_.isInstanceOf[String])
       case org.apache.spark.sql.sources.IsNotNull(c) =>
         plainBatch && exactPartCol(c)
+      // r14: ranges claim exactly like equality — pruning by the
+      // parsed dir value IS the row filter on value-pure files (the
+      // sentinel dir is dropped by the pruning, matching SQL's
+      // null-comparison semantics)
+      case GreaterThan(c, _: String) => plainBatch && exactPartCol(c)
+      case GreaterThanOrEqual(c, _: String) => plainBatch && exactPartCol(c)
+      case LessThan(c, _: String) => plainBatch && exactPartCol(c)
+      case LessThanOrEqual(c, _: String) => plainBatch && exactPartCol(c)
       case _ => false
     }
   }
@@ -1916,8 +2002,10 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     // filtered census — Iceberg's partition-stats read under a
     // partition predicate.
     if (bounds.nonEmpty || currentSnap.morLive) None
-    else if ((partFilters.nonEmpty || partNotNull.nonEmpty) &&
-      !((partFilters.keys ++ partNotNull).forall(exactPartCol) &&
+    else if ((partFilters.nonEmpty || partNotNull.nonEmpty ||
+        partRanges.nonEmpty) &&
+      !((partFilters.keys ++ partNotNull ++ partRanges.keys)
+          .forall(exactPartCol) &&
         fileRowsComplete)) None
     else {
       val groupCols: Seq[Option[String]] =
@@ -1963,7 +2051,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         // file past the validated path-borne/fileRows preconditions
         // (silently dropped from the census, or a missing fileRows
         // entry throwing)
-        currentSnap, partFilters, partNotNull)
+        currentSnap, partFilters, partNotNull, partRanges)
     case None =>
       // normalize the projection to FILE-SCHEMA order (the vectorized
       // reader clips the parquet schema in file order, so readSchema
@@ -2015,7 +2103,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         currentSnap.eqDeletes,
         snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh,
         tfFilters, tfRanges, splitBytesExplicit, partNotNull,
-        claimedPartCols)
+        claimedPartCols, partRanges)
   }
 }
 
@@ -2038,7 +2126,8 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
     // never a re-resolve at execution time
     snap: Snapshot,
     partFilters: Map[String, Set[String]] = Map.empty,
-    partNotNull: Set[String] = Set.empty)
+    partNotNull: Set[String] = Set.empty,
+    partRanges: Map[String, IceLiteSource.StrRange] = Map.empty)
   extends Scan with Batch {
   override def readSchema(): StructType = StructType(
     groupCols.map { case (c, dt, _) => StructField(c, dt) } ++
@@ -2057,13 +2146,19 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
     // the fold — exact, because the builder only composes filters on
     // uniformly path-borne columns (value-pure files)
     val census =
-      if (partFilters.isEmpty && partNotNull.isEmpty) snap.files
+      if (partFilters.isEmpty && partNotNull.isEmpty && partRanges.isEmpty)
+        snap.files
       else snap.files.filter { f =>
         val vals = IceLiteSource.pathPartValues(f)
         partFilters.forall { case (c, vs) => vals.get(c).exists(vs.contains) } &&
         partNotNull.forall(c => vals.get(c).forall(_ !=
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .DEFAULT_PARTITION_NAME))
+            .DEFAULT_PARTITION_NAME)) &&
+        // r14: pushed string ranges filter the census like equality
+        // (null-sentinel dirs fail any range, SQL's null-comparison)
+        partRanges.forall { case (c, r) => vals.get(c).exists(v =>
+          v != org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME && IceLiteSource.strInRange(v, r)) }
       }
     def stat(f: String, c: String): ColStats =
       snap.fileStats.get(f).flatMap(_.find(_.col == c)).getOrElse(
@@ -2076,7 +2171,8 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
         // unfiltered global count reads the snapshot total (old
         // manifests: no fileRows); any filtered/grouped count sums
         // the census's per-file record counts
-        if (groupCols.isEmpty && partFilters.isEmpty && partNotNull.isEmpty)
+        if (groupCols.isEmpty && partFilters.isEmpty &&
+            partNotNull.isEmpty && partRanges.isEmpty)
           snap.rowCount
         else files.map(snap.fileRows).sum
       // a filtered-to-empty GLOBAL min/max is NULL (SQL semantics);
@@ -2143,7 +2239,9 @@ class IceLiteScan(ref: TableRef, required: StructType,
     tfRanges: Map[String, (String, String)] = Map.empty,
     splitBytesExplicit: Boolean = false,
     partNotNull: Set[String] = Set.empty,
-    claimedPartCols: Set[String] = Set.empty) extends Scan with Batch
+    claimedPartCols: Set[String] = Set.empty,
+    partRanges: Map[String, IceLiteSource.StrRange] = Map.empty)
+  extends Scan with Batch
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -2270,7 +2368,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // partition values ride along as constant vectors, same as batch
     new IceLiteMicroBatchStream(ref, dataFields, snapshotsPerTrigger,
       partFields, streamRefresh, partFilters, partNotNull,
-      claimedPartCols)
+      claimedPartCols, partRanges)
   }
   override def description(): String =
     s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}" +
@@ -2302,7 +2400,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // is KEPT: its value lives in data pages and every pushed filter
     // stays residual, so rows still filter exactly.
     val identityPruned =
-      if (partFilters.isEmpty && partNotNull.isEmpty) statsPruned
+      if (partFilters.isEmpty && partNotNull.isEmpty && partRanges.isEmpty)
+        statsPruned
       else statsPruned.filter { f =>
         val vals = IceLiteSource.pathPartValues(f)
         partFilters.forall { case (c, vs) => vals.get(c).forall(vs.contains) } &&
@@ -2310,7 +2409,13 @@ class IceLiteScan(ref: TableRef, required: StructType,
         // for path-borne columns, conservative (keep) on dir-less files
         partNotNull.forall(c => vals.get(c).forall(_ !=
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .DEFAULT_PARTITION_NAME))
+            .DEFAULT_PARTITION_NAME)) &&
+        // r14: string ranges prune value dirs like equality; the
+        // sentinel dir fails any range (SQL null-comparison), and
+        // dir-less files keep conservatively (residual-backed)
+        partRanges.forall { case (c, r) => vals.get(c).forall(v =>
+          v != org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME && IceLiteSource.strInRange(v, r)) }
       }
     // hidden-partition transform pruning (pushed source-col equality
     // mapped through bucket/truncate/time dirs, day ranges through
@@ -2384,11 +2489,25 @@ class IceLiteScan(ref: TableRef, required: StructType,
       // snapshot's own rowCount — EXACT logical rows, because every
       // MoR commit maintains it from the matched-row count it
       // computed when writing the sidecar (head.rowCount − matched;
-      // delete-mor / delete-eq / upsert-eq all do). A PRUNED MoR
-      // scan still declines: which sidecar rows land on the pruned
-      // subset is unknown at stats time — absent beats wrong.
+      // delete-mor / delete-eq / upsert-eq all do).
       else if (files.size == snap.files.size) Some(snap.rowCount)
-      else None
+      else {
+        // r14: a PRUNED MoR-live scan is exact too when every live
+        // sidecar carries its per-file dead census (recorded at MoR
+        // commit) — subtract only the tombstones whose files SURVIVE
+        // pruning. Any live sidecar without an entry (pre-upgrade
+        // manifest, un-carried commit path) declines: absent beats
+        // wrong.
+        val live = snap.deleteFiles ++ snap.eqDeletes.map(_.file)
+        if (!live.forall(snap.sidecarDead.contains)) None
+        else {
+          val surviving = files.toSet
+          Some(files.map(snap.fileRows).sum -
+            live.map(sc => snap.sidecarDead(sc)
+              .foldLeft(0L) { case (a, (f, n)) =>
+                if (surviving(f)) a + n else a }).sum)
+        }
+      }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
@@ -2409,19 +2528,27 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * Catalyst can resolve and match both sides), every planned file
     * carries its derived dir (no pre-spec era), and the scan outputs
     * every source column (the transform expression resolves against
-    * the relation output). `truncate` is served for STRING source
-    * columns only: the write layout prefixes a string CAST for other
-    * types and that cast has no exact typed function twin
-    * ([[GraftFunctions.TruncateUnbound]]). */
+    * the relation output). `truncate` is served for string, int,
+    * long and decimal source columns — the types whose
+    * cast-to-string rendering is zone-free, so the typed function
+    * twin ([[GraftFunctions.TruncateWidthTypedBound]]) evaluates the
+    * write layout's exact prefix expression; temporal truncate stays
+    * unkeyed (session-zone cast, no executor-side twin). */
   private val spjTransforms =
     Set("bucket", "truncate", "days", "months", "years", "hours")
+
+  private val truncateKeyable: DataType => Boolean = {
+    case StringType | IntegerType | LongType => true
+    case _: DecimalType => true
+    case _ => false
+  }
 
   private def transformKeyed: Boolean =
     rowOp.isEmpty && partitionCols.isEmpty && tfSpecFields.nonEmpty &&
       tfSpecFields.forall(f => spjTransforms.contains(f.transform)) &&
       tfSpecFields.forall(f => f.transform != "truncate" ||
         required.fields.find(_.name == f.sourceCol)
-          .exists(_.dataType == org.apache.spark.sql.types.StringType)) &&
+          .exists(fld => truncateKeyable(fld.dataType))) &&
       tfSpecFields.forall(f => required.fieldNames.contains(f.sourceCol)) && {
         val files = staticPruned
         // an EMPTIED/fully-pruned scan declines: a 0-partition
@@ -2843,7 +2970,8 @@ class IceLiteMicroBatchStream(ref: TableRef,
     refresh: () => Unit = () => (),
     partFilters: Map[String, Set[String]] = Map.empty,
     partNotNull: Set[String] = Set.empty,
-    claimedPartCols: Set[String] = Set.empty)
+    claimedPartCols: Set[String] = Set.empty,
+    partRanges: Map[String, IceLiteSource.StrRange] = Map.empty)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** AvailableNow ceiling: snapshot id captured at query start. */
@@ -2956,7 +3084,12 @@ class IceLiteMicroBatchStream(ref: TableRef,
         partFilters.forall { case (c, vs) => check(c)(vs.contains) } &&
         partNotNull.forall(c => check(c)(_ !=
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .DEFAULT_PARTITION_NAME))
+            .DEFAULT_PARTITION_NAME)) &&
+        // r14: claimed string ranges bind the stream too (same
+        // lockstep rule as equality — the residual is gone)
+        partRanges.forall { case (c, r) => check(c)(v =>
+          v != org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME && IceLiteSource.strInRange(v, r)) }
       }
       .map { f =>
         // s23: projected partition values come from the file path,

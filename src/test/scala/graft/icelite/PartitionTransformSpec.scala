@@ -818,8 +818,10 @@ class PartitionTransformSpec extends AnyFunSuite {
       assert(r1.getLong(0) == 600L && r1.getDouble(1) == expect1,
         s"one-side-shuffle truncate SPJ joined wrong rows: ${r1.getLong(0)}")
 
-      // non-string truncate keys DECLINE: the layout prefixes a
-      // string cast, so the scan must not claim co-location
+      // r14: TYPED truncate keys co-locate too — the typed function
+      // twin evaluates the write layout's exact
+      // substring(CAST(col AS STRING)) for int/long/decimal, so a
+      // numeric prefix layout is a zero-exchange join shape
       IceLite.createOrReplaceTransformed(TableRef(wh, "src", "na"),
         (0L until 400L).map(k => (k, k * 2.0)).toDF("k", "va"),
         Seq(PartitionField("k_pfx", "truncate", "k", 2)))
@@ -827,12 +829,54 @@ class PartitionTransformSpec extends AnyFunSuite {
         (0L until 400L by 2).map(k => (k, k + 1.0)).toDF("bk", "vb"),
         Seq(PartitionField("bk_pfx", "truncate", "bk", 2)))
       val qn = spark.sql(
-        s"""SELECT COUNT(*) AS n FROM $cat.src.na JOIN $cat.src.nb
-            ON k = bk""")
-      assert(qn.queryExecution.executedPlan.toString
+        s"""SELECT COUNT(*) AS n, CAST(SUM(va * vb) AS DOUBLE) AS s
+            FROM $cat.src.na JOIN $cat.src.nb ON k = bk""")
+      val pn = qn.queryExecution.executedPlan.toString
+      assert(pn.contains("SortMergeJoin") &&
+        !pn.split("SortMergeJoin").last.contains("Exchange hashpartitioning"),
+        s"long-key truncate SPJ must not shuffle:\n$pn")
+      val rn = qn.head()
+      val expectN = (0L until 400L by 2).map(k => k * 2.0 * (k + 1.0)).sum
+      assert(rn.getLong(0) == 200L && rn.getDouble(1) == expectN,
+        s"long-key truncate SPJ joined wrong rows: n=${rn.getLong(0)}")
+
+      // one-side shuffle INTO the long prefix layout executes the
+      // TYPED twin per row — value-exactness is the end-to-end proof
+      // it equals the write-side substring(cast) (verdict r13 #4)
+      val plainDirN = Files.createTempDirectory("pt_trspj_plainN").toString
+      (0L until 400L by 5).map(k => (k, k - 1.0)).toDF("pk", "pv")
+        .write.mode("overwrite").parquet(plainDirN)
+      spark.read.parquet(plainDirN).createOrReplaceTempView("pt_trspj_dimn")
+      val qn1 = spark.sql(
+        s"""SELECT COUNT(*) AS n, CAST(SUM(va * pv) AS DOUBLE) AS s
+            FROM $cat.src.na JOIN pt_trspj_dimn ON k = pk""")
+      val pn1 = qn1.queryExecution.executedPlan.toString
+      val exchangesN = "Exchange".r.findAllIn(pn1.split("SortMergeJoin").last).size
+      assert(pn1.contains("SortMergeJoin") && exchangesN == 1,
+        s"expected one-side shuffle ($exchangesN exchanges):\n$pn1")
+      val rn1 = qn1.head()
+      val expectN1 = (0L until 400L by 5).map(k => k * 2.0 * (k - 1.0)).sum
+      assert(rn1.getLong(0) == 80L && rn1.getDouble(1) == expectN1,
+        s"typed one-side-shuffle truncate SPJ wrong: n=${rn1.getLong(0)}")
+
+      // TEMPORAL truncate keys still DECLINE: the cast renders in the
+      // session zone, which an executor-bound twin cannot see
+      val tsRows = (0L until 96L).map(h =>
+        (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds(h * 3600)), h * 1.0))
+      IceLite.createOrReplaceTransformed(TableRef(wh, "src", "tsa"),
+        tsRows.toDF("ts", "va"),
+        Seq(PartitionField("ts_pfx", "truncate", "ts", 10)))
+      IceLite.createOrReplaceTransformed(TableRef(wh, "src", "tsb"),
+        tsRows.filter(_._2 % 2 == 0).toDF("bts", "vb"),
+        Seq(PartitionField("bts_pfx", "truncate", "bts", 10)))
+      val qt = spark.sql(
+        s"""SELECT COUNT(*) AS n FROM $cat.src.tsa JOIN $cat.src.tsb
+            ON ts = bts""")
+      assert(qt.queryExecution.executedPlan.toString
         .split("SortMergeJoin").last.contains("Exchange hashpartitioning"),
-        "non-string truncate layout must pay the exchange, not mis-co-locate")
-      assert(qn.head().getLong(0) == 200L)
+        "temporal truncate layout must pay the exchange, not mis-co-locate")
+      assert(qt.head().getLong(0) == 48L)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")

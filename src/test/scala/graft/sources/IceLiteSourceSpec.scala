@@ -322,14 +322,17 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(st.numRows.isPresent && st.numRows.getAsLong == 85L,
       s"un-pruned MoR-live scan must report exact logical rows, got $st")
     assert(st.sizeInBytes.getAsLong > 0L)
-    // a PRUNED MoR-live scan still omits: which sidecar rows land on
-    // the pruned subset is unknown at stats time — absent beats wrong
+    // r14: a PRUNED MoR-live scan is exact too — every MoR commit
+    // records the sidecar's per-file dead census, and stats subtract
+    // only the tombstones whose files SURVIVE pruning. The appended
+    // file [200,300) carries no dead rows; the pruned scan drops the
+    // original file (and all 15 dead rows with it).
     IceLite.append(ref, (200L until 300L).map(k => (k, k)).toDF("k", "v"),
       statsCols = Seq("k"))
     val pruned = statsOf(spark.read.format(Fmt).load(ref.dir.toString)
       .filter($"k" >= 200L))
-    assert(!pruned.numRows.isPresent,
-      "pruned MoR-live scans must omit rather than guess")
+    assert(pruned.numRows.isPresent && pruned.numRows.getAsLong == 100L,
+      s"pruned MoR-live scan must subtract only surviving tombstones, got $pruned")
   }
 
   test("aggregate pushdown answers count/min/max from the manifest alone") {
@@ -584,6 +587,26 @@ class IceLiteSourceSpec extends AnyFunSuite {
     // (the claimed-exact filter skips the sentinel dir)
     assert(src.filter($"shard".isNotNull).select("k").collect().length ==
       (1L to 120L).count(_ % 4 != 3))
+    // r14 (verdict task #5): a STRING RANGE on a path-borne partition
+    // column composes with the fold too — COUNT WHERE day >= X GROUP
+    // BY day plans zero parquet reads; null shard dirs fail the range
+    IceLiteSource.lastScanMetadataOnly = false
+    val rg = src.filter($"day" >= "d1").groupBy($"day")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(rg == Seq(("d1", (1L to 120L).count(_ % 2 == 1).toLong)),
+      s"range-filtered grouped fold wrong: $rg")
+    assert(IceLiteSource.lastScanMetadataOnly,
+      "a pushed partition range must compose with the grouped fold")
+    // range over the NULLABLE column: sentinel dirs excluded exactly
+    IceLiteSource.lastScanMetadataOnly = false
+    val rn2 = src.filter($"shard" >= "s1").agg(count(lit(1))).head.getLong(0)
+    assert(rn2 == (1L to 120L).count(k => k % 4 != 3 && k % 3 != 0).toLong)
+    assert(IceLiteSource.lastScanMetadataOnly,
+      "a range over a nullable partition column must fold (nulls fail it)")
+    // ...and the row path agrees (claimed range, no residual)
+    assert(src.filter($"shard" >= "s1").select("k").collect().length ==
+      (1L to 120L).count(k => k % 4 != 3 && k % 3 != 0))
     // filtered-to-EMPTY: grouped → zero rows; global min/max → null
     IceLiteSource.lastScanMetadataOnly = false
     assert(src.filter($"shard" === "nope").groupBy($"day")

@@ -110,6 +110,64 @@ class PosDeleteScaleSpec extends AnyFunSuite {
     }
   }
 
+  private def scanRowStat(df: org.apache.spark.sql.DataFrame): Option[Long] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.stats.rowCount.map(_.toLong)
+    }.head
+
+  test("pruned MoR scan stats are exact: position deletes (r14 dead census)") {
+    val ref = mk() // sorted k 0..399 into 4 range files with k stats
+    IceLite.deleteWhereMoR(spark, ref, "k >= 100 AND k < 150")
+    val df = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString)
+    // un-pruned: snapshot rowCount (the r13 rule)
+    assert(scanRowStat(df).contains(350L))
+    // PRUNED under k < 200: bounds keep files [0,100), [100,200) and
+    // the boundary file [200,300) (min == bound, conservative keep) —
+    // 300 physical − the 50 tombstones landing on SURVIVING files =
+    // 250, the exact logical rows OF THE SCANNED FILE SET (the
+    // residual filter above the scan then trims to 150 rows)
+    val pruned = df.filter($"k" < 200L)
+    assert(pruned.as[(Long, Double)].collect().length == 150)
+    assert(scanRowStat(pruned).contains(250L),
+      s"pruned pos-delete stats must be exact, got ${scanRowStat(pruned)}")
+  }
+
+  test("pruned MoR scan stats are exact: equality deletes and upserts") {
+    val ref = mk()
+    // eq-delete keys span BOTH the surviving and the pruned half
+    IceLite.deleteByKeysMoR(spark, ref,
+      (Seq(10L, 20L, 250L, 260L, 270L)).toDF("k"), Seq("k"))
+    val df = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString)
+    assert(scanRowStat(df).contains(395L))
+    // scanned set under k < 200: files [0,100)/[100,200) plus the
+    // conservative boundary file [200,300) — 300 physical − the 5 eq
+    // kills on those files (10, 20 on file 0; 250, 260, 270 on the
+    // boundary file) = 295 exact scan rows; the residual trims to 198
+    val pruned = df.filter($"k" < 200L)
+    assert(pruned.select($"k").as[Long].collect().length == 198)
+    assert(scanRowStat(pruned).contains(295L),
+      s"pruned eq-delete stats must be exact, got ${scanRowStat(pruned)}")
+    // an upsert stacks a second sidecar; the censuses compose. Keys
+    // kept under the prune bound so the residual filter drops no row
+    // of a surviving file — collected count == pruned-scan stat
+    IceLite.upsertByKeysMoR(spark, ref,
+      Seq((30L, -1.0), (40L, -2.0)).toDF("k", "v"), Seq("k"))
+    val df2 = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString)
+    val pruned2 = df2.filter($"k" < 200L)
+    // 198 − 2 old versions hidden + 2 re-inserted = 198
+    assert(pruned2.select($"k").as[Long].collect().length == 198,
+      "upsert view wrong")
+    // scanned set: the 3 surviving originals + the upsert's new file
+    // (302 physical) − (5 eq + 2 upsert kills on surviving files)
+    assert(scanRowStat(pruned2).contains(295L),
+      s"stacked-sidecar pruned stats must stay exact, " +
+        s"got ${scanRowStat(pruned2)}")
+  }
+
   test("default budget keeps the small-sidecar driver fold (and it still counts)") {
     val ref = mk()
     IceLite.deleteWhereMoR(spark, ref, "k >= 100 AND k < 150")

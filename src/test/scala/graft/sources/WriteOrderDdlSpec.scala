@@ -124,20 +124,27 @@ class WriteOrderDdlSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE $cat.src.f ADD PARTITION FIELD bucket(4, k)")
     assert(IceLite.readManifest(flat).declaredSortedBy.isEmpty,
       "the partitioned era must not inherit a flat sort declaration")
-    // column lists and ASC/DESC are SUPPORTED since r13 (see the
-    // multi-column lifecycle test); the still-unsupported NULLS
-    // modifiers refuse with a capability message — not the
-    // delegate's generic syntax error
+    // column lists, ASC/DESC (r13) and NULLS FIRST/LAST (r14) are
+    // SUPPORTED; a genuinely unsupported shape — an expression key —
+    // refuses with a capability message, not the delegate's generic
+    // syntax error, and an unknown transform name is loud too
     val g = TableRef(wh, "src", "g")
     IceLite.createOrReplace(g, (1L to 10L).map(k => (k, k)).toDF("a", "b"))
     spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a, b")
     assert(IceLite.readManifest(g).declaredSortedBy.contains("a,b"))
     spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a DESC")
     assert(IceLite.readManifest(g).declaredSortedBy.contains("a DESC"))
-    val e5 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a NULLS FIRST")
+    spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a NULLS FIRST, b DESC NULLS LAST")
+    assert(IceLite.readManifest(g).declaredSortedBy
+      .contains("a NULLS FIRST,b DESC NULLS LAST"))
+    val e5 = intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY a + b")
     }
-    assert(e5.getMessage.contains("NULLS"), e5.getMessage)
+    assert(e5.getMessage.contains("expression keys"), e5.getMessage)
+    val e6 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY zorder(3, a)")
+    }
+    assert(e6.getMessage.contains("sort transform"), e6.getMessage)
   }
 
   test("multi-column DESC order: lifecycle over (d DESC, k), leading-key " +
@@ -202,16 +209,72 @@ class WriteOrderDdlSpec extends AnyFunSuite {
     IceLite.appendSorted(ref, rows(4101 to 4200), "d", numFiles = 1)
     assert(IceLite.readManifest(ref).current.sortedBy.isEmpty,
       "an append clustered on a DIFFERENT order must drop the marker")
-    // grammar refusals: NULLS modifiers and unknown columns stay loud
-    val g = intercept[UnsupportedOperationException](spark.sql(
-      s"ALTER TABLE $cat.src.mo WRITE ORDERED BY d DESC NULLS LAST"))
-    assert(g.getMessage.contains("NULLS"), g.getMessage)
+    // NULLS modifiers are supported since r14; unknown columns and
+    // duplicate keys stay loud
+    spark.sql(s"ALTER TABLE $cat.src.mo WRITE ORDERED BY d DESC NULLS LAST")
+    assert(IceLite.readManifest(ref).declaredSortedBy
+      .contains("d DESC NULLS LAST"))
     val u = intercept[Exception](spark.sql(
       s"ALTER TABLE $cat.src.mo WRITE ORDERED BY d, nope"))
     assert(u.getMessage.contains("no column nope"), u.getMessage)
     val dup = intercept[Exception](spark.sql(
       s"ALTER TABLE $cat.src.mo WRITE ORDERED BY d, d DESC"))
     assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+  }
+
+  test("transform-key order (r14): lifecycle over (days(ts) DESC, k NULLS " +
+    "LAST) — canonical encoding, steered INSERT, materialize, pruned probe") {
+    import org.apache.spark.sql.functions.date_format
+    val (cat, wh) = freshCatalog()
+    val ref = TableRef(wh, "src", "tso")
+    def rows(ks: Range) = ks.map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds((i % 40) * 86400L + i % 7)), i.toLong, i * 2.0)
+    }.toDF("ts", "k", "v")
+    IceLite.createOrReplace(ref, rows(1 to 2000).repartition(3),
+      statsCols = Seq("ts", "k"))
+    spark.sql(
+      s"ALTER TABLE $cat.src.tso WRITE ORDERED BY days(ts) DESC, k NULLS LAST")
+    val m1 = IceLite.readManifest(ref)
+    assert(m1.declaredSortedBy.contains("days(ts) DESC,k NULLS LAST"),
+      s"canonical transform encoding expected, got ${m1.declaredSortedBy}")
+    // the declaration steers the next INSERT: in-file rows honor
+    // day DESC then k ASC (the transform expression IS the write
+    // layout's date_format derivation)
+    rows(2001 to 4000).createOrReplaceTempView("wo_tso_e2")
+    spark.sql(s"INSERT INTO $cat.src.tso SELECT * FROM wo_tso_e2")
+    val m2 = IceLite.readManifest(ref).current
+    val era2 = m2.files.filterNot(m1.current.files.toSet)
+    assert(era2.nonEmpty)
+    val inFile = spark.read.parquet(ref.dir.resolve(era2.head).toString)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    inFile.sliding(2).foreach {
+      case Array((d1, k1), (d2, k2)) =>
+        assert(d1 > d2 || (d1 == d2 && k1 <= k2),
+          s"in-file order violates (days(ts) DESC, k): ($d1,$k1) then ($d2,$k2)")
+      case _ => ()
+    }
+    // compact materializes the transform order and earns the marker;
+    // day-clustered files then SKIP on a one-day ts range probe (the
+    // d10-style pruned-scan witness at the engine face — ts stats are
+    // epoch-second doubles)
+    IceLite.compact(spark, ref, targetFiles = 4)
+    val m3 = IceLite.readManifest(ref)
+    assert(m3.current.sortedBy.contains("days(ts) DESC,k NULLS LAST"))
+    val lo = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      .getEpochSecond.toDouble
+    val hi = java.time.Instant.parse("2024-01-06T00:00:00Z")
+      .getEpochSecond.toDouble
+    val kept = IceLite.prunedFilesMulti(ref, Seq(("ts", lo, hi)))
+    assert(kept.nonEmpty && kept.size < m3.current.files.size,
+      s"day-clustered files must prune a one-day probe: kept " +
+        s"${kept.size} of ${m3.current.files.size}")
+    // the kept files still hold every in-range row
+    val expected = (1 to 4000).count(i => i % 40 == 4)
+    assert(spark.read.parquet(kept.map(f => ref.dir.resolve(f).toString): _*)
+      .filter(date_format($"ts", "yyyy-MM-dd") === "2024-01-05")
+      .count() == expected.toLong)
   }
 
   test("a pending declaration blocks rename/drop/widen of its column") {
