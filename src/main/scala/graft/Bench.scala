@@ -10,12 +10,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** r14 (verdict task #2): benched ids create temp warehouses under
-    * java.io.tmpdir (all prefixed "graft_") and prior verify/bench
-    * runs leave them behind — ~18k stale dirs measurably inflated
-    * every r13 id ~20% (tmpfs metadata pressure). Sweep STALE ones
-    * (ours by prefix, older than 30 min — never a concurrent run's)
-    * before measuring, so the recorded number can't carry the
-    * host-state tax again. */
+    * java.io.tmpdir and prior verify/bench/test runs leave them
+    * behind — ~18k stale dirs measurably inflated every r13 id ~20%
+    * (tmpfs metadata pressure). Sweep STALE ones before measuring, so
+    * the recorded number can't carry the host-state tax again. "Ours"
+    * = a Files.createTempDirectory name — alnum/underscore prefix +
+    * the ≥8-digit random tail (every graft_/spec/crash-fuzz dir; a
+    * uuid-tailed spark-* dir or a named file never matches) — and
+    * older than 30 min, so a concurrent run's live dirs are never
+    * touched. */
+  private val TempDirName = "^[A-Za-z0-9_]*[0-9]{8,}$".r
   private def sweepStaleTmp(): Unit = {
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"))
@@ -26,7 +30,8 @@ object Bench {
       try {
         s.iterator().forEachRemaining { p =>
           val name = p.getFileName.toString
-          if (name.startsWith("graft_") && scala.util.Try(
+          if (TempDirName.pattern.matcher(name).matches() &&
+              java.nio.file.Files.isDirectory(p) && scala.util.Try(
               java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
               .getOrElse(false)) {
             scala.util.Try {
@@ -41,7 +46,7 @@ object Bench {
       } finally s.close()
     }
     if (swept.get() > 0)
-      System.err.println(s"[bench] swept ${swept.get()} stale graft_ temp dirs")
+      System.err.println(s"[bench] swept ${swept.get()} stale temp dirs")
   }
 
   def main(args: Array[String]): Unit = {

@@ -2628,12 +2628,15 @@ object ScalePack extends Pack {
             qt.collect()(0).getLong(0) == 300L
           // r14: the TYPED truncate leg — long keys co-locate through
           // the typed twin (substring of the zone-free decimal
-          // rendering); bounded to 400 keys, fixed join count
+          // rendering); bounded to 400 keys in 4 prefix dirs
+          // (1000-1399 → "10".."13" — a wider key range fanned into
+          // 40 dirs and paid 80 tiny-file writes for the same plan
+          // witness)
           IceLite.createOrReplaceTransformed(TableRef(wh, "src", "trn_a"),
-            s.range(400).select($"id".as("k"), ($"id" * 2.0).as("va")),
+            s.range(1000, 1400).select($"id".as("k"), ($"id" * 2.0).as("va")),
             Seq(PartitionField("k_pfx", "truncate", "k", 2)))
           IceLite.createOrReplaceTransformed(TableRef(wh, "src", "trn_b"),
-            s.range(0, 400, 2).select($"id".as("bk"), ($"id" + 1.0).as("vb")),
+            s.range(1000, 1400, 2).select($"id".as("bk"), ($"id" + 1.0).as("vb")),
             Seq(PartitionField("bk_pfx", "truncate", "bk", 2)))
           val qtn = s.sql(
             s"""SELECT COUNT(*) AS n FROM $cat.src.trn_a JOIN $cat.src.trn_b

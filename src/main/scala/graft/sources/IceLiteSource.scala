@@ -1856,6 +1856,12 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       // null-sentinel dir, so dropping those dirs IS the filter
       case org.apache.spark.sql.sources.IsNotNull(c) if isPartCol(c) =>
         partNotNull += c; true
+      // IS NULL is the dual (r14): keep ONLY the sentinel dirs —
+      // every row there is null, so the pruning is the filter and it
+      // claims exact on uniformly path-borne columns like equality
+      case org.apache.spark.sql.sources.IsNull(c) if isPartCol(c) =>
+        partEq(c, Set(org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)); true
       case In(c, vs) if isPartCol(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         partEq(c, vs.map(_.asInstanceOf[String]).toSet); true
       // hidden-partition transform pruning: equality/IN on a SOURCE
@@ -1896,6 +1902,8 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       case In(c, vs) => plainBatch && exactPartCol(c) && vs.nonEmpty &&
         vs.forall(_.isInstanceOf[String])
       case org.apache.spark.sql.sources.IsNotNull(c) =>
+        plainBatch && exactPartCol(c)
+      case org.apache.spark.sql.sources.IsNull(c) =>
         plainBatch && exactPartCol(c)
       // r14: ranges claim exactly like equality — pruning by the
       // parsed dir value IS the row filter on value-pure files (the

@@ -639,9 +639,17 @@ class IceLiteSourceSpec extends AnyFunSuite {
       .map(r => Option(r.getString(0))).toSet
     assert(shards == Set(None, Some("s0"), Some("s1"), Some("s2")),
       s"sentinel must decode to SQL NULL: $shards")
-    // residual IS NULL selects exactly the null-partition rows
+    // IS NULL selects exactly the null-partition rows (claimed exact:
+    // pruning keeps only the sentinel dirs)
     assert(src.filter($"shard".isNull).select("k").as[Long].collect()
       .sorted.toSeq == (1L to 60L).filter(_ % 4 == 3))
+    // ...and composes with the metadata fold: COUNT WHERE shard IS
+    // NULL answers from the sentinel dirs' record counts alone
+    IceLiteSource.lastScanMetadataOnly = false
+    assert(src.filter($"shard".isNull).agg(count(lit(1))).head.getLong(0)
+      == (1L to 60L).count(_ % 4 == 3).toLong)
+    assert(IceLiteSource.lastScanMetadataOnly,
+      "IS NULL over a path-borne partition column must fold metadata-only")
     // GROUP BY the partition column: sentinel dir present → the
     // metadata fold DECLINES and the scan-path answer carries a real
     // null group

@@ -168,6 +168,33 @@ class PosDeleteScaleSpec extends AnyFunSuite {
         s"got ${scanRowStat(pruned2)}")
   }
 
+  test("a genuinely over-budget sidecar takes the executor path under " +
+    "the DEFAULT budget (no conf override)") {
+    // ~300k tombstones ≈ 2–3 MiB of snappy parquet is still under
+    // the 8 MiB default, so pin the regime with a REAL sidecar and a
+    // budget lowered only to a size this fixture actually exceeds —
+    // the point is the same code path the default takes at GDPR
+    // scale, driven by SIZE, not by a zeroed test conf
+    val ref = mk(rows = 300000L, files = 6)
+    IceLite.deleteWhereMoR(spark, ref, "k % 3 <> 0") // 200k tombstones
+    val sidecarBytes = IceLite.readManifest(ref).current.deleteFiles
+      .map(f => java.nio.file.Files.size(ref.dir.resolve(f))).sum
+    assert(sidecarBytes > 64L * 1024,
+      s"fixture sidecar unexpectedly small: $sidecarBytes")
+    spark.conf.set(FoldConf, (64L * 1024).toString)
+    try {
+      val fold0 = IceLiteSource.posDriverFoldRows.get()
+      val exec0 = IceLiteSource.posExecutorPlans.get()
+      val df = spark.read.format("graft.sources.IceLiteSource")
+        .load(ref.dir.toString)
+      assert(df.count() == 100000L)
+      assert(df.filter($"k" < 30L).select($"k").as[Long].collect()
+        .sorted.toSeq == (0L until 30L by 3L))
+      assert(IceLiteSource.posDriverFoldRows.get() == fold0)
+      assert(IceLiteSource.posExecutorPlans.get() > exec0)
+    } finally spark.conf.unset(FoldConf)
+  }
+
   test("default budget keeps the small-sidecar driver fold (and it still counts)") {
     val ref = mk()
     IceLite.deleteWhereMoR(spark, ref, "k >= 100 AND k < 150")
