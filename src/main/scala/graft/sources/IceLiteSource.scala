@@ -187,6 +187,114 @@ object IceLiteSource {
   val posDriverFoldRows = new java.util.concurrent.atomic.AtomicLong(0)
   val posExecutorPlans = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** r14: the EQUALITY-delete twin of [[posFoldBytes]] — total eq
+    * sidecar bytes at or under this fold to the broadcast key index
+    * on the driver (CDC-sized batches: cheap, cached, shared by
+    * every split); above it, when every key column is a plainly
+    * decodable primitive, key groups load EXECUTOR-side per split
+    * from the sidecar parquet — a bulk erasure keyed by 10⁸ ids
+    * never lands in the driver heap or a broadcast. */
+  private[sources] def eqFoldBytes: Long =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.icelite.eqDeleteDriverFoldBytes").toLong)
+      .getOrElse(8L * 1024 * 1024)
+
+  val eqExecutorPlans = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Can the executor path decode every key column of these eq
+    * sidecars EXACTLY as the scan's row values render (Long micros
+    * for timestamps, Int days for dates, UTF8String for strings)?
+    * Footer-only driver check, O(sidecars). Anything else — decimal,
+    * raw binary, nested — keeps the driver fold regardless of size:
+    * a silently mismatched key form would resurrect deleted rows. */
+  private[sources] def eqDecodable(ref: TableRef,
+      eqDeletes: Seq[graft.icelite.EqDelete]): Boolean =
+    eqDeletes.forall { d =>
+      scala.util.Try {
+        val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new HPath(ref.dir.resolve(d.file).toString), new Configuration()))
+        val schema = try fr.getFooter.getFileMetaData.getSchema
+          finally fr.close()
+        d.keyCols.forall { c =>
+          val t = schema.getType(Array(c): _*)
+          t.isPrimitive && {
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            val p = t.asPrimitiveType
+            val ann = p.getLogicalTypeAnnotation
+            p.getPrimitiveTypeName match {
+              case INT64 => ann == null ||
+                (ann match {
+                  case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                  case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                    i.getBitWidth == 64 && i.isSigned
+                  case _ => false
+                })
+              case INT32 => ann == null ||
+                (ann match {
+                  case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+                  case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                    i.getBitWidth == 32 && i.isSigned
+                  case _ => false
+                })
+              case DOUBLE | BOOLEAN => true
+              case BINARY =>
+                ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              case _ => false
+            }
+          }
+        }
+      }.getOrElse(false)
+    }
+
+  /** Executor half of the above-budget eq path: load each sidecar's
+    * key tuples ONCE per split, converting parquet primitives to the
+    * exact catalyst forms the row readers emit (the [[eqDecodable]]
+    * gate guarantees the mapping is total). */
+  private[sources] def loadEqKeyGroups(
+      refs: Seq[(String, Seq[String], Long)]): Seq[EqKeyGroup] =
+    if (refs.isEmpty) Nil
+    else refs.groupBy(_._2).toSeq.map { case (kc, rs) =>
+      val keys = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+      rs.foreach { case (path, _, dsnap) =>
+        val conf = new Configuration()
+        val fr = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(path), conf))
+        val schema = try fr.getFooter.getFileMetaData.getSchema
+          finally fr.close()
+        val projected = new org.apache.parquet.schema.MessageType(
+          schema.getName,
+          schema.getFields.asScala.filter(f => kc.contains(f.getName)).asJava)
+        conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+        def value(g: Group, c: String): Any =
+          if (g.getFieldRepetitionCount(c) == 0) null
+          else {
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            projected.getType(Array(c): _*).asPrimitiveType
+              .getPrimitiveTypeName match {
+              case INT64 => g.getLong(c, 0)
+              case INT32 => g.getInteger(c, 0)
+              case DOUBLE => g.getDouble(c, 0)
+              case BOOLEAN => g.getBoolean(c, 0)
+              case BINARY => UTF8String.fromString(g.getString(c, 0))
+              case other => throw new IllegalStateException(
+                s"undecodable eq key primitive $other (planning gate broken)")
+            }
+          }
+        val reader = ParquetReader.builder(new GroupReadSupport(),
+          new HPath(path)).withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            keys += ((kc.map(value(g, _)), dsnap))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      EqKeyGroup(kc, keys.toArray)
+    }
+
   /** Driver half of the above-threshold path: which PLANNED data file
     * does each sidecar touch, and under which exact recorded string?
     * One distributed distinct over the sidecars' `file_path` column —
@@ -2717,10 +2825,28 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // a post-delete re-insert of a deleted key survives. Key values
     // ship as catalyst internal forms so the reader compares them
     // against decoded vectors with no per-row conversion.
+    // r14: eq sidecars over the driver-fold budget (and plainly
+    // decodable) skip the broadcast — splits carry sidecar refs and
+    // each reader loads its own key groups (the pos-delete pattern's
+    // eq twin; a bulk keyed erasure never lands in the driver heap)
+    val eqSidecarBytes: Long = eqDeletes.map { d =>
+      scala.util.Try(java.nio.file.Files.size(ref.dir.resolve(d.file)))
+        .getOrElse(0L)
+    }.sum
+    val eqExecutorSide = eqDeletes.nonEmpty &&
+      eqSidecarBytes > IceLiteSource.eqFoldBytes &&
+      IceLiteSource.eqDecodable(ref, eqDeletes)
+    if (eqExecutorSide) IceLiteSource.eqExecutorPlans.incrementAndGet()
+    val eqRefsAll: Seq[(String, Seq[String], Long)] =
+      if (!eqExecutorSide) Nil
+      else eqDeletes.map(d =>
+        (ref.dir.resolve(d.file).toString, d.keyCols, d.snapshotId))
     val eqIndex: Option[(org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]], Long)] =
-      if (eqDeletes.isEmpty) None
+      if (eqDeletes.isEmpty || eqExecutorSide) None
       else Some((IceLiteSource.eqIndexFor(ref, eqDeletes),
         eqDeletes.map(_.snapshotId).max))
+    val maxEqSnap: Long =
+      if (eqDeletes.isEmpty) 0L else eqDeletes.map(_.snapshotId).max
     val addedAtByAbs: Map[String, Long] =
       if (eqDeletes.isEmpty) Map.empty
       else {
@@ -2811,8 +2937,16 @@ class IceLiteScan(ref: TableRef, required: StructType,
           val eq = eqIndex.collect {
             case (bc, maxDsnap) if added.values.exists(_ < maxDsnap) => bc
           }
-          val eqAdded = if (eq.isEmpty) Map.empty[String, Long] else added
-          if (fullyKeyed) IceLiteKeyedPartition(fs, partVals, tombs, eq, eqAdded, posRefs): InputPartition
+          // executor-side eq refs attach under the same predates-a-
+          // sidecar test the broadcast uses
+          val eqRefs =
+            if (eqRefsAll.isEmpty || !added.values.exists(_ < maxEqSnap))
+              Nil
+            else eqRefsAll
+          val eqAdded =
+            if (eq.isEmpty && eqRefs.isEmpty) Map.empty[String, Long]
+            else added
+          if (fullyKeyed) IceLiteKeyedPartition(fs, partVals, tombs, eq, eqAdded, posRefs, eqRefs): InputPartition
           else if (keyedByTransform)
             // transformKeyed guarantees every file carries its dirs,
             // so the group key is never null; dir values convert to
@@ -2825,8 +2959,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
                   case "truncate" => v
                   case t => GraftFunctions.dirTimeKey(t, v)
                 }
-              }, tombs, eq, eqAdded, posRefs): InputPartition
-          else IceLiteInputPartition(fs, partVals, tombs, eq, eqAdded, posRefs): InputPartition
+              }, tombs, eq, eqAdded, posRefs, eqRefs): InputPartition
+          else IceLiteInputPartition(fs, partVals, tombs, eq, eqAdded, posRefs, eqRefs): InputPartition
         }
       }.toArray
   }
@@ -2876,6 +3010,10 @@ sealed trait IceLitePartition extends InputPartition {
     * EXACT recorded `file_path` strings — the reader loads its own
     * positions with a parquet pushdown; the driver never held them. */
   def posDeleteRefs: Map[String, Seq[(String, String)]]
+  /** Above-threshold EQUALITY deletes (d73 at scale): (sidecar path,
+    * key columns, sidecar snapshot id) — the reader loads its own
+    * key groups; the driver never held or broadcast them. */
+  def eqDeleteRefs: Seq[(String, Seq[String], Long)]
 }
 
 case class IceLiteInputPartition(files: Seq[String],
@@ -2883,7 +3021,8 @@ case class IceLiteInputPartition(files: Seq[String],
     tombstones: Map[String, Array[Long]] = Map.empty,
     eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
     fileAddedAt: Map[String, Long] = Map.empty,
-    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty)
+    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty,
+    eqDeleteRefs: Seq[(String, Seq[String], Long)] = Nil)
   extends IceLitePartition
 
 /** A split that KNOWS its partition-value tuple (d46: the
@@ -2897,7 +3036,8 @@ case class IceLiteKeyedPartition(files: Seq[String],
     tombstones: Map[String, Array[Long]] = Map.empty,
     eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
     fileAddedAt: Map[String, Long] = Map.empty,
-    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty)
+    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty,
+    eqDeleteRefs: Seq[(String, Seq[String], Long)] = Nil)
   extends IceLitePartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -2919,7 +3059,8 @@ case class IceLiteTransformKeyedPartition(files: Seq[String],
     tombstones: Map[String, Array[Long]] = Map.empty,
     eqKeys: Option[org.apache.spark.broadcast.Broadcast[Seq[EqKeyGroup]]] = None,
     fileAddedAt: Map[String, Long] = Map.empty,
-    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty)
+    posDeleteRefs: Map[String, Seq[(String, String)]] = Map.empty,
+    eqDeleteRefs: Seq[(String, Seq[String], Long)] = Nil)
   extends IceLitePartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partVals: Seq[String] = Nil
@@ -3326,18 +3467,22 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     val part = p.asInstanceOf[IceLitePartition]
     fields.nonEmpty && !morLive &&
       part.tombstones.isEmpty && part.eqKeys.isEmpty &&
-      part.posDeleteRefs.isEmpty
+      part.posDeleteRefs.isEmpty && part.eqDeleteRefs.isEmpty
   }
 
   /** d73: the equality-delete anti-join for ONE file — each group's
     * key tuples still live for this file (sidecar snapshot id >
     * file's added-at id), as (key indexes into the emitted row, their
-    * types, the key set). Empty for files newer than every sidecar. */
-  private def eqFiltersFor(part: IceLitePartition, file: String)
+    * types, the key set). Empty for files newer than every sidecar.
+    * `groups` merges the broadcast index (driver-fold regime) with
+    * any split-loaded groups (the above-budget executor regime). */
+  private def eqFiltersFor(groups: Seq[EqKeyGroup],
+      fileAddedAt: Map[String, Long], file: String)
       : Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
-    part.eqKeys.toSeq.flatMap { bc =>
-      val added = part.fileAddedAt.getOrElse(IceLiteSource.normPath(file), 0L)
-      bc.value.flatMap { g =>
+    if (groups.isEmpty) Nil
+    else {
+      val added = fileAddedAt.getOrElse(IceLiteSource.normPath(file), 0L)
+      groups.flatMap { g =>
         val live = g.keys.filter(_._2 > added)
         if (live.isEmpty) None
         else {
@@ -3544,10 +3689,18 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         if (part.posDeleteRefs.isEmpty) a
         else a ++ loadedTombs.getOrElse(k, Array.empty[Long])
       }
+      // eq key groups: the broadcast index and/or this split's own
+      // above-budget load — ONE load per split, shared by its files
+      private lazy val eqGroups: Seq[EqKeyGroup] =
+        part.eqKeys.toSeq.flatMap(_.value) ++
+          IceLiteSource.loadEqKeyGroups(part.eqDeleteRefs)
+      private def eqFor(f: String) =
+        if (part.eqKeys.isEmpty && part.eqDeleteRefs.isEmpty) Nil
+        else eqFiltersFor(eqGroups, part.fileAddedAt, f)
       private val fileReaders =
         part.files.iterator.map(f => eqFiltered(
           singleFileReader(f, part.partVals, tombsFor(f)),
-          eqFiltersFor(part, f)))
+          eqFor(f)))
       private var cur0: PartitionReader[InternalRow] =
         if (fileReaders.hasNext) fileReaders.next() else null
       override def next(): Boolean = {

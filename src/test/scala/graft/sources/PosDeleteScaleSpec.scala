@@ -20,10 +20,16 @@ class PosDeleteScaleSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val FoldConf = "spark.graft.icelite.posDeleteDriverFoldBytes"
+  private val EqFoldConf = "spark.graft.icelite.eqDeleteDriverFoldBytes"
 
   private def withZeroBudget[A](body: => A): A = {
     spark.conf.set(FoldConf, "0")
     try body finally spark.conf.unset(FoldConf)
+  }
+
+  private def withZeroEqBudget[A](body: => A): A = {
+    spark.conf.set(EqFoldConf, "0")
+    try body finally spark.conf.unset(EqFoldConf)
   }
 
   private def mk(rows: Long = 400L, files: Int = 4): TableRef = {
@@ -166,6 +172,59 @@ class PosDeleteScaleSpec extends AnyFunSuite {
     assert(scanRowStat(pruned2).contains(295L),
       s"stacked-sidecar pruned stats must stay exact, " +
         s"got ${scanRowStat(pruned2)}")
+  }
+
+  test("executor-side EQ keys: no broadcast fold above the budget, " +
+    "sequence rule intact, results equal the driver-fold regime") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref,
+      Seq(10L, 20L, 250L).toDF("k"), Seq("k"))
+    // re-insert of a deleted key AFTER the sidecar: must survive on
+    // BOTH regimes (the sequence rule is the thing executor-side
+    // loading must not break)
+    IceLite.append(ref, Seq((20L, -20.0)).toDF("k", "v"))
+    val viaDriver = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString).as[(Long, Double)].collect().toSeq.sorted
+    assert(viaDriver.length == 398 && viaDriver.contains((20L, -20.0)))
+    withZeroEqBudget {
+      val folds0 = IceLiteSource.eqFoldComputes.get()
+      val exec0 = IceLiteSource.eqExecutorPlans.get()
+      val df = spark.read.format("graft.sources.IceLiteSource")
+        .load(ref.dir.toString)
+      val got = df.as[(Long, Double)].collect().toSeq.sorted
+      assert(got == viaDriver, "executor eq path must equal the broadcast fold")
+      // filter composes; the re-inserted key is visible, the dead
+      // original is not
+      assert(df.filter($"k" === 20L).as[(Long, Double)].collect().toSeq ==
+        Seq((20L, -20.0)))
+      assert(df.filter($"k" === 10L).count() == 0L)
+      assert(IceLiteSource.eqFoldComputes.get() == folds0,
+        "above the budget the driver must not fold/broadcast eq keys")
+      assert(IceLiteSource.eqExecutorPlans.get() > exec0)
+    }
+  }
+
+  test("executor-side EQ keys: timestamp-keyed sidecar decodes to the " +
+    "same micros the scan emits") {
+    val wh = Files.createTempDirectory("posdel_eqts").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "ts")
+    val rows = (0L until 200L).map(i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")
+        .plusSeconds(i * 60)), i))
+    IceLite.createOrReplace(ref, rows.toDF("ts", "n"))
+    IceLite.deleteByKeysMoR(spark, ref,
+      rows.take(5).map(_._1).toDF("ts"), Seq("ts"))
+    val expect = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString).select($"n").as[Long].collect().sorted.toSeq
+    assert(expect == (5L until 200L))
+    withZeroEqBudget {
+      val folds0 = IceLiteSource.eqFoldComputes.get()
+      val got = spark.read.format("graft.sources.IceLiteSource")
+        .load(ref.dir.toString).select($"n").as[Long].collect().sorted.toSeq
+      assert(got == expect, "timestamp eq keys must match executor-side")
+      assert(IceLiteSource.eqFoldComputes.get() == folds0)
+    }
   }
 
   test("a genuinely over-budget sidecar takes the executor path under " +
