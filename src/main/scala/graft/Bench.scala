@@ -9,31 +9,34 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE JSON line for the driver.
   */
 object Bench {
-  /** r14 (verdict task #2): benched ids create temp warehouses under
-    * java.io.tmpdir and prior verify/bench/test runs leave them
-    * behind — ~18k stale dirs measurably inflated every r13 id ~20%
-    * (tmpfs metadata pressure). Sweep STALE ones before measuring, so
-    * the recorded number can't carry the host-state tax again. "Ours"
-    * = a Files.createTempDirectory name — alnum/underscore prefix +
-    * the ≥8-digit random tail (every graft_/spec/crash-fuzz dir; a
-    * uuid-tailed spark-* dir or a named file never matches) — and
-    * older than 30 min, so a concurrent run's live dirs are never
-    * touched. */
-  private val TempDirName = "^[A-Za-z0-9_]*[0-9]{8,}$".r
+  /** r14 (verdict task #2): benched ids create temp warehouses and
+    * prior verify/bench/test runs leave them behind — ~18k stale dirs
+    * measurably inflated every r13 id ~20% (tmpfs metadata pressure).
+    * Sweep STALE ones before measuring, so the recorded number can't
+    * carry the host-state tax again. r15 (ADVICE): the sweep is
+    * scoped to the graft-OWNED subdirectory every call site creates
+    * under ([[GraftTmp.root]]) — never the shared tmpdir, where a
+    * name-pattern match could destroy another process's data — and
+    * liveness is judged by the NEWEST mtime in the candidate's whole
+    * tree (a warehouse whose nested table dirs are still being
+    * written does not bump its top dir's mtime). */
   private def sweepStaleTmp(): Unit = {
-    val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir", "/tmp"))
     val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
     val swept = new java.util.concurrent.atomic.AtomicLong(0)
-    val stream = scala.util.Try(java.nio.file.Files.list(tmp))
+    def newestMtime(p: java.nio.file.Path): Long = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.mapToLong(q => scala.util.Try(
+          java.nio.file.Files.getLastModifiedTime(q).toMillis)
+        .getOrElse(Long.MaxValue)).max.orElse(Long.MaxValue)
+      finally walk.close()
+    }
+    val stream = scala.util.Try(java.nio.file.Files.list(GraftTmp.root))
     stream.foreach { s =>
       try {
         s.iterator().forEachRemaining { p =>
-          val name = p.getFileName.toString
-          if (TempDirName.pattern.matcher(name).matches() &&
-              java.nio.file.Files.isDirectory(p) && scala.util.Try(
-              java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
-              .getOrElse(false)) {
+          if (java.nio.file.Files.isDirectory(p,
+                java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+              scala.util.Try(newestMtime(p) < cutoff).getOrElse(false)) {
             scala.util.Try {
               val walk = java.nio.file.Files.walk(p)
               try walk.sorted(java.util.Comparator.reverseOrder())

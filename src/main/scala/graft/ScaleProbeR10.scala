@@ -33,7 +33,7 @@ object ScaleProbeR10 {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val wh = Files.createTempDirectory("scale_probe_r10").toString
+    val wh = graft.GraftTmp.dir("scale_probe_r10").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "ev_scale")
     val ev = Tables.load(spark, sfDir, "events")

@@ -1600,7 +1600,7 @@ object LlmPack extends Pack {
     // one-file-per-shard invariant is a result column.
     Decl("c32_sharded_export",
       (s, dir) => shardedExport(s, dir,
-        Files.createTempDirectory("graft_c32").toString, 16),
+        graft.GraftTmp.dir("graft_c32").toString, 16),
       Some("""SELECT (doc_id * 2654435761) % 4294967296 % 16 AS shard,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -25,10 +25,10 @@ object PipelinePack extends Pack {
   /** Stage `orders` as n deterministic source files split by key hash
     * (the Airbyte-drop role, extract_load.py:138). */
   private def makeBatches(s: SparkSession, dir: String, n: Int): String = {
-    val src = Files.createTempDirectory("graft_src").toString
+    val src = graft.GraftTmp.dir("graft_src").toString
     val orders = Tables.load(s, dir, "orders")
     (0 until n).foreach { b =>
-      val staging = Files.createTempDirectory("graft_stage")
+      val staging = graft.GraftTmp.dir("graft_stage")
       orders.filter(pmod(col("o_orderkey"), lit(n)) === b)
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
       val part = IceLite.listDir(Files.list(staging))(_
@@ -41,7 +41,7 @@ object PipelinePack extends Pack {
   }
 
   private def tmpWarehouse(): String =
-    Files.createTempDirectory("graft_wh").toString
+    graft.GraftTmp.dir("graft_wh").toString
 
   val decls: Seq[Decl] = Seq(
 
@@ -61,7 +61,7 @@ object PipelinePack extends Pack {
     // into 4 parquet files, re-read them as one multi-file relation
     Decl("a02_multi_file_parquet_scan",
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_a02").toString
+        val out = graft.GraftTmp.dir("graft_a02").toString
         Tables.load(s, dir, "lineitem").repartition(4)
           .write.mode("overwrite").parquet(out)
         val files = IceLite.listDir(Files.list(Paths.get(out)))(_
@@ -118,7 +118,7 @@ object PipelinePack extends Pack {
       (s, dir) => {
         import s.implicits._
         val wh = tmpWarehouse()
-        val src1 = Files.createTempDirectory("graft_src1").toString
+        val src1 = graft.GraftTmp.dir("graft_src1").toString
         val srcAll = makeBatches(s, dir, 3)
         // phase 1: only batch_000 visible
         Files.copy(Paths.get(srcAll, "batch_000.parquet"),

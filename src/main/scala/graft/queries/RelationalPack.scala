@@ -36,7 +36,7 @@ object RelationalPack extends Pack {
     // reference's write path, extract_load.py:96); oracle = the source
     Decl("b03_parquet_sink",
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_b03").toString
+        val out = graft.GraftTmp.dir("graft_b03").toString
         Tables.load(s, dir, "nation").write.mode("overwrite").parquet(out)
         s.read.parquet(out).orderBy($"n_nationkey")
       },
@@ -56,7 +56,7 @@ object RelationalPack extends Pack {
     // hop is lossless for longs, doubles, and decimals-as-doubles.
     Decl("b64_orc_roundtrip",
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_b64").toString
+        val out = graft.GraftTmp.dir("graft_b64").toString
         val slice = li(s, dir).filter($"l_orderkey" < 1000)
           .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
         slice.sortWithinPartitions($"l_linenumber")
@@ -118,7 +118,7 @@ object RelationalPack extends Pack {
 
     Decl("b62_csv_roundtrip",
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_b62").toString
+        val out = graft.GraftTmp.dir("graft_b62").toString
         val slice = li(s, dir).filter($"l_orderkey" < 1000)
           .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
         slice.write.mode("overwrite").option("header", "true").csv(out)
@@ -140,7 +140,7 @@ object RelationalPack extends Pack {
     // format the reference ingests) — schema-explicit read-back
     Decl("b63_json_roundtrip",
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_b63").toString
+        val out = graft.GraftTmp.dir("graft_b63").toString
         val slice = ord(s, dir).filter($"o_orderkey" < 2000)
           .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
         slice.write.mode("overwrite").json(out)

@@ -41,7 +41,7 @@ object ScalePack extends Pack {
   private def morPartWh(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     morPartCache.computeIfAbsent(dir, { _ =>
-      val wh = Files.createTempDirectory("graft_morpart_wh").toString
+      val wh = graft.GraftTmp.dir("graft_morpart_wh").toString
       IceLite.createNamespace(wh, "src")
       val po = Tables.load(s, dir, "orders").filter($"o_orderkey" < 1000)
         .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
@@ -62,7 +62,7 @@ object ScalePack extends Pack {
 
     Decl("d01_manifest_pruned_scan",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d01").toString
+        val wh = graft.GraftTmp.dir("graft_d01").toString
         val ref = IngestJob.tableRef(wh, "orders")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -91,7 +91,7 @@ object ScalePack extends Pack {
     // biggest fact⋈fact shuffle into a local merge per bucket.
     Decl("d03_bucketed_join",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d03").toString
+        val wh = graft.GraftTmp.dir("graft_d03").toString
         val db = "graft_d03_" + java.lang.Long.toHexString(
           java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
@@ -132,7 +132,7 @@ object ScalePack extends Pack {
     // Oracle simulates the same upsert relationally over the source.
     Decl("d04_merge_upsert",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d04").toString
+        val wh = graft.GraftTmp.dir("graft_d04").toString
         val ref = IngestJob.tableRef(wh, "orders")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -163,7 +163,7 @@ object ScalePack extends Pack {
     // the high-cardinality keys within each partition.
     Decl("d05_partition_pruned_scan",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d05").toString
+        val wh = graft.GraftTmp.dir("graft_d05").toString
         val ref = IngestJob.tableRef(wh, "lineitem_p")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 2000)
@@ -197,7 +197,7 @@ object ScalePack extends Pack {
     // are never listed, the remaining join broadcasts the dim.
     Decl("d06_dim_pruned_join",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d06").toString
+        val wh = graft.GraftTmp.dir("graft_d06").toString
         val ref = IngestJob.tableRef(wh, "customer_p")
         IceLite.createNamespace(wh, "src")
         val c = Tables.load(s, dir, "customer")
@@ -245,7 +245,7 @@ object ScalePack extends Pack {
     // superseded files.
     Decl("d07_compaction",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d07").toString
+        val wh = graft.GraftTmp.dir("graft_d07").toString
         val ref = IngestJob.tableRef(wh, "orders_c")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -277,7 +277,7 @@ object ScalePack extends Pack {
     // committed content and time travel are untouched.
     Decl("d08_orphan_gc",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d08").toString
+        val wh = graft.GraftTmp.dir("graft_d08").toString
         val ref = IngestJob.tableRef(wh, "orders_g")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -316,7 +316,7 @@ object ScalePack extends Pack {
     // the (date, region)-style layout every warehouse fact table uses.
     Decl("d09_multicol_partition_prune",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d09").toString
+        val wh = graft.GraftTmp.dir("graft_d09").toString
         val ref = IngestJob.tableRef(wh, "orders_mp")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -355,7 +355,7 @@ object ScalePack extends Pack {
     // content is not).
     Decl("d10_sorted_write_pruned_scan",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d10").toString
+        val wh = graft.GraftTmp.dir("graft_d10").toString
         val ref = IngestJob.tableRef(wh, "lineitem_s")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
@@ -384,7 +384,7 @@ object ScalePack extends Pack {
     // CURRENT read still sees both loads.
     Decl("d11_time_travel_read",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d11").toString
+        val wh = graft.GraftTmp.dir("graft_d11").toString
         val ref = IngestJob.tableRef(wh, "orders_tt")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -413,7 +413,7 @@ object ScalePack extends Pack {
     // timestamps straddle the cutoff (ids break exact-ms ties).
     Decl("d14_time_travel_ts",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d14").toString
+        val wh = graft.GraftTmp.dir("graft_d14").toString
         val ref = IngestJob.tableRef(wh, "orders_ttts")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -445,7 +445,7 @@ object ScalePack extends Pack {
     // this is the only affordable way to change a table's layout.
     Decl("d15_partition_evolution",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d15").toString
+        val wh = graft.GraftTmp.dir("graft_d15").toString
         val ref = IngestJob.tableRef(wh, "orders_pe")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -479,7 +479,7 @@ object ScalePack extends Pack {
     // cost model that works at 100 TB.
     Decl("d12_schema_evolution_read",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d12").toString
+        val wh = graft.GraftTmp.dir("graft_d12").toString
         val ref = IngestJob.tableRef(wh, "orders_ev")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -513,7 +513,7 @@ object ScalePack extends Pack {
     // copy-on-write, conflict-validated.
     Decl("d13_merge_delete",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d13").toString
+        val wh = graft.GraftTmp.dir("graft_d13").toString
         val ref = IngestJob.tableRef(wh, "orders_md")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -550,7 +550,7 @@ object ScalePack extends Pack {
     // never read back.
     Decl("d16_zorder_clustered_scan",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d16").toString
+        val wh = graft.GraftTmp.dir("graft_d16").toString
         val ref = IngestJob.tableRef(wh, "lineitem_z")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
@@ -588,7 +588,7 @@ object ScalePack extends Pack {
     // useless by construction.
     Decl("d17_bloom_point_lookup",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d17").toString
+        val wh = graft.GraftTmp.dir("graft_d17").toString
         val ref = IngestJob.tableRef(wh, "lineitem_b")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
@@ -619,7 +619,7 @@ object ScalePack extends Pack {
     // schedule. The ops column pins create→append→rollback.
     Decl("d18_snapshot_rollback",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d18").toString
+        val wh = graft.GraftTmp.dir("graft_d18").toString
         val ref = IngestJob.tableRef(wh, "orders_rb")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -649,7 +649,7 @@ object ScalePack extends Pack {
     // passes, publish. The booleans pin each gate decision.
     Decl("d19_wap_publish",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d19").toString
+        val wh = graft.GraftTmp.dir("graft_d19").toString
         val ref = IngestJob.tableRef(wh, "orders_wap")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -694,7 +694,7 @@ object ScalePack extends Pack {
     // semantics); is_current pins the rollback as head.
     Decl("d20_snapshots_metadata",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d20").toString
+        val wh = graft.GraftTmp.dir("graft_d20").toString
         val ref = IngestJob.tableRef(wh, "orders_meta")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -756,7 +756,7 @@ object ScalePack extends Pack {
     // dir holds only its OWN append) and source isolation.
     Decl("d22_shallow_clone",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d22").toString
+        val wh = graft.GraftTmp.dir("graft_d22").toString
         val src = IngestJob.tableRef(wh, "orders_src")
         val dst = IngestJob.tableRef(wh, "orders_dev")
         IceLite.createNamespace(wh, "src")
@@ -789,7 +789,7 @@ object ScalePack extends Pack {
     // their rows, never re-reading the base load.
     Decl("d23_incremental_scan",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d23").toString
+        val wh = graft.GraftTmp.dir("graft_d23").toString
         val ref = IngestJob.tableRef(wh, "orders_inc")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -840,7 +840,7 @@ object ScalePack extends Pack {
     // so pruning can only skip whole files, never rows.
     Decl("d25_dsv2_connector",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d25").toString
+        val wh = graft.GraftTmp.dir("graft_d25").toString
         val ref = IngestJob.tableRef(wh, "orders_v2")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -869,7 +869,7 @@ object ScalePack extends Pack {
     // read back through the connector, snapshot history asserted.
     Decl("d26_dsv2_write",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d26").toString
+        val wh = graft.GraftTmp.dir("graft_d26").toString
         val ref = IngestJob.tableRef(wh, "orders_sink")
         IceLite.createNamespace(wh, "src")
         val fmt = "graft.sources.IceLiteSource"
@@ -905,7 +905,7 @@ object ScalePack extends Pack {
     // compaction/skew decisions read instead of scanning anything.
     Decl("d27_files_metadata",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d27").toString
+        val wh = graft.GraftTmp.dir("graft_d27").toString
         val ref = IngestJob.tableRef(wh, "orders_parts")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -944,7 +944,7 @@ object ScalePack extends Pack {
     // (kept ≥ the 8 era-1 files).
     Decl("d28_zorder_evolution",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d28").toString
+        val wh = graft.GraftTmp.dir("graft_d28").toString
         val ref = IngestJob.tableRef(wh, "lineitem_ze")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
@@ -992,7 +992,7 @@ object ScalePack extends Pack {
     // whether the metadata-only path actually served the plan.
     Decl("d29_agg_pushdown",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d29").toString
+        val wh = graft.GraftTmp.dir("graft_d29").toString
         val ref = IngestJob.tableRef(wh, "lineitem_meta")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
@@ -1026,7 +1026,7 @@ object ScalePack extends Pack {
     // nightly: cost scales with rows matched, not table size.
     Decl("d30_delete_where",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d30").toString
+        val wh = graft.GraftTmp.dir("graft_d30").toString
         val ref = IngestJob.tableRef(wh, "orders_del")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -1055,7 +1055,7 @@ object ScalePack extends Pack {
     // carried through unchanged; untouched files stay byte-identical.
     Decl("d31_update_where",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d31").toString
+        val wh = graft.GraftTmp.dir("graft_d31").toString
         val ref = IngestJob.tableRef(wh, "orders_upd")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -1092,7 +1092,7 @@ object ScalePack extends Pack {
     // so SQL users and API users see one table layer (spec-pinned).
     Decl("d38_sql_catalog",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d38").toString
+        val wh = graft.GraftTmp.dir("graft_d38").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_sql")
         IceLite.createOrReplace(ref, Tables.load(s, dir, "orders")
@@ -1124,7 +1124,7 @@ object ScalePack extends Pack {
     // (wall-clock — spec-pinned, not oracle-checkable).
     Decl("d39_sql_time_travel",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d39").toString
+        val wh = graft.GraftTmp.dir("graft_d39").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_tt")
         val o = Tables.load(s, dir, "orders")
@@ -1154,7 +1154,7 @@ object ScalePack extends Pack {
     // rows match the complement.
     Decl("d40_sql_delete",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d40").toString
+        val wh = graft.GraftTmp.dir("graft_d40").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_sqldel")
         val o = Tables.load(s, dir, "orders")
@@ -1192,7 +1192,7 @@ object ScalePack extends Pack {
     // matched files, never the table.
     Decl("d42_sql_update",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d42").toString
+        val wh = graft.GraftTmp.dir("graft_d42").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_sqlupd")
         val o = Tables.load(s, dir, "orders")
@@ -1230,7 +1230,7 @@ object ScalePack extends Pack {
     // The oracle reconstructs the merge result relationally.
     Decl("d43_sql_merge",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d43").toString
+        val wh = graft.GraftTmp.dir("graft_d43").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_sqlmrg")
         val o = Tables.load(s, dir, "orders")
@@ -1286,7 +1286,7 @@ object ScalePack extends Pack {
     // matches the source afterwards.
     Decl("d44_sql_procedures",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d44").toString
+        val wh = graft.GraftTmp.dir("graft_d44").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_proc")
         val o = Tables.load(s, dir, "orders")
@@ -1340,7 +1340,7 @@ object ScalePack extends Pack {
     // matching partition's files.
     Decl("d45_connector_dpp",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d45").toString
+        val wh = graft.GraftTmp.dir("graft_d45").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "lineitem_dpp")
         val l = Tables.load(s, dir, "lineitem")
@@ -1349,7 +1349,7 @@ object ScalePack extends Pack {
           statsCols = Seq("l_orderkey"))
         // scan-backed dim (a LocalRelation would constant-fold the
         // filter away and leave DPP nothing to reuse)
-        val dimDir = Files.createTempDirectory("graft_d45_dim").toString
+        val dimDir = graft.GraftTmp.dir("graft_d45_dim").toString
         l.select($"l_returnflag".as("flag")).distinct()
           .withColumn("grp",
             when($"flag" === "R", lit("keep")).otherwise(lit("drop")))
@@ -1385,7 +1385,7 @@ object ScalePack extends Pack {
     // witness asserts no hash exchange feeds the join.
     Decl("d46_storage_partitioned_join",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d46").toString
+        val wh = graft.GraftTmp.dir("graft_d46").toString
         IceLite.createNamespace(wh, "src")
         val factRef = IngestJob.tableRef(wh, "lineitem_spj")
         val dimRef = IngestJob.tableRef(wh, "flags_spj")
@@ -1445,7 +1445,7 @@ object ScalePack extends Pack {
     // identical before and after materialization.
     Decl("d47_mor_delete",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d47").toString
+        val wh = graft.GraftTmp.dir("graft_d47").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_mor")
         val o = Tables.load(s, dir, "orders")
@@ -1505,7 +1505,7 @@ object ScalePack extends Pack {
     // materializes the sidecars.
     Decl("d48_mor_update",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d48").toString
+        val wh = graft.GraftTmp.dir("graft_d48").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_morupd")
         val o = Tables.load(s, dir, "orders")
@@ -1549,7 +1549,7 @@ object ScalePack extends Pack {
     // The oracle reconstructs both change sets relationally.
     Decl("d49_changelog_scan",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d49").toString
+        val wh = graft.GraftTmp.dir("graft_d49").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_cdc")
         val o = Tables.load(s, dir, "orders")
@@ -1586,7 +1586,7 @@ object ScalePack extends Pack {
     // were live at read time and the aggregates match the complement.
     Decl("d50_mor_connector_read",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d50").toString
+        val wh = graft.GraftTmp.dir("graft_d50").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_morsql")
         val o = Tables.load(s, dir, "orders")
@@ -1624,7 +1624,7 @@ object ScalePack extends Pack {
     // rows.
     Decl("d51_sql_alter_evolution",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d51").toString
+        val wh = graft.GraftTmp.dir("graft_d51").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_evolve_sql")
         val o = Tables.load(s, dir, "orders")
@@ -1669,7 +1669,7 @@ object ScalePack extends Pack {
     // across both eras.
     Decl("d52_sql_drop_evolution",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d52").toString
+        val wh = graft.GraftTmp.dir("graft_d52").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_drop_sql")
         val o = Tables.load(s, dir, "orders")
@@ -1705,7 +1705,7 @@ object ScalePack extends Pack {
     // and no row is lost or duplicated (the oracle re-aggregates).
     Decl("d55_compact_range",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d55").toString
+        val wh = graft.GraftTmp.dir("graft_d55").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_hotrange")
         val o = Tables.load(s, dir, "orders")
@@ -1787,7 +1787,7 @@ object ScalePack extends Pack {
       (s, dir) => {
         import graft.icelite.{PartitionField, TableRef}
         import graft.icelite.IceLite.{SourceDayRange, SourceIn}
-        val wh = Files.createTempDirectory("graft_d56").toString
+        val wh = graft.GraftTmp.dir("graft_d56").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "events_hidden")
         IceLite.createOrReplaceTransformed(ref, Tables.load(s, dir, "events"),
@@ -1833,7 +1833,7 @@ object ScalePack extends Pack {
     Decl("d57_snapshot_tags",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d57").toString
+        val wh = graft.GraftTmp.dir("graft_d57").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_tagged")
         val o = Tables.load(s, dir, "orders")
@@ -1880,7 +1880,7 @@ object ScalePack extends Pack {
     Decl("d81_sql_rename_table",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d81").toString
+        val wh = graft.GraftTmp.dir("graft_d81").toString
         IceLite.createNamespace(wh, "src")
         val refA = TableRef(wh, "src", "orders_rn_a")
         val o = Tables.load(s, dir, "orders")
@@ -1930,7 +1930,7 @@ object ScalePack extends Pack {
     Decl("d83_sql_add_partition_field",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d83").toString
+        val wh = graft.GraftTmp.dir("graft_d83").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_evolve")
         val o = Tables.load(s, dir, "orders")
@@ -1991,7 +1991,7 @@ object ScalePack extends Pack {
       (s, dir) => {
         import graft.icelite.TableRef
         import graft.icelite.IceLite.SourceIn
-        val wh = Files.createTempDirectory("graft_d84").toString
+        val wh = graft.GraftTmp.dir("graft_d84").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "ev_sql_hidden")
         // bounded keyed slice (the s24 pattern): the lifecycle
@@ -2080,7 +2080,7 @@ object ScalePack extends Pack {
       (s, dir) => {
         import graft.icelite.TableRef
         import graft.icelite.IceLite.SourceIn
-        val wh = Files.createTempDirectory("graft_d85").toString
+        val wh = graft.GraftTmp.dir("graft_d85").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "ev_spec_evolve")
         // bounded keyed slice — see d84's comment (8 days × 4 buckets
@@ -2178,7 +2178,7 @@ object ScalePack extends Pack {
       (s, dir) => {
         import graft.icelite.TableRef
         import graft.icelite.IceLite.SourceIn
-        val wh = Files.createTempDirectory("graft_d86").toString
+        val wh = graft.GraftTmp.dir("graft_d86").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "ev_hidden_dml")
         // bounded keyed slice (dense keys): DML semantics are
@@ -2284,7 +2284,7 @@ object ScalePack extends Pack {
       (s, dir) => {
         import graft.icelite.TableRef
         import graft.icelite.IceLite.SourceIn
-        val wh = Files.createTempDirectory("graft_d87").toString
+        val wh = graft.GraftTmp.dir("graft_d87").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_by_time")
         val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -2340,8 +2340,7 @@ object ScalePack extends Pack {
         // the dim must be scan-backed AND carry a selective filter of
         // its own — Spark's PartitionPruning rule only injects the DPP
         // subquery when the build side filters (the d45 lesson)
-        val dimPath = java.nio.file.Files
-          .createTempDirectory("graft_d87_dim").toString
+        val dimPath = graft.GraftTmp.dir("graft_d87_dim").toString
         o.select($"o_orderdate".as("d_date")).distinct()
           .withColumn("d_grp",
             when(date_format($"d_date", "yyyy-MM") === "1996-06",
@@ -2416,7 +2415,7 @@ object ScalePack extends Pack {
     Decl("d88_metadata_trio",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d88").toString
+        val wh = graft.GraftTmp.dir("graft_d88").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_meta")
         val o = Tables.load(s, dir, "orders")
@@ -2476,7 +2475,7 @@ object ScalePack extends Pack {
     Decl("d89_sql_write_ordered",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d89").toString
+        val wh = graft.GraftTmp.dir("graft_d89").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_ordered")
         val o = Tables.load(s, dir, "orders")
@@ -2561,7 +2560,7 @@ object ScalePack extends Pack {
     Decl("d90_bucket_spj",
       (s, dir) => {
         import graft.icelite.{PartitionField, TableRef}
-        val wh = Files.createTempDirectory("graft_d90").toString
+        val wh = graft.GraftTmp.dir("graft_d90").toString
         IceLite.createNamespace(wh, "src")
         val liRef = TableRef(wh, "src", "li_spj")
         val ordRef = TableRef(wh, "src", "ord_spj")
@@ -2689,7 +2688,7 @@ object ScalePack extends Pack {
     Decl("d82_table_properties",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d82").toString
+        val wh = graft.GraftTmp.dir("graft_d82").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "props")
         // synthetic fixture: the witness output is SHOW TBLPROPERTIES
@@ -2748,7 +2747,7 @@ object ScalePack extends Pack {
     Decl("d58_sql_rename_column",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d58").toString
+        val wh = graft.GraftTmp.dir("graft_d58").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_rename_sql")
         val o = Tables.load(s, dir, "orders")
@@ -2788,7 +2787,7 @@ object ScalePack extends Pack {
     // kept + range scan plans fewer files than the table holds.
     Decl("d54_sorted_sql_append",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d54").toString
+        val wh = graft.GraftTmp.dir("graft_d54").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_sorted_sql")
         val o = Tables.load(s, dir, "orders")
@@ -2834,7 +2833,7 @@ object ScalePack extends Pack {
     // result itself.
     Decl("d53_connector_stats_join",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d53").toString
+        val wh = graft.GraftTmp.dir("graft_d53").toString
         IceLite.createNamespace(wh, "src")
         val fact = IngestJob.tableRef(wh, "lineitem_stats")
         val dim = IngestJob.tableRef(wh, "supplier_stats")
@@ -2885,7 +2884,7 @@ object ScalePack extends Pack {
     // the snapshot count is deterministic (create + append = 2).
     Decl("d41_sql_metadata",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d41").toString
+        val wh = graft.GraftTmp.dir("graft_d41").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "lineitem_meta_sql")
         val l = Tables.load(s, dir, "lineitem")
@@ -2923,7 +2922,7 @@ object ScalePack extends Pack {
     // dir — at 100 TB the other partitions were never even listed.
     Decl("d36_dsv2_partitioned_read",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d36").toString
+        val wh = graft.GraftTmp.dir("graft_d36").toString
         val ref = IngestJob.tableRef(wh, "lineitem_part")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
@@ -2954,7 +2953,7 @@ object ScalePack extends Pack {
     // partition-stats role); zero parquet reads, witnessed.
     Decl("d37_partition_group_pushdown",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d37").toString
+        val wh = graft.GraftTmp.dir("graft_d37").toString
         val ref = IngestJob.tableRef(wh, "lineitem_pgrp")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
@@ -3020,7 +3019,7 @@ object ScalePack extends Pack {
     // is spec-pinned in IceLiteSpec).
     Decl("d35_expire_retain_last",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d35").toString
+        val wh = graft.GraftTmp.dir("graft_d35").toString
         val ref = IngestJob.tableRef(wh, "orders_retain")
         IceLite.createNamespace(wh, "src")
         val o = Tables.load(s, dir, "orders")
@@ -3057,7 +3056,7 @@ object ScalePack extends Pack {
     // pressure, compaction targets — is a driver-side metadata read.
     Decl("d34_partitions_metadata",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d34").toString
+        val wh = graft.GraftTmp.dir("graft_d34").toString
         val ref = IngestJob.tableRef(wh, "lineitem_census")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
@@ -3122,7 +3121,7 @@ object ScalePack extends Pack {
     // the real scan (spec-pinned).
     Decl("d33_group_agg_pushdown",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d33").toString
+        val wh = graft.GraftTmp.dir("graft_d33").toString
         val ref = IngestJob.tableRef(wh, "lineitem_grouped")
         IceLite.createNamespace(wh, "src")
         // bounded keyed slice + 3 groups: the metadata-only grouped
@@ -3169,7 +3168,7 @@ object ScalePack extends Pack {
     // compact(), or every downstream query loses its partition skips.
     Decl("d32_layout_preserving_delete",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d32").toString
+        val wh = graft.GraftTmp.dir("graft_d32").toString
         val ref = IngestJob.tableRef(wh, "lineitem_part_del")
         IceLite.createNamespace(wh, "src")
         val l = Tables.load(s, dir, "lineitem")
@@ -3226,7 +3225,7 @@ object ScalePack extends Pack {
     // tables whose ingest order is uncorrelated with query keys.
     Decl("d59_rewrite_zorder",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d59").toString
+        val wh = graft.GraftTmp.dir("graft_d59").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "lineitem_rz")
         val l = Tables.load(s, dir, "lineitem")
@@ -3271,7 +3270,7 @@ object ScalePack extends Pack {
     // `CALL system.drop_branch` away from never having existed).
     Decl("d60_sql_wap_branch",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d60").toString
+        val wh = graft.GraftTmp.dir("graft_d60").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_wapsql")
         val o = Tables.load(s, dir, "orders")
@@ -3321,7 +3320,7 @@ object ScalePack extends Pack {
     // recomputes exactly.
     Decl("d61_analyze_ndv",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d61").toString
+        val wh = graft.GraftTmp.dir("graft_d61").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_stats")
         IceLite.createOrReplace(ref, Tables.load(s, dir, "orders")
@@ -3366,7 +3365,7 @@ object ScalePack extends Pack {
     // thousands of redundant manifest JSONs per table-year.
     Decl("d62_expire_metadata",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d62").toString
+        val wh = graft.GraftTmp.dir("graft_d62").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "orders_meta")
         val o = Tables.load(s, dir, "orders")
@@ -3414,13 +3413,13 @@ object ScalePack extends Pack {
     // slices straight from the fixture.
     Decl("d63_add_files_migrate",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d63").toString
+        val wh = graft.GraftTmp.dir("graft_d63").toString
         IceLite.createNamespace(wh, "src")
         val ref = IngestJob.tableRef(wh, "li_migrated")
         val li = Tables.load(s, dir, "lineitem")
           .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
-        val ext1 = Files.createTempDirectory("graft_d63_ext1").toString
-        val ext2 = Files.createTempDirectory("graft_d63_ext2").toString
+        val ext1 = graft.GraftTmp.dir("graft_d63_ext1").toString
+        val ext2 = graft.GraftTmp.dir("graft_d63_ext2").toString
         li.filter($"l_orderkey" % 3 === 0).write.mode("overwrite").parquet(ext1)
         li.filter($"l_orderkey" % 3 === 1).write.mode("overwrite").parquet(ext2)
         val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -3463,7 +3462,7 @@ object ScalePack extends Pack {
     Decl("d64_refs_metadata",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d64").toString
+        val wh = graft.GraftTmp.dir("graft_d64").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_refs")
         val o = Tables.load(s, dir, "orders")
@@ -3504,7 +3503,7 @@ object ScalePack extends Pack {
     Decl("d65_cherrypick_publish",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d65").toString
+        val wh = graft.GraftTmp.dir("graft_d65").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_cherry")
         val o = Tables.load(s, dir, "orders")
@@ -3549,7 +3548,7 @@ object ScalePack extends Pack {
     Decl("d66_alter_widen_type",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d66").toString
+        val wh = graft.GraftTmp.dir("graft_d66").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_widen")
         val o = Tables.load(s, dir, "orders")
@@ -3603,7 +3602,7 @@ object ScalePack extends Pack {
     Decl("d67_insert_overwrite_partition",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d67").toString
+        val wh = graft.GraftTmp.dir("graft_d67").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "li_part")
         val li = Tables.load(s, dir, "lineitem")
@@ -3680,7 +3679,7 @@ object ScalePack extends Pack {
     // load and prune a partitioned table.
     Decl("d68_sql_create_partitioned",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d68").toString
+        val wh = graft.GraftTmp.dir("graft_d68").toString
         IceLite.createNamespace(wh, "src")
         val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
         s.conf.set(s"spark.sql.catalog.$cat",
@@ -3735,7 +3734,7 @@ object ScalePack extends Pack {
     Decl("d69_metadata_partition_delete",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d69").toString
+        val wh = graft.GraftTmp.dir("graft_d69").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "li_del")
         val li = Tables.load(s, dir, "lineitem")
@@ -3792,7 +3791,7 @@ object ScalePack extends Pack {
     Decl("d70_atomic_replace_table",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d70").toString
+        val wh = graft.GraftTmp.dir("graft_d70").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_rt")
         val o = Tables.load(s, dir, "orders")
@@ -3850,7 +3849,7 @@ object ScalePack extends Pack {
     Decl("d71_show_drop_partitions",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d71").toString
+        val wh = graft.GraftTmp.dir("graft_d71").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "li_pm")
         val li = Tables.load(s, dir, "lineitem")
@@ -3903,7 +3902,7 @@ object ScalePack extends Pack {
     Decl("d72_mor_equality_delete",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d72").toString
+        val wh = graft.GraftTmp.dir("graft_d72").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_eq")
         val o = Tables.load(s, dir, "orders")
@@ -3983,7 +3982,7 @@ object ScalePack extends Pack {
     Decl("d73_mor_eq_read",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_d73").toString
+        val wh = graft.GraftTmp.dir("graft_d73").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "orders_eqr")
         val o = Tables.load(s, dir, "orders")
@@ -4054,7 +4053,7 @@ object ScalePack extends Pack {
     // view stack via plain SQL.
     Decl("d74_sql_views",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d74").toString
+        val wh = graft.GraftTmp.dir("graft_d74").toString
         IceLite.createNamespace(wh, "src")
         IceLite.createOrReplace(graft.icelite.TableRef(wh, "src", "nation"),
           Tables.load(s, dir, "nation")
@@ -4117,7 +4116,7 @@ object ScalePack extends Pack {
     // OVERWRITE refuses.
     Decl("d75_rest_catalog",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d75").toString
+        val wh = graft.GraftTmp.dir("graft_d75").toString
         IceLite.createNamespace(wh, "src")
         val ref = graft.icelite.TableRef(wh, "src", "nation")
         IceLite.createOrReplace(ref, Tables.load(s, dir, "nation")
@@ -4194,7 +4193,7 @@ object ScalePack extends Pack {
     // all landing as successive snapshots of the owner's ONE lineage.
     Decl("d76_rest_dml",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d76").toString
+        val wh = graft.GraftTmp.dir("graft_d76").toString
         IceLite.createNamespace(wh, "src")
         val ref = graft.icelite.TableRef(wh, "src", "orders_dml")
         // bounded keyed slice (keys are dense 0..N-1): full coverage
@@ -4283,7 +4282,7 @@ object ScalePack extends Pack {
     // with byte accounting against the assembled legacy manifest.
     Decl("d77_rest_wire_shard",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d77").toString
+        val wh = graft.GraftTmp.dir("graft_d77").toString
         IceLite.createNamespace(wh, "src")
         val ref = graft.icelite.TableRef(wh, "src", "orders_wire")
         // bounded slice (dense keys): the wire-cost witness depends on
@@ -4348,7 +4347,7 @@ object ScalePack extends Pack {
     // through to reads on BOTH faces.
     Decl("d79_rest_alter",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d79").toString
+        val wh = graft.GraftTmp.dir("graft_d79").toString
         IceLite.createNamespace(wh, "src")
         val ref = graft.icelite.TableRef(wh, "src", "supplier_ev")
         val sup = Tables.load(s, dir, "supplier")
@@ -4421,7 +4420,7 @@ object ScalePack extends Pack {
     // orphan GC actually reclaiming the pre-compaction bytes.
     Decl("d80_rest_maintenance",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d80").toString
+        val wh = graft.GraftTmp.dir("graft_d80").toString
         IceLite.createNamespace(wh, "src")
         val ref = graft.icelite.TableRef(wh, "src", "li_maint")
         val li = Tables.load(s, dir, "lineitem")
@@ -4489,7 +4488,7 @@ object ScalePack extends Pack {
     // now fully symmetric with dbt against the owner.
     Decl("d78_rest_view_ddl",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_d78").toString
+        val wh = graft.GraftTmp.dir("graft_d78").toString
         IceLite.createNamespace(wh, "src")
         val ref = graft.icelite.TableRef(wh, "src", "customer")
         IceLite.createOrReplace(ref, Tables.load(s, dir, "customer")

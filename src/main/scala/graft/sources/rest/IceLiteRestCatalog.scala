@@ -79,7 +79,7 @@ class IceLiteRestCatalog extends TableCatalog with SupportsNamespaces
     require(uri != null, s"catalog '$name' needs spark.sql.catalog.$name.uri")
     uri = uri.stripSuffix("/")
     spoolRoot = Option(options.get("spool")).map(Paths.get(_))
-      .getOrElse(Files.createTempDirectory(s"graft_rest_spool_$name"))
+      .getOrElse(graft.GraftTmp.dir(s"graft_rest_spool_$name"))
     warehouse = (parse(get("/config")) \ "warehouse")
       .asInstanceOf[org.json4s.JString].s
   }

@@ -49,7 +49,7 @@ object StreamPack extends Pack {
     * cost (round-10 brief carried thrice; collapsed round 12). */
   private def stageEvents(s: SparkSession, dir: String, n: Int): String =
     stagedCache.computeIfAbsent(s"$dir#events#$n", { _ =>
-      val out = Files.createTempDirectory("graft_stream_src").toString
+      val out = graft.GraftTmp.dir("graft_stream_src").toString
       Tables.load(s, dir, "events").repartition(n)
         .write.mode("overwrite").parquet(out)
       out
@@ -64,7 +64,7 @@ object StreamPack extends Pack {
     * both memory-sink-volume-proportional). */
   private def stageEventsSlice(s: SparkSession, dir: String): String =
     stagedCache.computeIfAbsent(s"$dir#events#slice300", { _ =>
-      val out = Files.createTempDirectory("graft_sslice_src").toString
+      val out = graft.GraftTmp.dir("graft_sslice_src").toString
       Tables.load(s, dir, "events").filter(col("user_id") < 300)
         .repartition(2).write.mode("overwrite").parquet(out)
       out
@@ -77,7 +77,7 @@ object StreamPack extends Pack {
     * add per-batch fixed cost). */
   private def stageEventsDoubled(s: SparkSession, dir: String): String =
     stagedCache.computeIfAbsent(s"$dir#events2x", { _ =>
-      val out = Files.createTempDirectory("graft_s05_src").toString
+      val out = graft.GraftTmp.dir("graft_s05_src").toString
       val ev = Tables.load(s, dir, "events").filter(col("user_id") < 300)
       ev.unionByName(ev).repartition(2)
         .write.mode("overwrite").parquet(out)
@@ -95,7 +95,7 @@ object StreamPack extends Pack {
 
   private def stageEventsWithSentinel(s: SparkSession, dir: String): String =
     stagedCache.computeIfAbsent(s"$dir#events#sentinel", { _ =>
-      val out = Files.createTempDirectory("graft_s04_src").toString
+      val out = graft.GraftTmp.dir("graft_s04_src").toString
       val ev = Tables.load(s, dir, "events")
       // bounded keyed slice (the s24 pattern): the session-window
       // witness depends on multi-batch watermark progression per user,
@@ -103,7 +103,7 @@ object StreamPack extends Pack {
       // a ~10k-row driver-bound session dump to a protocol check
       ev.filter(col("user_id") < 150)
         .repartition(2).write.mode("overwrite").parquet(out)
-      val staging = Files.createTempDirectory("graft_s04_sent")
+      val staging = graft.GraftTmp.dir("graft_s04_sent")
       ev.limit(1)
         .withColumn("user_id", lit(SentinelUser).cast(ev.schema("user_id").dataType))
         .withColumn("ts", lit("2100-01-01 00:00:00").cast("timestamp"))
@@ -135,10 +135,10 @@ object StreamPack extends Pack {
     * progression) as writing the files between triggers would. */
   private def stageLateBatches(s: SparkSession, dir: String): String =
     stagedCache.computeIfAbsent(s"$dir#events#late", { _ =>
-      val out = Files.createTempDirectory("graft_s06_src").toString
+      val out = graft.GraftTmp.dir("graft_s06_src").toString
       val ev = Tables.load(s, dir, "events")
       def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
-        val staging = Files.createTempDirectory("graft_s06_stage")
+        val staging = graft.GraftTmp.dir("graft_s06_stage")
         df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
         val part = IceLite.listDir(Files.list(staging))(_
           .find(p => p.toString.endsWith(".parquet") &&
@@ -169,7 +169,7 @@ object StreamPack extends Pack {
     * odd event_id), 2 files each, staged once per JVM. */
   private def stageEventsHalf(s: SparkSession, dir: String, parity: Int): String =
     stagedCache.computeIfAbsent(s"$dir#events#half$parity", { _ =>
-      val out = Files.createTempDirectory(s"graft_s10_src$parity").toString
+      val out = graft.GraftTmp.dir(s"graft_s10_src$parity").toString
       // bounded keyed slice — the interval-join witness depends on
       // two sides draining through buffered state, not on row volume
       Tables.load(s, dir, "events")
@@ -189,7 +189,7 @@ object StreamPack extends Pack {
   private def stageEventsHalfWithSentinel(s: SparkSession, dir: String,
       parity: Int): String =
     stagedCache.computeIfAbsent(s"$dir#events#half$parity#sentinel", { _ =>
-      val out = Files.createTempDirectory(s"graft_s20_src$parity").toString
+      val out = graft.GraftTmp.dir(s"graft_s20_src$parity").toString
       val ev = Tables.load(s, dir, "events")
       // ONE data file per side (+ the sentinel): the outer-join flush
       // witness needs the sentinel in a LATER trigger than the data —
@@ -200,7 +200,7 @@ object StreamPack extends Pack {
         .filter(pmod(col("event_id"), lit(2)) === parity)
         .repartition(1)
         .write.mode("overwrite").parquet(out)
-      val staging = Files.createTempDirectory(s"graft_s20_sent$parity")
+      val staging = graft.GraftTmp.dir(s"graft_s20_sent$parity")
       ev.limit(1)
         .withColumn("event_id", lit(-1L - parity).cast(ev.schema("event_id").dataType))
         .withColumn("user_id", lit(SentinelUser).cast(ev.schema("user_id").dataType))
@@ -229,11 +229,11 @@ object StreamPack extends Pack {
     * re-prices keys < 500 to 2.0. Last writer per key wins. */
   private def stageCdcBatches(s: SparkSession, dir: String): String =
     stagedCache.computeIfAbsent(s"$dir#orders#cdc", { _ =>
-      val out = Files.createTempDirectory("graft_s11_src").toString
+      val out = graft.GraftTmp.dir("graft_s11_src").toString
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
       def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
-        val staging = Files.createTempDirectory("graft_s11_stage")
+        val staging = graft.GraftTmp.dir("graft_s11_stage")
         df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
         val part = IceLite.listDir(Files.list(staging))(_
           .find(p => p.toString.endsWith(".parquet") &&
@@ -265,7 +265,7 @@ object StreamPack extends Pack {
     * billed to protocol scenarios. */
   private def cdcSourceTable(s: SparkSession, dir: String): TableRef = {
     val wh = stagedCache.computeIfAbsent(s"$dir#orders#cdcsrc", { _ =>
-      val w = Files.createTempDirectory("graft_cdcsrc_wh").toString
+      val w = graft.GraftTmp.dir("graft_cdcsrc_wh").toString
       IceLite.createNamespace(w, "src")
       val ref = TableRef(w, "src", "orders_cdc_src")
       val o = Tables.load(s, dir, "orders")
@@ -289,7 +289,7 @@ object StreamPack extends Pack {
     * non-streaming work billed to the streaming row. */
   private def stagedFeedTable(s: SparkSession, dir: String): String =
     stagedCache.computeIfAbsent(s"$dir#icelite#feed", { _ =>
-      val wh = Files.createTempDirectory("graft_s13_wh").toString
+      val wh = graft.GraftTmp.dir("graft_s13_wh").toString
       val ref = TableRef(wh, "src", "lineitem_feed")
       IceLite.createNamespace(wh, "src")
       // bounded keyed slice (the s24 pattern): the snapshot-offset
@@ -309,7 +309,7 @@ object StreamPack extends Pack {
     * once per JVM. */
   private def stageDocBatches(s: SparkSession, dir: String): String =
     stagedCache.computeIfAbsent(s"$dir#documents#router", { _ =>
-      val out = Files.createTempDirectory("graft_s12_src").toString
+      val out = graft.GraftTmp.dir("graft_s12_src").toString
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"))
         .repartition(2)
@@ -341,7 +341,7 @@ object StreamPack extends Pack {
       val q = build(src).writeStream
         .format("memory").queryName(sinkName).outputMode(outputMode)
         .option("checkpointLocation",
-          Files.createTempDirectory(s"graft_ckpt_$sinkName").toString)
+          graft.GraftTmp.dir(s"graft_ckpt_$sinkName").toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -644,7 +644,7 @@ object StreamPack extends Pack {
         val q = updates.writeStream
           .format("memory").queryName("s08_sink").outputMode("update")
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s08").toString)
+            graft.GraftTmp.dir("graft_ckpt_s08").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -685,7 +685,7 @@ object StreamPack extends Pack {
           .writeStream.format("memory").queryName("s09_sink")
           .outputMode("complete")
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s09").toString)
+            graft.GraftTmp.dir("graft_ckpt_s09").toString)
           .start()
         // drain exactly the first 3 batches (values 0..2999); later
         // batches are filtered out in-stream, so overshoot is harmless
@@ -715,7 +715,7 @@ object StreamPack extends Pack {
     Decl("s07_stream_foreachbatch_sink",
       (s, dir) => {
         val staged = stageEvents(s, dir, 2)
-        val wh = Files.createTempDirectory("graft_s07_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s07_wh").toString
         val ref = TableRef(wh, "src", "events_stream")
         IceLite.createNamespace(wh, "src")
         val sch = s.read.parquet(staged).schema
@@ -726,7 +726,7 @@ object StreamPack extends Pack {
             appendBatchOnce(ref, batchId, batch); ()
           }
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s07").toString)
+            graft.GraftTmp.dir("graft_ckpt_s07").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -773,7 +773,7 @@ object StreamPack extends Pack {
           .writeStream.format("memory").queryName("s10_sink")
           .outputMode("append")
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s10").toString)
+            graft.GraftTmp.dir("graft_ckpt_s10").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -827,7 +827,7 @@ object StreamPack extends Pack {
           .writeStream.format("memory").queryName("s20_sink")
           .outputMode("append")
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s20").toString)
+            graft.GraftTmp.dir("graft_ckpt_s20").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -866,7 +866,7 @@ object StreamPack extends Pack {
       (s, dir) => {
         withStreamShufflePartitions(s) {
         val staged = stageCdcBatches(s, dir)
-        val wh = Files.createTempDirectory("graft_s11_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s11_wh").toString
         val ref = TableRef(wh, "src", "orders_cdc")
         IceLite.createNamespace(wh, "src")
         val sch = s.read.parquet(staged).schema
@@ -877,7 +877,7 @@ object StreamPack extends Pack {
             IceLite.merge(s, ref, batch, Seq("o_orderkey")); ()
           }
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s11").toString)
+            graft.GraftTmp.dir("graft_ckpt_s11").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -913,7 +913,7 @@ object StreamPack extends Pack {
       (s, dir) => {
         withStreamShufflePartitions(s) {
         val staged = stageDocBatches(s, dir)
-        val wh = Files.createTempDirectory("graft_s12_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s12_wh").toString
         val accept = TableRef(wh, "src", "docs_accept")
         val reject = TableRef(wh, "src", "docs_reject")
         IceLite.createNamespace(wh, "src")
@@ -931,7 +931,7 @@ object StreamPack extends Pack {
             ()
           }
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s12").toString)
+            graft.GraftTmp.dir("graft_ckpt_s12").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -972,7 +972,7 @@ object StreamPack extends Pack {
           .writeStream.format("memory").queryName("s13_sink")
           .outputMode("append")
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s13").toString)
+            graft.GraftTmp.dir("graft_ckpt_s13").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -1033,7 +1033,7 @@ object StreamPack extends Pack {
     Decl("s15_stream_icelite_sink",
       (s, dir) => {
         val staged = stageEvents(s, dir, 2)
-        val wh = Files.createTempDirectory("graft_s15_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s15_wh").toString
         val ref = TableRef(wh, "sink", "events_lake")
         IceLite.createNamespace(wh, "sink")
         IceLite.createOrReplace(ref, s.sql(
@@ -1049,7 +1049,7 @@ object StreamPack extends Pack {
             .writeStream.format("graft.sources.IceLiteSource")
             .outputMode("append")
             .option("checkpointLocation",
-              Files.createTempDirectory("graft_ckpt_s15").toString)
+              graft.GraftTmp.dir("graft_ckpt_s15").toString)
             .trigger(Trigger.AvailableNow())
             .start(ref.dir.toString)
           q.awaitTermination()
@@ -1085,7 +1085,7 @@ object StreamPack extends Pack {
     Decl("s16_stream_table_pipeline",
       (s, dir) => {
         val feedDir = stagedFeedTable(s, dir)
-        val wh = Files.createTempDirectory("graft_s16_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s16_wh").toString
         val ref = TableRef(wh, "sink", "lineitem_silver")
         IceLite.createNamespace(wh, "sink")
         // schema seed for the path-based sink (sentinel key, filtered
@@ -1102,7 +1102,7 @@ object StreamPack extends Pack {
           .writeStream.format("graft.sources.IceLiteSource")
           .outputMode("append")
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s16").toString)
+            graft.GraftTmp.dir("graft_ckpt_s16").toString)
           .trigger(Trigger.AvailableNow())
           .start(ref.dir.toString)
         q.awaitTermination()
@@ -1142,7 +1142,7 @@ object StreamPack extends Pack {
           .writeStream.format("memory").queryName(sink)
           .outputMode("append")
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s17").toString)
+            graft.GraftTmp.dir("graft_ckpt_s17").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -1186,7 +1186,7 @@ object StreamPack extends Pack {
     Decl("s18_stream_mv_maintenance",
       (s, dir) => {
         withStreamShufflePartitions(s) {
-        val wh = Files.createTempDirectory("graft_s18_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s18_wh").toString
         val mv = TableRef(wh, "mart", "orders_by_cust_mv")
         IceLite.createNamespace(wh, "mart")
         // the SHARED frozen CDC source (create → MoR delete → MoR
@@ -1205,7 +1205,7 @@ object StreamPack extends Pack {
             mergeMvDeltaOnce(s, mv, batchId, batch); ()
           }
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s18").toString)
+            graft.GraftTmp.dir("graft_ckpt_s18").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -1238,7 +1238,7 @@ object StreamPack extends Pack {
     Decl("s19_stream_cdc_replica",
       (s, dir) => {
         withStreamShufflePartitions(s) {
-        val wh = Files.createTempDirectory("graft_s19_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s19_wh").toString
         val replica = TableRef(wh, "mart", "orders_replica")
         IceLite.createNamespace(wh, "mart")
         // the SHARED frozen CDC source — see s18's comment (the
@@ -1261,7 +1261,7 @@ object StreamPack extends Pack {
             ()
           }
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s19").toString)
+            graft.GraftTmp.dir("graft_ckpt_s19").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -1295,7 +1295,7 @@ object StreamPack extends Pack {
     Decl("s21_stream_partitioned_sink",
       (s, dir) => {
         val staged = stageEvents(s, dir, 2)
-        val wh = Files.createTempDirectory("graft_s21_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s21_wh").toString
         val ref = TableRef(wh, "sink", "events_by_shard")
         IceLite.createNamespace(wh, "sink")
         IceLite.createOrReplacePartitioned(ref, s.sql(
@@ -1311,7 +1311,7 @@ object StreamPack extends Pack {
             .writeStream.format("graft.sources.IceLiteSource")
             .outputMode("append")
             .option("checkpointLocation",
-              Files.createTempDirectory("graft_ckpt_s21").toString)
+              graft.GraftTmp.dir("graft_ckpt_s21").toString)
             .trigger(Trigger.AvailableNow())
             .start(ref.dir.toString)
           q.awaitTermination()
@@ -1354,7 +1354,7 @@ object StreamPack extends Pack {
       (s, dir) => {
         withStreamShufflePartitions(s) {
         val staged = stageCdcBatches(s, dir)
-        val wh = Files.createTempDirectory("graft_s22_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s22_wh").toString
         val ref = TableRef(wh, "src", "orders_cdc_eq")
         IceLite.createNamespace(wh, "src")
         val sch = s.read.parquet(staged).schema
@@ -1378,7 +1378,7 @@ object StreamPack extends Pack {
             ()
           }
           .option("checkpointLocation",
-            Files.createTempDirectory("graft_ckpt_s22").toString)
+            graft.GraftTmp.dir("graft_ckpt_s22").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -1421,7 +1421,7 @@ object StreamPack extends Pack {
     Decl("s23_stream_partitioned_source",
       (s, dir) => {
         import graft.icelite.TableRef
-        val wh = Files.createTempDirectory("graft_s23_wh").toString
+        val wh = graft.GraftTmp.dir("graft_s23_wh").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "li_feed")
         val li = Tables.load(s, dir, "lineitem")
@@ -1443,7 +1443,7 @@ object StreamPack extends Pack {
             .writeStream.format("memory").queryName(sink)
             .outputMode("append")
             .option("checkpointLocation",
-              Files.createTempDirectory("graft_ckpt_s23").toString)
+              graft.GraftTmp.dir("graft_ckpt_s23").toString)
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
@@ -1475,7 +1475,7 @@ object StreamPack extends Pack {
     // MULTIPLE batches, not one attach-time snapshot.
     Decl("s24_stream_rest_source",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_s24").toString
+        val wh = graft.GraftTmp.dir("graft_s24").toString
         IceLite.createNamespace(wh, "src")
         val ref = TableRef(wh, "src", "li_feed")
         // bounded keyed slice (dense keys): the live-follow witness
@@ -1495,7 +1495,7 @@ object StreamPack extends Pack {
             .writeStream.format("memory").queryName(sink)
             .outputMode("append")
             .option("checkpointLocation",
-              Files.createTempDirectory("graft_ckpt_s24").toString)
+              graft.GraftTmp.dir("graft_ckpt_s24").toString)
             .start()
           try {
             q.processAllAvailable()

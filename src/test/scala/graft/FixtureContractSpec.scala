@@ -48,7 +48,7 @@ class FixtureContractSpec extends AnyFunSuite {
 
   test("int64 ts is interpreted as epoch-nanos and converted") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-ts-long").toString
+    val dir = graft.GraftTmp.dir("graft-ts-long").toString
     Seq((1L, refNanos)).toDF("event_id", "ts")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Tables.load(spark, dir, "events")
@@ -57,7 +57,7 @@ class FixtureContractSpec extends AnyFunSuite {
   }
 
   test("timestamp[us] (NTZ) ts passes through as session-TZ timestamp") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ts-us").toString
+    val dir = graft.GraftTmp.dir("graft-ts-us").toString
     spark.sql(
       "SELECT 1L AS event_id, TIMESTAMP_NTZ'2024-01-02 03:04:05.123456' AS ts")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -76,7 +76,7 @@ class FixtureContractSpec extends AnyFunSuite {
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.hadoop.fs.Path
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-ts-nanos").toString
+    val dir = graft.GraftTmp.dir("graft-ts-nanos").toString
     new java.io.File(s"$dir/events.parquet").mkdirs()
     val schema = Types.buildMessage()
       .required(PrimitiveTypeName.INT64).named("event_id")

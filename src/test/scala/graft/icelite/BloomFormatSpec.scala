@@ -13,7 +13,7 @@ class BloomFormatSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def mk(): TableRef = {
-    val wh = Files.createTempDirectory("bloomfmt_wh").toString
+    val wh = graft.GraftTmp.dir("bloomfmt_wh").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     // 8 files of disjoint key ranges so membership pruning has teeth

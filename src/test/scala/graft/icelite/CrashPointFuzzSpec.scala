@@ -154,7 +154,7 @@ class CrashPointFuzzSpec extends AnyFunSuite {
     var k = 0
     var crashed = true
     while (crashed) {
-      val wh = Files.createTempDirectory(s"crash_${name}_$k").toString
+      val wh = graft.GraftTmp.dir(s"crash_${name}_$k").toString
       IceLite.createNamespace(wh, "src")
       val ref = TableRef(wh, "src", "t")
       val crashIo = new CrashFileIO(mkIo(wh), wh)
@@ -298,7 +298,7 @@ class CrashPointFuzzSpec extends AnyFunSuite {
       var k = 0
       var crashed = true
       while (crashed) {
-        val wh = Files.createTempDirectory(s"crash_ren_${ioName}_$k").toString
+        val wh = graft.GraftTmp.dir(s"crash_ren_${ioName}_$k").toString
         IceLite.createNamespace(wh, "src")
         val from = TableRef(wh, "src", "a")
         val to = TableRef(wh, "src", "b")

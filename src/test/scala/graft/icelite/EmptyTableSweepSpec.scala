@@ -17,7 +17,7 @@ class EmptyTableSweepSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def wh() = Files.createTempDirectory("empty_sweep").toString
+  private def wh() = graft.GraftTmp.dir("empty_sweep").toString
 
   /** Flat table emptied by COW delete-all → zero-FILE current snapshot. */
   private def emptiedFlat(): TableRef = {

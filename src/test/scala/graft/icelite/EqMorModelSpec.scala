@@ -20,7 +20,7 @@ class EqMorModelSpec extends AnyFunSuite {
 
   private def run(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    val wh = Files.createTempDirectory(s"eqmor_model_$seed").toString
+    val wh = graft.GraftTmp.dir(s"eqmor_model_$seed").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     var model = Map.empty[Long, String]

@@ -47,7 +47,7 @@ class FileIOSeamSpec extends AnyFunSuite {
   }
 
   private def withScopedIO[A](f: (Scoped, TableRef) => A): A = {
-    val wh = Files.createTempDirectory("seam_wh").toString
+    val wh = graft.GraftTmp.dir("seam_wh").toString
     IceLite.createNamespace(wh, "src")
     val scoped = new Scoped(wh)
     val prev = IceLite.io

@@ -14,7 +14,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
   import spark.implicits._
 
   test("concurrent appends all land: no lost updates under CAS races") {
-    val wh = Files.createTempDirectory("cas_spec").toString
+    val wh = graft.GraftTmp.dir("cas_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
 
@@ -50,7 +50,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
   }
 
   test("concurrent property SETs of distinct keys all land (CAS rebase, d82)") {
-    val wh = Files.createTempDirectory("props_race").toString
+    val wh = graft.GraftTmp.dir("props_race").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, Seq(1).toDF("k"))
@@ -79,7 +79,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
   }
 
   test("concurrent merges on disjoint keys both apply (conflict-validated)") {
-    val wh = Files.createTempDirectory("cas_merge_spec").toString
+    val wh = graft.GraftTmp.dir("cas_merge_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref,
@@ -119,7 +119,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     // writer created the table after the None check — losing that
     // writer's data. The fix claims v1 create-only and falls back to
     // the normal merge path on a lost race.
-    val wh = Files.createTempDirectory("cas_merge_create_spec").toString
+    val wh = graft.GraftTmp.dir("cas_merge_create_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
 
@@ -152,7 +152,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     // rebase could resurrect the winner's deleted keys (they are
     // "unmatched" in the loser's recomputation only if the rebase reads
     // the winner's state) or drop rows neither writer touched.
-    val wh = Files.createTempDirectory("cas_delete_spec").toString
+    val wh = graft.GraftTmp.dir("cas_delete_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref,
@@ -190,7 +190,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     // both writers erase key 3 (the GDPR double-submit shape); the
     // loser's recomputed merge finds 3 already gone — deleting an
     // absent key is a no-op, not an error, and nothing else is touched
-    val wh = Files.createTempDirectory("cas_delete_overlap_spec").toString
+    val wh = graft.GraftTmp.dir("cas_delete_overlap_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref,
@@ -228,7 +228,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     // CAS on either side must rebase onto the other's state — B's
     // upsert must not resurrect A's deleted keys, A's delete must not
     // drop B's insert.
-    val wh = Files.createTempDirectory("cas_delete_upsert_spec").toString
+    val wh = graft.GraftTmp.dir("cas_delete_upsert_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref,
@@ -270,7 +270,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     // compact claims the version it compacted against; when an append
     // wins the race, compact must recompute on the winner's file list
     // so the appended rows survive into the compacted snapshot
-    val wh = Files.createTempDirectory("cas_compact_spec").toString
+    val wh = graft.GraftTmp.dir("cas_compact_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, (0 until 20).toDF("k").repartition(4))
@@ -306,7 +306,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
   }
 
   test("concurrent standalone deletes on disjoint predicates both apply") {
-    val wh = Files.createTempDirectory("cas_delwhere_spec").toString
+    val wh = graft.GraftTmp.dir("cas_delwhere_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, (0 until 40).map(k => (k, k * 2)).toDF("k", "v"))
@@ -335,7 +335,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
   }
 
   test("a standalone delete racing an append loses neither") {
-    val wh = Files.createTempDirectory("cas_delapp_spec").toString
+    val wh = graft.GraftTmp.dir("cas_delapp_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, (0 until 20).map(k => (k, "base")).toDF("k", "v"))
@@ -373,7 +373,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     // SHARED data/part/<col>=<v>/ dirs, so the loser's cleanup must
     // delete exactly its own staged files, never the dir (a token-dir
     // style unstage here would wipe the winner's committed files too)
-    val wh = Files.createTempDirectory("cas_part_merge_spec").toString
+    val wh = graft.GraftTmp.dir("cas_part_merge_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplacePartitioned(ref,
@@ -413,7 +413,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
   }
 
   test("ALTER ADD COLUMN racing appends: ledger and all snapshots survive") {
-    val wh = Files.createTempDirectory("alter_race").toString
+    val wh = graft.GraftTmp.dir("alter_race").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, Seq((0, 0.0)).toDF("k", "v"))
@@ -453,7 +453,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
   }
 
   test("two ALTERs racing on the same column name: exactly one wins") {
-    val wh = Files.createTempDirectory("alter_dup_race").toString
+    val wh = graft.GraftTmp.dir("alter_dup_race").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, Seq((0, 0.0)).toDF("k", "v"))
@@ -484,7 +484,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     // the exact scenario cherry-pick exists for: main keeps moving
     // while the audited candidate lands. CAS rebase must keep every
     // append AND apply the delta exactly once.
-    val wh = Files.createTempDirectory("cas_cherry").toString
+    val wh = graft.GraftTmp.dir("cas_cherry").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, Seq(0).toDF("k"))
@@ -521,7 +521,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
   }
 
   test("manifest versions are dense and monotonic after races") {
-    val wh = Files.createTempDirectory("cas_spec2").toString
+    val wh = graft.GraftTmp.dir("cas_spec2").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, Seq(1).toDF("k"))
@@ -538,7 +538,7 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
   // ---- d67/d69: partitioned DSv2 write races ----
 
   private def partitionedSqlTable(): (String, TableRef) = {
-    val wh = Files.createTempDirectory("cas_part").toString
+    val wh = graft.GraftTmp.dir("cas_part").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplacePartitioned(ref,

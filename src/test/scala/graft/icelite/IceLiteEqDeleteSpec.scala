@@ -12,7 +12,7 @@ class IceLiteEqDeleteSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def mk(): TableRef = {
-    val wh = Files.createTempDirectory("eqdel_spec").toString
+    val wh = graft.GraftTmp.dir("eqdel_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref,
@@ -165,7 +165,7 @@ class IceLiteEqDeleteSpec extends AnyFunSuite {
   test("partitioned CDC: eq delete + upsert land in a day-partitioned table, zero rewrite") {
     // round 12: the single most common CDC landing shape — a
     // day-partitioned bronze table taking keyed upserts
-    val wh = Files.createTempDirectory("eqdel_part").toString
+    val wh = graft.GraftTmp.dir("eqdel_part").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "bronze")
     IceLite.createOrReplacePartitioned(ref,
@@ -214,7 +214,7 @@ class IceLiteEqDeleteSpec extends AnyFunSuite {
     // (matchStagedPath) or the sidecar silently stops applying under
     // escaped value dirs and deleted rows resurface — found round 12
     // by the partitioned d72 witness over real o_orderpriority values
-    val wh = Files.createTempDirectory("eqdel_esc").toString
+    val wh = graft.GraftTmp.dir("eqdel_esc").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "esc")
     IceLite.createOrReplacePartitioned(ref,

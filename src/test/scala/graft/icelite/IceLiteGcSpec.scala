@@ -11,7 +11,7 @@ class IceLiteGcSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def mk(): TableRef = {
-    val wh = Files.createTempDirectory("gc_spec").toString
+    val wh = graft.GraftTmp.dir("gc_spec").toString
     IceLite.createNamespace(wh, "src")
     TableRef(wh, "src", "t")
   }

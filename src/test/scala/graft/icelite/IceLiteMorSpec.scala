@@ -16,7 +16,7 @@ class IceLiteMorSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def mk(rows: Long = 400L, files: Int = 4): TableRef = {
-    val wh = Files.createTempDirectory("mor_spec").toString
+    val wh = graft.GraftTmp.dir("mor_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplaceSorted(ref,
@@ -230,7 +230,7 @@ class IceLiteMorSpec extends AnyFunSuite {
   test("partitioned MoR delete/update: zero rewrite, partition-col predicates, compact keeps the layout") {
     // round 12: identity-partitioned tables carry MoR sidecars too —
     // the day-partitioned bronze table is the CDC/GDPR landing shape
-    val wh = Files.createTempDirectory("mor_part").toString
+    val wh = graft.GraftTmp.dir("mor_part").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "p")
     IceLite.createOrReplacePartitioned(ref,

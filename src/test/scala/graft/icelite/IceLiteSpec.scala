@@ -10,7 +10,7 @@ class IceLiteSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def freshRef(): TableRef = {
-    val wh = Files.createTempDirectory("icelite_spec").toString
+    val wh = graft.GraftTmp.dir("icelite_spec").toString
     IceLite.createNamespace(wh, "src")
     TableRef(wh, "src", "t")
   }
@@ -197,7 +197,7 @@ class IceLiteSpec extends AnyFunSuite {
   }
 
   test("rollback reverts content as a new snapshot; the bad load stays travelable") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_rb").toString
+    val wh = graft.GraftTmp.dir("icelite_rb").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     val first = IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
@@ -217,7 +217,7 @@ class IceLiteSpec extends AnyFunSuite {
   }
 
   test("expireMetadata reclaims superseded manifest versions; history and CAS survive") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_meta").toString
+    val wh = graft.GraftTmp.dir("icelite_meta").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     val first = IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
@@ -243,7 +243,7 @@ class IceLiteSpec extends AnyFunSuite {
   }
 
   test("analyze commits NDV into a metadata-only snapshot over the same files") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_analyze").toString
+    val wh = graft.GraftTmp.dir("icelite_analyze").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, (1L to 100L).map(k => (k, k % 7)).toDF("k", "g"))
@@ -266,7 +266,7 @@ class IceLiteSpec extends AnyFunSuite {
   }
 
   test("branch staging chains on the branch head; the publish gate stays the original base") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_wap_chain").toString
+    val wh = graft.GraftTmp.dir("icelite_wap_chain").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
@@ -299,7 +299,7 @@ class IceLiteSpec extends AnyFunSuite {
   // ---- d65: cherry-pick (the non-fast-forward publish) ----
 
   test("cherrypick re-applies the branch delta onto an advanced main") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_cherry").toString
+    val wh = graft.GraftTmp.dir("icelite_cherry").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
@@ -323,7 +323,7 @@ class IceLiteSpec extends AnyFunSuite {
   }
 
   test("cherrypick on an unmoved main degenerates to fast-forward") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_cherry_ff").toString
+    val wh = graft.GraftTmp.dir("icelite_cherry_ff").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq(1).toDF("k"))
@@ -336,7 +336,7 @@ class IceLiteSpec extends AnyFunSuite {
   }
 
   test("cherrypick refuses when the staging base expired or layout changed") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_cherry_ref").toString
+    val wh = graft.GraftTmp.dir("icelite_cherry_ref").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq(1).toDF("k"))
@@ -353,7 +353,7 @@ class IceLiteSpec extends AnyFunSuite {
   }
 
   test("WAP branches: staged invisible on main, publish fast-forwards, drop abandons") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_wap").toString
+    val wh = graft.GraftTmp.dir("icelite_wap").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
@@ -396,7 +396,7 @@ class IceLiteSpec extends AnyFunSuite {
   test("concurrent branch staging: racing writers never lose a branch pointer") {
     // the bug class behind NOTES rule 21: a commit path that rebuilds
     // the manifest positionally erases other writers' branches
-    val wh = java.nio.file.Files.createTempDirectory("icelite_race").toString
+    val wh = graft.GraftTmp.dir("icelite_race").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq(0).toDF("k"))
@@ -416,7 +416,7 @@ class IceLiteSpec extends AnyFunSuite {
   }
 
   test("shallow clone: zero-copy, reads equal, clone append leaves source untouched") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_clone").toString
+    val wh = graft.GraftTmp.dir("icelite_clone").toString
     val src = TableRef(wh, "ns", "src")
     val dst = TableRef(wh, "ns", "dev")
     IceLite.createNamespace(wh, "ns")
@@ -435,7 +435,7 @@ class IceLiteSpec extends AnyFunSuite {
   }
 
   test("incremental scan reads only the appended delta; refuses non-append ranges") {
-    val wh = java.nio.file.Files.createTempDirectory("icelite_inc").toString
+    val wh = graft.GraftTmp.dir("icelite_inc").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     val cp = IceLite.createOrReplace(ref, Seq(1, 2).toDF("k"))
@@ -629,7 +629,7 @@ class IceLiteSpec extends AnyFunSuite {
 
   test("addFiles registers external parquet zero-copy; schema/layout gates refuse") {
     val ref = freshRef()
-    val ext = Files.createTempDirectory("addfiles_ext")
+    val ext = graft.GraftTmp.dir("addfiles_ext")
     Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
       .repartition(2).write.mode("overwrite").parquet(ext.toString)
     val sources = IceLite.listDir(Files.list(ext))(_
@@ -648,7 +648,7 @@ class IceLiteSpec extends AnyFunSuite {
     assert(snap.fileRows.values.sum == 3)
 
     // second registration appends (new snapshot, rows accumulate)
-    val ext2 = Files.createTempDirectory("addfiles_ext2")
+    val ext2 = graft.GraftTmp.dir("addfiles_ext2")
     Seq((4, "d")).toDF("k", "v").write.mode("overwrite").parquet(ext2.toString)
     val src2 = IceLite.listDir(Files.list(ext2))(_
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
@@ -656,7 +656,7 @@ class IceLiteSpec extends AnyFunSuite {
     assert(snap2.operation == "append" && snap2.rowCount == 4)
 
     // schema mismatch refuses (against the table)
-    val bad = Files.createTempDirectory("addfiles_bad")
+    val bad = graft.GraftTmp.dir("addfiles_bad")
     Seq((1, 2.0)).toDF("k", "other").write.mode("overwrite").parquet(bad.toString)
     val badSrc = IceLite.listDir(Files.list(bad))(_
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)

@@ -13,7 +13,7 @@ class IceLiteWidenSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def mk(): TableRef = {
-    val wh = java.nio.file.Files.createTempDirectory("widen_spec").toString
+    val wh = graft.GraftTmp.dir("widen_spec").toString
     IceLite.createNamespace(wh, "src")
     TableRef(wh, "src", "t")
   }

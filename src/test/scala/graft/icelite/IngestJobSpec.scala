@@ -17,9 +17,9 @@ class IngestJobSpec extends AnyFunSuite {
   /** Write rows [0, n) as parquet source files named f_<i>.parquet,
     * partitioned per `split` (sizes summing to file count). */
   private def makeSource(groups: Seq[Seq[Int]]): String = {
-    val src = Files.createTempDirectory("ingest_spec_src").toString
+    val src = graft.GraftTmp.dir("ingest_spec_src").toString
     groups.zipWithIndex.foreach { case (rows, i) =>
-      val staging = Files.createTempDirectory("ingest_spec_stage")
+      val staging = graft.GraftTmp.dir("ingest_spec_stage")
       rows.toDF("k").coalesce(1).write.mode("overwrite").parquet(staging.toString)
       import scala.jdk.CollectionConverters._
       val part = Files.list(staging).iterator().asScala
@@ -44,10 +44,10 @@ class IngestJobSpec extends AnyFunSuite {
       val groups = (0 until nFiles).map(i =>
         (i * rowsPerFile until (i + 1) * rowsPerFile).toSeq)
       val fullSrc = makeSource(groups)
-      val wh = Files.createTempDirectory("ingest_spec_wh").toString
+      val wh = graft.GraftTmp.dir("ingest_spec_wh").toString
 
       // visible source grows over time, like an object-store prefix
-      val visible = Files.createTempDirectory("ingest_spec_vis").toString
+      val visible = graft.GraftTmp.dir("ingest_spec_vis").toString
       val names = IngestJob.listSourceFiles(fullSrc)
       val cut = names.grouped(math.max(1, names.size / revealSteps)).toSeq
       cut.foreach { batch =>
@@ -86,7 +86,7 @@ class IngestJobSpec extends AnyFunSuite {
       val splits = Gen.someOf(1 until months.size)
         .pureApply(Gen.Parameters.default, Seed(7L + trial))
         .toSeq.sorted :+ months.size
-      val wh = Files.createTempDirectory("inc_model_wh").toString
+      val wh = graft.GraftTmp.dir("inc_model_wh").toString
       var from = 0
       splits.foreach { to =>
         val visible = months.take(to).toSet
@@ -120,7 +120,7 @@ class IngestJobSpec extends AnyFunSuite {
     val v2 = v1.copy(sql =
       """SELECT m AS month, CAST(SUM(v) AS BIGINT) AS total,
          CAST(COUNT(*) AS BIGINT) AS n FROM ev_src GROUP BY m""")
-    val wh = Files.createTempDirectory("ev_model_wh").toString
+    val wh = graft.GraftTmp.dir("ev_model_wh").toString
 
     Seq(("2024-01", 1), ("2024-01", 2), ("2024-02", 3)).toDF("m", "v")
       .createOrReplaceTempView("ev_src")
@@ -142,7 +142,7 @@ class IngestJobSpec extends AnyFunSuite {
 
   test("full load picks exactly the lexicographically-latest file") {
     val src = makeSource(Seq(Seq(1, 2), Seq(3, 4), Seq(5, 6)))
-    val wh = Files.createTempDirectory("ingest_spec_wh").toString
+    val wh = graft.GraftTmp.dir("ingest_spec_wh").toString
     val r = IngestJob.run(spark, wh, "t", src, "full", retentionMs = -1)
     assert(r.filesLoaded == Seq("f_002.parquet"))
     val got = IceLite.read(spark, IngestJob.tableRef(wh, "t"))
@@ -152,7 +152,7 @@ class IngestJobSpec extends AnyFunSuite {
 
   test("full load replaces previous content (refresh semantics)") {
     val src1 = makeSource(Seq(Seq(1)))
-    val wh = Files.createTempDirectory("ingest_spec_wh").toString
+    val wh = graft.GraftTmp.dir("ingest_spec_wh").toString
     IngestJob.run(spark, wh, "t", src1, "full", retentionMs = -1)
     val src2 = makeSource(Seq(Seq(7, 8)))
     IngestJob.run(spark, wh, "t", src2, "full", retentionMs = -1)
@@ -166,7 +166,7 @@ class IngestJobSpec extends AnyFunSuite {
     // source files, including steady-state no-new-data runs
     // (extract_load.py:154-171).
     val src = makeSource(Seq(Seq(1), Seq(2), Seq(3)))
-    val wh = Files.createTempDirectory("ingest_spec_wh").toString
+    val wh = graft.GraftTmp.dir("ingest_spec_wh").toString
     IngestJob.run(spark, wh, "t", src, "incremental", retentionMs = -1)
     val ref = IngestJob.tableRef(wh, "t")
     assert(IceLite.readManifest(ref).snapshots.size == 1)
@@ -180,7 +180,7 @@ class IngestJobSpec extends AnyFunSuite {
 
   test("post-load expiry (retention 0) keeps table content intact") {
     val src = makeSource(Seq(Seq(1), Seq(2), Seq(3)))
-    val wh = Files.createTempDirectory("ingest_spec_wh").toString
+    val wh = graft.GraftTmp.dir("ingest_spec_wh").toString
     IngestJob.run(spark, wh, "t", src, "incremental", retentionMs = 0)
     val got = IceLite.read(spark, IngestJob.tableRef(wh, "t"))
       .as[Int].collect().sorted.toSeq

@@ -15,7 +15,7 @@ class ManifestShardSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def freshRef(): TableRef = {
-    val wh = Files.createTempDirectory("shard_wh").toString
+    val wh = graft.GraftTmp.dir("shard_wh").toString
     IceLite.createNamespace(wh, "src")
     TableRef(wh, "src", s"t_${java.util.UUID.randomUUID.toString.take(8)}")
   }

@@ -109,7 +109,7 @@ class ObjectStoreFileIOSpec extends AnyFunSuite {
   }
 
   private def withStore[A](f: (ObjectStoreFileIO, String) => A): A = {
-    val wh = Files.createTempDirectory("objstore_wh").toString
+    val wh = graft.GraftTmp.dir("objstore_wh").toString
     IceLite.createNamespace(wh, "src")
     val store = new ObjectStoreFileIO(wh)
     val prev = IceLite.io
@@ -287,7 +287,7 @@ class ObjectStoreFileIOSpec extends AnyFunSuite {
       // linkOrCopy (hard link locally, server-side CopyObject on a
       // store — FileIO.scala's contract); its metadata commit goes
       // through the store like every other commit:
-      val src = Files.createTempDirectory("objstore_ext")
+      val src = graft.GraftTmp.dir("objstore_ext")
       Seq((10L, "x")).toDF("k", "s").coalesce(1).write
         .mode("overwrite").parquet(src.resolve("ext").toString)
       val parquet = IceLite.listDir(Files.list(src.resolve("ext")))(

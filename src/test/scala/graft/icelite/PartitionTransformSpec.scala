@@ -24,7 +24,7 @@ class PartitionTransformSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def freshRef(name: String): TableRef = {
-    val wh = Files.createTempDirectory("pt_spec").toString
+    val wh = graft.GraftTmp.dir("pt_spec").toString
     IceLite.createNamespace(wh, "src")
     TableRef(wh, "src", name)
   }
@@ -253,7 +253,7 @@ class PartitionTransformSpec extends AnyFunSuite {
   }
 
   test("SQL face: CREATE PARTITIONED BY months(ts), evolve with hours(ts)") {
-    val wh = Files.createTempDirectory("pt_sql_mh").toString
+    val wh = graft.GraftTmp.dir("pt_sql_mh").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     val cat = s"ptmh_${java.util.UUID.randomUUID.toString.take(6)}"
@@ -291,7 +291,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     // before round 10 the CONNECTOR scanned every bucket for
     // `WHERE user_id = k` while the engine-API read pruned — the scan
     // now maps pushed equality/IN through the transforms
-    val wh = Files.createTempDirectory("pt_sql_push").toString
+    val wh = graft.GraftTmp.dir("pt_sql_push").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     val cat = s"ptpush_${java.util.UUID.randomUUID.toString.take(6)}"
@@ -339,7 +339,7 @@ class PartitionTransformSpec extends AnyFunSuite {
   }
 
   test("SQL pushdown prunes time-transform dirs from range predicates") {
-    val wh = Files.createTempDirectory("pt_sql_rng").toString
+    val wh = graft.GraftTmp.dir("pt_sql_rng").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "q")
     val cat = s"ptrng_${java.util.UUID.randomUUID.toString.take(6)}"
@@ -368,7 +368,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     // the d45 physics on a HIDDEN layout: a fact⋈dim join on the
     // bucketed key collects the dim's key set at execution time and
     // skips whole buckets of the fact table
-    val wh = Files.createTempDirectory("pt_dpp").toString
+    val wh = graft.GraftTmp.dir("pt_dpp").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "fact")
     IceLite.createOrReplaceTransformed(ref,
@@ -377,7 +377,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     val all = IceLite.readManifest(ref).current.files.size
     // scan-backed dim (a LocalRelation constant-folds and leaves DPP
     // nothing to reuse — the d45 lesson)
-    val dimDir = Files.createTempDirectory("pt_dpp_dim").toString
+    val dimDir = graft.GraftTmp.dir("pt_dpp_dim").toString
     spark.range(0, 40).selectExpr("id AS dkey",
       "CASE WHEN id = 7 THEN 'keep' ELSE 'drop' END AS grp")
       .write.mode("overwrite").parquet(dimDir)
@@ -399,7 +399,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     // fact partitioned days(ts), dim filtered to one day — the DPP
     // subquery's TIMESTAMP values (epoch micros on the wire) must map
     // through the session-zone day dirs and skip every other day
-    val wh = Files.createTempDirectory("pt_tdpp").toString
+    val wh = graft.GraftTmp.dir("pt_tdpp").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "fact")
     val factDf = (1L to 4000L).map { i =>
@@ -409,7 +409,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     IceLite.createOrReplaceTransformed(ref, factDf,
       Seq(PartitionField("ts_day", "days", "ts", 0)))
     val all = IceLite.readManifest(ref).current.files.size
-    val dimDir = Files.createTempDirectory("pt_tdpp_dim").toString
+    val dimDir = graft.GraftTmp.dir("pt_tdpp_dim").toString
     factDf.select($"ts".as("dts")).distinct()
       .withColumn("grp", when(date_format($"dts", "yyyy-MM-dd") ===
         "2024-01-03", lit("keep")).otherwise(lit("drop")))
@@ -433,7 +433,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     IceLite.createOrReplaceTransformed(rd, dDf,
       Seq(PartitionField("d_month", "months", "d", 0)))
     val dAll = IceLite.readManifest(rd).current.files.size
-    val dDimDir = Files.createTempDirectory("pt_tdpp_ddim").toString
+    val dDimDir = graft.GraftTmp.dir("pt_tdpp_ddim").toString
     dDf.select($"d".as("dd")).distinct()
       .withColumn("grp", when(month($"dd") === 4, lit("keep"))
         .otherwise(lit("drop")))
@@ -461,7 +461,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", zone)
     try {
-      val wh = Files.createTempDirectory("pt_zone").toString
+      val wh = graft.GraftTmp.dir("pt_zone").toString
       IceLite.createNamespace(wh, "src")
       val ref = TableRef(wh, "src", "z")
       val cat = s"ptzone_${java.util.UUID.randomUUID.toString.take(6)}"
@@ -511,7 +511,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", zone)
     try {
-      val wh = Files.createTempDirectory("pt_trunc_zone").toString
+      val wh = graft.GraftTmp.dir("pt_trunc_zone").toString
       IceLite.createNamespace(wh, "src")
       val ref = TableRef(wh, "src", "tz")
       val df = (1L to 160L).map { i =>
@@ -536,7 +536,7 @@ class PartitionTransformSpec extends AnyFunSuite {
   }
 
   test("bucket-transform SPJ: co-bucketed tables join with zero exchanges (d90)") {
-    val wh = Files.createTempDirectory("pt_spj").toString
+    val wh = graft.GraftTmp.dir("pt_spj").toString
     IceLite.createNamespace(wh, "src")
     val aRef = TableRef(wh, "src", "fa")
     val bRef = TableRef(wh, "src", "fb")
@@ -595,7 +595,7 @@ class PartitionTransformSpec extends AnyFunSuite {
   }
 
   test("hidden layouts census through SHOW PARTITIONS and $partitions (derived dirs)") {
-    val wh = Files.createTempDirectory("pt_census").toString
+    val wh = graft.GraftTmp.dir("pt_census").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "ev")
     val df = (1L to 200L).map { i =>
@@ -634,12 +634,12 @@ class PartitionTransformSpec extends AnyFunSuite {
     // so the function must equal the write layout's hash EXACTLY or
     // co-located rows miss each other (silent wrong join). The value
     // check below is the end-to-end proof of that equality.
-    val wh = Files.createTempDirectory("pt_spj1").toString
+    val wh = graft.GraftTmp.dir("pt_spj1").toString
     IceLite.createNamespace(wh, "src")
     IceLite.createOrReplaceTransformed(TableRef(wh, "src", "big"),
       (0L until 3000L).map(k => (k, k * 2.0)).toDF("k", "va"),
       Seq(PartitionField("k_bucket", "bucket", "k", 8)))
-    val plainDir = Files.createTempDirectory("pt_spj1_plain").toString
+    val plainDir = graft.GraftTmp.dir("pt_spj1_plain").toString
     (0L until 3000L by 3).map(k => (k, k + 1.0)).toDF("pk", "vb")
       .write.mode("overwrite").parquet(plainDir)
     val cat = s"ptspj1_${java.util.UUID.randomUUID.toString.take(6)}"
@@ -681,7 +681,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     // dirs (session-zone-anchored for hours), and the MIXED layout
     // d84 actually writes — (bucket(user), days(ts)) — co-schedules
     // when the join carries both sources
-    val wh = Files.createTempDirectory("pt_tspj").toString
+    val wh = graft.GraftTmp.dir("pt_tspj").toString
     IceLite.createNamespace(wh, "src")
     def evs(seed: Long) = (0L until 2000L).map { i =>
       (i % 16, f"2024-03-${i % 4 + 1}%02d 0${(i + seed) % 8}:30:00", i + seed)
@@ -751,7 +751,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     // bucket, served by GraftFunctions.truncate (the write layout's
     // substring). String keys only: the layout prefixes a string
     // CAST for other types, which has no exact typed function twin.
-    val wh = Files.createTempDirectory("pt_trspj").toString
+    val wh = graft.GraftTmp.dir("pt_trspj").toString
     IceLite.createNamespace(wh, "src")
     val keys = (0L until 3000L).map(i => f"g${i % 25}%03d-item$i")
     IceLite.createOrReplaceTransformed(TableRef(wh, "src", "ta"),
@@ -802,7 +802,7 @@ class PartitionTransformSpec extends AnyFunSuite {
       // one-side shuffle INTO the prefix layout executes
       // GraftFunctions.TruncateBound per row — the value check is
       // the end-to-end proof it equals the write-side substring
-      val plainDir = Files.createTempDirectory("pt_trspj_plain").toString
+      val plainDir = graft.GraftTmp.dir("pt_trspj_plain").toString
       keys.zipWithIndex.collect { case (k, i) if i % 5 == 0 => (k, i - 1.0) }
         .toDF("ps", "pv").write.mode("overwrite").parquet(plainDir)
       spark.read.parquet(plainDir).createOrReplaceTempView("pt_trspj_dim")
@@ -843,7 +843,7 @@ class PartitionTransformSpec extends AnyFunSuite {
       // one-side shuffle INTO the long prefix layout executes the
       // TYPED twin per row — value-exactness is the end-to-end proof
       // it equals the write-side substring(cast) (verdict r13 #4)
-      val plainDirN = Files.createTempDirectory("pt_trspj_plainN").toString
+      val plainDirN = graft.GraftTmp.dir("pt_trspj_plainN").toString
       (0L until 400L by 5).map(k => (k, k - 1.0)).toDF("pk", "pv")
         .write.mode("overwrite").parquet(plainDirN)
       spark.read.parquet(plainDirN).createOrReplaceTempView("pt_trspj_dimn")

@@ -12,7 +12,7 @@ class PartitionedTableSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def mk(): (String, TableRef) = {
-    val wh = Files.createTempDirectory("part_spec").toString
+    val wh = graft.GraftTmp.dir("part_spec").toString
     IceLite.createNamespace(wh, "src")
     (wh, TableRef(wh, "src", "t"))
   }
@@ -130,17 +130,17 @@ class PartitionedTableSpec extends AnyFunSuite {
     val spark2 = spark
     import java.nio.file.Paths
     // two source files with mixed flags
-    val src = Files.createTempDirectory("part_ingest_src").toString
+    val src = graft.GraftTmp.dir("part_ingest_src").toString
     Seq(Seq((1, "A"), (2, "B")), Seq((3, "A"), (4, "C"))).zipWithIndex.foreach {
       case (rows, i) =>
-        val staging = Files.createTempDirectory("part_ingest_stage")
+        val staging = graft.GraftTmp.dir("part_ingest_stage")
         rows.toDF("k", "flag").coalesce(1).write.mode("overwrite").parquet(staging.toString)
         import scala.jdk.CollectionConverters._
         val part = Files.list(staging).iterator().asScala
           .find(_.toString.endsWith(".parquet")).get
         Files.move(part, Paths.get(src, f"f_$i%03d.parquet"))
     }
-    val wh = Files.createTempDirectory("part_ingest_wh").toString
+    val wh = graft.GraftTmp.dir("part_ingest_wh").toString
     IngestJob.run(spark2, wh, "t", src, "incremental", retentionMs = -1,
       partitionCol = Some("flag"))
     val ref = IngestJob.tableRef(wh, "t")
@@ -260,7 +260,7 @@ class PartitionedTableSpec extends AnyFunSuite {
   }
 
   test("compactRange on a partitioned table merges only hot dirs") {
-    val wh = java.nio.file.Files.createTempDirectory("pcr_wh").toString
+    val wh = graft.GraftTmp.dir("pcr_wh").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     val df = (1L to 90L).map(k => (k, (k % 3).toString)).toDF("k", "p")
@@ -281,7 +281,7 @@ class PartitionedTableSpec extends AnyFunSuite {
   }
 
   test("compactRange with a STATS column merges within dirs; non-numeric partition values are left alone") {
-    val wh = java.nio.file.Files.createTempDirectory("pcr2_wh").toString
+    val wh = graft.GraftTmp.dir("pcr2_wh").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     val df = (1L to 60L).map(k => (k, if (k % 2 == 0) "even" else "odd")).toDF("k", "p")

@@ -16,7 +16,7 @@ class RenameSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def freshWh(): String = {
-    val wh = Files.createTempDirectory("rename_spec").toString
+    val wh = graft.GraftTmp.dir("rename_spec").toString
     IceLite.createNamespace(wh, "src")
     wh
   }

@@ -13,7 +13,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("append with an added column evolves the schema; old rows read null") {
-    val wh = Files.createTempDirectory("evo_spec").toString
+    val wh = graft.GraftTmp.dir("evo_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, Seq((1, "a")).toDF("k", "v"))
@@ -30,7 +30,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     // Reads use mergeSchema=true, so after a schema-evolving append a
     // merge keyed on the original columns must not throw and must
     // null-fill the missing column on the update rows.
-    val wh = Files.createTempDirectory("evo_spec3").toString
+    val wh = graft.GraftTmp.dir("evo_spec3").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, Seq((1, "a")).toDF("k", "v"))
@@ -43,7 +43,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   }
 
   test("merge threads statsCols into the committed snapshot") {
-    val wh = Files.createTempDirectory("evo_spec4").toString
+    val wh = graft.GraftTmp.dir("evo_spec4").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplace(ref, Seq((1, 10.0), (2, 20.0)).toDF("k", "x"),
@@ -57,7 +57,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   }
 
   test("time travel before the evolution sees the original schema") {
-    val wh = Files.createTempDirectory("evo_spec2").toString
+    val wh = graft.GraftTmp.dir("evo_spec2").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     val s1 = IceLite.createOrReplace(ref, Seq((1, "a")).toDF("k", "v"))

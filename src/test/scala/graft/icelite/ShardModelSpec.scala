@@ -43,7 +43,7 @@ class ShardModelSpec extends AnyFunSuite {
 
   private def run(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    val wh = Files.createTempDirectory(s"shard_model_$seed").toString
+    val wh = graft.GraftTmp.dir(s"shard_model_$seed").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     var model = Map.empty[Long, String]

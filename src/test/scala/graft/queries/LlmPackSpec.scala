@@ -46,7 +46,7 @@ class LlmPackSpec extends AnyFunSuite {
     val df = (base :+ nearA :+ nearB).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("llm_spec").toString
+    val tmp = graft.GraftTmp.dir("llm_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
 
     val pairs = LlmPack.minhashPairs(spark, tmp)
@@ -84,8 +84,8 @@ class LlmPackSpec extends AnyFunSuite {
   }
 
   test("c32 shards are reproducible: stable membership, deterministic within-shard order") {
-    val dirA = java.nio.file.Files.createTempDirectory("c32_a").toString
-    val dirB = java.nio.file.Files.createTempDirectory("c32_b").toString
+    val dirA = graft.GraftTmp.dir("c32_a").toString
+    val dirB = graft.GraftTmp.dir("c32_b").toString
     LlmPack.shardedExport(spark, sfDir, dirA, 16).collect()
     LlmPack.shardedExport(spark, sfDir, dirB, 16).collect()
     // within-shard physical row order == the declared (ord, doc_id)
@@ -214,7 +214,7 @@ class LlmPackSpec extends AnyFunSuite {
     val dup = e.filter($"vec_id" === 7)
       .select((lit(100000L)).as("vec_id"), $"embedding", $"label")
     val planted = e.select($"vec_id", $"embedding", $"label").unionByName(dup)
-    val tmp = java.nio.file.Files.createTempDirectory("simhash_spec").toString
+    val tmp = graft.GraftTmp.dir("simhash_spec").toString
     planted.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
 
     val pairs = LlmPack.queries("c11_dedup_simhash")(spark, tmp)
@@ -235,7 +235,7 @@ class LlmPackSpec extends AnyFunSuite {
     val df = texts.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("jac_spec").toString
+    val tmp = graft.GraftTmp.dir("jac_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
 
     val res = LlmPack.queries("c12_dedup_ngram_jaccard")(spark, tmp)
@@ -266,7 +266,7 @@ class LlmPackSpec extends AnyFunSuite {
     val df = (hotDocs ++ nearDup).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("hotgram_spec").toString
+    val tmp = graft.GraftTmp.dir("hotgram_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val docsDf = graft.Tables.load(spark, tmp, "documents")
 
@@ -300,7 +300,7 @@ class LlmPackSpec extends AnyFunSuite {
     val dup = e.filter($"vec_id" === 3)
       .select(lit(200000L).as("vec_id"), $"embedding", $"label")
     val planted = e.select($"vec_id", $"embedding", $"label").unionByName(dup)
-    val tmp = java.nio.file.Files.createTempDirectory("embdup_spec").toString
+    val tmp = graft.GraftTmp.dir("embdup_spec").toString
     planted.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
 
     val pairs = LlmPack.queries("c13_dedup_embed_cosine")(spark, tmp)
@@ -323,7 +323,7 @@ class LlmPackSpec extends AnyFunSuite {
     // scale → identical codes → quantized cosine exactly 1.0
     val dup = e.filter($"vec_id" === 0)
       .select(lit(300000L).as("vec_id"), $"embedding", $"label")
-    val tmp = java.nio.file.Files.createTempDirectory("quant_spec").toString
+    val tmp = graft.GraftTmp.dir("quant_spec").toString
     e.select($"vec_id", $"embedding", $"label").unionByName(dup)
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
 
@@ -370,7 +370,7 @@ class LlmPackSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("decon_spec").toString
+    val tmp = graft.GraftTmp.dir("decon_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = LlmPack.queries("c19_decontaminate")(spark, tmp)
       .as[(Long, Long)].collect().toMap
@@ -454,7 +454,7 @@ class LlmPackSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("c21_spec").toString
+    val tmp = graft.GraftTmp.dir("c21_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val kept = LlmPack.queries("c21_dedup_incremental")(spark, tmp)
       .select($"doc_id").as[Long].collect().toSet
@@ -484,7 +484,7 @@ class LlmPackSpec extends AnyFunSuite {
     // append-stability: running over a PREFIX of the corpus yields a
     // census that is exactly the fold over that prefix — membership
     // of existing docs never shifts when later docs arrive
-    val tmp = java.nio.file.Files.createTempDirectory("c22_spec").toString
+    val tmp = graft.GraftTmp.dir("c22_spec").toString
     graft.Tables.load(spark, sfDir, "documents").filter($"doc_id" < 100)
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val prefixCensus = LlmPack.queries("c22_stratified_sample")(spark, tmp)

@@ -80,7 +80,7 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("mediadup_spec").toString
+    val tmp = graft.GraftTmp.dir("mediadup_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = MultimodalPack.queries("m05_media_dedup")(spark, tmp)
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)

@@ -61,7 +61,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the read-side fold must be a BROADCAST anti-join (build side =
     // the key batch), never a shuffle of the corpus or a cartesian
     val ref = {
-      val wh = java.nio.file.Files.createTempDirectory("pa_eq").toString
+      val wh = graft.GraftTmp.dir("pa_eq").toString
       graft.icelite.IceLite.createNamespace(wh, "src")
       val r = graft.icelite.TableRef(wh, "src", "t")
       import spark.implicits._

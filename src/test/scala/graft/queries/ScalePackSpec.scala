@@ -48,7 +48,7 @@ class ScalePackSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     import graft.icelite.{BloomIndex, IceLite, IngestJob}
-    val wh = java.nio.file.Files.createTempDirectory("bloom_wh").toString
+    val wh = graft.GraftTmp.dir("bloom_wh").toString
     val ref = IngestJob.tableRef(wh, "kv")
     IceLite.createNamespace(wh, "src")
     // 4 files of disjoint key ranges via hash-scatter on k
@@ -86,7 +86,7 @@ class ScalePackSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     import graft.icelite.{BloomIndex, IceLite, IngestJob}
-    val wh = java.nio.file.Files.createTempDirectory("bloom_cmp_wh").toString
+    val wh = graft.GraftTmp.dir("bloom_cmp_wh").toString
     val ref = IngestJob.tableRef(wh, "kv")
     IceLite.createNamespace(wh, "src")
     IceLite.createOrReplace(ref,
@@ -123,7 +123,7 @@ class ScalePackSpec extends AnyFunSuite {
     // 64×64 grid z-ordered into 16 files: each file is a 2-D tile, so
     // a box predicate prunes on both axes; with a single-column sort
     // the y predicate alone could prune (almost) nothing
-    val wh = java.nio.file.Files.createTempDirectory("zspec_wh").toString
+    val wh = graft.GraftTmp.dir("zspec_wh").toString
     val ref = IngestJob.tableRef(wh, "grid_z")
     IceLite.createNamespace(wh, "src")
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
@@ -146,7 +146,7 @@ class ScalePackSpec extends AnyFunSuite {
   test("d55 compactRange merges only in-range files; statless files join conservatively") {
     import spark.implicits._
     import graft.icelite.{IceLite, TableRef}
-    val wh = java.nio.file.Files.createTempDirectory("d55_spec").toString
+    val wh = graft.GraftTmp.dir("d55_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     // three stat-carrying files with disjoint key ranges...
@@ -189,7 +189,7 @@ class ScalePackSpec extends AnyFunSuite {
   test("d55 compactRange: partitioned single-file dirs no-op; MoR-live refuses") {
     import spark.implicits._
     import graft.icelite.{IceLite, TableRef}
-    val wh = java.nio.file.Files.createTempDirectory("d55_refuse").toString
+    val wh = graft.GraftTmp.dir("d55_refuse").toString
     IceLite.createNamespace(wh, "src")
     // partitioned tables now compact per dir (round 7) — with one file
     // per dir there is nothing to merge, so the call is a no-op commit
@@ -211,7 +211,7 @@ class ScalePackSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     import graft.icelite.{IceLite, IngestJob}
-    val wh = java.nio.file.Files.createTempDirectory("d28_spec").toString
+    val wh = graft.GraftTmp.dir("d28_spec").toString
     val ref = IngestJob.tableRef(wh, "evolve_z")
     IceLite.createNamespace(wh, "src")
     // era 1: 256 scattered rows across 4 hash files (full-range stats)
@@ -259,7 +259,7 @@ class ScalePackSpec extends AnyFunSuite {
   test("d59 rewriteZOrder: restores 2-dim pruning, preserves rows, keeps history") {
     import spark.implicits._
     import graft.icelite.{IceLite, TableRef}
-    val wh = java.nio.file.Files.createTempDirectory("d59_spec").toString
+    val wh = graft.GraftTmp.dir("d59_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "grid")
     // a 32×32 grid hash-scattered over 8 files: every file spans the
@@ -292,7 +292,7 @@ class ScalePackSpec extends AnyFunSuite {
   test("d59 rewriteZOrder refuses sorted, partitioned, and MoR-live tables") {
     import spark.implicits._
     import graft.icelite.{IceLite, TableRef}
-    val wh = java.nio.file.Files.createTempDirectory("d59_refuse").toString
+    val wh = graft.GraftTmp.dir("d59_refuse").toString
     IceLite.createNamespace(wh, "src")
     val df = (0L until 100L).map(k => (k, k % 10)).toDF("k", "g")
 

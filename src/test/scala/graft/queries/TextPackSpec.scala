@@ -49,7 +49,7 @@ class TextPackSpec extends AnyFunSuite {
     val df = texts.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("pii_spec").toString
+    val tmp = graft.GraftTmp.dir("pii_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
 
     val got = TextPack.queries("t05_pii_redact")(spark, tmp)
@@ -76,7 +76,7 @@ class TextPackSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("lm_spec").toString
+    val tmp = graft.GraftTmp.dir("lm_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
 
     val got = TextPack.queries("t07_bigram_lm_score")(spark, tmp)
@@ -95,7 +95,7 @@ class TextPackSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("entropy_spec").toString
+    val tmp = graft.GraftTmp.dir("entropy_spec").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = TextPack.queries("t08_char_entropy")(spark, tmp)
       .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)

@@ -27,7 +27,7 @@ class EvolutionModelSpec extends AnyFunSuite {
 
   private def run(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    val wh = Files.createTempDirectory(s"evo_model_$seed").toString
+    val wh = graft.GraftTmp.dir(s"evo_model_$seed").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     val cat = s"evocat_${seed}_${java.util.UUID.randomUUID.toString.take(6)}"

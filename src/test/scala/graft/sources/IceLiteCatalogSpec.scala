@@ -15,7 +15,7 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     * catalog instances per session by name, so reusing one name with
     * a different warehouse would silently read the first one. */
   private def freshCatalog(): (String, String) = {
-    val wh = java.nio.file.Files.createTempDirectory("cat_wh").toString
+    val wh = graft.GraftTmp.dir("cat_wh").toString
     val name = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
     spark.conf.set(s"spark.sql.catalog.$name",
       classOf[IceLiteCatalog].getName)
@@ -673,8 +673,8 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     val ref = TableRef(wh, "src", "feed")
     IceLite.createOrReplace(ref, (1L to 10L).map(k => (k, k * 2.0)).toDF("k", "v"))
     IceLite.append(ref, Seq((11L, 22.0)).toDF("k", "v"))
-    val out = java.nio.file.Files.createTempDirectory("cat_stream_out").toString
-    val ck = java.nio.file.Files.createTempDirectory("cat_stream_ck").toString
+    val out = graft.GraftTmp.dir("cat_stream_out").toString
+    val ck = graft.GraftTmp.dir("cat_stream_ck").toString
     val q = spark.readStream.table(s"$cat.src.feed")
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ck)

@@ -13,7 +13,7 @@ class IceLitePartitionedWriteSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def mk(): (String, TableRef) = {
-    val wh = java.nio.file.Files.createTempDirectory("pw_spec").toString
+    val wh = graft.GraftTmp.dir("pw_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplacePartitioned(ref,

@@ -13,7 +13,7 @@ class IceLiteReplaceTableSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def freshCatalog(): (String, String) = {
-    val wh = java.nio.file.Files.createTempDirectory("rt_wh").toString
+    val wh = graft.GraftTmp.dir("rt_wh").toString
     val name = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
     spark.conf.set(s"spark.sql.catalog.$name", classOf[IceLiteCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)

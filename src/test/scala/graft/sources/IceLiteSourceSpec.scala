@@ -12,7 +12,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   private val Fmt = "graft.sources.IceLiteSource"
 
   test("round-trips longs, doubles, strings and nulls through the connector") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_wh").toString
+    val wh = graft.GraftTmp.dir("v2src_wh").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq(
@@ -24,7 +24,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("filter pushdown prunes files at the connector; residual keeps rows exact") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_pr").toString
+    val wh = graft.GraftTmp.dir("v2src_pr").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     // 8 sorted files with tight ranges over k — a range filter must
@@ -43,7 +43,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("column pruning reaches the parquet read schema (projection works)") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_cp").toString
+    val wh = graft.GraftTmp.dir("v2src_cp").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq((1L, 10.0, "x"), (2L, 20.0, "y"))
@@ -54,7 +54,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("connector read equals IceLite.read on a fixture-backed table") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_fx").toString
+    val wh = graft.GraftTmp.dir("v2src_fx").toString
     val ref = TableRef(wh, "ns", "orders")
     IceLite.createNamespace(wh, "ns")
     val o = graft.Tables.load(spark, TestSpark.sfDir, "orders")
@@ -70,7 +70,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   // ---- write side (d26) ----
 
   test("connector append commits one snapshot; rows and nulls round-trip") {
-    val wh = java.nio.file.Files.createTempDirectory("v2snk_ap").toString
+    val wh = graft.GraftTmp.dir("v2snk_ap").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq((1L, Some(1.5), Some("a")))
@@ -88,7 +88,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("connector overwrite truncates: replace snapshot, only new rows remain") {
-    val wh = java.nio.file.Files.createTempDirectory("v2snk_ow").toString
+    val wh = graft.GraftTmp.dir("v2snk_ow").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, (0L until 100L).map(k => (k, "old")).toDF("k", "s"))
@@ -103,7 +103,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("footer-derived stats make connector-written files prunable on read") {
-    val wh = java.nio.file.Files.createTempDirectory("v2snk_st").toString
+    val wh = graft.GraftTmp.dir("v2snk_st").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq((-1L, 0L)).toDF("k", "v"))
@@ -123,7 +123,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("empty input partitions stage no files") {
-    val wh = java.nio.file.Files.createTempDirectory("v2snk_mt").toString
+    val wh = graft.GraftTmp.dir("v2snk_mt").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
@@ -138,7 +138,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("connector reads run the vectorized columnar kernel (ColumnarToRow planned)") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_vc").toString
+    val wh = graft.GraftTmp.dir("v2src_vc").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref,
@@ -158,7 +158,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("many small files coalesce into few input partitions; values unchanged") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_co").toString
+    val wh = graft.GraftTmp.dir("v2src_co").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     // 20 tiny files — the pre-compaction / fresh-streaming-append shape
@@ -183,7 +183,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("coalesced splits compose with filter pushdown (prune first, then pack)") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_cp2").toString
+    val wh = graft.GraftTmp.dir("v2src_cp2").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplaceSorted(ref,
@@ -202,7 +202,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   // ---- d54: write-side distribution/ordering ----
 
   test("INSERT INTO a sorted table range-clusters new files and keeps sortedBy") {
-    val wh = java.nio.file.Files.createTempDirectory("v2w_sorted").toString
+    val wh = graft.GraftTmp.dir("v2w_sorted").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplaceSorted(ref,
@@ -236,7 +236,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("connector append into a partitioned table routes to value dirs (d67)") {
-    val wh = java.nio.file.Files.createTempDirectory("v2w_part").toString
+    val wh = graft.GraftTmp.dir("v2w_part").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplacePartitioned(ref,
@@ -256,7 +256,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   // ---- d53: reported statistics ----
 
   test("scan reports exact post-pruning statistics to the planner") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_stats").toString
+    val wh = graft.GraftTmp.dir("v2src_stats").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplaceSorted(ref,
@@ -283,7 +283,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("a small connector dim auto-broadcasts with no hint (stats-driven)") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_bhj").toString
+    val wh = graft.GraftTmp.dir("v2src_bhj").toString
     IceLite.createNamespace(wh, "ns")
     val fact = TableRef(wh, "ns", "fact")
     val dim = TableRef(wh, "ns", "dim")
@@ -303,7 +303,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
 
   test("stats report exact LOGICAL rows while MoR sidecars are live; " +
     "pruned MoR scans still omit") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_morstats").toString
+    val wh = graft.GraftTmp.dir("v2src_morstats").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, (0L until 100L).map(k => (k, k)).toDF("k", "v"),
@@ -336,7 +336,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("aggregate pushdown answers count/min/max from the manifest alone") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_ag").toString
+    val wh = graft.GraftTmp.dir("v2src_ag").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref,
@@ -352,7 +352,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("count(*) alone pushes even without declared column stats") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_ac").toString
+    val wh = graft.GraftTmp.dir("v2src_ac").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, (1L to 77L).map(k => (k, s"s$k")).toDF("k", "s"))
@@ -364,7 +364,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("connector reads a PARTITIONED table: path-borne columns, pruning, columnar") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_pt").toString
+    val wh = graft.GraftTmp.dir("v2src_pt").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplacePartitioned(ref,
@@ -396,7 +396,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("dynamic partition pruning through the connector: dim filter prunes fact dirs at runtime") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_dpp").toString
+    val wh = graft.GraftTmp.dir("v2src_dpp").toString
     val ref = TableRef(wh, "ns", "fact")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplacePartitioned(ref,
@@ -408,7 +408,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
     // transitive filter exists; only runtime pruning can skip dirs.
     // The dim must be scan-backed (a LocalRelation constant-folds its
     // filter away and DPP sees no selective predicate to reuse).
-    val dimDir = java.nio.file.Files.createTempDirectory("v2src_dpp_dim").toString
+    val dimDir = graft.GraftTmp.dir("v2src_dpp_dim").toString
     Seq(("a", "drop"), ("b", "keep"), ("c", "drop"))
       .toDF("flag", "grp").write.mode("overwrite").parquet(dimDir)
     val dim = spark.read.parquet(dimDir)
@@ -427,7 +427,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("storage-partitioned join: co-partitioned tables join with no shuffle") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_spj").toString
+    val wh = graft.GraftTmp.dir("v2src_spj").toString
     IceLite.createNamespace(wh, "ns")
     val fact = TableRef(wh, "ns", "fact")
     val dim = TableRef(wh, "ns", "dim")
@@ -463,7 +463,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("GROUP BY the partition column answers from the manifest alone") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_gp").toString
+    val wh = graft.GraftTmp.dir("v2src_gp").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplacePartitioned(ref,
@@ -489,7 +489,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("GROUPED aggregate pushdown answers GROUP BY a file-constant column from the manifest") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_ga").toString
+    val wh = graft.GraftTmp.dir("v2src_ga").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     // one value-pure file per group — the layout a partitioned or
@@ -521,7 +521,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
   }
 
   test("aggregate pushdown declines on stats gaps, filters, group-by and long columns") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_ad").toString
+    val wh = graft.GraftTmp.dir("v2src_ad").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     // no statsCols → min/max must fall back to a real scan, exactly
@@ -553,7 +553,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
 
   test("partition-filtered aggregate pushdown: the census filters before " +
     "the fold; nulls, empty selections and data filters stay honest") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_pf").toString
+    val wh = graft.GraftTmp.dir("v2src_pf").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     // two partition columns incl. a NULL shard value (lands in the
@@ -625,7 +625,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
 
   test("null partition rows round-trip as SQL NULLs on row paths; " +
     "grouped fold declines on a sentinel dir (ADVICE r13)") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_nullp").toString
+    val wh = graft.GraftTmp.dir("v2src_nullp").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     val df = (1L to 60L).map { k =>
@@ -670,7 +670,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
     // equality on 'a+b' would have silently dropped the whole file
     // (pre-r13 the residual filter hid the mis-decode as a failed
     // prune; with the claim there is no residual — r13 fix)
-    val wh = java.nio.file.Files.createTempDirectory("v2src_esc").toString
+    val wh = graft.GraftTmp.dir("v2src_esc").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     val shards = Seq("a+b", "a b", "100%", "plain")
@@ -693,7 +693,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
 
   test("a pushed partition filter prunes the STREAMING file delta too " +
     "(the claimed-exact filter has no residual — r13)") {
-    val wh = java.nio.file.Files.createTempDirectory("v2src_sf").toString
+    val wh = graft.GraftTmp.dir("v2src_sf").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     def slice(lo: Long, hi: Long) = (lo until hi).map { k =>
@@ -705,7 +705,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
       .filter($"shard" === "a")
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("v2src_sf_ckpt").toString)
+        graft.GraftTmp.dir("v2src_sf_ckpt").toString)
       .start()
     try {
       q.processAllAvailable()
@@ -724,7 +724,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
     // Spark's planner throws "Cannot mix row-based and columnar input
     // partitions" the moment the open-cost packer makes >1 bin. The
     // factory now decides columnar at SCAN level.
-    val dir = java.nio.file.Files.createTempDirectory("src_mixmor").toString
+    val dir = graft.GraftTmp.dir("src_mixmor").toString
     IceLite.createNamespace(dir, "src")
     val ref = TableRef(dir, "src", "t")
     IceLite.createOrReplace(ref, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
@@ -756,7 +756,7 @@ class IceLiteSourceSpec extends AnyFunSuite {
     // tables surface every column nullable, exactly like
     // spark.read.parquet's asNullable rule.
     import org.apache.spark.sql.functions.lit
-    val dir = java.nio.file.Files.createTempDirectory("src_nullable").toString
+    val dir = graft.GraftTmp.dir("src_nullable").toString
     IceLite.createNamespace(dir, "src")
     val ref = TableRef(dir, "src", "t")
     // head file: tuple-derived, parquet-REQUIRED c

@@ -25,7 +25,7 @@ class IceLiteStreamSinkSpec extends AnyFunSuite {
   }
 
   test("a replayed epoch commits once; its restage is dropped, not appended") {
-    val wh = Files.createTempDirectory("v2snk_rp").toString
+    val wh = graft.GraftTmp.dir("v2snk_rp").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref, Seq((0L, 0.0)).toDF("k", "v"))
@@ -63,7 +63,7 @@ class IceLiteStreamSinkSpec extends AnyFunSuite {
   }
 
   test("partitioned streaming sink: value dirs, epoch markers, replay-once (s21)") {
-    val wh = Files.createTempDirectory("v2snk_part").toString
+    val wh = graft.GraftTmp.dir("v2snk_part").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplacePartitioned(ref,
@@ -100,15 +100,15 @@ class IceLiteStreamSinkSpec extends AnyFunSuite {
   }
 
   test("restart from checkpoint: new files commit, old epochs stay single") {
-    val wh = Files.createTempDirectory("v2snk_rs").toString
+    val wh = graft.GraftTmp.dir("v2snk_rs").toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     IceLite.createOrReplace(ref,
       Seq((-1L, -1.0)).toDF("k", "v"))  // schema seed, filtered below
-    val src = Files.createTempDirectory("v2snk_src").toString
-    val ckpt = Files.createTempDirectory("v2snk_ck").toString
+    val src = graft.GraftTmp.dir("v2snk_src").toString
+    val ckpt = graft.GraftTmp.dir("v2snk_ck").toString
     def addFile(name: String, rows: Seq[(Long, Double)], mtime: Long): Unit = {
-      val staging = Files.createTempDirectory("v2snk_stage")
+      val staging = graft.GraftTmp.dir("v2snk_stage")
       rows.toDF("k", "v").coalesce(1).write.mode("overwrite")
         .parquet(staging.toString)
       val part = IceLite.listDir(Files.list(staging))(_

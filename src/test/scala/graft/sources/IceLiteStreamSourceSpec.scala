@@ -17,14 +17,14 @@ class IceLiteStreamSourceSpec extends AnyFunSuite {
   private val Fmt = "graft.sources.IceLiteSource"
 
   private def freshTable(prefix: String): TableRef = {
-    val wh = java.nio.file.Files.createTempDirectory(prefix).toString
+    val wh = graft.GraftTmp.dir(prefix).toString
     val ref = TableRef(wh, "ns", "t")
     IceLite.createNamespace(wh, "ns")
     ref
   }
 
   private def ckpt(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.GraftTmp.dir(prefix).toString
 
   test("drains a multi-snapshot table one snapshot per trigger, content = batch read") {
     val ref = freshTable("st_src_wh")
@@ -67,7 +67,7 @@ class IceLiteStreamSourceSpec extends AnyFunSuite {
   test("checkpoint resume reads only snapshots appended after the last run") {
     val ref = freshTable("st_res_wh")
     val ck = ckpt("st_res_ck")
-    val out = java.nio.file.Files.createTempDirectory("st_res_out").toString
+    val out = graft.GraftTmp.dir("st_res_out").toString
     IceLite.createOrReplace(ref, Seq((1L, 10.0)).toDF("k", "v"))
     // memory sinks can't recover a checkpoint — the exactly-once
     // resume path needs a fault-tolerant sink (parquet)
@@ -95,7 +95,7 @@ class IceLiteStreamSourceSpec extends AnyFunSuite {
   test("a replace inside the consumed range fails loudly, never double-reads") {
     val ref = freshTable("st_rep_wh")
     val ck = ckpt("st_rep_ck")
-    val out = java.nio.file.Files.createTempDirectory("st_rep_out").toString
+    val out = graft.GraftTmp.dir("st_rep_out").toString
     IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
     val q1 = spark.readStream.format(Fmt).load(ref.dir.toString)
       .writeStream.format("parquet").option("path", out)
@@ -122,7 +122,7 @@ class IceLiteStreamSourceSpec extends AnyFunSuite {
   test("a DROP + re-CREATE reaching the consumed snapshot id fails loudly (incarnation pin)") {
     val ref = freshTable("st_inc_wh")
     val ck = ckpt("st_inc_ck")
-    val out = java.nio.file.Files.createTempDirectory("st_inc_out").toString
+    val out = graft.GraftTmp.dir("st_inc_out").toString
     def drain(): Unit = {
       val q = spark.readStream.format(Fmt).load(ref.dir.toString)
         .writeStream.format("parquet").option("path", out)
@@ -208,7 +208,7 @@ class IceLiteStreamSourceSpec extends AnyFunSuite {
   test("changelog checkpoint resume delivers only the new changes") {
     val ref = freshTable("cdc_res_wh")
     val ck = ckpt("cdc_res_ck")
-    val out = java.nio.file.Files.createTempDirectory("cdc_res_out").toString
+    val out = graft.GraftTmp.dir("cdc_res_out").toString
     IceLite.createOrReplace(ref, (0L until 50L).map(k => (k, k * 1.0)).toDF("k", "v"))
     def drain(): Unit = {
       val q = spark.readStream.format(Fmt)

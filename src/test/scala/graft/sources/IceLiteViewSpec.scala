@@ -14,7 +14,7 @@ class IceLiteViewSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def freshCatalog(): (String, String) = {
-    val wh = java.nio.file.Files.createTempDirectory("view_wh").toString
+    val wh = graft.GraftTmp.dir("view_wh").toString
     val name = s"viewcat_${java.util.UUID.randomUUID.toString.take(8)}"
     spark.conf.set(s"spark.sql.catalog.$name",
       classOf[IceLiteCatalog].getName)

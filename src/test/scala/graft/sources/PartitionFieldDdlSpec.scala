@@ -16,7 +16,7 @@ class PartitionFieldDdlSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def fresh(): (String, String) = {
-    val wh = Files.createTempDirectory("pfddl_wh").toString
+    val wh = graft.GraftTmp.dir("pfddl_wh").toString
     IceLite.createNamespace(wh, "src")
     val cat = s"pfcat_${java.util.UUID.randomUUID.toString.take(8)}"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[IceLiteCatalog].getName)
@@ -252,7 +252,7 @@ class PartitionFieldDdlSpec extends AnyFunSuite {
   }
 
   test("evolution DDL works over the REST attachment (one POST)") {
-    val wh = Files.createTempDirectory("pfddl_rest").toString
+    val wh = graft.GraftTmp.dir("pfddl_rest").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t5")
     IceLite.createOrReplacePartitioned(ref,

@@ -33,7 +33,7 @@ class PosDeleteScaleSpec extends AnyFunSuite {
   }
 
   private def mk(rows: Long = 400L, files: Int = 4): TableRef = {
-    val wh = Files.createTempDirectory("posdel_spec").toString
+    val wh = graft.GraftTmp.dir("posdel_spec").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     IceLite.createOrReplaceSorted(ref,
@@ -73,7 +73,7 @@ class PosDeleteScaleSpec extends AnyFunSuite {
   }
 
   test("executor-side positions: partitioned table, partition filter composes") {
-    val wh = Files.createTempDirectory("posdel_part").toString
+    val wh = graft.GraftTmp.dir("posdel_part").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "p")
     IceLite.createOrReplacePartitioned(ref,
@@ -96,7 +96,7 @@ class PosDeleteScaleSpec extends AnyFunSuite {
   test("executor-side positions: changelog stream emits the same deletes") {
     val ref = mk(rows = 100L, files = 2)
     IceLite.deleteWhereMoR(spark, ref, "k < 10")
-    val ck = Files.createTempDirectory("posdel_ck").toString
+    val ck = graft.GraftTmp.dir("posdel_ck").toString
     withZeroBudget {
       val fold0 = IceLiteSource.posDriverFoldRows.get()
       val q = spark.readStream.format("graft.sources.IceLiteSource")
@@ -206,7 +206,7 @@ class PosDeleteScaleSpec extends AnyFunSuite {
 
   test("executor-side EQ keys: timestamp-keyed sidecar decodes to the " +
     "same micros the scan emits") {
-    val wh = Files.createTempDirectory("posdel_eqts").toString
+    val wh = graft.GraftTmp.dir("posdel_eqts").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "ts")
     val rows = (0L until 200L).map(i =>

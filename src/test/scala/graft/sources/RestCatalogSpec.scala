@@ -18,7 +18,7 @@ class RestCatalogSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def withServer(f: (String, String, CatalogServer) => Unit): Unit = {
-    val wh = Files.createTempDirectory("restspec_wh").toString
+    val wh = graft.GraftTmp.dir("restspec_wh").toString
     IceLite.createNamespace(wh, "src")
     val srv = new CatalogServer(wh).start()
     val cat = s"restcat_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -40,7 +40,7 @@ class RestCatalogSpec extends AnyFunSuite {
         (1L to 4000L).map(i => (i % 40, i, i * 0.5)).toDF("key", "seq", "v"),
         Seq(graft.icelite.PartitionField("key_bucket", "bucket", "key", 8)))
       val all = IceLite.readManifest(ref).current.files.size
-      val dimDir = Files.createTempDirectory("rest_dpp_dim").toString
+      val dimDir = graft.GraftTmp.dir("rest_dpp_dim").toString
       spark.range(0, 40).selectExpr("id AS dkey",
         "CASE WHEN id = 7 THEN 'keep' ELSE 'drop' END AS grp")
         .write.mode("overwrite").parquet(dimDir)
@@ -413,7 +413,7 @@ class RestCatalogSpec extends AnyFunSuite {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .option("checkpointLocation",
-          Files.createTempDirectory("rest_stream_ck").toString)
+          graft.GraftTmp.dir("rest_stream_ck").toString)
         .start()
       try {
         q.processAllAvailable()
@@ -437,8 +437,8 @@ class RestCatalogSpec extends AnyFunSuite {
     withServer { (wh, cat, srv) =>
       val ref = TableRef(wh, "src", "t")
       IceLite.createOrReplace(ref, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
-      val ck = Files.createTempDirectory("rest_restart_ck").toString
-      val out = Files.createTempDirectory("rest_restart_out").toString
+      val ck = graft.GraftTmp.dir("rest_restart_ck").toString
+      val out = graft.GraftTmp.dir("rest_restart_out").toString
       def drain(): Unit = {
         val q = spark.readStream.table(s"$cat.src.t")
           .writeStream.format("parquet").option("path", out)
@@ -473,8 +473,8 @@ class RestCatalogSpec extends AnyFunSuite {
       val ref = TableRef(wh, "src", "t")
       IceLite.createOrReplace(ref, Seq((1L, "a")).toDF("k", "s"))
       IceLite.append(ref, Seq((2L, "b")).toDF("k", "s"))
-      val ck = Files.createTempDirectory("rest_reinc_ck").toString
-      val out = Files.createTempDirectory("rest_reinc_out").toString
+      val ck = graft.GraftTmp.dir("rest_reinc_ck").toString
+      val out = graft.GraftTmp.dir("rest_reinc_out").toString
       def start() = spark.readStream.table(s"$cat.src.t")
         .writeStream.format("parquet").option("path", out)
         .outputMode("append").option("checkpointLocation", ck)

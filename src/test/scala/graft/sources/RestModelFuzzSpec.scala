@@ -28,7 +28,7 @@ class RestModelFuzzSpec extends AnyFunSuite {
 
   private def run(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    val wh = Files.createTempDirectory(s"rest_fuzz_$seed").toString
+    val wh = graft.GraftTmp.dir(s"rest_fuzz_$seed").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     val srv = new CatalogServer(wh).start()

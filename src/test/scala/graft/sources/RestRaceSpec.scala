@@ -36,7 +36,7 @@ class RestRaceSpec extends AnyFunSuite {
     * instances over the same uri — two engines' worth of spools). */
   private def withTwoAttachments(
       f: (String, String, String) => Unit): Unit = {
-    val wh = Files.createTempDirectory("race_wh").toString
+    val wh = graft.GraftTmp.dir("race_wh").toString
     IceLite.createNamespace(wh, "src")
     val srv = new CatalogServer(wh).start()
     val cats = (1 to 2).map { i =>

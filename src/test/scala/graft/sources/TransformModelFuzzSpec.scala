@@ -38,7 +38,7 @@ class TransformModelFuzzSpec extends AnyFunSuite {
 
   private def run(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    val wh = Files.createTempDirectory(s"tf_fuzz_$seed").toString
+    val wh = graft.GraftTmp.dir(s"tf_fuzz_$seed").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
     val cat = s"tfcat_${seed}_${java.util.UUID.randomUUID.toString.take(6)}"

@@ -21,7 +21,7 @@ class TransformedSqlWriteSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def fresh(): (String, String) = {
-    val wh = Files.createTempDirectory("tsql_wh").toString
+    val wh = graft.GraftTmp.dir("tsql_wh").toString
     IceLite.createNamespace(wh, "src")
     val cat = s"tscat_${java.util.UUID.randomUUID.toString.take(8)}"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[IceLiteCatalog].getName)

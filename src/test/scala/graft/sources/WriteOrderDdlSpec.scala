@@ -29,7 +29,7 @@ class WriteOrderDdlSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def freshCatalog(): (String, String) = {
-    val wh = Files.createTempDirectory("wo_wh").toString
+    val wh = graft.GraftTmp.dir("wo_wh").toString
     val name = s"wocat_${java.util.UUID.randomUUID.toString.take(8)}"
     spark.conf.set(s"spark.sql.catalog.$name", classOf[IceLiteCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
@@ -305,7 +305,7 @@ class WriteOrderDdlSpec extends AnyFunSuite {
   }
 
   test("REST face: the same DDL flips the same manifest field over one POST") {
-    val wh = Files.createTempDirectory("wo_rest_wh").toString
+    val wh = graft.GraftTmp.dir("wo_rest_wh").toString
     IceLite.createNamespace(wh, "src")
     val srv = new CatalogServer(wh).start()
     val cat = s"worest_${java.util.UUID.randomUUID.toString.take(8)}"

@@ -17,7 +17,7 @@ class StreamPackSpec extends AnyFunSuite {
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
   private def writeBatch(dir: String, name: String, df: DataFrame): Unit = {
-    val staging = Files.createTempDirectory("stream_spec_stage")
+    val staging = graft.GraftTmp.dir("stream_spec_stage")
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     import scala.jdk.CollectionConverters._
     val part = Files.list(staging).iterator().asScala
@@ -26,7 +26,7 @@ class StreamPackSpec extends AnyFunSuite {
   }
 
   test("late rows behind the watermark are dropped from windowed counts") {
-    val src = Files.createTempDirectory("stream_spec_src").toString
+    val src = graft.GraftTmp.dir("stream_spec_src").toString
     val sink = "stream_spec_late_sink"
 
     // batch 1: 3 events in hour 0, 2 events in hour 2
@@ -42,7 +42,7 @@ class StreamPackSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("stream_spec_ckpt").toString)
+        graft.GraftTmp.dir("stream_spec_ckpt").toString)
       .start()
     q.processAllAvailable()
 
@@ -74,7 +74,7 @@ class StreamPackSpec extends AnyFunSuite {
 
   test("foreachBatch sink is exactly-once: a replayed batchId appends once") {
     import graft.icelite.{IceLite, TableRef}
-    val wh = Files.createTempDirectory("s07_idem_wh").toString
+    val wh = graft.GraftTmp.dir("s07_idem_wh").toString
     IceLite.createNamespace(wh, "src")
     val ref = TableRef(wh, "src", "t")
 
@@ -103,7 +103,7 @@ class StreamPackSpec extends AnyFunSuite {
 
   test("MV delta merge: additive fold, zero-count eviction, replay skip") {
     import graft.icelite.{IceLite, TableRef}
-    val wh = Files.createTempDirectory("s18_mv_wh").toString
+    val wh = graft.GraftTmp.dir("s18_mv_wh").toString
     IceLite.createNamespace(wh, "mart")
     val mv = TableRef(wh, "mart", "mv")
 
@@ -140,7 +140,7 @@ class StreamPackSpec extends AnyFunSuite {
 
   test("MV maintenance property: random CDC sequences converge to the from-scratch aggregate") {
     import graft.icelite.{IceLite, TableRef}
-    val wh = Files.createTempDirectory("s18_prop_wh").toString
+    val wh = graft.GraftTmp.dir("s18_prop_wh").toString
     IceLite.createNamespace(wh, "mart")
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
@@ -195,7 +195,7 @@ class StreamPackSpec extends AnyFunSuite {
   test("streaming dedup emits each key once across micro-batches") {
     // mirrors s05: watermarked dedup — duplicates within the delay
     // horizon are removed exactly
-    val src = Files.createTempDirectory("stream_spec_dedup").toString
+    val src = graft.GraftTmp.dir("stream_spec_dedup").toString
     val sink = "stream_spec_dedup_sink"
     val b1 = Seq((1L, ts(0)), (2L, ts(1))).toDF("event_id", "ts")
     writeBatch(src, "b_000.parquet", b1)
@@ -209,7 +209,7 @@ class StreamPackSpec extends AnyFunSuite {
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("stream_spec_ckpt2").toString)
+        graft.GraftTmp.dir("stream_spec_ckpt2").toString)
       .start()
     q.processAllAvailable()
     q.stop()
@@ -224,7 +224,7 @@ class StreamPackSpec extends AnyFunSuite {
     // row closes every real session, and the sentinel's own
     // still-open session is never emitted. Pins the AvailableNow
     // extra-flush-batch behavior s04 relies on.
-    val src = Files.createTempDirectory("stream_spec_sess").toString
+    val src = graft.GraftTmp.dir("stream_spec_sess").toString
     val sink = "stream_spec_sess_sink"
     // user 1: two sessions (gap > 30 min); user 2: one session
     val b0 = Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(120)),
@@ -237,7 +237,7 @@ class StreamPackSpec extends AnyFunSuite {
       .agg(count(lit(1)).cast("long").as("n"))
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("stream_spec_ckpt4").toString)
+        graft.GraftTmp.dir("stream_spec_ckpt4").toString)
       .start()
     q.processAllAvailable()
     // nothing can have closed yet (watermark = 02:00 - 10min < any end)
@@ -264,7 +264,7 @@ class StreamPackSpec extends AnyFunSuite {
     // dropped, a duplicate after eviction is re-emitted. This is what
     // makes the state store BOUNDED on an unbounded feed — plain
     // dropDuplicates would hold every key forever.
-    val src = Files.createTempDirectory("stream_spec_evict").toString
+    val src = graft.GraftTmp.dir("stream_spec_evict").toString
     val sink = "stream_spec_evict_sink"
     val delay = "10 minutes"
 
@@ -276,7 +276,7 @@ class StreamPackSpec extends AnyFunSuite {
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("stream_spec_ckpt3").toString)
+        graft.GraftTmp.dir("stream_spec_ckpt3").toString)
       .start()
     q.processAllAvailable()
 
@@ -313,14 +313,14 @@ class StreamPackSpec extends AnyFunSuite {
     // uncached staging: file set GROWS between two runs sharing one
     // checkpoint — the restart must process only the new file, and
     // the merge sinks must keep the union exact (no dupes, no loss)
-    val src = java.nio.file.Files.createTempDirectory("router_restart_src")
-    val ckpt = java.nio.file.Files.createTempDirectory("router_restart_ckpt").toString
-    val wh = java.nio.file.Files.createTempDirectory("router_restart_wh").toString
+    val src = graft.GraftTmp.dir("router_restart_src")
+    val ckpt = graft.GraftTmp.dir("router_restart_ckpt").toString
+    val wh = graft.GraftTmp.dir("router_restart_wh").toString
     val accept = TableRef(wh, "ns", "acc")
     val reject = TableRef(wh, "ns", "rej")
     IceLite.createNamespace(wh, "ns")
     def writeFile(name: String, rows: Seq[(Long, Long)]): Unit = {
-      val staging = java.nio.file.Files.createTempDirectory("router_restart_stage")
+      val staging = graft.GraftTmp.dir("router_restart_stage")
       rows.toDF("doc_id", "n_tokens").coalesce(1)
         .write.mode("overwrite").parquet(staging.toString)
       val part = IceLite.listDir(java.nio.file.Files.list(staging))(_
