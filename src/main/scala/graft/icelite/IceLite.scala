@@ -116,17 +116,22 @@ object SortKey {
             val name = tf.toLowerCase
             val parts = args.split(',').map(_.trim)
               .filter(_.nonEmpty).map(stripTicks)
+            // r15 (ADVICE): canonical Iceberg argument order ONLY —
+            // bucket|truncate(n, col). The old all-digits heuristic
+            // also accepted (col, n) and silently reinterpreted
+            // ambiguous tokens, and made a digits-named column
+            // unusable as a transform sort key.
             (name, parts) match {
-              case (n, Array(c)) if timeTransforms(n) && !c.forall(_.isDigit) =>
+              case (n, Array(c)) if timeTransforms(n) =>
                 SortKey(c, asc, nf, Some((n, 0)))
               case (n @ ("bucket" | "truncate"), Array(a, b))
-                  if a.forall(_.isDigit) && a.nonEmpty && a.toInt >= 1 &&
-                    !b.forall(_.isDigit) =>
+                  if a.nonEmpty && a.forall(_.isDigit) && a.toInt >= 1 =>
                 SortKey(b, asc, nf, Some((n, a.toInt)))
-              case (n @ ("bucket" | "truncate"), Array(a, b))
-                  if b.forall(_.isDigit) && b.nonEmpty && b.toInt >= 1 &&
-                    !a.forall(_.isDigit) =>
-                SortKey(a, asc, nf, Some((n, b.toInt)))
+              case (n @ ("bucket" | "truncate"), Array(_, b))
+                  if b.nonEmpty && b.forall(_.isDigit) =>
+                throw new IllegalArgumentException(
+                  s"sort transform '$t' has reversed arguments — the " +
+                    s"grammar is $n(n, col), e.g. $n($b, ${parts(0)})")
               case _ => throw new IllegalArgumentException(
                 s"unparseable sort transform '$t' (expected days|months|" +
                   "years|hours(col) or bucket|truncate(n, col))")
@@ -1004,6 +1009,16 @@ object IceLite {
     * sidecar has an entry" stays checkable. None when any recorded
     * path fails to suffix-match a live data file — an entry the
     * stats fold cannot trust must not exist (decline beats wrong). */
+
+  /** Sidecar `file_path` strings and `_metadata.file_path` render the
+    * same file differently across writers (a plain absolute path from
+    * the connector's split readers — the r15 delta write; a `file:`
+    * URI from Spark's metadata column). Normalize both sides of
+    * every position anti-join to the plain-path form, the SQL twin
+    * of the connector's normPath/suffix matching. */
+  private def normPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+
   private def posSidecarDead(spark: SparkSession, ref: TableRef,
       sidecars: Seq[String], files: Seq[String])
       : Option[Map[String, Map[String, Long]]] = {
@@ -2439,6 +2454,85 @@ object IceLite {
     }.current
   }
 
+  /** r15: the write-mode routing every SQL row-level statement
+    * resolves (Iceberg's `write.delete.mode` / `write.update.mode` /
+    * `write.merge.mode` table properties): session conf
+    * `spark.graft.icelite.<op>Mode` (operational override) > table
+    * property `write.<op>.mode` > copy-on-write. Accepts Iceberg's
+    * spellings plus the short forms. A bad value fails the STATEMENT
+    * loudly — never silently copy-on-write. */
+  def resolvedWriteMode(spark: SparkSession, ref: TableRef,
+      op: String): String = {
+    require(Set("delete", "update", "merge").contains(op),
+      s"unknown row-level op '$op'")
+    val v = spark.conf.getOption(s"spark.graft.icelite.${op}Mode")
+      .orElse(readManifest(ref).properties.get(s"write.$op.mode"))
+      .getOrElse("copy-on-write").trim.toLowerCase
+    v match {
+      case "mor" | "merge-on-read" => "merge-on-read"
+      case "cow" | "copy-on-write" => "copy-on-write"
+      case other => throw new IllegalArgumentException(
+        s"invalid write mode '$other' for $op on ${ref.name} — " +
+          "expected merge-on-read or copy-on-write")
+    }
+  }
+
+  /** r15: the COMMIT half of a SQL merge-on-read row-level statement
+    * (the SupportsDelta / WriteDelta path — Spark's own delta-based
+    * row-level contract, Iceberg's position-delta role): ONE snapshot
+    * adds the statement's position-delete sidecars and its new data
+    * files, so a reader never sees a row doubled or missing. Write
+    * cost is O(matched rows); zero untouched rows rewritten. Same
+    * conflict rule as the engine-API MoR ops: a concurrent rewrite of
+    * a scanned file (or any concurrent sidecar/eq change) fails the
+    * statement loudly — positions into rewritten files would be
+    * garbage; concurrent appends rebase and survive. */
+  private[graft] def commitDelta(spark: SparkSession, ref: TableRef,
+      scanned: Snapshot, newFiles: Seq[String], sidecars: Seq[String],
+      opName: String): Snapshot = {
+    val (_, basePath) = latestManifestFile(ref).getOrElse(
+      throw new IllegalArgumentException(s"${ref.name} does not exist"))
+    val base = decodeManifest(ref, basePath)
+    val deleted = countRowsFromFooters(ref, sidecars)
+    val rowsByFile = fileRowCounts(ref, newFiles)
+    // per-file dead census rides the commit so pruned scans keep
+    // exact logical row stats (one grouped count, O(sidecar rows))
+    val deadCensus =
+      if (sidecars.isEmpty) None
+      else posSidecarDead(spark, ref, sidecars, scanned.files)
+    // ledger stats key STORED names; the delta staged era-visible
+    // ones — re-collect under the chain-resolved names
+    val keepStatsCols = scanned.fileStats.values.flatten.map(_.col).toSeq
+      .distinct.map(currentName(base.renamedCols, _)).distinct
+    val stats =
+      if (newFiles.isEmpty) Map.empty[String, Seq[ColStats]]
+      else collectStats(spark, ref, newFiles, keepStatsCols)
+    commitCAS(ref) { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException("table vanished"))
+      val head = m.current
+      val gone = scanned.files.filterNot(head.files.contains)
+      if (gone.nonEmpty || head.deleteFiles != scanned.deleteFiles ||
+          head.eqDeletes != scanned.eqDeletes) {
+        (sidecars ++ newFiles).foreach(f =>
+          scala.util.Try(Files.deleteIfExists(ref.dir.resolve(f))))
+        throw new java.util.ConcurrentModificationException(
+          s"${ref.name}: the snapshot this MoR $opName was computed " +
+            "against changed concurrently (rewrite or sidecar) — re-run")
+      }
+      val id = m.snapshots.map(_.id).max + 1
+      val next = Snapshot(id, System.currentTimeMillis(), opName,
+        head.files ++ newFiles,
+        head.rowCount - deleted + rowsByFile.values.sum,
+        head.fileStats ++ stats,
+        head.partitionCols, head.sortedBy,
+        fileRows = head.fileRows ++ rowsByFile,
+        partitionSpec = head.partitionSpec, // hidden layouts take MoR ops
+        deleteFiles = head.deleteFiles ++ sidecars,
+        sidecarDead = head.sidecarDead ++ deadCensus.getOrElse(Map.empty))
+      m.copy(currentSnapshotId = id, snapshots = m.snapshots :+ next)
+    }.current
+  }
+
   /** d49: CHANGELOG SCAN (Delta CDF / Iceberg changelog role) — the
     * row-level changes between two snapshots as a DataFrame with
     * `_change_type` ∈ {insert, delete, update_preimage,
@@ -2513,7 +2607,7 @@ object IceLite {
             newSidecars.map(f => ref.dir.resolve(f).toString): _*)
           val prior = readSlice(prev, prev.files, withPositions = true)
           Some(prior.join(dels,
-              prior("_mor_file") === dels("file_path") &&
+              normPathCol(prior("_mor_file")) === normPathCol(dels("file_path")) &&
               prior("_mor_pos") === dels("pos"), "left_semi")
             .drop("_mor_file", "_mor_pos")
             .withColumn("_change_type",
@@ -2576,7 +2670,8 @@ object IceLite {
     else {
       val dels = spark.read.parquet(
         snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
-      df.join(dels, df("_mor_file") === dels("file_path") &&
+      df.join(dels,
+        normPathCol(df("_mor_file")) === normPathCol(dels("file_path")) &&
         df("_mor_pos") === dels("pos"), "left_anti")
     }
   }
@@ -2611,7 +2706,8 @@ object IceLite {
           .withColumn("_mor_pos", col("_metadata.row_index"))
         val dels = spark.read.parquet(
           snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
-        val anti = df.join(dels, df("_mor_file") === dels("file_path") &&
+        val anti = df.join(dels,
+            normPathCol(df("_mor_file")) === normPathCol(dels("file_path")) &&
             df("_mor_pos") === dels("pos"), "left_anti")
         if (keepFile) anti.drop("_mor_pos")
         else anti.drop("_mor_file", "_mor_pos")
@@ -4500,7 +4596,8 @@ object IceLite {
       else {
         val dels = spark.read.parquet(
           snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
-        df0.join(dels, df0("_mor_file") === dels("file_path") &&
+        df0.join(dels,
+          normPathCol(df0("_mor_file")) === normPathCol(dels("file_path")) &&
           df0("_mor_pos") === dels("pos"), "left_anti")
       }
     // applyEqDeletes keys file provenance off `_mor_file` when

@@ -10,12 +10,17 @@ import syntax._
   * handling for a training-data pipeline: media as opaque BINARY
   * columns with typed metadata, decode/feature/frame-sample stages.
   *
-  * No image/audio codec exists in this environment, so the DECODE step
-  * is a clearly-marked deterministic stub (per-chunk byte statistics
-  * standing in for pixel decoding); everything around it — binary
-  * payload construction, metadata schema, typed mapPartitions
-  * batching, per-frame explode shape, partition behavior — is real
-  * Spark and is what the stub would plug into.
+  * No image/audio codec exists in this environment. Since r15 the
+  * declared decode path (m02, m06) runs a REAL byte-level codec —
+  * JDK zlib inflate over synthetically deflated payloads — through
+  * the per-partition codec seam; [[IdentityCodec]] remains the
+  * documented no-codec stance and the spec pins the two paths
+  * feature-identical on the ASCII corpus. m04's RESIZE body stays a
+  * clearly-marked deterministic stand-in (nearest-neighbor grid
+  * gather — the shape a real image resize has). Everything around
+  * the seam — binary payload construction, metadata schema, typed
+  * mapPartitions batching, per-frame explode shape, partition
+  * behavior — is real Spark.
   *
   * Scale notes: payloads stay opaque end-to-end (no driver collect);
   * m02 is a mapPartitions pipeline whose batch shape is
@@ -167,18 +172,26 @@ object MultimodalPack extends Pack {
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
              FROM documents WHERE doc_id < 200 ORDER BY media_id""")),
 
-    // typed mapPartitions decode pipeline (the real-codec slot);
-    // features exploded to rows for a dtype-stable dump. The corpus is
-    // pure ASCII (spec-checked), so payload bytes == code points and
-    // DuckDB CAN replay the stub's chunk means relationally
-    // (ord(substr(…)) folds) — the former rows-only omission now has
-    // a full value oracle.
+    // typed mapPartitions decode pipeline with a REAL codec in the
+    // slot (r15 — the m06-proven zlib seam promoted into the declared
+    // feature-extract path): payloads arrive DEFLATED (synthetic
+    // compressed media) and the per-partition decode stage INFLATES
+    // them before feature pooling, so the declared multimodal surface
+    // carries no stub decode body. IdentityCodec remains the
+    // documented no-codec stance (MultimodalSpec pins stub ≡ codec on
+    // the ASCII corpus). Features exploded to rows for a dtype-stable
+    // dump. The corpus is pure ASCII (spec-checked), so decoded bytes
+    // == code points and DuckDB CAN replay the chunk means
+    // relationally (ord(substr(…)) folds) — a full value oracle.
     Decl("m02_feature_extract_stub",
       (s, dir) => {
         implicit val enc = Encoders.product[MediaFeatures]
+        implicit val encR = Encoders.product[MediaRow]
         val rows = media(s, dir).filter($"media_id" < 100)
           .as(Encoders.product[MediaRow])
-          .mapPartitions(decodeWith(IdentityCodec))
+          .mapPartitions(_.map(m =>
+            MediaRow(m.media_id, m.kind, deflateBytes(m.payload))))
+          .mapPartitions(decodeWith(ZlibCodec))
         rows.toDF()
           .select($"media_id", $"kind", $"n_bytes",
             posexplode($"features").as(Seq("chunk", "mean_byte")))

@@ -1275,6 +1275,61 @@ object ScalePack extends Pack {
                FROM orders WHERE o_orderkey <= 640
              )""")),
 
+    // d91 (r15): SQL UPDATE under MERGE-ON-READ write mode — the
+    // Iceberg `write.update.mode=merge-on-read` role (the reference's
+    // connector config owns this choice —
+    // config/iceberg-template.properties:1-13), wired through Spark's
+    // own SupportsDelta / WriteDelta seam: the statement writes a
+    // position-delete sidecar + the transformed copies and commits
+    // ONE snapshot, rewriting ZERO untouched files. At 100 TB this is
+    // the one-column-backfill path: O(matched rows) written where the
+    // d42 copy-on-write rewrite would rewrite every touched file.
+    // Witnessed: the property routes (TBLPROPERTIES channel, d82),
+    // every pre-statement file stays live, op is update-mor, a
+    // sidecar landed, rowCount is unchanged, and compact()
+    // materializes the sidecars away with the view intact — the
+    // final aggregate runs POST-compaction so the oracle checks the
+    // whole lifecycle.
+    Decl("d91_sql_update_mor",
+      (s, dir) => {
+        val wh = graft.GraftTmp.dir("graft_d91").toString
+        IceLite.createNamespace(wh, "src")
+        val ref = IngestJob.tableRef(wh, "orders_morupd")
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        IceLite.createOrReplaceSorted(ref, o, "o_orderkey", numFiles = 8,
+          statsCols = Seq("o_orderkey"))
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"ALTER TABLE $cat.src.orders_morupd SET TBLPROPERTIES " +
+          "('write.update.mode' = 'merge-on-read')")
+        val before = IceLite.readManifest(ref).current
+        s.sql(s"UPDATE $cat.src.orders_morupd " +
+          "SET o_totalprice = o_totalprice + 500000 " +
+          "WHERE o_orderkey BETWEEN 1000 AND 1999")
+        val after = IceLite.readManifest(ref).current
+        val zeroRewrite = before.files.forall(after.files.contains) &&
+          after.operation == "update-mor" &&
+          after.deleteFiles.size > before.deleteFiles.size &&
+          after.rowCount == before.rowCount
+        // the amortizer: compaction materializes the sidecars away
+        IceLite.compact(s, ref, targetFiles = 4)
+        val compacted = IceLite.readManifest(ref).current
+        val mor = zeroRewrite && compacted.deleteFiles.isEmpty
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+                  FROM $cat.src.orders_morupd""")
+          .withColumn("mor", lit(mor))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice +
+               CASE WHEN o_orderkey BETWEEN 1000 AND 1999
+                    THEN 500000 ELSE 0 END AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+             TRUE AS mor
+             FROM orders""")),
+
     // d44: SQL MAINTENANCE PROCEDURES — `CALL cat.system.<proc>(...)`
     // (Iceberg's stored-procedure UX; the reference's Trino `ALTER
     // TABLE ... EXECUTE optimize` + `expire_snapshots` role). The

@@ -75,6 +75,9 @@ class IceLiteSource extends TableProvider {
 }
 
 object IceLiteSource {
+  private[sources] lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.icelite.source")
+
   /** Spec observability: the file list the most recent scan planned. */
   @volatile var lastPlannedFiles: Seq[String] = Nil
 
@@ -129,7 +132,7 @@ object IceLiteSource {
         val convs = df.schema.fields.map(f => org.apache.spark.sql
           .catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
         df.collect().map(r => (Seq.tabulate(kc.length)(i =>
-          convs(i)(r.get(i))), d.snapshotId))
+          IceLiteSource.eqKeyForm(convs(i)(r.get(i)))), d.snapshotId))
       }
       EqKeyGroup(kc, keys)
     }
@@ -203,10 +206,13 @@ object IceLiteSource {
 
   /** Can the executor path decode every key column of these eq
     * sidecars EXACTLY as the scan's row values render (Long micros
-    * for timestamps, Int days for dates, UTF8String for strings)?
-    * Footer-only driver check, O(sidecars). Anything else — decimal,
-    * raw binary, nested — keeps the driver fold regardless of size:
-    * a silently mismatched key form would resurrect deleted rows. */
+    * for timestamps, Int days for dates, UTF8String for strings,
+    * scale-faithful Decimal for int32/int64/FLBA/binary-backed
+    * decimals, value-wrapped bytes for raw binary — the r15 closure
+    * of the key-type gate)? Footer-only driver check, O(sidecars).
+    * Anything else — nested, int96, interval — keeps the driver fold
+    * regardless of size: a silently mismatched key form would
+    * resurrect deleted rows. */
   private[sources] def eqDecodable(ref: TableRef,
       eqDeletes: Seq[graft.icelite.EqDelete]): Boolean =
     eqDeletes.forall { d =>
@@ -229,6 +235,7 @@ object IceLiteSource {
                     ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
                   case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
                     i.getBitWidth == 64 && i.isSigned
+                  case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => true
                   case _ => false
                 })
               case INT32 => ann == null ||
@@ -236,16 +243,62 @@ object IceLiteSource {
                   case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
                   case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
                     i.getBitWidth == 32 && i.isSigned
+                  case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => true
                   case _ => false
                 })
-              case DOUBLE | BOOLEAN => true
-              case BINARY =>
-                ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              case DOUBLE | BOOLEAN | FLOAT => true
+              case BINARY => ann == null ||
+                ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
+                ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+              case FIXED_LEN_BYTE_ARRAY =>
+                ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
               case _ => false
             }
           }
         }
       }.getOrElse(false)
+    }
+
+  /** Wrap a raw-binary key value in a VALUE-comparable form: byte
+    * arrays compare by reference in a HashSet, so both folds and the
+    * row side wrap them as immutable Seq[Byte]. */
+  private[sources] def eqKeyForm(v: Any): Any = v match {
+    case b: Array[Byte] => b.toSeq
+    case other => other
+  }
+
+  /** Per-JVM (per-executor) cache of above-budget eq key groups
+    * (ADVICE r14): without it every SPLIT re-reads every eq sidecar —
+    * a 10⁸-key erasure would multiply sidecar I/O by the number of
+    * splits. Sidecar files are immutable and the ref set (path, key
+    * cols, snapshot id) identifies the window exactly, so no
+    * invalidation protocol is needed; bounded LRU caps executor heap
+    * at a few key sets. Tasks that race the first load may compute
+    * twice (benign — last write wins). */
+  private val EqExecCacheMax = 4
+  private val eqExecCache =
+    new java.util.LinkedHashMap[Seq[(String, Seq[String], Long)], Seq[EqKeyGroup]](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[(String, Seq[String], Long)], Seq[EqKeyGroup]])
+          : Boolean = size() > EqExecCacheMax
+    }
+  /** Spec observability: executor-side key-group loads that actually
+    * hit the parquet (cache misses). */
+  val eqExecLoads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[sources] def loadEqKeyGroupsCached(
+      refs: Seq[(String, Seq[String], Long)]): Seq[EqKeyGroup] =
+    if (refs.isEmpty) Nil
+    else {
+      eqExecCache.synchronized {
+        val hit = eqExecCache.get(refs)
+        if (hit != null) return hit
+      }
+      eqExecLoads.incrementAndGet()
+      val loaded = loadEqKeyGroups(refs)
+      eqExecCache.synchronized { eqExecCache.put(refs, loaded) }
+      loaded
     }
 
   /** Executor half of the above-budget eq path: load each sidecar's
@@ -271,13 +324,40 @@ object IceLiteSource {
           if (g.getFieldRepetitionCount(c) == 0) null
           else {
             import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-            projected.getType(Array(c): _*).asPrimitiveType
-              .getPrimitiveTypeName match {
-              case INT64 => g.getLong(c, 0)
-              case INT32 => g.getInteger(c, 0)
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            val prim = projected.getType(Array(c): _*).asPrimitiveType
+            val dec = prim.getLogicalTypeAnnotation match {
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => d
+              case _ => null
+            }
+            // decimal forms build a SCALE-FAITHFUL Decimal with the
+            // sidecar's declared precision/scale — the same (p, s)
+            // the row readers decode, so HashSet equality holds
+            def decBytes(bytes: Array[Byte]): Any =
+              org.apache.spark.sql.types.Decimal(
+                BigDecimal(new java.math.BigDecimal(
+                  new java.math.BigInteger(bytes), dec.getScale)),
+                dec.getPrecision, dec.getScale)
+            prim.getPrimitiveTypeName match {
+              case INT64 =>
+                if (dec != null) org.apache.spark.sql.types.Decimal(
+                  g.getLong(c, 0), dec.getPrecision, dec.getScale)
+                else g.getLong(c, 0)
+              case INT32 =>
+                if (dec != null) org.apache.spark.sql.types.Decimal(
+                  g.getInteger(c, 0).toLong, dec.getPrecision, dec.getScale)
+                else g.getInteger(c, 0)
               case DOUBLE => g.getDouble(c, 0)
+              case FLOAT => g.getFloat(c, 0)
               case BOOLEAN => g.getBoolean(c, 0)
-              case BINARY => UTF8String.fromString(g.getString(c, 0))
+              case FIXED_LEN_BYTE_ARRAY =>
+                decBytes(g.getBinary(c, 0).getBytes)
+              case BINARY =>
+                if (dec != null) decBytes(g.getBinary(c, 0).getBytes)
+                else if (prim.getLogicalTypeAnnotation
+                    .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+                  UTF8String.fromString(g.getString(c, 0))
+                else IceLiteSource.eqKeyForm(g.getBinary(c, 0).getBytes)
               case other => throw new IllegalStateException(
                 s"undecodable eq key primitive $other (planning gate broken)")
             }
@@ -763,7 +843,7 @@ class IceLiteTable(ref: TableRef, schema: StructType,
   }
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(IceLiteTable.FileMetadataColumn)
+    Array(IceLiteTable.FileMetadataColumn, IceLiteTable.PosMetadataColumn)
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -776,7 +856,35 @@ class IceLiteTable(ref: TableRef, schema: StructType,
     require(IceLiteSource.resolveSnap(ref, None).eqDeletes.isEmpty,
       s"${name()} has live equality-delete sidecars — compact() " +
         "before a row-level DELETE/UPDATE/MERGE")
-    () => new IceLiteRowLevelOperation(ref, schema, info.command)
+    // r15: write-mode routing (Iceberg's write.<op>.mode properties,
+    // session conf as operational override): merge-on-read plans the
+    // DELTA operation — Spark's own rewrite rules turn it into a
+    // WriteDelta (position sidecar + appended rows, zero rewrite of
+    // untouched files); copy-on-write keeps the group-based rewrite.
+    // One MoR precondition is table STATE, not capability: a pending
+    // partition-spec evolution carries no sidecars (same rule as the
+    // engine-API MoR ops) — those statements fall back to the CoW
+    // rewrite, which is exactly the pre-r15 behavior.
+    val opKind = info.command match {
+      case org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE => "update"
+      case org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE => "delete"
+      case _ => "merge"
+    }
+    () => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val mor = IceLite.resolvedWriteMode(spark, ref, opKind) == "merge-on-read"
+      val m = IceLite.readManifest(ref)
+      val evolutionPending = m.writeLayoutCols != m.current.partitionCols
+      if (mor && !evolutionPending)
+        new IceLiteDeltaOperation(ref, schema, info.command)
+      else {
+        if (mor) IceLiteSource.log.warn(
+          s"${name()}: $opKind requested merge-on-read but a pending " +
+            "partition-spec evolution carries no sidecars — falling " +
+            "back to copy-on-write for this statement")
+        new IceLiteRowLevelOperation(ref, schema, info.command)
+      }
+    }
   }
 
   /** Render a pushed filter as SQL predicate text for
@@ -862,9 +970,11 @@ class IceLiteTable(ref: TableRef, schema: StructType,
       case Some(eq) => IceLite.deletePartitions(ref, eq)
       case None =>
         // round 12: partitioned tables take the MoR route too (the
-        // engine-side flat-only guard is lifted)
-        val mor = spark.conf.getOption("spark.graft.icelite.deleteMode")
-          .contains("mor")
+        // engine-side flat-only guard is lifted). r15: the mode
+        // resolves like Iceberg's — session conf override > the
+        // table's write.delete.mode property > copy-on-write.
+        val mor =
+          IceLite.resolvedWriteMode(spark, ref, "delete") == "merge-on-read"
         if (mor) IceLite.deleteWhereMoR(spark, ref, pred)
         else IceLite.deleteWhere(spark, ref, pred)
     }
@@ -873,13 +983,18 @@ class IceLiteTable(ref: TableRef, schema: StructType,
 }
 
 object IceLiteTable {
-  /** `_file` — Iceberg's file-provenance metadata column, and the
-    * GROUP ID of the copy-on-write row-level path: runtime group
-    * filtering collects the distinct `_file` values holding matched
-    * rows and narrows the rewrite scan to exactly those files. The
-    * preserve flags are off so copied-over rows do NOT drag the
-    * column into the replace-write's schema (the write sees pure
-    * table columns). */
+  /** `_file` — Iceberg's file-provenance metadata column: the GROUP
+    * ID of the copy-on-write row-level path (runtime group filtering
+    * collects the distinct `_file` values holding matched rows and
+    * narrows the rewrite scan to exactly those files) and, with
+    * `_pos`, the row identity of the delta (merge-on-read) path. The
+    * preserve flags are ON (r15): the delta plan's update/delete
+    * projections null out any non-preserved rowId attr
+    * (RewriteUpdateTable.buildWriteDeltaUpdateProjection), which
+    * would erase the row identity the sidecar write needs. The CoW
+    * write stays pure-table-columns either way — ReplaceData feeds
+    * its write through ReplaceDataProjections' row projection, never
+    * the metadata attrs. */
   val FileMetadataColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
     new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = "_file"
@@ -888,8 +1003,45 @@ object IceLiteTable {
       override def comment(): String =
         "absolute path of the data file the row came from"
       override def metadataInJSON(): String =
-        """{"__preserve_on_delete": false, "__preserve_on_update": false}"""
+        """{"__preserve_on_delete": true, "__preserve_on_update": true}"""
     }
+
+  /** `_pos` — Iceberg's in-file row-position metadata column, the
+    * second half of the delta row identity `(_file, _pos)` (r15). The
+    * reader tracks physical positions for MoR tombstone skipping
+    * already; this surfaces them. Preserve flags off for the same
+    * reason as `_file`. */
+  val PosMetadataColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical position of the row within its data file"
+      override def metadataInJSON(): String =
+        """{"__preserve_on_delete": true, "__preserve_on_update": true}"""
+    }
+}
+
+/** What the scan half of a row-level statement records for the write
+  * half — shared by the group-based (copy-on-write) and delta-based
+  * (merge-on-read) operations. Scan and write of one statement share
+  * the operation object by construction (Spark builds both from the
+  * same RowLevelOperation). */
+trait IceLiteRowLevelOpBase {
+  /** Manifest-relative files the (runtime-filtered) scan planned —
+    * the groups a replace-write swaps out, and the set a delta
+    * write's conflict validation checks are still live. Set by
+    * IceLiteScan.planInputPartitions, read by commit(); both run on
+    * the driver, planning strictly before commit. */
+  @volatile private[sources] var scannedFiles: Option[Seq[String]] = None
+  /** The snapshot the scan was BUILT on — the delta commit validates
+    * against it (a concurrent rewrite or sidecar change invalidates
+    * the positions this statement computed). */
+  @volatile private[sources] var scannedSnap: Option[graft.icelite.Snapshot] = None
+  /** Group-based ops take the `_file` runtime group filter; delta ops
+    * scan like normal reads (partition/DPP filtering still applies). */
+  def isGroupBased: Boolean
 }
 
 /** One SQL row-level statement (UPDATE / MERGE / rewritten DELETE) as
@@ -902,14 +1054,11 @@ object IceLiteTable {
   * (Spark builds both from the same RowLevelOperation). */
 class IceLiteRowLevelOperation(ref: TableRef, tableSchema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
-  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  extends org.apache.spark.sql.connector.write.RowLevelOperation
+  with IceLiteRowLevelOpBase {
   import org.apache.spark.sql.connector.expressions.Expressions
 
-  /** Manifest-relative files the (runtime-filtered) scan planned —
-    * the groups the replace-write swaps out. Set by
-    * IceLiteScan.planInputPartitions, read by commit(); both run on
-    * the driver, planning strictly before commit. */
-  @volatile private[sources] var scannedFiles: Option[Seq[String]] = None
+  override def isGroupBased: Boolean = true
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def description(): String = s"IceLiteRowLevelOperation $cmd ${ref.name}"
@@ -930,6 +1079,240 @@ class IceLiteRowLevelOperation(ref: TableRef, tableSchema: StructType,
     Array(Expressions.column("_file"))
 }
 
+
+/** r15: one SQL row-level statement as Spark's DELTA-BASED operation
+  * (`SupportsDelta` — the seam Spark's own RewriteUpdateTable /
+  * RewriteMergeIntoTable / RewriteDeleteFromTable plan a `WriteDelta`
+  * through instead of a group-based `ReplaceData`): the MERGE-ON-READ
+  * route of SQL UPDATE / MERGE / non-pushable DELETE, Iceberg's
+  * position-delta role (`write.update.mode=merge-on-read` —
+  * config/iceberg-template.properties:1-13 enables the connector that
+  * owns this choice in the reference). Row identity is `(_file,
+  * _pos)`; updates split into delete + reinsert, so the writers see
+  * only deletes (→ position sidecar rows) and inserts (→ new data
+  * files), and ONE snapshot commits both. At 100 TB this is the
+  * difference between a one-column backfill rewriting every touched
+  * file (CoW) and writing O(matched rows). */
+class IceLiteDeltaOperation(ref: TableRef, tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.SupportsDelta
+  with IceLiteRowLevelOpBase {
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  override def isGroupBased: Boolean = false
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"IceLiteDeltaOperation $cmd ${ref.name}"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IceLiteScanBuilder(ref, tableSchema, rowOp = Some(this))
+
+  /** Iceberg's position-delta identity: the file a row lives in and
+    * its physical position there. */
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  /** Keep UPDATE rows whole in the plan (the writer splits them into
+    * a position delete + an insert itself — [[IceLiteDeltaWriter
+    * .update]]): a plan-side split would route through an Expand
+    * whose insert branch nulls the rowId, making the `(_file, _pos)`
+    * attrs nullable and failing WriteDelta's compatibility check
+    * against the non-nullable metadata columns. Iceberg's position
+    * delta makes the same choice. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new IceLiteDeltaWrite(ref, info.schema(),
+          IceLiteDeltaOperation.this, cmd match {
+            case org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE => "update-mor"
+            case org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE => "delete-mor"
+            case _ => "merge-mor"
+          })
+    }
+}
+
+/** The write half of a delta (merge-on-read) row-level statement:
+  * each task writes its position deletes to a sidecar under
+  * `deletes/<token>/` and its inserts through the table's OWN layout
+  * under `data/<token>/` (value dirs re-derived for identity and
+  * hidden partitioning, so MoR appends keep pruning tight); the
+  * driver promotes staged value dirs and commits ONE snapshot via
+  * [[graft.icelite.IceLite.commitDelta]]. Inserts cluster by the
+  * table's layout (RequiresDistributionAndOrdering) except for
+  * DELETE statements, whose plans carry no data columns. */
+class IceLiteDeltaWrite(ref: TableRef, rowSchema: StructType,
+    op: IceLiteDeltaOperation, opName: String)
+  extends org.apache.spark.sql.connector.write.DeltaWrite
+  with org.apache.spark.sql.connector.write.DeltaBatchWrite
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+  private val delToken = java.util.UUID.randomUUID.toString.take(8)
+  private def sortedBy: Option[String] = IceLite.effectiveSortCol(ref)
+  private val partCols: Seq[String] =
+    IceLiteSource.resolveSnap(ref, None).partitionCols
+  private val transformSpec: Seq[graft.icelite.PartitionField] =
+    IceLiteSource.resolveSnap(ref, None).partitionSpec
+  private val tz = org.apache.spark.sql.SparkSession.active
+    .sessionState.conf.sessionLocalTimeZone
+  /** DELETE plans carry only rowId/metadata attributes — there is
+    * nothing to cluster and data-column layout expressions would not
+    * resolve. */
+  private def deleteOnly: Boolean = rowSchema.isEmpty
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+  override def description(): String = s"IceLiteDeltaWrite $opName ${ref.name}"
+
+  override def requiredDistribution(): Distribution =
+    if (deleteOnly) Distributions.unspecified()
+    else if (transformSpec.nonEmpty)
+      Distributions.clustered(transformSpec.map(_.sourceCol).distinct
+        .map(c => Expressions.identity(c): org.apache.spark.sql
+          .connector.expressions.Expression).toArray)
+    else IceLiteWriteLayout.distributionFor(partCols, sortedBy)
+  override def requiredOrdering(): Array[SortOrder] =
+    if (deleteOnly || transformSpec.nonEmpty) Array.empty
+    else IceLiteWriteLayout.orderingFor(partCols, sortedBy)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    require(!rowSchema.fieldNames.contains("_file") &&
+        !rowSchema.fieldNames.contains("_pos"),
+      s"delta $opName write schema leaked a metadata column")
+    java.nio.file.Files.createDirectories(ref.dataDir.resolve(token))
+    java.nio.file.Files.createDirectories(ref.deletesDir.resolve(delToken))
+    new IceLiteDeltaWriterFactory(
+      ref.dataDir.resolve(token).toString,
+      ref.deletesDir.resolve(delToken).toString,
+      rowSchema, partCols, transformSpec, tz)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // same WAP guard as every row-level write: a delta during an
+    // audit session would mutate main while the audit reads the branch
+    require(org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.wap.branch").forall(_.isEmpty),
+      s"spark.wap.branch is set — $opName would mutate main during " +
+        "an audit session; publish/drop the branch or unset the conf")
+    val scanned = op.scannedSnap.getOrElse(throw new IllegalStateException(
+      s"delta $opName write committed before its scan planned"))
+    val msgs = messages.collect { case m: IceLiteDeltaCommitMessage => m }
+    val sidecars = msgs.flatMap(_.posFile)
+      .map(n => s"deletes/$delToken/$n").toSeq.sorted
+    val staged: Seq[String] =
+      if (partCols.nonEmpty || transformSpec.nonEmpty)
+        IceLite.promoteStagedPartitioned(ref, token,
+          msgs.flatMap(_.dataFiles).toSeq)
+      else msgs.flatMap(_.dataFiles).map(n => s"data/$token/$n").toSeq.sorted
+    if (sidecars.isEmpty && staged.isEmpty) { cleanupStage(); return }
+    IceLite.commitDelta(org.apache.spark.sql.SparkSession.active, ref,
+      scanned, staged, sidecars, opName)
+    cleanupStage()
+  }
+
+  private def cleanupStage(): Unit =
+    Seq(ref.dataDir.resolve(token), ref.deletesDir.resolve(delToken))
+      .foreach { dir =>
+        if (java.nio.file.Files.exists(dir) &&
+            IceLite.listDir(java.nio.file.Files.list(dir))(_.toSeq).isEmpty)
+          { java.nio.file.Files.deleteIfExists(dir); () }
+      }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Seq(ref.dataDir.resolve(token), ref.deletesDir.resolve(delToken))
+      .foreach { dir =>
+        if (java.nio.file.Files.exists(dir))
+          IceLite.listDir(java.nio.file.Files.walk(dir))(_.toSeq)
+            .sortBy(-_.getNameCount)
+            .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+      }
+}
+
+case class IceLiteDeltaCommitMessage(dataFiles: Seq[String],
+    posFile: Option[String]) extends WriterCommitMessage
+
+class IceLiteDeltaWriterFactory(dataStageDir: String, delStageDir: String,
+    rowSchema: StructType, partCols: Seq[String],
+    spec: Seq[graft.icelite.PartitionField], timeZoneId: String)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new IceLiteDeltaWriter(dataStageDir, delStageDir,
+      f"part-$partitionId%05d-$taskId.parquet", rowSchema, partCols,
+      spec, timeZoneId)
+}
+
+/** Per-task delta writer: `delete(meta, id)` appends the row's
+  * `(file_path, pos)` identity to this task's position-delete
+  * sidecar; `insert(row)` routes through the same layout writer an
+  * ordinary append would use (flat / identity value dirs / transform
+  * value dirs). Updates arrive pre-split (delete + reinsert). Both
+  * writers open lazily — a task that only deletes stages no data
+  * file and vice versa. */
+class IceLiteDeltaWriter(dataStageDir: String, delStageDir: String,
+    fileName: String, rowSchema: StructType, partCols: Seq[String],
+    spec: Seq[graft.icelite.PartitionField], timeZoneId: String)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private var posWriter: IceLiteDataWriter = _
+  private var insertWriter: DataWriter[InternalRow] = _
+  private val delRow = new GenericInternalRow(2)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    if (posWriter == null)
+      posWriter = new IceLiteDataWriter(delStageDir, fileName,
+        Array(("file_path", StringType), ("pos", LongType)))
+    // rowId projection order is rowId(): (_file string, _pos long)
+    delRow.update(0, id.getUTF8String(0))
+    delRow.update(1, id.getLong(1))
+    posWriter.write(delRow)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (insertWriter == null)
+      insertWriter =
+        if (spec.nonEmpty)
+          new IceLiteTransformedDataWriter(dataStageDir, fileName,
+            rowSchema, spec, timeZoneId)
+        else if (partCols.nonEmpty)
+          new IceLitePartitionedDataWriter(dataStageDir, fileName,
+            rowSchema, partCols)
+        else
+          new IceLiteDataWriter(dataStageDir, fileName,
+            rowSchema.fields.map(f => (f.name, f.dataType)))
+    insertWriter.write(row)
+  }
+
+  /** Unused under representUpdateAsDeleteAndInsert — kept total for
+    * the interface. */
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = { delete(meta, id); insert(row) }
+
+  override def commit(): WriterCommitMessage = {
+    val pos = Option(posWriter).map(_.commit()).collect {
+      case IceLiteCommitMessage(n) if n != null => n
+    }
+    val data: Seq[String] = Option(insertWriter).map(_.commit()) match {
+      case Some(IceLiteCommitMessage(n)) if n != null => Seq(n)
+      case Some(IceLitePartitionedCommitMessage(fs)) => fs
+      case _ => Nil
+    }
+    IceLiteDeltaCommitMessage(data, pos)
+  }
+  override def abort(): Unit = {
+    Option(posWriter).foreach(_.abort())
+    Option(insertWriter).foreach(_.abort())
+  }
+  override def close(): Unit = {
+    Option(posWriter).foreach(_.close())
+    Option(insertWriter).foreach(_.close())
+  }
+}
 
 /** The write-layout contract shared by every IceLite batch write
   * (local append/overwrite, row-level replace, REST variants):
@@ -1821,7 +2204,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     snapshotsPerTrigger: Int = Int.MaxValue,
     targetSplitBytes: Long = 128L * 1024 * 1024,
     asOf: Option[Long] = None,
-    rowOp: Option[IceLiteRowLevelOperation] = None,
+    rowOp: Option[IceLiteRowLevelOpBase] = None,
     changelog: Boolean = false,
     streamRefresh: () => Unit = () => (),
     splitBytesExplicit: Boolean = false)
@@ -2177,6 +2560,12 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       // path, not the parquet pages — and the `_file` metadata
       // column (per-file constant, from the split) after those
       val emitFile = required.fieldNames.contains("_file")
+      // r15: `_pos` — the physical row position within its file
+      // (Iceberg's `_pos` metadata column). Projected by the delta
+      // row-level path (SupportsDelta rowId = (_file, _pos)); the
+      // reader already tracks physical positions for tombstone
+      // skipping, so emission is a per-row slot, not a re-read.
+      val emitPos = required.fieldNames.contains("_pos")
       // d73: an eq-live snapshot's readers anti-join rows on the
       // sidecars' KEY columns — those columns must be decoded even
       // when the projection dropped them, so the scan over-reads them
@@ -2192,7 +2581,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
               "renaming key columns"))
           kcs
         }
-      val names = required.fieldNames.toSet - "_file" ++ eqKeyCols
+      val names = required.fieldNames.toSet - "_file" - "_pos" ++ eqKeyCols
       // d83: a partition column is PATH-BORNE for this scan only when
       // EVERY file's path carries it. Mid-evolution (mixed layouts),
       // the evolved column demotes to a DATA field: readers decode it
@@ -2210,11 +2599,16 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         names.contains(f.name) && !partProjected.contains(f.name))
       val ordered = StructType(dataOrdered ++
         partProjected.flatMap(c => schema.fields.find(_.name == c)) ++
-        (if (emitFile) required.fields.filter(_.name == "_file") else Array.empty[StructField]))
-      val expected = names.size + (if (emitFile) 1 else 0)
+        (if (emitFile) required.fields.filter(_.name == "_file") else Array.empty[StructField]) ++
+        (if (emitPos) required.fields.filter(_.name == "_pos") else Array.empty[StructField]))
+      val expected = names.size + (if (emitFile) 1 else 0) +
+        (if (emitPos) 1 else 0)
+      // the delta write validates its commit against the snapshot the
+      // scan planned on (concurrent rewrites fail loudly)
+      rowOp.foreach(_.scannedSnap = Some(currentSnap))
       new IceLiteScan(ref,
         if (ordered.length == expected) ordered else required,
-        bounds, partFilters, partProjected, emitFile, rowOp,
+        bounds, partFilters, partProjected, emitFile, emitPos, rowOp,
         currentSnap.partitionCols, currentSnap.deleteFiles,
         currentSnap.eqDeletes,
         snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh,
@@ -2343,7 +2737,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     partFilters: Map[String, Set[String]] = Map.empty,
     partFields: Seq[String] = Nil,
     emitFile: Boolean = false,
-    rowOp: Option[IceLiteRowLevelOperation] = None,
+    emitPos: Boolean = false,
+    rowOp: Option[IceLiteRowLevelOpBase] = None,
     partitionCols: Seq[String] = Nil,
     deleteFiles: Seq[String] = Nil,
     eqDeletes: Seq[graft.icelite.EqDelete] = Nil,
@@ -2368,7 +2763,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
   /** The columns decoded from parquet pages (partition columns come
     * from the file path; `_file` from the split). */
   private val dataFields = required.fields
-    .filter(f => !partFields.contains(f.name) && f.name != "_file")
+    .filter(f => !partFields.contains(f.name) && f.name != "_file" &&
+      f.name != "_pos")
     .map(f => (f.name, f.dataType))
 
   /** Runtime group filter (row-level COW path): the distinct `_file`
@@ -2405,7 +2801,9 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * hook — Spark's PartitionPruning rule only considers columns
     * listed here) plus bucket/truncate transform SOURCE columns. */
   override def filterAttributes(): Array[NamedReference] =
-    if (rowOp.isDefined) Array(Expressions.column("_file"))
+    // only GROUP-BASED (copy-on-write) ops take the `_file` runtime
+    // group filter; a delta (MoR) scan filters like a normal read
+    if (rowOp.exists(_.isGroupBased)) Array(Expressions.column("_file"))
     else {
       // only columns THIS scan outputs: Spark's PartitionPruning rule
       // resolves these refs against the relation output and throws on
@@ -2980,7 +3378,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // the same economics as every other MoR read cost here.
     new IceLiteReaderFactory(dataFields, emitFile,
       IceLiteSource.aliasesOf(m, asOf.getOrElse(m.currentSnapshotId)),
-      morLive = deleteFiles.nonEmpty || eqDeletes.nonEmpty)
+      morLive = deleteFiles.nonEmpty || eqDeletes.nonEmpty,
+      emitPos = emitPos)
   }
 }
 
@@ -3448,7 +3847,11 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     aliases: Map[String, Seq[String]] = Map.empty,
     // scan-level MoR flag: sidecar-live scans read row-based
     // UNIFORMLY (Spark refuses mixed columnar/row partition sets)
-    morLive: Boolean = false)
+    morLive: Boolean = false,
+    // r15: emit each row's physical position in its file as a
+    // trailing `_pos` long (the delta row-level path's row identity);
+    // positions were already tracked for tombstone skipping
+    emitPos: Boolean = false)
   extends PartitionReaderFactory {
 
   /** The name `file` stores column `n` under (None: predates it). */
@@ -3465,7 +3868,7 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     * stays as the fallback for empty projections. */
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val part = p.asInstanceOf[IceLitePartition]
-    fields.nonEmpty && !morLive &&
+    fields.nonEmpty && !morLive && !emitPos &&
       part.tombstones.isEmpty && part.eqKeys.isEmpty &&
       part.posDeleteRefs.isEmpty && part.eqDeleteRefs.isEmpty
   }
@@ -3509,7 +3912,8 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
           val row = r.get()
           val dead = filters.exists { case (idx, dts, set) =>
             set.contains(Seq.tabulate(idx.length)(j =>
-              if (row.isNullAt(idx(j))) null else row.get(idx(j), dts(j))))
+              if (row.isNullAt(idx(j))) null
+              else IceLiteSource.eqKeyForm(row.get(idx(j), dts(j)))))
           }
           if (!dead) return true
         }
@@ -3693,7 +4097,7 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
       // above-budget load — ONE load per split, shared by its files
       private lazy val eqGroups: Seq[EqKeyGroup] =
         part.eqKeys.toSeq.flatMap(_.value) ++
-          IceLiteSource.loadEqKeyGroups(part.eqDeleteRefs)
+          IceLiteSource.loadEqKeyGroupsCached(part.eqDeleteRefs)
       private def eqFor(f: String) =
         if (part.eqKeys.isEmpty && part.eqDeleteRefs.isEmpty) Nil
         else eqFiltersFor(eqGroups, part.fileAddedAt, f)
@@ -3720,9 +4124,15 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
       tombstones: Array[Long] = Array.empty,
       emitOnly: Boolean = false,
       extraTail: Array[Any] = Array.empty): PartitionReader[InternalRow] = {
+    // row layout: data fields ++ partVals ++ [_file] ++ [_pos] ++ extra;
+    // the `_pos` slot (per-ROW physical position) is written in get()
+    val posSlot: Int =
+      if (!emitPos) -1
+      else fields.length + partVals.length + (if (emitFile) 1 else 0)
     val partTail0: Array[Any] = ((partVals.map(v =>
       if (v == null) null else UTF8String.fromString(v): Any) ++
-      (if (emitFile) Seq(UTF8String.fromString(file): Any) else Nil))
+      (if (emitFile) Seq(UTF8String.fromString(file): Any) else Nil) ++
+      (if (emitPos) Seq(0L: Any) else Nil))
       .toArray ++ extraTail)
     // d50: MoR position set for THIS file (skip-set normally; the
     // EMIT-set in changelog delete slices, s17)
@@ -3737,15 +4147,14 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     // answer — emit that many constant rows, zero pages decoded
     def countOnlyReader(): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {
-        private val total = {
+        private val physTotal = {
           val r = ParquetFileReader.open(
             HadoopInputFile.fromPath(new HPath(file), new Configuration()))
-          // tombstoned rows are not rows: the footer count is physical
-          try {
-            if (emitOnly) dead.size.toLong
-            else r.getRecordCount - dead.size
-          } finally r.close()
+          try r.getRecordCount finally r.close()
         }
+        // tombstoned rows are not rows: the footer count is physical
+        private val total =
+          if (emitOnly) dead.size.toLong else physTotal - dead.size
         // data cells (null, or the PATH value for a d83-demoted
         // partition field this file carries in its dirs) then the
         // constant tail
@@ -3759,7 +4168,19 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
             }
           } ++ partTail0)
         private var i = 0L
-        override def next(): Boolean = { i += 1; i <= total }
+        // emitPos: walk PHYSICAL positions so the `_pos` slot carries
+        // each emitted row's true in-file index (live rows skip dead
+        // positions; emitOnly walks exactly the dead set)
+        private var phys = -1L
+        override def next(): Boolean =
+          if (posSlot < 0) { i += 1; i <= total }
+          else {
+            phys += 1
+            while (phys < physTotal && dead.contains(phys) != emitOnly)
+              phys += 1
+            if (phys < physTotal) { row.update(posSlot, phys); true }
+            else false
+          }
         override def get(): InternalRow = row
         override def close(): Unit = ()
       }
@@ -3838,6 +4259,7 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         while (j < partTail.length) {
           row.update(fields.length + j, partTail(j)); j += 1
         }
+        if (posSlot >= 0) row.update(posSlot, pos)
         var i = 0
         while (i < fields.length) {
           val name = storedNames(i) // d58: this file's stored name
@@ -3864,6 +4286,28 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
               row.update(i, UTF8String.fromString(cur.getString(name, 0)))
             case TimestampType => // parquet INT64 micros
               row.update(i, cur.getLong(name, 0))
+            case FloatType => row.update(i, cur.getFloat(name, 0))
+            case DateType => // parquet INT32 epoch days
+              row.update(i, cur.getInteger(name, 0))
+            case BinaryType => row.update(i, cur.getBinary(name, 0).getBytes)
+            // r15: decimal decodes per the FILE's physical backing
+            // (int32 for p<=9, int64 for p<=18, binary/FLBA beyond —
+            // Spark's own writer layout), scale-faithful to the
+            // projection so eq-key HashSet equality holds
+            case d: org.apache.spark.sql.types.DecimalType =>
+              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+              val v = fullFileSchema.getType(Array(name): _*)
+                .asPrimitiveType.getPrimitiveTypeName match {
+                case INT32 => org.apache.spark.sql.types.Decimal(
+                  cur.getInteger(name, 0).toLong, d.precision, d.scale)
+                case INT64 => org.apache.spark.sql.types.Decimal(
+                  cur.getLong(name, 0), d.precision, d.scale)
+                case _ => org.apache.spark.sql.types.Decimal(
+                  BigDecimal(new java.math.BigDecimal(
+                    new java.math.BigInteger(cur.getBinary(name, 0).getBytes),
+                    d.scale)), d.precision, d.scale)
+              }
+              row.update(i, v)
             case other => throw new UnsupportedOperationException(
               s"icelite source reads primitive columns only, got $other for $name")
           }

@@ -18,7 +18,19 @@ class EqMorModelSpec extends AnyFunSuite {
   private def readState(ref: TableRef): Map[Long, String] =
     IceLite.read(spark, ref).as[(Long, String)].collect().toMap
 
-  private def run(seed: Long, ops: Int): Unit = {
+  // r15: the DECIMAL-keyed twin — same model, keys stored as
+  // decimal(12,2) (k/100, exactly representable) and folded back to
+  // Long for the model compare. Runs with the driver-fold budget at
+  // ZERO so every eq read exercises the executor-side key decode the
+  // r15 gate closure added.
+  private def runDecimal(seed: Long, ops: Int): Unit = {
+    spark.conf.set("spark.graft.icelite.eqDeleteDriverFoldBytes", "0")
+    try run(seed, ops, decimalKeyed = true)
+    finally spark.conf.unset("spark.graft.icelite.eqDeleteDriverFoldBytes")
+  }
+
+  private def run(seed: Long, ops: Int,
+      decimalKeyed: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val wh = graft.GraftTmp.dir(s"eqmor_model_$seed").toString
     IceLite.createNamespace(wh, "src")
@@ -31,29 +43,46 @@ class EqMorModelSpec extends AnyFunSuite {
     def existing(n: Int): Seq[Long] =
       rnd.shuffle(model.keys.toSeq).take(n)
 
+    import org.apache.spark.sql.functions.col
+    def rowsDf(rows: Seq[(Long, String)]) = {
+      val df = rows.toDF("k", "s")
+      if (!decimalKeyed) df
+      else df.select((col("k") / 100).cast("decimal(12,2)").as("k"), col("s"))
+    }
+    def keysDf(keys: Seq[Long]) = {
+      val df = keys.toDF("k")
+      if (!decimalKeyed) df
+      else df.select((col("k") / 100).cast("decimal(12,2)").as("k"))
+    }
+    def state(): Map[Long, String] =
+      if (!decimalKeyed) readState(ref)
+      else IceLite.read(spark, ref)
+        .select((col("k") * 100).cast("long").as("k"), col("s"))
+        .as[(Long, String)].collect().toMap
+
     // seed the table
     val seedRows = freshKeys(5).map(k => (k, s"v$seed-$k"))
-    IceLite.createOrReplace(ref, seedRows.toDF("k", "s"))
+    IceLite.createOrReplace(ref, rowsDf(seedRows))
     model ++= seedRows
 
     (0 until ops).foreach { i =>
       rnd.nextInt(10) match {
         case 0 | 1 => // append fresh keys
           val rows = freshKeys(1 + rnd.nextInt(3)).map(k => (k, s"a$i-$k"))
-          IceLite.append(ref, rows.toDF("k", "s"))
+          IceLite.append(ref, rowsDf(rows))
           model ++= rows
         case 2 | 3 | 4 => // atomic upsert: mix of existing + fresh
           val rows = (existing(rnd.nextInt(3)) ++
             freshKeys(1 + rnd.nextInt(2))).distinct.map(k => (k, s"u$i-$k"))
           if (rows.nonEmpty) {
-            IceLite.upsertByKeysMoR(spark, ref, rows.toDF("k", "s"), Seq("k"))
+            IceLite.upsertByKeysMoR(spark, ref, rowsDf(rows), Seq("k"))
             model ++= rows
           }
         case 5 | 6 | 7 => // equality delete: known + unknown keys
           val keys = (existing(rnd.nextInt(3)) ++
             Seq(9_000_000L + rnd.nextInt(100))).distinct
           if (keys.nonEmpty) {
-            IceLite.deleteByKeysMoR(spark, ref, keys.toDF("k"), Seq("k"))
+            IceLite.deleteByKeysMoR(spark, ref, keysDf(keys), Seq("k"))
             model --= keys
           }
         case 8 => // compact materializes everything
@@ -62,10 +91,10 @@ class EqMorModelSpec extends AnyFunSuite {
           // fresh-key only in this model, so upsert plays that role)
           val k = 9_000_000L + rnd.nextInt(100)
           IceLite.upsertByKeysMoR(spark, ref,
-            Seq((k, s"r$i")).toDF("k", "s"), Seq("k"))
+            rowsDf(Seq((k, s"r$i"))), Seq("k"))
           model += (k -> s"r$i")
       }
-      val got = readState(ref)
+      val got = state()
       assert(got == model,
         s"seed=$seed op=$i diverged:\n extra=${got.toSet -- model.toSet}\n " +
           s"missing=${model.toSet -- got.toSet}")
@@ -81,6 +110,13 @@ class EqMorModelSpec extends AnyFunSuite {
     }
   }
 
+  Seq(23L, 71L).foreach { seed =>
+    test(s"decimal-keyed interleavings match the model on the " +
+        s"executor-side eq regime (seed $seed)") {
+      runDecimal(seed, ops = 14)
+    }
+  }
+
   // Wide sweep (round gates, same pattern as the other model
   // fuzzers):
   //   GRAFT_EQMOR_SEEDS=50 [GRAFT_EQMOR_BASE=17000] \
@@ -90,7 +126,8 @@ class EqMorModelSpec extends AnyFunSuite {
       .getOrElse(17000L)
     (1 to n).foreach { i =>
       test(s"eqmor wide sweep (seed ${base + i})") {
-        run(base + i, ops = 18)
+        if (i % 3 == 0) runDecimal(base + i, ops = 14)
+        else run(base + i, ops = 18)
       }
     }
   }

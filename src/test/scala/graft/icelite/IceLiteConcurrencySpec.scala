@@ -604,4 +604,41 @@ class IceLiteConcurrencySpec extends AnyFunSuite {
     assert(got == Seq((2L, "B"), (7L, "A"), (9L, "B")),
       s"overwrite/append race lost an effect: $got")
   }
+
+  test("r15: MoR SQL UPDATE (delta write) racing a compact fails LOUDLY; " +
+      "racing an append rebases and both land") {
+    val wh = graft.GraftTmp.dir("delta_race").toString
+    IceLite.createNamespace(wh, "src")
+    val cat = s"drace_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.IceLiteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val ref = TableRef(wh, "src", "t")
+    IceLite.createOrReplace(ref,
+      (1L to 500L).map(i => (i, i * 1.0)).toDF("id", "v").repartition(3),
+      Seq("id"))
+    IceLite.alterSetProperties(ref, Map("write.update.mode" -> "merge-on-read"))
+    // the plan→commit window is not hookable without a fault
+    // injector, so pin the CONFLICT RULE at the commit seam: a delta
+    // computed against the pre-compact snapshot must refuse once
+    // compact() rewrote the files its positions reference —
+    // resurrecting rows through stale positions would be silent
+    // corruption. (This is the same stale-snapshot state a true
+    // mid-statement race produces.)
+    val stale = IceLite.readManifest(ref).current
+    IceLite.compact(spark, ref)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      IceLite.commitDelta(spark, ref, stale, Nil, Nil, "update-mor")
+    }
+    assert(e.getMessage.contains("changed concurrently"), e.getMessage)
+    // and the rebase half: an APPEND between plan and commit is
+    // harmless (scanned files all still live) — the UPDATE lands
+    spark.sql(s"UPDATE $cat.src.t SET v = -1 WHERE id = 7")
+    val mid = IceLite.readManifest(ref).current
+    assert(mid.operation == "update-mor")
+    IceLite.append(ref, Seq((501L, 501.0)).toDF("id", "v"))
+    assert(IceLite.read(spark, ref).count() == 501)
+    assert(IceLite.read(spark, ref).filter($"id" === 7L)
+      .select("v").as[Double].head() == -1.0)
+  }
 }

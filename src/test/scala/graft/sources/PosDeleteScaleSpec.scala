@@ -227,6 +227,78 @@ class PosDeleteScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("r15: DECIMAL-keyed eq sidecars take the executor path — both " +
+    "int64-backed (precision<=18) and FLBA-backed (wide) decimals") {
+    for ((p, s, tag) <- Seq((10, 2, "narrow"), (22, 4, "wide"))) {
+      val wh = graft.GraftTmp.dir(s"posdel_eqdec$tag").toString
+      IceLite.createNamespace(wh, "src")
+      val ref = TableRef(wh, "src", "d")
+      val df = (0L until 300L).map(i => (i, BigDecimal(i) / 100))
+        .toDF("n", "amt")
+        .select($"n", $"amt".cast(s"decimal($p,$s)").as("amt"))
+      IceLite.createOrReplace(ref, df)
+      IceLite.deleteByKeysMoR(spark, ref,
+        (0L until 5L).map(i => BigDecimal(i) / 100).toDF("amt")
+          .select($"amt".cast(s"decimal($p,$s)").as("amt")), Seq("amt"))
+      val expect = spark.read.format("graft.sources.IceLiteSource")
+        .load(ref.dir.toString).select($"n").as[Long].collect().sorted.toSeq
+      assert(expect == (5L until 300L), s"$tag driver-fold regime wrong")
+      withZeroEqBudget {
+        val folds0 = IceLiteSource.eqFoldComputes.get()
+        val exec0 = IceLiteSource.eqExecutorPlans.get()
+        val got = spark.read.format("graft.sources.IceLiteSource")
+          .load(ref.dir.toString).select($"n").as[Long].collect().sorted.toSeq
+        assert(got == expect, s"$tag decimal eq keys must match executor-side")
+        assert(IceLiteSource.eqFoldComputes.get() == folds0,
+          s"$tag decimal keys still folded on the driver above budget")
+        assert(IceLiteSource.eqExecutorPlans.get() > exec0,
+          s"$tag decimal keys did not take the executor path")
+      }
+    }
+  }
+
+  test("r15: raw BINARY eq keys compare by VALUE on both regimes") {
+    val wh = graft.GraftTmp.dir("posdel_eqbin").toString
+    IceLite.createNamespace(wh, "src")
+    val ref = TableRef(wh, "src", "b")
+    val df = (0L until 200L).map(i => (i, s"blob_$i".getBytes("UTF-8")))
+      .toDF("n", "key")
+    IceLite.createOrReplace(ref, df)
+    IceLite.deleteByKeysMoR(spark, ref,
+      Seq("blob_0", "blob_1", "blob_2").map(_.getBytes("UTF-8")).toDF("key"),
+      Seq("key"))
+    val expect = spark.read.format("graft.sources.IceLiteSource")
+      .load(ref.dir.toString).select($"n").as[Long].collect().sorted.toSeq
+    assert(expect == (3L until 200L),
+      "binary eq keys must compare by value on the driver-fold regime")
+    withZeroEqBudget {
+      val folds0 = IceLiteSource.eqFoldComputes.get()
+      val got = spark.read.format("graft.sources.IceLiteSource")
+        .load(ref.dir.toString).select($"n").as[Long].collect().sorted.toSeq
+      assert(got == expect, "binary eq keys must match executor-side")
+      assert(IceLiteSource.eqFoldComputes.get() == folds0)
+    }
+  }
+
+  test("r15: executor eq key groups load ONCE per JVM per sidecar set " +
+    "(ADVICE — splits and repeat scans hit the cache)") {
+    val ref = mk()
+    IceLite.deleteByKeysMoR(spark, ref, Seq(10L, 20L).toDF("k"), Seq("k"))
+    withZeroEqBudget {
+      // warm: first scan loads (possibly racing loads across splits)
+      spark.read.format("graft.sources.IceLiteSource")
+        .load(ref.dir.toString).count()
+      val loads0 = IceLiteSource.eqExecLoads.get()
+      // a SECOND full scan of the same eq window must not re-read the
+      // sidecars at all
+      val got = spark.read.format("graft.sources.IceLiteSource")
+        .load(ref.dir.toString).count()
+      assert(got == 398L)
+      assert(IceLiteSource.eqExecLoads.get() == loads0,
+        "repeat scan re-read eq sidecars despite the JVM cache")
+    }
+  }
+
   test("a genuinely over-budget sidecar takes the executor path under " +
     "the DEFAULT budget (no conf override)") {
     // ~300k tombstones ≈ 2–3 MiB of snappy parquet is still under

@@ -145,6 +145,20 @@ class WriteOrderDdlSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY zorder(3, a)")
     }
     assert(e6.getMessage.contains("sort transform"), e6.getMessage)
+    // r15 (ADVICE): the grammar is Iceberg's fixed bucket|truncate
+    // (n, col) — the reversed form is refused LOUDLY, never silently
+    // reinterpreted by an all-digits heuristic
+    val e7 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY bucket(a, 8)")
+    }
+    assert(e7.getMessage.contains("reversed"), e7.getMessage)
+    spark.sql(s"ALTER TABLE $cat.src.g WRITE ORDERED BY bucket(8, a)")
+    assert(IceLite.readManifest(g).declaredSortedBy.contains("bucket(8,a)"))
+    // a digits-named column works as a transform source in canonical
+    // position (the heuristic used to make it unparseable)
+    assert(graft.icelite.SortKey.parse("truncate(4, `123`)").head ==
+      graft.icelite.SortKey("123", asc = true, None, Some(("truncate", 4))))
+    assert(graft.icelite.SortKey.parse("days(`2024`)").head.col == "2024")
   }
 
   test("multi-column DESC order: lifecycle over (d DESC, k), leading-key " +
