@@ -3044,6 +3044,30 @@ object ScalePack extends Pack {
         graft.sources.IceLiteSource.lastScanMetadataOnly = false
         aggR.write.format("noop").mode("overwrite").save()
         val pushedR = graft.sources.IceLiteSource.lastScanMetadataOnly
+        // r15 (verdict task #3): TYPED partition-column ranges —
+        // `COUNT(*) WHERE year >= 2023 GROUP BY year` on an
+        // INT-partitioned DDL table answers metadata-only too (dirs
+        // compare as parsed ints, never lexicographically; per-group
+        // value exactness is spec-pinned in TypedPartitionPruneSpec)
+        val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.IceLiteCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.src.orders_year (k BIGINT, year INT) " +
+          "PARTITIONED BY (year)")
+        Tables.load(s, dir, "orders")
+          .select($"o_orderkey".as("k"),
+            (lit(2020) + ($"o_orderkey" % 6)).cast("int").as("year"))
+          .createOrReplaceTempView("d37_typed_src")
+        s.sql(s"INSERT INTO $cat.src.orders_year " +
+          "SELECT k, year FROM d37_typed_src")
+        val aggT = s.sql(s"SELECT year, COUNT(*) AS n FROM " +
+          s"$cat.src.orders_year WHERE year >= 2023 GROUP BY year")
+        graft.sources.IceLiteSource.lastScanMetadataOnly = false
+        val typedRows = aggT.collect()
+        val pushedT = graft.sources.IceLiteSource.lastScanMetadataOnly
+        val typedTotal = typedRows.map(_.getLong(1)).sum
+        val typedYears = typedRows.length.toLong
         agg.join(aggF, Seq("l_returnflag"), "left")
           .join(aggR, Seq("l_returnflag"), "left")
           .select($"l_returnflag", $"n",
@@ -3053,6 +3077,9 @@ object ScalePack extends Pack {
           .withColumn("agg_pushed", lit(pushed))
           .withColumn("filtered_agg_pushed", lit(pushedF))
           .withColumn("range_agg_pushed", lit(pushedR))
+          .withColumn("typed_total", lit(typedTotal))
+          .withColumn("typed_years", lit(typedYears))
+          .withColumn("typed_agg_pushed", lit(pushedT))
       },
       Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
@@ -3060,7 +3087,13 @@ object ScalePack extends Pack {
              CAST(CASE WHEN l_returnflag >= 'N' THEN COUNT(*) ELSE 0 END
                AS BIGINT) AS n_ge,
              TRUE AS agg_pushed, TRUE AS filtered_agg_pushed,
-             TRUE AS range_agg_pushed
+             TRUE AS range_agg_pushed,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+               WHERE 2020 + o_orderkey % 6 >= 2023) AS typed_total,
+             (SELECT CAST(COUNT(DISTINCT 2020 + o_orderkey % 6) AS BIGINT)
+               FROM orders
+               WHERE 2020 + o_orderkey % 6 >= 2023) AS typed_years,
+             TRUE AS typed_agg_pushed
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // d35: COUNT-based snapshot retention (Iceberg expire_snapshots

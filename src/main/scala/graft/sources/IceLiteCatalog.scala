@@ -593,21 +593,35 @@ object IceLiteCatalog extends org.apache.spark.internal.Logging {
     }
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the table schema"))
-    // loud, not silent: the Hive-layout convention (values live in the
-    // path) means a non-string declared partition type surfaces as
-    // STRING and partition columns sort last — tell the user instead
-    // of letting them discover it from a surprising DESCRIBE
+    // r15: STRING and INT/LONG partition columns keep their declared
+    // type (dirs are canonical integral renderings and the readers
+    // parse them back, so `WHERE year >= 2023` stays a typed column
+    // predicate the scan can claim). Anything else (dates, decimals)
+    // still surfaces as STRING — loud, not silent: the Hive-layout
+    // convention (values live in the path) has no canonical rendering
+    // contract for those types yet.
     cols.foreach { c =>
       val f = schema(schema.fieldIndex(c))
-      if (f.dataType != org.apache.spark.sql.types.StringType)
-        logWarning(s"partition column '$c' declared ${f.dataType.sql} " +
-          "surfaces as STRING (partition values are path-borne in the " +
-          "Hive layout) and partition columns sort last in the schema")
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other =>
+          logWarning(s"partition column '$c' declared ${other.sql} " +
+            "surfaces as STRING (partition values are path-borne in the " +
+            "Hive layout) and partition columns sort last in the schema")
+      }
     }
+    def partType(c: String): org.apache.spark.sql.types.DataType =
+      schema(schema.fieldIndex(c)).dataType match {
+        case t @ (org.apache.spark.sql.types.IntegerType |
+                  org.apache.spark.sql.types.LongType) => t
+        case _ => org.apache.spark.sql.types.StringType
+      }
     (StructType(
       schema.fields.filterNot(f => cols.contains(f.name)) ++
         cols.map(c => org.apache.spark.sql.types.StructField(c,
-          org.apache.spark.sql.types.StringType))), cols)
+          partType(c)))), cols)
   }
 }
 

@@ -485,6 +485,38 @@ object IceLiteSource {
       pick(a._2, b._2, keepGreater = false))
   }
 
+  /** r15: a pushed range over an INTEGRAL-TYPED (int/long) identity
+    * partition column — dir values compare as parsed longs, never
+    * lexicographically ("10" > "9"). Each side is (bound,
+    * inclusive). */
+  type NumRange = (Option[(Long, Boolean)], Option[(Long, Boolean)])
+
+  private[sources] def numInRange(v: Long, r: NumRange): Boolean =
+    r._1.forall { case (lo, inc) => if (inc) v >= lo else v > lo } &&
+    r._2.forall { case (hi, inc) => if (inc) v <= hi else v < hi }
+
+  private[sources] def numRangeIntersect(a: NumRange, b: NumRange): NumRange = {
+    def pick(x: Option[(Long, Boolean)], y: Option[(Long, Boolean)],
+        keepGreater: Boolean): Option[(Long, Boolean)] = (x, y) match {
+      case (None, v) => v
+      case (v, None) => v
+      case (Some((xv, xi)), Some((yv, yi))) =>
+        if (xv == yv) Some((xv, xi && yi))
+        else if ((xv > yv) == keepGreater) Some((xv, xi))
+        else Some((yv, yi))
+    }
+    (pick(a._1, b._1, keepGreater = true),
+      pick(a._2, b._2, keepGreater = false))
+  }
+
+  /** A dir value's CANONICAL integral form: parses as Long AND
+    * round-trips to the same string (a "02023" dir would equal 2023
+    * numerically but not string-wise — such dirs decline typed
+    * claims entirely, the conservative stance for migrated
+    * layouts). */
+  private[sources] def canonicalLong(v: String): Option[Long] =
+    v.toLongOption.filter(_.toString == v)
+
   /** Dir value → SQL value: Hive's null-sentinel dir
     * (`__HIVE_DEFAULT_PARTITION__`) decodes to NULL on every
     * row-returning path (batch constant vectors, stream partVals,
@@ -496,6 +528,21 @@ object IceLiteSource {
     if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .DEFAULT_PARTITION_NAME) null
     else v
+
+  /** r15: a dir value as the CATALYST value of a typed partition
+    * column (null already sentinel-decoded by the caller). Int/long
+    * dirs are canonical renderings by the write path's construction;
+    * a foreign non-canonical dir fails loudly rather than silently
+    * nulling. */
+  private[sources] def dirTypedValue(v: String, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(v)
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case other => throw new IllegalStateException(
+        s"unsupported typed partition dir decode: $other for '$v'")
+    }
 
   /** Resolve the scan snapshot: the pinned id (time travel) or the
     * current head. A pinned id that expired past retention fails
@@ -599,7 +646,26 @@ object IceLiteSource {
     // (found by RestModelFuzzSpec sweep seeds 1022/1039: a CoW
     // rewrite flipped the head file to a REQUIRED-schema append and
     // every pre-ADD-COLUMN row's null read back as 0).
-    StructType(widened.fields.map(_.copy(nullable = true)))
+    // r15: a path-borne partition column KEEPS its DECLARED int/long
+    // type (the d68 DDL shape `PARTITIONED BY (year)` with `year
+    // INT`) instead of demoting to Hive's untyped string — the
+    // readers parse dir values per type, so `WHERE year >= 2023`
+    // stays a plain typed column predicate Spark can push. Other
+    // declared types (and undeclared tables) keep the string default.
+    val declTypes: Map[String, DataType] = m.declaredSchemaDdl
+      .flatMap(d => scala.util.Try(StructType.fromDDL(d)).toOption)
+      .map(_.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    val typedParts = StructType(widened.fields.map { f =>
+      if (snap.partitionCols.contains(f.name) && f.dataType == StringType)
+        declTypes.get(f.name) match {
+          case Some(IntegerType) => f.copy(dataType = IntegerType)
+          case Some(LongType) => f.copy(dataType = LongType)
+          case _ => f
+        }
+      else f
+    })
+    StructType(typedParts.fields.map(_.copy(nullable = true)))
   }
 
   /** The FILE-BORNE schema base of one snapshot (head file's parquet
@@ -2220,6 +2286,10 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     * range file-pruning is row filtering on value-pure files, exactly
     * like equality (verdict task #5). */
   private var partRanges: Map[String, IceLiteSource.StrRange] = Map.empty
+  /** r15: pushed ranges over INT/LONG-typed identity partition
+    * columns — `year >= 2023`, the most common warehouse partition
+    * predicate after equality. Dir values compare as parsed longs. */
+  private var partNumRanges: Map[String, IceLiteSource.NumRange] = Map.empty
   /** Columns whose partition filters were CLAIMED fully handled —
     * consumers without a residual filter above them (the micro-batch
     * stream) must enforce these exactly or refuse. */
@@ -2315,6 +2385,25 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     def partRange(col: String, r: IceLiteSource.StrRange): Unit =
       partRanges += col -> partRanges.get(col)
         .map(IceLiteSource.strRangeIntersect(_, r)).getOrElse(r)
+    def partNumRange(col: String, r: IceLiteSource.NumRange): Unit =
+      partNumRanges += col -> partNumRanges.get(col)
+        .map(IceLiteSource.numRangeIntersect(_, r)).getOrElse(r)
+    // r15: an integral literal pushed against an INT/LONG-TYPED
+    // identity partition column (the d68/DDL-created table shape —
+    // string partition columns take the r13/r14 paths above). Gated
+    // on every dir value being the literal's CANONICAL rendering, so
+    // dir comparison IS value comparison; anything else (a migrated
+    // "02023" dir) declines to the generic stats path.
+    def intLit(v: Any): Option[Long] = v match {
+      case n: java.lang.Integer => Some(n.longValue())
+      case n: java.lang.Long => Some(n.longValue())
+      case n: java.lang.Short => Some(n.longValue())
+      case n: java.lang.Byte => Some(n.longValue())
+      case _ => None
+    }
+    def intPart(c: String): Boolean =
+      isPartCol(c) && typeOf(c).exists(t =>
+        t == IntegerType || t == LongType) && intDirsCanonical(c)
     accepted = filters.filter {
       // time-transform dir ranges first (GT stays day-inclusive at
       // its bound — conservative; LT likewise keeps the boundary day)
@@ -2338,6 +2427,23 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         partRange(c, (None, Some((v, false)))); true
       case LessThanOrEqual(c, v: String) if isPartCol(c) =>
         partRange(c, (None, Some((v, true)))); true
+      // r15: TYPED ranges/equality on int/long identity partition
+      // columns prune value dirs by PARSED comparison (lexicographic
+      // would order "10" < "9") and claim exact under the same
+      // uniformly-path-borne rule as strings
+      case GreaterThan(c, v) if intPart(c) && intLit(v).isDefined =>
+        partNumRange(c, (Some((intLit(v).get, false)), None)); true
+      case GreaterThanOrEqual(c, v) if intPart(c) && intLit(v).isDefined =>
+        partNumRange(c, (Some((intLit(v).get, true)), None)); true
+      case LessThan(c, v) if intPart(c) && intLit(v).isDefined =>
+        partNumRange(c, (None, Some((intLit(v).get, false)))); true
+      case LessThanOrEqual(c, v) if intPart(c) && intLit(v).isDefined =>
+        partNumRange(c, (None, Some((intLit(v).get, true)))); true
+      case EqualTo(c, v) if intPart(c) && intLit(v).isDefined =>
+        partEq(c, Set(intLit(v).get.toString)); true
+      case In(c, vs) if intPart(c) && vs.nonEmpty &&
+          vs.forall(intLit(_).isDefined) =>
+        partEq(c, vs.map(intLit(_).get.toString).toSet); true
       case GreaterThan(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
       case GreaterThanOrEqual(c, v) => num(v).exists { d => tighten(c, d, Double.PositiveInfinity); true }
       case LessThan(c, v) => num(v).exists { d => tighten(c, Double.NegativeInfinity, d); true }
@@ -2386,12 +2492,29 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
       snapshotsPerTrigger == Int.MaxValue
     claimedPartCols =
       if (!plainBatch) Set.empty
-      else (partFilters.keySet ++ partNotNull ++ partRanges.keySet)
+      else (partFilters.keySet ++ partNotNull ++ partRanges.keySet ++
+          partNumRanges.keySet)
         .filter(exactPartCol)
     filters.filterNot {
       case EqualTo(c, _: String) => plainBatch && exactPartCol(c)
-      case In(c, vs) => plainBatch && exactPartCol(c) && vs.nonEmpty &&
-        vs.forall(_.isInstanceOf[String])
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        plainBatch && exactPartCol(c)
+      // r15: typed int/long partition predicates claim under the
+      // same rule — the canonical-dir gate made dir comparison value
+      // comparison, so pruning IS the row filter
+      case EqualTo(c, v) if intPart(c) && intLit(v).isDefined =>
+        plainBatch && exactPartCol(c)
+      case In(c, vs) if intPart(c) && vs.nonEmpty &&
+          vs.forall(intLit(_).isDefined) =>
+        plainBatch && exactPartCol(c)
+      case GreaterThan(c, v) if intPart(c) && intLit(v).isDefined =>
+        plainBatch && exactPartCol(c)
+      case GreaterThanOrEqual(c, v) if intPart(c) && intLit(v).isDefined =>
+        plainBatch && exactPartCol(c)
+      case LessThan(c, v) if intPart(c) && intLit(v).isDefined =>
+        plainBatch && exactPartCol(c)
+      case LessThanOrEqual(c, v) if intPart(c) && intLit(v).isDefined =>
+        plainBatch && exactPartCol(c)
       case org.apache.spark.sql.sources.IsNotNull(c) =>
         plainBatch && exactPartCol(c)
       case org.apache.spark.sql.sources.IsNull(c) =>
@@ -2416,6 +2539,17 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     isPartCol(c) && currentSnap.files.nonEmpty &&
       currentSnap.files.forall(f =>
         IceLiteSource.pathPartValues(f).contains(c))
+
+  /** r15: every PRESENT dir value of `c` is a canonical integral
+    * rendering (or the null sentinel) — the precondition for typed
+    * int/long partition pruning and claims: only then does parsed
+    * comparison agree with the values rows would carry. */
+  private def intDirsCanonical(c: String): Boolean =
+    currentSnap.files.nonEmpty && currentSnap.files.forall(f =>
+      IceLiteSource.pathPartValues(f).get(c).forall(v =>
+        v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME ||
+        IceLiteSource.canonicalLong(v).isDefined))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -2468,7 +2602,17 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     // A null-sentinel dir declines too (ADVICE r13): the fold's group
     // key would be the literal sentinel string while the row paths
     // decode it as SQL NULL — the real scan keeps the two faces equal
-    (isPartCol(col) && currentSnap.files.forall(f =>
+    (isPartCol(col) &&
+      // r15: the fold's group key must parse to the DECLARED type —
+      // string columns take the dir as-is; int/long need every dir
+      // canonical-integral (previously an int-typed partition column
+      // would have folded UTF8String keys into an int slot)
+      (typeOf(col) match {
+        case Some(StringType) => true
+        case Some(IntegerType) | Some(LongType) => intDirsCanonical(col)
+        case _ => false
+      }) &&
+      currentSnap.files.forall(f =>
       IceLiteSource.pathPartValues(f).get(col).exists(_ !=
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .DEFAULT_PARTITION_NAME))) || {
@@ -2502,8 +2646,9 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
     // partition predicate.
     if (bounds.nonEmpty || currentSnap.morLive) None
     else if ((partFilters.nonEmpty || partNotNull.nonEmpty ||
-        partRanges.nonEmpty) &&
-      !((partFilters.keys ++ partNotNull ++ partRanges.keys)
+        partRanges.nonEmpty || partNumRanges.nonEmpty) &&
+      !((partFilters.keys ++ partNotNull ++ partRanges.keys ++
+          partNumRanges.keys)
           .forall(exactPartCol) &&
         fileRowsComplete)) None
     else {
@@ -2550,7 +2695,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         // file past the validated path-borne/fileRows preconditions
         // (silently dropped from the census, or a missing fileRows
         // entry throwing)
-        currentSnap, partFilters, partNotNull, partRanges)
+        currentSnap, partFilters, partNotNull, partRanges, partNumRanges)
     case None =>
       // normalize the projection to FILE-SCHEMA order (the vectorized
       // reader clips the parquet schema in file order, so readSchema
@@ -2613,7 +2758,7 @@ class IceLiteScanBuilder(ref: TableRef, schema: StructType,
         currentSnap.eqDeletes,
         snapshotsPerTrigger, targetSplitBytes, asOf, streamRefresh,
         tfFilters, tfRanges, splitBytesExplicit, partNotNull,
-        claimedPartCols, partRanges)
+        claimedPartCols, partRanges, partNumRanges)
   }
 }
 
@@ -2637,7 +2782,8 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
     snap: Snapshot,
     partFilters: Map[String, Set[String]] = Map.empty,
     partNotNull: Set[String] = Set.empty,
-    partRanges: Map[String, IceLiteSource.StrRange] = Map.empty)
+    partRanges: Map[String, IceLiteSource.StrRange] = Map.empty,
+    partNumRanges: Map[String, IceLiteSource.NumRange] = Map.empty)
   extends Scan with Batch {
   override def readSchema(): StructType = StructType(
     groupCols.map { case (c, dt, _) => StructField(c, dt) } ++
@@ -2656,7 +2802,8 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
     // the fold — exact, because the builder only composes filters on
     // uniformly path-borne columns (value-pure files)
     val census =
-      if (partFilters.isEmpty && partNotNull.isEmpty && partRanges.isEmpty)
+      if (partFilters.isEmpty && partNotNull.isEmpty && partRanges.isEmpty &&
+          partNumRanges.isEmpty)
         snap.files
       else snap.files.filter { f =>
         val vals = IceLiteSource.pathPartValues(f)
@@ -2668,7 +2815,12 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
         // (null-sentinel dirs fail any range, SQL's null-comparison)
         partRanges.forall { case (c, r) => vals.get(c).exists(v =>
           v != org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .DEFAULT_PARTITION_NAME && IceLiteSource.strInRange(v, r)) }
+            .DEFAULT_PARTITION_NAME && IceLiteSource.strInRange(v, r)) } &&
+        // r15: typed int/long ranges compare the PARSED dir value —
+        // the builder's canonical-dir gate guarantees parseability
+        partNumRanges.forall { case (c, r) => vals.get(c).exists(v =>
+          IceLiteSource.canonicalLong(v).exists(
+            IceLiteSource.numInRange(_, r))) }
       }
     def stat(f: String, c: String): ColStats =
       snap.fileStats.get(f).flatMap(_.find(_.col == c)).getOrElse(
@@ -2682,7 +2834,8 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
         // manifests: no fileRows); any filtered/grouped count sums
         // the census's per-file record counts
         if (groupCols.isEmpty && partFilters.isEmpty &&
-            partNotNull.isEmpty && partRanges.isEmpty)
+            partNotNull.isEmpty && partRanges.isEmpty &&
+            partNumRanges.isEmpty)
           snap.rowCount
         else files.map(snap.fileRows).sum
       // a filtered-to-empty GLOBAL min/max is NULL (SQL semantics);
@@ -2694,8 +2847,16 @@ class IceLiteAggScan(ref: TableRef, specs: Seq[PushedAgg],
         if (files.isEmpty) null else files.map(stat(_, c).max).max
     }
     def keyVal(f: String)(gc: (String, DataType, Boolean)): Any = gc match {
-      case (c, _, true) => // partition column: one value per file path
-        UTF8String.fromString(IceLiteSource.pathPartValues(f)(c))
+      case (c, dt, true) => // partition column: one value per file path
+        val raw = IceLiteSource.pathPartValues(f)(c)
+        dt match {
+          // r15: typed partition group keys parse to the declared
+          // type (the groupable gate admits int/long only when every
+          // dir is canonical-integral)
+          case IntegerType => raw.toInt
+          case LongType => raw.toLong
+          case _ => UTF8String.fromString(raw)
+        }
       case (c, dt, false) =>
         val v = stat(f, c).min // min == max: file-constant by contract
         dt match {
@@ -2751,7 +2912,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     splitBytesExplicit: Boolean = false,
     partNotNull: Set[String] = Set.empty,
     claimedPartCols: Set[String] = Set.empty,
-    partRanges: Map[String, IceLiteSource.StrRange] = Map.empty)
+    partRanges: Map[String, IceLiteSource.StrRange] = Map.empty,
+    partNumRanges: Map[String, IceLiteSource.NumRange] = Map.empty)
   extends Scan with Batch
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2882,7 +3044,7 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // partition values ride along as constant vectors, same as batch
     new IceLiteMicroBatchStream(ref, dataFields, snapshotsPerTrigger,
       partFields, streamRefresh, partFilters, partNotNull,
-      claimedPartCols, partRanges)
+      claimedPartCols, partRanges, partNumRanges)
   }
   override def description(): String =
     s"IceLiteScan ${ref.name} prunedOn=${bounds.keys.toSeq.sorted.mkString(",")}" +
@@ -2914,7 +3076,8 @@ class IceLiteScan(ref: TableRef, required: StructType,
     // is KEPT: its value lives in data pages and every pushed filter
     // stays residual, so rows still filter exactly.
     val identityPruned =
-      if (partFilters.isEmpty && partNotNull.isEmpty && partRanges.isEmpty)
+      if (partFilters.isEmpty && partNotNull.isEmpty && partRanges.isEmpty &&
+          partNumRanges.isEmpty)
         statsPruned
       else statsPruned.filter { f =>
         val vals = IceLiteSource.pathPartValues(f)
@@ -2929,7 +3092,15 @@ class IceLiteScan(ref: TableRef, required: StructType,
         // dir-less files keep conservatively (residual-backed)
         partRanges.forall { case (c, r) => vals.get(c).forall(v =>
           v != org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .DEFAULT_PARTITION_NAME && IceLiteSource.strInRange(v, r)) }
+            .DEFAULT_PARTITION_NAME && IceLiteSource.strInRange(v, r)) } &&
+        // r15: typed int/long ranges compare the PARSED dir value.
+        // The push-time canonical-dir gate covered this snapshot's
+        // files, so a present dir either parses or is the null
+        // sentinel — both fail-closed here is exact (sentinel = SQL
+        // null fails any range; nothing else can occur)
+        partNumRanges.forall { case (c, r) => vals.get(c).forall(v =>
+          IceLiteSource.canonicalLong(v)
+            .exists(IceLiteSource.numInRange(_, r))) }
       }
     // hidden-partition transform pruning (pushed source-col equality
     // mapped through bucket/truncate/time dirs, day ranges through
@@ -3034,7 +3205,13 @@ class IceLiteScan(ref: TableRef, required: StructType,
     * precondition for key-grouped scheduling (d46). */
   private def fullyKeyed: Boolean =
     rowOp.isEmpty && partitionCols.nonEmpty &&
-      partitionCols.forall(partFields.contains)
+      partitionCols.forall(partFields.contains) &&
+      // r15: key-grouped scheduling stays STRING-keyed — typed
+      // partition columns decline (HasPartitionKey rows would need
+      // typed keys matched against typed join expressions; the scan
+      // stays correct, just unkeyed)
+      partitionCols.forall(c => required.fields.find(_.name == c)
+        .forall(_.dataType == StringType))
 
   /** d90: transform layouts are key-groupable too — when every spec
     * field is a KEYABLE transform (`bucket`, `truncate`, `days`,
@@ -3379,7 +3556,10 @@ class IceLiteScan(ref: TableRef, required: StructType,
     new IceLiteReaderFactory(dataFields, emitFile,
       IceLiteSource.aliasesOf(m, asOf.getOrElse(m.currentSnapshotId)),
       morLive = deleteFiles.nonEmpty || eqDeletes.nonEmpty,
-      emitPos = emitPos)
+      emitPos = emitPos,
+      // r15: typed partition columns emit PARSED dir values
+      partTypes = partFields.map(c => required.fields.find(_.name == c)
+        .map(_.dataType).getOrElse(StringType)))
   }
 }
 
@@ -3519,7 +3699,8 @@ class IceLiteMicroBatchStream(ref: TableRef,
     partFilters: Map[String, Set[String]] = Map.empty,
     partNotNull: Set[String] = Set.empty,
     claimedPartCols: Set[String] = Set.empty,
-    partRanges: Map[String, IceLiteSource.StrRange] = Map.empty)
+    partRanges: Map[String, IceLiteSource.StrRange] = Map.empty,
+    partNumRanges: Map[String, IceLiteSource.NumRange] = Map.empty)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** AvailableNow ceiling: snapshot id captured at query start. */
@@ -3637,7 +3818,21 @@ class IceLiteMicroBatchStream(ref: TableRef,
         // lockstep rule as equality — the residual is gone)
         partRanges.forall { case (c, r) => check(c)(v =>
           v != org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .DEFAULT_PARTITION_NAME && IceLiteSource.strInRange(v, r)) }
+            .DEFAULT_PARTITION_NAME && IceLiteSource.strInRange(v, r)) } &&
+        // r15: typed int/long ranges bind the file delta by PARSED
+        // value; a claimed column whose NEW file carries a
+        // non-canonical dir must fail loudly, not silently drop rows
+        partNumRanges.forall { case (c, r) => check(c) { v =>
+          IceLiteSource.canonicalLong(v) match {
+            case Some(n) => IceLiteSource.numInRange(n, r)
+            case None if v == org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.DEFAULT_PARTITION_NAME => false
+            case None => throw new IllegalStateException(
+              s"streaming file of ${ref.name} carries non-canonical " +
+                s"dir value '$v' for claimed typed partition column " +
+                s"$c — restart the query from a fresh plan")
+          }
+        } }
       }
       .map { f =>
         // s23: projected partition values come from the file path,
@@ -3655,7 +3850,14 @@ class IceLiteMicroBatchStream(ref: TableRef,
     // as batch scans, scoped to the live manifest
     val m = IceLite.readManifest(ref)
     new IceLiteReaderFactory(fields,
-      aliases = IceLiteSource.aliasesOf(m, m.currentSnapshotId))
+      aliases = IceLiteSource.aliasesOf(m, m.currentSnapshotId),
+      // r15: the stream's projected partition columns may be typed —
+      // resolve their declared types once per factory (driver-side)
+      partTypes = {
+        val sch = IceLiteSource.schemaOf(ref)
+        partFields.map(c => sch.fields.find(_.name == c)
+          .map(_.dataType).getOrElse(StringType))
+      })
   }
 
   override def commit(end: Offset): Unit = ()
@@ -3851,8 +4053,16 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     // r15: emit each row's physical position in its file as a
     // trailing `_pos` long (the delta row-level path's row identity);
     // positions were already tracked for tombstone skipping
-    emitPos: Boolean = false)
+    emitPos: Boolean = false,
+    // r15: the PROJECTED partition fields' declared types, positional
+    // with each split's partVals — int/long partition columns emit
+    // parsed dir values instead of strings
+    partTypes: Seq[DataType] = Nil)
   extends PartitionReaderFactory {
+
+  private def partTypeAt(j: Int): DataType =
+    if (j < partTypes.length) partTypes(j) else StringType
+
 
   /** The name `file` stores column `n` under (None: predates it). */
   private def storedIn(fileCols: Seq[String], n: String): Option[String] =
@@ -3934,10 +4144,17 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     val part = p.asInstanceOf[IceLitePartition]
     val files = part.files
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      private val constVectors = part.partVals.map { v =>
+      private val constVectors = part.partVals.zipWithIndex.map { case (v, j) =>
+        val dt = partTypeAt(j)
         val cv = new org.apache.spark.sql.execution.vectorized
-          .ConstantColumnVector(4096, StringType)
-        if (v == null) cv.setNull() else cv.setUtf8String(UTF8String.fromString(v))
+          .ConstantColumnVector(4096, dt)
+        if (v == null) cv.setNull()
+        else IceLiteSource.dirTypedValue(v, dt) match {
+          case u: UTF8String => cv.setUtf8String(u)
+          case i: java.lang.Integer => cv.setInt(i)
+          case l: java.lang.Long => cv.setLong(l)
+          case other => throw new IllegalStateException(s"$other")
+        }
         cv
       }
       // `_file` is per-FILE constant: one vector, re-pointed at each
@@ -3970,10 +4187,16 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
       private def pathConstOrNull(path: String, name: String, dt: DataType) =
         IceLiteSource.pathPartValues(path).get(name)
             .map(IceLiteSource.dirSqlValue) match {
-          case Some(v) if v != null && dt == StringType =>
+          case Some(v) if v != null &&
+              (dt == StringType || dt == IntegerType || dt == LongType) =>
             val cv = new org.apache.spark.sql.execution.vectorized
-              .ConstantColumnVector(4096, StringType)
-            cv.setUtf8String(UTF8String.fromString(v))
+              .ConstantColumnVector(4096, dt)
+            IceLiteSource.dirTypedValue(v, dt) match {
+              case u: UTF8String => cv.setUtf8String(u)
+              case i: java.lang.Integer => cv.setInt(i)
+              case l: java.lang.Long => cv.setLong(l)
+              case other => throw new IllegalStateException(s"$other")
+            }
             cv
           case _ => nullVector(dt)
         }
@@ -4129,8 +4352,9 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
     val posSlot: Int =
       if (!emitPos) -1
       else fields.length + partVals.length + (if (emitFile) 1 else 0)
-    val partTail0: Array[Any] = ((partVals.map(v =>
-      if (v == null) null else UTF8String.fromString(v): Any) ++
+    val partTail0: Array[Any] = ((partVals.zipWithIndex.map { case (v, j) =>
+      if (v == null) null else IceLiteSource.dirTypedValue(v, partTypeAt(j))
+    } ++
       (if (emitFile) Seq(UTF8String.fromString(file): Any) else Nil) ++
       (if (emitPos) Seq(0L: Any) else Nil))
       .toArray ++ extraTail)
@@ -4162,8 +4386,9 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
           fields.map { case (n, dt) =>
             IceLiteSource.pathPartValues(file).get(n)
                 .map(IceLiteSource.dirSqlValue) match {
-              case Some(v) if v != null && dt == StringType =>
-                UTF8String.fromString(v): Any
+              case Some(v) if v != null &&
+                  (dt == StringType || dt == IntegerType || dt == LongType) =>
+                IceLiteSource.dirTypedValue(v, dt)
               case _ => null
             }
           } ++ partTail0)
@@ -4222,8 +4447,9 @@ class IceLiteReaderFactory(fields: Array[(String, DataType)],
         val pv = IceLiteSource.pathPartValues(file)
         fields.map { case (n, dt) =>
           pv.get(n).map(IceLiteSource.dirSqlValue) match {
-            case Some(v) if v != null && dt == StringType =>
-              UTF8String.fromString(v): Any
+            case Some(v) if v != null &&
+                (dt == StringType || dt == IntegerType || dt == LongType) =>
+              IceLiteSource.dirTypedValue(v, dt)
             case _ => null
           }
         }
