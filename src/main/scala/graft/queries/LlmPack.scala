@@ -54,7 +54,13 @@ object LlmPack extends Pack {
     * result, never silent. */
   private[queries] def cappedGramPostings(docsDf: DataFrame,
       cap: Long): (DataFrame, Long) = {
-    val raw = docsDf
+    // spread: the gram explode is the CPU stage of c12/c16 (profiled
+    // 1.5 s in ONE scan task at sf0.1) — parallelize it when the scan
+    // is below core count (no-op at scale; guide §2.5). Only on the
+    // CAPPED production path: the uncapped caller is c02's bounded
+    // audit reference (a ≤1000-doc slice), where the spread shuffle
+    // costs more than the one-task work it saves (measured +0.45 s).
+    val raw = (if (cap == Long.MaxValue) docsDf else spread(docsDf, $"doc_id"))
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .select($"doc_id",
@@ -304,11 +310,20 @@ object LlmPack extends Pack {
     // growth that overflows plan stringification near ~20 rounds even
     // though the DATA is cached. Checkpointing cuts every round to a
     // leaf; a multi-node cluster uses reliable checkpoint() instead.
+    // repartition WITHOUT an explicit count before the eager
+    // checkpoint: localCheckpoint freezes the physical partitioning
+    // for every iteration, and the upstream pair join leaves ~cores
+    // near-empty partitions at fixture scale — each of the ~3 rounds
+    // then pays per-task overhead × cores × (join + agg + checkpoint).
+    // AQE sizes the countless exchange by bytes (guide §2.2 "fewer,
+    // larger partitions"): edge-proportional — 1 partition here,
+    // many on a 100 TB pair graph.
     val edges = contracted
       .select(explode(array(
         struct($"doc_a".as("src"), $"doc_b".as("dst")),
         struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .repartition($"src")
       .localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("comp", $"id").localCheckpoint(true)
@@ -605,7 +620,10 @@ object LlmPack extends Pack {
     Decl("c11_dedup_simhash",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val e = emb(s, dir)
+        // spread: the 8-plane projection is an interpreted HOF fold
+        // per row — profiled 2 × 0.47 s in single scan tasks (both
+        // self-join sides); parallelize below core count (guide §2.5)
+        val e = spread(emb(s, dir), $"vec_id")
         // plane j, dim k ∈ [-0.5, 0.5): deterministic Knuth hash
         val sig = e.withColumn("bucket", expr(
           """aggregate(
@@ -687,7 +705,9 @@ object LlmPack extends Pack {
     // asymmetric-rescoring step, and the recall diagnostic.
     Decl("c17_embed_quantize",
       (s, dir) => {
-        val e = emb(s, dir)
+        // spread: quantization HOFs are per-row CPU above a one-task
+        // scan (profiled 0.54 s single-task; guide §2.5)
+        val e = spread(emb(s, dir), $"vec_id")
         val qq = e
           .withColumn("scale", expr(
             "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))

@@ -55,6 +55,28 @@ object syntax {
       org.apache.spark.sql.functions.col(sc.s(args: _*))
   }
 
+  /** Scale-adaptive scan spread (optimization guide §2.5, "input
+    * skew"): a small single-file/single-row-group input plans as ONE
+    * scan task, so CPU-heavy per-row work above it (gram explodes,
+    * signature expressions) runs on one core of the whole machine.
+    * When the plan's scan parallelism is below the session's core
+    * count, hash-repartition on the given deterministic key so the
+    * per-row stage uses every core; at warehouse scale a table is
+    * many files/row groups, the probe sees parallelism ≥ cores, and
+    * this is a NO-OP — no extra shuffle of big data ever. Hash (not
+    * round-robin) keying avoids repartition's sort-before-repartition
+    * pass and the SPARK-38388 nondeterministic-retry hazard; callers
+    * pass a dense unique key (doc_id/vec_id — thousands of distinct
+    * values per target partition, guide §2.5's spread rule). Results
+    * are unchanged: every consumer aggregates, joins or re-sorts
+    * above the repartition.
+    */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key)
+    else df
+  }
+
   /** Deterministic money sum: the fixture's money columns are exact
     * low-scale decimals (NOTES.md "decimal-exact accumulation"), so
     * summing after a cast to DECIMAL(18,s) is order-independent; the

@@ -37,7 +37,10 @@ object TextPack extends Pack {
     Decl("t01_lang_id_ngram",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val d = docs(s, dir)
+        // spread: trigram generation + profile counting is per-row
+        // CPU above a one-task scan (profiled 1.33 s single-task at
+        // sf0.1); parallelize below core count (guide §2.5)
+        val d = syntax.spread(docs(s, dir), $"doc_id")
         // native one-pass generator (returns empty below 3 chars — no
         // sequence(1,0) step -1 trap, no per-position lambda dispatch)
         val grams = d.select($"doc_id", $"lang",
