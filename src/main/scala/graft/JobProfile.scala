@@ -58,14 +58,21 @@ object JobProfile {
       exec(id) // warm-up
       jobs.clear()
       collecting = true
+      val t0 = System.currentTimeMillis()
       val wall = exec(id)
       collecting = false
       Thread.sleep(200) // let job-end events drain
       println(f"\n===== $id wall=$wall%.3f s, ${jobs.size} jobs =====")
       val total = jobs.values.map(j => (j.end - j.start).max(0L)).sum / 1e3
-      jobs.values.foreach { j =>
+      // inter-job gaps expose DRIVER time (planning, manifest IO, fs
+      // moves, commit protocol) — the biggest gap is the hotspot when
+      // sum-of-jobs is far below wall
+      var lastEnd = t0
+      jobs.values.toSeq.sortBy(_.start).foreach { j =>
         val d = (j.end - j.start).max(0L) / 1e3
-        println(f"  job ${j.id}%4d  $d%7.3f s  tasks=${j.nTasks}%4d  ${j.desc.take(110)}")
+        val gap = (j.start - lastEnd).max(0L) / 1e3
+        lastEnd = math.max(lastEnd, j.end)
+        println(f"  +${(j.start - t0) / 1e3}%7.3f gap=$gap%6.3f  job ${j.id}%4d  $d%7.3f s  tasks=${j.nTasks}%4d  ${j.desc.take(90)}")
       }
       println(f"  [sum of job durations: $total%.3f s; gap to wall = driver/planning/fs time]")
     }

@@ -18,9 +18,32 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Inferred-schema cache: fixture files are immutable for a
+    * process's lifetime, but every `spark.read.parquet(path)` call
+    * re-infers the schema from the footer on the driver — and the
+    * bench calls `load` thousands of times across its passes (~10 ms
+    * each, guide §5 "the driver should do almost no data work").
+    * Keyed on the owning SparkContext so a session restart in the
+    * same JVM (the Bench/driver pattern) can never serve state of a
+    * dead context. Caches METADATA only (a StructType) — the data is
+    * re-read from parquet on every action. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String),
+    org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, path(sfDir, name))
-    else spark.read.parquet(path(sfDir, name))
+    else {
+      val p = path(sfDir, name)
+      val key = (spark.sparkContext, p)
+      val cached = schemaCache.get(key)
+      if (cached != null) spark.read.schema(cached).parquet(p)
+      else {
+        val df = spark.read.parquet(p)
+        schemaCache.put(key, df.schema)
+        df
+      }
+    }
 
   /** Schema-adaptive events load. The fixtures' `ts` footer type has
     * changed across regenerations (TIMESTAMP(NANOS) → timestamp[us]),
@@ -44,9 +67,19 @@ object Tables {
     import org.apache.spark.sql.types._
     def nanosToTs(df: DataFrame): DataFrame =
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same schema cache as `load`: the footer probe + branch decision
+    // is deterministic for an immutable fixture file, so replay the
+    // decided branch from the cached RAW schema on repeat calls
+    val key = (spark.sparkContext, p)
+    val cached = schemaCache.get(key)
     val plain =
-      try Some(spark.read.parquet(p))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (cached != null) Some(spark.read.schema(cached).parquet(p))
+      else
+        try {
+          val df = spark.read.parquet(p)
+          schemaCache.put(key, df.schema)
+          Some(df)
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
     plain match {
       case Some(df) =>
         df.schema("ts").dataType match {
