@@ -52,8 +52,15 @@ object LlmPack extends Pack {
     * grams (stop phrases) carry no similarity signal anyway. The
     * dropped count is returned so truncation is visible in the
     * result, never silent. */
+  /** The dropped-count side travels as a 1-ROW FRAME, not an eager
+    * scalar: `hot.count()` was a separate Spark action that ran the
+    * whole postings build + df shuffle BEFORE the main query even
+    * started (r15 profile: the count's materialization job was c12's
+    * single biggest). As a frame it rides the main action — one job,
+    * and the df exchange on `gram` is shared with the anti-join via
+    * ReusedExchange instead of being paid twice. */
   private[queries] def cappedGramPostings(docsDf: DataFrame,
-      cap: Long): (DataFrame, Long) = {
+      cap: Long): (DataFrame, DataFrame) = {
     // spread: the gram explode is the CPU stage of c12/c16 (profiled
     // 1.5 s in ONE scan task at sf0.1) — parallelize it when the scan
     // is below core count (no-op at scale; guide §2.5). Only on the
@@ -68,13 +75,18 @@ object LlmPack extends Pack {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // an unbounded cap needs no df pass at all — skip the extra
     // shuffle (c02's audit-window exact reference runs uncapped)
-    if (cap == Long.MaxValue) { lastGrams.swap(raw); return (raw, 0L) }
+    if (cap == Long.MaxValue) {
+      lastGrams.swap(raw)
+      return (raw, docsDf.sparkSession.range(1)
+        .select(lit(0L).as("hot_grams_dropped")))
+    }
     // hot list is tiny by construction (only grams with df > cap), so
     // the anti-join broadcasts; df is ONE extra shuffle on gram over
     // the persisted postings — the price of a bounded self-join
-    val hot = raw.groupBy($"gram").agg(count(lit(1)).as("df"))
-      .filter($"df" > cap)
-    val nHot = hot.count()
+    val dfCounts = raw.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val hot = dfCounts.filter($"df" > cap)
+    val nHot = dfCounts.agg(
+      coalesce(sum(when($"df" > cap, 1L)), lit(0L)).as("hot_grams_dropped"))
     val grams = raw.join(hot.select($"gram"), Seq("gram"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastGrams.swap(raw, grams)
@@ -86,7 +98,7 @@ object LlmPack extends Pack {
     * c12 adds presentation (rounding, ordering); c16 feeds the raw
     * pairs straight into component clustering. */
   private[queries] def jaccardPairsRaw(s: SparkSession, dir: String,
-      cap: Long, maxDoc: Option[Long] = None): (DataFrame, Long) = {
+      cap: Long, maxDoc: Option[Long] = None): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val d0 = docs(s, dir)
     val (grams, nHot) = cappedGramPostings(
@@ -157,7 +169,7 @@ object LlmPack extends Pack {
     val (pairs, nHot) = jaccardPairsRaw(s, dir, cap)
     pairs
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-      .withColumn("hot_grams_dropped", lit(nHot))
+      .crossJoin(broadcast(nHot)) // appends hot_grams_dropped (1 row)
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -271,11 +271,13 @@ class LlmPackSpec extends AnyFunSuite {
     val docsDf = graft.Tables.load(spark, tmp, "documents")
 
     def coOccurrences(cap: Long): (Long, Long) = {
-      val (grams, nHot) = LlmPack.cappedGramPostings(docsDf, cap)
+      // nHot is a 1-row frame since r15 (it rides the main action
+      // instead of costing an eager count) — collect it here
+      val (grams, nHotDf) = LlmPack.cappedGramPostings(docsDf, cap)
       val pairs = grams.as("a").join(grams.as("b"),
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
         .count()
-      (pairs, nHot)
+      (pairs, nHotDf.head.getLong(0))
     }
     // uncapped (cap above every df): the hot gram alone contributes
     // C(10,2)=45 co-occurrences; near-dups add 4 shared grams
