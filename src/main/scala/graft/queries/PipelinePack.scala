@@ -282,6 +282,12 @@ object PipelinePack extends Pack {
     Decl("a15_dbt_transform",
       (s, dir) => {
         Tables.registerAll(s, dir)
+        // spread the models' big input: monthly_revenue's decimal-sum
+        // aggregation otherwise runs in the fixture's single scan
+        // task (profiled 0.93 s; guide §2.5 — no-op at scale). The
+        // sum is decimal-exact, so partitioning cannot change it.
+        syntax.spread(Tables.load(s, dir, "lineitem"), col("l_orderkey"))
+          .createOrReplaceTempView("lineitem")
         val wh = tmpWarehouse()
         TransformRegistry.runAll(s, wh)
         IceLite.read(s, TableRef(wh, "marts", "yearly_revenue"))

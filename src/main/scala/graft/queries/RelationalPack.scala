@@ -96,7 +96,13 @@ object RelationalPack extends Pack {
       // buffer became 3 groups x |distinct prices| map entries (the
       // sf1 shadow-bench caught the row-buffered form at 34x). The
       // array form still shares one buffer and sorts once.
-      (s, dir) => li(s, dir)
+      // project to the two needed columns BEFORE the spread (guide
+      // §2.3 "project before the exchange"), then spread: the
+      // (group, value) pre-aggregation otherwise runs in the single
+      // scan task of the one-file fixture (guide §2.5; no-op at scale)
+      (s, dir) => syntax.spread(
+          li(s, dir).select($"l_returnflag", $"l_extendedprice"),
+          $"l_extendedprice")
         .groupBy($"l_returnflag", $"l_extendedprice")
         .agg(count(lit(1)).as("freq"))
         .groupBy($"l_returnflag")
