@@ -56,9 +56,11 @@ object LlmPack extends Pack {
     * scalar: `hot.count()` was a separate Spark action that ran the
     * whole postings build + df shuffle BEFORE the main query even
     * started (r15 profile: the count's materialization job was c12's
-    * single biggest). As a frame it rides the main action — one job,
-    * and the df exchange on `gram` is shared with the anti-join via
-    * ReusedExchange instead of being paid twice. */
+    * single biggest). As a frame it rides the main action — one job.
+    * (Correction of the r15 notes: no ReusedExchange ever formed
+    * across the broadcast/agg shapes — the r15 plan paid the gram
+    * aggregation twice; the persisted `hot` frame below is what
+    * actually makes it run once.) */
   private[queries] def cappedGramPostings(docsDf: DataFrame,
       cap: Long): (DataFrame, DataFrame) = {
     // spread: the gram explode is the CPU stage of c12/c16 (profiled
@@ -82,14 +84,20 @@ object LlmPack extends Pack {
     }
     // hot list is tiny by construction (only grams with df > cap), so
     // the anti-join broadcasts; df is ONE extra shuffle on gram over
-    // the persisted postings — the price of a bounded self-join
+    // the persisted postings — the price of a bounded self-join.
+    // r16 (verdict #3): the drop-count frame used to re-aggregate
+    // dfCounts — the r15 plan showed the gram aggregation TWICE (no
+    // ReusedExchange formed across the broadcast/agg shapes). Persist
+    // the tiny hot frame instead and derive the count FROM it: the
+    // gram agg runs once (materializing hot), and both consumers read
+    // the persisted df>cap rows (0 rows at every fixture scale).
     val dfCounts = raw.groupBy($"gram").agg(count(lit(1)).as("df"))
-    val hot = dfCounts.filter($"df" > cap)
-    val nHot = dfCounts.agg(
-      coalesce(sum(when($"df" > cap, 1L)), lit(0L)).as("hot_grams_dropped"))
-    val grams = raw.join(hot.select($"gram"), Seq("gram"), "left_anti")
+    val hot = dfCounts.filter($"df" > cap).select($"gram")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastGrams.swap(raw, grams)
+    val nHot = hot.agg(count(lit(1)).as("hot_grams_dropped"))
+    val grams = raw.join(hot, Seq("gram"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastGrams.swap(raw, hot, grams)
     (grams, nHot)
   }
 
