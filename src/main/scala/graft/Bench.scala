@@ -56,16 +56,63 @@ object Bench {
     sweepStaleTmp()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+      // r16 (guide §6): IceLite reads pass EXPLICIT leaf-file paths
+      // from the manifest, yet Spark still launches a distributed
+      // "listing leaf files" job whenever >32 paths are passed
+      // (default parallelPartitionDiscovery.threshold) — pure
+      // overhead on a local fs where a stat is ~µs. 1024 keeps the
+      // listing on the driver for every fixture-scale table; on an
+      // object-store cluster, where driver-serial listing of huge
+      // tables is the slower side, set SPARK_GRAFT_LIST_THRESHOLD
+      // back down (the distributed listing resumes above it).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
+    // A/B hook (same as BenchOne): swap the streaming state store
+    // provider without touching any declared query, e.g.
+    // SPARK_GRAFT_STATESTORE=org.apache.spark.sql.execution.streaming
+    // .state.RocksDBStateStoreProvider. Unset = Spark's default.
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach(v =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r16 (verdict #2): a SCALING WITNESS the driver can read. At the
+    // bench SF every fixture is one parquet file, so low-core/high-core
+    // wall ratios are ≈1 everywhere and the driver's probe cannot tell
+    // "honors $SPARK_GRAFT_CPUS" from "ignores it". Record, per id, the
+    // widest stage (max tasks in any one stage of any job the id ran):
+    // ids whose hot stage spreads to defaultParallelism show ~cores
+    // here (32 vs 8 across the driver's two runs), protocol-floor ids
+    // show small constants — direct, per-id parallelism evidence in
+    // the one-line JSON without touching the timing methodology.
+    // Attribution is exact via job groups (thread-local, set around
+    // each exec; streaming ids run jobs on their own threads and
+    // simply keep their floor reading).
+    val maxStageTasks = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val gid = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        gid.filter(_.startsWith("graft-bench:")).foreach { g =>
+          val id = g.stripPrefix("graft-bench:")
+          val w = js.stageInfos.foldLeft(0)((m, si) => math.max(m, si.numTasks))
+          maxStageTasks.merge(id, w, (a, b) => math.max(a, b))
+        }
+      }
+    })
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def execTagged(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      spark.sparkContext.setJobGroup(s"graft-bench:$name", name,
+        interruptOnCancel = false)
+      try exec(fn) finally spark.sparkContext.clearJobGroup()
+    }
     // SPARK_GRAFT_ONLY=id1,id2 restricts the sweep — the 10× scale
     // shadow-bench (tools/scale_bench.sh) measures the flagship
     // subset at sf1 without paying for 249 lifecycle ids per pass
@@ -87,7 +134,7 @@ object Bench {
     def timedPass(): Seq[(String, Either[String, Double])] =
       qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { exec(fn); name -> Right((System.nanoTime() - t0) / 1e9) }
+        try { execTagged(name, fn); name -> Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
@@ -151,7 +198,13 @@ object Bench {
     // b01/b05/b06 were re-scoped to bounded keyed slices in round 2, so
     // the subset measures less work than BENCH_r01 did — flag that in
     // the emitted JSON rather than implying a like-for-like speedup
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$ejson,"timed_passes":$timedPasses,"per_id":"min","r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
+    val tjson = results.flatMap { case (k, _) =>
+      Option(maxStageTasks.get(k)).map(v => "\"" + k + "\":" + v)
+    }.mkString("{", ",", "}")
+    // cpus goes into the JSON as a number so the driver can divide;
+    // a non-numeric env value falls back to the string form (quoted)
+    val cpusJson = cpus.toIntOption.map(_.toString).getOrElse(q(cpus))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"max_stage_tasks":$tjson,"cpus":$cpusJson,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$ejson,"timed_passes":$timedPasses,"per_id":"min","r01_subset_total":$r01Subset,"r01_subset_note":"b01/b05/b06 re-scoped to bounded slices in r2; subset not directly comparable to BENCH_r01"}""")
     // Full per-id detail as a REPO artifact: the driver's BENCH_rN.json
     // keeps only a tail of stdout, so the spread map never reached the
     // round-8 verdict and a cross-round delta (s19/s20) could not be
@@ -165,7 +218,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
-    val detail = s"""{"sf":"$sfDir","timed_passes":$timedPasses,"per_id":"min","total":$total,"n_failed":${failed.size},"errors":$ejson,"queries":$qjson,"spread":$sjson,"passes":$pjson}"""
+    val detail = s"""{"sf":"$sfDir","timed_passes":$timedPasses,"per_id":"min","total":$total,"n_failed":${failed.size},"errors":$ejson,"queries":$qjson,"spread":$sjson,"max_stage_tasks":$tjson,"cpus":$cpusJson,"passes":$pjson}"""
     scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
