@@ -22,13 +22,19 @@ object JobProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // match the bench's listing posture so profiles reflect it
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     final case class Job(id: Int, desc: String, start: Long,
         var end: Long = -1L, var nTasks: Int = 0)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
-    var collecting = false
+    // @volatile: written by the main thread, read on the listener-bus
+    // thread (r15 ADVICE) — a stale read could attribute jobs across
+    // the collecting window
+    @volatile var collecting = false
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (collecting) synchronized {

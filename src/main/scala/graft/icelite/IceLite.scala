@@ -3459,11 +3459,27 @@ object IceLite {
     // and carry every column (the future partition field included) in
     // their data pages, so the by-name union stays column-complete
     def readGroup(fs: Seq[String]): DataFrame = {
-      val reader = spark.read.option("mergeSchema", "true")
-      val withBase =
-        if (fileLayout(fs.head).isEmpty) reader
-        else reader.option("basePath", ref.dataDir.resolve("part").toString)
-      val df = withBase.parquet(fs.map(f => ref.dir.resolve(f).toString): _*)
+      val basePath =
+        if (fileLayout(fs.head).isEmpty) None
+        else Some(ref.dataDir.resolve("part").toString)
+      val paths = fs.map(f => ref.dir.resolve(f).toString)
+      // merged-schema replay (see cache above): a replayed schema
+      // skips both the footer-merge job AND partition-column type
+      // inference — the cached StructType already carries the
+      // discovered partition columns with their inferred types, and
+      // discovery itself (values from the k=v dirs) still runs
+      val key = mergedSchemaKey("part|" + basePath.getOrElse(""), paths)
+      val df = key.flatMap(k => Option(mergedSchemaCache.get(k))) match {
+        case Some(s) =>
+          val r = spark.read.schema(s)
+          basePath.fold(r)(b => r.option("basePath", b)).parquet(paths: _*)
+        case None =>
+          val r = spark.read.option("mergeSchema", "true")
+          val df0 = basePath.fold(r)(b => r.option("basePath", b))
+            .parquet(paths: _*)
+          putMergedSchema(key, df0.schema)
+          df0
+      }
       // positions must be captured BEFORE the union: `_metadata` is a
       // per-relation pseudo-column and does not survive unionByName
       if (!withPositions) df
@@ -3919,6 +3935,54 @@ object IceLite {
   private def currentName(renames: Seq[RenamedCol], c: String): String =
     renames.foldLeft(c)((n, r) => if (n == r.from) r.to else n)
 
+  // -------------------------------------------------------------
+  // Merged-schema REPLAY cache (r16, guide §5/§6 — driver work).
+  // `spark.read.option("mergeSchema", "true")` runs a DISTRIBUTED
+  // footer-merge job (SchemaMergeUtils.mergeSchemasInParallel) on
+  // every call, and the lifecycle operators re-read the same
+  // snapshot's file set many times per invocation (r16 JobProfile:
+  // one ~32-task merge job per read on d84/d85/d86). Cache the
+  // merged StructType keyed on the exact file IDENTITY set —
+  // absolute path + size + mtime per file, in read order, plus the
+  // reader-shaping inputs (basePath / widen ledger) — and replay it
+  // via spark.read.schema(...): Spark skips inference entirely when
+  // a user schema is supplied, and per-file by-name resolution with
+  // missing-column nulls is exactly mergeSchema's union semantics
+  // for the same file set. Size+mtime in the key keeps this sound
+  // under path reuse (DROP + re-CREATE restarts version counters
+  // and can re-issue a data path — the r15 manifest-cache hazard);
+  // a stat failure skips the cache and the read infers as before.
+  // METADATA-ONLY: data pages are re-read from parquet on every
+  // action. Unlike the r15-reverted driver footer probe, no footer
+  // is ever opened serially — the first read of a file set pays
+  // Spark's own parallel merge once and later reads replay it.
+  private val mergedSchemaCache = new java.util.concurrent
+    .ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private val MergedSchemaCacheMax = 8192
+
+  /** Cache key for `paths` under `variant`, or None when any path
+    * cannot be stat'ed (the caller then infers uncached). */
+  private def mergedSchemaKey(variant: String,
+      paths: Seq[String]): Option[String] = {
+    val sb = new StringBuilder(variant)
+    var ok = true
+    paths.foreach { p =>
+      val f = new java.io.File(p)
+      val len = f.length()
+      if (len == 0L && !f.exists()) ok = false
+      sb.append('|').append(p).append(':').append(len)
+        .append(':').append(f.lastModified())
+    }
+    if (ok) Some(sb.toString) else None
+  }
+
+  private def putMergedSchema(key: Option[String],
+      s: org.apache.spark.sql.types.StructType): Unit = key.foreach { k =>
+    if (mergedSchemaCache.size >= MergedSchemaCacheMax)
+      mergedSchemaCache.clear() // crude but bounded; never hit in practice
+    mergedSchemaCache.put(k, s)
+  }
+
   // mergeSchema: appends may evolve the schema (Iceberg v2 semantics,
   // extract_load.py inherits this through format-version=2); older
   // files surface null for later-added columns
@@ -3986,14 +4050,30 @@ object IceLite {
     }
     val widens = widensOf.getOrElse(
       scala.util.Try(readManifest(ref).widenedCols).getOrElse(Nil))
-    if (widens.isEmpty)
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    else {
+    if (widens.isEmpty) {
+      val key = mergedSchemaKey("flat", paths)
+      key.flatMap(k => Option(mergedSchemaCache.get(k))) match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None =>
+          val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          putMergedSchema(key, df.schema)
+          df
+      }
+    } else {
       // d66: a widened table mixes narrow/wide file eras, which
       // schema MERGING refuses (CANNOT_MERGE_SCHEMAS) — read with the
       // explicit post-widen schema instead; Spark 4's parquet readers
       // natively upcast int32→long / float→double per file
       import org.apache.spark.sql.types._
+      // same replay cache as the flat path: this loop opens every
+      // footer SERIALLY on the driver, per read — cache the result
+      // keyed on the file identities + the widen ledger it folds in
+      val key = mergedSchemaKey(
+        "widen|" + widens.map(w => s"${w.name}>${w.toType}").mkString(","),
+        paths)
+      key.flatMap(k => Option(mergedSchemaCache.get(k))).foreach { s =>
+        return spark.read.schema(s).parquet(paths: _*)
+      }
       val conv = new org.apache.spark.sql.execution.datasources.parquet
         .ParquetToSparkSchemaConverter()
       val conf = new org.apache.hadoop.conf.Configuration()
@@ -4023,6 +4103,7 @@ object IceLite {
       val target = widens.map(w => w.name -> DataType.fromDDL(w.toType)).toMap
       val widened = StructType(fields.values.toSeq.map(fd =>
         target.get(fd.name).fold(fd)(t => fd.copy(dataType = t))))
+      putMergedSchema(key, widened)
       spark.read.schema(widened).parquet(paths: _*)
     }
   }
