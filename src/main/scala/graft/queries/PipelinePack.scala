@@ -74,7 +74,12 @@ object PipelinePack extends Pack {
     Decl("a02_multi_file_parquet_scan",
       (s, dir) => {
         val out = graft.GraftTmp.dir("graft_a02").toString
-        Tables.load(s, dir, "lineitem").repartition(4)
+        // hash, not round-robin: keyless repartition(n) pays a full
+        // local sort of the payload first (sortBeforeRepartition,
+        // SPARK-23207) so retried tasks reproduce their assignment;
+        // hashing a dense unique key is deterministic by construction
+        // and skips that sort. Same 4 files, same re-read aggregate.
+        Tables.load(s, dir, "lineitem").repartition(4, col("l_orderkey"))
           .write.mode("overwrite").parquet(out)
         val files = IceLite.listDir(Files.list(Paths.get(out)))(_
           .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
