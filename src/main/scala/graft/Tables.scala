@@ -31,6 +31,16 @@ object Tables {
     (org.apache.spark.SparkContext, String),
     org.apache.spark.sql.types.StructType]()
 
+  /** Strong keys would pin every stopped context of a session-
+    * restarting JVM for the process lifetime (r15 ADVICE): evict dead
+    * contexts' entries whenever a new one is cached. */
+  private def putSchema(key: (org.apache.spark.SparkContext, String),
+      s: org.apache.spark.sql.types.StructType): Unit = {
+    val it = schemaCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    schemaCache.put(key, s)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, path(sfDir, name))
     else {
@@ -40,7 +50,7 @@ object Tables {
       if (cached != null) spark.read.schema(cached).parquet(p)
       else {
         val df = spark.read.parquet(p)
-        schemaCache.put(key, df.schema)
+        putSchema(key, df.schema)
         df
       }
     }
@@ -77,7 +87,7 @@ object Tables {
       else
         try {
           val df = spark.read.parquet(p)
-          schemaCache.put(key, df.schema)
+          putSchema(key, df.schema)
           Some(df)
         } catch { case _: org.apache.spark.sql.AnalysisException => None }
     plain match {

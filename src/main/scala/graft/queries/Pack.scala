@@ -71,6 +71,12 @@ object syntax {
     * are unchanged: every consumer aggregates, joins or re-sorts
     * above the repartition.
     */
+  /** CONTRACT (r15 ADVICE): wrap exchange-free scans only. The probe
+    * reads `df.rdd.getNumPartitions`, and under AQE `.rdd` on a plan
+    * containing an Exchange eagerly EXECUTES those shuffle stages just
+    * to learn a partition count — a silent-performance footgun. Every
+    * call site is a plain fixture scan (optionally filtered/projected,
+    * never shuffled); keep it that way. */
   def spread(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target, key)

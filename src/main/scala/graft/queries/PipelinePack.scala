@@ -43,11 +43,27 @@ object PipelinePack extends Pack {
       .write.mode("overwrite").partitionBy("_b").parquet(staging.toString)
     (0 until n).foreach { b =>
       val bdir = staging.resolve(s"_b=$b")
-      val part = IceLite.listDir(Files.list(bdir))(_
-        .find(p => p.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith(".")))
-        .getOrElse(throw new IllegalStateException(s"no part file for batch $b"))
-      Files.move(part, Paths.get(src, f"batch_$b%03d.parquet"))
+      // r15 ADVICE hardening: an EMPTY pmod bucket writes no dir at
+      // all (dynamic partitionBy) — stage the schema-only empty file
+      // the old per-batch writer produced; and a bucket split into
+      // >1 files (e.g. spark.sql.files.maxRecordsPerFile set) must
+      // fail LOUDLY, not silently stage a fraction of the batch.
+      val fromDir =
+        if (Files.isDirectory(bdir)) bdir
+        else {
+          val e = staging.resolve(s"_b=$b.empty")
+          Tables.load(s, dir, "orders").limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(e.toString)
+          e
+        }
+      val parts = IceLite.listDir(Files.list(fromDir))(_
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .toSeq)
+      if (parts.size != 1) throw new IllegalStateException(
+        s"batch $b staged ${parts.size} part files (expected exactly 1 " +
+          "- is spark.sql.files.maxRecordsPerFile set?)")
+      Files.move(parts.head, Paths.get(src, f"batch_$b%03d.parquet"))
     }
     src
   }
@@ -294,7 +310,12 @@ object PipelinePack extends Pack {
         syntax.spread(Tables.load(s, dir, "lineitem"), col("l_orderkey"))
           .createOrReplaceTempView("lineitem")
         val wh = tmpWarehouse()
-        TransformRegistry.runAll(s, wh)
+        try TransformRegistry.runAll(s, wh)
+        // restore the plain view (r15 ADVICE): later same-session SQL
+        // over `lineitem` must not inherit the spread's extra
+        // exchange — same restore pattern as a16/a17
+        finally Tables.load(s, dir, "lineitem")
+          .createOrReplaceTempView("lineitem")
         IceLite.read(s, TableRef(wh, "marts", "yearly_revenue"))
           .orderBy(col("ship_year"))
       },
