@@ -2603,8 +2603,7 @@ object IceLite {
         // `_metadata` would not resolve on the schema-only fallback
         if (newSidecars.isEmpty || prev.files.isEmpty) None
         else {
-          val dels = spark.read.parquet(
-            newSidecars.map(f => ref.dir.resolve(f).toString): _*)
+          val dels = readPlainCached(spark, ref, newSidecars)
           val prior = readSlice(prev, prev.files, withPositions = true)
           Some(prior.join(dels,
               normPathCol(prior("_mor_file")) === normPathCol(dels("file_path")) &&
@@ -2625,7 +2624,7 @@ object IceLite {
           val prior = readSnapWithDeletes(spark, ref, prev, prev.files)
           Some(newEq.groupBy(_.keyCols).map { case (kc, dels) =>
             val keys = dels.map(d =>
-              spark.read.parquet(ref.dir.resolve(d.file).toString)
+              readPlainCached(spark, ref, Seq(d.file))
                 .select(kc.map(col): _*)).reduce(_ unionByName _).distinct()
             prior.join(org.apache.spark.sql.functions.broadcast(keys),
               kc, "left_semi")
@@ -2668,8 +2667,7 @@ object IceLite {
         .withColumn("_mor_pos", col("_metadata.row_index"))
     if (snap.deleteFiles.isEmpty || snap.files.isEmpty) df
     else {
-      val dels = spark.read.parquet(
-        snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+      val dels = readPlainCached(spark, ref, snap.deleteFiles)
       df.join(dels,
         normPathCol(df("_mor_file")) === normPathCol(dels("file_path")) &&
         df("_mor_pos") === dels("pos"), "left_anti")
@@ -2704,8 +2702,7 @@ object IceLite {
         val df = readFiles(spark, ref, files, widensOf, renamesOf)
           .withColumn("_mor_file", col("_metadata.file_path"))
           .withColumn("_mor_pos", col("_metadata.row_index"))
-        val dels = spark.read.parquet(
-          snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+        val dels = readPlainCached(spark, ref, snap.deleteFiles)
         val anti = df.join(dels,
             normPathCol(df("_mor_file")) === normPathCol(dels("file_path")) &&
             df("_mor_pos") === dels("pos"), "left_anti")
@@ -2790,7 +2787,7 @@ object IceLite {
       val folded = snap.eqDeletes.groupBy(_.keyCols).foldLeft(withAdded) {
         case (cur, (kc, dels)) =>
           val keys = dels.map { d =>
-            spark.read.parquet(ref.dir.resolve(d.file).toString)
+            readPlainCached(spark, ref, Seq(d.file))
               .select(kc.map(col): _*)
               .withColumn("_eq_dsnap", lit(d.snapshotId))
           }.reduce(_ unionByName _)
@@ -3983,6 +3980,25 @@ object IceLite {
     mergedSchemaCache.put(k, s)
   }
 
+  /** Plain (single-schema) read of sidecar/eq-key `files` with schema
+    * replay: every read of a MoR-live snapshot re-reads its sidecars,
+    * and each bare spark.read.parquet call re-infers the schema from
+    * a footer on the driver. Same cache + identity-key soundness as
+    * the merge sites above; the replayed schema is the one the plain
+    * read inferred for the SAME ordered file set. */
+  private def readPlainCached(spark: SparkSession, ref: TableRef,
+      files: Seq[String]): DataFrame = {
+    val paths = files.map(f => ref.dir.resolve(f).toString)
+    val key = mergedSchemaKey("plain", paths)
+    key.flatMap(k => Option(mergedSchemaCache.get(k))) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None =>
+        val df = spark.read.parquet(paths: _*)
+        putMergedSchema(key, df.schema)
+        df
+    }
+  }
+
   // mergeSchema: appends may evolve the schema (Iceberg v2 semantics,
   // extract_load.py inherits this through format-version=2); older
   // files surface null for later-added columns
@@ -4675,8 +4691,7 @@ object IceLite {
     val df1 =
       if (snap.deleteFiles.isEmpty || files.isEmpty) df0
       else {
-        val dels = spark.read.parquet(
-          snap.deleteFiles.map(f => ref.dir.resolve(f).toString): _*)
+        val dels = readPlainCached(spark, ref, snap.deleteFiles)
         df0.join(dels,
           normPathCol(df0("_mor_file")) === normPathCol(dels("file_path")) &&
           df0("_mor_pos") === dels("pos"), "left_anti")
